@@ -1,0 +1,15 @@
+"""Operator inventory (SURVEY.md §2) as composable DataFrame transforms.
+
+- ``encode``     — P2 stopword filter, P3/P4 dictionaries, P5 doc-term counts
+- ``matrix``     — P6 frequency filter, P7 global top-k, P8 TF, P9 IDF,
+                   P10 TF-IDF, P11 sparse-vector pivot
+- ``category``   — P12 cTFIDF rollup, P13 grouped top-k
+- ``topk``       — global & grouped top-k helpers (TakeOrderedAndProject /
+                   window-based)
+- ``kmeans``     — K1-K11 + D1 (dense Euclidean, sparse cosine, K-Means||)
+- ``dedup``      — exact / MinHash-LSH / SimHash / n-gram-Jaccard /
+                   embedding near-dup (training-data extensions)
+- ``similarity`` — brute-force & LSH-bucketed ANN over embeddings
+- ``textstats``  — language id, quality scoring, token counts, fingerprints
+- ``multimodal`` — binary-column (image/audio) plumbing with stubbed decode
+"""

@@ -1,0 +1,63 @@
+"""Category analytics: P12 cTFIDF + P13 grouped top-k (SURVEY.md §2).
+
+Reference (``task1_5_1.java``, ``task1_5_2.java``): decode ids back to
+names via inverted dictionaries, key by ``category:term`` (category = the
+doc-name prefix before the first '.'), take the MEAN tfidf over the docs
+that contain the term (quirk Q5 — divisor is #docs-containing-term, not
+category size), then keep the top-5 terms per category.
+
+Spark expression: two broadcast joins (dictionaries are small dims) + one
+``groupBy(category, term).avg`` + a ranking window. The big side shuffles
+once, on (category, term).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_lab02_spark.operators.topk import grouped_top_k
+
+
+def category_tfidf(
+    tfidf: DataFrame,
+    doc_dict: DataFrame,
+    term_dict: DataFrame | None = None,
+    category_col: str | None = None,
+) -> DataFrame:
+    """P12: mean tfidf per (category, term) over docs containing the term.
+
+    ``category`` comes from the doc name's ``category.filename`` prefix
+    (task1_5_1.java:125-126) unless the doc dictionary carries an explicit
+    ``category_col``. ``term_dict`` (optional) decodes term ids to names,
+    as the reference does for its final output.
+    """
+    joined = tfidf.join(F.broadcast(doc_dict), "doc_id")
+    cat = (
+        F.col(category_col)
+        if category_col
+        else F.substring_index(F.col("doc"), ".", 1)
+    )
+    joined = joined.withColumn("category", cat)
+    if term_dict is not None:
+        joined = joined.join(F.broadcast(term_dict), "term_id").withColumnRenamed(
+            "term", "term_name"
+        )
+        term_key = "term_name"
+    else:
+        term_key = "term_id"
+    return (
+        joined.groupBy("category", F.col(term_key).alias("term"))
+        .agg(F.avg("tfidf").alias("ctfidf"))
+    )
+
+
+def category_top_terms(ctfidf: DataFrame, k: int = 5) -> DataFrame:
+    """P13: top-k terms per category by ctfidf (task1_5_2.java:73-102),
+    deterministic tiebreak on term."""
+    return grouped_top_k(
+        ctfidf,
+        ["category"],
+        [F.desc("ctfidf"), F.asc("term")],
+        k,
+    )

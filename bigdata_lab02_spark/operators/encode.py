@@ -1,0 +1,145 @@
+"""Dictionary encoding & doc-term counting (SURVEY.md §2 P2-P5).
+
+Reference pipeline (``DataProcessing/task1_1*.java``): tokens are filtered
+against a 300-word stopword list, distinct terms/docs get dense sequential
+ids assigned in sorted order by a single reducer, and the corpus becomes a
+COO doc-term count matrix via DistributedCache dictionary lookups.
+
+Spark-first choices:
+
+- **Stopword filter (P2)**: the list is tiny → an ``isin`` literal filter
+  (codegen'd, pushed below the shuffle). For large lists use
+  ``stopword_filter_join`` — a broadcast LEFT ANTI join.
+- **Dense sequential ids (P3/P4)**: the reference's single-reducer counter
+  (``task1_1_1.java:121-135``) is a global-sort semantics. We express it as
+  ``row_number()`` over a global ordering. An empty ``partitionBy`` window
+  funnels through one task — fine for dictionary-sized data (vocab ~34k),
+  and documented as the scalability seam: ``dense_ids(..., scalable=True)``
+  uses the sort-then-zipWithIndex pattern that keeps id assignment
+  distributed for billion-row dictionaries.
+- **Counting (P5)**: ``groupBy(doc_id, term_id).count()`` — map-side partial
+  aggregation replaces the reference's combiner-less word count; dictionary
+  lookups are broadcast hash joins (no shuffle of the big side).
+
+Reference quirk Q1 (stale-key re-emission on failed lookup,
+``task1_1.java:155-158``) is a bug, not a semantic — we inner-join instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ P2
+
+
+def stopword_filter(tokens: DataFrame, stopwords: list[str], token_col: str = "token") -> DataFrame:
+    """Drop stopword tokens via a literal isin filter (P2).
+
+    For the reference's 300-word list this folds into codegen as a hash-set
+    probe per row — no join, no shuffle, evaluated at the scan.
+    """
+    return tokens.where(~F.col(token_col).isin(stopwords))
+
+
+def stopword_filter_join(tokens: DataFrame, stopwords: DataFrame, token_col: str = "token") -> DataFrame:
+    """Broadcast LEFT ANTI join variant for dictionary-scale stopword sets."""
+    sw = stopwords.toDF("__sw")
+    return tokens.join(
+        F.broadcast(sw), tokens[token_col] == sw["__sw"], "left_anti"
+    )
+
+
+# ------------------------------------------------------------------ P3/P4
+
+
+def dense_ids(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    start: int = 1,
+    scalable: bool = False,
+) -> DataFrame:
+    """Distinct keys → dense sequential ids 1..N in ascending key order.
+
+    Mirrors the reference's single-reducer counter semantics
+    (``task1_1_1.java:133``, ``task1_1_2.java:109-123``): ids are dense,
+    start at 1, and follow the sorted key order exactly.
+
+    ``scalable=False`` (default): ``row_number()`` over a global-order
+    window — one task sees all N keys. Correct and fast for
+    dictionary-sized N (vocabularies, category lists).
+
+    ``scalable=True``: sort-partition + per-partition zipWithIndex with
+    partition-offset reconstruction — id assignment stays distributed, for
+    dictionaries that are themselves big data. Same result, no single-task
+    bottleneck.
+    """
+    distinct = df.select(F.col(key_col)).distinct()
+    if not scalable:
+        w = Window.orderBy(F.col(key_col))
+        return distinct.select(
+            key_col, (F.row_number().over(w) + (start - 1)).cast("int").alias(id_col)
+        )
+
+    # Distributed dense ranking: range-partition by key (so partition p holds
+    # a contiguous sorted key range), count rows per partition, prefix-sum
+    # the counts on the driver (tiny), then offset each partition's local
+    # zipWithIndex. This is the classic scalable zipWithIndex idiom.
+    sdf = distinct.repartitionByRange(distinct.sparkSession.sparkContext.defaultParallelism, F.col(key_col)).sortWithinPartitions(key_col)
+    rdd = sdf.rdd.map(lambda r: r[0])
+    counts = rdd.mapPartitionsWithIndex(lambda i, it: [(i, sum(1 for _ in it))]).collect()
+    offsets = {}
+    acc = start
+    for i, c in sorted(counts):
+        offsets[i] = acc
+        acc += c
+    spark = df.sparkSession
+    boff = spark.sparkContext.broadcast(offsets)
+
+    def assign(i, it):
+        base = boff.value[i]
+        for j, k in enumerate(it):
+            yield (k, base + j)
+
+    out = rdd.mapPartitionsWithIndex(assign)
+    return spark.createDataFrame(out, schema=f"`{key_col}` string, `{id_col}` int")
+
+
+def build_term_dict(tokens: DataFrame, token_col: str = "token", scalable: bool = False) -> DataFrame:
+    """P3: distinct terms → (term, term_id) with ids 1..N in sorted term
+    order (golden: Output1_1_1, 33,988 terms)."""
+    return dense_ids(
+        tokens.select(F.col(token_col).alias("term")), "term", "term_id", scalable=scalable
+    )
+
+
+def build_doc_dict(corpus: DataFrame, doc_col: str = "doc", scalable: bool = False) -> DataFrame:
+    """P4: distinct docs → (doc, doc_id) with ids 1..N in sorted doc-name
+    order (golden: Output1_1_2, 2,225 docs)."""
+    return dense_ids(corpus.select(F.col(doc_col)), "doc", "doc_id", scalable=scalable)
+
+
+# ------------------------------------------------------------------ P5
+
+
+def doc_term_counts(
+    tokens: DataFrame,
+    term_dict: DataFrame,
+    doc_dict: DataFrame,
+    doc_col: str = "doc",
+    token_col: str = "token",
+) -> DataFrame:
+    """P5: encode + count → (doc_id, term_id, count).
+
+    Both dictionaries are broadcast — the token stream (the 100 TB side)
+    never shuffles for the join; the only exchange is the partial-aggregated
+    groupBy on (doc_id, term_id). Reference: ``task1_1.java:155-177``.
+    """
+    encoded = (
+        tokens.join(F.broadcast(term_dict), tokens[token_col] == term_dict["term"])
+        .join(F.broadcast(doc_dict), tokens[doc_col] == doc_dict["doc"])
+        .select("doc_id", "term_id")
+    )
+    return encoded.groupBy("doc_id", "term_id").agg(F.count("*").alias("count"))

@@ -1,0 +1,72 @@
+"""SparkSession factory.
+
+One place to encode the engine's execution profile. The defaults target the
+test environment (single-host ``local[N]``) but every setting is chosen to
+also be the right call on a large multi-executor cluster:
+
+- AQE on (runtime partition coalescing, skew-join splitting, dynamic join
+  strategy switches) — the 100 TB safety net.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real cluster
+  AQE's coalescing makes the static number much less load-bearing.
+- Arrow enabled so the pandas-UDF slow path is batch-vectorized, never
+  row-at-a-time pickling.
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle and are cluster-location-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "bigdata_lab02_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``getOrCreate`` semantics: if a session already exists (e.g. the driver
+    harness created one and passed it to ``entry``), its conf wins.
+    """
+    cpus = cpus or _DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_existing(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable conf to a session we didn't build
+    (the driver harness hands us one). Only touches dynamic SQL confs."""
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a running session — keep whatever it has
+    return spark

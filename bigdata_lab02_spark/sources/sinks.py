@@ -1,0 +1,45 @@
+"""S3 — sinks.
+
+The reference writes tab-separated text files with custom basenames and uses
+Hadoop ``MultipleOutputs`` to emit several named outputs from one job
+(``task2_2.java:316-355,530-533``), then renames away the ``-r-00000``
+suffix (``task2_1.java:145-170``). Spark has no MultipleOutputs; the
+idiomatic equivalent is N independent writes of N DataFrames — each one a
+separate action over a shared cached upstream, which is both simpler and
+lets AQE size each output independently.
+
+Parquet is the engine's primary sink (columnar, splittable, predicate
+pushdown on re-read); the text writers exist for reference-format parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Tab-separated text, one file per partition — the reference's
+    interchange format (``docid \\t termid \\t count`` etc.)."""
+    cols = [F.col(c).cast("string") for c in df.columns]
+    df.select(F.concat_ws("\t", *cols).alias("value")).write.mode(mode).text(path)
+
+
+def write_multi(outputs: dict[str, DataFrame], root: str, fmt: str = "parquet") -> None:
+    """MultipleOutputs analog: ``{name: df}`` → ``<root>/<name>/`` each.
+
+    Callers should ``.cache()`` any shared upstream before invoking — each
+    entry is an independent action.
+    """
+    for name, df in outputs.items():
+        if fmt == "parquet":
+            write_parquet(df, f"{root}/{name}")
+        else:
+            write_tsv(df, f"{root}/{name}")
