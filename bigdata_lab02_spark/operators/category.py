@@ -52,9 +52,24 @@ def category_tfidf(
     )
 
 
-def category_top_terms(ctfidf: DataFrame, k: int = 5) -> DataFrame:
+def category_top_terms(
+    ctfidf: DataFrame, k: int = 5, collapse_value_ties: bool = False
+) -> DataFrame:
     """P13: top-k terms per category by ctfidf (task1_5_2.java:73-102),
-    deterministic tiebreak on term."""
+    deterministic tiebreak on term.
+
+    ``collapse_value_ties=True`` reproduces reference quirk Q2: the
+    reference's bounded ``TreeMap<value, term>`` keys by the VALUE, so terms
+    with equal ctfidf overwrite each other and only one survives — the
+    alphabetically greatest (reducer iterates ``category:term`` keys
+    ascending; last ``put`` wins). Golden ``Output1_5`` depends on this
+    (e.g. sport has ≥5 terms tied at 7.7071 and keeps only ``tulu``).
+    Default is the correct semantics: ties kept, term-ascending tiebreak.
+    """
+    if collapse_value_ties:
+        ctfidf = ctfidf.groupBy("category", "ctfidf").agg(
+            F.max("term").alias("term")
+        )
     return grouped_top_k(
         ctfidf,
         ["category"],
