@@ -1,38 +1,907 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator inventory (SURVEY.md §2 plus the
+training-data extensions) as (spark, sf_dir) → DataFrame callables;
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for each. Every
+computed column is aliased identically on both sides, and every double that
+crosses the comparison boundary is rounded to a fixed precision in BOTH
+engines (floating aggregation order differs between engines; rounding at
+6 dp makes the hash comparison robust while keeping 1-ulp-level fidelity).
+
+Money aggregates go through DECIMAL(18,2/4) so sums are exact and
+engine-order-independent, then cast back to double.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_lab02_spark.functions.text import tokens_column
+from bigdata_lab02_spark.functions.vectors import array_cosine, as_double_array
+from bigdata_lab02_spark.operators import dedup as dd
+from bigdata_lab02_spark.operators import matrix as mx
+from bigdata_lab02_spark.operators import similarity as sim
+from bigdata_lab02_spark.session import configure_existing
+
+# ----------------------------------------------------------------- helpers
+
+# Stopword list for the documents-table text pipeline (tiny, literal).
+STOPWORDS = [
+    "the", "of", "and", "a", "to", "in", "is", "was", "for", "on",
+    "as", "with", "by", "at", "it", "from", "that", "this", "be", "are",
+]
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+# DuckDB tokenizer — mirrors functions.text.tokens_column exactly:
+# whitespace split → lowercase → strip [^\w\s] → drop empties.
+_TOKS = (
+    r"list_filter(list_transform(string_split_regex(lower(text), '\s+'), "
+    r"t -> regexp_replace(t, '[^\w\s]', '', 'g')), t -> t != '')"
+)
+# filtered (non-stopword) tokens
+_FTOKS = f"list_filter({_TOKS}, t -> t NOT IN {_SW_SQL})"
+
+# DuckDB word-3gram shingle set — mirrors operators.dedup.shingles (n=3).
+_SHINGLES = (
+    "CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+    "ELSE list_distinct(list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) END"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects. Read nanos as long (legacy conf) and convert
+    with integer math (``timestamp_micros(ns div 1000)``) — double-precision
+    division would lose microseconds at 2024 epoch magnitudes. Truncation to
+    micros matches DuckDB's TIMESTAMP_NS → TIMESTAMP handling."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+
+
+def _ftokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, token) rows after normalize + stopword filter (P1+P2)."""
+    toks = F.filter(
+        tokens_column(F.col("text")), lambda t: ~t.isin(STOPWORDS)
+    )
+    return docs.select("doc_id", F.explode(toks).alias("token"))
+
+
+def _term_dict(docs: DataFrame) -> DataFrame:
+    """P3 dense ids over the filtered token vocabulary."""
+    w = Window.orderBy("term")
+    return (
+        _ftokens(docs)
+        .select(F.col("token").alias("term"))
+        .distinct()
+        .select("term", F.row_number().over(w).cast("int").alias("term_id"))
+    )
+
+
+_TERM_DICT_SQL = f"""
+SELECT term, CAST(row_number() OVER (ORDER BY term) AS INT) AS term_id
+FROM (SELECT DISTINCT unnest({_FTOKS}) AS term FROM documents)
+"""
+
+
+def _coo(docs: DataFrame) -> DataFrame:
+    """P5 doc-term count matrix on the documents table."""
+    toks = _ftokens(docs)
+    td = _term_dict(docs)
+    return (
+        toks.join(F.broadcast(td), toks["token"] == td["term"])
+        .groupBy("doc_id", "term_id")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+_COO_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_FTOKS}) AS token FROM documents),
+td AS ({_TERM_DICT_SQL})
+SELECT doc_id, term_id, count(*) AS count
+FROM toks JOIN td ON toks.token = td.term
+GROUP BY doc_id, term_id
+"""
+
+
+# ----------------------------------------------------------------- queries
+
+
+def q_p1_token_counts(spark, sf_dir):
+    """P1/P2: global token frequencies after normalize + stopword filter."""
+    return (
+        _ftokens(_t(spark, sf_dir, "documents"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_p3_term_dict(spark, sf_dir):
+    """P3: dense sequential term ids in sorted term order."""
+    return _term_dict(_t(spark, sf_dir, "documents"))
+
+
+def q_p5_doc_term_matrix(spark, sf_dir):
+    """P5: COO doc-term counts via broadcast dictionary join."""
+    return _coo(_t(spark, sf_dir, "documents"))
+
+
+def q_p6_freq_filter(spark, sf_dir):
+    """P6: matrix cells with count >= 3."""
+    return mx.frequency_filter(_coo(_t(spark, sf_dir, "documents")), 3)
+
+
+def q_p7_top_terms(spark, sf_dir):
+    """P7: global top-10 terms by summed count (deterministic tiebreak)."""
+    return mx.top_terms(_coo(_t(spark, sf_dir, "documents")), 10)
+
+
+def q_p8_tf(spark, sf_dir):
+    """P8: tf = count / Σ count per doc."""
+    return mx.term_frequency(_coo(_t(spark, sf_dir, "documents"))).select(
+        "doc_id", "term_id", F.round("tf", 6).alias("tf")
+    )
+
+
+def q_p9_idf(spark, sf_dir):
+    """P9: idf = ln(N / df) with global N."""
+    return mx.inverse_doc_frequency(_coo(_t(spark, sf_dir, "documents"))).select(
+        "term_id", "df", F.round("idf", 6).alias("idf")
+    )
+
+
+def q_p10_tfidf(spark, sf_dir):
+    """P10: tfidf = tf * idf via broadcast join."""
+    return mx.tfidf_matrix(_coo(_t(spark, sf_dir, "documents"))).select(
+        "doc_id", "term_id", F.round("tfidf", 6).alias("tfidf")
+    )
+
+
+def q_p11_vector_norms(spark, sf_dir):
+    """P11 (hash-comparable projection): pivot to sparse map vectors, then
+    L2 norm per doc — exercises the pivot + map math."""
+    vecs = mx.to_sparse_vectors(mx.tfidf_matrix(_coo(_t(spark, sf_dir, "documents"))))
+    norm = F.sqrt(
+        F.aggregate(F.map_values("vec"), F.lit(0.0), lambda a, v: a + v * v)
+    )
+    return vecs.select("doc_id", F.round(norm, 6).alias("l2_norm"))
+
+
+def q_p12_ctfidf(spark, sf_dir):
+    """P12: mean tfidf per (lang-category, term) over docs containing it."""
+    docs = _t(spark, sf_dir, "documents")
+    tfidf = mx.tfidf_matrix(_coo(docs))
+    j = tfidf.join(F.broadcast(docs.select("doc_id", "lang")), "doc_id")
+    return (
+        j.groupBy(F.col("lang").alias("category"), "term_id")
+        .agg(F.round(F.avg("tfidf"), 6).alias("ctfidf"))
+    )
+
+
+def q_p13_category_top5(spark, sf_dir):
+    """P13: top-5 terms per category by ctfidf (deterministic tiebreak)."""
+    docs = _t(spark, sf_dir, "documents")
+    tfidf = mx.tfidf_matrix(_coo(docs))
+    j = tfidf.join(F.broadcast(docs.select("doc_id", "lang")), "doc_id")
+    ct = j.groupBy(F.col("lang").alias("category"), "term_id").agg(
+        F.avg("tfidf").alias("ctfidf")
+    )
+    w = Window.partitionBy("category").orderBy(F.desc("ctfidf"), F.asc("term_id"))
+    return (
+        ct.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("category", "term_id", F.round("ctfidf", 6).alias("ctfidf"), "rank")
+    )
+
+
+# --------------------------------------------------- relational / TPC-H-ish
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: wide aggregation over lineitem (decimal-exact sums)."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount")))
+            ).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(d("l_quantity")).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(d("l_discount")).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+  round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """TPC-H Q5 shape: 5-way join, small dims broadcast, group by nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+_REVENUE_SQL = """
+SELECT n_name AS nation,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    """Join + global top-10 by aggregate (TakeOrderedAndProject path)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_spent"),
+             F.count("*").alias("n_orders"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .select(F.col("c_name").alias("customer"), "total_spent", "n_orders")
+        .orderBy(F.desc("total_spent"), F.asc("customer"))
+        .limit(10)
+    )
+
+
+_TOP_CUSTOMERS_SQL = """
+SELECT c_name AS customer,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+  count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_name
+ORDER BY total_spent DESC, customer ASC
+LIMIT 10
+"""
+
+
+def q_rollup_orders(spark, sf_dir):
+    """ROLLUP grouping-set aggregation (status × priority)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"))
+    )
+
+
+_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_running_total(spark, sf_dir):
+    """Window: per-customer running order total in date order."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
+def q_semi_join_priority(spark, sf_dir):
+    """LEFT SEMI join (EXISTS): orders having a returned lineitem, by priority."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+_SEMI_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_anti_join_quiet_customers(spark, sf_dir):
+    """LEFT ANTI join (NOT EXISTS): customers with no orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# ----------------------------------------------------------------- events
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling 1-hour window aggregation (batch form of the streaming op)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json(spark, sf_dir):
+    """JSON extraction from the props column + aggregation."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_EVENTS_JSON_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_events_sessions(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (lag + running flag sum)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+_EVENTS_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800.0
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
+# ------------------------------------------------------------ training-data
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: content digest → survivor id + copy count."""
+    return dd.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS digest, min(doc_id) AS survivor_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs >= 0.5 via inverted-index join."""
+    out = dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
+ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+  round(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_shared * 1.0 / (sa.sz + sb.sz - n_shared) >= 0.5
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(8) + LSH(4 bands × 2 rows) candidates, Jaccard-verified
+    at >= 0.5. Portable md5-hex min-hashing (oracle reproduces exactly)."""
+    out = dd.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_MINHASH_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+mh AS (
+  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS h
+  FROM ex, (SELECT unnest(range(8)) AS seed)
+  GROUP BY doc_id, seed),
+sig AS (SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b, sig[2 * b + 1] || '|' || sig[2 * b + 2] AS bh
+  FROM sig, (SELECT unnest(range(4)) AS b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+jac AS (
+  SELECT id_a, id_b,
+    len(list_intersect(sa.s, sb.s)) * 1.0
+      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.5
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """Portable 60-bit SimHash per doc from md5 token hashes (distinct
+    tokens, majority bit vote). Distributed form: token × bit grid →
+    per-bit majority → weighted bit sum."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens_column(F.col("text")))).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    tok_h = toks.select("doc_id", h.alias("h"))
+    # (bit index, 2^bit weight) dimension — shift amounts must be literals
+    # in Spark, so carry the weight as data instead.
+    bits = spark.createDataFrame(
+        [(b, 1 << b, 1 << (b + 1)) for b in range(60)], "b int, weight long, modulus long"
+    )
+    # bit b of h == (h mod 2^(b+1)) >= 2^b — pure integer math (double
+    # division would lose bits above 2^53)
+    grid = tok_h.crossJoin(F.broadcast(bits)).select(
+        "doc_id",
+        "b",
+        "weight",
+        F.when((F.col("h") % F.col("modulus")) >= F.col("weight"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("bit"),
+    )
+    return (
+        grid.groupBy("doc_id", "b", "weight")
+        .agg(F.sum("bit").alias("ones"), F.count("*").alias("total"))
+        .withColumn(
+            "contrib",
+            F.when(F.col("ones") * 2 > F.col("total"), F.col("weight")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("simhash"))
+    )
+
+
+_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents),
+th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+grid AS (
+  SELECT doc_id, b, (h >> b) & 1 AS bit
+  FROM th, (SELECT unnest(range(60)) AS b)),
+maj AS (
+  SELECT doc_id, b, sum(bit) AS ones, count(*) AS total
+  FROM grid GROUP BY doc_id, b)
+SELECT doc_id,
+  sum(CASE WHEN ones * 2 > total THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+FROM maj GROUP BY doc_id
+"""
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+_EMB_TOPK_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_dot_product(q.v, c.v)
+      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM e q JOIN e c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < 5),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM ranked WHERE rn <= 5
+"""
+
+
+def q_embedding_knn_label(spark, sf_dir):
+    """Aggregate over similarity: majority label among 10-NN per query
+    (vec_id < 20) — a classification-ish workload over the ANN kernel."""
+    emb = _t(spark, sf_dir, "embeddings")
+    nn = sim.cosine_topk(emb, emb.where(F.col("vec_id") < 20), k=10)
+    lbl = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = nn.join(F.broadcast(lbl), "neighbor_id").groupBy("query_id", "label").agg(
+        F.count("*").alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+_EMB_KNN_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+    list_dot_product(q.v, c.v)
+      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM e q JOIN e c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < 20),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored),
+votes AS (
+  SELECT query_id, label, count(*) AS votes FROM ranked WHERE rn <= 10
+  GROUP BY query_id, label),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
+  FROM votes)
+SELECT query_id, label AS pred_label, votes FROM best WHERE rn = 1
+"""
+
+
+def q_textstats(spark, sf_dir):
+    """Per-doc token statistics (counts, distincts, mean token length)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens_column(F.col("text"))
+    n = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.when(n == 0, 0.0).otherwise(
+                F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t)) / n
+            ),
+            6,
+        ).alias("mean_token_len"),
+    )
+
+
+_TEXTSTATS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id, len(toks) AS n_tokens,
+  len(list_distinct(toks)) AS n_distinct_tokens,
+  round(CASE WHEN len(toks) = 0 THEN 0.0
+        ELSE list_sum(list_transform(toks, t -> len(t))) * 1.0 / len(toks) END, 6) AS mean_token_len
+FROM t
+"""
+
+
+def q_quality_ratios(spark, sf_dir):
+    """Quality-filter features: punctuation + stopword ratios per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    toks = tokens_column(text)
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]")))
+    n_char = F.length(text)
+    return docs.select(
+        "doc_id",
+        F.round(F.when(n_char == 0, 0.0).otherwise(n_punct / n_char), 6).alias("punct_ratio"),
+        F.round(F.when(n_tok == 0, 0.0).otherwise(n_stop / n_tok), 6).alias("stopword_ratio"),
+    )
+
+
+_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  round(CASE WHEN len(text) = 0 THEN 0.0
+        ELSE len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / len(text) END, 6) AS punct_ratio,
+  round(CASE WHEN len(toks) = 0 THEN 0.0
+        ELSE len(list_filter(toks, t -> t IN {_SW_SQL})) * 1.0 / len(toks) END, 6) AS stopword_ratio
+FROM t
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Portable doc fingerprint: min md5 over word-5-gram shingles."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dd.shingles(F.col("text"), 5)
+    fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+_FINGERPRINT_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id,
+  CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) END AS s
+  FROM toks)
+SELECT doc_id, list_min(list_transform(s, x -> md5(x))) AS fingerprint FROM sh
+"""
+
+
+def q_kmeans_assign(spark, sf_dir):
+    """K1/K5 single assignment step: nearest of 8 fixed centroids
+    (centroids = embeddings with vec_id < 8), cosine metric, rounded
+    before argmin for cross-engine determinism."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster_id"),
+        as_double_array(F.col("embedding")).alias("cvec"),
+    )
+    pts = emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    scored = pts.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cluster_id",
+        F.round(array_cosine(F.col("v"), F.col("cvec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cluster_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cluster_id", F.col("cos").alias("cosine"))
+    )
+
+
+_KMEANS_ASSIGN_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cluster_id, v AS cvec FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, c.cluster_id,
+    round(list_dot_product(e.v, c.cvec)
+      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS cos
+  FROM e CROSS JOIN c),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster_id ASC) AS rn
+  FROM scored)
+SELECT vec_id, cluster_id, cos AS cosine FROM ranked WHERE rn = 1
+"""
+
+
+def q_kmeans_update(spark, sf_dir):
+    """K2/K6 single update step: element-wise mean per cluster after the
+    assignment above → (cluster_id, dim, mean)."""
+    assigned = q_kmeans_assign(spark, sf_dir).select("vec_id", "cluster_id")
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select("vec_id", F.posexplode(as_double_array(F.col("embedding"))).alias("dim", "x"))
+    return (
+        pts.join(assigned, "vec_id")
+        .groupBy("cluster_id", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("mean_x"))
+    )
+
+
+_KMEANS_UPDATE_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cluster_id, v AS cvec FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, c.cluster_id,
+    round(list_dot_product(e.v, c.cvec)
+      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS cos
+  FROM e CROSS JOIN c),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster_id ASC) AS rn
+  FROM scored),
+assigned AS (SELECT vec_id, cluster_id FROM ranked WHERE rn = 1),
+pts AS (
+  SELECT vec_id, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM e)
+SELECT cluster_id, dim, round(avg(x), 6) AS mean_x
+FROM pts JOIN assigned USING (vec_id)
+GROUP BY cluster_id, dim
+"""
+
+
+# ----------------------------------------------------------------- contract
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "p1_token_counts": q_p1_token_counts,
+    "p3_term_dict": q_p3_term_dict,
+    "p5_doc_term_matrix": q_p5_doc_term_matrix,
+    "p6_freq_filter": q_p6_freq_filter,
+    "p7_top_terms": q_p7_top_terms,
+    "p8_tf": q_p8_tf,
+    "p9_idf": q_p9_idf,
+    "p10_tfidf": q_p10_tfidf,
+    "p11_vector_norms": q_p11_vector_norms,
+    "p12_ctfidf": q_p12_ctfidf,
+    "p13_category_top5": q_p13_category_top5,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_customers": q_top_customers,
+    "rollup_orders": q_rollup_orders,
+    "running_total": q_running_total,
+    "semi_join_priority": q_semi_join_priority,
+    "anti_join_quiet_customers": q_anti_join_quiet_customers,
+    "events_hourly": q_events_hourly,
+    "events_json": q_events_json,
+    "events_sessions": q_events_sessions,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_topk": q_embedding_topk,
+    "embedding_knn_label": q_embedding_knn_label,
+    "textstats": q_textstats,
+    "quality_ratios": q_quality_ratios,
+    "fingerprint": q_fingerprint,
+    "kmeans_assign": q_kmeans_assign,
+    "kmeans_update": q_kmeans_update,
+}
+
+_ORACLES: dict[str, str] = {
+    "p1_token_counts": f"SELECT token, count(*) AS n FROM (SELECT unnest({_FTOKS}) AS token FROM documents) GROUP BY token",
+    "p3_term_dict": _TERM_DICT_SQL,
+    "p5_doc_term_matrix": _COO_SQL,
+    "p6_freq_filter": f"SELECT * FROM ({_COO_SQL}) WHERE count >= 3",
+    "p7_top_terms": f"""
+        SELECT term_id, sum(count) AS total FROM ({_COO_SQL})
+        GROUP BY term_id ORDER BY total DESC, term_id ASC LIMIT 10""",
+    "p8_tf": f"""
+        SELECT doc_id, term_id,
+          round(count * 1.0 / sum(count) OVER (PARTITION BY doc_id), 6) AS tf
+        FROM ({_COO_SQL})""",
+    "p9_idf": f"""
+        SELECT term_id, count(*) AS df,
+          round(ln((SELECT count(DISTINCT doc_id) FROM ({_COO_SQL})) * 1.0 / count(*)), 6) AS idf
+        FROM ({_COO_SQL}) GROUP BY term_id""",
+    "p10_tfidf": f"""
+        WITH coo AS ({_COO_SQL}),
+        tf AS (SELECT doc_id, term_id, count * 1.0 / sum(count) OVER (PARTITION BY doc_id) AS tf FROM coo),
+        idf AS (SELECT term_id, ln((SELECT count(DISTINCT doc_id) FROM coo) * 1.0 / count(*)) AS idf FROM coo GROUP BY term_id)
+        SELECT doc_id, term_id, round(tf * idf, 6) AS tfidf FROM tf JOIN idf USING (term_id)""",
+    "p11_vector_norms": f"""
+        WITH coo AS ({_COO_SQL}),
+        tf AS (SELECT doc_id, term_id, count * 1.0 / sum(count) OVER (PARTITION BY doc_id) AS tf FROM coo),
+        idf AS (SELECT term_id, ln((SELECT count(DISTINCT doc_id) FROM coo) * 1.0 / count(*)) AS idf FROM coo GROUP BY term_id)
+        SELECT doc_id, round(sqrt(sum(tf * idf * tf * idf)), 6) AS l2_norm
+        FROM tf JOIN idf USING (term_id) GROUP BY doc_id""",
+    "p12_ctfidf": f"""
+        WITH coo AS ({_COO_SQL}),
+        tf AS (SELECT doc_id, term_id, count * 1.0 / sum(count) OVER (PARTITION BY doc_id) AS tf FROM coo),
+        idf AS (SELECT term_id, ln((SELECT count(DISTINCT doc_id) FROM coo) * 1.0 / count(*)) AS idf FROM coo GROUP BY term_id)
+        SELECT d.lang AS category, t.term_id, round(avg(t.tf * i.idf), 6) AS ctfidf
+        FROM tf t JOIN idf i USING (term_id) JOIN documents d USING (doc_id)
+        GROUP BY d.lang, t.term_id""",
+    "p13_category_top5": f"""
+        WITH coo AS ({_COO_SQL}),
+        tf AS (SELECT doc_id, term_id, count * 1.0 / sum(count) OVER (PARTITION BY doc_id) AS tf FROM coo),
+        idf AS (SELECT term_id, ln((SELECT count(DISTINCT doc_id) FROM coo) * 1.0 / count(*)) AS idf FROM coo GROUP BY term_id),
+        ct AS (
+          SELECT d.lang AS category, t.term_id, avg(t.tf * i.idf) AS ctfidf
+          FROM tf t JOIN idf i USING (term_id) JOIN documents d USING (doc_id)
+          GROUP BY d.lang, t.term_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY category ORDER BY ctfidf DESC, term_id ASC) AS rank
+          FROM ct)
+        SELECT category, term_id, round(ctfidf, 6) AS ctfidf, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5""",
+    "pricing_summary": _PRICING_SQL,
+    "revenue_by_nation": _REVENUE_SQL,
+    "top_customers": _TOP_CUSTOMERS_SQL,
+    "rollup_orders": _ROLLUP_SQL,
+    "running_total": _RUNNING_SQL,
+    "semi_join_priority": _SEMI_SQL,
+    "anti_join_quiet_customers": _ANTI_SQL,
+    "events_hourly": _EVENTS_HOURLY_SQL,
+    "events_json": _EVENTS_JSON_SQL,
+    "events_sessions": _EVENTS_SESSIONS_SQL,
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh": _MINHASH_SQL,
+    "dedup_simhash": _SIMHASH_SQL,
+    "embedding_topk": _EMB_TOPK_SQL,
+    "embedding_knn_label": _EMB_KNN_SQL,
+    "textstats": _TEXTSTATS_SQL,
+    "quality_ratios": _QUALITY_SQL,
+    "fingerprint": _FINGERPRINT_SQL,
+    "kmeans_assign": _KMEANS_ASSIGN_SQL,
+    "kmeans_update": _KMEANS_UPDATE_SQL,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the 5-way broadcast-join
+    revenue rollup (TPC-H Q5 shape) — exercises scan, join strategy
+    selection, decimal-exact aggregation."""
+    configure_existing(spark)
+    return q_revenue_by_nation(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,287 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all shuffle-disciplined for 100 TB corpora:
+
+- **Exact** (``exact_dedup``): hash-groupBy on a content digest. One
+  shuffle keyed by the digest; survivor = min id (deterministic).
+- **MinHash + LSH** (``minhash_signatures`` / ``lsh_candidate_pairs`` /
+  ``minhash_dedup_pairs``): shingle → per-seed min-hash → band → bucket
+  join. Candidate generation never compares all pairs: docs meet only
+  inside an LSH bucket, so the join key is (band_id, band_hash) and the
+  shuffle is proportional to Σ bucket² not n².
+- **SimHash** (``simhash64``): 64-bit hyperplane sketch from token hashes;
+  near-dups have small Hamming distance. Bit math via built-ins.
+- **n-gram Jaccard** (``ngram_jaccard_pairs``): exact Jaccard over shingle
+  sets for candidate pairs (inverted-index join on shared shingles —
+  rare-shingle blocking keeps it subquadratic).
+- **Embedding cosine** (``embedding_dup_pairs`` in operators.similarity):
+  near-dup = cosine above threshold.
+
+Hash choice: MinHash uses ``md5(seed || shingle)`` compared as hex strings
+(min of hex = min of 128-bit value). Deterministic, portable (any engine
+with md5 reproduces signatures bit-for-bit — the DuckDB oracle does), and
+collision-free at corpus scale. ``xxhash64`` variants are faster but
+engine-specific; both are exposed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_lab02_spark.functions.text import tokens_column
+
+# ----------------------------------------------------------------- exact
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on content digest. Returns one survivor row per distinct
+    content: (digest, survivor_id, n_copies). Survivor = min id."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# ----------------------------------------------------------------- shingles
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct, order-free) from normalized
+    tokens. Short docs (< n tokens) get their whole text as one shingle."""
+    toks = tokens_column(text)
+    grams = F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+# ----------------------------------------------------------------- minhash
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, signature array<string>): signature[i] = min over shingles of
+    md5(i || '|' || shingle). Portable across engines (hex-string min).
+
+    Shape: explode shingles ONCE, then a single groupBy with ``num_hashes``
+    min-aggregates. One pass over the shingle stream with map-side partial
+    aggregation — the array-expression formulation (min over ``transform``
+    per row) duplicates the whole tokenize+shingle tree per hash and falls
+    off the codegen cliff (measured 180 s → 4 s at sf0.1)."""
+    ex = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        ex.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Band the signatures and self-join on (band_id, band_hash) →
+    candidate (id_a, id_b) pairs, id_a < id_b, distinct.
+
+    The self-join key is the banded hash, so co-bucketed docs only — this
+    is the subquadratic heart of LSH dedup. Skewed buckets (boilerplate
+    shingles) are handled by AQE skew-join splitting.
+    """
+    n = bands * rows_per_band
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|", *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band_id") == F.col(f"b.band_id"))
+            & (F.col(f"a.band_hash") == F.col(f"b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Full MinHash-LSH dedup: candidates from LSH buckets, verified with
+    exact Jaccard over shingle sets → (id_a, id_b, jaccard >= threshold)."""
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    sh = docs.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    j = (
+        cands.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# ----------------------------------------------------------------- jaccard
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard dedup via inverted-index join.
+
+    Explode shingle sets, join docs sharing a shingle, count shared
+    shingles per pair, Jaccard = |∩| / (|A| + |B| − |∩|). The pair space is
+    bounded by co-occurring shingles, not n²; ``max_shingle_df`` drops
+    ubiquitous shingles (boilerplate) from candidate generation the way a
+    search engine drops stop-shingles, collapsing the worst skew.
+    """
+    sh = docs.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    if max_shingle_df is not None:
+        rare = sh.groupBy("sh").agg(F.count("*").alias("df")).where(
+            F.col("df") <= max_shingle_df
+        )
+        sh_c = sh.join(rare.select("sh"), "sh")
+    else:
+        sh_c = sh
+    a = sh_c.withColumnsRenamed({id_col: "id_a"})
+    b = sh_c.withColumnsRenamed({id_col: "id_b"})
+    inter = (
+        a.join(b, ["sh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    out = (
+        inter.join(
+            sizes.withColumnsRenamed({id_col: "id_a", "sz": "sz_a"}), "id_a"
+        )
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared") / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def simhash64(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc: for each bit position, sum ±1 over token
+    hashes' bits; bit set iff the sum is positive. Built-in bit ops on
+    xxhash64 token hashes — no UDF.
+
+    (id, simhash long). Near-dups ⇒ small Hamming distance
+    (``F.bit_count(a ^ b)``).
+    """
+    toks = tokens_column(F.col(text_col))
+    hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
+    # For each bit b: count tokens with bit set minus tokens with bit clear.
+    bit_cols = []
+    for b in range(64):
+        ones = F.size(
+            F.filter(hashes, lambda h, b=b: h.bitwiseAND(F.lit(1 << b if b < 63 else -(2**63))) != 0)
+        )
+        total = F.size(hashes)
+        bit = F.when((ones * 2) > total, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit_cols.append(bit * F.lit(1 << b if b < 63 else -(2**63)).cast("long"))
+    sim = bit_cols[0]
+    for c in bit_cols[1:]:
+        sim = sim + c
+    return docs.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    simhashes: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks
+    (pigeonhole: distance ≤ 3 ⇒ at least one of 4 chunks equal), so the
+    join is on chunk equality — subquadratic, no full cross join."""
+    chunks = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
+        for i in range(4)
+    ]
+    h = simhashes.select(F.col(id_col), F.col("simhash"), *chunks)
+    pairs = None
+    for i in range(4):
+        a = h.alias("a")
+        b = h.alias("b")
+        p = (
+            a.join(b, (F.col(f"a.c{i}") == F.col(f"b.c{i}")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk`` — exact brute-force top-k: queries × corpus with all the
+  math in built-in higher-order functions. The corpus side streams; the
+  (small) query side broadcasts; ranking is a per-query window. This is
+  the correctness baseline and is already the right plan when |queries| is
+  small (the common "probe" shape).
+- ``embedding_dup_pairs`` — near-duplicate pairs by cosine ≥ threshold,
+  LSH-blocked with random-hyperplane sign bits so the self-join never goes
+  n²: docs meet only when they share a hyperplane-sign prefix.
+- ``ivf_topk`` — IVF-style scale path: k-means coarse centroids (trained
+  via operators.kmeans), each vector assigned to its nearest centroid
+  (inverted lists); queries probe only the ``nprobe`` nearest lists. At
+  100 TB the probe join is partition-pruned by centroid id instead of
+  scanning the full corpus.
+
+Hyperplanes for LSH are deterministic pseudo-random (seeded hash of
+(plane, dim)) so results are reproducible with no driver-side RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigdata_lab02_spark.functions.vectors import array_cosine, as_double_array
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Output: (query_id, neighbor_id, cosine) with neighbor != query,
+    deterministic rank tiebreak on neighbor id.
+    """
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double_array(F.col(vec_col)).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(F.col(vec_col)).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            array_cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane: component j is a
+    signed value derived from a hash of (plane, j). Stateless, portable."""
+    import hashlib
+
+    comps = []
+    for j in range(dim):
+        h = int(hashlib.md5(f"{plane}:{j}".encode()).hexdigest()[:8], 16)
+        comps.append((h / 0x7FFFFFFF) - 1.0)
+    return comps
+
+
+def hyperplane_buckets(
+    vectors: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket): bucket = bit-string of sign(v·h_p) over n_planes
+    deterministic hyperplanes. Cosine-close vectors collide with high
+    probability (random-hyperplane LSH)."""
+    v = as_double_array(F.col(vec_col))
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, h: x * h),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return vectors.select(
+        F.col(id_col), F.concat(*bits).alias("bucket")
+    )
+
+
+def embedding_dup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold, bucket-blocked so the
+    self-join runs inside LSH buckets instead of n²."""
+    buckets = hyperplane_buckets(vectors, dim, n_planes, id_col, vec_col)
+    v = vectors.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
+    ).join(buckets, id_col)
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            array_cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cluster_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """IVF approximate top-k: assign corpus vectors to their nearest coarse
+    centroid once (inverted lists), then each query scans only its
+    ``nprobe`` nearest lists. ``centroids`` typically comes from
+    operators.kmeans on a sample."""
+    cents = centroids.select(
+        F.col(centroid_id_col).alias("cid"),
+        as_double_array(F.col(centroid_vec_col)).alias("cvec"),
+    )
+
+    def nearest_lists(df: DataFrame, out: str, n: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "cos_c", array_cosine(F.col("v"), F.col("cvec"))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("cos_c"), F.asc("cid"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= n)
+            .select(F.col(id_col), F.col("cid").alias(out), "v")
+        )
+
+    c = corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+    q = queries.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+    lists = nearest_lists(c, "list_id", 1)
+    probes = nearest_lists(q, "list_id", nprobe).withColumnsRenamed(
+        {id_col: "query_id", "v": "qv"}
+    )
+    scored = (
+        probes.join(lists.withColumnsRenamed({id_col: "neighbor_id"}), "list_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            array_cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
