@@ -783,6 +783,108 @@ GROUP BY cluster_id, dim
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (Spark has no native one): each event matched to the
+    latest order at-or-before its timestamp, per customer-mod-10 shard.
+    Expressed as the classic union-and-carry-forward: tag both streams,
+    sort by time within the shard, carry the last seen order key forward
+    with last_value(ignorenulls) — one shuffle, no range explosion."""
+    ev = _events(spark, sf_dir).select(
+        (F.col("user_id") % 10).alias("shard"), F.col("ts"), F.col("event_id")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 10).alias("shard"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey"),
+    )
+    # deterministic: keep the max orderkey per (shard, date)
+    o1 = orders.groupBy("shard", "ts").agg(F.max("o_orderkey").alias("okey"))
+    tagged = o1.select(
+        "shard", "ts", "okey", F.lit(None).cast("long").alias("event_id")
+    ).unionByName(
+        ev.select("shard", "ts", F.lit(None).cast("long").alias("okey"), "event_id")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("ts"), F.col("okey").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.withColumn(
+        "matched_order", F.last("okey", ignorenulls=True).over(w)
+    )
+    return carried.where(F.col("event_id").isNotNull()).select(
+        "event_id", "matched_order"
+    )
+
+
+_ASOF_SQL = """
+WITH o1 AS (
+  SELECT o_custkey % 10 AS shard, o_orderdate AS ots, max(o_orderkey) AS okey
+  FROM orders GROUP BY 1, 2),
+ev AS (SELECT event_id, user_id % 10 AS shard, ts FROM events)
+SELECT ev.event_id, o1.okey AS matched_order
+FROM ev ASOF LEFT JOIN o1 ON ev.shard = o1.shard AND ev.ts >= o1.ots
+"""
+
+
+def q_price_percentiles(spark, sf_dir):
+    """Exact percentiles (median/p90/p99) of extended price per return flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.percentile(F.col("l_extendedprice"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("p")[0], 4).alias("p50"),
+            F.round(F.col("p")[1], 4).alias("p90"),
+            F.round(F.col("p")[2], 4).alias("p99"),
+        )
+    )
+
+
+_PCTL_SQL = """
+SELECT l_returnflag,
+  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_pivot_status(spark, sf_dir):
+    """Pivot: order counts by priority × status (fixed column set)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+        .fillna(0)
+    )
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority,
+  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+  count(*) FILTER (o_orderstatus = 'O') AS n_o,
+  count(*) FILTER (o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_kmeans_fit(spark, sf_dir):
+    """Full seeded cosine K-Means fit (iterative driver loop, D1) over
+    TF-IDF vectors of the documents table — genuinely non-SQL-expressible
+    (rows-only check): returns (doc_id, cluster) assignments."""
+    from bigdata_lab02_spark.operators.kmeans import kmeans_cosine
+
+    docs = _t(spark, sf_dir, "documents")
+    vecs = mx.to_sparse_vectors(mx.tfidf_matrix(_coo(docs)))
+    res = kmeans_cosine(vecs, k=5, seed=42, theta=0.98, max_iter=8)
+    return res.assignments.select("doc_id", "cluster")
+
+
 # ----------------------------------------------------------------- contract
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -818,7 +920,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "kmeans_assign": q_kmeans_assign,
     "kmeans_update": q_kmeans_update,
+    "asof_join": q_asof_join,
+    "price_percentiles": q_price_percentiles,
+    "pivot_status": q_pivot_status,
+    "kmeans_fit": q_kmeans_fit,
 }
+
+# Queries with no SQL-expressible oracle (iterative driver loops etc.) —
+# the driver records a weaker rows-only check for these.
+ROWS_ONLY = {"kmeans_fit"}
 
 _ORACLES: dict[str, str] = {
     "p1_token_counts": f"SELECT token, count(*) AS n FROM (SELECT unnest({_FTOKS}) AS token FROM documents) GROUP BY token",
@@ -888,6 +998,9 @@ _ORACLES: dict[str, str] = {
     "fingerprint": _FINGERPRINT_SQL,
     "kmeans_assign": _KMEANS_ASSIGN_SQL,
     "kmeans_update": _KMEANS_UPDATE_SQL,
+    "asof_join": _ASOF_SQL,
+    "price_percentiles": _PCTL_SQL,
+    "pivot_status": _PIVOT_SQL,
 }
 
 

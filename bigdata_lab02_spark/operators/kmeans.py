@@ -1,0 +1,449 @@
+"""K-Means operators (SURVEY.md §2 K1-K11, D1): dense Euclidean, sparse
+cosine, and K-Means|| (scalable K-Means++) initialization.
+
+Reference behavior re-expressed Spark-first (cf. ``KMeans/task2_1.java``,
+``task2_2.java``, ``task2_3.java``):
+
+- The reference round-trips every iteration through HDFS text files and a
+  job-conf string. Here the points DataFrame is **cached once**; each
+  iteration is one aggregation job; only the (k × dims / k × vocab-slice)
+  centroid model crosses the driver boundary — the classic MLlib pattern.
+- Dense assign/update is pure expression math against centroid literals
+  (whole-stage codegen, no shuffle beyond the update's groupBy).
+- Sparse (map-vector) assign is an exploded broadcast join: doc nonzeros ×
+  centroid nonzeros on term_id → partial-aggregated dot products. No UDF;
+  scales with nnz, not vocab × k.
+- Loss uses the closed form ‖d‖² + ‖c‖² − 2·d·c so no union-key walk is
+  ever materialized.
+
+Quirks (SURVEY appendix): Q6 (cosine rounded to 3 dp inside the metric) is
+available via ``round_dp=3`` for golden parity; default is unrounded.
+Q7 (K-Means|| draws the top-l by probability deterministically instead of
+Bernoulli sampling) is the default here to mirror the reference;
+``sampling="bernoulli"`` gives the paper-faithful draw.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- results
+
+
+@dataclass
+class KMeansResult:
+    centroids: list  # dense: list[list[float]]; sparse: list[dict[int, float]]
+    assignments: DataFrame  # (id..., cluster)
+    loss_history: list[float] = field(default_factory=list)
+    iterations: int = 0
+    top_terms: list[list[tuple[int, float]]] | None = None  # sparse only
+
+
+# ---------------------------------------------------------------- dense
+
+
+def _dense_assign_expr(centroids: list[list[float]], feat_col: str):
+    """cluster = index of nearest centroid (squared Euclidean, first-min
+    tie-break like the reference's argmin loop, task2_1.java:199-224)."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(feat_col),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int"), F.array_min(
+        dists
+    )
+
+
+def kmeans_euclidean(
+    points: DataFrame,
+    k: int = 3,
+    feature_cols: tuple[str, ...] = ("x", "y"),
+    seed: int = 42,
+    tol: float = 0.5,
+    max_iter: int = 30,
+) -> KMeansResult:
+    """Lloyd's algorithm, dense features, Euclidean metric
+    (task2_1.java:315-360). Converged when every centroid moves ≤ ``tol``
+    (Euclidean, task2_1.java:99-130)."""
+    feats = points.select(
+        F.array(*[F.col(c).cast("double") for c in feature_cols]).alias("features")
+    ).cache()
+
+    # K3 random init: shuffle, take k (reference shuffles input lines)
+    init_rows = feats.orderBy(F.rand(seed)).limit(k).collect()
+    centroids = [list(r["features"]) for r in init_rows]
+
+    history: list[float] = []
+    it = 0
+    for it in range(1, max_iter + 1):
+        cluster, mindist = _dense_assign_expr(centroids, "features")
+        assigned = feats.select("features", cluster.alias("cluster"), mindist.alias("d2"))
+        agg = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[
+                    F.avg(F.col("features")[i]).alias(f"m{i}")
+                    for i in range(len(feature_cols))
+                ],
+                F.sum("d2").alias("loss"),
+            )
+            .collect()
+        )
+        new_centroids = list(centroids)
+        loss = 0.0
+        for r in agg:
+            new_centroids[r["cluster"]] = [r[f"m{i}"] for i in range(len(feature_cols))]
+            loss += r["loss"]
+        history.append(loss)
+        moves = [
+            math.dist(old, new) for old, new in zip(centroids, new_centroids)
+        ]
+        centroids = new_centroids
+        if max(moves) <= tol:
+            break
+
+    cluster, _ = _dense_assign_expr(centroids, "features")
+    assignments = feats.select("features", cluster.alias("cluster"))
+    return KMeansResult(centroids, assignments, history, it)
+
+
+# ---------------------------------------------------------------- sparse
+
+
+def _centroid_df(spark, centroids: list[dict[int, float]]) -> DataFrame:
+    rows = [
+        (cid, int(t), float(w))
+        for cid, c in enumerate(centroids)
+        for t, w in c.items()
+    ]
+    return spark.createDataFrame(rows, "cluster int, term_id int, cw double")
+
+
+def _norm(c: dict[int, float]) -> float:
+    return math.sqrt(sum(w * w for w in c.values()))
+
+
+def _cos_dict(a: dict[int, float], b: dict[int, float]) -> float:
+    na, nb = _norm(a), _norm(b)
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    dot = sum(w * b.get(t, 0.0) for t, w in a.items())
+    return dot / (na * nb)
+
+
+def _sparse_assign(
+    docs: DataFrame, cent_df: DataFrame, norms: list[float], round_dp: int | None
+) -> DataFrame:
+    """(doc_id, cluster, cos): argmax cosine via exploded broadcast join
+    (task2_2.java:261-282). Docs sharing no term with a centroid get
+    cos 0 and fall back to cluster 0 — matching the reference's 'first max
+    wins' over an all-zeros score row (task2_2.java:276-279)."""
+    nnz = docs.select(
+        "doc_id", "dnorm", F.explode("vec").alias("term_id", "dw")
+    )
+    dots = (
+        nnz.join(F.broadcast(cent_df), "term_id")
+        .groupBy("doc_id", "dnorm", "cluster")
+        .agg(F.sum(F.col("dw") * F.col("cw")).alias("dot"))
+    )
+    cnorm = F.array(*[F.lit(n) for n in norms])[F.col("cluster")]
+    cos = F.when(
+        (F.col("dnorm") == 0.0) | (cnorm == 0.0), F.lit(0.0)
+    ).otherwise(F.col("dot") / (F.col("dnorm") * cnorm))
+    if round_dp is not None:
+        cos = F.round(cos, round_dp)
+    scored = dots.select("doc_id", "cluster", cos.alias("cos"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cos"), F.asc("cluster"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "cluster", "cos")
+    )
+    # docs with no dot at all (no term overlap with any centroid) → cluster 0
+    return (
+        docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .fillna({"cluster": 0, "cos": 0.0})
+    )
+
+
+def kmeans_cosine(
+    vectors: DataFrame,
+    k: int = 5,
+    seed: int = 42,
+    theta: float = 0.98,
+    max_iter: int = 30,
+    round_dp: int | None = None,
+    top_n_terms: int = 10,
+    initial_centroids: list[dict[int, float]] | None = None,
+) -> KMeansResult:
+    """Sparse cosine K-Means over (doc_id, vec map<int,double>)
+    (task2_2.java:558-604). Stops when cos(old, new) ≥ theta for every
+    centroid. Also computes per-cluster top-``top_n_terms`` terms by summed
+    weight and the WCSS loss against the NEW centroids, like the
+    reference's update job (task2_2.java:294-356)."""
+    spark = vectors.sparkSession
+    docs = vectors.select(
+        "doc_id",
+        "vec",
+        F.sqrt(
+            F.aggregate(F.map_values("vec"), F.lit(0.0), lambda a, v: a + v * v)
+        ).alias("dnorm"),
+    ).cache()
+
+    if initial_centroids is None:
+        init = docs.orderBy(F.rand(seed)).limit(k).collect()
+        centroids = [dict(r["vec"]) for r in init]
+    else:
+        centroids = [dict(c) for c in initial_centroids]
+        k = len(centroids)
+
+    history: list[float] = []
+    top_terms: list[list[tuple[int, float]]] = []
+    it = 0
+    assigned = None
+    for it in range(1, max_iter + 1):
+        cent_df = _centroid_df(spark, centroids)
+        norms = [_norm(c) for c in centroids]
+        assigned = _sparse_assign(docs, cent_df, norms, round_dp)
+
+        # K6 update: mean over cluster members (implicit zeros via /size)
+        nnz = docs.join(assigned.select("doc_id", "cluster"), "doc_id").select(
+            "cluster", F.explode("vec").alias("term_id", "w")
+        )
+        sums = nnz.groupBy("cluster", "term_id").agg(F.sum("w").alias("sw"))
+        sizes = {
+            r["cluster"]: r["n"]
+            for r in assigned.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+        }
+        new_centroids: list[dict[int, float]] = [dict() for _ in range(k)]
+        sum_rows = sums.collect()
+        for r in sum_rows:
+            new_centroids[r["cluster"]][r["term_id"]] = r["sw"] / sizes.get(
+                r["cluster"], 1
+            )
+        # keep empty clusters at their old centroid (no members → no update)
+        for cid in range(k):
+            if not new_centroids[cid]:
+                new_centroids[cid] = centroids[cid]
+
+        # per-cluster top terms by SUMMED weight (task2_2.java:319-331)
+        by_cluster: dict[int, list[tuple[int, float]]] = {}
+        for r in sum_rows:
+            by_cluster.setdefault(r["cluster"], []).append((r["term_id"], r["sw"]))
+        top_terms = [
+            sorted(by_cluster.get(cid, []), key=lambda x: (-x[1], x[0]))[:top_n_terms]
+            for cid in range(k)
+        ]
+
+        # WCSS vs NEW centroids: ‖d‖² + ‖c‖² − 2·d·c (task2_2.java:348-355)
+        new_cent_df = _centroid_df(spark, new_centroids)
+        new_norm2 = {cid: sum(w * w for w in c.values()) for cid, c in enumerate(new_centroids)}
+        dots = (
+            docs.join(assigned.select("doc_id", "cluster"), "doc_id")
+            .select("doc_id", "cluster", "dnorm", F.explode("vec").alias("term_id", "dw"))
+            .join(F.broadcast(new_cent_df), ["cluster", "term_id"])
+            .groupBy("doc_id", "cluster", "dnorm")
+            .agg(F.sum(F.col("dw") * F.col("cw")).alias("dot"))
+        )
+        cn2 = F.array(*[F.lit(new_norm2[c]) for c in range(k)])[F.col("cluster")]
+        per_doc = dots.select(
+            (F.col("dnorm") * F.col("dnorm") + cn2 - 2 * F.col("dot")).alias("sq")
+        )
+        loss = per_doc.agg(F.sum("sq")).collect()[0][0] or 0.0
+        # docs with zero overlap with their centroid contribute ‖d‖²+‖c‖²,
+        # but they appear in `dots` only if overlap > 0; add the remainder:
+        n_overlap = dots.count()
+        n_total = docs.count()
+        if n_overlap < n_total:
+            missing = (
+                docs.join(assigned.select("doc_id", "cluster"), "doc_id")
+                .join(dots.select("doc_id"), "doc_id", "left_anti")
+                .select(
+                    (F.col("dnorm") * F.col("dnorm") + cn2).alias("sq")
+                )
+                .agg(F.sum("sq"))
+                .collect()[0][0]
+                or 0.0
+            )
+            loss += missing
+        history.append(loss)
+
+        converged = all(
+            _cos_dict(old, new) >= theta for old, new in zip(centroids, new_centroids)
+        )
+        centroids = new_centroids
+        if converged:
+            break
+
+    return KMeansResult(centroids, assigned, history, it, top_terms)
+
+
+# ---------------------------------------------------------------- kmeans||
+
+
+def _sq_dist_to_set(docs: DataFrame, cent_df: DataFrame, norm2: list[float]) -> DataFrame:
+    """Per doc: min squared Euclidean distance to the candidate set
+    (CostMapper, task2_3.java:204-233), closed form over the exploded join."""
+    dots = (
+        docs.select("doc_id", "dnorm", F.explode("vec").alias("term_id", "dw"))
+        .join(F.broadcast(cent_df), "term_id")
+        .groupBy("doc_id", "dnorm", "cluster")
+        .agg(F.sum(F.col("dw") * F.col("cw")).alias("dot"))
+    )
+    cn2 = F.array(*[F.lit(v) for v in norm2])[F.col("cluster")]
+    per = dots.select(
+        "doc_id",
+        (F.col("dnorm") ** 2 + cn2 - 2 * F.col("dot")).alias("sq"),
+    ).groupBy("doc_id").agg(F.min("sq").alias("min_sq"))
+    # docs with no overlap with ANY candidate: d² = ‖d‖² + min ‖c‖²
+    min_c = min(norm2) if norm2 else 0.0
+    return (
+        docs.select("doc_id", (F.col("dnorm") ** 2 + F.lit(min_c)).alias("fallback"))
+        .join(per, "doc_id", "left")
+        .select("doc_id", F.coalesce("min_sq", "fallback").alias("d2"))
+    )
+
+
+def kmeans_parallel_init(
+    vectors: DataFrame,
+    k: int = 5,
+    oversample: int | None = None,
+    seed: int = 42,
+    sampling: str = "top_l",
+    max_rounds: int | None = None,
+) -> tuple[list[dict[int, float]], DataFrame]:
+    """K-Means|| initialization (Bahmani et al., VLDB 2012; reference
+    task2_3.java:1235-1341): returns (candidate centroids, weights DF).
+
+    sampling="top_l" mirrors reference quirk Q7 (deterministic top-l by
+    p = l·d²/cost); "bernoulli" is the paper's randomized draw.
+    """
+    spark = vectors.sparkSession
+    l = oversample or 2 * k
+    docs = vectors.select(
+        "doc_id",
+        "vec",
+        F.sqrt(
+            F.aggregate(F.map_values("vec"), F.lit(0.0), lambda a, v: a + v * v)
+        ).alias("dnorm"),
+    ).cache()
+
+    first = docs.orderBy(F.rand(seed)).limit(1).collect()[0]
+    candidates: list[dict[int, float]] = [dict(first["vec"])]
+
+    def cost() -> float:
+        cent_df = _centroid_df(spark, candidates)
+        n2 = [sum(w * w for w in c.values()) for c in candidates]
+        return _sq_dist_to_set(docs, cent_df, n2).agg(F.sum("d2")).collect()[0][0]
+
+    c0 = cost()
+    rounds = max_rounds if max_rounds is not None else max(1, math.ceil(math.log(max(c0, math.e))))
+    for rnd in range(rounds):
+        cent_df = _centroid_df(spark, candidates)
+        n2 = [sum(w * w for w in c.values()) for c in candidates]
+        d2 = _sq_dist_to_set(docs, cent_df, n2)
+        total = d2.agg(F.sum("d2")).collect()[0][0]
+        if not total:
+            break
+        probs = d2.withColumn("p", F.lit(float(l)) * F.col("d2") / F.lit(total))
+        if sampling == "top_l":
+            drawn = probs.orderBy(F.desc("p"), F.asc("doc_id")).limit(l)
+        else:
+            drawn = probs.where(F.rand(seed + rnd) < F.col("p"))
+        new_ids = [r["doc_id"] for r in drawn.select("doc_id").collect()]
+        if not new_ids:
+            continue
+        new_vecs = docs.where(F.col("doc_id").isin(new_ids)).select("vec").collect()
+        seen = {tuple(sorted(c.items())) for c in candidates}
+        for r in new_vecs:
+            key = tuple(sorted(dict(r["vec"]).items()))
+            if key not in seen:
+                seen.add(key)
+                candidates.append(dict(r["vec"]))
+
+    # K9 weighting: every doc to nearest candidate by COSINE (task2_3:485-537)
+    cent_df = _centroid_df(spark, candidates)
+    norms = [_norm(c) for c in candidates]
+    assigned = _sparse_assign(docs, cent_df, norms, round_dp=None)
+    weights = assigned.groupBy("cluster").agg(F.count("*").alias("weight"))
+    return candidates, weights
+
+
+def kmeans_scalable(
+    vectors: DataFrame,
+    k: int = 5,
+    seed: int = 42,
+    theta_recluster: float = 0.8,
+    theta_final: float = 0.9,
+    max_iter: int = 30,
+    sampling: str = "top_l",
+    max_rounds: int | None = None,
+) -> KMeansResult:
+    """Full task2_3 pipeline: K-Means|| init → weighted recluster of the
+    candidate set → final cosine K-Means on the corpus."""
+    candidates, weights = kmeans_parallel_init(
+        vectors, k, seed=seed, sampling=sampling, max_rounds=max_rounds
+    )
+    wmap = {r["cluster"]: r["weight"] for r in weights.collect()}
+
+    # K10 weighted recluster of the (tiny) candidate set — driver-local math,
+    # mirroring the reference's dedicated MR jobs on a ~30-row file.
+    import random
+
+    rng = random.Random(seed)
+    idx = list(range(len(candidates)))
+    rng.shuffle(idx)
+    cents = [dict(candidates[i]) for i in idx[:k]]
+    for _ in range(max_iter):
+        groups: dict[int, list[int]] = {}
+        for ci, cand in enumerate(candidates):
+            best, best_cos = 0, -1.0
+            for ki, cent in enumerate(cents):
+                cv = _cos_dict(cand, cent)
+                if cv > best_cos:
+                    best, best_cos = ki, cv
+            groups.setdefault(best, []).append(ci)
+        new_cents: list[dict[int, float]] = []
+        for ki in range(k):
+            members = groups.get(ki, [])
+            if not members:
+                new_cents.append(cents[ki])
+                continue
+            tot_w = sum(wmap.get(ci, 1) for ci in members)
+            acc: dict[int, float] = {}
+            for ci in members:
+                w = wmap.get(ci, 1)
+                for t, v in candidates[ci].items():
+                    acc[t] = acc.get(t, 0.0) + w * v
+            new_cents.append({t: v / tot_w for t, v in acc.items()})
+        converged = all(
+            _cos_dict(o, n) >= theta_recluster for o, n in zip(cents, new_cents)
+        )
+        cents = new_cents
+        if converged:
+            break
+
+    # K11 final pass over the full corpus
+    return kmeans_cosine(
+        vectors,
+        k=k,
+        seed=seed,
+        theta=theta_final,
+        max_iter=max_iter,
+        initial_centroids=cents,
+    )

@@ -1,0 +1,91 @@
+"""Structured Streaming event pipelines.
+
+Batch twins of these queries live in ``__spark_entry__`` (events_hourly /
+events_sessions) and hash-match the DuckDB oracle; the streaming forms here
+add watermarks + incremental state. For local verification, a parquet
+directory is replayed through ``readStream`` into a memory sink
+(``run_stream_to_memory``), which drives the SAME query incrementally.
+
+Scale notes: tumbling windows + watermark bound state size; session
+windows use Spark's native ``session_window`` (gap-merged state per key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see _events note)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _with_ts(df: DataFrame) -> DataFrame:
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Replay a parquet events directory as a stream (one file per
+    micro-batch by default)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return _with_ts(raw)
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windowed counts+sums per event_type with late-data
+    watermark — the streaming twin of the batch events_hourly query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n", "total_value")
+    )
+
+
+def sessionized_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (gap-merged state): events within ``gap`` of
+    each other per user merge into one session."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, streaming_df: DataFrame, name: str, mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming query to completion over a bounded source and
+    return the materialized result (memory sink)."""
+    q = (
+        streaming_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -10,7 +10,8 @@ def test_queries_and_oracles_align():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert set(oracles) <= set(qs)  # every oracle has a query
     missing = set(qs) - set(oracles)
-    assert not missing, f"queries lacking oracles (rows-only): {missing}"
+    # only the declared iterative/non-SQL ops may lack an oracle
+    assert missing == entrymod.ROWS_ONLY, f"undeclared rows-only queries: {missing}"
 
 
 def test_entry_returns_rows(spark):

@@ -1,0 +1,120 @@
+"""K-Means tests: synthetic blobs (exact expectations), reference inputs
+(golden shapes + invariants), K-Means|| pipeline."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_lab02_spark.operators import kmeans as km
+from bigdata_lab02_spark.sources.delimited import read_points2d, read_sparse_vectors
+from tests.conftest import KMEANS_INPUT
+
+
+# ---------------------------------------------------------------- dense
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for cx, cy in [(0.0, 0.0), (50.0, 50.0), (100.0, 0.0)]:
+        rows += [
+            (cx + rng.uniform(-2, 2), cy + rng.uniform(-2, 2)) for _ in range(40)
+        ]
+    return spark.createDataFrame(rows, "x double, y double")
+
+
+def test_euclidean_blobs(blobs):
+    res = km.kmeans_euclidean(blobs, k=3, seed=1, tol=0.1)
+    # centroids land on the blob centers
+    got = sorted((round(c[0]), round(c[1])) for c in res.centroids)
+    assert got == [(0, 0), (50, 50), (100, 0)]
+    # each cluster has exactly 40 members
+    sizes = sorted(
+        r["n"]
+        for r in res.assignments.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    )
+    assert sizes == [40, 40, 40]
+    # Euclidean Lloyd loss is non-increasing
+    assert all(a >= b - 1e-9 for a, b in zip(res.loss_history, res.loss_history[1:]))
+
+
+def test_euclidean_reference_points(spark):
+    pts = read_points2d(spark, f"{KMEANS_INPUT}/data_points.txt")
+    assert pts.count() == 300
+    res = km.kmeans_euclidean(pts, k=3, seed=42, tol=0.5)
+    assert len(res.centroids) == 3
+    assert res.assignments.count() == 300
+    # golden centroids (any order): (62.0,84.1) (79.1,23.1) (18.9,58.2) —
+    # the blobs are well-separated, so seeded Lloyd lands on the same optima
+    golden = [(62.027, 84.078), (79.078, 23.125), (18.874, 58.207)]
+    got = sorted((round(c[0], 1), round(c[1], 1)) for c in res.centroids)
+    want = sorted((round(gx, 1), round(gy, 1)) for gx, gy in golden)
+    assert got == want
+
+
+# ---------------------------------------------------------------- sparse
+
+
+@pytest.fixture(scope="module")
+def tiny_vectors(spark):
+    # 2 obvious groups in term space: docs 1-3 share terms {1,2}, 4-6 {9,10}
+    rows = [
+        (1, {1: 1.0, 2: 0.5}),
+        (2, {1: 0.8, 2: 0.7}),
+        (3, {1: 0.9, 2: 0.4, 3: 0.1}),
+        (4, {9: 1.0, 10: 0.5}),
+        (5, {9: 0.6, 10: 0.9}),
+        (6, {9: 0.8, 10: 0.6, 3: 0.05}),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, vec map<int,double>")
+
+
+def test_cosine_tiny(tiny_vectors):
+    res = km.kmeans_cosine(tiny_vectors, k=2, seed=3, theta=0.999, max_iter=10)
+    groups = {
+        r["doc_id"]: r["cluster"] for r in res.assignments.collect()
+    }
+    assert groups[1] == groups[2] == groups[3]
+    assert groups[4] == groups[5] == groups[6]
+    assert groups[1] != groups[4]
+    # top terms of each cluster are its defining terms
+    tops = [{t for t, _ in terms[:2]} for terms in res.top_terms]
+    assert {1, 2} in tops and {9, 10} in tops
+
+
+def test_cosine_reference_tfidf(spark):
+    vecs = read_sparse_vectors(spark, f"{KMEANS_INPUT}/TFIDF.txt-r-00000")
+    assert vecs.count() == 2224
+    res = km.kmeans_cosine(vecs, k=5, seed=42, theta=0.98, max_iter=12, round_dp=3)
+    assert len(res.centroids) == 5
+    assert res.assignments.count() == 2224
+    # golden trace: 7 iterations, 50241 → 41409, strictly decreasing.
+    # Ours: same ballpark magnitude and overall-decreasing trend (init differs).
+    assert 2 <= res.iterations <= 12
+    assert res.loss_history[0] < 80000
+    assert res.loss_history[-1] <= res.loss_history[0]
+    assert all(len(t) == 10 for t in res.top_terms)
+    # every cluster non-empty
+    sizes = res.assignments.groupBy("cluster").count().collect()
+    assert len(sizes) == 5 and all(r["count"] > 0 for r in sizes)
+
+
+def test_kmeans_parallel_tiny(tiny_vectors):
+    cands, weights = km.kmeans_parallel_init(
+        tiny_vectors, k=2, seed=11, max_rounds=3
+    )
+    assert len(cands) >= 2
+    # weights cover all 6 docs
+    assert sum(r["weight"] for r in weights.collect()) == 6
+
+
+def test_kmeans_scalable_tiny(tiny_vectors):
+    res = km.kmeans_scalable(tiny_vectors, k=2, seed=11, max_rounds=3, max_iter=8)
+    groups = {r["doc_id"]: r["cluster"] for r in res.assignments.collect()}
+    assert groups[1] == groups[2] == groups[3]
+    assert groups[4] == groups[5] == groups[6]
+    assert groups[1] != groups[4]

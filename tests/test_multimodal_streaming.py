@@ -1,0 +1,84 @@
+"""Multimodal plumbing + Structured Streaming tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_lab02_spark.operators import multimodal as mm
+from bigdata_lab02_spark.streaming import (
+    hourly_counts_stream,
+    run_stream_to_memory,
+    sessionized_stream,
+)
+from bigdata_lab02_spark.streaming.events import read_event_stream
+from tests.conftest import TESTDATA
+
+
+def test_multimodal_feature_extraction(spark):
+    media = mm.synthetic_media(spark, n=32, payload_bytes=256)
+    feats = mm.extract_features(media).collect()
+    assert len(feats) == 32
+    ok = [r for r in feats if r["decode_ok"]]
+    assert len(ok) == 32
+    assert all(r["feat_dim"] == 8 for r in ok)
+    assert all(0.0 <= x <= 1.0 for r in ok for x in r["feature"])
+    # deterministic: same media_id → same feature
+    again = {r["media_id"]: r["feature"] for r in mm.extract_features(media).collect()}
+    assert all(again[r["media_id"]] == r["feature"] for r in feats)
+
+
+def test_multimodal_handles_null_payload(spark):
+    media = mm.synthetic_media(spark, n=4).withColumn(
+        "payload", F.when(F.col("media_id") == 0, None).otherwise(F.col("payload"))
+    )
+    rows = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    assert rows[0]["decode_ok"] is False and rows[0]["feat_dim"] == 0
+    assert rows[1]["decode_ok"] is True
+
+
+def test_frame_sample_plan(spark):
+    media = mm.synthetic_media(spark, n=2)
+    frames = mm.frame_sample_plan(media, every_n_frames=100).collect()
+    per = {}
+    for r in frames:
+        per.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert per[0] == [0, 100, 200]
+
+
+@pytest.fixture(scope="module")
+def event_stream(spark, tmp_path_factory):
+    # file-stream sources watch a DIRECTORY of arriving files
+    d = tmp_path_factory.mktemp("events_stream")
+    import shutil
+
+    shutil.copy(f"{TESTDATA}/sf0.001/events.parquet", d / "part-0.parquet")
+    return read_event_stream(spark, str(d))
+
+
+def test_streaming_hourly_matches_batch(spark, event_stream):
+    out = run_stream_to_memory(
+        spark, hourly_counts_stream(event_stream), "hourly_t", mode="append"
+    )
+    import __spark_entry__ as e
+
+    batch = e.queries()["events_hourly"](spark, f"{TESTDATA}/sf0.001")
+    got = {
+        (r["bucket"], r["event_type"]): r["n"] for r in out.collect()
+    }
+    want = {
+        (r["bucket"], r["event_type"]): r["n"] for r in batch.collect()
+    }
+    # watermark may hold back the final (incomplete) windows in append mode;
+    # every emitted window must match the batch result exactly
+    assert got
+    for k, v in got.items():
+        assert want.get(k) == v, (k, v, want.get(k))
+
+
+def test_streaming_sessionization_runs(spark, event_stream):
+    out = run_stream_to_memory(
+        spark, sessionized_stream(event_stream), "sess_t", mode="append"
+    )
+    rows = out.collect()
+    assert rows  # emitted at least the closed sessions
+    assert all(r["session_end"] >= r["session_start"] for r in rows)
+    assert all(r["n_events"] >= 1 for r in rows)
