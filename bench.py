@@ -50,6 +50,11 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark(app_name="bench")
 
+    # untimed warmup: session init, codegen compiler, parquet footer reads
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
+        "l_returnflag"
+    ).count().write.format("noop").mode("overwrite").save()
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

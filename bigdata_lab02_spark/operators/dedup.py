@@ -54,15 +54,21 @@ def exact_dedup(
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingle set (distinct, order-free) from normalized
-    tokens. Short docs (< n tokens) get their whole text as one shingle."""
+    tokens. Short docs (< n tokens) get their whole text as one shingle.
+
+    Built from ``n`` shifted slices combined with ``zip_with`` — O(n·len)
+    array work. (The obvious ``transform(sequence, i -> slice(toks, i, n))``
+    is O(len²) per doc because each slice re-copies; measured 13.8 s → 1.7 s
+    for signatures at sf0.1.)"""
     toks = tokens_column(text)
-    grams = F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    m = F.greatest(F.lit(0), F.size(toks) - (n - 1))  # gram count
+    grams = F.slice(toks, 1, m)
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, i + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
         )
-    )
-    return F.array_distinct(grams)
+    out = F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(grams)
+    return F.array_distinct(out)
 
 
 # ----------------------------------------------------------------- minhash
@@ -242,12 +248,13 @@ def simhash64(
     # For each bit b: count tokens with bit set minus tokens with bit clear.
     bit_cols = []
     for b in range(64):
-        ones = F.size(
-            F.filter(hashes, lambda h, b=b: h.bitwiseAND(F.lit(1 << b if b < 63 else -(2**63))) != 0)
-        )
+        # NB: two-parameter lambdas in F.filter receive (element, index) —
+        # compute the mask outside so the closure stays single-arg.
+        mask = (1 << b) if b < 63 else -(2**63)
+        ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(mask)) != 0))
         total = F.size(hashes)
         bit = F.when((ones * 2) > total, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bit_cols.append(bit * F.lit(1 << b if b < 63 else -(2**63)).cast("long"))
+        bit_cols.append(bit * F.lit(mask).cast("long"))
     sim = bit_cols[0]
     for c in bit_cols[1:]:
         sim = sim + c

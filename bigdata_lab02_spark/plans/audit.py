@@ -36,10 +36,15 @@ def plan_report(df: DataFrame) -> PlanReport:
         df._jdf.queryExecution(), "formatted"  # noqa: SLF001
     )
     r = PlanReport(raw=plan)
-    r.n_exchanges = len(re.findall(r"\bExchange\b", plan))
-    r.n_broadcast_joins = len(re.findall(r"BroadcastHashJoin", plan))
-    r.n_sortmerge_joins = len(re.findall(r"SortMergeJoin", plan))
-    r.n_shuffle_hash_joins = len(re.findall(r"ShuffledHashJoin", plan))
+    # formatted mode prints each node twice (tree + numbered details);
+    # count only the numbered detail headers "(n) NodeName"
+    def n_nodes(name: str) -> int:
+        return len(re.findall(rf"^\(\d+\) {name}\b", plan, re.MULTILINE))
+
+    r.n_exchanges = n_nodes("Exchange")
+    r.n_broadcast_joins = n_nodes("BroadcastHashJoin")
+    r.n_sortmerge_joins = n_nodes("SortMergeJoin")
+    r.n_shuffle_hash_joins = n_nodes("ShuffledHashJoin")
     r.pushed_filters = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     r.read_schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
     r.wholestage_ids = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)))

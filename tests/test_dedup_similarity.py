@@ -1,0 +1,124 @@
+"""Unit tests for dedup + similarity operators not exercised by the oracle
+harness (LSH internals, SimHash pairs, IVF, hyperplane buckets)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_lab02_spark.operators import dedup as dd
+from bigdata_lab02_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("today", "tomorrow")),  # near dup
+        (4, "completely different content about spark query engines at scale"),
+        (5, "another unrelated document discussing parquet columnar storage"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_dedup(near_dup_docs):
+    out = {r["digest"]: r for r in dd.exact_dedup(near_dup_docs).collect()}
+    assert len(out) == 4  # 5 docs, one exact pair
+    dup = [r for r in out.values() if r["n_copies"] == 2]
+    assert len(dup) == 1 and dup[0]["survivor_id"] == 1
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(near_dup_docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.minhash_dedup_pairs(near_dup_docs, threshold=0.5).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0  # exact dup always in same buckets
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert all(a < b for a, b in pairs)
+    assert (4, 5) not in pairs
+
+
+def test_lsh_candidates_subset_property(near_dup_docs):
+    sigs = dd.minhash_signatures(near_dup_docs)
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in dd.lsh_candidate_pairs(sigs).collect()
+    }
+    # identical docs share all bands
+    assert (1, 2) in cands
+    # candidates never pair a doc with itself
+    assert all(a != b for a, b in cands)
+
+
+def test_ngram_jaccard_blocking_consistent(near_dup_docs):
+    full = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in dd.ngram_jaccard_pairs(near_dup_docs, threshold=0.3).collect()
+    }
+    assert full[(1, 2)] == 1.0
+    assert (1, 3) in full
+    # rare-shingle blocking must not change scores of surviving pairs
+    blocked = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in dd.ngram_jaccard_pairs(
+            near_dup_docs, threshold=0.3, max_shingle_df=4
+        ).collect()
+    }
+    for k, v in blocked.items():
+        assert full[k] == v
+
+
+def test_simhash_hamming_close_for_near_dups(spark, near_dup_docs):
+    sh = dd.simhash64(near_dup_docs)
+    pairs = dd.simhash_dup_pairs(sh, max_hamming=6).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((1, 2)) == 0  # identical text → identical sketch
+    assert got.get((1, 3), 99) <= 6  # near dup → small hamming
+    assert (4, 5) not in got
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_cosine_topk_self_excluded(embeddings):
+    out = sim.cosine_topk(embeddings, embeddings.where(F.col("vec_id") < 3), k=4)
+    rows = out.collect()
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["cosine"])
+    assert set(per_q) == {0, 1, 2}
+    for cos_list in per_q.values():
+        assert len(cos_list) == 4
+        assert cos_list == sorted(cos_list, reverse=True)
+
+
+def test_hyperplane_buckets_deterministic(embeddings):
+    b1 = {r["vec_id"]: r["bucket"] for r in sim.hyperplane_buckets(embeddings, dim=64).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in sim.hyperplane_buckets(embeddings, dim=64).collect()}
+    assert b1 == b2
+    assert all(len(v) == 8 and set(v) <= {"0", "1"} for v in b1.values())
+
+
+def test_ivf_recall_against_brute_force(embeddings):
+    queries = embeddings.where(F.col("vec_id") < 10)
+    exact = sim.cosine_topk(embeddings, queries, k=5)
+    cents = embeddings.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") / 50).cast("int").alias("cluster_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    approx = sim.ivf_topk(embeddings, queries, cents, k=5, nprobe=4)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # IVF with 10 lists and nprobe=4 on random data: expect meaningful
+    # overlap with exact top-5 (recall >= 40% average), all queries answered
+    assert set(ap) == set(ex)
+    recalls = [len(ex[q] & ap[q]) / 5 for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.4

@@ -1,0 +1,57 @@
+"""Plan-shape regression tests: the properties that keep queries fast at
+1000× the data, asserted on the actual physical plans (SURVEY.md §4).
+
+A query silently regressing from broadcast-hash to sort-merge join, or
+losing its scan-level filter pushdown, fails HERE — not 10× slower at the
+next scale factor.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as e
+from bigdata_lab02_spark.plans import assert_pushdown, plan_report
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_revenue_join_strategy_all_broadcast(spark):
+    r = plan_report(e.queries()["revenue_by_nation"](spark, SF))
+    # the fact table side must never sort-merge against the dims
+    assert r.n_sortmerge_joins == 0
+    assert r.n_broadcast_joins >= 3
+    # lineitem⋈orders keys + final agg: at most 2 real shuffles
+    assert r.n_exchanges <= 2
+
+
+def test_top_customers_uses_bounded_topk(spark):
+    r = plan_report(e.queries()["top_customers"](spark, SF))
+    assert r.has_take_ordered  # TakeOrderedAndProject, not global sort
+
+
+def test_pricing_summary_filter_pushdown(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.where(F.col("l_shipdate") <= F.lit("2001-09-02")).select(
+        "l_returnflag", "l_quantity"
+    )
+    r = assert_pushdown(q, "l_shipdate")
+    # column pruning: the scan reads only the 3 referenced columns
+    assert "l_extendedprice" not in (r.read_schemas[0] if r.read_schemas else "")
+
+
+def test_doc_term_matrix_dict_join_broadcast(spark):
+    r = plan_report(e.queries()["p5_doc_term_matrix"](spark, SF))
+    assert r.n_sortmerge_joins == 0
+    assert r.n_broadcast_joins >= 1
+
+
+def test_dedup_exact_single_shuffle(spark):
+    r = plan_report(e.queries()["dedup_exact"](spark, SF))
+    assert r.n_exchanges == 1  # one hash exchange on the digest
+
+
+def test_embedding_topk_broadcasts_queries(spark):
+    r = plan_report(e.queries()["embedding_topk"](spark, SF))
+    # corpus side streams; query side broadcast (nested-loop w/ broadcast)
+    assert "BroadcastNestedLoopJoin" in r.raw or r.n_broadcast_joins >= 1
+    assert r.n_sortmerge_joins == 0
