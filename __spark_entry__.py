@@ -873,6 +873,73 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_p4_doc_dict(spark, sf_dir):
+    """P4: dense sequential ids over distinct document sources (the
+    dictionary-build pattern applied to the doc-side dimension)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("source")
+    return (
+        docs.select("source")
+        .distinct()
+        .select("source", F.row_number().over(w).cast("int").alias("source_id"))
+    )
+
+
+_P4_SQL = """
+SELECT source, CAST(row_number() OVER (ORDER BY source) AS INT) AS source_id
+FROM (SELECT DISTINCT source FROM documents)
+"""
+
+
+def q_kmeans_cost(spark, sf_dir):
+    """K7 (K-Means|| phase 1): total cost Σ_x min_c d²(x,c) against the
+    fixed centroid set vec_id < 8, cosine-space d² = 2·(1−cos) on
+    normalized vectors — here computed as squared Euclidean directly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster_id"),
+        as_double_array(F.col("embedding")).alias("cvec"),
+    )
+    pts = emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    per_point = (
+        pts.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(F.min(d2).alias("min_d2"))
+    )
+    return per_point.agg(
+        F.round(F.sum("min_d2"), 6).alias("total_cost"),
+        F.count("*").alias("n_points"),
+    )
+
+
+_KMEANS_COST_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cluster_id, v AS cvec FROM e WHERE vec_id < 8),
+per AS (
+  SELECT e.vec_id, min(list_distance(e.v, c.cvec) ^ 2) AS min_d2
+  FROM e CROSS JOIN c GROUP BY e.vec_id)
+SELECT round(sum(min_d2), 6) AS total_cost, count(*) AS n_points FROM per
+"""
+
+
+def q_kmeans_weights(spark, sf_dir):
+    """K9 (K-Means|| weighting): docs per nearest candidate — the weight
+    table fed into the weighted recluster."""
+    assigned = q_kmeans_assign(spark, sf_dir)
+    return assigned.groupBy("cluster_id").agg(F.count("*").alias("weight"))
+
+
+_KMEANS_WEIGHTS_SQL = f"""
+WITH assigned AS ({_KMEANS_ASSIGN_SQL})
+SELECT cluster_id, count(*) AS weight FROM assigned GROUP BY cluster_id
+"""
+
+
 def q_kmeans_fit(spark, sf_dir):
     """Full seeded cosine K-Means fit (iterative driver loop, D1) over
     TF-IDF vectors of the documents table — genuinely non-SQL-expressible
@@ -923,6 +990,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "price_percentiles": q_price_percentiles,
     "pivot_status": q_pivot_status,
+    "p4_doc_dict": q_p4_doc_dict,
+    "kmeans_cost": q_kmeans_cost,
+    "kmeans_weights": q_kmeans_weights,
     "kmeans_fit": q_kmeans_fit,
 }
 
@@ -1001,6 +1071,9 @@ _ORACLES: dict[str, str] = {
     "asof_join": _ASOF_SQL,
     "price_percentiles": _PCTL_SQL,
     "pivot_status": _PIVOT_SQL,
+    "p4_doc_dict": _P4_SQL,
+    "kmeans_cost": _KMEANS_COST_SQL,
+    "kmeans_weights": _KMEANS_WEIGHTS_SQL,
 }
 
 

@@ -62,6 +62,26 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # The reference's ENTIRE DataProcessing DAG (11 chained MapReduce jobs,
+    # SURVEY §3.1) end-to-end on the real BBC corpus: dictionaries, COO
+    # matrix, frequency filter, top-10, TF-IDF vectors, category top-5 —
+    # every final output materialized once.
+    bbc_input = "/root/reference/BigDataLab02/DataProcessing/Input"
+    bbc_stop = "/root/reference/BigDataLab02/DataProcessing/StopWords/stop_words.txt"
+    if os.path.isdir(bbc_input):
+        from bigdata_lab02_spark.pipeline import bbc_pipeline
+
+        t0 = time.time()
+        p = bbc_pipeline(spark, bbc_input, bbc_stop)
+        for out in (
+            p.filtered_matrix(),
+            p.top_terms(10),
+            p.sparse_vectors(),
+            p.category_top_terms(5),
+        ):
+            out.write.format("noop").mode("overwrite").save()
+        timings["bbc_tfidf_pipeline_e2e"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) — SURVEY §5 test strategy item 4.
+
+Strategy: generate small corpora/matrices driver-side, run the Spark
+operators, check algebraic invariants. One shared SparkSession; examples
+kept small so the suite stays fast.
+"""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bigdata_lab02_spark.functions.text import tokens_column
+from bigdata_lab02_spark.operators import matrix
+from bigdata_lab02_spark.operators.dedup import shingles
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x7F),
+    min_size=1,
+    max_size=8,
+)
+lines = st.lists(words, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(**_SETTINGS)
+@given(line=lines)
+def test_tokenizer_idempotent(spark, line):
+    df = spark.createDataFrame([(line,)], "line string")
+    once = df.select(tokens_column(F.col("line")).alias("t")).collect()[0]["t"]
+    twice = (
+        df.select(F.concat_ws(" ", tokens_column(F.col("line"))).alias("line"))
+        .select(tokens_column(F.col("line")).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert once == twice
+    assert all(t == t.lower() and t != "" for t in once)
+
+
+coo_cells = st.lists(
+    st.tuples(
+        st.integers(1, 5), st.integers(1, 8), st.integers(1, 50)
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda c: (c[0], c[1]),
+)
+
+
+@settings(**_SETTINGS)
+@given(cells=coo_cells)
+def test_tf_sums_to_one(spark, cells):
+    coo = spark.createDataFrame(cells, "doc_id int, term_id int, count long")
+    tf = matrix.term_frequency(coo)
+    for r in tf.groupBy("doc_id").agg(F.sum("tf").alias("s")).collect():
+        assert abs(r["s"] - 1.0) < 1e-9
+
+
+@settings(**_SETTINGS)
+@given(cells=coo_cells)
+def test_idf_nonnegative_and_bounded(spark, cells):
+    coo = spark.createDataFrame(cells, "doc_id int, term_id int, count long")
+    n_docs = len({c[0] for c in cells})
+    idf = matrix.inverse_doc_frequency(coo).collect()
+    for r in idf:
+        assert -1e-12 <= r["idf"] <= math.log(n_docs) + 1e-12
+
+
+@settings(**_SETTINGS)
+@given(cells=coo_cells, data=st.data())
+def test_topk_permutation_invariant(spark, cells, data):
+    perm = data.draw(st.permutations(cells))
+    a = matrix.top_terms(
+        spark.createDataFrame(cells, "doc_id int, term_id int, count long"), 5
+    ).collect()
+    b = matrix.top_terms(
+        spark.createDataFrame(perm, "doc_id int, term_id int, count long"), 5
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+@settings(**_SETTINGS)
+@given(line=lines)
+def test_shingles_are_distinct_and_cover(spark, line):
+    df = spark.createDataFrame([(line,)], "line string")
+    row = df.select(
+        shingles(F.col("line"), 3).alias("s"),
+        tokens_column(F.col("line")).alias("t"),
+    ).collect()[0]
+    sh, toks = row["s"], row["t"]
+    assert len(sh) == len(set(sh))  # distinct
+    if len(toks) >= 3:
+        assert len(set(sh)) <= len(toks) - 2  # at most n-2 distinct trigrams
+        for g in sh:
+            assert len(g.split(" ")) == 3
