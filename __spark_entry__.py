@@ -95,14 +95,23 @@ FROM (SELECT DISTINCT unnest({_FTOKS}) AS term FROM documents)
 
 
 def _coo(docs: DataFrame) -> DataFrame:
-    """P5 doc-term count matrix on the documents table."""
-    toks = _ftokens(docs)
-    td = _term_dict(docs)
-    return (
-        toks.join(F.broadcast(td), toks["token"] == td["term"])
-        .groupBy("doc_id", "term_id")
-        .agg(F.count("*").alias("count"))
+    """P5 doc-term count matrix on the documents table.
+
+    Single-pass shape: aggregate the token stream to (doc_id, token, count)
+    FIRST, then derive the dictionary from that (much smaller) aggregate —
+    the corpus is tokenized once instead of once for the dictionary and
+    once for the counts. The dense-id window runs over the post-aggregate
+    distinct, identical ids to a raw-token dictionary."""
+    counts = (
+        _ftokens(docs).groupBy("doc_id", "token").agg(F.count("*").alias("count"))
     )
+    w = Window.orderBy("token")
+    td = (
+        counts.select(F.col("token"))
+        .distinct()
+        .select("token", F.row_number().over(w).cast("int").alias("term_id"))
+    )
+    return counts.join(F.broadcast(td), "token").select("doc_id", "term_id", "count")
 
 
 _COO_SQL = f"""
@@ -940,6 +949,28 @@ SELECT cluster_id, count(*) AS weight FROM assigned GROUP BY cluster_id
 """
 
 
+def q_stream_hourly(spark, sf_dir):
+    """Structured Streaming twin of events_hourly: replays the events
+    parquet through readStream (watermarked tumbling windows, memory sink)
+    and returns the emitted windows. Rows-only check — incremental
+    execution isn't SQL-expressible, but each emitted window equals the
+    batch/oracle value (asserted in tests)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from bigdata_lab02_spark.streaming import (
+        hourly_counts_stream,
+        run_stream_to_memory,
+    )
+    from bigdata_lab02_spark.streaming.events import read_event_stream
+
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", str(Path(d) / "part-0.parquet"))
+    stream = read_event_stream(spark, d)
+    return run_stream_to_memory(spark, hourly_counts_stream(stream), "stream_hourly_q")
+
+
 def q_kmeans_fit(spark, sf_dir):
     """Full seeded cosine K-Means fit (iterative driver loop, D1) over
     TF-IDF vectors of the documents table — genuinely non-SQL-expressible
@@ -994,11 +1025,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_cost": q_kmeans_cost,
     "kmeans_weights": q_kmeans_weights,
     "kmeans_fit": q_kmeans_fit,
+    "stream_hourly": q_stream_hourly,
 }
 
-# Queries with no SQL-expressible oracle (iterative driver loops etc.) —
-# the driver records a weaker rows-only check for these.
-ROWS_ONLY = {"kmeans_fit"}
+# Queries with no SQL-expressible oracle (iterative driver loops,
+# incremental streaming) — the driver records a weaker rows-only check.
+ROWS_ONLY = {"kmeans_fit", "stream_hourly"}
 
 _ORACLES: dict[str, str] = {
     "p1_token_counts": f"SELECT token, count(*) AS n FROM (SELECT unnest({_FTOKS}) AS token FROM documents) GROUP BY token",
@@ -1086,7 +1118,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    # Wrap every query so the engine's runtime conf (UTC session timezone,
+    # AQE, Arrow) is applied to WHATEVER session the driver hands us —
+    # timestamp-producing queries (events_hourly, asof_join) hash-compare
+    # against a TZ-naive DuckDB and silently drift under a non-UTC session.
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            configure_existing(spark)
+            return fn(spark, sf_dir)
+
+        run.__doc__ = fn.__doc__
+        run.__name__ = fn.__name__
+        return run
+
+    return {name: _wrap(fn) for name, fn in _QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

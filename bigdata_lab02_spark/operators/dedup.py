@@ -162,22 +162,45 @@ def minhash_dedup_pairs(
     threshold: float = 0.6,
 ) -> DataFrame:
     """Full MinHash-LSH dedup: candidates from LSH buckets, verified with
-    exact Jaccard over shingle sets → (id_a, id_b, jaccard >= threshold)."""
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
-    sh = docs.select(
-        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+    exact Jaccard over shingle sets → (id_a, id_b, jaccard >= threshold).
+
+    The corpus is tokenized+shingled ONCE: the exploded (id, shingle)
+    stream feeds both the signature aggregation and the exact-Jaccard
+    verification (intersection counted via a pair-constrained join on the
+    shingle — no per-row set arrays materialized)."""
+    ex = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
     )
-    j = (
-        cands.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = (
+        ex.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
         )
     )
-    return j.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("sz"))
+    inter = (
+        cands.join(ex.withColumnsRenamed({id_col: "id_a"}), "id_a")
+        .join(ex.withColumnsRenamed({id_col: "id_b"}), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared") / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
 
 
 # ----------------------------------------------------------------- jaccard
