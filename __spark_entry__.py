@@ -647,6 +647,32 @@ SELECT query_id, label AS pred_label, votes FROM best WHERE rn = 1
 """
 
 
+def q_embedding_near_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact brute force — the
+    correctness baseline the LSH-bucketed variant approximates):
+    all pairs with cosine >= 0.45, id_a < id_b."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    a = v.withColumnsRenamed({"vec_id": "id_a", "v": "va"})
+    b = v.withColumnsRenamed({"vec_id": "id_b", "v": "vb"})
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    cos = array_cosine(F.col("va"), F.col("vb"))
+    return pairs.select(
+        "id_a", "id_b", F.round(cos, 6).alias("cosine")
+    ).where(F.round(cos, 6) >= 0.45)
+
+
+_EMB_NEAR_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+"""
+
+
 def q_textstats(spark, sf_dir):
     """Per-doc token statistics (counts, distincts, mean token length)."""
     docs = _t(spark, sf_dir, "documents")
@@ -682,7 +708,7 @@ def q_quality_ratios(spark, sf_dir):
     toks = tokens_column(text)
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
-    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]")))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
     n_char = F.length(text)
     return docs.select(
         "doc_id",
@@ -1013,6 +1039,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "embedding_topk": q_embedding_topk,
     "embedding_knn_label": q_embedding_knn_label,
+    "embedding_near_pairs": q_embedding_near_pairs,
     "textstats": q_textstats,
     "quality_ratios": q_quality_ratios,
     "fingerprint": q_fingerprint,
@@ -1095,6 +1122,7 @@ _ORACLES: dict[str, str] = {
     "dedup_simhash": _SIMHASH_SQL,
     "embedding_topk": _EMB_TOPK_SQL,
     "embedding_knn_label": _EMB_KNN_SQL,
+    "embedding_near_pairs": _EMB_NEAR_SQL,
     "textstats": _TEXTSTATS_SQL,
     "quality_ratios": _QUALITY_SQL,
     "fingerprint": _FINGERPRINT_SQL,

@@ -34,7 +34,7 @@ def whitespace_token_count(text: Column) -> Column:
 def bpe_like_token_count(text: Column) -> Column:
     """#tokens under a BPE-ish regex (letters runs / digits / punct singles)
     — a deterministic stand-in for tokenizer-based counts."""
-    return F.size(F.regexp_extract_all(text, F.lit(_BPE_RE)))
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_RE), 0))
 
 
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -61,7 +61,7 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens_column(text)
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(_STOP_CORE)))
-    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]")))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
     n_char = F.length(text)
     return docs.withColumns(
         {
@@ -85,6 +85,9 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + 0.3 * (1.0 - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0)))
         + 0.3 * F.least(F.col("stopword_ratio") * 3.0, F.lit(1.0))
     )
+    # a doc with no tokens has no prose signal at all — don't let the
+    # absence-of-punctuation term award it 0.3
+    score = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(score)
     return feats.withColumn("quality_score", score)
 
 
