@@ -14,6 +14,9 @@ pushdown on re-read); the text writers exist for reference-format parity.
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,6 +33,39 @@ def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     interchange format (``docid \\t termid \\t count`` etc.)."""
     cols = [F.col(c).cast("string") for c in df.columns]
     df.select(F.concat_ws("\t", *cols).alias("value")).write.mode(mode).text(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT an exchange — the co-location replaces the shuffle. This is the
+    batch-layout lever for repeated large-to-large joins at 100 TB
+    (fact-to-fact joins on orderkey, doc-to-doc self-joins on shingle
+    buckets). Verified at the plan level in tests/test_bucketing.py."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # a previous session's managed-table directory outlives the (fresh)
+    # metastore; an orphan location fails saveAsTable with
+    # LOCATION_ALREADY_EXISTS — remove it explicitly
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = Path(warehouse.removeprefix("file:")) / table_name.lower()
+    if loc.exists():
+        shutil.rmtree(loc, ignore_errors=True)
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
 
 
 def write_multi(outputs: dict[str, DataFrame], root: str, fmt: str = "parquet") -> None:
