@@ -1005,7 +1005,9 @@ def q_kmeans_fit(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     vecs = mx.to_sparse_vectors(mx.tfidf_matrix(_coo(docs)))
-    res = kmeans_cosine(vecs, k=5, seed=42, theta=0.98, max_iter=8)
+    res = kmeans_cosine(
+        vecs, k=5, seed=42, theta=0.98, max_iter=8, compute_loss=False
+    )
     return res.assignments.select("doc_id", "cluster")
 
 

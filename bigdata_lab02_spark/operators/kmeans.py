@@ -190,12 +190,15 @@ def kmeans_cosine(
     round_dp: int | None = None,
     top_n_terms: int = 10,
     initial_centroids: list[dict[int, float]] | None = None,
+    compute_loss: bool = True,
 ) -> KMeansResult:
     """Sparse cosine K-Means over (doc_id, vec map<int,double>)
     (task2_2.java:558-604). Stops when cos(old, new) ≥ theta for every
     centroid. Also computes per-cluster top-``top_n_terms`` terms by summed
-    weight and the WCSS loss against the NEW centroids, like the
-    reference's update job (task2_2.java:294-356)."""
+    weight and, when ``compute_loss``, the WCSS loss against the NEW
+    centroids, like the reference's update job (task2_2.java:294-356).
+    ``compute_loss=False`` drops 3 extra jobs per iteration for callers
+    that only need assignments."""
     spark = vectors.sparkSession
     docs = vectors.select(
         "doc_id",
@@ -250,38 +253,38 @@ def kmeans_cosine(
             for cid in range(k)
         ]
 
-        # WCSS vs NEW centroids: ‖d‖² + ‖c‖² − 2·d·c (task2_2.java:348-355)
-        new_cent_df = _centroid_df(spark, new_centroids)
-        new_norm2 = {cid: sum(w * w for w in c.values()) for cid, c in enumerate(new_centroids)}
-        dots = (
-            docs.join(assigned.select("doc_id", "cluster"), "doc_id")
-            .select("doc_id", "cluster", "dnorm", F.explode("vec").alias("term_id", "dw"))
-            .join(F.broadcast(new_cent_df), ["cluster", "term_id"])
-            .groupBy("doc_id", "cluster", "dnorm")
-            .agg(F.sum(F.col("dw") * F.col("cw")).alias("dot"))
-        )
-        cn2 = F.array(*[F.lit(new_norm2[c]) for c in range(k)])[F.col("cluster")]
-        per_doc = dots.select(
-            (F.col("dnorm") * F.col("dnorm") + cn2 - 2 * F.col("dot")).alias("sq")
-        )
-        loss = per_doc.agg(F.sum("sq")).collect()[0][0] or 0.0
-        # docs with zero overlap with their centroid contribute ‖d‖²+‖c‖²,
-        # but they appear in `dots` only if overlap > 0; add the remainder:
-        n_overlap = dots.count()
-        n_total = docs.count()
-        if n_overlap < n_total:
-            missing = (
+        if compute_loss:
+            # WCSS vs NEW centroids: ‖d‖² + ‖c‖² − 2·d·c (task2_2.java:348-355).
+            # One job: docs with zero centroid overlap left-join to a null
+            # dot (coalesced to 0 → they contribute ‖d‖² + ‖c‖²).
+            new_cent_df = _centroid_df(spark, new_centroids)
+            new_norm2 = {
+                cid: sum(w * w for w in c.values())
+                for cid, c in enumerate(new_centroids)
+            }
+            dots = (
                 docs.join(assigned.select("doc_id", "cluster"), "doc_id")
-                .join(dots.select("doc_id"), "doc_id", "left_anti")
+                .select("doc_id", "cluster", F.explode("vec").alias("term_id", "dw"))
+                .join(F.broadcast(new_cent_df), ["cluster", "term_id"])
+                .groupBy("doc_id")
+                .agg(F.sum(F.col("dw") * F.col("cw")).alias("dot"))
+            )
+            cn2 = F.array(*[F.lit(new_norm2[c]) for c in range(k)])[F.col("cluster")]
+            loss = (
+                docs.join(assigned.select("doc_id", "cluster"), "doc_id")
+                .join(dots, "doc_id", "left")
                 .select(
-                    (F.col("dnorm") * F.col("dnorm") + cn2).alias("sq")
+                    (
+                        F.col("dnorm") * F.col("dnorm")
+                        + cn2
+                        - 2 * F.coalesce(F.col("dot"), F.lit(0.0))
+                    ).alias("sq")
                 )
                 .agg(F.sum("sq"))
                 .collect()[0][0]
                 or 0.0
             )
-            loss += missing
-        history.append(loss)
+            history.append(loss)
 
         converged = all(
             _cos_dict(old, new) >= theta for old, new in zip(centroids, new_centroids)

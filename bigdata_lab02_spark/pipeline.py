@@ -38,6 +38,7 @@ class TfIdfPipeline:
 
     def __post_init__(self) -> None:
         self._coo: DataFrame | None = None
+        self._tok_counts: DataFrame | None = None
         self._term_dict: DataFrame | None = None
         self._doc_dict: DataFrame | None = None
 
@@ -49,9 +50,20 @@ class TfIdfPipeline:
             toks = encode.stopword_filter(toks, self.stopwords)
         return toks
 
+    def token_counts(self) -> DataFrame:
+        """(doc, token, count) — the pipeline's materialization point: the
+        corpus is tokenized exactly once; the term dictionary and the COO
+        matrix both derive from this (cached) aggregate."""
+        if self._tok_counts is None:
+            tc = self.tokens().groupBy("doc", "token").agg(F.count("*").alias("count"))
+            self._tok_counts = tc.cache() if self.cache_coo else tc
+        return self._tok_counts
+
     def term_dict(self) -> DataFrame:
+        # distinct tokens of the aggregate == distinct raw tokens, so the
+        # dense ids are identical to a raw-token dictionary (golden-checked)
         if self._term_dict is None:
-            self._term_dict = encode.build_term_dict(self.tokens())
+            self._term_dict = encode.build_term_dict(self.token_counts())
         return self._term_dict
 
     def doc_dict(self) -> DataFrame:
@@ -61,8 +73,13 @@ class TfIdfPipeline:
 
     def doc_term_matrix(self) -> DataFrame:
         if self._coo is None:
-            coo = encode.doc_term_counts(self.tokens(), self.term_dict(), self.doc_dict())
-            self._coo = coo.cache() if self.cache_coo else coo
+            tc = self.token_counts()
+            td, dd = self.term_dict(), self.doc_dict()
+            self._coo = (
+                tc.join(F.broadcast(td), tc["token"] == td["term"])
+                .join(F.broadcast(dd), tc["doc"] == dd["doc"])
+                .select("doc_id", "term_id", "count")
+            )
         return self._coo
 
     def filtered_matrix(self) -> DataFrame:
