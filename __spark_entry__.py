@@ -992,9 +992,16 @@ def q_stream_hourly(spark, sf_dir):
     from bigdata_lab02_spark.streaming.events import read_event_stream
 
     d = tempfile.mkdtemp(prefix="events_stream_")
-    shutil.copy(f"{sf_dir}/events.parquet", str(Path(d) / "part-0.parquet"))
-    stream = read_event_stream(spark, d)
-    return run_stream_to_memory(spark, hourly_counts_stream(stream), "stream_hourly_q")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", str(Path(d) / "part-0.parquet"))
+        stream = read_event_stream(spark, d)
+        # run_stream_to_memory is synchronous (processAllAvailable) and the
+        # memory sink holds the results, so the staging dir can go away
+        return run_stream_to_memory(
+            spark, hourly_counts_stream(stream), "stream_hourly_q"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def q_kmeans_fit(spark, sf_dir):

@@ -104,7 +104,10 @@ def dense_ids(
             yield (k, base + j)
 
     out = rdd.mapPartitionsWithIndex(assign)
-    return spark.createDataFrame(out, schema=f"`{key_col}` string, `{id_col}` int")
+    key_type = df.schema[key_col].dataType.simpleString()
+    return spark.createDataFrame(
+        out, schema=f"`{key_col}` {key_type}, `{id_col}` int"
+    )
 
 
 def build_term_dict(tokens: DataFrame, token_col: str = "token", scalable: bool = False) -> DataFrame:
@@ -133,13 +136,30 @@ def doc_term_counts(
 ) -> DataFrame:
     """P5: encode + count → (doc_id, term_id, count).
 
-    Both dictionaries are broadcast — the token stream (the 100 TB side)
-    never shuffles for the join; the only exchange is the partial-aggregated
-    groupBy on (doc_id, term_id). Reference: ``task1_1.java:155-177``.
+    Aggregates BEFORE the dictionary joins (the post-aggregate stream is
+    much smaller than the raw token stream) and both dictionaries are
+    broadcast — the token stream (the 100 TB side) never shuffles for the
+    join; the only exchange is the partial-aggregated groupBy.
+    Reference: ``task1_1.java:155-177``.
     """
-    encoded = (
-        tokens.join(F.broadcast(term_dict), tokens[token_col] == term_dict["term"])
-        .join(F.broadcast(doc_dict), tokens[doc_col] == doc_dict["doc"])
-        .select("doc_id", "term_id")
+    counted = tokens.groupBy(doc_col, token_col).agg(F.count("*").alias("count"))
+    return encode_counted(counted, term_dict, doc_dict, doc_col, token_col)
+
+
+def encode_counted(
+    counted: DataFrame,
+    term_dict: DataFrame,
+    doc_dict: DataFrame,
+    doc_col: str = "doc",
+    token_col: str = "token",
+) -> DataFrame:
+    """Dictionary-encode a pre-aggregated (doc, token, count) stream →
+    (doc_id, term_id, count). Shared by ``doc_term_counts`` and the
+    pipeline facade so the P5 join logic exists once."""
+    return (
+        counted.join(
+            F.broadcast(term_dict), counted[token_col] == term_dict["term"]
+        )
+        .join(F.broadcast(doc_dict), counted[doc_col] == doc_dict["doc"])
+        .select("doc_id", "term_id", "count")
     )
-    return encoded.groupBy("doc_id", "term_id").agg(F.count("*").alias("count"))

@@ -222,7 +222,10 @@ def kmeans_cosine(
     for it in range(1, max_iter + 1):
         cent_df = _centroid_df(spark, centroids)
         norms = [_norm(c) for c in centroids]
-        assigned = _sparse_assign(docs, cent_df, norms, round_dp)
+        if assigned is not None:
+            assigned.unpersist()
+        # cached: reused by sizes.collect / sums.collect / the loss job
+        assigned = _sparse_assign(docs, cent_df, norms, round_dp).cache()
 
         # K6 update: mean over cluster members (implicit zeros via /size)
         nnz = docs.join(assigned.select("doc_id", "cluster"), "doc_id").select(
@@ -293,6 +296,15 @@ def kmeans_cosine(
         if converged:
             break
 
+    # Final re-assignment against the RETURNED centroids so the result is
+    # internally consistent (the loop's `assigned` was argmaxed against the
+    # pre-update set; kmeans_euclidean does the same post-loop re-assign).
+    if assigned is not None:
+        assigned.unpersist()
+    assigned = _sparse_assign(
+        docs, _centroid_df(spark, centroids), [_norm(c) for c in centroids], round_dp
+    )
+    docs.unpersist()
     return KMeansResult(centroids, assigned, history, it, top_terms)
 
 
@@ -301,7 +313,14 @@ def kmeans_cosine(
 
 def _sq_dist_to_set(docs: DataFrame, cent_df: DataFrame, norm2: list[float]) -> DataFrame:
     """Per doc: min squared Euclidean distance to the candidate set
-    (CostMapper, task2_3.java:204-233), closed form over the exploded join."""
+    (CostMapper, task2_3.java:204-233), closed form over the exploded join.
+
+    ``min_sq`` only covers candidates the doc shares a term with; a
+    non-overlapping candidate's distance is exactly ‖d‖² + ‖c‖², so the
+    floor over those is ‖d‖² + min ‖c‖². Taking ``least(min_sq, floor)``
+    is EXACT (not a bound) because weights are non-negative (dot ≥ 0):
+    if the global-min-norm candidate overlaps, its true distance is ≤ the
+    floor and already inside min_sq, so the floor never wins wrongly."""
     dots = (
         docs.select("doc_id", "dnorm", F.explode("vec").alias("term_id", "dw"))
         .join(F.broadcast(cent_df), "term_id")
@@ -313,12 +332,16 @@ def _sq_dist_to_set(docs: DataFrame, cent_df: DataFrame, norm2: list[float]) -> 
         "doc_id",
         (F.col("dnorm") ** 2 + cn2 - 2 * F.col("dot")).alias("sq"),
     ).groupBy("doc_id").agg(F.min("sq").alias("min_sq"))
-    # docs with no overlap with ANY candidate: d² = ‖d‖² + min ‖c‖²
     min_c = min(norm2) if norm2 else 0.0
     return (
-        docs.select("doc_id", (F.col("dnorm") ** 2 + F.lit(min_c)).alias("fallback"))
+        docs.select("doc_id", (F.col("dnorm") ** 2 + F.lit(min_c)).alias("floor"))
         .join(per, "doc_id", "left")
-        .select("doc_id", F.coalesce("min_sq", "fallback").alias("d2"))
+        .select(
+            "doc_id",
+            F.least(
+                F.coalesce("min_sq", F.lit(float("inf"))), F.col("floor")
+            ).alias("d2"),
+        )
     )
 
 

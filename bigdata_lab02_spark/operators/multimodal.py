@@ -77,13 +77,22 @@ def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
 
 
 def extract_features(
-    media: DataFrame, target_partition_mb: int = 128, avg_payload_kb: int = 256
+    media: DataFrame,
+    target_partition_mb: int = 128,
+    avg_payload_kb: int = 256,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Decode + featurize via Arrow-batched mapInPandas.
 
-    Repartitions by BYTES, not rows: rows_per_partition ≈
-    target_partition_mb / avg_payload_kb, so a 4 MB-per-image corpus gets
-    small partitions and a thumbnail corpus gets big ones.
+    Byte-aware sizing happens at two levels:
+    - Arrow batch size: rows_per_batch ≈ target_partition_mb·1024 /
+      avg_payload_kb, so a 4 MB-per-image corpus gets small Arrow batches
+      and a thumbnail corpus gets big ones. NOTE: this sets the
+      session-level ``arrow.maxRecordsPerBatch`` conf (Spark has no
+      per-plan knob), which persists until changed again.
+    - Partition count: when the caller supplies ``n_rows`` (a count is an
+      action, so we don't trigger one implicitly), partitions are sized to
+      hold ≈ rows_per_batch rows each; otherwise default parallelism.
     """
     rows_per_part = max(64, (target_partition_mb * 1024) // max(1, avg_payload_kb))
 
@@ -113,9 +122,10 @@ def extract_features(
 
     spark = media.sparkSession
     parallelism = max(spark.sparkContext.defaultParallelism, 1)
-    # bytes-aware sizing: honor rows_per_part only if it implies more
-    # partitions than the default parallelism (huge payloads)
-    sized = media.repartition(parallelism)
+    n_parts = parallelism
+    if n_rows is not None:
+        n_parts = max(parallelism, -(-n_rows // rows_per_part))  # ceil div
+    sized = media.repartition(n_parts)
     spark.conf.set(
         "spark.sql.execution.arrow.maxRecordsPerBatch", str(rows_per_part)
     )

@@ -18,6 +18,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(df: DataFrame, salt_buckets: int) -> Column:
+    """Deterministic per-row salt: hash of the full row content.
+
+    Deliberately NOT ``monotonically_increasing_id()`` — that expression is
+    nondeterministic across stage retries, so a shuffle-fetch failure could
+    re-salt recomputed rows into different buckets and silently drop or
+    duplicate join output. Content hashing re-salts identically on retry
+    (identical duplicate rows share a salt — slightly weaker spreading,
+    never wrong)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)).cast(
+        "int"
+    )
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -29,11 +43,16 @@ def salted_join(
     so a hot fact key spreads over ``salt_buckets`` tasks.
 
     The salt column pair is dropped from the result; output equals the
-    plain join row-for-row.
+    plain join row-for-row. Only fact-preserving join types are allowed —
+    right/full would emit ``salt_buckets`` null-extended copies of every
+    unmatched (replicated) dim row.
     """
-    fact_s = fact.withColumn(
-        "__salt", (F.abs(F.xxhash64(F.monotonically_increasing_id())) % salt_buckets).cast("int")
-    )
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only, not {how!r} "
+            "(unmatched dim rows are replicated per salt)"
+        )
+    fact_s = fact.withColumn("__salt", _row_salt(fact, salt_buckets))
     dim_s = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
@@ -52,10 +71,7 @@ def salted_aggregate(
     ``aggs`` maps column → algebraic agg name ('sum'|'count'|'min'|'max').
     Result columns are named ``<agg>_<col>`` (count: ``count_<col>``).
     """
-    salted = df.withColumn(
-        "__salt",
-        (F.abs(F.xxhash64(F.monotonically_increasing_id())) % salt_buckets).cast("int"),
-    )
+    salted = df.withColumn("__salt", _row_salt(df, salt_buckets))
     partial_exprs = []
     final_exprs = []
     for col, agg in aggs.items():

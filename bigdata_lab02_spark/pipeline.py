@@ -3,9 +3,10 @@
 Wires S1→P1→P2→P3/P4→P5→P6→P8/P9/P10→P11→P12/P13 as ONE lazy logical plan
 per output. The reference runs this as 11 MapReduce jobs with HDFS text
 files between every pair; here each requested output is a single Spark
-action and Catalyst shares/reuses the common prefix (we ``cache()`` the COO
-matrix — the pipeline's natural materialization point — because everything
-downstream fans out from it).
+action and Catalyst shares/reuses the common prefix. The cached
+materialization point is ``token_counts()`` — the (doc, token, count)
+aggregate the dictionary and every matrix stage fan out from, so the
+corpus is tokenized exactly once.
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ class TfIdfPipeline:
     corpus: DataFrame
     stopwords: list[str] = field(default_factory=list)
     min_count: int = 3
-    cache_coo: bool = True
+    cache_token_counts: bool = True
 
     def __post_init__(self) -> None:
         self._coo: DataFrame | None = None
@@ -56,7 +57,7 @@ class TfIdfPipeline:
         matrix both derive from this (cached) aggregate."""
         if self._tok_counts is None:
             tc = self.tokens().groupBy("doc", "token").agg(F.count("*").alias("count"))
-            self._tok_counts = tc.cache() if self.cache_coo else tc
+            self._tok_counts = tc.cache() if self.cache_token_counts else tc
         return self._tok_counts
 
     def term_dict(self) -> DataFrame:
@@ -73,12 +74,8 @@ class TfIdfPipeline:
 
     def doc_term_matrix(self) -> DataFrame:
         if self._coo is None:
-            tc = self.token_counts()
-            td, dd = self.term_dict(), self.doc_dict()
-            self._coo = (
-                tc.join(F.broadcast(td), tc["token"] == td["term"])
-                .join(F.broadcast(dd), tc["doc"] == dd["doc"])
-                .select("doc_id", "term_id", "count")
+            self._coo = encode.encode_counted(
+                self.token_counts(), self.term_dict(), self.doc_dict()
             )
         return self._coo
 
