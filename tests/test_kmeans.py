@@ -92,10 +92,11 @@ def test_cosine_reference_tfidf(spark):
     res = km.kmeans_cosine(vecs, k=5, seed=42, theta=0.98, max_iter=12, round_dp=3)
     assert len(res.centroids) == 5
     assert res.assignments.count() == 2224
-    # golden trace: 7 iterations, 50241 → 41409, strictly decreasing.
-    # Ours: same ballpark magnitude and overall-decreasing trend (init differs).
+    # Golden trace (50241 → 41409) is ~k× inflated by reference quirk Q11
+    # (loss reducer accumulates docs across clusters — SURVEY errata); the
+    # TRUE WCSS is bounded by Σ‖d‖² + Σ‖c‖² ≈ 10.6k, which ours respects.
     assert 2 <= res.iterations <= 12
-    assert res.loss_history[0] < 80000
+    assert res.loss_history[0] < 12000
     assert res.loss_history[-1] <= res.loss_history[0]
     assert all(len(t) == 10 for t in res.top_terms)
     # every cluster non-empty
