@@ -1004,6 +1004,104 @@ def q_stream_hourly(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate ANN — the 100 TB scale path for similarity search:
+    corpus vectors assigned once to coarse lists (nearest of 10 fixed
+    centroids = embeddings with vec_id % 50 == 0 and vec_id < 500), queries
+    (vec_id < 10) probe only their 3 nearest lists. Fully deterministic, so
+    the oracle reproduces it exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)).select(
+        (F.col("vec_id") / 50).cast("int").alias("cluster_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    out = sim.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), cents, k=5, nprobe=3
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+_IVF_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT CAST(vec_id / 50 AS INT) AS cid, v AS cvec FROM e
+      WHERE vec_id % 50 = 0 AND vec_id < 500),
+cos_c AS (
+  SELECT e.vec_id, c.cid,
+    list_dot_product(e.v, c.cvec)
+      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cvec, c.cvec))) AS cc
+  FROM e CROSS JOIN c),
+lists AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rn
+    FROM cos_c) WHERE rn <= 1),
+probes AS (
+  SELECT vec_id AS query_id, cid AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rn
+    FROM cos_c WHERE vec_id < 10) WHERE rn <= 3),
+scored AS (
+  SELECT p.query_id, l.vec_id AS neighbor_id,
+    list_dot_product(q.v, n.v)
+      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS cosine
+  FROM probes p
+  JOIN lists l ON l.list_id = p.list_id
+  JOIN e q ON q.vec_id = p.query_id
+  JOIN e n ON n.vec_id = l.vec_id
+  WHERE l.vec_id != p.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM ranked WHERE rn <= 5
+"""
+
+
+def q_order_gaps(spark, sf_dir):
+    """Window lag: average days between a customer's consecutive orders."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # o_orderdate reads as TIMESTAMP_NTZ (no direct double cast); go via
+    # timestamp — session TZ is UTC so epoch equals DuckDB's naive epoch()
+    secs = F.col("o_orderdate").cast("timestamp").cast("double")
+    gap_days = (secs - F.lag(secs).over(w)) / 86400.0
+    return (
+        orders.withColumn("gap", gap_days)
+        .where(F.col("gap").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.avg("gap"), 6).alias("avg_gap_days"),
+            F.count("*").alias("n_gaps"),
+        )
+    )
+
+
+_ORDER_GAPS_SQL = """
+WITH g AS (
+  SELECT o_custkey,
+    (epoch(o_orderdate) - epoch(lag(o_orderdate) OVER (
+       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))) / 86400.0 AS gap
+  FROM orders)
+SELECT o_custkey, round(avg(gap), 6) AS avg_gap_days, count(*) AS n_gaps
+FROM g WHERE gap IS NOT NULL GROUP BY o_custkey
+"""
+
+
+def q_cube_orders(spark, sf_dir):
+    """CUBE grouping sets over status × priority."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def q_kmeans_fit(spark, sf_dir):
     """Full seeded cosine K-Means fit (iterative driver loop, D1) over
     TF-IDF vectors of the documents table — genuinely non-SQL-expressible
@@ -1060,6 +1158,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p4_doc_dict": q_p4_doc_dict,
     "kmeans_cost": q_kmeans_cost,
     "kmeans_weights": q_kmeans_weights,
+    "ivf_topk": q_ivf_topk,
+    "order_gaps": q_order_gaps,
+    "cube_orders": q_cube_orders,
     "kmeans_fit": q_kmeans_fit,
     "stream_hourly": q_stream_hourly,
 }
@@ -1141,6 +1242,9 @@ _ORACLES: dict[str, str] = {
     "price_percentiles": _PCTL_SQL,
     "pivot_status": _PIVOT_SQL,
     "p4_doc_dict": _P4_SQL,
+    "ivf_topk": _IVF_SQL,
+    "order_gaps": _ORDER_GAPS_SQL,
+    "cube_orders": _CUBE_SQL,
     "kmeans_cost": _KMEANS_COST_SQL,
     "kmeans_weights": _KMEANS_WEIGHTS_SQL,
 }
