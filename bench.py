@@ -39,6 +39,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "embedding_topk",
+    "ivf_topk",
+    "asof_join",
     "kmeans_assign",
     "kmeans_update",
 ]
