@@ -450,7 +450,7 @@ WITH flagged AS (
          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
          THEN 1 ELSE 0 END AS new_sess
   FROM events)
-SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM flagged GROUP BY user_id
 """
 
@@ -529,44 +529,10 @@ SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.5
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """Portable 60-bit SimHash per doc from md5 token hashes (distinct
-    tokens, majority bit vote). Distributed form: token × bit grid →
-    per-bit majority → weighted bit sum."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(tokens_column(F.col("text")))).alias("tok"),
-    )
-    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
-    tok_h = toks.select("doc_id", h.alias("h"))
-    # (bit index, 2^bit weight) dimension — shift amounts must be literals
-    # in Spark, so carry the weight as data instead.
-    bits = spark.createDataFrame(
-        [(b, 1 << b, 1 << (b + 1)) for b in range(60)], "b int, weight long, modulus long"
-    )
-    # bit b of h == (h mod 2^(b+1)) >= 2^b — pure integer math (double
-    # division would lose bits above 2^53)
-    grid = tok_h.crossJoin(F.broadcast(bits)).select(
-        "doc_id",
-        "b",
-        "weight",
-        F.when((F.col("h") % F.col("modulus")) >= F.col("weight"), F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("bit"),
-    )
-    return (
-        grid.groupBy("doc_id", "b", "weight")
-        .agg(F.sum("bit").alias("ones"), F.count("*").alias("total"))
-        .withColumn(
-            "contrib",
-            F.when(F.col("ones") * 2 > F.col("total"), F.col("weight")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("contrib").alias("simhash"))
-    )
+    """Portable 60-bit SimHash per doc (operators.dedup.simhash — the one
+    SimHash implementation: explode distinct tokens once, one groupBy with
+    60 conditional-sum aggregates, bit-assembly projection)."""
+    return dd.simhash(_t(spark, sf_dir, "documents"))
 
 
 _SIMHASH_SQL = f"""
@@ -580,8 +546,32 @@ maj AS (
   SELECT doc_id, b, sum(bit) AS ones, count(*) AS total
   FROM grid GROUP BY doc_id, b)
 SELECT doc_id,
-  sum(CASE WHEN ones * 2 > total THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+  CAST(sum(CASE WHEN ones * 2 > total THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM maj GROUP BY doc_id
+"""
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming near-pairs — the SCALE path for sketch dedup:
+    pigeonhole blocking on 16-bit chunks (distance ≤ max_hamming < 4 ⇒ at
+    least one of 4 chunks equal), so the self-join runs on chunk equality,
+    never all-pairs (operators.dedup.simhash_dup_pairs)."""
+    sketches = dd.simhash(_t(spark, sf_dir, "documents"))
+    out = dd.simhash_dup_pairs(sketches, max_hamming=2)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH sh AS ({_SIMHASH_SQL}),
+ch AS (
+  SELECT doc_id, simhash, i, (simhash >> (16 * i)) & 65535 AS c
+  FROM sh, (SELECT unnest(range(4)) AS i)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM ch a JOIN ch b ON a.i = b.i AND a.c = b.c AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 2
 """
 
 
@@ -671,6 +661,58 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v)
     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
 """
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Hyperplane-LSH near-dup pairs — the SCALE path the brute-force
+    embedding_near_pairs baseline approximates: vectors meet only inside a
+    (table, sign-bucket) LSH cell (3 tables × 4 deterministic md5-seeded
+    hyperplanes), candidates dedupe on the id pair, then one exact cosine
+    verification per candidate (operators.similarity.embedding_dup_pairs).
+    Deterministic math ⇒ the oracle reproduces bucket membership exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_dup_pairs(
+        emb, dim=64, threshold=0.45, n_planes=4, n_tables=3, round_dp=6
+    )
+
+
+def _emb_dup_sql(dim=64, n_planes=4, n_tables=3, threshold=0.45) -> str:
+    """Mirror embedding_dup_pairs in DuckDB: the deterministic hyperplane
+    components are inlined as literal DOUBLE[] (same md5 math both sides)."""
+    from bigdata_lab02_spark.operators.similarity import _hyperplane
+
+    tabs = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            arr = (
+                "["
+                + ", ".join(repr(c) for c in _hyperplane(dim, t * n_planes + p))
+                + "]::DOUBLE[]"
+            )
+            bits.append(
+                f"CASE WHEN list_dot_product(v, {arr}) >= 0 THEN '1' ELSE '0' END"
+            )
+        tabs.append(
+            f"SELECT vec_id, {t} AS t, ({' || '.join(bits)}) AS bucket FROM e"
+        )
+    banded = " UNION ALL ".join(tabs)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT id_a, id_b,
+    round(list_dot_product(ea.v, eb.v)
+      / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+  FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+"""
+
+
+_EMB_DUP_SQL = _emb_dup_sql()
 
 
 def q_textstats(spark, sf_dir):
@@ -1144,9 +1186,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_simhash_pairs,
     "embedding_topk": q_embedding_topk,
     "embedding_knn_label": q_embedding_knn_label,
     "embedding_near_pairs": q_embedding_near_pairs,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
     "textstats": q_textstats,
     "quality_ratios": q_quality_ratios,
     "fingerprint": q_fingerprint,
@@ -1175,7 +1219,7 @@ _ORACLES: dict[str, str] = {
     "p5_doc_term_matrix": _COO_SQL,
     "p6_freq_filter": f"SELECT * FROM ({_COO_SQL}) WHERE count >= 3",
     "p7_top_terms": f"""
-        SELECT term_id, sum(count) AS total FROM ({_COO_SQL})
+        SELECT term_id, CAST(sum(count) AS BIGINT) AS total FROM ({_COO_SQL})
         GROUP BY term_id ORDER BY total DESC, term_id ASC LIMIT 10""",
     "p8_tf": f"""
         SELECT doc_id, term_id,
@@ -1230,9 +1274,11 @@ _ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_simhash": _SIMHASH_SQL,
+    "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
     "embedding_topk": _EMB_TOPK_SQL,
     "embedding_knn_label": _EMB_KNN_SQL,
     "embedding_near_pairs": _EMB_NEAR_SQL,
+    "embedding_dup_pairs": _EMB_DUP_SQL,
     "textstats": _TEXTSTATS_SQL,
     "quality_ratios": _QUALITY_SQL,
     "fingerprint": _FINGERPRINT_SQL,

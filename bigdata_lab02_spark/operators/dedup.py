@@ -9,8 +9,9 @@ Five families, all shuffle-disciplined for 100 TB corpora:
   join. Candidate generation never compares all pairs: docs meet only
   inside an LSH bucket, so the join key is (band_id, band_hash) and the
   shuffle is proportional to Σ bucket² not n².
-- **SimHash** (``simhash64``): 64-bit hyperplane sketch from token hashes;
-  near-dups have small Hamming distance. Bit math via built-ins.
+- **SimHash** (``simhash``): 60-bit hyperplane sketch from md5 token
+  hashes; near-dups have small Hamming distance. Bit math via built-ins;
+  portable (the DuckDB oracle reproduces it bit-for-bit).
 - **n-gram Jaccard** (``ngram_jaccard_pairs``): exact Jaccard over shingle
   sets for candidate pairs (inverted-index join on shared shingles —
   rare-shingle blocking keeps it subquadratic).
@@ -256,32 +257,50 @@ def ngram_jaccard_pairs(
 # ----------------------------------------------------------------- simhash
 
 
-def simhash64(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
 ) -> DataFrame:
-    """64-bit SimHash per doc: for each bit position, sum ±1 over token
-    hashes' bits; bit set iff the sum is positive. Built-in bit ops on
-    xxhash64 token hashes — no UDF.
+    """Portable SimHash (Charikar 2002): a ``bits``-bit sketch per doc from
+    md5 token hashes — per bit position, majority vote over the distinct
+    tokens' hash bits. Returns (id, simhash long). Near-dups ⇒ small
+    Hamming distance (``F.bit_count(a ^ b)``).
 
-    (id, simhash long). Near-dups ⇒ small Hamming distance
-    (``F.bit_count(a ^ b)``).
+    This is the single SimHash implementation — the gate query, the
+    Hamming-pair blocking, and the DuckDB oracle all use it. The hash is
+    ``conv(substr(md5(tok),1,15),16,10)`` (top 60 bits of md5), which any
+    engine with md5 reproduces bit-for-bit (DuckDB:
+    ``('0x'||substr(md5(tok),1,15))::BIGINT``).
+
+    Shape (the 100 TB plan): explode distinct tokens ONCE, then ONE
+    groupBy(doc) carrying ``bits`` conditional-sum aggregates plus a count,
+    then a single bit-assembly projection. Map-side partial aggregation
+    does the heavy lifting; nothing multiplies the token stream ×bits
+    through the shuffle (the bit-grid crossJoin form does), and no per-row
+    array expression is duplicated ``bits`` times (the codegen cliff the
+    minhash operator documents).
     """
-    toks = tokens_column(F.col(text_col))
-    hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
-    # For each bit b: count tokens with bit set minus tokens with bit clear.
-    bit_cols = []
-    for b in range(64):
-        # NB: two-parameter lambdas in F.filter receive (element, index) —
-        # compute the mask outside so the closure stays single-arg.
-        mask = (1 << b) if b < 63 else -(2**63)
-        ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(mask)) != 0))
-        total = F.size(hashes)
-        bit = F.when((ones * 2) > total, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bit_cols.append(bit * F.lit(mask).cast("long"))
-    sim = bit_cols[0]
-    for c in bit_cols[1:]:
-        sim = sim + c
-    return docs.select(F.col(id_col), sim.alias("simhash"))
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens_column(F.col(text_col)))).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    th = toks.select(F.col(id_col), h.alias("h"))
+    aggs = [F.count("*").alias("__n")] + [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != F.lit(0), 1).otherwise(0)
+        ).alias(f"__o{b}")
+        for b in range(bits)
+    ]
+    grouped = th.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(
+            F.col(f"__o{b}") * 2 > F.col("__n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return grouped.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_dup_pairs(

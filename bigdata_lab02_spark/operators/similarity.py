@@ -85,14 +85,17 @@ def hyperplane_buckets(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    table: int = 0,
 ) -> DataFrame:
     """(id, bucket): bucket = bit-string of sign(v·h_p) over n_planes
     deterministic hyperplanes. Cosine-close vectors collide with high
-    probability (random-hyperplane LSH)."""
+    probability (random-hyperplane LSH). ``table`` offsets the plane seeds
+    so multiple independent hash tables can be built (LSH amplification:
+    candidates = union over tables)."""
     v = as_double_array(F.col(vec_col))
     bits = []
     for p in range(n_planes):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, table * n_planes + p)])
         dot = F.aggregate(
             F.zip_with(v, plane, lambda x, h: x * h),
             F.lit(0.0),
@@ -109,27 +112,64 @@ def embedding_dup_pairs(
     dim: int,
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dp: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine ≥ threshold, bucket-blocked so the
-    self-join runs inside LSH buckets instead of n²."""
-    buckets = hyperplane_buckets(vectors, dim, n_planes, id_col, vec_col)
-    v = vectors.select(
-        F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
-    ).join(buckets, id_col)
-    a, b = v.alias("a"), v.alias("b")
-    return (
+    """Near-duplicate pairs by cosine ≥ threshold, hyperplane-LSH-blocked
+    so the self-join runs inside buckets instead of n².
+
+    ``n_tables`` independent hash tables trade shuffle volume for recall
+    (a pair is a candidate if it collides in ANY table — the classic
+    AND-of-planes / OR-of-tables amplification). All tables are computed
+    in one pass (explode over (table, bucket)), the self-join key is
+    (table, bucket), and candidates are deduped on the id pair before the
+    exact cosine verification — each surviving pair is verified once.
+    ``round_dp`` rounds the cosine BEFORE the threshold test (cross-engine
+    determinism at the threshold boundary — the oracle does the same)."""
+    v = vectors.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+    entries = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            plane = F.array(
+                *[F.lit(c) for c in _hyperplane(dim, t * n_planes + p)]
+            )
+            dot = F.aggregate(
+                F.zip_with(F.col("v"), plane, lambda x, h: x * h),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+        entries.append(
+            F.struct(F.lit(t).alias("t"), F.concat(*bits).alias("bucket"))
+        )
+    banded = v.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("tb")
+    ).select(id_col, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            array_cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
+        .distinct()
+    )
+    va = v.withColumnsRenamed({id_col: "id_a", "v": "va"})
+    vb = v.withColumnsRenamed({id_col: "id_b", "v": "vb"})
+    cos = array_cosine(F.col("va"), F.col("vb"))
+    if round_dp is not None:
+        cos = F.round(cos, round_dp)
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 
