@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from bigdata_lab02_spark.functions.text import tokens_column
 from bigdata_lab02_spark.functions.vectors import array_cosine, as_double_array
 from bigdata_lab02_spark.operators import dedup as dd
+from bigdata_lab02_spark.operators.encode import dense_ids
 from bigdata_lab02_spark.operators import matrix as mx
 from bigdata_lab02_spark.operators import similarity as sim
 from bigdata_lab02_spark.session import configure_existing
@@ -78,13 +79,13 @@ def _ftokens(docs: DataFrame) -> DataFrame:
 
 
 def _term_dict(docs: DataFrame) -> DataFrame:
-    """P3 dense ids over the filtered token vocabulary."""
-    w = Window.orderBy("term")
-    return (
-        _ftokens(docs)
-        .select(F.col("token").alias("term"))
-        .distinct()
-        .select("term", F.row_number().over(w).cast("int").alias("term_id"))
+    """P3 dense ids over the filtered token vocabulary — the distributed
+    two-level rank (never the single-partition global window)."""
+    return dense_ids(
+        _ftokens(docs).select(F.col("token").alias("term")),
+        "term",
+        "term_id",
+        scalable=True,
     )
 
 
@@ -105,12 +106,7 @@ def _coo(docs: DataFrame) -> DataFrame:
     counts = (
         _ftokens(docs).groupBy("doc_id", "token").agg(F.count("*").alias("count"))
     )
-    w = Window.orderBy("token")
-    td = (
-        counts.select(F.col("token"))
-        .distinct()
-        .select("token", F.row_number().over(w).cast("int").alias("term_id"))
-    )
+    td = dense_ids(counts.select("token"), "token", "term_id", scalable=True)
     return counts.join(F.broadcast(td), "token").select("doc_id", "term_id", "count")
 
 
@@ -470,9 +466,14 @@ FROM documents GROUP BY 1
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard pairs >= 0.5 via inverted-index join."""
+    """Exact 3-gram Jaccard pairs >= 0.5 via inverted-index join, with
+    ``max_shingle_df=5`` blocking: shingles appearing in more than 5 docs
+    (boilerplate) are dropped from candidate generation — the knob that
+    keeps exact Jaccard subquadratic on boilerplate-heavy corpora. Sizes
+    stay unfiltered; the intersection runs over rare shingles only (the
+    oracle mirrors both)."""
     out = dd.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.5
+        _t(spark, sf_dir, "documents"), threshold=0.5, max_shingle_df=5
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -481,10 +482,12 @@ _NGRAM_JACCARD_SQL = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
 ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+dfs AS (SELECT sh, count(*) AS df FROM ex GROUP BY 1),
+exc AS (SELECT ex.doc_id, ex.sh FROM ex JOIN dfs USING (sh) WHERE df <= 5),
 sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM exc a JOIN exc b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b,
   round(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 6) AS jaccard
@@ -862,27 +865,31 @@ GROUP BY cluster_id, dim
 
 def q_asof_join(spark, sf_dir):
     """As-of join (Spark has no native one): each event matched to the
-    latest order at-or-before its timestamp, per customer-mod-10 shard.
-    Expressed as the classic union-and-carry-forward: tag both streams,
-    sort by time within the shard, carry the last seen order key forward
-    with last_value(ignorenulls) — one shuffle, no range explosion."""
+    latest order at-or-before its timestamp for the SAME customer
+    (user_id = o_custkey — the natural join key). Expressed as the classic
+    union-and-carry-forward: tag both streams, sort by time within the key
+    partition, carry the last seen order key forward with
+    last(ignorenulls) — one shuffle keyed by the natural key, no range
+    explosion, and parallelism scales with the number of customers
+    (the previous mod-10 sharding capped the window at 10 partitions
+    regardless of cluster size)."""
     ev = _events(spark, sf_dir).select(
-        (F.col("user_id") % 10).alias("shard"), F.col("ts"), F.col("event_id")
+        F.col("user_id").alias("k"), F.col("ts"), F.col("event_id")
     )
     orders = _t(spark, sf_dir, "orders").select(
-        (F.col("o_custkey") % 10).alias("shard"),
+        F.col("o_custkey").alias("k"),
         F.col("o_orderdate").alias("ts"),
         F.col("o_orderkey"),
     )
-    # deterministic: keep the max orderkey per (shard, date)
-    o1 = orders.groupBy("shard", "ts").agg(F.max("o_orderkey").alias("okey"))
+    # deterministic: keep the max orderkey per (customer, date)
+    o1 = orders.groupBy("k", "ts").agg(F.max("o_orderkey").alias("okey"))
     tagged = o1.select(
-        "shard", "ts", "okey", F.lit(None).cast("long").alias("event_id")
+        "k", "ts", "okey", F.lit(None).cast("long").alias("event_id")
     ).unionByName(
-        ev.select("shard", "ts", F.lit(None).cast("long").alias("okey"), "event_id")
+        ev.select("k", "ts", F.lit(None).cast("long").alias("okey"), "event_id")
     )
     w = (
-        Window.partitionBy("shard")
+        Window.partitionBy("k")
         .orderBy(F.col("ts"), F.col("okey").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -896,11 +903,11 @@ def q_asof_join(spark, sf_dir):
 
 _ASOF_SQL = """
 WITH o1 AS (
-  SELECT o_custkey % 10 AS shard, o_orderdate AS ots, max(o_orderkey) AS okey
+  SELECT o_custkey AS k, o_orderdate AS ots, max(o_orderkey) AS okey
   FROM orders GROUP BY 1, 2),
-ev AS (SELECT event_id, user_id % 10 AS shard, ts FROM events)
+ev AS (SELECT event_id, user_id AS k, ts FROM events)
 SELECT ev.event_id, o1.okey AS matched_order
-FROM ev ASOF LEFT JOIN o1 ON ev.shard = o1.shard AND ev.ts >= o1.ots
+FROM ev ASOF LEFT JOIN o1 ON ev.k = o1.k AND ev.ts >= o1.ots
 """
 
 
@@ -952,14 +959,10 @@ FROM orders GROUP BY o_orderpriority
 
 def q_p4_doc_dict(spark, sf_dir):
     """P4: dense sequential ids over distinct document sources (the
-    dictionary-build pattern applied to the doc-side dimension)."""
+    dictionary-build pattern applied to the doc-side dimension), via the
+    distributed two-level rank."""
     docs = _t(spark, sf_dir, "documents")
-    w = Window.orderBy("source")
-    return (
-        docs.select("source")
-        .distinct()
-        .select("source", F.row_number().over(w).cast("int").alias("source_id"))
-    )
+    return dense_ids(docs.select("source"), "source", "source_id", scalable=True)
 
 
 _P4_SQL = """
@@ -1020,9 +1023,12 @@ SELECT cluster_id, count(*) AS weight FROM assigned GROUP BY cluster_id
 def q_stream_hourly(spark, sf_dir):
     """Structured Streaming twin of events_hourly: replays the events
     parquet through readStream (watermarked tumbling windows, memory sink)
-    and returns the emitted windows. Rows-only check — incremental
-    execution isn't SQL-expressible, but each emitted window equals the
-    batch/oracle value (asserted in tests)."""
+    and returns the emitted windows. The memory sink runs in COMPLETE mode
+    so the final table carries every window (append mode would hold back
+    windows newer than the final watermark) — making the result exactly
+    the batch events_hourly oracle. Append-mode + watermark semantics are
+    exercised in tests/test_multimodal_streaming.py against the batch
+    result; the production API default stays append."""
     import shutil
     import tempfile
     from pathlib import Path
@@ -1040,7 +1046,7 @@ def q_stream_hourly(spark, sf_dir):
         # run_stream_to_memory is synchronous (processAllAvailable) and the
         # memory sink holds the results, so the staging dir can go away
         return run_stream_to_memory(
-            spark, hourly_counts_stream(stream), "stream_hourly_q"
+            spark, hourly_counts_stream(stream), "stream_hourly_q", mode="complete"
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -1209,9 +1215,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hourly": q_stream_hourly,
 }
 
-# Queries with no SQL-expressible oracle (iterative driver loops,
-# incremental streaming) — the driver records a weaker rows-only check.
-ROWS_ONLY = {"kmeans_fit", "stream_hourly"}
+# Queries with no SQL-expressible oracle — the driver records a weaker
+# rows-only check. (Empty since round 2: the streaming replay is gated
+# against the batch SQL via a complete-mode memory sink, and the K-Means
+# fit is gated as a deterministic fixed-init unrolled-iteration run.)
+ROWS_ONLY: set[str] = set()
 
 _ORACLES: dict[str, str] = {
     "p1_token_counts": f"SELECT token, count(*) AS n FROM (SELECT unnest({_FTOKS}) AS token FROM documents) GROUP BY token",
@@ -1293,6 +1301,7 @@ _ORACLES: dict[str, str] = {
     "cube_orders": _CUBE_SQL,
     "kmeans_cost": _KMEANS_COST_SQL,
     "kmeans_weights": _KMEANS_WEIGHTS_SQL,
+    "stream_hourly": _EVENTS_HOURLY_SQL,
 }
 
 

@@ -15,7 +15,7 @@ Spark-first choices:
   ``row_number()`` over a global ordering. An empty ``partitionBy`` window
   funnels through one task — fine for dictionary-sized data (vocab ~34k),
   and documented as the scalability seam: ``dense_ids(..., scalable=True)``
-  uses the sort-then-zipWithIndex pattern that keeps id assignment
+  uses a range-partitioned two-level rank that keeps id assignment
   distributed for billion-row dictionaries.
 - **Counting (P5)**: ``groupBy(doc_id, term_id).count()`` — map-side partial
   aggregation replaces the reference's combiner-less word count; dictionary
@@ -71,10 +71,18 @@ def dense_ids(
     window — one task sees all N keys. Correct and fast for
     dictionary-sized N (vocabularies, category lists).
 
-    ``scalable=True``: sort-partition + per-partition zipWithIndex with
-    partition-offset reconstruction — id assignment stays distributed, for
-    dictionaries that are themselves big data. Same result, no single-task
-    bottleneck.
+    ``scalable=True``: a two-level rank, all DataFrame ops — id assignment
+    stays distributed for dictionaries that are themselves big data. Same
+    result, no single-task bottleneck, no driver round-trip:
+
+    1. range-partition the distinct keys (partition p holds a contiguous
+       sorted key range, so partition id order == key order),
+    2. local rank: ``row_number()`` partitioned BY partition id (parallel —
+       never the single-partition global window),
+    3. per-partition offsets from the (tiny, #partitions-row) count table
+       via a triangular self-join prefix sum — declarative, so no global
+       window and no collect,
+    4. id = offset + local rank, broadcast-joined back.
     """
     distinct = df.select(F.col(key_col)).distinct()
     if not scalable:
@@ -83,30 +91,23 @@ def dense_ids(
             key_col, (F.row_number().over(w) + (start - 1)).cast("int").alias(id_col)
         )
 
-    # Distributed dense ranking: range-partition by key (so partition p holds
-    # a contiguous sorted key range), count rows per partition, prefix-sum
-    # the counts on the driver (tiny), then offset each partition's local
-    # zipWithIndex. This is the classic scalable zipWithIndex idiom.
-    sdf = distinct.repartitionByRange(distinct.sparkSession.sparkContext.defaultParallelism, F.col(key_col)).sortWithinPartitions(key_col)
-    rdd = sdf.rdd.map(lambda r: r[0])
-    counts = rdd.mapPartitionsWithIndex(lambda i, it: [(i, sum(1 for _ in it))]).collect()
-    offsets = {}
-    acc = start
-    for i, c in sorted(counts):
-        offsets[i] = acc
-        acc += c
-    spark = df.sparkSession
-    boff = spark.sparkContext.broadcast(offsets)
-
-    def assign(i, it):
-        base = boff.value[i]
-        for j, k in enumerate(it):
-            yield (k, base + j)
-
-    out = rdd.mapPartitionsWithIndex(assign)
-    key_type = df.schema[key_col].dataType.simpleString()
-    return spark.createDataFrame(
-        out, schema=f"`{key_col}` {key_type}, `{id_col}` int"
+    n = df.sparkSession.sparkContext.defaultParallelism
+    parts = distinct.repartitionByRange(n, F.col(key_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = parts.withColumn(
+        "__lr", F.row_number().over(Window.partitionBy("__pid").orderBy(key_col))
+    )
+    counts = parts.groupBy("__pid").agg(F.count("*").alias("__n"))
+    offs = (
+        counts.alias("a")
+        .join(counts.alias("b"), F.col("b.__pid") < F.col("a.__pid"), "left")
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("b.__n"), F.lit(0)).alias("__off"))
+    )
+    return local.join(F.broadcast(offs), "__pid").select(
+        key_col,
+        (F.col("__lr") + F.col("__off") + (start - 1)).cast("int").alias(id_col),
     )
 
 
@@ -121,7 +122,9 @@ def build_term_dict(tokens: DataFrame, token_col: str = "token", scalable: bool 
 def build_doc_dict(corpus: DataFrame, doc_col: str = "doc", scalable: bool = False) -> DataFrame:
     """P4: distinct docs → (doc, doc_id) with ids 1..N in sorted doc-name
     order (golden: Output1_1_2, 2,225 docs)."""
-    return dense_ids(corpus.select(F.col(doc_col)), "doc", "doc_id", scalable=scalable)
+    return dense_ids(
+        corpus.select(F.col(doc_col).alias("doc")), "doc", "doc_id", scalable=scalable
+    )
 
 
 # ------------------------------------------------------------------ P5

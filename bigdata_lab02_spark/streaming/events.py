@@ -46,11 +46,19 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
 
 def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Tumbling 1-hour windowed counts+sums per event_type with late-data
-    watermark — the streaming twin of the batch events_hourly query."""
+    watermark — the streaming twin of the batch events_hourly query.
+    The value sum goes through DECIMAL(18,2) (exact, order-independent)
+    then back to double, exactly like the batch twin — so an emitted window
+    equals the batch/oracle value bit-for-bit."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
         .select(F.col("w.start").alias("bucket"), "event_type", "n", "total_value")
     )
 

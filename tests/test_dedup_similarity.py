@@ -70,7 +70,7 @@ def test_ngram_jaccard_blocking_consistent(near_dup_docs):
 
 
 def test_simhash_hamming_close_for_near_dups(spark, near_dup_docs):
-    sh = dd.simhash64(near_dup_docs)
+    sh = dd.simhash(near_dup_docs)
     pairs = dd.simhash_dup_pairs(sh, max_hamming=6).collect()
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
     assert got.get((1, 2)) == 0  # identical text → identical sketch
@@ -78,9 +78,39 @@ def test_simhash_hamming_close_for_near_dups(spark, near_dup_docs):
     assert (4, 5) not in got
 
 
+def test_simhash_values_fit_60_bits(near_dup_docs):
+    vals = [r["simhash"] for r in dd.simhash(near_dup_docs).collect()]
+    assert all(0 <= v < (1 << 60) for v in vals)
+
+
+def test_embedding_dup_pairs_multi_table_superset(embeddings_small):
+    """More tables ⇒ candidate set grows monotonically (OR-amplification);
+    every reported pair meets the threshold."""
+    one = {
+        (r["id_a"], r["id_b"])
+        for r in sim.embedding_dup_pairs(
+            embeddings_small, dim=64, threshold=0.3, n_planes=4, n_tables=1
+        ).collect()
+    }
+    three = {
+        (r["id_a"], r["id_b"])
+        for r in sim.embedding_dup_pairs(
+            embeddings_small, dim=64, threshold=0.3, n_planes=4, n_tables=3
+        ).collect()
+    }
+    assert one <= three
+
+
 @pytest.fixture(scope="module")
 def embeddings(spark):
     return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings_small(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where(
+        F.col("vec_id") < 60
+    )
 
 
 def test_cosine_topk_self_excluded(embeddings):
