@@ -1150,18 +1150,164 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def _gate_vectors(spark, sf_dir):
+    """TF-IDF sparse vectors with 6-dp-quantized weights — the K-Means gate
+    input. Quantizing the vectors (and centroids, via centroid_round_dp)
+    pins the iterative model to values both engines reproduce exactly;
+    unrounded weights drift by summation order."""
+    docs = _t(spark, sf_dir, "documents")
+    tfidf = mx.tfidf_matrix(_coo(docs)).select(
+        "doc_id", "term_id", F.round("tfidf", 6).alias("tfidf")
+    )
+    return mx.to_sparse_vectors(tfidf)
+
+
 def q_kmeans_fit(spark, sf_dir):
-    """Full seeded cosine K-Means fit (iterative driver loop, D1) over
-    TF-IDF vectors of the documents table — genuinely non-SQL-expressible
-    (rows-only check): returns (doc_id, cluster) assignments."""
+    """Full cosine K-Means fit (iterative driver loop, D1) over TF-IDF
+    vectors of the documents table, in cross-engine-deterministic gate
+    mode: init = the 5 smallest-doc_id vectors, exactly 2 Lloyd iterations
+    (theta > 1 disables early convergence), cosine and centroid weights
+    rounded to 6 dp. The oracle unrolls the same two assign/update
+    iterations in SQL — this is a REAL oracle for the driver loop, not a
+    rows-only check. The seeded-random production mode (kmeans_cosine with
+    seed/theta) is exercised in tests/test_kmeans.py."""
     from bigdata_lab02_spark.operators.kmeans import kmeans_cosine
 
-    docs = _t(spark, sf_dir, "documents")
-    vecs = mx.to_sparse_vectors(mx.tfidf_matrix(_coo(docs)))
+    vecs = _gate_vectors(spark, sf_dir)
+    init = [dict(r["vec"]) for r in vecs.orderBy("doc_id").limit(5).collect()]
     res = kmeans_cosine(
-        vecs, k=5, seed=42, theta=0.98, max_iter=8, compute_loss=False
+        vecs,
+        k=5,
+        theta=1.1,
+        max_iter=2,
+        round_dp=6,
+        centroid_round_dp=6,
+        initial_centroids=init,
+        compute_loss=False,
     )
     return res.assignments.select("doc_id", "cluster")
+
+
+_V_PREFIX = f"""
+WITH coo AS ({_COO_SQL}),
+tf AS (SELECT doc_id, term_id, count * 1.0 / sum(count) OVER (PARTITION BY doc_id) AS tf FROM coo),
+idf AS (SELECT term_id, ln((SELECT count(DISTINCT doc_id) FROM coo) * 1.0 / count(*)) AS idf FROM coo GROUP BY term_id),
+v AS (SELECT doc_id, term_id, round(tf * idf, 6) AS w FROM tf JOIN idf USING (term_id)),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS dnorm FROM v GROUP BY doc_id)"""
+
+
+def _assign_sql(cent: str, tag: str) -> str:
+    """One sparse-cosine assignment step (mirrors kmeans._sparse_assign):
+    dot over shared terms, cosine rounded at 6 dp, argmax with cluster-asc
+    tie-break, no-overlap docs fall back to cluster 0."""
+    return f"""cn_{tag} AS (SELECT cluster, sqrt(sum(cw * cw)) AS cnorm FROM {cent} GROUP BY cluster),
+dots_{tag} AS (
+  SELECT v.doc_id, c.cluster, sum(v.w * c.cw) AS dot
+  FROM v JOIN {cent} c USING (term_id) GROUP BY v.doc_id, c.cluster),
+cos_{tag} AS (
+  SELECT d.doc_id, d.cluster,
+    CASE WHEN n.dnorm = 0 OR cn.cnorm = 0 THEN 0.0
+         ELSE round(d.dot / (n.dnorm * cn.cnorm), 6) END AS cos
+  FROM dots_{tag} d JOIN norms n USING (doc_id) JOIN cn_{tag} cn USING (cluster)),
+best_{tag} AS (
+  SELECT doc_id, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cos DESC, cluster ASC) AS rn
+    FROM cos_{tag}) WHERE rn = 1),
+a_{tag} AS (
+  SELECT n.doc_id, COALESCE(b.cluster, 0) AS cluster
+  FROM norms n LEFT JOIN best_{tag} b USING (doc_id))"""
+
+
+def _update_sql(assigned: str, cent_prev: str, cent_out: str) -> str:
+    """One mean-update step (mirrors the kmeans_cosine driver update):
+    centroid[term] = round(sum(w)/cluster_size, 6); empty clusters keep
+    their previous centroid."""
+    return f"""sz_{cent_out} AS (SELECT cluster, count(*) AS n FROM {assigned} GROUP BY cluster),
+upd_{cent_out} AS (
+  SELECT a.cluster, v.term_id, round(sum(v.w) / s.n, 6) AS cw
+  FROM {assigned} a JOIN v USING (doc_id) JOIN sz_{cent_out} s ON s.cluster = a.cluster
+  GROUP BY a.cluster, v.term_id, s.n),
+{cent_out} AS (
+  SELECT cluster, term_id, cw FROM upd_{cent_out}
+  UNION ALL
+  SELECT p.cluster, p.term_id, p.cw FROM {cent_prev} p
+  WHERE p.cluster NOT IN (SELECT cluster FROM sz_{cent_out}))"""
+
+
+def _kmeans_fit_sql(k: int = 5, iters: int = 2) -> str:
+    blocks = [
+        f"""init AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS INT) AS cluster
+  FROM (SELECT DISTINCT doc_id FROM v ORDER BY doc_id LIMIT {k})),
+cent0 AS (SELECT i.cluster, v.term_id, v.w AS cw FROM init i JOIN v USING (doc_id))"""
+    ]
+    for i in range(iters):
+        blocks.append(_assign_sql(f"cent{i}", f"i{i}"))
+        blocks.append(_update_sql(f"a_i{i}", f"cent{i}", f"cent{i + 1}"))
+    blocks.append(_assign_sql(f"cent{iters}", "fin"))
+    return (
+        _V_PREFIX
+        + ",\n"
+        + ",\n".join(blocks)
+        + "\nSELECT doc_id, CAST(cluster AS INT) AS cluster FROM a_fin"
+    )
+
+
+_KMEANS_FIT_SQL = _kmeans_fit_sql()
+
+
+def q_kmeans_scalable(spark, sf_dir):
+    """K-Means|| (task2_3.java:1235-1341) gate projection covering the
+    oversampling draw (K8, deterministic top-l quirk Q7) and candidate
+    weighting (K9) end-to-end on real corpus vectors: fixed init (the
+    min-doc_id vector), one oversampling round drawing l=8 candidates by
+    p = l*d^2/cost, then every doc assigned to its nearest candidate
+    (cosine, 6-dp) and counted. Returns the (cluster, weight) table the
+    weighted recluster (K10) consumes; K10/K11 iterate via the same
+    kmeans_cosine loop gated by kmeans_fit and are asserted end-to-end in
+    tests/test_kmeans.py."""
+    from bigdata_lab02_spark.operators.kmeans import kmeans_parallel_init
+
+    vecs = _gate_vectors(spark, sf_dir)
+    first = vecs.orderBy("doc_id").limit(1).collect()[0]
+    _cands, weights = kmeans_parallel_init(
+        vecs,
+        k=4,
+        oversample=8,
+        max_rounds=1,
+        sampling="top_l",
+        initial_candidates=[dict(first["vec"])],
+        round_dp=6,
+    )
+    return weights.select("cluster", "weight")
+
+
+_KMEANS_SCALABLE_SQL = (
+    _V_PREFIX
+    + f""",
+c0doc AS (SELECT doc_id FROM (SELECT DISTINCT doc_id FROM v) ORDER BY doc_id LIMIT 1),
+cent0 AS (SELECT CAST(0 AS INT) AS cluster, v.term_id, v.w AS cw FROM v JOIN c0doc USING (doc_id)),
+cn2 AS (SELECT cluster, sum(cw * cw) AS n2 FROM cent0 GROUP BY cluster),
+dots0 AS (
+  SELECT v.doc_id, c.cluster, sum(v.w * c.cw) AS dot
+  FROM v JOIN cent0 c USING (term_id) GROUP BY v.doc_id, c.cluster),
+minsq AS (
+  SELECT d.doc_id, min(power(n.dnorm, 2) + c.n2 - 2 * d.dot) AS min_sq
+  FROM dots0 d JOIN norms n USING (doc_id) JOIN cn2 c USING (cluster) GROUP BY d.doc_id),
+d2 AS (
+  SELECT n.doc_id,
+         least(COALESCE(m.min_sq, 1e308), power(n.dnorm, 2) + (SELECT min(n2) FROM cn2)) AS d2
+  FROM norms n LEFT JOIN minsq m USING (doc_id)),
+drawn AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY d2 DESC, doc_id ASC) AS INT) AS cluster
+  FROM (SELECT * FROM d2 ORDER BY d2 DESC, doc_id ASC LIMIT 8)),
+cand AS (
+  SELECT cluster, term_id, cw FROM cent0
+  UNION ALL
+  SELECT d.cluster, v.term_id, v.w FROM drawn d JOIN v USING (doc_id)),
+{_assign_sql("cand", "w")}
+SELECT cluster, count(*) AS weight FROM a_w GROUP BY cluster"""
+)
 
 
 # ----------------------------------------------------------------- contract
@@ -1212,6 +1358,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_gaps": q_order_gaps,
     "cube_orders": q_cube_orders,
     "kmeans_fit": q_kmeans_fit,
+    "kmeans_scalable": q_kmeans_scalable,
     "stream_hourly": q_stream_hourly,
 }
 
@@ -1301,6 +1448,8 @@ _ORACLES: dict[str, str] = {
     "cube_orders": _CUBE_SQL,
     "kmeans_cost": _KMEANS_COST_SQL,
     "kmeans_weights": _KMEANS_WEIGHTS_SQL,
+    "kmeans_fit": _KMEANS_FIT_SQL,
+    "kmeans_scalable": _KMEANS_SCALABLE_SQL,
     "stream_hourly": _EVENTS_HOURLY_SQL,
 }
 

