@@ -149,6 +149,61 @@ def doc_term_counts(
     return encode_counted(counted, term_dict, doc_dict, doc_col, token_col)
 
 
+def doc_term_counts_strict(
+    corpus_whole: DataFrame,
+    stopwords: list[str],
+    term_dict: DataFrame,
+    doc_dict: DataFrame,
+    doc_col: str = "doc",
+    text_col: str = "text",
+) -> DataFrame:
+    """P5 in STRICT-REFERENCE mode: replicates quirk Q1 exactly
+    (``task1_1.java:155-158``) so golden ``Output1_1`` reproduces
+    bit-for-bit. Default mode (``doc_term_counts``) keeps the correct
+    semantics; this exists purely for parity (SURVEY quirk policy).
+
+    The reference mapper writes its ``word`` key UNCONDITIONALLY for every
+    non-stopword token but only overwrites it when both dictionary lookups
+    succeed. The term dict holds every non-empty cleaned non-stopword
+    token, so the only failing lookup is a token that cleans to "" — which
+    re-emits the PREVIOUS (doc, term) pair. ``word`` is a per-task mapper
+    field and each file is one split, so the stale key carries across
+    lines within a file, never across files.
+
+    Expressed declaratively: whitespace-split the whole file (pre-clean
+    empties dropped — StringTokenizer artifacts, not Q1 triggers), clean,
+    drop stopwords but KEEP post-clean empties, then carry the last
+    non-empty token forward over a per-doc position window and count. The
+    window partitions by doc (the corpus's natural parallelism), so strict
+    mode scales with document count like every other per-doc operator.
+    """
+    from bigdata_lab02_spark.functions.text import normalize_token
+
+    raw = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    cleaned = F.transform(raw, normalize_token)
+    kept = F.filter(cleaned, lambda t: ~t.isin(stopwords))
+    toks = corpus_whole.select(
+        F.col(doc_col), F.posexplode(kept).alias("pos", "token")
+    )
+    w = (
+        Window.partitionBy(doc_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = toks.withColumn(
+        "token",
+        F.last(F.when(F.col("token") != "", F.col("token")), ignorenulls=True).over(w),
+    )
+    counted = (
+        carried.where(F.col("token").isNotNull())
+        .groupBy(doc_col, "token")
+        .agg(F.count("*").alias("count"))
+    )
+    return encode_counted(
+        counted, term_dict, doc_dict, doc_col=doc_col, token_col="token"
+    )
+
+
 def encode_counted(
     counted: DataFrame,
     term_dict: DataFrame,

@@ -19,11 +19,38 @@ Design rules for 100 TB of media:
 from __future__ import annotations
 
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_ARROW_BATCH_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+
+@contextmanager
+def arrow_batch_size(spark, rows: int):
+    """Scope ``spark.sql.execution.arrow.maxRecordsPerBatch`` to a block,
+    restoring the prior value (or unsetting) on exit. The conf is read at
+    ACTION time, so wrap the action, not the plan construction::
+
+        feats = extract_features(media, set_arrow_batch=False)
+        with arrow_batch_size(spark, 512):
+            feats.write.parquet(out)
+    """
+    try:
+        prior = spark.conf.get(_ARROW_BATCH_KEY)
+    except Exception:
+        prior = None
+    spark.conf.set(_ARROW_BATCH_KEY, str(rows))
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(_ARROW_BATCH_KEY)
+        else:
+            spark.conf.set(_ARROW_BATCH_KEY, prior)
 
 IMAGE_SCHEMA = T.StructType(
     [
@@ -81,15 +108,18 @@ def extract_features(
     target_partition_mb: int = 128,
     avg_payload_kb: int = 256,
     n_rows: int | None = None,
+    set_arrow_batch: bool = True,
 ) -> DataFrame:
     """Decode + featurize via Arrow-batched mapInPandas.
 
     Byte-aware sizing happens at two levels:
     - Arrow batch size: rows_per_batch ≈ target_partition_mb·1024 /
       avg_payload_kb, so a 4 MB-per-image corpus gets small Arrow batches
-      and a thumbnail corpus gets big ones. NOTE: this sets the
-      session-level ``arrow.maxRecordsPerBatch`` conf (Spark has no
-      per-plan knob), which persists until changed again.
+      and a thumbnail corpus gets big ones. Spark has no per-plan knob:
+      with ``set_arrow_batch=True`` (default) the SESSION conf is set here
+      and stays; to keep the session untouched, pass
+      ``set_arrow_batch=False`` and wrap the consuming action in
+      ``arrow_batch_size(spark, rows)`` — the conf is read at action time.
     - Partition count: when the caller supplies ``n_rows`` (a count is an
       action, so we don't trigger one implicitly), partitions are sized to
       hold ≈ rows_per_batch rows each; otherwise default parallelism.
@@ -126,9 +156,8 @@ def extract_features(
     if n_rows is not None:
         n_parts = max(parallelism, -(-n_rows // rows_per_part))  # ceil div
     sized = media.repartition(n_parts)
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(rows_per_part)
-    )
+    if set_arrow_batch:
+        spark.conf.set(_ARROW_BATCH_KEY, str(rows_per_part))
     return sized.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 

@@ -41,6 +41,28 @@ def read_corpus(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
+def read_corpus_whole(spark: SparkSession, root: str) -> DataFrame:
+    """Read a ``<root>/<category>/<doc>.txt`` tree → ``(category, doc,
+    text)`` with ONE ROW PER FILE (``wholetext``), preserving the full
+    in-file token order. Used by operators whose semantics depend on token
+    order across lines — e.g. the strict-reference Q1 mode
+    (``encode.doc_term_counts_strict``), where a stale key carries across
+    line boundaries within a file but never across files."""
+    # NB: wholetext must go through the .text() kwarg — a reader
+    # .option("wholetext", "true") is silently ignored by the text source
+    raw = spark.read.option("recursiveFileLookup", "true").text(
+        root, wholetext=True
+    )
+    path = F.input_file_name()
+    category = F.regexp_extract(path, _CATEGORY_RE, 1)
+    name = F.regexp_extract(path, _NAME_RE, 1)
+    return raw.select(
+        category.alias("category"),
+        F.concat_ws(".", category, name).alias("doc"),
+        F.col("value").alias("text"),
+    )
+
+
 def corpus_from_table(df: DataFrame, doc_col: str = "doc_id", text_col: str = "text", category_col: str | None = None) -> DataFrame:
     """Adapt any (id, text[, category]) table — e.g. the synthetic
     ``documents`` parquet — to the corpus shape ``(category, doc, line)``

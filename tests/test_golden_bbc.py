@@ -65,6 +65,32 @@ def test_golden_coo_structure_and_q1_bound(bbc, spark):
     assert 0 <= stats["inflation"] <= 4000  # measured 3,462
 
 
+def test_golden_coo_exact_strict_mode(bbc, spark):
+    """Strict-reference Q1 mode (encode.doc_term_counts_strict) reproduces
+    golden Output1_1 EXACTLY — every one of the 331,417 cells, including
+    the +3,462 stale-key inflation the default mode corrects."""
+    from bigdata_lab02_spark.operators import encode
+    from bigdata_lab02_spark.pipeline import load_stopwords
+    from bigdata_lab02_spark.sources.corpus import read_corpus_whole
+
+    corpus = read_corpus_whole(spark, BBC_INPUT)
+    sw = load_stopwords(spark, STOPWORDS)
+    mine = encode.doc_term_counts_strict(corpus, sw, bbc.term_dict(), bbc.doc_dict())
+    golden = spark.read.csv(
+        f"{GOLDEN}/Output1_1/task_1_1.mtx-r-00000",
+        sep="\t",
+        schema="doc_id int, term_id int, gcount long",
+    )
+    j = mine.join(golden, ["doc_id", "term_id"], "full_outer")
+    bad = j.where(
+        F.col("count").isNull()
+        | F.col("gcount").isNull()
+        | (F.col("count") != F.col("gcount"))
+    ).count()
+    assert bad == 0
+    assert mine.count() == 331417
+
+
 def test_golden_top10_terms(bbc):
     golden = [
         tuple(map(int, ln.split("\t")))

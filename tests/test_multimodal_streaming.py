@@ -35,6 +35,19 @@ def test_multimodal_handles_null_payload(spark):
     assert rows[1]["decode_ok"] is True
 
 
+def test_arrow_batch_size_scoped(spark):
+    """arrow_batch_size restores the prior session conf on exit; opting out
+    of set_arrow_batch leaves the session conf untouched."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    spark.conf.set(key, "7777")
+    media = mm.synthetic_media(spark, n=8)
+    feats = mm.extract_features(media, set_arrow_batch=False)
+    with mm.arrow_batch_size(spark, 128):
+        assert spark.conf.get(key) == "128"
+        assert len(feats.collect()) == 8
+    assert spark.conf.get(key) == "7777"
+
+
 def test_frame_sample_plan(spark):
     media = mm.synthetic_media(spark, n=2)
     frames = mm.frame_sample_plan(media, every_n_frames=100).collect()
