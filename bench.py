@@ -38,7 +38,9 @@ HEADLINE = [
     "events_sessions",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
     "embedding_topk",
+    "embedding_dup_pairs",
     "ivf_topk",
     "asof_join",
     "kmeans_assign",

@@ -92,8 +92,17 @@ def dense_ids(
         )
 
     n = df.sparkSession.sparkContext.defaultParallelism
-    parts = distinct.repartitionByRange(n, F.col(key_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    # persist() is load-bearing, not a cache hint: repartitionByRange picks
+    # its boundaries by SAMPLING at exchange execution, so two separate
+    # evaluations of `parts` (the local-rank branch and the counts branch)
+    # can land keys in different partitions — offsets would then disagree
+    # with the actual partition sizes and the ids shift (observed on the
+    # skewed BBC vocabulary). Persisting pins ONE materialization that both
+    # branches read, making the boundary draw happen exactly once.
+    parts = (
+        distinct.repartitionByRange(n, F.col(key_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
     local = parts.withColumn(
         "__lr", F.row_number().over(Window.partitionBy("__pid").orderBy(key_col))

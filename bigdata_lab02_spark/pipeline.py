@@ -36,12 +36,20 @@ class TfIdfPipeline:
     stopwords: list[str] = field(default_factory=list)
     min_count: int = 3
     cache_token_counts: bool = True
+    #: dense-id strategy for the dictionaries. True (default) uses the
+    #: range-partitioned two-level rank — same ids, no single-partition
+    #: global window, so dictionary assignment stays distributed when the
+    #: vocabulary itself is big data. False keeps the one-task row_number
+    #: (marginally fewer stages for toy vocabularies).
+    scalable: bool = True
 
     def __post_init__(self) -> None:
         self._coo: DataFrame | None = None
         self._tok_counts: DataFrame | None = None
         self._term_dict: DataFrame | None = None
         self._doc_dict: DataFrame | None = None
+        self._filtered: DataFrame | None = None
+        self._tfidf: DataFrame | None = None
 
     # -- stage accessors (each returns a DataFrame; all lazy) ------------
 
@@ -64,12 +72,16 @@ class TfIdfPipeline:
         # distinct tokens of the aggregate == distinct raw tokens, so the
         # dense ids are identical to a raw-token dictionary (golden-checked)
         if self._term_dict is None:
-            self._term_dict = encode.build_term_dict(self.token_counts())
+            self._term_dict = encode.build_term_dict(
+                self.token_counts(), scalable=self.scalable
+            )
         return self._term_dict
 
     def doc_dict(self) -> DataFrame:
         if self._doc_dict is None:
-            self._doc_dict = encode.build_doc_dict(self.corpus)
+            self._doc_dict = encode.build_doc_dict(
+                self.corpus, scalable=self.scalable
+            )
         return self._doc_dict
 
     def doc_term_matrix(self) -> DataFrame:
@@ -80,7 +92,15 @@ class TfIdfPipeline:
         return self._coo
 
     def filtered_matrix(self) -> DataFrame:
-        return matrix.frequency_filter(self.doc_term_matrix(), self.min_count)
+        """count>=min_count matrix — cached: top-k, TF-IDF, and the category
+        stages all fan out from here, and it is a small fraction of the COO."""
+        if self._filtered is None:
+            self._filtered = matrix.frequency_filter(
+                self.doc_term_matrix(), self.min_count
+            )
+            if self.cache_token_counts:
+                self._filtered = self._filtered.cache()
+        return self._filtered
 
     def top_terms(self, k: int = 10) -> DataFrame:
         # Golden-file check (Output1_3 vs Output1_2) shows the reference's
@@ -89,7 +109,11 @@ class TfIdfPipeline:
         return matrix.top_terms(self.filtered_matrix(), k)
 
     def tfidf(self) -> DataFrame:
-        return matrix.tfidf_matrix(self.filtered_matrix())
+        """TF-IDF over the filtered matrix — memoized so the sparse-vector
+        and category branches share one plan subtree."""
+        if self._tfidf is None:
+            self._tfidf = matrix.tfidf_matrix(self.filtered_matrix())
+        return self._tfidf
 
     def sparse_vectors(self) -> DataFrame:
         return matrix.to_sparse_vectors(self.tfidf())
