@@ -578,6 +578,38 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 2
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering — the step a dedup pipeline ends
+    with: MinHash-LSH pairs (Jaccard ≥ 0.5) → alternating large-star /
+    small-star connected components → one deterministic survivor per
+    cluster (operators.dedup.dedup_clusters). Near-duplication is
+    transitive (A~B, B~C ⇒ one group), so keep-decisions are per
+    component; the oracle replays the same pair set through a recursive
+    CTE transitive closure."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(docs, threshold=0.5)
+    return dd.dedup_clusters(docs, pairs)
+
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(cc.cluster_id, d.doc_id) AS keep
+FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+"""
+
+
 def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-5 neighbors for query vectors vec_id < 5."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1339,6 +1371,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_simhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "embedding_topk": q_embedding_topk,
     "embedding_knn_label": q_embedding_knn_label,
     "embedding_near_pairs": q_embedding_near_pairs,
@@ -1430,6 +1463,7 @@ _ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
+    "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "embedding_topk": _EMB_TOPK_SQL,
     "embedding_knn_label": _EMB_KNN_SQL,
     "embedding_near_pairs": _EMB_NEAR_SQL,

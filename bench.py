@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
+    "dedup_clusters",
     "embedding_topk",
     "embedding_dup_pairs",
     "ivf_topk",

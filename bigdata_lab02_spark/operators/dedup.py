@@ -334,3 +334,125 @@ def simhash_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ------------------------------------------------- duplicate clustering
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the duplicate-pair graph by alternating
+    large-star / small-star rounds (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14).
+
+    This is the step a dedup pipeline ends with: LSH/Jaccard emit PAIRS,
+    but near-duplication is transitive (A~B, B~C ⇒ one group), so
+    survivors must be picked per component, not per pair.
+
+    Scale shape: each round is two groupBy/join passes keyed by node id —
+    never an all-pairs product — and the edge set only shrinks toward the
+    star forest. Alternating stars converges in O(log n) rounds even on
+    adversarial chains (plain min-label propagation needs diameter rounds,
+    and duplicate chains A~B~C~… make the diameter unbounded). Per round
+    the frame is ``localCheckpoint``-ed to truncate lineage; on a real
+    cluster with flaky executors use ``spark.sparkContext.setCheckpointDir``
+    + reliable checkpoints instead.
+
+    Returns (node, component) for every node that appears in ``pairs``;
+    component = the smallest node id in the component (deterministic).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # For each node u over the SYMMETRIC neighborhood: connect every
+        # strictly-larger neighbor to m = min(Γ(u) ∪ {u}).
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        )
+        return (
+            sym.where(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # Direct every edge high→low, then connect each node's smaller
+        # neighbors (and the node itself) to the minimum of that set.
+        d = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m = d.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            d.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _fingerprint(e: DataFrame):
+        # bit_xor, not sum: order-independent over the distinct edge set
+        # and cannot overflow under ANSI mode.
+        row = e.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).first()
+        return (row["n"], row["h"])
+
+    e = edges.localCheckpoint()
+    fp = _fingerprint(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        nfp = _fingerprint(e)
+        if nfp == fp:
+            break
+        fp = nfp
+
+    # Fixpoint is a star forest: every remaining edge is (node, root) with
+    # root = component minimum; roots label themselves.
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .unionByName(
+            e.select(F.col("v").alias("node"), F.col("v").alias("component"))
+        )
+        .distinct()
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate pairs transitively and pick one survivor per
+    cluster: (id, cluster_id, keep). cluster_id is the component's smallest
+    doc id; docs in no pair are singleton clusters of themselves; the
+    survivor (keep=true) is the cluster id holder — deterministic, so the
+    keep-set is stable across runs and engines."""
+    cc = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    d = docs.select(F.col(id_col))
+    return (
+        d.join(cc, d[id_col] == cc["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+    )

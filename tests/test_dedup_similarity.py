@@ -152,3 +152,73 @@ def test_ivf_recall_against_brute_force(embeddings):
     assert set(ap) == set(ex)
     recalls = [len(ex[q] & ap[q]) / 5 for q in ex]
     assert sum(recalls) / len(recalls) >= 0.4
+
+# ------------------------------------------------- duplicate clustering
+
+
+class TestConnectedComponents:
+    def test_chain_converges_to_min(self, spark):
+        """A 12-node duplicate chain (worst case for plain min-label
+        propagation: diameter == n) collapses to one cluster in the
+        O(log n) star rounds."""
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 12)], ["id_a", "id_b"]
+        )
+        comp = {
+            r.node: r.component
+            for r in dd.connected_components(pairs).collect()
+        }
+        assert comp == {i: 1 for i in range(1, 13)}
+
+    def test_components_stay_separate_and_merge(self, spark):
+        """Two components stay apart; a bridging pair merges them."""
+        base = [(1, 2), (2, 3), (10, 11)]
+        pairs = spark.createDataFrame(base, ["id_a", "id_b"])
+        comp = {
+            r.node: r.component
+            for r in dd.connected_components(pairs).collect()
+        }
+        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+        bridged = spark.createDataFrame(base + [(3, 10)], ["id_a", "id_b"])
+        comp2 = {
+            r.node: r.component
+            for r in dd.connected_components(bridged).collect()
+        }
+        assert comp2 == {n: 1 for n in (1, 2, 3, 10, 11)}
+
+    def test_reversed_and_self_pairs(self, spark):
+        """Pair order must not matter; self-pairs are ignored."""
+        pairs = spark.createDataFrame(
+            [(5, 2), (2, 5), (7, 7), (2, 9)], ["id_a", "id_b"]
+        )
+        comp = {
+            r.node: r.component
+            for r in dd.connected_components(pairs).collect()
+        }
+        assert comp == {2: 2, 5: 2, 9: 2}
+
+    def test_dedup_clusters_survivors(self, spark):
+        """Every doc gets a cluster; exactly one keep=True per cluster,
+        and it is the minimum id. Docs in no pair are singletons."""
+        docs = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 4, 50)], ["doc_id"]
+        )
+        pairs = spark.createDataFrame([(2, 3), (3, 4)], ["id_a", "id_b"])
+        out = dd.dedup_clusters(docs, pairs).collect()
+        m = {r.doc_id: (r.cluster_id, r.keep) for r in out}
+        assert m == {
+            1: (1, True),
+            2: (2, True),
+            3: (2, False),
+            4: (2, False),
+            50: (50, True),
+        }
+
+    def test_empty_pairs_all_singletons(self, spark):
+        docs = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+        pairs = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+        out = dd.dedup_clusters(docs, pairs).collect()
+        assert {(r.doc_id, r.cluster_id, r.keep) for r in out} == {
+            (1, 1, True),
+            (2, 2, True),
+        }
