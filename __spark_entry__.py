@@ -1084,6 +1084,43 @@ def q_stream_hourly(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup under at-least-once replay: the events file is
+    fed through readStream TWICE (two micro-batches, the second a full
+    replay), deduplicated on event_id with watermark-bounded state
+    (streaming.events.dedup_stream). Every replayed row is either a state
+    hit (dropped as duplicate) or older than the watermark (dropped as
+    late), so the emitted set is exactly the distinct input — which is
+    what the batch oracle states."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from bigdata_lab02_spark.streaming import run_stream_to_memory
+    from bigdata_lab02_spark.streaming.events import (
+        dedup_stream,
+        read_event_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="events_replay_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", str(Path(d) / "part-0.parquet"))
+        shutil.copy(f"{sf_dir}/events.parquet", str(Path(d) / "part-1.parquet"))
+        stream = read_event_stream(spark, d)
+        out = run_stream_to_memory(
+            spark, dedup_stream(stream), "stream_dedup_q", mode="append"
+        )
+        return out.select("event_id", "ts", "user_id", "event_type", "value")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_STREAM_DEDUP_SQL = """
+SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value
+FROM events
+"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF approximate ANN — the 100 TB scale path for similarity search:
     corpus vectors assigned once to coarse lists (nearest of 10 fixed
@@ -1393,6 +1430,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_fit": q_kmeans_fit,
     "kmeans_scalable": q_kmeans_scalable,
     "stream_hourly": q_stream_hourly,
+    "stream_dedup": q_stream_dedup,
 }
 
 # Queries with no SQL-expressible oracle — the driver records a weaker
@@ -1485,6 +1523,7 @@ _ORACLES: dict[str, str] = {
     "kmeans_fit": _KMEANS_FIT_SQL,
     "kmeans_scalable": _KMEANS_SCALABLE_SQL,
     "stream_hourly": _EVENTS_HOURLY_SQL,
+    "stream_dedup": _STREAM_DEDUP_SQL,
 }
 
 

@@ -81,6 +81,92 @@ def sessionized_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup — idempotent ingestion for at-least-once
+    sources: keep the first occurrence of each key, drop replays that
+    arrive within the watermark horizon.
+
+    Uses ``dropDuplicatesWithinWatermark`` so the dedup state is EVICTED
+    once a key's event time falls behind the watermark — state stays
+    bounded by (arrival rate × watermark), never by total stream history.
+    A plain ``dropDuplicates`` on a stream would keep every key forever
+    and OOM at pipeline scale. Exactly the streaming twin of
+    ``operators.dedup.exact_dedup``: same first-wins semantics, keyed on
+    whatever identifies a duplicate (event id, content digest, …).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def running_user_totals_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (n_events, total_value), emitted incrementally each
+    micro-batch. This is the escape hatch for aggregations the built-in
+    windowed operators can't express (per-key model state, custom
+    eviction); state lives in the state store keyed by user, and each
+    micro-batch hands the operator Arrow batches of that key's new rows.
+
+    The emitted row after the final batch equals the batch groupBy twin
+    (count + DECIMAL-exact value sum) — tests assert that equivalence.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            # running cents, not float: integer state is exact and
+            # order-independent, matching the batch DECIMAL(18,2) sum.
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        # defined function-local: pickled by value, no module import on
+        # the worker (see memory: driver sys.path != worker sys.path)
+        import numpy as np
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            # per-row HALF_UP to cents (floor(x+0.5); values are
+            # non-negative amounts) — matches Spark's DECIMAL(18,2) cast,
+            # where pandas .round() would round half-to-even.
+            v = pdf["value"].to_numpy(dtype="float64")
+            cents += int(np.floor(v * 100.0 + 0.5).sum())
+        state.update((n, cents))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, streaming_df: DataFrame, name: str, mode: str = "append"
 ) -> DataFrame:

@@ -95,3 +95,72 @@ def test_streaming_sessionization_runs(spark, event_stream):
     assert rows  # emitted at least the closed sessions
     assert all(r["session_end"] >= r["session_start"] for r in rows)
     assert all(r["n_events"] >= 1 for r in rows)
+
+
+@pytest.fixture(scope="module")
+def replayed_stream_dir(tmp_path_factory):
+    """Two copies of the same events file — two micro-batches where the
+    second is a full replay (at-least-once delivery)."""
+    d = tmp_path_factory.mktemp("events_replay")
+    import shutil
+
+    shutil.copy(f"{TESTDATA}/sf0.001/events.parquet", d / "part-0.parquet")
+    shutil.copy(f"{TESTDATA}/sf0.001/events.parquet", d / "part-1.parquet")
+    return str(d)
+
+
+def test_streaming_dedup_idempotent_ingestion(spark, replayed_stream_dir):
+    """A full replay micro-batch must not re-emit any event: every replayed
+    row is either deduplicated (state hit) or dropped as late — output
+    event_ids stay unique and cover exactly the distinct input."""
+    from bigdata_lab02_spark.streaming.events import dedup_stream
+
+    stream = read_event_stream(spark, replayed_stream_dir)
+    out = run_stream_to_memory(
+        spark, dedup_stream(stream), "dedup_t", mode="append"
+    )
+    ids = [r["event_id"] for r in out.select("event_id").collect()]
+    assert len(ids) == len(set(ids)), "replay re-emitted an event"
+    distinct_input = (
+        spark.read.parquet(f"{TESTDATA}/sf0.001/events.parquet")
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert len(ids) == distinct_input
+
+
+def test_stateful_running_totals_match_batch(spark, event_stream):
+    """applyInPandasWithState running totals: the final emitted row per
+    user equals the batch groupBy (count + DECIMAL-exact sum)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_lab02_spark.streaming.events import (
+        running_user_totals_stream,
+    )
+
+    out = run_stream_to_memory(
+        spark,
+        running_user_totals_stream(event_stream, watermark="10000 hours"),
+        "totals_t",
+        mode="update",
+    )
+    # update mode re-emits a key each batch; the final state has the max n
+    final = {}
+    for r in out.collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.parquet(f"{TESTDATA}/sf0.001/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    want = {r["user_id"]: (r["n"], r["total"]) for r in batch.collect()}
+    assert final == want
