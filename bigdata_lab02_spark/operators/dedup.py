@@ -309,27 +309,44 @@ def simhash_dup_pairs(
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks
     (pigeonhole: distance ≤ 3 ⇒ at least one of 4 chunks equal), so the
     join is on chunk equality — subquadratic, no full cross join."""
-    chunks = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
-        for i in range(4)
-    ]
-    h = simhashes.select(F.col(id_col), F.col("simhash"), *chunks)
-    pairs = None
-    for i in range(4):
-        a = h.alias("a")
-        b = h.alias("b")
-        p = (
-            a.join(b, (F.col(f"a.c{i}") == F.col(f"b.c{i}")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.simhash").alias("sh_a"),
-                F.col("b.simhash").alias("sh_b"),
+    # One explode + ONE equi-join keyed by (chunk_idx, chunk) — not four
+    # union'd self-join branches, which re-evaluate the sketch subtree once
+    # per branch per side. Identical candidate set (a pair collides on some
+    # chunk either way); the sketches are computed exactly once.
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("c"),
             )
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
+            for i in range(4)
+        ]
+    )
+    ch = simhashes.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("x")
+    ).select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.col("x.i").alias("i"),
+        F.col("x.c").alias("c"),
+    )
+    a, b = ch.alias("a"), ch.alias("b")
     return (
-        pairs.distinct()
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.c") == F.col("b.c"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from bigdata_lab02_spark.functions.vectors import array_cosine, as_double_array
+from bigdata_lab02_spark.functions.vectors import (
+    array_cosine,
+    array_dot,
+    array_norm,
+    as_double_array,
+)
 
 
 def cosine_topk(
@@ -40,22 +45,27 @@ def cosine_topk(
     deterministic rank tiebreak on neighbor id.
     """
     query_id_col = query_id_col or id_col
+    # Norms are computed once per side (once per query row, once per corpus
+    # row) and carried into the scoring projection — not re-derived per
+    # (query, corpus) pair as a naive array_cosine per pair would. Same
+    # doubles (norm is a pure function of the vector), so ranks and the
+    # oracle comparison are unchanged.
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         as_double_array(F.col(vec_col)).alias("qv"),
-    )
+    ).withColumn("qn", array_norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(F.col(vec_col)).alias("cv"),
+    ).withColumn("cn", array_norm(F.col("cv")))
+    denom = F.col("qn") * F.col("cn")
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        array_dot(F.col("qv"), F.col("cv")) / denom
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            array_cosine(F.col("qv"), F.col("cv")).alias("cosine"),
-        )
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -161,9 +171,18 @@ def embedding_dup_pairs(
         )
         .distinct()
     )
-    va = v.withColumnsRenamed({id_col: "id_a", "v": "va"})
-    vb = v.withColumnsRenamed({id_col: "id_b", "v": "vb"})
-    cos = array_cosine(F.col("va"), F.col("vb"))
+    # Verify with norms precomputed ONCE per vector and carried through the
+    # join — per-candidate work is a single dot fold instead of the three
+    # folds array_cosine would run per pair. Same expression values
+    # (norm(x) is a pure function of the vector), so results are
+    # bit-identical to the naive form and the oracle is unchanged.
+    vn = v.withColumn("nrm", array_norm(F.col("v")))
+    va = vn.withColumnsRenamed({id_col: "id_a", "v": "va", "nrm": "na"})
+    vb = vn.withColumnsRenamed({id_col: "id_b", "v": "vb", "nrm": "nb"})
+    denom = F.col("na") * F.col("nb")
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        array_dot(F.col("va"), F.col("vb")) / denom
+    )
     if round_dp is not None:
         cos = F.round(cos, round_dp)
     return (
@@ -192,24 +211,36 @@ def ivf_topk(
     cents = centroids.select(
         F.col(centroid_id_col).alias("cid"),
         as_double_array(F.col(centroid_vec_col)).alias("cvec"),
-    )
+    ).withColumn("cvn", array_norm(F.col("cvec")))
+
+    # Norms computed once per vector (carried in "nrm"), not per compared
+    # pair — identical doubles, so ranks and oracle parity are unchanged.
+    def _cos(av, an, bv, bn):
+        denom = F.col(an) * F.col(bn)
+        return F.when(denom == 0.0, F.lit(0.0)).otherwise(
+            array_dot(F.col(av), F.col(bv)) / denom
+        )
 
     def nearest_lists(df: DataFrame, out: str, n: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).withColumn(
-            "cos_c", array_cosine(F.col("v"), F.col("cvec"))
+            "cos_c", _cos("v", "nrm", "cvec", "cvn")
         )
         w = Window.partitionBy(id_col).orderBy(F.desc("cos_c"), F.asc("cid"))
         return (
             scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= n)
-            .select(F.col(id_col), F.col("cid").alias(out), "v")
+            .select(F.col(id_col), F.col("cid").alias(out), "v", "nrm")
         )
 
-    c = corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
-    q = queries.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+    c = corpus.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", array_norm(F.col("v")))
+    q = queries.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", array_norm(F.col("v")))
     lists = nearest_lists(c, "list_id", 1)
     probes = nearest_lists(q, "list_id", nprobe).withColumnsRenamed(
-        {id_col: "query_id", "v": "qv"}
+        {id_col: "query_id", "v": "qv", "nrm": "qn"}
     )
     scored = (
         probes.join(lists.withColumnsRenamed({id_col: "neighbor_id"}), "list_id")
@@ -217,7 +248,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            array_cosine(F.col("qv"), F.col("v")).alias("cosine"),
+            _cos("qv", "qn", "v", "nrm").alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
