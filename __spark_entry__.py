@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from bigdata_lab02_spark.functions.text import tokens_column
 from bigdata_lab02_spark.functions.vectors import array_cosine, as_double_array
+from bigdata_lab02_spark.operators import curation as cur
 from bigdata_lab02_spark.operators import dedup as dd
 from bigdata_lab02_spark.operators.encode import dense_ids
 from bigdata_lab02_spark.operators import matrix as mx
@@ -824,6 +825,120 @@ SELECT doc_id, list_min(list_transform(s, x -> md5(x))) AS fingerprint FROM sh
 """
 
 
+def q_scrub_pii(spark, sf_dir):
+    """PII/link scrubbing: emails, URLs, IPv4 literals → placeholder
+    tokens, with removal counts kept as quality features
+    (operators.curation.scrub_docs). Character-class-only regexes so the
+    Java (Spark) and RE2 (DuckDB) dialects agree."""
+    return cur.scrub_docs(_t(spark, sf_dir, "documents"))
+
+
+_SCRUB_SQL = r"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    'https?://[^\s]+', '<URL>', 'g'),
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS text,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+  len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips
+FROM documents
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition ratios (dup-word, top-word, dup-bigram
+    fractions) — one projection over the corpus, no explode
+    (operators.curation.repetition_stats)."""
+    out = cur.repetition_stats(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("top_word_frac", 6).alias("top_word_frac"),
+        F.round("dup_bigram_frac", 6).alias("dup_bigram_frac"),
+    )
+
+
+_REPETITION_SQL = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+uw AS (
+  SELECT doc_id, unnest(words) AS word FROM w),
+wc AS (
+  SELECT doc_id, word, count(*) AS c FROM uw GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS n FROM wc GROUP BY 1),
+bg AS (
+  SELECT doc_id,
+    CASE WHEN len(words) < 2 THEN []
+    ELSE list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+    END AS bigrams
+  FROM w)
+SELECT w.doc_id,
+  round(CASE WHEN len(w.words) > 0
+    THEN 1.0 - len(list_distinct(w.words)) * 1.0 / len(w.words) ELSE 0.0 END, 6)
+    AS dup_word_frac,
+  round(CASE WHEN top.n > 0 THEN top.top_c * 1.0 / top.n ELSE 0.0 END, 6)
+    AS top_word_frac,
+  round(CASE WHEN len(bg.bigrams) > 0
+    THEN 1.0 - len(list_distinct(bg.bigrams)) * 1.0 / len(bg.bigrams) ELSE 0.0 END, 6)
+    AS dup_bigram_frac
+FROM w JOIN top USING (doc_id) JOIN bg ON bg.doc_id = w.doc_id
+"""
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split by md5(salt|doc_id) — stable
+    across runs, retries, re-shards, and engines
+    (operators.curation.hash_split). 90/5/5."""
+    out = cur.hash_split(
+        _t(spark, sf_dir, "documents"),
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    return out.select("doc_id", "split")
+
+
+_HASH_SPLIT_SQL = """
+WITH h AS (
+  SELECT doc_id,
+    ('0x' || substr(md5('split|' || doc_id), 1, 15))::BIGINT
+      / CAST(1152921504606846976 AS DOUBLE) AS frac
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN frac < 0.9 THEN 'train'
+       WHEN frac < 0.95 THEN 'val'
+       ELSE 'test' END AS split
+FROM h
+"""
+
+
+def q_token_budget(spark, sf_dir):
+    """Per-source token budgeting: admit docs (in deterministic hashed
+    order) while the source's running whitespace-token total stays within
+    5,000 — how mixture weights become shard contents
+    (operators.curation.token_budget_sample). One prefix-scan window per
+    source, no self-join."""
+    return cur.token_budget_sample(
+        _t(spark, sf_dir, "documents"), budget=5000, group_col="source"
+    )
+
+
+_TOKEN_BUDGET_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source,
+    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+    md5(source || '|' || doc_id) AS ord
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= 5000 OR cum_tokens = n_tokens
+"""
+
+
 def q_kmeans_assign(spark, sf_dir):
     """K1/K5 single assignment step: nearest of 8 fixed centroids
     (centroids = embeddings with vec_id < 8), cosine metric, rounded
@@ -1409,6 +1524,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "scrub_pii": q_scrub_pii,
+    "repetition_stats": q_repetition_stats,
+    "hash_split": q_hash_split,
+    "token_budget": q_token_budget,
     "embedding_topk": q_embedding_topk,
     "embedding_knn_label": q_embedding_knn_label,
     "embedding_near_pairs": q_embedding_near_pairs,
@@ -1502,6 +1621,10 @@ _ORACLES: dict[str, str] = {
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "scrub_pii": _SCRUB_SQL,
+    "repetition_stats": _REPETITION_SQL,
+    "hash_split": _HASH_SPLIT_SQL,
+    "token_budget": _TOKEN_BUDGET_SQL,
     "embedding_topk": _EMB_TOPK_SQL,
     "embedding_knn_label": _EMB_KNN_SQL,
     "embedding_near_pairs": _EMB_NEAR_SQL,

@@ -1,0 +1,189 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The ops between "raw crawl" and "training shard": scrub identifying
+strings, measure repetition (the strongest cheap signal of boilerplate /
+SEO spam — cf. the repetition filters in Gopher, Rae et al. 2021, and
+RefinedWeb, Penedo et al. 2023), split deterministically into train/val/
+test, and cap per-group token budgets.
+
+All pure DataFrame expressions — no Python in the row path. Everything is
+deterministic (hash-based, not RNG-based) so a 100 TB run is reproducible
+and resumable: re-running a failed shard reproduces the same splits and
+the same sample, and the DuckDB oracles replay the math exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ----------------------------------------------------------------- scrub
+
+# Deliberately simple character-class patterns that mean the same thing in
+# Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def scrub_text(
+    text: Column,
+    email_token: str = "<EMAIL>",
+    url_token: str = "<URL>",
+    ip_token: str = "<IP>",
+) -> Column:
+    """Replace emails, URLs, and IPv4 literals with placeholder tokens.
+    Order matters: URLs first (an URL may embed an @ or dotted quad)."""
+    out = F.regexp_replace(text, URL_RE, url_token)
+    out = F.regexp_replace(out, EMAIL_RE, email_token)
+    return F.regexp_replace(out, IPV4_RE, ip_token)
+
+
+def scrub_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text, n_emails, n_urls, n_ips): scrubbed text plus counts
+    of what was removed — pipelines keep the counts as quality features
+    (documents stuffed with URLs are usually link farms)."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        scrub_text(t).alias(text_col),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(URL_RE), 0)).alias("n_urls"),
+        F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), 0)).alias("n_ips"),
+    )
+
+
+# ------------------------------------------------------------ repetition
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc repetition ratios — the Gopher-style boilerplate signals:
+
+    - ``dup_word_frac``: 1 − distinct/total whitespace words,
+    - ``top_word_frac``: occurrences of the most frequent word / total,
+    - ``dup_bigram_frac``: 1 − distinct/total adjacent word bigrams.
+
+    Computed with array expressions in one projection — split once, derive
+    all three from the same array (no explode, no shuffle; a pure map over
+    the corpus that codegen fuses with the scan)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    # bigrams: zip words[0..n-2] with words[1..n-1]
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    nb = F.size(bigrams)
+    # top-word count = longest equal run in the SORTED word array, found
+    # with one linear fold (struct accumulator: previous word, current run,
+    # best run). O(n log n) per row vs the O(n·distinct) of counting each
+    # distinct word's occurrences separately.
+    dw = F.array_distinct(words)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def _merge(acc, w):
+        run = F.when(acc["prev"].isNull() | (acc["prev"] != w), F.lit(1)).otherwise(
+            acc["run"] + 1
+        )
+        return F.struct(
+            w.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top = F.aggregate(F.array_sort(words), init, _merge, lambda acc: acc["best"])
+    return docs.select(
+        "doc_id",
+        F.when(n > 0, 1.0 - F.size(dw) / n).otherwise(0.0).alias("dup_word_frac"),
+        F.when(n > 0, top / n).otherwise(0.0).alias("top_word_frac"),
+        F.when(nb > 0, 1.0 - F.size(F.array_distinct(bigrams)) / nb)
+        .otherwise(0.0)
+        .alias("dup_bigram_frac"),
+    )
+
+
+# -------------------------------------------------------------- splitting
+
+
+def hash_split(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent hash:
+    bucket = first 15 hex digits of md5(salt|key) as a fraction of 2^60,
+    split = the range the fraction falls in (fractions in dict order).
+
+    Hash-based, not ``randomSplit``: assignment is a pure function of the
+    key, so it is stable across runs, executors, retries, AND engines (the
+    DuckDB oracle reproduces it exactly) — and a document keeps its split
+    when the corpus is re-sharded or appended to. ``salt`` gives
+    independent re-draws for ablations.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    frac = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(salt), F.col(key_col))), 1, 15),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    expr = None
+    hi = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        hi += fractions[name]
+        cond = frac < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return docs.withColumn("split", split)
+
+
+# -------------------------------------------------------- token budgeting
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cap each group's token contribution: order docs within a group by a
+    deterministic hash (an unbiased, reproducible shuffle), admit docs
+    while the group's running token total stays within ``budget``.
+
+    This is how mixture weights become shard contents: "no more than N
+    tokens of source X". One window pass per group — the running sum is a
+    prefix scan, no self-join, no driver loop. The first doc of a group is
+    always admitted (a single doc larger than the budget still represents
+    its group; matches the oracle's semantics).
+
+    Returns (id, group, n_tokens, cum_tokens) for admitted docs.
+    """
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    order = F.md5(F.concat_ws("|", F.col(group_col), F.col(id_col)))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        n_tokens.alias("n_tokens"),
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return scored.where(
+        (F.col("cum_tokens") <= budget)
+        | (F.col("cum_tokens") == F.col("n_tokens"))
+    )

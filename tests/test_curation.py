@@ -1,0 +1,137 @@
+"""Curation operators on adversarial real text — the synthetic corpus has
+no punctuation/URLs/unicode, so the oracle gate alone cannot exercise the
+regex and edge paths (see FIXTURES.md rationale)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_lab02_spark.operators import curation as cur
+
+
+@pytest.fixture(scope="module")
+def messy_docs(spark):
+    rows = [
+        (1, "contact bob.smith+spam@example.co.uk or visit https://x.io/a?b=1#c now", "web"),
+        (2, "server at 192.168.0.1 and 10.0.0.255, not 1234.5.6.7 though", "web"),
+        (3, "spam spam spam spam spam", "web"),
+        (4, "", "web"),
+        (5, "一句 中文 一句 中文", "cjk"),
+        (6, "unique words only here today", "web"),
+        (7, "a b a b a b a b", "web"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+class TestScrub:
+    def test_scrub_replaces_and_counts(self, spark, messy_docs):
+        out = {r.doc_id: r for r in cur.scrub_docs(messy_docs).collect()}
+        assert "<EMAIL>" in out[1].text and "<URL>" in out[1].text
+        assert "bob.smith" not in out[1].text and "x.io" not in out[1].text
+        assert out[1].n_emails == 1 and out[1].n_urls == 1
+        assert out[2].text.count("<IP>") == 2
+        # 1234.5.6.7 must NOT match (word boundary keeps 4-digit octets out)
+        assert "1234.5.6.7" in out[2].text
+        assert out[4].text == ""
+
+    def test_scrub_url_before_email(self, spark):
+        # an URL containing an @ must be consumed by the URL pass
+        df = spark.createDataFrame(
+            [(1, "see https://u@h.com/p and mail a@b.co", "w")],
+            ["doc_id", "text", "source"],
+        )
+        r = cur.scrub_docs(df).collect()[0]
+        assert r.text == "see <URL> and mail <EMAIL>"
+
+
+class TestRepetition:
+    def test_fully_repeated_doc(self, spark, messy_docs):
+        out = {r.doc_id: r for r in cur.repetition_stats(messy_docs).collect()}
+        # "spam" x5: 1 distinct of 5 words; top word is 5/5
+        assert out[3].dup_word_frac == pytest.approx(0.8)
+        assert out[3].top_word_frac == pytest.approx(1.0)
+        assert out[3].dup_bigram_frac == pytest.approx(0.75)
+
+    def test_all_unique_doc(self, spark, messy_docs):
+        out = {r.doc_id: r for r in cur.repetition_stats(messy_docs).collect()}
+        assert out[6].dup_word_frac == pytest.approx(0.0)
+        assert out[6].top_word_frac == pytest.approx(0.2)
+        assert out[6].dup_bigram_frac == pytest.approx(0.0)
+
+    def test_alternating_bigrams(self, spark, messy_docs):
+        # "a b a b a b a b": every word repeats, and of 7 bigrams only
+        # 2 are distinct ("a b", "b a")
+        out = {r.doc_id: r for r in cur.repetition_stats(messy_docs).collect()}
+        assert out[7].dup_word_frac == pytest.approx(1 - 2 / 8)
+        assert out[7].top_word_frac == pytest.approx(0.5)
+        assert out[7].dup_bigram_frac == pytest.approx(1 - 2 / 7)
+
+    def test_unicode_words(self, spark, messy_docs):
+        out = {r.doc_id: r for r in cur.repetition_stats(messy_docs).collect()}
+        assert out[5].dup_word_frac == pytest.approx(0.5)
+
+
+class TestHashSplit:
+    def test_partition_and_determinism(self, spark):
+        docs = spark.range(1000).withColumnRenamed("id", "doc_id")
+        fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+        a = {r.doc_id: r.split for r in cur.hash_split(docs, fr).collect()}
+        b = {r.doc_id: r.split for r in cur.hash_split(docs, fr).collect()}
+        assert a == b, "split must be a pure function of the key"
+        from collections import Counter
+
+        c = Counter(a.values())
+        assert set(c) == {"train", "val", "test"}
+        assert 700 < c["train"] < 900  # ~binomial around 800
+
+    def test_salt_gives_independent_draw(self, spark):
+        docs = spark.range(500).withColumnRenamed("id", "doc_id")
+        fr = {"train": 0.5, "test": 0.5}
+        a = {r.doc_id: r.split for r in cur.hash_split(docs, fr).collect()}
+        b = {
+            r.doc_id: r.split
+            for r in cur.hash_split(docs, fr, salt="other").collect()
+        }
+        moved = sum(1 for k in a if a[k] != b[k])
+        assert 100 < moved < 400  # ~half move under an independent draw
+
+    def test_fractions_must_sum_to_one(self, spark):
+        docs = spark.range(10).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError):
+            cur.hash_split(docs, {"a": 0.5, "b": 0.2})
+
+    def test_appending_docs_keeps_old_assignments(self, spark):
+        fr = {"train": 0.9, "test": 0.1}
+        small = spark.range(100).withColumnRenamed("id", "doc_id")
+        big = spark.range(200).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id: r.split for r in cur.hash_split(small, fr).collect()}
+        b = {r.doc_id: r.split for r in cur.hash_split(big, fr).collect()}
+        assert all(b[k] == v for k, v in a.items())
+
+
+class TestTokenBudget:
+    def test_budget_respected_and_first_doc_admitted(self, spark):
+        rows = [
+            (1, "one two three", "a"),        # 3 tokens
+            (2, "x " * 50, "a"),              # 50 tokens
+            (3, "y", "a"),                    # 1 token
+            (4, "z " * 200, "b"),             # 200 tokens > budget alone
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        out = cur.token_budget_sample(df, budget=10, group_col="source")
+        got = {(r.doc_id) for r in out.collect()}
+        # group b's single huge doc is still admitted (first of its group)
+        assert 4 in got
+        # group a admits docs in hash order until >10 cumulative tokens
+        per_a = [r for r in out.collect() if r.source == "a"]
+        assert all(r.cum_tokens <= 10 or r.cum_tokens == r.n_tokens for r in per_a)
+
+    def test_deterministic(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "w " * (i % 7 + 1), "s") for i in range(50)],
+            ["doc_id", "text", "source"],
+        )
+        a = sorted(r.doc_id for r in cur.token_budget_sample(docs, 20).collect())
+        b = sorted(r.doc_id for r in cur.token_budget_sample(docs, 20).collect())
+        assert a == b
