@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "dedup_clusters",
     "embedding_topk",
+    "quantized_topk",
     "embedding_dup_pairs",
     "ivf_topk",
     "asof_join",
