@@ -969,13 +969,13 @@ def q_token_budget(spark, sf_dir):
 _TOKEN_BUDGET_SQL = r"""
 WITH t AS (
   SELECT doc_id, source,
-    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+    CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
     md5(source || '|' || doc_id) AS ord
   FROM documents),
 c AS (
   SELECT doc_id, source, n_tokens,
-    sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
-      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM t)
 SELECT doc_id, source, n_tokens, cum_tokens
 FROM c WHERE cum_tokens <= 5000 OR cum_tokens = n_tokens
