@@ -548,10 +548,13 @@ grid AS (
   FROM th, (SELECT unnest(range(60)) AS b)),
 maj AS (
   SELECT doc_id, b, sum(bit) AS ones, count(*) AS total
-  FROM grid GROUP BY doc_id, b)
-SELECT doc_id,
-  CAST(sum(CASE WHEN ones * 2 > total THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
-FROM maj GROUP BY doc_id
+  FROM grid GROUP BY doc_id, b),
+sk AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN ones * 2 > total THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM maj GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(sk.simhash, CAST(0 AS BIGINT)) AS simhash
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sk USING (doc_id)
 """
 
 
@@ -1381,12 +1384,18 @@ def _gate_vectors(spark, sf_dir):
     """TF-IDF sparse vectors with 6-dp-quantized weights — the K-Means gate
     input. Quantizing the vectors (and centroids, via centroid_round_dp)
     pins the iterative model to values both engines reproduce exactly;
-    unrounded weights drift by summation order."""
+    unrounded weights drift by summation order.
+
+    ``localCheckpoint`` (eager) materializes the pipeline ONCE and
+    truncates its lineage: the init collect, every Lloyd-iteration job,
+    and the final assignment the driver collects all read the pinned
+    blocks instead of re-running tokenize→dict→TFIDF→pivot per action
+    (which also pins the range-partitioned id draw to one evaluation)."""
     docs = _t(spark, sf_dir, "documents")
     tfidf = mx.tfidf_matrix(_coo(docs)).select(
         "doc_id", "term_id", F.round("tfidf", 6).alias("tfidf")
     )
-    return mx.to_sparse_vectors(tfidf)
+    return mx.to_sparse_vectors(tfidf).localCheckpoint()
 
 
 def q_kmeans_fit(spark, sf_dir):
@@ -1415,12 +1424,16 @@ def q_kmeans_fit(spark, sf_dir):
     return res.assignments.select("doc_id", "cluster")
 
 
+# MATERIALIZED is load-bearing on every multiply-referenced CTE below:
+# DuckDB 1.0 inlines plain CTEs, so the unrolled-iteration oracles would
+# otherwise re-run the whole TFIDF pipeline once per reference —
+# measured 96 s → 0.2 s at sf0.01 for _KMEANS_FIT_SQL.
 _V_PREFIX = f"""
-WITH coo AS ({_COO_SQL}),
+WITH coo AS MATERIALIZED ({_COO_SQL}),
 tf AS (SELECT doc_id, term_id, count * 1.0 / sum(count) OVER (PARTITION BY doc_id) AS tf FROM coo),
 idf AS (SELECT term_id, ln((SELECT count(DISTINCT doc_id) FROM coo) * 1.0 / count(*)) AS idf FROM coo GROUP BY term_id),
-v AS (SELECT doc_id, term_id, round(tf * idf, 6) AS w FROM tf JOIN idf USING (term_id)),
-norms AS (SELECT doc_id, sqrt(sum(w * w)) AS dnorm FROM v GROUP BY doc_id)"""
+v AS MATERIALIZED (SELECT doc_id, term_id, round(tf * idf, 6) AS w FROM tf JOIN idf USING (term_id)),
+norms AS MATERIALIZED (SELECT doc_id, sqrt(sum(w * w)) AS dnorm FROM v GROUP BY doc_id)"""
 
 
 def _assign_sql(cent: str, tag: str) -> str:
@@ -1440,7 +1453,7 @@ best_{tag} AS (
   SELECT doc_id, cluster FROM (
     SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cos DESC, cluster ASC) AS rn
     FROM cos_{tag}) WHERE rn = 1),
-a_{tag} AS (
+a_{tag} AS MATERIALIZED (
   SELECT n.doc_id, COALESCE(b.cluster, 0) AS cluster
   FROM norms n LEFT JOIN best_{tag} b USING (doc_id))"""
 
@@ -1449,12 +1462,12 @@ def _update_sql(assigned: str, cent_prev: str, cent_out: str) -> str:
     """One mean-update step (mirrors the kmeans_cosine driver update):
     centroid[term] = round(sum(w)/cluster_size, 6); empty clusters keep
     their previous centroid."""
-    return f"""sz_{cent_out} AS (SELECT cluster, count(*) AS n FROM {assigned} GROUP BY cluster),
+    return f"""sz_{cent_out} AS MATERIALIZED (SELECT cluster, count(*) AS n FROM {assigned} GROUP BY cluster),
 upd_{cent_out} AS (
   SELECT a.cluster, v.term_id, round(sum(v.w) / s.n, 6) AS cw
   FROM {assigned} a JOIN v USING (doc_id) JOIN sz_{cent_out} s ON s.cluster = a.cluster
   GROUP BY a.cluster, v.term_id, s.n),
-{cent_out} AS (
+{cent_out} AS MATERIALIZED (
   SELECT cluster, term_id, cw FROM upd_{cent_out}
   UNION ALL
   SELECT p.cluster, p.term_id, p.cw FROM {cent_prev} p
@@ -1466,7 +1479,7 @@ def _kmeans_fit_sql(k: int = 5, iters: int = 2) -> str:
         f"""init AS (
   SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS INT) AS cluster
   FROM (SELECT DISTINCT doc_id FROM v ORDER BY doc_id LIMIT {k})),
-cent0 AS (SELECT i.cluster, v.term_id, v.w AS cw FROM init i JOIN v USING (doc_id))"""
+cent0 AS MATERIALIZED (SELECT i.cluster, v.term_id, v.w AS cw FROM init i JOIN v USING (doc_id))"""
     ]
     for i in range(iters):
         blocks.append(_assign_sql(f"cent{i}", f"i{i}"))
@@ -1513,8 +1526,8 @@ _KMEANS_SCALABLE_SQL = (
     _V_PREFIX
     + f""",
 c0doc AS (SELECT doc_id FROM (SELECT DISTINCT doc_id FROM v) ORDER BY doc_id LIMIT 1),
-cent0 AS (SELECT CAST(0 AS INT) AS cluster, v.term_id, v.w AS cw FROM v JOIN c0doc USING (doc_id)),
-cn2 AS (SELECT cluster, sum(cw * cw) AS n2 FROM cent0 GROUP BY cluster),
+cent0 AS MATERIALIZED (SELECT CAST(0 AS INT) AS cluster, v.term_id, v.w AS cw FROM v JOIN c0doc USING (doc_id)),
+cn2 AS MATERIALIZED (SELECT cluster, sum(cw * cw) AS n2 FROM cent0 GROUP BY cluster),
 dots0 AS (
   SELECT v.doc_id, c.cluster, sum(v.w * c.cw) AS dot
   FROM v JOIN cent0 c USING (term_id) GROUP BY v.doc_id, c.cluster),
@@ -1528,7 +1541,7 @@ d2 AS (
 drawn AS (
   SELECT doc_id, CAST(row_number() OVER (ORDER BY d2 DESC, doc_id ASC) AS INT) AS cluster
   FROM (SELECT * FROM d2 ORDER BY d2 DESC, doc_id ASC LIMIT 8)),
-cand AS (
+cand AS MATERIALIZED (
   SELECT cluster, term_id, cw FROM cent0
   UNION ALL
   SELECT d.cluster, v.term_id, v.w FROM drawn d JOIN v USING (doc_id)),

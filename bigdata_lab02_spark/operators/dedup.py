@@ -300,7 +300,15 @@ def simhash(
         sim = sim + F.when(
             F.col(f"__o{b}") * 2 > F.col("__n"), F.lit(1 << b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    return grouped.select(F.col(id_col), sim.alias("simhash"))
+    sketches = grouped.select(F.col(id_col), sim.alias("simhash"))
+    # Docs producing ZERO distinct tokens (empty/whitespace text) emit no
+    # explode rows — left-join back and sketch them as 0 so every input doc
+    # has a sketch (two empty docs are trivially identical, hamming 0).
+    return (
+        docs.select(id_col)
+        .join(sketches, id_col, "left")
+        .fillna({"simhash": 0})
+    )
 
 
 def simhash_dup_pairs(

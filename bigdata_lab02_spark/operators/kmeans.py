@@ -232,17 +232,21 @@ def kmeans_cosine(
         # cached: reused by sizes.collect / sums.collect / the loss job
         assigned = _sparse_assign(docs, cent_df, norms, round_dp).cache()
 
-        # K6 update: mean over cluster members (implicit zeros via /size)
+        # K6 update: mean over cluster members (implicit zeros via /size).
+        # Term sums and cluster sizes are fused into ONE collect (size rows
+        # tagged with a NULL term_id) so each iteration costs a single
+        # driver-synchronized job over the cached assignment.
         nnz = docs.join(assigned.select("doc_id", "cluster"), "doc_id").select(
             "cluster", F.explode("vec").alias("term_id", "w")
         )
         sums = nnz.groupBy("cluster", "term_id").agg(F.sum("w").alias("sw"))
-        sizes = {
-            r["cluster"]: r["n"]
-            for r in assigned.groupBy("cluster").agg(F.count("*").alias("n")).collect()
-        }
+        sizes_rows = assigned.groupBy("cluster").agg(
+            F.count("*").cast("double").alias("sw")
+        ).select("cluster", F.lit(None).cast("int").alias("term_id"), "sw")
+        combined = sums.unionByName(sizes_rows).collect()
+        sizes = {r["cluster"]: int(r["sw"]) for r in combined if r["term_id"] is None}
+        sum_rows = [r for r in combined if r["term_id"] is not None]
         new_centroids: list[dict[int, float]] = [dict() for _ in range(k)]
-        sum_rows = sums.collect()
         for r in sum_rows:
             new_centroids[r["cluster"]][r["term_id"]] = r["sw"] / sizes.get(
                 r["cluster"], 1
