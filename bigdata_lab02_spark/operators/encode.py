@@ -92,17 +92,21 @@ def dense_ids(
         )
 
     n = df.sparkSession.sparkContext.defaultParallelism
-    # persist() is load-bearing, not a cache hint: repartitionByRange picks
-    # its boundaries by SAMPLING at exchange execution, so two separate
+    # localCheckpoint() is load-bearing, not a cache hint: repartitionByRange
+    # picks its boundaries by SAMPLING at exchange execution, so two separate
     # evaluations of `parts` (the local-rank branch and the counts branch)
     # can land keys in different partitions — offsets would then disagree
     # with the actual partition sizes and the ids shift (observed on the
-    # skewed BBC vocabulary). Persisting pins ONE materialization that both
-    # branches read, making the boundary draw happen exactly once.
+    # skewed BBC vocabulary). The eager checkpoint pins ONE materialization
+    # that both branches read and TRUNCATES LINEAGE, so the boundary draw
+    # can never silently re-run (a lost block fails loudly instead of
+    # recomputing with fresh samples), and the blocks are released when the
+    # DataFrame is garbage-collected — unlike the previous persist(), which
+    # leaked a storage entry per dictionary build.
     parts = (
         distinct.repartitionByRange(n, F.col(key_col))
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint()
     )
     local = parts.withColumn(
         "__lr", F.row_number().over(Window.partitionBy("__pid").orderBy(key_col))

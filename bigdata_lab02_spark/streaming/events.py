@@ -142,11 +142,12 @@ def running_user_totals_stream(
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            # per-row HALF_UP to cents (floor(x+0.5); values are
-            # non-negative amounts) — matches Spark's DECIMAL(18,2) cast,
-            # where pandas .round() would round half-to-even.
+            # per-row HALF_UP to cents, sign-aware: round away from zero
+            # like Spark's DECIMAL(18,2) cast (plain floor(x+0.5) would
+            # round a negative refund toward +inf; pandas .round() would
+            # round half-to-even).
             v = pdf["value"].to_numpy(dtype="float64")
-            cents += int(np.floor(v * 100.0 + 0.5).sum())
+            cents += int((np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).sum())
         state.update((n, cents))
         import pandas as pd
 
