@@ -1522,10 +1522,9 @@ def q_kmeans_scalable(spark, sf_dir):
     return weights.select("cluster", "weight")
 
 
-_KMEANS_SCALABLE_SQL = (
-    _V_PREFIX
-    + f""",
-c0doc AS (SELECT doc_id FROM (SELECT DISTINCT doc_id FROM v) ORDER BY doc_id LIMIT 1),
+# Shared by the kmeans_scalable and kmeans_recluster oracles: fixed init
+# (min-doc_id vector), one top-l oversampling round (l=8), K9 weighting.
+_SCALABLE_CAND_BLOCKS = f"""c0doc AS (SELECT doc_id FROM (SELECT DISTINCT doc_id FROM v) ORDER BY doc_id LIMIT 1),
 cent0 AS MATERIALIZED (SELECT CAST(0 AS INT) AS cluster, v.term_id, v.w AS cw FROM v JOIN c0doc USING (doc_id)),
 cn2 AS MATERIALIZED (SELECT cluster, sum(cw * cw) AS n2 FROM cent0 GROUP BY cluster),
 dots0 AS (
@@ -1545,8 +1544,79 @@ cand AS MATERIALIZED (
   SELECT cluster, term_id, cw FROM cent0
   UNION ALL
   SELECT d.cluster, v.term_id, v.w FROM drawn d JOIN v USING (doc_id)),
-{_assign_sql("cand", "w")}
-SELECT cluster, count(*) AS weight FROM a_w GROUP BY cluster"""
+{_assign_sql("cand", "w")}"""
+
+_KMEANS_SCALABLE_SQL = (
+    _V_PREFIX
+    + ",\n"
+    + _SCALABLE_CAND_BLOCKS
+    + "\nSELECT cluster, count(*) AS weight FROM a_w GROUP BY cluster"
+)
+
+
+def q_kmeans_recluster(spark, sf_dir):
+    """K10 weighted recluster of the K-Means|| candidate set, gated in its
+    distributed DataFrame form (operators.kmeans.weighted_recluster_step;
+    reference KMeans/task2_3.java:675-762): reproduce the kmeans_scalable
+    candidate draw (fixed init, one top-l round, l=8) and K9 weights, then
+    ONE assign + weighted-mean update step with the first k=4 candidates
+    as initial centroids. Returns the updated centroid table
+    (cluster, term_id, cw) — the exact model state K11 starts from."""
+    from bigdata_lab02_spark.operators.kmeans import (
+        _centroid_df,
+        kmeans_parallel_init,
+        weighted_recluster_step,
+    )
+
+    vecs = _gate_vectors(spark, sf_dir)
+    first = vecs.orderBy("doc_id").limit(1).collect()[0]
+    cands, weights = kmeans_parallel_init(
+        vecs,
+        k=4,
+        oversample=8,
+        max_rounds=1,
+        sampling="top_l",
+        initial_candidates=[dict(first["vec"])],
+        round_dp=6,
+    )
+    cand_df = _centroid_df(spark, cands)
+    return weighted_recluster_step(cand_df, weights, k=4, round_dp=6)
+
+
+_KMEANS_RECLUSTER_SQL = (
+    _V_PREFIX
+    + ",\n"
+    + _SCALABLE_CAND_BLOCKS
+    + """,
+wt AS (SELECT cluster, count(*) AS weight FROM a_w GROUP BY cluster),
+rk0 AS MATERIALIZED (SELECT cluster AS rk, term_id, cw AS rw FROM cand WHERE cluster < 4),
+cnorm AS (SELECT cluster, sqrt(sum(cw * cw)) AS cnorm FROM cand GROUP BY cluster),
+rnorm AS (SELECT rk, sqrt(sum(rw * rw)) AS rnorm FROM rk0 GROUP BY rk),
+rdots AS (
+  SELECT a.cluster, r.rk, sum(a.cw * r.rw) AS dot
+  FROM cand a JOIN rk0 r USING (term_id) GROUP BY a.cluster, r.rk),
+rcos AS (
+  SELECT d.cluster, d.rk,
+    CASE WHEN cn.cnorm = 0 OR rn.rnorm = 0 THEN 0.0
+         ELSE round(d.dot / (cn.cnorm * rn.rnorm), 6) END AS cos
+  FROM rdots d JOIN cnorm cn USING (cluster) JOIN rnorm rn USING (rk)),
+rbest AS (
+  SELECT cluster, rk FROM (
+    SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY cos DESC, rk ASC) AS rn
+    FROM rcos) WHERE rn = 1),
+rasg AS MATERIALIZED (
+  SELECT c.cluster, COALESCE(b.rk, 0) AS rk, COALESCE(w.weight, 1) AS weight
+  FROM (SELECT DISTINCT cluster FROM cand) c
+  LEFT JOIN rbest b USING (cluster) LEFT JOIN wt w USING (cluster)),
+den AS (SELECT rk, sum(weight) AS wsum FROM rasg GROUP BY rk),
+rnum AS (
+  SELECT a.rk, c.term_id, sum(a.weight * c.cw) AS num
+  FROM rasg a JOIN cand c USING (cluster) GROUP BY a.rk, c.term_id)
+SELECT CAST(n.rk AS INT) AS cluster, n.term_id, round(n.num / d.wsum, 6) AS cw
+FROM rnum n JOIN den d USING (rk)
+UNION ALL
+SELECT CAST(r.rk AS INT) AS cluster, r.term_id, r.rw AS cw
+FROM rk0 r WHERE r.rk NOT IN (SELECT DISTINCT rk FROM rasg)"""
 )
 
 
@@ -1605,6 +1675,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_orders": q_cube_orders,
     "kmeans_fit": q_kmeans_fit,
     "kmeans_scalable": q_kmeans_scalable,
+    "kmeans_recluster": q_kmeans_recluster,
     "stream_hourly": q_stream_hourly,
     "stream_dedup": q_stream_dedup,
 }
@@ -1703,6 +1774,7 @@ _ORACLES: dict[str, str] = {
     "kmeans_weights": _KMEANS_WEIGHTS_SQL,
     "kmeans_fit": _KMEANS_FIT_SQL,
     "kmeans_scalable": _KMEANS_SCALABLE_SQL,
+    "kmeans_recluster": _KMEANS_RECLUSTER_SQL,
     "stream_hourly": _EVENTS_HOURLY_SQL,
     "stream_dedup": _STREAM_DEDUP_SQL,
 }

@@ -441,6 +441,84 @@ def kmeans_parallel_init(
     return candidates, weights
 
 
+def weighted_recluster_step(
+    candidates: DataFrame,
+    weights: DataFrame,
+    k: int,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """K10 weighted recluster of the K-Means|| candidate set, fully
+    declarative (task2_3.java:675-762): one assign + weighted-mean update
+    step over candidates held as (cluster, term_id, cw) rows with
+    per-candidate weights (cluster, weight).
+
+    ``kmeans_scalable``'s driver-local loop is the right call at the
+    reference's ~l·rounds candidate count (~30 vectors); this form keeps
+    the identical math distributed for candidate sets that outgrow the
+    driver (large oversampling l × many rounds). Initial recluster
+    centroids are candidates 0..k-1; each candidate goes to its nearest
+    centroid by cosine (argmax, centroid-asc tie-break, zero-overlap → 0),
+    then each centroid becomes the weighted mean of its members
+    Σ w_c·x_c / Σ w_c with absent terms contributing zero. Candidates
+    missing from ``weights`` count as weight 1 (the reference's default
+    for a candidate that captured no points). Centroids with no members
+    keep their previous vector. Returns (cluster, term_id, cw)."""
+    cents = candidates.where(F.col("cluster") < k).select(
+        F.col("cluster").alias("rk"), "term_id", F.col("cw").alias("rw")
+    )
+    norms_c = candidates.groupBy("cluster").agg(
+        F.sqrt(F.sum(F.col("cw") * F.col("cw"))).alias("cnorm")
+    )
+    norms_r = cents.groupBy("rk").agg(
+        F.sqrt(F.sum(F.col("rw") * F.col("rw"))).alias("rnorm")
+    )
+    dots = (
+        candidates.join(cents, "term_id")
+        .groupBy("cluster", "rk")
+        .agg(F.sum(F.col("cw") * F.col("rw")).alias("dot"))
+    )
+    cos_expr = F.when(
+        (F.col("cnorm") == 0.0) | (F.col("rnorm") == 0.0), F.lit(0.0)
+    ).otherwise(F.col("dot") / (F.col("cnorm") * F.col("rnorm")))
+    if round_dp is not None:
+        cos_expr = F.round(cos_expr, round_dp)
+    scored = (
+        dots.join(norms_c, "cluster")
+        .join(F.broadcast(norms_r), "rk")
+        .select("cluster", "rk", cos_expr.alias("cos"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("cos"), F.asc("rk"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cluster", "rk")
+    )
+    asg = (
+        candidates.select("cluster")
+        .distinct()
+        .join(best, "cluster", "left")
+        .fillna({"rk": 0})
+        .join(weights, "cluster", "left")
+        .fillna({"weight": 1})
+    )
+    denom = asg.groupBy("rk").agg(F.sum("weight").alias("wsum"))
+    num = (
+        candidates.join(asg, "cluster")
+        .groupBy("rk", "term_id")
+        .agg(F.sum(F.col("weight") * F.col("cw")).alias("num"))
+    )
+    upd_cw = F.col("num") / F.col("wsum")
+    if round_dp is not None:
+        upd_cw = F.round(upd_cw, round_dp)
+    upd = num.join(F.broadcast(denom), "rk").select(
+        F.col("rk").alias("cluster"), "term_id", upd_cw.alias("cw")
+    )
+    kept = cents.join(
+        asg.select("rk").distinct(), "rk", "left_anti"
+    ).select(F.col("rk").alias("cluster"), "term_id", F.col("rw").alias("cw"))
+    return upd.unionByName(kept)
+
+
 def kmeans_scalable(
     vectors: DataFrame,
     k: int = 5,

@@ -143,6 +143,48 @@ def test_kmeans_parallel_deterministic_init(tiny_vectors):
     assert runs[0] == runs[1]
 
 
+def test_weighted_recluster_step_matches_local(spark):
+    """The distributed K10 form (weighted_recluster_step) computes the same
+    single assign + weighted-mean update as the driver-local recluster math
+    in kmeans_scalable: same init (candidates 0..k-1), cosine argmax with
+    first-max/centroid-asc tie-break, missing weights defaulting to 1."""
+    cands = [
+        {1: 1.0, 2: 0.5},
+        {9: 1.0, 10: 0.5},
+        {1: 0.8, 2: 0.7},
+        {9: 0.6, 10: 0.9},
+        {1: 0.9, 3: 0.2},
+        {7: 1.0},  # overlaps neither centroid → falls back to cluster 0
+    ]
+    weights = {0: 10, 1: 20, 2: 3, 3: 4, 4: 5}  # candidate 5 missing → 1
+    k = 2
+    cand_df = km._centroid_df(spark, cands)
+    w_df = spark.createDataFrame(sorted(weights.items()), "cluster int, weight long")
+    got = {
+        (r["cluster"], r["term_id"]): r["cw"]
+        for r in km.weighted_recluster_step(cand_df, w_df, k=k, round_dp=6).collect()
+    }
+    cents = [cands[i] for i in range(k)]
+    groups: dict[int, list[int]] = {}
+    for ci, c in enumerate(cands):
+        best, best_cos = 0, -1.0
+        for ki, cent in enumerate(cents):
+            cv = round(km._cos_dict(c, cent), 6)
+            if cv > best_cos:
+                best, best_cos = ki, cv
+        groups.setdefault(best, []).append(ci)
+    want = {}
+    for ki, members in groups.items():
+        tot = sum(weights.get(ci, 1) for ci in members)
+        acc: dict[int, float] = {}
+        for ci in members:
+            for t, v in cands[ci].items():
+                acc[t] = acc.get(t, 0.0) + weights.get(ci, 1) * v
+        for t, v in acc.items():
+            want[(ki, t)] = round(v / tot, 6)
+    assert got == want
+
+
 def test_kmeans_scalable_corpus_invariants(spark):
     """K-Means|| end-to-end (K7-K11 + D1) on real reference TF-IDF vectors
     (2,224 docs) — beyond tiny fixtures: every doc assigned, exactly k
