@@ -75,17 +75,25 @@ def kmeans_euclidean(
     seed: int = 42,
     tol: float = 0.5,
     max_iter: int = 30,
+    initial_centroids: list[list[float]] | None = None,
 ) -> KMeansResult:
     """Lloyd's algorithm, dense features, Euclidean metric
     (task2_1.java:315-360). Converged when every centroid moves ≤ ``tol``
-    (Euclidean, task2_1.java:99-130)."""
+    (Euclidean, task2_1.java:99-130). ``initial_centroids`` is the strict
+    parity mode mirroring the reference's ``read_centroids`` file input
+    (task2_1.java:59-97): a fixed starting model instead of the seeded
+    random draw, making the whole run deterministic across engines."""
     feats = points.select(
         F.array(*[F.col(c).cast("double") for c in feature_cols]).alias("features")
     ).cache()
 
-    # K3 random init: shuffle, take k (reference shuffles input lines)
-    init_rows = feats.orderBy(F.rand(seed)).limit(k).collect()
-    centroids = [list(r["features"]) for r in init_rows]
+    if initial_centroids is not None:
+        centroids = [list(c) for c in initial_centroids]
+        k = len(centroids)
+    else:
+        # K3 random init: shuffle, take k (reference shuffles input lines)
+        init_rows = feats.orderBy(F.rand(seed)).limit(k).collect()
+        centroids = [list(r["features"]) for r in init_rows]
 
     history: list[float] = []
     it = 0

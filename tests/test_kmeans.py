@@ -73,6 +73,74 @@ def tiny_vectors(spark):
     return spark.createDataFrame(rows, "doc_id int, vec map<int,double>")
 
 
+def test_task2_1_exact_golden_parity(spark):
+    """EXACT parity with the reference's golden Output2_1 (300 points,
+    deterministic Lloyd). The reference's init is an unseeded Random
+    (task2_1.java:39-51), so parity anchors on the golden FINAL state,
+    which is a fixed point of the assign step:
+
+    1. Assigning every point against the golden centroids with our Spark
+       assign expression reproduces ``task_2_1.classes`` exactly —
+       same strict-< first-min tie-break as the mapper
+       (task2_1.java:210-220), all 300 (point, cluster) rows equal.
+    2. Re-computing each cluster's mean the way the reducer does —
+       sequential sum in file order (task2_1.java:238-262) — reproduces
+       ``task_2_1.clusters`` BIT-FOR-BIT (Java Double.toString
+       round-trips through float equality).
+    3. A full kmeans_euclidean run started from the golden centroids
+       (strict parity mode) converges immediately and returns them.
+    """
+    golden_dir = "/root/reference/BigDataLab02/Output/Output2_1"
+    with open(f"{golden_dir}/task_2_1.classes") as f:
+        classes = []  # (x_text, y_text, cluster) in reducer write order
+        for line in f:
+            pt, cid = line.rstrip("\n").split("\t")
+            xs, ys = pt.split(" ")
+            classes.append((xs, ys, int(cid)))
+    with open(f"{golden_dir}/task_2_1.clusters") as f:
+        clusters = {}
+        for line in f:
+            cent, cid = line.rstrip("\n").split("\t")
+            xs, ys = cent.split(" ")
+            clusters[int(cid)] = (float(xs), float(ys))
+    assert len(classes) == 300 and len(clusters) == 3
+    centroids = [list(clusters[c]) for c in sorted(clusters)]
+
+    # 1) one Spark assign step from the golden centroids == classes file
+    pts = read_points2d(spark, f"{KMEANS_INPUT}/data_points.txt")
+    feats = pts.select(
+        F.array(F.col("x").cast("double"), F.col("y").cast("double")).alias(
+            "features"
+        )
+    )
+    cluster_expr, _ = km._dense_assign_expr(centroids, "features")
+    got = sorted(
+        (r["features"][0], r["features"][1], r["cluster"])
+        for r in feats.select("features", cluster_expr.alias("cluster")).collect()
+    )
+    want = sorted((float(xs), float(ys), cid) for xs, ys, cid in classes)
+    assert got == want
+
+    # 2) reducer-order sequential means == clusters file, bit-for-bit
+    sums = {c: [0.0, 0.0, 0] for c in clusters}
+    for xs, ys, cid in classes:  # classes order == reducer iteration order
+        s = sums[cid]
+        s[0] += float(xs)
+        s[1] += float(ys)
+        s[2] += 1
+    for cid, (gx, gy) in clusters.items():
+        sx, sy, n = sums[cid]
+        assert sx / n == gx and sy / n == gy  # exact float equality
+
+    # 3) full run from the golden model is a fixed point
+    res = km.kmeans_euclidean(
+        pts, tol=0.5, max_iter=5, initial_centroids=centroids
+    )
+    assert res.iterations == 1
+    for ours, (gx, gy) in zip(res.centroids, [clusters[c] for c in sorted(clusters)]):
+        assert abs(ours[0] - gx) < 1e-9 and abs(ours[1] - gy) < 1e-9
+
+
 def test_cosine_tiny(tiny_vectors):
     res = km.kmeans_cosine(tiny_vectors, k=2, seed=3, theta=0.999, max_iter=10)
     groups = {
