@@ -1282,6 +1282,53 @@ FROM events
 """
 
 
+def q_stream_user_totals(spark, sf_dir):
+    """Custom stateful streaming operator gated against batch SQL: the
+    events file replays through TWO micro-batches (a full replay), the
+    applyInPandasWithState integer-cents state accumulates across them
+    (streaming.events.running_user_totals_stream), and the LAST emitted
+    row per user — the final-batch state, strictly-increasing n_events
+    picks it — must equal the batch groupBy of the doubled stream:
+    count and DECIMAL(18,2)-exact value sum."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from bigdata_lab02_spark.streaming import run_stream_to_memory
+    from bigdata_lab02_spark.streaming.events import (
+        read_event_stream,
+        running_user_totals_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="events_totals_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", str(Path(d) / "part-0.parquet"))
+        shutil.copy(f"{sf_dir}/events.parquet", str(Path(d) / "part-1.parquet"))
+        stream = read_event_stream(spark, d)
+        out = run_stream_to_memory(
+            spark,
+            running_user_totals_stream(stream),
+            "stream_totals_q",
+            mode="update",
+        )
+        w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+        return (
+            out.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "n_events", "total_value")
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_STREAM_TOTALS_SQL = """
+SELECT user_id,
+  CAST(2 * count(*) AS BIGINT) AS n_events,
+  CAST(2 * sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF approximate ANN — the 100 TB scale path for similarity search:
     corpus vectors assigned once to coarse lists (nearest of 10 fixed
@@ -1678,6 +1725,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_recluster": q_kmeans_recluster,
     "stream_hourly": q_stream_hourly,
     "stream_dedup": q_stream_dedup,
+    "stream_user_totals": q_stream_user_totals,
 }
 
 # Queries with no SQL-expressible oracle — the driver records a weaker
@@ -1777,6 +1825,7 @@ _ORACLES: dict[str, str] = {
     "kmeans_recluster": _KMEANS_RECLUSTER_SQL,
     "stream_hourly": _EVENTS_HOURLY_SQL,
     "stream_dedup": _STREAM_DEDUP_SQL,
+    "stream_user_totals": _STREAM_TOTALS_SQL,
 }
 
 

@@ -130,6 +130,52 @@ def test_streaming_dedup_idempotent_ingestion(spark, replayed_stream_dir):
     assert len(ids) == distinct_input
 
 
+def test_stateful_totals_negative_values(spark, tmp_path_factory):
+    """Sign-aware cents rounding: a negative adjustment at an exact
+    half-cent (binary-representable, e.g. -0.125) must round AWAY from
+    zero like the batch DECIMAL(18,2) HALF_UP cast → -0.13. The naive
+    floor(x·100+0.5) rounds it toward +inf (-0.12) and drifts from the
+    batch twin."""
+    from pyspark.sql import functions as F
+
+    from bigdata_lab02_spark.streaming.events import (
+        running_user_totals_stream,
+    )
+
+    d = tmp_path_factory.mktemp("events_neg")
+    rows = [
+        (1, 10**18, 1, "adj", -0.125, "{}"),
+        (2, 10**18 + 10**9, 1, "adj", -2.375, "{}"),
+        (3, 10**18 + 2 * 10**9, 1, "buy", 1.125, "{}"),
+        (4, 10**18 + 3 * 10**9, 2, "adj", -10.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.parquet(str(d / "in"))
+    stream = read_event_stream(spark, str(d / "in"))
+    out = run_stream_to_memory(
+        spark,
+        running_user_totals_stream(stream, watermark="10000 hours"),
+        "totals_neg_t",
+        mode="update",
+    )
+    final = {}
+    for r in out.collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    batch = df.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("t"),
+    )
+    want = {r["user_id"]: (r["n"], r["t"]) for r in batch.collect()}
+    assert final == want
+    assert want[1] == (3, -1.38)  # -0.13 + -2.38 + 1.13
+
+
 def test_stateful_running_totals_match_batch(spark, event_stream):
     """applyInPandasWithState running totals: the final emitted row per
     user equals the batch groupBy (count + DECIMAL-exact sum)."""
