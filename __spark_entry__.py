@@ -1734,6 +1734,18 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # fit is gated as a deterministic fixed-init unrolled-iteration run.)
 ROWS_ONLY: set[str] = set()
 
+# Round each query was first registered in (exhaustive — the contract test
+# asserts every queries() key is listed). A query registered by round N must
+# have a row in CORRECTNESS_r{N}; absence means the driver's gate silently
+# dropped it (round 2 lost four rows this way, caught only by the judge).
+_R3_NEW = {
+    "kmeans_fit", "kmeans_scalable", "kmeans_recluster",
+    "stream_hourly", "stream_dedup", "stream_user_totals",
+}
+REGISTERED_SINCE: dict[str, int] = {
+    name: (3 if name in _R3_NEW else 1) for name in _QUERIES
+}
+
 _ORACLES: dict[str, str] = {
     "p1_token_counts": f"SELECT token, count(*) AS n FROM (SELECT unnest({_FTOKS}) AS token FROM documents) GROUP BY token",
     "p3_term_dict": _TERM_DICT_SQL,

@@ -153,13 +153,26 @@ def _cos_dict(a: dict[int, float], b: dict[int, float]) -> float:
     return dot / (na * nb)
 
 
+def _cent_norms(cent_df: DataFrame) -> DataFrame:
+    """(cluster, cnorm) for a (cluster, term_id, cw) centroid model —
+    computed on the executors so the model never has to visit the driver
+    just to take its norms. Clusters with an empty centroid (no rows)
+    are absent; downstream joins only ever look up clusters that DO have
+    rows (a doc can only dot-product against a non-empty centroid)."""
+    return cent_df.groupBy("cluster").agg(
+        F.sqrt(F.sum(F.col("cw") * F.col("cw"))).alias("cnorm")
+    )
+
+
 def _sparse_assign(
-    docs: DataFrame, cent_df: DataFrame, norms: list[float], round_dp: int | None
+    docs: DataFrame, cent_df: DataFrame, cnorms: DataFrame, round_dp: int | None
 ) -> DataFrame:
     """(doc_id, cluster, cos): argmax cosine via exploded broadcast join
     (task2_2.java:261-282). Docs sharing no term with a centroid get
     cos 0 and fall back to cluster 0 — matching the reference's 'first max
-    wins' over an all-zeros score row (task2_2.java:276-279)."""
+    wins' over an all-zeros score row (task2_2.java:276-279). ``cnorms``
+    is a tiny (cluster, cnorm) DataFrame (broadcast onto the partial
+    dot-products) so the centroid model stays executor-side end to end."""
     nnz = docs.select(
         "doc_id", "dnorm", F.explode("vec").alias("term_id", "dw")
     )
@@ -167,11 +180,11 @@ def _sparse_assign(
         nnz.join(F.broadcast(cent_df), "term_id")
         .groupBy("doc_id", "dnorm", "cluster")
         .agg(F.sum(F.col("dw") * F.col("cw")).alias("dot"))
+        .join(F.broadcast(cnorms), "cluster")
     )
-    cnorm = F.array(*[F.lit(n) for n in norms])[F.col("cluster")]
     cos = F.when(
-        (F.col("dnorm") == 0.0) | (cnorm == 0.0), F.lit(0.0)
-    ).otherwise(F.col("dot") / (F.col("dnorm") * cnorm))
+        (F.col("dnorm") == 0.0) | (F.col("cnorm") == 0.0), F.lit(0.0)
+    ).otherwise(F.col("dot") / (F.col("dnorm") * F.col("cnorm")))
     if round_dp is not None:
         cos = F.round(cos, round_dp)
     scored = dots.select("doc_id", "cluster", cos.alias("cos"))

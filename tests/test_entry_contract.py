@@ -1,9 +1,36 @@
 """Driver-contract smoke tests for __spark_entry__ (full oracle comparison
 lives in tools/check_oracle.py — run it at sf0.01 before shipping)."""
 
+import json
+import re
+from pathlib import Path
+
 import __spark_entry__ as entrymod
 
 SF = "/root/testdata/sf0.001"
+
+
+def test_every_query_recorded_by_driver():
+    """Every queries() key must have a row in the LATEST driver
+    CORRECTNESS_r*.json — a registered query the driver silently dropped
+    (e.g. for blowing the gate's wall-clock budget) is a failure here,
+    not a surprise in the judge's verdict. New queries registered since
+    the latest driver run are exempt (they can't have a row yet)."""
+    repo = Path(__file__).resolve().parent.parent
+    files = sorted(repo.glob("CORRECTNESS_r*.json"))
+    if not files:
+        return
+    latest = files[-1]
+    recorded = set(json.load(latest.open()))
+    round_no = int(re.search(r"r(\d+)", latest.name).group(1))
+    known = entrymod.REGISTERED_SINCE  # name -> round first registered
+    expected = {q for q in entrymod.queries() if known.get(q, 0) <= round_no}
+    missing = expected - recorded
+    assert not missing, (
+        f"queries registered by round {round_no} but absent from "
+        f"{latest.name}: {sorted(missing)} — the driver gate dropped them "
+        "(likely wall-clock); cut their cost or investigate"
+    )
 
 
 def test_queries_and_oracles_align():
