@@ -18,6 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from bigdata_lab02_spark.functions.text import tokens_column
 from bigdata_lab02_spark.functions.vectors import array_cosine, as_double_array
@@ -59,16 +60,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects. Read nanos as long (legacy conf) and convert
-    with integer math (``timestamp_micros(ns div 1000)``) — double-precision
-    division would lose microseconds at 2024 epoch magnitudes. Truncation to
-    micros matches DuckDB's TIMESTAMP_NS → TIMESTAMP handling."""
+    """events.parquet has shipped with two physical types for ``ts`` across
+    testdata generations: TIMESTAMP(NANOS) (which Spark's vectorized parquet
+    reader rejects — read nanos as long via the legacy conf, then convert
+    with integer math, since double division would lose microseconds at 2024
+    epoch magnitudes) and plain timestamp[us] (reads as TIMESTAMP_NTZ, which
+    breaks epoch casts and streaming watermarks — session TZ is pinned UTC,
+    so a cast to TIMESTAMP is semantically a no-op). Normalize every
+    generation to TimestampType here so downstream code sees ONE type.
+    Truncation to micros matches DuckDB's TIMESTAMP_NS → TIMESTAMP handling,
+    so the oracle agrees either way."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    dt = ev.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(dt, TimestampNTZType):
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
 
 
 def _ftokens(docs: DataFrame) -> DataFrame:

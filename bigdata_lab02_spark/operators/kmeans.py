@@ -247,11 +247,12 @@ def kmeans_cosine(
     assigned = None
     for it in range(1, max_iter + 1):
         cent_df = _centroid_df(spark, centroids)
-        norms = [_norm(c) for c in centroids]
         if assigned is not None:
             assigned.unpersist()
         # cached: reused by sizes.collect / sums.collect / the loss job
-        assigned = _sparse_assign(docs, cent_df, norms, round_dp).cache()
+        assigned = _sparse_assign(
+            docs, cent_df, _cent_norms(cent_df), round_dp
+        ).cache()
 
         # K6 update: mean over cluster members (implicit zeros via /size).
         # Term sums and cluster sizes are fused into ONE collect (size rows
@@ -336,9 +337,8 @@ def kmeans_cosine(
     # pre-update set; kmeans_euclidean does the same post-loop re-assign).
     if assigned is not None:
         assigned.unpersist()
-    assigned = _sparse_assign(
-        docs, _centroid_df(spark, centroids), [_norm(c) for c in centroids], round_dp
-    )
+    final_cent = _centroid_df(spark, centroids)
+    assigned = _sparse_assign(docs, final_cent, _cent_norms(final_cent), round_dp)
     docs.unpersist()
     return KMeansResult(centroids, assigned, history, it, top_terms)
 
@@ -456,8 +456,7 @@ def kmeans_parallel_init(
 
     # K9 weighting: every doc to nearest candidate by COSINE (task2_3:485-537)
     cent_df = _centroid_df(spark, candidates)
-    norms = [_norm(c) for c in candidates]
-    assigned = _sparse_assign(docs, cent_df, norms, round_dp=round_dp)
+    assigned = _sparse_assign(docs, cent_df, _cent_norms(cent_df), round_dp=round_dp)
     weights = assigned.groupBy("cluster").agg(F.count("*").alias("weight"))
     return candidates, weights
 

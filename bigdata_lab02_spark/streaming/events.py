@@ -16,28 +16,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see _events note)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def _with_ts(df: DataFrame) -> DataFrame:
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    """Normalize ``ts`` to TimestampType across the physical generations the
+    testdata has shipped: nanos-as-long (integer-math conversion), NTZ
+    (timestamp[us] — watermarks require TIMESTAMP_LTZ, and session TZ is
+    pinned UTC so the cast is semantically a no-op), or already LTZ."""
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(dt, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """Replay a parquet events directory as a stream (one file per
-    micro-batch by default)."""
+    micro-batch by default). ``readStream`` needs an explicit schema, so the
+    file's actual schema is sniffed with a (metadata-only) batch read —
+    robust to the ts physical type changing between testdata generations."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
     raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
