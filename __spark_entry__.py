@@ -1676,6 +1676,67 @@ FROM rk0 r WHERE r.rk NOT IN (SELECT DISTINCT rk FROM rasg)"""
 )
 
 
+_MM_N, _MM_PB = 64, 1024  # synthetic corpus size / target payload bytes
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal image path gated END-TO-END: synthetic_media encodes a
+    real PNG per row on the executors (vendored RFC 2083 codec, png.py),
+    extract_features byte-level-decodes it back via Arrow-batched
+    mapInPandas, and the emitted feature vector is reduced to EXACT integer
+    pixel statistics. The DuckDB oracle recomputes those statistics
+    directly from the deterministic pixel-generator formula — so a single
+    corrupted byte anywhere in encode → zlib → filter-reconstruction →
+    featurize flips the hash. Integer counts are exactly recoverable from
+    the float32 feature slots (values ≪ 2^24), so no precision hazard.
+    (sf_dir is unused: media is generated, not read — the documents tables
+    carry no binary column.)"""
+    from bigdata_lab02_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=_MM_N, payload_bytes=_MM_PB)
+    feats = extract_features(media, set_arrow_batch=False)
+    f = F.col("feature")
+    n_px = (f[0] * f[1] * F.lit(3.0)).cast("double")
+    cols = [
+        F.col("media_id"),
+        f[0].cast("int").alias("width"),
+        f[1].cast("int").alias("height"),
+        f[2].cast("int").alias("channels"),
+        F.round(f[3].cast("double") * F.lit(255.0) * n_px)
+        .cast("bigint")
+        .alias("total_intensity"),
+    ]
+    cols += [
+        F.round(f[4 + i].cast("double") * n_px).cast("bigint").alias(f"bin_{i}")
+        for i in range(8)
+    ]
+    return feats.filter("decode_ok").select(*cols)
+
+
+# Mirrors _media_dims(mid, 1024): side = int(sqrt(1024/3)) = 18.
+_MM_DECODE_SQL = f"""
+WITH dims AS (
+  SELECT range AS media_id,
+         CAST(18 + range % 5 AS INT) AS width,
+         CAST(18 + range % 3 AS INT) AS height
+  FROM range({_MM_N})),
+px AS (
+  SELECT d.media_id, d.width, d.height,
+         ((d.media_id * 37 + x.range * 3 + y.range * 11 + c.range * 53) % 256) AS v
+  FROM dims d, range(23) x, range(21) y, range(3) c
+  WHERE x.range < d.width AND y.range < d.height)
+SELECT media_id, width, height, 3 AS channels,
+  CAST(sum(v) AS BIGINT) AS total_intensity,
+  {", ".join(
+    f"CAST(sum(CASE WHEN v // 32 = {i} THEN 1 ELSE 0 END) AS BIGINT) AS bin_{i}"
+    for i in range(8)
+  )}
+FROM px GROUP BY media_id, width, height"""
+
+
 # ----------------------------------------------------------------- contract
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1735,6 +1796,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hourly": q_stream_hourly,
     "stream_dedup": q_stream_dedup,
     "stream_user_totals": q_stream_user_totals,
+    "multimodal_decode": q_multimodal_decode,
 }
 
 # Queries with no SQL-expressible oracle — the driver records a weaker
@@ -1750,6 +1812,7 @@ ROWS_ONLY: set[str] = set()
 _R3_NEW = {
     "kmeans_fit", "kmeans_scalable", "kmeans_recluster",
     "stream_hourly", "stream_dedup", "stream_user_totals",
+    "multimodal_decode",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (3 if name in _R3_NEW else 1) for name in _QUERIES
@@ -1847,6 +1910,7 @@ _ORACLES: dict[str, str] = {
     "stream_hourly": _EVENTS_HOURLY_SQL,
     "stream_dedup": _STREAM_DEDUP_SQL,
     "stream_user_totals": _STREAM_TOTALS_SQL,
+    "multimodal_decode": _MM_DECODE_SQL,
 }
 
 

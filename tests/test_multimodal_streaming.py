@@ -14,25 +14,39 @@ from tests.conftest import TESTDATA
 
 
 def test_multimodal_feature_extraction(spark):
+    """Real byte-level PNG decode on the executors: features carry the true
+    decoded dimensions (cross-checked against the metadata columns), a mean
+    intensity in [0,1], and a normalized 8-bin histogram."""
     media = mm.synthetic_media(spark, n=32, payload_bytes=256)
+    meta = {r["media_id"]: (r["width"], r["height"]) for r in media.collect()}
     feats = mm.extract_features(media).collect()
     assert len(feats) == 32
     ok = [r for r in feats if r["decode_ok"]]
     assert len(ok) == 32
-    assert all(r["feat_dim"] == 8 for r in ok)
-    assert all(0.0 <= x <= 1.0 for r in ok for x in r["feature"])
+    assert all(r["feat_dim"] == mm.FEAT_DIM for r in ok)
+    for r in ok:
+        w, h = meta[r["media_id"]]
+        assert (r["feature"][0], r["feature"][1], r["feature"][2]) == (w, h, 3.0)
+        assert 0.0 <= r["feature"][3] <= 1.0  # mean intensity
+        assert abs(sum(r["feature"][4:]) - 1.0) < 1e-5  # histogram sums to 1
     # deterministic: same media_id → same feature
     again = {r["media_id"]: r["feature"] for r in mm.extract_features(media).collect()}
     assert all(again[r["media_id"]] == r["feature"] for r in feats)
 
 
-def test_multimodal_handles_null_payload(spark):
+def test_multimodal_handles_bad_payloads(spark):
+    """Null and undecodable (non-PNG) payloads take the decode_ok=False
+    path; valid PNGs alongside them still decode."""
     media = mm.synthetic_media(spark, n=4).withColumn(
-        "payload", F.when(F.col("media_id") == 0, None).otherwise(F.col("payload"))
+        "payload",
+        F.when(F.col("media_id") == 0, None)
+        .when(F.col("media_id") == 1, F.lit(b"not a png at all"))
+        .otherwise(F.col("payload")),
     )
     rows = {r["media_id"]: r for r in mm.extract_features(media).collect()}
     assert rows[0]["decode_ok"] is False and rows[0]["feat_dim"] == 0
-    assert rows[1]["decode_ok"] is True
+    assert rows[1]["decode_ok"] is False and rows[1]["feat_dim"] == 0
+    assert rows[2]["decode_ok"] is True and rows[3]["decode_ok"] is True
 
 
 def test_arrow_batch_size_scoped(spark):
