@@ -219,12 +219,22 @@ def kmeans_cosine(
     centroid. Also computes per-cluster top-``top_n_terms`` terms by summed
     weight and, when ``compute_loss``, the WCSS loss against the NEW
     centroids, like the reference's update job (task2_2.java:294-356).
-    ``compute_loss=False`` drops 3 extra jobs per iteration for callers
+    ``compute_loss=False`` drops the extra job per iteration for callers
     that only need assignments. ``centroid_round_dp`` quantizes updated
     centroid weights after each mean — the cross-engine determinism mode
     the driver gate uses (a SQL oracle re-running the same fixed-init
     iterations reproduces the rounded model exactly; unrounded sums differ
-    across engines by summation order)."""
+    across engines by summation order).
+
+    The centroid model is DataFrame-resident across iterations: assign,
+    mean-update, empty-cluster carry-forward, and the convergence cosines
+    all run on the executors; only k convergence scalars (plus the
+    optional loss scalar) cross the driver boundary per iteration. Each
+    new model is ``localCheckpoint``-ed — truncating lineage so iteration
+    N's plan doesn't embed iterations 1..N-1, and pinning the model so a
+    recompute can't resample. The full model is collected ONCE post-loop
+    for the returned ``KMeansResult.centroids``; at a 10M-term vocabulary
+    drop that final collect and keep consuming the model as a DataFrame."""
     spark = vectors.sparkSession
     docs = vectors.select(
         "doc_id",
@@ -240,82 +250,92 @@ def kmeans_cosine(
     else:
         centroids = [dict(c) for c in initial_centroids]
         k = len(centroids)
+    cent_df = _centroid_df(spark, centroids).localCheckpoint()
 
     history: list[float] = []
-    top_terms: list[list[tuple[int, float]]] = []
     it = 0
     assigned = None
+    sums = None
     for it in range(1, max_iter + 1):
-        cent_df = _centroid_df(spark, centroids)
         if assigned is not None:
             assigned.unpersist()
-        # cached: reused by sizes.collect / sums.collect / the loss job
+        # cached: reused by the update aggregation and the loss job
         assigned = _sparse_assign(
             docs, cent_df, _cent_norms(cent_df), round_dp
         ).cache()
 
-        # K6 update: mean over cluster members (implicit zeros via /size).
-        # Term sums and cluster sizes are fused into ONE collect (size rows
-        # tagged with a NULL term_id) so each iteration costs a single
-        # driver-synchronized job over the cached assignment.
+        # K6 update: mean over cluster members (implicit zeros via /size),
+        # entirely executor-side — Σw per (cluster, term) joined with the
+        # (broadcast) cluster sizes.
         nnz = docs.join(assigned.select("doc_id", "cluster"), "doc_id").select(
             "cluster", F.explode("vec").alias("term_id", "w")
         )
         sums = nnz.groupBy("cluster", "term_id").agg(F.sum("w").alias("sw"))
-        sizes_rows = assigned.groupBy("cluster").agg(
-            F.count("*").cast("double").alias("sw")
-        ).select("cluster", F.lit(None).cast("int").alias("term_id"), "sw")
-        combined = sums.unionByName(sizes_rows).collect()
-        sizes = {r["cluster"]: int(r["sw"]) for r in combined if r["term_id"] is None}
-        sum_rows = [r for r in combined if r["term_id"] is not None]
-        new_centroids: list[dict[int, float]] = [dict() for _ in range(k)]
-        for r in sum_rows:
-            new_centroids[r["cluster"]][r["term_id"]] = r["sw"] / sizes.get(
-                r["cluster"], 1
-            )
+        sizes = assigned.groupBy("cluster").agg(F.count("*").alias("size"))
+        cw = F.col("sw") / F.col("size")
         if centroid_round_dp is not None:
-            new_centroids = [
-                {t: round(w, centroid_round_dp) for t, w in c.items()}
-                for c in new_centroids
-            ]
-        # keep empty clusters at their old centroid (no members → no update)
-        for cid in range(k):
-            if not new_centroids[cid]:
-                new_centroids[cid] = centroids[cid]
+            cw = F.round(cw, centroid_round_dp)
+        upd = sums.join(F.broadcast(sizes), "cluster").select(
+            "cluster", "term_id", cw.alias("cw")
+        )
+        # keep empty clusters at their old centroid (no members — or only
+        # empty-vector members — produce no sum rows → carry old rows)
+        kept = cent_df.join(
+            upd.select("cluster").distinct(), "cluster", "left_anti"
+        )
+        # localCheckpoint: truncate lineage (else iteration N's plan embeds
+        # 1..N-1) + pin values against recompute. Lazy: it materializes
+        # under the convergence collect below, fusing checkpoint + conv
+        # into one job per iteration.
+        new_cent = upd.unionByName(kept).localCheckpoint(eager=False)
 
-        # per-cluster top terms by SUMMED weight (task2_2.java:319-331)
-        by_cluster: dict[int, list[tuple[int, float]]] = {}
-        for r in sum_rows:
-            by_cluster.setdefault(r["cluster"], []).append((r["term_id"], r["sw"]))
-        top_terms = [
-            sorted(by_cluster.get(cid, []), key=lambda x: (-x[1], x[0]))[:top_n_terms]
-            for cid in range(k)
-        ]
+        # convergence: per-cluster cos(old, new) — k scalars are the ONLY
+        # model state that visits the driver each iteration
+        o = cent_df.select("cluster", F.col("term_id").alias("t"), F.col("cw").alias("ow"))
+        n = new_cent.select("cluster", F.col("term_id").alias("t"), F.col("cw").alias("nw"))
+        conv_rows = (
+            o.join(n, ["cluster", "t"], "full")
+            .groupBy("cluster")
+            .agg(
+                F.sum(F.coalesce("ow", F.lit(0.0)) * F.coalesce("nw", F.lit(0.0))).alias("dot"),
+                F.sqrt(F.sum(F.coalesce("ow", F.lit(0.0)) ** 2)).alias("no"),
+                F.sqrt(F.sum(F.coalesce("nw", F.lit(0.0)) ** 2)).alias("nn"),
+            )
+            .select(
+                "cluster",
+                F.when((F.col("no") == 0.0) | (F.col("nn") == 0.0), F.lit(0.0))
+                .otherwise(F.col("dot") / (F.col("no") * F.col("nn")))
+                .alias("cos"),
+            )
+            .collect()
+        )
+        cos_by_cluster = {r["cluster"]: r["cos"] for r in conv_rows}
+        # clusters absent from BOTH models (empty since init) score 0,
+        # matching _cos_dict(empty, empty) — they never converge
+        converged = all(cos_by_cluster.get(cid, 0.0) >= theta for cid in range(k))
 
         if compute_loss:
             # WCSS vs NEW centroids: ‖d‖² + ‖c‖² − 2·d·c (task2_2.java:348-355).
             # One job: docs with zero centroid overlap left-join to a null
             # dot (coalesced to 0 → they contribute ‖d‖² + ‖c‖²).
-            new_cent_df = _centroid_df(spark, new_centroids)
-            new_norm2 = {
-                cid: sum(w * w for w in c.values())
-                for cid, c in enumerate(new_centroids)
-            }
+            cn2 = new_cent.groupBy("cluster").agg(
+                F.sum(F.col("cw") * F.col("cw")).alias("cn2")
+            )
             dots = (
                 docs.join(assigned.select("doc_id", "cluster"), "doc_id")
                 .select("doc_id", "cluster", F.explode("vec").alias("term_id", "dw"))
-                .join(F.broadcast(new_cent_df), ["cluster", "term_id"])
+                .join(F.broadcast(new_cent), ["cluster", "term_id"])
                 .groupBy("doc_id")
                 .agg(F.sum(F.col("dw") * F.col("cw")).alias("dot"))
             )
-            cn2 = F.array(*[F.lit(new_norm2[c]) for c in range(k)])[F.col("cluster")]
             loss = (
                 docs.join(assigned.select("doc_id", "cluster"), "doc_id")
+                .join(F.broadcast(cn2), "cluster", "left")
                 .join(dots, "doc_id", "left")
                 .select(
                     (
                         F.col("dnorm") * F.col("dnorm")
-                        + cn2
+                        + F.coalesce(F.col("cn2"), F.lit(0.0))
                         - 2 * F.coalesce(F.col("dot"), F.lit(0.0))
                     ).alias("sq")
                 )
@@ -325,20 +345,39 @@ def kmeans_cosine(
             )
             history.append(loss)
 
-        converged = all(
-            _cos_dict(old, new) >= theta for old, new in zip(centroids, new_centroids)
-        )
-        centroids = new_centroids
+        cent_df = new_cent
         if converged:
             break
+
+    # per-cluster top terms by SUMMED weight (task2_2.java:319-331), from
+    # the LAST iteration's sums — one k×top_n collect while `assigned` is
+    # still cached (the loop previously rebuilt this list every iteration
+    # and kept only the last)
+    top_terms: list[list[tuple[int, float]]] = [[] for _ in range(k)]
+    if sums is not None:
+        w = Window.partitionBy("cluster").orderBy(F.desc("sw"), F.asc("term_id"))
+        for r in (
+            sums.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= top_n_terms)
+            .orderBy("cluster", "rn")
+            .collect()
+        ):
+            top_terms[r["cluster"]].append((r["term_id"], r["sw"]))
+
+    # result delivery: the model comes back to the driver exactly once.
+    # (A cluster can only be absent here if its INITIAL centroid was empty
+    # — carry-forward keeps every nonempty model row across iterations —
+    # so the empty-dict default reproduces the input faithfully.)
+    centroids = [dict() for _ in range(k)]
+    for r in cent_df.collect():
+        centroids[r["cluster"]][r["term_id"]] = r["cw"]
 
     # Final re-assignment against the RETURNED centroids so the result is
     # internally consistent (the loop's `assigned` was argmaxed against the
     # pre-update set; kmeans_euclidean does the same post-loop re-assign).
     if assigned is not None:
         assigned.unpersist()
-    final_cent = _centroid_df(spark, centroids)
-    assigned = _sparse_assign(docs, final_cent, _cent_norms(final_cent), round_dp)
+    assigned = _sparse_assign(docs, cent_df, _cent_norms(cent_df), round_dp)
     docs.unpersist()
     return KMeansResult(centroids, assigned, history, it, top_terms)
 
