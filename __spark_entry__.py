@@ -1716,6 +1716,46 @@ def q_multimodal_decode(spark, sf_dir):
     return feats.filter("decode_ok").select(*cols)
 
 
+def q_audio_decode(spark, sf_dir):
+    """Audio path gated END-TO-END like multimodal_decode: synthetic_audio
+    encodes a real mono 16-bit PCM WAV per row (vendored RIFF codec,
+    wav.py), extract_audio_stats byte-level-decodes it back and emits
+    exact integer stream statistics. The oracle recomputes them from the
+    integer-only sample-generator formula — any corrupted byte in the
+    RIFF framing or PCM packing flips the hash. (sf_dir unused: media is
+    generated.)"""
+    from bigdata_lab02_spark.operators.multimodal import (
+        extract_audio_stats,
+        synthetic_audio,
+    )
+
+    return (
+        extract_audio_stats(synthetic_audio(spark, n=_MM_N))
+        .filter("decode_ok")
+        .drop("decode_ok")
+    )
+
+
+# Mirrors _audio_samples / synthetic_audio: n = 256 + (id%7)*32 ≤ 448.
+_AUDIO_DECODE_SQL = f"""
+WITH ids AS (
+  SELECT range AS media_id, CAST(256 + (range % 7) * 32 AS INT) AS n_samples
+  FROM range({_MM_N})),
+s AS (
+  SELECT d.media_id, d.n_samples, i.range AS i,
+         ((d.media_id * 7919 + i.range * 2654435761) % 65536) - 32768 AS v
+  FROM ids d, range(448) i WHERE i.range < d.n_samples),
+x AS (
+  SELECT media_id, n_samples, v, i,
+         lag(v) OVER (PARTITION BY media_id ORDER BY i) AS pv
+  FROM s)
+SELECT media_id, 8000 AS sample_rate, 1 AS channels, n_samples,
+  CAST(sum(v * v) AS BIGINT) AS sumsq,
+  CAST(sum(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+  CAST(max(abs(v)) AS INT) AS peak
+FROM x GROUP BY media_id, n_samples"""
+
+
 # Mirrors _media_dims(mid, 1024): side = int(sqrt(1024/3)) = 18.
 _MM_DECODE_SQL = f"""
 WITH dims AS (
@@ -1797,6 +1837,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup": q_stream_dedup,
     "stream_user_totals": q_stream_user_totals,
     "multimodal_decode": q_multimodal_decode,
+    "audio_decode": q_audio_decode,
 }
 
 # Queries with no SQL-expressible oracle — the driver records a weaker
@@ -1812,7 +1853,7 @@ ROWS_ONLY: set[str] = set()
 _R3_NEW = {
     "kmeans_fit", "kmeans_scalable", "kmeans_recluster",
     "stream_hourly", "stream_dedup", "stream_user_totals",
-    "multimodal_decode",
+    "multimodal_decode", "audio_decode",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (3 if name in _R3_NEW else 1) for name in _QUERIES
@@ -1911,6 +1952,7 @@ _ORACLES: dict[str, str] = {
     "stream_dedup": _STREAM_DEDUP_SQL,
     "stream_user_totals": _STREAM_TOTALS_SQL,
     "multimodal_decode": _MM_DECODE_SQL,
+    "audio_decode": _AUDIO_DECODE_SQL,
 }
 
 

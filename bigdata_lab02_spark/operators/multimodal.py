@@ -36,11 +36,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bigdata_lab02_spark.operators import png as _png
+from bigdata_lab02_spark.operators import wav as _wav
 
-# Ship png.py — and this module's own kernels — by value inside task
-# closures (see module docstring): functions from registered modules are
-# serialized with their code + needed globals instead of as imports.
+# Ship png.py/wav.py — and this module's own kernels — by value inside
+# task closures (see module docstring): functions from registered modules
+# are serialized with their code + needed globals instead of as imports.
 cloudpickle.register_pickle_by_value(_png)
+cloudpickle.register_pickle_by_value(_wav)
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 _ARROW_BATCH_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
@@ -188,6 +190,85 @@ def extract_features(
     if set_arrow_batch:
         spark.conf.set(_ARROW_BATCH_KEY, str(rows_per_part))
     return sized.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+AUDIO_SAMPLE_RATE = 8000
+
+
+def _audio_samples(media_id: int, n_samples: int) -> list[int]:
+    """Deterministic integer-only PCM generator (Knuth-style multiplicative
+    mix): pure int math so an engine-independent oracle can recompute the
+    stream exactly — no libm sin() whose last ulp could differ."""
+    return [
+        ((media_id * 7919 + i * 2654435761) % 65536) - 32768
+        for i in range(n_samples)
+    ]
+
+
+def synthetic_audio(spark, n: int = 64) -> DataFrame:
+    """Deterministic audio table with REAL mono 16-bit PCM WAV payloads,
+    encoded on the executors. Sample count varies per id (256 + id%7 · 32)
+    so byte sizes differ across rows like a real corpus."""
+    enc = _wav.encode_wav
+    gen = _audio_samples
+    sr = AUDIO_SAMPLE_RATE
+
+    def mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "payload": [], "mime": [], "n_samples": []}
+            for mid in pdf["id"]:
+                mid = int(mid)
+                ns = 256 + (mid % 7) * 32
+                rows["media_id"].append(mid)
+                rows["payload"].append(enc(gen(mid, ns), sr))
+                rows["mime"].append("audio/wav")
+                rows["n_samples"].append(ns)
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(
+        mk, "media_id long, payload binary, mime string, n_samples int"
+    )
+
+
+def extract_audio_stats(audio: DataFrame) -> DataFrame:
+    """Byte-level WAV decode → exact integer stream statistics via
+    Arrow-batched mapInPandas. Undecodable payloads yield decode_ok=False
+    with null stats."""
+    stats = _wav.wav_stats
+    err = _wav.WavError
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "sample_rate": [],
+                "channels": [],
+                "n_samples": [],
+                "sumsq": [],
+                "zero_crossings": [],
+                "peak": [],
+                "decode_ok": [],
+            }
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(int(mid))
+                try:
+                    s = stats(bytes(b))
+                    for k in ("sample_rate", "channels", "n_samples", "sumsq",
+                              "zero_crossings", "peak"):
+                        out[k].append(s[k])
+                    out["decode_ok"].append(True)
+                except (err, TypeError):
+                    for k in ("sample_rate", "channels", "n_samples", "sumsq",
+                              "zero_crossings", "peak"):
+                        out[k].append(None)
+                    out["decode_ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(
+        op,
+        "media_id long, sample_rate int, channels int, n_samples int, "
+        "sumsq long, zero_crossings long, peak int, decode_ok boolean",
+    )
 
 
 def frame_sample_plan(video: DataFrame, every_n_frames: int = 30) -> DataFrame:

@@ -62,6 +62,33 @@ def test_arrow_batch_size_scoped(spark):
     assert spark.conf.get(key) == "7777"
 
 
+def test_audio_stats_extraction(spark):
+    """Real byte-level WAV decode on the executors: exact integer stats of
+    the generated PCM stream, cross-checked against a driver-side
+    recomputation from the same generator."""
+    from bigdata_lab02_spark.operators.multimodal import _audio_samples
+
+    audio = mm.synthetic_audio(spark, n=8)
+    rows = {r["media_id"]: r for r in mm.extract_audio_stats(audio).collect()}
+    assert len(rows) == 8
+    for mid, r in rows.items():
+        assert r["decode_ok"] is True
+        assert (r["sample_rate"], r["channels"]) == (mm.AUDIO_SAMPLE_RATE, 1)
+        samples = _audio_samples(mid, 256 + (mid % 7) * 32)
+        assert r["n_samples"] == len(samples)
+        assert r["sumsq"] == sum(s * s for s in samples)
+        assert r["peak"] == max(abs(s) for s in samples)
+
+
+def test_audio_bad_payload(spark):
+    audio = mm.synthetic_audio(spark, n=2).withColumn(
+        "payload", F.when(F.col("media_id") == 0, F.lit(b"not wav")).otherwise(F.col("payload"))
+    )
+    rows = {r["media_id"]: r for r in mm.extract_audio_stats(audio).collect()}
+    assert rows[0]["decode_ok"] is False and rows[0]["sumsq"] is None
+    assert rows[1]["decode_ok"] is True
+
+
 def test_frame_sample_plan(spark):
     media = mm.synthetic_media(spark, n=2)
     frames = mm.frame_sample_plan(media, every_n_frames=100).collect()
