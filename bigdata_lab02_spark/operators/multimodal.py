@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-The IMAGE path is real end-to-end: ``synthetic_media`` emits genuine PNG
-payloads (encoded distributed, on the executors) and the feature kernel
-byte-level-decodes them with the vendored pure-stdlib codec in ``png.py``
-(RFC 2083 baseline profile — zlib scanlines, all five row filters).
-Payloads the codec can't parse (wrong magic, truncated, unsupported
+The IMAGE and AUDIO paths are real end-to-end: ``synthetic_media`` /
+``synthetic_audio`` emit genuine PNG / WAV payloads (encoded distributed,
+on the executors) and the kernels byte-level-decode them with the
+vendored pure-stdlib codecs in ``png.py`` (RFC 2083 baseline — zlib
+scanlines, all five row filters) and ``wav.py`` (RIFF 16-bit PCM).
+Payloads a codec can't parse (wrong magic, truncated, unsupported
 profile) take the honest-failure path: ``decode_ok=False``. Only VIDEO
 frame extraction remains a stub (``frame_sample_plan``) — there is no
 container-format parser here, so it models the plan shape only.
