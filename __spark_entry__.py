@@ -1756,6 +1756,89 @@ SELECT media_id, 8000 AS sample_rate, 1 AS channels, n_samples,
 FROM x GROUP BY media_id, n_samples"""
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Sliding-window context chunking (curation.chunk_documents): 64-token
+    chunks every 48 tokens (16 overlap) over normalized document tokens;
+    chunk text travels as md5 — the engine-portable verification currency.
+    No shuffle: pure per-row array math fused into the scan."""
+    from bigdata_lab02_spark.operators.curation import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+_CHUNK_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+c AS (SELECT doc_id, toks,
+             unnest(range(CAST(ceil(n / 48.0) AS INT))) AS chunk_idx
+      FROM nz)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+  CAST(len(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64)) AS INT) AS n_tokens,
+  md5(array_to_string(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
+FROM c"""
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination check (dedup.cross_contamination): corpus
+    docs sharing ≥3 distinct word-3-gram shingles with any probe document
+    (probe set = every 50th doc_id, a deterministic benchmark stand-in).
+    Inverted-index shingle join with the probe side broadcast — the
+    corpus never shuffles."""
+    from bigdata_lab02_spark.operators.dedup import cross_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return cross_contamination(corpus, probes, n=3, min_shared=3)
+
+
+_CONTAMINATION_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+c AS (SELECT doc_id, shingle FROM ex WHERE doc_id % 50 != 0),
+p AS (SELECT doc_id AS probe_id, shingle FROM ex WHERE doc_id % 50 = 0)
+SELECT c.doc_id, p.probe_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM c JOIN p USING (shingle)
+GROUP BY c.doc_id, p.probe_id
+HAVING count(*) >= 3"""
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware dedup (curation.keep_best_duplicate): group docs by
+    the portable near-dup fingerprint (min md5 over 5-gram shingles, same
+    key as q_fingerprint) and keep the duplicate with the most tokens
+    (ties → smallest doc_id) — the longest/cleanest copy survives instead
+    of an arbitrary first one."""
+    from bigdata_lab02_spark.operators.curation import keep_best_duplicate
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = dd.shingles(F.col("text"), 5)
+    fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    score = F.size(tokens_column(F.col("text")))
+    return keep_best_duplicate(docs, group_key=fp, score=score)
+
+
+_KEEP_BEST_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, len(toks) AS score,
+  CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) END AS s
+  FROM toks),
+g AS (SELECT doc_id, CAST(score AS INT) AS score,
+             list_min(list_transform(s, x -> md5(x))) AS grp
+      FROM sh)
+SELECT doc_id, grp, score,
+  CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS group_size,
+  row_number() OVER (PARTITION BY grp ORDER BY score DESC, doc_id ASC) = 1 AS keep
+FROM g"""
+
+
 # Mirrors _media_dims(mid, 1024): side = int(sqrt(1024/3)) = 18.
 _MM_DECODE_SQL = f"""
 WITH dims AS (
@@ -1838,6 +1921,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_user_totals": q_stream_user_totals,
     "multimodal_decode": q_multimodal_decode,
     "audio_decode": q_audio_decode,
+    "chunk_docs": q_chunk_docs,
+    "contamination": q_contamination,
+    "dedup_keep_best": q_dedup_keep_best,
 }
 
 # Queries with no SQL-expressible oracle — the driver records a weaker
@@ -1854,6 +1940,7 @@ _R3_NEW = {
     "kmeans_fit", "kmeans_scalable", "kmeans_recluster",
     "stream_hourly", "stream_dedup", "stream_user_totals",
     "multimodal_decode", "audio_decode",
+    "chunk_docs", "contamination", "dedup_keep_best",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (3 if name in _R3_NEW else 1) for name in _QUERIES
@@ -1953,6 +2040,9 @@ _ORACLES: dict[str, str] = {
     "stream_user_totals": _STREAM_TOTALS_SQL,
     "multimodal_decode": _MM_DECODE_SQL,
     "audio_decode": _AUDIO_DECODE_SQL,
+    "chunk_docs": _CHUNK_SQL,
+    "contamination": _CONTAMINATION_SQL,
+    "dedup_keep_best": _KEEP_BEST_SQL,
 }
 
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bigdata_lab02_spark.functions.text import tokens_column
+
 # ----------------------------------------------------------------- scrub
 
 # Deliberately simple character-class patterns that mean the same thing in
@@ -186,4 +188,85 @@ def token_budget_sample(
     return scored.where(
         (F.col("cum_tokens") <= budget)
         | (F.col("cum_tokens") == F.col("n_tokens"))
+    )
+
+
+# --------------------------------------------------------------- chunking
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window context chunking — the prep step between curated
+    documents and fixed-context training sequences: each doc becomes
+    chunks of ``chunk_tokens`` whitespace tokens starting every
+    ``chunk_tokens - overlap`` tokens (the final chunk may be shorter;
+    docs with zero tokens emit no chunks).
+
+    Pure array math per row — one ``sequence`` + ``transform`` + explode,
+    no shuffle at all: chunking is embarrassingly parallel and stays
+    pipelined inside whole-stage codegen on the scan. The chunk text
+    itself travels as an md5 (cheap, engine-portable verification
+    currency); a real shard writer would emit the token slice instead.
+
+    Returns (id, chunk_idx, n_tokens, chunk_md5).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.col("toks")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(stride))).cast("int")
+    chunk = lambda i: F.slice(toks, i * stride + 1, chunk_tokens)  # noqa: E731
+    return (
+        docs.select(F.col(id_col), tokens_column(F.col(text_col)).alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.struct(
+                        i.cast("int").alias("chunk_idx"),
+                        F.size(chunk(i)).alias("n_tokens"),
+                        F.md5(F.concat_ws(" ", chunk(i))).alias("chunk_md5"),
+                    ),
+                )
+            ).alias("c"),
+        )
+        .select(id_col, "c.chunk_idx", "c.n_tokens", "c.chunk_md5")
+    )
+
+
+# ------------------------------------------------------- keep-best dedup
+
+
+def keep_best_duplicate(
+    docs: DataFrame,
+    group_key: Column,
+    score: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware dedup: within each duplicate group (``group_key`` —
+    a content digest, near-dup fingerprint, or cluster id), keep the doc
+    with the highest ``score`` (ties → smallest id). Unlike keep-first
+    dedup, the survivor is the BEST duplicate, not an arbitrary one —
+    pipelines keep the longest / cleanest copy of boilerplate families.
+
+    One shuffle on the group key; the rank window does a partial
+    (map-side) top-1 per partition before the exchange. Returns
+    (id, group, score, group_size, keep).
+    """
+    scored = docs.select(
+        F.col(id_col), group_key.alias("grp"), score.alias("score")
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .withColumn("group_size", F.count("*").over(Window.partitionBy("grp")))
+        .withColumn("keep", F.col("rank") == 1)
+        .drop("rank")
     )

@@ -481,3 +481,40 @@ def dedup_clusters(
         )
         .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+# ----------------------------------------------------- contamination check
+
+
+def cross_contamination(
+    corpus: DataFrame,
+    probes: DataFrame,
+    n: int = 3,
+    min_shared: int = 3,
+    id_col: str = "doc_id",
+    probe_id_col: str = "probe_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination check: which corpus docs share ≥
+    ``min_shared`` distinct word ``n``-gram shingles with any probe
+    (benchmark/eval) document — the standard decontamination pass before
+    training (n-gram collision, cf. the 13-gram overlap checks described
+    for GPT-3, Brown et al. 2020, and PaLM).
+
+    Shape: an inverted-index equi-join on the shingle, NOT an all-pairs
+    scan — cost is Σ per-shingle (corpus_df × probe_df), and the probe
+    side (eval sets are small by definition) is broadcast so the corpus
+    never shuffles. Returns (id, probe_id, n_shared) for flagged pairs.
+    """
+    c_sh = corpus.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+    p_sh = probes.select(
+        F.col(probe_id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+    return (
+        c_sh.join(F.broadcast(p_sh), "shingle")
+        .groupBy(id_col, probe_id_col)
+        .agg(F.count("*").alias("n_shared"))  # shingle sets are distinct
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -135,3 +135,80 @@ class TestTokenBudget:
         a = sorted(r.doc_id for r in cur.token_budget_sample(docs, 20).collect())
         b = sorted(r.doc_id for r in cur.token_budget_sample(docs, 20).collect())
         assert a == b
+
+
+class TestChunking:
+    def test_chunk_boundaries_and_overlap(self, spark):
+        # 100 tokens, chunk=64, overlap=16 → stride 48 → ceil(100/48)=3
+        # chunks: [0:64], [48:100] (52 toks), [96:100] (4 toks)
+        text = " ".join(f"w{i}" for i in range(100))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            cur.chunk_documents(docs, chunk_tokens=64, overlap=16).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        assert [(r["chunk_idx"], r["n_tokens"]) for r in rows] == [
+            (0, 64), (1, 52), (2, 4),
+        ]
+        # overlap: chunk 1 starts at token 48 — verify via md5 of the slice
+        import hashlib
+        want = hashlib.md5(
+            " ".join(f"w{i}" for i in range(48, 100)).encode()
+        ).hexdigest()
+        assert rows[1]["chunk_md5"] == want
+
+    def test_empty_doc_emits_no_chunks(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "three tokens here"), (2, "   "), (3, "!!! ...")],
+            "doc_id long, text string",
+        )
+        out = cur.chunk_documents(docs, chunk_tokens=8, overlap=2).collect()
+        assert {r["doc_id"] for r in out} == {1}
+
+    def test_overlap_must_be_smaller(self, spark):
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            cur.chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+class TestKeepBest:
+    def test_keeps_highest_score_then_smallest_id(self, spark):
+        import pyspark.sql.functions as F
+
+        docs = spark.createDataFrame(
+            [(1, "g1", 5), (2, "g1", 9), (3, "g1", 9), (4, "g2", 1)],
+            "doc_id long, grp string, score int",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in cur.keep_best_duplicate(
+                docs, group_key=F.col("grp"), score=F.col("score")
+            ).collect()
+        }
+        assert out[2]["keep"] is True  # 9 ties → smallest id wins
+        assert out[3]["keep"] is False
+        assert out[1]["keep"] is False
+        assert out[4]["keep"] is True  # singleton group
+        assert out[1]["group_size"] == 3 and out[4]["group_size"] == 1
+
+
+class TestContamination:
+    def test_planted_overlap_flagged(self, spark):
+        from bigdata_lab02_spark.operators.dedup import cross_contamination
+
+        bench = "the quick brown fox jumps over the lazy dog tonight"
+        corpus = spark.createDataFrame(
+            [
+                (1, "prefix words " + bench + " suffix words"),  # contaminated
+                (2, "completely different text about spark plans and shuffles"),
+            ],
+            "doc_id long, text string",
+        )
+        probes = spark.createDataFrame(
+            [(100, bench)], "probe_id long, text string"
+        )
+        out = cross_contamination(corpus, probes, n=3, min_shared=3).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["doc_id"], r["probe_id"]) == (1, 100)
+        assert r["n_shared"] >= 8  # all of the benchmark's 3-gram shingles
