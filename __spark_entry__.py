@@ -1254,6 +1254,47 @@ def q_stream_hourly(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment join gated against its batch twin: the
+    replayed event stream joins the static customer dimension per
+    micro-batch (broadcast — the stream never shuffles for the dim) and
+    rolls up per (hour, market segment) with DECIMAL-exact sums
+    (streaming.events.enriched_segment_stream). Complete-mode memory sink
+    ⇒ final state equals the batch join+groupBy the oracle states."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from bigdata_lab02_spark.streaming import run_stream_to_memory
+    from bigdata_lab02_spark.streaming.events import (
+        enriched_segment_stream,
+        read_event_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="events_enrich_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", str(Path(d) / "part-0.parquet"))
+        stream = read_event_stream(spark, d)
+        dim = _t(spark, sf_dir, "customer")
+        return run_stream_to_memory(
+            spark,
+            enriched_segment_stream(stream, dim),
+            "stream_enrich_q",
+            mode="complete",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_STREAM_ENRICH_SQL = """
+SELECT date_trunc('hour', e.ts::TIMESTAMP) AS bucket, c.c_mktsegment,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY bucket, c.c_mktsegment
+"""
+
+
 def q_stream_dedup(spark, sf_dir):
     """Streaming exact dedup under at-least-once replay: the events file is
     fed through readStream TWICE (two micro-batches, the second a full
@@ -1924,6 +1965,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_docs": q_chunk_docs,
     "contamination": q_contamination,
     "dedup_keep_best": q_dedup_keep_best,
+    "stream_enrich": q_stream_enrich,
 }
 
 # Queries with no SQL-expressible oracle — the driver records a weaker
@@ -1940,7 +1982,7 @@ _R3_NEW = {
     "kmeans_fit", "kmeans_scalable", "kmeans_recluster",
     "stream_hourly", "stream_dedup", "stream_user_totals",
     "multimodal_decode", "audio_decode",
-    "chunk_docs", "contamination", "dedup_keep_best",
+    "chunk_docs", "contamination", "dedup_keep_best", "stream_enrich",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (3 if name in _R3_NEW else 1) for name in _QUERIES
@@ -2043,6 +2085,7 @@ _ORACLES: dict[str, str] = {
     "chunk_docs": _CHUNK_SQL,
     "contamination": _CONTAMINATION_SQL,
     "dedup_keep_best": _KEEP_BEST_SQL,
+    "stream_enrich": _STREAM_ENRICH_SQL,
 }
 
 

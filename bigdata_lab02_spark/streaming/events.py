@@ -168,6 +168,40 @@ def running_user_totals_stream(
     )
 
 
+def enriched_segment_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    dim_key: str = "c_custkey",
+    seg_col: str = "c_mktsegment",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: each micro-batch
+    joins against the static dimension (Spark re-plans the static side per
+    batch, so a dim refresh is picked up without restarting the query) and
+    aggregates per (1-hour window, segment).
+
+    The static side rides a broadcast join — the stream never shuffles for
+    the enrichment, only for the windowed aggregation; watermarking bounds
+    that aggregation's state. This is THE pattern for attaching slowly-
+    changing reference data (user tiers, geo tables) to an event stream.
+    The DECIMAL-exact value sum matches the batch twin bit-for-bit."""
+    joined = events.withWatermark("ts", watermark).join(
+        F.broadcast(dim.select(F.col(dim_key).alias(key), F.col(seg_col))),
+        key,
+    )
+    return (
+        joined.groupBy(F.window("ts", "1 hour").alias("w"), seg_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), seg_col, "n", "total_value")
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, streaming_df: DataFrame, name: str, mode: str = "append"
 ) -> DataFrame:
