@@ -47,6 +47,10 @@ HEADLINE = [
     "asof_join",
     "kmeans_assign",
     "kmeans_update",
+    # round 3 additions: curation/chunking + contamination surface
+    "chunk_docs",
+    "contamination",
+    "dedup_keep_best",
 ]
 
 

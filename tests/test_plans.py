@@ -55,3 +55,24 @@ def test_embedding_topk_broadcasts_queries(spark):
     # corpus side streams; query side broadcast (nested-loop w/ broadcast)
     assert "BroadcastNestedLoopJoin" in r.raw or r.n_broadcast_joins >= 1
     assert r.n_sortmerge_joins == 0
+
+
+def test_chunk_docs_no_shuffle(spark):
+    """Chunking is embarrassingly parallel — any Exchange in the plan means
+    it stopped fusing with the scan."""
+    r = plan_report(e.queries()["chunk_docs"](spark, SF))
+    assert r.n_exchanges == 0
+
+
+def test_contamination_broadcasts_probe_side(spark):
+    """The probe (benchmark) side must broadcast; the corpus never
+    shuffles for the shingle join."""
+    r = plan_report(e.queries()["contamination"](spark, SF))
+    assert r.n_broadcast_joins >= 1
+    assert r.n_sortmerge_joins == 0
+
+
+def test_keep_best_single_shuffle_shared_by_windows(spark):
+    """Rank + group_size windows share ONE hash exchange on the group key."""
+    r = plan_report(e.queries()["dedup_keep_best"](spark, SF))
+    assert r.n_exchanges == 1
