@@ -1880,6 +1880,61 @@ SELECT doc_id, grp, score,
 FROM g"""
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing (curation.pack_sequences): per source, docs
+    in id order are binned into 2048-token packs by prefix-scan — one
+    group-partitioned window, no global single-partition scan."""
+    from bigdata_lab02_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=2048)
+
+
+# The windowed sum is CAST to BIGINT before the division: DuckDB types
+# sum() OVER as HUGEINT (the token_budget lesson, three rounds running).
+_PACK_SQL = f"""
+WITH t AS (SELECT doc_id, source, CAST(len({_TOKS}) AS INT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, source, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM t)
+SELECT doc_id, source, n_tokens,
+  CAST(floor((cum - n_tokens) / 2048.0) AS INT) AS pack_id
+FROM c"""
+
+
+def q_skew_salted_join(spark, sf_dir):
+    """Skew-mitigation correctness gate: the salted fact⋈dim join
+    (operators.skew.salted_join — dim replicated per salt, fact never
+    replicated) must produce row-identical output to the plain join. The
+    rollup to (priority, count, DECIMAL-exact revenue) makes the whole
+    join result hash-comparable."""
+    from bigdata_lab02_spark.operators.skew import salted_join
+
+    fact = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    dim = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    return (
+        salted_join(fact, dim, "okey", salt_buckets=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+    )
+
+
+_SKEW_JOIN_SQL = """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
 # Mirrors _media_dims(mid, 1024): side = int(sqrt(1024/3)) = 18.
 _MM_DECODE_SQL = f"""
 WITH dims AS (
@@ -1966,6 +2021,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination": q_contamination,
     "dedup_keep_best": q_dedup_keep_best,
     "stream_enrich": q_stream_enrich,
+    "pack_sequences": q_pack_sequences,
+    "skew_salted_join": q_skew_salted_join,
 }
 
 # Queries with no SQL-expressible oracle — the driver records a weaker
@@ -1983,6 +2040,7 @@ _R3_NEW = {
     "stream_hourly", "stream_dedup", "stream_user_totals",
     "multimodal_decode", "audio_decode",
     "chunk_docs", "contamination", "dedup_keep_best", "stream_enrich",
+    "pack_sequences", "skew_salted_join",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (3 if name in _R3_NEW else 1) for name in _QUERIES
@@ -2086,6 +2144,8 @@ _ORACLES: dict[str, str] = {
     "contamination": _CONTAMINATION_SQL,
     "dedup_keep_best": _KEEP_BEST_SQL,
     "stream_enrich": _STREAM_ENRICH_SQL,
+    "pack_sequences": _PACK_SQL,
+    "skew_salted_join": _SKEW_JOIN_SQL,
 }
 
 

@@ -270,3 +270,46 @@ def keep_best_duplicate(
         .withColumn("keep", F.col("rank") == 1)
         .drop("rank")
     )
+
+
+# ------------------------------------------------------ sequence packing
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy fixed-budget sequence packing: within each group, walk docs
+    in id order and assign pack_id = floor(tokens-before-this-doc /
+    budget) — the shard-assembly step that turns curated docs into
+    fixed-context training sequences (a doc whose tokens straddle the
+    boundary starts inside the earlier pack; real shard writers then
+    truncate or pad).
+
+    One prefix-scan window per group — partitioned by ``group_col``, so
+    there is no single-partition global window to bottleneck at scale;
+    parallelism = number of sources. Deterministic: a pure function of
+    (group, id order), reproducible across runs and engines.
+
+    Returns (id, group, n_tokens, pack_id).
+    """
+    toks = tokens_column(F.col(text_col))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = docs.select(
+        F.col(id_col), F.col(group_col), F.size(toks).alias("n_tokens")
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    return scored.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(float(budget)))
+        .cast("int")
+        .alias("pack_id"),
+    )

@@ -212,3 +212,26 @@ class TestContamination:
         r = out[0]
         assert (r["doc_id"], r["probe_id"]) == (1, 100)
         assert r["n_shared"] >= 8  # all of the benchmark's 3-gram shingles
+
+
+class TestPacking:
+    def test_pack_boundaries(self, spark):
+        # budget 10; docs of 4,4,4 tokens: cum-before = 0,4,8 → packs 0,0,0
+        # then 4 more docs of 4: cum-before 12,16,20,24 → packs 1,1,2,2
+        docs = spark.createDataFrame(
+            [(i, "g", "a b c d") for i in range(7)],
+            "doc_id long, source string, text string",
+        )
+        out = {r["doc_id"]: r["pack_id"] for r in cur.pack_sequences(docs, budget=10).collect()}
+        assert out == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2}
+
+    def test_groups_pack_independently(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "a", "x y"), (1, "b", "x y"), (2, "a", "x y"), (3, "b", "x y")],
+            "doc_id long, source string, text string",
+        )
+        out = cur.pack_sequences(docs, budget=3).collect()
+        packs = {(r["source"], r["doc_id"]): r["pack_id"] for r in out}
+        # each group starts its own pack numbering at 0
+        assert packs[("a", 0)] == 0 and packs[("b", 1)] == 0
+        assert packs[("a", 2)] == 0 and packs[("b", 3)] == 0  # 2 tokens < 3 budget... cum_before=2 → floor(2/3)=0
