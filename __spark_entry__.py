@@ -1902,6 +1902,72 @@ SELECT doc_id, source, n_tokens,
 FROM c"""
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """The whole curation surface CHAINED end-to-end, the way a training
+    shard is actually built: PII scrub → quality filter (≥10 tokens,
+    punct ratio ≤ 0.2 on the scrubbed text) → exact dedup (first copy per
+    scrubbed-content digest) → 90% deterministic train split → per-source
+    2048-token sequence packing. One oracle replays the identical chain in
+    SQL, so every stage's semantics AND their composition hash-match.
+    Plan-wise the chain stays narrow: scrub/quality are scan-fused
+    projections, dedup is one digest exchange, split is a pure hash
+    function, packing reuses the per-source window partitioning."""
+    from bigdata_lab02_spark.operators.curation import (
+        hash_split,
+        pack_sequences,
+        scrub_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scr = docs.select("doc_id", "source", scrub_text(F.col("text")).alias("text"))
+    n_tok = F.size(tokens_column(F.col("text")))
+    n_char = F.length("text")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
+    q = scr.where(
+        (n_tok >= 10) & ((n_char == 0) | (n_punct / n_char <= 0.2))
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        q.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+    )
+    train = hash_split(
+        deduped, {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).where("split = 'train'")
+    return pack_sequences(train, budget=2048)
+
+
+_CURATION_E2E_SQL = rf"""
+WITH scr AS (
+  SELECT doc_id, source,
+    regexp_replace(regexp_replace(regexp_replace(text,
+      'https?://[^\s]+', '<URL>', 'g'),
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+      '\b[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\b', '<IP>', 'g') AS text
+  FROM documents),
+tok AS (SELECT doc_id, source, text, CAST(len({_TOKS}) AS INT) AS n_tokens FROM scr),
+q AS (
+  SELECT * FROM tok
+  WHERE n_tokens >= 10
+    AND (len(text) = 0
+         OR len(regexp_extract_all(text, '[^\w\s]')) * 1.0 / len(text) <= 0.2)),
+d AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM q),
+tr AS (
+  SELECT doc_id, source, n_tokens FROM d
+  WHERE rn = 1
+    AND ('0x' || substr(md5('split|' || doc_id), 1, 15))::BIGINT
+        / CAST(1152921504606846976 AS DOUBLE) < 0.9),
+c AS (
+  SELECT doc_id, source, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM tr)
+SELECT doc_id, source, n_tokens,
+  CAST(floor((cum - n_tokens) / 2048.0) AS INT) AS pack_id
+FROM c"""
+
+
 def q_skew_salted_join(spark, sf_dir):
     """Skew-mitigation correctness gate: the salted fact⋈dim join
     (operators.skew.salted_join — dim replicated per salt, fact never
@@ -2023,6 +2089,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_enrich": q_stream_enrich,
     "pack_sequences": q_pack_sequences,
     "skew_salted_join": q_skew_salted_join,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 # Queries with no SQL-expressible oracle — the driver records a weaker
@@ -2040,7 +2107,7 @@ _R3_NEW = {
     "stream_hourly", "stream_dedup", "stream_user_totals",
     "multimodal_decode", "audio_decode",
     "chunk_docs", "contamination", "dedup_keep_best", "stream_enrich",
-    "pack_sequences", "skew_salted_join",
+    "pack_sequences", "skew_salted_join", "curation_pipeline",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (3 if name in _R3_NEW else 1) for name in _QUERIES
@@ -2146,6 +2213,7 @@ _ORACLES: dict[str, str] = {
     "stream_enrich": _STREAM_ENRICH_SQL,
     "pack_sequences": _PACK_SQL,
     "skew_salted_join": _SKEW_JOIN_SQL,
+    "curation_pipeline": _CURATION_E2E_SQL,
 }
 
 

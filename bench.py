@@ -51,6 +51,7 @@ HEADLINE = [
     "chunk_docs",
     "contamination",
     "dedup_keep_best",
+    "curation_pipeline",
 ]
 
 
