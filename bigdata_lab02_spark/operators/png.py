@@ -106,10 +106,18 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             break
     if width < 0 or not idat:
         raise PngError("missing IHDR/IDAT")
-
-    raw = zlib.decompress(bytes(idat))
+    # Bound allocations BEFORE inflating: header-declared dimensions are
+    # attacker-controlled, and zlib.decompress with no cap is a zip bomb —
+    # inflate at most the expected scanline bytes (+1 to detect overrun).
+    if width <= 0 or height <= 0 or width * height * channels > (1 << 26):
+        raise PngError("unreasonable dimensions")
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    try:
+        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise PngError(f"corrupt IDAT: {exc}") from exc
+    if len(raw) != expected:
         raise PngError("scanline size mismatch")
 
     out = bytearray(stride * height)

@@ -109,3 +109,24 @@ def test_unsupported_profile_rejected():
     )
     with pytest.raises(PngError):
         decode_png(data)
+
+
+def test_corrupt_idat_raises_png_error():
+    data = encode_png(4, 4, bytes(48), 2)
+    # flip bytes inside the IDAT payload (after its 8-byte chunk header)
+    idat_at = data.index(b"IDAT") + 4
+    corrupted = data[:idat_at] + bytes([data[idat_at] ^ 0xFF]) + data[idat_at + 1 :]
+    with pytest.raises(PngError):
+        decode_png(corrupted)
+
+
+def test_bomb_dimensions_rejected_before_inflate():
+    # header claims 65535x65535 RGB (~12 GiB of scanlines) with a tiny body
+    data = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 65535, 65535, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError):
+        decode_png(data)

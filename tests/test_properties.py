@@ -99,3 +99,53 @@ def test_shingles_are_distinct_and_cover(spark, line):
         assert len(set(sh)) <= len(toks) - 2  # at most n-2 distinct trigrams
         for g in sh:
             assert len(g.split(" ")) == 3
+
+
+# ------------------------------------------------------------ codec props
+
+
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    ct=st.sampled_from([0, 2, 6]),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(w, h, ct, data):
+    """decode(encode(px)) == px for arbitrary pixel bytes across all
+    supported color types and dimensions (driver-side, no Spark)."""
+    from bigdata_lab02_spark.operators.png import decode_png, encode_png
+
+    ch = {0: 1, 2: 3, 6: 4}[ct]
+    px = bytes(
+        data.draw(
+            st.lists(st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch)
+        )
+    )
+    assert decode_png(encode_png(w, h, px, ct)) == (w, h, ch, px)
+
+
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=400),
+    sr=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(samples, sr):
+    from bigdata_lab02_spark.operators.wav import decode_wav, encode_wav
+
+    assert decode_wav(encode_wav(samples, sr)) == (sr, 1, samples)
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_codecs_never_crash_on_garbage(blob):
+    """Arbitrary bytes either decode cleanly or raise the codec's typed
+    error — never an unhandled exception (the decode_ok=False contract)."""
+    from bigdata_lab02_spark.operators.png import PngError, decode_png
+    from bigdata_lab02_spark.operators.wav import WavError, decode_wav
+
+    for fn, err in ((decode_png, PngError), (decode_wav, WavError)):
+        try:
+            fn(blob)
+        except err:
+            pass
