@@ -1902,6 +1902,28 @@ SELECT doc_id, source, n_tokens,
 FROM c"""
 
 
+def q_delimited_roundtrip(spark, sf_dir):
+    """S3+S2 gated end-to-end: the COO doc-term matrix is written to the
+    reference's tab-delimited interchange format (sinks.write_tsv —
+    ``docid \\t termid \\t count``, task1_1.java:155-158) and read back
+    typed (delimited.read_coo_matrix). The oracle states the original COO,
+    so any corruption in the write formatting or the read parsing flips
+    the hash. The read-back result is eagerly localCheckpoint-ed so the
+    staging directory can be removed before the driver consumes the rows."""
+    import shutil
+    import tempfile
+
+    from bigdata_lab02_spark.sources.delimited import read_coo_matrix
+    from bigdata_lab02_spark.sources.sinks import write_tsv
+
+    d = tempfile.mkdtemp(prefix="coo_roundtrip_")
+    try:
+        write_tsv(_coo(_t(spark, sf_dir, "documents")), d)
+        return read_coo_matrix(spark, d).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_curation_pipeline(spark, sf_dir):
     """The whole curation surface CHAINED end-to-end, the way a training
     shard is actually built: PII scrub → quality filter (≥10 tokens,
@@ -2090,6 +2112,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "skew_salted_join": q_skew_salted_join,
     "curation_pipeline": q_curation_pipeline,
+    "delimited_roundtrip": q_delimited_roundtrip,
 }
 
 # Queries with no SQL-expressible oracle — the driver records a weaker
@@ -2108,6 +2131,7 @@ _R3_NEW = {
     "multimodal_decode", "audio_decode",
     "chunk_docs", "contamination", "dedup_keep_best", "stream_enrich",
     "pack_sequences", "skew_salted_join", "curation_pipeline",
+    "delimited_roundtrip",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (3 if name in _R3_NEW else 1) for name in _QUERIES
@@ -2214,6 +2238,7 @@ _ORACLES: dict[str, str] = {
     "pack_sequences": _PACK_SQL,
     "skew_salted_join": _SKEW_JOIN_SQL,
     "curation_pipeline": _CURATION_E2E_SQL,
+    "delimited_roundtrip": _COO_SQL,
 }
 
 
