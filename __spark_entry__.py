@@ -1924,6 +1924,38 @@ def q_delimited_roundtrip(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_sparse_vec_roundtrip(spark, sf_dir):
+    """S2 sparse-vector interchange gated both directions: the TF-IDF map
+    vectors write to the reference's ``docid \\t t:w,...`` TFIDF.txt format
+    (delimited.write_sparse_vectors) and parse back
+    (delimited.read_sparse_vectors), then explode to (doc_id, term_id, w)
+    cells the oracle states from the TFIDF pipeline directly. Doubles
+    survive exactly: the writer emits Java's shortest-roundtrip repr and
+    the parser casts it back to the identical double."""
+    import shutil
+    import tempfile
+
+    from bigdata_lab02_spark.sources.delimited import (
+        read_sparse_vectors,
+        write_sparse_vectors,
+    )
+
+    d = tempfile.mkdtemp(prefix="vec_roundtrip_")
+    try:
+        write_sparse_vectors(_gate_vectors(spark, sf_dir), d)
+        back = read_sparse_vectors(spark, d)
+        return back.select(
+            "doc_id", F.explode("vec").alias("term_id", "w")
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_SPARSE_RT_SQL = (
+    _V_PREFIX + "\nSELECT doc_id, term_id, w FROM v"
+)
+
+
 def q_curation_pipeline(spark, sf_dir):
     """The whole curation surface CHAINED end-to-end, the way a training
     shard is actually built: PII scrub → quality filter (≥10 tokens,
@@ -2113,6 +2145,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_salted_join": q_skew_salted_join,
     "curation_pipeline": q_curation_pipeline,
     "delimited_roundtrip": q_delimited_roundtrip,
+    "sparse_vec_roundtrip": q_sparse_vec_roundtrip,
 }
 
 # Queries with no SQL-expressible oracle — the driver records a weaker
@@ -2131,7 +2164,7 @@ _R3_NEW = {
     "multimodal_decode", "audio_decode",
     "chunk_docs", "contamination", "dedup_keep_best", "stream_enrich",
     "pack_sequences", "skew_salted_join", "curation_pipeline",
-    "delimited_roundtrip",
+    "delimited_roundtrip", "sparse_vec_roundtrip",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (3 if name in _R3_NEW else 1) for name in _QUERIES
@@ -2239,6 +2272,7 @@ _ORACLES: dict[str, str] = {
     "skew_salted_join": _SKEW_JOIN_SQL,
     "curation_pipeline": _CURATION_E2E_SQL,
     "delimited_roundtrip": _COO_SQL,
+    "sparse_vec_roundtrip": _SPARSE_RT_SQL,
 }
 
 

@@ -72,3 +72,31 @@ def read_weighted_vectors(spark: SparkSession, path: str) -> DataFrame:
     (task2_3.java:686-689)."""
     raw = spark.read.csv(path, sep="\t", schema="vec_str string, weight double")
     return raw.select(_parse_sparse(F.col("vec_str")).alias("vec"), "weight")
+
+
+def sparse_vector_str(vec) -> "F.Column":
+    """map<int,double> → the reference's ``t:w,t:w,...`` string
+    (task2_2.java:131-146), entries sorted by term id so the emitted text
+    is deterministic across runs and partitionings. Double weights format
+    with Java's shortest-roundtrip repr, so read→parse→cast restores the
+    exact same double."""
+    entries = F.array_sort(F.map_entries(vec))
+    return F.array_join(
+        F.transform(
+            entries,
+            lambda e: F.concat_ws(":", e["key"].cast("string"), e["value"].cast("string")),
+        ),
+        ",",
+    )
+
+
+def write_sparse_vectors(df: DataFrame, path: str, id_col: str = "doc_id",
+                         vec_col: str = "vec", mode: str = "overwrite") -> None:
+    """Write (id, map<int,double>) as the reference's TFIDF.txt interchange
+    format: ``docid \\t t:w,t:w,...`` — the inverse of
+    ``read_sparse_vectors``."""
+    df.select(
+        F.concat_ws(
+            "\t", F.col(id_col).cast("string"), sparse_vector_str(F.col(vec_col))
+        ).alias("value")
+    ).write.mode(mode).text(path)

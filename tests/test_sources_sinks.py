@@ -52,3 +52,25 @@ def test_sparse_vector_parse_matches_reference_format(spark):
     # golden doc 1 starts "1\t24377:0.5234,24780:0.3079,..."
     assert abs(row["vec"][24377] - 0.5234) < 1e-12
     assert abs(row["vec"][24780] - 0.3079) < 1e-12
+
+
+def test_sparse_vector_writer_roundtrip(spark, tmp_path):
+    """write_sparse_vectors emits the reference TFIDF.txt format and
+    read_sparse_vectors restores the exact same maps (doubles included)."""
+    from bigdata_lab02_spark.sources.delimited import write_sparse_vectors
+
+    vecs = spark.createDataFrame(
+        [(1, {3: 0.125, 1: 2.5e-7}), (2, {9: 1.0}), (3, {})],
+        "doc_id int, vec map<int,double>",
+    )
+    d = str(tmp_path / "vecs")
+    write_sparse_vectors(vecs, d)
+    back = {r["doc_id"]: r["vec"] for r in read_sparse_vectors(spark, d).collect()}
+    assert back[1] == {3: 0.125, 1: 2.5e-7}
+    assert back[2] == {9: 1.0}
+    # entries are sorted by term id in the emitted text (deterministic)
+    line = [
+        ln for p in (tmp_path / "vecs").glob("part-*.txt")
+        for ln in p.read_text().splitlines() if ln.startswith("1\t")
+    ][0]
+    assert line.split("\t")[1].startswith("1:")
