@@ -1893,7 +1893,7 @@ _CHUNK_SQL = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
 c AS (SELECT doc_id, toks,
-             unnest(range(CAST(ceil(n / 48.0) AS INT))) AS chunk_idx
+             unnest(range(greatest(1, CAST(1 + ceil((n - 64) / 48.0) AS INT)))) AS chunk_idx
       FROM nz)
 SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
   CAST(len(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64)) AS INT) AS n_tokens,

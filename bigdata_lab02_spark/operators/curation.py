@@ -205,7 +205,10 @@ def chunk_documents(
     documents and fixed-context training sequences: each doc becomes
     chunks of ``chunk_tokens`` whitespace tokens starting every
     ``chunk_tokens - overlap`` tokens (the final chunk may be shorter;
-    docs with zero tokens emit no chunks).
+    docs with zero tokens emit no chunks). A trailing window that would be
+    entirely contained in the previous chunk (n_tokens % stride in
+    (0, overlap]) is NOT emitted — it adds no new tokens, only duplicated
+    content in the resulting shards.
 
     Pure array math per row — one ``sequence`` + ``transform`` + explode,
     no shuffle at all: chunking is embarrassingly parallel and stays
@@ -219,7 +222,16 @@ def chunk_documents(
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
     toks = F.col("toks")
-    n_chunks = F.ceil(F.size(toks) / F.lit(float(stride))).cast("int")
+    # 1 + ceil((size - chunk_tokens) / stride), floored at 1: the first
+    # window always counts; further windows only while they reach past the
+    # previous chunk's end (a pure-subset trailing window is skipped).
+    n_chunks = F.greatest(
+        F.lit(1),
+        (
+            F.lit(1)
+            + F.ceil((F.size(toks) - F.lit(chunk_tokens)) / F.lit(float(stride)))
+        ).cast("int"),
+    )
     chunk = lambda i: F.slice(toks, i * stride + 1, chunk_tokens)  # noqa: E731
     return (
         docs.select(F.col(id_col), tokens_column(F.col(text_col)).alias("toks"))
@@ -256,9 +268,11 @@ def keep_best_duplicate(
     dedup, the survivor is the BEST duplicate, not an arbitrary one —
     pipelines keep the longest / cleanest copy of boilerplate families.
 
-    One shuffle on the group key; the rank window does a partial
-    (map-side) top-1 per partition before the exchange. Returns
-    (id, group, score, group_size, keep).
+    One shuffle on the group key: every group row travels to its window
+    partition before ranking (row_number does no map-side partial). If
+    pre-exchange reduction ever matters at scale, the shape to reach for
+    is a groupBy(max(score)) semi-join pre-filter — that aggregation DOES
+    combine map-side. Returns (id, group, score, group_size, keep).
     """
     scored = docs.select(
         F.col(id_col), group_key.alias("grp"), score.alias("score")

@@ -151,18 +151,19 @@ def extract_features(
     target_partition_mb: int = 128,
     avg_payload_kb: int = 256,
     n_rows: int | None = None,
-    set_arrow_batch: bool = True,
+    set_arrow_batch: bool = False,
 ) -> DataFrame:
     """Decode + featurize via Arrow-batched mapInPandas.
 
     Byte-aware sizing happens at two levels:
     - Arrow batch size: rows_per_batch ≈ target_partition_mb·1024 /
       avg_payload_kb, so a 4 MB-per-image corpus gets small Arrow batches
-      and a thumbnail corpus gets big ones. Spark has no per-plan knob:
-      with ``set_arrow_batch=True`` (default) the SESSION conf is set here
-      and stays; to keep the session untouched, pass
-      ``set_arrow_batch=False`` and wrap the consuming action in
-      ``arrow_batch_size(spark, rows)`` — the conf is read at action time.
+      and a thumbnail corpus gets big ones. Spark has no per-plan knob —
+      only the session conf, read at action time. The default leaves the
+      session UNTOUCHED; wrap the consuming action in
+      ``arrow_batch_size(spark, rows)`` to apply a scoped batch size.
+      ``set_arrow_batch=True`` sets the session conf here and leaves it
+      set — explicit opt-in only, a conf mutation as a side effect.
     - Partition count: when the caller supplies ``n_rows`` (a count is an
       action, so we don't trigger one implicitly), partitions are sized to
       hold ≈ rows_per_batch rows each; otherwise default parallelism.

@@ -92,6 +92,11 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             raise PngError("truncated chunk")
         pos += 12 + length  # len + tag + body + crc
         if tag == b"IHDR":
+            # IHDR body is exactly 13 bytes (RFC 2083 §4.1.1); a malformed
+            # length would otherwise escape as struct.error, bypassing the
+            # decode_ok=False honest-failure path in _decode_image_batch.
+            if len(body) != 13:
+                raise PngError(f"IHDR length {len(body)} != 13")
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )

@@ -139,8 +139,10 @@ class TestTokenBudget:
 
 class TestChunking:
     def test_chunk_boundaries_and_overlap(self, spark):
-        # 100 tokens, chunk=64, overlap=16 → stride 48 → ceil(100/48)=3
-        # chunks: [0:64], [48:100] (52 toks), [96:100] (4 toks)
+        # 100 tokens, chunk=64, overlap=16 → stride 48 →
+        # n_chunks = 1 + ceil((100-64)/48) = 2: [0:64], [48:100] (52 toks).
+        # The window at [96:100] is NOT emitted — tokens 96-99 are already
+        # inside chunk 1, a pure-subset trailing window.
         text = " ".join(f"w{i}" for i in range(100))
         docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
         rows = sorted(
@@ -148,7 +150,7 @@ class TestChunking:
             key=lambda r: r["chunk_idx"],
         )
         assert [(r["chunk_idx"], r["n_tokens"]) for r in rows] == [
-            (0, 64), (1, 52), (2, 4),
+            (0, 64), (1, 52),
         ]
         # overlap: chunk 1 starts at token 48 — verify via md5 of the slice
         import hashlib
@@ -156,6 +158,27 @@ class TestChunking:
             " ".join(f"w{i}" for i in range(48, 100)).encode()
         ).hexdigest()
         assert rows[1]["chunk_md5"] == want
+
+    def test_trailing_chunk_kept_when_it_adds_tokens(self, spark):
+        # 120 tokens → 1 + ceil((120-64)/48) = 3 chunks; the last window
+        # [96:120] reaches past chunk 1's end (token 111), so it stays.
+        text = " ".join(f"w{i}" for i in range(120))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            cur.chunk_documents(docs, chunk_tokens=64, overlap=16).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        assert [(r["chunk_idx"], r["n_tokens"]) for r in rows] == [
+            (0, 64), (1, 64), (2, 24),
+        ]
+
+    def test_doc_exactly_one_window_emits_one_chunk(self, spark):
+        # The ADVICE repro: 64 tokens with chunk=64/overlap=16 used to
+        # emit a second chunk [48:64] wholly inside chunk 0.
+        text = " ".join(f"w{i}" for i in range(64))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = cur.chunk_documents(docs, chunk_tokens=64, overlap=16).collect()
+        assert [(r["chunk_idx"], r["n_tokens"]) for r in rows] == [(0, 64)]
 
     def test_empty_doc_emits_no_chunks(self, spark):
         docs = spark.createDataFrame(

@@ -130,3 +130,16 @@ def test_bomb_dimensions_rejected_before_inflate():
     )
     with pytest.raises(PngError):
         decode_png(data)
+
+
+def test_malformed_ihdr_length_raises_png_error():
+    # IHDR declaring a 5-byte body used to escape as struct.error,
+    # bypassing the decode_ok=False honest-failure path downstream.
+    data = (
+        _SIG
+        + _chunk(b"IHDR", b"\x00" * 5)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError):
+        decode_png(data)
