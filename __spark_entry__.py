@@ -1837,6 +1837,132 @@ def q_multimodal_decode(spark, sf_dir):
     return feats.filter("decode_ok").select(*cols)
 
 
+def q_multimodal_mixed(spark, sf_dir):
+    """Mixed-profile image gate: the corpus cycles through the codec's
+    whole decode profile — grayscale (PNG color type 0), RGB (2), RGBA (6)
+    — plus a CORRUPT payload (malformed 5-byte IHDR) every 4th row.
+    Unlike multimodal_decode (RGB-only, decode_ok rows filtered), this
+    keeps every row: decodable profiles reduce to exact integer pixel
+    statistics, corrupt rows must surface as decode_ok=false with null
+    stats — gating the honest-failure path itself. The oracle recomputes
+    per-profile statistics from the generator formula and emits the null
+    rows for the corrupt stripe. (sf_dir unused: media is generated.)"""
+    from bigdata_lab02_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media_mixed,
+    )
+
+    media = synthetic_media_mixed(spark, n=_MM_N, payload_bytes=_MM_PB)
+    feats = extract_features(media, set_arrow_batch=False)
+    f = F.col("feature")
+    n_px = (f[0] * f[1] * f[2]).cast("double")
+    cols = [
+        F.col("media_id"),
+        F.col("decode_ok"),
+        f[0].cast("int").alias("width"),
+        f[1].cast("int").alias("height"),
+        f[2].cast("int").alias("channels"),
+        F.round(f[3].cast("double") * F.lit(255.0) * n_px)
+        .cast("bigint")
+        .alias("total_intensity"),
+    ]
+    cols += [
+        F.round(f[4 + i].cast("double") * n_px).cast("bigint").alias(f"bin_{i}")
+        for i in range(8)
+    ]
+    return feats.select(*cols)
+
+
+# Mirrors synthetic_media_mixed: channels by media_id % 4 (1/3/4/corrupt),
+# dims as _media_dims(mid, 1024) = (18 + id%5, 18 + id%3), pixel formula
+# (id*37 + x*3 + y*11 + c*53) % 256 with c < channels. Corrupt stripe
+# (id%4 == 3) emits decode_ok=false with null stats.
+_MM_MIXED_SQL = f"""
+WITH dims AS (
+  SELECT range AS media_id,
+         CAST(18 + range % 5 AS INT) AS width,
+         CAST(18 + range % 3 AS INT) AS height,
+         CASE CAST(range % 4 AS INT)
+           WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 4 END AS channels
+  FROM range({_MM_N})),
+px AS (
+  SELECT d.media_id, d.width, d.height, d.channels,
+         ((d.media_id * 37 + x.range * 3 + y.range * 11 + c.range * 53) % 256) AS v
+  FROM dims d, range(23) x, range(21) y, range(4) c
+  WHERE d.channels IS NOT NULL
+    AND x.range < d.width AND y.range < d.height AND c.range < d.channels)
+SELECT media_id, TRUE AS decode_ok, width, height,
+  CAST(channels AS INT) AS channels,
+  CAST(sum(v) AS BIGINT) AS total_intensity,
+  {", ".join(
+    f"CAST(sum(CASE WHEN v // 32 = {i} THEN 1 ELSE 0 END) AS BIGINT) AS bin_{i}"
+    for i in range(8)
+  )}
+FROM px GROUP BY media_id, width, height, channels
+UNION ALL
+SELECT media_id, FALSE AS decode_ok, CAST(NULL AS INT) AS width,
+  CAST(NULL AS INT) AS height, CAST(NULL AS INT) AS channels,
+  CAST(NULL AS BIGINT) AS total_intensity,
+  {", ".join(f"CAST(NULL AS BIGINT) AS bin_{i}" for i in range(8))}
+FROM dims WHERE channels IS NULL"""
+
+
+def q_video_frames(spark, sf_dir):
+    """Video path gated END-TO-END (the former stub, now real):
+    synthetic_video encodes a genuine Y4M (YUV4MPEG2) stream per row on
+    the executors (vendored codec, y4m.py), sample_frames byte-level
+    parses the container back and reduces every 2nd frame to exact
+    integer per-plane sums. Every 4th payload is truncated mid-frame and
+    must surface as decode_ok=false with null stats. The oracle recomputes
+    the plane sums from the integer generator formula and emits the null
+    rows for the corrupt stripe. (sf_dir unused: media is generated.)"""
+    from bigdata_lab02_spark.operators.multimodal import (
+        sample_frames,
+        synthetic_video,
+    )
+
+    return sample_frames(synthetic_video(spark, n=_MM_N), every_n_frames=2)
+
+
+# Mirrors synthetic_video/_video_planes: w = 8+(id%3)*2, h = 6+(id%2)*2,
+# n_frames = 4+id%5, corrupt stripe id%4==3; every 2nd frame sampled;
+# per-plane sums of the integer pixel formulas (max luma 96, chroma 24).
+_VIDEO_FRAMES_SQL = f"""
+WITH dims AS (
+  SELECT range AS media_id,
+         CAST(8 + (range % 3) * 2 AS INT) AS width,
+         CAST(6 + (range % 2) * 2 AS INT) AS height,
+         4 + range % 5 AS nf,
+         (range % 4 = 3) AS corrupt
+  FROM range({_MM_N})),
+fr AS (
+  SELECT d.media_id, d.width, d.height, f.range AS frame_idx
+  FROM dims d, range(8) f
+  WHERE NOT d.corrupt AND f.range < d.nf AND f.range % 2 = 0),
+ys AS (
+  SELECT fr.media_id, fr.frame_idx,
+         sum((fr.media_id * 31 + fr.frame_idx * 17 + p.range * 7) % 256) AS y_sum
+  FROM fr, range(96) p WHERE p.range < fr.width * fr.height
+  GROUP BY fr.media_id, fr.frame_idx),
+uvs AS (
+  SELECT fr.media_id, fr.frame_idx,
+         sum((fr.media_id * 13 + fr.frame_idx * 29 + p.range * 5) % 256) AS u_sum,
+         sum((fr.media_id * 11 + fr.frame_idx * 23 + p.range * 3) % 256) AS v_sum
+  FROM fr, range(24) p WHERE p.range < (fr.width // 2) * (fr.height // 2)
+  GROUP BY fr.media_id, fr.frame_idx)
+SELECT fr.media_id, CAST(fr.frame_idx AS INT) AS frame_idx,
+  fr.width, fr.height,
+  CAST(ys.y_sum AS BIGINT) AS y_sum, CAST(uvs.u_sum AS BIGINT) AS u_sum,
+  CAST(uvs.v_sum AS BIGINT) AS v_sum, TRUE AS decode_ok
+FROM fr JOIN ys USING (media_id, frame_idx) JOIN uvs USING (media_id, frame_idx)
+UNION ALL
+SELECT media_id, CAST(NULL AS INT) AS frame_idx, CAST(NULL AS INT) AS width,
+  CAST(NULL AS INT) AS height, CAST(NULL AS BIGINT) AS y_sum,
+  CAST(NULL AS BIGINT) AS u_sum, CAST(NULL AS BIGINT) AS v_sum,
+  FALSE AS decode_ok
+FROM dims WHERE corrupt"""
+
+
 def q_audio_decode(spark, sf_dir):
     """Audio path gated END-TO-END like multimodal_decode: synthetic_audio
     encodes a real mono 16-bit PCM WAV per row (vendored RIFF codec,
@@ -2186,6 +2312,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparse_vec_roundtrip": q_sparse_vec_roundtrip,
     # --- new in round 4 ---
     "kmeans_pipeline": q_kmeans_pipeline,
+    "multimodal_mixed": q_multimodal_mixed,
+    "video_frames": q_video_frames,
     # --- long-proven core kept in the driver window (30) ---
     "p1_token_counts": q_p1_token_counts,
     "p3_term_dict": q_p3_term_dict,
@@ -2284,6 +2412,8 @@ _R3_NEW = {
 }
 _R4_NEW = {
     "kmeans_pipeline",
+    "multimodal_mixed",
+    "video_frames",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (4 if name in _R4_NEW else 3 if name in _R3_NEW else 1)
@@ -2384,6 +2514,8 @@ _ORACLES: dict[str, str] = {
     "stream_dedup": _STREAM_DEDUP_SQL,
     "stream_user_totals": _STREAM_TOTALS_SQL,
     "multimodal_decode": _MM_DECODE_SQL,
+    "multimodal_mixed": _MM_MIXED_SQL,
+    "video_frames": _VIDEO_FRAMES_SQL,
     "audio_decode": _AUDIO_DECODE_SQL,
     "chunk_docs": _CHUNK_SQL,
     "contamination": _CONTAMINATION_SQL,

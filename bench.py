@@ -52,6 +52,11 @@ HEADLINE = [
     "contamination",
     "dedup_keep_best",
     "curation_pipeline",
+    # round 4: streaming latency — q_stream_hourly replays the events
+    # parquet through readStream synchronously (processAllAvailable into a
+    # memory sink), so its timing is the end-to-end micro-batch wall for
+    # the watermarked tumbling-window aggregation, not just a table scan.
+    "stream_hourly",
 ]
 
 

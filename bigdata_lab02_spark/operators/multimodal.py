@@ -1,15 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-The IMAGE and AUDIO paths are real end-to-end: ``synthetic_media`` /
-``synthetic_audio`` emit genuine PNG / WAV payloads (encoded distributed,
-on the executors) and the kernels byte-level-decode them with the
-vendored pure-stdlib codecs in ``png.py`` (RFC 2083 baseline — zlib
-scanlines, all five row filters) and ``wav.py`` (RIFF 16-bit PCM).
-Payloads a codec can't parse (wrong magic, truncated, unsupported
-profile) take the honest-failure path: ``decode_ok=False``. Only VIDEO
-frame extraction remains a stub (``frame_sample_plan``) — there is no
-container-format parser here, so it models the plan shape only.
+The IMAGE, AUDIO and VIDEO paths are all real end-to-end:
+``synthetic_media`` / ``synthetic_audio`` / ``synthetic_video`` emit
+genuine PNG / WAV / Y4M payloads (encoded distributed, on the executors)
+and the kernels byte-level-parse them with the vendored pure-stdlib
+codecs in ``png.py`` (RFC 2083 baseline — zlib scanlines, all five row
+filters), ``wav.py`` (RIFF 16-bit PCM) and ``y4m.py`` (YUV4MPEG2 planar
+frames). Payloads a codec can't parse (wrong magic, truncated,
+unsupported profile) take the honest-failure path: ``decode_ok=False``.
 
 Worker-side imports: the repo package is NOT on executor ``sys.path``, so
 the ``png`` module is registered with cloudpickle for by-value pickling —
@@ -38,12 +37,15 @@ from pyspark.sql import types as T
 
 from bigdata_lab02_spark.operators import png as _png
 from bigdata_lab02_spark.operators import wav as _wav
+from bigdata_lab02_spark.operators import y4m as _y4m
 
-# Ship png.py/wav.py — and this module's own kernels — by value inside
-# task closures (see module docstring): functions from registered modules
-# are serialized with their code + needed globals instead of as imports.
+# Ship png.py/wav.py/y4m.py — and this module's own kernels — by value
+# inside task closures (see module docstring): functions from registered
+# modules are serialized with their code + needed globals instead of as
+# imports.
 cloudpickle.register_pickle_by_value(_png)
 cloudpickle.register_pickle_by_value(_wav)
+cloudpickle.register_pickle_by_value(_y4m)
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 _ARROW_BATCH_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
@@ -118,6 +120,69 @@ def synthetic_media(spark, n: int = 64, payload_bytes: int = 1024) -> DataFrame:
                 )
                 rows["media_id"].append(mid)
                 rows["payload"].append(enc(w, h, px, color_type=2))
+                rows["mime"].append("image/png")
+                rows["width"].append(w)
+                rows["height"].append(h)
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(
+        gen,
+        "media_id long, payload binary, mime string, width int, height int",
+    )
+
+
+def corrupt_png_payload() -> bytes:
+    """A deliberately malformed PNG — valid signature, IHDR chunk declaring
+    a 5-byte body (13 required). This is the adversarial shape that once
+    escaped ``decode_png`` as ``struct.error`` instead of ``PngError``;
+    the mixed-profile gate keeps it in the corpus permanently so the
+    honest-failure path (``decode_ok=False``) stays exercised end-to-end."""
+    import zlib
+
+    return (
+        _png._SIGNATURE
+        + _png._chunk(b"IHDR", b"\x00" * 5)
+        + _png._chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+        + _png._chunk(b"IEND", b"")
+    )
+
+
+def synthetic_media_mixed(
+    spark, n: int = 64, payload_bytes: int = 1024
+) -> DataFrame:
+    """Deterministic media table spanning the codec's WHOLE profile, plus
+    failures: ``media_id % 4`` selects grayscale (PNG color type 0), RGB
+    (2), RGBA (6), or a corrupt payload (malformed IHDR). Pixel values
+    follow the same generator formula as ``synthetic_media`` with ``c``
+    ranging over the profile's channel count, so an engine-independent
+    oracle can recompute exact statistics per profile."""
+    enc = _png.encode_png
+    dims = _media_dims
+    pb = payload_bytes
+    bad = corrupt_png_payload()
+    color_types = (0, 2, 6)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "payload": [], "mime": [], "width": [], "height": []}
+            for mid in pdf["id"]:
+                mid = int(mid)
+                w, h = dims(mid, pb)
+                prof = mid % 4
+                if prof == 3:
+                    payload = bad
+                else:
+                    ct = color_types[prof]
+                    ch = {0: 1, 2: 3, 6: 4}[ct]
+                    px = bytes(
+                        (mid * 37 + x * 3 + y * 11 + c * 53) % 256
+                        for y in range(h)
+                        for x in range(w)
+                        for c in range(ch)
+                    )
+                    payload = enc(w, h, px, color_type=ct)
+                rows["media_id"].append(mid)
+                rows["payload"].append(payload)
                 rows["mime"].append("image/png")
                 rows["width"].append(w)
                 rows["height"].append(h)
@@ -273,14 +338,97 @@ def extract_audio_stats(audio: DataFrame) -> DataFrame:
     )
 
 
-def frame_sample_plan(video: DataFrame, every_n_frames: int = 30) -> DataFrame:
-    """Frame-sampling STUB: emits (media_id, frame_idx) rows for frames a
-    real decoder would extract — the plan-level shape (explode of a
-    sequence bounded by metadata, no payload touched) is the real part."""
-    n_frames = (F.col("width") * 0 + 300).alias("n_frames")  # stub: fixed count
-    return video.select(
-        "media_id",
-        F.explode(
-            F.sequence(F.lit(0), n_frames - 1, F.lit(every_n_frames))
-        ).alias("frame_idx"),
+def _video_planes(
+    media_id: int, frame: int, luma: int, chroma: int
+) -> bytes:
+    """Deterministic integer-only planar YUV generator (one frame):
+    distinct per-plane mixing constants so a swapped or misaligned plane
+    in the container parse flips the oracle hash."""
+    y = bytes((media_id * 31 + frame * 17 + p * 7) % 256 for p in range(luma))
+    u = bytes((media_id * 13 + frame * 29 + p * 5) % 256 for p in range(chroma))
+    v = bytes((media_id * 11 + frame * 23 + p * 3) % 256 for p in range(chroma))
+    return y + u + v
+
+
+def synthetic_video(spark, n: int = 64) -> DataFrame:
+    """Deterministic video table with REAL Y4M (YUV4MPEG2) payloads,
+    encoded on the executors with the vendored codec: per id, C420 video
+    of (8 + id%3·2) × (6 + id%2·2) with 4 + id%5 frames. Every 4th row is
+    a corrupt payload (truncated mid-frame) so the sampler's
+    honest-failure path stays exercised."""
+    enc = _y4m.encode_y4m
+    planes = _video_planes
+
+    def mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "payload": [], "mime": [],
+                    "width": [], "height": [], "n_frames": []}
+            for mid in pdf["id"]:
+                mid = int(mid)
+                w, h = 8 + (mid % 3) * 2, 6 + (mid % 2) * 2
+                nf = 4 + mid % 5
+                luma, chroma = w * h, (w // 2) * (h // 2)
+                frames = [planes(mid, f, luma, chroma) for f in range(nf)]
+                payload = enc(w, h, frames)
+                if mid % 4 == 3:  # corrupt stripe: drop the final frame's tail
+                    payload = payload[: len(payload) - chroma - 1]
+                rows["media_id"].append(mid)
+                rows["payload"].append(payload)
+                rows["mime"].append("video/x-yuv4mpeg")
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(nf)
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(
+        mk,
+        "media_id long, payload binary, mime string, "
+        "width int, height int, n_frames int",
+    )
+
+
+def sample_frames(video: DataFrame, every_n_frames: int = 30) -> DataFrame:
+    """Frame sampling with a REAL container parse (vendored Y4M codec):
+    frame boundaries follow from the header geometry, so skipped frames
+    cost one pointer hop each (no byte decode — Y4M FRAME lines may carry
+    params, hence a hop rather than a pure O(1) seek), and every
+    ``every_n_frames``-th frame is reduced to exact integer per-plane
+    statistics. Payloads the codec
+    rejects (bad magic, truncated frame, unsupported colorspace) yield one
+    decode_ok=false row. Arrow-batched mapInPandas — bytes never cross a
+    shuffle; the explode from row-per-video to row-per-sampled-frame
+    happens inside the kernel."""
+    stats = _y4m.frame_stats
+    err = _y4m.Y4mError
+    step = every_n_frames
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "width": [], "height": [],
+                   "y_sum": [], "u_sum": [], "v_sum": [], "decode_ok": []}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rows = stats(bytes(b), every_n_frames=step)
+                except (err, TypeError):
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(None)
+                    for k in ("width", "height", "y_sum", "u_sum", "v_sum"):
+                        out[k].append(None)
+                    out["decode_ok"].append(False)
+                    continue
+                for r in rows:
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(r["frame_idx"])
+                    out["width"].append(r["width"])
+                    out["height"].append(r["height"])
+                    out["y_sum"].append(r["y_sum"])
+                    out["u_sum"].append(r["u_sum"])
+                    out["v_sum"].append(r["v_sum"])
+                    out["decode_ok"].append(True)
+            yield pd.DataFrame(out)
+
+    return video.mapInPandas(
+        op,
+        "media_id long, frame_idx int, width int, height int, "
+        "y_sum long, u_sum long, v_sum long, decode_ok boolean",
     )

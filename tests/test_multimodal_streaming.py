@@ -89,13 +89,44 @@ def test_audio_bad_payload(spark):
     assert rows[1]["decode_ok"] is True
 
 
-def test_frame_sample_plan(spark):
-    media = mm.synthetic_media(spark, n=2)
-    frames = mm.frame_sample_plan(media, every_n_frames=100).collect()
-    per = {}
-    for r in frames:
-        per.setdefault(r["media_id"], []).append(r["frame_idx"])
-    assert per[0] == [0, 100, 200]
+def test_sample_frames_real_parse(spark):
+    # id 0: 8x6 C420, 4 frames → sampled 0, 2; stats must equal a local
+    # recompute from the generator formula
+    video = mm.synthetic_video(spark, n=2)
+    rows = [r for r in mm.sample_frames(video, every_n_frames=2).collect()
+            if r["media_id"] == 0]
+    assert [(r["frame_idx"], r["decode_ok"]) for r in rows] == [(0, True), (2, True)]
+    luma, chroma = 8 * 6, 4 * 3
+    for r in rows:
+        f = r["frame_idx"]
+        assert r["y_sum"] == sum((0 * 31 + f * 17 + p * 7) % 256 for p in range(luma))
+        assert r["u_sum"] == sum((0 * 13 + f * 29 + p * 5) % 256 for p in range(chroma))
+        assert r["v_sum"] == sum((0 * 11 + f * 23 + p * 3) % 256 for p in range(chroma))
+
+
+def test_sample_frames_corrupt_stripe(spark):
+    # id 3 is the corrupt stripe (payload truncated mid-frame): one honest
+    # decode_ok=false row, null stats
+    video = mm.synthetic_video(spark, n=4)
+    rows = {r["media_id"]: r for r in
+            mm.sample_frames(video, every_n_frames=2).collect()
+            if not r["decode_ok"]}
+    assert set(rows) == {3}
+    assert rows[3]["y_sum"] is None and rows[3]["frame_idx"] is None
+
+
+def test_mixed_profile_decode(spark):
+    # grayscale/RGB/RGBA stripes decode with the right channel count;
+    # the corrupt stripe (malformed IHDR) takes the honest-failure path
+    media = mm.synthetic_media_mixed(spark, n=8)
+    rows = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    chans = {0: 1, 1: 3, 2: 4}
+    for mid, r in rows.items():
+        if mid % 4 == 3:
+            assert r["decode_ok"] is False and r["feature"] is None
+        else:
+            assert r["decode_ok"] is True
+            assert int(r["feature"][2]) == chans[mid % 4]
 
 
 @pytest.fixture(scope="module")
