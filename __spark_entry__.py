@@ -2027,6 +2027,91 @@ SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
 FROM c"""
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup, Abbas et
+    al. 2023): embeddings assigned to coarse centroids (deterministic gate
+    init: the vec_id < 8 vectors, the same fixed-centroid seam as
+    kmeans_cost/ivf_topk), then cosine-compared ONLY within a cluster;
+    members with a lower-id neighbor at cosine ≥ 0.45 are dropped
+    (keep-lowest survivor). The clustering is the scale lever: the pair
+    join is keyed by cluster_id, never global n²."""
+    from bigdata_lab02_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    return semantic_dedup(emb, cents, threshold=0.45)
+
+
+_SEMANTIC_DEDUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+cos AS (
+  SELECT n.vec_id, c.cid,
+    CASE WHEN n.nrm = 0 OR c.cn = 0 THEN 0.0
+         ELSE round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) END AS cos_c
+  FROM n CROSS JOIN c),
+asg AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid ASC) AS rn
+    FROM cos) WHERE rn = 1),
+m AS (SELECT a.vec_id, a.cluster_id, nn.v, nn.nrm
+      FROM asg a JOIN n nn USING (vec_id)),
+dup AS (
+  SELECT DISTINCT b.vec_id AS dup_id
+  FROM m a JOIN m b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+        ELSE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) END >= 0.45)
+SELECT m.vec_id, m.cluster_id, (d.dup_id IS NULL) AS keep
+FROM m LEFT JOIN dup d ON m.vec_id = d.dup_id
+"""
+
+
+def q_dsir_importance(spark, sf_dir):
+    """DSIR-style importance scores (curation.dsir_importance, Xie et al.
+    2023): log-likelihood ratio of target-vs-raw hashed-bigram models per
+    document. Target set = every 50th doc_id (the same deterministic
+    probe convention as the contamination gate). Engine-portable md5
+    bucket hash; per-bucket log-weights rounded before the per-doc sum."""
+    from bigdata_lab02_spark.operators.curation import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance(docs, F.col("doc_id") % 50 == 0, n_buckets=256)
+
+
+_DSIR_SQL = f"""
+WITH t AS (SELECT doc_id, (doc_id % 50 = 0) AS is_target, {_TOKS} AS toks
+           FROM documents),
+occ AS (
+  SELECT doc_id, is_target,
+         ('0x' || substr(md5(bg), 1, 15))::BIGINT % 256 AS bucket
+  FROM (SELECT doc_id, is_target,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS bg
+        FROM t WHERE len(toks) >= 2)),
+cnt AS (
+  SELECT bucket, count(*) AS r_cnt,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_cnt
+  FROM occ GROUP BY bucket),
+tot AS (SELECT sum(r_cnt) AS r_tot, sum(t_cnt) AS t_tot FROM cnt),
+w AS (
+  SELECT bucket,
+    round(ln((t_cnt + 1.0) / (t_tot + 256.0))
+          - ln((r_cnt + 1.0) / (r_tot + 256.0)), 6) AS w
+  FROM cnt CROSS JOIN tot),
+sc AS (
+  SELECT occ.doc_id, count(*) AS n_bigrams, round(sum(w.w), 6) AS score
+  FROM occ JOIN w USING (bucket) GROUP BY occ.doc_id)
+SELECT t.doc_id, t.is_target,
+  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  COALESCE(sc.score, 0.0) AS score
+FROM t LEFT JOIN sc USING (doc_id)
+"""
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark-contamination check (dedup.cross_contamination): corpus
     docs sharing ≥3 distinct word-3-gram shingles with any probe document
@@ -2314,7 +2399,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_pipeline": q_kmeans_pipeline,
     "multimodal_mixed": q_multimodal_mixed,
     "video_frames": q_video_frames,
-    # --- long-proven core kept in the driver window (30) ---
+    "semantic_dedup": q_semantic_dedup,
+    "dsir_importance": q_dsir_importance,
+    # --- long-proven core kept in the driver window (28) ---
     "p1_token_counts": q_p1_token_counts,
     "p3_term_dict": q_p3_term_dict,
     "p5_doc_term_matrix": q_p5_doc_term_matrix,
@@ -2323,8 +2410,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p13_category_top5": q_p13_category_top5,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
-    "rollup_orders": q_rollup_orders,
-    "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2362,6 +2447,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_gaps": q_order_gaps,
     "cube_orders": q_cube_orders,
     "price_percentiles": q_price_percentiles,
+    # rollup_orders/events_hourly rotated mid-round-4 to make room for
+    # semantic_dedup/dsir_importance; events_hourly's SQL stays
+    # driver-exercised verbatim as stream_hourly's oracle.
+    "rollup_orders": q_rollup_orders,
+    "events_hourly": q_events_hourly,
     "dedup_simhash": q_dedup_simhash,
     "kmeans_cost": q_kmeans_cost,
     "kmeans_weights": q_kmeans_weights,
@@ -2379,7 +2469,7 @@ ROTATED_OUT: set[str] = {
     "semi_join_priority", "anti_join_quiet_customers", "events_json",
     "pivot_status", "order_gaps", "cube_orders", "price_percentiles",
     "dedup_simhash", "kmeans_cost", "kmeans_weights", "quantized_topk",
-    "embedding_knn_label",
+    "embedding_knn_label", "rollup_orders", "events_hourly",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -2414,6 +2504,8 @@ _R4_NEW = {
     "kmeans_pipeline",
     "multimodal_mixed",
     "video_frames",
+    "semantic_dedup",
+    "dsir_importance",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (4 if name in _R4_NEW else 3 if name in _R3_NEW else 1)
@@ -2516,6 +2608,8 @@ _ORACLES: dict[str, str] = {
     "multimodal_decode": _MM_DECODE_SQL,
     "multimodal_mixed": _MM_MIXED_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,
+    "semantic_dedup": _SEMANTIC_DEDUP_SQL,
+    "dsir_importance": _DSIR_SQL,
     "audio_decode": _AUDIO_DECODE_SQL,
     "chunk_docs": _CHUNK_SQL,
     "contamination": _CONTAMINATION_SQL,

@@ -327,3 +327,97 @@ def pack_sequences(
         .cast("int")
         .alias("pack_id"),
     )
+
+
+# ----------------------------------------------- importance resampling
+
+
+def dsir_importance(
+    docs: DataFrame,
+    is_target: Column,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """DSIR-style importance scoring for data selection (Xie et al. 2023,
+    arXiv:2302.03169): score every document by the log-likelihood ratio of
+    a TARGET distribution vs the RAW corpus distribution over hashed word
+    bigrams. High scores = documents that look like the target domain;
+    select training data by sampling/thresholding on the score.
+
+    Feature space: word bigrams hashed into ``n_buckets`` buckets with the
+    engine-portable md5 idiom (first 15 hex digits → 60-bit int → mod).
+    Both bucket models are add-``alpha`` smoothed categorical
+    distributions; per-bucket log-weights are rounded at ``round_dp``
+    before the per-doc sum (cross-engine summation stability) and the sum
+    is rounded again.
+
+    Scale shape: one explode over bigram occurrences feeds BOTH count
+    models (target = filtered aggregate of the same pass); the per-bucket
+    weight table is ≤ ``n_buckets`` rows and broadcasts back onto the
+    occurrence stream, so the only data-sized exchange is the final
+    per-doc aggregation. Nothing is all-pairs and no model state visits
+    the driver.
+
+    Returns (id, is_target, n_bigrams, score) for every input document
+    (docs with < 2 tokens score 0.0 over 0 bigrams).
+    """
+    toks = tokens_column(F.col(text_col))
+    base = docs.select(
+        F.col(id_col), is_target.alias("is_target"), toks.alias("toks")
+    )
+    n = F.size("toks")
+    bigrams = F.zip_with(
+        F.slice(F.col("toks"), 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("toks"), 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    occ = (
+        base.where(n >= 2)
+        .select(id_col, "is_target", F.explode(bigrams).alias("bigram"))
+        .select(
+            id_col,
+            "is_target",
+            (
+                F.conv(F.substring(F.md5(F.col("bigram")), 1, 15), 16, 10)
+                .cast("long")
+                % n_buckets
+            ).alias("bucket"),
+        )
+    )
+    counts = occ.groupBy("bucket").agg(
+        F.count("*").alias("r_cnt"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
+    )
+    b = float(n_buckets)
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("t_cnt") + alpha) / (F.col("t_tot") + alpha * b))
+            - F.log((F.col("r_cnt") + alpha) / (F.col("r_tot") + alpha * b)),
+            round_dp,
+        ).alias("w"),
+    )
+    scored = (
+        occ.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum("w"), round_dp).alias("score"),
+        )
+    )
+    return (
+        base.select(id_col, "is_target")
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            "is_target",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("score", F.lit(0.0)).alias("score"),
+        )
+    )

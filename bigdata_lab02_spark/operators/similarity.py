@@ -259,6 +259,84 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cluster_id",
+    centroid_vec_col: str = "centroid",
+    round_dp: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest coarse
+    centroid, then compare pairs ONLY within a cluster — the clustering is
+    what keeps the pair join subquadratic (global all-pairs never happens;
+    the join key is cluster_id). A vector is a duplicate if some
+    LOWER-id member of its cluster has cosine ≥ threshold with it
+    (keep-lowest survivor rule — deterministic, no transitive closure).
+
+    ``centroids`` typically comes from operators.kmeans on a sample (same
+    seam as ivf_topk); at 100 TB pick k ~ sqrt(n) so mean cluster size —
+    and the per-cluster pair fan-out — stays bounded. Cosines are rounded
+    at ``round_dp`` BEFORE argmax/threshold (cross-engine determinism).
+
+    Returns (id, cluster_id, keep) for every input vector.
+    """
+    c = vectors.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", array_norm(F.col("v")))
+    cents = centroids.select(
+        F.col(centroid_id_col).alias("cid"),
+        as_double_array(F.col(centroid_vec_col)).alias("cvec"),
+    ).withColumn("cvn", array_norm(F.col("cvec")))
+
+    denom = F.col("nrm") * F.col("cvn")
+    cos_c = F.round(
+        F.when(denom == 0.0, F.lit(0.0)).otherwise(
+            array_dot(F.col("v"), F.col("cvec")) / denom
+        ),
+        round_dp,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos_c"), F.asc("cid"))
+    members = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", cos_c)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("cid").alias("cluster_id"), "v", "nrm")
+    )
+    a, b = members.alias("a"), members.alias("b")
+    pair_denom = F.col("a.nrm") * F.col("b.nrm")
+    cos_ab = F.round(
+        F.when(pair_denom == 0.0, F.lit(0.0)).otherwise(
+            array_dot(F.col("a.v"), F.col("b.v")) / pair_denom
+        ),
+        round_dp,
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(cos_ab >= threshold)
+        .select(F.col(f"b.{id_col}").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        members.join(
+            dups, members[id_col] == dups["dup_id"], "left"
+        )
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            F.col("dup_id").isNull().alias("keep"),
+        )
+    )
+
+
 # ----------------------------------------------------------- quantization
 
 

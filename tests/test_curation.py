@@ -258,3 +258,32 @@ class TestPacking:
         # each group starts its own pack numbering at 0
         assert packs[("a", 0)] == 0 and packs[("b", 1)] == 0
         assert packs[("a", 2)] == 0 and packs[("b", 3)] == 0  # 2 tokens < 3 budget... cum_before=2 → floor(2/3)=0
+
+
+class TestDsirImportance:
+    def test_target_docs_score_higher(self, spark):
+        # target docs share a distinctive bigram vocabulary; a raw doc
+        # using the same bigrams scores high, an unrelated doc scores low
+        docs = spark.createDataFrame(
+            [
+                (0, "quantum flux capacitor quantum flux"),
+                (1, "quantum flux capacitor engaged"),
+                (2, "the cat sat on the mat"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               cur.dsir_importance(docs, F.col("doc_id") == 0).collect()}
+        assert out[0]["is_target"] and not out[2]["is_target"]
+        assert out[1]["score"] > out[2]["score"]
+
+    def test_short_docs_score_zero(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "one two three"), (1, "single"), (2, "")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               cur.dsir_importance(docs, F.col("doc_id") == 0).collect()}
+        assert out[1]["n_bigrams"] == 0 and out[1]["score"] == 0.0
+        assert out[2]["n_bigrams"] == 0 and out[2]["score"] == 0.0
+        assert out[0]["n_bigrams"] == 2

@@ -250,3 +250,47 @@ class TestQuantization:
         # int8 rounding perturbs cosines by ~1e-3; on near-random vectors
         # a tail-of-top-5 swap is possible but most of the set must agree
         assert len(ex & qz) / len(ex) >= 0.9
+
+
+class TestSemanticDedup:
+    def test_keep_lowest_within_cluster(self, spark):
+        from bigdata_lab02_spark.operators.similarity import semantic_dedup
+
+        # two tight groups on orthogonal axes: centroids = the axis units;
+        # within each cluster the lower id survives, the near-parallel
+        # higher ids are dropped
+        rows = [
+            (0, [1.0, 0.0]), (10, [0.99, 0.01]),   # cluster of centroid 0
+            (1, [0.0, 1.0]), (11, [0.01, 0.99]),   # cluster of centroid 1
+            (20, [-1.0, 0.2]),                     # alone near no one
+        ]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "cluster_id long, centroid array<double>",
+        )
+        out = {r["vec_id"]: r for r in
+               semantic_dedup(vecs, cents, threshold=0.9).collect()}
+        assert out[0]["keep"] and not out[10]["keep"]
+        assert out[1]["keep"] and not out[11]["keep"]
+        assert out[20]["keep"]
+        assert out[10]["cluster_id"] == 0 and out[11]["cluster_id"] == 1
+
+    def test_cross_cluster_pairs_never_compared(self, spark):
+        from bigdata_lab02_spark.operators.similarity import semantic_dedup
+
+        # identical vectors forced into DIFFERENT clusters stay kept:
+        # the pair join is cluster-local by construction
+        vecs = spark.createDataFrame(
+            [(0, [1.0, 1.0]), (1, [1.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.9]), (1, [0.9, 1.0])],
+            "cluster_id long, centroid array<double>",
+        )
+        out = {r["vec_id"]: r for r in
+               semantic_dedup(vecs, cents, threshold=0.99).collect()}
+        # same vector → same nearest centroid → same cluster → dedup fires
+        assert out[0]["cluster_id"] == out[1]["cluster_id"]
+        assert out[0]["keep"] and not out[1]["keep"]
