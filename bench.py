@@ -57,6 +57,9 @@ HEADLINE = [
     # memory sink), so its timing is the end-to-end micro-batch wall for
     # the watermarked tumbling-window aggregation, not just a table scan.
     "stream_hourly",
+    # round 4: embedding-level and importance-based selection ops
+    "semantic_dedup",
+    "dsir_importance",
 ]
 
 

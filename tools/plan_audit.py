@@ -47,6 +47,8 @@ AUDIT = [
     "skew_salted_join",
     "multimodal_mixed",
     "video_frames",
+    "semantic_dedup",
+    "dsir_importance",
 ]
 
 COMMENT = {
@@ -77,6 +79,8 @@ COMMENT = {
     "skew_salted_join": "Dim replicated per salt (fact never replicated); hot fact keys spread across salt_buckets tasks.",
     "multimodal_mixed": "Zero exchanges: payload bytes are generated, decoded and featurized inside one Arrow-batched mapInPandas chain — binary never crosses a shuffle.",
     "video_frames": "Zero exchanges: Y4M parse + per-frame plane sums explode row-per-video to row-per-frame INSIDE the kernel, so frame rows exist only after the bytes are gone.",
+    "semantic_dedup": "Centroids broadcast for assignment; the pair join is keyed by cluster_id (hash exchange), so pair fan-out is bounded by cluster size — never global n².",
+    "dsir_importance": "One bigram explode feeds both count models; the <=256-row weight table broadcasts back; the only data-sized exchange is the per-doc score aggregation.",
 }
 
 
