@@ -1295,6 +1295,43 @@ GROUP BY bucket, c.c_mktsegment
 """
 
 
+def q_stream_pairs(spark, sf_dir):
+    """Stream-stream inner self-join gated against the batch self-join
+    (streaming.events.followup_pairs_stream): every event paired with the
+    same user's follow-ups within 2 hours, both sides replayed through
+    readStream with watermarked, time-range-bounded join state. Inner
+    matches emit as both sides arrive (watermark bounds eviction, not
+    emission), so the bounded replay's append-mode output equals the
+    batch self-join the oracle states."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from bigdata_lab02_spark.streaming import run_stream_to_memory
+    from bigdata_lab02_spark.streaming.events import (
+        followup_pairs_stream,
+        read_event_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="events_pairs_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", str(Path(d) / "part-0.parquet"))
+        stream = read_event_stream(spark, d)
+        return run_stream_to_memory(
+            spark, followup_pairs_stream(stream), "stream_pairs_q", mode="append"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_STREAM_PAIRS_SQL = """
+SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id != b.event_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+"""
+
+
 def q_stream_dedup(spark, sf_dir):
     """Streaming exact dedup under at-least-once replay: the events file is
     fed through readStream TWICE (two micro-batches, the second a full
@@ -2401,7 +2438,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_frames": q_video_frames,
     "semantic_dedup": q_semantic_dedup,
     "dsir_importance": q_dsir_importance,
-    # --- long-proven core kept in the driver window (28) ---
+    "stream_pairs": q_stream_pairs,
+    # --- long-proven core kept in the driver window (27) ---
     "p1_token_counts": q_p1_token_counts,
     "p3_term_dict": q_p3_term_dict,
     "p5_doc_term_matrix": q_p5_doc_term_matrix,
@@ -2410,7 +2448,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p13_category_top5": q_p13_category_top5,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
-    "events_sessions": q_events_sessions,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2447,11 +2484,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_gaps": q_order_gaps,
     "cube_orders": q_cube_orders,
     "price_percentiles": q_price_percentiles,
-    # rollup_orders/events_hourly rotated mid-round-4 to make room for
-    # semantic_dedup/dsir_importance; events_hourly's SQL stays
-    # driver-exercised verbatim as stream_hourly's oracle.
+    # rollup_orders/events_hourly/events_sessions rotated mid-round-4 to
+    # make room for semantic_dedup/dsir_importance/stream_pairs;
+    # events_hourly's SQL stays driver-exercised verbatim as
+    # stream_hourly's oracle.
     "rollup_orders": q_rollup_orders,
     "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
     "dedup_simhash": q_dedup_simhash,
     "kmeans_cost": q_kmeans_cost,
     "kmeans_weights": q_kmeans_weights,
@@ -2470,6 +2509,7 @@ ROTATED_OUT: set[str] = {
     "pivot_status", "order_gaps", "cube_orders", "price_percentiles",
     "dedup_simhash", "kmeans_cost", "kmeans_weights", "quantized_topk",
     "embedding_knn_label", "rollup_orders", "events_hourly",
+    "events_sessions",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -2506,6 +2546,7 @@ _R4_NEW = {
     "video_frames",
     "semantic_dedup",
     "dsir_importance",
+    "stream_pairs",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (4 if name in _R4_NEW else 3 if name in _R3_NEW else 1)
@@ -2610,6 +2651,7 @@ _ORACLES: dict[str, str] = {
     "video_frames": _VIDEO_FRAMES_SQL,
     "semantic_dedup": _SEMANTIC_DEDUP_SQL,
     "dsir_importance": _DSIR_SQL,
+    "stream_pairs": _STREAM_PAIRS_SQL,
     "audio_decode": _AUDIO_DECODE_SQL,
     "chunk_docs": _CHUNK_SQL,
     "contamination": _CONTAMINATION_SQL,

@@ -60,6 +60,9 @@ HEADLINE = [
     # round 4: embedding-level and importance-based selection ops
     "semantic_dedup",
     "dsir_importance",
+    # round 4: stream-stream join replay — the state-heaviest streaming
+    # shape (both sides buffered until watermark eviction)
+    "stream_pairs",
 ]
 
 

@@ -4,6 +4,7 @@ no streaming surface; SURVEY.md §1.2)."""
 from bigdata_lab02_spark.streaming.events import (  # noqa: F401
     dedup_stream,
     enriched_segment_stream,
+    followup_pairs_stream,
     hourly_counts_stream,
     read_event_stream,
     run_stream_to_memory,

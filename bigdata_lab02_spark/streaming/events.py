@@ -202,6 +202,45 @@ def enriched_segment_stream(
     )
 
 
+def followup_pairs_stream(
+    events: DataFrame, horizon: str = "2 hours", watermark: str = "2 hours"
+) -> DataFrame:
+    """STREAM-STREAM inner self-join with an event-time range condition:
+    pair every event with the same user's follow-up events whose timestamp
+    lands in [ts, ts + horizon] — the sessionless correlation primitive
+    (click→purchase attribution, retry detection, funnel stitching).
+
+    This is the one join class the rest of the streaming surface doesn't
+    cover: BOTH sides are unbounded, so each side buffers rows in the
+    state store until the other side's matches can no longer arrive. The
+    watermarks plus the explicit time-range condition are what make that
+    buffer finite — state is O(rate × (watermark + horizon)), evicted as
+    event time advances, never total stream history. Inner-join matches
+    are emitted as soon as both sides have arrived (watermarks govern
+    EVICTION, not emission), so a bounded replay emits exactly the batch
+    self-join — which is what the driver gate asserts.
+
+    Returns (a_id, b_id, user_id) pairs, a_id != b_id.
+    """
+    a = events.select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+    ).withWatermark("a_ts", watermark)
+    b = events.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+    ).withWatermark("b_ts", watermark)
+    return a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("a_id") != F.col("b_id"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select("a_id", "b_id", F.col("a_user").alias("user_id"))
+
+
 def run_stream_to_memory(
     spark: SparkSession, streaming_df: DataFrame, name: str, mode: str = "append"
 ) -> DataFrame:

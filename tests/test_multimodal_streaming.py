@@ -282,3 +282,41 @@ def test_stateful_running_totals_match_batch(spark, event_stream):
     )
     want = {r["user_id"]: (r["n"], r["total"]) for r in batch.collect()}
     assert final == want
+
+
+def test_stream_stream_selfjoin_matches_batch(spark, event_stream):
+    from bigdata_lab02_spark.streaming.events import (
+        _with_ts,
+        followup_pairs_stream,
+    )
+
+    out = run_stream_to_memory(
+        spark,
+        followup_pairs_stream(event_stream, horizon="2 hours"),
+        "pairs_t",
+        mode="append",
+    )
+    got = {(r["a_id"], r["b_id"]) for r in out.collect()}
+
+    ev = _with_ts(spark.read.parquet(f"{TESTDATA}/sf0.001/events.parquet"))
+    a = ev.select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("b_ts"),
+    )
+    batch = (
+        a.join(b, "u")
+        .where(
+            (F.col("a_id") != F.col("b_id"))
+            & (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 2 hours"))
+        )
+        .select("a_id", "b_id")
+    )
+    want = {(r["a_id"], r["b_id"]) for r in batch.collect()}
+    assert got == want and len(got) > 0
