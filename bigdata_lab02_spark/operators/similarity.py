@@ -325,9 +325,11 @@ def semantic_dedup(
         .select(F.col(f"b.{id_col}").alias("dup_id"))
         .distinct()
     )
+    # dups is bounded by the duplicate count (≪ corpus) — broadcast it so
+    # the keep-flag join never shuffles the full membership table.
     return (
         members.join(
-            dups, members[id_col] == dups["dup_id"], "left"
+            F.broadcast(dups), members[id_col] == dups["dup_id"], "left"
         )
         .select(
             F.col(id_col),
