@@ -2252,6 +2252,72 @@ def q_delimited_roundtrip(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_jsonl_roundtrip(spark, sf_dir):
+    """Training-shard export gated end-to-end: the documents table writes
+    to JSONL (sinks.write_jsonl — the de facto shard interchange format)
+    and reads back with an explicit schema (sinks.read_jsonl; a 100 TB
+    reader never schema-infers). The oracle states the original table
+    with the text reduced to md5, so any JSON escaping/quoting corruption
+    on the write or type drift on the read flips the hash. Read-back is
+    localCheckpoint-ed so the staging dir can be removed eagerly."""
+    import shutil
+    import tempfile
+
+    from bigdata_lab02_spark.sources.sinks import read_jsonl, write_jsonl
+
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="jsonl_shard_")
+    try:
+        write_jsonl(docs, d)
+        back = read_jsonl(spark, d, docs.schema)
+        return back.select(
+            "doc_id", "lang", "source", "n_chars",
+            F.md5(F.col("text")).alias("text_md5"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_JSONL_RT_SQL = """
+SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 FROM documents
+"""
+
+
+def q_merge_upsert(spark, sf_dir):
+    """Snapshot+delta MERGE gated end-to-end (operators.merge.merge_upsert):
+    every 10th order is 'recrawled' (status → 'R', price doubled) and also
+    re-inserted under a shifted key, then merged into the base snapshot —
+    updates replace, inserts append, untouched rows pass through. The
+    delta broadcasts, so the 15k-row (100 TB-shaped) base never shuffles.
+    The oracle restates the merge as anti-join + union in SQL."""
+    from bigdata_lab02_spark.operators.merge import merge_upsert
+
+    base = _t(spark, sf_dir, "orders")
+    changed = base.where(F.col("o_orderkey") % 10 == 0)
+    updates = changed.withColumn("o_orderstatus", F.lit("R")).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    inserts = changed.withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    return merge_upsert(base, updates.unionByName(inserts), ["o_orderkey"])
+
+
+_MERGE_SQL = """
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+         o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 0)
+SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+UNION ALL
+SELECT * FROM upd
+"""
+
+
 def q_sparse_vec_roundtrip(spark, sf_dir):
     """S2 sparse-vector interchange gated both directions: the TF-IDF map
     vectors write to the reference's ``docid \\t t:w,...`` TFIDF.txt format
@@ -2439,7 +2505,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "dsir_importance": q_dsir_importance,
     "stream_pairs": q_stream_pairs,
-    # --- long-proven core kept in the driver window (27) ---
+    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "merge_upsert": q_merge_upsert,
+    # --- long-proven core kept in the driver window (25) ---
     "p1_token_counts": q_p1_token_counts,
     "p3_term_dict": q_p3_term_dict,
     "p5_doc_term_matrix": q_p5_doc_term_matrix,
@@ -2461,8 +2529,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_pairs": q_embedding_near_pairs,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "textstats": q_textstats,
-    "quality_ratios": q_quality_ratios,
-    "fingerprint": q_fingerprint,
     "kmeans_assign": q_kmeans_assign,
     "kmeans_update": q_kmeans_update,
     "asof_join": q_asof_join,
@@ -2491,6 +2557,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_orders": q_rollup_orders,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
+    "quality_ratios": q_quality_ratios,
+    "fingerprint": q_fingerprint,
     "dedup_simhash": q_dedup_simhash,
     "kmeans_cost": q_kmeans_cost,
     "kmeans_weights": q_kmeans_weights,
@@ -2509,7 +2577,7 @@ ROTATED_OUT: set[str] = {
     "pivot_status", "order_gaps", "cube_orders", "price_percentiles",
     "dedup_simhash", "kmeans_cost", "kmeans_weights", "quantized_topk",
     "embedding_knn_label", "rollup_orders", "events_hourly",
-    "events_sessions",
+    "events_sessions", "quality_ratios", "fingerprint",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -2547,6 +2615,8 @@ _R4_NEW = {
     "semantic_dedup",
     "dsir_importance",
     "stream_pairs",
+    "jsonl_roundtrip",
+    "merge_upsert",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (4 if name in _R4_NEW else 3 if name in _R3_NEW else 1)
@@ -2652,6 +2722,8 @@ _ORACLES: dict[str, str] = {
     "semantic_dedup": _SEMANTIC_DEDUP_SQL,
     "dsir_importance": _DSIR_SQL,
     "stream_pairs": _STREAM_PAIRS_SQL,
+    "jsonl_roundtrip": _JSONL_RT_SQL,
+    "merge_upsert": _MERGE_SQL,
     "audio_decode": _AUDIO_DECODE_SQL,
     "chunk_docs": _CHUNK_SQL,
     "contamination": _CONTAMINATION_SQL,

@@ -35,6 +35,23 @@ def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.select(F.concat_ws("\t", *cols).alias("value")).write.mode(mode).text(path)
 
 
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON Lines, one object per row, one file per partition — the de
+    facto training-shard interchange format (what tokenizer/loader stacks
+    ingest). Spark's json writer IS JSONL (newline-delimited objects);
+    this wrapper exists so shard export is a named sink beside the
+    TSV/parquet ones, and to pin overwrite semantics."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(spark, path: str, schema) -> DataFrame:
+    """Read a JSONL shard directory back with an EXPLICIT schema — schema
+    inference on json is a full extra pass over the data and can widen
+    types (int → bigint → double) differently per shard; a 100 TB reader
+    never infers."""
+    return spark.read.schema(schema).json(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

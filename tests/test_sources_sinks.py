@@ -74,3 +74,25 @@ def test_sparse_vector_writer_roundtrip(spark, tmp_path):
         for ln in p.read_text().splitlines() if ln.startswith("1\t")
     ][0]
     assert line.split("\t")[1].startswith("1:")
+
+
+class TestJsonl:
+    def test_roundtrip_adversarial_text(self, spark, tmp_path):
+        from bigdata_lab02_spark.sources.sinks import read_jsonl, write_jsonl
+
+        rows = [
+            (1, 'quotes " and \\ backslash'),
+            (2, "newline\nand\ttab inside"),
+            (3, "unicode: 中文 émoji 🎉"),
+            (4, ""),
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        d = str(tmp_path / "shards")
+        write_jsonl(df, d)
+        back = read_jsonl(spark, d, df.schema)
+        got = {r["doc_id"]: r["text"] for r in back.collect()}
+        # JSON escaping must carry every byte through, including embedded
+        # newlines (escaped as \n inside the object, never a record break)
+        assert got == dict(rows)
+        assert back.schema == df.schema

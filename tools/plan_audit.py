@@ -49,6 +49,7 @@ AUDIT = [
     "video_frames",
     "semantic_dedup",
     "dsir_importance",
+    "merge_upsert",
 ]
 
 COMMENT = {
@@ -81,6 +82,7 @@ COMMENT = {
     "video_frames": "Zero exchanges: Y4M parse + per-frame plane sums explode row-per-video to row-per-frame INSIDE the kernel, so frame rows exist only after the bytes are gone.",
     "semantic_dedup": "Centroids broadcast for assignment; the pair join is keyed by cluster_id (hash exchange), so pair fan-out is bounded by cluster size — never global n².",
     "dsir_importance": "One bigram explode feeds both count models; the <=256-row weight table broadcasts back; the only data-sized exchange is the per-doc score aggregation.",
+    "merge_upsert": "Delta keys broadcast into a LEFT ANTI join — the base snapshot never shuffles; unmatched-update inserts ride the same union.",
 }
 
 
