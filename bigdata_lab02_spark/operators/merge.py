@@ -22,10 +22,20 @@ def merge_upsert(
     updates: DataFrame,
     key_cols: list[str],
     broadcast_updates: bool = True,
+    check_unique_keys: bool | None = None,
 ) -> DataFrame:
     """Last-write-wins merge: rows of ``updates`` replace base rows with
     the same key; unmatched update rows are inserts; unmatched base rows
     pass through. Column sets must match (``unionByName``).
+
+    Last-write-wins is only well-defined when the delta has AT MOST ONE row
+    per key — duplicate delta keys would all survive the union and silently
+    yield a multi-row "snapshot" per key. ``check_unique_keys`` guards
+    that contract with a cheap count-vs-distinct job on the delta's key
+    columns (raises ``ValueError`` on violation). Default ``None`` means
+    "same as ``broadcast_updates``": a broadcastable delta is small enough
+    that the check is ~free; for a big shuffled delta the caller opts in
+    (or pre-dedupes with a window over an ordering column).
 
     Shape: one LEFT ANTI join (base minus updated keys) + union. With
     ``broadcast_updates`` (the common case — a delta is small relative to
@@ -39,6 +49,18 @@ def merge_upsert(
             f"column mismatch: base {sorted(base.columns)} "
             f"vs updates {sorted(updates.columns)}"
         )
+    if check_unique_keys is None:
+        check_unique_keys = broadcast_updates
+    if check_unique_keys:
+        dup_keys = (
+            updates.groupBy(*key_cols).count().where(F.col("count") > 1).count()
+        )
+        if dup_keys:
+            raise ValueError(
+                f"updates has {dup_keys} duplicate key(s) on {key_cols}; "
+                "last-write-wins needs one delta row per key — pre-dedupe "
+                "the delta or pass check_unique_keys=False to accept it"
+            )
     delta_keys = updates.select(*key_cols)
     if broadcast_updates:
         delta_keys = F.broadcast(delta_keys)

@@ -268,6 +268,7 @@ def semantic_dedup(
     centroid_id_col: str = "cluster_id",
     centroid_vec_col: str = "centroid",
     round_dp: int = 6,
+    broadcast_dups: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): assign every embedding to its nearest coarse
@@ -283,6 +284,13 @@ def semantic_dedup(
     at ``round_dp`` BEFORE argmax/threshold (cross-engine determinism).
 
     Returns (id, cluster_id, keep) for every input vector.
+
+    ``broadcast_dups`` (default True) broadcasts the duplicate-id set into
+    the keep-flag join so the membership table never shuffles — correct
+    when dups ≪ corpus, which a sane threshold guarantees. On a
+    near-duplicate-saturated corpus (mirror crawls, boilerplate floods)
+    dups can approach corpus size; set it False there and let the
+    keep-flag join shuffle both sides by id instead of OOMing the driver.
     """
     c = vectors.select(
         F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
@@ -325,12 +333,10 @@ def semantic_dedup(
         .select(F.col(f"b.{id_col}").alias("dup_id"))
         .distinct()
     )
-    # dups is bounded by the duplicate count (≪ corpus) — broadcast it so
-    # the keep-flag join never shuffles the full membership table.
+    if broadcast_dups:
+        dups = F.broadcast(dups)
     return (
-        members.join(
-            F.broadcast(dups), members[id_col] == dups["dup_id"], "left"
-        )
+        members.join(dups, members[id_col] == dups["dup_id"], "left")
         .select(
             F.col(id_col),
             "cluster_id",

@@ -24,6 +24,11 @@ from __future__ import annotations
 
 _MAGIC = b"YUV4MPEG2"
 
+# FRAME lines are "FRAME[ params]\n"; real-world params are a handful of
+# short tokens, so a newline more than this far out means the terminator is
+# missing and the scan is about to walk into binary plane data.
+_MAX_FRAME_LINE = 256
+
 # bytes per frame = width*height * (1 + 2*chroma_ratio); ratios by colorspace
 _CHROMA_RATIO = {
     "420": 0.25,  # U and V each subsampled 2x2
@@ -133,9 +138,19 @@ def video_info(data: bytes) -> dict:
     frame_bytes = luma + 2 * chroma
     pos, n = info["header_len"], 0
     while pos < len(data):
-        nl = data.find(b"\n", pos)
-        if nl < 0 or not data[pos : pos + 5] == b"FRAME":
+        # Validate the FRAME line strictly BEFORE trusting any newline:
+        # plane bytes are arbitrary (0x0A is a common luma value), so an
+        # unbounded newline search after a corrupted/unterminated FRAME
+        # line would silently re-align on picture data and produce wrong
+        # stats instead of an error.
+        if data[pos : pos + 5] != b"FRAME" or data[pos + 5 : pos + 6] not in (
+            b"\n",
+            b" ",
+        ):
             raise Y4mError(f"bad FRAME line at byte {pos}")
+        nl = data.find(b"\n", pos, pos + _MAX_FRAME_LINE)
+        if nl < 0:
+            raise Y4mError(f"unterminated FRAME line at byte {pos}")
         pos = nl + 1 + frame_bytes
         if pos > len(data):
             raise Y4mError(f"truncated frame {n}")

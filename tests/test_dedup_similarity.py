@@ -294,3 +294,25 @@ class TestSemanticDedup:
         # same vector → same nearest centroid → same cluster → dedup fires
         assert out[0]["cluster_id"] == out[1]["cluster_id"]
         assert out[0]["keep"] and not out[1]["keep"]
+
+
+class TestSemanticDedupShufflePath:
+    def test_broadcast_optout_same_result(self, spark):
+        from bigdata_lab02_spark.operators.similarity import semantic_dedup
+
+        rows = [
+            (0, [1.0, 0.0]), (10, [0.99, 0.01]),
+            (1, [0.0, 1.0]), (11, [0.01, 0.99]),
+            (20, [-1.0, 0.2]),
+        ]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "cluster_id long, centroid array<double>",
+        )
+        bc = {(r.vec_id, r.cluster_id, r.keep) for r in
+              semantic_dedup(vecs, cents, threshold=0.9).collect()}
+        sh = {(r.vec_id, r.cluster_id, r.keep) for r in
+              semantic_dedup(vecs, cents, threshold=0.9,
+                             broadcast_dups=False).collect()}
+        assert bc == sh

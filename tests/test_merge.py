@@ -44,3 +44,13 @@ def test_composite_key(spark):
     out = merge_upsert(base, delta, ["k", "s"])
     got = {(r["k"], r["s"], r["v"]) for r in out.collect()}
     assert got == {(1, "x", "old"), (1, "y", "new")}
+
+
+def test_duplicate_delta_keys_rejected(spark):
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    delta = spark.createDataFrame([(1, "x"), (1, "y")], "k long, v string")
+    with pytest.raises(ValueError, match="duplicate key"):
+        merge_upsert(base, delta, ["k"])
+    # explicit opt-out accepts the (documented) multi-row-per-key result
+    out = merge_upsert(base, delta, ["k"], check_unique_keys=False)
+    assert out.count() == 2

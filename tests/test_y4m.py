@@ -102,3 +102,28 @@ def test_frame_stats_sampling():
         assert s["y_sum"] == sum(fr[:luma])
         assert s["u_sum"] == sum(fr[luma : luma + 4])
         assert s["v_sum"] == sum(fr[luma + 4 :])
+
+
+def test_frame_line_terminator_required():
+    # planes full of 0x0A: the old unbounded newline scan would re-align on
+    # picture bytes once the FRAME terminator is corrupted; now the byte
+    # after FRAME must be '\n' or ' ' before any newline is trusted
+    frames = [bytes([10]) * 24 for _ in range(3)]
+    data = encode_y4m(4, 4, frames)
+    at = data.index(b"FRAME", data.index(b"FRAME") + 1)  # second frame line
+    nl = at + 5
+    assert data[nl : nl + 1] == b"\n"
+    broken = data[:nl] + b"X" + data[nl + 1 :]
+    with pytest.raises(Y4mError):
+        video_info(broken)
+
+
+def test_overlong_frame_line_raises():
+    # a FRAME params line with no newline inside the scan bound must raise
+    # instead of hunting for a 0x0A deep inside plane data
+    frames = _frames(4, 4, 1)
+    data = encode_y4m(4, 4, frames)
+    at = data.index(b"FRAME")
+    broken = data[:at] + b"FRAME " + b"A" * 300 + b"\n" + data[at + 6 :]
+    with pytest.raises(Y4mError, match="unterminated"):
+        video_info(broken)
