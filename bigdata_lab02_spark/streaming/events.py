@@ -220,7 +220,11 @@ def followup_pairs_stream(
     EVICTION, not emission), so a bounded replay emits exactly the batch
     self-join — which is what the driver gate asserts.
 
-    Returns (a_id, b_id, user_id) pairs, a_id != b_id.
+    Returns (a_id, b_id, user_id) pairs, a_id != b_id. Tie rule: the range
+    condition is ``b_ts >= a_ts``, so two DISTINCT events of one user with
+    EQUAL timestamps pair in BOTH orientations — (a,b) and (b,a) each
+    appear once (the batch twin and the driver oracle replay the same
+    rule). Strictly-later pairs appear in one orientation only.
     """
     a = events.select(
         F.col("event_id").alias("a_id"),
@@ -242,18 +246,38 @@ def followup_pairs_stream(
 
 
 def run_stream_to_memory(
-    spark: SparkSession, streaming_df: DataFrame, name: str, mode: str = "append"
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    name: str,
+    mode: str = "append",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drive a streaming query to completion over a bounded source and
-    return the materialized result (memory sink)."""
-    q = (
-        streaming_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    return the materialized result (memory sink).
+
+    ``state_partitions``: stateful operators create one state store per
+    shuffle partition and commit EVERY store each micro-batch, even idle
+    ones — on a bounded local replay that fixed cost dominates wall time
+    (a stream-stream join at 32 partitions spends ~3× longer in store
+    commits than in the join). The replay therefore plans with a small
+    shuffle-partition count and restores the session conf after. ``None``
+    keeps the session setting. A real deployment sizes this to cluster
+    parallelism once — it is frozen for the life of a checkpoint."""
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    if state_partitions is not None:
+        spark.conf.set(key, str(state_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            streaming_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set(key, saved)
     return spark.sql(f"SELECT * FROM {name}")
