@@ -2064,28 +2064,61 @@ SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
 FROM c"""
 
 
-def q_semantic_dedup(spark, sf_dir):
-    """SemDeDup-style semantic dedup (similarity.semantic_dedup, Abbas et
-    al. 2023): embeddings assigned to coarse centroids (deterministic gate
-    init: the vec_id < 8 vectors, the same fixed-centroid seam as
-    kmeans_cost/ivf_topk), then cosine-compared ONLY within a cluster;
-    members with a lower-id neighbor at cosine ≥ 0.45 are dropped
-    (keep-lowest survivor). The clustering is the scale lever: the pair
-    join is keyed by cluster_id, never global n²."""
-    from bigdata_lab02_spark.operators.similarity import semantic_dedup
+def q_semantic_dedup_pipeline(spark, sf_dir):
+    """SemDeDup END-TO-END (similarity.semantic_dedup_pipeline, Abbas et
+    al. 2023): centroids are DERIVED FROM THE DATA — deterministic sample
+    (vec_id % 4) → dense k-means (kmeans.kmeans_dense_centroids, k =
+    floor(sqrt(n)), the SemDeDup sizing rule that keeps the per-cluster
+    pair fan-out ~sqrt(n)), exactly 2 Lloyd iterations with 6-dp
+    distance/centroid rounding — then cosine-compare ONLY within a
+    cluster; members with a lower-id neighbor at cosine ≥ 0.45 are
+    dropped (keep-lowest survivor). Supersedes round-4's fixed
+    vec_id < 8 centroid gate: same dedup operator, plus the sampled-fit
+    composition (the task2_3-style chain, KMeans/task2_3.java:1235-1341
+    precedent). The oracle unrolls the sampled fit (init → 2× assign/
+    update) and the dedup in one SQL statement."""
+    from bigdata_lab02_spark.operators.similarity import semantic_dedup_pipeline
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cluster_id"),
-        F.col("embedding").alias("centroid"),
+    return semantic_dedup_pipeline(
+        emb, threshold=0.45, sample_mod=4, max_iter=2, round_dp=6
     )
-    return semantic_dedup(emb, cents, threshold=0.45)
 
 
-_SEMANTIC_DEDUP_SQL = """
+def _sem_pipe_iter_sql(cent_in: str, it: int) -> str:
+    """One unrolled Lloyd iteration (Euclidean assign + mean update with
+    empty-cluster pass-through), mirroring kmeans_dense_centroids."""
+    return f"""ce{it} AS (SELECT cluster, generate_subscripts(cv, 1) AS dim, unnest(cv) AS val FROM {cent_in}),
+d{it} AS (
+  SELECT sv.vec_id, ce.cluster, round(sum((sv.val - ce.val) * (sv.val - ce.val)), 6) AS d2
+  FROM se sv JOIN ce{it} ce USING (dim) GROUP BY sv.vec_id, ce.cluster),
+a{it} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC) AS rn
+    FROM d{it}) WHERE rn = 1),
+m{it} AS (
+  SELECT a.cluster, sv.dim, round(avg(sv.val), 6) AS val
+  FROM a{it} a JOIN se sv USING (vec_id) GROUP BY a.cluster, sv.dim),
+c{it} AS MATERIALIZED (
+  SELECT c.cluster, COALESCE(u.cv, c.cv) AS cv
+  FROM {cent_in} c LEFT JOIN (
+    SELECT cluster, list(val ORDER BY dim) AS cv FROM m{it} GROUP BY cluster) u
+  USING (cluster))"""
+
+
+_SEMANTIC_PIPE_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+kk AS (SELECT GREATEST(2, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k FROM e),
+s AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),
+c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster, v AS cv
+  FROM s QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)),
+se AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS val FROM s),
+{_sem_pipe_iter_sql("c0", 1)},
+{_sem_pipe_iter_sql("c1", 2)},
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+c AS (SELECT cluster AS cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c2),
 cos AS (
   SELECT n.vec_id, c.cid,
     CASE WHEN n.nrm = 0 OR c.cn = 0 THEN 0.0
@@ -2146,6 +2179,50 @@ SELECT t.doc_id, t.is_target,
   CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
   COALESCE(sc.score, 0.0) AS score
 FROM t LEFT JOIN sc USING (doc_id)
+"""
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR selection END-TO-END (curation.dsir_select, Xie et al. 2023
+    §2.3): importance scores (same target convention as dsir_importance:
+    every 50th doc) → seeded Gumbel-top-k draw (temperature 1, md5-seeded
+    noise — the oracle replays the exact DRAW) → admit in key order until
+    a 12,000-token global budget is spent. The global prefix sum runs
+    distributed (range-repartition + per-partition offsets), never as a
+    one-partition window; the oracle states it as a plain global window,
+    which is semantically identical."""
+    from bigdata_lab02_spark.operators.curation import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_select(
+        docs,
+        F.col("doc_id") % 50 == 0,
+        token_budget=12_000,
+        n_buckets=256,
+        temperature=1.0,
+        seed="dsir",
+    )
+
+
+_DSIR_SELECT_SQL = rf"""
+WITH sc AS ({_DSIR_SQL}),
+tok AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+  FROM documents),
+sel AS (
+  SELECT sc.doc_id, sc.is_target, sc.score,
+    round(sc.score / 1.0
+          + -ln(-ln((( ('0x' || substr(md5('dsir|' || sc.doc_id), 1, 15))::BIGINT
+                       % 1000000000) + 0.5) / 1000000000.0)), 6) AS sel_key,
+    tok.n_tokens
+  FROM sc JOIN tok USING (doc_id)),
+cum AS (
+  SELECT *, CAST(sum(n_tokens) OVER (ORDER BY sel_key DESC, doc_id ASC
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM sel)
+SELECT doc_id, is_target, score, sel_key, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens <= 12000 OR cum_tokens = n_tokens
 """
 
 
@@ -2502,8 +2579,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_pipeline": q_kmeans_pipeline,
     "multimodal_mixed": q_multimodal_mixed,
     "video_frames": q_video_frames,
-    "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_pipeline": q_semantic_dedup_pipeline,
     "dsir_importance": q_dsir_importance,
+    "dsir_select": q_dsir_select,
     "stream_pairs": q_stream_pairs,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "merge_upsert": q_merge_upsert,
@@ -2612,7 +2690,7 @@ _R4_NEW = {
     "kmeans_pipeline",
     "multimodal_mixed",
     "video_frames",
-    "semantic_dedup",
+    "semantic_dedup_pipeline",
     "dsir_importance",
     "stream_pairs",
     "jsonl_roundtrip",
@@ -2719,8 +2797,9 @@ _ORACLES: dict[str, str] = {
     "multimodal_decode": _MM_DECODE_SQL,
     "multimodal_mixed": _MM_MIXED_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,
-    "semantic_dedup": _SEMANTIC_DEDUP_SQL,
+    "semantic_dedup_pipeline": _SEMANTIC_PIPE_SQL,
     "dsir_importance": _DSIR_SQL,
+    "dsir_select": _DSIR_SELECT_SQL,
     "stream_pairs": _STREAM_PAIRS_SQL,
     "jsonl_roundtrip": _JSONL_RT_SQL,
     "merge_upsert": _MERGE_SQL,

@@ -421,3 +421,103 @@ def dsir_importance(
             F.coalesce("score", F.lit(0.0)).alias("score"),
         )
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    is_target: Column,
+    token_budget: int,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    temperature: float | None = 1.0,
+    seed: str = "dsir",
+    num_partitions: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """DSIR SELECTION — the step scores exist for (Xie et al. 2023 §2.3):
+    rank every document by importance and admit them in rank order until a
+    global token budget is exhausted. Composes ``dsir_importance`` (the
+    scores) with the prefix-scan admission rule of
+    ``token_budget_sample`` (the budget).
+
+    Ranking key: with ``temperature=None``, deterministic top-q
+    (score DESC). Otherwise Gumbel-top-k sampling WITHOUT replacement
+    proportional to softmax(score/temperature) (Vieira 2014's trick, the
+    paper's sampled selection): key = score/T + Gumbel(0,1) noise, where
+    the noise is derived from a seeded md5 of the doc id — an
+    engine-portable PRNG, so an oracle replays the exact DRAW, not just
+    the scores. Keys are rounded at ``round_dp`` (cross-engine libm ulp).
+
+    The global budget needs a TOTAL-ORDER prefix sum; a bare global
+    window would collapse to one partition, so it is computed distributed:
+    range-repartition on (key DESC, id ASC), per-partition token sums →
+    running partition offsets (a ≤num_partitions-row driver visit,
+    model-state-sized — the kmeans-init seam), then a per-partition
+    window adds each row's offset. ``localCheckpoint`` pins the
+    partitioning so the offset pass and the output pass see identical
+    placement. The globally-first document is always admitted even if it
+    alone exceeds the budget (``token_budget_sample``'s rule).
+
+    Returns (id, is_target, score, sel_key, n_tokens, cum_tokens) for the
+    admitted subset.
+    """
+    scores = dsir_importance(
+        docs,
+        is_target,
+        n_buckets=n_buckets,
+        alpha=alpha,
+        text_col=text_col,
+        id_col=id_col,
+        round_dp=round_dp,
+    )
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    if temperature is None:
+        key = F.col("score")
+    else:
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1_000_000_000
+            + 0.5
+        ) / 1e9
+        key = F.round(
+            F.col("score") / temperature + -F.log(-F.log(u)), round_dp
+        )
+    keyed = scores.join(
+        docs.select(F.col(id_col), n_tokens.alias("n_tokens")), id_col
+    ).select(id_col, "is_target", "score", key.alias("sel_key"), "n_tokens")
+
+    spark = keyed.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    rp = (
+        keyed.repartitionByRange(nparts, F.desc("sel_key"), F.asc(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    part_tot = rp.groupBy("__pid").agg(F.sum("n_tokens").alias("pt")).collect()
+    offsets, acc = [], 0
+    for r in sorted(part_tot, key=lambda r: r["__pid"]):
+        offsets.append((r["__pid"], acc))
+        acc += r["pt"]
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.desc("sel_key"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        rp.join(F.broadcast(off_df), "__pid")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w) + F.col("__off"))
+        .drop("__pid", "__off")
+    )
+    return cum.where(
+        (F.col("cum_tokens") <= token_budget)
+        | (F.col("cum_tokens") == F.col("n_tokens"))
+    )

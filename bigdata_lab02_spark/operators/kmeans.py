@@ -46,9 +46,15 @@ class KMeansResult:
 # ---------------------------------------------------------------- dense
 
 
-def _dense_assign_expr(centroids: list[list[float]], feat_col: str):
+def _dense_assign_expr(
+    centroids: list[list[float]], feat_col: str, round_dp: int | None = None
+):
     """cluster = index of nearest centroid (squared Euclidean, first-min
-    tie-break like the reference's argmin loop, task2_1.java:199-224)."""
+    tie-break like the reference's argmin loop, task2_1.java:199-224).
+    ``round_dp`` rounds each squared distance BEFORE the argmin — the
+    cross-engine determinism knob (same rule as the sparse path's Q6
+    rounding): an oracle summing the 64 squared diffs in a different order
+    lands on the same rounded value."""
     dists = F.array(
         *[
             F.aggregate(
@@ -63,6 +69,8 @@ def _dense_assign_expr(centroids: list[list[float]], feat_col: str):
             for c in centroids
         ]
     )
+    if round_dp is not None:
+        dists = F.transform(dists, lambda d: F.round(d, round_dp))
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int"), F.array_min(
         dists
     )
@@ -127,6 +135,64 @@ def kmeans_euclidean(
     cluster, _ = _dense_assign_expr(centroids, "features")
     assignments = feats.select("features", cluster.alias("cluster"))
     return KMeansResult(centroids, assignments, history, it)
+
+
+def kmeans_dense_centroids(
+    points: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 2,
+    round_dp: int = 6,
+) -> list[list[float]]:
+    """Deterministic dense Lloyd over an ARRAY column, returning only the
+    fitted centroids — the sample→centroids stage that
+    ``similarity.semantic_dedup_pipeline`` composes in front of the
+    cluster-blocked pair join (the task2_3-style composition seam:
+    individually-gated stages chained end-to-end).
+
+    Gate-mode determinism, same rules as ``kmeans_cosine``'s fixed-init
+    mode: init = the k smallest-``id_col`` rows (K3's
+    read-centroids-from-input analog, task2_1.java:59-97), exactly
+    ``max_iter`` iterations, squared distances and updated centroid
+    coordinates rounded at ``round_dp`` so an oracle replays the run
+    bit-for-bit. A cluster that loses all members keeps its previous
+    centroid (the `_RECLUSTER_SELECT` pass-through rule).
+
+    Scale shape: meant to run on a SAMPLE (k ~ sqrt(n) of the corpus, the
+    SemDeDup sizing rule). Per iteration: one broadcast-literal assign (no
+    shuffle) + one posexplode→groupBy mean (shuffles sample_nnz = n_sample
+    × dim rows); only the k × dim centroid model crosses the driver
+    boundary, cached input is scanned ``max_iter + 1`` times.
+    """
+    pts = points.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).cache()
+    init_rows = pts.orderBy("__id").limit(k).collect()
+    centroids = [list(r["__v"]) for r in init_rows]
+    if not centroids:
+        raise ValueError("no points to initialize centroids from")
+    for _ in range(max_iter):
+        cluster, _ = _dense_assign_expr(centroids, "__v", round_dp)
+        means = (
+            pts.select(cluster.alias("cluster"), F.posexplode("__v"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("col"), round_dp).alias("m"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]
+        seen: set[int] = set()
+        for r in means:
+            new_centroids[r["cluster"]][r["pos"]] = r["m"]
+            seen.add(r["cluster"])
+        # clusters absent from `means` keep their previous centroid
+        centroids = [
+            new_centroids[c] if c in seen else centroids[c]
+            for c in range(len(centroids))
+        ]
+    pts.unpersist()
+    return centroids
 
 
 # ---------------------------------------------------------------- sparse

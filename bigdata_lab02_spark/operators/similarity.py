@@ -20,6 +20,8 @@ Hyperplanes for LSH are deterministic pseudo-random (seeded hash of
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -342,6 +344,63 @@ def semantic_dedup(
             "cluster_id",
             F.col("dup_id").isNull().alias("keep"),
         )
+    )
+
+
+def semantic_dedup_pipeline(
+    vectors: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int | None = None,
+    sample_mod: int = 4,
+    max_iter: int = 2,
+    round_dp: int = 6,
+    broadcast_dups: bool = True,
+) -> DataFrame:
+    """SemDeDup END-TO-END (Abbas et al. 2023 §3): derive the coarse
+    centroids FROM THE DATA — deterministic sample (``id % sample_mod``)
+    → dense k-means (``kmeans.kmeans_dense_centroids``, k ~ sqrt(n)) —
+    then run the cluster-blocked ``semantic_dedup``. This closes the
+    documented k~√n seam: k actually scales with the corpus instead of
+    being a fixed input, so mean cluster size (and the per-cluster pair
+    fan-out) stays ~sqrt(n) by construction.
+
+    ``k=None`` sizes k = floor(sqrt(n)) from a corpus count (one cheap
+    count job; clamped to the sample size). All stages share ``round_dp``
+    rounding, so a SQL oracle replays the sampled fit + dedup exactly.
+
+    Scale shape: the k-means runs on the 1/``sample_mod`` sample with a
+    k×dim driver-side model (same seam as kmeans_cosine init); the corpus
+    itself is touched only by the assign + pair join inside
+    ``semantic_dedup``.
+    """
+    from .kmeans import kmeans_dense_centroids
+
+    if k is None:
+        n = vectors.count()
+        k = max(2, math.isqrt(n))
+    sample = vectors.where(F.col(id_col) % sample_mod == 0)
+    cents = kmeans_dense_centroids(
+        sample,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_iter=max_iter,
+        round_dp=round_dp,
+    )
+    cent_df = vectors.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cluster_id long, centroid array<double>",
+    )
+    return semantic_dedup(
+        vectors,
+        cent_df,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_dp=round_dp,
+        broadcast_dups=broadcast_dups,
     )
 
 

@@ -287,3 +287,57 @@ class TestDsirImportance:
         assert out[1]["n_bigrams"] == 0 and out[1]["score"] == 0.0
         assert out[2]["n_bigrams"] == 0 and out[2]["score"] == 0.0
         assert out[0]["n_bigrams"] == 2
+
+
+class TestDsirSelect:
+    def _docs(self, spark):
+        rows = [
+            # target-looking docs repeat the "alpha beta" bigram family
+            (i, " ".join(["alpha beta gamma delta"] * 5), "s")
+            for i in range(0, 10)
+        ] + [
+            (i, " ".join(["zig zag quux blorp"] * 5), "s")
+            for i in range(10, 40)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def test_topq_orders_by_score_and_respects_budget(self, spark):
+        docs = self._docs(spark)
+        out = cur.dsir_select(
+            docs, F.col("doc_id") < 10, token_budget=120, temperature=None
+        ).collect()
+        assert out, "budget admits at least the first doc"
+        # admitted set ordered by (score desc, id): target-like docs first
+        assert all(r["doc_id"] < 10 for r in out)
+        assert max(r["cum_tokens"] for r in out) <= 120
+        # each doc is 20 tokens -> exactly 6 admitted
+        assert len(out) == 6
+
+    def test_first_doc_always_admitted(self, spark):
+        docs = self._docs(spark)
+        out = cur.dsir_select(
+            docs, F.col("doc_id") < 10, token_budget=1, temperature=None
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["cum_tokens"] == out[0]["n_tokens"]
+
+    def test_gumbel_draw_is_seed_deterministic(self, spark):
+        docs = self._docs(spark)
+        a = {r["doc_id"] for r in cur.dsir_select(
+            docs, F.col("doc_id") < 10, token_budget=300, seed="s1").collect()}
+        b = {r["doc_id"] for r in cur.dsir_select(
+            docs, F.col("doc_id") < 10, token_budget=300, seed="s1").collect()}
+        c = {r["doc_id"] for r in cur.dsir_select(
+            docs, F.col("doc_id") < 10, token_budget=300, seed="s2").collect()}
+        assert a == b
+        assert a != c, "different seeds draw different subsets"
+
+    def test_partition_count_does_not_change_result(self, spark):
+        docs = self._docs(spark)
+        a = sorted(r["doc_id"] for r in cur.dsir_select(
+            docs, F.col("doc_id") < 10, token_budget=300,
+            num_partitions=1).collect())
+        b = sorted(r["doc_id"] for r in cur.dsir_select(
+            docs, F.col("doc_id") < 10, token_budget=300,
+            num_partitions=7).collect())
+        assert a == b

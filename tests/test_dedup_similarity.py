@@ -316,3 +316,26 @@ class TestSemanticDedupShufflePath:
               semantic_dedup(vecs, cents, threshold=0.9,
                              broadcast_dups=False).collect()}
         assert bc == sh
+
+
+class TestSemanticDedupPipeline:
+    def test_data_derived_centroids_end_to_end(self, spark):
+        from bigdata_lab02_spark.operators.similarity import (
+            semantic_dedup_pipeline,
+        )
+
+        # two tight groups; sample_mod=1 so every vector is in the fit
+        rows = [
+            (0, [1.0, 0.0]), (4, [0.99, 0.01]),
+            (1, [0.0, 1.0]), (5, [0.01, 0.99]),
+        ]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r["vec_id"]: r for r in semantic_dedup_pipeline(
+            vecs, threshold=0.9, k=2, sample_mod=1, max_iter=2
+        ).collect()}
+        assert len(out) == 4
+        assert out[0]["keep"] and not out[4]["keep"]
+        assert out[1]["keep"] and not out[5]["keep"]
+        # group members share a cluster
+        assert out[0]["cluster_id"] == out[4]["cluster_id"]
+        assert out[1]["cluster_id"] == out[5]["cluster_id"]

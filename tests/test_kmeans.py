@@ -267,3 +267,33 @@ def test_kmeans_scalable_corpus_invariants(spark):
     assert len(res.centroids) == 4
     # centroid weights are means of non-negative tfidf → non-negative
     assert all(w >= 0.0 for c in res.centroids for w in c.values())
+
+
+class TestDenseArrayCentroids:
+    def test_fit_finds_group_means(self, spark):
+        from bigdata_lab02_spark.operators.kmeans import kmeans_dense_centroids
+
+        # two tight blobs; init = the 2 smallest ids (one in each blob)
+        rows = [
+            (0, [0.0, 0.0]), (2, [0.2, 0.0]), (4, [0.0, 0.2]),
+            (1, [10.0, 10.0]), (3, [10.2, 10.0]), (5, [10.0, 10.2]),
+        ]
+        pts = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = kmeans_dense_centroids(pts, k=2, max_iter=2, round_dp=6)
+        assert len(cents) == 2
+        got = sorted((round(c[0], 4), round(c[1], 4)) for c in cents)
+        assert got == [(0.0667, 0.0667), (10.0667, 10.0667)]
+
+    def test_first_min_tie_break_and_singleton_cluster(self, spark):
+        from bigdata_lab02_spark.operators.kmeans import kmeans_dense_centroids
+
+        # init: [0,0] and [0.1,0]; point 9 at 0.05 is equidistant -> the
+        # first-min rule assigns cluster 0; cluster 1 keeps only its own
+        # init point, so its mean stays put
+        near = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (5, [0.1, 0.0]), (9, [0.05, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        c2 = kmeans_dense_centroids(near, k=2, max_iter=1, round_dp=6)
+        assert c2[0] == [0.025, 0.0]
+        assert c2[1] == [0.1, 0.0]
