@@ -3,10 +3,24 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>}
+   "queries": {name: sec, ...}, "sf": <float>,
+   "common17_total": <sec>, "common25_total": <sec>}
 
 Each query materializes through the noop sink (full computation, no
 driver-side row transfer, no output I/O in the timing).
+
+Round-over-round comparability is emitted natively (VERDICT r4 item 6):
+``common17_total`` sums the exact query set BENCH_r01 recorded and
+``common25_total`` the BENCH_r03 set, so the headline total can grow with
+new queries without faking a regression. Three of those queries
+(top_customers, running_total, events_hourly) were consolidated out of
+the driver registry in round 5; their gate functions are kept in
+__spark_entry__ solely so these fixed sets stay measurable.
+
+Streaming replays run LAST (VERDICT r4 item 1): each replay spins up
+micro-batch infrastructure and state stores inside the shared JVM, and
+r4 showed batch queries timed after them drifting ~5-30%; isolating them
+keeps the batch common-set numbers clean.
 """
 
 from __future__ import annotations
@@ -24,9 +38,9 @@ from bigdata_lab02_spark.session import get_spark  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 
-# Representative slice of the inventory: text pipeline, relational joins &
-# windows, events, dedup (exact + LSH), similarity, kmeans steps.
-HEADLINE = [
+# The exact query sets of BENCH_r01 / BENCH_r03 (minus bbc_tfidf_pipeline_e2e,
+# timed separately below and included in both totals).
+COMMON17 = [
     "p5_doc_term_matrix",
     "p10_tfidf",
     "p13_category_top5",
@@ -38,32 +52,45 @@ HEADLINE = [
     "events_sessions",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "dedup_clusters",
     "embedding_topk",
-    "quantized_topk",
-    "embedding_dup_pairs",
     "ivf_topk",
     "asof_join",
     "kmeans_assign",
     "kmeans_update",
-    # round 3 additions: curation/chunking + contamination surface
+]
+COMMON25 = COMMON17 + [
     "chunk_docs",
     "contamination",
-    "dedup_keep_best",
     "curation_pipeline",
-    # round 4: streaming latency — q_stream_hourly replays the events
-    # parquet through readStream synchronously (processAllAvailable into a
-    # memory sink), so its timing is the end-to-end micro-batch wall for
-    # the watermarked tumbling-window aggregation, not just a table scan.
-    "stream_hourly",
-    # round 4: embedding-level and importance-based selection ops
-    "semantic_dedup",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "dedup_simhash_pairs",
+    "embedding_dup_pairs",
+    "quantized_topk",
+]
+
+# Representative slice of the inventory beyond the common sets: round 4/5
+# selection + streaming additions. Streaming entries must stay last.
+EXTRA = [
+    "semantic_dedup_pipeline",
     "dsir_importance",
-    # round 4: stream-stream join replay — the state-heaviest streaming
-    # shape (both sides buffered until watermark eviction)
+    "dsir_select",
+]
+STREAMING_LAST = [
+    "stream_hourly",
     "stream_pairs",
 ]
+
+# Consolidated out of the registry in round 5; resolved via their kept
+# gate functions for common-set comparability only.
+BENCH_ONLY = {"top_customers", "running_total", "events_hourly"}
+
+
+def _resolve(qs, name):
+    if name in qs:
+        return qs[name]
+    assert name in BENCH_ONLY, name
+    return getattr(entrymod, f"q_{name}")
 
 
 def main() -> None:
@@ -79,9 +106,12 @@ def main() -> None:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    ordered = COMMON25 + EXTRA + STREAMING_LAST
+    for name in ordered:
         t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        _resolve(qs, name)(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
         timings[name] = round(time.time() - t0, 3)
 
     # The reference's ENTIRE DataProcessing DAG (11 chained MapReduce jobs,
@@ -104,6 +134,12 @@ def main() -> None:
             out.write.format("noop").mode("overwrite").save()
         timings["bbc_tfidf_pipeline_e2e"] = round(time.time() - t0, 3)
 
+    def _common(names):
+        keys = [*names, "bbc_tfidf_pipeline_e2e"]
+        if not all(k in timings for k in keys):
+            return None
+        return round(sum(timings[k] for k in keys), 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -113,6 +149,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "common17_total": _common(COMMON17),
+                "common25_total": _common(COMMON25),
             }
         )
     )

@@ -145,7 +145,9 @@ def test_streaming_hourly_matches_batch(spark, event_stream):
     )
     import __spark_entry__ as e
 
-    batch = e.queries()["events_hourly"](spark, f"{TESTDATA}/sf0.001")
+    # q_events_hourly left the registry in round 5 (its SQL is
+    # stream_hourly's oracle verbatim) but stays callable as the batch twin
+    batch = e.q_events_hourly(spark, f"{TESTDATA}/sf0.001")
     got = {
         (r["bucket"], r["event_type"]): r["n"] for r in out.collect()
     }

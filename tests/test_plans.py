@@ -25,7 +25,15 @@ def test_revenue_join_strategy_all_broadcast(spark):
 
 
 def test_top_customers_uses_bounded_topk(spark):
-    r = plan_report(e.queries()["top_customers"](spark, SF))
+    # q_top_customers left the registry in round 5 (consolidated into
+    # revenue_by_nation + p7_top_terms coverage) but stays as a bench-
+    # comparability function; the plan property still holds.
+    r = plan_report(e.q_top_customers(spark, SF))
+    assert r.has_take_ordered  # TakeOrderedAndProject, not global sort
+
+
+def test_p7_top_terms_uses_bounded_topk(spark):
+    r = plan_report(e.queries()["p7_top_terms"](spark, SF))
     assert r.has_take_ordered  # TakeOrderedAndProject, not global sort
 
 

@@ -149,11 +149,40 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="*")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--times-out",
+        default="tools/oracle_times.json",
+        help="where to record per-query wall seconds in driver-window "
+        "order (pass '' to skip)",
+    )
     args = ap.parse_args()
     results = run_check(names=args.queries or None, sf_dir=args.sf_dir)
     n_fail = sum(1 for _, s, _, _ in results if s == "FAIL")
     n_pass = sum(1 for _, s, _, _ in results if s in ("PASS", "TOL"))
     print(f"\n{n_pass} pass, {n_fail} fail of {len(results)}")
+    if args.times_out and not args.queries:
+        # Triage record for the driver's 50-row window (ADVICE r4): if a
+        # future CORRECTNESS round drops rows, these per-query walls say
+        # whether a wall-clock cap (not the measured positional one) could
+        # explain which rows fell off.
+        import json
+
+        window = list(entrymod.queries())[: entrymod.DRIVER_ROW_CAP]
+        times = {n: round(t, 2) for n, _, _, t in results}
+        Path(args.times_out).write_text(
+            json.dumps(
+                {
+                    "sf_dir": args.sf_dir,
+                    "window_order": window,
+                    "seconds": times,
+                    "window_total_sec": round(
+                        sum(times.get(n, 0.0) for n in window), 1
+                    ),
+                },
+                indent=1,
+            )
+        )
+        print(f"per-query walls -> {args.times_out}")
     return 1 if n_fail else 0
 
 

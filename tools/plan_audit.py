@@ -25,8 +25,8 @@ AUDIT = [
     "p13_category_top5",
     "pricing_summary",
     "revenue_by_nation",
-    "top_customers",
-    "running_total",
+    "p7_top_terms",
+    "window_funcs",
     "events_sessions",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -47,8 +47,9 @@ AUDIT = [
     "skew_salted_join",
     "multimodal_mixed",
     "video_frames",
-    "semantic_dedup",
+    "semantic_dedup_pipeline",
     "dsir_importance",
+    "dsir_select",
     "merge_upsert",
 ]
 
@@ -58,8 +59,8 @@ COMMENT = {
     "p13_category_top5": "One exchange on (category, term); ranking window within partitions.",
     "pricing_summary": "Scan-level date filter pushdown; decimal sums partial-aggregated map-side.",
     "revenue_by_nation": "All dimension joins broadcast-hash; the lineitem side never sort-merges.",
-    "top_customers": "TakeOrderedAndProject: per-partition bounded heaps, no global sort.",
-    "running_total": "Single range-partitioned window; rows frame (running sum).",
+    "p7_top_terms": "Filter fused into the aggregate scan; TakeOrderedAndProject: per-partition bounded heaps, no global sort.",
+    "window_funcs": "Running sum + lag share ONE hash exchange and one sort (same partitioning and ordering).",
     "events_sessions": "lag + flag-sum in one window pass per user partition.",
     "dedup_exact": "Exactly one exchange, keyed by content digest.",
     "dedup_minhash_lsh": "Shingles exploded once; signature min-aggregates map-side; candidate join keyed by LSH band bucket (subquadratic).",
@@ -80,8 +81,9 @@ COMMENT = {
     "skew_salted_join": "Dim replicated per salt (fact never replicated); hot fact keys spread across salt_buckets tasks.",
     "multimodal_mixed": "Zero exchanges: payload bytes are generated, decoded and featurized inside one Arrow-batched mapInPandas chain — binary never crosses a shuffle.",
     "video_frames": "Zero exchanges: Y4M parse + per-frame plane sums explode row-per-video to row-per-frame INSIDE the kernel, so frame rows exist only after the bytes are gone.",
-    "semantic_dedup": "Centroids broadcast for assignment; the pair join is keyed by cluster_id (hash exchange), so pair fan-out is bounded by cluster size — never global n².",
+    "semantic_dedup_pipeline": "Sampled k-means fit is assign-by-broadcast-literal + posexplode mean per iteration (k x dim model to the driver); then centroids broadcast for assignment; the pair join is keyed by cluster_id (hash exchange), so pair fan-out is bounded by cluster size — never global n².",
     "dsir_importance": "One bigram explode feeds both count models; the <=256-row weight table broadcasts back; the only data-sized exchange is the per-doc score aggregation.",
+    "dsir_select": "Scores + seeded Gumbel key, then a DISTRIBUTED global prefix: range-repartition on the key, per-partition offsets (driver sees <=num_partitions rows), per-partition window — no one-partition global window.",
     "merge_upsert": "Delta keys broadcast into a LEFT ANTI join — the base snapshot never shuffles; unmatched-update inserts ride the same union.",
 }
 

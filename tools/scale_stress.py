@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Fourth scaling point for the CONDITIONAL-scale operator family.
+
+SCALING.md's three driver scale factors top out at sf0.1; the two
+operators whose 100×-data wall growth exceeded 4× there
+(`semantic_dedup_pipeline` 4.3×, `dedup_keep_best` 4.5× in round 4)
+are exactly the ones whose scale safety is conditional (pair fan-out
+bounded by cluster/fingerprint-group size), so fixed-overhead
+amortization vs real super-linear growth must be separated BEFORE it
+bites. This tool synthesizes a 4× sf0.1 corpus (documents + embeddings;
+the other tables are copied through), times the family at sf0.1 and at
+4×, and prints the markdown rows appended to SCALING.md.
+
+The synthetic corpus is a deterministic 4-fold replica with per-copy
+perturbation — texts get a per-copy suffix token and embeddings a small
+per-copy sinusoidal offset — so replicas are NEAR-duplicates (realistic
+shingle/cosine neighborhoods) rather than exact clones, and cluster /
+fingerprint-group sizes grow the way a bigger crawl's would, not
+degenerately. doc_id/vec_id are shifted by copy × 10^7.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+import duckdb  # noqa: E402
+
+from bigdata_lab02_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+MULT = 4
+FAMILY = [
+    "semantic_dedup_pipeline",
+    "dedup_keep_best",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dsir_importance",
+]
+
+
+def make_scaled(dst: str) -> None:
+    con = duckdb.connect()
+    copies = ", ".join(f"({i})" for i in range(MULT))
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id + i * 10000000 AS doc_id,
+            CASE WHEN i = 0 THEN text
+                 ELSE text || ' rev' || i || 'x' || (doc_id % 97) END AS text,
+            lang, source, n_chars
+          FROM '{SRC}/documents.parquet' CROSS JOIN (VALUES {copies}) t(i)
+        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    # per-copy offset keeps cosines high (near-dup) but not exactly 1,
+    # and is NOT a pure rescale (which cosine would ignore)
+    con.execute(
+        f"""
+        COPY (
+          WITH ex AS (
+            SELECT vec_id, i, generate_subscripts(embedding, 1) AS dim,
+                   unnest(embedding) AS val
+            FROM '{SRC}/embeddings.parquet' CROSS JOIN (VALUES {copies}) t(i)),
+          re AS (
+            SELECT vec_id + i * 10000000 AS vec_id,
+              list((val + CASE WHEN i = 0 THEN 0.0
+                    ELSE 0.02 * sin(vec_id * 1.7 + i * 2.3 + dim) END
+                   )::FLOAT ORDER BY dim) AS embedding
+            FROM ex GROUP BY 1, i)
+          SELECT re.vec_id, re.embedding,
+                 (re.vec_id % 10000000) % 8 AS label
+          FROM re
+        ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events"):
+        shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale_stress")
+    qs = entrymod.queries()
+    # warmup
+    spark.read.parquet(f"{SRC}/lineitem.parquet").count()
+
+    d = tempfile.mkdtemp(prefix="sf0.4_")
+    try:
+        make_scaled(d)
+        rows = []
+        for name in FAMILY:
+            t0 = time.time()
+            qs[name](spark, SRC).write.format("noop").mode("overwrite").save()
+            base = time.time() - t0
+            t0 = time.time()
+            qs[name](spark, d).write.format("noop").mode("overwrite").save()
+            big = time.time() - t0
+            rows.append((name, base, big, big / base if base else float("nan")))
+            print(f"{name}: sf0.1 {base:.2f}s -> 4x {big:.2f}s "
+                  f"({big / base:.1f}x wall at 4x data)")
+        print()
+        print("| query | sf0.1 | 4×sf0.1 (near-dup replica) | wall growth at 4× data |")
+        print("|---|---|---|---|")
+        for name, base, big, g in rows:
+            print(f"| {name} | {base:.2f} | {big:.2f} | {g:.1f}× |")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
