@@ -678,11 +678,16 @@ _EMB_DUP_SQL = _emb_dup_sql()
 def q_textstats(spark, sf_dir):
     """The whole per-doc text-analysis family in ONE gate (consolidated in
     round 5 from the former textstats + quality_ratios + fingerprint
-    triple — same projections, one driver row): token counts/distincts/
-    mean length, quality-filter ratios (punctuation, stopword), and the
-    min-md5-over-5-gram-shingles document fingerprint. All narrow
-    projections over one documents scan; any corrupted column flips the
-    hash."""
+    triple, then widened to the full operators/textstats.py surface):
+    token counts/distincts/mean length, whitespace + BPE-ish token counts
+    (the two token-counting ops), quality-filter ratios (punctuation,
+    stopword), the blended [0,1] quality_score, the heuristic
+    language-id argmax, and the min-md5-over-5-gram-shingles document
+    fingerprint. All narrow projections over one documents scan — the
+    whole family stays inside whole-stage codegen; any corrupted column
+    flips the hash."""
+    from bigdata_lab02_spark.operators import textstats as ts
+
     docs = _t(spark, sf_dir, "documents")
     text = F.col("text")
     toks = tokens_column(text)
@@ -691,7 +696,8 @@ def q_textstats(spark, sf_dir):
     n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
     n_char = F.length(text)
     sh = dd.shingles(text, 5)
-    return docs.select(
+    enriched = ts.quality_score(ts.language_id(docs))
+    return enriched.select(
         "doc_id",
         n.alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
@@ -701,11 +707,41 @@ def q_textstats(spark, sf_dir):
             ),
             6,
         ).alias("mean_token_len"),
+        ts.whitespace_token_count(text).alias("n_ws_tokens"),
+        ts.bpe_like_token_count(text).alias("n_bpe_tokens"),
         F.round(F.when(n_char == 0, 0.0).otherwise(n_punct / n_char), 6).alias("punct_ratio"),
         F.round(F.when(n == 0, 0.0).otherwise(n_stop / n), 6).alias("stopword_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+        "pred_lang",
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fingerprint"),
     )
 
+
+# operators/textstats.py's core-stopword set and language profiles,
+# restated for the oracle (quality_score / language_id replay).
+from bigdata_lab02_spark.operators.textstats import _STOP_CORE  # noqa: E402
+
+_CORE_SQL = "(" + ", ".join(f"'{w}'" for w in _STOP_CORE) + ")"
+_LANG_PROFILES = [
+    ("en", ["the", "and", "of", "to", "is"]),
+    ("es", ["el", "la", "de", "que", "los"]),
+    ("fr", ["le", "la", "et", "les", "des"]),
+    ("de", ["der", "die", "und", "das", "ist"]),
+]
+_LANG_SCORES_SQL = ",\n  ".join(
+    "CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> x IN ("
+    + ", ".join(f"'{w}'" for w in words)
+    + f"))) * 1.0 / len(toks) END AS sc_{lang}"
+    for lang, words in _LANG_PROFILES
+)
+_PRED_LANG_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN sc_{lang} = best AND best > 0.0 THEN '{lang}'"
+        for lang, _ in _LANG_PROFILES
+    )
+    + " ELSE 'und' END"
+)
 
 _TEXTSTATS_SQL = f"""
 WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
@@ -713,17 +749,32 @@ sh AS (SELECT doc_id,
   CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
   ELSE list_distinct(list_transform(range(1, len(toks) - 3),
        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) END AS s
-  FROM t)
+  FROM t),
+lng AS (SELECT doc_id,
+  {_LANG_SCORES_SQL}
+  FROM t),
+lang AS (SELECT doc_id, {_PRED_LANG_SQL} AS pred_lang
+  FROM (SELECT *, greatest(sc_en, sc_es, sc_fr, sc_de) AS best FROM lng))
 SELECT t.doc_id, len(toks) AS n_tokens,
   len(list_distinct(toks)) AS n_distinct_tokens,
   round(CASE WHEN len(toks) = 0 THEN 0.0
         ELSE list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks) END, 6) AS mean_token_len,
+  CAST(CASE WHEN trim(text) = '' THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens,
   round(CASE WHEN len(text) = 0 THEN 0.0
         ELSE len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / len(text) END, 6) AS punct_ratio,
   round(CASE WHEN len(toks) = 0 THEN 0.0
         ELSE len(list_filter(toks, x -> x IN {_SW_SQL})) * 1.0 / len(toks) END, 6) AS stopword_ratio,
+  round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+    0.4 * least(len(toks) / 64.0, 1.0)
+    + 0.3 * (1.0 - least((CASE WHEN len(text) = 0 THEN 0.0
+        ELSE len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / len(text) END) * 4.0, 1.0))
+    + 0.3 * least((len(list_filter(toks, x -> x IN {_CORE_SQL})) * 1.0 / len(toks)) * 3.0, 1.0)
+    END, 6) AS quality_score,
+  lang.pred_lang,
   list_min(list_transform(sh.s, x -> md5(x))) AS fingerprint
-FROM t JOIN sh ON t.doc_id = sh.doc_id
+FROM t JOIN sh ON t.doc_id = sh.doc_id JOIN lang ON t.doc_id = lang.doc_id
 """
 
 

@@ -160,38 +160,66 @@ def kmeans_dense_centroids(
     centroid (the `_RECLUSTER_SELECT` pass-through rule).
 
     Scale shape: meant to run on a SAMPLE (k ~ sqrt(n) of the corpus, the
-    SemDeDup sizing rule). Per iteration: one broadcast-literal assign (no
-    shuffle) + one posexplode→groupBy mean (shuffles sample_nnz = n_sample
-    × dim rows); only the k × dim centroid model crosses the driver
-    boundary, cached input is scanned ``max_iter + 1`` times.
+    SemDeDup sizing rule) — and because k GROWS with the corpus, the
+    assign step is a broadcast JOIN against a (cluster, dim, val) centroid
+    table, never per-centroid literal expressions (k × dim literals make
+    Catalyst's expression tree — and codegen compile time — scale with k;
+    at k=89 that alone cost tens of seconds). Per iteration: one
+    broadcast-join assign with map-side partial aggregation (shuffles
+    n_sample × k partial rows) + one groupBy mean over the exploded
+    sample; only the k × dim centroid model crosses the driver boundary;
+    the exploded input is computed once and cached.
     """
+    spark = points.sparkSession
     pts = points.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    ).cache()
+    )
+    ex = pts.select("__id", F.posexplode("__v").alias("dim", "val")).cache()
     init_rows = pts.orderBy("__id").limit(k).collect()
     centroids = [list(r["__v"]) for r in init_rows]
     if not centroids:
         raise ValueError("no points to initialize centroids from")
     for _ in range(max_iter):
-        cluster, _ = _dense_assign_expr(centroids, "__v", round_dp)
+        cent_df = spark.createDataFrame(
+            [
+                (c, d, v)
+                for c, cv in enumerate(centroids)
+                for d, v in enumerate(cv)
+            ],
+            "cluster int, dim int, cval double",
+        )
+        # squared distance per (point, cluster), rounded before the argmin
+        # (first-min tie-break = lowest cluster id, matching the oracle's
+        # ORDER BY d2, cluster)
+        d2 = (
+            ex.join(F.broadcast(cent_df), "dim")
+            .groupBy("__id", "cluster")
+            .agg(
+                F.round(
+                    F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))),
+                    round_dp,
+                ).alias("d2")
+            )
+        )
+        w = Window.partitionBy("__id").orderBy(F.asc("d2"), F.asc("cluster"))
+        assigned = (
+            d2.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("__id", "cluster")
+        )
         means = (
-            pts.select(cluster.alias("cluster"), F.posexplode("__v"))
-            .groupBy("cluster", "pos")
-            .agg(F.round(F.avg("col"), round_dp).alias("m"))
+            assigned.join(ex, "__id")
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("val"), round_dp).alias("m"))
             .collect()
         )
         new_centroids = [list(c) for c in centroids]
-        seen: set[int] = set()
         for r in means:
-            new_centroids[r["cluster"]][r["pos"]] = r["m"]
-            seen.add(r["cluster"])
-        # clusters absent from `means` keep their previous centroid
-        centroids = [
-            new_centroids[c] if c in seen else centroids[c]
-            for c in range(len(centroids))
-        ]
-    pts.unpersist()
+            new_centroids[r["cluster"]][r["dim"]] = r["m"]
+        # clusters absent from `means` (emptied) keep their previous centroid
+        centroids = new_centroids
+    ex.unpersist()
     return centroids
 
 

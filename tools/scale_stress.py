@@ -102,14 +102,14 @@ def main() -> None:
             t0 = time.time()
             qs[name](spark, d).write.format("noop").mode("overwrite").save()
             big = time.time() - t0
-            rows.append((name, base, big, big / base if base else float("nan")))
+            rows.append((name, round(base, 2), round(big, 2)))
             print(f"{name}: sf0.1 {base:.2f}s -> 4x {big:.2f}s "
                   f"({big / base:.1f}x wall at 4x data)")
-        print()
-        print("| query | sf0.1 | 4×sf0.1 (near-dup replica) | wall growth at 4× data |")
-        print("|---|---|---|---|")
-        for name, base, big, g in rows:
-            print(f"| {name} | {base:.2f} | {big:.2f} | {g:.1f}× |")
+        import json
+
+        out = ROOT / "tools" / "scale_stress.json"
+        out.write_text(json.dumps({"mult": MULT, "rows": rows}, indent=1))
+        print(f"-> {out} (picked up by tools/scaling_audit.py)")
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
