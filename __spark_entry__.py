@@ -1986,6 +1986,74 @@ FROM t LEFT JOIN sc USING (doc_id)
 """
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Cross-document exact-span dedup (dedup.dedup_spans, the ExactSubstr/
+    RefinedWeb-line-dedup core): 8-token blocks occurring in ≥2 distinct
+    documents are dropped from every copy and the surviving text is
+    reassembled in order. The oracle rebuilds every cleaned document with
+    an ordered string_agg, so a single mis-ordered or mis-dropped block
+    anywhere in the corpus flips the hash."""
+    from bigdata_lab02_spark.operators.dedup import dedup_spans
+
+    return dedup_spans(_t(spark, sf_dir, "documents"), span_tokens=8, min_docs=2)
+
+
+_DEDUP_SPANS_SQL = r"""
+WITH t AS (SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+       ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents),
+b AS (SELECT doc_id, i AS idx,
+        array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ') AS blk
+      FROM t, unnest(range(0, greatest(CAST(ceil(len(toks) / 8.0) AS BIGINT), 1))) AS u(i)),
+bf AS (SELECT * FROM b WHERE blk != ''),
+c AS (SELECT blk, count(DISTINCT doc_id) AS nd FROM bf GROUP BY blk),
+k AS (SELECT bf.doc_id, bf.idx, bf.blk FROM bf JOIN c USING (blk) WHERE c.nd < 2),
+r AS (SELECT doc_id, string_agg(blk, ' ' ORDER BY idx) AS text,
+             count(*) AS n_kept FROM k GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_spans FROM bf GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(r.text, '') AS text,
+  CAST(COALESCE(tot.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(COALESCE(tot.n_spans, 0) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN r USING (doc_id)
+"""
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style corpus-LM perplexity scoring (curation.lm_perplexity,
+    Wenzek et al. 2020): add-1-smoothed bigram LM over 512 hashed token
+    buckets, trained on the corpus itself; per-doc nll and ppl. The
+    fluency-ranking complement to dsir_importance's target-ranking."""
+    from bigdata_lab02_spark.operators.curation import lm_perplexity
+
+    return lm_perplexity(_t(spark, sf_dir, "documents"), n_buckets=512)
+
+
+_LM_PPL_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+occ AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(w1), 1, 15))::BIGINT % 512 AS b1,
+    ('0x' || substr(md5(w2), 1, 15))::BIGINT % 512 AS b2
+  FROM (SELECT doc_id,
+          unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+          unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+        FROM t WHERE len(toks) >= 2)),
+big AS (SELECT b1, b2, count(*) AS c12 FROM occ GROUP BY 1, 2),
+ctx AS (SELECT b1, count(*) AS c1 FROM occ GROUP BY 1),
+w AS (SELECT b1, b2,
+        CAST(round(ln((c12 + 1.0) / (c1 + 512.0)) * 1000000.0) AS BIGINT) AS lw6
+      FROM big JOIN ctx USING (b1)),
+sc AS (SELECT occ.doc_id, count(*) AS nb,
+         round(-sum(w.lw6) / (count(*) * 1000000.0), 6) AS nll
+       FROM occ JOIN w USING (b1, b2) GROUP BY occ.doc_id)
+SELECT t.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
+  COALESCE(sc.nll, 0.0) AS nll,
+  round(exp(COALESCE(sc.nll, 0.0)), 6) AS ppl
+FROM t LEFT JOIN sc USING (doc_id)
+"""
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR selection END-TO-END (curation.dsir_select, Xie et al. 2023
     §2.3): importance scores (same target convention as dsir_importance:
@@ -2379,6 +2447,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_pipeline": q_semantic_dedup_pipeline,
     "dsir_importance": q_dsir_importance,
     "dsir_select": q_dsir_select,
+    "lm_perplexity": q_lm_perplexity,
     "stream_pairs": q_stream_pairs,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "merge_upsert": q_merge_upsert,
@@ -2396,6 +2465,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash_pairs": q_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_spans": q_dedup_spans,
     "scrub_pii": q_scrub_pii,
     "repetition_stats": q_repetition_stats,
     "hash_split": q_hash_split,
@@ -2403,8 +2473,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "textstats": q_textstats,
-    "kmeans_assign": q_kmeans_assign,
-    "kmeans_update": q_kmeans_update,
     "asof_join": q_asof_join,
     "ivf_topk": q_ivf_topk,
     "quantized_topk": q_quantized_topk,
@@ -2419,6 +2487,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_orders": q_cube_orders,
     "price_percentiles": q_price_percentiles,
     "window_funcs": q_window_funcs,
+    # kmeans_assign/update rotated in r5 to make window room for
+    # dedup_spans/lm_perplexity: both are single steps of the fully
+    # in-window kmeans_fit/kmeans_pipeline chains and stay
+    # golden-verified (test_kmeans) + oracle-verified here.
+    "kmeans_assign": q_kmeans_assign,
+    "kmeans_update": q_kmeans_update,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -2428,7 +2502,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ROTATED_OUT: set[str] = {
     "events_sessions", "semi_join_priority", "anti_join_quiet_customers",
     "events_json", "pivot_status", "cube_orders", "price_percentiles",
-    "window_funcs",
+    "window_funcs", "kmeans_assign", "kmeans_update",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -2473,6 +2547,8 @@ _R4_NEW = {
 # (p7_top_terms now tops the filtered matrix; textstats absorbed the
 # quality/fingerprint columns).
 _R5_NEW = {
+    "dedup_spans",
+    "lm_perplexity",
     "semantic_dedup_pipeline",
     "dsir_select",
     "interchange_roundtrip",
@@ -2531,6 +2607,7 @@ _ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "dedup_spans": _DEDUP_SPANS_SQL,
     "scrub_pii": _SCRUB_SQL,
     "repetition_stats": _REPETITION_SQL,
     "hash_split": _HASH_SPLIT_SQL,
@@ -2558,6 +2635,7 @@ _ORACLES: dict[str, str] = {
     "semantic_dedup_pipeline": _SEMANTIC_PIPE_SQL,
     "dsir_importance": _DSIR_SQL,
     "dsir_select": _DSIR_SELECT_SQL,
+    "lm_perplexity": _LM_PPL_SQL,
     "stream_pairs": _STREAM_PAIRS_SQL,
     "jsonl_roundtrip": _JSONL_RT_SQL,
     "merge_upsert": _MERGE_SQL,

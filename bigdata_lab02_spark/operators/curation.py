@@ -521,3 +521,91 @@ def dsir_select(
         (F.col("cum_tokens") <= token_budget)
         | (F.col("cum_tokens") == F.col("n_tokens"))
     )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    n_buckets: int = 512,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score every document by the perplexity of a bigram language
+    model trained on the corpus itself. Low perplexity = looks like the
+    corpus's dominant register; the classic complement to DSIR (which
+    ranks toward a TARGET) — perplexity ranks toward FLUENCY.
+
+    Model: tokens hash into ``n_buckets`` buckets (the engine-portable
+    md5 idiom), the LM is add-``alpha`` smoothed over bucket bigrams:
+    p(b2|b1) = (c(b1,b2) + alpha) / (c(b1,·) + alpha·B). Per doc,
+    nll = −mean ln p over its bigram occurrences and ppl = exp(nll).
+    Log weights are quantized to INTEGER micro-units (round(ln·10^dp) as
+    long) before the per-doc sum, so the aggregation is exact and
+    order-independent across engines — a float sum of rounded doubles
+    can still land a mean on a rounding boundary; an integer sum cannot.
+
+    Scale shape: one explode over bigram occurrences feeds both count
+    tables; the context table is ≤ B rows and broadcasts; the bigram
+    table is data-sized but its join back onto the occurrence stream is
+    a plain equi-join on (b1,b2) with map-side-combined counts — the
+    same shuffle discipline as word count. No driver state, no
+    all-pairs. Docs with < 2 tokens return n_bigrams=0, nll=0, ppl=1.
+
+    Returns (id, n_bigrams, nll, ppl) for every input document.
+    """
+    toks = tokens_column(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("toks"))
+    n = F.size("toks")
+    bucket = lambda c: (  # noqa: E731 — md5 idiom, shared with dsir
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long") % n_buckets
+    )
+    pairs = F.zip_with(
+        F.slice(F.col("toks"), 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("toks"), 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    occ = (
+        base.where(n >= 2)
+        .select(id_col, F.explode(pairs).alias("p"))
+        .select(
+            id_col,
+            bucket(F.col("p.w1")).alias("b1"),
+            bucket(F.col("p.w2")).alias("b2"),
+        )
+    )
+    big = occ.groupBy("b1", "b2").agg(F.count("*").alias("c12"))
+    ctx = occ.groupBy("b1").agg(F.count("*").alias("c1"))
+    b = float(n_buckets)
+    scale = float(10**round_dp)
+    w = big.join(F.broadcast(ctx), "b1").select(
+        "b1",
+        "b2",
+        F.round(
+            F.log((F.col("c12") + alpha) / (F.col("c1") + alpha * b)) * scale
+        )
+        .cast("long")
+        .alias("lw6"),
+    )
+    scored = (
+        occ.join(w, ["b1", "b2"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                -F.sum("lw6") / (F.count("*") * F.lit(scale)), round_dp
+            ).alias("nll"),
+        )
+    )
+    return (
+        base.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("nll", F.lit(0.0)).alias("nll"),
+            F.round(F.exp(F.coalesce("nll", F.lit(0.0))), round_dp).alias("ppl"),
+        )
+    )

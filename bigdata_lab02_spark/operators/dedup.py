@@ -518,3 +518,81 @@ def cross_contamination(
         .agg(F.count("*").alias("n_shared"))  # shingle sets are distinct
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def dedup_spans(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document exact-SPAN dedup — the sixth family: remove repeated
+    passages WITHIN documents rather than whole near-dup documents (the
+    practical core of ExactSubstr dedup, Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better", block-aligned like
+    RefinedWeb's line-level dedup, Penedo et al. 2023 §3.3, but over
+    fixed token blocks so it works on unstructured text): split each doc
+    into consecutive ``span_tokens``-token blocks, count the DISTINCT
+    documents containing each block text corpus-wide, drop every block
+    that appears in ≥ ``min_docs`` documents, and reassemble the
+    surviving blocks in order. Boilerplate, licence headers, and copied
+    passages vanish from every copy; unique prose is untouched.
+
+    Scale shape: one explode to (doc, block), one map-side-combinable
+    distinct-doc count keyed by the block text, one equi-join back on
+    that key, one per-doc ordered reassembly (array_sort over collected
+    (idx, block) structs — a single groupBy). Nothing is all-pairs; the
+    heavy exchanges are keyed by block hash and doc id only.
+
+    Returns (id, text, n_spans, n_removed) for EVERY input doc — a doc
+    made entirely of duplicated spans comes back with empty text.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size("toks")
+    n_blocks = F.ceil(n / F.lit(span_tokens)).cast("int")
+    base = docs.select(F.col(id_col), toks.alias("toks")).select(
+        id_col,
+        F.when(F.col("toks") == F.array(F.lit("")), F.array().cast("array<string>"))
+        .otherwise(F.col("toks"))
+        .alias("toks"),
+    )
+    blocks = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_blocks - 1, F.lit(0))),
+                lambda i: F.array_join(
+                    F.slice(F.col("toks"), i * span_tokens + 1, span_tokens), " "
+                ),
+            )
+        ).alias("idx", "blk"),
+    ).where(F.col("blk") != "")
+    counts = blocks.groupBy("blk").agg(
+        F.count_distinct(F.col(id_col)).alias("nd")
+    )
+    kept = blocks.join(counts, "blk").where(F.col("nd") < min_docs)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "blk"))),
+                lambda s: s["blk"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = blocks.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    return (
+        docs.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            (F.coalesce("n_spans", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

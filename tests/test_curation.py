@@ -341,3 +341,32 @@ class TestDsirSelect:
             docs, F.col("doc_id") < 10, token_budget=300,
             num_partitions=7).collect())
         assert a == b
+
+
+class TestLmPerplexity:
+    def test_fluent_scores_below_gibberish(self, spark):
+        rows = [(i, "the cat sat on the mat and the cat sat", ) for i in range(20)]
+        rows += [(100, "zq xv qj wk bn mp lv td gh rs")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in cur.lm_perplexity(docs).collect()}
+        common_ppl = out[0]["ppl"]
+        rare_ppl = out[100]["ppl"]
+        assert common_ppl < rare_ppl
+
+    def test_short_doc_neutral(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "word"), (2, "")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in cur.lm_perplexity(docs).collect()}
+        for i in (1, 2):
+            assert out[i]["n_bigrams"] == 0
+            assert out[i]["nll"] == 0.0 and out[i]["ppl"] == 1.0
+
+    def test_deterministic(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"tok{i % 5} tok{(i + 1) % 5} tok{(i + 2) % 5}") for i in range(30)],
+            "doc_id long, text string",
+        )
+        a = sorted(map(tuple, cur.lm_perplexity(docs).collect()))
+        b = sorted(map(tuple, cur.lm_perplexity(docs).collect()))
+        assert a == b

@@ -339,3 +339,53 @@ class TestSemanticDedupPipeline:
         # group members share a cluster
         assert out[0]["cluster_id"] == out[4]["cluster_id"]
         assert out[1]["cluster_id"] == out[5]["cluster_id"]
+
+
+class TestDedupSpans:
+    def test_cross_doc_block_removed_order_kept(self, spark):
+        from bigdata_lab02_spark.operators.dedup import dedup_spans
+
+        boiler = "aa bb cc dd"  # one 4-token block shared by both docs
+        docs = spark.createDataFrame(
+            [
+                (1, f"{boiler} u1 u2 u3 u4"),
+                (2, f"v1 v2 v3 v4 {boiler}"),
+                (3, "w1 w2 w3 w4"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               dedup_spans(docs, span_tokens=4).collect()}
+        assert out[1]["text"] == "u1 u2 u3 u4"
+        assert out[2]["text"] == "v1 v2 v3 v4"
+        assert out[3]["text"] == "w1 w2 w3 w4"
+        assert out[1]["n_spans"] == 2 and out[1]["n_removed"] == 1
+        assert out[3]["n_removed"] == 0
+
+    def test_fully_duplicated_doc_empties(self, spark):
+        from bigdata_lab02_spark.operators.dedup import dedup_spans
+
+        docs = spark.createDataFrame(
+            [(1, "x y z w"), (2, "x y z w")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in
+               dedup_spans(docs, span_tokens=4).collect()}
+        assert out[1]["text"] == "" and out[2]["text"] == ""
+        assert out[1]["n_removed"] == 1
+
+    def test_min_docs_threshold_and_intradoc_repeat_kept(self, spark):
+        from bigdata_lab02_spark.operators.dedup import dedup_spans
+
+        # the repeated block lives twice in ONE doc -> distinct-doc count
+        # is 1, nothing removed; min_docs=3 spares a 2-doc overlap too
+        docs = spark.createDataFrame(
+            [(1, "a b c d a b c d"), (2, "a b c d e f g h")],
+            "doc_id long, text string",
+        )
+        out2 = {r["doc_id"]: r for r in
+                dedup_spans(docs, span_tokens=4, min_docs=3).collect()}
+        assert out2[1]["n_removed"] == 0 and out2[2]["n_removed"] == 0
+        out3 = {r["doc_id"]: r for r in
+                dedup_spans(docs, span_tokens=4, min_docs=2).collect()}
+        assert out3[1]["text"] == "" and out3[1]["n_removed"] == 2
+        assert out3[2]["text"] == "e f g h"
