@@ -1089,6 +1089,48 @@ def q_stream_hourly(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_stream_sessions(spark, sf_dir):
+    """NATIVE session-window streaming gate (streaming.events.
+    sessionized_stream): the events parquet replays through readStream →
+    ``session_window`` (30-min gap, gap-merged state per user) in
+    COMPLETE mode so every merged session is emitted after the bounded
+    replay, then aggregates per user to (n_sessions, n_events). The
+    oracle is the batch lag+flag-sum sessionization SQL — Spark's
+    session_window merges an event landing EXACTLY at the gap boundary
+    (half-open-[start, last+gap] probe confirmed inclusive), which is
+    precisely the batch rule ``gap > 1800 ⇒ new session``. Gates the
+    gap-MERGE state machine itself: one mis-merged session anywhere
+    changes some user's n_sessions. Supersedes the rotated batch-only
+    events_sessions gate (its SQL lives on as this oracle; the batch fn
+    stays for bench comparability)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from bigdata_lab02_spark.streaming import (
+        run_stream_to_memory,
+        sessionized_stream,
+    )
+    from bigdata_lab02_spark.streaming.events import read_event_stream
+
+    d = tempfile.mkdtemp(prefix="events_sess_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", str(Path(d) / "part-0.parquet"))
+        stream = read_event_stream(spark, d)
+        sessions = run_stream_to_memory(
+            spark,
+            sessionized_stream(stream),
+            "stream_sessions_q",
+            mode="complete",
+        )
+        return sessions.groupBy("user_id").agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_stream_enrich(spark, sf_dir):
     """Stream-static enrichment join gated against its batch twin: the
     replayed event stream joins the static customer dimension per
@@ -2432,6 +2474,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hourly": q_stream_hourly,
     "stream_dedup": q_stream_dedup,
     "stream_user_totals": q_stream_user_totals,
+    "stream_sessions": q_stream_sessions,
     "audio_decode": q_audio_decode,
     "chunk_docs": q_chunk_docs,
     "contamination": q_contamination,
@@ -2475,11 +2518,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "textstats": q_textstats,
     "asof_join": q_asof_join,
     "ivf_topk": q_ivf_topk,
-    "quantized_topk": q_quantized_topk,
     # ========== ROTATED_OUT: past position 50, never gets a driver row ====
     # Each had a green driver row in an earlier round; the pytest oracle
     # gate re-verifies all of them at sf0.001 on every run.
-    "events_sessions": q_events_sessions,
     "semi_join_priority": q_semi_join_priority,
     "anti_join_quiet_customers": q_anti_join_quiet_customers,
     "events_json": q_events_json,
@@ -2493,6 +2534,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # golden-verified (test_kmeans) + oracle-verified here.
     "kmeans_assign": q_kmeans_assign,
     "kmeans_update": q_kmeans_update,
+    # quantized_topk rotated in r5 to make window room for stream_sessions
+    # (the native session_window gate); its int8 path stays oracle-verified
+    # here and agreement-tested vs exact in tests.
+    "quantized_topk": q_quantized_topk,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -2500,9 +2545,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # hard-fails if any registry entry beyond position 50 is not listed here,
 # and the local oracle gate re-verifies every one of these at sf0.001.
 ROTATED_OUT: set[str] = {
-    "events_sessions", "semi_join_priority", "anti_join_quiet_customers",
+    "semi_join_priority", "anti_join_quiet_customers",
     "events_json", "pivot_status", "cube_orders", "price_percentiles",
-    "window_funcs", "kmeans_assign", "kmeans_update",
+    "window_funcs", "kmeans_assign", "kmeans_update", "quantized_topk",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -2547,6 +2592,7 @@ _R4_NEW = {
 # (p7_top_terms now tops the filtered matrix; textstats absorbed the
 # quality/fingerprint columns).
 _R5_NEW = {
+    "stream_sessions",
     "dedup_spans",
     "lm_perplexity",
     "semantic_dedup_pipeline",
@@ -2601,7 +2647,7 @@ _ORACLES: dict[str, str] = {
     "semi_join_priority": _SEMI_SQL,
     "anti_join_quiet_customers": _ANTI_SQL,
     "events_json": _EVENTS_JSON_SQL,
-    "events_sessions": _EVENTS_SESSIONS_SQL,
+    "stream_sessions": _EVENTS_SESSIONS_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,

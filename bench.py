@@ -75,15 +75,18 @@ EXTRA = [
     "semantic_dedup_pipeline",
     "dsir_importance",
     "dsir_select",
+    "dedup_spans",
+    "lm_perplexity",
 ]
 STREAMING_LAST = [
     "stream_hourly",
+    "stream_sessions",
     "stream_pairs",
 ]
 
 # Consolidated out of the registry in round 5; resolved via their kept
 # gate functions for common-set comparability only.
-BENCH_ONLY = {"top_customers", "running_total", "events_hourly"}
+BENCH_ONLY = {"top_customers", "running_total", "events_hourly", "events_sessions"}
 
 
 def _resolve(qs, name):

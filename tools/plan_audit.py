@@ -27,7 +27,6 @@ AUDIT = [
     "revenue_by_nation",
     "p7_top_terms",
     "window_funcs",
-    "events_sessions",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
@@ -51,6 +50,8 @@ AUDIT = [
     "dsir_importance",
     "dsir_select",
     "merge_upsert",
+    "dedup_spans",
+    "lm_perplexity",
 ]
 
 COMMENT = {
@@ -61,7 +62,6 @@ COMMENT = {
     "revenue_by_nation": "All dimension joins broadcast-hash; the lineitem side never sort-merges.",
     "p7_top_terms": "Filter fused into the aggregate scan; TakeOrderedAndProject: per-partition bounded heaps, no global sort.",
     "window_funcs": "Running sum + lag share ONE hash exchange and one sort (same partitioning and ordering).",
-    "events_sessions": "lag + flag-sum in one window pass per user partition.",
     "dedup_exact": "Exactly one exchange, keyed by content digest.",
     "dedup_minhash_lsh": "Shingles exploded once; signature min-aggregates map-side; candidate join keyed by LSH band bucket (subquadratic).",
     "dedup_simhash_pairs": "One groupBy builds 60-bit sketches (explode-once, 60 conditional sums); pair join keyed by 16-bit pigeonhole chunk equality — subquadratic.",
@@ -84,6 +84,8 @@ COMMENT = {
     "semantic_dedup_pipeline": "Sampled k-means fit is assign-by-broadcast-literal + posexplode mean per iteration (k x dim model to the driver); then centroids broadcast for assignment; the pair join is keyed by cluster_id (hash exchange), so pair fan-out is bounded by cluster size — never global n².",
     "dsir_importance": "One bigram explode feeds both count models; the <=256-row weight table broadcasts back; the only data-sized exchange is the per-doc score aggregation.",
     "dsir_select": "Scores + seeded Gumbel key, then a DISTRIBUTED global prefix: range-repartition on the key, per-partition offsets (driver sees <=num_partitions rows), per-partition window — no one-partition global window.",
+    "dedup_spans": "One explode to (doc, block); distinct-doc count map-side-combined on the block key; equi-join back; one ordered groupBy rebuild — nothing all-pairs.",
+    "lm_perplexity": "Bigram explode feeds both count tables; <=B-row context table broadcasts; the bigram-weight join is a plain equi-join with map-side-combined counts (word-count shuffle discipline).",
     "merge_upsert": "Delta keys broadcast into a LEFT ANTI join — the base snapshot never shuffles; unmatched-update inserts ride the same union.",
 }
 
