@@ -2436,7 +2436,8 @@ GROUP BY o.o_orderpriority
 # Mirrors _media_dims(mid, 1024): side = int(sqrt(1024/3)) = 18.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ================= driver window (first DRIVER_ROW_CAP=50 entries) ====
-    # Round 5 consolidated the registry 75 -> 58 (VERDICT r4 item 5): every
+    # Round 5 consolidated the registry 75 -> 58 -> 60 (VERDICT r4 item 5;
+    # +4 new r5 gates, -2 rotations): every
     # strict-subset gate was merged into its superset, keeping the oracle
     # coverage identical —
     #   p4_doc_dict        -> dense_ids covered by p3_term_dict + p5 chain
