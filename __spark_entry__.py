@@ -132,13 +132,83 @@ GROUP BY doc_id, term_id
 # ----------------------------------------------------------------- queries
 
 
-def q_p1_token_counts(spark, sf_dir):
-    """P1/P2: global token frequencies after normalize + stopword filter."""
-    return (
-        _ftokens(_t(spark, sf_dir, "documents"))
-        .groupBy("token")
-        .agg(F.count("*").alias("n"))
+def q_sketch_profile(spark, sf_dir):
+    """Portable sketch family in ONE gate (operators/sketch.py): Count-Min
+    heavy hitters over the raw token stream — top-20 by (est DESC, item
+    ASC) with exact counts alongside (est ≥ exact is the CMS guarantee;
+    the oracle recomputes every register) — plus one summary row
+    ``<distinct-tokens>`` carrying the HyperLogLog distinct estimate
+    (p=9 → 512 registers, exact-BIGINT harmonic sum) next to the exact
+    distinct count. Counts travel as doubles (integer-valued, < 2^53, so
+    exact) to share one schema. Replaces p1_token_counts (round 5
+    consolidation: its filtered token frequencies are literally the first
+    CTE of the p3/p5/p7/p10 oracles, so P1/P2 stay driver-covered
+    there)."""
+    from bigdata_lab02_spark.operators import sketch as sk
+
+    docs = _t(spark, sf_dir, "documents")
+    hh = sk.cms_heavy_hitters(docs, k=20).select(
+        "item",
+        F.col("est").cast("double").alias("est"),
+        F.col("exact").cast("double").alias("exact"),
     )
+    toks = docs.select(F.explode(tokens_column(F.col("text"))).alias("item"))
+    summary = (
+        sk.hll_distinct(toks, p=9, round_dp=2)
+        .crossJoin(toks.agg(F.count_distinct("item").alias("nd")))
+        .select(
+            F.lit("<distinct-tokens>").alias("item"),
+            F.col("estimate").alias("est"),
+            F.col("nd").cast("double").alias("exact"),
+        )
+    )
+    return hh.unionByName(summary)
+
+
+_HLL_P = 9
+_HLL_M = 1 << _HLL_P  # 512
+_HLL_REM = 60 - _HLL_P  # 51
+_HLL_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M
+_SKETCH_SQL = f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS item FROM documents),
+ex AS (SELECT item, count(*) AS exact FROM toks GROUP BY item),
+sk AS (
+  SELECT s.seed,
+    ('0x' || substr(md5(s.seed || '|' || toks.item), 1, 15))::BIGINT % 256 AS bucket,
+    count(*) AS cnt
+  FROM toks, (VALUES (0), (1), (2), (3)) s(seed) GROUP BY 1, 2),
+pq AS (
+  SELECT e.item, e.exact, s.seed,
+    ('0x' || substr(md5(s.seed || '|' || e.item), 1, 15))::BIGINT % 256 AS bucket
+  FROM ex e, (VALUES (0), (1), (2), (3)) s(seed)),
+est AS (
+  SELECT pq.item, pq.exact, min(sk.cnt) AS est
+  FROM pq JOIN sk USING (seed, bucket) GROUP BY 1, 2),
+hh AS (
+  SELECT item, CAST(est AS DOUBLE) AS est, CAST(exact AS DOUBLE) AS exact
+  FROM est ORDER BY est DESC, item ASC LIMIT 20),
+h AS (SELECT ('0x' || substr(md5(item), 1, 15))::BIGINT AS h60 FROM toks),
+reg AS (
+  SELECT h60 >> {_HLL_REM} AS bucket,
+    max(CASE WHEN (h60 % {1 << _HLL_REM}) = 0 THEN {_HLL_REM + 1}
+        ELSE {_HLL_REM} - length(bin(h60 % {1 << _HLL_REM})) + 1 END) AS rho
+  FROM h GROUP BY 1),
+agg AS (
+  SELECT count(*) AS used,
+    sum((1::BIGINT << ({_HLL_REM + 1} - rho))) AS hs FROM reg),
+fin AS (
+  SELECT (CAST({_HLL_ALPHA_M2!r} AS DOUBLE) * CAST({float(1 << (_HLL_REM + 1))!r} AS DOUBLE)) /
+           CAST(hs + ({_HLL_M} - used) * {1 << (_HLL_REM + 1)}::BIGINT AS DOUBLE) AS raw,
+         {_HLL_M} - used AS zeros
+  FROM agg),
+hllrow AS (
+  SELECT '<distinct-tokens>' AS item,
+    round(CASE WHEN raw <= {2.5 * _HLL_M!r} AND zeros > 0
+          THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / zeros) ELSE raw END, 2) AS est,
+    CAST((SELECT count(DISTINCT item) FROM toks) AS DOUBLE) AS exact
+  FROM fin)
+SELECT * FROM hh UNION ALL SELECT * FROM hllrow
+"""
 
 
 def q_p3_term_dict(spark, sf_dir):
@@ -2495,7 +2565,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_pairs": q_stream_pairs,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "merge_upsert": q_merge_upsert,
-    "p1_token_counts": q_p1_token_counts,
+    "sketch_profile": q_sketch_profile,
     "p3_term_dict": q_p3_term_dict,
     "p5_doc_term_matrix": q_p5_doc_term_matrix,
     "p7_top_terms": q_p7_top_terms,
@@ -2593,6 +2663,7 @@ _R4_NEW = {
 # (p7_top_terms now tops the filtered matrix; textstats absorbed the
 # quality/fingerprint columns).
 _R5_NEW = {
+    "sketch_profile",
     "stream_sessions",
     "dedup_spans",
     "lm_perplexity",
@@ -2611,7 +2682,7 @@ REGISTERED_SINCE: dict[str, int] = {
 }
 
 _ORACLES: dict[str, str] = {
-    "p1_token_counts": f"SELECT token, count(*) AS n FROM (SELECT unnest({_FTOKS}) AS token FROM documents) GROUP BY token",
+    "sketch_profile": _SKETCH_SQL,
     "p3_term_dict": _TERM_DICT_SQL,
     "p5_doc_term_matrix": _COO_SQL,
     "p7_top_terms": f"""

@@ -77,6 +77,7 @@ EXTRA = [
     "dsir_select",
     "dedup_spans",
     "lm_perplexity",
+    "sketch_profile",
 ]
 STREAMING_LAST = [
     "stream_hourly",

@@ -52,6 +52,7 @@ AUDIT = [
     "merge_upsert",
     "dedup_spans",
     "lm_perplexity",
+    "sketch_profile",
 ]
 
 COMMENT = {
@@ -86,6 +87,7 @@ COMMENT = {
     "dsir_select": "Scores + seeded Gumbel key, then a DISTRIBUTED global prefix: range-repartition on the key, per-partition offsets (driver sees <=num_partitions rows), per-partition window — no one-partition global window.",
     "dedup_spans": "One explode to (doc, block); distinct-doc count map-side-combined on the block key; equi-join back; one ordered groupBy rebuild — nothing all-pairs.",
     "lm_perplexity": "Bigram explode feeds both count tables; <=B-row context table broadcasts; the bigram-weight join is a plain equi-join with map-side-combined counts (word-count shuffle discipline).",
+    "sketch_profile": "Both sketches are map-side-combined aggregates (<=depth*width / 2^p rows cross the shuffle); point queries broadcast the register table onto the distinct-item stream.",
     "merge_upsert": "Delta keys broadcast into a LEFT ANTI join — the base snapshot never shuffles; unmatched-update inserts ride the same union.",
 }
 
