@@ -82,7 +82,7 @@ COMMENT = {
     "skew_salted_join": "Dim replicated per salt (fact never replicated); hot fact keys spread across salt_buckets tasks.",
     "multimodal_mixed": "Zero exchanges: payload bytes are generated, decoded and featurized inside one Arrow-batched mapInPandas chain — binary never crosses a shuffle.",
     "video_frames": "Zero exchanges: Y4M parse + per-frame plane sums explode row-per-video to row-per-frame INSIDE the kernel, so frame rows exist only after the bytes are gone.",
-    "semantic_dedup_pipeline": "Sampled k-means fit is assign-by-broadcast-literal + posexplode mean per iteration (k x dim model to the driver); then centroids broadcast for assignment; the pair join is keyed by cluster_id (hash exchange), so pair fan-out is bounded by cluster size — never global n².",
+    "semantic_dedup_pipeline": "Sampled k-means fit assigns via a broadcast (cluster,dim,val) join + per-cluster mean each iteration (cost independent of k at plan-compile time; k x dim model to the driver); then centroids broadcast for the corpus assignment; the pair join is keyed by cluster_id (hash exchange), so pair fan-out is bounded by cluster size — never global n².",
     "dsir_importance": "One bigram explode feeds both count models; the <=256-row weight table broadcasts back; the only data-sized exchange is the per-doc score aggregation.",
     "dsir_select": "Scores + seeded Gumbel key, then a DISTRIBUTED global prefix: range-repartition on the key, per-partition offsets (driver sees <=num_partitions rows), per-partition window — no one-partition global window.",
     "dedup_spans": "One explode to (doc, block); distinct-doc count map-side-combined on the block key; equi-join back; one ordered groupBy rebuild — nothing all-pairs.",
