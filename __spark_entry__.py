@@ -910,29 +910,7 @@ FROM w JOIN top USING (doc_id) JOIN bg ON bg.doc_id = w.doc_id
 """
 
 
-def q_hash_split(spark, sf_dir):
-    """Deterministic train/val/test split by md5(salt|doc_id) — stable
-    across runs, retries, re-shards, and engines
-    (operators.curation.hash_split). 90/5/5."""
-    out = cur.hash_split(
-        _t(spark, sf_dir, "documents"),
-        {"train": 0.9, "val": 0.05, "test": 0.05},
-    )
-    return out.select("doc_id", "split")
 
-
-_HASH_SPLIT_SQL = """
-WITH h AS (
-  SELECT doc_id,
-    ('0x' || substr(md5('split|' || doc_id), 1, 15))::BIGINT
-      / CAST(1152921504606846976 AS DOUBLE) AS frac
-  FROM documents)
-SELECT doc_id,
-  CASE WHEN frac < 0.9 THEN 'train'
-       WHEN frac < 0.95 THEN 'val'
-       ELSE 'test' END AS split
-FROM h
-"""
 
 
 def q_token_budget(spark, sf_dir):
@@ -2210,6 +2188,135 @@ FROM cum WHERE cum_tokens <= 12000 OR cum_tokens = n_tokens
 """
 
 
+def q_selection_pipeline(spark, sf_dir):
+    """The round-5 selection ops CHAINED end-to-end, the way a pretraining
+    subset is actually drawn (the curation_pipeline/kmeans_pipeline
+    composition pattern applied to the new surface): cross-document span
+    dedup (8-token blocks, ≥2 docs) → corpus-LM perplexity on the CLEANED
+    text (512-bucket bigram LM trained on the cleaned corpus itself) →
+    fluency filter ppl ≤ round(1.1·mean, 6) (mean via DECIMAL-exact sum,
+    so the threshold is bit-identical cross-engine) → DSIR Gumbel-top-k
+    selection under an 8,000-token budget over the survivors (target =
+    every 50th doc; both DSIR models retrained on the filtered corpus).
+    One oracle replays all four stages in a single SQL statement, so each
+    stage's semantics AND their composition hash-match."""
+    from bigdata_lab02_spark.operators.curation import dsir_select, lm_perplexity
+    from bigdata_lab02_spark.operators.dedup import dedup_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    # localCheckpoint: three consumers (LM training, the filter join, the
+    # DSIR stage) read the cleaned corpus — pin it once instead of
+    # re-running the span-dedup subtree per consumer (the _gate_vectors
+    # seam; a production run would materialize the stage to parquet)
+    cleaned = (
+        dedup_spans(docs, span_tokens=8, min_docs=2)
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    ppl = lm_perplexity(cleaned, n_buckets=512)
+    tot = ppl.agg(
+        F.sum(F.col("ppl").cast("decimal(18,6)")).cast("double").alias("total"),
+        F.count("*").alias("n"),
+    )
+    thr = F.round(F.lit(1.1) * F.col("total") / F.col("n"), 6)
+    keep = (
+        ppl.crossJoin(F.broadcast(tot))
+        .where(F.col("ppl") <= thr)
+        .select("doc_id")
+    )
+    filtered = cleaned.join(keep, "doc_id")
+    return dsir_select(
+        filtered,
+        F.col("doc_id") % 50 == 0,
+        token_budget=8_000,
+        n_buckets=256,
+        temperature=1.0,
+        seed="dsir",
+    )
+
+
+_SELECTION_SQL = rf"""
+WITH src AS (SELECT doc_id, text FROM documents),
+t0 AS (SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+       ELSE string_split_regex(trim(text), '\s+') END AS toks FROM src),
+b0 AS (SELECT doc_id, i AS idx,
+        array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ') AS blk
+      FROM t0, unnest(range(0, greatest(CAST(ceil(len(toks) / 8.0) AS BIGINT), 1))) AS u(i)),
+bf0 AS (SELECT * FROM b0 WHERE blk != ''),
+c0s AS (SELECT blk, count(DISTINCT doc_id) AS nd FROM bf0 GROUP BY blk),
+k0 AS (SELECT bf0.doc_id, bf0.idx, bf0.blk FROM bf0 JOIN c0s USING (blk) WHERE c0s.nd < 2),
+cleaned AS (
+  SELECT d.doc_id, COALESCE(r.text, '') AS text
+  FROM src d LEFT JOIN (
+    SELECT doc_id, string_agg(blk, ' ' ORDER BY idx) AS text
+    FROM k0 GROUP BY doc_id) r USING (doc_id)),
+lt AS (SELECT doc_id, {_TOKS} AS toks FROM cleaned),
+locc AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(w1), 1, 15))::BIGINT % 512 AS b1,
+    ('0x' || substr(md5(w2), 1, 15))::BIGINT % 512 AS b2
+  FROM (SELECT doc_id,
+          unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+          unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+        FROM lt WHERE len(toks) >= 2)),
+lbig AS (SELECT b1, b2, count(*) AS c12 FROM locc GROUP BY 1, 2),
+lctx AS (SELECT b1, count(*) AS c1 FROM locc GROUP BY 1),
+lw AS (SELECT b1, b2,
+        CAST(round(ln((c12 + 1.0) / (c1 + 512.0)) * 1000000.0) AS BIGINT) AS lw6
+      FROM lbig JOIN lctx USING (b1)),
+lsc AS (SELECT locc.doc_id, round(-sum(lw.lw6) / (count(*) * 1000000.0), 6) AS nll
+        FROM locc JOIN lw USING (b1, b2) GROUP BY locc.doc_id),
+ppl AS (SELECT lt.doc_id, round(exp(COALESCE(lsc.nll, 0.0)), 6) AS ppl
+        FROM lt LEFT JOIN lsc USING (doc_id)),
+pagg AS (SELECT CAST(sum(CAST(ppl AS DECIMAL(18,6))) AS DOUBLE) AS total,
+                count(*) AS n FROM ppl),
+fl AS (SELECT c.doc_id, c.text
+       FROM cleaned c JOIN ppl USING (doc_id) CROSS JOIN pagg
+       WHERE ppl.ppl <= round(1.1 * pagg.total / pagg.n, 6)),
+dt AS (SELECT doc_id, (doc_id % 50 = 0) AS is_target, {_TOKS} AS toks FROM fl),
+docc AS (
+  SELECT doc_id, is_target,
+         ('0x' || substr(md5(bg), 1, 15))::BIGINT % 256 AS bucket
+  FROM (SELECT doc_id, is_target,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS bg
+        FROM dt WHERE len(toks) >= 2)),
+dcnt AS (
+  SELECT bucket, count(*) AS r_cnt,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_cnt
+  FROM docc GROUP BY bucket),
+dtot AS (SELECT sum(r_cnt) AS r_tot, sum(t_cnt) AS t_tot FROM dcnt),
+dw AS (
+  SELECT bucket,
+    round(ln((t_cnt + 1.0) / (t_tot + 256.0))
+          - ln((r_cnt + 1.0) / (r_tot + 256.0)), 6) AS w
+  FROM dcnt CROSS JOIN dtot),
+dsc0 AS (
+  SELECT docc.doc_id, round(sum(dw.w), 6) AS score
+  FROM docc JOIN dw USING (bucket) GROUP BY docc.doc_id),
+dsc AS (SELECT dt.doc_id, dt.is_target, COALESCE(dsc0.score, 0.0) AS score
+        FROM dt LEFT JOIN dsc0 USING (doc_id)),
+stok AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+  FROM fl),
+sel AS (
+  SELECT dsc.doc_id, dsc.is_target, dsc.score,
+    round(dsc.score / 1.0
+          + -ln(-ln((( ('0x' || substr(md5('dsir|' || dsc.doc_id), 1, 15))::BIGINT
+                       % 1000000000) + 0.5) / 1000000000.0)), 6) AS sel_key,
+    stok.n_tokens
+  FROM dsc JOIN stok USING (doc_id)),
+cum AS (
+  SELECT *, CAST(sum(n_tokens) OVER (ORDER BY sel_key DESC, doc_id ASC
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM sel)
+SELECT doc_id, is_target, score, sel_key, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens <= 8000 OR cum_tokens = n_tokens
+"""
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark-contamination check (dedup.cross_contamination): corpus
     docs sharing ≥3 distinct word-3-gram shingles with any probe document
@@ -2582,7 +2689,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_spans": q_dedup_spans,
     "scrub_pii": q_scrub_pii,
     "repetition_stats": q_repetition_stats,
-    "hash_split": q_hash_split,
+    "selection_pipeline": q_selection_pipeline,
     "token_budget": q_token_budget,
     "embedding_topk": q_embedding_topk,
     "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -2663,6 +2770,7 @@ _R4_NEW = {
 # (p7_top_terms now tops the filtered matrix; textstats absorbed the
 # quality/fingerprint columns).
 _R5_NEW = {
+    "selection_pipeline",
     "sketch_profile",
     "stream_sessions",
     "dedup_spans",
@@ -2728,7 +2836,7 @@ _ORACLES: dict[str, str] = {
     "dedup_spans": _DEDUP_SPANS_SQL,
     "scrub_pii": _SCRUB_SQL,
     "repetition_stats": _REPETITION_SQL,
-    "hash_split": _HASH_SPLIT_SQL,
+    "selection_pipeline": _SELECTION_SQL,
     "token_budget": _TOKEN_BUDGET_SQL,
     "embedding_topk": _EMB_TOPK_SQL,
     "quantized_topk": _QUANT_TOPK_SQL,
