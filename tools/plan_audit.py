@@ -37,7 +37,6 @@ AUDIT = [
     "quantized_topk",
     "scrub_pii",
     "repetition_stats",
-    "hash_split",
     "token_budget",
     "chunk_docs",
     "contamination",
@@ -73,7 +72,6 @@ COMMENT = {
     "quantized_topk": "int8 codes + integer dot products: same broadcast-probe shape as embedding_topk with 4× fewer bytes in flight.",
     "scrub_pii": "Pure regexp projection fused with the scan — zero exchanges.",
     "repetition_stats": "All three ratios from one split() array in a single codegen'd projection — no explode, zero exchanges.",
-    "hash_split": "Pure md5-hash projection — zero exchanges; split is a function of the key alone.",
     "token_budget": "One prefix-scan window per group partition; no self-join.",
     "chunk_docs": "Zero exchanges: chunk explosion is per-row array math fused into the scan.",
     "contamination": "Inverted-index shingle join; probe (benchmark) side broadcast, corpus never shuffles.",
