@@ -147,12 +147,16 @@ def q_sketch_profile(spark, sf_dir):
     from bigdata_lab02_spark.operators import sketch as sk
 
     docs = _t(spark, sf_dir, "documents")
-    hh = sk.cms_heavy_hitters(docs, k=20).select(
+    # one token stream feeds both sketches, the exact baselines, and the
+    # distinct count — pinned once instead of four tokenize scans
+    toks = docs.select(
+        F.explode(tokens_column(F.col("text"))).alias("item")
+    ).localCheckpoint()
+    hh = sk.cms_heavy_hitters(toks, k=20).select(
         "item",
         F.col("est").cast("double").alias("est"),
         F.col("exact").cast("double").alias("exact"),
     )
-    toks = docs.select(F.explode(tokens_column(F.col("text"))).alias("item"))
     summary = (
         sk.hll_distinct(toks, p=9, round_dp=2)
         .crossJoin(toks.agg(F.count_distinct("item").alias("nd")))

@@ -28,8 +28,6 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from bigdata_lab02_spark.functions.text import tokens_column
-
 # md5 idiom shared with dedup/curation: first 15 hex digits → 60-bit int
 _HASH_BITS = 60
 
@@ -68,27 +66,30 @@ def cms_sketch(
 
 
 def cms_heavy_hitters(
-    docs: DataFrame,
+    items: DataFrame,
     k: int = 20,
     depth: int = 4,
     width: int = 256,
-    text_col: str = "text",
+    item_col: str = "item",
 ) -> DataFrame:
     """Heavy hitters with CMS estimates, verified against exact counts:
-    token occurrences feed the sketch; every DISTINCT token is then
+    item occurrences feed the sketch; every DISTINCT item is then
     point-queried (est = min over rows of its bucket's count) and the
-    top-``k`` by (est DESC, token ASC) are returned with their exact
+    top-``k`` by (est DESC, item ASC) are returned with their exact
     counts alongside. est ≥ exact ALWAYS (CMS never undercounts) — the
     gate's oracle re-derives both columns, so a single miscounted
     register flips the hash.
 
-    Scale shape: the sketch is one map-side-combined groupBy; the point
-    queries join the ≤ depth×width register table BROADCAST onto the
-    distinct-token table; exact counts are one more map-side-combined
-    groupBy. At profiling time you keep only the sketch and skip the
-    exact pass — it exists here as the verification baseline.
+    Takes an ITEM STREAM (any exploded column — tokens, URLs, shingles);
+    callers with several sketches over the same stream materialize it
+    once and share it. Scale shape: the sketch is one map-side-combined
+    groupBy; the point queries join the ≤ depth×width register table
+    BROADCAST onto the distinct-item table; exact counts are one more
+    map-side-combined groupBy. At profiling time you keep only the
+    sketch and skip the exact pass — it exists here as the verification
+    baseline.
     """
-    toks = docs.select(F.explode(tokens_column(F.col(text_col))).alias("item"))
+    toks = items.select(F.col(item_col).alias("item"))
     sk = cms_sketch(toks, depth=depth, width=width)
     exact = toks.groupBy("item").agg(F.count("*").alias("exact"))
     probes = exact.select(

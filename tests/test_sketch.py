@@ -12,7 +12,8 @@ class TestCountMin:
     def test_estimate_never_undercounts_and_heavy_hitters_rank(self, spark):
         rows = [(i, "alpha " * 50 + "beta " * 10 + f"rare{i}") for i in range(20)]
         docs = spark.createDataFrame(rows, "doc_id long, text string")
-        out = sk.cms_heavy_hitters(docs, k=5).collect()
+        toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("item"))
+        out = sk.cms_heavy_hitters(toks, k=5).collect()
         assert out[0]["item"] == "alpha" and out[0]["exact"] == 1000
         by_item = {r["item"]: r for r in out}
         assert by_item["beta"]["exact"] == 200
@@ -23,8 +24,9 @@ class TestCountMin:
         docs = spark.createDataFrame(
             [(1, "a a a b b c")], "doc_id long, text string"
         )
+        toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("item"))
         out = {r["item"]: r for r in
-               sk.cms_heavy_hitters(docs, k=10, width=4096).collect()}
+               sk.cms_heavy_hitters(toks, k=10, width=4096).collect()}
         # essentially collision-free -> estimates equal exact counts
         assert out["a"]["est"] == out["a"]["exact"] == 3
         assert out["b"]["est"] == 2 and out["c"]["est"] == 1
