@@ -2081,15 +2081,19 @@ FROM t LEFT JOIN sc USING (doc_id)
 
 
 def q_dedup_spans(spark, sf_dir):
-    """Cross-document exact-span dedup (dedup.dedup_spans, the ExactSubstr/
-    RefinedWeb-line-dedup core): 8-token blocks occurring in ≥2 distinct
-    documents are dropped from every copy and the surviving text is
-    reassembled in order. The oracle rebuilds every cleaned document with
-    an ordered string_agg, so a single mis-ordered or mis-dropped block
-    anywhere in the corpus flips the hash."""
+    """Cross-document exact-span dedup (dedup.dedup_spans — ExactSubstr,
+    Lee et al. 2022), OFFSET-INVARIANT since round 6: every token position
+    starts an 8-token window (stride 1), windows occurring in ≥2 distinct
+    documents mark their tokens as duplicated at ANY alignment, covered
+    tokens are dropped from every copy and the surviving text reassembled
+    in order. The oracle replays the stride-1 window semantics and
+    rebuilds every cleaned document with an ordered string_agg, so a
+    single mis-covered position anywhere in the corpus flips the hash."""
     from bigdata_lab02_spark.operators.dedup import dedup_spans
 
-    return dedup_spans(_t(spark, sf_dir, "documents"), span_tokens=8, min_docs=2)
+    return dedup_spans(
+        _t(spark, sf_dir, "documents"), span_tokens=8, min_docs=2, stride=1
+    )
 
 
 _DEDUP_SPANS_SQL = r"""
@@ -2097,19 +2101,23 @@ WITH t AS (SELECT doc_id,
   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
        ELSE string_split_regex(trim(text), '\s+') END AS toks
   FROM documents),
-b AS (SELECT doc_id, i AS idx,
-        array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ') AS blk
-      FROM t, unnest(range(0, greatest(CAST(ceil(len(toks) / 8.0) AS BIGINT), 1))) AS u(i)),
-bf AS (SELECT * FROM b WHERE blk != ''),
-c AS (SELECT blk, count(DISTINCT doc_id) AS nd FROM bf GROUP BY blk),
-k AS (SELECT bf.doc_id, bf.idx, bf.blk FROM bf JOIN c USING (blk) WHERE c.nd < 2),
-r AS (SELECT doc_id, string_agg(blk, ' ' ORDER BY idx) AS text,
-             count(*) AS n_kept FROM k GROUP BY doc_id),
-tot AS (SELECT doc_id, count(*) AS n_spans FROM bf GROUP BY doc_id)
-SELECT d.doc_id, COALESCE(r.text, '') AS text,
-  CAST(COALESCE(tot.n_spans, 0) AS BIGINT) AS n_spans,
-  CAST(COALESCE(tot.n_spans, 0) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
-FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN r USING (doc_id)
+w AS (SELECT doc_id, CAST(o AS INT) AS off,
+        md5(array_to_string(list_slice(toks, o + 1, o + 8), ' ')) AS wh
+      FROM t, unnest(range(0, greatest(len(toks) - 8 + 1, 0))) AS u(o)),
+dup AS (SELECT wh FROM w GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+cov AS (SELECT DISTINCT w.doc_id, CAST(p AS INT) AS pos
+        FROM w JOIN dup USING (wh), unnest(range(w.off, w.off + 8)) AS v(p)),
+tp AS (SELECT doc_id, CAST(i AS INT) AS pos, toks[CAST(i AS INT) + 1] AS tok
+       FROM t, unnest(range(0, len(toks))) AS u(i)),
+kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+         LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos
+         WHERE cov.pos IS NULL),
+r AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+             count(*) AS n_kept FROM kept GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(r.text, '') AS text,
+  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+  CAST(len(t.toks) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN r USING (doc_id)
 """
 
 
@@ -2196,7 +2204,8 @@ def q_selection_pipeline(spark, sf_dir):
     """The round-5 selection ops CHAINED end-to-end, the way a pretraining
     subset is actually drawn (the curation_pipeline/kmeans_pipeline
     composition pattern applied to the new surface): cross-document span
-    dedup (8-token blocks, ≥2 docs) → corpus-LM perplexity on the CLEANED
+    dedup (8-token stride-1 windows, any offset, ≥2 docs — the r6
+    offset-invariant semantics) → corpus-LM perplexity on the CLEANED
     text (512-bucket bigram LM trained on the cleaned corpus itself) →
     fluency filter ppl ≤ round(1.1·mean, 6) (mean via DECIMAL-exact sum,
     so the threshold is bit-identical cross-engine) → DSIR Gumbel-top-k
@@ -2244,16 +2253,21 @@ WITH src AS (SELECT doc_id, text FROM documents),
 t0 AS (SELECT doc_id,
   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
        ELSE string_split_regex(trim(text), '\s+') END AS toks FROM src),
-b0 AS (SELECT doc_id, i AS idx,
-        array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ') AS blk
-      FROM t0, unnest(range(0, greatest(CAST(ceil(len(toks) / 8.0) AS BIGINT), 1))) AS u(i)),
-bf0 AS (SELECT * FROM b0 WHERE blk != ''),
-c0s AS (SELECT blk, count(DISTINCT doc_id) AS nd FROM bf0 GROUP BY blk),
-k0 AS (SELECT bf0.doc_id, bf0.idx, bf0.blk FROM bf0 JOIN c0s USING (blk) WHERE c0s.nd < 2),
+w0 AS (SELECT doc_id, CAST(o AS INT) AS off,
+        md5(array_to_string(list_slice(toks, o + 1, o + 8), ' ')) AS wh
+      FROM t0, unnest(range(0, greatest(len(toks) - 8 + 1, 0))) AS u(o)),
+dup0 AS (SELECT wh FROM w0 GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+cov0 AS (SELECT DISTINCT w0.doc_id, CAST(p AS INT) AS pos
+         FROM w0 JOIN dup0 USING (wh), unnest(range(w0.off, w0.off + 8)) AS v(p)),
+tp0 AS (SELECT doc_id, CAST(i AS INT) AS pos, toks[CAST(i AS INT) + 1] AS tok
+        FROM t0, unnest(range(0, len(toks))) AS u(i)),
+k0 AS (SELECT tp0.doc_id, tp0.pos, tp0.tok FROM tp0
+       LEFT JOIN cov0 ON cov0.doc_id = tp0.doc_id AND cov0.pos = tp0.pos
+       WHERE cov0.pos IS NULL),
 cleaned AS (
   SELECT d.doc_id, COALESCE(r.text, '') AS text
   FROM src d LEFT JOIN (
-    SELECT doc_id, string_agg(blk, ' ' ORDER BY idx) AS text
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
     FROM k0 GROUP BY doc_id) r USING (doc_id)),
 lt AS (SELECT doc_id, {_TOKS} AS toks FROM cleaned),
 locc AS (

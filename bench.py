@@ -12,10 +12,10 @@ driver-side row transfer, no output I/O in the timing).
 Round-over-round comparability is emitted natively (VERDICT r4 item 6):
 ``common17_total`` sums the exact query set BENCH_r01 recorded and
 ``common25_total`` the BENCH_r03 set, so the headline total can grow with
-new queries without faking a regression. Three of those queries
-(top_customers, running_total, events_hourly) were consolidated out of
-the driver registry in round 5; their gate functions are kept in
-__spark_entry__ solely so these fixed sets stay measurable.
+new queries without faking a regression. Four of those queries
+(top_customers, running_total, events_hourly, events_sessions) were
+consolidated out of the driver registry in round 5; their gate functions
+are kept in __spark_entry__ solely so these fixed sets stay measurable.
 
 Streaming replays run LAST (VERDICT r4 item 1): each replay spins up
 micro-batch infrastructure and state stores inside the shared JVM, and

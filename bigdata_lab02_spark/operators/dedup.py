@@ -524,74 +524,110 @@ def dedup_spans(
     docs: DataFrame,
     span_tokens: int = 8,
     min_docs: int = 2,
+    stride: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Cross-document exact-SPAN dedup — the sixth family: remove repeated
-    passages WITHIN documents rather than whole near-dup documents (the
-    practical core of ExactSubstr dedup, Lee et al. 2022 "Deduplicating
-    Training Data Makes Language Models Better", block-aligned like
-    RefinedWeb's line-level dedup, Penedo et al. 2023 §3.3, but over
-    fixed token blocks so it works on unstructured text): split each doc
-    into consecutive ``span_tokens``-token blocks, count the DISTINCT
-    documents containing each block text corpus-wide, drop every block
-    that appears in ≥ ``min_docs`` documents, and reassemble the
-    surviving blocks in order. Boilerplate, licence headers, and copied
-    passages vanish from every copy; unique prose is untouched.
+    """Cross-document exact-SPAN dedup, OFFSET-INVARIANT — the sixth
+    family: remove passages repeated across documents rather than whole
+    near-dup documents (the practical core of ExactSubstr dedup, Lee et
+    al. 2022 "Deduplicating Training Data Makes Language Models Better").
 
-    Scale shape: one explode to (doc, block), one map-side-combinable
-    distinct-doc count keyed by the block text, one equi-join back on
-    that key, one per-doc ordered reassembly (array_sort over collected
-    (idx, block) structs — a single groupBy). Nothing is all-pairs; the
-    heavy exchanges are keyed by block hash and doc id only.
+    Every token position starts a candidate window of ``span_tokens``
+    tokens (``stride=1``, the default — a duplicated passage is caught at
+    ANY offset, which is the actual ExactSubstr property; a licence
+    header injected mid-sentence does not need to land on a block
+    boundary). A window whose text occurs in ≥ ``min_docs`` DISTINCT
+    documents marks all ``span_tokens`` token positions it covers as
+    duplicated; covered tokens are dropped from every copy and each doc's
+    surviving tokens are reassembled in order. ``stride>1`` trades recall
+    for window volume (``stride=span_tokens`` degenerates to the legacy
+    block-aligned scheme, which misses passages shifted by
+    ``< span_tokens`` tokens between documents). Passages shorter than
+    ``span_tokens`` are below the match-length contract and always
+    survive — that is the knob separating "duplicated passage" from
+    "common phrase".
 
-    Returns (id, text, n_spans, n_removed) for EVERY input doc — a doc
+    Scale shape (nothing all-pairs): one explode to (doc, window-hash) —
+    window keys are md5 digests so the corpus-wide count shuffles 32-byte
+    keys, not passage text; one distinct-doc count keyed by that digest;
+    one equi-join back; duplicated windows explode to ≤ span_tokens
+    covered positions each (bounded by span × duplicated volume, not by
+    corpus size); one anti-join of the (doc, pos) token stream against
+    covered positions; one per-doc ordered reassembly. Every exchange is
+    keyed by window digest or (doc, pos) — linear in data, no per-doc
+    quadratic work. (Lee et al. use a single-node suffix array; stride
+    windows over digests are the shuffle-disciplined distributed
+    equivalent.)
+
+    Returns (id, text, n_tokens, n_removed) for EVERY input doc — a doc
     made entirely of duplicated spans comes back with empty text.
     """
+    if stride < 1 or span_tokens < 1:
+        raise ValueError("span_tokens and stride must be >= 1")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size("toks")
-    n_blocks = F.ceil(n / F.lit(span_tokens)).cast("int")
     base = docs.select(F.col(id_col), toks.alias("toks")).select(
         id_col,
         F.when(F.col("toks") == F.array(F.lit("")), F.array().cast("array<string>"))
         .otherwise(F.col("toks"))
         .alias("toks"),
     )
-    blocks = base.select(
+    n = F.size("toks")
+    # window start offsets: 0, stride, ... while start + span_tokens <= n
+    n_win = F.when(
+        n >= span_tokens, F.floor((n - span_tokens) / stride).cast("int") + 1
+    ).otherwise(F.lit(0))
+    windows = base.select(
         id_col,
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(n_blocks - 1, F.lit(0))),
-                lambda i: F.array_join(
-                    F.slice(F.col("toks"), i * span_tokens + 1, span_tokens), " "
-                ),
+            F.when(n_win > 0, F.sequence(F.lit(0), n_win - 1)).otherwise(
+                F.array().cast("array<int>")
             )
-        ).alias("idx", "blk"),
-    ).where(F.col("blk") != "")
-    counts = blocks.groupBy("blk").agg(
-        F.count_distinct(F.col(id_col)).alias("nd")
+        ).alias("widx", "_i"),
+        F.col("toks"),
+    ).select(
+        id_col,
+        (F.col("widx") * stride).alias("off"),
+        F.md5(
+            F.array_join(F.slice(F.col("toks"), F.col("widx") * stride + 1, span_tokens), " ")
+        ).alias("wh"),
     )
-    kept = blocks.join(counts, "blk").where(F.col("nd") < min_docs)
+    dup_wh = (
+        windows.groupBy("wh")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("wh")
+    )
+    covered = (
+        windows.join(dup_wh, "wh")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("off"), F.col("off") + (span_tokens - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tok_pos = base.select(id_col, F.posexplode("toks").alias("pos", "tok"))
+    kept = tok_pos.join(covered, [id_col, "pos"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "blk"))),
-                lambda s: s["blk"],
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
             ),
             " ",
         ).alias("text"),
         F.count("*").alias("n_kept"),
     )
-    totals = blocks.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    totals = base.select(id_col, n.cast("long").alias("n_tokens"))
     return (
-        docs.select(id_col)
-        .join(totals, id_col, "left")
-        .join(rebuilt, id_col, "left")
+        totals.join(rebuilt, id_col, "left")
         .select(
             id_col,
             F.coalesce("text", F.lit("")).alias("text"),
-            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
-            (F.coalesce("n_spans", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            F.col("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
             .cast("long")
             .alias("n_removed"),
         )

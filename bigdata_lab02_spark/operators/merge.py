@@ -37,6 +37,15 @@ def merge_upsert(
     that the check is ~free; for a big shuffled delta the caller opts in
     (or pre-dedupes with a window over an ordering column).
 
+    NOTE the guard makes this call EAGER (it runs a Spark job before
+    returning) and, to close the check/merge race, it pins the delta with
+    ``localCheckpoint`` first: a non-deterministic delta source (sample,
+    rand, shuffling-dependent limit) is evaluated ONCE, so the rows the
+    uniqueness check saw are bit-for-bit the rows the merge unions in.
+    Without the pin, a source that re-evaluates differently could pass the
+    check yet still merge duplicates (TOCTOU). With the check disabled the
+    plan stays fully lazy and nothing is checkpointed.
+
     Shape: one LEFT ANTI join (base minus updated keys) + union. With
     ``broadcast_updates`` (the common case — a delta is small relative to
     the snapshot) the anti-join broadcasts the delta and the base NEVER
@@ -52,6 +61,9 @@ def merge_upsert(
     if check_unique_keys is None:
         check_unique_keys = broadcast_updates
     if check_unique_keys:
+        # Pin the delta so the checked rows ARE the merged rows (see
+        # docstring); model-delta-sized by the broadcast contract.
+        updates = updates.localCheckpoint()
         dup_keys = (
             updates.groupBy(*key_cols).count().where(F.col("count") > 1).count()
         )

@@ -367,8 +367,13 @@ def semantic_dedup_pipeline(
     fan-out) stays ~sqrt(n) by construction.
 
     ``k=None`` sizes k = floor(sqrt(n)) from a corpus count (one cheap
-    count job; clamped to the sample size). All stages share ``round_dp``
-    rounding, so a SQL oracle replays the sampled fit + dedup exactly.
+    count job), then k — auto-sized OR caller-given — is clamped to the
+    sample size so the fit never asks for more centroids than it has
+    points (sqrt(n) can exceed n/sample_mod on small corpora). An EMPTY
+    sample (no id ≡ 0 mod ``sample_mod``) cannot seed a fit and raises
+    ``ValueError`` — pick a smaller ``sample_mod`` or pass centroids to
+    ``semantic_dedup`` directly. All stages share ``round_dp`` rounding,
+    so a SQL oracle replays the sampled fit + dedup exactly.
 
     Scale shape: the k-means runs on the 1/``sample_mod`` sample with a
     k×dim driver-side model (same seam as kmeans_cosine init); the corpus
@@ -381,6 +386,14 @@ def semantic_dedup_pipeline(
         n = vectors.count()
         k = max(2, math.isqrt(n))
     sample = vectors.where(F.col(id_col) % sample_mod == 0)
+    n_sample = sample.count()
+    if n_sample == 0:
+        raise ValueError(
+            f"semantic_dedup_pipeline: empty centroid sample "
+            f"(no {id_col} divisible by sample_mod={sample_mod}) — "
+            "reduce sample_mod or supply centroids via semantic_dedup"
+        )
+    k = min(k, n_sample)
     cents = kmeans_dense_centroids(
         sample,
         k=k,

@@ -179,9 +179,18 @@ def hll_distinct(
     agg = regs.agg(
         F.count("*").alias("used"),
         # DataFrame shiftleft() only takes a literal shift; the SQL form
-        # accepts a column expression for the per-register exponent
-        F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale_exp} - CAST(rho AS INT))")
+        # accepts a column expression for the per-register exponent.
+        # coalesce: an EMPTY item stream has zero registers, sum() is NULL,
+        # and a NULL harmonic sum would propagate to estimate=NULL — with 0
+        # the linear-counting branch fires (used=0 ⇒ zeros=m) and the
+        # estimate is exactly 0.0.
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {scale_exp} - CAST(rho AS INT))"
+                )
+            ),
+            F.lit(0).cast("long"),
         ).alias("hsum_scaled"),
     )
     used = F.col("used")

@@ -342,10 +342,10 @@ class TestSemanticDedupPipeline:
 
 
 class TestDedupSpans:
-    def test_cross_doc_block_removed_order_kept(self, spark):
+    def test_cross_doc_span_removed_order_kept(self, spark):
         from bigdata_lab02_spark.operators.dedup import dedup_spans
 
-        boiler = "aa bb cc dd"  # one 4-token block shared by both docs
+        boiler = "aa bb cc dd"  # one 4-token passage shared by both docs
         docs = spark.createDataFrame(
             [
                 (1, f"{boiler} u1 u2 u3 u4"),
@@ -359,8 +359,32 @@ class TestDedupSpans:
         assert out[1]["text"] == "u1 u2 u3 u4"
         assert out[2]["text"] == "v1 v2 v3 v4"
         assert out[3]["text"] == "w1 w2 w3 w4"
-        assert out[1]["n_spans"] == 2 and out[1]["n_removed"] == 1
+        assert out[1]["n_tokens"] == 8 and out[1]["n_removed"] == 4
         assert out[3]["n_removed"] == 0
+
+    def test_shifted_passage_caught_at_any_offset(self, spark):
+        """The ExactSubstr property (Lee et al. 2022): the SAME passage at
+        DIFFERENT offsets in two docs is removed from both. The legacy
+        block-aligned scheme (stride=span_tokens) provably misses it —
+        asserted here as the contrast case."""
+        from bigdata_lab02_spark.operators.dedup import dedup_spans
+
+        passage = "p1 p2 p3 p4"
+        docs = spark.createDataFrame(
+            [
+                (1, f"{passage} a1 a2"),            # passage at offset 0
+                (2, f"b1 b2 b3 {passage} c1"),      # passage at offset 3
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               dedup_spans(docs, span_tokens=4, stride=1).collect()}
+        assert out[1]["text"] == "a1 a2" and out[1]["n_removed"] == 4
+        assert out[2]["text"] == "b1 b2 b3 c1" and out[2]["n_removed"] == 4
+        # contrast: block-aligned stride misses the shifted copy entirely
+        legacy = {r["doc_id"]: r for r in
+                  dedup_spans(docs, span_tokens=4, stride=4).collect()}
+        assert legacy[2]["n_removed"] == 0
 
     def test_fully_duplicated_doc_empties(self, spark):
         from bigdata_lab02_spark.operators.dedup import dedup_spans
@@ -371,21 +395,40 @@ class TestDedupSpans:
         out = {r["doc_id"]: r for r in
                dedup_spans(docs, span_tokens=4).collect()}
         assert out[1]["text"] == "" and out[2]["text"] == ""
-        assert out[1]["n_removed"] == 1
+        assert out[1]["n_removed"] == 4
+
+    def test_short_docs_below_span_survive(self, spark):
+        # passages shorter than span_tokens are below the match-length
+        # contract: two identical 3-token docs produce no 4-token window
+        from bigdata_lab02_spark.operators.dedup import dedup_spans
+
+        docs = spark.createDataFrame(
+            [(1, "x y z"), (2, "x y z"), (3, "")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in
+               dedup_spans(docs, span_tokens=4).collect()}
+        assert out[1]["text"] == "x y z" and out[1]["n_removed"] == 0
+        assert out[3]["text"] == "" and out[3]["n_tokens"] == 0
 
     def test_min_docs_threshold_and_intradoc_repeat_kept(self, spark):
         from bigdata_lab02_spark.operators.dedup import dedup_spans
 
-        # the repeated block lives twice in ONE doc -> distinct-doc count
-        # is 1, nothing removed; min_docs=3 spares a 2-doc overlap too
+        # doc 3's repeated passage lives twice in ONE doc -> distinct-doc
+        # count is 1, nothing removed; min_docs=3 spares the 2-doc overlap
+        # between docs 1 and 2 as well
         docs = spark.createDataFrame(
-            [(1, "a b c d a b c d"), (2, "a b c d e f g h")],
+            [
+                (1, "a b c d z1 z2 z3 z4"),
+                (2, "a b c d e f g h"),
+                (3, "q1 q2 q3 q4 q1 q2 q3 q4"),
+            ],
             "doc_id long, text string",
         )
         out2 = {r["doc_id"]: r for r in
                 dedup_spans(docs, span_tokens=4, min_docs=3).collect()}
-        assert out2[1]["n_removed"] == 0 and out2[2]["n_removed"] == 0
+        assert all(out2[i]["n_removed"] == 0 for i in (1, 2, 3))
         out3 = {r["doc_id"]: r for r in
                 dedup_spans(docs, span_tokens=4, min_docs=2).collect()}
-        assert out3[1]["text"] == "" and out3[1]["n_removed"] == 2
+        assert out3[1]["text"] == "z1 z2 z3 z4" and out3[1]["n_removed"] == 4
         assert out3[2]["text"] == "e f g h"
+        assert out3[3]["n_removed"] == 0  # intra-doc repeat is not cross-doc

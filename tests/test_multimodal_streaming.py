@@ -161,6 +161,35 @@ def test_streaming_hourly_matches_batch(spark, event_stream):
         assert want.get(k) == v, (k, v, want.get(k))
 
 
+def test_session_window_gap_boundary_inclusive(spark):
+    """Pin the session_window boundary semantics the stream_sessions gate
+    relies on: an event landing EXACTLY gap seconds after the previous one
+    merges into the same session (inclusive boundary — matching the batch
+    oracle's `gap > 1800 => new session` rule), while gap+1 splits. The
+    sf fixtures contain no exact-1800s gaps, so without this test a
+    boundary-semantics change in Spark would go undetected."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),  # session A
+            (1, "2024-01-01 00:30:00"),  # exactly 1800s later -> merges
+            (1, "2024-01-01 01:00:01"),  # 1801s later -> new session
+        ],
+        "user_id int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = sorted(
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("string").alias("start"), "n")
+        .collect()
+    )
+    assert [(r["start"], r["n"]) for r in rows] == [
+        ("2024-01-01 00:00:00", 2),
+        ("2024-01-01 01:00:01", 1),
+    ]
+
+
 def test_streaming_sessionization_runs(spark, event_stream):
     out = run_stream_to_memory(
         spark, sessionized_stream(event_stream), "sess_t", mode="append"

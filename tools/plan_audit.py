@@ -83,7 +83,7 @@ COMMENT = {
     "semantic_dedup_pipeline": "Sampled k-means fit assigns via a broadcast (cluster,dim,val) join + per-cluster mean each iteration (cost independent of k at plan-compile time; k x dim model to the driver); then centroids broadcast for the corpus assignment; the pair join is keyed by cluster_id (hash exchange), so pair fan-out is bounded by cluster size — never global n².",
     "dsir_importance": "One bigram explode feeds both count models; the <=256-row weight table broadcasts back; the only data-sized exchange is the per-doc score aggregation.",
     "dsir_select": "Scores + seeded Gumbel key, then a DISTRIBUTED global prefix: range-repartition on the key, per-partition offsets (driver sees <=num_partitions rows), per-partition window — no one-partition global window.",
-    "dedup_spans": "One explode to (doc, block); distinct-doc count map-side-combined on the block key; equi-join back; one ordered groupBy rebuild — nothing all-pairs.",
+    "dedup_spans": "Stride-1 windows hashed to md5 digests; distinct-doc count map-side-combined on the digest; covered positions explode only from duplicated windows; anti-join on (doc,pos); one ordered groupBy rebuild — nothing all-pairs.",
     "lm_perplexity": "Bigram explode feeds both count tables; <=B-row context table broadcasts; the bigram-weight join is a plain equi-join with map-side-combined counts (word-count shuffle discipline).",
     "sketch_profile": "Both sketches are map-side-combined aggregates (<=depth*width / 2^p rows cross the shuffle); point queries broadcast the register table onto the distinct-item stream.",
     "merge_upsert": "Delta keys broadcast into a LEFT ANTI join — the base snapshot never shuffles; unmatched-update inserts ride the same union.",
