@@ -209,29 +209,61 @@ def ivf_topk(
     """IVF approximate top-k: assign corpus vectors to their nearest coarse
     centroid once (inverted lists), then each query scans only its
     ``nprobe`` nearest lists. ``centroids`` typically comes from
-    operators.kmeans on a sample."""
+    operators.kmeans on a sample.
+
+    Plan shape (replanned round 6 — was 4 exchanges, now 1): the centroid
+    table collapses to ONE broadcast row holding a cid-sorted
+    array<struct(cid, cvec, norm)> (an aggregation, never a driver
+    collect, and the per-row code is constant-size regardless of nlist —
+    the k-literal codegen cliff the kmeans fit hit in r4 cannot recur).
+    Nearest-list assignment and query probing are then per-row ARRAY
+    expressions (score every centroid with a transform, comparator-sort
+    the (cos, cid) structs, slice 1 or nprobe) — no row_number window, so
+    the corpus never shuffles for assignment. The probe side (queries ×
+    nprobe rows — small by the IVF contract) broadcasts into the list
+    join, so the corpus ALSO never shuffles for probing; the only
+    exchange left is the final per-query top-k over matched candidates.
+    Tie-breaks (equal cosine → lowest cid / neighbor_id) match the
+    window formulation exactly, so oracle parity is unchanged."""
     cents = centroids.select(
         F.col(centroid_id_col).alias("cid"),
         as_double_array(F.col(centroid_vec_col)).alias("cvec"),
     ).withColumn("cvn", array_norm(F.col("cvec")))
-
-    # Norms computed once per vector (carried in "nrm"), not per compared
-    # pair — identical doubles, so ranks and oracle parity are unchanged.
-    def _cos(av, an, bv, bn):
-        denom = F.col(an) * F.col(bn)
-        return F.when(denom == 0.0, F.lit(0.0)).otherwise(
-            array_dot(F.col(av), F.col(bv)) / denom
+    cent_arr = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cvec", "cvn"))).alias(
+            "__cents"
         )
+    )
 
-    def nearest_lists(df: DataFrame, out: str, n: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)).withColumn(
-            "cos_c", _cos("v", "nrm", "cvec", "cvn")
-        )
-        w = Window.partitionBy(id_col).orderBy(F.desc("cos_c"), F.asc("cid"))
+    # comparator: cos DESC, cid ASC — <, > on doubles so an (impossible
+    # today, but cheap to guard) -0.0/0.0 pair ties instead of ordering
+    def _by_cos_desc(l, r):
         return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= n)
-            .select(F.col(id_col), F.col("cid").alias(out), "v", "nrm")
+            F.when(l["cos"] > r["cos"], F.lit(-1))
+            .when(l["cos"] < r["cos"], F.lit(1))
+            .when(l["cid"] < r["cid"], F.lit(-1))
+            .when(l["cid"] > r["cid"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    def top_lists(df: DataFrame, n: int) -> DataFrame:
+        denom = lambda c: F.col("nrm") * c["cvn"]  # noqa: E731
+        scored = F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                F.when(denom(c) == 0.0, F.lit(0.0))
+                .otherwise(array_dot(F.col("v"), c["cvec"]) / denom(c))
+                .alias("cos"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        top = F.slice(F.array_sort(scored, _by_cos_desc), 1, n)
+        return (
+            df.crossJoin(F.broadcast(cent_arr))
+            .select(F.col(id_col), F.explode(top).alias("__e"), "v", "nrm")
+            .select(
+                F.col(id_col), F.col("__e.cid").alias("list_id"), "v", "nrm"
+            )
         )
 
     c = corpus.select(
@@ -240,18 +272,18 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
     ).withColumn("nrm", array_norm(F.col("v")))
-    lists = nearest_lists(c, "list_id", 1)
-    probes = nearest_lists(q, "list_id", nprobe).withColumnsRenamed(
+    lists = top_lists(c, 1).withColumnsRenamed({id_col: "neighbor_id"})
+    probes = top_lists(q, nprobe).withColumnsRenamed(
         {id_col: "query_id", "v": "qv", "nrm": "qn"}
     )
+    pair_denom = F.col("qn") * F.col("nrm")
+    cos = F.when(pair_denom == 0.0, F.lit(0.0)).otherwise(
+        array_dot(F.col("qv"), F.col("v")) / pair_denom
+    )
     scored = (
-        probes.join(lists.withColumnsRenamed({id_col: "neighbor_id"}), "list_id")
+        lists.join(F.broadcast(probes), "list_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            _cos("qv", "qn", "v", "nrm").alias("cosine"),
-        )
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
