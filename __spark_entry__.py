@@ -215,11 +215,6 @@ SELECT * FROM hh UNION ALL SELECT * FROM hllrow
 """
 
 
-def q_p3_term_dict(spark, sf_dir):
-    """P3: dense sequential term ids in sorted term order."""
-    return _term_dict(_t(spark, sf_dir, "documents"))
-
-
 def q_p5_doc_term_matrix(spark, sf_dir):
     """P5: COO doc-term counts via broadcast dictionary join."""
     return _coo(_t(spark, sf_dir, "documents"))
@@ -1397,6 +1392,225 @@ SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM ranked WHERE rn <=
 """
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@10 quality gate for EVERY approximate ANN path vs the exact
+    brute-force baseline (VERDICT r5 item 2: the approximate paths were
+    determinism-gated but not recall-gated — a quality regression like a
+    bad centroid draw would have passed). Three methods measured over the
+    queries vec_id < 10: IVF (the ivf_topk gate's coarse-centroid config,
+    nprobe=3), hyperplane LSH (lsh_topk, the embedding_dup_pairs plane
+    config: 4 planes × 3 tables), and int8 quantization (quantized_topk's
+    kernel — its driver-row coverage moved here in round 6). The oracle
+    replays every approximate path AND the exact baseline AND the recall
+    arithmetic, so the gate pins the QUALITY number itself, not just
+    determinism; tests/test_dedup_similarity.py asserts the floor
+    (ivf ≥ 0.5, lsh ≥ 0.2, int8 ≥ 0.9 at sf0.001)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    k = 10
+    exact = sim.cosine_topk(emb, queries, k=k).select("query_id", "neighbor_id")
+    cents = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)).select(
+        (F.col("vec_id") / 50).cast("int").alias("cluster_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    approx = {
+        "int8": sim.quantized_cosine_topk(emb, queries, k=k),
+        "ivf": sim.ivf_topk(emb, queries, cents, k=k, nprobe=3),
+        "lsh": sim.lsh_topk(emb, queries, dim=64, k=k, n_planes=4, n_tables=3),
+    }
+    outs = []
+    for name, df in approx.items():
+        a = df.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        outs.append(
+            exact.join(a, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.count("*").alias("possible"),
+                F.sum(F.coalesce("hit", F.lit(0))).alias("hits"),
+            )
+            .select(
+                F.lit(name).alias("method"),
+                F.col("hits").cast("long").alias("hits"),
+                F.col("possible").cast("long").alias("possible"),
+                F.round(F.col("hits") / F.col("possible"), 6).alias("recall"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _ann_recall_sql(dim=64, n_planes=4, n_tables=3, k=10, nprobe=3) -> str:
+    """Mirror q_ann_recall in DuckDB: exact top-k, all three approximate
+    paths (hyperplane literals inlined as in _emb_dup_sql), and the recall
+    arithmetic itself."""
+    from bigdata_lab02_spark.operators.similarity import _hyperplane
+
+    tabs = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            arr = (
+                "["
+                + ", ".join(repr(c) for c in _hyperplane(dim, t * n_planes + p))
+                + "]::DOUBLE[]"
+            )
+            bits.append(
+                f"CASE WHEN list_dot_product(v, {arr}) >= 0 THEN '1' ELSE '0' END"
+            )
+        tabs.append(
+            f"SELECT vec_id, {t} AS t, ({' || '.join(bits)}) AS bucket FROM e"
+        )
+    banded = " UNION ALL ".join(tabs)
+
+    def _recall(name: str, cte: str) -> str:
+        return f"""
+SELECT '{name}' AS method, hits, possible,
+  round(CAST(hits AS DOUBLE) / possible, 6) AS recall FROM (
+  SELECT CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+         CAST(count(*) AS BIGINT) AS possible
+  FROM exact x LEFT JOIN {cte} a
+    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id)"""
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cos_all AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_dot_product(q.v, c.v)
+      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM e q JOIN e c ON c.vec_id != q.vec_id WHERE q.vec_id < 10),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM cos_all)
+  WHERE rn <= {k}),
+cc AS (SELECT CAST(vec_id / 50 AS INT) AS cid, v AS cvec FROM e
+       WHERE vec_id % 50 = 0 AND vec_id < 500),
+cos_c AS (
+  SELECT e.vec_id, cc.cid,
+    list_dot_product(e.v, cc.cvec)
+      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cc.cvec, cc.cvec))) AS cosv
+  FROM e CROSS JOIN cc),
+lists AS (SELECT vec_id, cid AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosv DESC, cid ASC) AS rn
+    FROM cos_c) WHERE rn <= 1),
+probes AS (SELECT vec_id AS query_id, cid AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosv DESC, cid ASC) AS rn
+    FROM cos_c WHERE vec_id < 10) WHERE rn <= {nprobe}),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, l.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY p.query_id
+        ORDER BY ca.cosine DESC, l.vec_id ASC) AS rn
+    FROM probes p JOIN lists l ON l.list_id = p.list_id
+    JOIN cos_all ca ON ca.query_id = p.query_id AND ca.neighbor_id = l.vec_id)
+  WHERE rn <= {k}),
+banded AS ({banded}),
+lcand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM banded c JOIN banded q ON c.t = q.t AND c.bucket = q.bucket
+    AND c.vec_id != q.vec_id
+  WHERE q.vec_id < 10),
+lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT lc.query_id, lc.neighbor_id,
+      row_number() OVER (PARTITION BY lc.query_id
+        ORDER BY ca.cosine DESC, lc.neighbor_id ASC) AS rn
+    FROM lcand lc JOIN cos_all ca
+      ON ca.query_id = lc.query_id AND ca.neighbor_id = lc.neighbor_id)
+  WHERE rn <= {k}),
+s8 AS (SELECT vec_id, v,
+    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+         ELSE list_max(list_transform(v, x -> abs(x))) END AS scale FROM e),
+q8v AS (SELECT vec_id,
+    list_transform(v, x -> CAST(round(x / scale * 127) AS BIGINT)) AS qv FROM s8),
+dots8 AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+         i -> a.qv[i] * b.qv[i])) AS DOUBLE) AS dotab,
+    sqrt(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS DOUBLE)) AS na,
+    sqrt(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS DOUBLE)) AS nb
+  FROM q8v a JOIN q8v b ON b.vec_id != a.vec_id WHERE a.vec_id < 10),
+q8 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+      ORDER BY (CASE WHEN na * nb = 0 THEN 0.0 ELSE dotab / (na * nb) END) DESC,
+               neighbor_id ASC) AS rn
+    FROM dots8) WHERE rn <= {k})
+{_recall('int8', 'q8')}
+UNION ALL
+{_recall('ivf', 'ivf')}
+UNION ALL
+{_recall('lsh', 'lsh')}
+"""
+
+
+_ANN_RECALL_SQL = _ann_recall_sql()
+
+
+def q_relational_suite(spark, sf_dir):
+    """SEVEN relational operator families in ONE composite gate
+    (consolidated round 6 from the rotated-out singletons — VERDICT r5
+    item 3): LEFT SEMI join (orders with a returned lineitem, by
+    priority), LEFT ANTI join (customers with no orders), JSON extraction
+    + aggregation over the events props column, PIVOT (order counts by
+    priority × fixed status set), CUBE grouping sets (status × priority),
+    exact percentiles (p50/p90/p99 extended price per return flag), and
+    the window family (per-customer running order total + lag gap days).
+    Every source result is normalized to (section, k1, k2, metric, value)
+    rows and unioned, so each family's full result set — not a sample —
+    is hash-compared against the oracle's identically-normalized UNION
+    ALL. The underlying plans are unchanged (semi/anti joins, Expand for
+    cube, a single shared window exchange, percentile aggregation); only
+    the final projection differs from the former singleton gates."""
+    E = F.lit("")
+
+    def rows(df, section, k1, k2, pairs):
+        stack = ", ".join(f"'{m}', CAST({c} AS DOUBLE)" for m, c in pairs)
+        return df.selectExpr(
+            f"'{section}' AS section",
+            f"COALESCE(CAST({k1} AS STRING), '(null)') AS k1",
+            (f"COALESCE(CAST({k2} AS STRING), '(null)') AS k2" if k2 else "'' AS k2"),
+            f"stack({len(pairs)}, {stack}) AS (metric, value)",
+        )
+
+    semi = rows(q_semi_join_priority(spark, sf_dir), "semi",
+                "o_orderpriority", None, [("n_orders", "n_orders")])
+    anti = q_anti_join_quiet_customers(spark, sf_dir).select(
+        F.lit("anti").alias("section"),
+        F.col("c_custkey").cast("string").alias("k1"),
+        F.col("c_name").alias("k2"),
+        F.lit("quiet").alias("metric"),
+        F.lit(1.0).alias("value"),
+    )
+    json = rows(q_events_json(spark, sf_dir), "json", "k_mod", None,
+                [("n", "n")])
+    pivot = rows(q_pivot_status(spark, sf_dir), "pivot", "o_orderpriority",
+                 None, [("n_f", "n_f"), ("n_o", "n_o"), ("n_p", "n_p")])
+    cube = rows(q_cube_orders(spark, sf_dir), "cube", "o_orderstatus",
+                "o_orderpriority", [("n", "n"), ("total", "total")])
+    pctl = rows(q_price_percentiles(spark, sf_dir), "pctl", "l_returnflag",
+                None, [("p50", "p50"), ("p90", "p90"), ("p99", "p99")])
+    win = rows(q_window_funcs(spark, sf_dir), "window", "o_custkey",
+               "o_orderkey",
+               [("running_total", "running_total"), ("gap_days", "gap_days")])
+    out = semi
+    for part in (anti, json, pivot, cube, pctl, win):
+        out = out.unionByName(part)
+    return out
+
+
+def _norm_sql(inner, section, k1, k2, pairs):
+    k2e = f"COALESCE(CAST({k2} AS VARCHAR), '(null)')" if k2 else "''"
+    picks = " UNION ALL ".join(
+        f"SELECT '{section}' AS section, "
+        f"COALESCE(CAST({k1} AS VARCHAR), '(null)') AS k1, {k2e} AS k2, "
+        f"'{m}' AS metric, CAST({c} AS DOUBLE) AS value FROM src_{section}"
+        for m, c in pairs
+    )
+    return f"src_{section} AS ({inner})", picks
+
+
 def q_window_funcs(spark, sf_dir):
     """The window-function family in ONE gate (consolidated round 5 from
     the former running_total + order_gaps pair): per order row, the
@@ -1447,6 +1661,38 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n,
   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
+
+
+def _relational_suite_sql() -> str:
+    """UNION-ALL of the seven singleton oracles, each normalized to
+    (section, k1, k2, metric, value) exactly like q_relational_suite."""
+    sections = [
+        (_SEMI_SQL, "semi", "o_orderpriority", None, [("n_orders", "n_orders")]),
+        (_EVENTS_JSON_SQL, "json", "k_mod", None, [("n", "n")]),
+        (_PIVOT_SQL, "pivot", "o_orderpriority", None,
+         [("n_f", "n_f"), ("n_o", "n_o"), ("n_p", "n_p")]),
+        (_CUBE_SQL, "cube", "o_orderstatus", "o_orderpriority",
+         [("n", "n"), ("total", "total")]),
+        (_PCTL_SQL, "pctl", "l_returnflag", None,
+         [("p50", "p50"), ("p90", "p90"), ("p99", "p99")]),
+        (_WINDOW_FUNCS_SQL, "window", "o_custkey", "o_orderkey",
+         [("running_total", "running_total"), ("gap_days", "gap_days")]),
+    ]
+    ctes, picks = [], []
+    for inner, section, k1, k2, pairs in sections:
+        cte, pick = _norm_sql(inner, section, k1, k2, pairs)
+        ctes.append(cte)
+        picks.append(pick)
+    # anti keeps its identity row form (no numeric metric to unpivot)
+    ctes.append(f"src_anti AS ({_ANTI_SQL})")
+    picks.append(
+        "SELECT 'anti' AS section, CAST(c_custkey AS VARCHAR) AS k1, "
+        "c_name AS k2, 'quiet' AS metric, 1.0 AS value FROM src_anti"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(picks)
+
+
+_RELATIONAL_SUITE_SQL = _relational_suite_sql()
 
 
 def _gate_vectors(spark, sf_dir):
@@ -2122,13 +2368,21 @@ FROM t LEFT JOIN r USING (doc_id)
 
 
 def q_lm_perplexity(spark, sf_dir):
-    """CCNet-style corpus-LM perplexity scoring (curation.lm_perplexity,
-    Wenzek et al. 2020): add-1-smoothed bigram LM over 512 hashed token
-    buckets, trained on the corpus itself; per-doc nll and ppl. The
-    fluency-ranking complement to dsir_importance's target-ranking."""
+    """CCNet corpus-LM perplexity scoring COMPLETE (curation.lm_perplexity,
+    Wenzek et al. 2020 §4.3): add-1-smoothed bigram LM over 512 hashed
+    token buckets, trained on the corpus itself; per-doc nll and ppl,
+    PLUS (since round 6) the head/middle/tail perplexity-tercile bucket
+    CCNet actually ships — cutoffs from exact type-7 quantiles over the
+    per-doc nll, compared in integer micro-units so the bucket decision
+    is cross-engine exact. The fluency-ranking complement to
+    dsir_importance's target-ranking, now a selection decision."""
     from bigdata_lab02_spark.operators.curation import lm_perplexity
 
-    return lm_perplexity(_t(spark, sf_dir, "documents"), n_buckets=512)
+    return lm_perplexity(
+        _t(spark, sf_dir, "documents"),
+        n_buckets=512,
+        split_quantiles=(1 / 3, 2 / 3),
+    )
 
 
 _LM_PPL_SQL = f"""
@@ -2148,11 +2402,20 @@ w AS (SELECT b1, b2,
       FROM big JOIN ctx USING (b1)),
 sc AS (SELECT occ.doc_id, count(*) AS nb,
          round(-sum(w.lw6) / (count(*) * 1000000.0), 6) AS nll
-       FROM occ JOIN w USING (b1, b2) GROUP BY occ.doc_id)
-SELECT t.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
-  COALESCE(sc.nll, 0.0) AS nll,
-  round(exp(COALESCE(sc.nll, 0.0)), 6) AS ppl
-FROM t LEFT JOIN sc USING (doc_id)
+       FROM occ JOIN w USING (b1, b2) GROUP BY occ.doc_id),
+ppl0 AS (
+  SELECT t.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
+    COALESCE(sc.nll, 0.0) AS nll
+  FROM t LEFT JOIN sc USING (doc_id)),
+cuts AS (
+  SELECT CAST(round(quantile_cont(nll, 1.0/3.0) * 1000000.0) AS BIGINT) AS c1,
+         CAST(round(quantile_cont(nll, 2.0/3.0) * 1000000.0) AS BIGINT) AS c2
+  FROM ppl0)
+SELECT doc_id, n_bigrams, nll, round(exp(nll), 6) AS ppl,
+  CASE WHEN CAST(round(nll * 1000000.0) AS BIGINT) <= c1 THEN 'head'
+       WHEN CAST(round(nll * 1000000.0) AS BIGINT) <= c2 THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket
+FROM ppl0 CROSS JOIN cuts
 """
 
 
@@ -2417,19 +2680,23 @@ FROM c"""
 
 
 def q_interchange_roundtrip(spark, sf_dir):
-    """BOTH reference interchange formats gated end-to-end in one query
-    (consolidated round 5 from delimited_roundtrip + sparse_vec_roundtrip
-    — same four code paths, one driver row): the COO doc-term matrix
-    writes to the tab-delimited format (sinks.write_tsv — ``docid \\t
-    termid \\t count``, task1_1.java:155-158) and reads back typed
-    (delimited.read_coo_matrix); the TF-IDF map vectors write to the
-    ``docid \\t t:w,...`` TFIDF.txt format (delimited.write_sparse_vectors)
-    and parse back (read_sparse_vectors). The two read-backs join on
-    (doc_id, term_id) — same nonzero structure by construction — so the
-    result carries every roundtripped count AND weight; corruption in any
-    of the four writer/reader paths flips the hash (a dropped cell breaks
-    the row count via the inner join). Read-backs are localCheckpoint-ed
-    so the staging dirs can be removed eagerly."""
+    """ALL interchange formats gated end-to-end in one query (consolidated
+    round 5 from delimited_roundtrip + sparse_vec_roundtrip; round 6
+    folded jsonl_roundtrip in — six writer/reader paths, one driver row):
+    the COO doc-term matrix writes to the tab-delimited format
+    (sinks.write_tsv — ``docid \\t termid \\t count``,
+    task1_1.java:155-158) and reads back typed (delimited.read_coo_matrix);
+    the TF-IDF map vectors write to the ``docid \\t t:w,...`` TFIDF.txt
+    format (delimited.write_sparse_vectors) and parse back
+    (read_sparse_vectors); the documents table writes to JSONL
+    (sinks.write_jsonl — the de facto training-shard format) and reads
+    back with an explicit schema (sinks.read_jsonl; a 100 TB reader never
+    schema-infers), text reduced to md5. The three read-backs join —
+    (doc_id, term_id) between the matrix paths, doc_id onto the JSONL
+    metadata — so corruption in any of the six paths flips the hash (a
+    dropped cell or doc breaks the row count via the inner joins).
+    Read-backs are localCheckpoint-ed so staging dirs are removed
+    eagerly."""
     import shutil
     import tempfile
 
@@ -2438,12 +2705,14 @@ def q_interchange_roundtrip(spark, sf_dir):
         read_sparse_vectors,
         write_sparse_vectors,
     )
-    from bigdata_lab02_spark.sources.sinks import write_tsv
+    from bigdata_lab02_spark.sources.sinks import read_jsonl, write_jsonl, write_tsv
 
+    docs = _t(spark, sf_dir, "documents")
     d1 = tempfile.mkdtemp(prefix="coo_roundtrip_")
     d2 = tempfile.mkdtemp(prefix="vec_roundtrip_")
+    d3 = tempfile.mkdtemp(prefix="jsonl_shard_")
     try:
-        write_tsv(_coo(_t(spark, sf_dir, "documents")), d1)
+        write_tsv(_coo(docs), d1)
         coo_back = read_coo_matrix(spark, d1).localCheckpoint()
         write_sparse_vectors(_gate_vectors(spark, sf_dir), d2)
         vec_back = (
@@ -2451,47 +2720,32 @@ def q_interchange_roundtrip(spark, sf_dir):
             .select("doc_id", F.explode("vec").alias("term_id", "w"))
             .localCheckpoint()
         )
-        return coo_back.join(vec_back, ["doc_id", "term_id"])
+        write_jsonl(docs, d3)
+        docs_back = (
+            read_jsonl(spark, d3, docs.schema)
+            .select(
+                "doc_id", "lang", "source", "n_chars",
+                F.md5(F.col("text")).alias("text_md5"),
+            )
+            .localCheckpoint()
+        )
+        return coo_back.join(vec_back, ["doc_id", "term_id"]).join(
+            docs_back, "doc_id"
+        )
     finally:
         shutil.rmtree(d1, ignore_errors=True)
         shutil.rmtree(d2, ignore_errors=True)
+        shutil.rmtree(d3, ignore_errors=True)
 
 
 _INTERCHANGE_RT_SQL = (
     _V_PREFIX
-    + "\nSELECT coo.doc_id, coo.term_id, coo.count, v.w FROM coo JOIN v USING (doc_id, term_id)"
+    + """
+SELECT coo.doc_id, coo.term_id, coo.count, v.w,
+  d.lang, d.source, d.n_chars, md5(d.text) AS text_md5
+FROM coo JOIN v USING (doc_id, term_id)
+JOIN documents d USING (doc_id)"""
 )
-
-
-def q_jsonl_roundtrip(spark, sf_dir):
-    """Training-shard export gated end-to-end: the documents table writes
-    to JSONL (sinks.write_jsonl — the de facto shard interchange format)
-    and reads back with an explicit schema (sinks.read_jsonl; a 100 TB
-    reader never schema-infers). The oracle states the original table
-    with the text reduced to md5, so any JSON escaping/quoting corruption
-    on the write or type drift on the read flips the hash. Read-back is
-    localCheckpoint-ed so the staging dir can be removed eagerly."""
-    import shutil
-    import tempfile
-
-    from bigdata_lab02_spark.sources.sinks import read_jsonl, write_jsonl
-
-    docs = _t(spark, sf_dir, "documents")
-    d = tempfile.mkdtemp(prefix="jsonl_shard_")
-    try:
-        write_jsonl(docs, d)
-        back = read_jsonl(spark, d, docs.schema)
-        return back.select(
-            "doc_id", "lang", "source", "n_chars",
-            F.md5(F.col("text")).alias("text_md5"),
-        ).localCheckpoint()
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-
-
-_JSONL_RT_SQL = """
-SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 FROM documents
-"""
 
 
 def q_merge_upsert(spark, sf_dir):
@@ -2664,6 +2918,22 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   delimited_roundtrip + sparse_vec_roundtrip -> merged into
     #                         interchange_roundtrip (all four writer/reader
     #                         paths, one joined result)
+    # Round 6 consolidation (VERDICT r5 item 3) — registry 60 -> 53:
+    #   semi_join_priority / anti_join_quiet_customers / events_json /
+    #   pivot_status / cube_orders / price_percentiles / window_funcs ->
+    #                         merged into relational_suite (each family's
+    #                         FULL result normalized to
+    #                         (section,k1,k2,metric,value) and unioned;
+    #                         identical underlying plans, one driver row;
+    #                         fns kept — relational_suite calls them)
+    #   jsonl_roundtrip    -> folded into interchange_roundtrip (sixth
+    #                         writer/reader path, joined on doc_id)
+    #   p3_term_dict       -> its oracle is verbatim the first CTE of
+    #                         p5_doc_term_matrix's (_TERM_DICT_SQL inside
+    #                         _COO_SQL); dense_ids stays golden-exact vs
+    #                         Output1_1_1 in test_golden_bbc
+    #   quantized_topk's int8 kernel -> driver-gated again via ann_recall
+    #                         (recall vs exact baseline, k=10)
     "kmeans_fit": q_kmeans_fit,
     "kmeans_scalable": q_kmeans_scalable,
     "kmeans_recluster": q_kmeans_recluster,
@@ -2688,10 +2958,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": q_dsir_select,
     "lm_perplexity": q_lm_perplexity,
     "stream_pairs": q_stream_pairs,
-    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "relational_suite": q_relational_suite,
     "merge_upsert": q_merge_upsert,
     "sketch_profile": q_sketch_profile,
-    "p3_term_dict": q_p3_term_dict,
+    "ann_recall": q_ann_recall,
     "p5_doc_term_matrix": q_p5_doc_term_matrix,
     "p7_top_terms": q_p7_top_terms,
     "p10_tfidf": q_p10_tfidf,
@@ -2717,22 +2987,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ========== ROTATED_OUT: past position 50, never gets a driver row ====
     # Each had a green driver row in an earlier round; the pytest oracle
     # gate re-verifies all of them at sf0.001 on every run.
-    "semi_join_priority": q_semi_join_priority,
-    "anti_join_quiet_customers": q_anti_join_quiet_customers,
-    "events_json": q_events_json,
-    "pivot_status": q_pivot_status,
-    "cube_orders": q_cube_orders,
-    "price_percentiles": q_price_percentiles,
-    "window_funcs": q_window_funcs,
     # kmeans_assign/update rotated in r5 to make window room for
     # dedup_spans/lm_perplexity: both are single steps of the fully
     # in-window kmeans_fit/kmeans_pipeline chains and stay
     # golden-verified (test_kmeans) + oracle-verified here.
     "kmeans_assign": q_kmeans_assign,
     "kmeans_update": q_kmeans_update,
-    # quantized_topk rotated in r5 to make window room for stream_sessions
-    # (the native session_window gate); its int8 path stays oracle-verified
-    # here and agreement-tested vs exact in tests.
+    # quantized_topk rotated in r5; since r6 its int8 kernel has a driver
+    # row again through ann_recall (recall-vs-exact), and the full top-k
+    # output stays oracle-verified here.
     "quantized_topk": q_quantized_topk,
 }
 
@@ -2741,9 +3004,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # hard-fails if any registry entry beyond position 50 is not listed here,
 # and the local oracle gate re-verifies every one of these at sf0.001.
 ROTATED_OUT: set[str] = {
-    "semi_join_priority", "anti_join_quiet_customers",
-    "events_json", "pivot_status", "cube_orders", "price_percentiles",
-    "window_funcs", "kmeans_assign", "kmeans_update", "quantized_topk",
+    "kmeans_assign", "kmeans_update", "quantized_topk",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -2754,7 +3015,7 @@ DRIVER_ROW_CAP = 50
 # only demands driver rows for the first-50 window when the latest
 # CORRECTNESS file is from this round or later (an older file was produced
 # under a different ordering). Bump whenever the ordering changes.
-ORDERING_SINCE = 5
+ORDERING_SINCE = 6
 
 # Queries with no SQL-expressible oracle — the driver records a weaker
 # rows-only check. (Empty since round 2: the streaming replay is gated
@@ -2779,7 +3040,6 @@ _R4_NEW = {
     "video_frames",
     "dsir_importance",
     "stream_pairs",
-    "jsonl_roundtrip",
     "merge_upsert",
 }
 # Round-5 registrations: genuinely new compositions (semantic_dedup_pipeline,
@@ -2791,25 +3051,39 @@ _R5_NEW = {
     "selection_pipeline",
     "sketch_profile",
     "stream_sessions",
-    "dedup_spans",
-    "lm_perplexity",
     "semantic_dedup_pipeline",
     "dsir_select",
-    "interchange_roundtrip",
-    "window_funcs",
     "p7_top_terms",
     "textstats",
 }
+# Round-6 registrations: the two new composite gates (relational_suite,
+# ann_recall) and semantics-changed gates whose pre-r6 driver rows no
+# longer correspond (dedup_spans is offset-invariant stride-1 now;
+# selection_pipeline composes it; interchange_roundtrip absorbed the JSONL
+# path; lm_perplexity gained the CCNet ppl-bucket column).
+_R6_NEW = {
+    "relational_suite",
+    "ann_recall",
+    "dedup_spans",
+    "selection_pipeline",
+    "interchange_roundtrip",
+    "lm_perplexity",
+}
 REGISTERED_SINCE: dict[str, int] = {
     name: (
-        5 if name in _R5_NEW else 4 if name in _R4_NEW else 3 if name in _R3_NEW else 1
+        6 if name in _R6_NEW
+        else 5 if name in _R5_NEW
+        else 4 if name in _R4_NEW
+        else 3 if name in _R3_NEW
+        else 1
     )
     for name in _QUERIES
 }
 
 _ORACLES: dict[str, str] = {
     "sketch_profile": _SKETCH_SQL,
-    "p3_term_dict": _TERM_DICT_SQL,
+    "relational_suite": _RELATIONAL_SUITE_SQL,
+    "ann_recall": _ANN_RECALL_SQL,
     "p5_doc_term_matrix": _COO_SQL,
     "p7_top_terms": f"""
         SELECT term_id, CAST(sum(count) AS BIGINT) AS total FROM ({_COO_SQL})
@@ -2842,9 +3116,6 @@ _ORACLES: dict[str, str] = {
         FROM ranked WHERE rank <= 5""",
     "pricing_summary": _PRICING_SQL,
     "revenue_by_nation": _REVENUE_SQL,
-    "semi_join_priority": _SEMI_SQL,
-    "anti_join_quiet_customers": _ANTI_SQL,
-    "events_json": _EVENTS_JSON_SQL,
     "stream_sessions": _EVENTS_SESSIONS_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
@@ -2863,10 +3134,7 @@ _ORACLES: dict[str, str] = {
     "kmeans_assign": _KMEANS_ASSIGN_SQL,
     "kmeans_update": _KMEANS_UPDATE_SQL,
     "asof_join": _ASOF_SQL,
-    "price_percentiles": _PCTL_SQL,
-    "pivot_status": _PIVOT_SQL,
     "ivf_topk": _IVF_SQL,
-    "cube_orders": _CUBE_SQL,
     "kmeans_fit": _KMEANS_FIT_SQL,
     "kmeans_scalable": _KMEANS_SCALABLE_SQL,
     "kmeans_recluster": _KMEANS_RECLUSTER_SQL,
@@ -2881,7 +3149,6 @@ _ORACLES: dict[str, str] = {
     "dsir_select": _DSIR_SELECT_SQL,
     "lm_perplexity": _LM_PPL_SQL,
     "stream_pairs": _STREAM_PAIRS_SQL,
-    "jsonl_roundtrip": _JSONL_RT_SQL,
     "merge_upsert": _MERGE_SQL,
     "audio_decode": _AUDIO_DECODE_SQL,
     "chunk_docs": _CHUNK_SQL,
@@ -2892,7 +3159,6 @@ _ORACLES: dict[str, str] = {
     "skew_salted_join": _SKEW_JOIN_SQL,
     "curation_pipeline": _CURATION_E2E_SQL,
     "interchange_roundtrip": _INTERCHANGE_RT_SQL,
-    "window_funcs": _WINDOW_FUNCS_SQL,
 }
 
 

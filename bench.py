@@ -78,6 +78,8 @@ EXTRA = [
     "dedup_spans",
     "lm_perplexity",
     "sketch_profile",
+    "relational_suite",
+    "ann_recall",
 ]
 STREAMING_LAST = [
     "stream_hourly",

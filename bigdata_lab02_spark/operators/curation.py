@@ -530,6 +530,7 @@ def lm_perplexity(
     text_col: str = "text",
     id_col: str = "doc_id",
     round_dp: int = 6,
+    split_quantiles: tuple[float, float] | None = None,
 ) -> DataFrame:
     """CCNet-style language-model quality scoring (Wenzek et al. 2020,
     "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
@@ -554,7 +555,20 @@ def lm_perplexity(
     same shuffle discipline as word count. No driver state, no
     all-pairs. Docs with < 2 tokens return n_bigrams=0, nll=0, ppl=1.
 
-    Returns (id, n_bigrams, nll, ppl) for every input document.
+    ``split_quantiles`` (e.g. ``(1/3, 2/3)``) finishes the CCNet recipe
+    (Wenzek 2020 §4.3): the corpus splits into perplexity terciles —
+    ``ppl_bucket`` ∈ head (most fluent) / middle / tail — with cutoffs
+    from EXACT linear-interpolated quantiles over the per-doc nll
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, both type-7). The
+    comparison runs in integer micro-units (round(nll·10^dp) vs the
+    rounded cutoff), so the bucket decision is order-independent and
+    cross-engine exact. The exact quantile buffers the per-DOC nll list
+    on one reducer — doc-count-sized, not token-sized; at true corpus
+    scale swap in ``percentile_approx`` (the bucket column is a
+    selection decision, not an oracle surface, at that point).
+
+    Returns (id, n_bigrams, nll, ppl[, ppl_bucket]) for every input
+    document.
     """
     toks = tokens_column(F.col(text_col))
     base = docs.select(F.col(id_col), toks.alias("toks"))
@@ -599,7 +613,7 @@ def lm_perplexity(
             ).alias("nll"),
         )
     )
-    return (
+    out = (
         base.select(id_col)
         .join(scored, id_col, "left")
         .select(
@@ -608,4 +622,26 @@ def lm_perplexity(
             F.coalesce("nll", F.lit(0.0)).alias("nll"),
             F.round(F.exp(F.coalesce("nll", F.lit(0.0))), round_dp).alias("ppl"),
         )
+    )
+    if split_quantiles is None:
+        return out
+    q1, q2 = split_quantiles
+    cuts = out.agg(
+        F.round(F.percentile(F.col("nll"), F.lit(q1)) * scale)
+        .cast("long")
+        .alias("__c1"),
+        F.round(F.percentile(F.col("nll"), F.lit(q2)) * scale)
+        .cast("long")
+        .alias("__c2"),
+    )
+    nll_mu = F.round(F.col("nll") * scale).cast("long")
+    return (
+        out.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "ppl_bucket",
+            F.when(nll_mu <= F.col("__c1"), F.lit("head"))
+            .when(nll_mu <= F.col("__c2"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("__c1", "__c2")
     )

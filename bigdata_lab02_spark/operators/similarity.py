@@ -195,6 +195,85 @@ def embedding_dup_pairs(
     )
 
 
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by hyperplane LSH: a corpus vector is a candidate
+    for a query iff they share a (table, sign-bucket) cell in ANY of the
+    ``n_tables`` hash tables (the same AND-of-planes / OR-of-tables
+    amplification as ``embedding_dup_pairs``, aimed at the query-topk
+    shape instead of the all-pairs shape); candidates are ranked by exact
+    cosine. Queries with sparse buckets may return fewer than ``k`` rows —
+    that recall loss is the accuracy/cost trade, and ``ann_recall`` (the
+    quality gate) measures it against the exact baseline.
+
+    Scale shape: the corpus is bucketed once (narrow projection — the
+    banded explode is ×n_tables, a constant); the query side's banded
+    table is small by the probe contract and broadcasts into the bucket
+    join, so the corpus never shuffles; the only data-sized exchange is
+    the per-query top-k over candidates."""
+    v = lambda df: df.select(  # noqa: E731
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", array_norm(F.col("v")))
+
+    def banded(df: DataFrame) -> DataFrame:
+        entries = []
+        for t in range(n_tables):
+            bits = []
+            for p in range(n_planes):
+                plane = F.array(
+                    *[F.lit(c) for c in _hyperplane(dim, t * n_planes + p)]
+                )
+                dot = F.aggregate(
+                    F.zip_with(F.col("v"), plane, lambda x, h: x * h),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+            entries.append(
+                F.struct(F.lit(t).alias("t"), F.concat(*bits).alias("bucket"))
+            )
+        return df.select(
+            F.col(id_col), "v", "nrm", F.explode(F.array(*entries)).alias("tb")
+        ).select(
+            id_col,
+            "v",
+            "nrm",
+            F.col("tb.t").alias("t"),
+            F.col("tb.bucket").alias("bucket"),
+        )
+
+    c = banded(v(corpus)).withColumnsRenamed({id_col: "neighbor_id"})
+    q = banded(v(queries)).withColumnsRenamed(
+        {id_col: "query_id", "v": "qv", "nrm": "qn"}
+    )
+    denom = F.col("qn") * F.col("nrm")
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        array_dot(F.col("qv"), F.col("v")) / denom
+    )
+    cand = (
+        c.join(F.broadcast(q), ["t", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .distinct()  # a pair colliding in several tables scores once
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -71,26 +71,43 @@ def cms_heavy_hitters(
     depth: int = 4,
     width: int = 256,
     item_col: str = "item",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Heavy hitters with CMS estimates, verified against exact counts:
-    item occurrences feed the sketch; every DISTINCT item is then
-    point-queried (est = min over rows of its bucket's count) and the
-    top-``k`` by (est DESC, item ASC) are returned with their exact
-    counts alongside. est ≥ exact ALWAYS (CMS never undercounts) — the
-    gate's oracle re-derives both columns, so a single miscounted
-    register flips the hash.
+    item occurrences feed the sketch; candidate items are point-queried
+    (est = min over rows of its bucket's count) and the top-``k`` by
+    (est DESC, item ASC) are returned with their exact counts alongside.
+    est ≥ exact ALWAYS (CMS never undercounts) — the gate's oracle
+    re-derives both columns, so a single miscounted register flips the
+    hash.
+
+    ``candidates`` (a 1-column DataFrame of items, or None) is the
+    profiling-scale knob (VERDICT r5 item 7): with None — the
+    verification baseline — EVERY distinct item is point-queried, which
+    is exhaustive and exact-rank-correct but enumerates the vocabulary.
+    At profiling scale pass a candidate set (e.g. top-N from an exact
+    pass over a sample, or a previous window's heavy hitters): the
+    point-query side then touches only those items — the candidate set
+    broadcasts as a semi-join filter, so the full stream is scanned ONCE
+    for the sketch and once for candidate-only exact counts, and the
+    vocabulary-sized distinct never materializes. The result is
+    identical whenever the candidate set contains the true top-k (CMS
+    estimates only ever move non-candidates UP, never candidates down).
 
     Takes an ITEM STREAM (any exploded column — tokens, URLs, shingles);
     callers with several sketches over the same stream materialize it
     once and share it. Scale shape: the sketch is one map-side-combined
     groupBy; the point queries join the ≤ depth×width register table
-    BROADCAST onto the distinct-item table; exact counts are one more
-    map-side-combined groupBy. At profiling time you keep only the
-    sketch and skip the exact pass — it exists here as the verification
-    baseline.
+    BROADCAST onto the (candidate-filtered) item table; exact counts are
+    one more map-side-combined groupBy.
     """
     toks = items.select(F.col(item_col).alias("item"))
     sk = cms_sketch(toks, depth=depth, width=width)
+    if candidates is not None:
+        cand = candidates.select(
+            F.col(candidates.columns[0]).alias("item")
+        ).distinct()
+        toks = toks.join(F.broadcast(cand), "item", "left_semi")
     exact = toks.groupBy("item").agg(F.count("*").alias("exact"))
     probes = exact.select(
         "item",

@@ -31,6 +31,28 @@ class TestCountMin:
         assert out["a"]["est"] == out["a"]["exact"] == 3
         assert out["b"]["est"] == 2 and out["c"]["est"] == 1
 
+    def test_candidate_mode_matches_exhaustive(self, spark):
+        """Profiling-scale candidate point-querying (r6): when the
+        candidate set contains the true top-k, the result is identical to
+        the exhaustive pass — same items, same est, same exact."""
+        rows = [(i, "alpha " * 30 + "beta " * 10 + "gamma " * 5 + f"rare{i}")
+                for i in range(20)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("item"))
+        full = sk.cms_heavy_hitters(toks, k=3).collect()
+        cand = spark.createDataFrame(
+            [("alpha",), ("beta",), ("gamma",), ("rare0",), ("rare7",)],
+            "item string",
+        )
+        scoped = sk.cms_heavy_hitters(toks, k=3, candidates=cand).collect()
+        assert [tuple(r) for r in scoped] == [tuple(r) for r in full]
+        # a candidate set missing the top item honestly reports only its own
+        nope = sk.cms_heavy_hitters(
+            toks, k=3,
+            candidates=spark.createDataFrame([("beta",)], "item string"),
+        ).collect()
+        assert [r["item"] for r in nope] == ["beta"]
+
     def test_sketch_size_bounded(self, spark):
         docs = spark.createDataFrame(
             [(i, f"w{i} w{i+1} w{i+2}") for i in range(200)],
@@ -73,3 +95,10 @@ class TestHyperLogLog:
         items = spark.range(3).select(F.col("id").cast("string").alias("item"))
         with pytest.raises(ValueError):
             sk.hll_distinct(items, p=4)
+
+    def test_empty_stream_estimates_zero(self, spark):
+        """ADVICE r5: zero registers must linear-count to 0.0, not NULL."""
+        items = spark.range(0).select(F.col("id").cast("string").alias("item"))
+        est = sk.hll_distinct(items, p=9).collect()[0]
+        assert est["estimate"] == 0.0
+        assert est["n_used_buckets"] == 0

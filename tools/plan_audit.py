@@ -26,12 +26,14 @@ AUDIT = [
     "pricing_summary",
     "revenue_by_nation",
     "p7_top_terms",
-    "window_funcs",
+    "relational_suite",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "embedding_topk",
     "embedding_dup_pairs",
+    "ivf_topk",
+    "ann_recall",
     "kmeans_assign",
     "asof_join",
     "quantized_topk",
@@ -61,13 +63,15 @@ COMMENT = {
     "pricing_summary": "Scan-level date filter pushdown; decimal sums partial-aggregated map-side.",
     "revenue_by_nation": "All dimension joins broadcast-hash; the lineitem side never sort-merges.",
     "p7_top_terms": "Filter fused into the aggregate scan; TakeOrderedAndProject: per-partition bounded heaps, no global sort.",
-    "window_funcs": "Running sum + lag share ONE hash exchange and one sort (same partitioning and ordering).",
+    "relational_suite": "Seven relational families, one gate: semi/anti joins broadcast, cube via one Expand, running sum + lag share ONE hash exchange, percentiles partial-aggregated; the normalizing unions add no exchange.",
     "dedup_exact": "Exactly one exchange, keyed by content digest.",
     "dedup_minhash_lsh": "Shingles exploded once; signature min-aggregates map-side; candidate join keyed by LSH band bucket (subquadratic).",
     "dedup_simhash_pairs": "One groupBy builds 60-bit sketches (explode-once, 60 conditional sums); pair join keyed by 16-bit pigeonhole chunk equality — subquadratic.",
     "embedding_topk": "Query vectors broadcast; corpus side streams; per-query rank window.",
     "embedding_dup_pairs": "Hyperplane sign buckets computed in one pass (explode over (table,bucket)); self-join keyed by the LSH cell; pair-deduped before one cosine verify per candidate.",
     "kmeans_assign": "Centroid table broadcast; argmin via rank window over k rows/point.",
+    "ivf_topk": "Centroids collapse to ONE broadcast sorted-array row; list assignment and probing are per-row array expressions (no windows); probes broadcast into the list join — the corpus never shuffles before the final per-query top-k (the only data-sized exchange).",
+    "ann_recall": "Exact baseline + three approximate paths; every heavy side reuses the broadcast-probe shape, and the recall join is exact-side (100 rows) left-joined to each approximate top-k.",
     "asof_join": "Union + carry-forward last window keyed by the NATURAL join key — one shuffle, parallelism scales with distinct customers.",
     "quantized_topk": "int8 codes + integer dot products: same broadcast-probe shape as embedding_topk with 4× fewer bytes in flight.",
     "scrub_pii": "Pure regexp projection fused with the scan — zero exchanges.",

@@ -45,11 +45,16 @@ FAMILY = [
     "dedup_clusters",
     "dsir_importance",
 ]
+# Round-6 extension (VERDICT r5 item 6): one more doubling pair on the two
+# families with the highest 4× growth, to separate pair-count growth
+# (linear in duplicate volume) from super-linear onset before it bites.
+DOUBLING = ["dedup_minhash_lsh", "dedup_clusters"]
+DOUBLING_MULTS = [8, 16]
 
 
-def make_scaled(dst: str) -> None:
+def make_scaled(dst: str, mult: int = MULT) -> None:
     con = duckdb.connect()
-    copies = ", ".join(f"({i})" for i in range(MULT))
+    copies = ", ".join(f"({i})" for i in range(mult))
     con.execute(
         f"""
         COPY (
@@ -91,27 +96,54 @@ def main() -> None:
     # warmup
     spark.read.parquet(f"{SRC}/lineitem.parquet").count()
 
+    def timed(name: str, sf_dir: str) -> float:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
     d = tempfile.mkdtemp(prefix="sf0.4_")
+    walls: dict[str, dict[str, float]] = {n: {} for n in DOUBLING}
     try:
         make_scaled(d)
         rows = []
         for name in FAMILY:
-            t0 = time.time()
-            qs[name](spark, SRC).write.format("noop").mode("overwrite").save()
-            base = time.time() - t0
-            t0 = time.time()
-            qs[name](spark, d).write.format("noop").mode("overwrite").save()
-            big = time.time() - t0
+            base = timed(name, SRC)
+            big = timed(name, d)
             rows.append((name, round(base, 2), round(big, 2)))
+            if name in DOUBLING:
+                walls[name]["1"] = round(base, 2)
+                walls[name]["4"] = round(big, 2)
             print(f"{name}: sf0.1 {base:.2f}s -> 4x {big:.2f}s "
                   f"({big / base:.1f}x wall at 4x data)")
-        import json
-
-        out = ROOT / "tools" / "scale_stress.json"
-        out.write_text(json.dumps({"mult": MULT, "rows": rows}, indent=1))
-        print(f"-> {out} (picked up by tools/scaling_audit.py)")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+    for m in DOUBLING_MULTS:
+        dm = tempfile.mkdtemp(prefix=f"sf0.1x{m}_")
+        try:
+            make_scaled(dm, mult=m)
+            for name in DOUBLING:
+                w = timed(name, dm)
+                walls[name][str(m)] = round(w, 2)
+                print(f"{name}: {m}x {w:.2f}s "
+                      f"({w / walls[name]['1']:.1f}x wall at {m}x data)")
+        finally:
+            shutil.rmtree(dm, ignore_errors=True)
+
+    import json
+
+    out = ROOT / "tools" / "scale_stress.json"
+    out.write_text(
+        json.dumps(
+            {
+                "mult": MULT,
+                "rows": rows,
+                "doubling": {"mults": [4] + DOUBLING_MULTS, "walls": walls},
+            },
+            indent=1,
+        )
+    )
+    print(f"-> {out} (picked up by tools/scaling_audit.py)")
 
 
 if __name__ == "__main__":
