@@ -2088,6 +2088,91 @@ SELECT media_id, FALSE AS decode_ok, CAST(NULL AS INT) AS width,
 FROM dims WHERE channels IS NULL"""
 
 
+def q_jpeg_decode(spark, sf_dir):
+    """Baseline JPEG gated END-TO-END — the third vendored codec and the
+    format a real crawl leads with (round 6, VERDICT r5 item 8):
+    synthetic_jpeg encodes a genuine baseline JFIF JPEG per row on the
+    executors (vendored pure-numpy codec, jpeg.py — real DCT, Annex K
+    quantization, canonical Huffman with DC prediction and byte
+    stuffing), extract_jpeg_stats byte-level decodes it back and reduces
+    to exact integer per-channel pixel sums. Images are per-8×8-block
+    constants, so the LOSSY round trip has a closed form the oracle
+    restates exactly (DC-only spectrum; the shared floor(x+0.5+1e-9)
+    rounding bridges float-DCT noise — see jpeg.py docstring). Every 4th
+    payload is truncated mid-scan and must surface as decode_ok=false
+    with null stats. (sf_dir unused: media is generated.)"""
+    from bigdata_lab02_spark.operators.multimodal import (
+        extract_jpeg_stats,
+        synthetic_jpeg,
+    )
+
+    return extract_jpeg_stats(synthetic_jpeg(spark, n=_MM_N))
+
+
+# Mirrors synthetic_jpeg/_jpeg_block_consts: dims 8·(2+id%3) × 8·(2+id%2),
+# block constants (id·31+bx·7+by·13, id·17+bx·11+by·3, id·29+bx·5+by·19)
+# % 256, corrupt stripe id%4==3. The decode closed form: RGB → JFIF YCbCr
+# (rnd+clamp) → DC quantize (Q00 = 16 lum / 17 chroma) → reconstruct →
+# inverse JFIF (rnd+clamp); rnd(x) = floor(x + (0.5 + 1e-9)) throughout —
+# the codec's single rounding rule, restated verbatim here.
+_JPEG_DECODE_SQL = f"""
+WITH ids AS (
+  SELECT range AS media_id,
+         CAST(8 * (2 + range % 3) AS INT) AS width,
+         CAST(8 * (2 + range % 2) AS INT) AS height
+  FROM range({_MM_N})),
+blk AS (
+  SELECT i.media_id, i.width, i.height,
+    (i.media_id * 31 + bx.range * 7 + by.range * 13) % 256 AS r,
+    (i.media_id * 17 + bx.range * 11 + by.range * 3) % 256 AS g,
+    (i.media_id * 29 + bx.range * 5 + by.range * 19) % 256 AS b
+  FROM ids i, range(4) bx, range(3) by
+  WHERE i.media_id % 4 != 3
+    AND bx.range < i.width // 8 AND by.range < i.height // 8),
+ycc AS (
+  SELECT media_id, width, height,
+    least(255, greatest(0, CAST(floor(0.299*r + 0.587*g + 0.114*b
+      + (0.5 + 1e-9)) AS BIGINT))) AS y0,
+    least(255, greatest(0, CAST(floor(128 - 0.168736*r - 0.331264*g + 0.5*b
+      + (0.5 + 1e-9)) AS BIGINT))) AS cb0,
+    least(255, greatest(0, CAST(floor(128 + 0.5*r - 0.418688*g - 0.081312*b
+      + (0.5 + 1e-9)) AS BIGINT))) AS cr0
+  FROM blk),
+rec AS (
+  SELECT media_id, width, height,
+    least(255, greatest(0, CAST(floor(
+      CAST(floor(8*(y0-128)/16.0 + (0.5 + 1e-9)) AS BIGINT) * 16 / 8.0
+      + 128 + (0.5 + 1e-9)) AS BIGINT))) AS y1,
+    least(255, greatest(0, CAST(floor(
+      CAST(floor(8*(cb0-128)/17.0 + (0.5 + 1e-9)) AS BIGINT) * 17 / 8.0
+      + 128 + (0.5 + 1e-9)) AS BIGINT))) AS cb1,
+    least(255, greatest(0, CAST(floor(
+      CAST(floor(8*(cr0-128)/17.0 + (0.5 + 1e-9)) AS BIGINT) * 17 / 8.0
+      + 128 + (0.5 + 1e-9)) AS BIGINT))) AS cr1
+  FROM ycc),
+rgb AS (
+  SELECT media_id, width, height,
+    least(255, greatest(0, CAST(floor(y1 + 1.402*(cr1-128)
+      + (0.5 + 1e-9)) AS BIGINT))) AS r1,
+    least(255, greatest(0, CAST(floor(y1 - 0.344136*(cb1-128)
+      - 0.714136*(cr1-128) + (0.5 + 1e-9)) AS BIGINT))) AS g1,
+    least(255, greatest(0, CAST(floor(y1 + 1.772*(cb1-128)
+      + (0.5 + 1e-9)) AS BIGINT))) AS b1
+  FROM rec)
+SELECT media_id, width, height,
+  CAST(sum(r1) * 64 AS BIGINT) AS sum_r,
+  CAST(sum(g1) * 64 AS BIGINT) AS sum_g,
+  CAST(sum(b1) * 64 AS BIGINT) AS sum_b,
+  TRUE AS decode_ok
+FROM rgb GROUP BY media_id, width, height
+UNION ALL
+SELECT media_id, CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+  CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
+  CAST(NULL AS BIGINT) AS sum_b, FALSE AS decode_ok
+FROM ids WHERE media_id % 4 = 3
+"""
+
+
 def q_video_frames(spark, sf_dir):
     """Video path gated END-TO-END (the former stub, now real):
     synthetic_video encodes a genuine Y4M (YUV4MPEG2) stream per row on
@@ -2934,6 +3019,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #                         Output1_1_1 in test_golden_bbc
     #   quantized_topk's int8 kernel -> driver-gated again via ann_recall
     #                         (recall vs exact baseline, k=10)
+    #   embedding_topk     -> its cosine_topk kernel IS ann_recall's exact
+    #                         baseline (the `exact` CTE, k=10 over the
+    #                         same corpus); fn kept for bench; slot went
+    #                         to jpeg_decode
     "kmeans_fit": q_kmeans_fit,
     "kmeans_scalable": q_kmeans_scalable,
     "kmeans_recluster": q_kmeans_recluster,
@@ -2979,7 +3068,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "selection_pipeline": q_selection_pipeline,
     "token_budget": q_token_budget,
-    "embedding_topk": q_embedding_topk,
+    "jpeg_decode": q_jpeg_decode,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "textstats": q_textstats,
     "asof_join": q_asof_join,
@@ -3064,6 +3153,7 @@ _R5_NEW = {
 _R6_NEW = {
     "relational_suite",
     "ann_recall",
+    "jpeg_decode",
     "dedup_spans",
     "selection_pipeline",
     "interchange_roundtrip",
@@ -3127,7 +3217,7 @@ _ORACLES: dict[str, str] = {
     "repetition_stats": _REPETITION_SQL,
     "selection_pipeline": _SELECTION_SQL,
     "token_budget": _TOKEN_BUDGET_SQL,
-    "embedding_topk": _EMB_TOPK_SQL,
+    "jpeg_decode": _JPEG_DECODE_SQL,
     "quantized_topk": _QUANT_TOPK_SQL,
     "embedding_dup_pairs": _EMB_DUP_SQL,
     "textstats": _TEXTSTATS_SQL,

@@ -80,6 +80,7 @@ EXTRA = [
     "sketch_profile",
     "relational_suite",
     "ann_recall",
+    "jpeg_decode",
 ]
 STREAMING_LAST = [
     "stream_hourly",
@@ -89,7 +90,11 @@ STREAMING_LAST = [
 
 # Consolidated out of the registry in round 5; resolved via their kept
 # gate functions for common-set comparability only.
-BENCH_ONLY = {"top_customers", "running_total", "events_hourly", "events_sessions"}
+BENCH_ONLY = {
+    "top_customers", "running_total", "events_hourly", "events_sessions",
+    # consolidated in round 6: kernel gated as ann_recall's exact baseline
+    "embedding_topk",
+}
 
 
 def _resolve(qs, name):

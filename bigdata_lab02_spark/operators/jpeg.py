@@ -1,0 +1,515 @@
+"""Minimal pure-numpy baseline JPEG codec (ITU-T T.81) for the multimodal
+pipeline — the third leg of the vendored-codec triad (png.py, wav.py,
+y4m.py) and the format a real 100 TB crawl actually leads with.
+
+- encode: baseline sequential DCT, 8-bit, 3-component YCbCr (JFIF), 4:4:4
+  (no chroma subsampling), one interleaved scan, the T.81 Annex K example
+  quantization tables, Annex K DC Huffman tables, and a custom (valid,
+  carried in DHT like any other) AC Huffman table;
+- decode: GENERAL baseline decode of what the markers declare — arbitrary
+  DQT/DHT tables, Huffman entropy decode with byte unstuffing, run-length
+  AC with ZRL/EOB, per-component DC prediction, dequant, zigzag, IDCT,
+  level shift, YCbCr→RGB.
+
+Scope is deliberately small (no progressive, no restart markers, no
+subsampling, dims must be multiples of 8, 3 components) — enough for real
+byte-level decode coverage of the Spark-side media plumbing. Anything
+outside the profile raises ``JpegError``, which the pipeline maps to
+``decode_ok=False`` (the honest-failure path).
+
+Rounding discipline (the oracle contract): every float→int step —
+forward/inverse color conversion, quantization, pixel reconstruction —
+uses ``floor(x + 0.5 + 1e-9)``. The 1e-9 epsilon swamps the ~1e-13
+float-DCT noise on values that are exact rationals of the integer inputs,
+so ties round identically in this codec and in a SQL oracle restating the
+same arithmetic (the same micro-unit trick lm_perplexity uses, applied to
+pixel math).
+
+Public-knowledge provenance: ITU-T T.81 (JPEG), Annex K example tables;
+JFIF 1.02 color conversion (the usual 0.299/0.587/0.114 + 1.402/1.772
+constants).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class JpegError(ValueError):
+    """Payload is not a JPEG this codec's profile supports."""
+
+
+# ----------------------------------------------------------- constants
+
+# T.81 Annex K.1/K.2 example quantization tables (natural row-major order)
+QUANT_LUM = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int32)
+QUANT_CHROM = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int32)
+
+# T.81 Annex K.3 DC Huffman specs: (bits[1..16], values)
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROM_VALS = list(range(12))
+
+# Custom AC table (valid canonical code, carried in DHT): EOB gets a 2-bit
+# code, the remaining 161 (run,size) symbols get 9-bit codes. Kraft sum
+# 2^-2 + 161·2^-9 < 1, so the canonical construction is well-formed. Our
+# encoder mostly emits EOB (and exercises (run,size) on non-flat blocks);
+# the DECODER takes whatever table the DHT declares.
+AC_BITS = [0, 1, 0, 0, 0, 0, 0, 0, 161, 0, 0, 0, 0, 0, 0, 0]
+AC_VALS = [0x00] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+] + [0xF0]
+
+# zigzag scan order as (row, col) pairs — derived, not transcribed
+_ZIGZAG: list[tuple[int, int]] = []
+for _d in range(15):
+    _rng = range(_d + 1) if _d < 8 else range(_d - 7, 8)
+    _idx = [(r, _d - r) for r in _rng]
+    if _d % 2 == 0:
+        _idx = _idx[::-1]
+    _ZIGZAG += _idx
+
+_EPS = 1e-9
+
+
+def _rnd(x):
+    """floor(x + 0.5 + eps): the codec's single float→int rounding (see
+    module docstring). Works elementwise on numpy arrays."""
+    return np.floor(x + (0.5 + _EPS)).astype(np.int32)
+
+
+# 8x8 DCT-II basis matrix: C[u, x] = c(u)/2 * cos((2x+1)uπ/16)
+_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        cu = (1 / np.sqrt(2)) if _u == 0 else 1.0
+        _C[_u, _x] = 0.5 * cu * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _dct2(block: np.ndarray) -> np.ndarray:
+    return _C @ block @ _C.T
+
+
+def _idct2(coef: np.ndarray) -> np.ndarray:
+    return _C.T @ coef @ _C
+
+
+# ----------------------------------------------------------- color space
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """JFIF forward conversion, (..., 3) uint8-ish → (..., 3) int32."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    out = np.stack([_rnd(y), _rnd(cb), _rnd(cr)], axis=-1)
+    return np.clip(out, 0, 255)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """JFIF inverse conversion, (..., 3) int → (..., 3) int32 in [0,255]."""
+    y = ycc[..., 0].astype(np.float64)
+    cb = ycc[..., 1].astype(np.float64) - 128.0
+    cr = ycc[..., 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    out = np.stack([_rnd(r), _rnd(g), _rnd(b)], axis=-1)
+    return np.clip(out, 0, 255)
+
+
+# ----------------------------------------------------------- huffman
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) by the T.81 canonical construction."""
+    if len(vals) != sum(bits):
+        raise JpegError("huffman spec: value count != sum(bits)")
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first reader over the entropy-coded segment with 0xFF00
+    unstuffing; any other marker inside the scan is an error (this
+    profile emits no restart markers)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise JpegError("entropy data truncated")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise JpegError("entropy data truncated at 0xFF")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                raise JpegError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise JpegError("invalid huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 EXTEND: size-bit magnitude → signed value."""
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+# ----------------------------------------------------------- encoder
+
+
+def _encode_block(
+    w: _BitWriter,
+    block: np.ndarray,
+    quant: np.ndarray,
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """DCT → quantize → huffman one 8×8 sample block; returns new DC pred."""
+    coef = _dct2(block.astype(np.float64) - 128.0)
+    q = _rnd(coef / quant)
+    zz = [int(q[r, c]) for r, c in _ZIGZAG]
+    dc = zz[0]
+    diff = dc - pred
+    size = _category(diff)
+    code, length = dc_codes[size]
+    w.write(code, length)
+    if size:
+        w.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = zz[i]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c, ln = ac_codes[0xF0]  # ZRL
+            w.write(c, ln)
+            run -= 16
+        size = _category(v)
+        if size > 10:
+            raise JpegError("AC coefficient out of baseline range")
+        c, ln = ac_codes[(run << 4) | size]
+        w.write(c, ln)
+        w.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        w.write(c, ln)
+    return dc
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt_body(tid: int, table: np.ndarray) -> bytes:
+    return bytes([tid]) + bytes(int(table[r, c]) for r, c in _ZIGZAG)
+
+
+def _dht_body(cls_id: int, bits: list[int], vals: list[int]) -> bytes:
+    return bytes([cls_id]) + bytes(bits) + bytes(vals)
+
+
+def encode_jpeg(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode raw row-major RGB bytes (``width*height*3``) as a baseline
+    JFIF JPEG. Dimensions must be multiples of 8 (profile restriction —
+    no edge-block padding)."""
+    if width <= 0 or height <= 0 or width % 8 or height % 8:
+        raise JpegError("dimensions must be positive multiples of 8")
+    if len(rgb) != width * height * 3:
+        raise JpegError(
+            f"pixel buffer is {len(rgb)} bytes, want {width * height * 3}"
+        )
+    img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    ycc = rgb_to_ycbcr(img)
+
+    dc_lum = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    dc_chrom = _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)
+    ac = _canonical_codes(AC_BITS, AC_VALS)
+
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    quants = [QUANT_LUM, QUANT_CHROM, QUANT_CHROM]
+    dcs = [dc_lum, dc_chrom, dc_chrom]
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            for comp in range(3):
+                block = ycc[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, comp]
+                preds[comp] = _encode_block(
+                    w, block, quants[comp], preds[comp], dcs[comp], ac
+                )
+    scan = w.flush()
+
+    jfif = b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    # SOF0: precision 8, dims, 3 components, h=v=1, quant table per comp
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([3])
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])
+    # SOS: 3 components, (dc_table<<4)|ac_table per comp, spectral 0..63
+    sos = bytes([3])
+    for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        sos += bytes([cid, tabs])
+    sos += bytes([0, 63, 0])
+    return (
+        b"\xff\xd8"  # SOI
+        + _seg(0xE0, jfif)
+        + _seg(0xDB, _dqt_body(0, QUANT_LUM))
+        + _seg(0xDB, _dqt_body(1, QUANT_CHROM))
+        + _seg(0xC0, sof)
+        + _seg(0xC4, _dht_body(0x00, DC_LUM_BITS, DC_LUM_VALS))
+        + _seg(0xC4, _dht_body(0x01, DC_CHROM_BITS, DC_CHROM_VALS))
+        + _seg(0xC4, _dht_body(0x10, AC_BITS, AC_VALS))
+        + _seg(0xC4, _dht_body(0x11, AC_BITS, AC_VALS))
+        + _seg(0xDA, sos)
+        + scan
+        + b"\xff\xd9"  # EOI
+    )
+
+
+# ----------------------------------------------------------- decoder
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline JPEG → ``(width, height, 3, rgb_bytes)``. General
+    within the profile: arbitrary DQT/DHT from the stream, 3 components,
+    h=v=1 (4:4:4), dims multiples of 8, no progressive/restart. Raises
+    ``JpegError`` otherwise."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise JpegError("bad SOI")
+    pos = 2
+    quants: dict[int, np.ndarray] = {}
+    huffs: dict[int, dict[tuple[int, int], int]] = {}
+    width = height = -1
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan_tabs: list[tuple[int, int]] = []  # (dc table, ac table) per comp
+    scan_pos = -1
+
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise JpegError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise JpegError("truncated segment")
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise JpegError("16-bit quant tables unsupported")
+                if b + 65 > len(body):
+                    raise JpegError("short DQT")
+                t = np.zeros((8, 8), dtype=np.int32)
+                for i, (r, c) in enumerate(_ZIGZAG):
+                    t[r, c] = body[b + 1 + i]
+                quants[tq] = t
+                b += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                if b + 17 > len(body):
+                    raise JpegError("short DHT")
+                tc_th = body[b]
+                bits = list(body[b + 1 : b + 17])
+                nvals = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nvals])
+                if len(vals) != nvals:
+                    raise JpegError("short DHT values")
+                codes = _canonical_codes(bits, vals)
+                huffs[tc_th] = {
+                    (code, length): sym for sym, (code, length) in codes.items()
+                }
+                b += 17 + nvals
+        elif marker == 0xC0:  # SOF0 baseline
+            if body[0] != 8:
+                raise JpegError("only 8-bit precision supported")
+            height, width = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            if ncomp != 3:
+                raise JpegError(f"{ncomp} components unsupported")
+            for c in range(3):
+                cid, hv, tq = body[6 + c * 3 : 9 + c * 3]
+                if hv != 0x11:
+                    raise JpegError("chroma subsampling unsupported")
+                comps.append((cid, tq))
+            if width % 8 or height % 8 or width * height > (1 << 24):
+                raise JpegError("unsupported dimensions")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError("non-baseline SOF unsupported")
+        elif marker == 0xDD:
+            raise JpegError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            if ns != 3:
+                raise JpegError("scan must cover 3 components")
+            for c in range(3):
+                _cid, tabs = body[1 + c * 2 : 3 + c * 2]
+                scan_tabs.append((tabs >> 4, tabs & 0x0F))
+            scan_pos = pos
+            break
+        # other segments (APPn, COM) are skipped
+
+    if scan_pos < 0 or width < 0 or not comps:
+        raise JpegError("missing SOF/SOS")
+    for _, tq in comps:
+        if tq not in quants:
+            raise JpegError(f"missing quant table {tq}")
+    for dc_t, ac_t in scan_tabs:
+        if (0x00 | dc_t) not in huffs or (0x10 | ac_t) not in huffs:
+            raise JpegError("missing huffman table")
+
+    br = _BitReader(data, scan_pos)
+    ycc = np.zeros((height, width, 3), dtype=np.int32)
+    preds = [0, 0, 0]
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            for comp in range(3):
+                dc_t, ac_t = scan_tabs[comp]
+                dc_table = huffs[0x00 | dc_t]
+                ac_table = huffs[0x10 | ac_t]
+                zz = [0] * 64
+                size = _decode_symbol(br, dc_table)
+                diff = _extend(br.bits(size), size) if size else 0
+                preds[comp] += diff
+                zz[0] = preds[comp]
+                i = 1
+                while i < 64:
+                    sym = _decode_symbol(br, ac_table)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    i += run
+                    if i > 63 or size == 0:
+                        raise JpegError("AC run past block end")
+                    zz[i] = _extend(br.bits(size), size)
+                    i += 1
+                coef = np.zeros((8, 8), dtype=np.float64)
+                quant = quants[comps[comp][1]]
+                for i, (r, c) in enumerate(_ZIGZAG):
+                    coef[r, c] = zz[i] * quant[r, c]
+                block = np.clip(_rnd(_idct2(coef) + 128.0), 0, 255)
+                ycc[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, comp] = block
+    rgb = ycbcr_to_rgb(ycc).astype(np.uint8)
+    return width, height, 3, rgb.tobytes()
+
+
+def jpeg_stats(data: bytes) -> dict:
+    """Decode → exact integer statistics: dimensions plus per-channel
+    pixel sums (the oracle-comparable reduction)."""
+    width, height, _, rgb = decode_jpeg(data)
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+    return {
+        "width": width,
+        "height": height,
+        "sum_r": int(a[:, 0].sum()),
+        "sum_g": int(a[:, 1].sum()),
+        "sum_b": int(a[:, 2].sum()),
+    }

@@ -35,17 +35,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bigdata_lab02_spark.operators import jpeg as _jpeg
 from bigdata_lab02_spark.operators import png as _png
 from bigdata_lab02_spark.operators import wav as _wav
 from bigdata_lab02_spark.operators import y4m as _y4m
 
-# Ship png.py/wav.py/y4m.py — and this module's own kernels — by value
-# inside task closures (see module docstring): functions from registered
-# modules are serialized with their code + needed globals instead of as
-# imports.
+# Ship png.py/wav.py/y4m.py/jpeg.py — and this module's own kernels — by
+# value inside task closures (see module docstring): functions from
+# registered modules are serialized with their code + needed globals
+# instead of as imports.
 cloudpickle.register_pickle_by_value(_png)
 cloudpickle.register_pickle_by_value(_wav)
 cloudpickle.register_pickle_by_value(_y4m)
+cloudpickle.register_pickle_by_value(_jpeg)
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 _ARROW_BATCH_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
@@ -257,6 +259,88 @@ def extract_features(
     if set_arrow_batch:
         spark.conf.set(_ARROW_BATCH_KEY, str(rows_per_part))
     return sized.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def _jpeg_block_consts(media_id: int, bx: int, by: int) -> tuple[int, int, int]:
+    """Per-8×8-block constant RGB — constant blocks make the LOSSY decode
+    closed-form (DC-only spectrum), so an engine-independent oracle can
+    restate the exact decoded statistics; DC values still differ per block,
+    so DC prediction and the Huffman bit paths are genuinely exercised."""
+    return (
+        (media_id * 31 + bx * 7 + by * 13) % 256,
+        (media_id * 17 + bx * 11 + by * 3) % 256,
+        (media_id * 29 + bx * 5 + by * 19) % 256,
+    )
+
+
+def synthetic_jpeg(spark, n: int = 64) -> DataFrame:
+    """Deterministic media table with REAL baseline JPEG payloads encoded
+    on the executors (vendored codec, jpeg.py): per id, an RGB image of
+    8·(2+id%3) × 8·(2+id%2) built from per-block constants
+    (``_jpeg_block_consts``). Every 4th row truncates the payload
+    mid-scan so the decoder's honest-failure path stays exercised."""
+    enc = _jpeg.encode_jpeg
+    consts = _jpeg_block_consts
+
+    def mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {"media_id": [], "payload": [], "mime": [],
+                    "width": [], "height": []}
+            for mid in pdf["id"]:
+                mid = int(mid)
+                w, h = 8 * (2 + mid % 3), 8 * (2 + mid % 2)
+                img = np.zeros((h, w, 3), dtype=np.uint8)
+                for by in range(h // 8):
+                    for bx in range(w // 8):
+                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = consts(
+                            mid, bx, by
+                        )
+                payload = enc(w, h, img.tobytes())
+                if mid % 4 == 3:  # corrupt stripe: truncate mid-scan
+                    payload = payload[: int(len(payload) * 0.6)]
+                rows["media_id"].append(mid)
+                rows["payload"].append(payload)
+                rows["mime"].append("image/jpeg")
+                rows["width"].append(w)
+                rows["height"].append(h)
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(
+        mk, "media_id long, payload binary, mime string, width int, height int"
+    )
+
+
+def extract_jpeg_stats(media: DataFrame) -> DataFrame:
+    """Byte-level baseline-JPEG decode → exact integer per-channel pixel
+    sums via Arrow-batched mapInPandas. Undecodable payloads yield
+    decode_ok=False with null stats."""
+    stats = _jpeg.jpeg_stats
+    err = _jpeg.JpegError
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "sum_r": [], "sum_g": [], "sum_b": [], "decode_ok": []}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(int(mid))
+                try:
+                    s = stats(bytes(b))
+                    for k in ("width", "height", "sum_r", "sum_g", "sum_b"):
+                        out[k].append(s[k])
+                    out["decode_ok"].append(True)
+                except (err, TypeError):
+                    for k in ("width", "height", "sum_r", "sum_g", "sum_b"):
+                        out[k].append(None)
+                    out["decode_ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op,
+        "media_id long, width int, height int, "
+        "sum_r long, sum_g long, sum_b long, decode_ok boolean",
+    )
 
 
 AUDIO_SAMPLE_RATE = 8000

@@ -1,0 +1,117 @@
+"""Vendored baseline JPEG codec semantics (jpeg.py) + the Spark plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bigdata_lab02_spark.operators import jpeg as J
+
+
+def _block_image(w, h, consts):
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for (bx, by), c in consts.items():
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = c
+    return img
+
+
+class TestCodec:
+    def test_constant_blocks_closed_form(self):
+        """Per-block-constant images decode to the DC-only closed form the
+        SQL oracle restates (the jpeg_decode gate contract)."""
+        import math
+
+        def rnd(x):
+            return math.floor(x + (0.5 + 1e-9))
+
+        def clamp(v):
+            return max(0, min(255, v))
+
+        consts = {(bx, by): ((31 * bx + 91 * by + 7) % 256,
+                             (17 * bx + 3 * by + 50) % 256,
+                             (29 * bx + 95 * by + 200) % 256)
+                  for bx in range(3) for by in range(2)}
+        img = _block_image(24, 16, consts)
+        w, h, ch, out = J.decode_jpeg(J.encode_jpeg(24, 16, img.tobytes()))
+        assert (w, h, ch) == (24, 16, 3)
+        arr = np.frombuffer(out, dtype=np.uint8).reshape(16, 24, 3).astype(int)
+        for (bx, by), (r, g, b) in consts.items():
+            y0 = clamp(rnd(0.299 * r + 0.587 * g + 0.114 * b))
+            cb0 = clamp(rnd(128 - 0.168736 * r - 0.331264 * g + 0.5 * b))
+            cr0 = clamp(rnd(128 + 0.5 * r - 0.418688 * g - 0.081312 * b))
+            y1 = clamp(rnd(rnd(8 * (y0 - 128) / 16.0) * 16 / 8.0 + 128))
+            cb1 = clamp(rnd(rnd(8 * (cb0 - 128) / 17.0) * 17 / 8.0 + 128))
+            cr1 = clamp(rnd(rnd(8 * (cr0 - 128) / 17.0) * 17 / 8.0 + 128))
+            want = (
+                clamp(rnd(y1 + 1.402 * (cr1 - 128))),
+                clamp(rnd(y1 - 0.344136 * (cb1 - 128) - 0.714136 * (cr1 - 128))),
+                clamp(rnd(y1 + 1.772 * (cb1 - 128))),
+            )
+            blk = arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert (blk == blk[0, 0]).all(), (bx, by)
+            assert tuple(blk[0, 0]) == want, (bx, by)
+
+    def test_general_roundtrip_error_bounded(self):
+        """Arbitrary (non-flat) content exercises the AC run-length +
+        Huffman paths; the lossy round trip must stay within the error a
+        baseline encode at these tables can introduce."""
+        rng = np.random.RandomState(7)
+        # smooth gradient + mild noise: realistic spectrum, bounded ACs
+        yy, xx = np.mgrid[0:16, 0:32]
+        img = np.stack(
+            [(4 * xx + 3 * yy + c * 40) % 256 for c in range(3)], axis=-1
+        ).astype(np.uint8)
+        img = np.clip(img.astype(int) + rng.randint(-8, 9, img.shape), 0, 255)
+        img = img.astype(np.uint8)
+        data = J.encode_jpeg(32, 16, img.tobytes())
+        w, h, _, out = J.decode_jpeg(data)
+        arr = np.frombuffer(out, dtype=np.uint8).reshape(16, 32, 3).astype(int)
+        err = np.abs(arr - img.astype(int))
+        assert err.mean() < 20 and (w, h) == (32, 16)
+
+    def test_dc_prediction_across_blocks(self):
+        # strongly differing block DCs -> large positive AND negative DC
+        # diffs through the Huffman DC path
+        consts = {(bx, by): (255 if (bx + by) % 2 else 0,) * 3
+                  for bx in range(4) for by in range(3)}
+        img = _block_image(32, 24, consts)
+        _, _, _, out = J.decode_jpeg(J.encode_jpeg(32, 24, img.tobytes()))
+        arr = np.frombuffer(out, dtype=np.uint8).reshape(24, 32, 3).astype(int)
+        assert arr[0, 0, 0] < 10 and arr[0, 8, 0] > 245
+
+    def test_corrupt_payloads_raise(self):
+        img = _block_image(16, 16, {(bx, by): (10, 200, 30)
+                                    for bx in range(2) for by in range(2)})
+        data = J.encode_jpeg(16, 16, img.tobytes())
+        with pytest.raises(J.JpegError):
+            J.decode_jpeg(b"\x00\x01" + data[2:])  # bad SOI
+        with pytest.raises(J.JpegError):
+            J.decode_jpeg(data[: int(len(data) * 0.6)])  # truncated scan
+        with pytest.raises(J.JpegError):
+            J.decode_jpeg(data[:30])  # truncated segments
+
+    def test_profile_rejections(self):
+        with pytest.raises(J.JpegError):
+            J.encode_jpeg(12, 16, bytes(12 * 16 * 3))  # not multiple of 8
+        with pytest.raises(J.JpegError):
+            J.encode_jpeg(16, 16, bytes(10))  # wrong buffer size
+
+
+class TestSparkPlumbing:
+    def test_gate_matches_direct_decode(self, spark):
+        from bigdata_lab02_spark.operators.multimodal import (
+            extract_jpeg_stats,
+            synthetic_jpeg,
+        )
+
+        rows = {r["media_id"]: r
+                for r in extract_jpeg_stats(synthetic_jpeg(spark, n=12)).collect()}
+        assert len(rows) == 12
+        for mid, r in rows.items():
+            if mid % 4 == 3:
+                assert r["decode_ok"] is False and r["sum_r"] is None
+            else:
+                assert r["decode_ok"] is True
+                assert r["width"] == 8 * (2 + mid % 3)
+                assert r["height"] == 8 * (2 + mid % 2)
+                assert r["sum_r"] is not None and r["sum_r"] >= 0

@@ -59,7 +59,7 @@ def test_dedup_exact_single_shuffle(spark):
 
 
 def test_embedding_topk_broadcasts_queries(spark):
-    r = plan_report(e.queries()["embedding_topk"](spark, SF))
+    r = plan_report(e.q_embedding_topk(spark, SF))  # bench-only since r6
     # corpus side streams; query side broadcast (nested-loop w/ broadcast)
     assert "BroadcastNestedLoopJoin" in r.raw or r.n_broadcast_joins >= 1
     assert r.n_sortmerge_joins == 0

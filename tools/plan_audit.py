@@ -46,6 +46,7 @@ AUDIT = [
     "pack_sequences",
     "skew_salted_join",
     "multimodal_mixed",
+    "jpeg_decode",
     "video_frames",
     "semantic_dedup_pipeline",
     "dsir_importance",
@@ -82,6 +83,7 @@ COMMENT = {
     "dedup_keep_best": "Rank + group-size windows share ONE hash exchange on the fingerprint key.",
     "pack_sequences": "Group-partitioned prefix-scan window — no global single-partition window.",
     "skew_salted_join": "Dim replicated per salt (fact never replicated); hot fact keys spread across salt_buckets tasks.",
+    "jpeg_decode": "Zero exchanges: JPEG bytes are generated, entropy-decoded (huffman + IDCT) and reduced to channel sums inside one Arrow-batched mapInPandas chain - binary never crosses a shuffle.",
     "multimodal_mixed": "Zero exchanges: payload bytes are generated, decoded and featurized inside one Arrow-batched mapInPandas chain — binary never crosses a shuffle.",
     "video_frames": "Zero exchanges: Y4M parse + per-frame plane sums explode row-per-video to row-per-frame INSIDE the kernel, so frame rows exist only after the bytes are gone.",
     "semantic_dedup_pipeline": "Sampled k-means fit assigns via a broadcast (cluster,dim,val) join + per-cluster mean each iteration (cost independent of k at plan-compile time; k x dim model to the driver); then centroids broadcast for the corpus assignment; the pair join is keyed by cluster_id (hash exchange), so pair fan-out is bounded by cluster size — never global n².",
@@ -106,7 +108,8 @@ def main() -> None:
         "",
     ]
     for name in AUDIT:
-        r = plan_report(qs[name](spark, sf_dir))
+        fn = qs.get(name) or getattr(entrymod, f"q_{name}")
+        r = plan_report(fn(spark, sf_dir))
         facts = (
             f"exchanges={r.n_exchanges}, broadcast_joins={r.n_broadcast_joins}, "
             f"sortmerge_joins={r.n_sortmerge_joins}, "
