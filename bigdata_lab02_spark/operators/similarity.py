@@ -409,24 +409,50 @@ def semantic_dedup(
         F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
     ).withColumn("nrm", array_norm(F.col("v")))
     cents = centroids.select(
-        F.col(centroid_id_col).alias("cid"),
+        F.col(centroid_id_col).cast("long").alias("cid"),
         as_double_array(F.col(centroid_vec_col)).alias("cvec"),
     ).withColumn("cvn", array_norm(F.col("cvec")))
 
-    denom = F.col("nrm") * F.col("cvn")
-    cos_c = F.round(
-        F.when(denom == 0.0, F.lit(0.0)).otherwise(
-            array_dot(F.col("v"), F.col("cvec")) / denom
-        ),
-        round_dp,
+    # Assignment replanned round 6 (the ivf_topk shape): the centroid
+    # table collapses to ONE broadcast cid-sorted array row and argmax is
+    # a per-row fold — no row_number window, so the corpus never shuffles
+    # for assignment (previously the query's biggest exchange: corpus × k
+    # rows keyed by id). Strictly-greater keeps the earliest cid over the
+    # cid-sorted array, and the cosine is rounded at round_dp BEFORE the
+    # comparison — both exactly the window formulation's tie semantics,
+    # so oracle parity is unchanged. Per-row code is constant-size in k
+    # (the fold is over an array column, never k unrolled expressions —
+    # the r4 codegen-cliff lesson).
+    cent_arr = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cvec", "cvn"))).alias(
+            "__cents"
+        )
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("cos_c"), F.asc("cid"))
+
+    def _best(acc, cnt):
+        denom = F.col("nrm") * cnt["cvn"]
+        cosv = F.round(
+            F.when(denom == 0.0, F.lit(0.0)).otherwise(
+                array_dot(F.col("v"), cnt["cvec"]) / denom
+            ),
+            round_dp,
+        )
+        return F.when(
+            cosv > acc["cos"],
+            F.struct(cosv.alias("cos"), cnt["cid"].alias("cid")),
+        ).otherwise(acc)
+
+    best = F.aggregate(
+        F.col("__cents"),
+        F.struct(
+            F.lit(-2.0).alias("cos"), F.lit(None).cast("long").alias("cid")
+        ),
+        _best,
+    )
     members = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("cos_c", cos_c)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(F.col(id_col), F.col("cid").alias("cluster_id"), "v", "nrm")
+        c.crossJoin(F.broadcast(cent_arr))
+        .select(F.col(id_col), best["cid"].alias("cluster_id"), "v", "nrm")
+        .where(F.col("cluster_id").isNotNull())  # empty-centroid guard
     )
     a, b = members.alias("a"), members.alias("b")
     pair_denom = F.col("a.nrm") * F.col("b.nrm")
