@@ -1408,7 +1408,14 @@ def q_ann_recall(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     k = 10
-    exact = sim.cosine_topk(emb, queries, k=k).select("query_id", "neighbor_id")
+    # localCheckpoint: the exact baseline is the most expensive subtree
+    # and all three recall joins read it — pin it once instead of
+    # recomputing per method (the interchange/selection gate seam).
+    exact = (
+        sim.cosine_topk(emb, queries, k=k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
     cents = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)).select(
         (F.col("vec_id") / 50).cast("int").alias("cluster_id"),
         F.col("embedding").alias("centroid"),

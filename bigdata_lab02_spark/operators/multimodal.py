@@ -307,7 +307,13 @@ def synthetic_jpeg(spark, n: int = 64) -> DataFrame:
                 rows["height"].append(h)
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(
+    # Partition by ROW COUNT, not default parallelism: 64 tiny synthetic
+    # rows over 32 partitions means 32 Python workers × 2 chained
+    # mapInPandas stages doing ~2 rows each — pure spin-up cost. Real
+    # media repartitions by BYTES (extract_features' target_partition_mb);
+    # synthetic thumbnails get ≥8 rows per partition.
+    n_parts = max(1, min(n // 8, spark.sparkContext.defaultParallelism))
+    return spark.range(n, numPartitions=n_parts).mapInPandas(
         mk, "media_id long, payload binary, mime string, width int, height int"
     )
 
