@@ -1427,7 +1427,11 @@ def q_ann_recall(spark, sf_dir):
     }
     outs = []
     for name, df in approx.items():
-        a = df.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        # broadcast: each approximate top-k is ≤ |queries|·k rows, and the
+        # checkpointed exact side carries no stats for the planner — an
+        # unhinted join here plans sort-merge (2 exchanges + sorts per
+        # method) over two 100-row tables.
+        a = F.broadcast(df.select("query_id", "neighbor_id", F.lit(1).alias("hit")))
         outs.append(
             exact.join(a, ["query_id", "neighbor_id"], "left")
             .agg(

@@ -141,11 +141,46 @@ def test_wav_roundtrip_property(samples, sr):
 def test_codecs_never_crash_on_garbage(blob):
     """Arbitrary bytes either decode cleanly or raise the codec's typed
     error — never an unhandled exception (the decode_ok=False contract)."""
+    from bigdata_lab02_spark.operators.jpeg import JpegError, decode_jpeg
     from bigdata_lab02_spark.operators.png import PngError, decode_png
     from bigdata_lab02_spark.operators.wav import WavError, decode_wav
 
-    for fn, err in ((decode_png, PngError), (decode_wav, WavError)):
+    for fn, err in (
+        (decode_png, PngError),
+        (decode_wav, WavError),
+        (decode_jpeg, JpegError),
+    ):
         try:
             fn(blob)
         except err:
             pass
+
+
+@given(
+    off_a=st.integers(0, 6),
+    off_b=st.integers(0, 6),
+    tail_a=st.integers(0, 3),
+    tail_b=st.integers(0, 3),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dedup_spans_offset_invariant_property(spark, off_a, off_b, tail_a, tail_b):
+    """The round-6 ExactSubstr contract as a PROPERTY: a shared
+    span_tokens-long passage is removed from both documents at ANY pair of
+    offsets, and all surrounding unique tokens survive exactly."""
+    from bigdata_lab02_spark.operators.dedup import dedup_spans
+
+    passage = ["p1", "p2", "p3", "p4"]
+    doc_a = [f"a{i}" for i in range(off_a)] + passage + [
+        f"x{i}" for i in range(tail_a)
+    ]
+    doc_b = [f"b{i}" for i in range(off_b)] + passage + [
+        f"y{i}" for i in range(tail_b)
+    ]
+    docs = spark.createDataFrame(
+        [(1, " ".join(doc_a)), (2, " ".join(doc_b))], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           dedup_spans(docs, span_tokens=4, stride=1).collect()}
+    assert out[1]["n_removed"] == 4 and out[2]["n_removed"] == 4
+    assert out[1]["text"].split() == [t for t in doc_a if t not in passage]
+    assert out[2]["text"].split() == [t for t in doc_b if t not in passage]
