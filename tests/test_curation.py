@@ -370,3 +370,26 @@ class TestLmPerplexity:
         a = sorted(map(tuple, cur.lm_perplexity(docs).collect()))
         b = sorted(map(tuple, cur.lm_perplexity(docs).collect()))
         assert a == b
+
+    def test_ccnet_tercile_buckets(self, spark):
+        """The r6 CCNet finish (Wenzek 2020 §4.3): split_quantiles adds the
+        head/middle/tail column, buckets are ordered by perplexity (head =
+        most fluent), roughly balanced on distinct scores, and the column
+        is absent without the flag (back-compat for selection_pipeline)."""
+        fluent = "the cat sat on the mat and the dog sat on the rug"
+        rows = [(i, fluent) for i in range(8)]
+        rows += [(10 + i, f"mixed w{i} the cat w{i + 1} sat badger") for i in range(8)]
+        rows += [(20 + i, f"zq{i} xv{i} qj{i} wk{i} bn{i} mp{i}") for i in range(8)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        plain = cur.lm_perplexity(docs)
+        assert "ppl_bucket" not in plain.columns
+        out = cur.lm_perplexity(docs, split_quantiles=(1 / 3, 2 / 3)).collect()
+        by_bucket: dict[str, list[float]] = {}
+        for r in out:
+            by_bucket.setdefault(r["ppl_bucket"], []).append(r["nll"])
+        assert set(by_bucket) == {"head", "middle", "tail"}
+        assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+        assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+        # the 8 identical fluent docs must land in ONE bucket together
+        fluent_buckets = {r["ppl_bucket"] for r in out if r["doc_id"] < 8}
+        assert len(fluent_buckets) == 1
