@@ -2106,12 +2106,16 @@ def q_jpeg_decode(spark, sf_dir):
     executors (vendored pure-numpy codec, jpeg.py — real DCT, Annex K
     quantization, canonical Huffman with DC prediction and byte
     stuffing), extract_jpeg_stats byte-level decodes it back and reduces
-    to exact integer per-channel pixel sums. Images are per-8×8-block
-    constants, so the LOSSY round trip has a closed form the oracle
-    restates exactly (DC-only spectrum; the shared floor(x+0.5+1e-9)
-    rounding bridges float-DCT noise — see jpeg.py docstring). Every 4th
-    payload is truncated mid-scan and must surface as decode_ok=false
-    with null stats. (sf_dir unused: media is generated.)"""
+    to exact integer per-channel pixel sums. The corpus cycles the whole
+    profile: 4:4:4 rows are per-8×8-block constants; 4:2:0 rows (the
+    sampling real crawls lead with — 2×2-subsampled chroma, multi-block
+    MCUs, replication upsampling) are per-16×16-MCU constants so the
+    subsampled chroma stays DC-only; in both cases the LOSSY round trip
+    has a closed form the oracle restates exactly (the shared
+    floor(x+0.5+1e-9) rounding bridges float-DCT noise — jpeg.py
+    docstring). Every 4th payload is truncated mid-scan and must surface
+    as decode_ok=false with null stats. (sf_dir unused: media is
+    generated.)"""
     from bigdata_lab02_spark.operators.multimodal import (
         extract_jpeg_stats,
         synthetic_jpeg,
@@ -2120,28 +2124,42 @@ def q_jpeg_decode(spark, sf_dir):
     return extract_jpeg_stats(synthetic_jpeg(spark, n=_MM_N))
 
 
-# Mirrors synthetic_jpeg/_jpeg_block_consts: dims 8·(2+id%3) × 8·(2+id%2),
-# block constants (id·31+bx·7+by·13, id·17+bx·11+by·3, id·29+bx·5+by·19)
-# % 256, corrupt stripe id%4==3. The decode closed form: RGB → JFIF YCbCr
-# (rnd+clamp) → DC quantize (Q00 = 16 lum / 17 chroma) → reconstruct →
-# inverse JFIF (rnd+clamp); rnd(x) = floor(x + (0.5 + 1e-9)) throughout —
-# the codec's single rounding rule, restated verbatim here.
+# Mirrors synthetic_jpeg/_jpeg_block_consts: 4:4:4 rows (id%4 in (0,2))
+# are per-8×8-block constants at 8·(2+id%3) × 8·(2+id%2); 4:2:0 rows
+# (id%4=1) are per-16×16-MCU constants at 16·(1+id%3) × 16 (constant MCUs
+# keep the subsampled chroma DC-only, so the SAME closed form applies
+# with npix=256 per constant region); corrupt stripe id%4==3. The decode
+# closed form: RGB → JFIF YCbCr (rnd+clamp) → DC quantize (Q00 = 16 lum /
+# 17 chroma; 2×2 chroma averaging of a constant is the constant) →
+# reconstruct → replicate → inverse JFIF (rnd+clamp);
+# rnd(x) = floor(x + (0.5 + 1e-9)) throughout — the codec's single
+# rounding rule, restated verbatim here.
 _JPEG_DECODE_SQL = f"""
-WITH ids AS (
-  SELECT range AS media_id,
-         CAST(8 * (2 + range % 3) AS INT) AS width,
-         CAST(8 * (2 + range % 2) AS INT) AS height
-  FROM range({_MM_N})),
+WITH ids AS (SELECT range AS media_id FROM range({_MM_N})),
+ids444 AS (
+  SELECT media_id, CAST(8 * (2 + media_id % 3) AS INT) AS width,
+         CAST(8 * (2 + media_id % 2) AS INT) AS height
+  FROM ids WHERE media_id % 4 IN (0, 2)),
+ids420 AS (
+  SELECT media_id, CAST(16 * (1 + media_id % 3) AS INT) AS width,
+         CAST(16 AS INT) AS height
+  FROM ids WHERE media_id % 4 = 1),
 blk AS (
-  SELECT i.media_id, i.width, i.height,
+  SELECT i.media_id, i.width, i.height, 64 AS npix,
     (i.media_id * 31 + bx.range * 7 + by.range * 13) % 256 AS r,
     (i.media_id * 17 + bx.range * 11 + by.range * 3) % 256 AS g,
     (i.media_id * 29 + bx.range * 5 + by.range * 19) % 256 AS b
-  FROM ids i, range(4) bx, range(3) by
-  WHERE i.media_id % 4 != 3
-    AND bx.range < i.width // 8 AND by.range < i.height // 8),
+  FROM ids444 i, range(4) bx, range(3) by
+  WHERE bx.range < i.width // 8 AND by.range < i.height // 8
+  UNION ALL
+  SELECT i.media_id, i.width, i.height, 256 AS npix,
+    (i.media_id * 31 + mbx.range * 7) % 256 AS r,
+    (i.media_id * 17 + mbx.range * 11) % 256 AS g,
+    (i.media_id * 29 + mbx.range * 5) % 256 AS b
+  FROM ids420 i, range(3) mbx
+  WHERE mbx.range < i.width // 16),
 ycc AS (
-  SELECT media_id, width, height,
+  SELECT media_id, width, height, npix,
     least(255, greatest(0, CAST(floor(0.299*r + 0.587*g + 0.114*b
       + (0.5 + 1e-9)) AS BIGINT))) AS y0,
     least(255, greatest(0, CAST(floor(128 - 0.168736*r - 0.331264*g + 0.5*b
@@ -2150,7 +2168,7 @@ ycc AS (
       + (0.5 + 1e-9)) AS BIGINT))) AS cr0
   FROM blk),
 rec AS (
-  SELECT media_id, width, height,
+  SELECT media_id, width, height, npix,
     least(255, greatest(0, CAST(floor(
       CAST(floor(8*(y0-128)/16.0 + (0.5 + 1e-9)) AS BIGINT) * 16 / 8.0
       + 128 + (0.5 + 1e-9)) AS BIGINT))) AS y1,
@@ -2162,7 +2180,7 @@ rec AS (
       + 128 + (0.5 + 1e-9)) AS BIGINT))) AS cr1
   FROM ycc),
 rgb AS (
-  SELECT media_id, width, height,
+  SELECT media_id, width, height, npix,
     least(255, greatest(0, CAST(floor(y1 + 1.402*(cr1-128)
       + (0.5 + 1e-9)) AS BIGINT))) AS r1,
     least(255, greatest(0, CAST(floor(y1 - 0.344136*(cb1-128)
@@ -2171,9 +2189,9 @@ rgb AS (
       + (0.5 + 1e-9)) AS BIGINT))) AS b1
   FROM rec)
 SELECT media_id, width, height,
-  CAST(sum(r1) * 64 AS BIGINT) AS sum_r,
-  CAST(sum(g1) * 64 AS BIGINT) AS sum_g,
-  CAST(sum(b1) * 64 AS BIGINT) AS sum_b,
+  CAST(sum(r1 * npix) AS BIGINT) AS sum_r,
+  CAST(sum(g1 * npix) AS BIGINT) AS sum_g,
+  CAST(sum(b1 * npix) AS BIGINT) AS sum_b,
   TRUE AS decode_ok
 FROM rgb GROUP BY media_id, width, height
 UNION ALL

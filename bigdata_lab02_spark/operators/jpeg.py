@@ -3,19 +3,22 @@ pipeline — the third leg of the vendored-codec triad (png.py, wav.py,
 y4m.py) and the format a real 100 TB crawl actually leads with.
 
 - encode: baseline sequential DCT, 8-bit, 3-component YCbCr (JFIF), 4:4:4
-  (no chroma subsampling), one interleaved scan, the T.81 Annex K example
-  quantization tables, Annex K DC Huffman tables, and a custom (valid,
-  carried in DHT like any other) AC Huffman table;
+  or 4:2:0 (2×2 chroma subsampling — the profile real crawl JPEGs lead
+  with), one interleaved scan, the T.81 Annex K example quantization
+  tables, Annex K DC Huffman tables, and a custom (valid, carried in DHT
+  like any other) AC Huffman table;
 - decode: GENERAL baseline decode of what the markers declare — arbitrary
   DQT/DHT tables, Huffman entropy decode with byte unstuffing, run-length
   AC with ZRL/EOB, per-component DC prediction, dequant, zigzag, IDCT,
-  level shift, YCbCr→RGB.
+  level shift, multi-block MCUs per the declared sampling factors (1×1
+  and 2×2), chroma upsampling by pixel replication, YCbCr→RGB.
 
-Scope is deliberately small (no progressive, no restart markers, no
-subsampling, dims must be multiples of 8, 3 components) — enough for real
-byte-level decode coverage of the Spark-side media plumbing. Anything
-outside the profile raises ``JpegError``, which the pipeline maps to
-``decode_ok=False`` (the honest-failure path).
+Scope is deliberately small (no progressive, no restart markers, sampling
+factors limited to 4:4:4 / 4:2:0, dims must be multiples of the MCU size,
+3 components) — enough for real byte-level decode coverage of the
+Spark-side media plumbing. Anything outside the profile raises
+``JpegError``, which the pipeline maps to ``decode_ok=False`` (the
+honest-failure path).
 
 Rounding discipline (the oracle contract): every float→int step —
 forward/inverse color conversion, quantization, pixel reconstruction —
@@ -310,18 +313,46 @@ def _dht_body(cls_id: int, bits: list[int], vals: list[int]) -> bytes:
     return bytes([cls_id]) + bytes(bits) + bytes(vals)
 
 
-def encode_jpeg(width: int, height: int, rgb: bytes) -> bytes:
+def _downsample2(plane: np.ndarray) -> np.ndarray:
+    """2×2 average downsample with the codec's rounding rule."""
+    h, w = plane.shape
+    m = plane.astype(np.float64).reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    return np.clip(_rnd(m), 0, 255)
+
+
+def encode_jpeg(
+    width: int, height: int, rgb: bytes, subsampling: str = "444"
+) -> bytes:
     """Encode raw row-major RGB bytes (``width*height*3``) as a baseline
-    JFIF JPEG. Dimensions must be multiples of 8 (profile restriction —
-    no edge-block padding)."""
-    if width <= 0 or height <= 0 or width % 8 or height % 8:
-        raise JpegError("dimensions must be positive multiples of 8")
+    JFIF JPEG. ``subsampling``: "444" (dims multiples of 8) or "420"
+    (2×2-averaged chroma; dims multiples of 16). No edge-block padding —
+    that is the profile restriction."""
+    if subsampling == "444":
+        hv = [(1, 1), (1, 1), (1, 1)]
+    elif subsampling == "420":
+        hv = [(2, 2), (1, 1), (1, 1)]
+    else:
+        raise JpegError(f"unsupported subsampling {subsampling!r}")
+    hmax = max(h for h, _ in hv)
+    vmax = max(v for _, v in hv)
+    if (
+        width <= 0
+        or height <= 0
+        or width % (8 * hmax)
+        or height % (8 * vmax)
+    ):
+        raise JpegError(
+            f"dimensions must be positive multiples of {8 * hmax}"
+        )
     if len(rgb) != width * height * 3:
         raise JpegError(
             f"pixel buffer is {len(rgb)} bytes, want {width * height * 3}"
         )
     img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
     ycc = rgb_to_ycbcr(img)
+    planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    if subsampling == "420":
+        planes = [planes[0], _downsample2(planes[1]), _downsample2(planes[2])]
 
     dc_lum = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
     dc_chrom = _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)
@@ -331,20 +362,25 @@ def encode_jpeg(width: int, height: int, rgb: bytes) -> bytes:
     preds = [0, 0, 0]
     quants = [QUANT_LUM, QUANT_CHROM, QUANT_CHROM]
     dcs = [dc_lum, dc_chrom, dc_chrom]
-    for by in range(height // 8):
-        for bx in range(width // 8):
-            for comp in range(3):
-                block = ycc[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, comp]
-                preds[comp] = _encode_block(
-                    w, block, quants[comp], preds[comp], dcs[comp], ac
-                )
+    for my in range(height // (8 * vmax)):
+        for mx in range(width // (8 * hmax)):
+            for comp, (ch, cv) in enumerate(hv):
+                plane = planes[comp]
+                for vy in range(cv):
+                    for vx in range(ch):
+                        y0 = (my * cv + vy) * 8
+                        x0 = (mx * ch + vx) * 8
+                        block = plane[y0 : y0 + 8, x0 : x0 + 8]
+                        preds[comp] = _encode_block(
+                            w, block, quants[comp], preds[comp], dcs[comp], ac
+                        )
     scan = w.flush()
 
     jfif = b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
-    # SOF0: precision 8, dims, 3 components, h=v=1, quant table per comp
+    # SOF0: precision 8, dims, 3 components, per-component sampling + quant
     sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([3])
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, tq])
+    for (cid, tq), (ch, cv) in zip(((1, 0), (2, 1), (3, 1)), hv):
+        sof += bytes([cid, (ch << 4) | cv, tq])
     # SOS: 3 components, (dc_table<<4)|ac_table per comp, spectral 0..63
     sos = bytes([3])
     for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
@@ -372,15 +408,16 @@ def encode_jpeg(width: int, height: int, rgb: bytes) -> bytes:
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline JPEG → ``(width, height, 3, rgb_bytes)``. General
     within the profile: arbitrary DQT/DHT from the stream, 3 components,
-    h=v=1 (4:4:4), dims multiples of 8, no progressive/restart. Raises
-    ``JpegError`` otherwise."""
+    sampling factors 4:4:4 (all 1×1) or 4:2:0 (luma 2×2, chroma 1×1 —
+    chroma upsampled by pixel replication), dims multiples of the MCU
+    size, no progressive/restart. Raises ``JpegError`` otherwise."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise JpegError("bad SOI")
     pos = 2
     quants: dict[int, np.ndarray] = {}
     huffs: dict[int, dict[tuple[int, int], int]] = {}
     width = height = -1
-    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, quant id)
     scan_tabs: list[tuple[int, int]] = []  # (dc table, ac table) per comp
     scan_pos = -1
 
@@ -432,11 +469,24 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             if ncomp != 3:
                 raise JpegError(f"{ncomp} components unsupported")
             for c in range(3):
-                cid, hv, tq = body[6 + c * 3 : 9 + c * 3]
-                if hv != 0x11:
-                    raise JpegError("chroma subsampling unsupported")
-                comps.append((cid, tq))
-            if width % 8 or height % 8 or width * height > (1 << 24):
+                cid, hvb, tq = body[6 + c * 3 : 9 + c * 3]
+                ch, cv = hvb >> 4, hvb & 0x0F
+                if (ch, cv) not in ((1, 1), (2, 2)):
+                    raise JpegError(f"sampling factor {ch}x{cv} unsupported")
+                comps.append((cid, ch, cv, tq))
+            sampling = tuple((c[1], c[2]) for c in comps)
+            if sampling not in (
+                ((1, 1), (1, 1), (1, 1)),
+                ((2, 2), (1, 1), (1, 1)),
+            ):
+                raise JpegError(f"sampling layout {sampling} unsupported")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if (
+                width % (8 * hmax)
+                or height % (8 * vmax)
+                or width * height > (1 << 24)
+            ):
                 raise JpegError("unsupported dimensions")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -456,47 +506,66 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
 
     if scan_pos < 0 or width < 0 or not comps:
         raise JpegError("missing SOF/SOS")
-    for _, tq in comps:
+    for _, _, _, tq in comps:
         if tq not in quants:
             raise JpegError(f"missing quant table {tq}")
     for dc_t, ac_t in scan_tabs:
         if (0x00 | dc_t) not in huffs or (0x10 | ac_t) not in huffs:
             raise JpegError("missing huffman table")
 
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    # per-component planes at their NATIVE (subsampled) resolution
+    planes = [
+        np.zeros((height * cv // vmax, width * ch // hmax), dtype=np.int32)
+        for _, ch, cv, _ in comps
+    ]
     br = _BitReader(data, scan_pos)
-    ycc = np.zeros((height, width, 3), dtype=np.int32)
     preds = [0, 0, 0]
-    for by in range(height // 8):
-        for bx in range(width // 8):
-            for comp in range(3):
+    for my in range(height // (8 * vmax)):
+        for mx in range(width // (8 * hmax)):
+            for comp, (_, ch, cv, tq) in enumerate(comps):
                 dc_t, ac_t = scan_tabs[comp]
                 dc_table = huffs[0x00 | dc_t]
                 ac_table = huffs[0x10 | ac_t]
-                zz = [0] * 64
-                size = _decode_symbol(br, dc_table)
-                diff = _extend(br.bits(size), size) if size else 0
-                preds[comp] += diff
-                zz[0] = preds[comp]
-                i = 1
-                while i < 64:
-                    sym = _decode_symbol(br, ac_table)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        i += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    i += run
-                    if i > 63 or size == 0:
-                        raise JpegError("AC run past block end")
-                    zz[i] = _extend(br.bits(size), size)
-                    i += 1
-                coef = np.zeros((8, 8), dtype=np.float64)
-                quant = quants[comps[comp][1]]
-                for i, (r, c) in enumerate(_ZIGZAG):
-                    coef[r, c] = zz[i] * quant[r, c]
-                block = np.clip(_rnd(_idct2(coef) + 128.0), 0, 255)
-                ycc[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, comp] = block
+                quant = quants[tq]
+                for vy in range(cv):
+                    for vx in range(ch):
+                        zz = [0] * 64
+                        size = _decode_symbol(br, dc_table)
+                        diff = _extend(br.bits(size), size) if size else 0
+                        preds[comp] += diff
+                        zz[0] = preds[comp]
+                        i = 1
+                        while i < 64:
+                            sym = _decode_symbol(br, ac_table)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                i += 16
+                                continue
+                            run, size = sym >> 4, sym & 0x0F
+                            i += run
+                            if i > 63 or size == 0:
+                                raise JpegError("AC run past block end")
+                            zz[i] = _extend(br.bits(size), size)
+                            i += 1
+                        coef = np.zeros((8, 8), dtype=np.float64)
+                        for i, (r, c) in enumerate(_ZIGZAG):
+                            coef[r, c] = zz[i] * quant[r, c]
+                        block = np.clip(_rnd(_idct2(coef) + 128.0), 0, 255)
+                        y0 = (my * cv + vy) * 8
+                        x0 = (mx * ch + vx) * 8
+                        planes[comp][y0 : y0 + 8, x0 : x0 + 8] = block
+    # upsample subsampled components to full resolution (pixel replication)
+    full = []
+    for plane, (_, ch, cv, _) in zip(planes, comps):
+        if ch != hmax or cv != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+            )
+        full.append(plane)
+    ycc = np.stack(full, axis=-1)
     rgb = ycbcr_to_rgb(ycc).astype(np.uint8)
     return width, height, 3, rgb.tobytes()
 

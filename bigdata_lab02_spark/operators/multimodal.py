@@ -275,10 +275,14 @@ def _jpeg_block_consts(media_id: int, bx: int, by: int) -> tuple[int, int, int]:
 
 def synthetic_jpeg(spark, n: int = 64) -> DataFrame:
     """Deterministic media table with REAL baseline JPEG payloads encoded
-    on the executors (vendored codec, jpeg.py): per id, an RGB image of
-    8·(2+id%3) × 8·(2+id%2) built from per-block constants
-    (``_jpeg_block_consts``). Every 4th row truncates the payload
-    mid-scan so the decoder's honest-failure path stays exercised."""
+    on the executors (vendored codec, jpeg.py), cycling the codec's WHOLE
+    profile: ``media_id % 4`` selects 4:4:4 (ids 0, 2 mod 4 — dims
+    8·(2+id%3) × 8·(2+id%2), per-8×8-block constants), 4:2:0 (ids 1 mod 4
+    — dims 16·(1+id%3) × 16, per-16×16-MCU constants, so the subsampled
+    chroma stays DC-only and the lossy decode keeps its closed form), or
+    a corrupt payload (ids 3 mod 4 — truncated mid-scan) so the decoder's
+    honest-failure path stays exercised. Constants come from
+    ``_jpeg_block_consts`` in every profile."""
     enc = _jpeg.encode_jpeg
     consts = _jpeg_block_consts
 
@@ -290,14 +294,25 @@ def synthetic_jpeg(spark, n: int = 64) -> DataFrame:
                     "width": [], "height": []}
             for mid in pdf["id"]:
                 mid = int(mid)
-                w, h = 8 * (2 + mid % 3), 8 * (2 + mid % 2)
-                img = np.zeros((h, w, 3), dtype=np.uint8)
-                for by in range(h // 8):
-                    for bx in range(w // 8):
-                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = consts(
-                            mid, bx, by
-                        )
-                payload = enc(w, h, img.tobytes())
+                if mid % 4 == 1:  # 4:2:0 stripe — constants per 16×16 MCU
+                    w, h = 16 * (1 + mid % 3), 16
+                    img = np.zeros((h, w, 3), dtype=np.uint8)
+                    for mby in range(h // 16):
+                        for mbx in range(w // 16):
+                            img[
+                                mby * 16 : mby * 16 + 16,
+                                mbx * 16 : mbx * 16 + 16,
+                            ] = consts(mid, mbx, mby)
+                    payload = enc(w, h, img.tobytes(), subsampling="420")
+                else:  # 4:4:4 (and the corrupt stripe's base encoding)
+                    w, h = 8 * (2 + mid % 3), 8 * (2 + mid % 2)
+                    img = np.zeros((h, w, 3), dtype=np.uint8)
+                    for by in range(h // 8):
+                        for bx in range(w // 8):
+                            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                                consts(mid, bx, by)
+                            )
+                    payload = enc(w, h, img.tobytes())
                 if mid % 4 == 3:  # corrupt stripe: truncate mid-scan
                     payload = payload[: int(len(payload) * 0.6)]
                 rows["media_id"].append(mid)

@@ -79,6 +79,57 @@ class TestCodec:
         arr = np.frombuffer(out, dtype=np.uint8).reshape(24, 32, 3).astype(int)
         assert arr[0, 0, 0] < 10 and arr[0, 8, 0] > 245
 
+    def test_420_constant_mcus_closed_form(self):
+        """4:2:0 with per-16×16-MCU constants keeps the DC-only closed
+        form: 2×2 chroma averaging of a constant is the constant, and
+        replication upsampling restores it exactly."""
+        import math
+
+        def rnd(x):
+            return math.floor(x + (0.5 + 1e-9))
+
+        def clamp(v):
+            return max(0, min(255, v))
+
+        consts = {(0, 0): (37, 180, 222), (1, 0): (200, 15, 90)}
+        img = np.zeros((16, 32, 3), dtype=np.uint8)
+        for (mbx, mby), c in consts.items():
+            img[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = c
+        data = J.encode_jpeg(32, 16, img.tobytes(), subsampling="420")
+        w, h, _, out = J.decode_jpeg(data)
+        arr = np.frombuffer(out, dtype=np.uint8).reshape(16, 32, 3).astype(int)
+        for (mbx, mby), (r, g, b) in consts.items():
+            y0 = clamp(rnd(0.299 * r + 0.587 * g + 0.114 * b))
+            cb0 = clamp(rnd(128 - 0.168736 * r - 0.331264 * g + 0.5 * b))
+            cr0 = clamp(rnd(128 + 0.5 * r - 0.418688 * g - 0.081312 * b))
+            y1 = clamp(rnd(rnd(8 * (y0 - 128) / 16.0) * 16 / 8.0 + 128))
+            cb1 = clamp(rnd(rnd(8 * (cb0 - 128) / 17.0) * 17 / 8.0 + 128))
+            cr1 = clamp(rnd(rnd(8 * (cr0 - 128) / 17.0) * 17 / 8.0 + 128))
+            want = (
+                clamp(rnd(y1 + 1.402 * (cr1 - 128))),
+                clamp(rnd(y1 - 0.344136 * (cb1 - 128) - 0.714136 * (cr1 - 128))),
+                clamp(rnd(y1 + 1.772 * (cb1 - 128))),
+            )
+            mcu = arr[mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16]
+            assert (mcu == mcu[0, 0]).all() and tuple(mcu[0, 0]) == want
+
+    def test_420_general_roundtrip(self):
+        yy, xx = np.mgrid[0:32, 0:48]
+        img = np.stack(
+            [(2 * xx + 3 * yy + c * 30) % 256 for c in range(3)], axis=-1
+        ).astype(np.uint8)
+        data = J.encode_jpeg(48, 32, img.tobytes(), subsampling="420")
+        w, h, _, out = J.decode_jpeg(data)
+        arr = np.frombuffer(out, dtype=np.uint8).reshape(32, 48, 3).astype(int)
+        assert (w, h) == (48, 32)
+        assert np.abs(arr - img.astype(int)).mean() < 20
+
+    def test_420_profile_rejections(self):
+        with pytest.raises(J.JpegError):
+            J.encode_jpeg(24, 16, bytes(24 * 16 * 3), subsampling="420")
+        with pytest.raises(J.JpegError):
+            J.encode_jpeg(16, 16, bytes(16 * 16 * 3), subsampling="422")
+
     def test_corrupt_payloads_raise(self):
         img = _block_image(16, 16, {(bx, by): (10, 200, 30)
                                     for bx in range(2) for by in range(2)})
@@ -110,6 +161,11 @@ class TestSparkPlumbing:
         for mid, r in rows.items():
             if mid % 4 == 3:
                 assert r["decode_ok"] is False and r["sum_r"] is None
+            elif mid % 4 == 1:  # the 4:2:0 stripe
+                assert r["decode_ok"] is True
+                assert r["width"] == 16 * (1 + mid % 3)
+                assert r["height"] == 16
+                assert r["sum_r"] is not None and r["sum_r"] >= 0
             else:
                 assert r["decode_ok"] is True
                 assert r["width"] == 8 * (2 + mid % 3)
