@@ -261,6 +261,74 @@ def extract_features(
     return sized.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Image RESIZE as a distributed kernel — the remaining member of the
+    multimodal op family (decode / feature-extract / RESIZE /
+    frame-sample): integer-``factor`` box-filter downsample of PNG
+    payloads. Each output pixel is the mean of a factor×factor input
+    block, rounded with the codec family's shared ``floor(x+0.5+1e-9)``
+    rule (exact integer math — tests recompute it from the generator
+    formula); the edge remainder (inputs not a multiple of ``factor``) is
+    cropped, matching the box-filter contract. The result re-encodes
+    losslessly (PNG), so downstream stages read a normal image column.
+
+    Returns (media_id, payload, width, height, channels,
+    total_intensity, decode_ok) — undecodable inputs keep the honest-
+    failure path (decode_ok=false, null payload/stats).
+
+    Scale shape: one Arrow-batched mapInPandas over the payload column —
+    bytes never cross a shuffle; pair with ``extract_features``'s
+    byte-aware partition sizing for real corpora.
+    """
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    dec = _png.decode_png
+    enc = _png.encode_png
+    err = _png.PngError
+    f = factor
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ct_by_ch = {1: 0, 3: 2, 4: 6}
+        for pdf in batches:
+            out = {"media_id": [], "payload": [], "width": [], "height": [],
+                   "channels": [], "total_intensity": [], "decode_ok": []}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(int(mid))
+                try:
+                    w, h, ch, px = dec(bytes(b))
+                    ow, oh = w // f, h // f
+                    if ow < 1 or oh < 1:
+                        raise err(f"image {w}x{h} smaller than factor {f}")
+                    a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+                    a = a[: oh * f, : ow * f].astype(np.float64)
+                    m = a.reshape(oh, f, ow, f, ch).mean(axis=(1, 3))
+                    small = np.clip(
+                        np.floor(m + (0.5 + 1e-9)).astype(np.int32), 0, 255
+                    ).astype(np.uint8)
+                    out["payload"].append(
+                        enc(ow, oh, small.tobytes(), color_type=ct_by_ch[ch])
+                    )
+                    out["width"].append(ow)
+                    out["height"].append(oh)
+                    out["channels"].append(ch)
+                    out["total_intensity"].append(int(small.sum()))
+                    out["decode_ok"].append(True)
+                except (err, TypeError):
+                    for k in ("payload", "width", "height", "channels",
+                              "total_intensity"):
+                        out[k].append(None)
+                    out["decode_ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op,
+        "media_id long, payload binary, width int, height int, "
+        "channels int, total_intensity long, decode_ok boolean",
+    )
+
+
 def _jpeg_block_consts(media_id: int, bx: int, by: int) -> tuple[int, int, int]:
     """Per-8×8-block constant RGB — constant blocks make the LOSSY decode
     closed-form (DC-only spectrum), so an engine-independent oracle can

@@ -129,6 +129,60 @@ def test_mixed_profile_decode(spark):
             assert int(r["feature"][2]) == chans[mid % 4]
 
 
+def test_resize_images_exact_box_filter(spark):
+    """resize_images halves synthetic PNGs with exact integer box-filter
+    math: every output pixel recomputed from the generator formula
+    (pixel = (id*37 + x*3 + y*11 + c*53) % 256, PNG is lossless), the
+    resized payload decodes back to the same bytes, and corrupt inputs
+    keep the honest-failure path."""
+    import numpy as np
+
+    from bigdata_lab02_spark.operators.multimodal import (
+        _media_dims,
+        resize_images,
+        synthetic_media_mixed,
+    )
+    from bigdata_lab02_spark.operators.png import decode_png
+
+    media = synthetic_media_mixed(spark, n=8, payload_bytes=1024)
+    rows = {r["media_id"]: r for r in resize_images(media, factor=2).collect()}
+    assert len(rows) == 8
+    chans = {0: 1, 1: 3, 2: 4}
+    for mid, r in rows.items():
+        if mid % 4 == 3:
+            assert r["decode_ok"] is False and r["payload"] is None
+            continue
+        w, h = _media_dims(mid, 1024)
+        ch = chans[mid % 4]
+        ow, oh = w // 2, h // 2
+        assert (r["width"], r["height"], r["channels"]) == (ow, oh, ch)
+        # recompute the exact box filter from the generator formula
+        src = np.array(
+            [
+                [
+                    [(mid * 37 + x * 3 + y * 11 + c * 53) % 256 for c in range(ch)]
+                    for x in range(w)
+                ]
+                for y in range(h)
+            ],
+            dtype=np.float64,
+        )
+        want = np.floor(
+            src[: oh * 2, : ow * 2]
+            .reshape(oh, 2, ow, 2, ch)
+            .mean(axis=(1, 3))
+            + (0.5 + 1e-9)
+        ).astype(int)
+        dw, dh, dch, px = decode_png(bytes(r["payload"]))
+        assert (dw, dh, dch) == (ow, oh, ch)
+        got = np.frombuffer(px, dtype=np.uint8).reshape(oh, ow, ch).astype(int)
+        assert (got == want).all(), mid
+        assert r["total_intensity"] == int(want.sum())
+    # factor validation is driver-side
+    with pytest.raises(ValueError):
+        resize_images(media, factor=0)
+
+
 @pytest.fixture(scope="module")
 def event_stream(spark, tmp_path_factory):
     # file-stream sources watch a DIRECTORY of arriving files
