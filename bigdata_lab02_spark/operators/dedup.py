@@ -579,11 +579,11 @@ def dedup_spans(
     ).otherwise(F.lit(0))
     windows = base.select(
         id_col,
-        F.posexplode(
+        F.explode(
             F.when(n_win > 0, F.sequence(F.lit(0), n_win - 1)).otherwise(
                 F.array().cast("array<int>")
             )
-        ).alias("widx", "_i"),
+        ).alias("widx"),
         F.col("toks"),
     ).select(
         id_col,

@@ -407,10 +407,24 @@ def encode_jpeg(
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline JPEG → ``(width, height, 3, rgb_bytes)``. General
-    within the profile: arbitrary DQT/DHT from the stream, 3 components,
+    within the profile: arbitrary DQT/DHT from the stream, 3 components
+    (scan order matched to SOF by component id, as T.81 specifies),
     sampling factors 4:4:4 (all 1×1) or 4:2:0 (luma 2×2, chroma 1×1 —
     chroma upsampled by pixel replication), dims multiples of the MCU
-    size, no progressive/restart. Raises ``JpegError`` otherwise."""
+    size, no progressive/restart. Raises ``JpegError`` for ANYTHING
+    else — malformed segment bodies included: parser slips (IndexError /
+    struct.error / bare ValueError on attacker-shaped bytes) are
+    converted so the decode_ok=False honest-failure contract holds (the
+    same hardening png.py carries for its IHDR length)."""
+    try:
+        return _decode_jpeg_inner(data)
+    except JpegError:
+        raise
+    except (IndexError, ValueError, struct.error) as exc:
+        raise JpegError(f"malformed stream: {exc}") from exc
+
+
+def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise JpegError("bad SOI")
     pos = 2
@@ -418,7 +432,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     huffs: dict[int, dict[tuple[int, int], int]] = {}
     width = height = -1
     comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, quant id)
-    scan_tabs: list[tuple[int, int]] = []  # (dc table, ac table) per comp
+    scan_sel: list[tuple[int, int, int]] = []  # (component id, dc, ac) per scan slot
     scan_pos = -1
 
     while pos + 4 <= len(data):
@@ -498,8 +512,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             if ns != 3:
                 raise JpegError("scan must cover 3 components")
             for c in range(3):
-                _cid, tabs = body[1 + c * 2 : 3 + c * 2]
-                scan_tabs.append((tabs >> 4, tabs & 0x0F))
+                cs, tabs = body[1 + c * 2 : 3 + c * 2]
+                scan_sel.append((cs, tabs >> 4, tabs & 0x0F))
             scan_pos = pos
             break
         # other segments (APPn, COM) are skipped
@@ -509,9 +523,18 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     for _, _, _, tq in comps:
         if tq not in quants:
             raise JpegError(f"missing quant table {tq}")
-    for dc_t, ac_t in scan_tabs:
+    # match each scan slot to its SOF component BY ID (T.81 Cs ↔ Ci) —
+    # a scan may list components in any order
+    scan_order: list[tuple[int, int, int]] = []  # (comp index, dc, ac)
+    for cs, dc_t, ac_t in scan_sel:
+        idx = next((i for i, c in enumerate(comps) if c[0] == cs), None)
+        if idx is None:
+            raise JpegError(f"scan selector {cs} not declared in SOF")
         if (0x00 | dc_t) not in huffs or (0x10 | ac_t) not in huffs:
             raise JpegError("missing huffman table")
+        scan_order.append((idx, dc_t, ac_t))
+    if sorted(i for i, _, _ in scan_order) != [0, 1, 2]:
+        raise JpegError("scan must cover each component exactly once")
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -524,8 +547,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     preds = [0, 0, 0]
     for my in range(height // (8 * vmax)):
         for mx in range(width // (8 * hmax)):
-            for comp, (_, ch, cv, tq) in enumerate(comps):
-                dc_t, ac_t = scan_tabs[comp]
+            for comp, dc_t, ac_t in scan_order:
+                _, ch, cv, tq = comps[comp]
                 dc_table = huffs[0x00 | dc_t]
                 ac_table = huffs[0x10 | ac_t]
                 quant = quants[tq]

@@ -119,6 +119,46 @@ def hyperplane_buckets(
     )
 
 
+def _banded_tables(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    id_col: str,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Multi-table hyperplane sign-bucket rows over the ``v`` array<double>
+    column: (id, *carry, t, bucket) with one row per (vector, table). The
+    single shared implementation behind ``embedding_dup_pairs`` and
+    ``lsh_topk`` — the AND-of-planes / OR-of-tables banding must stay
+    bit-identical between the pair path and the top-k path (ann_recall's
+    oracle inlines the same planes)."""
+    entries = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            plane = F.array(
+                *[F.lit(c) for c in _hyperplane(dim, t * n_planes + p)]
+            )
+            dot = F.aggregate(
+                F.zip_with(F.col("v"), plane, lambda x, h: x * h),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+        entries.append(
+            F.struct(F.lit(t).alias("t"), F.concat(*bits).alias("bucket"))
+        )
+    return df.select(
+        F.col(id_col), *carry, F.explode(F.array(*entries)).alias("tb")
+    ).select(
+        id_col,
+        *carry,
+        F.col("tb.t").alias("t"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+
+
 def embedding_dup_pairs(
     vectors: DataFrame,
     dim: int,
@@ -141,25 +181,7 @@ def embedding_dup_pairs(
     ``round_dp`` rounds the cosine BEFORE the threshold test (cross-engine
     determinism at the threshold boundary — the oracle does the same)."""
     v = vectors.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
-    entries = []
-    for t in range(n_tables):
-        bits = []
-        for p in range(n_planes):
-            plane = F.array(
-                *[F.lit(c) for c in _hyperplane(dim, t * n_planes + p)]
-            )
-            dot = F.aggregate(
-                F.zip_with(F.col("v"), plane, lambda x, h: x * h),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-        entries.append(
-            F.struct(F.lit(t).alias("t"), F.concat(*bits).alias("bucket"))
-        )
-    banded = v.select(
-        F.col(id_col), F.explode(F.array(*entries)).alias("tb")
-    ).select(id_col, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    banded = _banded_tables(v, dim, n_planes, n_tables, id_col)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -224,30 +246,8 @@ def lsh_topk(
     ).withColumn("nrm", array_norm(F.col("v")))
 
     def banded(df: DataFrame) -> DataFrame:
-        entries = []
-        for t in range(n_tables):
-            bits = []
-            for p in range(n_planes):
-                plane = F.array(
-                    *[F.lit(c) for c in _hyperplane(dim, t * n_planes + p)]
-                )
-                dot = F.aggregate(
-                    F.zip_with(F.col("v"), plane, lambda x, h: x * h),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-            entries.append(
-                F.struct(F.lit(t).alias("t"), F.concat(*bits).alias("bucket"))
-            )
-        return df.select(
-            F.col(id_col), "v", "nrm", F.explode(F.array(*entries)).alias("tb")
-        ).select(
-            id_col,
-            "v",
-            "nrm",
-            F.col("tb.t").alias("t"),
-            F.col("tb.bucket").alias("bucket"),
+        return _banded_tables(
+            df, dim, n_planes, n_tables, id_col, carry=("v", "nrm")
         )
 
     c = banded(v(corpus)).withColumnsRenamed({id_col: "neighbor_id"})

@@ -91,8 +91,13 @@ def cms_heavy_hitters(
     broadcasts as a semi-join filter, so the full stream is scanned ONCE
     for the sketch and once for candidate-only exact counts, and the
     vocabulary-sized distinct never materializes. The result is
-    identical whenever the candidate set contains the true top-k (CMS
-    estimates only ever move non-candidates UP, never candidates down).
+    identical whenever the candidate set contains every item the
+    EXHAUSTIVE pass would return — its top-k by ESTIMATE, which with
+    adequate width is the true top-k but under heavy collision can
+    include an inflated rare item; a candidate set built from exact
+    counts cannot resurface such an item, which is the honest trade of
+    candidate mode (you trade phantom heavy hitters away along with the
+    vocabulary scan).
 
     Takes an ITEM STREAM (any exploded column — tokens, URLs, shingles);
     callers with several sketches over the same stream materialize it

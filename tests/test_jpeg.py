@@ -141,6 +141,82 @@ class TestCodec:
         with pytest.raises(J.JpegError):
             J.decode_jpeg(data[:30])  # truncated segments
 
+    def test_malformed_segment_bodies_raise_typed_error(self):
+        """Attacker-shaped bytes that pass the segment length check but
+        break body parsing must raise JpegError, never IndexError /
+        struct.error / bare ValueError (the decode_ok=False contract —
+        the crafted prefixes that previously escaped as parser slips)."""
+        for payload in (
+            b"\xff\xd8\xff\xc0\x00\x02\xff\xd9",  # empty SOF body
+            b"\xff\xd8\xff\xc0\x00\x04\x08\x00\xff\xd9",  # short SOF body
+            b"\xff\xd8\xff\xc0\x00\x07\x08\x00\x10\x00\x10\xff\xd9",
+            b"\xff\xd8\xff\xda\x00\x02\xff\xd9",  # empty SOS body
+        ):
+            with pytest.raises(J.JpegError):
+                J.decode_jpeg(payload)
+
+    def test_scan_component_order_matched_by_id(self):
+        """T.81 matches scan selectors to SOF components BY ID — a legal
+        stream whose SOS (and entropy order) is Cb,Y,Cr must decode
+        identically to the canonical Y,Cb,Cr encoding; unknown or
+        duplicate selectors are rejected."""
+        import struct
+
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        img[:8, :8] = (10, 200, 30)
+        img[8:, :] = (77, 30, 90)
+        canonical = J.encode_jpeg(16, 16, img.tobytes())
+
+        def encode_order(order):
+            ycc = J.rgb_to_ycbcr(img)
+            dc_lum = J._canonical_codes(J.DC_LUM_BITS, J.DC_LUM_VALS)
+            dc_chrom = J._canonical_codes(J.DC_CHROM_BITS, J.DC_CHROM_VALS)
+            ac = J._canonical_codes(J.AC_BITS, J.AC_VALS)
+            w = J._BitWriter()
+            preds = [0, 0, 0]
+            quants = [J.QUANT_LUM, J.QUANT_CHROM, J.QUANT_CHROM]
+            dcs = [dc_lum, dc_chrom, dc_chrom]
+            for by in range(2):
+                for bx in range(2):
+                    for comp in order:
+                        block = ycc[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, comp]
+                        preds[comp] = J._encode_block(
+                            w, block, quants[comp], preds[comp], dcs[comp], ac
+                        )
+            scan = w.flush()
+            jfif = (b"JFIF\x00" + bytes([1, 2, 0])
+                    + struct.pack(">HH", 1, 1) + b"\x00\x00")
+            sof = bytes([8]) + struct.pack(">HH", 16, 16) + bytes([3])
+            for cid, tq in ((1, 0), (2, 1), (3, 1)):
+                sof += bytes([cid, 0x11, tq])
+            sos = bytes([3])
+            for comp in order:
+                cid = comp + 1
+                sos += bytes([cid, 0x00 if comp == 0 else 0x11])
+            sos += bytes([0, 63, 0])
+            return (b"\xff\xd8" + J._seg(0xE0, jfif)
+                    + J._seg(0xDB, J._dqt_body(0, J.QUANT_LUM))
+                    + J._seg(0xDB, J._dqt_body(1, J.QUANT_CHROM))
+                    + J._seg(0xC0, sof)
+                    + J._seg(0xC4, J._dht_body(0x00, J.DC_LUM_BITS, J.DC_LUM_VALS))
+                    + J._seg(0xC4, J._dht_body(0x01, J.DC_CHROM_BITS, J.DC_CHROM_VALS))
+                    + J._seg(0xC4, J._dht_body(0x10, J.AC_BITS, J.AC_VALS))
+                    + J._seg(0xC4, J._dht_body(0x11, J.AC_BITS, J.AC_VALS))
+                    + J._seg(0xDA, sos) + scan + b"\xff\xd9")
+
+        reordered = encode_order((1, 0, 2))  # Cb, Y, Cr
+        assert J.decode_jpeg(reordered) == J.decode_jpeg(canonical)
+        # unknown / duplicate selectors rejected
+        i = canonical.find(b"\xff\xda")
+        bad = bytearray(canonical)
+        bad[i + 5] = 9
+        with pytest.raises(J.JpegError):
+            J.decode_jpeg(bytes(bad))
+        dup = bytearray(canonical)
+        dup[i + 5] = 2
+        with pytest.raises(J.JpegError):
+            J.decode_jpeg(bytes(dup))
+
     def test_profile_rejections(self):
         with pytest.raises(J.JpegError):
             J.encode_jpeg(12, 16, bytes(12 * 16 * 3))  # not multiple of 8
