@@ -149,7 +149,10 @@ def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 
 
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """symbol → (code, length) by the T.81 canonical construction."""
+    """symbol → (code, length) by the T.81 canonical construction. Rejects
+    oversubscribed specs (more codes at a length than the canonical code
+    space can hold) — a malformed DHT must raise, not produce a nonsense
+    table that 'decodes' arbitrary entropy data."""
     if len(vals) != sum(bits):
         raise JpegError("huffman spec: value count != sum(bits)")
     codes: dict[int, tuple[int, int]] = {}
@@ -157,6 +160,8 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise JpegError("oversubscribed huffman table")
             codes[vals[k]] = (code, length)
             code += 1
             k += 1
@@ -497,7 +502,9 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             if (
-                width % (8 * hmax)
+                width <= 0
+                or height <= 0
+                or width % (8 * hmax)
                 or height % (8 * vmax)
                 or width * height > (1 << 24)
             ):
@@ -566,6 +573,8 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                                 break
                             if sym == 0xF0:  # ZRL
                                 i += 16
+                                if i > 63:  # must leave room for a coeff
+                                    raise JpegError("ZRL past block end")
                                 continue
                             run, size = sym >> 4, sym & 0x0F
                             i += run

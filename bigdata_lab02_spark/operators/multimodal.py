@@ -285,6 +285,7 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
     dec = _png.decode_png
     enc = _png.encode_png
     err = _png.PngError
+    rnd = _jpeg._rnd  # the codec family's single rounding rule
     f = factor
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -304,9 +305,7 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
                     a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
                     a = a[: oh * f, : ow * f].astype(np.float64)
                     m = a.reshape(oh, f, ow, f, ch).mean(axis=(1, 3))
-                    small = np.clip(
-                        np.floor(m + (0.5 + 1e-9)).astype(np.int32), 0, 255
-                    ).astype(np.uint8)
+                    small = np.clip(rnd(m), 0, 255).astype(np.uint8)
                     out["payload"].append(
                         enc(ow, oh, small.tobytes(), color_type=ct_by_ch[ch])
                     )

@@ -409,9 +409,13 @@ def semantic_dedup(
         F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
     ).withColumn("nrm", array_norm(F.col("v")))
     cents = centroids.select(
-        F.col(centroid_id_col).cast("long").alias("cid"),
+        F.col(centroid_id_col).alias("cid"),
         as_double_array(F.col(centroid_vec_col)).alias("cvec"),
     ).withColumn("cvn", array_norm(F.col("cvec")))
+    # preserve the caller's centroid-id type end-to-end — casting ids to
+    # long would NULL out non-numeric ids and the empty-guard below would
+    # then silently drop every row
+    cid_type = cents.schema["cid"].dataType.simpleString()
 
     # Assignment replanned round 6 (the ivf_topk shape): the centroid
     # table collapses to ONE broadcast cid-sorted array row and argmax is
@@ -445,7 +449,7 @@ def semantic_dedup(
     best = F.aggregate(
         F.col("__cents"),
         F.struct(
-            F.lit(-2.0).alias("cos"), F.lit(None).cast("long").alias("cid")
+            F.lit(-2.0).alias("cos"), F.lit(None).cast(cid_type).alias("cid")
         ),
         _best,
     )

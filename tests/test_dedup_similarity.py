@@ -331,6 +331,22 @@ class TestSemanticDedup:
 
 
 class TestSemanticDedupShufflePath:
+    def test_string_centroid_ids_preserved(self, spark):
+        """The r6 argmax-fold replan must preserve the caller's centroid-id
+        TYPE: non-numeric ids (a legal pre-r6 input) must not be cast to
+        NULL and silently dropped by the empty-centroid guard."""
+        vecs = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1])],
+            "vec_id long, embedding array<double>",
+        )
+        cents = spark.createDataFrame(
+            [("east", [1.0, 0.0]), ("north", [0.0, 1.0])],
+            "cluster_id string, centroid array<double>",
+        )
+        out = {r["vec_id"]: r["cluster_id"]
+               for r in sim.semantic_dedup(vecs, cents, threshold=0.99).collect()}
+        assert out == {1: "east", 2: "north", 3: "east"}
+
     def test_broadcast_optout_same_result(self, spark):
         from bigdata_lab02_spark.operators.similarity import semantic_dedup
 

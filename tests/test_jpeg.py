@@ -223,6 +223,63 @@ class TestCodec:
         with pytest.raises(J.JpegError):
             J.encode_jpeg(16, 16, bytes(10))  # wrong buffer size
 
+    def test_zero_dimension_sof_rejected(self):
+        """A stream declaring 0×N dims must not 'succeed' as an empty
+        decode — the encoder rejects them, the decoder must too."""
+        import struct
+
+        img = _block_image(16, 16, {(bx, by): (1, 2, 3)
+                                    for bx in range(2) for by in range(2)})
+        data = bytearray(J.encode_jpeg(16, 16, img.tobytes()))
+        i = bytes(data).find(b"\xff\xc0")
+        # SOF body: len(2) precision(1) height(2) width(2)...
+        struct.pack_into(">H", data, i + 5, 0)  # height := 0
+        with pytest.raises(J.JpegError):
+            J.decode_jpeg(bytes(data))
+
+    def test_oversubscribed_dht_rejected(self):
+        """A DHT whose bits counts exceed the canonical code space must
+        raise, not produce a table that 'decodes' arbitrary entropy."""
+        with pytest.raises(J.JpegError):
+            J._canonical_codes([2, 1] + [0] * 14, [0, 1, 2])
+
+    def test_zrl_past_block_end_rejected(self):
+        """A crafted scan emitting ZRL with <16 AC slots left must raise
+        instead of silently desynchronizing the bit stream."""
+        # white-box: encode a stream whose single AC table maps a 2-bit
+        # code to ZRL, then hand-write entropy data = DC 0 + 4x ZRL
+        import struct
+
+        bits = [0, 2] + [0] * 14  # two 2-bit codes
+        vals = [0x00, 0xF0]  # EOB, ZRL
+        codes = J._canonical_codes(bits, vals)
+        w = J._BitWriter()
+        dc = J._canonical_codes(J.DC_LUM_BITS, J.DC_LUM_VALS)
+        for _comp in range(3):  # one MCU, 3 components
+            c, ln = dc[0]
+            w.write(c, ln)  # DC size 0
+            zc, zln = codes[0xF0]
+            for _ in range(4):  # 4 x ZRL = 64 > 63 AC slots
+                w.write(zc, zln)
+        scan = w.flush()
+        jfif = (b"JFIF\x00" + bytes([1, 2, 0])
+                + struct.pack(">HH", 1, 1) + b"\x00\x00")
+        sof = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([3])
+        for cid in (1, 2, 3):
+            sof += bytes([cid, 0x11, 0])
+        sos = bytes([3])
+        for cid in (1, 2, 3):
+            sos += bytes([cid, 0x00])
+        sos += bytes([0, 63, 0])
+        data = (b"\xff\xd8" + J._seg(0xE0, jfif)
+                + J._seg(0xDB, J._dqt_body(0, J.QUANT_LUM))
+                + J._seg(0xC0, sof)
+                + J._seg(0xC4, J._dht_body(0x00, J.DC_LUM_BITS, J.DC_LUM_VALS))
+                + J._seg(0xC4, J._dht_body(0x10, bits, vals))
+                + J._seg(0xDA, sos) + scan + b"\xff\xd9")
+        with pytest.raises(J.JpegError):
+            J.decode_jpeg(data)
+
 
 class TestSparkPlumbing:
     def test_gate_matches_direct_decode(self, spark):
