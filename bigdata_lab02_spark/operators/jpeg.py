@@ -563,6 +563,8 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                     for vx in range(ch):
                         zz = [0] * 64
                         size = _decode_symbol(br, dc_table)
+                        if size > 11:  # T.81 baseline DC category range
+                            raise JpegError("DC category out of range")
                         diff = _extend(br.bits(size), size) if size else 0
                         preds[comp] += diff
                         zz[0] = preds[comp]
@@ -578,8 +580,10 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                                 continue
                             run, size = sym >> 4, sym & 0x0F
                             i += run
-                            if i > 63 or size == 0:
-                                raise JpegError("AC run past block end")
+                            if i > 63 or size == 0 or size > 10:
+                                raise JpegError(
+                                    "AC run/size out of baseline range"
+                                )
                             zz[i] = _extend(br.bits(size), size)
                             i += 1
                         coef = np.zeros((8, 8), dtype=np.float64)
