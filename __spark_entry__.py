@@ -1573,7 +1573,13 @@ def q_relational_suite(spark, sf_dir):
     is hash-compared against the oracle's identically-normalized UNION
     ALL. The underlying plans are unchanged (semi/anti joins, Expand for
     cube, a single shared window exchange, percentile aggregation); only
-    the final projection differs from the former singleton gates."""
+    the final projection differs from the former singleton gates.
+
+    Scale note: the exact `percentile` aggregate buffers each group's
+    values on its reducer — fine for the 3-flag lineitem grouping, and
+    the cross-engine-exact choice for the oracle; at 100 TB swap in
+    `percentile_approx` (t-digest, map-side-combined) — the one member
+    of this suite whose gate form is not its scale form."""
     E = F.lit("")
 
     def rows(df, section, k1, k2, pairs):
