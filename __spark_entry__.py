@@ -1058,10 +1058,21 @@ FROM ev ASOF LEFT JOIN o1 ON ev.k = o1.k AND ev.ts >= o1.ots
 """
 
 
-def q_price_percentiles(spark, sf_dir):
-    """Exact percentiles (median/p90/p99) of extended price per return flag."""
+def q_price_percentiles(spark, sf_dir, approx=False, accuracy=10000):
+    """Percentiles (median/p90/p99) of extended price per return flag.
+
+    Exact mode (default, the gate/oracle form) uses ``percentile`` —
+    type-7 interpolation matching DuckDB ``quantile_cont``, but it
+    buffers each group's full value list on its reducer. ``approx=True``
+    is the 100 TB form: ``percentile_approx`` (Greenwald–Khanna sketch,
+    map-side-combined, bounded memory per group at any scale). Mode
+    agreement at gate scale is asserted in tests/test_relational.py."""
     li = _t(spark, sf_dir, "lineitem")
-    pct = F.percentile(F.col("l_extendedprice"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    qs = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    if approx:
+        pct = F.percentile_approx(F.col("l_extendedprice"), qs, F.lit(accuracy))
+    else:
+        pct = F.percentile(F.col("l_extendedprice"), qs)
     return (
         li.groupBy("l_returnflag")
         .agg(pct.alias("p"))
@@ -1577,9 +1588,11 @@ def q_relational_suite(spark, sf_dir):
 
     Scale note: the exact `percentile` aggregate buffers each group's
     values on its reducer — fine for the 3-flag lineitem grouping, and
-    the cross-engine-exact choice for the oracle; at 100 TB swap in
-    `percentile_approx` (t-digest, map-side-combined) — the one member
-    of this suite whose gate form is not its scale form."""
+    the cross-engine-exact choice for the oracle. The 100 TB form is a
+    real code path since round 7: `q_price_percentiles(approx=True)`
+    swaps in `percentile_approx` (Greenwald–Khanna, map-side-combined,
+    bounded memory); mode agreement at gate scale is asserted in
+    tests/test_relational.py."""
     E = F.lit("")
 
     def rows(df, section, k1, k2, pairs):
@@ -2492,10 +2505,12 @@ def q_lm_perplexity(spark, sf_dir):
     Wenzek et al. 2020 §4.3): add-1-smoothed bigram LM over 512 hashed
     token buckets, trained on the corpus itself; per-doc nll and ppl,
     PLUS (since round 6) the head/middle/tail perplexity-tercile bucket
-    CCNet actually ships — cutoffs from exact type-7 quantiles over the
-    per-doc nll, compared in integer micro-units so the bucket decision
-    is cross-engine exact. The fluency-ranking complement to
-    dsir_importance's target-ranking, now a selection decision."""
+    CCNet actually ships — cutoffs from exact type-7 quantiles computed
+    OVER the integer micro-unit nll (both engines interpolate identical
+    integers; round 7 closed the float-interpolation seam), compared in
+    micro-units so the bucket decision is cross-engine exact. The
+    scale form is ``approx_cutoffs=True`` (percentile_approx, bounded
+    memory), mode-agreement-tested in tests/test_curation.py."""
     from bigdata_lab02_spark.operators.curation import lm_perplexity
 
     return lm_perplexity(
@@ -2528,8 +2543,11 @@ ppl0 AS (
     COALESCE(sc.nll, 0.0) AS nll
   FROM t LEFT JOIN sc USING (doc_id)),
 cuts AS (
-  SELECT CAST(round(quantile_cont(nll, 1.0/3.0) * 1000000.0) AS BIGINT) AS c1,
-         CAST(round(quantile_cont(nll, 2.0/3.0) * 1000000.0) AS BIGINT) AS c2
+  -- quantile over the INTEGER micro-unit nll: both engines interpolate
+  -- over identical exactly-representable integers, so a 1-ulp float
+  -- divergence near an x.5 boundary cannot flip a bucket
+  SELECT CAST(round(quantile_cont(CAST(round(nll * 1000000.0) AS BIGINT), 1.0/3.0)) AS BIGINT) AS c1,
+         CAST(round(quantile_cont(CAST(round(nll * 1000000.0) AS BIGINT), 2.0/3.0)) AS BIGINT) AS c2
   FROM ppl0)
 SELECT doc_id, n_bigrams, nll, round(exp(nll), 6) AS ppl,
   CASE WHEN CAST(round(nll * 1000000.0) AS BIGINT) <= c1 THEN 'head'

@@ -531,6 +531,8 @@ def lm_perplexity(
     id_col: str = "doc_id",
     round_dp: int = 6,
     split_quantiles: tuple[float, float] | None = None,
+    approx_cutoffs: bool = False,
+    approx_accuracy: int = 10000,
 ) -> DataFrame:
     """CCNet-style language-model quality scoring (Wenzek et al. 2020,
     "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
@@ -557,15 +559,24 @@ def lm_perplexity(
 
     ``split_quantiles`` (e.g. ``(1/3, 2/3)``) finishes the CCNet recipe
     (Wenzek 2020 §4.3): the corpus splits into perplexity terciles —
-    ``ppl_bucket`` ∈ head (most fluent) / middle / tail — with cutoffs
-    from EXACT linear-interpolated quantiles over the per-doc nll
-    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, both type-7). The
-    comparison runs in integer micro-units (round(nll·10^dp) vs the
-    rounded cutoff), so the bucket decision is order-independent and
-    cross-engine exact. The exact quantile buffers the per-DOC nll list
-    on one reducer — doc-count-sized, not token-sized; at true corpus
-    scale swap in ``percentile_approx`` (the bucket column is a
-    selection decision, not an oracle surface, at that point).
+    ``ppl_bucket`` ∈ head (most fluent) / middle / tail. Cutoffs are
+    quantiles over the INTEGER micro-unit nll (round(nll·10^dp) as
+    long), not the float nll: both engines then interpolate over
+    identical integers (exactly representable doubles), so a 1-ulp
+    float-interpolation divergence near an x.5 boundary cannot flip a
+    bucket. The comparison also runs in micro-units, so the decision is
+    order-independent and cross-engine exact.
+
+    Two cutoff modes. Exact (default, the gate/oracle form): Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, both type-7 — buffers
+    the per-DOC micro-unit list on one reducer (doc-count-sized, not
+    token-sized; an OOM at billions of docs). ``approx_cutoffs=True``
+    is the scale form: ``percentile_approx`` (Greenwald–Khanna sketch,
+    map-side-combined, bounded memory at any corpus size) at
+    ``approx_accuracy``; it returns an actual data value instead of an
+    interpolation, so at most the docs inside the sketch's rank-error
+    band of each cutoff may change bucket — the bucket column is a
+    selection decision, not an oracle surface, in that mode.
 
     Returns (id, n_bigrams, nll, ppl[, ppl_bucket]) for every input
     document.
@@ -626,15 +637,18 @@ def lm_perplexity(
     if split_quantiles is None:
         return out
     q1, q2 = split_quantiles
-    cuts = out.agg(
-        F.round(F.percentile(F.col("nll"), F.lit(q1)) * scale)
-        .cast("long")
-        .alias("__c1"),
-        F.round(F.percentile(F.col("nll"), F.lit(q2)) * scale)
-        .cast("long")
-        .alias("__c2"),
-    )
     nll_mu = F.round(F.col("nll") * scale).cast("long")
+    if approx_cutoffs:
+        cut = lambda q, a: (  # noqa: E731
+            F.percentile_approx(nll_mu, F.lit(q), F.lit(approx_accuracy))
+            .cast("long")
+            .alias(a)
+        )
+    else:
+        cut = lambda q, a: (  # noqa: E731
+            F.round(F.percentile(nll_mu, F.lit(q))).cast("long").alias(a)
+        )
+    cuts = out.agg(cut(q1, "__c1"), cut(q2, "__c2"))
     return (
         out.crossJoin(F.broadcast(cuts))
         .withColumn(

