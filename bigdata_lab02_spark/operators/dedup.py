@@ -527,6 +527,7 @@ def dedup_spans(
     stride: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Cross-document exact-SPAN dedup, OFFSET-INVARIANT — the sixth
     family: remove passages repeated across documents rather than whole
@@ -549,7 +550,7 @@ def dedup_spans(
     "common phrase".
 
     Scale shape (nothing all-pairs): one explode to (doc, window-hash) —
-    window keys are md5 digests so the corpus-wide count shuffles 32-byte
+    window keys are digests so the corpus-wide count shuffles fixed-size
     keys, not passage text; one distinct-doc count keyed by that digest;
     one equi-join back; duplicated windows explode to ≤ span_tokens
     covered positions each (bounded by span × duplicated volume, not by
@@ -560,11 +561,26 @@ def dedup_spans(
     windows over digests are the shuffle-disciplined distributed
     equivalent.)
 
+    ``hash_mode`` picks the window-key digest (the module-header
+    promise): ``"md5"`` (default) shuffles a 32-char hex string —
+    portable, the oracle-parity form, collision-free for practical
+    purposes (128-bit). ``"xxhash64"`` is the engine-fast mode: an
+    8-byte long key cuts the dominant (doc, window-key) shuffle ~4× in
+    bytes (measured at 4x duplicate saturation in SCALING.md). Its
+    64-bit space admits birthday collisions past ~2^32 distinct windows
+    (≈4 B positions); a collision can only FALSELY MARK a window as
+    duplicated (over-removal, never under-removal) — acceptable for
+    training-data curation, not for the cross-engine oracle, which
+    stays on md5.
+
     Returns (id, text, n_tokens, n_removed) for EVERY input doc — a doc
     made entirely of duplicated spans comes back with empty text.
     """
     if stride < 1 or span_tokens < 1:
         raise ValueError("span_tokens and stride must be >= 1")
+    if hash_mode not in ("md5", "xxhash64"):
+        raise ValueError("hash_mode must be 'md5' or 'xxhash64'")
+    digest = F.md5 if hash_mode == "md5" else F.xxhash64
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = docs.select(F.col(id_col), toks.alias("toks")).select(
         id_col,
@@ -588,7 +604,7 @@ def dedup_spans(
     ).select(
         id_col,
         (F.col("widx") * stride).alias("off"),
-        F.md5(
+        digest(
             F.array_join(F.slice(F.col("toks"), F.col("widx") * stride + 1, span_tokens), " ")
         ).alias("wh"),
     )

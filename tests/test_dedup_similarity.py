@@ -482,3 +482,24 @@ class TestDedupSpans:
         assert out3[1]["text"] == "z1 z2 z3 z4" and out3[1]["n_removed"] == 4
         assert out3[2]["text"] == "e f g h"
         assert out3[3]["n_removed"] == 0  # intra-doc repeat is not cross-doc
+
+    def test_xxhash64_fast_mode_matches_md5(self, spark):
+        """The engine-fast mode (8-byte xxhash64 window keys, ~4x fewer
+        shuffle bytes than 32-char md5 hex) must produce IDENTICAL output
+        on real data — a 64-bit digest only diverges on a birthday
+        collision (~2^32 distinct windows; sf0.001 has ~10^5)."""
+        from bigdata_lab02_spark.operators.dedup import dedup_spans
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(map(tuple, dedup_spans(docs, span_tokens=8).collect()))
+        b = sorted(map(tuple, dedup_spans(
+            docs, span_tokens=8, hash_mode="xxhash64").collect()))
+        assert a == b
+
+    def test_bad_hash_mode_rejected(self, spark):
+        from bigdata_lab02_spark.operators.dedup import dedup_spans
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            dedup_spans(docs, hash_mode="sha1")

@@ -101,6 +101,16 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
+    import json
+
+    out = ROOT / "tools" / "scale_stress.json"
+    payload: dict = {"mult": MULT}
+
+    def persist() -> None:
+        # incremental write (ADVICE r6): a crash/timeout in a later phase
+        # must not discard phases already measured
+        out.write_text(json.dumps(payload, indent=1))
+
     d = tempfile.mkdtemp(prefix="sf0.4_")
     walls: dict[str, dict[str, float]] = {n: {} for n in DOUBLING}
     try:
@@ -115,9 +125,30 @@ def main() -> None:
                 walls[name]["4"] = round(big, 2)
             print(f"{name}: sf0.1 {base:.2f}s -> 4x {big:.2f}s "
                   f"({big / base:.1f}x wall at 4x data)")
+        payload["rows"] = rows
+        persist()
+
+        # dedup_spans hash_mode A/B at 4x saturation (VERDICT r6 item 4):
+        # same plan, only the window-key width changes (32-char md5 hex
+        # vs 8-byte xxhash64 long) — the delta is pure shuffle-byte cost.
+        from bigdata_lab02_spark.operators.dedup import dedup_spans
+
+        spans_walls = {}
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        for mode in ("md5", "xxhash64"):
+            t0 = time.time()
+            dedup_spans(docs, hash_mode=mode).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            spans_walls[mode] = round(time.time() - t0, 2)
+            print(f"dedup_spans[{mode}] @4x: {spans_walls[mode]:.2f}s")
+        payload["spans_hash_modes_4x"] = spans_walls
+        persist()
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
+    payload["doubling"] = {"mults": [4] + DOUBLING_MULTS, "walls": walls}
+    persist()
     for m in DOUBLING_MULTS:
         dm = tempfile.mkdtemp(prefix=f"sf0.1x{m}_")
         try:
@@ -127,22 +158,10 @@ def main() -> None:
                 walls[name][str(m)] = round(w, 2)
                 print(f"{name}: {m}x {w:.2f}s "
                       f"({w / walls[name]['1']:.1f}x wall at {m}x data)")
+            persist()
         finally:
             shutil.rmtree(dm, ignore_errors=True)
 
-    import json
-
-    out = ROOT / "tools" / "scale_stress.json"
-    out.write_text(
-        json.dumps(
-            {
-                "mult": MULT,
-                "rows": rows,
-                "doubling": {"mults": [4] + DOUBLING_MULTS, "walls": walls},
-            },
-            indent=1,
-        )
-    )
     print(f"-> {out} (picked up by tools/scaling_audit.py)")
 
 
