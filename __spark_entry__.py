@@ -2126,15 +2126,18 @@ def q_jpeg_decode(spark, sf_dir):
     quantization, canonical Huffman with DC prediction and byte
     stuffing), extract_jpeg_stats byte-level decodes it back and reduces
     to exact integer per-channel pixel sums. The corpus cycles the whole
-    profile: 4:4:4 rows are per-8×8-block constants; 4:2:0 rows (the
-    sampling real crawls lead with — 2×2-subsampled chroma, multi-block
-    MCUs, replication upsampling) are per-16×16-MCU constants so the
-    subsampled chroma stays DC-only; in both cases the LOSSY round trip
-    has a closed form the oracle restates exactly (the shared
+    profile (8 stripes since r7): 4:4:4 rows are per-8×8-block constants
+    (one stripe restart-interval-bearing — DRI + RSTn chains, the layout
+    nearly all camera/web baseline JPEGs carry); 4:2:0 rows (2×2-
+    subsampled chroma, multi-block MCUs, replication upsampling, one
+    stripe with DRI) are per-16×16-MCU constants so the subsampled
+    chroma stays DC-only; a GRAYSCALE stripe (1-component SOF + DRI)
+    replicates Y into RGB; in all cases the LOSSY round trip has a
+    closed form the oracle restates exactly (the shared
     floor(x+0.5+1e-9) rounding bridges float-DCT noise — jpeg.py
-    docstring). Every 4th payload is truncated mid-scan and must surface
-    as decode_ok=false with null stats. (sf_dir unused: media is
-    generated.)"""
+    docstring). Two corrupt stripes — truncated mid-scan and
+    out-of-sequence RSTn — must surface as decode_ok=false with null
+    stats. (sf_dir unused: media is generated.)"""
     from bigdata_lab02_spark.operators.multimodal import (
         extract_jpeg_stats,
         synthetic_jpeg,
@@ -2143,14 +2146,19 @@ def q_jpeg_decode(spark, sf_dir):
     return extract_jpeg_stats(synthetic_jpeg(spark, n=_MM_N))
 
 
-# Mirrors synthetic_jpeg/_jpeg_block_consts: 4:4:4 rows (id%4 in (0,2))
-# are per-8×8-block constants at 8·(2+id%3) × 8·(2+id%2); 4:2:0 rows
-# (id%4=1) are per-16×16-MCU constants at 16·(1+id%3) × 16 (constant MCUs
-# keep the subsampled chroma DC-only, so the SAME closed form applies
-# with npix=256 per constant region); corrupt stripe id%4==3. The decode
-# closed form: RGB → JFIF YCbCr (rnd+clamp) → DC quantize (Q00 = 16 lum /
-# 17 chroma; 2×2 chroma averaging of a constant is the constant) →
-# reconstruct → replicate → inverse JFIF (rnd+clamp);
+# Mirrors synthetic_jpeg/_jpeg_block_consts (media_id % 8 stripes since
+# r7): 4:4:4 rows (id%8 in (0,2,4) — 4 carries a restart interval, which
+# only resets DC predictors and leaves the decoded pixels on the SAME
+# closed form) are per-8×8-block constants at 8·(2+id%3) × 8·(2+id%2);
+# 4:2:0 rows (id%8 in (1,5); 5 DRI-bearing) are per-16×16-MCU constants
+# at 16·(1+id%3) × 16 (constant MCUs keep the subsampled chroma DC-only,
+# so the SAME closed form applies with npix=256 per constant region);
+# GRAYSCALE rows (id%8=6, 1-component SOF + DRI) follow the luma-only
+# closed form with Y replicated into RGB; corrupt stripes id%8 in (3,7)
+# (truncation / out-of-sequence RSTn). The decode closed form: RGB →
+# JFIF YCbCr (rnd+clamp) → DC quantize (Q00 = 16 lum / 17 chroma; 2×2
+# chroma averaging of a constant is the constant) → reconstruct →
+# replicate → inverse JFIF (rnd+clamp);
 # rnd(x) = floor(x + (0.5 + 1e-9)) throughout — the codec's single
 # rounding rule, restated verbatim here.
 _JPEG_DECODE_SQL = f"""
@@ -2158,11 +2166,15 @@ WITH ids AS (SELECT range AS media_id FROM range({_MM_N})),
 ids444 AS (
   SELECT media_id, CAST(8 * (2 + media_id % 3) AS INT) AS width,
          CAST(8 * (2 + media_id % 2) AS INT) AS height
-  FROM ids WHERE media_id % 4 IN (0, 2)),
+  FROM ids WHERE media_id % 8 IN (0, 2, 4)),
 ids420 AS (
   SELECT media_id, CAST(16 * (1 + media_id % 3) AS INT) AS width,
          CAST(16 AS INT) AS height
-  FROM ids WHERE media_id % 4 = 1),
+  FROM ids WHERE media_id % 8 IN (1, 5)),
+idsgray AS (
+  SELECT media_id, CAST(8 * (2 + media_id % 3) AS INT) AS width,
+         CAST(8 * (2 + media_id % 2) AS INT) AS height
+  FROM ids WHERE media_id % 8 = 6),
 blk AS (
   SELECT i.media_id, i.width, i.height, 64 AS npix,
     (i.media_id * 31 + bx.range * 7 + by.range * 13) % 256 AS r,
@@ -2177,6 +2189,21 @@ blk AS (
     (i.media_id * 29 + mbx.range * 5) % 256 AS b
   FROM ids420 i, range(3) mbx
   WHERE mbx.range < i.width // 16),
+gblk AS (
+  SELECT i.media_id, i.width, i.height,
+    (i.media_id * 31 + bx.range * 7 + by.range * 13) % 256 AS r,
+    (i.media_id * 17 + bx.range * 11 + by.range * 3) % 256 AS g,
+    (i.media_id * 29 + bx.range * 5 + by.range * 19) % 256 AS b
+  FROM idsgray i, range(4) bx, range(3) by
+  WHERE bx.range < i.width // 8 AND by.range < i.height // 8),
+gray AS (
+  SELECT media_id, width, height,
+    least(255, greatest(0, CAST(floor(
+      CAST(floor(8*(least(255, greatest(0, CAST(floor(0.299*r + 0.587*g
+        + 0.114*b + (0.5 + 1e-9)) AS BIGINT)))-128)/16.0
+        + (0.5 + 1e-9)) AS BIGINT) * 16 / 8.0
+      + 128 + (0.5 + 1e-9)) AS BIGINT))) AS y1
+  FROM gblk),
 ycc AS (
   SELECT media_id, width, height, npix,
     least(255, greatest(0, CAST(floor(0.299*r + 0.587*g + 0.114*b
@@ -2214,10 +2241,17 @@ SELECT media_id, width, height,
   TRUE AS decode_ok
 FROM rgb GROUP BY media_id, width, height
 UNION ALL
+SELECT media_id, width, height,
+  CAST(sum(y1 * 64) AS BIGINT) AS sum_r,
+  CAST(sum(y1 * 64) AS BIGINT) AS sum_g,
+  CAST(sum(y1 * 64) AS BIGINT) AS sum_b,
+  TRUE AS decode_ok
+FROM gray GROUP BY media_id, width, height
+UNION ALL
 SELECT media_id, CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
   CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
   CAST(NULL AS BIGINT) AS sum_b, FALSE AS decode_ok
-FROM ids WHERE media_id % 4 = 3
+FROM ids WHERE media_id % 8 IN (3, 7)
 """
 
 

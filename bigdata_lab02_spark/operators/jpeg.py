@@ -2,23 +2,28 @@
 pipeline — the third leg of the vendored-codec triad (png.py, wav.py,
 y4m.py) and the format a real 100 TB crawl actually leads with.
 
-- encode: baseline sequential DCT, 8-bit, 3-component YCbCr (JFIF), 4:4:4
-  or 4:2:0 (2×2 chroma subsampling — the profile real crawl JPEGs lead
-  with), one interleaved scan, the T.81 Annex K example quantization
-  tables, Annex K DC Huffman tables, and a custom (valid, carried in DHT
-  like any other) AC Huffman table;
+- encode: baseline sequential DCT, 8-bit, 3-component YCbCr (JFIF) at
+  4:4:4 or 4:2:0 (2×2 chroma subsampling — the profile real crawl JPEGs
+  lead with) or 1-component grayscale, one interleaved scan, optional
+  restart intervals (DRI + RSTn, the segments nearly all camera/web
+  baseline JPEGs carry), the T.81 Annex K example quantization tables,
+  Annex K DC Huffman tables, and a custom (valid, carried in DHT like
+  any other) AC Huffman table;
 - decode: GENERAL baseline decode of what the markers declare — arbitrary
   DQT/DHT tables, Huffman entropy decode with byte unstuffing, run-length
   AC with ZRL/EOB, per-component DC prediction, dequant, zigzag, IDCT,
   level shift, multi-block MCUs per the declared sampling factors (1×1
-  and 2×2), chroma upsampling by pixel replication, YCbCr→RGB.
+  and 2×2), restart intervals (DRI honored; at each RSTn the reader
+  byte-aligns, verifies the marker index is the expected one in the
+  0xD0..0xD7 cycle, and resets every DC predictor — an out-of-sequence
+  or missing marker raises), 1- or 3-component SOF, chroma upsampling by
+  pixel replication, YCbCr→RGB (grayscale replicates Y into RGB).
 
-Scope is deliberately small (no progressive, no restart markers, sampling
-factors limited to 4:4:4 / 4:2:0, dims must be multiples of the MCU size,
-3 components) — enough for real byte-level decode coverage of the
-Spark-side media plumbing. Anything outside the profile raises
-``JpegError``, which the pipeline maps to ``decode_ok=False`` (the
-honest-failure path).
+Scope is deliberately small (no progressive, sampling factors limited to
+4:4:4 / 4:2:0 / grayscale, dims must be multiples of the MCU size) —
+enough for real byte-level decode coverage of the Spark-side media
+plumbing. Anything outside the profile raises ``JpegError``, which the
+pipeline maps to ``decode_ok=False`` (the honest-failure path).
 
 Rounding discipline (the oracle contract): every float→int step —
 forward/inverse color conversion, quantization, pixel reconstruction —
@@ -186,17 +191,26 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def pad_align(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+    def emit_marker(self, marker: int) -> None:
+        """Byte-align, then emit a raw marker (markers are NOT stuffed)."""
+        self.pad_align()
+        self.out += bytes([0xFF, marker])
+
+    def flush(self) -> bytes:
+        self.pad_align()
         return bytes(self.out)
 
 
 class _BitReader:
     """MSB-first reader over the entropy-coded segment with 0xFF00
-    unstuffing; any other marker inside the scan is an error (this
-    profile emits no restart markers)."""
+    unstuffing; a marker reached through bit reads is an error — restart
+    markers are consumed only at the expected MCU boundaries via
+    ``restart()``."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
@@ -231,6 +245,28 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self, expected: int) -> None:
+        """Consume an RSTn at an MCU boundary: discard the pad bits to the
+        byte boundary (the encoder pads with 1-bits per T.81 F.1.2.3),
+        require exactly 0xFF 0xD0+``expected`` next, and byte-align the
+        stream after it. Out-of-sequence markers raise — a desynced
+        restart chain means the entropy data cannot be trusted."""
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 2 > len(self.data):
+            raise JpegError("entropy data truncated before restart marker")
+        if self.data[self.pos] != 0xFF:
+            raise JpegError("expected restart marker")
+        m = self.data[self.pos + 1]
+        if not 0xD0 <= m <= 0xD7:
+            raise JpegError(f"expected RSTn, found 0xFF{m:02X}")
+        if m != 0xD0 + expected:
+            raise JpegError(
+                f"out-of-sequence restart marker RST{m - 0xD0} "
+                f"(expected RST{expected})"
+            )
+        self.pos += 2
 
 
 def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
@@ -326,18 +362,30 @@ def _downsample2(plane: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(
-    width: int, height: int, rgb: bytes, subsampling: str = "444"
+    width: int,
+    height: int,
+    rgb: bytes,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode raw row-major RGB bytes (``width*height*3``) as a baseline
-    JFIF JPEG. ``subsampling``: "444" (dims multiples of 8) or "420"
-    (2×2-averaged chroma; dims multiples of 16). No edge-block padding —
-    that is the profile restriction."""
+    JFIF JPEG. ``subsampling``: "444" (dims multiples of 8), "420"
+    (2×2-averaged chroma; dims multiples of 16), or "gray" (1-component
+    luma-only, dims multiples of 8 — the RGB input is converted and the
+    chroma discarded). ``restart_interval`` > 0 emits a DRI segment and
+    an RSTn marker (cycling 0..7) after every that many MCUs — the
+    stream layout nearly all camera/web baseline JPEGs use. No
+    edge-block padding — that is the profile restriction."""
     if subsampling == "444":
         hv = [(1, 1), (1, 1), (1, 1)]
     elif subsampling == "420":
         hv = [(2, 2), (1, 1), (1, 1)]
+    elif subsampling == "gray":
+        hv = [(1, 1)]
     else:
         raise JpegError(f"unsupported subsampling {subsampling!r}")
+    if restart_interval < 0 or restart_interval > 0xFFFF:
+        raise JpegError("restart_interval out of range")
     hmax = max(h for h, _ in hv)
     vmax = max(v for _, v in hv)
     if (
@@ -355,20 +403,29 @@ def encode_jpeg(
         )
     img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
     ycc = rgb_to_ycbcr(img)
-    planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
-    if subsampling == "420":
-        planes = [planes[0], _downsample2(planes[1]), _downsample2(planes[2])]
+    if subsampling == "gray":
+        planes = [ycc[..., 0]]
+    else:
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        if subsampling == "420":
+            planes = [planes[0], _downsample2(planes[1]), _downsample2(planes[2])]
 
     dc_lum = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
     dc_chrom = _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)
     ac = _canonical_codes(AC_BITS, AC_VALS)
 
+    ncomp = len(hv)
     w = _BitWriter()
-    preds = [0, 0, 0]
-    quants = [QUANT_LUM, QUANT_CHROM, QUANT_CHROM]
-    dcs = [dc_lum, dc_chrom, dc_chrom]
-    for my in range(height // (8 * vmax)):
-        for mx in range(width // (8 * hmax)):
+    preds = [0] * ncomp
+    quants = [QUANT_LUM, QUANT_CHROM, QUANT_CHROM][:ncomp]
+    dcs = [dc_lum, dc_chrom, dc_chrom][:ncomp]
+    n_mcux = width // (8 * hmax)
+    n_mcuy = height // (8 * vmax)
+    n_mcus = n_mcux * n_mcuy
+    mcu_idx = 0
+    rst_idx = 0
+    for my in range(n_mcuy):
+        for mx in range(n_mcux):
             for comp, (ch, cv) in enumerate(hv):
                 plane = planes[comp]
                 for vy in range(cv):
@@ -379,32 +436,46 @@ def encode_jpeg(
                         preds[comp] = _encode_block(
                             w, block, quants[comp], preds[comp], dcs[comp], ac
                         )
+            mcu_idx += 1
+            if (
+                restart_interval
+                and mcu_idx % restart_interval == 0
+                and mcu_idx < n_mcus  # no RSTn after the final MCU
+            ):
+                w.emit_marker(0xD0 + rst_idx % 8)
+                rst_idx += 1
+                preds = [0] * ncomp
     scan = w.flush()
 
     jfif = b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
-    # SOF0: precision 8, dims, 3 components, per-component sampling + quant
-    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([3])
-    for (cid, tq), (ch, cv) in zip(((1, 0), (2, 1), (3, 1)), hv):
+    # SOF0: precision 8, dims, n components, per-component sampling + quant
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([ncomp])
+    comp_meta = (((1, 0), (2, 1), (3, 1)))[:ncomp]
+    for (cid, tq), (ch, cv) in zip(comp_meta, hv):
         sof += bytes([cid, (ch << 4) | cv, tq])
-    # SOS: 3 components, (dc_table<<4)|ac_table per comp, spectral 0..63
-    sos = bytes([3])
-    for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
+    # SOS: n components, (dc_table<<4)|ac_table per comp, spectral 0..63
+    sos = bytes([ncomp])
+    for cid, tabs in (((1, 0x00), (2, 0x11), (3, 0x11)))[:ncomp]:
         sos += bytes([cid, tabs])
     sos += bytes([0, 63, 0])
-    return (
+    out = (
         b"\xff\xd8"  # SOI
         + _seg(0xE0, jfif)
         + _seg(0xDB, _dqt_body(0, QUANT_LUM))
-        + _seg(0xDB, _dqt_body(1, QUANT_CHROM))
-        + _seg(0xC0, sof)
-        + _seg(0xC4, _dht_body(0x00, DC_LUM_BITS, DC_LUM_VALS))
-        + _seg(0xC4, _dht_body(0x01, DC_CHROM_BITS, DC_CHROM_VALS))
-        + _seg(0xC4, _dht_body(0x10, AC_BITS, AC_VALS))
-        + _seg(0xC4, _dht_body(0x11, AC_BITS, AC_VALS))
-        + _seg(0xDA, sos)
-        + scan
-        + b"\xff\xd9"  # EOI
     )
+    if ncomp == 3:
+        out += _seg(0xDB, _dqt_body(1, QUANT_CHROM))
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, _dht_body(0x00, DC_LUM_BITS, DC_LUM_VALS))
+    if ncomp == 3:
+        out += _seg(0xC4, _dht_body(0x01, DC_CHROM_BITS, DC_CHROM_VALS))
+    out += _seg(0xC4, _dht_body(0x10, AC_BITS, AC_VALS))
+    if ncomp == 3:
+        out += _seg(0xC4, _dht_body(0x11, AC_BITS, AC_VALS))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    out += _seg(0xDA, sos) + scan + b"\xff\xd9"  # SOS + scan + EOI
+    return out
 
 
 # ----------------------------------------------------------- decoder
@@ -412,15 +483,18 @@ def encode_jpeg(
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline JPEG → ``(width, height, 3, rgb_bytes)``. General
-    within the profile: arbitrary DQT/DHT from the stream, 3 components
-    (scan order matched to SOF by component id, as T.81 specifies),
-    sampling factors 4:4:4 (all 1×1) or 4:2:0 (luma 2×2, chroma 1×1 —
-    chroma upsampled by pixel replication), dims multiples of the MCU
-    size, no progressive/restart. Raises ``JpegError`` for ANYTHING
-    else — malformed segment bodies included: parser slips (IndexError /
-    struct.error / bare ValueError on attacker-shaped bytes) are
-    converted so the decode_ok=False honest-failure contract holds (the
-    same hardening png.py carries for its IHDR length)."""
+    within the profile: arbitrary DQT/DHT from the stream, 1 (grayscale,
+    Y replicated into RGB) or 3 components (scan order matched to SOF by
+    component id, as T.81 specifies), sampling factors 4:4:4 (all 1×1)
+    or 4:2:0 (luma 2×2, chroma 1×1 — chroma upsampled by pixel
+    replication), restart intervals (DRI honored; each RSTn must appear
+    exactly at its MCU boundary with the expected 0xD0+n index and
+    resets all DC predictors), dims multiples of the MCU size, no
+    progressive. Raises ``JpegError`` for ANYTHING else — malformed
+    segment bodies included: parser slips (IndexError / struct.error /
+    bare ValueError on attacker-shaped bytes) are converted so the
+    decode_ok=False honest-failure contract holds (the same hardening
+    png.py carries for its IHDR length)."""
     try:
         return _decode_jpeg_inner(data)
     except JpegError:
@@ -439,6 +513,7 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
     comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, quant id)
     scan_sel: list[tuple[int, int, int]] = []  # (component id, dc, ac) per scan slot
     scan_pos = -1
+    restart_interval = 0
 
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -485,9 +560,9 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                 raise JpegError("only 8-bit precision supported")
             height, width = struct.unpack_from(">HH", body, 1)
             ncomp = body[5]
-            if ncomp != 3:
+            if ncomp not in (1, 3):
                 raise JpegError(f"{ncomp} components unsupported")
-            for c in range(3):
+            for c in range(ncomp):
                 cid, hvb, tq = body[6 + c * 3 : 9 + c * 3]
                 ch, cv = hvb >> 4, hvb & 0x0F
                 if (ch, cv) not in ((1, 1), (2, 2)):
@@ -495,6 +570,7 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                 comps.append((cid, ch, cv, tq))
             sampling = tuple((c[1], c[2]) for c in comps)
             if sampling not in (
+                ((1, 1),),
                 ((1, 1), (1, 1), (1, 1)),
                 ((2, 2), (1, 1), (1, 1)),
             ):
@@ -512,13 +588,15 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError("non-baseline SOF unsupported")
-        elif marker == 0xDD:
-            raise JpegError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI
+            if len(body) != 2:
+                raise JpegError("bad DRI length")
+            (restart_interval,) = struct.unpack(">H", body)
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = body[0]
-            if ns != 3:
-                raise JpegError("scan must cover 3 components")
-            for c in range(3):
+            if not comps or ns != len(comps):
+                raise JpegError("scan must cover every SOF component")
+            for c in range(ns):
                 cs, tabs = body[1 + c * 2 : 3 + c * 2]
                 scan_sel.append((cs, tabs >> 4, tabs & 0x0F))
             scan_pos = pos
@@ -540,7 +618,7 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
         if (0x00 | dc_t) not in huffs or (0x10 | ac_t) not in huffs:
             raise JpegError("missing huffman table")
         scan_order.append((idx, dc_t, ac_t))
-    if sorted(i for i, _, _ in scan_order) != [0, 1, 2]:
+    if sorted(i for i, _, _ in scan_order) != list(range(len(comps))):
         raise JpegError("scan must cover each component exactly once")
 
     hmax = max(c[1] for c in comps)
@@ -551,9 +629,21 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
         for _, ch, cv, _ in comps
     ]
     br = _BitReader(data, scan_pos)
-    preds = [0, 0, 0]
+    preds = [0] * len(comps)
+    n_mcux = width // (8 * hmax)
+    mcu_idx = 0
+    rst_idx = 0
     for my in range(height // (8 * vmax)):
-        for mx in range(width // (8 * hmax)):
+        for mx in range(n_mcux):
+            if (
+                restart_interval
+                and mcu_idx
+                and mcu_idx % restart_interval == 0
+            ):
+                br.restart(rst_idx % 8)
+                rst_idx += 1
+                preds = [0] * len(comps)
+            mcu_idx += 1
             for comp, dc_t, ac_t in scan_order:
                 _, ch, cv, tq = comps[comp]
                 dc_table = huffs[0x00 | dc_t]
@@ -601,6 +691,9 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                 np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
             )
         full.append(plane)
+    if len(full) == 1:  # grayscale: Y replicated into RGB
+        rgb = np.repeat(full[0][..., None], 3, axis=-1).astype(np.uint8)
+        return width, height, 3, rgb.tobytes()
     ycc = np.stack(full, axis=-1)
     rgb = ycbcr_to_rgb(ycc).astype(np.uint8)
     return width, height, 3, rgb.tobytes()

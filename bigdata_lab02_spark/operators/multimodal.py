@@ -343,13 +343,24 @@ def _jpeg_block_consts(media_id: int, bx: int, by: int) -> tuple[int, int, int]:
 def synthetic_jpeg(spark, n: int = 64) -> DataFrame:
     """Deterministic media table with REAL baseline JPEG payloads encoded
     on the executors (vendored codec, jpeg.py), cycling the codec's WHOLE
-    profile: ``media_id % 4`` selects 4:4:4 (ids 0, 2 mod 4 — dims
-    8·(2+id%3) × 8·(2+id%2), per-8×8-block constants), 4:2:0 (ids 1 mod 4
-    — dims 16·(1+id%3) × 16, per-16×16-MCU constants, so the subsampled
-    chroma stays DC-only and the lossy decode keeps its closed form), or
-    a corrupt payload (ids 3 mod 4 — truncated mid-scan) so the decoder's
-    honest-failure path stays exercised. Constants come from
-    ``_jpeg_block_consts`` in every profile."""
+    profile on ``media_id % 8``:
+
+    - 0, 2: 4:4:4 — dims 8·(2+id%3) × 8·(2+id%2), per-8×8-block constants;
+    - 4: 4:4:4 with a restart interval of 1 MCU (DRI + RSTn chain — the
+      stream layout nearly all camera/web baseline JPEGs carry; restarts
+      only reset DC predictors, so the decoded pixels keep the SAME
+      closed form as the plain 4:4:4 stripe);
+    - 1: 4:2:0 — dims 16·(1+id%3) × 16, per-16×16-MCU constants, so the
+      subsampled chroma stays DC-only and the lossy decode keeps its
+      closed form;
+    - 5: 4:2:0 with a restart interval of 2 MCUs;
+    - 6: GRAYSCALE (1-component SOF) with restart interval 1 — decode
+      replicates Y into RGB, so sum_r = sum_g = sum_b = Σ y1;
+    - 3: corrupt — truncated mid-scan;
+    - 7: corrupt — DRI-bearing stream whose first RST0 is tampered to
+      RST4 (out-of-sequence restart ⇒ honest decode failure).
+
+    Constants come from ``_jpeg_block_consts`` in every profile."""
     enc = _jpeg.encode_jpeg
     consts = _jpeg_block_consts
 
@@ -361,7 +372,8 @@ def synthetic_jpeg(spark, n: int = 64) -> DataFrame:
                     "width": [], "height": []}
             for mid in pdf["id"]:
                 mid = int(mid)
-                if mid % 4 == 1:  # 4:2:0 stripe — constants per 16×16 MCU
+                s = mid % 8
+                if s in (1, 5):  # 4:2:0 stripes — constants per 16×16 MCU
                     w, h = 16 * (1 + mid % 3), 16
                     img = np.zeros((h, w, 3), dtype=np.uint8)
                     for mby in range(h // 16):
@@ -370,8 +382,9 @@ def synthetic_jpeg(spark, n: int = 64) -> DataFrame:
                                 mby * 16 : mby * 16 + 16,
                                 mbx * 16 : mbx * 16 + 16,
                             ] = consts(mid, mbx, mby)
-                    payload = enc(w, h, img.tobytes(), subsampling="420")
-                else:  # 4:4:4 (and the corrupt stripe's base encoding)
+                    payload = enc(w, h, img.tobytes(), subsampling="420",
+                                  restart_interval=2 if s == 5 else 0)
+                else:  # 4:4:4 / gray (and the corrupt stripes' base encoding)
                     w, h = 8 * (2 + mid % 3), 8 * (2 + mid % 2)
                     img = np.zeros((h, w, 3), dtype=np.uint8)
                     for by in range(h // 8):
@@ -379,9 +392,19 @@ def synthetic_jpeg(spark, n: int = 64) -> DataFrame:
                             img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                                 consts(mid, bx, by)
                             )
-                    payload = enc(w, h, img.tobytes())
-                if mid % 4 == 3:  # corrupt stripe: truncate mid-scan
+                    if s == 6:
+                        payload = enc(w, h, img.tobytes(),
+                                      subsampling="gray", restart_interval=1)
+                    elif s in (4, 7):
+                        payload = enc(w, h, img.tobytes(), restart_interval=1)
+                    else:
+                        payload = enc(w, h, img.tobytes())
+                if s == 3:  # corrupt stripe: truncate mid-scan
                     payload = payload[: int(len(payload) * 0.6)]
+                elif s == 7:  # corrupt stripe: out-of-sequence RSTn
+                    i = payload.find(b"\xff\xd0")  # first restart (RST0)
+                    assert i >= 0  # >= 4 MCUs at interval 1 guarantees it
+                    payload = payload[:i + 1] + b"\xd4" + payload[i + 2:]
                 rows["media_id"].append(mid)
                 rows["payload"].append(payload)
                 rows["mime"].append("image/jpeg")

@@ -304,3 +304,108 @@ class TestSparkPlumbing:
                 assert r["width"] == 8 * (2 + mid % 3)
                 assert r["height"] == 8 * (2 + mid % 2)
                 assert r["sum_r"] is not None and r["sum_r"] >= 0
+
+
+class TestRestartAndGrayscale:
+    """Round-7 profile extensions (VERDICT r6 item 2): DRI/RSTn restart
+    intervals and 1-component grayscale SOF."""
+
+    def _img(self, w, h, seed=0):
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+    def test_restart_interval_decodes_identically(self):
+        """Restarts only reset DC predictors and byte-align — the decoded
+        pixels must be bit-identical to the restart-free stream, at every
+        interval and in both sampling layouts."""
+        img = self._img(48, 32, 1)
+        plain = J.decode_jpeg(J.encode_jpeg(48, 32, img.tobytes()))
+        for ri in (1, 2, 3, 5, 24):
+            withri = J.encode_jpeg(48, 32, img.tobytes(), restart_interval=ri)
+            if ri < 24:  # 24 MCUs: interval >= count emits no marker
+                assert b"\xff\xdd" in withri and b"\xff\xd0" in withri
+            assert J.decode_jpeg(withri) == plain
+        img2 = self._img(64, 32, 2)
+        p420 = J.decode_jpeg(J.encode_jpeg(64, 32, img2.tobytes(), subsampling="420"))
+        assert J.decode_jpeg(J.encode_jpeg(
+            64, 32, img2.tobytes(), subsampling="420", restart_interval=2)) == p420
+
+    def test_rst_index_cycles_past_8(self):
+        """>8 restarts forces the 0xD0..0xD7 index to wrap — the decoder
+        must track the cycle, not just the first 8."""
+        img = self._img(96, 32, 3)  # 12x4 = 48 MCUs, 47 restarts at ri=1
+        data = J.encode_jpeg(96, 32, img.tobytes(), restart_interval=1)
+        assert data.count(b"\xff\xd7") >= 5  # wraps several times
+        assert J.decode_jpeg(data) == J.decode_jpeg(J.encode_jpeg(96, 32, img.tobytes()))
+
+    def test_out_of_sequence_rst_rejected(self):
+        img = self._img(32, 16, 4)
+        data = bytearray(J.encode_jpeg(32, 16, img.tobytes(), restart_interval=1))
+        i = bytes(data).find(b"\xff\xd0")
+        data[i + 1] = 0xD5
+        with pytest.raises(J.JpegError):
+            J.decode_jpeg(bytes(data))
+
+    def test_rst_without_dri_rejected(self):
+        img = self._img(32, 16, 5)
+        data = J.encode_jpeg(32, 16, img.tobytes(), restart_interval=1)
+        # strip the DRI segment (FF DD 00 04 00 01)
+        stripped = data.replace(b"\xff\xdd\x00\x04\x00\x01", b"", 1)
+        assert len(stripped) == len(data) - 6
+        with pytest.raises(J.JpegError):
+            J.decode_jpeg(stripped)
+
+    def test_bad_dri_length_rejected(self):
+        with pytest.raises(J.JpegError):
+            J.decode_jpeg(b"\xff\xd8\xff\xdd\x00\x03\x00\xff\xd9")
+
+    def test_grayscale_roundtrip_is_luma(self):
+        """Grayscale encode keeps only Y; decode replicates it into RGB.
+        The decoded Y must equal the 3-component stream's decoded Y plane
+        reconstruction (same DCT/quant path, no chroma influence)."""
+        img = self._img(24, 16, 6)
+        w, h, ch, px = J.decode_jpeg(J.encode_jpeg(24, 16, img.tobytes(),
+                                                   subsampling="gray"))
+        assert (w, h, ch) == (24, 16, 3)
+        a = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+        assert (a[..., 0] == a[..., 1]).all() and (a[..., 0] == a[..., 2]).all()
+
+    def test_grayscale_constant_blocks_closed_form(self):
+        """Per-block-constant grayscale follows the luma-only DC closed
+        form: y1 = rnd(rnd(8*(y0-128)/Q00)*Q00/8 + 128), replicated."""
+        consts = {(0, 0): (10, 200, 30), (1, 0): (250, 5, 128)}
+        img = _block_image(16, 8, consts)
+        w, h, _, px = J.decode_jpeg(J.encode_jpeg(16, 8, img.tobytes(),
+                                                  subsampling="gray",
+                                                  restart_interval=1))
+        a = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+        for (bx, by), (r, g, b) in consts.items():
+            y0 = min(255, max(0, int(np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5 + 1e-9))))
+            dc = int(np.floor(8 * (y0 - 128) / 16.0 + 0.5 + 1e-9))
+            y1 = min(255, max(0, int(np.floor(dc * 16 / 8.0 + 128 + 0.5 + 1e-9))))
+            blk = a[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert (blk == y1).all()
+
+    def test_grayscale_rejects_bad_dims(self):
+        with pytest.raises(J.JpegError):
+            J.encode_jpeg(12, 8, bytes(12 * 8 * 3), subsampling="gray")
+
+    def test_fuzz_dri_stream_never_crashes(self):
+        """Single-byte mutations over a DRI-bearing grayscale+color pair:
+        decode either succeeds or raises JpegError — the honest-failure
+        contract extends to the new marker paths."""
+        img = self._img(16, 16, 7)
+        streams = [
+            J.encode_jpeg(16, 16, img.tobytes(), restart_interval=1),
+            J.encode_jpeg(16, 16, img.tobytes(), subsampling="gray",
+                          restart_interval=1),
+        ]
+        for data in streams:
+            for i in range(len(data)):
+                for delta in (0x01, 0x80, 0xFF):
+                    mutated = bytearray(data)
+                    mutated[i] ^= delta
+                    try:
+                        J.decode_jpeg(bytes(mutated))
+                    except J.JpegError:
+                        pass
