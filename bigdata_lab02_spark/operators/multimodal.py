@@ -196,18 +196,70 @@ def synthetic_media_mixed(
     )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def sniff_image_format(b: bytes) -> str | None:
+    """Magic-byte format sniff: 'png' / 'jpeg' / None. The dispatch key
+    for every image kernel — media columns in a real crawl are
+    format-mixed, so kernels route per PAYLOAD, not per table."""
+    if b[:8] == _PNG_MAGIC:
+        return "png"
+    if b[:3] == _JPEG_MAGIC:
+        return "jpeg"
+    return None
+
+
+def _decode_any_image(b: bytes) -> tuple[int, int, int, bytes, str]:
+    """(width, height, channels, pixel_bytes, format) via the codec the
+    magic bytes name. Unknown magic raises PngError (any codec-family
+    error maps to the honest-failure path upstream)."""
+    fmt = sniff_image_format(b)
+    if fmt == "png":
+        w, h, ch, px = _png.decode_png(b)
+    elif fmt == "jpeg":
+        w, h, ch, px = _jpeg.decode_jpeg(b)
+    else:
+        raise _png.PngError("unknown image magic")
+    return w, h, ch, px, fmt
+
+
+def _features_from_pixels(
+    width: int, height: int, channels: int, pixels: bytes, n_bins: int = 8
+) -> list[float]:
+    """``[width, height, channels, mean/255, *histogram]`` — the same
+    vector png.png_features computes, factored out so every image format
+    feeds one feature definition."""
+    n = len(pixels)
+    bins = [0] * n_bins
+    total = 0
+    for b in pixels:
+        total += b
+        bins[min(b * n_bins // 256, n_bins - 1)] += 1
+    return [
+        float(width),
+        float(height),
+        float(channels),
+        total / (255.0 * n) if n else 0.0,
+    ] + [c / n if n else 0.0 for c in bins]
+
+
 def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
-    """Real decode kernel: byte-level PNG decode + feature extraction via
-    the vendored stdlib codec (``png.png_features``). Null or undecodable
-    payloads (bad magic, truncated, unsupported profile) yield
-    ``decode_ok=False`` with a null feature — the honest-failure path."""
+    """Real decode kernel: byte-level image decode + feature extraction
+    via the vendored codecs — format-dispatched on magic bytes (PNG and
+    baseline JPEG). Null or undecodable payloads (unknown magic,
+    truncated, unsupported profile) yield ``decode_ok=False`` with a
+    null feature — the honest-failure path."""
     feats = []
     ok = []
     for b in payloads:
         try:
-            feats.append([float(v) for v in _png.png_features(bytes(b))])
+            w, h, ch, px, _ = _decode_any_image(bytes(b))
+            feats.append(_features_from_pixels(w, h, ch, px))
             ok.append(True)
-        except (_png.PngError, TypeError):  # TypeError: payload is None
+        except (_png.PngError, _jpeg.JpegError, TypeError):
+            # TypeError: payload is None
             feats.append(None)
             ok.append(False)
     return pd.DataFrame({"feature": feats, "decode_ok": ok})
@@ -264,17 +316,26 @@ def extract_features(
 def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
     """Image RESIZE as a distributed kernel — the remaining member of the
     multimodal op family (decode / feature-extract / RESIZE /
-    frame-sample): integer-``factor`` box-filter downsample of PNG
-    payloads. Each output pixel is the mean of a factor×factor input
-    block, rounded with the codec family's shared ``floor(x+0.5+1e-9)``
-    rule (exact integer math — tests recompute it from the generator
-    formula); the edge remainder (inputs not a multiple of ``factor``) is
-    cropped, matching the box-filter contract. The result re-encodes
-    losslessly (PNG), so downstream stages read a normal image column.
+    frame-sample): integer-``factor`` box-filter downsample, FORMAT-
+    DISPATCHED on magic bytes (PNG and baseline JPEG — r6 item 7; a real
+    crawl's image column is format-mixed). Each output pixel is the mean
+    of a factor×factor input block, rounded with the codec family's
+    shared ``floor(x+0.5+1e-9)`` rule (exact integer math — tests
+    recompute it from the generator formula); the edge remainder (inputs
+    not a multiple of ``factor``) is cropped, matching the box-filter
+    contract. The result ALWAYS re-encodes as PNG regardless of source
+    format — lossless, and free of the JPEG profile's MCU-multiple
+    dimension restriction which resized dims need not satisfy;
+    ``src_format`` records what the payload arrived as.
 
-    Returns (media_id, payload, width, height, channels,
-    total_intensity, decode_ok) — undecodable inputs keep the honest-
-    failure path (decode_ok=false, null payload/stats).
+    Returns (media_id, payload, src_format, width, height, channels,
+    total_intensity, decode_ok). ``decode_ok`` means exactly "the
+    payload DECODED" (ADVICE r6): undecodable inputs are
+    decode_ok=false with everything null; a payload that decodes fine
+    but is SMALLER than ``factor`` keeps decode_ok=true with its
+    ORIGINAL width/height/channels and src_format populated and a null
+    payload/total_intensity — downstream honest-failure accounting can
+    tell corrupt bytes from profile-small images.
 
     Scale shape: one Arrow-batched mapInPandas over the payload column —
     bytes never cross a shuffle; pair with ``extract_features``'s
@@ -282,9 +343,8 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
     """
     if factor < 1:
         raise ValueError("factor must be >= 1")
-    dec = _png.decode_png
+    dec = _decode_any_image
     enc = _png.encode_png
-    err = _png.PngError
     rnd = _jpeg._rnd  # the codec family's single rounding rule
     f = factor
 
@@ -293,38 +353,71 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
 
         ct_by_ch = {1: 0, 3: 2, 4: 6}
         for pdf in batches:
-            out = {"media_id": [], "payload": [], "width": [], "height": [],
-                   "channels": [], "total_intensity": [], "decode_ok": []}
+            out = {"media_id": [], "payload": [], "src_format": [],
+                   "width": [], "height": [], "channels": [],
+                   "total_intensity": [], "decode_ok": []}
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
                 out["media_id"].append(int(mid))
                 try:
-                    w, h, ch, px = dec(bytes(b))
-                    ow, oh = w // f, h // f
-                    if ow < 1 or oh < 1:
-                        raise err(f"image {w}x{h} smaller than factor {f}")
-                    a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
-                    a = a[: oh * f, : ow * f].astype(np.float64)
-                    m = a.reshape(oh, f, ow, f, ch).mean(axis=(1, 3))
-                    small = np.clip(rnd(m), 0, 255).astype(np.uint8)
-                    out["payload"].append(
-                        enc(ow, oh, small.tobytes(), color_type=ct_by_ch[ch])
-                    )
-                    out["width"].append(ow)
-                    out["height"].append(oh)
-                    out["channels"].append(ch)
-                    out["total_intensity"].append(int(small.sum()))
-                    out["decode_ok"].append(True)
-                except (err, TypeError):
-                    for k in ("payload", "width", "height", "channels",
-                              "total_intensity"):
+                    w, h, ch, px, fmt = dec(bytes(b))
+                except (_png.PngError, _jpeg.JpegError, TypeError):
+                    for k in ("payload", "src_format", "width", "height",
+                              "channels", "total_intensity"):
                         out[k].append(None)
                     out["decode_ok"].append(False)
+                    continue
+                out["src_format"].append(fmt)
+                out["channels"].append(ch)
+                out["decode_ok"].append(True)  # it DID decode
+                ow, oh = w // f, h // f
+                if ow < 1 or oh < 1:
+                    # decoded fine but too small to resize: original dims,
+                    # null payload/stats (op-skipped, not payload-corrupt)
+                    out["payload"].append(None)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["total_intensity"].append(None)
+                    continue
+                a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+                a = a[: oh * f, : ow * f].astype(np.float64)
+                m = a.reshape(oh, f, ow, f, ch).mean(axis=(1, 3))
+                small = np.clip(rnd(m), 0, 255).astype(np.uint8)
+                out["payload"].append(
+                    enc(ow, oh, small.tobytes(), color_type=ct_by_ch[ch])
+                )
+                out["width"].append(ow)
+                out["height"].append(oh)
+                out["total_intensity"].append(int(small.sum()))
             yield pd.DataFrame(out)
 
     return media.mapInPandas(
         op,
-        "media_id long, payload binary, width int, height int, "
-        "channels int, total_intensity long, decode_ok boolean",
+        "media_id long, payload binary, src_format string, width int, "
+        "height int, channels int, total_intensity long, decode_ok boolean",
+    )
+
+
+def synthetic_tiny_png(
+    spark, n: int = 4, start_id: int = 900, width: int = 1, height: int = 1
+) -> DataFrame:
+    """n tiny grayscale PNGs (default 1×1, pixel = media_id % 256) — the
+    decodes-fine-but-too-small-to-resize stripe for the resize gate
+    (ADVICE r6: decode_ok must mean DECODED, with the op-skip case
+    distinguishable from corrupt bytes)."""
+    enc = _png.encode_png
+
+    def mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "payload": []}
+            for i in pdf["id"]:
+                mid = start_id + int(i)
+                px = bytes([mid % 256]) * (width * height)
+                rows["media_id"].append(mid)
+                rows["payload"].append(enc(width, height, px, color_type=0))
+            yield pd.DataFrame(rows)
+
+    return spark.range(n, numPartitions=1).mapInPandas(
+        mk, "media_id long, payload binary"
     )
 
 

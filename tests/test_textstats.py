@@ -15,11 +15,48 @@ def _docs(spark):
     return spark.createDataFrame(rows, "doc_id int, text string")
 
 
-def test_language_id(spark):
-    out = {r["doc_id"]: r["pred_lang"] for r in ts.language_id(_docs(spark)).collect()}
+def test_language_id_stopword(spark):
+    out = {r["doc_id"]: r["pred_lang"]
+           for r in ts.language_id_stopword(_docs(spark)).collect()}
     assert out[1] == "en"
     assert out[2] == "es"
     assert out[4] == "und"  # empty text → undetermined
+
+
+def test_language_id_trigram_heldout_floor(spark):
+    """The real classifier (hashed char-trigram NB, VERDICT r6 item 5):
+    train on the labeled 3/4 seed split of the gate's 5-language
+    multi-script fixture, measure accuracy on the HELD-OUT quarter
+    (docs the model never saw). Wordlists are fully disjoint between
+    languages, so the floor is strict."""
+    import __spark_entry__ as e
+
+    corpus = e._lid_corpus(spark)
+    seed = corpus.where(F.col("doc_id") % 4 != 0)
+    pred = ts.language_id(corpus, seed, n_buckets=4096)
+    rows = (
+        corpus.where(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .collect()
+    )
+    assert len(rows) == e._LID_N // 4
+    acc = sum(r["lang"] == r["pred_lang"] for r in rows) / len(rows)
+    assert acc >= 0.9, acc
+
+
+def test_language_id_trigram_deterministic_and_scored(spark):
+    """Same seed → identical predictions and integer scores; every doc
+    gets exactly one row."""
+    import __spark_entry__ as e
+
+    corpus = e._lid_corpus(spark)
+    seed = corpus.where(F.col("doc_id") % 4 != 0)
+    a = sorted(map(tuple, ts.language_id(corpus, seed).collect()))
+    b = sorted(map(tuple, ts.language_id(corpus, seed).collect()))
+    assert a == b
+    assert len(a) == e._LID_N
+    assert all(isinstance(t[2], int) for t in a)  # micro-unit long scores
 
 
 def test_quality_score_bounds_and_ordering(spark):
