@@ -1,0 +1,219 @@
+"""Streaming checkpoint-recovery gates (VERDICT r6 item 6).
+
+The seven stream_* driver gates replay bounded sources to completion, but
+none of them ever STOPPED a query and resumed it from its checkpoint — the
+exactly-once contract of the stateful operators was asserted only for
+uninterrupted runs. These tests kill and resume:
+
+- ``running_user_totals_stream`` (applyInPandasWithState custom state):
+  after resume, per-user totals must equal the batch groupBy twin over ALL
+  events. If the (n, cents) state were lost at the stop, post-resume
+  emissions would count only second-half events — the equality is
+  unfakeable proof the state store round-tripped through the checkpoint.
+- ``followup_pairs_stream`` (stream-stream join): pairs whose two sides
+  arrive on OPPOSITE sides of the stop can only be emitted if the join's
+  buffered state survives the restart; the full multiset of emissions
+  across both runs must equal the batch self-join exactly — no misses
+  (state lost) and no duplicates (offsets replayed).
+
+Determinism: the source is split into time-ordered parquet files (ascending
+ts ranges, ascending mtimes) so the file-stream replays them oldest-first
+and the 2-hour watermark never classifies a later file's rows as late. The
+"kill" is deterministic — run A sees only the first half of the files,
+stops, the second half lands, run B starts from run A's checkpoint.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_lab02_spark.streaming.events import (
+    _with_ts,
+    followup_pairs_stream,
+    read_event_stream,
+    running_user_totals_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+N_FILES = 8
+
+
+@pytest.fixture(scope="module")
+def split_source(spark, tmp_path_factory):
+    """The sf0.001 events split into N_FILES time-ordered parquet files,
+    written oldest-range-first so file mtime order == event time order.
+    Returns (staging_dir, batch_df)."""
+    staging = tmp_path_factory.mktemp("events_split")
+    ev = _with_ts(spark.read.parquet(f"{SF}/events.parquet"))
+    import datetime
+
+    bounds = ev.select(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo).total_seconds() + 1
+    for k in range(N_FILES):
+        t0 = lo + datetime.timedelta(seconds=k * span / N_FILES)
+        t1 = lo + datetime.timedelta(seconds=(k + 1) * span / N_FILES)
+        part = ev.where((F.col("ts") >= F.lit(t0)) & (F.col("ts") < F.lit(t1)))
+        part.coalesce(1).write.mode("append").parquet(str(staging))
+        time.sleep(0.05)  # distinct mtimes -> deterministic replay order
+    return str(staging), ev
+
+
+def _files_in_order(staging: str) -> list[pathlib.Path]:
+    return sorted(
+        pathlib.Path(staging).glob("part-*.parquet"), key=lambda p: p.stat().st_mtime
+    )
+
+
+def _kill_resume_run(spark, tmp_path, staging, build_query, name, mode):
+    """Copy the first half of the files into a fresh source dir, run the
+    query to completion with a checkpoint and stop it; land the second
+    half; resume from the same checkpoint. Returns (emissions_a,
+    emissions_b) as lists of (batch_id, rows)."""
+    src = tmp_path / f"{name}_src"
+    ckpt = tmp_path / f"{name}_ckpt"
+    src.mkdir()
+    files = _files_in_order(staging)
+    assert len(files) == N_FILES
+    for f in files[: N_FILES // 2]:
+        shutil.copy(f, src / f.name)  # copy (not copy2): fresh mtimes in order
+        time.sleep(0.05)
+
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try:
+
+        def run():
+            emissions = []
+
+            def sink(df, bid):
+                emissions.append((bid, df.collect()))
+
+            q = (
+                build_query(read_event_stream(spark, str(src)))
+                .writeStream.outputMode(mode)
+                .option("checkpointLocation", str(ckpt))
+                .foreachBatch(sink)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            return emissions
+
+        run_a = run()
+        # the "crash": query stopped; more data lands while it's down
+        for f in files[N_FILES // 2 :]:
+            shutil.copy(f, src / f.name)
+            time.sleep(0.05)
+        run_b = run()
+    finally:
+        spark.conf.set(key, saved)
+    return run_a, run_b
+
+
+def test_custom_state_survives_kill_resume(spark, tmp_path, split_source):
+    staging, ev = split_source
+    run_a, run_b = _kill_resume_run(
+        spark, tmp_path, staging, running_user_totals_stream, "totals", "update"
+    )
+    assert run_a and run_b
+    # offsets were checkpointed: the resumed run continues the batch
+    # sequence, it does not replay run A's batches
+    assert min(b for b, _ in run_b) > max(b for b, _ in run_a)
+
+    # last emission per user across the WHOLE interrupted run
+    final: dict[int, tuple[int, float]] = {}
+    for _, rows in run_a + run_b:
+        for r in rows:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+
+    batch = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("tv"),
+        )
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for u in batch:
+        assert final[u] == batch[u], (
+            f"user {u}: stream {final[u]} != batch {batch[u]} — "
+            "state lost or double-counted across the restart"
+        )
+
+
+def test_stream_stream_join_state_survives_kill_resume(spark, tmp_path, split_source):
+    staging, ev = split_source
+
+    def build(events):
+        # 24 h horizon: the sf0.001 fixture has ZERO same-user pairs that
+        # straddle the restart boundary within the default 2 h (events are
+        # ~1.4/h over 30 days) — a wider horizon makes the checkpointed
+        # join state load-bearing (29 straddling pairs) instead of vacuous
+        return followup_pairs_stream(events, horizon="24 hours",
+                                     watermark="24 hours")
+
+    run_a, run_b = _kill_resume_run(
+        spark, tmp_path, staging, build, "pairs", "append"
+    )
+    emitted = [
+        (r["a_id"], r["b_id"], r["user_id"])
+        for _, rows in run_a + run_b
+        for r in rows
+    ]
+    # exactly-once: multiset equality (no dedup applied) with the batch twin
+    assert len(emitted) == len(set(emitted)), "duplicate pair emissions"
+
+    a = ev.select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+    )
+    batch_pairs = {
+        (r["a_id"], r["b_id"], r["user_id"])
+        for r in a.join(
+            b,
+            (F.col("a_user") == F.col("b_user"))
+            & (F.col("a_id") != F.col("b_id"))
+            & (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 24 hours")),
+        )
+        .select("a_id", "b_id", F.col("a_user").alias("user_id"))
+        .collect()
+    }
+    assert set(emitted) == batch_pairs
+    # the load-bearing half: pairs whose sides straddle the restart exist
+    # and were only recoverable from checkpointed join state
+    first_half_ids = set()
+    for f in _files_in_order(staging)[: N_FILES // 2]:
+        first_half_ids |= {
+            r["event_id"] for r in spark.read.parquet(str(f)).collect()
+        }
+    straddling = [
+        p for p in batch_pairs
+        if (p[0] in first_half_ids) != (p[1] in first_half_ids)
+    ]
+    assert straddling, "fixture produced no cross-restart pairs"
+    emitted_b = {
+        (r["a_id"], r["b_id"], r["user_id"]) for _, rows in run_b for r in rows
+    }
+    assert set(straddling) <= emitted_b
