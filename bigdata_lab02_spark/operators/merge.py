@@ -46,6 +46,18 @@ def merge_upsert(
     check yet still merge duplicates (TOCTOU). With the check disabled the
     plan stays fully lazy and nothing is checkpointed.
 
+    Durability trade (ADVICE r6): ``localCheckpoint`` pins the delta to
+    EXECUTOR-LOCAL storage — not a reliable checkpoint. Losing an
+    executor between the uniqueness check and the merge action FAILS the
+    job (the pinned blocks are gone and by design cannot be recomputed)
+    rather than silently recomputing a delta the check never saw; rerun
+    the merge. That fail-closed behavior is deliberate. For a
+    DETERMINISTIC delta source where recompute is provably safe, the
+    executor-loss-tolerant alternative is
+    ``updates.persist(StorageLevel.DISK_ONLY)`` + ``count()`` before
+    calling with ``check_unique_keys=False`` — there determinism, not
+    pinning, guarantees check/merge agreement.
+
     Shape: one LEFT ANTI join (base minus updated keys) + union. With
     ``broadcast_updates`` (the common case — a delta is small relative to
     the snapshot) the anti-join broadcasts the delta and the base NEVER
