@@ -2253,18 +2253,22 @@ def q_jpeg_decode(spark, sf_dir):
     quantization, canonical Huffman with DC prediction and byte
     stuffing), extract_jpeg_stats byte-level decodes it back and reduces
     to exact integer per-channel pixel sums. The corpus cycles the whole
-    profile (8 stripes since r7): 4:4:4 rows are per-8×8-block constants
-    (one stripe restart-interval-bearing — DRI + RSTn chains, the layout
-    nearly all camera/web baseline JPEGs carry); 4:2:0 rows (2×2-
-    subsampled chroma, multi-block MCUs, replication upsampling, one
-    stripe with DRI) are per-16×16-MCU constants so the subsampled
-    chroma stays DC-only; a GRAYSCALE stripe (1-component SOF + DRI)
-    replicates Y into RGB; in all cases the LOSSY round trip has a
-    closed form the oracle restates exactly (the shared
-    floor(x+0.5+1e-9) rounding bridges float-DCT noise — jpeg.py
-    docstring). Two corrupt stripes — truncated mid-scan and
-    out-of-sequence RSTn — must surface as decode_ok=false with null
-    stats. (sf_dir unused: media is generated.)"""
+    profile (16 stripes since the r7 progressive extension): 4:4:4 rows
+    are per-8×8-block constants, with DRI-bearing (RSTn chains, the
+    layout nearly all camera/web baseline JPEGs carry) AND PROGRESSIVE
+    (SOF2 6-phase scan script with successive approximation — the
+    encoding the majority of modern web JPEGs use) variants; 4:2:0 rows
+    (2×2-subsampled chroma, multi-block MCUs, replication upsampling,
+    DRI/progressive variants) are per-16×16-MCU constants so the
+    subsampled chroma stays DC-only; GRAYSCALE stripes (1-component
+    SOF, baseline+DRI and progressive) replicate Y into RGB. In all
+    cases the LOSSY round trip has a closed form the oracle restates
+    exactly — restarts only reset predictors and progressive re-orders
+    the SAME quantized coefficients (the shared floor(x+0.5+1e-9)
+    rounding bridges float-DCT noise — jpeg.py docstring). Four corrupt
+    stripes — baseline/progressive truncation and out-of-sequence RSTn
+    in both — must surface as decode_ok=false with null stats. (sf_dir
+    unused: media is generated.)"""
     from bigdata_lab02_spark.operators.multimodal import (
         extract_jpeg_stats,
         synthetic_jpeg,
@@ -2273,19 +2277,22 @@ def q_jpeg_decode(spark, sf_dir):
     return extract_jpeg_stats(synthetic_jpeg(spark, n=_MM_N))
 
 
-# Mirrors synthetic_jpeg/_jpeg_block_consts (media_id % 8 stripes since
-# r7): 4:4:4 rows (id%8 in (0,2,4) — 4 carries a restart interval, which
-# only resets DC predictors and leaves the decoded pixels on the SAME
-# closed form) are per-8×8-block constants at 8·(2+id%3) × 8·(2+id%2);
-# 4:2:0 rows (id%8 in (1,5); 5 DRI-bearing) are per-16×16-MCU constants
-# at 16·(1+id%3) × 16 (constant MCUs keep the subsampled chroma DC-only,
-# so the SAME closed form applies with npix=256 per constant region);
-# GRAYSCALE rows (id%8=6, 1-component SOF + DRI) follow the luma-only
-# closed form with Y replicated into RGB; corrupt stripes id%8 in (3,7)
-# (truncation / out-of-sequence RSTn). The decode closed form: RGB →
-# JFIF YCbCr (rnd+clamp) → DC quantize (Q00 = 16 lum / 17 chroma; 2×2
-# chroma averaging of a constant is the constant) → reconstruct →
-# replicate → inverse JFIF (rnd+clamp);
+# Mirrors synthetic_jpeg/_jpeg_block_consts (media_id % 16 stripes since
+# the r7 progressive extension): 4:4:4 rows (id%16 in (0,2,4,8,10) —
+# DRI-bearing and PROGRESSIVE variants included: restarts only reset DC
+# predictors and progressive re-orders the SAME quantized coefficients,
+# so both leave the decoded pixels on the SAME closed form) are
+# per-8×8-block constants at 8·(2+id%3) × 8·(2+id%2); 4:2:0 rows
+# (id%16 in (1,5,9,13,14); DRI/progressive variants) are per-16×16-MCU
+# constants at 16·(1+id%3) × 16 (constant MCUs keep the subsampled
+# chroma DC-only, so the SAME closed form applies with npix=256 per
+# constant region); GRAYSCALE rows (id%16 in (6,12), 1-component SOF,
+# baseline+DRI and progressive) follow the luma-only closed form with Y
+# replicated into RGB; corrupt stripes id%16 in (3,7,11,15)
+# (baseline/progressive truncation, out-of-sequence RSTn in both). The
+# decode closed form: RGB → JFIF YCbCr (rnd+clamp) → DC quantize (Q00 =
+# 16 lum / 17 chroma; 2×2 chroma averaging of a constant is the
+# constant) → reconstruct → replicate → inverse JFIF (rnd+clamp);
 # rnd(x) = floor(x + (0.5 + 1e-9)) throughout — the codec's single
 # rounding rule, restated verbatim here. A function of n so the resize
 # gate can reuse the identical closed form at its own corpus size.
@@ -2295,15 +2302,15 @@ WITH ids AS (SELECT range AS media_id FROM range({n})),
 ids444 AS (
   SELECT media_id, CAST(8 * (2 + media_id % 3) AS INT) AS width,
          CAST(8 * (2 + media_id % 2) AS INT) AS height
-  FROM ids WHERE media_id % 8 IN (0, 2, 4)),
+  FROM ids WHERE media_id % 16 IN (0, 2, 4, 8, 10)),
 ids420 AS (
   SELECT media_id, CAST(16 * (1 + media_id % 3) AS INT) AS width,
          CAST(16 AS INT) AS height
-  FROM ids WHERE media_id % 8 IN (1, 5)),
+  FROM ids WHERE media_id % 16 IN (1, 5, 9, 13, 14)),
 idsgray AS (
   SELECT media_id, CAST(8 * (2 + media_id % 3) AS INT) AS width,
          CAST(8 * (2 + media_id % 2) AS INT) AS height
-  FROM ids WHERE media_id % 8 = 6),
+  FROM ids WHERE media_id % 16 IN (6, 12)),
 blk AS (
   SELECT i.media_id, i.width, i.height, 64 AS npix,
     (i.media_id * 31 + bx.range * 7 + by.range * 13) % 256 AS r,
@@ -2380,7 +2387,7 @@ UNION ALL
 SELECT media_id, CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
   CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
   CAST(NULL AS BIGINT) AS sum_b, FALSE AS decode_ok
-FROM ids WHERE media_id % 8 IN (3, 7)
+FROM ids WHERE media_id % 16 IN (3, 7, 11, 15)
 """
 
 

@@ -2,27 +2,35 @@
 pipeline — the third leg of the vendored-codec triad (png.py, wav.py,
 y4m.py) and the format a real 100 TB crawl actually leads with.
 
-- encode: baseline sequential DCT, 8-bit, 3-component YCbCr (JFIF) at
-  4:4:4 or 4:2:0 (2×2 chroma subsampling — the profile real crawl JPEGs
-  lead with) or 1-component grayscale, one interleaved scan, optional
-  restart intervals (DRI + RSTn, the segments nearly all camera/web
-  baseline JPEGs carry), the T.81 Annex K example quantization tables,
+- encode: sequential DCT, 8-bit, 3-component YCbCr (JFIF) at 4:4:4 or
+  4:2:0 (2×2 chroma subsampling — the profile real crawl JPEGs lead
+  with) or 1-component grayscale; BASELINE (SOF0, one interleaved scan)
+  or PROGRESSIVE (SOF2, the classic 6-phase scan script with successive
+  approximation — the encoding the majority of modern web JPEGs use);
+  optional restart intervals (DRI + RSTn, the segments nearly all
+  camera/web JPEGs carry); the T.81 Annex K example quantization tables,
   Annex K DC Huffman tables, and a custom (valid, carried in DHT like
   any other) AC Huffman table;
-- decode: GENERAL baseline decode of what the markers declare — arbitrary
-  DQT/DHT tables, Huffman entropy decode with byte unstuffing, run-length
-  AC with ZRL/EOB, per-component DC prediction, dequant, zigzag, IDCT,
+- decode: GENERAL decode of what the markers declare — arbitrary DQT/DHT
+  tables, Huffman entropy decode with byte unstuffing, run-length AC
+  with ZRL/EOB, per-component DC prediction, dequant, zigzag, IDCT,
   level shift, multi-block MCUs per the declared sampling factors (1×1
   and 2×2), restart intervals (DRI honored; at each RSTn the reader
   byte-aligns, verifies the marker index is the expected one in the
-  0xD0..0xD7 cycle, and resets every DC predictor — an out-of-sequence
-  or missing marker raises), 1- or 3-component SOF, chroma upsampling by
-  pixel replication, YCbCr→RGB (grayscale replicates Y into RGB).
+  0xD0..0xD7 cycle, and resets the scan's predictors — an
+  out-of-sequence or missing marker raises), 1- or 3-component SOF0 AND
+  SOF2 progressive (multi-scan: DC first/refine interleaved or
+  per-component, AC band first passes with general EOBn runs, AC
+  refinement with correction bits per T.81 G.1.2.3; the
+  successive-approximation chain is TRACKED per coefficient, so a
+  refinement without its band or a re-sent band raises), chroma
+  upsampling by pixel replication, YCbCr→RGB (grayscale replicates Y
+  into RGB). Streams must end in EOI — a cut at a scan boundary is an
+  honest failure, never a partial image.
 
-Scope is deliberately small (no progressive, sampling factors limited to
-4:4:4 / 4:2:0 / grayscale, dims must be multiples of the MCU size) —
-enough for real byte-level decode coverage of the Spark-side media
-plumbing. Anything outside the profile raises ``JpegError``, which the
+Scope limits: sampling factors 4:4:4 / 4:2:0 / grayscale, dims must be
+multiples of the MCU size, no arithmetic coding / hierarchical / 12-bit
+modes. Anything outside the profile raises ``JpegError``, which the
 pipeline maps to ``decode_ok=False`` (the honest-failure path).
 
 Rounding discipline (the oracle contract): every float→int step —
@@ -295,18 +303,22 @@ def _category(v: int) -> int:
 # ----------------------------------------------------------- encoder
 
 
-def _encode_block(
+def _quantize_block(block: np.ndarray, quant: np.ndarray) -> list[int]:
+    """DCT → quantize one 8×8 sample block → 64 zigzag-ordered ints."""
+    coef = _dct2(block.astype(np.float64) - 128.0)
+    q = _rnd(coef / quant)
+    return [int(q[r, c]) for r, c in _ZIGZAG]
+
+
+def _emit_full_block(
     w: _BitWriter,
-    block: np.ndarray,
-    quant: np.ndarray,
+    zz: list[int],
     pred: int,
     dc_codes: dict[int, tuple[int, int]],
     ac_codes: dict[int, tuple[int, int]],
 ) -> int:
-    """DCT → quantize → huffman one 8×8 sample block; returns new DC pred."""
-    coef = _dct2(block.astype(np.float64) - 128.0)
-    q = _rnd(coef / quant)
-    zz = [int(q[r, c]) for r, c in _ZIGZAG]
+    """Huffman-code one quantized zigzag block (baseline full-precision
+    scan); returns the new DC predictor."""
     dc = zz[0]
     diff = dc - pred
     size = _category(diff)
@@ -342,6 +354,164 @@ def _encode_block(
     return dc
 
 
+def _encode_block(
+    w: _BitWriter,
+    block: np.ndarray,
+    quant: np.ndarray,
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """DCT → quantize → huffman one 8×8 sample block; returns new DC pred."""
+    return _emit_full_block(w, _quantize_block(block, quant), pred, dc_codes, ac_codes)
+
+
+# ------------------------------------------- progressive scan emitters
+# T.81 Annex G. Restart intervals count MCUs in interleaved scans and
+# blocks in non-interleaved scans; every scan restarts the RSTn cycle at
+# 0 and resets predictors / EOB-run state at each marker.
+
+
+def _emit_dc_first(coefs, mcu_blocks, dcs, al, ri) -> bytes:
+    w = _BitWriter()
+    preds = [0] * len(coefs)
+    units = list(mcu_blocks())
+    rst = 0
+    for u, (_, blocks) in enumerate(units):
+        for comp, by, bx in blocks:
+            v = coefs[comp][by][bx][0] >> al  # arithmetic shift (G.1.2.1)
+            diff = v - preds[comp]
+            preds[comp] = v
+            size = _category(diff)
+            code, length = dcs[comp][size]
+            w.write(code, length)
+            if size:
+                w.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        if ri and (u + 1) % ri == 0 and u + 1 < len(units):
+            w.emit_marker(0xD0 + rst % 8)
+            rst += 1
+            preds = [0] * len(coefs)
+    return w.flush()
+
+
+def _emit_dc_refine(coefs, mcu_blocks, al, ri) -> bytes:
+    w = _BitWriter()
+    units = list(mcu_blocks())
+    rst = 0
+    for u, (_, blocks) in enumerate(units):
+        for comp, by, bx in blocks:
+            w.write((coefs[comp][by][bx][0] >> al) & 1, 1)
+        if ri and (u + 1) % ri == 0 and u + 1 < len(units):
+            w.emit_marker(0xD0 + rst % 8)
+            rst += 1
+    return w.flush()
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: sign-preserving magnitude shift (G.1.2.1 —
+    NOT the DC arithmetic shift)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def _comp_blocks(coefarr):
+    """(by, bx) raster order over one component's own block grid."""
+    return [
+        (by, bx) for by in range(len(coefarr)) for bx in range(len(coefarr[0]))
+    ]
+
+
+def _emit_ac_first(coefarr, ac_codes, ss, se, al, ri) -> bytes:
+    """First AC pass of one band, one component, EOB0 per block (the
+    decoder accepts general EOBn runs; the encoder doesn't aggregate)."""
+    w = _BitWriter()
+    blocks = _comp_blocks(coefarr)
+    rst = 0
+    for u, (by, bx) in enumerate(blocks):
+        zz = coefarr[by][bx]
+        band = [_pt_ac(zz[k], al) for k in range(ss, se + 1)]
+        last_nz = -1
+        for i in range(len(band) - 1, -1, -1):
+            if band[i]:
+                last_nz = i
+                break
+        run = 0
+        for i in range(last_nz + 1):
+            v = band[i]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                c, ln = ac_codes[0xF0]
+                w.write(c, ln)
+                run -= 16
+            size = _category(v)
+            c, ln = ac_codes[(run << 4) | size]
+            w.write(c, ln)
+            w.write(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if last_nz < len(band) - 1:
+            c, ln = ac_codes[0x00]  # EOB0
+            w.write(c, ln)
+        if ri and (u + 1) % ri == 0 and u + 1 < len(blocks):
+            w.emit_marker(0xD0 + rst % 8)
+            rst += 1
+    return w.flush()
+
+
+def _emit_ac_refine(coefarr, ac_codes, ss, se, al, ri) -> bytes:
+    """AC refinement pass (G.1.2.3): newly-significant coefficients are
+    run-length coded over ZERO-HISTORY positions; correction bits for
+    already-nonzero coefficients are buffered and flushed after each
+    emitted code (and after the closing EOB0)."""
+    w = _BitWriter()
+    blocks = _comp_blocks(coefarr)
+    rst = 0
+    for u, (by, bx) in enumerate(blocks):
+        zz = coefarr[by][bx]
+        absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+        sign = [1 if zz[k] >= 0 else -1 for k in range(ss, se + 1)]
+        eob = -1  # index of last newly-significant coefficient
+        for i in range(len(absv) - 1, -1, -1):
+            if absv[i] == 1:
+                eob = i
+                break
+        run = 0
+        br_bits: list[int] = []
+        for i in range(len(absv)):
+            t = absv[i]
+            if t == 0:
+                run += 1
+                continue
+            while run >= 16 and i <= eob:
+                c, ln = ac_codes[0xF0]
+                w.write(c, ln)
+                run -= 16
+                for b in br_bits:
+                    w.write(b, 1)
+                br_bits = []
+            if t > 1:
+                br_bits.append(t & 1)  # history coefficient: correction bit
+                continue
+            if i > eob:  # can't happen: eob is the LAST magnitude-1 coef
+                break
+            c, ln = ac_codes[(run << 4) | 1]
+            w.write(c, ln)
+            w.write(1 if sign[i] > 0 else 0, 1)
+            run = 0
+            for b in br_bits:
+                w.write(b, 1)
+            br_bits = []
+        if run > 0 or br_bits:
+            c, ln = ac_codes[0x00]  # EOB0
+            w.write(c, ln)
+            for b in br_bits:
+                w.write(b, 1)
+        if ri and (u + 1) % ri == 0 and u + 1 < len(blocks):
+            w.emit_marker(0xD0 + rst % 8)
+            rst += 1
+    return w.flush()
+
+
 def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
@@ -367,15 +537,27 @@ def encode_jpeg(
     rgb: bytes,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode raw row-major RGB bytes (``width*height*3``) as a baseline
-    JFIF JPEG. ``subsampling``: "444" (dims multiples of 8), "420"
-    (2×2-averaged chroma; dims multiples of 16), or "gray" (1-component
-    luma-only, dims multiples of 8 — the RGB input is converted and the
-    chroma discarded). ``restart_interval`` > 0 emits a DRI segment and
-    an RSTn marker (cycling 0..7) after every that many MCUs — the
-    stream layout nearly all camera/web baseline JPEGs use. No
-    edge-block padding — that is the profile restriction."""
+    or progressive JFIF JPEG. ``subsampling``: "444" (dims multiples of
+    8), "420" (2×2-averaged chroma; dims multiples of 16), or "gray"
+    (1-component luma-only, dims multiples of 8 — the RGB input is
+    converted and the chroma discarded). ``restart_interval`` > 0 emits
+    a DRI segment and an RSTn marker (cycling 0..7) after every that
+    many MCUs (interleaved scans) / blocks (non-interleaved scans) — the
+    stream layout nearly all camera/web baseline JPEGs use.
+
+    ``progressive=True`` emits SOF2 with the classic 6-phase scan
+    script (T.81 Annex G): interleaved DC first pass at Al=1, DC
+    refinement to Al=0, then per component AC bands 1-5 and 6-63 at
+    Al=1 followed by their Ah=1→Al=0 refinement scans. The quantized
+    coefficients are IDENTICAL to the baseline encoding — progressive
+    is a reordering of the same data, so decode output is bit-for-bit
+    the baseline decode (tests assert that). AC first passes end each
+    block with EOB0 (no EOBn run aggregation — valid, slightly larger;
+    the DECODER handles arbitrary EOBn runs). No edge-block padding —
+    that is the profile restriction."""
     if subsampling == "444":
         hv = [(1, 1), (1, 1), (1, 1)]
     elif subsampling == "420":
@@ -415,49 +597,111 @@ def encode_jpeg(
     ac = _canonical_codes(AC_BITS, AC_VALS)
 
     ncomp = len(hv)
-    w = _BitWriter()
-    preds = [0] * ncomp
     quants = [QUANT_LUM, QUANT_CHROM, QUANT_CHROM][:ncomp]
     dcs = [dc_lum, dc_chrom, dc_chrom][:ncomp]
+    # quantized coefficients per component (block-raster order, zigzag):
+    # the SAME data feeds the baseline single scan and the progressive
+    # scan script — progressive is a reordering, not a re-encoding
+    coefs: list[list[list[list[int]]]] = []
+    for comp, (ch, cv) in enumerate(hv):
+        plane = planes[comp]
+        ph, pw = plane.shape
+        coefs.append(
+            [
+                [
+                    _quantize_block(
+                        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                        quants[comp],
+                    )
+                    for bx in range(pw // 8)
+                ]
+                for by in range(ph // 8)
+            ]
+        )
+
     n_mcux = width // (8 * hmax)
     n_mcuy = height // (8 * vmax)
-    n_mcus = n_mcux * n_mcuy
-    mcu_idx = 0
-    rst_idx = 0
-    for my in range(n_mcuy):
-        for mx in range(n_mcux):
-            for comp, (ch, cv) in enumerate(hv):
-                plane = planes[comp]
-                for vy in range(cv):
-                    for vx in range(ch):
-                        y0 = (my * cv + vy) * 8
-                        x0 = (mx * ch + vx) * 8
-                        block = plane[y0 : y0 + 8, x0 : x0 + 8]
-                        preds[comp] = _encode_block(
-                            w, block, quants[comp], preds[comp], dcs[comp], ac
-                        )
-            mcu_idx += 1
+
+    def mcu_blocks():
+        """(comp, by, bx) in interleaved MCU order, yielding MCU index."""
+        for my in range(n_mcuy):
+            for mx in range(n_mcux):
+                yield my * n_mcux + mx, [
+                    (comp, my * cv + vy, mx * ch + vx)
+                    for comp, (ch, cv) in enumerate(hv)
+                    for vy in range(cv)
+                    for vx in range(ch)
+                ]
+
+    scans: list[tuple[bytes, bytes]] = []  # (sos body, entropy bytes)
+
+    def sos_body(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        tabs = ((1, 0x00), (2, 0x11), (3, 0x11))
+        for cid in comp_ids:
+            body += bytes([cid, tabs[cid - 1][1]])
+        return body + bytes([ss, se, (ah << 4) | al])
+
+    if not progressive:
+        w = _BitWriter()
+        preds = [0] * ncomp
+        n_mcus = n_mcux * n_mcuy
+        rst_idx = 0
+        for mcu_idx, blocks in mcu_blocks():
+            for comp, by, bx in blocks:
+                preds[comp] = _emit_full_block(
+                    w, coefs[comp][by][bx], preds[comp], dcs[comp], ac
+                )
             if (
                 restart_interval
-                and mcu_idx % restart_interval == 0
-                and mcu_idx < n_mcus  # no RSTn after the final MCU
+                and (mcu_idx + 1) % restart_interval == 0
+                and mcu_idx + 1 < n_mcus  # no RSTn after the final MCU
             ):
                 w.emit_marker(0xD0 + rst_idx % 8)
                 rst_idx += 1
                 preds = [0] * ncomp
-    scan = w.flush()
+        scans.append((sos_body(list(range(1, ncomp + 1)), 0, 63, 0, 0), w.flush()))
+    else:
+        all_ids = list(range(1, ncomp + 1))
+        scans.append(
+            (
+                sos_body(all_ids, 0, 0, 0, 1),
+                _emit_dc_first(coefs, mcu_blocks, dcs, 1, restart_interval),
+            )
+        )
+        scans.append(
+            (
+                sos_body(all_ids, 0, 0, 1, 0),
+                _emit_dc_refine(coefs, mcu_blocks, 0, restart_interval),
+            )
+        )
+        for ss, se in ((1, 5), (6, 63)):
+            for comp in range(ncomp):
+                scans.append(
+                    (
+                        sos_body([comp + 1], ss, se, 0, 1),
+                        _emit_ac_first(
+                            coefs[comp], ac, ss, se, 1, restart_interval
+                        ),
+                    )
+                )
+        for ss, se in ((1, 5), (6, 63)):
+            for comp in range(ncomp):
+                scans.append(
+                    (
+                        sos_body([comp + 1], ss, se, 1, 0),
+                        _emit_ac_refine(
+                            coefs[comp], ac, ss, se, 0, restart_interval
+                        ),
+                    )
+                )
 
     jfif = b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
-    # SOF0: precision 8, dims, n components, per-component sampling + quant
+    # SOF0/SOF2: precision 8, dims, n components, sampling + quant per comp
     sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([ncomp])
     comp_meta = (((1, 0), (2, 1), (3, 1)))[:ncomp]
     for (cid, tq), (ch, cv) in zip(comp_meta, hv):
         sof += bytes([cid, (ch << 4) | cv, tq])
-    # SOS: n components, (dc_table<<4)|ac_table per comp, spectral 0..63
-    sos = bytes([ncomp])
-    for cid, tabs in (((1, 0x00), (2, 0x11), (3, 0x11)))[:ncomp]:
-        sos += bytes([cid, tabs])
-    sos += bytes([0, 63, 0])
     out = (
         b"\xff\xd8"  # SOI
         + _seg(0xE0, jfif)
@@ -465,7 +709,7 @@ def encode_jpeg(
     )
     if ncomp == 3:
         out += _seg(0xDB, _dqt_body(1, QUANT_CHROM))
-    out += _seg(0xC0, sof)
+    out += _seg(0xC2 if progressive else 0xC0, sof)
     out += _seg(0xC4, _dht_body(0x00, DC_LUM_BITS, DC_LUM_VALS))
     if ncomp == 3:
         out += _seg(0xC4, _dht_body(0x01, DC_CHROM_BITS, DC_CHROM_VALS))
@@ -474,8 +718,9 @@ def encode_jpeg(
         out += _seg(0xC4, _dht_body(0x11, AC_BITS, AC_VALS))
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
-    out += _seg(0xDA, sos) + scan + b"\xff\xd9"  # SOS + scan + EOI
-    return out
+    for body, entropy in scans:
+        out += _seg(0xDA, body) + entropy
+    return out + b"\xff\xd9"  # EOI
 
 
 # ----------------------------------------------------------- decoder
@@ -503,6 +748,20 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         raise JpegError(f"malformed stream: {exc}") from exc
 
 
+class _ScanState:
+    """Mutable per-scan entropy state (DC predictors + AC EOB run)."""
+
+    __slots__ = ("preds", "eobrun")
+
+    def __init__(self, ncomp: int) -> None:
+        self.preds = [0] * ncomp
+        self.eobrun = 0
+
+    def reset(self) -> None:
+        self.preds = [0] * len(self.preds)
+        self.eobrun = 0
+
+
 def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise JpegError("bad SOI")
@@ -511,16 +770,253 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
     huffs: dict[int, dict[tuple[int, int], int]] = {}
     width = height = -1
     comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, quant id)
-    scan_sel: list[tuple[int, int, int]] = []  # (component id, dc, ac) per scan slot
-    scan_pos = -1
     restart_interval = 0
+    progressive = False
+    n_scans = 0
+    coefs: list[list[list[list[int]]]] = []  # per comp: [by][bx] -> 64 ints
+    # per comp, per zigzag index: Al of the last scan that touched it
+    # (-1 = never sent). Enforces first-pass-before-refinement and the
+    # Ah == previous-Al successive-approximation chain.
+    band_al: list[list[int]] = []
+    hmax = vmax = 1
 
-    while pos + 4 <= len(data):
+    def decode_full_block(br, zz, dc_table, ac_table, state, comp):
+        size = _decode_symbol(br, dc_table)
+        if size > 11:  # T.81 baseline DC category range
+            raise JpegError("DC category out of range")
+        diff = _extend(br.bits(size), size) if size else 0
+        state.preds[comp] += diff
+        zz[0] = state.preds[comp]
+        i = 1
+        while i < 64:
+            sym = _decode_symbol(br, ac_table)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                i += 16
+                if i > 63:  # must leave room for a coeff
+                    raise JpegError("ZRL past block end")
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            i += run
+            if i > 63 or size == 0 or size > 10:
+                raise JpegError("AC run/size out of baseline range")
+            zz[i] = _extend(br.bits(size), size)
+            i += 1
+
+    def decode_dc_first(br, zz, dc_table, state, comp, al):
+        size = _decode_symbol(br, dc_table)
+        if size > 11:
+            raise JpegError("DC category out of range")
+        diff = _extend(br.bits(size), size) if size else 0
+        state.preds[comp] += diff
+        zz[0] = state.preds[comp] * (1 << al)
+
+    def decode_dc_refine(br, zz, al):
+        if br.bit():
+            zz[0] |= 1 << al
+
+    def decode_ac_first(br, zz, ac_table, state, ss, se, al):
+        if state.eobrun > 0:
+            state.eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            sym = _decode_symbol(br, ac_table)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r != 15:  # EOBn: run of 2^r + extension bits
+                    state.eobrun = (1 << r) - 1
+                    if r:
+                        state.eobrun += br.bits(r)
+                    break
+                k += 16  # ZRL
+                if k > se + 1:
+                    raise JpegError("ZRL past band end")
+                continue
+            if s > 10:
+                raise JpegError("AC size out of range")
+            k += r
+            if k > se:
+                raise JpegError("AC run past band end")
+            zz[k] = _extend(br.bits(s), s) * (1 << al)
+            k += 1
+
+    def decode_ac_refine(br, zz, ac_table, state, ss, se, al):
+        # T.81 G.1.2.3: newly-significant coefficients run-length coded
+        # over zero-HISTORY positions; every already-nonzero coefficient
+        # passed over yields one correction bit.
+        p1 = 1 << al
+        k = ss
+        if state.eobrun == 0:
+            while k <= se:
+                sym = _decode_symbol(br, ac_table)
+                r, s = sym >> 4, sym & 0x0F
+                newval = 0
+                if s == 0:
+                    if r != 15:  # EOBn (counts this block)
+                        state.eobrun = 1 << r
+                        if r:
+                            state.eobrun += br.bits(r)
+                        break
+                    # ZRL: newval stays 0, skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise JpegError("refinement size must be 1")
+                    newval = p1 if br.bit() else -p1
+                while k <= se:
+                    v = zz[k]
+                    if v != 0:
+                        if br.bit() and (v & p1) == 0:
+                            zz[k] = v + (p1 if v >= 0 else -p1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    zz[k] = newval
+                k += 1
+        if state.eobrun > 0:
+            while k <= se:
+                v = zz[k]
+                if v != 0:
+                    if br.bit() and (v & p1) == 0:
+                        zz[k] = v + (p1 if v >= 0 else -p1)
+                k += 1
+            state.eobrun -= 1
+
+    def decode_scan(body: bytes, entropy_start: int) -> int:
+        """Decode one scan's entropy data into ``coefs``; returns the
+        position just past it (at the next marker)."""
+        if not comps:
+            raise JpegError("SOS before SOF")
+        ns = body[0] if body else -1
+        if ns < 1 or len(body) != 1 + 2 * ns + 3:
+            raise JpegError("bad SOS header")
+        sel = []
+        for c in range(ns):
+            cs, tabs = body[1 + c * 2 : 3 + c * 2]
+            sel.append((cs, tabs >> 4, tabs & 0x0F))
+        ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+        ah, al = ahal >> 4, ahal & 0x0F
+        # match scan slots to SOF components BY ID (T.81 Cs <-> Ci)
+        order = []  # (comp index, dc table id, ac table id)
+        for cs, dc_t, ac_t in sel:
+            idx = next((i for i, c in enumerate(comps) if c[0] == cs), None)
+            if idx is None:
+                raise JpegError(f"scan selector {cs} not declared in SOF")
+            order.append((idx, dc_t, ac_t))
+        if len({i for i, _, _ in order}) != ns:
+            raise JpegError("duplicate component in scan")
+
+        if not progressive:
+            if ns != len(comps) or ss != 0 or se != 63 or ah or al:
+                raise JpegError("baseline scan must be 0..63 at full precision")
+        else:
+            if al > 13 or (ah and ah != al + 1):
+                raise JpegError("bad successive-approximation parameters")
+            if ss == 0:
+                if se != 0:
+                    raise JpegError("DC scan must have Se=0")
+            else:
+                if ns != 1 or not (1 <= ss <= se <= 63):
+                    raise JpegError("AC scan must cover one component's band")
+        if ns != len(comps) and ns != 1:
+            raise JpegError("scan must cover all components or exactly one")
+        # table presence (refinement DC scans read raw bits, no table;
+        # baseline scans need both DC and AC tables)
+        for idx, dc_t, ac_t in order:
+            if ss == 0 and ah == 0 and (0x00 | dc_t) not in huffs:
+                raise JpegError("missing huffman table")
+            if (ss > 0 or not progressive) and (0x10 | ac_t) not in huffs:
+                raise JpegError("missing huffman table")
+        # successive-approximation chain per touched coefficient
+        for idx, _, _ in order:
+            lo, hi = (0, 0) if ss == 0 else (ss, se)
+            for k in range(lo, hi + 1):
+                prev = band_al[idx][k]
+                if ah == 0:
+                    if prev != -1:
+                        raise JpegError("band re-sent without refinement")
+                else:
+                    if prev == -1 or prev != ah:
+                        raise JpegError("refinement does not follow its band")
+                band_al[idx][k] = al
+
+        br = _BitReader(data, entropy_start)
+        state = _ScanState(len(comps))
+        rst = 0
+        unit_idx = 0
+
+        def maybe_restart():
+            nonlocal rst
+            if restart_interval and unit_idx and unit_idx % restart_interval == 0:
+                br.restart(rst % 8)
+                rst += 1
+                state.reset()
+
+        if ns == len(comps) and ss == 0:
+            # interleaved MCU order (baseline full scan / progressive DC)
+            for my in range(height // (8 * vmax)):
+                for mx in range(width // (8 * hmax)):
+                    maybe_restart()
+                    unit_idx += 1
+                    for idx, dc_t, ac_t in order:
+                        _, ch, cv, _ = comps[idx]
+                        for vy in range(cv):
+                            for vx in range(ch):
+                                zz = coefs[idx][my * cv + vy][mx * ch + vx]
+                                if not progressive:
+                                    decode_full_block(
+                                        br, zz, huffs[0x00 | dc_t],
+                                        huffs[0x10 | ac_t], state, idx,
+                                    )
+                                elif ah == 0:
+                                    decode_dc_first(
+                                        br, zz, huffs[0x00 | dc_t], state,
+                                        idx, al,
+                                    )
+                                else:
+                                    decode_dc_refine(br, zz, al)
+        else:
+            # non-interleaved: one component, its own block raster order;
+            # restart intervals count BLOCKS here (T.81 Annex B/G)
+            idx, dc_t, ac_t = order[0]
+            for row in coefs[idx]:
+                for zz in row:
+                    maybe_restart()
+                    unit_idx += 1
+                    if ss == 0:
+                        if not progressive:
+                            raise JpegError("partial baseline scan")
+                        if ah == 0:
+                            decode_dc_first(
+                                br, zz, huffs[0x00 | dc_t], state, idx, al
+                            )
+                        else:
+                            decode_dc_refine(br, zz, al)
+                    elif ah == 0:
+                        decode_ac_first(
+                            br, zz, huffs[0x10 | ac_t], state, ss, se, al
+                        )
+                    else:
+                        decode_ac_refine(
+                            br, zz, huffs[0x10 | ac_t], state, ss, se, al
+                        )
+        # discard pad bits; the next marker starts at the reader's byte pos
+        return br.pos
+
+    saw_eoi = False
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at {pos}")
         marker = data[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            saw_eoi = True
             break
+        if pos + 4 > len(data):
+            raise JpegError("truncated segment")
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + seglen]
         if len(body) != seglen - 2:
@@ -555,8 +1051,11 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                     (code, length): sym for sym, (code, length) in codes.items()
                 }
                 b += 17 + nvals
-        elif marker == 0xC0:  # SOF0 baseline
-            if body[0] != 8:
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if comps:
+                raise JpegError("multiple SOF segments")
+            progressive = marker == 0xC2
+            if len(body) < 6 or body[0] != 8:
                 raise JpegError("only 8-bit precision supported")
             height, width = struct.unpack_from(">HH", body, 1)
             ncomp = body[5]
@@ -568,6 +1067,8 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                 if (ch, cv) not in ((1, 1), (2, 2)):
                     raise JpegError(f"sampling factor {ch}x{cv} unsupported")
                 comps.append((cid, ch, cv, tq))
+            if len({c[0] for c in comps}) != ncomp:
+                raise JpegError("duplicate component ids in SOF")
             sampling = tuple((c[1], c[2]) for c in comps)
             if sampling not in (
                 ((1, 1),),
@@ -585,104 +1086,54 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                 or width * height > (1 << 24)
             ):
                 raise JpegError("unsupported dimensions")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            for _, ch, cv, _ in comps:
+                nby = height * cv // vmax // 8
+                nbx = width * ch // hmax // 8
+                coefs.append(
+                    [[[0] * 64 for _ in range(nbx)] for _ in range(nby)]
+                )
+                band_al.append([-1] * 64)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise JpegError("non-baseline SOF unsupported")
+            raise JpegError("unsupported SOF type")
         elif marker == 0xDD:  # DRI
             if len(body) != 2:
                 raise JpegError("bad DRI length")
             (restart_interval,) = struct.unpack(">H", body)
         elif marker == 0xDA:  # SOS — entropy data follows
-            ns = body[0]
-            if not comps or ns != len(comps):
-                raise JpegError("scan must cover every SOF component")
-            for c in range(ns):
-                cs, tabs = body[1 + c * 2 : 3 + c * 2]
-                scan_sel.append((cs, tabs >> 4, tabs & 0x0F))
-            scan_pos = pos
-            break
+            if not progressive and n_scans:
+                raise JpegError("multiple scans in a baseline stream")
+            pos = decode_scan(body, pos)
+            n_scans += 1
         # other segments (APPn, COM) are skipped
 
-    if scan_pos < 0 or width < 0 or not comps:
+    if not comps or n_scans == 0:
         raise JpegError("missing SOF/SOS")
+    if not saw_eoi:
+        # without this, a stream cut exactly at a scan boundary would
+        # "decode" a partial image — truncation must be an honest failure
+        raise JpegError("missing EOI")
+    for idx in range(len(comps)):
+        if band_al[idx][0] == -1:
+            raise JpegError("component missing its DC scan")
     for _, _, _, tq in comps:
         if tq not in quants:
             raise JpegError(f"missing quant table {tq}")
-    # match each scan slot to its SOF component BY ID (T.81 Cs ↔ Ci) —
-    # a scan may list components in any order
-    scan_order: list[tuple[int, int, int]] = []  # (comp index, dc, ac)
-    for cs, dc_t, ac_t in scan_sel:
-        idx = next((i for i, c in enumerate(comps) if c[0] == cs), None)
-        if idx is None:
-            raise JpegError(f"scan selector {cs} not declared in SOF")
-        if (0x00 | dc_t) not in huffs or (0x10 | ac_t) not in huffs:
-            raise JpegError("missing huffman table")
-        scan_order.append((idx, dc_t, ac_t))
-    if sorted(i for i, _, _ in scan_order) != list(range(len(comps))):
-        raise JpegError("scan must cover each component exactly once")
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    # per-component planes at their NATIVE (subsampled) resolution
+    # reconstruction: dequant + IDCT every block at native resolution
     planes = [
         np.zeros((height * cv // vmax, width * ch // hmax), dtype=np.int32)
         for _, ch, cv, _ in comps
     ]
-    br = _BitReader(data, scan_pos)
-    preds = [0] * len(comps)
-    n_mcux = width // (8 * hmax)
-    mcu_idx = 0
-    rst_idx = 0
-    for my in range(height // (8 * vmax)):
-        for mx in range(n_mcux):
-            if (
-                restart_interval
-                and mcu_idx
-                and mcu_idx % restart_interval == 0
-            ):
-                br.restart(rst_idx % 8)
-                rst_idx += 1
-                preds = [0] * len(comps)
-            mcu_idx += 1
-            for comp, dc_t, ac_t in scan_order:
-                _, ch, cv, tq = comps[comp]
-                dc_table = huffs[0x00 | dc_t]
-                ac_table = huffs[0x10 | ac_t]
-                quant = quants[tq]
-                for vy in range(cv):
-                    for vx in range(ch):
-                        zz = [0] * 64
-                        size = _decode_symbol(br, dc_table)
-                        if size > 11:  # T.81 baseline DC category range
-                            raise JpegError("DC category out of range")
-                        diff = _extend(br.bits(size), size) if size else 0
-                        preds[comp] += diff
-                        zz[0] = preds[comp]
-                        i = 1
-                        while i < 64:
-                            sym = _decode_symbol(br, ac_table)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                i += 16
-                                if i > 63:  # must leave room for a coeff
-                                    raise JpegError("ZRL past block end")
-                                continue
-                            run, size = sym >> 4, sym & 0x0F
-                            i += run
-                            if i > 63 or size == 0 or size > 10:
-                                raise JpegError(
-                                    "AC run/size out of baseline range"
-                                )
-                            zz[i] = _extend(br.bits(size), size)
-                            i += 1
-                        coef = np.zeros((8, 8), dtype=np.float64)
-                        for i, (r, c) in enumerate(_ZIGZAG):
-                            coef[r, c] = zz[i] * quant[r, c]
-                        block = np.clip(_rnd(_idct2(coef) + 128.0), 0, 255)
-                        y0 = (my * cv + vy) * 8
-                        x0 = (mx * ch + vx) * 8
-                        planes[comp][y0 : y0 + 8, x0 : x0 + 8] = block
+    for idx, (_, ch, cv, tq) in enumerate(comps):
+        quant = quants[tq]
+        for by, row in enumerate(coefs[idx]):
+            for bx, zz in enumerate(row):
+                coef = np.zeros((8, 8), dtype=np.float64)
+                for i, (r, c) in enumerate(_ZIGZAG):
+                    coef[r, c] = zz[i] * quant[r, c]
+                block = np.clip(_rnd(_idct2(coef) + 128.0), 0, 255)
+                planes[idx][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
     # upsample subsampled components to full resolution (pixel replication)
     full = []
     for plane, (_, ch, cv, _) in zip(planes, comps):

@@ -434,24 +434,33 @@ def _jpeg_block_consts(media_id: int, bx: int, by: int) -> tuple[int, int, int]:
 
 
 def synthetic_jpeg(spark, n: int = 64) -> DataFrame:
-    """Deterministic media table with REAL baseline JPEG payloads encoded
-    on the executors (vendored codec, jpeg.py), cycling the codec's WHOLE
-    profile on ``media_id % 8``:
+    """Deterministic media table with REAL JPEG payloads encoded on the
+    executors (vendored codec, jpeg.py), cycling the codec's WHOLE
+    profile on ``media_id % 16``:
 
-    - 0, 2: 4:4:4 — dims 8·(2+id%3) × 8·(2+id%2), per-8×8-block constants;
-    - 4: 4:4:4 with a restart interval of 1 MCU (DRI + RSTn chain — the
-      stream layout nearly all camera/web baseline JPEGs carry; restarts
-      only reset DC predictors, so the decoded pixels keep the SAME
-      closed form as the plain 4:4:4 stripe);
-    - 1: 4:2:0 — dims 16·(1+id%3) × 16, per-16×16-MCU constants, so the
-      subsampled chroma stays DC-only and the lossy decode keeps its
-      closed form;
-    - 5: 4:2:0 with a restart interval of 2 MCUs;
-    - 6: GRAYSCALE (1-component SOF) with restart interval 1 — decode
-      replicates Y into RGB, so sum_r = sum_g = sum_b = Σ y1;
-    - 3: corrupt — truncated mid-scan;
-    - 7: corrupt — DRI-bearing stream whose first RST0 is tampered to
-      RST4 (out-of-sequence restart ⇒ honest decode failure).
+    4:4:4 family — dims 8·(2+id%3) × 8·(2+id%2), per-8×8-block constants:
+    - 0, 2: plain baseline;
+    - 4: restart interval 1 MCU (DRI + RSTn chain — the stream layout
+      nearly all camera/web baseline JPEGs carry; restarts only reset DC
+      predictors, so the decoded pixels keep the SAME closed form);
+    - 8: PROGRESSIVE (SOF2, 6-phase scan script — the encoding the
+      majority of modern web JPEGs use; same quantized coefficients, so
+      the decode keeps the SAME closed form);
+    - 10: progressive + restart interval 2.
+
+    4:2:0 family — dims 16·(1+id%3) × 16, per-16×16-MCU constants (the
+    subsampled chroma stays DC-only, closed form with npix=256):
+    - 1: plain; 5: DRI(2); 9: progressive + DRI(2); 13: plain;
+    - 14: progressive.
+
+    GRAYSCALE family (1-component SOF; decode replicates Y into RGB, so
+    sum_r = sum_g = sum_b = Σ y1): 6: baseline + DRI(1); 12: progressive.
+
+    Corrupt stripes (honest decode_ok=false): 3: baseline truncated
+    mid-scan; 7: baseline whose first RST0 is tampered to RST4
+    (out-of-sequence restart); 11: PROGRESSIVE truncated mid-scan;
+    15: progressive whose first RST0 is tampered (restart checking
+    inside progressive scans).
 
     Constants come from ``_jpeg_block_consts`` in every profile."""
     enc = _jpeg.encode_jpeg
@@ -465,8 +474,8 @@ def synthetic_jpeg(spark, n: int = 64) -> DataFrame:
                     "width": [], "height": []}
             for mid in pdf["id"]:
                 mid = int(mid)
-                s = mid % 8
-                if s in (1, 5):  # 4:2:0 stripes — constants per 16×16 MCU
+                s = mid % 16
+                if s in (1, 5, 9, 13, 14):  # 4:2:0 — constants per MCU
                     w, h = 16 * (1 + mid % 3), 16
                     img = np.zeros((h, w, 3), dtype=np.uint8)
                     for mby in range(h // 16):
@@ -475,9 +484,12 @@ def synthetic_jpeg(spark, n: int = 64) -> DataFrame:
                                 mby * 16 : mby * 16 + 16,
                                 mbx * 16 : mbx * 16 + 16,
                             ] = consts(mid, mbx, mby)
-                    payload = enc(w, h, img.tobytes(), subsampling="420",
-                                  restart_interval=2 if s == 5 else 0)
-                else:  # 4:4:4 / gray (and the corrupt stripes' base encoding)
+                    payload = enc(
+                        w, h, img.tobytes(), subsampling="420",
+                        restart_interval=2 if s in (5, 9) else 0,
+                        progressive=s in (9, 14),
+                    )
+                else:  # 4:4:4 / gray (and the corrupt stripes' bases)
                     w, h = 8 * (2 + mid % 3), 8 * (2 + mid % 2)
                     img = np.zeros((h, w, 3), dtype=np.uint8)
                     for by in range(h // 8):
@@ -485,16 +497,21 @@ def synthetic_jpeg(spark, n: int = 64) -> DataFrame:
                             img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                                 consts(mid, bx, by)
                             )
-                    if s == 6:
-                        payload = enc(w, h, img.tobytes(),
-                                      subsampling="gray", restart_interval=1)
-                    elif s in (4, 7):
-                        payload = enc(w, h, img.tobytes(), restart_interval=1)
+                    if s in (6, 12):
+                        payload = enc(w, h, img.tobytes(), subsampling="gray",
+                                      restart_interval=1 if s == 6 else 0,
+                                      progressive=s == 12)
                     else:
-                        payload = enc(w, h, img.tobytes())
-                if s == 3:  # corrupt stripe: truncate mid-scan
+                        payload = enc(
+                            w, h, img.tobytes(),
+                            restart_interval=(
+                                1 if s in (4, 7, 15) else 2 if s == 10 else 0
+                            ),
+                            progressive=s in (8, 10, 11, 15),
+                        )
+                if s in (3, 11):  # corrupt: truncate mid-scan
                     payload = payload[: int(len(payload) * 0.6)]
-                elif s == 7:  # corrupt stripe: out-of-sequence RSTn
+                elif s in (7, 15):  # corrupt: out-of-sequence RSTn
                     i = payload.find(b"\xff\xd0")  # first restart (RST0)
                     assert i >= 0  # >= 4 MCUs at interval 1 guarantees it
                     payload = payload[:i + 1] + b"\xd4" + payload[i + 2:]

@@ -409,3 +409,119 @@ class TestRestartAndGrayscale:
                         J.decode_jpeg(bytes(mutated))
                     except J.JpegError:
                         pass
+
+
+class TestProgressive:
+    """Round-7 SOF2 support: the 6-phase scan script (DC first/refine,
+    two AC bands first + refine per component) with successive
+    approximation. Progressive re-orders the SAME quantized
+    coefficients, so decode must be BIT-IDENTICAL to the baseline
+    encoding of the same pixels — the strongest possible oracle."""
+
+    def _img(self, w, h, seed):
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+    @pytest.mark.parametrize("sub,mult", [("444", 8), ("420", 16), ("gray", 8)])
+    def test_progressive_equals_baseline(self, sub, mult):
+        for wi, hi, seed in ((2, 2, 1), (3, 1, 2), (4, 2, 3)):
+            w, h = mult * wi, mult * hi
+            img = self._img(w, h, seed)
+            base = J.decode_jpeg(J.encode_jpeg(w, h, img.tobytes(), subsampling=sub))
+            prog = J.decode_jpeg(J.encode_jpeg(w, h, img.tobytes(), subsampling=sub,
+                                               progressive=True))
+            assert prog == base, (sub, w, h)
+
+    @pytest.mark.parametrize("ri", [1, 2, 3])
+    def test_progressive_restart_intervals(self, ri):
+        img = self._img(48, 32, 7)
+        base = J.decode_jpeg(J.encode_jpeg(48, 32, img.tobytes()))
+        prog = J.encode_jpeg(48, 32, img.tobytes(), progressive=True,
+                             restart_interval=ri)
+        assert b"\xff\xdd" in prog and b"\xff\xd0" in prog
+        assert J.decode_jpeg(prog) == base
+
+    def test_extreme_images(self):
+        """Saturated / flat / checkerboard pixels stress the DC swings
+        and the AC refinement correction-bit paths."""
+        for img in (
+            np.zeros((16, 16, 3), np.uint8),
+            np.full((16, 16, 3), 255, np.uint8),
+            (np.indices((16, 16)).sum(0) % 2 * 255)
+            .astype(np.uint8)[..., None].repeat(3, -1),
+        ):
+            base = J.decode_jpeg(J.encode_jpeg(16, 16, img.tobytes()))
+            prog = J.decode_jpeg(J.encode_jpeg(16, 16, img.tobytes(),
+                                               progressive=True))
+            assert prog == base
+
+    def test_truncated_progressive_raises(self):
+        data = J.encode_jpeg(16, 16, self._img(16, 16, 9).tobytes(),
+                             progressive=True)
+        for frac in (0.3, 0.6, 0.9):
+            with pytest.raises(J.JpegError):
+                J.decode_jpeg(data[: int(len(data) * frac)])
+
+    def test_missing_eoi_raises_even_at_scan_boundary(self):
+        """A stream cut exactly at a marker boundary must NOT decode as a
+        partial image — the EOI requirement makes every truncation an
+        honest failure."""
+        data = J.encode_jpeg(16, 16, self._img(16, 16, 10).tobytes(),
+                             progressive=True)
+        assert data.endswith(b"\xff\xd9")
+        with pytest.raises(J.JpegError):
+            J.decode_jpeg(data[:-2])  # all scans intact, EOI gone
+
+    def test_out_of_sequence_rst_in_progressive_scan(self):
+        data = bytearray(J.encode_jpeg(16, 16, self._img(16, 16, 11).tobytes(),
+                                       progressive=True, restart_interval=1))
+        i = bytes(data).find(b"\xff\xd0")
+        assert i > 0
+        data[i + 1] = 0xD6
+        with pytest.raises(J.JpegError):
+            J.decode_jpeg(bytes(data))
+
+    def test_refinement_order_enforced(self):
+        """A refinement scan whose band was never first-pass-sent (or a
+        band re-sent at Ah=0) must raise — the successive-approximation
+        chain is tracked per coefficient."""
+        data = J.encode_jpeg(16, 16, self._img(16, 16, 12).tobytes(),
+                             progressive=True)
+        # find the SOS segments in order; drop the FIRST one (DC first
+        # pass) so the DC refinement arrives without its band
+        segs = []
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                break
+            marker = data[pos + 1]
+            if marker == 0xD9:
+                break
+            (ln,) = __import__("struct").unpack_from(">H", data, pos + 2)
+            segs.append((pos, marker, pos + 2 + ln))
+            if marker == 0xDA:
+                # skip entropy to the next 0xFF that starts a real marker
+                p = pos + 2 + ln
+                while p + 1 < len(data) and not (
+                    data[p] == 0xFF and data[p + 1] != 0x00
+                    and not (0xD0 <= data[p + 1] <= 0xD7)
+                ):
+                    p += 1
+                segs[-1] = (pos, marker, p)
+            pos = segs[-1][2]
+        first_sos = next(s for s in segs if s[1] == 0xDA)
+        cut = data[: first_sos[0]] + data[first_sos[2]:]
+        with pytest.raises(J.JpegError):
+            J.decode_jpeg(cut)
+
+    def test_fuzz_progressive_never_crashes(self):
+        data = J.encode_jpeg(16, 16, self._img(16, 16, 13).tobytes(),
+                             progressive=True, restart_interval=1)
+        for i in range(len(data)):
+            for delta in (0x01, 0x80, 0xFF):
+                m = bytearray(data)
+                m[i] ^= delta
+                try:
+                    J.decode_jpeg(bytes(m))
+                except J.JpegError:
+                    pass
