@@ -93,6 +93,8 @@ EXTRA = [
     "relational_suite",
     "ann_recall",
     "jpeg_decode",
+    "resize_mixed",
+    "language_id",
 ]
 STREAMING_LAST = [
     "stream_hourly",

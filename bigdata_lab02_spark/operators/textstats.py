@@ -214,18 +214,25 @@ def language_id(
     is 0) break to the alphabetically first language — deterministic.
 
     Scale shape: the model is ≤ L·B rows and BROADCASTS into the one
-    data-sized join (doc-trigram occurrences ⋈ model on bucket); scoring
-    shuffles (doc, lang) pairs — L× the doc count, not token-sized. No
-    driver state; retrain is one seed-sized aggregation.
+    data-sized join (doc-trigram occurrences ⋈ model on bucket); the
+    per-language sums then PIVOT into one row per doc (the language list
+    — an L-row, model-sized driver visit, the kmeans model-state
+    pattern), so scoring never inflates to (doc, lang) rows and the
+    argmax is a per-row expression chain instead of a rank window. The
+    only exchanges are the two doc-keyed aggregations, which AQE plans
+    on the same partitioning.
 
     Returns (id, pred_lang, lid_score) where lid_score is the winning
     integer micro-unit log-likelihood.
     """
-    from pyspark.sql import Window
-
     model, langs = train_language_id(
         seed, n_buckets, alpha, text_col, lang_col, round_dp
     )
+    # L rows to the driver: the language list with unseen-bucket floors
+    # (model-sized by definition — L is the number of languages)
+    lang_rows = sorted((r["lang"], r["lw0"]) for r in langs.collect())
+    if not lang_rows:
+        raise ValueError("seed table has no languages")
     base = docs.select(
         F.col(id_col), char_trigrams(F.col(text_col)).alias("tris")
     )
@@ -238,35 +245,35 @@ def language_id(
         .groupBy(id_col, "bucket")
         .agg(F.count("*").alias("cnt"))
     )
-    matched = (
+    per_doc = (
         occ.join(F.broadcast(model), "bucket")
-        .groupBy(id_col, "lang")
+        .groupBy(id_col)
+        .pivot("lang", [lang for lang, _ in lang_rows])
         .agg(
             F.sum(F.col("lw") * F.col("cnt")).alias("ssum"),
             F.sum("cnt").alias("m"),
         )
     )
-    scored = (
-        n_tri.crossJoin(F.broadcast(langs))
-        .join(matched, [id_col, "lang"], "left")
-        .select(
-            id_col,
-            "lang",
-            (
-                F.coalesce("ssum", F.lit(0))
-                + (F.col("n_tri") - F.coalesce("m", F.lit(0))) * F.col("lw0")
-            ).alias("score"),
+    scored = n_tri.join(per_doc, id_col, "left")
+    score_cols = []
+    for lang, lw0 in lang_rows:
+        ssum = F.coalesce(F.col(f"{lang}_ssum"), F.lit(0))
+        m = F.coalesce(F.col(f"{lang}_m"), F.lit(0))
+        score_cols.append(
+            (ssum + (F.col("n_tri") - m) * F.lit(lw0)).alias(f"__sc_{lang}")
         )
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("lang"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select(
-            id_col,
-            F.col("lang").alias("pred_lang"),
-            F.col("score").alias("lid_score"),
-        )
+    scored = scored.select(id_col, *score_cols)
+    best = F.greatest(*[F.col(f"__sc_{lang}") for lang, _ in lang_rows]) \
+        if len(lang_rows) > 1 else F.col(f"__sc_{lang_rows[0][0]}")
+    # first (alphabetical) language attaining the max — deterministic ties
+    pred = F.lit(lang_rows[-1][0])
+    score = F.col(f"__sc_{lang_rows[-1][0]}")
+    for lang, _ in reversed(lang_rows[:-1]):
+        hit = F.col(f"__sc_{lang}") == best
+        pred = F.when(hit, F.lit(lang)).otherwise(pred)
+        score = F.when(hit, F.col(f"__sc_{lang}")).otherwise(score)
+    return scored.select(
+        id_col, pred.alias("pred_lang"), score.alias("lid_score")
     )
 
 

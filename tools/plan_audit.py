@@ -47,6 +47,8 @@ AUDIT = [
     "skew_salted_join",
     "multimodal_mixed",
     "jpeg_decode",
+    "resize_mixed",
+    "language_id",
     "video_frames",
     "semantic_dedup_pipeline",
     "dsir_importance",
@@ -84,6 +86,8 @@ COMMENT = {
     "pack_sequences": "Group-partitioned prefix-scan window — no global single-partition window.",
     "skew_salted_join": "Dim replicated per salt (fact never replicated); hot fact keys spread across salt_buckets tasks.",
     "jpeg_decode": "Zero exchanges: JPEG bytes are generated, entropy-decoded (huffman + IDCT) and reduced to channel sums inside one Arrow-batched mapInPandas chain - binary never crosses a shuffle.",
+    "resize_mixed": "Format-mixed payloads (PNG formula / JPEG block-constant / tiny) union, then ONE Arrow-batched mapInPandas sniffs magic bytes and routes per payload — decode, box-filter resize and PNG re-encode all happen before any exchange; binary never crosses a shuffle.",
+    "language_id": "Trigram occurrences explode once; the <=L*B-row NB model broadcasts into the only data-sized join; per-language sums PIVOT into one row per doc (language list = an L-row driver visit, the kmeans model-state pattern) so scoring never inflates to (doc,lang) rows and the argmax is a per-row expression chain, not a rank window; the doc-keyed aggregate pair meets in one co-partitioned sort-merge join.",
     "multimodal_mixed": "Zero exchanges: payload bytes are generated, decoded and featurized inside one Arrow-batched mapInPandas chain — binary never crosses a shuffle.",
     "video_frames": "Zero exchanges: Y4M parse + per-frame plane sums explode row-per-video to row-per-frame INSIDE the kernel, so frame rows exist only after the bytes are gone.",
     "semantic_dedup_pipeline": "Sampled k-means fit assigns via a broadcast (cluster,dim,val) join + per-cluster mean each iteration (cost independent of k at plan-compile time; k x dim model to the driver); then centroids broadcast for the corpus assignment; the pair join is keyed by cluster_id (hash exchange), so pair fan-out is bounded by cluster size — never global n².",
