@@ -245,12 +245,18 @@ def followup_pairs_stream(
     ).select("a_id", "b_id", F.col("a_user").alias("user_id"))
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     streaming_df: DataFrame,
     name: str,
     mode: str = "append",
     state_partitions: int | None = 8,
+    state_store_provider: str | None = None,
 ) -> DataFrame:
     """Drive a streaming query to completion over a bounded source and
     return the materialized result (memory sink).
@@ -262,11 +268,26 @@ def run_stream_to_memory(
     commits than in the join). The replay therefore plans with a small
     shuffle-partition count and restores the session conf after. ``None``
     keeps the session setting. A real deployment sizes this to cluster
-    parallelism once — it is frozen for the life of a checkpoint."""
+    parallelism once — it is frozen for the life of a checkpoint.
+
+    ``state_store_provider``: ``None`` keeps the session default (the
+    in-heap HDFSBackedStateStoreProvider); pass ``ROCKSDB_PROVIDER`` for
+    the RocksDB store — THE 100 TB choice for big-state queries
+    (stream-stream joins, high-cardinality dedup/aggregation): state
+    lives off-heap on local SSD instead of the executor heap, so state
+    size is bounded by disk, not memory, and snapshot/changelog files
+    checkpoint incrementally. Like the partition count, the provider is
+    frozen for the life of a checkpoint. The session conf is restored
+    after the replay (provider equivalence is asserted in
+    tests/test_multimodal_streaming.py)."""
     key = "spark.sql.shuffle.partitions"
+    pkey = "spark.sql.streaming.stateStore.providerClass"
     saved = spark.conf.get(key)
+    saved_provider = spark.conf.get(pkey, None)
     if state_partitions is not None:
         spark.conf.set(key, str(state_partitions))
+    if state_store_provider is not None:
+        spark.conf.set(pkey, state_store_provider)
     try:
         q = (
             streaming_df.writeStream.outputMode(mode)
@@ -280,4 +301,9 @@ def run_stream_to_memory(
             q.stop()
     finally:
         spark.conf.set(key, saved)
+        if state_store_provider is not None:
+            if saved_provider is None:
+                spark.conf.unset(pkey)
+            else:
+                spark.conf.set(pkey, saved_provider)
     return spark.sql(f"SELECT * FROM {name}")

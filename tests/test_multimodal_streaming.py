@@ -405,3 +405,43 @@ def test_stream_stream_selfjoin_matches_batch(spark, event_stream):
     )
     want = {(r["a_id"], r["b_id"]) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_rocksdb_state_store_matches_default(spark, event_stream, tmp_path_factory):
+    """The 100 TB state-store choice (RocksDB: off-heap, disk-bounded
+    state, incremental snapshots) must be a one-argument swap that
+    changes NOTHING about results: replay the stateful
+    running-user-totals query under both providers and assert identical
+    final tables, and that the session provider conf is restored."""
+    from bigdata_lab02_spark.streaming.events import (
+        ROCKSDB_PROVIDER,
+        running_user_totals_stream,
+    )
+
+    pkey = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(pkey, None)
+
+    d2 = tmp_path_factory.mktemp("events_stream_rdb")
+    import shutil
+
+    shutil.copy(f"{TESTDATA}/sf0.001/events.parquet", d2 / "part-0.parquet")
+    ev2 = read_event_stream(spark, str(d2))
+
+    def final_totals(streaming_df, name, provider):
+        out = run_stream_to_memory(
+            spark,
+            running_user_totals_stream(streaming_df),
+            name,
+            mode="update",
+            state_store_provider=provider,
+        )
+        # update mode re-emits per batch; single-file replay = one batch
+        return {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in out.collect()
+        }
+
+    default = final_totals(event_stream, "totals_default_store", None)
+    rocks = final_totals(ev2, "totals_rocks_store", ROCKSDB_PROVIDER)
+    assert default and rocks == default
+    assert spark.conf.get(pkey, None) == before  # conf restored

@@ -72,7 +72,8 @@ def _files_in_order(staging: str) -> list[pathlib.Path]:
     )
 
 
-def _kill_resume_run(spark, tmp_path, staging, build_query, name, mode):
+def _kill_resume_run(spark, tmp_path, staging, build_query, name, mode,
+                     provider=None):
     """Copy the first half of the files into a fresh source dir, run the
     query to completion with a checkpoint and stop it; land the second
     half; resume from the same checkpoint. Returns (emissions_a,
@@ -87,8 +88,12 @@ def _kill_resume_run(spark, tmp_path, staging, build_query, name, mode):
         time.sleep(0.05)
 
     key = "spark.sql.shuffle.partitions"
+    pkey = "spark.sql.streaming.stateStore.providerClass"
     saved = spark.conf.get(key)
+    saved_provider = spark.conf.get(pkey, None)
     spark.conf.set(key, "4")
+    if provider:
+        spark.conf.set(pkey, provider)
     try:
 
         def run():
@@ -118,13 +123,32 @@ def _kill_resume_run(spark, tmp_path, staging, build_query, name, mode):
         run_b = run()
     finally:
         spark.conf.set(key, saved)
+        if provider:
+            if saved_provider is None:
+                spark.conf.unset(pkey)
+            else:
+                spark.conf.set(pkey, saved_provider)
     return run_a, run_b
 
 
-def test_custom_state_survives_kill_resume(spark, tmp_path, split_source):
+@pytest.mark.parametrize("provider", [
+    None,
+    pytest.param(
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+        id="rocksdb",
+    ),
+])
+def test_custom_state_survives_kill_resume(spark, tmp_path, split_source,
+                                           provider):
+    """Parameterized over state-store providers: the checkpoint recovery
+    contract must hold identically on the default in-heap store AND on
+    RocksDB (the off-heap, disk-bounded store a 100 TB deployment would
+    run)."""
     staging, ev = split_source
     run_a, run_b = _kill_resume_run(
-        spark, tmp_path, staging, running_user_totals_stream, "totals", "update"
+        spark, tmp_path, staging, running_user_totals_stream, "totals",
+        "update", provider=provider,
     )
     assert run_a and run_b
     # offsets were checkpointed: the resumed run continues the batch
