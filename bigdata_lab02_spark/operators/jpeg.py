@@ -87,15 +87,16 @@ DC_LUM_VALS = list(range(12))
 DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
 DC_CHROM_VALS = list(range(12))
 
-# Custom AC table (valid canonical code, carried in DHT): EOB gets a 2-bit
-# code, the remaining 161 (run,size) symbols get 9-bit codes. Kraft sum
-# 2^-2 + 161·2^-9 < 1, so the canonical construction is well-formed. Our
-# encoder mostly emits EOB (and exercises (run,size) on non-flat blocks);
-# the DECODER takes whatever table the DHT declares.
-AC_BITS = [0, 1, 0, 0, 0, 0, 0, 0, 161, 0, 0, 0, 0, 0, 0, 0]
+# Custom AC table (valid canonical code, carried in DHT): EOB0 gets a
+# 2-bit code; the 161 baseline (run,size) symbols plus the 14 progressive
+# EOBn symbols (r<<4, r=1..14 — end-of-band runs of 2^r..2^(r+1)-1
+# blocks) get 9-bit codes. Kraft sum 2^-2 + 175·2^-9 < 1, so the
+# canonical construction is well-formed. The DECODER takes whatever
+# table the DHT declares.
+AC_BITS = [0, 1, 0, 0, 0, 0, 0, 0, 175, 0, 0, 0, 0, 0, 0, 0]
 AC_VALS = [0x00] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
-] + [0xF0]
+] + [0xF0] + [r << 4 for r in range(1, 15)]
 
 # zigzag scan order as (row, col) pairs — derived, not transcribed
 _ZIGZAG: list[tuple[int, int]] = []
@@ -420,11 +421,47 @@ def _comp_blocks(coefarr):
     ]
 
 
+class _EobRun:
+    """Cross-block end-of-band run aggregation (T.81 G.1.2.2): blocks
+    whose band is exhausted join a pending EOBn run; the run (plus any
+    refinement correction bits buffered while it grew) flushes before
+    the next block with content, before each restart marker, and at
+    scan end. Greedy decomposition into EOBn symbols (run ∈
+    [2^r, 2^(r+1)-1], r ≤ 14)."""
+
+    def __init__(self, w: _BitWriter, ac_codes) -> None:
+        self.w = w
+        self.ac = ac_codes
+        self.run = 0
+        self.bits: list[int] = []  # deferred refinement correction bits
+
+    def add(self, correction_bits: list[int] | None = None) -> None:
+        self.run += 1
+        if correction_bits:
+            self.bits.extend(correction_bits)
+        if self.run == 0x7FFF:  # spec cap (r <= 14)
+            self.flush()
+
+    def flush(self) -> None:
+        while self.run > 0:
+            r = min(14, self.run.bit_length() - 1)
+            take = min(self.run, (1 << (r + 1)) - 1)
+            c, ln = self.ac[r << 4] if r else self.ac[0x00]
+            self.w.write(c, ln)
+            if r:
+                self.w.write(take - (1 << r), r)
+            self.run -= take
+        for b in self.bits:
+            self.w.write(b, 1)
+        self.bits = []
+
+
 def _emit_ac_first(coefarr, ac_codes, ss, se, al, ri) -> bytes:
-    """First AC pass of one band, one component, EOB0 per block (the
-    decoder accepts general EOBn runs; the encoder doesn't aggregate)."""
+    """First AC pass of one band, one component, with cross-block EOBn
+    run aggregation."""
     w = _BitWriter()
     blocks = _comp_blocks(coefarr)
+    eob = _EobRun(w, ac_codes)
     rst = 0
     for u, (by, bx) in enumerate(blocks):
         zz = coefarr[by][bx]
@@ -434,6 +471,8 @@ def _emit_ac_first(coefarr, ac_codes, ss, se, al, ri) -> bytes:
             if band[i]:
                 last_nz = i
                 break
+        if last_nz >= 0:
+            eob.flush()  # pending run ends before a block with content
         run = 0
         for i in range(last_nz + 1):
             v = band[i]
@@ -450,11 +489,12 @@ def _emit_ac_first(coefarr, ac_codes, ss, se, al, ri) -> bytes:
             w.write(v if v >= 0 else v + (1 << size) - 1, size)
             run = 0
         if last_nz < len(band) - 1:
-            c, ln = ac_codes[0x00]  # EOB0
-            w.write(c, ln)
+            eob.add()  # this block's EOB joins (or starts) the run
         if ri and (u + 1) % ri == 0 and u + 1 < len(blocks):
+            eob.flush()  # a run must not span a restart interval
             w.emit_marker(0xD0 + rst % 8)
             rst += 1
+    eob.flush()
     return w.flush()
 
 
@@ -462,9 +502,13 @@ def _emit_ac_refine(coefarr, ac_codes, ss, se, al, ri) -> bytes:
     """AC refinement pass (G.1.2.3): newly-significant coefficients are
     run-length coded over ZERO-HISTORY positions; correction bits for
     already-nonzero coefficients are buffered and flushed after each
-    emitted code (and after the closing EOB0)."""
+    emitted code. Blocks with no newly-significant coefficients join a
+    cross-block EOBn run; their leftover correction bits ride the run
+    buffer and flush after the EOBn symbol, in block order — exactly
+    the order the decoder's per-block tail handler consumes them."""
     w = _BitWriter()
     blocks = _comp_blocks(coefarr)
+    eob_run = _EobRun(w, ac_codes)
     rst = 0
     for u, (by, bx) in enumerate(blocks):
         zz = coefarr[by][bx]
@@ -475,6 +519,8 @@ def _emit_ac_refine(coefarr, ac_codes, ss, se, al, ri) -> bytes:
             if absv[i] == 1:
                 eob = i
                 break
+        if eob >= 0:
+            eob_run.flush()  # pending run ends before a block with content
         run = 0
         br_bits: list[int] = []
         for i in range(len(absv)):
@@ -502,13 +548,12 @@ def _emit_ac_refine(coefarr, ac_codes, ss, se, al, ri) -> bytes:
                 w.write(b, 1)
             br_bits = []
         if run > 0 or br_bits:
-            c, ln = ac_codes[0x00]  # EOB0
-            w.write(c, ln)
-            for b in br_bits:
-                w.write(b, 1)
+            eob_run.add(br_bits)  # block's EOB joins the run; bits deferred
         if ri and (u + 1) % ri == 0 and u + 1 < len(blocks):
+            eob_run.flush()  # a run must not span a restart interval
             w.emit_marker(0xD0 + rst % 8)
             rst += 1
+    eob_run.flush()
     return w.flush()
 
 
@@ -554,10 +599,10 @@ def encode_jpeg(
     Al=1 followed by their Ah=1→Al=0 refinement scans. The quantized
     coefficients are IDENTICAL to the baseline encoding — progressive
     is a reordering of the same data, so decode output is bit-for-bit
-    the baseline decode (tests assert that). AC first passes end each
-    block with EOB0 (no EOBn run aggregation — valid, slightly larger;
-    the DECODER handles arbitrary EOBn runs). No edge-block padding —
-    that is the profile restriction."""
+    the baseline decode (tests assert that). AC passes aggregate
+    cross-block EOBn runs (flushed at content blocks, restart
+    boundaries and scan end — a run never spans a restart). No
+    edge-block padding — that is the profile restriction."""
     if subsampling == "444":
         hv = [(1, 1), (1, 1), (1, 1)]
     elif subsampling == "420":

@@ -525,3 +525,28 @@ class TestProgressive:
                     J.decode_jpeg(bytes(m))
                 except J.JpegError:
                     pass
+
+    def test_eobn_runs_span_blocks(self):
+        """r7 follow-up: AC scans aggregate cross-block EOBn runs (the
+        encoding real progressive files use). A mostly-flat image makes
+        the run span many blocks — first-pass EOBn decode — and a sparse
+        image drives the refinement tail handler (correction bits read
+        block-by-block while the run drains). Both must still decode
+        bit-identically to baseline, with and without restart markers
+        (a run must never span a restart)."""
+        flat = np.zeros((32, 48, 3), np.uint8)
+        flat[:8, :8] = (200, 30, 90)
+        sparse = np.zeros((48, 64, 3), np.uint8)
+        sparse[::7, ::5] = (255, 128, 3)
+        for img, w, h in ((flat, 48, 32), (sparse, 64, 48)):
+            base = J.decode_jpeg(J.encode_jpeg(w, h, img.tobytes()))
+            for ri in (0, 1, 2):
+                prog = J.encode_jpeg(w, h, img.tobytes(), progressive=True,
+                                     restart_interval=ri)
+                assert J.decode_jpeg(prog) == base, (w, h, ri)
+        # the flat stream must actually CONTAIN an EOBn symbol: it is
+        # dramatically smaller than one EOB0 per block per AC scan could
+        # ever be (24 blocks x 6 AC scan-passes of >= 2 bits each, plus
+        # headers, would exceed this)
+        assert len(J.encode_jpeg(48, 32, flat.tobytes(),
+                                 progressive=True)) < 900

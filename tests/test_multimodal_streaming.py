@@ -445,3 +445,29 @@ def test_rocksdb_state_store_matches_default(spark, event_stream, tmp_path_facto
     rocks = final_totals(ev2, "totals_rocks_store", ROCKSDB_PROVIDER)
     assert default and rocks == default
     assert spark.conf.get(pkey, None) == before  # conf restored
+
+
+def test_extract_features_dispatches_jpeg(spark):
+    """extract_features' magic-byte dispatch (r6 item 7) must route JPEG
+    payloads through the JPEG codec: every decodable synthetic_jpeg row
+    yields the standard 12-dim feature vector with the right dims, and
+    the corrupt stripes keep the honest-failure path."""
+    from bigdata_lab02_spark.operators.multimodal import (
+        extract_features,
+        synthetic_jpeg,
+    )
+
+    rows = {r["media_id"]: r
+            for r in extract_features(synthetic_jpeg(spark, n=16)).collect()}
+    assert len(rows) == 16
+    for mid, r in rows.items():
+        if mid % 16 in (3, 7, 11, 15):
+            assert r["decode_ok"] is False and r["feature"] is None
+            continue
+        assert r["decode_ok"] is True and r["feat_dim"] == 12
+        if mid % 16 in (1, 5, 9, 13, 14):
+            w, h = 16 * (1 + mid % 3), 16
+        else:
+            w, h = 8 * (2 + mid % 3), 8 * (2 + mid % 2)
+        assert (int(r["feature"][0]), int(r["feature"][1])) == (w, h)
+        assert int(r["feature"][2]) == 3  # decode always yields RGB
