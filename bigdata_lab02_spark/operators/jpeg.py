@@ -14,8 +14,10 @@ y4m.py) and the format a real 100 TB crawl actually leads with.
 - decode: GENERAL decode of what the markers declare — arbitrary DQT/DHT
   tables, Huffman entropy decode with byte unstuffing, run-length AC
   with ZRL/EOB, per-component DC prediction, dequant, zigzag, IDCT,
-  level shift, multi-block MCUs per the declared sampling factors (1×1
-  and 2×2), restart intervals (DRI honored; at each RSTn the reader
+  level shift, multi-block MCUs per the declared sampling factors (1×1,
+  2×2 and 2×1), arbitrary dimensions (partial edge MCUs decode whole and
+  crop to the SOF dims, T.81 A.2.4), restart intervals (DRI honored; at
+  each RSTn the reader
   byte-aligns, verifies the marker index is the expected one in the
   0xD0..0xD7 cycle, and resets the scan's predictors — an
   out-of-sequence or missing marker raises), 1- or 3-component SOF0 AND
@@ -28,10 +30,10 @@ y4m.py) and the format a real 100 TB crawl actually leads with.
   into RGB). Streams must end in EOI — a cut at a scan boundary is an
   honest failure, never a partial image.
 
-Scope limits: sampling factors 4:4:4 / 4:2:0 / grayscale, dims must be
-multiples of the MCU size, no arithmetic coding / hierarchical / 12-bit
-modes. Anything outside the profile raises ``JpegError``, which the
-pipeline maps to ``decode_ok=False`` (the honest-failure path).
+Scope limits: sampling layouts 4:4:4 / 4:2:0 / 4:2:2 / grayscale; no
+arithmetic coding / hierarchical / 12-bit modes. Anything outside the
+profile raises ``JpegError``, which the pipeline maps to
+``decode_ok=False`` (the honest-failure path).
 
 Rounding discipline (the oracle contract): every float→int step —
 forward/inverse color conversion, quantization, pixel reconstruction —
@@ -576,6 +578,13 @@ def _downsample2(plane: np.ndarray) -> np.ndarray:
     return np.clip(_rnd(m), 0, 255)
 
 
+def _downsample_h(plane: np.ndarray) -> np.ndarray:
+    """1×2 horizontal average downsample (4:2:2 chroma)."""
+    h, w = plane.shape
+    m = plane.astype(np.float64).reshape(h, w // 2, 2).mean(axis=2)
+    return np.clip(_rnd(m), 0, 255)
+
+
 def encode_jpeg(
     width: int,
     height: int,
@@ -585,13 +594,16 @@ def encode_jpeg(
     progressive: bool = False,
 ) -> bytes:
     """Encode raw row-major RGB bytes (``width*height*3``) as a baseline
-    or progressive JFIF JPEG. ``subsampling``: "444" (dims multiples of
-    8), "420" (2×2-averaged chroma; dims multiples of 16), or "gray"
-    (1-component luma-only, dims multiples of 8 — the RGB input is
-    converted and the chroma discarded). ``restart_interval`` > 0 emits
-    a DRI segment and an RSTn marker (cycling 0..7) after every that
-    many MCUs (interleaved scans) / blocks (non-interleaved scans) — the
-    stream layout nearly all camera/web baseline JPEGs use.
+    or progressive JFIF JPEG, at ANY positive dimensions (r7: edge
+    blocks are padded to the MCU grid by edge replication; SOF carries
+    the true dims and the decoder crops — arbitrary dims are the norm
+    in a real crawl). ``subsampling``: "444", "420" (2×2-averaged
+    chroma), "422" (1×2 horizontally-averaged chroma — the classic
+    video/camera profile), or "gray" (1-component luma-only — the RGB
+    input is converted and the chroma discarded). ``restart_interval``
+    > 0 emits a DRI segment and an RSTn marker (cycling 0..7) after
+    every that many MCUs (interleaved scans) / blocks (non-interleaved
+    scans) — the stream layout nearly all camera/web baseline JPEGs use.
 
     ``progressive=True`` emits SOF2 with the classic 6-phase scan
     script (T.81 Annex G): interleaved DC first pass at Al=1, DC
@@ -601,12 +613,13 @@ def encode_jpeg(
     is a reordering of the same data, so decode output is bit-for-bit
     the baseline decode (tests assert that). AC passes aggregate
     cross-block EOBn runs (flushed at content blocks, restart
-    boundaries and scan end — a run never spans a restart). No
-    edge-block padding — that is the profile restriction."""
+    boundaries and scan end — a run never spans a restart)."""
     if subsampling == "444":
         hv = [(1, 1), (1, 1), (1, 1)]
     elif subsampling == "420":
         hv = [(2, 2), (1, 1), (1, 1)]
+    elif subsampling == "422":
+        hv = [(2, 1), (1, 1), (1, 1)]
     elif subsampling == "gray":
         hv = [(1, 1)]
     else:
@@ -615,20 +628,22 @@ def encode_jpeg(
         raise JpegError("restart_interval out of range")
     hmax = max(h for h, _ in hv)
     vmax = max(v for _, v in hv)
-    if (
-        width <= 0
-        or height <= 0
-        or width % (8 * hmax)
-        or height % (8 * vmax)
-    ):
-        raise JpegError(
-            f"dimensions must be positive multiples of {8 * hmax}"
-        )
+    if width <= 0 or height <= 0:
+        raise JpegError("dimensions must be positive")
     if len(rgb) != width * height * 3:
         raise JpegError(
             f"pixel buffer is {len(rgb)} bytes, want {width * height * 3}"
         )
     img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    # pad to the MCU grid by edge replication (SOF keeps the true dims;
+    # the decoder reconstructs the padded grid and crops) — arbitrary
+    # dimensions are the norm in a real crawl
+    pw = 8 * hmax * (-(-width // (8 * hmax)))
+    ph = 8 * vmax * (-(-height // (8 * vmax)))
+    if (pw, ph) != (width, height):
+        img = np.pad(
+            img, ((0, ph - height), (0, pw - width), (0, 0)), mode="edge"
+        )
     ycc = rgb_to_ycbcr(img)
     if subsampling == "gray":
         planes = [ycc[..., 0]]
@@ -636,6 +651,8 @@ def encode_jpeg(
         planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
         if subsampling == "420":
             planes = [planes[0], _downsample2(planes[1]), _downsample2(planes[2])]
+        elif subsampling == "422":
+            planes = [planes[0], _downsample_h(planes[1]), _downsample_h(planes[2])]
 
     dc_lum = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
     dc_chrom = _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)
@@ -650,7 +667,7 @@ def encode_jpeg(
     coefs: list[list[list[list[int]]]] = []
     for comp, (ch, cv) in enumerate(hv):
         plane = planes[comp]
-        ph, pw = plane.shape
+        plane_h, plane_w = plane.shape
         coefs.append(
             [
                 [
@@ -658,14 +675,14 @@ def encode_jpeg(
                         plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
                         quants[comp],
                     )
-                    for bx in range(pw // 8)
+                    for bx in range(plane_w // 8)
                 ]
-                for by in range(ph // 8)
+                for by in range(plane_h // 8)
             ]
         )
 
-    n_mcux = width // (8 * hmax)
-    n_mcuy = height // (8 * vmax)
+    n_mcux = pw // (8 * hmax)
+    n_mcuy = ph // (8 * vmax)
 
     def mcu_blocks():
         """(comp, by, bx) in interleaved MCU order, yielding MCU index."""
@@ -772,15 +789,17 @@ def encode_jpeg(
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline JPEG → ``(width, height, 3, rgb_bytes)``. General
-    within the profile: arbitrary DQT/DHT from the stream, 1 (grayscale,
-    Y replicated into RGB) or 3 components (scan order matched to SOF by
-    component id, as T.81 specifies), sampling factors 4:4:4 (all 1×1)
-    or 4:2:0 (luma 2×2, chroma 1×1 — chroma upsampled by pixel
-    replication), restart intervals (DRI honored; each RSTn must appear
-    exactly at its MCU boundary with the expected 0xD0+n index and
-    resets all DC predictors), dims multiples of the MCU size, no
-    progressive. Raises ``JpegError`` for ANYTHING else — malformed
+    """Decode a baseline or progressive JPEG →
+    ``(width, height, 3, rgb_bytes)``. General within the profile:
+    arbitrary DQT/DHT from the stream, 1 (grayscale, Y replicated into
+    RGB) or 3 components (scan order matched to SOF by component id, as
+    T.81 specifies), sampling layouts 4:4:4 / 4:2:0 / 4:2:2 (subsampled
+    chroma upsampled by pixel replication), ARBITRARY dimensions
+    (partial edge MCUs decode whole and crop to the SOF dims), restart
+    intervals (DRI honored; each RSTn must appear exactly at its
+    MCU/block boundary with the expected 0xD0+n index and resets the
+    scan's predictors), SOF0 and SOF2 multi-scan progressive.
+    Raises ``JpegError`` for ANYTHING else — malformed
     segment bodies included: parser slips (IndexError / struct.error /
     bare ValueError on attacker-shaped bytes) are converted so the
     decode_ok=False honest-failure contract holds (the same hardening
@@ -824,6 +843,7 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
     # Ah == previous-Al successive-approximation chain.
     band_al: list[list[int]] = []
     hmax = vmax = 1
+    n_mcux = n_mcuy = 0
 
     def decode_full_block(br, zz, dc_table, ac_table, state, comp):
         size = _decode_symbol(br, dc_table)
@@ -1003,8 +1023,8 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
 
         if ns == len(comps) and ss == 0:
             # interleaved MCU order (baseline full scan / progressive DC)
-            for my in range(height // (8 * vmax)):
-                for mx in range(width // (8 * hmax)):
+            for my in range(n_mcuy):
+                for mx in range(n_mcux):
                     maybe_restart()
                     unit_idx += 1
                     for idx, dc_t, ac_t in order:
@@ -1109,7 +1129,7 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
             for c in range(ncomp):
                 cid, hvb, tq = body[6 + c * 3 : 9 + c * 3]
                 ch, cv = hvb >> 4, hvb & 0x0F
-                if (ch, cv) not in ((1, 1), (2, 2)):
+                if (ch, cv) not in ((1, 1), (2, 2), (2, 1)):
                     raise JpegError(f"sampling factor {ch}x{cv} unsupported")
                 comps.append((cid, ch, cv, tq))
             if len({c[0] for c in comps}) != ncomp:
@@ -1119,23 +1139,23 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                 ((1, 1),),
                 ((1, 1), (1, 1), (1, 1)),
                 ((2, 2), (1, 1), (1, 1)),
+                ((2, 1), (1, 1), (1, 1)),
             ):
                 raise JpegError(f"sampling layout {sampling} unsupported")
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
-            if (
-                width <= 0
-                or height <= 0
-                or width % (8 * hmax)
-                or height % (8 * vmax)
-                or width * height > (1 << 24)
-            ):
+            if width <= 0 or height <= 0 or width * height > (1 << 24):
                 raise JpegError("unsupported dimensions")
+            # block grids over the MCU-padded extent (T.81 A.2.4: partial
+            # edge MCUs are coded whole; the decoder crops to the SOF dims)
+            n_mcux = -(-width // (8 * hmax))
+            n_mcuy = -(-height // (8 * vmax))
             for _, ch, cv, _ in comps:
-                nby = height * cv // vmax // 8
-                nbx = width * ch // hmax // 8
                 coefs.append(
-                    [[[0] * 64 for _ in range(nbx)] for _ in range(nby)]
+                    [
+                        [[0] * 64 for _ in range(n_mcux * ch)]
+                        for _ in range(n_mcuy * cv)
+                    ]
                 )
                 band_al.append([-1] * 64)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
@@ -1165,9 +1185,10 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
         if tq not in quants:
             raise JpegError(f"missing quant table {tq}")
 
-    # reconstruction: dequant + IDCT every block at native resolution
+    # reconstruction: dequant + IDCT every block at the PADDED native
+    # resolution (the MCU grid); the final crop applies the SOF dims
     planes = [
-        np.zeros((height * cv // vmax, width * ch // hmax), dtype=np.int32)
+        np.zeros((8 * n_mcuy * cv, 8 * n_mcux * ch), dtype=np.int32)
         for _, ch, cv, _ in comps
     ]
     for idx, (_, ch, cv, tq) in enumerate(comps):
@@ -1187,6 +1208,7 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                 np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
             )
         full.append(plane)
+    full = [plane[:height, :width] for plane in full]  # crop edge padding
     if len(full) == 1:  # grayscale: Y replicated into RGB
         rgb = np.repeat(full[0][..., None], 3, axis=-1).astype(np.uint8)
         return width, height, 3, rgb.tobytes()

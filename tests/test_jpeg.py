@@ -124,11 +124,14 @@ class TestCodec:
         assert (w, h) == (48, 32)
         assert np.abs(arr - img.astype(int)).mean() < 20
 
-    def test_420_profile_rejections(self):
+    def test_unknown_subsampling_rejected(self):
         with pytest.raises(J.JpegError):
+            J.encode_jpeg(16, 16, bytes(16 * 16 * 3), subsampling="411")
+        # 24x16 4:2:0 (not an MCU multiple) encodes via edge padding (r7)
+        w, h, ch, _ = J.decode_jpeg(
             J.encode_jpeg(24, 16, bytes(24 * 16 * 3), subsampling="420")
-        with pytest.raises(J.JpegError):
-            J.encode_jpeg(16, 16, bytes(16 * 16 * 3), subsampling="422")
+        )
+        assert (w, h, ch) == (24, 16, 3)
 
     def test_corrupt_payloads_raise(self):
         img = _block_image(16, 16, {(bx, by): (10, 200, 30)
@@ -219,9 +222,12 @@ class TestCodec:
 
     def test_profile_rejections(self):
         with pytest.raises(J.JpegError):
-            J.encode_jpeg(12, 16, bytes(12 * 16 * 3))  # not multiple of 8
-        with pytest.raises(J.JpegError):
             J.encode_jpeg(16, 16, bytes(10))  # wrong buffer size
+        with pytest.raises(J.JpegError):
+            J.encode_jpeg(0, 16, b"")  # zero dimension
+        # non-multiple-of-8 dims encode via edge padding (r7)
+        w, h, ch, _ = J.decode_jpeg(J.encode_jpeg(12, 16, bytes(12 * 16 * 3)))
+        assert (w, h, ch) == (12, 16, 3)
 
     def test_zero_dimension_sof_rejected(self):
         """A stream declaring 0×N dims must not 'succeed' as an empty
@@ -386,9 +392,11 @@ class TestRestartAndGrayscale:
             blk = a[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
             assert (blk == y1).all()
 
-    def test_grayscale_rejects_bad_dims(self):
-        with pytest.raises(J.JpegError):
+    def test_grayscale_odd_dims_pad_and_crop(self):
+        w, h, ch, px = J.decode_jpeg(
             J.encode_jpeg(12, 8, bytes(12 * 8 * 3), subsampling="gray")
+        )
+        assert (w, h, ch) == (12, 8, 3) and len(px) == 12 * 8 * 3
 
     def test_fuzz_dri_stream_never_crashes(self):
         """Single-byte mutations over a DRI-bearing grayscale+color pair:
@@ -550,3 +558,65 @@ class TestProgressive:
         # headers, would exceed this)
         assert len(J.encode_jpeg(48, 32, flat.tobytes(),
                                  progressive=True)) < 900
+
+
+class TestArbitraryDimsAnd422:
+    """Round-7 follow-up: arbitrary (non-MCU-multiple) dimensions via
+    edge-replication padding + crop (T.81 A.2.4), and the 4:2:2
+    sampling layout. Real crawl images are rarely 8/16-multiples."""
+
+    def _img(self, w, h, seed):
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+    @pytest.mark.parametrize("sub", ["444", "420", "422", "gray"])
+    @pytest.mark.parametrize("dims", [(12, 16), (17, 9), (1, 1), (33, 7)])
+    def test_roundtrip_any_dims(self, sub, dims):
+        w, h = dims
+        img = self._img(w, h, w * 100 + h)
+        for kw in ({}, {"progressive": True},
+                   {"restart_interval": 1},
+                   {"progressive": True, "restart_interval": 2}):
+            dw, dh, ch, px = J.decode_jpeg(
+                J.encode_jpeg(w, h, img.tobytes(), subsampling=sub, **kw)
+            )
+            assert (dw, dh, ch) == (w, h, 3)
+            assert len(px) == w * h * 3
+        base = J.decode_jpeg(J.encode_jpeg(w, h, img.tobytes(), subsampling=sub))
+        prog = J.decode_jpeg(J.encode_jpeg(w, h, img.tobytes(), subsampling=sub,
+                                           progressive=True))
+        assert base == prog
+
+    def test_constant_image_closed_form_at_odd_dims(self):
+        """Edge padding replicates the constant, so every block stays
+        DC-only and the whole visible region decodes to ONE value —
+        the property the gate oracle's closed form relies on."""
+        c = np.full((9, 13, 3), (10, 200, 30), np.uint8)
+        w, h, _, px = J.decode_jpeg(J.encode_jpeg(13, 9, c.tobytes()))
+        a = np.frombuffer(px, np.uint8).reshape(9, 13, 3)
+        assert len({tuple(v) for v in a.reshape(-1, 3)}) == 1
+
+    def test_422_err_bounded_and_chroma_halved(self):
+        xx, yy = np.meshgrid(np.arange(32), np.arange(24))
+        sm = np.stack([(2 * xx + yy) % 200 + 20] * 3, -1).astype(np.uint8)
+        data = J.encode_jpeg(32, 24, sm.tobytes(), subsampling="422")
+        # SOF declares luma 2x1
+        i = data.find(b"\xff\xc0")
+        assert data[i + 11] == 0x21  # first component h=2, v=1
+        w, h, _, px = J.decode_jpeg(data)
+        err = np.abs(
+            np.frombuffer(px, np.uint8).reshape(24, 32, 3).astype(int)
+            - sm.astype(int)
+        ).max()
+        assert err < 40
+
+    def test_fuzz_odd_dims_never_crashes(self):
+        data = J.encode_jpeg(13, 9, self._img(13, 9, 3).tobytes(),
+                             subsampling="422", progressive=True)
+        for i in range(len(data)):
+            m = bytearray(data)
+            m[i] ^= 0xFF
+            try:
+                J.decode_jpeg(bytes(m))
+            except J.JpegError:
+                pass
