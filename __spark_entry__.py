@@ -2302,11 +2302,21 @@ WITH ids AS (SELECT range AS media_id FROM range({n})),
 ids444 AS (
   SELECT media_id, CAST(8 * (2 + media_id % 3) AS INT) AS width,
          CAST(8 * (2 + media_id % 2) AS INT) AS height
-  FROM ids WHERE media_id % 16 IN (0, 2, 4, 8, 10)),
+  FROM ids WHERE media_id % 16 IN (0, 4, 8, 10)),
+ids444p AS (
+  -- non-MCU-multiple dims (r7: edge blocks pad on encode, crop on
+  -- decode); even, so the resize gate's /4 identity holds
+  SELECT media_id, CAST(8 * (2 + media_id % 3) + 6 AS INT) AS width,
+         CAST(8 * (2 + media_id % 2) + 4 AS INT) AS height
+  FROM ids WHERE media_id % 16 = 2),
 ids420 AS (
   SELECT media_id, CAST(16 * (1 + media_id % 3) AS INT) AS width,
          CAST(16 AS INT) AS height
-  FROM ids WHERE media_id % 16 IN (1, 5, 9, 13, 14)),
+  FROM ids WHERE media_id % 16 IN (1, 5, 9, 14)),
+ids422 AS (
+  SELECT media_id, CAST(16 * (1 + media_id % 3) AS INT) AS width,
+         CAST(16 AS INT) AS height
+  FROM ids WHERE media_id % 16 = 13),
 idsgray AS (
   SELECT media_id, CAST(8 * (2 + media_id % 3) AS INT) AS width,
          CAST(8 * (2 + media_id % 2) AS INT) AS height
@@ -2319,11 +2329,29 @@ blk AS (
   FROM ids444 i, range(4) bx, range(3) by
   WHERE bx.range < i.width // 8 AND by.range < i.height // 8
   UNION ALL
+  -- padded stripe: per-block VISIBLE pixel count (edge blocks partial)
+  SELECT i.media_id, i.width, i.height,
+    CAST(least(8, i.width - bx.range * 8)
+         * least(8, i.height - by.range * 8) AS INT) AS npix,
+    (i.media_id * 31 + bx.range * 7 + by.range * 13) % 256 AS r,
+    (i.media_id * 17 + bx.range * 11 + by.range * 3) % 256 AS g,
+    (i.media_id * 29 + bx.range * 5 + by.range * 19) % 256 AS b
+  FROM ids444p i, range(5) bx, range(4) by
+  WHERE bx.range * 8 < i.width AND by.range * 8 < i.height
+  UNION ALL
   SELECT i.media_id, i.width, i.height, 256 AS npix,
     (i.media_id * 31 + mbx.range * 7) % 256 AS r,
     (i.media_id * 17 + mbx.range * 11) % 256 AS g,
     (i.media_id * 29 + mbx.range * 5) % 256 AS b
   FROM ids420 i, range(3) mbx
+  WHERE mbx.range < i.width // 16
+  UNION ALL
+  -- 4:2:2 stripe: constants per 16x8 MCU (two MCU rows at h=16)
+  SELECT i.media_id, i.width, i.height, 128 AS npix,
+    (i.media_id * 31 + mbx.range * 7 + mby.range * 13) % 256 AS r,
+    (i.media_id * 17 + mbx.range * 11 + mby.range * 3) % 256 AS g,
+    (i.media_id * 29 + mbx.range * 5 + mby.range * 19) % 256 AS b
+  FROM ids422 i, range(3) mbx, range(2) mby
   WHERE mbx.range < i.width // 16),
 gblk AS (
   SELECT i.media_id, i.width, i.height,

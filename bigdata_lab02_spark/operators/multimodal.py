@@ -439,7 +439,12 @@ def synthetic_jpeg(spark, n: int = 64) -> DataFrame:
     profile on ``media_id % 16``:
 
     4:4:4 family — dims 8·(2+id%3) × 8·(2+id%2), per-8×8-block constants:
-    - 0, 2: plain baseline;
+    - 0: plain baseline;
+    - 2: NON-MCU-MULTIPLE dims — 8·(2+id%3)+6 × 8·(2+id%2)+4 (even, so
+      the resize gate's /4 identity still holds): edge blocks are
+      padded on encode and cropped on decode; constants assigned by
+      (x//8, y//8) so padding replicates each edge block's constant and
+      the per-block closed form survives with per-block VISIBLE npix;
     - 4: restart interval 1 MCU (DRI + RSTn chain — the stream layout
       nearly all camera/web baseline JPEGs carry; restarts only reset DC
       predictors, so the decoded pixels keep the SAME closed form);
@@ -450,8 +455,11 @@ def synthetic_jpeg(spark, n: int = 64) -> DataFrame:
 
     4:2:0 family — dims 16·(1+id%3) × 16, per-16×16-MCU constants (the
     subsampled chroma stays DC-only, closed form with npix=256):
-    - 1: plain; 5: DRI(2); 9: progressive + DRI(2); 13: plain;
-    - 14: progressive.
+    - 1: plain; 5: DRI(2); 9: progressive + DRI(2); 14: progressive.
+
+    4:2:2 (id%16 = 13) — dims 16·(1+id%3) × 16, per-16×8-MCU constants
+    (horizontal chroma averaging of a constant is the constant; closed
+    form with npix=128).
 
     GRAYSCALE family (1-component SOF; decode replicates Y into RGB, so
     sum_r = sum_g = sum_b = Σ y1): 6: baseline + DRI(1); 12: progressive.
@@ -475,7 +483,7 @@ def synthetic_jpeg(spark, n: int = 64) -> DataFrame:
             for mid in pdf["id"]:
                 mid = int(mid)
                 s = mid % 16
-                if s in (1, 5, 9, 13, 14):  # 4:2:0 — constants per MCU
+                if s in (1, 5, 9, 14):  # 4:2:0 — constants per MCU
                     w, h = 16 * (1 + mid % 3), 16
                     img = np.zeros((h, w, 3), dtype=np.uint8)
                     for mby in range(h // 16):
@@ -489,11 +497,23 @@ def synthetic_jpeg(spark, n: int = 64) -> DataFrame:
                         restart_interval=2 if s in (5, 9) else 0,
                         progressive=s in (9, 14),
                     )
+                elif s == 13:  # 4:2:2 — constants per 16×8 MCU
+                    w, h = 16 * (1 + mid % 3), 16
+                    img = np.zeros((h, w, 3), dtype=np.uint8)
+                    for mby in range(h // 8):
+                        for mbx in range(w // 16):
+                            img[
+                                mby * 8 : mby * 8 + 8,
+                                mbx * 16 : mbx * 16 + 16,
+                            ] = consts(mid, mbx, mby)
+                    payload = enc(w, h, img.tobytes(), subsampling="422")
                 else:  # 4:4:4 / gray (and the corrupt stripes' bases)
                     w, h = 8 * (2 + mid % 3), 8 * (2 + mid % 2)
+                    if s == 2:  # non-MCU-multiple dims (even — see doc)
+                        w, h = w + 6, h + 4
                     img = np.zeros((h, w, 3), dtype=np.uint8)
-                    for by in range(h // 8):
-                        for bx in range(w // 8):
+                    for by in range(-(-h // 8)):
+                        for bx in range(-(-w // 8)):
                             img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                                 consts(mid, bx, by)
                             )

@@ -295,21 +295,24 @@ class TestSparkPlumbing:
         )
 
         rows = {r["media_id"]: r
-                for r in extract_jpeg_stats(synthetic_jpeg(spark, n=12)).collect()}
-        assert len(rows) == 12
+                for r in extract_jpeg_stats(synthetic_jpeg(spark, n=16)).collect()}
+        assert len(rows) == 16
         for mid, r in rows.items():
-            if mid % 4 == 3:
+            s = mid % 16
+            if s in (3, 7, 11, 15):  # corrupt stripes
                 assert r["decode_ok"] is False and r["sum_r"] is None
-            elif mid % 4 == 1:  # the 4:2:0 stripe
-                assert r["decode_ok"] is True
+                continue
+            assert r["decode_ok"] is True
+            assert r["sum_r"] is not None and r["sum_r"] >= 0
+            if s in (1, 5, 9, 13, 14):  # 4:2:0 / 4:2:2 stripes
                 assert r["width"] == 16 * (1 + mid % 3)
                 assert r["height"] == 16
-                assert r["sum_r"] is not None and r["sum_r"] >= 0
+            elif s == 2:  # non-MCU-multiple dims stripe
+                assert r["width"] == 8 * (2 + mid % 3) + 6
+                assert r["height"] == 8 * (2 + mid % 2) + 4
             else:
-                assert r["decode_ok"] is True
                 assert r["width"] == 8 * (2 + mid % 3)
                 assert r["height"] == 8 * (2 + mid % 2)
-                assert r["sum_r"] is not None and r["sum_r"] >= 0
 
 
 class TestRestartAndGrayscale:

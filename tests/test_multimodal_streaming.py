@@ -465,8 +465,10 @@ def test_extract_features_dispatches_jpeg(spark):
             assert r["decode_ok"] is False and r["feature"] is None
             continue
         assert r["decode_ok"] is True and r["feat_dim"] == 12
-        if mid % 16 in (1, 5, 9, 13, 14):
+        if mid % 16 in (1, 5, 9, 13, 14):  # 4:2:0 / 4:2:2 stripes
             w, h = 16 * (1 + mid % 3), 16
+        elif mid % 16 == 2:  # non-MCU-multiple dims stripe
+            w, h = 8 * (2 + mid % 3) + 6, 8 * (2 + mid % 2) + 4
         else:
             w, h = 8 * (2 + mid % 3), 8 * (2 + mid % 2)
         assert (int(r["feature"][0]), int(r["feature"][1])) == (w, h)
