@@ -324,9 +324,10 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
     recompute it from the generator formula); the edge remainder (inputs
     not a multiple of ``factor``) is cropped, matching the box-filter
     contract. The result ALWAYS re-encodes as PNG regardless of source
-    format — lossless, and free of the JPEG profile's MCU-multiple
-    dimension restriction which resized dims need not satisfy;
-    ``src_format`` records what the payload arrived as.
+    format — LOSSLESS, so the resized pixels (and the exact-integer
+    stats the gate checks) survive the payload round trip; a JPEG
+    re-encode would re-quantize them. ``src_format`` records what the
+    payload arrived as.
 
     Returns (media_id, payload, src_format, width, height, channels,
     total_intensity, decode_ok). ``decode_ok`` means exactly "the
