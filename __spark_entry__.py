@@ -2455,7 +2455,12 @@ def q_resize_mixed(spark, sf_dir):
         (F.col("media_id") + 1000).alias("media_id"), "payload"
     )
     tiny = synthetic_tiny_png(spark, n=4, start_id=900)
-    media = png.unionByName(jpg).unionByName(tiny)
+    # coalesce (narrow, no shuffle): the union of the three generators
+    # spans ~37 one-or-two-row partitions, and a chained mapInPandas
+    # would spin up a Python worker per partition for 68 thumbnail rows —
+    # pure overhead. Real corpora size partitions by BYTES instead
+    # (extract_features' target_partition_mb).
+    media = png.unionByName(jpg).unionByName(tiny).coalesce(8)
     return resize_images(media, factor=2).drop("payload")
 
 
