@@ -241,3 +241,51 @@ def test_stream_stream_join_state_survives_kill_resume(spark, tmp_path, split_so
         (r["a_id"], r["b_id"], r["user_id"]) for _, rows in run_b for r in rows
     }
     assert set(straddling) <= emitted_b
+
+
+def test_windowed_agg_watermark_survives_kill_resume(spark, tmp_path, split_source):
+    """Third stateful class: watermarked tumbling-window aggregation in
+    append mode. Exactly-once across the restart means (a) no window is
+    emitted twice — the restored WATERMARK state is what prevents run B
+    from re-finalizing run A's windows — and (b) every emitted window
+    equals the batch twin bit-for-bit (DECIMAL-exact sums), including
+    windows whose events straddle the restart (their partial aggregates
+    lived in the restored state store)."""
+    from bigdata_lab02_spark.streaming.events import hourly_counts_stream
+
+    staging, ev = split_source
+    run_a, run_b = _kill_resume_run(
+        spark, tmp_path, staging, hourly_counts_stream, "hourly", "append"
+    )
+    emitted = [
+        (r["bucket"], r["event_type"], r["n"], r["total_value"])
+        for _, rows in run_a + run_b
+        for r in rows
+    ]
+    assert emitted
+    keys = [(b, et) for b, et, _, _ in emitted]
+    assert len(keys) == len(set(keys)), "window finalized twice across restart"
+    a_keys = {(r["bucket"], r["event_type"]) for _, rows in run_a for r in rows}
+    b_keys = {(r["bucket"], r["event_type"]) for _, rows in run_b for r in rows}
+    assert a_keys and b_keys and not (a_keys & b_keys)
+
+    batch = {
+        (r["bucket"], r["event_type"]): (r["n"], r["tv"])
+        for r in ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("tv"),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", "n", "tv")
+        .collect()
+    }
+    for b, et, n, tv in emitted:
+        assert batch[(b, et)] == (n, tv), (b, et)
+    # windows whose hour spans the restart boundary must appear (their
+    # partial state crossed the checkpoint) — the boundary hour exists
+    # because the split cuts mid-timeline, not on an hour edge
+    assert len(emitted) > len(a_keys)
