@@ -2278,18 +2278,20 @@ def q_jpeg_decode(spark, sf_dir):
 
 
 # Mirrors synthetic_jpeg/_jpeg_block_consts (media_id % 16 stripes since
-# the r7 progressive extension): 4:4:4 rows (id%16 in (0,2,4,8,10) —
+# the r7 progressive extension): 4:4:4 rows (id%16 in (0,4,8,10) —
 # DRI-bearing and PROGRESSIVE variants included: restarts only reset DC
 # predictors and progressive re-orders the SAME quantized coefficients,
 # so both leave the decoded pixels on the SAME closed form) are
-# per-8×8-block constants at 8·(2+id%3) × 8·(2+id%2); 4:2:0 rows
-# (id%16 in (1,5,9,13,14); DRI/progressive variants) are per-16×16-MCU
-# constants at 16·(1+id%3) × 16 (constant MCUs keep the subsampled
-# chroma DC-only, so the SAME closed form applies with npix=256 per
-# constant region); GRAYSCALE rows (id%16 in (6,12), 1-component SOF,
-# baseline+DRI and progressive) follow the luma-only closed form with Y
-# replicated into RGB; corrupt stripes id%16 in (3,7,11,15)
-# (baseline/progressive truncation, out-of-sequence RSTn in both). The
+# per-8×8-block constants at 8·(2+id%3) × 8·(2+id%2); id%16 = 2 is the
+# NON-MCU-MULTIPLE 4:4:4 stripe at +6/+4 dims (per-block VISIBLE npix);
+# 4:2:0 rows (id%16 in (1,5,9,14); DRI/progressive variants) are
+# per-16×16-MCU constants at 16·(1+id%3) × 16 (constant MCUs keep the
+# subsampled chroma DC-only, so the SAME closed form applies with
+# npix=256 per constant region); id%16 = 13 is the 4:2:2 stripe
+# (per-16×8-MCU constants, npix=128); GRAYSCALE rows (id%16 in (6,12),
+# 1-component SOF, baseline+DRI and progressive) follow the luma-only
+# closed form with Y replicated into RGB; corrupt stripes id%16 in
+# (3,7,11,15) (baseline/progressive truncation, out-of-seq RSTn). The
 # decode closed form: RGB → JFIF YCbCr (rnd+clamp) → DC quantize (Q00 =
 # 16 lum / 17 chroma; 2×2 chroma averaging of a constant is the
 # constant) → reconstruct → replicate → inverse JFIF (rnd+clamp);

@@ -416,11 +416,14 @@ def _pt_ac(v: int, al: int) -> int:
     return (abs(v) >> al) * (1 if v >= 0 else -1)
 
 
-def _comp_blocks(coefarr):
-    """(by, bx) raster order over one component's own block grid."""
-    return [
-        (by, bx) for by in range(len(coefarr)) for bx in range(len(coefarr[0]))
-    ]
+def _comp_blocks(coefarr, nbx=None, nby=None):
+    """(by, bx) raster order over one component's CODED block grid —
+    T.81 A.2.2: non-interleaved scans cover ceil(component samples / 8)
+    blocks per axis, not the MCU-padded grid (the padding blocks are
+    coded only by interleaved scans and stay zero otherwise)."""
+    nby = len(coefarr) if nby is None else nby
+    nbx = len(coefarr[0]) if nbx is None else nbx
+    return [(by, bx) for by in range(nby) for bx in range(nbx)]
 
 
 class _EobRun:
@@ -458,11 +461,12 @@ class _EobRun:
         self.bits = []
 
 
-def _emit_ac_first(coefarr, ac_codes, ss, se, al, ri) -> bytes:
+def _emit_ac_first(coefarr, ac_codes, ss, se, al, ri,
+                   nbx=None, nby=None) -> bytes:
     """First AC pass of one band, one component, with cross-block EOBn
     run aggregation."""
     w = _BitWriter()
-    blocks = _comp_blocks(coefarr)
+    blocks = _comp_blocks(coefarr, nbx, nby)
     eob = _EobRun(w, ac_codes)
     rst = 0
     for u, (by, bx) in enumerate(blocks):
@@ -500,7 +504,8 @@ def _emit_ac_first(coefarr, ac_codes, ss, se, al, ri) -> bytes:
     return w.flush()
 
 
-def _emit_ac_refine(coefarr, ac_codes, ss, se, al, ri) -> bytes:
+def _emit_ac_refine(coefarr, ac_codes, ss, se, al, ri,
+                    nbx=None, nby=None) -> bytes:
     """AC refinement pass (G.1.2.3): newly-significant coefficients are
     run-length coded over ZERO-HISTORY positions; correction bits for
     already-nonzero coefficients are buffered and flushed after each
@@ -509,7 +514,7 @@ def _emit_ac_refine(coefarr, ac_codes, ss, se, al, ri) -> bytes:
     buffer and flush after the EOBn symbol, in block order — exactly
     the order the decoder's per-block tail handler consumes them."""
     w = _BitWriter()
-    blocks = _comp_blocks(coefarr)
+    blocks = _comp_blocks(coefarr, nbx, nby)
     eob_run = _EobRun(w, ac_codes)
     rst = 0
     for u, (by, bx) in enumerate(blocks):
@@ -737,23 +742,36 @@ def encode_jpeg(
                 _emit_dc_refine(coefs, mcu_blocks, 0, restart_interval),
             )
         )
+        # T.81 A.2.2 coded grid for non-interleaved AC scans: ceil of the
+        # component's TRUE sample extent, not the MCU-padded grid
+        def comp_grid(comp):
+            ch, cv = hv[comp]
+            return (
+                -(-(-(-width * ch // hmax)) // 8),
+                -(-(-(-height * cv // vmax)) // 8),
+            )
+
         for ss, se in ((1, 5), (6, 63)):
             for comp in range(ncomp):
+                nbx_c, nby_c = comp_grid(comp)
                 scans.append(
                     (
                         sos_body([comp + 1], ss, se, 0, 1),
                         _emit_ac_first(
-                            coefs[comp], ac, ss, se, 1, restart_interval
+                            coefs[comp], ac, ss, se, 1, restart_interval,
+                            nbx=nbx_c, nby=nby_c,
                         ),
                     )
                 )
         for ss, se in ((1, 5), (6, 63)):
             for comp in range(ncomp):
+                nbx_c, nby_c = comp_grid(comp)
                 scans.append(
                     (
                         sos_body([comp + 1], ss, se, 1, 0),
                         _emit_ac_refine(
-                            coefs[comp], ac, ss, se, 0, restart_interval
+                            coefs[comp], ac, ss, se, 0, restart_interval,
+                            nbx=nbx_c, nby=nby_c,
                         ),
                     )
                 )
@@ -837,7 +855,7 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
     restart_interval = 0
     progressive = False
     n_scans = 0
-    coefs: list[list[list[list[int]]]] = []  # per comp: [by][bx] -> 64 ints
+    coefs: list[np.ndarray] = []  # per comp: (nby, nbx, 64) int64 zigzag
     # per comp, per zigzag index: Al of the last scan that touched it
     # (-1 = never sent). Enforces first-pass-before-refinement and the
     # Ah == previous-Al successive-approximation chain.
@@ -1046,10 +1064,17 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                                     decode_dc_refine(br, zz, al)
         else:
             # non-interleaved: one component, its own block raster order;
-            # restart intervals count BLOCKS here (T.81 Annex B/G)
+            # restart intervals count BLOCKS here. T.81 A.2.2: the block
+            # count is ceil(component samples / 8) — NOT the MCU-padded
+            # grid (for a 4:2:0 luma of width 1000 that is 125 blocks per
+            # row, though the padded grid holds 126; the padding blocks
+            # exist only for interleaved scans and are never coded here)
             idx, dc_t, ac_t = order[0]
-            for row in coefs[idx]:
-                for zz in row:
+            _, c_h, c_v, _ = comps[idx]
+            nbx = -(-(-(-width * c_h // hmax)) // 8)
+            nby = -(-(-(-height * c_v // vmax)) // 8)
+            for row in coefs[idx][:nby]:
+                for zz in row[:nbx]:
                     maybe_restart()
                     unit_idx += 1
                     if ss == 0:
@@ -1147,15 +1172,16 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
             if width <= 0 or height <= 0 or width * height > (1 << 24):
                 raise JpegError("unsupported dimensions")
             # block grids over the MCU-padded extent (T.81 A.2.4: partial
-            # edge MCUs are coded whole; the decoder crops to the SOF dims)
+            # edge MCUs are coded whole; the decoder crops to the SOF dims).
+            # numpy int64 buffers: 8 B/coefficient flat storage instead of
+            # nested Python lists (an order of magnitude less memory at the
+            # 1<<24-pixel cap), and int64 cannot wrap even on adversarial
+            # max-diff DC chains shifted by Al
             n_mcux = -(-width // (8 * hmax))
             n_mcuy = -(-height // (8 * vmax))
             for _, ch, cv, _ in comps:
                 coefs.append(
-                    [
-                        [[0] * 64 for _ in range(n_mcux * ch)]
-                        for _ in range(n_mcuy * cv)
-                    ]
+                    np.zeros((n_mcuy * cv, n_mcux * ch, 64), dtype=np.int64)
                 )
                 band_al.append([-1] * 64)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,

@@ -225,26 +225,6 @@ def _decode_any_image(b: bytes) -> tuple[int, int, int, bytes, str]:
     return w, h, ch, px, fmt
 
 
-def _features_from_pixels(
-    width: int, height: int, channels: int, pixels: bytes, n_bins: int = 8
-) -> list[float]:
-    """``[width, height, channels, mean/255, *histogram]`` — the same
-    vector png.png_features computes, factored out so every image format
-    feeds one feature definition."""
-    n = len(pixels)
-    bins = [0] * n_bins
-    total = 0
-    for b in pixels:
-        total += b
-        bins[min(b * n_bins // 256, n_bins - 1)] += 1
-    return [
-        float(width),
-        float(height),
-        float(channels),
-        total / (255.0 * n) if n else 0.0,
-    ] + [c / n if n else 0.0 for c in bins]
-
-
 def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
     """Real decode kernel: byte-level image decode + feature extraction
     via the vendored codecs — format-dispatched on magic bytes (PNG and
@@ -256,7 +236,7 @@ def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
     for b in payloads:
         try:
             w, h, ch, px, _ = _decode_any_image(bytes(b))
-            feats.append(_features_from_pixels(w, h, ch, px))
+            feats.append(_png.features_from_pixels(w, h, ch, px))
             ok.append(True)
         except (_png.PngError, _jpeg.JpegError, TypeError):
             # TypeError: payload is None

@@ -154,11 +154,14 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     return width, height, channels, bytes(out)
 
 
-def png_features(data: bytes, n_bins: int = 8) -> list[float]:
+def features_from_pixels(
+    width: int, height: int, channels: int, pixels: bytes, n_bins: int = 8
+) -> list[float]:
     """Deterministic feature vector from decoded pixels:
     ``[width, height, channels, mean/255, *histogram]`` where histogram is
-    ``n_bins`` normalized intensity-bin frequencies over all channels."""
-    width, height, channels, pixels = decode_png(data)
+    ``n_bins`` normalized intensity-bin frequencies over all channels.
+    Format-neutral — the single feature definition every image codec's
+    decode output feeds (multimodal's JPEG dispatch uses it too)."""
     n = len(pixels)
     bins = [0] * n_bins
     total = 0
@@ -171,3 +174,8 @@ def png_features(data: bytes, n_bins: int = 8) -> list[float]:
         float(channels),
         total / (255.0 * n) if n else 0.0,
     ] + [c / n if n else 0.0 for c in bins]
+
+
+def png_features(data: bytes, n_bins: int = 8) -> list[float]:
+    """Decode + featurize (see ``features_from_pixels``)."""
+    return features_from_pixels(*decode_png(data), n_bins=n_bins)
