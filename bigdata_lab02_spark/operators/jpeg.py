@@ -2,15 +2,17 @@
 pipeline — the third leg of the vendored-codec triad (png.py, wav.py,
 y4m.py) and the format a real 100 TB crawl actually leads with.
 
-- encode: sequential DCT, 8-bit, 3-component YCbCr (JFIF) at 4:4:4 or
+- encode: sequential DCT, 8-bit, 3-component YCbCr (JFIF) at 4:4:4,
   4:2:0 (2×2 chroma subsampling — the profile real crawl JPEGs lead
-  with) or 1-component grayscale; BASELINE (SOF0, one interleaved scan)
-  or PROGRESSIVE (SOF2, the classic 6-phase scan script with successive
-  approximation — the encoding the majority of modern web JPEGs use);
-  optional restart intervals (DRI + RSTn, the segments nearly all
-  camera/web JPEGs carry); the T.81 Annex K example quantization tables,
-  Annex K DC Huffman tables, and a custom (valid, carried in DHT like
-  any other) AC Huffman table;
+  with), 4:2:2 (1×2), or 1-component grayscale; ANY positive dimensions
+  (edge blocks pad to the MCU grid by replication; SOF carries the true
+  dims); BASELINE (SOF0, one interleaved scan) or PROGRESSIVE (SOF2,
+  the classic 6-phase scan script with successive approximation and
+  cross-block EOBn runs — the encoding the majority of modern web
+  JPEGs use); optional restart intervals (DRI + RSTn, the segments
+  nearly all camera/web JPEGs carry); the T.81 Annex K example
+  quantization tables, Annex K DC Huffman tables, and a custom (valid,
+  carried in DHT like any other) AC Huffman table;
 - decode: GENERAL decode of what the markers declare — arbitrary DQT/DHT
   tables, Huffman entropy decode with byte unstuffing, run-length AC
   with ZRL/EOB, per-component DC prediction, dequant, zigzag, IDCT,
