@@ -623,3 +623,87 @@ class TestArbitraryDimsAnd422:
                 J.decode_jpeg(bytes(m))
             except J.JpegError:
                 pass
+
+
+class TestProgressiveCoefficientPatterns:
+    """White-box differential net for the progressive entropy coder:
+    inject crafted coefficient spectra through a monkeypatched quantizer
+    and assert progressive decode == baseline decode of the SAME
+    coefficients. Targets the paths random images rarely produce:
+    ZRL runs interleaved with history coefficients in refinement,
+    EOBn runs spanning many blocks, magnitude-1-only tails, and dense
+    high-band content."""
+
+    def _roundtrip_equal(self, monkeypatch, pattern_fn, w=32, h=16):
+        import bigdata_lab02_spark.operators.jpeg as jm
+
+        orig = jm._quantize_block
+        counter = {"i": 0}
+
+        def patched(block, quant):
+            zz = orig(block, quant)
+            out = pattern_fn(counter["i"], list(zz))
+            counter["i"] += 1
+            # clamp to the coder's representable range
+            return [max(-1023, min(1023, int(v))) for v in out]
+
+        monkeypatch.setattr(jm, "_quantize_block", patched)
+        img = np.zeros((h, w, 3), np.uint8)
+        base = jm.encode_jpeg(w, h, img.tobytes())
+        counter["i"] = 0
+        prog = jm.encode_jpeg(w, h, img.tobytes(), progressive=True)
+        counter["i"] = 0
+        prog_ri = jm.encode_jpeg(w, h, img.tobytes(), progressive=True,
+                                 restart_interval=1)
+        monkeypatch.setattr(jm, "_quantize_block", orig)
+        db = jm.decode_jpeg(base)
+        assert jm.decode_jpeg(prog) == db
+        assert jm.decode_jpeg(prog_ri) == db
+
+    def test_zrl_with_interleaved_history(self, monkeypatch):
+        # 17+ zero-history gaps around large (history) coefficients with
+        # a trailing newly-significant value: the refinement ZRL + BR
+        # buffering order is load-bearing here
+        def pattern(i, zz):
+            out = [0] * 64
+            out[0] = 100
+            out[5] = 40        # history (>1 at every Al)
+            out[25] = 2        # becomes significant during refinement
+            out[44] = -3
+            out[63] = 1        # magnitude-1 at the band tail
+            return out
+        self._roundtrip_equal(monkeypatch, pattern)
+
+    def test_eobn_run_spans_blocks(self, monkeypatch):
+        # most blocks DC-only -> long EOBn runs; every 5th block breaks
+        # the run with sparse content
+        def pattern(i, zz):
+            out = [0] * 64
+            out[0] = (i * 13) % 200 - 100
+            if i % 5 == 0:
+                out[7] = 1
+                out[60] = -1
+            return out
+        self._roundtrip_equal(monkeypatch, pattern)
+
+    def test_dense_high_band(self, monkeypatch):
+        def pattern(i, zz):
+            return [((i + k) * 7) % 21 - 10 for k in range(64)]
+        self._roundtrip_equal(monkeypatch, pattern)
+
+    def test_alternating_sign_magnitude_one(self, monkeypatch):
+        # all-ones spectra: every coefficient is newly significant in the
+        # refinement passes' first pass at its band
+        def pattern(i, zz):
+            return [1 if k % 2 == 0 else -1 for k in range(64)]
+        self._roundtrip_equal(monkeypatch, pattern)
+
+    def test_negative_dc_refinement_bits(self, monkeypatch):
+        # negative DCs exercise the arithmetic-shift point transform and
+        # the |= correction-bit OR on negative stored values
+        def pattern(i, zz):
+            out = [0] * 64
+            out[0] = -(i * 9 % 500) - 1
+            out[1] = -1
+            return out
+        self._roundtrip_equal(monkeypatch, pattern)
