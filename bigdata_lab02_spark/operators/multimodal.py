@@ -225,6 +225,26 @@ def _decode_any_image(b: bytes) -> tuple[int, int, int, bytes, str]:
     return w, h, ch, px, fmt
 
 
+def _features_np(width: int, height: int, channels: int, pixels: bytes) -> list[float]:
+    """Vectorized twin of ``png.features_from_pixels`` (the reference
+    implementation): same integer bin counts (b*8//256 == b >> 5) and
+    the same float divisions, so outputs are bit-identical (asserted in
+    tests) — but a numpy bincount instead of a 10⁷-iteration Python
+    loop on a real-size image."""
+    import numpy as np
+
+    a = np.frombuffer(pixels, dtype=np.uint8)
+    n = int(a.size)
+    bins = np.bincount(a >> 5, minlength=8)
+    total = int(a.sum(dtype=np.int64))
+    return [
+        float(width),
+        float(height),
+        float(channels),
+        total / (255.0 * n) if n else 0.0,
+    ] + [int(c) / n if n else 0.0 for c in bins]
+
+
 def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
     """Real decode kernel: byte-level image decode + feature extraction
     via the vendored codecs — format-dispatched on magic bytes (PNG and
@@ -236,7 +256,7 @@ def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
     for b in payloads:
         try:
             w, h, ch, px, _ = _decode_any_image(bytes(b))
-            feats.append(_png.features_from_pixels(w, h, ch, px))
+            feats.append(_features_np(w, h, ch, px))
             ok.append(True)
         except (_png.PngError, _jpeg.JpegError, TypeError):
             # TypeError: payload is None

@@ -473,3 +473,23 @@ def test_extract_features_dispatches_jpeg(spark):
             w, h = 8 * (2 + mid % 3), 8 * (2 + mid % 2)
         assert (int(r["feature"][0]), int(r["feature"][1])) == (w, h)
         assert int(r["feature"][2]) == 3  # decode always yields RGB
+
+
+def test_vectorized_features_match_reference():
+    """The numpy feature kernel must be bit-identical to the pure-stdlib
+    reference implementation (png.features_from_pixels) — same integer
+    bin counts and the same float divisions."""
+    import numpy as np
+
+    from bigdata_lab02_spark.operators.multimodal import _features_np
+    from bigdata_lab02_spark.operators.png import features_from_pixels
+
+    rng = np.random.default_rng(3)
+    for n, ch in ((0, 1), (1, 1), (97, 3), (4096, 4)):
+        px = bytes(rng.integers(0, 256, n * ch, dtype=np.uint8))
+        assert _features_np(n or 1, 1, ch, px) == features_from_pixels(
+            n or 1, 1, ch, px
+        )
+    # boundary bytes land in the same bins (b*8//256 == b >> 5)
+    edge = bytes([0, 31, 32, 63, 64, 127, 128, 255])
+    assert _features_np(8, 1, 1, edge) == features_from_pixels(8, 1, 1, edge)
