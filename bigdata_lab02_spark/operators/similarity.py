@@ -336,7 +336,27 @@ def ivf_topk(
                 c["cid"].alias("cid"),
             ),
         )
-        top = F.slice(F.array_sort(scored, _by_cos_desc), 1, n)
+        if n == 1:
+            # corpus assignment: O(nlist) argmax FOLD instead of the
+            # O(nlist log nlist) comparator sort (VERDICT r6 watch item).
+            # Seeded with element 1 so the centroid-id type is preserved
+            # exactly; same (cos DESC, cid ASC) tie rule as the sort.
+            best = F.aggregate(
+                F.slice(
+                    scored, 2, F.greatest(F.size(scored) - 1, F.lit(0))
+                ),
+                F.element_at(scored, 1),
+                lambda acc, x: F.when(
+                    (x["cos"] > acc["cos"])
+                    | ((x["cos"] == acc["cos"]) & (x["cid"] < acc["cid"])),
+                    x,
+                ).otherwise(acc),
+            )
+            top = F.when(F.size(scored) > 0, F.array(best)).otherwise(
+                F.slice(scored, 1, 0)  # correctly-typed empty array
+            )
+        else:
+            top = F.slice(F.array_sort(scored, _by_cos_desc), 1, n)
         return (
             df.crossJoin(F.broadcast(cent_arr))
             .select(F.col(id_col), F.explode(top).alias("__e"), "v", "nrm")
