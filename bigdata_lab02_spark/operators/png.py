@@ -4,17 +4,23 @@ The container has no PIL/ffmpeg, but PNG's baseline profile needs only
 ``zlib`` + ``struct``: chunked container, zlib-compressed scanlines, five
 per-row byte filters. This module implements exactly that profile —
 
-- encode: 8-bit grayscale (color type 0), RGB (2), RGBA (6), filter 0 rows;
+- encode: 8-bit grayscale (color type 0), RGB (2), RGBA (6), and PALETTE
+  (color type 3, bit depths 1/2/4/8, optional tRNS alpha), filter 0
+  rows, non-interlaced or ADAM7 interlaced;
 - decode: the same color types, all five filters (None/Sub/Up/Average/
-  Paeth), non-interlaced.
+  Paeth), sub-byte palette index unpacking, tRNS palette alpha
+  (palette output decodes to RGB, or RGBA when tRNS is present), and
+  Adam7 interlacing (7 filtered sub-image passes recomposed) — r7:
+  palette PNGs (icons, quantized screenshots) and interlaced files are
+  both common in a real crawl.
 
-Scope is deliberately small (no palette, no 16-bit, no Adam7) — enough for
-real byte-level decode coverage of the Spark-side media plumbing in
-``multimodal.py``. Anything outside the profile raises ``PngError``, which
-the pipeline maps to ``decode_ok=False`` (the honest-failure path).
+Scope limits: no 16-bit samples, no tRNS on non-palette types (silently
+dropping transparency would be a WRONG decode, so it raises instead).
+Anything outside the profile raises ``PngError``, which the pipeline
+maps to ``decode_ok=False`` (the honest-failure path).
 
 Public-knowledge provenance: PNG spec (RFC 2083 / ISO 15948); the Paeth
-predictor is reproduced from the spec's pseudocode.
+predictor and the Adam7 pass grid are reproduced from the spec.
 """
 
 from __future__ import annotations
@@ -40,27 +46,117 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(width: int, height: int, pixels: bytes, color_type: int = 2) -> bytes:
-    """Encode raw 8-bit pixel bytes (row-major, ``width*height*channels``)
-    as a valid PNG. Filter byte 0 per row — valid output, zero cleverness."""
-    ch = _CHANNELS.get(color_type)
-    if ch is None:
-        raise PngError(f"unsupported color type {color_type}")
-    if len(pixels) != width * height * ch:
-        raise PngError(
-            f"pixel buffer is {len(pixels)} bytes, want {width * height * ch}"
-        )
-    stride = width * ch
-    raw = b"".join(
-        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+# Adam7 pass grid: (x offset, y offset, x step, y step) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _pass_dims(w: int, h: int, x0: int, y0: int, dx: int, dy: int) -> tuple[int, int]:
+    return max(0, -(-(w - x0) // dx)), max(0, -(-(h - y0) // dy))
+
+
+def _pack_row(indices: bytes, depth: int) -> bytes:
+    """Pack palette indices MSB-first at ``depth`` bits per sample."""
+    if depth == 8:
+        return bytes(indices)
+    per = 8 // depth
+    out = bytearray()
+    for i in range(0, len(indices), per):
+        b = 0
+        group = indices[i : i + per]
+        for k, v in enumerate(group):
+            b |= (v & ((1 << depth) - 1)) << (8 - (k + 1) * depth)
+        out.append(b)
+    return bytes(out)
+
+
+def _unpack_row(row: bytes, width: int, depth: int) -> bytes:
+    """Unpack ``width`` MSB-first palette indices at ``depth`` bits."""
+    if depth == 8:
+        return row[:width]
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    out = bytearray()
+    for b in row:
+        for k in range(per):
+            out.append((b >> (8 - (k + 1) * depth)) & mask)
+            if len(out) == width:
+                return bytes(out)
+    if len(out) < width:
+        raise PngError("palette scanline shorter than width")
+    return bytes(out)
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    color_type: int = 2,
+    palette: list[tuple[int, int, int]] | None = None,
+    bit_depth: int = 8,
+    trns: list[int] | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Encode raw pixel bytes as a valid PNG. Filter byte 0 per row —
+    valid output, zero cleverness. Color types 0/2/6 take 8-bit samples
+    (``width*height*channels`` bytes); color type 3 takes one palette
+    INDEX byte per pixel plus ``palette`` (≤256 RGB tuples), packed at
+    ``bit_depth`` ∈ {1,2,4,8} bits, with optional ``trns`` per-entry
+    alpha. ``interlace=True`` writes the Adam7 pass layout."""
+    if color_type == 3:
+        if not palette or len(palette) > 256:
+            raise PngError("palette required (<=256 entries)")
+        if bit_depth not in (1, 2, 4, 8):
+            raise PngError(f"bad palette bit depth {bit_depth}")
+        if len(palette) > (1 << bit_depth):
+            raise PngError("palette larger than bit depth allows")
+        if len(pixels) != width * height:
+            raise PngError(
+                f"index buffer is {len(pixels)} bytes, want {width * height}"
+            )
+        if any(i >= len(palette) for i in pixels):
+            raise PngError("palette index out of range")
+        ch = 1
+    else:
+        if bit_depth != 8:
+            raise PngError("non-palette types are 8-bit only")
+        ch = _CHANNELS.get(color_type)
+        if ch is None:
+            raise PngError(f"unsupported color type {color_type}")
+        if len(pixels) != width * height * ch:
+            raise PngError(
+                f"pixel buffer is {len(pixels)} bytes, want {width * height * ch}"
+            )
+
+    def row_bytes(xs: bytes) -> bytes:
+        return _pack_row(xs, bit_depth) if color_type == 3 else xs
+
+    raw = bytearray()
+    passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    for x0, y0, dx, dy in passes:
+        pw, ph = _pass_dims(width, height, x0, y0, dx, dy)
+        if pw == 0 or ph == 0:
+            continue
+        for ry in range(ph):
+            y = y0 + ry * dy
+            samples = bytearray()
+            for rx in range(pw):
+                x = x0 + rx * dx
+                o = (y * width + x) * ch
+                samples += pixels[o : o + ch]
+            raw += b"\x00" + row_bytes(bytes(samples))
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0,
+        1 if interlace else 0,
     )
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    return (
-        _SIGNATURE
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw))
-        + _chunk(b"IEND", b"")
-    )
+    out = _SIGNATURE + _chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += _chunk(b"PLTE", b"".join(bytes(p) for p in palette))
+        if trns is not None:
+            out += _chunk(b"tRNS", bytes(trns))
+    return out + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -75,14 +171,54 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+def _defilter(raw: bytes, off: int, n_rows: int, stride: int, bpp: int) -> tuple[bytes, int]:
+    """Reverse the five RFC 2083 row filters over ``n_rows`` scanlines of
+    ``stride`` bytes starting at ``off`` (``bpp`` = filter byte offset —
+    max(1, bytes per pixel)); returns (defiltered bytes, new offset)."""
+    out = bytearray()
+    prev = bytes(stride)
+    for _ in range(n_rows):
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        off += 1 + stride
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        else:
+            raise PngError(f"bad filter type {ftype}")
+        out += line
+        prev = bytes(line)
+    return bytes(out), off
+
+
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline PNG → ``(width, height, channels, pixels)`` with
-    8-bit row-major pixel bytes. Raises ``PngError`` for non-PNG bytes or
-    anything outside the supported profile."""
+    8-bit row-major pixel bytes (palette images decode to RGB, or RGBA
+    when a tRNS chunk supplies entry alphas). Raises ``PngError`` for
+    non-PNG bytes or anything outside the supported profile."""
     if not data or not data.startswith(_SIGNATURE):
         raise PngError("bad signature")
     pos = len(_SIGNATURE)
-    width = height = channels = -1
+    width = height = -1
+    depth = 8
+    ctype = -1
+    interlace = 0
+    palette: list[bytes] = []
+    trns: bytes | None = None
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
@@ -100,24 +236,56 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or ctype not in _CHANNELS:
-                raise PngError(f"unsupported depth/color {depth}/{ctype}")
-            if interlace != 0:
-                raise PngError("interlaced PNG not supported")
-            channels = _CHANNELS[ctype]
+            if ctype == 3:
+                if depth not in (1, 2, 4, 8):
+                    raise PngError(f"bad palette bit depth {depth}")
+            elif ctype in _CHANNELS:
+                if depth != 8:
+                    raise PngError(f"unsupported depth {depth}")
+            else:
+                raise PngError(f"unsupported color type {ctype}")
+            if interlace not in (0, 1):
+                raise PngError(f"bad interlace method {interlace}")
+        elif tag == b"PLTE":
+            if length % 3 or length == 0 or length > 256 * 3:
+                raise PngError("bad PLTE length")
+            palette = [body[i : i + 3] for i in range(0, length, 3)]
+        elif tag == b"tRNS":
+            if ctype != 3:
+                # silently dropping transparency would be a WRONG decode
+                raise PngError("tRNS unsupported for this color type")
+            trns = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
             break
     if width < 0 or not idat:
         raise PngError("missing IHDR/IDAT")
+    if ctype == 3:
+        if not palette:
+            raise PngError("palette image missing PLTE")
+        if trns is not None and len(trns) > len(palette):
+            raise PngError("tRNS longer than palette")
+        ch_raw = 1
+        channels = 4 if trns is not None else 3
+    else:
+        ch_raw = channels = _CHANNELS[ctype]
     # Bound allocations BEFORE inflating: header-declared dimensions are
     # attacker-controlled, and zlib.decompress with no cap is a zip bomb —
     # inflate at most the expected scanline bytes (+1 to detect overrun).
     if width <= 0 or height <= 0 or width * height * channels > (1 << 26):
         raise PngError("unreasonable dimensions")
-    stride = width * channels
-    expected = (stride + 1) * height
+
+    passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    plan = []  # (x0, y0, dx, dy, pw, ph, stride)
+    expected = 0
+    for x0, y0, dx, dy in passes:
+        pw, ph = _pass_dims(width, height, x0, y0, dx, dy)
+        if pw == 0 or ph == 0:
+            continue
+        stride = -(-pw * depth * ch_raw // 8)
+        plan.append((x0, y0, dx, dy, pw, ph, stride))
+        expected += (stride + 1) * ph
     try:
         raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
     except zlib.error as exc:
@@ -125,32 +293,35 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if len(raw) != expected:
         raise PngError("scanline size mismatch")
 
-    out = bytearray(stride * height)
-    prev = bytes(stride)
-    for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        if ftype == 0:  # None
-            pass
-        elif ftype == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                ul = prev[i - channels] if i >= channels else 0
-                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
-        else:
-            raise PngError(f"bad filter type {ftype}")
-        out[y * stride : (y + 1) * stride] = line
-        prev = bytes(line)
+    if ctype == 3:
+        # palette lookup table: RGB(A) bytes per index
+        lut = [
+            p + (bytes([trns[i] if trns is not None and i < len(trns) else 255])
+                 if channels == 4 else b"")
+            for i, p in enumerate(palette)
+        ]
+    bpp = max(1, depth * ch_raw // 8)
+    out = bytearray(width * height * channels)
+    off = 0
+    for x0, y0, dx, dy, pw, ph, stride in plan:
+        rows, off = _defilter(raw, off, ph, stride, bpp)
+        contiguous = dx == 1 and dy == 1  # the non-interlaced fast path
+        for ry in range(ph):
+            rb = rows[ry * stride : (ry + 1) * stride]
+            y = y0 + ry * dy
+            if ctype == 3:
+                idxs = _unpack_row(rb, pw, depth)
+                for rx, idx in enumerate(idxs):
+                    if idx >= len(palette):
+                        raise PngError("palette index out of range")
+                    o = (y * width + x0 + rx * dx) * channels
+                    out[o : o + channels] = lut[idx]
+            elif contiguous:
+                out[y * width * channels : (y + 1) * width * channels] = rb
+            else:
+                for rx in range(pw):
+                    o = (y * width + x0 + rx * dx) * channels
+                    out[o : o + channels] = rb[rx * channels : (rx + 1) * channels]
     return width, height, channels, bytes(out)
 
 

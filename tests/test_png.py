@@ -143,3 +143,117 @@ def test_malformed_ihdr_length_raises_png_error():
     )
     with pytest.raises(PngError):
         decode_png(data)
+
+
+class TestPaletteAndAdam7:
+    """Round-7 profile extensions: palette images (color type 3, bit
+    depths 1/2/4/8, tRNS alpha) and Adam7 interlacing — both common in
+    a real crawl (quantized icons/screenshots; interlaced exports)."""
+
+    def _pal(self, n):
+        return [(i * 7 % 256, i * 13 % 256, i * 29 % 256) for i in range(n)]
+
+    @pytest.mark.parametrize("depth,npal", [(1, 2), (2, 4), (4, 16), (8, 200)])
+    def test_palette_roundtrip_rgb(self, depth, npal):
+        import numpy as np
+
+        rng = np.random.default_rng(depth)
+        pal = self._pal(npal)
+        for w, h in ((1, 1), (5, 3), (13, 7)):
+            idx = bytes(rng.integers(0, npal, w * h, dtype=np.uint8))
+            got = decode_png(encode_png(w, h, idx, 3, palette=pal,
+                                        bit_depth=depth))
+            assert got == (w, h, 3, b"".join(bytes(pal[i]) for i in idx))
+
+    def test_palette_trns_decodes_rgba(self):
+        pal = self._pal(4)
+        trns = [0, 85, 170, 255]
+        idx = bytes([0, 1, 2, 3, 3, 2, 1, 0, 2])
+        w, h, ch, px = decode_png(
+            encode_png(3, 3, idx, 3, palette=pal, bit_depth=2, trns=trns)
+        )
+        assert (w, h, ch) == (3, 3, 4)
+        assert px == b"".join(bytes(pal[i]) + bytes([trns[i]]) for i in idx)
+
+    def test_short_trns_defaults_opaque(self):
+        pal = self._pal(4)
+        idx = bytes([0, 3])
+        _, _, ch, px = decode_png(
+            encode_png(2, 1, idx, 3, palette=pal, bit_depth=8, trns=[7])
+        )
+        assert ch == 4
+        assert px[3] == 7 and px[7] == 255  # entry 3 beyond tRNS -> opaque
+
+    @pytest.mark.parametrize("ct,ch", [(0, 1), (2, 3), (6, 4)])
+    def test_adam7_roundtrip(self, ct, ch):
+        import numpy as np
+
+        rng = np.random.default_rng(ct + 10)
+        for w, h in ((1, 1), (3, 2), (8, 8), (13, 11), (24, 16)):
+            px = bytes(rng.integers(0, 256, w * h * ch, dtype=np.uint8))
+            assert decode_png(encode_png(w, h, px, ct, interlace=True)) == (
+                w, h, ch, px,
+            )
+
+    def test_adam7_palette_all_depths(self):
+        import numpy as np
+
+        rng = np.random.default_rng(99)
+        for depth, npal in ((1, 2), (2, 4), (4, 16), (8, 31)):
+            pal = self._pal(npal)
+            idx = bytes(rng.integers(0, npal, 13 * 11, dtype=np.uint8))
+            got = decode_png(encode_png(13, 11, idx, 3, palette=pal,
+                                        bit_depth=depth, interlace=True))
+            assert got == (13, 11, 3, b"".join(bytes(pal[i]) for i in idx))
+
+    def test_rejections(self):
+        pal = self._pal(4)
+        with pytest.raises(PngError):  # index beyond palette (encode)
+            encode_png(2, 2, bytes([5, 0, 0, 0]), 3, palette=pal, bit_depth=2)
+        with pytest.raises(PngError):  # palette bigger than depth allows
+            encode_png(2, 2, bytes(4), 3, palette=self._pal(5), bit_depth=2)
+        with pytest.raises(PngError):  # missing PLTE on decode
+            data = encode_png(2, 2, bytes(4), 3, palette=pal, bit_depth=8)
+            plte = data.find(b"PLTE")
+            cut = data[: plte - 4] + data[plte + 4 + 12 + 12:]
+            decode_png(cut)
+        with pytest.raises(PngError):  # decode-side index out of range
+            # craft: palette of 2 but an index byte of 3 at depth 8
+            good = encode_png(1, 1, bytes([1]), 3, palette=self._pal(2),
+                              bit_depth=8)
+            # rebuild with a bad index by re-encoding raw IDAT
+            import struct as _s
+            import zlib as _z
+            bad_raw = _z.compress(b"\x00\x03")
+            i = good.find(b"IDAT")
+            (ln,) = _s.unpack_from(">I", good, i - 4)
+            rebuilt = (good[: i - 4]
+                       + _s.pack(">I", len(bad_raw)) + b"IDAT" + bad_raw
+                       + _s.pack(">I", _z.crc32(b"IDAT" + bad_raw))
+                       + good[i + 4 + ln + 4:])
+            decode_png(rebuilt)
+        with pytest.raises(PngError):  # tRNS on RGB would drop transparency
+            data = encode_png(2, 2, bytes(12), 2)
+            ihdr_end = data.find(b"IDAT") - 4
+            trns = b"\x00\x00\x00\x00\x00\x00"
+            import struct as _s
+            import zlib as _z
+            chunk = (_s.pack(">I", len(trns)) + b"tRNS" + trns
+                     + _s.pack(">I", _z.crc32(b"tRNS" + trns)))
+            decode_png(data[:ihdr_end] + chunk + data[ihdr_end:])
+
+    def test_fuzz_palette_interlaced_never_crashes(self):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        pal = self._pal(16)
+        idx = bytes(rng.integers(0, 16, 16 * 8, dtype=np.uint8))
+        data = encode_png(16, 8, idx, 3, palette=pal, bit_depth=4,
+                          interlace=True, trns=list(range(16)))
+        for i in range(len(data)):
+            m = bytearray(data)
+            m[i] ^= 0xFF
+            try:
+                decode_png(bytes(m))
+            except PngError:
+                pass
