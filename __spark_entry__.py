@@ -2176,15 +2176,18 @@ _MM_N, _MM_PB = 64, 1024  # synthetic corpus size / target payload bytes
 
 
 def q_multimodal_mixed(spark, sf_dir):
-    """Mixed-profile image gate: the corpus cycles through the codec's
-    whole decode profile — grayscale (PNG color type 0), RGB (2), RGBA (6)
-    — plus a CORRUPT payload (malformed 5-byte IHDR) every 4th row.
-    Unlike multimodal_decode (RGB-only, decode_ok rows filtered), this
-    keeps every row: decodable profiles reduce to exact integer pixel
-    statistics, corrupt rows must surface as decode_ok=false with null
-    stats — gating the honest-failure path itself. The oracle recomputes
-    per-profile statistics from the generator formula and emits the null
-    rows for the corrupt stripe. (sf_dir unused: media is generated.)"""
+    """Mixed-profile image gate: the corpus cycles through the PNG
+    codec's whole decode profile on media_id % 8 (widened r7) —
+    grayscale (color type 0), RGB (2), RGBA (6), PALETTE (type 3 at bit
+    depth 4, decoding through the PLTE lookup), palette + tRNS (decodes
+    RGBA), and Adam7-INTERLACED RGB (lossless reordering, same closed
+    form as the plain RGB stripe) — plus TWO corrupt stripes (malformed
+    IHDR; interlaced stream truncated mid-IDAT). Every row is kept:
+    decodable profiles reduce to exact integer pixel statistics, corrupt
+    rows must surface as decode_ok=false with null stats — gating the
+    honest-failure path itself. The oracle recomputes per-profile
+    statistics from the generator/palette formulas and emits the null
+    rows for the corrupt stripes. (sf_dir unused: media is generated.)"""
     from bigdata_lab02_spark.operators.multimodal import (
         extract_features,
         synthetic_media_mixed,
@@ -2211,23 +2214,40 @@ def q_multimodal_mixed(spark, sf_dir):
     return feats.select(*cols)
 
 
-# Mirrors synthetic_media_mixed: channels by media_id % 4 (1/3/4/corrupt),
-# dims as _media_dims(mid, 1024) = (18 + id%5, 18 + id%3), pixel formula
-# (id*37 + x*3 + y*11 + c*53) % 256 with c < channels. Corrupt stripe
-# (id%4 == 3) emits decode_ok=false with null stats.
+# Mirrors synthetic_media_mixed (media_id % 8 stripes since the r7
+# palette/Adam7 extension): dims = _media_dims(mid, 1024) =
+# (18 + id%5, 18 + id%3). Formula stripes (0 gray / 1 RGB / 2 RGBA /
+# 6 RGB-interlaced — interlacing is a lossless reordering so stripe 6
+# shares stripe 1's closed form): pixel =
+# (id*37 + x*3 + y*11 + c*53) % 256 with c < channels. Palette stripes
+# (4 RGB / 5 RGBA-via-tRNS): index = (id*37 + x*3 + y*11) % 16; entry
+# i -> RGB (7i, 13i, 29i) % 256, alpha (11i + 40) % 256. Corrupt
+# stripes (3 malformed IHDR, 7 truncated interlaced stream) emit
+# decode_ok=false with null stats.
 _MM_MIXED_SQL = f"""
 WITH dims AS (
   SELECT range AS media_id,
          CAST(18 + range % 5 AS INT) AS width,
          CAST(18 + range % 3 AS INT) AS height,
-         CASE CAST(range % 4 AS INT)
-           WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 4 END AS channels
+         CASE CAST(range % 8 AS INT)
+           WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 4
+           WHEN 4 THEN 3 WHEN 5 THEN 4 WHEN 6 THEN 3 END AS channels
   FROM range({_MM_N})),
 px AS (
   SELECT d.media_id, d.width, d.height, d.channels,
          ((d.media_id * 37 + x.range * 3 + y.range * 11 + c.range * 53) % 256) AS v
   FROM dims d, range(23) x, range(21) y, range(4) c
-  WHERE d.channels IS NOT NULL
+  WHERE d.media_id % 8 IN (0, 1, 2, 6) AND d.channels IS NOT NULL
+    AND x.range < d.width AND y.range < d.height AND c.range < d.channels
+  UNION ALL
+  SELECT d.media_id, d.width, d.height, d.channels,
+         CASE WHEN c.range = 3
+           THEN (11 * ((d.media_id * 37 + x.range * 3 + y.range * 11) % 16) + 40) % 256
+           ELSE ((CASE CAST(c.range AS INT) WHEN 0 THEN 7 WHEN 1 THEN 13 ELSE 29 END)
+                 * ((d.media_id * 37 + x.range * 3 + y.range * 11) % 16)) % 256
+         END AS v
+  FROM dims d, range(23) x, range(21) y, range(4) c
+  WHERE d.media_id % 8 IN (4, 5)
     AND x.range < d.width AND y.range < d.height AND c.range < d.channels)
 SELECT media_id, TRUE AS decode_ok, width, height,
   CAST(channels AS INT) AS channels,
@@ -2477,10 +2497,12 @@ _RESIZE_MIXED_SQL = f"""
 WITH png_ids AS (
   SELECT range AS media_id,
          CAST(18 + range % 5 AS INT) AS w, CAST(18 + range % 3 AS INT) AS h,
-         CASE CAST(range % 4 AS INT)
-           WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 4 END AS ch
+         CASE CAST(range % 8 AS INT)
+           WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 4
+           WHEN 4 THEN 3 WHEN 5 THEN 4 WHEN 6 THEN 3 END AS ch
   FROM range({_RESIZE_N})),
 png_px AS (
+  -- formula stripes (0/1/2/6 — stripe 6 is interlaced, same pixels)
   SELECT p.media_id, p.w // 2 AS ow, p.h // 2 AS oh, p.ch,
     CAST(floor((
       (p.media_id*37 + (2*ox.range)*3   + (2*oy.range)*11   + c.range*53) % 256 +
@@ -2489,7 +2511,26 @@ png_px AS (
       (p.media_id*37 + (2*ox.range+1)*3 + (2*oy.range+1)*11 + c.range*53) % 256
     ) / 4.0 + (0.5 + 1e-9)) AS BIGINT) AS v
   FROM png_ids p, range(11) ox, range(10) oy, range(4) c
-  WHERE p.ch IS NOT NULL
+  WHERE p.media_id % 8 IN (0, 1, 2, 6)
+    AND ox.range < p.w // 2 AND oy.range < p.h // 2 AND c.range < p.ch
+  UNION ALL
+  -- palette stripes (4 RGB / 5 RGBA-via-tRNS): decoded channel value is
+  -- a palette lookup of index (mid*37 + x*3 + y*11) % 16
+  SELECT p.media_id, p.w // 2 AS ow, p.h // 2 AS oh, p.ch,
+    CAST(floor((
+      {" + ".join(
+        "(CASE WHEN c.range = 3 "
+        f"THEN (11 * ((p.media_id*37 + (2*ox.range+{ddx})*3 "
+        f"+ (2*oy.range+{ddy})*11) % 16) + 40) % 256 "
+        "ELSE ((CASE CAST(c.range AS INT) WHEN 0 THEN 7 WHEN 1 THEN 13 "
+        "ELSE 29 END) "
+        f"* ((p.media_id*37 + (2*ox.range+{ddx})*3 "
+        f"+ (2*oy.range+{ddy})*11) % 16)) % 256 END)"
+        for ddx, ddy in ((0, 0), (1, 0), (0, 1), (1, 1))
+      )}
+    ) / 4.0 + (0.5 + 1e-9)) AS BIGINT) AS v
+  FROM png_ids p, range(11) ox, range(10) oy, range(4) c
+  WHERE p.media_id % 8 IN (4, 5)
     AND ox.range < p.w // 2 AND oy.range < p.h // 2 AND c.range < p.ch),
 jp AS ({_jpeg_decode_sql(_RESIZE_N)})
 SELECT media_id, 'png' AS src_format, CAST(ow AS INT) AS width,
@@ -3523,10 +3564,13 @@ _R6_NEW = {
     "lm_perplexity",
 }
 # Round-7 registrations: the format-dispatched resize gate (mixed
-# PNG/JPEG/tiny corpus) and the char-trigram language-ID gate.
+# PNG/JPEG/tiny corpus), the char-trigram language-ID gate, and the
+# semantics-widened multimodal_mixed (palette/tRNS/Adam7 stripes — its
+# pre-r7 driver rows covered the %4 stripe map).
 _R7_NEW = {
     "resize_mixed",
     "language_id",
+    "multimodal_mixed",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (

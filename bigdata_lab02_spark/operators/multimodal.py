@@ -149,20 +149,37 @@ def corrupt_png_payload() -> bytes:
     )
 
 
+# The r7 palette stripes' lookup formulas (shared with both gate oracles):
+# entry i -> RGB (7i, 13i, 29i) % 256, tRNS alpha (11i + 40) % 256; pixel
+# index = (mid*37 + x*3 + y*11) % 16.
+_PAL16 = [(7 * i % 256, 13 * i % 256, 29 * i % 256) for i in range(16)]
+_TRNS16 = [(11 * i + 40) % 256 for i in range(16)]
+
+
 def synthetic_media_mixed(
     spark, n: int = 64, payload_bytes: int = 1024
 ) -> DataFrame:
     """Deterministic media table spanning the codec's WHOLE profile, plus
-    failures: ``media_id % 4`` selects grayscale (PNG color type 0), RGB
-    (2), RGBA (6), or a corrupt payload (malformed IHDR). Pixel values
-    follow the same generator formula as ``synthetic_media`` with ``c``
-    ranging over the profile's channel count, so an engine-independent
-    oracle can recompute exact statistics per profile."""
+    failures, on ``media_id % 8`` (widened from %4 in r7):
+
+    - 0/1/2: grayscale (PNG color type 0) / RGB (2) / RGBA (6), pixel
+      formula ``(mid*37 + x*3 + y*11 + c*53) % 256``;
+    - 4: PALETTE (color type 3, bit depth 4, 16 entries) — decodes to
+      RGB via the ``_PAL16`` lookup of index
+      ``(mid*37 + x*3 + y*11) % 16``;
+    - 5: palette + tRNS — decodes to RGBA with ``_TRNS16`` alphas;
+    - 6: RGB ADAM7-INTERLACED — same pixels as stripe 1 (interlacing is
+      a lossless reordering, so the closed form is unchanged);
+    - 3: corrupt (malformed IHDR); 7: corrupt (interlaced stream
+      truncated mid-IDAT).
+
+    An engine-independent oracle recomputes exact statistics for every
+    decodable stripe from these formulas."""
     enc = _png.encode_png
     dims = _media_dims
     pb = payload_bytes
     bad = corrupt_png_payload()
-    color_types = (0, 2, 6)
+    pal, trns = _PAL16, _TRNS16
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -170,11 +187,19 @@ def synthetic_media_mixed(
             for mid in pdf["id"]:
                 mid = int(mid)
                 w, h = dims(mid, pb)
-                prof = mid % 4
-                if prof == 3:
+                s = mid % 8
+                if s == 3:
                     payload = bad
-                else:
-                    ct = color_types[prof]
+                elif s in (4, 5):
+                    idx = bytes(
+                        (mid * 37 + x * 3 + y * 11) % 16
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    payload = enc(w, h, idx, 3, palette=pal, bit_depth=4,
+                                  trns=trns if s == 5 else None)
+                else:  # 0/1/2/6 formula stripes (+ 7's base encoding)
+                    ct = {0: 0, 1: 2, 2: 6, 6: 2, 7: 2}[s]
                     ch = {0: 1, 2: 3, 6: 4}[ct]
                     px = bytes(
                         (mid * 37 + x * 3 + y * 11 + c * 53) % 256
@@ -182,7 +207,10 @@ def synthetic_media_mixed(
                         for x in range(w)
                         for c in range(ch)
                     )
-                    payload = enc(w, h, px, color_type=ct)
+                    payload = enc(w, h, px, color_type=ct,
+                                  interlace=s in (6, 7))
+                    if s == 7:  # corrupt: truncate the interlaced stream
+                        payload = payload[: int(len(payload) * 0.6)]
                 rows["media_id"].append(mid)
                 rows["payload"].append(payload)
                 rows["mime"].append("image/png")

@@ -116,17 +116,18 @@ def test_sample_frames_corrupt_stripe(spark):
 
 
 def test_mixed_profile_decode(spark):
-    # grayscale/RGB/RGBA stripes decode with the right channel count;
-    # the corrupt stripe (malformed IHDR) takes the honest-failure path
+    # gray/RGB/RGBA/palette/palette+tRNS/interlaced stripes decode with
+    # the right channel count; both corrupt stripes (malformed IHDR,
+    # truncated interlaced stream) take the honest-failure path
     media = mm.synthetic_media_mixed(spark, n=8)
     rows = {r["media_id"]: r for r in mm.extract_features(media).collect()}
-    chans = {0: 1, 1: 3, 2: 4}
+    chans = {0: 1, 1: 3, 2: 4, 4: 3, 5: 4, 6: 3}
     for mid, r in rows.items():
-        if mid % 4 == 3:
+        if mid % 8 in (3, 7):
             assert r["decode_ok"] is False and r["feature"] is None
         else:
             assert r["decode_ok"] is True
-            assert int(r["feature"][2]) == chans[mid % 4]
+            assert int(r["feature"][2]) == chans[mid % 8]
 
 
 def test_resize_images_exact_box_filter(spark):
@@ -147,22 +148,28 @@ def test_resize_images_exact_box_filter(spark):
     media = synthetic_media_mixed(spark, n=8, payload_bytes=1024)
     rows = {r["media_id"]: r for r in resize_images(media, factor=2).collect()}
     assert len(rows) == 8
-    chans = {0: 1, 1: 3, 2: 4}
+    chans = {0: 1, 1: 3, 2: 4, 4: 3, 5: 4, 6: 3}
     for mid, r in rows.items():
-        if mid % 4 == 3:
+        if mid % 8 in (3, 7):
             assert r["decode_ok"] is False and r["payload"] is None
             continue
         w, h = _media_dims(mid, 1024)
-        ch = chans[mid % 4]
+        ch = chans[mid % 8]
         ow, oh = w // 2, h // 2
         assert (r["width"], r["height"], r["channels"]) == (ow, oh, ch)
-        # recompute the exact box filter from the generator formula
+
+        # recompute the exact box filter from the per-stripe generator
+        def val(x, y, c):
+            if mid % 8 in (4, 5):  # palette stripes
+                idx = (mid * 37 + x * 3 + y * 11) % 16
+                if c == 3:
+                    return (11 * idx + 40) % 256
+                return ((7, 13, 29)[c] * idx) % 256
+            return (mid * 37 + x * 3 + y * 11 + c * 53) % 256
+
         src = np.array(
             [
-                [
-                    [(mid * 37 + x * 3 + y * 11 + c * 53) % 256 for c in range(ch)]
-                    for x in range(w)
-                ]
+                [[val(x, y, c) for c in range(ch)] for x in range(w)]
                 for y in range(h)
             ],
             dtype=np.float64,
