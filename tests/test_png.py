@@ -257,3 +257,36 @@ class TestPaletteAndAdam7:
                 decode_png(bytes(m))
             except PngError:
                 pass
+
+
+def test_adam7_filter_state_resets_per_pass():
+    """PNG spec: each Adam7 pass is filtered INDEPENDENTLY — the first
+    scanline of every pass must treat the prior row as zeros, never the
+    last row of the previous pass. Hand-build an interlaced grayscale
+    image whose every scanline uses filter 2 (Up): if the decoder
+    carried filter state across passes, every pass after the first
+    would decode to garbage."""
+    w = h = 8  # pass 1 of Adam7 at 8x8 is a single pixel per pass cell
+    px = bytes((x * 5 + y * 11) % 256 for y in range(h) for x in range(w))
+    A7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for x0, y0, dx, dy in A7:
+        pw = max(0, -(-(w - x0) // dx))
+        ph = max(0, -(-(h - y0) // dy))
+        if not pw or not ph:
+            continue
+        prev = bytes(pw)  # the spec's per-pass zero prior row
+        for ry in range(ph):
+            y = y0 + ry * dy
+            line = bytes(px[y * w + x0 + rx * dx] for rx in range(pw))
+            enc = bytes((line[i] - prev[i]) & 0xFF for i in range(pw))
+            raw += b"\x02" + enc  # filter 2 (Up) on every row
+            prev = line
+    data = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1))
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(data) == (w, h, 1, px)
