@@ -752,7 +752,10 @@ def q_textstats(spark, sf_dir):
     (the two token-counting ops), quality-filter ratios (punctuation,
     stopword), the blended [0,1] quality_score, the heuristic
     language-id argmax, and the min-md5-over-5-gram-shingles document
-    fingerprint. All narrow projections over one documents scan — the
+    fingerprint — since r8 the fingerprint column IS the library kernel
+    (``ts.fingerprint`` in its gated md5 default mode; VERDICT r7 item
+    2), so the shipped function and the verified form can no longer
+    diverge. All narrow projections over one documents scan — the
     whole family stays inside whole-stage codegen; any corrupted column
     flips the hash."""
     from bigdata_lab02_spark.operators import textstats as ts
@@ -764,8 +767,7 @@ def q_textstats(spark, sf_dir):
     n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
     n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
     n_char = F.length(text)
-    sh = dd.shingles(text, 5)
-    enriched = ts.quality_score(ts.language_id_stopword(docs))
+    enriched = ts.fingerprint(ts.quality_score(ts.language_id_stopword(docs)))
     return enriched.select(
         "doc_id",
         n.alias("n_tokens"),
@@ -782,7 +784,7 @@ def q_textstats(spark, sf_dir):
         F.round(F.when(n == 0, 0.0).otherwise(n_stop / n), 6).alias("stopword_ratio"),
         F.round("quality_score", 6).alias("quality_score"),
         "pred_lang",
-        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fingerprint"),
+        "fingerprint",
     )
 
 
@@ -906,13 +908,27 @@ def q_language_id(spark, sf_dir):
     micro-units, so the per-doc argmax is cross-engine exact. The model
     (≤ L·4096 rows) broadcasts into the one data-sized join. The oracle
     replays training AND scoring in SQL. Held-out accuracy is floored in
-    test_textstats.py. (sf_dir unused: the fixture is generated.)"""
+    test_textstats.py. (sf_dir unused: the fixture is generated.)
+
+    Hash surface (r8, VERDICT r7 item 1): the gate returns only
+    (doc_id, lang, pred_lang) — the argmax, which is ULP-robust given
+    the fixture's score margins. The raw integer ``lid_score`` stays in
+    the ``language_id()`` API but is excluded here because its exactness
+    depends on bit-identical libm ln() results per model weight (the one
+    place the micro-unit discipline can't protect: quantization happens
+    per weight and scores sum ~90 of them, so a 1-ULP ln drift in the
+    driver's DuckDB build flips a micro-unit without changing any
+    pred_lang)."""
     from bigdata_lab02_spark.operators.textstats import language_id
 
     corpus = _lid_corpus(spark)
     seed = corpus.where(F.col("doc_id") % 4 != 0)
     pred = language_id(corpus, seed, n_buckets=4096)
-    return corpus.select("doc_id", "lang").join(pred, "doc_id")
+    return (
+        corpus.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .select("doc_id", "lang", "pred_lang")
+    )
 
 
 _LID_LISTS = " ".join(
@@ -965,11 +981,11 @@ scored AS (
   FROM ntri n CROSS JOIN langs l
   LEFT JOIN matched ma ON ma.doc_id = n.doc_id AND ma.lang = l.lang),
 pred AS (
-  SELECT doc_id, lang AS pred_lang, score AS lid_score,
+  SELECT doc_id, lang AS pred_lang,
     row_number() OVER (PARTITION BY doc_id
                        ORDER BY score DESC, lang ASC) AS rn
   FROM scored)
-SELECT c.doc_id, c.lang, p.pred_lang, p.lid_score
+SELECT c.doc_id, c.lang, p.pred_lang
 FROM corpus c JOIN pred p ON c.doc_id = p.doc_id AND p.rn = 1
 """
 

@@ -80,3 +80,48 @@ def test_fingerprint_deterministic_and_discriminative(spark):
     b = {r["doc_id"]: r["fingerprint"] for r in ts.fingerprint(docs).collect()}
     assert a == b
     assert a[1] != a[2]  # different content → different fingerprints
+
+
+def test_fingerprint_hash_modes_agree(spark):
+    """A/B binding the xxhash64 fast path to the gated md5 default
+    (VERDICT r7 item 2, the dedup_spans discipline). Equality
+    PARTITIONS can't be compared directly across modes — the
+    fingerprint is 1-permutation MinHash, so which near-dup pairs
+    collide depends on the hash function (only P[collide] = Jaccard is
+    invariant). What IS invariant, and what we bind:
+
+    1. both modes equal an INDEPENDENT restatement of the definition
+       (explode shingles → hash → per-doc min via groupBy), on the real
+       sf0.001 documents corpus;
+    2. docs with identical shingle sets share a fingerprint in BOTH
+       modes (the exact-dup contract)."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    from bigdata_lab02_spark.operators.dedup import shingles
+
+    for mode, digest in (("md5", F.md5), ("xxhash64", F.xxhash64)):
+        got = {r["doc_id"]: r["fingerprint"]
+               for r in ts.fingerprint(docs, hash_mode=mode).collect()}
+        want = {
+            r["doc_id"]: r["fp"]
+            for r in docs.select(
+                "doc_id", F.explode(shingles(F.col("text"), 5)).alias("sh")
+            )
+            .groupBy("doc_id")
+            .agg(F.min(digest(F.col("sh"))).alias("fp"))
+            .collect()
+        }
+        assert got == want, mode
+        # exact-dup contract: same text → same fingerprint, either mode
+        sets = {r["doc_id"]: r["text"] for r in docs.collect()}
+        by_text = {}
+        for d, t in sets.items():
+            by_text.setdefault(t, []).append(d)
+        for same in by_text.values():
+            assert len({got[d] for d in same}) == 1
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ts.fingerprint(docs, hash_mode="sha1")
