@@ -33,6 +33,16 @@ query), and ``common25_norm_ratio`` / ``common17_norm_ratio`` (ratio of
 SUMS over the common set ∩ oracled queries). THE COMPARISON RULE: judge
 rounds on the norm ratios — the per-query ratios are noisy below ~0.1 s
 of DuckDB wall; the ratio of sums is the stable signal.
+
+Symmetric rep policy (r8, VERDICT r7 item 5 + ADVICE): the normalized
+ratio previously divided a SINGLE-rep Spark wall by a min-of-2 DuckDB
+wall — methodologically asymmetric (Spark pays cold I/O, DuckDB does
+not) and ~15-18% noisier run-to-run. Batch oracled queries now run the
+Spark side twice as well; ``spark_walls_min2`` records the min and the
+``normalized`` / ``common*_norm_ratio`` numbers use it, so both sides
+of the ratio follow the same min-of-2 rule. ``queries`` (raw walls)
+stays FIRST-rep so the r1-r7 raw-wall lineage (common17_total vs the
+93.0 s round-1 baseline) remains apples-to-apples.
 """
 
 from __future__ import annotations
@@ -164,12 +174,18 @@ def main() -> None:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    spark_min2: dict[str, float] = {}
     for name in COMMON25 + EXTRA:
+        fn = _resolve(qs, name)
         t0 = time.time()
-        _resolve(qs, name)(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        if duck_con is not None and name in oracles:
+            # second Spark rep (symmetric min-of-2 — only queries that
+            # feed the normalized ratio pay for it)
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            spark_min2[name] = round(min(timings[name], time.time() - t0), 3)
         duck_probe(name)
 
     # The reference's ENTIRE DataProcessing DAG (11 chained MapReduce jobs,
@@ -208,8 +224,11 @@ def main() -> None:
             return None
         return round(sum(timings[k] for k in keys), 3)
 
+    def _spark_wall(n):
+        return spark_min2.get(n, timings[n])
+
     normalized = {
-        n: round(timings[n] / duck_walls[n], 2)
+        n: round(_spark_wall(n) / duck_walls[n], 2)
         for n in duck_walls
         if duck_walls[n] > 0
     }
@@ -219,7 +238,9 @@ def main() -> None:
         if not keys:
             return None
         return round(
-            sum(timings[n] for n in keys) / sum(duck_walls[n] for n in keys), 3
+            sum(_spark_wall(n) for n in keys)
+            / sum(duck_walls[n] for n in keys),
+            3,
         )
 
     total = round(sum(timings.values()), 3)
@@ -234,17 +255,20 @@ def main() -> None:
                 "common17_total": _common(COMMON17),
                 "common25_total": _common(COMMON25),
                 "duckdb_walls": duck_walls,
+                "spark_walls_min2": spark_min2,
                 "normalized": normalized,
                 "common17_norm_ratio": _norm_ratio(COMMON17),
                 "common25_norm_ratio": _norm_ratio(COMMON25),
                 "notes": "common-set totals use the exact BENCH_r01/r03 "
-                "query sets; raw walls drift 1.0-1.7x on this host "
-                "(BENCHNOTES r6 study). COMPARISON RULE since r7: judge "
-                "rounds on common*_norm_ratio = sum(spark walls) / "
-                "sum(INTERLEAVED min-of-2 DuckDB oracle walls at the "
-                "same sf_dir) over the common set's oracled queries — "
-                "pairing each probe with its Spark wall cancels host "
-                "drift out of the ratio.",
+                "query sets over FIRST-rep walls (r1-r7 lineage); raw "
+                "walls drift 1.0-1.7x on this host (BENCHNOTES r6 "
+                "study). COMPARISON RULE since r7, tightened r8: judge "
+                "rounds on common*_norm_ratio = sum(min-of-2 spark "
+                "walls) / sum(INTERLEAVED min-of-2 DuckDB oracle walls "
+                "at the same sf_dir) over the common set's oracled "
+                "queries — symmetric rep policy, and pairing each probe "
+                "with its Spark wall cancels host drift out of the "
+                "ratio.",
             }
         )
     )

@@ -50,3 +50,67 @@ def test_bucketed_join_matches_plain(spark, bucketed_tables):
         .collect()[0]
     )
     assert a[0] == b[0] and abs(a[1] - b[1]) < 1e-6
+
+
+# ---- dedup over a bucketed corpus layout (VERDICT r7 item 3) ----
+# The real curation workflow runs MANY dedup passes over the same corpus;
+# a digest-bucketed layout pays the content-key shuffle once at write
+# time and every re-run groupBy/self-join after that plans with ZERO
+# exchanges.
+
+
+@pytest.fixture(scope="module")
+def bucketed_corpus(spark):
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    keyed = docs.select(F.md5("text").alias("digest"), "doc_id", "text")
+    write_bucketed(keyed, "docs_bkt", ["digest"], 8, sort_cols=["digest"])
+    return spark.table("docs_bkt")
+
+
+def test_bucketed_dedup_groupby_has_no_exchange(spark, bucketed_corpus):
+    """exact_dedup re-run over the bucketed layout: the digest groupBy's
+    required distribution is satisfied by the bucket partitioning — no
+    exchange — and the survivors match the plain-path operator."""
+    from bigdata_lab02_spark.operators.dedup import exact_dedup
+
+    agg = bucketed_corpus.groupBy("digest").agg(
+        F.min("doc_id").alias("survivor_id"), F.count("*").alias("n_copies")
+    )
+    r = plan_report(agg)
+    assert r.n_exchanges == 0, r.raw
+    got = sorted(map(tuple, agg.collect()))
+    plain = exact_dedup(
+        spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    )
+    want = sorted(map(tuple, plain.collect()))
+    assert got == want
+
+
+def test_bucketed_dedup_self_join_has_no_exchange(spark, bucketed_corpus):
+    """The dup-pair shape (self-join on the content key) over the
+    bucketed layout: co-located sort-merge join, zero exchanges."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = bucketed_corpus.alias("a")
+        b = bucketed_corpus.alias("b")
+        pairs = a.join(b, "digest").where(
+            F.col("a.doc_id") < F.col("b.doc_id")
+        ).select("digest", F.col("a.doc_id"), F.col("b.doc_id"))
+        r = plan_report(pairs)
+        assert r.n_exchanges == 0, r.raw
+        assert r.n_sortmerge_joins == 1
+        # every pair really is an exact duplicate
+        n_pairs = pairs.count()
+        from bigdata_lab02_spark.operators.dedup import exact_dedup
+
+        plain = exact_dedup(
+            spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+        )
+        want = sum(
+            c * (c - 1) // 2
+            for (c,) in plain.select("n_copies").collect()
+        )
+        assert n_pairs == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
