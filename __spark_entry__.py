@@ -2281,6 +2281,108 @@ SELECT media_id, FALSE AS decode_ok, CAST(NULL AS INT) AS width,
 FROM dims WHERE channels IS NULL"""
 
 
+def q_png_edges(spark, sf_dir):
+    """PNG profile EDGES gated end-to-end (r8, VERDICT r7 item 7): the
+    two raise-paths a real crawl hits most — 16-bit samples and
+    non-palette tRNS color keys — now decode. synthetic_png_edges
+    cycles media_id % 6 through 16-bit gray / 16-bit RGB / 16-bit RGB
+    Adam7 / gray-8 + color key / 16-bit RGB + full-precision color key
+    / truncated-16-bit-corrupt; filters run over the raw 2-byte
+    scanlines (bpp doubles per RFC 2083 §6.2), output samples reduce to
+    their HIGH byte, and key comparison happens BEFORE reduction. The
+    oracle restates each stripe's closed form (high byte = sample //
+    256; alpha = 0 exactly where the full-precision sample tuple equals
+    the key). Corrupt rows surface decode_ok=false with null stats.
+    (sf_dir unused: media is generated.)"""
+    from bigdata_lab02_spark.operators.multimodal import (
+        extract_features,
+        synthetic_png_edges,
+    )
+
+    media = synthetic_png_edges(spark, n=_PNG_EDGE_N)
+    feats = extract_features(media, set_arrow_batch=False)
+    f = F.col("feature")
+    n_px = (f[0] * f[1] * f[2]).cast("double")
+    cols = [
+        F.col("media_id"),
+        F.col("decode_ok"),
+        f[0].cast("int").alias("width"),
+        f[1].cast("int").alias("height"),
+        f[2].cast("int").alias("channels"),
+        F.round(f[3].cast("double") * F.lit(255.0) * n_px)
+        .cast("bigint")
+        .alias("total_intensity"),
+    ]
+    cols += [
+        F.round(f[4 + i].cast("double") * n_px).cast("bigint").alias(f"bin_{i}")
+        for i in range(8)
+    ]
+    return feats.select(*cols)
+
+
+_PNG_EDGE_N = 48
+
+# Mirrors synthetic_png_edges (media_id % 6): dims = (18 + id%5,
+# 18 + id%3). 16-bit stripes (0 gray / 1 RGB / 2 RGB-Adam7) decode to
+# the HIGH byte of sample (id*1031 + x*17 + y*29 + c*7919) % 65536
+# (c term zero for gray). Stripe 3 (gray-8 + key (id*37)%256) decodes
+# to (gray, alpha) with alpha = 0 iff (x*3 + y*11) % 256 = 0. Stripe 4
+# (16-bit RGB + key = the (0,0) pixel) compares at FULL precision:
+# alpha = 0 iff x*17 + y*29 = 0. Stripe 5 (truncated stream) emits
+# decode_ok=false with null stats.
+_PNG_EDGES_SQL = f"""
+WITH dims AS (
+  SELECT range AS media_id,
+         CAST(18 + range % 5 AS INT) AS width,
+         CAST(18 + range % 3 AS INT) AS height,
+         CASE CAST(range % 6 AS INT)
+           WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 3
+           WHEN 3 THEN 2 WHEN 4 THEN 4 END AS channels
+  FROM range({_PNG_EDGE_N})),
+px AS (
+  SELECT d.media_id, d.width, d.height, d.channels,
+         ((d.media_id * 1031 + x.range * 17 + y.range * 29
+           + c.range * 7919) % 65536) // 256 AS v
+  FROM dims d, range(23) x, range(21) y, range(3) c
+  WHERE d.media_id % 6 IN (0, 1, 2)
+    AND x.range < d.width AND y.range < d.height AND c.range < d.channels
+  UNION ALL
+  SELECT d.media_id, d.width, d.height, d.channels,
+         CASE WHEN c.range = 1
+           THEN CASE WHEN (x.range * 3 + y.range * 11) % 256 = 0
+                THEN 0 ELSE 255 END
+           ELSE (d.media_id * 37 + x.range * 3 + y.range * 11) % 256
+         END AS v
+  FROM dims d, range(23) x, range(21) y, range(2) c
+  WHERE d.media_id % 6 = 3
+    AND x.range < d.width AND y.range < d.height
+  UNION ALL
+  SELECT d.media_id, d.width, d.height, d.channels,
+         CASE WHEN c.range = 3
+           THEN CASE WHEN x.range * 17 + y.range * 29 = 0
+                THEN 0 ELSE 255 END
+           ELSE ((d.media_id * 1031 + x.range * 17 + y.range * 29
+                  + c.range * 7919) % 65536) // 256
+         END AS v
+  FROM dims d, range(23) x, range(21) y, range(4) c
+  WHERE d.media_id % 6 = 4
+    AND x.range < d.width AND y.range < d.height)
+SELECT media_id, TRUE AS decode_ok, width, height,
+  CAST(channels AS INT) AS channels,
+  CAST(sum(v) AS BIGINT) AS total_intensity,
+  {", ".join(
+    f"CAST(sum(CASE WHEN v // 32 = {i} THEN 1 ELSE 0 END) AS BIGINT) AS bin_{i}"
+    for i in range(8)
+  )}
+FROM px GROUP BY media_id, width, height, channels
+UNION ALL
+SELECT media_id, FALSE AS decode_ok, CAST(NULL AS INT) AS width,
+  CAST(NULL AS INT) AS height, CAST(NULL AS INT) AS channels,
+  CAST(NULL AS BIGINT) AS total_intensity,
+  {", ".join(f"CAST(NULL AS BIGINT) AS bin_{i}" for i in range(8))}
+FROM dims WHERE channels IS NULL"""
+
+
 def q_jpeg_decode(spark, sf_dir):
     """Baseline JPEG gated END-TO-END — the third vendored codec and the
     format a real crawl leads with (round 6, VERDICT r5 item 8):
@@ -3436,7 +3538,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #                         to jpeg_decode
     "kmeans_fit": q_kmeans_fit,
     "kmeans_scalable": q_kmeans_scalable,
-    "kmeans_recluster": q_kmeans_recluster,
     "stream_hourly": q_stream_hourly,
     "stream_dedup": q_stream_dedup,
     "stream_user_totals": q_stream_user_totals,
@@ -3484,6 +3585,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "textstats": q_textstats,
     "asof_join": q_asof_join,
     "ivf_topk": q_ivf_topk,
+    "png_edges": q_png_edges,
     # ========== ROTATED_OUT: past position 50, never gets a driver row ====
     # Each had a green driver row in an earlier round; the pytest oracle
     # gate re-verifies all of them at sf0.001 on every run.
@@ -3505,6 +3607,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # here.
     "scrub_pii": q_scrub_pii,
     "token_budget": q_token_budget,
+    # kmeans_recluster rotated in r8 to make window room for png_edges
+    # (the new 16-bit/color-key codec gate): it is the middle stage of
+    # the fully in-window kmeans_pipeline chain (scalable init →
+    # recluster → final pass, task2_3 end-to-end) and stays
+    # oracle-verified here.
+    "kmeans_recluster": q_kmeans_recluster,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -3513,7 +3621,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # and the local oracle gate re-verifies every one of these at sf0.001.
 ROTATED_OUT: set[str] = {
     "kmeans_assign", "kmeans_update", "quantized_topk",
-    "scrub_pii", "token_budget",
+    "scrub_pii", "token_budget", "kmeans_recluster",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -3524,7 +3632,7 @@ DRIVER_ROW_CAP = 50
 # only demands driver rows for the first-50 window when the latest
 # CORRECTNESS file is from this round or later (an older file was produced
 # under a different ordering). Bump whenever the ordering changes.
-ORDERING_SINCE = 7
+ORDERING_SINCE = 8
 
 # Queries with no SQL-expressible oracle — the driver records a weaker
 # rows-only check. (Empty since round 2: the streaming replay is gated
@@ -3588,9 +3696,15 @@ _R7_NEW = {
     "language_id",
     "multimodal_mixed",
 }
+# Round-8 registrations: the PNG profile-edges gate (16-bit samples +
+# non-palette tRNS color keys, VERDICT r7 item 7).
+_R8_NEW = {
+    "png_edges",
+}
 REGISTERED_SINCE: dict[str, int] = {
     name: (
-        7 if name in _R7_NEW
+        8 if name in _R8_NEW
+        else 7 if name in _R7_NEW
         else 6 if name in _R6_NEW
         else 5 if name in _R5_NEW
         else 4 if name in _R4_NEW
@@ -3665,6 +3779,7 @@ _ORACLES: dict[str, str] = {
     "stream_dedup": _STREAM_DEDUP_SQL,
     "stream_user_totals": _STREAM_TOTALS_SQL,
     "multimodal_mixed": _MM_MIXED_SQL,
+    "png_edges": _PNG_EDGES_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,
     "semantic_dedup_pipeline": _SEMANTIC_PIPE_SQL,
     "dsir_importance": _DSIR_SQL,

@@ -4,20 +4,27 @@ The container has no PIL/ffmpeg, but PNG's baseline profile needs only
 ``zlib`` + ``struct``: chunked container, zlib-compressed scanlines, five
 per-row byte filters. This module implements exactly that profile —
 
-- encode: 8-bit grayscale (color type 0), RGB (2), RGBA (6), and PALETTE
-  (color type 3, bit depths 1/2/4/8, optional tRNS alpha), filter 0
+- encode: grayscale (color type 0), RGB (2), RGBA (6) at 8- OR 16-bit
+  sample depth, PALETTE (color type 3, bit depths 1/2/4/8, optional
+  tRNS alpha), tRNS transparent-color keys on types 0/2, filter 0
   rows, non-interlaced or ADAM7 interlaced;
 - decode: the same color types, all five filters (None/Sub/Up/Average/
   Paeth), sub-byte palette index unpacking, tRNS palette alpha
-  (palette output decodes to RGB, or RGBA when tRNS is present), and
-  Adam7 interlacing (7 filtered sub-image passes recomposed) — r7:
-  palette PNGs (icons, quantized screenshots) and interlaced files are
-  both common in a real crawl.
+  (palette output decodes to RGB, or RGBA when tRNS is present), tRNS
+  color keys on gray/RGB (output gains an alpha channel: 0 where the
+  FULL-PRECISION sample tuple equals the key, else 255), 16-bit
+  samples (filters run over the raw 2-byte-per-sample scanlines per
+  RFC 2083 §6.2 — bpp doubles — and output samples reduce to their
+  HIGH byte, the standard 8-bit presentation; key comparison happens
+  BEFORE reduction so transparency is never approximated), and Adam7
+  interlacing (7 filtered sub-image passes recomposed). r7 added
+  palette+Adam7; r8 added 16-bit and non-palette tRNS (VERDICT r7
+  item 7 — the two raise-paths a real crawl hits most).
 
-Scope limits: no 16-bit samples, no tRNS on non-palette types (silently
-dropping transparency would be a WRONG decode, so it raises instead).
-Anything outside the profile raises ``PngError``, which the pipeline
-maps to ``decode_ok=False`` (the honest-failure path).
+Scope limits: no gray+alpha (color type 4), no tRNS on alpha-bearing
+types (the spec forbids it). Anything outside the profile raises
+``PngError``, which the pipeline maps to ``decode_ok=False`` (the
+honest-failure path).
 
 Public-knowledge provenance: PNG spec (RFC 2083 / ISO 15948); the Paeth
 predictor and the Adam7 pass grid are reproduced from the spec.
@@ -101,10 +108,13 @@ def encode_png(
 ) -> bytes:
     """Encode raw pixel bytes as a valid PNG. Filter byte 0 per row —
     valid output, zero cleverness. Color types 0/2/6 take 8-bit samples
-    (``width*height*channels`` bytes); color type 3 takes one palette
+    (``width*height*channels`` bytes) or, at ``bit_depth=16``, 2-byte
+    big-endian samples (twice that); color type 3 takes one palette
     INDEX byte per pixel plus ``palette`` (≤256 RGB tuples), packed at
-    ``bit_depth`` ∈ {1,2,4,8} bits, with optional ``trns`` per-entry
-    alpha. ``interlace=True`` writes the Adam7 pass layout."""
+    ``bit_depth`` ∈ {1,2,4,8} bits. ``trns`` is per-palette-entry alpha
+    for type 3, or a transparent-color KEY for types 0/2 (1 or 3 sample
+    values, each in 0..2^bit_depth−1 — written 2 bytes each per the
+    spec). ``interlace=True`` writes the Adam7 pass layout."""
     if color_type == 3:
         if not palette or len(palette) > 256:
             raise PngError("palette required (<=256 entries)")
@@ -118,21 +128,39 @@ def encode_png(
             )
         if any(i >= len(palette) for i in pixels):
             raise PngError("palette index out of range")
-        ch = 1
+        if trns is not None:
+            # the encoder must not emit files outside its own decode
+            # profile: decode_png rejects tRNS longer than PLTE, and a
+            # non-byte entry would escape as ValueError from bytes()
+            if len(trns) > len(palette):
+                raise PngError("tRNS longer than palette")
+            if any(not 0 <= v <= 255 for v in trns):
+                raise PngError("tRNS alpha out of range 0..255")
+        ch, sb = 1, 1
     else:
-        if bit_depth != 8:
-            raise PngError("non-palette types are 8-bit only")
+        if bit_depth not in (8, 16):
+            raise PngError(f"unsupported depth {bit_depth}")
         ch = _CHANNELS.get(color_type)
         if ch is None:
             raise PngError(f"unsupported color type {color_type}")
-        if len(pixels) != width * height * ch:
+        sb = bit_depth // 8
+        if len(pixels) != width * height * ch * sb:
             raise PngError(
-                f"pixel buffer is {len(pixels)} bytes, want {width * height * ch}"
+                f"pixel buffer is {len(pixels)} bytes, "
+                f"want {width * height * ch * sb}"
             )
+        if trns is not None:
+            if color_type == 6:
+                raise PngError("tRNS forbidden with an alpha channel")
+            if len(trns) != ch:
+                raise PngError(f"tRNS key needs {ch} sample values")
+            if any(not 0 <= v < (1 << bit_depth) for v in trns):
+                raise PngError("tRNS key sample out of range")
 
     def row_bytes(xs: bytes) -> bytes:
         return _pack_row(xs, bit_depth) if color_type == 3 else xs
 
+    psz = ch * sb  # bytes per pixel in the input buffer
     raw = bytearray()
     passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
     for x0, y0, dx, dy in passes:
@@ -144,8 +172,8 @@ def encode_png(
             samples = bytearray()
             for rx in range(pw):
                 x = x0 + rx * dx
-                o = (y * width + x) * ch
-                samples += pixels[o : o + ch]
+                o = (y * width + x) * psz
+                samples += pixels[o : o + psz]
             raw += b"\x00" + row_bytes(bytes(samples))
     ihdr = struct.pack(
         ">IIBBBBB", width, height, bit_depth, color_type, 0, 0,
@@ -156,6 +184,8 @@ def encode_png(
         out += _chunk(b"PLTE", b"".join(bytes(p) for p in palette))
         if trns is not None:
             out += _chunk(b"tRNS", bytes(trns))
+    elif trns is not None:
+        out += _chunk(b"tRNS", b"".join(struct.pack(">H", v) for v in trns))
     return out + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
 
 
@@ -240,7 +270,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 if depth not in (1, 2, 4, 8):
                     raise PngError(f"bad palette bit depth {depth}")
             elif ctype in _CHANNELS:
-                if depth != 8:
+                if depth not in (8, 16):
                     raise PngError(f"unsupported depth {depth}")
             else:
                 raise PngError(f"unsupported color type {ctype}")
@@ -251,10 +281,17 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 raise PngError("bad PLTE length")
             palette = [body[i : i + 3] for i in range(0, length, 3)]
         elif tag == b"tRNS":
-            if ctype != 3:
-                # silently dropping transparency would be a WRONG decode
+            if ctype == 3:
+                trns = body
+            elif ctype in (0, 2):
+                # transparent-color key: one 2-byte value per sample
+                if len(body) != 2 * _CHANNELS[ctype]:
+                    raise PngError(f"bad tRNS length {len(body)}")
+                trns = body
+            else:
+                # alpha-bearing types: the spec forbids tRNS; silently
+                # dropping transparency would be a WRONG decode
                 raise PngError("tRNS unsupported for this color type")
-            trns = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -269,7 +306,9 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         ch_raw = 1
         channels = 4 if trns is not None else 3
     else:
-        ch_raw = channels = _CHANNELS[ctype]
+        ch_raw = _CHANNELS[ctype]
+        # a color key adds an alpha channel to the decoded output
+        channels = ch_raw + 1 if trns is not None else ch_raw
     # Bound allocations BEFORE inflating: header-declared dimensions are
     # attacker-controlled, and zlib.decompress with no cap is a zip bomb —
     # inflate at most the expected scanline bytes (+1 to detect overrun).
@@ -300,7 +339,13 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                  if channels == 4 else b"")
             for i, p in enumerate(palette)
         ]
+    key = None  # full-precision transparent-color key for types 0/2
+    if ctype in (0, 2) and trns is not None:
+        key = tuple(
+            struct.unpack_from(">H", trns, 2 * k)[0] for k in range(ch_raw)
+        )
     bpp = max(1, depth * ch_raw // 8)
+    sb = depth // 8 if ctype != 3 else 1  # bytes per sample
     out = bytearray(width * height * channels)
     off = 0
     for x0, y0, dx, dy, pw, ph, stride in plan:
@@ -316,12 +361,32 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                         raise PngError("palette index out of range")
                     o = (y * width + x0 + rx * dx) * channels
                     out[o : o + channels] = lut[idx]
-            elif contiguous:
+            elif key is None and sb == 1 and contiguous:
                 out[y * width * channels : (y + 1) * width * channels] = rb
+            elif key is None and sb == 2 and contiguous:
+                # 16-bit reduction: big-endian, so the HIGH byte of every
+                # sample is simply each even offset
+                out[y * width * channels : (y + 1) * width * channels] = rb[0::2]
             else:
                 for rx in range(pw):
+                    base = rx * ch_raw * sb
+                    if sb == 1:
+                        samp = rb[base : base + ch_raw]
+                        vals = tuple(samp)
+                    else:
+                        vals = tuple(
+                            (rb[base + 2 * k] << 8) | rb[base + 2 * k + 1]
+                            for k in range(ch_raw)
+                        )
+                        samp = rb[base : base + 2 * ch_raw : 2]
                     o = (y * width + x0 + rx * dx) * channels
-                    out[o : o + channels] = rb[rx * channels : (rx + 1) * channels]
+                    if key is None:
+                        out[o : o + channels] = samp
+                    else:
+                        # compare at FULL precision, reduce after
+                        out[o : o + channels] = bytes(samp) + (
+                            b"\x00" if vals == key else b"\xff"
+                        )
     return width, height, channels, bytes(out)
 
 

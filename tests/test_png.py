@@ -100,15 +100,25 @@ def test_decode_rejects_garbage(bad):
 
 
 def test_unsupported_profile_rejected():
-    # 16-bit depth is outside the baseline profile we implement
+    # gray+alpha (color type 4) is outside the profile (r8 widened the
+    # profile to 16-bit samples, so depth 16 now DECODES — see
+    # TestSixteenBitAndColorKey — and the scope boundary moved here)
+    data = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 4, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError):
+        decode_png(data)
+    # depth 16 decodes as of r8: a hand-built all-zero 2x2 RGB-16 stream
     data = (
         _SIG
         + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
         + _chunk(b"IDAT", zlib.compress(b"\x00" * 26))
         + _chunk(b"IEND", b"")
     )
-    with pytest.raises(PngError):
-        decode_png(data)
+    assert decode_png(data) == (2, 2, 3, bytes(12))
 
 
 def test_corrupt_idat_raises_png_error():
@@ -232,8 +242,10 @@ class TestPaletteAndAdam7:
                        + _s.pack(">I", _z.crc32(b"IDAT" + bad_raw))
                        + good[i + 4 + ln + 4:])
             decode_png(rebuilt)
-        with pytest.raises(PngError):  # tRNS on RGB would drop transparency
-            data = encode_png(2, 2, bytes(12), 2)
+        with pytest.raises(PngError):  # tRNS on RGBA: spec-forbidden, and
+            # silently dropping it would be a wrong decode (RGB color
+            # keys DECODE as of r8 — see TestSixteenBitAndColorKey)
+            data = encode_png(2, 2, bytes(16), 6)
             ihdr_end = data.find(b"IDAT") - 4
             trns = b"\x00\x00\x00\x00\x00\x00"
             import struct as _s
@@ -290,3 +302,118 @@ def test_adam7_filter_state_resets_per_pass():
         + _chunk(b"IEND", b"")
     )
     assert decode_png(data) == (w, h, 1, px)
+
+
+class TestSixteenBitAndColorKey:
+    """Round-8 profile extensions (VERDICT r7 item 7): 16-bit samples
+    (filters run over raw 2-byte scanlines, output reduces to the high
+    byte) and tRNS transparent-color keys on gray/RGB (full-precision
+    compare BEFORE reduction)."""
+
+    @staticmethod
+    def _px16(vals):
+        return b"".join(struct.pack(">H", v) for v in vals)
+
+    @pytest.mark.parametrize("ct,ch", [(0, 1), (2, 3), (6, 4)])
+    def test_16bit_roundtrip_reduces_to_high_byte(self, ct, ch):
+        w, h = 9, 7
+        vals = [(i * 1031 + 17) % 65536 for i in range(w * h * ch)]
+        got = decode_png(encode_png(w, h, self._px16(vals), ct, bit_depth=16))
+        assert got == (w, h, ch, bytes(v >> 8 for v in vals))
+
+    @pytest.mark.parametrize("ct,ch", [(0, 1), (2, 3)])
+    def test_16bit_adam7_roundtrip(self, ct, ch):
+        w, h = 13, 11
+        vals = [(i * 257) % 65536 for i in range(w * h * ch)]
+        got = decode_png(
+            encode_png(w, h, self._px16(vals), ct, bit_depth=16,
+                       interlace=True)
+        )
+        assert got == (w, h, ch, bytes(v >> 8 for v in vals))
+
+    def test_16bit_sub_filter_hand_built(self):
+        """Independent of our filter-0 encoder: hand-build a 16-bit RGB
+        stream whose rows use filter 1 (Sub). bpp is 6 for RGB-16, so a
+        decoder that kept bpp=3 (the 8-bit value) would add the wrong
+        left neighbor and corrupt every pixel after the first."""
+        w, h = 4, 2
+        vals = [(i * 4099 + 3) % 65536 for i in range(w * h * 3)]
+        px = self._px16(vals)
+        stride, bpp = w * 6, 6
+        raw = bytearray()
+        for y in range(h):
+            line = px[y * stride : (y + 1) * stride]
+            enc = bytearray(line)
+            for i in range(stride - 1, bpp - 1, -1):
+                enc[i] = (line[i] - line[i - bpp]) & 0xFF
+            raw += b"\x01" + bytes(enc)
+        data = (
+            _SIG
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+        assert decode_png(data) == (w, h, 3, bytes(v >> 8 for v in vals))
+
+    def test_gray_color_key_depth8(self):
+        got = decode_png(encode_png(2, 2, bytes([10, 20, 10, 30]), 0,
+                                    trns=[10]))
+        assert got == (2, 2, 2, bytes([10, 0, 20, 255, 10, 0, 30, 255]))
+
+    def test_rgb_color_key_full_precision_compare(self):
+        """Two 16-bit pixels differing only in a LOW byte: the one equal
+        to the key at full precision goes transparent; the other — which
+        reduces to the SAME 8-bit sample — must stay opaque."""
+        p0 = (0x1234, 0x0001, 0xFF00)
+        p1 = (0x1234, 0x0001, 0xFF01)
+        got = decode_png(
+            encode_png(2, 1, self._px16(p0 + p1), 2, bit_depth=16,
+                       trns=list(p0))
+        )
+        assert got == (2, 1, 4,
+                       bytes([0x12, 0x00, 0xFF, 0, 0x12, 0x00, 0xFF, 255]))
+
+    def test_gray_key_out_of_8bit_range_never_matches(self):
+        """Spec-conformant edge: a depth-8 stream whose tRNS key is
+        above 255 matches no pixel — everything stays opaque."""
+        data = encode_png(2, 1, bytes([7, 7]), 0)
+        ihdr_end = data.find(b"IDAT") - 4
+        trns = struct.pack(">H", 0x0107)  # 263: low byte equals the pixels
+        data = data[:ihdr_end] + _chunk(b"tRNS", trns) + data[ihdr_end:]
+        assert decode_png(data) == (2, 1, 2, bytes([7, 255, 7, 255]))
+
+    def test_encoder_validation(self):
+        with pytest.raises(PngError):  # tRNS forbidden with alpha channel
+            encode_png(1, 1, bytes(4), 6, trns=[1, 2, 3])
+        with pytest.raises(PngError):  # wrong key arity
+            encode_png(1, 1, bytes(3), 2, trns=[1])
+        with pytest.raises(PngError):  # key sample beyond depth range
+            encode_png(1, 1, bytes(1), 0, trns=[256])
+        with pytest.raises(PngError):  # 16-bit buffer size enforced
+            encode_png(2, 2, bytes(12), 2, bit_depth=16)
+        pal = [(0, 0, 0), (1, 1, 1)]
+        with pytest.raises(PngError):  # palette tRNS longer than PLTE
+            encode_png(2, 1, bytes([0, 1]), 3, palette=pal, bit_depth=8,
+                       trns=[0, 1, 2])
+        with pytest.raises(PngError):  # palette tRNS entry out of range
+            encode_png(2, 1, bytes([0, 1]), 3, palette=pal, bit_depth=8,
+                       trns=[300])
+
+    def test_decode_rejects_bad_trns_length(self):
+        data = encode_png(2, 1, bytes([7, 7]), 0)
+        ihdr_end = data.find(b"IDAT") - 4
+        with pytest.raises(PngError):  # gray key must be exactly 2 bytes
+            decode_png(data[:ihdr_end] + _chunk(b"tRNS", b"\x00\x00\x00")
+                       + data[ihdr_end:])
+
+    def test_fuzz_16bit_colorkey_never_crashes(self):
+        vals = [(i * 31) % 65536 for i in range(6 * 4 * 3)]
+        data = encode_png(6, 4, self._px16(vals), 2, bit_depth=16,
+                          trns=[vals[0], vals[1], vals[2]], interlace=True)
+        for i in range(len(data)):
+            m = bytearray(data)
+            m[i] ^= 0xFF
+            try:
+                decode_png(bytes(m))
+            except PngError:
+                pass

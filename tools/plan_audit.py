@@ -46,6 +46,7 @@ AUDIT = [
     "pack_sequences",
     "skew_salted_join",
     "multimodal_mixed",
+    "png_edges",
     "jpeg_decode",
     "resize_mixed",
     "language_id",
@@ -89,6 +90,7 @@ COMMENT = {
     "resize_mixed": "Format-mixed payloads (PNG formula / JPEG block-constant / tiny) union, then ONE Arrow-batched mapInPandas sniffs magic bytes and routes per payload — decode, box-filter resize and PNG re-encode all happen before any exchange; binary never crosses a shuffle.",
     "language_id": "Trigram occurrences explode once; the <=L*B-row NB model broadcasts into the only data-sized join; per-language sums PIVOT into one row per doc (language list = an L-row driver visit, the kmeans model-state pattern) so scoring never inflates to (doc,lang) rows and the argmax is a per-row expression chain, not a rank window; the doc-keyed aggregate pair meets in one co-partitioned sort-merge join.",
     "multimodal_mixed": "Zero exchanges: payload bytes are generated, decoded and featurized inside one Arrow-batched mapInPandas chain — binary never crosses a shuffle.",
+    "png_edges": "Same zero-exchange mapInPandas shape as multimodal_mixed over the r8 profile-edge corpus (16-bit samples, tRNS color keys, truncated-corrupt stripe).",
     "video_frames": "Zero exchanges: Y4M parse + per-frame plane sums explode row-per-video to row-per-frame INSIDE the kernel, so frame rows exist only after the bytes are gone.",
     "semantic_dedup_pipeline": "Sampled k-means fit assigns via a broadcast (cluster,dim,val) join + per-cluster mean each iteration (cost independent of k at plan-compile time; k x dim model to the driver); then centroids broadcast for the corpus assignment; the pair join is keyed by cluster_id (hash exchange), so pair fan-out is bounded by cluster size — never global n².",
     "dsir_importance": "One bigram explode feeds both count models; the <=256-row weight table broadcasts back; the only data-sized exchange is the per-doc score aggregation.",
