@@ -1,0 +1,294 @@
+#!/usr/bin/env python
+"""Generate FOREIGN-ENCODER media fixtures (VERDICT r7 item 6).
+
+The vendored codecs were previously only ever asked to decode their own
+output (plus hand-built spec streams). This tool produces tiny fixture
+files with two encoders that share NO code with ours, checked into
+``tests/fixtures/foreign/`` and decoded by ``tests/test_foreign_media.py``
+against pixels regenerated from the SAME deterministic formulas:
+
+- PNG: the system **libpng16** driven via ctypes. libpng's default
+  writer picks a per-row filter heuristically (Sub/Up/Avg/Paeth mixes we
+  never emit — our encoder is filter-0 only), produces its own zlib
+  stream, and implements Adam7/palette/tRNS/16-bit independently.
+- JPEG: the JDK's **javax.imageio** writer (a tiny Java program compiled
+  on the fly) — independent DCT, quantization, Huffman table choice
+  (optimized tables, not Annex K), JFIF plumbing, and progressive scan
+  script.
+
+Run manually (`python tools/make_foreign_fixtures.py`); the outputs are
+committed, so the test suite never needs libpng/javac at run time.
+Pixel formulas here and in test_foreign_media.py must match.
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import json
+import struct
+import subprocess
+import tempfile
+from pathlib import Path
+
+OUT = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "foreign"
+
+# ---------------------------------------------------------------- formulas
+# (shared with test_foreign_media.py — keep in sync)
+
+
+def rgb_px(w, h):
+    return bytes(
+        (x * 3 + y * 11 + c * 53 + 7) % 256
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+
+
+def gray_px(w, h):
+    return bytes((x * 5 + y * 13 + 3) % 256 for y in range(h) for x in range(w))
+
+
+def gray16_vals(w, h):
+    return [(x * 257 + y * 1031 + 11) % 65536 for y in range(h) for x in range(w)]
+
+
+def pal_entries(n):
+    return [(i * 7 % 256, i * 13 % 256, i * 29 % 256) for i in range(n)]
+
+
+def pal_alphas(n):
+    return [(11 * i + 40) % 256 for i in range(n)]
+
+
+def pal_idx(w, h, n):
+    return bytes((x * 3 + y * 5) % n for y in range(h) for x in range(w))
+
+
+def smooth_rgb(w, h):
+    """Slowly-varying gradient: JPEG at high quality reconstructs this
+    within a few intensity levels, so a small tolerance is a REAL check."""
+    out = bytearray()
+    for y in range(h):
+        for x in range(w):
+            out += bytes((min(255, 40 + x * 4), min(255, 60 + y * 5), 96))
+    return bytes(out)
+
+
+def smooth_gray(w, h):
+    return bytes(min(255, 30 + x * 3 + y * 2) for y in range(h) for x in range(w))
+
+
+# ---------------------------------------------------------------- libpng
+
+_WRITE_CB = C.CFUNCTYPE(None, C.c_void_p, C.POINTER(C.c_ubyte), C.c_size_t)
+_FLUSH_CB = C.CFUNCTYPE(None, C.c_void_p)
+
+
+class _PngColor(C.Structure):
+    _fields_ = [("red", C.c_ubyte), ("green", C.c_ubyte), ("blue", C.c_ubyte)]
+
+
+class _PngColor16(C.Structure):
+    _fields_ = [
+        ("index", C.c_ubyte), ("red", C.c_uint16), ("green", C.c_uint16),
+        ("blue", C.c_uint16), ("gray", C.c_uint16),
+    ]
+
+
+def libpng_encode(
+    w: int, h: int, rows: list[bytes], bit_depth: int, color_type: int,
+    interlace: bool = False,
+    palette: list[tuple[int, int, int]] | None = None,
+    trans_alpha: list[int] | None = None,
+    gray_key: int | None = None,
+) -> bytes:
+    p = C.CDLL("libpng16.so.16")
+    p.png_get_libpng_ver.restype = C.c_char_p
+    p.png_get_libpng_ver.argtypes = [C.c_void_p]
+    p.png_create_write_struct.restype = C.c_void_p
+    p.png_create_write_struct.argtypes = [C.c_char_p] + [C.c_void_p] * 3
+    p.png_create_info_struct.restype = C.c_void_p
+    p.png_create_info_struct.argtypes = [C.c_void_p]
+    p.png_set_write_fn.argtypes = [C.c_void_p, C.c_void_p, _WRITE_CB, _FLUSH_CB]
+    p.png_set_IHDR.argtypes = [C.c_void_p, C.c_void_p, C.c_uint32, C.c_uint32] + [C.c_int] * 5
+    p.png_set_PLTE.argtypes = [C.c_void_p, C.c_void_p, C.POINTER(_PngColor), C.c_int]
+    p.png_set_tRNS.argtypes = [
+        C.c_void_p, C.c_void_p, C.POINTER(C.c_ubyte), C.c_int,
+        C.POINTER(_PngColor16),
+    ]
+    p.png_write_info.argtypes = [C.c_void_p, C.c_void_p]
+    p.png_set_interlace_handling.restype = C.c_int
+    p.png_set_interlace_handling.argtypes = [C.c_void_p]
+    p.png_write_rows.argtypes = [
+        C.c_void_p, C.POINTER(C.POINTER(C.c_ubyte)), C.c_uint32,
+    ]
+    p.png_write_end.argtypes = [C.c_void_p, C.c_void_p]
+    p.png_destroy_write_struct.argtypes = [C.c_void_p, C.c_void_p]
+
+    buf = bytearray()
+
+    @_WRITE_CB
+    def _wr(_png, data, n):
+        buf.extend(C.string_at(data, n))
+
+    @_FLUSH_CB
+    def _fl(_png):
+        pass
+
+    png = p.png_create_write_struct(p.png_get_libpng_ver(None), None, None, None)
+    info = p.png_create_info_struct(png)
+    p.png_set_write_fn(png, None, _wr, _fl)
+    p.png_set_IHDR(png, info, w, h, bit_depth, color_type, 1 if interlace else 0, 0, 0)
+    if palette is not None:
+        pal = (_PngColor * len(palette))(*[_PngColor(*e) for e in palette])
+        p.png_set_PLTE(png, info, pal, len(palette))
+    if trans_alpha is not None:
+        ta = (C.c_ubyte * len(trans_alpha))(*trans_alpha)
+        p.png_set_tRNS(png, info, ta, len(trans_alpha), None)
+    if gray_key is not None:
+        key = _PngColor16(0, 0, 0, 0, gray_key)
+        p.png_set_tRNS(png, info, None, 0, C.byref(key))
+    p.png_write_info(png, info)
+    npasses = p.png_set_interlace_handling(png)
+    row_bufs = [C.create_string_buffer(r, len(r)) for r in rows]
+    row_ptrs = (C.POINTER(C.c_ubyte) * h)(
+        *[C.cast(rb, C.POINTER(C.c_ubyte)) for rb in row_bufs]
+    )
+    for _ in range(max(1, npasses)):
+        p.png_write_rows(png, row_ptrs, h)
+    p.png_write_end(png, info)
+    pp, ip = C.c_void_p(png), C.c_void_p(info)
+    p.png_destroy_write_struct(C.byref(pp), C.byref(ip))
+    return bytes(buf)
+
+
+def make_pngs():
+    specs = {}
+    # RGB 8-bit, libpng's own per-row filter heuristic (never filter-0-only)
+    w, h = 23, 17
+    px = rgb_px(w, h)
+    data = libpng_encode(
+        w, h, [px[y * w * 3:(y + 1) * w * 3] for y in range(h)], 8, 2
+    )
+    (OUT / "libpng_rgb8.png").write_bytes(data)
+    specs["libpng_rgb8.png"] = {"kind": "rgb8", "w": w, "h": h}
+    # RGB Adam7 interlaced
+    w, h = 21, 15
+    px = rgb_px(w, h)
+    data = libpng_encode(
+        w, h, [px[y * w * 3:(y + 1) * w * 3] for y in range(h)], 8, 2,
+        interlace=True,
+    )
+    (OUT / "libpng_adam7.png").write_bytes(data)
+    specs["libpng_adam7.png"] = {"kind": "rgb8", "w": w, "h": h}
+    # palette (16 entries) + tRNS alphas
+    w, h, n = 19, 13, 16
+    idx = pal_idx(w, h, n)
+    data = libpng_encode(
+        w, h, [idx[y * w:(y + 1) * w] for y in range(h)], 8, 3,
+        palette=pal_entries(n), trans_alpha=pal_alphas(n),
+    )
+    (OUT / "libpng_pal_trns.png").write_bytes(data)
+    specs["libpng_pal_trns.png"] = {"kind": "pal_trns", "w": w, "h": h, "n": n}
+    # 16-bit grayscale (big-endian rows, PNG network order)
+    w, h = 20, 14
+    vals = gray16_vals(w, h)
+    px16 = b"".join(struct.pack(">H", v) for v in vals)
+    data = libpng_encode(
+        w, h, [px16[y * w * 2:(y + 1) * w * 2] for y in range(h)], 16, 0
+    )
+    (OUT / "libpng_gray16.png").write_bytes(data)
+    specs["libpng_gray16.png"] = {"kind": "gray16", "w": w, "h": h}
+    # 8-bit gray + transparent-color key
+    w, h = 18, 12
+    px = gray_px(w, h)
+    data = libpng_encode(
+        w, h, [px[y * w:(y + 1) * w] for y in range(h)], 8, 0, gray_key=77
+    )
+    (OUT / "libpng_graykey.png").write_bytes(data)
+    specs["libpng_graykey.png"] = {"kind": "graykey", "w": w, "h": h, "key": 77}
+    return specs
+
+
+# ---------------------------------------------------------------- javax.imageio
+
+_JAVA = r"""
+import java.awt.image.BufferedImage;
+import java.io.File;
+import java.util.Iterator;
+import javax.imageio.IIOImage;
+import javax.imageio.ImageIO;
+import javax.imageio.ImageWriteParam;
+import javax.imageio.ImageWriter;
+import javax.imageio.stream.ImageOutputStream;
+
+public class MakeJpegFixtures {
+    static void write(BufferedImage img, File f, float q, boolean prog)
+            throws Exception {
+        Iterator<ImageWriter> it = ImageIO.getImageWritersByFormatName("jpeg");
+        ImageWriter w = it.next();
+        ImageWriteParam p = w.getDefaultWriteParam();
+        p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
+        p.setCompressionQuality(q);
+        if (prog) p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT);
+        try (ImageOutputStream os = ImageIO.createImageOutputStream(f)) {
+            w.setOutput(os);
+            w.write(null, new IIOImage(img, null, null), p);
+        }
+        w.dispose();
+    }
+
+    public static void main(String[] args) throws Exception {
+        File dir = new File(args[0]);
+        int w = 24, h = 16;
+        BufferedImage rgb = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR);
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++) {
+                int r = Math.min(255, 40 + x * 4);
+                int g = Math.min(255, 60 + y * 5);
+                int b = 96;
+                rgb.setRGB(x, y, (r << 16) | (g << 8) | b);
+            }
+        write(rgb, new File(dir, "imageio_base.jpg"), 0.95f, false);
+        write(rgb, new File(dir, "imageio_prog.jpg"), 0.95f, true);
+        BufferedImage gray = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY);
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++) {
+                int v = Math.min(255, 30 + x * 3 + y * 2);
+                gray.getRaster().setSample(x, y, 0, v);
+            }
+        write(gray, new File(dir, "imageio_gray.jpg"), 0.95f, false);
+        // lower quality -> ImageIO switches to 4:2:0 chroma subsampling
+        write(rgb, new File(dir, "imageio_q70.jpg"), 0.70f, false);
+    }
+}
+"""
+
+
+def make_jpegs():
+    with tempfile.TemporaryDirectory() as td:
+        src = Path(td) / "MakeJpegFixtures.java"
+        src.write_text(_JAVA)
+        subprocess.run(["javac", str(src)], check=True, cwd=td)
+        subprocess.run(
+            ["java", "-cp", td, "MakeJpegFixtures", str(OUT)], check=True
+        )
+    return {
+        "imageio_base.jpg": {"kind": "smooth_rgb", "w": 24, "h": 16, "tol": 4.0},
+        "imageio_prog.jpg": {"kind": "smooth_rgb", "w": 24, "h": 16, "tol": 4.0},
+        "imageio_gray.jpg": {"kind": "smooth_gray", "w": 24, "h": 16, "tol": 4.0},
+        "imageio_q70.jpg": {"kind": "smooth_rgb", "w": 24, "h": 16, "tol": 10.0},
+    }
+
+
+def main():
+    OUT.mkdir(parents=True, exist_ok=True)
+    manifest = {}
+    manifest.update(make_pngs())
+    manifest.update(make_jpegs())
+    (OUT / "manifest.json").write_text(json.dumps(manifest, indent=2) + "\n")
+    for name in sorted(manifest):
+        print(f"{name}: {(OUT / name).stat().st_size} bytes")
+
+
+if __name__ == "__main__":
+    main()
