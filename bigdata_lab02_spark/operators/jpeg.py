@@ -1171,14 +1171,26 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                 raise JpegError(f"sampling layout {sampling} unsupported")
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
-            if width <= 0 or height <= 0 or width * height > (1 << 24):
+            # 1<<23 pixels (~3.9k x 2.2k): header dims are
+            # attacker-controlled and every coefficient is buffered as
+            # int64 over the MCU-padded grid before reconstruction, so an
+            # adversarial 4:4:4 header at the former 1<<24 cap could pin
+            # ~400 MB of coefficient buffers + ~200 MB of int32 planes
+            # PER PAYLOAD in each Arrow worker. Halving the cap bounds
+            # that to ~200+100 MB while still covering the vast majority
+            # of crawl images; larger headers take the honest-failure
+            # path (decode_ok=False), never an executor OOM.
+            if width <= 0 or height <= 0 or width * height > (1 << 23):
                 raise JpegError("unsupported dimensions")
             # block grids over the MCU-padded extent (T.81 A.2.4: partial
             # edge MCUs are coded whole; the decoder crops to the SOF dims).
             # numpy int64 buffers: 8 B/coefficient flat storage instead of
             # nested Python lists (an order of magnitude less memory at the
-            # 1<<24-pixel cap), and int64 cannot wrap even on adversarial
-            # max-diff DC chains shifted by Al
+            # pixel cap), and int64 cannot wrap even on adversarial
+            # max-diff DC chains shifted by Al (a progressive DC chain of
+            # 2047-unit diffs over every block, << Al <= 13, reaches ~2^42
+            # — clamping to int32 would silently corrupt such streams
+            # instead of decoding them honestly)
             n_mcux = -(-width // (8 * hmax))
             n_mcuy = -(-height // (8 * vmax))
             for _, ch, cv, _ in comps:

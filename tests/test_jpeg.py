@@ -243,6 +243,23 @@ class TestCodec:
         with pytest.raises(J.JpegError):
             J.decode_jpeg(bytes(data))
 
+    def test_memory_bomb_dims_rejected(self):
+        """r8 (ADVICE): header-declared dims are attacker-controlled and
+        every coefficient buffers as int64 before reconstruction — a
+        4:4:4 header above 1<<23 pixels (which at the former 1<<24 cap
+        could pin ~600 MB per payload per Arrow worker) must take the
+        honest-failure path, not allocate."""
+        import struct
+
+        img = _block_image(16, 16, {(bx, by): (1, 2, 3)
+                                    for bx in range(2) for by in range(2)})
+        data = bytearray(J.encode_jpeg(16, 16, img.tobytes()))
+        i = bytes(data).find(b"\xff\xc0")
+        struct.pack_into(">H", data, i + 5, 4096)  # height := 4096
+        struct.pack_into(">H", data, i + 7, 4096)  # width  := 4096 (2^24 px)
+        with pytest.raises(J.JpegError):
+            J.decode_jpeg(bytes(data))
+
     def test_oversubscribed_dht_rejected(self):
         """A DHT whose bits counts exceed the canonical code space must
         raise, not produce a table that 'decodes' arbitrary entropy."""

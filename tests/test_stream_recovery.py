@@ -25,9 +25,9 @@ stops, the second half lands, run B starts from run A's checkpoint.
 
 from __future__ import annotations
 
+import os
 import pathlib
 import shutil
-import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -41,6 +41,9 @@ from bigdata_lab02_spark.streaming.events import (
 
 SF = "/root/testdata/sf0.001"
 N_FILES = 8
+# fixed epoch base for explicit file mtimes (any stable past instant works
+# — only the ORDER matters to the file source)
+_MTIME_BASE = 1_600_000_000
 
 
 @pytest.fixture(scope="module")
@@ -50,6 +53,7 @@ def split_source(spark, tmp_path_factory):
     Returns (staging_dir, batch_df)."""
     staging = tmp_path_factory.mktemp("events_split")
     ev = _with_ts(spark.read.parquet(f"{SF}/events.parquet"))
+    _stamped: set = set()
     import datetime
 
     bounds = ev.select(
@@ -62,7 +66,15 @@ def split_source(spark, tmp_path_factory):
         t1 = lo + datetime.timedelta(seconds=(k + 1) * span / N_FILES)
         part = ev.where((F.col("ts") >= F.lit(t0)) & (F.col("ts") < F.lit(t1)))
         part.coalesce(1).write.mode("append").parquet(str(staging))
-        time.sleep(0.05)  # distinct mtimes -> deterministic replay order
+        # Encode replay order in EXPLICIT whole-second mtimes (os.utime)
+        # rather than sleep-spaced write times: on filesystems with 1 s
+        # mtime granularity, 0.05 s sleeps collapse to ties and the file
+        # stream could replay out of event-time order, breaking the
+        # watermark assumptions (ADVICE r7).
+        for part_file in pathlib.Path(staging).glob("part-*.parquet"):
+            if part_file.name not in _stamped:
+                os.utime(part_file, (_MTIME_BASE + k, _MTIME_BASE + k))
+                _stamped.add(part_file.name)
     return str(staging), ev
 
 
@@ -83,9 +95,10 @@ def _kill_resume_run(spark, tmp_path, staging, build_query, name, mode,
     src.mkdir()
     files = _files_in_order(staging)
     assert len(files) == N_FILES
-    for f in files[: N_FILES // 2]:
-        shutil.copy(f, src / f.name)  # copy (not copy2): fresh mtimes in order
-        time.sleep(0.05)
+    for i, f in enumerate(files[: N_FILES // 2]):
+        shutil.copy(f, src / f.name)
+        # explicit whole-second mtimes: granularity-proof replay order
+        os.utime(src / f.name, (_MTIME_BASE + i, _MTIME_BASE + i))
 
     key = "spark.sql.shuffle.partitions"
     pkey = "spark.sql.streaming.stateStore.providerClass"
@@ -117,9 +130,10 @@ def _kill_resume_run(spark, tmp_path, staging, build_query, name, mode,
 
         run_a = run()
         # the "crash": query stopped; more data lands while it's down
-        for f in files[N_FILES // 2 :]:
+        for i, f in enumerate(files[N_FILES // 2 :]):
             shutil.copy(f, src / f.name)
-            time.sleep(0.05)
+            os.utime(src / f.name,
+                     (_MTIME_BASE + N_FILES + i, _MTIME_BASE + N_FILES + i))
         run_b = run()
     finally:
         spark.conf.set(key, saved)
