@@ -2284,10 +2284,11 @@ FROM dims WHERE channels IS NULL"""
 def q_png_edges(spark, sf_dir):
     """PNG profile EDGES gated end-to-end (r8, VERDICT r7 item 7): the
     two raise-paths a real crawl hits most — 16-bit samples and
-    non-palette tRNS color keys — now decode. synthetic_png_edges
-    cycles media_id % 6 through 16-bit gray / 16-bit RGB / 16-bit RGB
+    non-palette tRNS color keys — now decode, plus gray+alpha (color
+    type 4 — with it every spec color type decodes). synthetic_png_edges
+    cycles media_id % 8 through 16-bit gray / 16-bit RGB / 16-bit RGB
     Adam7 / gray-8 + color key / 16-bit RGB + full-precision color key
-    / truncated-16-bit-corrupt; filters run over the raw 2-byte
+    / truncated-16-bit-corrupt / GA-8 / GA-16; filters run over the raw 2-byte
     scanlines (bpp doubles per RFC 2083 §6.2), output samples reduce to
     their HIGH byte, and key comparison happens BEFORE reduction. The
     oracle restates each stripe's closed form (high byte = sample //
@@ -2322,29 +2323,31 @@ def q_png_edges(spark, sf_dir):
 
 _PNG_EDGE_N = 48
 
-# Mirrors synthetic_png_edges (media_id % 6): dims = (18 + id%5,
-# 18 + id%3). 16-bit stripes (0 gray / 1 RGB / 2 RGB-Adam7) decode to
-# the HIGH byte of sample (id*1031 + x*17 + y*29 + c*7919) % 65536
-# (c term zero for gray). Stripe 3 (gray-8 + key (id*37)%256) decodes
-# to (gray, alpha) with alpha = 0 iff (x*3 + y*11) % 256 = 0. Stripe 4
-# (16-bit RGB + key = the (0,0) pixel) compares at FULL precision:
-# alpha = 0 iff x*17 + y*29 = 0. Stripe 5 (truncated stream) emits
-# decode_ok=false with null stats.
+# Mirrors synthetic_png_edges (media_id % 8): dims = (18 + id%5,
+# 18 + id%3). 16-bit stripes (0 gray / 1 RGB / 2 RGB-Adam7 / 7
+# gray+alpha) decode to the HIGH byte of sample (id*1031 + x*17 + y*29
+# + c*7919) % 65536 with c < channels. Stripe 3 (gray-8 + key
+# (id*37)%256) decodes to (gray, alpha) with alpha = 0 iff
+# (x*3 + y*11) % 256 = 0. Stripe 4 (16-bit RGB + key = the (0,0)
+# pixel) compares at FULL precision: alpha = 0 iff x*17 + y*29 = 0.
+# Stripe 6 (8-bit gray+alpha) uses (id*37 + x*3 + y*11 + c*53) % 256.
+# Stripe 5 (truncated stream) emits decode_ok=false with null stats.
 _PNG_EDGES_SQL = f"""
 WITH dims AS (
   SELECT range AS media_id,
          CAST(18 + range % 5 AS INT) AS width,
          CAST(18 + range % 3 AS INT) AS height,
-         CASE CAST(range % 6 AS INT)
+         CASE CAST(range % 8 AS INT)
            WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 3
-           WHEN 3 THEN 2 WHEN 4 THEN 4 END AS channels
+           WHEN 3 THEN 2 WHEN 4 THEN 4
+           WHEN 6 THEN 2 WHEN 7 THEN 2 END AS channels
   FROM range({_PNG_EDGE_N})),
 px AS (
   SELECT d.media_id, d.width, d.height, d.channels,
          ((d.media_id * 1031 + x.range * 17 + y.range * 29
            + c.range * 7919) % 65536) // 256 AS v
   FROM dims d, range(23) x, range(21) y, range(3) c
-  WHERE d.media_id % 6 IN (0, 1, 2)
+  WHERE d.media_id % 8 IN (0, 1, 2, 7)
     AND x.range < d.width AND y.range < d.height AND c.range < d.channels
   UNION ALL
   SELECT d.media_id, d.width, d.height, d.channels,
@@ -2354,7 +2357,7 @@ px AS (
            ELSE (d.media_id * 37 + x.range * 3 + y.range * 11) % 256
          END AS v
   FROM dims d, range(23) x, range(21) y, range(2) c
-  WHERE d.media_id % 6 = 3
+  WHERE d.media_id % 8 = 3
     AND x.range < d.width AND y.range < d.height
   UNION ALL
   SELECT d.media_id, d.width, d.height, d.channels,
@@ -2365,7 +2368,14 @@ px AS (
                   + c.range * 7919) % 65536) // 256
          END AS v
   FROM dims d, range(23) x, range(21) y, range(4) c
-  WHERE d.media_id % 6 = 4
+  WHERE d.media_id % 8 = 4
+    AND x.range < d.width AND y.range < d.height
+  UNION ALL
+  SELECT d.media_id, d.width, d.height, d.channels,
+         (d.media_id * 37 + x.range * 3 + y.range * 11
+          + c.range * 53) % 256 AS v
+  FROM dims d, range(23) x, range(21) y, range(2) c
+  WHERE d.media_id % 8 = 6
     AND x.range < d.width AND y.range < d.height)
 SELECT media_id, TRUE AS decode_ok, width, height,
   CAST(channels AS INT) AS channels,

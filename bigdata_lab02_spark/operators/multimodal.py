@@ -227,7 +227,8 @@ def synthetic_media_mixed(
 def synthetic_png_edges(spark, n: int = 48) -> DataFrame:
     """Deterministic PNG corpus for the r8 profile EDGES (VERDICT r7
     item 7 — the two raise-paths a real crawl hits most, now decoding):
-    16-bit samples and non-palette tRNS color keys, on ``media_id % 6``:
+    16-bit samples, non-palette tRNS color keys, and gray+alpha (color
+    type 4 — with it every spec color type decodes), on ``media_id % 8``:
 
     - 0: 16-bit GRAYSCALE — sample ``(mid*1031 + x*17 + y*29) % 65536``,
       decoded output = the HIGH byte (sample // 256);
@@ -241,7 +242,10 @@ def synthetic_png_edges(spark, n: int = 48) -> DataFrame:
       alpha = 0 iff ``x*17 + y*29 == 0`` (i.e. exactly that pixel; a
       high-byte-only comparison would also blank every pixel whose
       sample merely REDUCES to the same 8 bits);
-    - 5: corrupt — 16-bit stream truncated mid-IDAT (decode_ok=false).
+    - 5: corrupt — 16-bit stream truncated mid-IDAT (decode_ok=false);
+    - 6: 8-bit GRAY+ALPHA — sample ``(mid*37 + x*3 + y*11 + c*53) %
+      256`` with c < 2;
+    - 7: 16-bit GRAY+ALPHA — the stripe-1 16-bit formula with c < 2.
 
     Dims follow ``_media_dims(mid, 1024)``; every decodable stripe has
     an engine-independent closed form the gate oracle restates."""
@@ -259,14 +263,18 @@ def synthetic_png_edges(spark, n: int = 48) -> DataFrame:
             for mid in pdf["id"]:
                 mid = int(mid)
                 w, h = dims(mid, 1024)
-                s = mid % 6
-                if s == 0:
+                s = mid % 8
+                if s in (0, 7):  # 16-bit gray / gray+alpha
+                    nch = 1 if s == 0 else 2
                     vals = [
-                        (mid * 1031 + x * 17 + y * 29) % 65536
+                        (mid * 1031 + x * 17 + y * 29 + c * 7919) % 65536
                         for y in range(h)
                         for x in range(w)
+                        for c in range(nch)
                     ]
-                    payload = enc(w, h, pack16(vals), 0, bit_depth=16)
+                    payload = enc(
+                        w, h, pack16(vals), 0 if s == 0 else 4, bit_depth=16
+                    )
                 elif s == 3:
                     px = bytes(
                         (mid * 37 + x * 3 + y * 11) % 256
@@ -274,6 +282,14 @@ def synthetic_png_edges(spark, n: int = 48) -> DataFrame:
                         for x in range(w)
                     )
                     payload = enc(w, h, px, 0, trns=[(mid * 37) % 256])
+                elif s == 6:  # 8-bit gray+alpha
+                    px = bytes(
+                        (mid * 37 + x * 3 + y * 11 + c * 53) % 256
+                        for y in range(h)
+                        for x in range(w)
+                        for c in range(2)
+                    )
+                    payload = enc(w, h, px, 4)
                 else:  # 1/2/4/5: 16-bit RGB variants
                     vals = [
                         (mid * 1031 + x * 17 + y * 29 + c * 7919) % 65536

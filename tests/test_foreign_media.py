@@ -44,6 +44,13 @@ def gray_px(w, h):
     return bytes((x * 5 + y * 13 + 3) % 256 for y in range(h) for x in range(w))
 
 
+def ga_px(w, h):
+    return bytes(
+        (x * 7 + y * 3 + c * 31 + 1) % 256
+        for y in range(h) for x in range(w) for c in range(2)
+    )
+
+
 def gray16_vals(w, h):
     return [(x * 257 + y * 1031 + 11) % 65536 for y in range(h) for x in range(w)]
 
@@ -77,6 +84,8 @@ def _expected_png(spec):
     kind = spec["kind"]
     if kind == "rgb8":
         return w, h, 3, rgb_px(w, h)
+    if kind == "ga8":
+        return w, h, 2, ga_px(w, h)
     if kind == "gray16":
         return w, h, 1, bytes(v >> 8 for v in gray16_vals(w, h))
     if kind == "graykey":

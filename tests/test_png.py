@@ -100,12 +100,12 @@ def test_decode_rejects_garbage(bad):
 
 
 def test_unsupported_profile_rejected():
-    # gray+alpha (color type 4) is outside the profile (r8 widened the
-    # profile to 16-bit samples, so depth 16 now DECODES — see
-    # TestSixteenBitAndColorKey — and the scope boundary moved here)
+    # r8 widened the profile to 16-bit samples AND gray+alpha, so the
+    # scope boundary moved to genuinely-invalid headers: color type 7
+    # is undefined by the spec
     data = (
         _SIG
-        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 4, 0, 0, 0))
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 7, 0, 0, 0))
         + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
         + _chunk(b"IEND", b"")
     )
@@ -119,6 +119,15 @@ def test_unsupported_profile_rejected():
         + _chunk(b"IEND", b"")
     )
     assert decode_png(data) == (2, 2, 3, bytes(12))
+    # gray+alpha decodes as of r8 too (2x2 GA-8, hand-built)
+    data = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 4, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"\x00" + bytes([1, 2, 3, 4])
+                                        + b"\x00" + bytes([5, 6, 7, 8])))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(data) == (2, 2, 2, bytes([1, 2, 3, 4, 5, 6, 7, 8]))
 
 
 def test_corrupt_idat_raises_png_error():
@@ -417,3 +426,32 @@ class TestSixteenBitAndColorKey:
                 decode_png(bytes(m))
             except PngError:
                 pass
+
+
+class TestGrayAlpha:
+    """Round-8: color type 4 (gray+alpha) at 8 and 16 bits — with it,
+    every spec-defined color type decodes at its common depths."""
+
+    @pytest.mark.parametrize("interlace", [False, True])
+    def test_ga8_roundtrip(self, interlace):
+        w, h = 11, 6
+        px = bytes((i * 23 + 5) % 256 for i in range(w * h * 2))
+        assert decode_png(encode_png(w, h, px, 4, interlace=interlace)) == (
+            w, h, 2, px,
+        )
+
+    def test_ga16_roundtrip_reduces_to_high_byte(self):
+        w, h = 7, 5
+        vals = [(i * 911 + 2) % 65536 for i in range(w * h * 2)]
+        px16 = b"".join(struct.pack(">H", v) for v in vals)
+        got = decode_png(encode_png(w, h, px16, 4, bit_depth=16))
+        assert got == (w, h, 2, bytes(v >> 8 for v in vals))
+
+    def test_trns_still_forbidden_with_alpha(self):
+        with pytest.raises(PngError):
+            encode_png(1, 1, bytes(2), 4, trns=[1])
+        data = encode_png(2, 1, bytes(4), 4)
+        ihdr_end = data.find(b"IDAT") - 4
+        with pytest.raises(PngError):
+            decode_png(data[:ihdr_end] + _chunk(b"tRNS", b"\x00\x00")
+                       + data[ihdr_end:])

@@ -47,6 +47,13 @@ def gray_px(w, h):
     return bytes((x * 5 + y * 13 + 3) % 256 for y in range(h) for x in range(w))
 
 
+def ga_px(w, h):
+    return bytes(
+        (x * 7 + y * 3 + c * 31 + 1) % 256
+        for y in range(h) for x in range(w) for c in range(2)
+    )
+
+
 def gray16_vals(w, h):
     return [(x * 257 + y * 1031 + 11) % 65536 for y in range(h) for x in range(w)]
 
@@ -206,6 +213,14 @@ def make_pngs():
     )
     (OUT / "libpng_graykey.png").write_bytes(data)
     specs["libpng_graykey.png"] = {"kind": "graykey", "w": w, "h": h, "key": 77}
+    # 8-bit gray+alpha (color type 4)
+    w, h = 17, 11
+    px = ga_px(w, h)
+    data = libpng_encode(
+        w, h, [px[y * w * 2:(y + 1) * w * 2] for y in range(h)], 8, 4
+    )
+    (OUT / "libpng_ga8.png").write_bytes(data)
+    specs["libpng_ga8.png"] = {"kind": "ga8", "w": w, "h": h}
     return specs
 
 
