@@ -990,6 +990,48 @@ FROM corpus c JOIN pred p ON c.doc_id = p.doc_id AND p.rn = 1
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (r8), both modes in one gate:
+    the hash-rank quota draw (n_per_group=20 by source → samp_rank) and
+    the zero-shuffle hash-Bernoulli draw (fraction=0.25) as an in_frac
+    flag left-joined onto the quota rows. Hash = the portable md5
+    top-60-bits idiom, so the oracle replays the exact draw; any drift
+    in the rank window ordering, the threshold compare, or the salt
+    concatenation flips the hash."""
+    from bigdata_lab02_spark.operators import curation as cu
+
+    docs = _t(spark, sf_dir, "documents")
+    quota = cu.stratified_sample(docs, "source", n_per_group=20)
+    frac = cu.stratified_sample(docs, "source", fraction=0.25).select(
+        "doc_id", F.lit(True).alias("in_frac")
+    )
+    return (
+        quota.select("doc_id", "source", "samp_rank")
+        .join(frac, "doc_id", "left")
+        .select(
+            "doc_id", "source",
+            F.col("samp_rank").cast("long").alias("samp_rank"),
+            F.coalesce("in_frac", F.lit(False)).alias("in_frac"),
+        )
+    )
+
+
+_STRATIFIED_SQL = """
+WITH u AS (
+  SELECT doc_id, source,
+    ('0x' || substr(md5('strat-v1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents),
+r AS (
+  SELECT doc_id, source, h,
+    row_number() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC)
+      AS samp_rank
+  FROM u)
+SELECT doc_id, source, CAST(samp_rank AS BIGINT) AS samp_rank,
+  (CAST(h AS DOUBLE) / 1152921504606846976.0) < 0.25 AS in_frac
+FROM r WHERE samp_rank <= 20
+"""
+
+
 def q_scrub_pii(spark, sf_dir):
     """PII/link scrubbing: emails, URLs, IPv4 literals → placeholder
     tokens, with removal counts kept as quality features
@@ -3623,6 +3665,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # recluster → final pass, task2_3 end-to-end) and stays
     # oracle-verified here.
     "kmeans_recluster": q_kmeans_recluster,
+    # stratified_sample registered in r8 DIRECTLY into the overflow (the
+    # window is full and nothing else should lose its driver row for
+    # it); both sampling modes are oracle-verified here every pytest
+    # run, like the rest of this list.
+    "stratified_sample": q_stratified_sample,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -3632,6 +3679,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ROTATED_OUT: set[str] = {
     "kmeans_assign", "kmeans_update", "quantized_topk",
     "scrub_pii", "token_budget", "kmeans_recluster",
+    "stratified_sample",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -3710,6 +3758,7 @@ _R7_NEW = {
 # non-palette tRNS color keys, VERDICT r7 item 7).
 _R8_NEW = {
     "png_edges",
+    "stratified_sample",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -3790,6 +3839,7 @@ _ORACLES: dict[str, str] = {
     "stream_user_totals": _STREAM_TOTALS_SQL,
     "multimodal_mixed": _MM_MIXED_SQL,
     "png_edges": _PNG_EDGES_SQL,
+    "stratified_sample": _STRATIFIED_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,
     "semantic_dedup_pipeline": _SEMANTIC_PIPE_SQL,
     "dsir_importance": _DSIR_SQL,

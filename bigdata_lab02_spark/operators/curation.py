@@ -151,6 +151,57 @@ def hash_split(
     return docs.withColumn("split", split)
 
 
+def stratified_sample(
+    docs: DataFrame,
+    group_col: str = "source",
+    n_per_group: int | None = None,
+    fraction: float | None = None,
+    salt: str = "strat-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling (r8) — the draw every
+    training-data pipeline needs for per-source quotas, eval carve-outs,
+    and quick-look subsets. Pass exactly ONE of:
+
+    - ``fraction``: keep a hash-Bernoulli ``fraction`` of each stratum
+      (in expectation). A PURE FILTER on the ``hash_split`` key idiom —
+      zero exchanges, fused into the scan, so sampling a 100 TB corpus
+      costs one read. Membership is a pure function of (salt, id):
+      stable across runs, retries, resharding, appends, and engines.
+    - ``n_per_group``: exactly ``min(n, |stratum|)`` rows per
+      ``group_col`` value, chosen by hash order (a seeded shuffle) —
+      ONE exchange on the group key; adds a ``samp_rank`` column
+      (1-based within the stratum). Ranks are stable for a fixed
+      corpus; appending rows can displace earlier picks (quota
+      semantics — documented, not a bug).
+
+    Hash = the portable md5-top-60-bits idiom (``hash_split``,
+    operators/dedup.py:273), so the DuckDB oracle replays the exact
+    draw. ``salt`` gives independent re-draws for ablations."""
+    if (n_per_group is None) == (fraction is None):
+        raise ValueError("pass exactly one of n_per_group / fraction")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    if fraction is not None:
+        if not 0.0 <= fraction <= 1.0:
+            raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+        return docs.where(
+            (h.cast("double") / F.lit(float(1 << 60))) < F.lit(float(fraction))
+        )
+    if n_per_group <= 0:
+        raise ValueError(f"n_per_group must be positive, got {n_per_group}")
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("samp_rank", F.row_number().over(w))
+        .where(F.col("samp_rank") <= n_per_group)
+    )
+
+
 # -------------------------------------------------------- token budgeting
 
 

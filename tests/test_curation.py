@@ -431,3 +431,63 @@ class TestLmPerplexity:
         for k in disagree:
             i = nlls.index(exact[k][1])
             assert 0 < i < len(nlls) - 1  # not an extreme value
+
+
+class TestStratifiedSample:
+    """r8 stratified sampling: hash-Bernoulli fraction mode (zero-shuffle
+    filter) and hash-rank quota mode (one group exchange), both
+    deterministic functions of (salt, id)."""
+
+    def _docs(self, spark):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "source", "text")
+
+    def test_quota_mode_counts_and_determinism(self, spark):
+        docs = self._docs(spark)
+        a = cur.stratified_sample(docs, "source", n_per_group=7)
+        rows = a.collect()
+        sizes = {r["source"]: r for r in docs.groupBy("source").count().collect()}
+        got = {}
+        for r in rows:
+            got.setdefault(r["source"], []).append((r["samp_rank"], r["doc_id"]))
+        for src, picks in got.items():
+            want_n = min(7, sizes[src]["count"])
+            assert len(picks) == want_n
+            assert sorted(rk for rk, _ in picks) == list(range(1, want_n + 1))
+        # byte-for-byte repeatable
+        b = cur.stratified_sample(docs, "source", n_per_group=7).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, b))
+
+    def test_fraction_mode_rate_stability_and_subset(self, spark):
+        docs = self._docs(spark)
+        kept = cur.stratified_sample(docs, fraction=0.3)
+        n, total = kept.count(), docs.count()
+        assert 0.2 < n / total < 0.4  # hash-Bernoulli, 500 draws
+        # monotone nesting: a smaller fraction is a SUBSET (same key)
+        small = {r["doc_id"]
+                 for r in cur.stratified_sample(docs, fraction=0.1).collect()}
+        big = {r["doc_id"] for r in kept.collect()}
+        assert small <= big
+        # a different salt is an independent re-draw
+        other = {r["doc_id"]
+                 for r in cur.stratified_sample(docs, fraction=0.3,
+                                                salt="other").collect()}
+        assert other != big
+
+    def test_fraction_mode_plans_with_zero_exchanges(self, spark):
+        from bigdata_lab02_spark.plans import plan_report
+
+        r = plan_report(cur.stratified_sample(self._docs(spark), fraction=0.5))
+        assert r.n_exchanges == 0, r.raw
+
+    def test_argument_validation(self, spark):
+        docs = self._docs(spark)
+        with pytest.raises(ValueError):
+            cur.stratified_sample(docs)  # neither mode
+        with pytest.raises(ValueError):
+            cur.stratified_sample(docs, n_per_group=5, fraction=0.5)  # both
+        with pytest.raises(ValueError):
+            cur.stratified_sample(docs, fraction=1.5)
+        with pytest.raises(ValueError):
+            cur.stratified_sample(docs, n_per_group=0)
