@@ -1032,6 +1032,52 @@ FROM r WHERE samp_rank <= 20
 """
 
 
+def q_range_join(spark, sf_dir):
+    """Binned interval-containment join (r8 — the temporal join Spark
+    plans as a nested-loop/cartesian if written naively): per-user
+    24-hour windows opening at the first event of every 20th user, each
+    matched against ALL events (cross-user containment — a true range
+    join, not an equi-join), via operators/temporal.py::range_join with
+    6-hour bins. The result aggregates per interval with integer
+    micro-unit value sums, so the hash pins the exact match set. The
+    oracle states the same join as a plain BETWEEN theta-join — binning
+    must be invisible in the result."""
+    from bigdata_lab02_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    iv = (
+        ev.where(F.col("user_id") % 20 == 0)
+        .groupBy(F.col("user_id").alias("interval_id"))
+        .agg(F.min("ts").alias("t_lo"))
+        .withColumn("t_hi", F.col("t_lo") + F.expr("INTERVAL 24 HOURS"))
+    )
+    j = range_join(
+        ev.select("event_id", "ts", "value"), iv, bin_seconds=21600
+    )
+    return j.groupBy("interval_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        F.sum(F.round(F.col("value") * 1000000.0).cast("long")).alias(
+            "value_micro"
+        ),
+    )
+
+
+_RANGE_JOIN_SQL = """
+WITH iv AS (
+  SELECT user_id AS interval_id, min(ts) AS t_lo,
+         min(ts) + INTERVAL 24 HOUR AS t_hi
+  FROM events WHERE user_id % 20 = 0 GROUP BY user_id)
+SELECT iv.interval_id, CAST(count(*) AS BIGINT) AS n_events,
+  min(e.event_id) AS first_event, max(e.event_id) AS last_event,
+  CAST(sum(CAST(round(e.value * 1000000.0) AS BIGINT)) AS BIGINT)
+    AS value_micro
+FROM events e JOIN iv ON e.ts >= iv.t_lo AND e.ts < iv.t_hi
+GROUP BY iv.interval_id
+"""
+
+
 def q_scrub_pii(spark, sf_dir):
     """PII/link scrubbing: emails, URLs, IPv4 literals → placeholder
     tokens, with removal counts kept as quality features
@@ -3670,6 +3716,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # it); both sampling modes are oracle-verified here every pytest
     # run, like the rest of this list.
     "stratified_sample": q_stratified_sample,
+    # range_join likewise registered r8 into the overflow: the binned
+    # interval-containment join, oracle-gated against the plain BETWEEN
+    # theta-join every pytest run.
+    "range_join": q_range_join,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -3679,7 +3729,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ROTATED_OUT: set[str] = {
     "kmeans_assign", "kmeans_update", "quantized_topk",
     "scrub_pii", "token_budget", "kmeans_recluster",
-    "stratified_sample",
+    "stratified_sample", "range_join",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -3759,6 +3809,7 @@ _R7_NEW = {
 _R8_NEW = {
     "png_edges",
     "stratified_sample",
+    "range_join",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -3840,6 +3891,7 @@ _ORACLES: dict[str, str] = {
     "multimodal_mixed": _MM_MIXED_SQL,
     "png_edges": _PNG_EDGES_SQL,
     "stratified_sample": _STRATIFIED_SQL,
+    "range_join": _RANGE_JOIN_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,
     "semantic_dedup_pipeline": _SEMANTIC_PIPE_SQL,
     "dsir_importance": _DSIR_SQL,

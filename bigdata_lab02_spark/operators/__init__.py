@@ -11,5 +11,12 @@
                    embedding near-dup (training-data extensions)
 - ``similarity`` — brute-force & LSH-bucketed ANN over embeddings
 - ``textstats``  — language id, quality scoring, token counts, fingerprints
-- ``multimodal`` — binary-column (image/audio) plumbing with stubbed decode
+- ``curation``   — scrubbing, chunking, packing, splits, stratified
+                   sampling, DSIR, CCNet perplexity
+- ``sketch``     — CMS / HLL algebraic sketches
+- ``skew``       — salted joins/aggregations for hot keys
+- ``merge``      — snapshot merge/upsert
+- ``temporal``   — binned range (interval-containment) join
+- ``multimodal`` — binary-column plumbing with REAL vendored codecs
+                   (png/jpeg/wav/y4m) — byte-level decode on executors
 """
