@@ -114,3 +114,29 @@ def test_bucketed_dedup_self_join_has_no_exchange(spark, bucketed_corpus):
         assert n_pairs == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partitioned_write_prunes_at_scan(spark, tmp_path_factory):
+    """The second layout lever beside bucketing: a hive-partitioned
+    parquet write must let a partition-key filter prune DIRECTORIES at
+    planning time (PartitionFilters on the scan node), not read-and-
+    filter — at 100 TB this is the difference between scanning one
+    event type and scanning the corpus. Values must match the
+    unpartitioned read exactly."""
+    from bigdata_lab02_spark.sources.sinks import write_parquet
+
+    out = str(tmp_path_factory.mktemp("events_part") / "by_type")
+    ev = spark.read.parquet(f"{TESTDATA}/sf0.001/events.parquet")
+    write_parquet(ev, out, partition_by=["event_type"])
+
+    one_type = ev.select("event_type").first()["event_type"]
+    pruned = spark.read.parquet(out).where(F.col("event_type") == one_type)
+    raw = plan_report(pruned).raw
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", raw)
+    assert m and "event_type" in m.group(1), raw  # pruned at planning time
+    # and the partition-key filter must NOT appear as a data filter
+    pf = re.search(r"PushedFilters: \[([^\]]*)\]", raw)
+    assert not (pf and "event_type" in pf.group(1)), raw
+    assert pruned.count() == ev.where(F.col("event_type") == one_type).count()
