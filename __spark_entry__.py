@@ -2875,6 +2875,59 @@ SELECT media_id, 8000 AS sample_rate, 1 AS channels, n_samples,
 FROM x GROUP BY media_id, n_samples"""
 
 
+def q_wav_edges(spark, sf_dir):
+    """WAV PCM bit-depth edges gated end-to-end (r8 — the audio analog
+    of png_edges): synthetic_audio_edges cycles media_id % 4 through
+    8-bit (stored unsigned, decoded signed), 16-bit, 24-bit (3-byte
+    two's complement), and a float-fmt-code corrupt stripe that must
+    surface decode_ok=false with null stats. Integer-only sample
+    formulas give every decodable stripe an exact closed form the
+    oracle restates, lag-window zero-crossings included. (sf_dir
+    unused: media is generated.)"""
+    from bigdata_lab02_spark.operators.multimodal import (
+        extract_audio_stats,
+        synthetic_audio_edges,
+    )
+
+    return extract_audio_stats(synthetic_audio_edges(spark, n=48))
+
+
+# Mirrors synthetic_audio_edges (media_id % 4): n = 200 + (id%5)*40 ≤ 360.
+_WAV_EDGES_SQL = """
+WITH ids AS (
+  SELECT range AS media_id, CAST(200 + (range % 5) * 40 AS INT) AS n_samples,
+         CAST(range % 4 AS INT) AS stripe
+  FROM range(48)),
+s AS (
+  SELECT d.media_id, d.n_samples, i.range AS i,
+    CASE d.stripe
+      WHEN 0 THEN ((d.media_id * 7 + i.range * 131) % 256) - 128
+      WHEN 1 THEN ((d.media_id * 7919 + i.range * 2654435761) % 65536) - 32768
+      WHEN 2 THEN ((d.media_id * 1031 + i.range * 2654435761) % 16777216)
+                  - 8388608
+    END AS v
+  FROM ids d, range(360) i
+  WHERE d.stripe != 3 AND i.range < d.n_samples),
+x AS (
+  SELECT media_id, n_samples, v, i,
+         lag(v) OVER (PARTITION BY media_id ORDER BY i) AS pv
+  FROM s)
+SELECT media_id, TRUE AS decode_ok, 8000 AS sample_rate, 1 AS channels,
+  n_samples,
+  CAST(sum(v * v) AS BIGINT) AS sumsq,
+  CAST(sum(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+  CAST(max(abs(v)) AS INT) AS peak
+FROM x GROUP BY media_id, n_samples
+UNION ALL
+SELECT media_id, FALSE AS decode_ok, CAST(NULL AS INT) AS sample_rate,
+  CAST(NULL AS INT) AS channels, CAST(NULL AS INT) AS n_samples,
+  CAST(NULL AS BIGINT) AS sumsq, CAST(NULL AS BIGINT) AS zero_crossings,
+  CAST(NULL AS INT) AS peak
+FROM ids WHERE stripe = 3
+"""
+
+
 def q_chunk_docs(spark, sf_dir):
     """Sliding-window context chunking (curation.chunk_documents): 64-token
     chunks every 48 tokens (16 overlap) over normalized document tokens;
@@ -3720,6 +3773,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # interval-containment join, oracle-gated against the plain BETWEEN
     # theta-join every pytest run.
     "range_join": q_range_join,
+    # wav_edges (r8): 8/24-bit PCM + float-fmt corrupt stripe, the audio
+    # analog of png_edges — oracle-gated here every pytest run.
+    "wav_edges": q_wav_edges,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -3729,7 +3785,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ROTATED_OUT: set[str] = {
     "kmeans_assign", "kmeans_update", "quantized_topk",
     "scrub_pii", "token_budget", "kmeans_recluster",
-    "stratified_sample", "range_join",
+    "stratified_sample", "range_join", "wav_edges",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -3810,6 +3866,7 @@ _R8_NEW = {
     "png_edges",
     "stratified_sample",
     "range_join",
+    "wav_edges",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -3892,6 +3949,7 @@ _ORACLES: dict[str, str] = {
     "png_edges": _PNG_EDGES_SQL,
     "stratified_sample": _STRATIFIED_SQL,
     "range_join": _RANGE_JOIN_SQL,
+    "wav_edges": _WAV_EDGES_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,
     "semantic_dedup_pipeline": _SEMANTIC_PIPE_SQL,
     "dsir_importance": _DSIR_SQL,

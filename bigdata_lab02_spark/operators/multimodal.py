@@ -748,6 +748,61 @@ def synthetic_audio(spark, n: int = 64) -> DataFrame:
     )
 
 
+def synthetic_audio_edges(spark, n: int = 48) -> DataFrame:
+    """Deterministic WAV corpus for the r8 PCM bit-depth edges, on
+    ``media_id % 4`` (the png_edges playbook applied to audio):
+
+    - 0: 8-BIT PCM — sample ``((mid*7 + i*131) % 256) - 128`` (stored
+      unsigned per the spec, decoded back to signed);
+    - 1: 16-bit PCM — the ``_audio_samples`` Knuth-mix formula;
+    - 2: 24-BIT PCM — sample ``((mid*1031 + i*2654435761) % 16777216)
+      - 8388608`` (3-byte little-endian two's complement on disk);
+    - 3: corrupt — a valid 16-bit stream whose fmt code is patched to 3
+      (IEEE float, outside the integer-PCM profile) → decode_ok=false.
+
+    n_samples = 200 + (mid % 5)·40 ≤ 360; every decodable stripe's
+    stats have an integer closed form the gate oracle restates."""
+    enc = _wav.encode_wav
+    sr = AUDIO_SAMPLE_RATE
+
+    def mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        for pdf in batches:
+            rows = {"media_id": [], "payload": [], "mime": [], "n_samples": []}
+            for mid in pdf["id"]:
+                mid = int(mid)
+                ns = 200 + (mid % 5) * 40
+                s = mid % 4
+                if s == 0:
+                    samples = [((mid * 7 + i * 131) % 256) - 128
+                               for i in range(ns)]
+                    payload = enc(samples, sr, bits=8)
+                elif s == 2:
+                    samples = [
+                        ((mid * 1031 + i * 2654435761) % 16777216) - 8388608
+                        for i in range(ns)
+                    ]
+                    payload = enc(samples, sr, bits=24)
+                else:  # 1 (valid 16-bit) and 3 (same stream, fmt patched)
+                    payload = enc(_audio_samples(mid, ns), sr)
+                    if s == 3:
+                        p = bytearray(payload)
+                        # fmt code sits at offset 20 (RIFF 12 + tag 4 +
+                        # len 4); 3 = IEEE float, outside the profile
+                        p[20:22] = _struct.pack("<H", 3)
+                        payload = bytes(p)
+                rows["media_id"].append(mid)
+                rows["payload"].append(payload)
+                rows["mime"].append("audio/wav")
+                rows["n_samples"].append(ns)
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(
+        mk, "media_id long, payload binary, mime string, n_samples int"
+    )
+
+
 def extract_audio_stats(audio: DataFrame) -> DataFrame:
     """Byte-level WAV decode → exact integer stream statistics via
     Arrow-batched mapInPandas. Undecodable payloads yield decode_ok=False

@@ -4,12 +4,16 @@ Same role as ``png.py`` for images: the container has no audio libraries,
 but canonical WAV needs only ``struct`` — a RIFF header, an ``fmt `` chunk
 (PCM), and a ``data`` chunk of little-endian samples. Implemented profile:
 
-- encode: mono 16-bit PCM at any sample rate;
-- decode: 16-bit PCM, any channel count, chunk-walking (skips unknown
-  chunks like ``LIST``/``INFO``), format code 1 (integer PCM) only.
+- encode: mono 8/16/24-bit PCM at any sample rate (r8 widened from
+  16-bit-only — 8-bit telephony/legacy and 24-bit studio masters are
+  the other depths a real crawl carries);
+- decode: 8/16/24-bit PCM, any channel count, chunk-walking (skips
+  unknown chunks like ``LIST``/``INFO``), format code 1 (integer PCM)
+  only. Samples come back SIGNED at every depth (8-bit is stored
+  unsigned per the spec and shifted by -128 on decode).
 
-Anything outside the profile (float PCM, 8/24-bit, compressed formats)
-raises ``WavError``, which the pipeline maps to ``decode_ok=False``.
+Anything outside the profile (float PCM, compressed formats) raises
+``WavError``, which the pipeline maps to ``decode_ok=False``.
 
 Public-knowledge provenance: RIFF/WAVE format (Microsoft/IBM multimedia
 programming interface spec, 1991; ubiquitously documented).
@@ -24,12 +28,34 @@ class WavError(ValueError):
     """Payload is not a WAV this codec's profile supports."""
 
 
-def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
-    """Encode mono 16-bit PCM samples (ints in [-32768, 32767]) as a
-    canonical 44-byte-header WAV file."""
-    data = struct.pack(f"<{len(samples)}h", *samples)
-    byte_rate = sample_rate * 2
-    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+def encode_wav(
+    samples: list[int], sample_rate: int = 8000, bits: int = 16
+) -> bytes:
+    """Encode mono integer-PCM samples as a canonical WAV file.
+
+    ``samples`` are SIGNED canonical values at every depth —
+    [-128, 127] for ``bits=8``, [-32768, 32767] for 16, [-2^23, 2^23-1]
+    for 24 — matching what ``decode_wav`` returns. On disk the spec's
+    conventions apply: 8-bit PCM is stored UNSIGNED (value + 128),
+    16/24-bit little-endian two's complement."""
+    if bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    elif bits == 8:
+        if any(not -128 <= s <= 127 for s in samples):
+            raise WavError("8-bit sample out of range [-128, 127]")
+        data = bytes(s + 128 for s in samples)
+    elif bits == 24:
+        lo, hi = -(1 << 23), (1 << 23) - 1
+        if any(not lo <= s <= hi for s in samples):
+            raise WavError("24-bit sample out of range")
+        data = b"".join(
+            int(s).to_bytes(3, "little", signed=True) for s in samples
+        )
+    else:
+        raise WavError(f"unsupported bit depth {bits}")
+    align = bits // 8
+    byte_rate = sample_rate * align
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, align, bits)
     return (
         b"RIFF"
         + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
@@ -44,9 +70,10 @@ def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
 
 
 def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
-    """Decode a 16-bit integer-PCM WAV → ``(sample_rate, channels,
-    samples)`` with samples interleaved when multi-channel. Raises
-    ``WavError`` for non-WAV bytes or unsupported profiles."""
+    """Decode an 8/16/24-bit integer-PCM WAV → ``(sample_rate, channels,
+    samples)`` with SIGNED samples at every depth, interleaved when
+    multi-channel. Raises ``WavError`` for non-WAV bytes or unsupported
+    profiles."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise WavError("bad RIFF/WAVE header")
     pos = 12
@@ -70,11 +97,21 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
             pcm = body
     if fmt_code is None or pcm is None:
         raise WavError("missing fmt/data chunk")
-    if fmt_code != 1 or bits != 16:
+    if fmt_code != 1 or bits not in (8, 16, 24):
         raise WavError(f"unsupported format code/bits {fmt_code}/{bits}")
-    if len(pcm) % 2:
-        raise WavError("odd PCM byte count")
-    samples = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
+    align = bits // 8
+    if len(pcm) % align:
+        raise WavError("PCM byte count not a multiple of the sample size")
+    if bits == 16:
+        samples = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
+    elif bits == 8:
+        # stored unsigned per the spec; return signed canonical values
+        samples = [b - 128 for b in pcm]
+    else:  # 24-bit little-endian two's complement
+        samples = [
+            int.from_bytes(pcm[i : i + 3], "little", signed=True)
+            for i in range(0, len(pcm), 3)
+        ]
     return sample_rate, channels, samples
 
 

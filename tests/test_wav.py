@@ -74,3 +74,50 @@ def test_unsupported_profile_rejected():
     data = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
     with pytest.raises(WavError):
         decode_wav(data)
+
+
+class TestBitDepthEdges:
+    """r8: 8-bit (stored unsigned, decoded signed) and 24-bit (3-byte
+    two's complement) PCM join the 16-bit profile."""
+
+    def test_8bit_roundtrip_and_storage_convention(self):
+        samples = [-128, -1, 0, 1, 127, 64, -64]
+        data = encode_wav(samples, 8000, bits=8)
+        sr, ch, got = decode_wav(data)
+        assert (sr, ch, got) == (8000, 1, samples)
+        # on disk the spec stores value+128 unsigned
+        at = data.index(b"data") + 8
+        assert list(data[at:at + len(samples)]) == [s + 128 for s in samples]
+
+    def test_24bit_roundtrip_sign_extension(self):
+        lo, hi = -(1 << 23), (1 << 23) - 1
+        samples = [lo, -1, 0, 1, hi, 0x123456, -0x123456]
+        sr, ch, got = decode_wav(encode_wav(samples, 44100, bits=24))
+        assert (sr, ch) == (44100, 1)
+        assert got == samples
+
+    def test_out_of_range_samples_raise(self):
+        with pytest.raises(WavError):
+            encode_wav([128], bits=8)
+        with pytest.raises(WavError):
+            encode_wav([1 << 23], bits=24)
+        with pytest.raises(WavError):
+            encode_wav([0], bits=12)
+
+    def test_24bit_misaligned_data_raises(self):
+        data = bytearray(encode_wav([0, 1, -1], bits=24))
+        at = data.index(b"data")
+        # shrink the data chunk to 8 bytes (not a multiple of 3)
+        import struct as _s
+        _s.pack_into("<I", data, at + 4, 8)
+        with pytest.raises(WavError):
+            decode_wav(bytes(data[:at + 8 + 8]) )
+
+    def test_float_fmt_patch_is_honest_failure(self):
+        # the wav_edges corrupt-stripe construction: valid 16-bit stream,
+        # fmt code patched to 3 at offset 20
+        import struct as _s
+        data = bytearray(encode_wav([1, -1, 2], 8000))
+        data[20:22] = _s.pack("<H", 3)
+        with pytest.raises(WavError):
+            decode_wav(bytes(data))
