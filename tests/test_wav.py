@@ -121,3 +121,20 @@ class TestBitDepthEdges:
         data[20:22] = _s.pack("<H", 3)
         with pytest.raises(WavError):
             decode_wav(bytes(data))
+
+
+@pytest.mark.parametrize("bits", [8, 16, 24])
+def test_fuzz_byte_flips_never_crash(bits):
+    """Byte-flip fuzz parity with the png/jpeg codecs: every single-byte
+    corruption either still decodes (payload bytes may be legal PCM) or
+    raises WavError — never any other exception."""
+    rng = range(-100, 100, 7)
+    scale = {8: 1, 16: 200, 24: 60000}[bits]
+    data = encode_wav([v * scale for v in rng], 8000, bits=bits)
+    for i in range(len(data)):
+        m = bytearray(data)
+        m[i] ^= 0xFF
+        try:
+            decode_wav(bytes(m))
+        except WavError:
+            pass

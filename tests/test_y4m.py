@@ -127,3 +127,17 @@ def test_overlong_frame_line_raises():
     broken = data[:at] + b"FRAME " + b"A" * 300 + b"\n" + data[at + 6 :]
     with pytest.raises(Y4mError, match="unterminated"):
         video_info(broken)
+
+
+def test_fuzz_byte_flips_never_crash():
+    """Byte-flip fuzz parity with the png/jpeg/wav codecs: every
+    single-byte corruption either still parses or raises Y4mError —
+    never any other exception."""
+    data = encode_y4m(8, 6, _frames(8, 6, 2), fps=(30, 1))
+    for i in range(len(data)):
+        m = bytearray(data)
+        m[i] ^= 0xFF
+        try:
+            video_info(bytes(m))
+        except Y4mError:
+            pass
