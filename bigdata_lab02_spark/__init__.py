@@ -14,10 +14,15 @@ pipeline over a document corpus + three K-Means variants), built Spark-first:
 
 Beyond reference parity, the engine adds the operators a large-scale
 training-data pipeline needs: deduplication (exact, MinHash-LSH, SimHash,
-n-gram Jaccard, embedding cosine), similarity search (brute-force and
-LSH-bucketed ANN), text analysis (language id, quality scoring, token
-counting, fingerprinting), multimodal binary-column plumbing, and Structured
-Streaming event aggregation.
+n-gram Jaccard, span/ExactSubstr, SemDeDup, embedding cosine), similarity
+search (brute-force, LSH, IVF, int8 ANN), curation (scrubbing, chunking,
+packing, hash splits, stratified sampling, DSIR, CCNet perplexity), text
+analysis (language id, quality scoring, token counting, fingerprinting),
+temporal joins (as-of, binned range join), skew/merge utilities, CMS/HLL
+sketches, multimodal columns with REAL vendored codecs (PNG incl. 16-bit/
+palette/Adam7/color keys/gray+alpha, baseline+progressive JPEG, 8/16/24-bit
+WAV, Y4M), and Structured Streaming event aggregation with checkpoint
+kill-resume recovery.
 
 Package map
 -----------

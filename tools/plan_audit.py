@@ -58,6 +58,9 @@ AUDIT = [
     "dedup_spans",
     "lm_perplexity",
     "sketch_profile",
+    "stratified_sample",
+    "range_join",
+    "wav_edges",
 ]
 
 COMMENT = {
@@ -99,6 +102,9 @@ COMMENT = {
     "lm_perplexity": "Bigram explode feeds both count tables; <=B-row context table broadcasts; the bigram-weight join is a plain equi-join with map-side-combined counts (word-count shuffle discipline).",
     "sketch_profile": "Both sketches are map-side-combined aggregates (<=depth*width / 2^p rows cross the shuffle); point queries broadcast the register table onto the distinct-item stream.",
     "merge_upsert": "Delta keys broadcast into a LEFT ANTI join — the base snapshot never shuffles; unmatched-update inserts ride the same union.",
+    "stratified_sample": "Quota mode: ONE exchange on the group key (hash-rank window). The fraction mode is a zero-exchange pure filter — plan-asserted in tests/test_curation.py.",
+    "range_join": "Interval containment WITHOUT a nested loop: intervals explode into time bins, points map to one bin, plain equi-join on the bin key + exact predicate — candidate set bounded by intervals-per-bin, never |points|x|intervals|.",
+    "wav_edges": "Zero exchanges: WAV bytes generated, decoded (8/16/24-bit PCM) and reduced to integer stream stats inside one Arrow-batched mapInPandas chain.",
 }
 
 

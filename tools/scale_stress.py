@@ -44,6 +44,10 @@ FAMILY = [
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dsir_importance",
+    # r8: the binned interval join — its conditional-scale term is
+    # intervals-per-bin fan-out, so the 4x corpus densifies events
+    # in the SAME time span (4x points AND 4x intervals per bin)
+    "range_join",
 ]
 # Round-6 extension (VERDICT r5 item 6): one more doubling pair on the two
 # families with the highest 4× growth, to separate pair-count growth
@@ -85,8 +89,22 @@ def make_scaled(dst: str, mult: int = MULT) -> None:
           FROM re
         ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
     )
+    # events: densify 4x WITHIN the original time span (r8, for
+    # range_join) — replica i shifts ts by i seconds and user_id by
+    # 1000·i (1000 ≡ 0 mod 20, so the gate's user_id % 20 interval
+    # population scales with the copies too)
+    con.execute(
+        f"""
+        COPY (
+          SELECT event_id + i * 10000000 AS event_id,
+                 ts + to_seconds(i) AS ts,
+                 user_id + i * 1000 AS user_id,
+                 event_type, value, props
+          FROM '{SRC}/events.parquet' CROSS JOIN (VALUES {copies}) t(i)
+        ) TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+    )
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events"):
+              "lineitem"):
         shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
 
 
