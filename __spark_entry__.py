@@ -550,6 +550,61 @@ SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.5
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental MinHash-LSH dedup (r8): the doc_id % 4 == 0 quarter
+    arrives as a NEW shard and is deduped against the other three
+    quarters using a PRECOMPUTED band table (minhash_band_table over the
+    corpus signatures — in production a write_bucketed('band_hash')
+    table, so the corpus side of the candidate join never shuffles;
+    plan-asserted in tests). Exact Jaccard verifies candidates with
+    semi-join-pruned shingling on both sides. The oracle recomputes the
+    whole thing from text, so any drift between the incremental path and
+    first-principles MinHash flips the hash."""
+    from bigdata_lab02_spark.operators import dedup as dd_
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    corpus_bands = dd_.minhash_band_table(
+        dd_.minhash_signatures(corpus, num_hashes=8, shingle_n=3),
+        bands=4,
+        rows_per_band=2,
+    )
+    out = dd_.minhash_dedup_incremental(
+        new, corpus, corpus_bands, num_hashes=8, shingle_n=3,
+        bands=4, threshold=0.5,
+    )
+    return out.select(
+        "id_new", "id_old", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+_DEDUP_INCREMENTAL_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+mh AS (
+  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS h
+  FROM ex, (SELECT unnest(range(8)) AS seed)
+  GROUP BY doc_id, seed),
+sig AS (SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b, sig[2 * b + 1] || '|' || sig[2 * b + 2] AS bh
+  FROM sig, (SELECT unnest(range(4)) AS b)),
+cand AS (
+  SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+  FROM bands n JOIN bands o ON n.b = o.b AND n.bh = o.bh
+  WHERE n.doc_id % 4 = 0 AND o.doc_id % 4 != 0),
+jac AS (
+  SELECT id_new, id_old,
+    len(list_intersect(sn.s, so.s)) * 1.0
+      / (len(sn.s) + len(so.s) - len(list_intersect(sn.s, so.s))) AS jaccard
+  FROM cand JOIN sh sn ON sn.doc_id = id_new JOIN sh so ON so.doc_id = id_old)
+SELECT id_new, id_old, round(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= 0.5
+"""
+
+
 _SIMHASH_SQL = f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents),
@@ -3776,6 +3831,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # wav_edges (r8): 8/24-bit PCM + float-fmt corrupt stripe, the audio
     # analog of png_edges — oracle-gated here every pytest run.
     "wav_edges": q_wav_edges,
+    # dedup_incremental (r8): new-shard-vs-precomputed-band-table MinHash
+    # dedup, the repeated-curation workflow — oracle-gated here every
+    # pytest run.
+    "dedup_incremental": q_dedup_incremental,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -3785,7 +3844,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ROTATED_OUT: set[str] = {
     "kmeans_assign", "kmeans_update", "quantized_topk",
     "scrub_pii", "token_budget", "kmeans_recluster",
-    "stratified_sample", "range_join", "wav_edges",
+    "stratified_sample", "range_join", "wav_edges", "dedup_incremental",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -3867,6 +3926,7 @@ _R8_NEW = {
     "stratified_sample",
     "range_join",
     "wav_edges",
+    "dedup_incremental",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -3950,6 +4010,7 @@ _ORACLES: dict[str, str] = {
     "stratified_sample": _STRATIFIED_SQL,
     "range_join": _RANGE_JOIN_SQL,
     "wav_edges": _WAV_EDGES_SQL,
+    "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,
     "semantic_dedup_pipeline": _SEMANTIC_PIPE_SQL,
     "dsir_importance": _DSIR_SQL,

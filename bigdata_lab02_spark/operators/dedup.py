@@ -107,6 +107,49 @@ def minhash_signatures(
     )
 
 
+def minhash_band_table(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id, band_id, band_hash) — the LSH banding of a signature table.
+
+    This IS the corpus artifact the repeated-curation workflow persists:
+    write it once with ``write_bucketed(..., ['band_hash'])`` and every
+    later shard's ``minhash_dedup_incremental`` joins it CO-LOCATED —
+    the corpus side never shuffles again (plan-asserted in
+    tests/test_dedup_similarity.py).
+
+    ``band_hash`` BAKES THE BAND INDEX IN (``"<b>|v1|v2"``): two docs
+    share a band_hash iff they collide in the SAME band, so band joins
+    are single-key — which is what lets a table bucketed on just
+    ``band_hash`` satisfy the join's clustering without an exchange
+    (a two-key (band_id, band_hash) join over a one-key bucket spec
+    re-shuffles the bucketed side)."""
+    return signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|",
+                            F.lit(str(b)),
+                            *[
+                                F.col("signature")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -120,23 +163,7 @@ def lsh_candidate_pairs(
     is the subquadratic heart of LSH dedup. Skewed buckets (boilerplate
     shingles) are handled by AQE skew-join splitting.
     """
-    n = bands * rows_per_band
-    banded = signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.concat_ws(
-                            "|", *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_hash")
+    banded = minhash_band_table(signatures, id_col, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -202,6 +229,97 @@ def minhash_dedup_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return out.select("id_a", "id_b", "jaccard")
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    corpus_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Incremental MinHash-LSH dedup of a NEW shard against an existing
+    corpus whose banded signatures were computed ONCE (r8 — the actual
+    repeated-curation workflow: at 100 TB, re-hashing every corpus
+    shingle per incoming shard is the dominant cost, and this path never
+    does it).
+
+    ``corpus_bands`` is a ``minhash_band_table`` output, typically read
+    back from a ``write_bucketed(..., ['band_hash'])`` table so the band
+    join is CO-LOCATED: the only exchange in candidate generation is on
+    the (small) new-shard side. The exact-Jaccard verification then
+    shingles ONLY candidate-matched docs on both sides (semi-join
+    pruning) — corpus text is touched just for the docs that collide.
+
+    Returns (id_new, id_old, jaccard >= threshold). Signatures are
+    per-doc functions of the text, so the result equals the full-batch
+    ``minhash_dedup_pairs`` restricted to (new x old) pairs —
+    equivalence-tested in tests/test_dedup_similarity.py. ``corpus``
+    must carry the same text the bands were computed from; drift between
+    them surfaces as candidate pairs whose verified Jaccard disagrees,
+    never silently."""
+    rows_per_band = num_hashes // bands
+    new_sigs = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, shingle_n
+    )
+    new_bands = minhash_band_table(
+        new_sigs, id_col, bands, rows_per_band
+    ).withColumnsRenamed({id_col: "id_new"})
+    # single-key join: band_hash carries the band index (see
+    # minhash_band_table), so a corpus table bucketed on band_hash
+    # joins co-located
+    cand = (
+        new_bands.select("id_new", "band_hash")
+        .join(
+            corpus_bands.withColumnsRenamed({id_col: "id_old"}).select(
+                "id_old", "band_hash"
+            ),
+            "band_hash",
+        )
+        .where(F.col("id_new") != F.col("id_old"))
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    # exact verification over candidate-matched docs only
+    new_ids = cand.select(F.col("id_new").alias(id_col)).distinct()
+    old_ids = cand.select(F.col("id_old").alias(id_col)).distinct()
+    new_ex = (
+        new_docs.join(new_ids, id_col, "leftsemi")
+        .select(
+            F.col(id_col).alias("id_new"),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+        )
+    )
+    old_ex = (
+        corpus.join(old_ids, id_col, "leftsemi")
+        .select(
+            F.col(id_col).alias("id_old"),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+        )
+    )
+    sz_new = new_ex.groupBy("id_new").agg(F.count("*").alias("sz_new"))
+    sz_old = old_ex.groupBy("id_old").agg(F.count("*").alias("sz_old"))
+    inter = (
+        cand.join(new_ex, "id_new")
+        .join(old_ex, ["id_old", "sh"])
+        .groupBy("id_new", "id_old")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        inter.join(sz_new, "id_new")
+        .join(sz_old, "id_old")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared")
+            / (F.col("sz_new") + F.col("sz_old") - F.col("n_shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_new", "id_old", "jaccard")
+    )
 
 
 # ----------------------------------------------------------------- jaccard

@@ -510,3 +510,79 @@ class TestDedupSpans:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             dedup_spans(docs, hash_mode="sha1")
+
+
+class TestIncrementalMinhash:
+    """r8 incremental dedup: a new shard against a PRECOMPUTED corpus
+    band table — result equivalence with the batch path, and the
+    bucketed-layout plan contract (corpus side never shuffles)."""
+
+    def _split(self, spark):
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        return (docs.where(F.col("doc_id") % 4 != 0),
+                docs.where(F.col("doc_id") % 4 == 0), docs)
+
+    def test_matches_batch_cross_pairs(self, spark):
+        corpus, new, docs = self._split(spark)
+        bands = dd.minhash_band_table(
+            dd.minhash_signatures(corpus, num_hashes=8, shingle_n=3),
+            bands=4, rows_per_band=2,
+        )
+        inc = {
+            frozenset((r["id_new"], r["id_old"])): round(r["jaccard"], 6)
+            for r in dd.minhash_dedup_incremental(
+                new, corpus, bands, num_hashes=8, shingle_n=3,
+                bands=4, threshold=0.5,
+            ).collect()
+        }
+        batch = {
+            frozenset((r["id_a"], r["id_b"])): round(r["jaccard"], 6)
+            for r in dd.minhash_dedup_pairs(
+                docs, num_hashes=8, shingle_n=3, bands=4, threshold=0.5
+            ).collect()
+            if (r["id_a"] % 4 == 0) != (r["id_b"] % 4 == 0)  # cross pairs
+        }
+        assert inc == batch
+        assert inc  # the sf0.001 corpus actually has cross-split dups
+
+    def test_bucketed_band_table_join_shuffles_only_new_side(self, spark):
+        """The 100 TB contract: with corpus_bands persisted bucketed on
+        band_hash, the candidate join's ONLY exchange is on the (small)
+        new-shard side — the corpus never re-shuffles per shard."""
+        from bigdata_lab02_spark.plans import plan_report
+        from bigdata_lab02_spark.sources.sinks import write_bucketed
+
+        corpus, new, _ = self._split(spark)
+        bands = dd.minhash_band_table(
+            dd.minhash_signatures(corpus, num_hashes=8, shingle_n=3),
+            bands=4, rows_per_band=2,
+        )
+        write_bucketed(bands, "corpus_bands_bkt", ["band_hash"], 8,
+                       sort_cols=["band_hash"])
+        persisted = spark.table("corpus_bands_bkt")
+        new_bands = dd.minhash_band_table(
+            dd.minhash_signatures(new, num_hashes=8, shingle_n=3),
+            bands=4, rows_per_band=2,
+        ).withColumnsRenamed({"doc_id": "id_new"})
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            cand = new_bands.select("id_new", "band_hash").join(
+                persisted.withColumnsRenamed({"doc_id": "id_old"}).select(
+                    "id_old", "band_hash"
+                ),
+                "band_hash",
+            ).select("id_new", "id_old")
+            r = plan_report(cand)
+            # exactly the NEW side's two exchanges (its signature
+            # aggregation + its repartition to the join key); the
+            # bucketed corpus side satisfies the single-key band_hash
+            # join via its buckets — a third exchange means the corpus
+            # re-shuffled and the layout contract broke
+            assert r.n_exchanges == 2, r.raw
+            assert "corpus_bands_bkt" in r.raw
+            assert cand.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
