@@ -135,3 +135,40 @@ def test_fixture_provenance_recorded():
     """Every fixture file is covered by the manifest and vice versa."""
     files = {p.name for p in FIX.iterdir() if p.name != "manifest.json"}
     assert files == set(MANIFEST)
+
+
+def test_jpeg_fixture_profiles_documented():
+    """Pin WHAT the foreign JPEG fixtures exercise, by parsing their SOF
+    markers: javax.imageio writes 4:2:0 chroma subsampling at every
+    quality here, and the progressive fixture really is SOF2 — so the
+    foreign set covers multi-block-MCU upsampling and the progressive
+    scan machinery, not just 4:4:4 baseline."""
+    import struct
+
+    def sof(data):
+        i = 2
+        while i + 4 <= len(data):
+            assert data[i] == 0xFF
+            m = data[i + 1]
+            if m == 0x01 or 0xD0 <= m <= 0xD8:
+                i += 2
+                continue
+            (ln,) = struct.unpack_from(">H", data, i + 2)
+            if m in (0xC0, 0xC2):
+                body = data[i + 4:i + 2 + ln]
+                comps = [
+                    (body[6 + c * 3 + 1] >> 4, body[6 + c * 3 + 1] & 15)
+                    for c in range(body[5])
+                ]
+                return ("prog" if m == 0xC2 else "base"), comps
+            i += 2 + ln
+        raise AssertionError("no SOF")
+
+    got = {n: sof((FIX / n).read_bytes())
+           for n in MANIFEST if n.endswith(".jpg")}
+    assert got == {
+        "imageio_base.jpg": ("base", [(2, 2), (1, 1), (1, 1)]),
+        "imageio_prog.jpg": ("prog", [(2, 2), (1, 1), (1, 1)]),
+        "imageio_gray.jpg": ("base", [(1, 1)]),
+        "imageio_q70.jpg": ("base", [(2, 2), (1, 1), (1, 1)]),
+    }
