@@ -231,6 +231,32 @@ def minhash_dedup_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
+def persist_corpus_bands(
+    corpus: DataFrame,
+    table_name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    bands: int = 4,
+    n_buckets: int = 32,
+) -> None:
+    """One-call setup for the incremental-dedup workflow: compute the
+    corpus MinHash band table and persist it BUCKETED (and sorted) on
+    ``band_hash`` — the layout under which every later
+    ``minhash_dedup_incremental`` call joins the corpus co-located.
+    This is the step a 100 TB curation pipeline runs once per corpus
+    version; ``spark.table(table_name)`` hands the artifact back."""
+    from bigdata_lab02_spark.sources.sinks import write_bucketed
+
+    sigs = minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_n)
+    band_tbl = minhash_band_table(sigs, id_col, bands, num_hashes // bands)
+    write_bucketed(
+        band_tbl, table_name, ["band_hash"], n_buckets,
+        sort_cols=["band_hash"],
+    )
+
+
 def minhash_dedup_incremental(
     new_docs: DataFrame,
     corpus: DataFrame,

@@ -547,6 +547,24 @@ class TestIncrementalMinhash:
         assert inc == batch
         assert inc  # the sf0.001 corpus actually has cross-split dups
 
+    def test_persist_corpus_bands_end_to_end(self, spark):
+        """The one-call workflow setup: persist_corpus_bands writes the
+        bucketed artifact, and incremental dedup over spark.table(...)
+        matches the in-memory band-table path exactly."""
+        corpus, new, _ = self._split(spark)
+        dd.persist_corpus_bands(corpus, "corpus_bands_api")
+        persisted = spark.table("corpus_bands_api")
+        via_table = sorted(map(tuple, dd.minhash_dedup_incremental(
+            new, corpus, persisted, threshold=0.5
+        ).select("id_new", "id_old").collect()))
+        fresh = dd.minhash_band_table(
+            dd.minhash_signatures(corpus), bands=4, rows_per_band=2
+        )
+        via_fresh = sorted(map(tuple, dd.minhash_dedup_incremental(
+            new, corpus, fresh, threshold=0.5
+        ).select("id_new", "id_old").collect()))
+        assert via_table == via_fresh and via_table
+
     def test_bucketed_band_table_join_shuffles_only_new_side(self, spark):
         """The 100 TB contract: with corpus_bands persisted bucketed on
         band_hash, the candidate join's ONLY exchange is on the (small)
