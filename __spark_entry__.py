@@ -1656,6 +1656,32 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ivf_topk_persisted(spark, sf_dir):
+    """The persisted-IVF workflow gated end-to-end (r8): corpus list
+    assignment computed ONCE and written hive-partitioned by list_id
+    (persist_ivf_lists), then probed with directory-pruned scans
+    (ivf_topk_persisted — the probed list ids are a ≤ queries·nprobe
+    driver visit). Same fixture and parameters as ivf_topk, and the
+    SAME oracle: persistence must be invisible in the results. The
+    layout lands in a fresh temp dir per call (left for the OS tmp
+    reaper — the gate contract has no teardown hook)."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)).select(
+        (F.col("vec_id") / 50).cast("int").alias("cluster_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    path = tempfile.mkdtemp(prefix="ivf_lists_gate_") + "/lists"
+    sim.persist_ivf_lists(emb, cents, path)
+    out = sim.ivf_topk_persisted(
+        spark, path, emb.where(F.col("vec_id") < 10), cents, k=5, nprobe=3
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
 _IVF_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (SELECT CAST(vec_id / 50 AS INT) AS cid, v AS cvec FROM e
@@ -3835,6 +3861,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup, the repeated-curation workflow — oracle-gated here every
     # pytest run.
     "dedup_incremental": q_dedup_incremental,
+    # ivf_topk_persisted (r8): the persisted-IVF layout probed with
+    # directory-pruned scans; same oracle as ivf_topk — persistence must
+    # be invisible in the results.
+    "ivf_topk_persisted": q_ivf_topk_persisted,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -3845,6 +3875,7 @@ ROTATED_OUT: set[str] = {
     "kmeans_assign", "kmeans_update", "quantized_topk",
     "scrub_pii", "token_budget", "kmeans_recluster",
     "stratified_sample", "range_join", "wav_edges", "dedup_incremental",
+    "ivf_topk_persisted",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -3927,6 +3958,7 @@ _R8_NEW = {
     "range_join",
     "wav_edges",
     "dedup_incremental",
+    "ivf_topk_persisted",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -4011,6 +4043,7 @@ _ORACLES: dict[str, str] = {
     "range_join": _RANGE_JOIN_SQL,
     "wav_edges": _WAV_EDGES_SQL,
     "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
+    "ivf_topk_persisted": _IVF_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,
     "semantic_dedup_pipeline": _SEMANTIC_PIPE_SQL,
     "dsir_importance": _DSIR_SQL,

@@ -304,85 +304,107 @@ def ivf_topk(
     exchange left is the final per-query top-k over matched candidates.
     Tie-breaks (equal cosine → lowest cid / neighbor_id) match the
     window formulation exactly, so oracle parity is unchanged."""
+    cent_arr = _ivf_cent_array(centroids, centroid_id_col, centroid_vec_col)
+    c = _ivf_vecs(corpus, id_col, vec_col)
+    q = _ivf_vecs(queries, id_col, vec_col)
+    lists = _ivf_top_lists(c, cent_arr, 1, id_col).withColumnsRenamed(
+        {id_col: "neighbor_id"}
+    )
+    probes = _ivf_top_lists(q, cent_arr, nprobe, id_col).withColumnsRenamed(
+        {id_col: "query_id", "v": "qv", "nrm": "qn"}
+    )
+    return _ivf_rank_topk(lists, probes, k)
+
+
+def _ivf_cent_array(
+    centroids: DataFrame, centroid_id_col: str, centroid_vec_col: str
+) -> DataFrame:
+    """ONE-row DataFrame holding the cid-sorted array<struct(cid, cvec,
+    norm)> — an aggregation, never a driver collect; constant-size
+    per-row code regardless of nlist.
+
+    r8 note (VERDICT r7 item 4, measured): collapsing this build into
+    a driver-collected LOCAL relation was tried and is SLOWER (7 jobs
+    / 1.94 s vs 6 jobs / 1.74 s warm at sf0.1) — Spark's ReuseExchange
+    already dedupes the two broadcasts of this one-row aggregate
+    within the final plan, so the eager collect only ADDS a job plus
+    LocalTableScan serialization. Details in BENCHNOTES.md r8."""
     cents = centroids.select(
         F.col(centroid_id_col).alias("cid"),
         as_double_array(F.col(centroid_vec_col)).alias("cvec"),
     ).withColumn("cvn", array_norm(F.col("cvec")))
-    cent_arr = cents.agg(
+    return cents.agg(
         F.array_sort(F.collect_list(F.struct("cid", "cvec", "cvn"))).alias(
             "__cents"
         )
     )
-    # r8 note (VERDICT r7 item 4, measured): collapsing this build into
-    # a driver-collected LOCAL relation was tried and is SLOWER (7 jobs
-    # / 1.94 s vs 6 jobs / 1.74 s warm at sf0.1) — Spark's ReuseExchange
-    # already dedupes the two broadcasts of this one-row aggregate
-    # within the final plan, so the eager collect only ADDS a job plus
-    # LocalTableScan serialization. The two-round norm-ratio drift is
-    # fixed-cost domination at toy size (DuckDB wall ~0.03 s), not a
-    # plan regression. Details in BENCHNOTES.md r8.
 
-    # comparator: cos DESC, cid ASC — <, > on doubles so an (impossible
-    # today, but cheap to guard) -0.0/0.0 pair ties instead of ordering
-    def _by_cos_desc(l, r):
-        return (
-            F.when(l["cos"] > r["cos"], F.lit(-1))
-            .when(l["cos"] < r["cos"], F.lit(1))
-            .when(l["cid"] < r["cid"], F.lit(-1))
-            .when(l["cid"] > r["cid"], F.lit(1))
-            .otherwise(F.lit(0))
-        )
 
-    def top_lists(df: DataFrame, n: int) -> DataFrame:
-        denom = lambda c: F.col("nrm") * c["cvn"]  # noqa: E731
-        scored = F.transform(
-            F.col("__cents"),
-            lambda c: F.struct(
-                F.when(denom(c) == 0.0, F.lit(0.0))
-                .otherwise(array_dot(F.col("v"), c["cvec"]) / denom(c))
-                .alias("cos"),
-                c["cid"].alias("cid"),
-            ),
-        )
-        if n == 1:
-            # corpus assignment: O(nlist) argmax FOLD instead of the
-            # O(nlist log nlist) comparator sort (VERDICT r6 watch item).
-            # Seeded with element 1 so the centroid-id type is preserved
-            # exactly; same (cos DESC, cid ASC) tie rule as the sort.
-            best = F.aggregate(
-                F.slice(
-                    scored, 2, F.greatest(F.size(scored) - 1, F.lit(0))
-                ),
-                F.element_at(scored, 1),
-                lambda acc, x: F.when(
-                    (x["cos"] > acc["cos"])
-                    | ((x["cos"] == acc["cos"]) & (x["cid"] < acc["cid"])),
-                    x,
-                ).otherwise(acc),
-            )
-            top = F.when(F.size(scored) > 0, F.array(best)).otherwise(
-                F.slice(scored, 1, 0)  # correctly-typed empty array
-            )
-        else:
-            top = F.slice(F.array_sort(scored, _by_cos_desc), 1, n)
-        return (
-            df.crossJoin(F.broadcast(cent_arr))
-            .select(F.col(id_col), F.explode(top).alias("__e"), "v", "nrm")
-            .select(
-                F.col(id_col), F.col("__e.cid").alias("list_id"), "v", "nrm"
-            )
-        )
-
-    c = corpus.select(
+def _ivf_vecs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
         F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
     ).withColumn("nrm", array_norm(F.col("v")))
-    q = queries.select(
-        F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
-    ).withColumn("nrm", array_norm(F.col("v")))
-    lists = top_lists(c, 1).withColumnsRenamed({id_col: "neighbor_id"})
-    probes = top_lists(q, nprobe).withColumnsRenamed(
-        {id_col: "query_id", "v": "qv", "nrm": "qn"}
+
+
+# comparator: cos DESC, cid ASC — <, > on doubles so an (impossible
+# today, but cheap to guard) -0.0/0.0 pair ties instead of ordering
+def _ivf_by_cos_desc(l, r):
+    return (
+        F.when(l["cos"] > r["cos"], F.lit(-1))
+        .when(l["cos"] < r["cos"], F.lit(1))
+        .when(l["cid"] < r["cid"], F.lit(-1))
+        .when(l["cid"] > r["cid"], F.lit(1))
+        .otherwise(F.lit(0))
     )
+
+
+def _ivf_top_lists(
+    df: DataFrame, cent_arr: DataFrame, n: int, id_col: str
+) -> DataFrame:
+    """(id, list_id, v, nrm): each row of ``df`` (shaped by _ivf_vecs)
+    mapped to its ``n`` nearest centroid lists via per-row ARRAY
+    expressions over the broadcast one-row centroid array — no window,
+    no data-sized shuffle."""
+    denom = lambda c: F.col("nrm") * c["cvn"]  # noqa: E731
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            F.when(denom(c) == 0.0, F.lit(0.0))
+            .otherwise(array_dot(F.col("v"), c["cvec"]) / denom(c))
+            .alias("cos"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    if n == 1:
+        # corpus assignment: O(nlist) argmax FOLD instead of the
+        # O(nlist log nlist) comparator sort (VERDICT r6 watch item).
+        # Seeded with element 1 so the centroid-id type is preserved
+        # exactly; same (cos DESC, cid ASC) tie rule as the sort.
+        best = F.aggregate(
+            F.slice(scored, 2, F.greatest(F.size(scored) - 1, F.lit(0))),
+            F.element_at(scored, 1),
+            lambda acc, x: F.when(
+                (x["cos"] > acc["cos"])
+                | ((x["cos"] == acc["cos"]) & (x["cid"] < acc["cid"])),
+                x,
+            ).otherwise(acc),
+        )
+        top = F.when(F.size(scored) > 0, F.array(best)).otherwise(
+            F.slice(scored, 1, 0)  # correctly-typed empty array
+        )
+    else:
+        top = F.slice(F.array_sort(scored, _ivf_by_cos_desc), 1, n)
+    return (
+        df.crossJoin(F.broadcast(cent_arr))
+        .select(F.col(id_col), F.explode(top).alias("__e"), "v", "nrm")
+        .select(F.col(id_col), F.col("__e.cid").alias("list_id"), "v", "nrm")
+    )
+
+
+def _ivf_rank_topk(lists: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Probe join + per-query top-k: probes broadcast into the list
+    join (the corpus never shuffles); the only data-sized exchange is
+    the final per-query rank."""
     pair_denom = F.col("qn") * F.col("nrm")
     cos = F.when(pair_denom == 0.0, F.lit(0.0)).otherwise(
         array_dot(F.col("qv"), F.col("v")) / pair_denom
@@ -392,12 +414,85 @@ def ivf_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def ivf_corpus_lists(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cluster_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """(id, list_id, v, nrm) — the corpus inverted-list assignment, the
+    once-per-corpus-version artifact of the persisted-IVF workflow."""
+    cent_arr = _ivf_cent_array(centroids, centroid_id_col, centroid_vec_col)
+    return _ivf_top_lists(_ivf_vecs(corpus, id_col, vec_col), cent_arr, 1, id_col)
+
+
+def persist_ivf_lists(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cluster_id",
+    centroid_vec_col: str = "centroid",
+) -> None:
+    """Assign the corpus to inverted lists ONCE and persist parquet
+    PARTITIONED BY list_id (r8). Companion of ``ivf_topk_persisted``:
+    at 100 TB the per-row centroid argmax over the whole corpus is the
+    dominant repeated cost, and the hive layout turns each later probe
+    into a directory-pruned scan of only the probed lists — the scan
+    reads ~nprobe/nlist of the corpus, asserted at the plan level in
+    tests/test_dedup_similarity.py."""
+    ivf_corpus_lists(
+        corpus, centroids, id_col, vec_col, centroid_id_col, centroid_vec_col
+    ).write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def ivf_topk_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    centroid_id_col: str = "cluster_id",
+    centroid_vec_col: str = "centroid",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over a ``persist_ivf_lists`` layout: queries pick their
+    ``nprobe`` lists, the DISTINCT probed list ids come to the driver
+    (≤ |queries|·nprobe values — small by the probe contract, the
+    kmeans model-state pattern), and the corpus scan is filtered with
+    ``list_id IN (...)`` so hive partition pruning reads ONLY the
+    probed list directories. Results are identical to ``ivf_topk`` over
+    the same corpus/centroids (equivalence-tested); ``centroids`` must
+    be the table the layout was built with."""
+    cent_arr = _ivf_cent_array(centroids, centroid_id_col, centroid_vec_col)
+    q = _ivf_vecs(queries, id_col, vec_col)
+    probes = _ivf_top_lists(q, cent_arr, nprobe, id_col).withColumnsRenamed(
+        {id_col: "query_id", "v": "qv", "nrm": "qn"}
+    )
+    probe_ids = sorted(
+        r["list_id"] for r in probes.select("list_id").distinct().collect()
+    )
+    lists = (
+        spark.read.parquet(path)
+        .where(F.col("list_id").isin(probe_ids))
+        .withColumnsRenamed({id_col: "neighbor_id"})
+    )
+    return _ivf_rank_topk(lists, probes, k)
 
 
 def semantic_dedup(

@@ -604,3 +604,54 @@ class TestIncrementalMinhash:
             assert cand.count() > 0
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+class TestPersistedIvf:
+    """r8 persisted-IVF workflow: corpus list assignment computed once,
+    probes prune partitions at the scan."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, spark, tmp_path_factory):
+        emb = spark.read.parquet(f"{TESTDATA}/sf0.001/embeddings.parquet")
+        cents = emb.where(
+            (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)
+        ).select(
+            (F.col("vec_id") / 50).cast("int").alias("cluster_id"),
+            F.col("embedding").alias("centroid"),
+        )
+        path = str(tmp_path_factory.mktemp("ivf") / "lists")
+        sim.persist_ivf_lists(emb, cents, path)
+        return emb, cents, path
+
+    def test_matches_inline_ivf_topk(self, spark, setup):
+        emb, cents, path = setup
+        queries = emb.where(F.col("vec_id") < 10)
+        got = sorted(
+            (r["query_id"], r["neighbor_id"], round(r["cosine"], 6))
+            for r in sim.ivf_topk_persisted(
+                spark, path, queries, cents, k=5, nprobe=3
+            ).collect()
+        )
+        want = sorted(
+            (r["query_id"], r["neighbor_id"], round(r["cosine"], 6))
+            for r in sim.ivf_topk(emb, queries, cents, k=5, nprobe=3).collect()
+        )
+        assert got == want and got
+
+    def test_scan_prunes_to_probed_lists(self, spark, setup):
+        """The layout contract: the corpus scan carries a list_id
+        PartitionFilter (directory pruning — only probed lists are
+        read), and list_id never degrades to a post-scan data filter."""
+        import re
+
+        from bigdata_lab02_spark.plans import plan_report
+
+        emb, cents, path = setup
+        queries = emb.where(F.col("vec_id") < 10)
+        r = plan_report(
+            sim.ivf_topk_persisted(spark, path, queries, cents, k=5, nprobe=3)
+        )
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", r.raw)
+        assert m and "list_id" in m.group(1), r.raw
+        pf = re.findall(r"PushedFilters: \[([^\]]*)\]", r.raw)
+        assert not any("list_id" in x for x in pf), r.raw
