@@ -3009,6 +3009,62 @@ FROM ids WHERE stripe = 3
 """
 
 
+def q_stream_dedup_cands(spark, sf_dir):
+    """STREAMING incremental dedup candidates (r8): the doc_id % 4 == 0
+    quarter arrives as a documents FILE STREAM and every micro-batch
+    emits its LSH candidate pairs against the static precomputed corpus
+    band table — a stateless append-mode pipeline (per-row signatures,
+    stream-static broadcast band join; no watermark, no state store —
+    streaming/docs.py). The replay materializes to a memory sink and a
+    BATCH-side distinct collapses cross-band multiplicity; the oracle
+    recomputes the candidate set from first principles, so the per-row
+    streaming signature formulation must equal the batch explode+groupBy
+    one bit-for-bit."""
+    import tempfile
+
+    from bigdata_lab02_spark.operators import dedup as dd_
+    from bigdata_lab02_spark.streaming import run_stream_to_memory
+    from bigdata_lab02_spark.streaming.docs import (
+        dedup_candidates_stream,
+        read_doc_stream,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="docs_replay_")
+    docs.where(F.col("doc_id") % 4 == 0).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(d)
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    corpus_bands = dd_.minhash_band_table(
+        dd_.minhash_signatures(corpus, num_hashes=8, shingle_n=3),
+        bands=4,
+        rows_per_band=2,
+    )
+    cands = dedup_candidates_stream(read_doc_stream(spark, d), corpus_bands)
+    out = run_stream_to_memory(
+        spark, cands, "stream_dedup_cands_sink", mode="append"
+    )
+    return out.distinct()
+
+
+_STREAM_DEDUP_CANDS_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+mh AS (
+  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS h
+  FROM ex, (SELECT unnest(range(8)) AS seed)
+  GROUP BY doc_id, seed),
+sig AS (SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b, sig[2 * b + 1] || '|' || sig[2 * b + 2] AS bh
+  FROM sig, (SELECT unnest(range(4)) AS b))
+SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+FROM bands n JOIN bands o ON n.b = o.b AND n.bh = o.bh
+WHERE n.doc_id % 4 = 0 AND o.doc_id % 4 != 0
+"""
+
+
 def q_chunk_docs(spark, sf_dir):
     """Sliding-window context chunking (curation.chunk_documents): 64-token
     chunks every 48 tokens (16 overlap) over normalized document tokens;
@@ -3865,6 +3921,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # directory-pruned scans; same oracle as ivf_topk — persistence must
     # be invisible in the results.
     "ivf_topk_persisted": q_ivf_topk_persisted,
+    # stream_dedup_cands (r8): stateless streaming LSH candidates vs the
+    # static corpus band table — the streaming face of incremental dedup.
+    "stream_dedup_cands": q_stream_dedup_cands,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -3875,7 +3934,7 @@ ROTATED_OUT: set[str] = {
     "kmeans_assign", "kmeans_update", "quantized_topk",
     "scrub_pii", "token_budget", "kmeans_recluster",
     "stratified_sample", "range_join", "wav_edges", "dedup_incremental",
-    "ivf_topk_persisted",
+    "ivf_topk_persisted", "stream_dedup_cands",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -3959,6 +4018,7 @@ _R8_NEW = {
     "wav_edges",
     "dedup_incremental",
     "ivf_topk_persisted",
+    "stream_dedup_cands",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -4044,6 +4104,7 @@ _ORACLES: dict[str, str] = {
     "wav_edges": _WAV_EDGES_SQL,
     "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
     "ivf_topk_persisted": _IVF_SQL,
+    "stream_dedup_cands": _STREAM_DEDUP_CANDS_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,
     "semantic_dedup_pipeline": _SEMANTIC_PIPE_SQL,
     "dsir_importance": _DSIR_SQL,

@@ -1,0 +1,124 @@
+"""Streaming document-shard operators (r8): STATELESS MinHash banding
+and LSH candidate generation against a persisted corpus band table —
+the streaming face of the incremental-dedup workflow
+(``operators.dedup.minhash_dedup_incremental``): documents arrive as a
+file stream, and every micro-batch emits its candidate duplicate pairs
+against the corpus with NO stateful operator at all.
+
+Statelessness is the design point. The batch signature path
+(``minhash_signatures``) explodes shingles and groupBy-aggregates —
+in Structured Streaming that is a stateful aggregation (watermarks,
+state stores, output-mode constraints). Here the signature is instead a
+PER-ROW array expression (min over ``transform`` per hash). That
+formulation duplicates the tokenize+shingle subtree per hash — the
+codegen cliff the batch path deliberately avoids at corpus scale
+(dedup.py:90) — but a streaming SHARD is micro-batch sized, the
+duplication is bounded by num_hashes, and in exchange the whole
+pipeline is append-mode, watermark-free, and state-store-free: each
+batch's cost is exactly its own rows. The two formulations compute the
+SAME md5-min values, so candidates match the batch path exactly
+(equivalence-tested in tests/test_multimodal_streaming.py and gated
+against the batch SQL oracle).
+
+Candidates may repeat across bands (a pair colliding in two bands
+emits twice): streaming ``distinct`` would reintroduce state, so
+multiplicity is left to the consumer — the batch verify/dedup step
+downstream collapses it (the gate applies a batch-side distinct to the
+materialized sink).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_lab02_spark.operators.dedup import shingles
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def read_doc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-stream over a directory of documents parquet shards
+    (``readStream`` needs the explicit schema)."""
+    return spark.readStream.schema(DOC_SCHEMA).parquet(path)
+
+
+def minhash_band_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band_id, band_hash) per incoming doc, all per-row
+    expressions — works unchanged on a stream or a batch frame. Values
+    are IDENTICAL to ``operators.dedup.minhash_band_table`` over the
+    same docs (same md5-min per hash, same band-index-baked band_hash),
+    so bands from either path join interchangeably."""
+    rows_per_band = num_hashes // bands
+    sh = shingles(F.col(text_col), shingle_n)
+
+    # closure factory, NOT a default arg: a two-parameter lambda would
+    # make Spark's transform() pass the ARRAY INDEX as the second
+    # argument, silently shadowing the hash seed
+    def _seeded(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, _seeded(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    banded = docs.select(F.col(id_col), sig.alias("signature")).select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|",
+                            F.lit(str(b)),
+                            *[
+                                F.col("signature")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    )
+    return banded.select(id_col, "band.band_id", "band.band_hash")
+
+
+def dedup_candidates_stream(
+    doc_stream: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str = "doc_id",
+    **band_kwargs,
+) -> DataFrame:
+    """Streaming LSH candidate pairs (id_new, id_old) of the incoming
+    shard against the static corpus band table — a stream-static
+    broadcast join on the single ``band_hash`` key; the static side is
+    re-planned per micro-batch, so a refreshed corpus table is picked
+    up without restarting the query. Append-mode, stateless."""
+    new_bands = minhash_band_stream(
+        doc_stream, id_col=id_col, **band_kwargs
+    ).withColumnsRenamed({id_col: "id_new"})
+    return (
+        new_bands.select("id_new", "band_hash")
+        .join(
+            F.broadcast(
+                corpus_bands.withColumnsRenamed({id_col: "id_old"}).select(
+                    "id_old", "band_hash"
+                )
+            ),
+            "band_hash",
+        )
+        .where(F.col("id_new") != F.col("id_old"))
+        .select("id_new", "id_old")
+    )

@@ -500,3 +500,54 @@ def test_vectorized_features_match_reference():
     # boundary bytes land in the same bins (b*8//256 == b >> 5)
     edge = bytes([0, 31, 32, 63, 64, 127, 128, 255])
     assert _features_np(8, 1, 1, edge) == features_from_pixels(8, 1, 1, edge)
+
+
+class TestStreamingDedupCandidates:
+    """r8: stateless streaming LSH candidates vs the static corpus band
+    table (streaming/docs.py) — the streaming face of incremental dedup."""
+
+    def test_matches_batch_candidate_set(self, spark, tmp_path):
+        from bigdata_lab02_spark.operators import dedup as dd
+        from bigdata_lab02_spark.streaming import run_stream_to_memory
+        from bigdata_lab02_spark.streaming.docs import (
+            dedup_candidates_stream,
+            minhash_band_stream,
+            read_doc_stream,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        new = docs.where(F.col("doc_id") % 4 == 0)
+        corpus = docs.where(F.col("doc_id") % 4 != 0)
+        corpus_bands = dd.minhash_band_table(
+            dd.minhash_signatures(corpus), bands=4, rows_per_band=2
+        )
+        # the per-row streaming band formulation equals the batch
+        # explode+groupBy one bit-for-bit on the same docs
+        a = sorted(map(tuple, minhash_band_stream(new).collect()))
+        b = sorted(map(tuple, dd.minhash_band_table(
+            dd.minhash_signatures(new), bands=4, rows_per_band=2
+        ).collect()))
+        assert a == b
+        # full streaming replay: candidate SET equals the batch join
+        src = str(tmp_path / "docs_stream")
+        new.coalesce(2).write.mode("overwrite").parquet(src)
+        out = run_stream_to_memory(
+            spark,
+            dedup_candidates_stream(read_doc_stream(spark, src), corpus_bands),
+            "t_stream_dedup_cands",
+            mode="append",
+        )
+        got = {tuple(r) for r in out.collect()}
+        want = {
+            (r["id_new"], r["id_old"])
+            for r in minhash_band_stream(new)
+            .withColumnsRenamed({"doc_id": "id_new"})
+            .join(
+                corpus_bands.withColumnsRenamed({"doc_id": "id_old"}),
+                "band_hash",
+            )
+            .where(F.col("id_new") != F.col("id_old"))
+            .select("id_new", "id_old")
+            .collect()
+        }
+        assert got == want and got
