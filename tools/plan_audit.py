@@ -61,6 +61,8 @@ AUDIT = [
     "stratified_sample",
     "range_join",
     "wav_edges",
+    "dedup_incremental",
+    "ivf_topk_persisted",
 ]
 
 COMMENT = {
@@ -105,6 +107,8 @@ COMMENT = {
     "stratified_sample": "Quota mode: ONE exchange on the group key (hash-rank window). The fraction mode is a zero-exchange pure filter — plan-asserted in tests/test_curation.py.",
     "range_join": "Interval containment WITHOUT a nested loop: intervals explode into time bins, points map to one bin, plain equi-join on the bin key + exact predicate — candidate set bounded by intervals-per-bin, never |points|x|intervals|.",
     "wav_edges": "Zero exchanges: WAV bytes generated, decoded (8/16/24-bit PCM) and reduced to integer stream stats inside one Arrow-batched mapInPandas chain.",
+    "dedup_incremental": "New shard's bands join the precomputed corpus band table on the single band_hash key (bucketed layout joins co-located — only the shard side shuffles); exact-Jaccard verify shingles candidate-matched docs only via leftsemi pruning.",
+    "ivf_topk_persisted": "Corpus lists read from the hive layout with list_id PartitionFilters (directory pruning to the probed lists); probes broadcast; the only data-sized exchange is the per-query top-k.",
 }
 
 
