@@ -48,6 +48,13 @@ FAMILY = [
     # intervals-per-bin fan-out, so the 4x corpus densifies events
     # in the SAME time span (4x points AND 4x intervals per bin)
     "range_join",
+    # r8: incremental dedup — conditional on band-bucket collision
+    # growth; the saturated 4x corpus is its adversarial case (every
+    # new-shard doc collides with ~4x corpus replicas)
+    "dedup_incremental",
+    # r8: persisted IVF — probe-pruned scan; growth tracks probed-list
+    # volume, not corpus size (layout rebuilt per run inside the gate)
+    "ivf_topk_persisted",
 ]
 # Round-6 extension (VERDICT r5 item 6): one more doubling pair on the two
 # families with the highest 4× growth, to separate pair-count growth
