@@ -184,3 +184,54 @@ def test_dedup_spans_offset_invariant_property(spark, off_a, off_b, tail_a, tail
     assert out[1]["n_removed"] == 4 and out[2]["n_removed"] == 4
     assert out[1]["text"].split() == [t for t in doc_a if t not in passage]
     assert out[2]["text"].split() == [t for t in doc_b if t not in passage]
+
+
+# ---- r8: pure-python codec roundtrip properties (no Spark session) ----
+
+_png_dims = st.tuples(st.integers(1, 24), st.integers(1, 16))
+
+
+@settings(max_examples=30, deadline=None)
+@given(dims=_png_dims, ct=st.sampled_from([0, 2, 4, 6]),
+       depth=st.sampled_from([8, 16]), interlace=st.booleans(),
+       data=st.data())
+def test_png_roundtrip_any_profile(dims, ct, depth, interlace, data):
+    """encode→decode is identity (8-bit) or high-byte reduction (16-bit)
+    for EVERY color type × depth × interlace combination the profile
+    supports, at arbitrary small dims — including the 1-pixel and
+    single-row/column Adam7 edge shapes."""
+    from bigdata_lab02_spark.operators.png import decode_png, encode_png
+
+    w, h = dims
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+    n = w * h * ch
+    if depth == 8:
+        px = bytes(data.draw(st.binary(min_size=n, max_size=n)))
+        want = px
+    else:
+        import struct as _s
+
+        vals = data.draw(st.lists(st.integers(0, 65535), min_size=n,
+                                  max_size=n))
+        px = b"".join(_s.pack(">H", v) for v in vals)
+        want = bytes(v >> 8 for v in vals)
+    got = decode_png(encode_png(w, h, px, ct, bit_depth=depth,
+                                interlace=interlace))
+    assert got == (w, h, ch, want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(bits=st.sampled_from([8, 16, 24]), data=st.data())
+def test_wav_roundtrip_any_depth(bits, data):
+    """encode→decode is identity for signed canonical samples at every
+    PCM depth, including the extremes of each range."""
+    from bigdata_lab02_spark.operators.wav import decode_wav, encode_wav
+
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    samples = data.draw(
+        st.lists(st.integers(lo, hi), min_size=1, max_size=64)
+    )
+    # always exercise the range extremes too
+    samples = [lo, hi] + samples
+    sr = data.draw(st.sampled_from([8000, 16000, 44100]))
+    assert decode_wav(encode_wav(samples, sr, bits=bits)) == (sr, 1, samples)
