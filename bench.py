@@ -105,6 +105,14 @@ EXTRA = [
     "jpeg_decode",
     "resize_mixed",
     "language_id",
+    # r8 additions (headline total grows accordingly — the common sets
+    # stay the comparable numbers)
+    "png_edges",
+    "wav_edges",
+    "stratified_sample",
+    "range_join",
+    "dedup_incremental",
+    "ivf_topk_persisted",
 ]
 STREAMING_LAST = [
     "stream_hourly",
