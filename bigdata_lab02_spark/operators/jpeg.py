@@ -4,7 +4,8 @@ y4m.py) and the format a real 100 TB crawl actually leads with.
 
 - encode: sequential DCT, 8-bit, 3-component YCbCr (JFIF) at 4:4:4,
   4:2:0 (2×2 chroma subsampling — the profile real crawl JPEGs lead
-  with), 4:2:2 (1×2), or 1-component grayscale; ANY positive dimensions
+  with), 4:2:2 (1×2), 4:4:0 (2×1 vertical — rotated 4:2:2, r8), or
+  1-component grayscale; ANY positive dimensions
   (edge blocks pad to the MCU grid by replication; SOF carries the true
   dims); BASELINE (SOF0, one interleaved scan) or PROGRESSIVE (SOF2,
   the classic 6-phase scan script with successive approximation and
@@ -17,7 +18,7 @@ y4m.py) and the format a real 100 TB crawl actually leads with.
   tables, Huffman entropy decode with byte unstuffing, run-length AC
   with ZRL/EOB, per-component DC prediction, dequant, zigzag, IDCT,
   level shift, multi-block MCUs per the declared sampling factors (1×1,
-  2×2 and 2×1), arbitrary dimensions (partial edge MCUs decode whole and
+  2×2, 2×1 and 1×2), arbitrary dimensions (partial edge MCUs decode whole and
   crop to the SOF dims, T.81 A.2.4), restart intervals (DRI honored; at
   each RSTn the reader
   byte-aligns, verifies the marker index is the expected one in the
@@ -32,7 +33,7 @@ y4m.py) and the format a real 100 TB crawl actually leads with.
   into RGB). Streams must end in EOI — a cut at a scan boundary is an
   honest failure, never a partial image.
 
-Scope limits: sampling layouts 4:4:4 / 4:2:0 / 4:2:2 / grayscale; no
+Scope limits: sampling layouts 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 / grayscale; no
 arithmetic coding / hierarchical / 12-bit modes. Anything outside the
 profile raises ``JpegError``, which the pipeline maps to
 ``decode_ok=False`` (the honest-failure path).
@@ -592,6 +593,14 @@ def _downsample_h(plane: np.ndarray) -> np.ndarray:
     return np.clip(_rnd(m), 0, 255)
 
 
+def _downsample_v(plane: np.ndarray) -> np.ndarray:
+    """2×1 vertical average downsample (4:4:0 chroma — the layout
+    rotated/transposed 4:2:2 files carry)."""
+    h, w = plane.shape
+    m = plane.astype(np.float64).reshape(h // 2, 2, w).mean(axis=1)
+    return np.clip(_rnd(m), 0, 255)
+
+
 def encode_jpeg(
     width: int,
     height: int,
@@ -606,7 +615,8 @@ def encode_jpeg(
     the true dims and the decoder crops — arbitrary dims are the norm
     in a real crawl). ``subsampling``: "444", "420" (2×2-averaged
     chroma), "422" (1×2 horizontally-averaged chroma — the classic
-    video/camera profile), or "gray" (1-component luma-only — the RGB
+    video/camera profile), "440" (2×1 vertically-averaged chroma — what
+    rotated/transposed 4:2:2 files carry), or "gray" (1-component luma-only — the RGB
     input is converted and the chroma discarded). ``restart_interval``
     > 0 emits a DRI segment and an RSTn marker (cycling 0..7) after
     every that many MCUs (interleaved scans) / blocks (non-interleaved
@@ -627,6 +637,8 @@ def encode_jpeg(
         hv = [(2, 2), (1, 1), (1, 1)]
     elif subsampling == "422":
         hv = [(2, 1), (1, 1), (1, 1)]
+    elif subsampling == "440":
+        hv = [(1, 2), (1, 1), (1, 1)]
     elif subsampling == "gray":
         hv = [(1, 1)]
     else:
@@ -660,6 +672,8 @@ def encode_jpeg(
             planes = [planes[0], _downsample2(planes[1]), _downsample2(planes[2])]
         elif subsampling == "422":
             planes = [planes[0], _downsample_h(planes[1]), _downsample_h(planes[2])]
+        elif subsampling == "440":
+            planes = [planes[0], _downsample_v(planes[1]), _downsample_v(planes[2])]
 
     dc_lum = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
     dc_chrom = _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)
@@ -1156,7 +1170,7 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
             for c in range(ncomp):
                 cid, hvb, tq = body[6 + c * 3 : 9 + c * 3]
                 ch, cv = hvb >> 4, hvb & 0x0F
-                if (ch, cv) not in ((1, 1), (2, 2), (2, 1)):
+                if (ch, cv) not in ((1, 1), (2, 2), (2, 1), (1, 2)):
                     raise JpegError(f"sampling factor {ch}x{cv} unsupported")
                 comps.append((cid, ch, cv, tq))
             if len({c[0] for c in comps}) != ncomp:
@@ -1167,6 +1181,7 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                 ((1, 1), (1, 1), (1, 1)),
                 ((2, 2), (1, 1), (1, 1)),
                 ((2, 1), (1, 1), (1, 1)),
+                ((1, 2), (1, 1), (1, 1)),
             ):
                 raise JpegError(f"sampling layout {sampling} unsupported")
             hmax = max(c[1] for c in comps)

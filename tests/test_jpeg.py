@@ -589,7 +589,7 @@ class TestArbitraryDimsAnd422:
         rng = np.random.default_rng(seed)
         return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
 
-    @pytest.mark.parametrize("sub", ["444", "420", "422", "gray"])
+    @pytest.mark.parametrize("sub", ["444", "420", "422", "440", "gray"])
     @pytest.mark.parametrize("dims", [(12, 16), (17, 9), (1, 1), (33, 7)])
     def test_roundtrip_any_dims(self, sub, dims):
         w, h = dims
@@ -724,3 +724,69 @@ class TestProgressiveCoefficientPatterns:
             out[1] = -1
             return out
         self._roundtrip_equal(monkeypatch, pattern)
+
+
+class Test440:
+    """r8: 4:4:0 (1x2 vertical chroma subsampling — what rotated or
+    transposed 4:2:2 files carry)."""
+
+    def test_440_directional_identity(self):
+        """The defining property, asserted EXACTLY: vertical chroma
+        averaging is the identity on content whose rows are constant,
+        so 4:4:0 must decode x-varying images with literally the SAME
+        error profile as 4:4:4 — while on y-varying images it matches
+        4:2:0 (both average vertical chroma pairs). The mirror holds
+        for 4:2:2. Measured, not bounded: the four decodes are
+        byte-identical pairwise."""
+        import numpy as np
+
+        h, w = 16, 24
+
+        def decode(img, sub):
+            return J.decode_jpeg(
+                J.encode_jpeg(w, h, img.tobytes(), subsampling=sub)
+            )[3]
+
+        imgx = np.zeros((h, w, 3), np.uint8)
+        for x in range(w):
+            imgx[:, x] = (50 + x * 8 % 180, 220 - x * 7 % 180,
+                          30 + x * 5 % 180)
+        imgy = np.zeros((h, w, 3), np.uint8)
+        for y in range(h):
+            imgy[y, :] = (50 + y * 8 % 180, 220 - y * 7 % 180,
+                          30 + y * 5 % 180)
+        assert decode(imgx, "440") == decode(imgx, "444")
+        assert decode(imgy, "440") == decode(imgy, "420")
+        assert decode(imgy, "422") == decode(imgy, "444")
+        assert decode(imgx, "422") == decode(imgx, "420")
+        # and the subsampled directions really are lossy (the identities
+        # above aren't vacuous)
+        assert decode(imgy, "440") != decode(imgy, "444")
+        assert decode(imgx, "422") != decode(imgx, "444")
+
+    def test_440_constant_closed_form(self):
+        """A constant image stays DC-only through vertical subsampling:
+        the whole visible region decodes to one value — the property a
+        gate oracle would rely on."""
+        import numpy as np
+
+        c = np.full((9, 13, 3), (10, 200, 30), np.uint8)
+        w, h, _, px = J.decode_jpeg(
+            J.encode_jpeg(13, 9, c.tobytes(), subsampling="440")
+        )
+        a = np.frombuffer(px, np.uint8).reshape(9, 13, 3)
+        assert (a == a[0, 0]).all()
+
+    def test_440_chroma_plane_is_half_height(self):
+        """White-box: the SOF declares (1,2),(1,1),(1,1) and the stream
+        decodes — i.e. the chroma planes really are half-height and the
+        decoder's vertical replication restores them."""
+        import struct
+
+        data = J.encode_jpeg(16, 16, bytes((i * 7) % 256 for i in range(768)),
+                             subsampling="440")
+        i = data.find(b"\xff\xc0")
+        body = data[i + 4:]
+        comps = [(body[6 + c * 3 + 1] >> 4, body[6 + c * 3 + 1] & 15)
+                 for c in range(body[5])]
+        assert comps == [(1, 2), (1, 1), (1, 1)]
