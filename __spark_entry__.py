@@ -3875,8 +3875,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk": q_ivf_topk,
     "png_edges": q_png_edges,
     # ========== ROTATED_OUT: past position 50, never gets a driver row ====
-    # Each had a green driver row in an earlier round; the pytest oracle
-    # gate re-verifies all of them at sf0.001 on every run.
+    # Two kinds live here (the per-entry comments say which): gates that
+    # HAD a green driver row and were rotated to make window room, and
+    # r8 gates registered DIRECTLY into the overflow because the window
+    # is full. Either way the pytest oracle gate re-verifies all of them
+    # at sf0.001 on every run (test_entry_contract.py).
     # kmeans_assign/update rotated in r5 to make window room for
     # dedup_spans/lm_perplexity: both are single steps of the fully
     # in-window kmeans_fit/kmeans_pipeline chains and stay
