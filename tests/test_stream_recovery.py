@@ -303,3 +303,82 @@ def test_windowed_agg_watermark_survives_kill_resume(spark, tmp_path, split_sour
     # partial state crossed the checkpoint) — the boundary hour exists
     # because the split cuts mid-timeline, not on an hour edge
     assert len(emitted) > len(a_keys)
+
+
+def test_stateless_dedup_candidates_survive_kill_resume(spark, tmp_path):
+    """r8: exactly-once for the STATELESS streaming shape too — the
+    incremental-dedup candidate pipeline (streaming/docs.py) has no
+    state store, so its recovery contract rests entirely on checkpoint
+    source tracking: after a kill, landing more shards, and a resume
+    from the same checkpoint, the union of emissions must equal the
+    batch candidate set over ALL docs — nothing lost, nothing
+    re-emitted. (Run B must also not replay run A's files.)"""
+    from bigdata_lab02_spark.operators import dedup as dd
+    from bigdata_lab02_spark.streaming.docs import (
+        dedup_candidates_stream,
+        read_doc_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    corpus_bands = dd.minhash_band_table(
+        dd.minhash_signatures(corpus), bands=4, rows_per_band=2
+    )
+    # two shards of the new quarter, landed across a crash
+    shard_a = new.where(F.col("doc_id") % 8 == 0)
+    shard_b = new.where(F.col("doc_id") % 8 != 0)
+    src = tmp_path / "docs_src"
+    ckpt = tmp_path / "docs_ckpt"
+    src.mkdir()
+    a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+    shard_a.coalesce(1).write.parquet(str(a_dir))
+    shard_b.coalesce(1).write.parquet(str(b_dir))
+
+    def land(d, stamp):
+        for i, f in enumerate(sorted(pathlib.Path(d).glob("part-*.parquet"))):
+            dst = src / f"{stamp}_{f.name}"
+            shutil.copy(f, dst)
+            os.utime(dst, (_MTIME_BASE + stamp + i, _MTIME_BASE + stamp + i))
+
+    def run():
+        emissions = []
+        q = (
+            dedup_candidates_stream(
+                read_doc_stream(spark, str(src)), corpus_bands
+            )
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .foreachBatch(lambda df, bid: emissions.append(df.collect()))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return [r for batch in emissions for r in batch]
+
+    land(a_dir, 0)
+    run_a = run()
+    land(b_dir, 100)  # lands while the query is down
+    run_b = run()
+
+    got = {(r["id_new"], r["id_old"]) for r in run_a} | {
+        (r["id_new"], r["id_old"]) for r in run_b
+    }
+    # threshold=0.0 keeps every verified candidate, and verification
+    # drops none: equal band hashes are equal md5-min values, so the
+    # argmin shingle is in BOTH sets — every LSH candidate shares at
+    # least one shingle and survives the Jaccard inner join
+    want = {
+        (r["id_new"], r["id_old"])
+        for r in dd.minhash_dedup_incremental(
+            new, corpus, corpus_bands, threshold=0.0
+        ).select("id_new", "id_old").collect()
+    }
+    # candidate multiplicity collapses setwise; the SET must be exact
+    assert got == want and got
+    # run B processed only the post-crash files: no pair from a run-A
+    # doc may be re-emitted
+    a_ids = {r["doc_id"] for r in shard_a.select("doc_id").collect()}
+    assert not any(r["id_new"] in a_ids for r in run_b)
