@@ -118,6 +118,8 @@ STREAMING_LAST = [
     "stream_hourly",
     "stream_sessions",
     "stream_pairs",
+    # r8: the stateless incremental-dedup candidate replay
+    "stream_dedup_cands",
 ]
 
 # Consolidated out of the registry in round 5; resolved via their kept
