@@ -1195,6 +1195,92 @@ FROM w JOIN top USING (doc_id) JOIN bg ON bg.doc_id = w.doc_id
 """
 
 
+# ------------------------------------------------- crawl extraction (r8)
+
+# Deterministic markup fixture wrapped around every documents row with a
+# dialect-shared SQL expression (|| concat + CASE behave identically in
+# Spark SQL and DuckDB, both engines evaluate THIS string): per-doc script
+# + a tracker-script stripe, style, nav links, entity-encoded prose,
+# a comment hiding markup, and a list stripe.
+_HTML_FIXTURE_EXPR = (
+    "'<html><head><title>' || source || ' &amp; co</title>'"
+    " || '<script type=\"text/javascript\">var doc = ' || doc_id || ';</script>'"
+    " || '<style>.m' || (doc_id % 5) || ' { color: #fff }</style></head><body>'"
+    " || '<nav><a href=\"/home\">Home</a> <a href=\"/s/' || source || '\">'"
+    " || source || ' index</a></nav>'"
+    " || '<h1>Doc ' || doc_id || '</h1>'"
+    " || '<p>' || replace(text, ' value ', ' &lt;value&gt;&nbsp;') || '</p>'"
+    " || CASE WHEN doc_id % 3 = 0 THEN '<ul><li>alpha</li><li>beta '"
+    " || (doc_id % 7) || '</li></ul>' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 1 THEN '<script>tracker(' || doc_id"
+    " || ')</script>' ELSE '' END"
+    " || '<!-- build ' || doc_id || ' <b>bold</b> -->'"
+    " || '<footer>&copy; 2024 &amp; &quot;fin&quot;</footer></body></html>'"
+)
+
+
+def q_html_extract(spark, sf_dir):
+    """WET-style HTML → text extraction plus the markup-shape quality
+    features (opening-tag count, anchor count, link-text fraction, markup
+    fraction) over the deterministic markup fixture above
+    (operators.html.extract_html). The strip kernel — script/style/comment
+    removal, block-break → newline, tag strip, entity decode (amp last),
+    whitespace collapse — is restated step-for-step in the oracle; a
+    divergence in any step or in their ORDER flips the text hash."""
+    from bigdata_lab02_spark.operators import html as hx
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", F.expr(_HTML_FIXTURE_EXPR).alias("html"))
+    return hx.extract_html(pages).select(
+        "doc_id",
+        "text",
+        "n_tags",
+        "n_links",
+        F.round("link_text_frac", 6).alias("link_text_frac"),
+        F.round("markup_frac", 6).alias("markup_frac"),
+    )
+
+
+def _html_strip_sql(e: str) -> str:
+    """operators/html.strip_html restated for DuckDB, step for step and in
+    the same order (script/style/comment bodies first, block breaks →
+    newline before generic tags vanish, entities after no tag can be
+    re-formed with ``&amp;`` last, whitespace collapse last)."""
+    out = f"regexp_replace({e}, '(?is)<script[^>]*>.*?</script>', '', 'g')"
+    out = f"regexp_replace({out}, '(?is)<style[^>]*>.*?</style>', '', 'g')"
+    out = f"regexp_replace({out}, '(?s)<!--.*?-->', '', 'g')"
+    out = (
+        f"regexp_replace({out}, "
+        f"'(?i)<(?:br|/p|/li|/h[1-6]|/div|/tr|/title)[^>]*>', chr(10), 'g')"
+    )
+    out = f"regexp_replace({out}, '(?s)<[^>]*>', ' ', 'g')"
+    out = f"replace({out}, '&lt;', '<')"
+    out = f"replace({out}, '&gt;', '>')"
+    out = f'replace({out}, \'&quot;\', \'"\')'
+    out = f"replace({out}, '&#39;', '''')"
+    out = f"replace({out}, '&nbsp;', ' ')"
+    out = f"replace({out}, '&amp;', '&')"
+    out = f"regexp_replace({out}, '[ \\t]+', ' ', 'g')"
+    out = f"regexp_replace({out}, ' ?\\n ?', chr(10), 'g')"
+    out = f"regexp_replace({out}, '\\n+', chr(10), 'g')"
+    return f"trim({out}, ' ' || chr(10))"
+
+
+_HTML_ANCHOR_SQL = "'(?is)<a[^>]*>.*?</a>'"
+_HTML_EXTRACT_SQL = f"""
+WITH pages AS (SELECT doc_id, {_HTML_FIXTURE_EXPR} AS html FROM documents),
+s AS (SELECT doc_id, html, {_html_strip_sql('html')} AS text FROM pages)
+SELECT doc_id, text,
+  CAST(len(regexp_extract_all(html, '(?s)<[A-Za-z][^>]*>')) AS INT) AS n_tags,
+  CAST(len(regexp_extract_all(html, {_HTML_ANCHOR_SQL})) AS INT) AS n_links,
+  round(CASE WHEN len(text) > 0 THEN
+    coalesce(list_sum(list_transform(regexp_extract_all(html, {_HTML_ANCHOR_SQL}),
+      a -> len({_html_strip_sql('a')}))), 0) * 1.0 / len(text)
+    ELSE 0.0 END, 6) AS link_text_frac,
+  round(CASE WHEN len(html) > 0 THEN 1.0 - len(text) * 1.0 / len(html)
+    ELSE 0.0 END, 6) AS markup_frac
+FROM s
+"""
 
 
 
@@ -3927,6 +4013,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stream_dedup_cands (r8): stateless streaming LSH candidates vs the
     # static corpus band table — the streaming face of incremental dedup.
     "stream_dedup_cands": q_stream_dedup_cands,
+    # html_extract (r8): WET-style markup → text extraction + boilerplate
+    # features, the missing first stage of a crawl-curation pipeline —
+    # oracle-gated here every pytest run.
+    "html_extract": q_html_extract,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -3937,7 +4027,7 @@ ROTATED_OUT: set[str] = {
     "kmeans_assign", "kmeans_update", "quantized_topk",
     "scrub_pii", "token_budget", "kmeans_recluster",
     "stratified_sample", "range_join", "wav_edges", "dedup_incremental",
-    "ivf_topk_persisted", "stream_dedup_cands",
+    "ivf_topk_persisted", "stream_dedup_cands", "html_extract",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -4022,6 +4112,7 @@ _R8_NEW = {
     "dedup_incremental",
     "ivf_topk_persisted",
     "stream_dedup_cands",
+    "html_extract",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -4108,6 +4199,7 @@ _ORACLES: dict[str, str] = {
     "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
     "ivf_topk_persisted": _IVF_SQL,
     "stream_dedup_cands": _STREAM_DEDUP_CANDS_SQL,
+    "html_extract": _HTML_EXTRACT_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,
     "semantic_dedup_pipeline": _SEMANTIC_PIPE_SQL,
     "dsir_importance": _DSIR_SQL,

@@ -1,0 +1,60 @@
+"""operators/html: WET-style markup → text extraction (hand-computed)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_lab02_spark.operators.html import extract_html, strip_html
+
+# Exercises every kernel step: script/style bodies (with markup-ish
+# content), a comment hiding real tags, block breaks, entity decode
+# (including &lt;b&gt; surviving AS TEXT because entities decode after
+# tag stripping), and whitespace collapse.
+_H = (
+    "<html><head><title>T &amp; U</title><script>var x=1;</script>"
+    "<style>.a{}</style></head><body>"
+    "<p>Hello &lt;b&gt; world</p>"
+    '<a href="/x">link one</a>'
+    "<!-- hidden <i>tag</i> -->"
+    "<ul><li>alpha</li><li>beta</li></ul>tail</body></html>"
+)
+_EXPECTED_TEXT = "T & U\nHello <b> world\nlink one alpha\nbeta\ntail"
+
+
+def test_strip_html_hand_computed(spark):
+    df = spark.createDataFrame([(_H,)], "html string")
+    out = df.select(strip_html(F.col("html")).alias("t")).collect()[0]["t"]
+    assert out == _EXPECTED_TEXT
+
+
+def test_extract_html_features(spark):
+    df = spark.createDataFrame([(1, _H)], "doc_id long, html string")
+    row = extract_html(df).collect()[0]
+    assert row["text"] == _EXPECTED_TEXT
+    # opening tags in the RAW markup, including the one hiding in the
+    # comment: html head title script style body p a i ul li li
+    assert row["n_tags"] == 12
+    assert row["n_links"] == 1
+    # "link one" (8 chars of anchor text) over the 46 extracted chars
+    assert row["link_text_frac"] == pytest.approx(8 / len(_EXPECTED_TEXT))
+    assert row["markup_frac"] == pytest.approx(1 - len(_EXPECTED_TEXT) / len(_H))
+
+
+def test_extract_html_degenerate_rows(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "<p></p>"), (3, "no markup at all")],
+        "doc_id long, html string",
+    )
+    rows = {r["doc_id"]: r for r in extract_html(df).collect()}
+    assert rows[1]["text"] == "" and rows[1]["link_text_frac"] == 0.0
+    assert rows[2]["text"] == "" and rows[2]["n_tags"] == 1
+    assert rows[3]["text"] == "no markup at all"
+    assert rows[3]["markup_frac"] == 0.0 and rows[3]["n_tags"] == 0
+
+
+def test_entity_decode_single_pass(spark):
+    # &amp;lt; must yield the literal text "&lt;", never a double-decoded "<"
+    df = spark.createDataFrame([("x &amp;lt; y",)], "html string")
+    out = df.select(strip_html(F.col("html")).alias("t")).collect()[0]["t"]
+    assert out == "x &lt; y"
