@@ -1283,6 +1283,103 @@ FROM s
 """
 
 
+# Adversarial stripes for the Gopher rule verdicts, dialect-shared (both
+# engines evaluate THIS expression): symbol spam, bullet walls, ellipsis
+# teasers, numeric flooding — each stripe built to trip exactly the rule
+# it targets at the paper's thresholds.
+_GOPHER_FIXTURE_EXPR = (
+    "CASE doc_id % 5"
+    " WHEN 1 THEN text || ' ' || repeat('#tag ', 12)"
+    " WHEN 2 THEN repeat('- bullet' || chr(10), 10) || text"
+    " WHEN 3 THEN text || repeat(chr(10) || 'truncated teaser...', 4)"
+    " WHEN 4 THEN repeat('12345 ', 60) || text"
+    " ELSE text || ' ' || repeat('be to of and that have with it so on ', 6)"
+    " END"
+)
+
+_GOPHER_STOP_SQL = "['the','be','to','of','and','that','have','with']"
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule verdicts (Rae et al. 2021 App. A thresholds)
+    over the adversarial stripe fixture above
+    (operators.textstats.gopher_rules): every rule boolean AND its
+    underlying feature cross the hash, so a drifting threshold, a
+    miscounted line, or a wrong division guard all flip the row."""
+    from bigdata_lab02_spark.operators import textstats as ts
+
+    docs = _t(spark, sf_dir, "documents")
+    fx = docs.select("doc_id", F.expr(_GOPHER_FIXTURE_EXPR).alias("text"))
+    out = ts.gopher_rules(fx)
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_ratio", 6).alias("symbol_ratio"),
+        F.round("bullet_line_frac", 6).alias("bullet_line_frac"),
+        F.round("ellipsis_line_frac", 6).alias("ellipsis_line_frac"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        "n_stop_hits",
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_symbol_ratio",
+        "rule_bullet_lines",
+        "rule_ellipsis_lines",
+        "rule_alpha_words",
+        "rule_stopwords",
+        "keep",
+    )
+
+
+_GOPHER_SQL = rf"""
+WITH fx AS (SELECT doc_id, {_GOPHER_FIXTURE_EXPR} AS text FROM documents),
+t AS (SELECT doc_id, text,
+  string_split_regex(trim(text), '\s+') AS words,
+  string_split(text, chr(10)) AS lines FROM fx),
+m AS (SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN 0 ELSE len(words) END AS n_words,
+  len(lines) AS n_lines,
+  CASE WHEN trim(text) = '' THEN 0.0
+    ELSE list_sum(list_transform(words, w -> len(w))) * 1.0 / len(words)
+    END AS mwl,
+  len(text) - len(replace(text, '#', '')) AS n_hash,
+  len(regexp_extract_all(text, '\.\.\.')) AS n_ell,
+  len(list_filter(lines, l -> substr(ltrim(l), 1, 1) IN ('-','*','•','‣')))
+    AS n_bullet,
+  len(list_filter(lines, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'))
+    AS n_ellline,
+  len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+  len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+    {_GOPHER_STOP_SQL})) AS n_stop
+  FROM t),
+r AS (SELECT doc_id, n_words, mwl,
+  CASE WHEN n_words = 0 THEN 0.0 ELSE (n_hash + n_ell) * 1.0 / n_words END AS sym,
+  CASE WHEN n_lines = 0 THEN 0.0 ELSE n_bullet * 1.0 / n_lines END AS bullf,
+  CASE WHEN n_lines = 0 THEN 0.0 ELSE n_ellline * 1.0 / n_lines END AS ellf,
+  CASE WHEN n_words = 0 THEN 0.0 ELSE n_alpha * 1.0 / n_words END AS alphaf,
+  n_stop
+  FROM m)
+SELECT doc_id,
+  CAST(n_words AS INT) AS n_words,
+  round(mwl, 6) AS mean_word_len,
+  round(sym, 6) AS symbol_ratio,
+  round(bullf, 6) AS bullet_line_frac,
+  round(ellf, 6) AS ellipsis_line_frac,
+  round(alphaf, 6) AS alpha_word_frac,
+  CAST(n_stop AS INT) AS n_stop_hits,
+  n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+  mwl >= 3.0 AND mwl <= 10.0 AS rule_mean_word_len,
+  sym <= 0.1 AS rule_symbol_ratio,
+  bullf < 0.9 AS rule_bullet_lines,
+  ellf < 0.3 AS rule_ellipsis_lines,
+  alphaf >= 0.8 AS rule_alpha_words,
+  n_stop >= 2 AS rule_stopwords,
+  (n_words >= 50 AND n_words <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+    AND sym <= 0.1 AND bullf < 0.9 AND ellf < 0.3 AND alphaf >= 0.8
+    AND n_stop >= 2 AS keep
+FROM r
+"""
+
+
 
 def q_token_budget(spark, sf_dir):
     """Per-source token budgeting: admit docs (in deterministic hashed
@@ -4017,6 +4114,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # features, the missing first stage of a crawl-curation pipeline —
     # oracle-gated here every pytest run.
     "html_extract": q_html_extract,
+    # gopher_rules (r8): the named Gopher quality verdicts over an
+    # adversarial stripe fixture — oracle-gated here every pytest run.
+    "gopher_rules": q_gopher_rules,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -4028,6 +4128,7 @@ ROTATED_OUT: set[str] = {
     "scrub_pii", "token_budget", "kmeans_recluster",
     "stratified_sample", "range_join", "wav_edges", "dedup_incremental",
     "ivf_topk_persisted", "stream_dedup_cands", "html_extract",
+    "gopher_rules",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -4113,6 +4214,7 @@ _R8_NEW = {
     "ivf_topk_persisted",
     "stream_dedup_cands",
     "html_extract",
+    "gopher_rules",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -4200,6 +4302,7 @@ _ORACLES: dict[str, str] = {
     "ivf_topk_persisted": _IVF_SQL,
     "stream_dedup_cands": _STREAM_DEDUP_CANDS_SQL,
     "html_extract": _HTML_EXTRACT_SQL,
+    "gopher_rules": _GOPHER_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,
     "semantic_dedup_pipeline": _SEMANTIC_PIPE_SQL,
     "dsir_importance": _DSIR_SQL,

@@ -306,3 +306,98 @@ def fingerprint(
     return docs.withColumn(
         "fingerprint", F.array_min(F.transform(sh, lambda g: digest(g)))
     )
+
+
+# Gopher rule set (Rae et al. 2021, Appendix A) — the named per-document
+# quality VERDICTS, as opposed to the raw features above: each rule is a
+# boolean with the paper's thresholds, and ``keep`` is their conjunction.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+_BULLETS = ["-", "*", "•", "‣"]
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Per-doc Gopher quality-rule verdicts (Rae et al. 2021, App. A):
+
+    - ``rule_word_count``: ``min_words ≤ #words ≤ max_words``,
+    - ``rule_mean_word_len``: mean word length in [3, 10],
+    - ``rule_symbol_ratio``: (# of ``#`` + # of ``...``) / words ≤ 0.1,
+    - ``rule_bullet_lines``: < 90% of lines start with a bullet,
+    - ``rule_ellipsis_lines``: < 30% of lines end with ``...``/``…``,
+    - ``rule_alpha_words``: ≥ 80% of words contain a letter,
+    - ``rule_stopwords``: ≥ 2 distinct common stopwords present,
+    - ``keep``: all of the above.
+
+    Words are whitespace splits and lines are newline splits of the raw
+    text (the paper filters before any normalization). Everything derives
+    from two split arrays in ONE generated projection — no explode, no
+    shuffle, fused with the scan at any corpus size."""
+    text = F.col(text_col)
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(words))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    mean_word_len = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / n_words
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis_sym = F.size(F.regexp_extract_all(text, F.lit(r"\.\.\."), 0))
+    symbol_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        (n_hash + n_ellipsis_sym) / n_words
+    )
+    bullet_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.substring(F.ltrim(l), 1, 1).isin(_BULLETS),
+            )
+        )
+        / n_lines
+    )
+    ellipsis_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+            )
+        )
+        / n_lines
+    )
+    alpha_frac = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words
+    )
+    n_stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    rules = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": (mean_word_len >= 3.0) & (mean_word_len <= 10.0),
+        "rule_symbol_ratio": symbol_ratio <= 0.1,
+        "rule_bullet_lines": bullet_frac < 0.9,
+        "rule_ellipsis_lines": ellipsis_frac < 0.3,
+        "rule_alpha_words": alpha_frac >= 0.8,
+        "rule_stopwords": n_stop_hits >= 2,
+    }
+    keep = F.lit(True)
+    for r in rules.values():
+        keep = keep & r
+    return docs.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len": mean_word_len,
+            "symbol_ratio": symbol_ratio,
+            "bullet_line_frac": bullet_frac,
+            "ellipsis_line_frac": ellipsis_frac,
+            "alpha_word_frac": alpha_frac,
+            "n_stop_hits": n_stop_hits,
+            **rules,
+            "keep": keep,
+        }
+    )

@@ -1,5 +1,6 @@
 """textstats operator tests (language id, quality, token stats, fingerprint)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from bigdata_lab02_spark.operators import textstats as ts
@@ -125,3 +126,61 @@ def test_fingerprint_hash_modes_agree(spark):
 
     with pytest.raises(ValueError):
         ts.fingerprint(docs, hash_mode="sha1")
+
+
+# ------------------------------------------------- Gopher rule verdicts (r8)
+
+
+def test_gopher_rules_hand_computed(spark):
+    from bigdata_lab02_spark.operators.textstats import gopher_rules
+
+    good = "the quick brown fox jumps over that lazy dog and then it " * 5
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "short doc of the and"),                 # word count < 50
+        (3, good + " " + "# " * 20),                 # symbol spam
+        (4, ("- b\n" * 19) + good),                  # 19/20 bullet lines
+        (5, good + ("\nread more..." * 9)),          # 9/10 ellipsis lines
+        (6, ("42 " * 300) + good),                   # numeric flood
+        (7, ""),                                     # degenerate empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+
+    assert out[1]["keep"] is True
+    assert out[1]["n_words"] == 60
+    assert out[1]["n_stop_hits"] >= 2
+
+    assert out[2]["rule_word_count"] is False and out[2]["keep"] is False
+    assert out[2]["n_words"] == 5
+
+    assert out[3]["rule_symbol_ratio"] is False
+    assert out[3]["symbol_ratio"] == pytest.approx(20 / 80)
+
+    assert out[4]["rule_bullet_lines"] is False
+    assert out[4]["bullet_line_frac"] == pytest.approx(19 / 20)
+
+    assert out[5]["rule_ellipsis_lines"] is False
+    assert out[5]["ellipsis_line_frac"] == pytest.approx(9 / 10)
+
+    assert out[6]["rule_alpha_words"] is False
+    assert out[6]["alpha_word_frac"] == pytest.approx(60 / 360)
+
+    assert out[7]["n_words"] == 0 and out[7]["keep"] is False
+    assert out[7]["mean_word_len"] == 0.0
+
+
+def test_gopher_rules_mean_word_len_bounds(spark):
+    from bigdata_lab02_spark.operators.textstats import gopher_rules
+
+    # 60 one-char words -> mean 1.0 < 3; 60 twelve-char words -> mean 12 > 10
+    tiny = ("a " * 60).strip()
+    huge = ("abcdefghijkl " * 60).strip()
+    df = spark.createDataFrame(
+        [(1, tiny), (2, huge)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert out[1]["mean_word_len"] == 1.0
+    assert out[1]["rule_mean_word_len"] is False
+    assert out[2]["mean_word_len"] == 12.0
+    assert out[2]["rule_mean_word_len"] is False
