@@ -1381,6 +1381,66 @@ FROM r
 
 
 
+# C4 fixture stripes, dialect-shared: clean prose, too-short lines,
+# javascript chrome, lorem-ipsum marker, code braces — one stripe per
+# C4 rule, so each rule's threshold crosses the hash independently.
+_C4_FIXTURE_EXPR = (
+    "CASE doc_id % 5"
+    " WHEN 1 THEN repeat('tiny line.' || chr(10), 8) || text"
+    " WHEN 2 THEN repeat('Please enable javascript to view this page today.'"
+    " || chr(10), 6) || text"
+    " WHEN 3 THEN repeat('A good long sentence is written right here today.'"
+    " || chr(10), 6) || 'Lorem Ipsum dolor sit.'"
+    " WHEN 4 THEN 'function() {' || chr(10) ||"
+    " repeat('Another good long sentence appears right here today.'"
+    " || chr(10), 6)"
+    " ELSE repeat('This is a fine sentence with many words today.'"
+    " || chr(10), 6) || text END"
+)
+
+
+def q_c4_filters(spark, sf_dir):
+    """C4-style line/document cleaning verdicts (Raffel 2020 §2.2) over
+    the stripe fixture above (operators.curation.c4_filters): the cleaned
+    text itself plus every counter and the keep verdict cross the hash —
+    a drifting line predicate, sentence proxy, or marker scan all flip
+    the row."""
+    from bigdata_lab02_spark.operators.curation import c4_filters
+
+    docs = _t(spark, sf_dir, "documents")
+    fx = docs.select("doc_id", F.expr(_C4_FIXTURE_EXPR).alias("text"))
+    return c4_filters(fx)
+
+
+_C4_SQL = rf"""
+WITH fx AS (SELECT doc_id, {_C4_FIXTURE_EXPR} AS text FROM documents),
+t AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM fx),
+k AS (SELECT doc_id, text, lines,
+  list_filter(lines, l ->
+    (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!' OR rtrim(l) LIKE '%?'
+      OR rtrim(l) LIKE '%"')
+    AND (CASE WHEN trim(l) = '' THEN 0
+         ELSE len(string_split_regex(trim(l), '\s+')) END) >= 3
+    AND NOT contains(lower(l), 'javascript')
+    AND NOT contains(lower(l), 'terms of use')
+    AND NOT contains(lower(l), 'privacy policy')
+    AND NOT contains(lower(l), 'cookie policy')) AS kept
+  FROM t),
+c AS (SELECT doc_id, lines, kept,
+  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+  contains(lower(text), 'lorem ipsum') OR contains(text, '{{') AS bad_doc
+  FROM k)
+SELECT doc_id,
+  clean_text,
+  CAST(len(lines) AS INT) AS n_lines,
+  CAST(len(kept) AS INT) AS n_kept_lines,
+  CAST(len(regexp_extract_all(clean_text, '[.!?"]+')) AS INT) AS n_sentences,
+  bad_doc AS bad_doc_marker,
+  len(regexp_extract_all(clean_text, '[.!?"]+')) >= 5 AND NOT bad_doc AS keep
+FROM c
+"""
+
+
 def q_token_budget(spark, sf_dir):
     """Per-source token budgeting: admit docs (in deterministic hashed
     order) while the source's running whitespace-token total stays within
@@ -4117,6 +4177,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # gopher_rules (r8): the named Gopher quality verdicts over an
     # adversarial stripe fixture — oracle-gated here every pytest run.
     "gopher_rules": q_gopher_rules,
+    # c4_filters (r8): line-level C4 cleaning + doc verdicts over the
+    # stripe fixture — oracle-gated here every pytest run.
+    "c4_filters": q_c4_filters,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -4128,7 +4191,7 @@ ROTATED_OUT: set[str] = {
     "scrub_pii", "token_budget", "kmeans_recluster",
     "stratified_sample", "range_join", "wav_edges", "dedup_incremental",
     "ivf_topk_persisted", "stream_dedup_cands", "html_extract",
-    "gopher_rules",
+    "gopher_rules", "c4_filters",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -4215,6 +4278,7 @@ _R8_NEW = {
     "stream_dedup_cands",
     "html_extract",
     "gopher_rules",
+    "c4_filters",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -4303,6 +4367,7 @@ _ORACLES: dict[str, str] = {
     "stream_dedup_cands": _STREAM_DEDUP_CANDS_SQL,
     "html_extract": _HTML_EXTRACT_SQL,
     "gopher_rules": _GOPHER_SQL,
+    "c4_filters": _C4_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,
     "semantic_dedup_pipeline": _SEMANTIC_PIPE_SQL,
     "dsir_importance": _DSIR_SQL,

@@ -55,6 +55,70 @@ def scrub_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- C4 cleaning
+
+# Doc-level boilerplate markers (Raffel et al. 2020 §2.2): code-shaped or
+# placeholder pages are dropped whole, not line-filtered.
+C4_BAD_DOC_MARKERS = ["lorem ipsum", "{"]
+# Line-level policy boilerplate: any line carrying one of these phrases
+# is navigation/ToS chrome, not prose.
+C4_BAD_LINE_PHRASES = ["javascript", "terms of use", "privacy policy", "cookie policy"]
+_C4_TERMINALS = [".", "!", "?", '"']
+
+
+def c4_filters(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """C4-style cleaning (Raffel et al. 2020, §2.2): per-LINE keep rules —
+    ends in terminal punctuation (``.!?"``), has ≥ ``min_words_per_line``
+    whitespace words, carries no policy/JavaScript boilerplate phrase —
+    then per-DOC verdicts: ≥ ``min_sentences`` sentences survive (counted
+    as terminal-punctuation runs in the kept text) and the raw text has no
+    bad-document marker (``lorem ipsum``, ``{``).
+
+    Returns ``clean_text`` (kept lines rejoined), the line/sentence
+    counters, and ``keep``. Everything is ONE generated projection over
+    two split arrays — no explode, no shuffle, fused with the scan; the
+    100 TB shape is a pure map."""
+    text = F.col(text_col)
+    lower = F.lower(text)
+    lines = F.split(text, "\n")
+
+    def _line_ok(l: Column) -> Column:
+        t = F.rtrim(l)
+        low = F.lower(l)
+        ends_ok = F.lit(False)
+        for p in _C4_TERMINALS:
+            ends_ok = ends_ok | t.endswith(p)
+        n_words = F.when(F.trim(l) == "", F.lit(0)).otherwise(
+            F.size(F.split(F.trim(l), r"\s+"))
+        )
+        clean = F.lit(True)
+        for ph in C4_BAD_LINE_PHRASES:
+            clean = clean & ~low.contains(ph)
+        return ends_ok & (n_words >= min_words_per_line) & clean
+
+    kept = F.filter(lines, _line_ok)
+    clean_text = F.array_join(kept, "\n")
+    # sentence proxy: maximal runs of terminal punctuation in the kept text
+    n_sentences = F.size(F.regexp_extract_all(clean_text, F.lit(r'[.!?"]+'), 0))
+    bad_doc = F.lit(False)
+    for m in C4_BAD_DOC_MARKERS:
+        bad_doc = bad_doc | lower.contains(m)
+    return docs.select(
+        "doc_id",
+        clean_text.alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        bad_doc.alias("bad_doc_marker"),
+        ((n_sentences >= min_sentences) & ~bad_doc).alias("keep"),
+    )
+
+
 # ------------------------------------------------------------ repetition
 
 

@@ -491,3 +491,62 @@ class TestStratifiedSample:
             cur.stratified_sample(docs, fraction=1.5)
         with pytest.raises(ValueError):
             cur.stratified_sample(docs, n_per_group=0)
+
+
+# ------------------------------------------------------- C4 cleaning (r8)
+
+
+class TestC4Filters:
+    def test_hand_computed_verdicts(self, spark):
+        prose = "This is a fine sentence with many words today.\n" * 6
+        rows = [
+            (1, prose.rstrip("\n")),                       # clean: keep
+            (2, "tiny line.\n" * 8 + "no terminal here"),  # <3 words/line
+            (3, "Please enable javascript to view it now.\n" * 6),
+            (4, prose + "lorem ipsum dolor"),              # doc marker
+            (5, "var f = function() {\n" + prose),         # brace marker
+            (6, "One good sentence stands alone here now.\nplus a fragment"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in cur.c4_filters(df).collect()}
+
+        assert out[1]["keep"] is True
+        assert out[1]["n_lines"] == 6 and out[1]["n_kept_lines"] == 6
+        assert out[1]["n_sentences"] == 6
+        assert out[1]["clean_text"] == prose.rstrip("\n")
+
+        assert out[2]["n_kept_lines"] == 0 and out[2]["keep"] is False
+        assert out[2]["clean_text"] == ""
+
+        # boilerplate phrase kills otherwise-valid lines
+        assert out[3]["n_kept_lines"] == 0 and out[3]["keep"] is False
+
+        # lines survive but the doc-level marker vetoes the doc
+        assert out[4]["n_kept_lines"] == 6
+        assert out[4]["bad_doc_marker"] is True and out[4]["keep"] is False
+        assert out[5]["bad_doc_marker"] is True and out[5]["keep"] is False
+
+        # too few sentences: lines kept, doc dropped
+        assert out[6]["n_kept_lines"] == 1
+        assert out[6]["n_sentences"] == 1 and out[6]["keep"] is False
+
+    def test_line_rules_parametrized(self, spark):
+        # threshold knobs are honored
+        df = spark.createDataFrame(
+            [(1, "Two words.\nA slightly longer line ends here.")],
+            "doc_id long, text string",
+        )
+        strict = cur.c4_filters(df, min_words_per_line=3).collect()[0]
+        loose = cur.c4_filters(df, min_words_per_line=2).collect()[0]
+        assert strict["n_kept_lines"] == 1
+        assert loose["n_kept_lines"] == 2
+        low_bar = cur.c4_filters(df, min_words_per_line=2, min_sentences=2)
+        assert low_bar.collect()[0]["keep"] is True
+
+    def test_zero_exchanges(self, spark):
+        from bigdata_lab02_spark.plans import plan_report
+
+        df = spark.createDataFrame([(1, "Hi there friend.")],
+                                   "doc_id long, text string")
+        r = plan_report(cur.c4_filters(df))
+        assert r.n_exchanges == 0, r.raw
