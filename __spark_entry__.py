@@ -1381,6 +1381,138 @@ FROM r
 
 
 
+# Repetition fixture stripes, dialect-shared: duplicated lines,
+# duplicated paragraphs, a flooded bigram, a repeated 10-word sentence —
+# one stripe per repetition family; the raw synthetic text (40-word
+# vocabulary) keeps the mid-n dup fractions nonzero on every stripe.
+_GOPHER_REP_FIXTURE_EXPR = (
+    "CASE doc_id % 5"
+    " WHEN 1 THEN repeat('an identical line of text' || chr(10), 6) || text"
+    " WHEN 2 THEN repeat('para one two three' || chr(10) || chr(10), 5) || text"
+    " WHEN 3 THEN repeat('alpha beta ', 30) || text"
+    " WHEN 4 THEN repeat("
+    "'one two three four five six seven eight nine ten ', 4) || text"
+    " ELSE text END"
+)
+
+
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition verdicts (Rae 2021 App. A1.1) over the stripe
+    fixture above (operators.curation.gopher_repetition): all 13
+    fractions (6 dp) plus their rule booleans and ``keep`` cross the
+    hash — a drifting fold, gram construction, tie-break, or threshold
+    all flip the row."""
+    from bigdata_lab02_spark.operators.curation import gopher_repetition
+
+    docs = _t(spark, sf_dir, "documents")
+    fx = docs.select(
+        "doc_id", F.expr(_GOPHER_REP_FIXTURE_EXPR).alias("text")
+    )
+    return gopher_repetition(fx)
+
+
+def _gopher_rep_sql() -> str:
+    """DuckDB restatement of gopher_repetition: the Spark folds become
+    unnest + GROUP BY sub-aggregations (beyond-first occurrence sums;
+    top gram via ORDER BY cnt DESC, gram ASC — the folds' strict->
+    tie-break), left-joined back per doc."""
+    from bigdata_lab02_spark.operators.curation import GOPHER_REP_THRESHOLDS
+
+    ctes = [
+        f"fx AS (SELECT doc_id, {_GOPHER_REP_FIXTURE_EXPR} AS text FROM documents)",
+        r"""t AS (SELECT doc_id,
+  string_split(text, chr(10)) AS lines,
+  string_split(text, chr(10) || chr(10)) AS paras,
+  CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+       ELSE string_split_regex(trim(text), '\s+') END AS words
+  FROM fx)""",
+        """base AS (SELECT doc_id,
+  len(lines) AS n_lines, len(paras) AS n_paras,
+  coalesce(list_sum(list_transform(lines, l -> len(l))), 0) AS line_chars,
+  coalesce(list_sum(list_transform(paras, p -> len(p))), 0) AS para_chars,
+  len(array_to_string(words, '')) AS word_chars
+  FROM t)""",
+        """lc AS (SELECT doc_id, sum(c - 1) AS dn, sum((c - 1) * ch) AS dch
+  FROM (SELECT doc_id, l, count(*) AS c, len(l) AS ch
+        FROM (SELECT doc_id, unnest(lines) AS l FROM t) GROUP BY doc_id, l)
+  GROUP BY doc_id)""",
+        """pc AS (SELECT doc_id, sum(c - 1) AS dn, sum((c - 1) * ch) AS dch
+  FROM (SELECT doc_id, p, count(*) AS c, len(p) AS ch
+        FROM (SELECT doc_id, unnest(paras) AS p FROM t) GROUP BY doc_id, p)
+  GROUP BY doc_id)""",
+    ]
+    for n in range(2, 11):
+        ctes.append(
+            f"""g{n} AS (SELECT doc_id, g, count(*) AS c, len(g) AS ch
+  FROM (SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(words) - {n - 1}),
+            i -> array_to_string(list_slice(words, i, i + {n - 1}), ' '))) AS g
+        FROM t WHERE len(words) >= {n})
+  GROUP BY doc_id, g)"""
+        )
+    for n in (2, 3, 4):
+        ctes.append(
+            f"""t{n} AS (SELECT doc_id, c AS best, ch AS blen FROM (
+  SELECT doc_id, c, ch,
+    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+  FROM g{n}) WHERE rn = 1)"""
+        )
+    for n in range(5, 11):
+        ctes.append(
+            f"""d{n} AS (SELECT doc_id, sum(c - 1) AS dn,
+  sum((c - 1) * (ch - {n - 1})) AS dch
+  FROM g{n} WHERE c > 1 GROUP BY doc_id)"""
+        )
+
+    def ratio(num: str, den: str) -> str:
+        return f"CASE WHEN {den} > 0 THEN least(({num}) * 1.0 / {den}, 1.0) ELSE 0.0 END"
+
+    fracs = {
+        "dup_line_frac": ratio("coalesce(lc.dn, 0)", "base.n_lines"),
+        "dup_para_frac": ratio("coalesce(pc.dn, 0)", "base.n_paras"),
+        "dup_line_char_frac": ratio("coalesce(lc.dch, 0)", "base.line_chars"),
+        "dup_para_char_frac": ratio("coalesce(pc.dch, 0)", "base.para_chars"),
+    }
+    for n in (2, 3, 4):
+        fracs[f"top_{n}gram_char_frac"] = ratio(
+            f"coalesce(t{n}.best, 0) * (coalesce(t{n}.blen, 0) - {n - 1})",
+            "base.word_chars",
+        )
+    for n in range(5, 11):
+        fracs[f"dup_{n}gram_char_frac"] = ratio(
+            f"coalesce(d{n}.dch, 0)", "base.word_chars"
+        )
+    cols = ["base.doc_id"]
+    cols += [f"round({fracs[k]}, 6) AS {k}" for k in GOPHER_REP_THRESHOLDS]
+    cols += [
+        f"({fracs[k]}) <= {GOPHER_REP_THRESHOLDS[k]} AS rule_{k}"
+        for k in GOPHER_REP_THRESHOLDS
+    ]
+    cols.append(
+        " AND ".join(
+            f"(({fracs[k]}) <= {GOPHER_REP_THRESHOLDS[k]})"
+            for k in GOPHER_REP_THRESHOLDS
+        )
+        + " AS keep"
+    )
+    joins = "\nLEFT JOIN lc USING (doc_id)\nLEFT JOIN pc USING (doc_id)"
+    for n in (2, 3, 4):
+        joins += f"\nLEFT JOIN t{n} USING (doc_id)"
+    for n in range(5, 11):
+        joins += f"\nLEFT JOIN d{n} USING (doc_id)"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT\n  "
+        + ",\n  ".join(cols)
+        + "\nFROM base"
+        + joins
+    )
+
+
+_GOPHER_REP_SQL = _gopher_rep_sql()
+
+
 # C4 fixture stripes, dialect-shared: clean prose, too-short lines,
 # javascript chrome, lorem-ipsum marker, code braces — one stripe per
 # C4 rule, so each rule's threshold crosses the hash independently.

@@ -173,6 +173,172 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Gopher repetition thresholds (Rae et al. 2021, App. A1.1): a doc is
+# filtered when the named fraction EXCEEDS its threshold.
+GOPHER_REP_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def _dup_fold(arr: Column) -> Column:
+    """struct(n, ch): occurrences beyond the first of each distinct value
+    in ``arr`` and their total characters — one linear fold over the
+    sorted array (O(n log n) per row, no explode)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("ch"),
+    )
+
+    def merge(acc, x):
+        is_dup = acc["prev"].isNotNull() & (acc["prev"] == x)
+        return F.struct(
+            x.alias("prev"),
+            F.when(is_dup, acc["n"] + 1).otherwise(acc["n"]).alias("n"),
+            F.when(is_dup, acc["ch"] + F.length(x)).otherwise(acc["ch"]).alias("ch"),
+        )
+
+    return F.aggregate(
+        F.array_sort(arr),
+        init,
+        merge,
+        lambda a: F.struct(a["n"].alias("n"), a["ch"].alias("ch")),
+    )
+
+
+def _top_fold(arr: Column) -> Column:
+    """struct(best, blen): highest occurrence count of any value in
+    ``arr`` and that value's character length; count ties break to the
+    lexicographically smallest value (strict ``>`` over the sorted scan),
+    matching ``ORDER BY cnt DESC, value ASC LIMIT 1``."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("blen"),
+    )
+
+    def merge(acc, x):
+        run = F.when(
+            acc["prev"].isNull() | (acc["prev"] != x), F.lit(1).cast("long")
+        ).otherwise(acc["run"] + 1)
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, F.length(x).cast("long"))
+            .otherwise(acc["blen"])
+            .alias("blen"),
+        )
+
+    return F.aggregate(
+        F.array_sort(arr),
+        init,
+        merge,
+        lambda a: F.struct(a["best"].alias("best"), a["blen"].alias("blen")),
+    )
+
+
+def _word_grams(words: Column, n: int) -> Column:
+    """Space-joined word n-grams (empty array when fewer than n words)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    return F.when(
+        F.size(words) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def gopher_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher repetition verdicts (Rae et al. 2021, App. A1.1) — the
+    line/paragraph/n-gram half that ``repetition_stats`` doesn't cover:
+
+    - ``dup_line_frac`` / ``dup_para_frac``: occurrences beyond the first
+      of each repeated line (newline split) / paragraph (blank-line
+      split), over the total count;
+    - ``dup_line_char_frac`` / ``dup_para_char_frac``: characters in
+      those beyond-first occurrences over total line/paragraph chars;
+    - ``top_{2,3,4}gram_char_frac``: all occurrences of the most frequent
+      word n-gram × its chars, over total word chars (count ties break
+      to the lexicographically smallest gram);
+    - ``dup_{5..10}gram_char_frac``: chars in beyond-first occurrences of
+      repeated n-grams over total word chars — the simple estimate that
+      counts overlapping occurrences separately (the paper dedups char
+      positions; this is its cheap upper bound), clamped to 1.
+
+    One ``rule_*`` boolean per fraction at the paper's thresholds
+    (``frac <= threshold``) and ``keep`` = their conjunction. Entirely
+    array folds in one generated projection — no explode, no shuffle, a
+    pure map at any corpus size. Rules compare the UNROUNDED fractions
+    (integer÷integer is bit-identical cross-engine); the returned
+    fraction columns are rounded to 6 dp."""
+    text = F.col(text_col)
+    words_raw = F.split(F.trim(text), r"\s+")
+    stage = docs.select(
+        "doc_id",
+        F.split(text, "\n").alias("_lines"),
+        F.split(text, "\n\n").alias("_paras"),
+        F.when(F.trim(text) == "", F.array().cast("array<string>"))
+        .otherwise(words_raw)
+        .alias("_words"),
+    )
+    lines, paras, words = F.col("_lines"), F.col("_paras"), F.col("_words")
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    para_chars = F.aggregate(
+        paras, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    word_chars = F.length(F.array_join(words, ""))
+
+    def ratio(num: Column, den: Column) -> Column:
+        return F.when(den > 0, F.least(num / den, F.lit(1.0))).otherwise(0.0)
+
+    ldup, pdup = _dup_fold(lines), _dup_fold(paras)
+    fracs: dict[str, Column] = {
+        "dup_line_frac": ratio(ldup["n"], F.size(lines)),
+        "dup_para_frac": ratio(pdup["n"], F.size(paras)),
+        "dup_line_char_frac": ratio(ldup["ch"], line_chars),
+        "dup_para_char_frac": ratio(pdup["ch"], para_chars),
+    }
+    for n in (2, 3, 4):
+        top = _top_fold(_word_grams(words, n))
+        fracs[f"top_{n}gram_char_frac"] = ratio(
+            top["best"] * (top["blen"] - (n - 1)), word_chars
+        )
+    for n in range(5, 11):
+        dup = _dup_fold(_word_grams(words, n))
+        fracs[f"dup_{n}gram_char_frac"] = ratio(
+            dup["ch"] - dup["n"] * (n - 1), word_chars
+        )
+
+    rules = {
+        f"rule_{k}": fracs[k] <= GOPHER_REP_THRESHOLDS[k]
+        for k in GOPHER_REP_THRESHOLDS
+    }
+    keep = F.lit(True)
+    for r in rules.values():
+        keep = keep & r
+    return stage.select(
+        "doc_id",
+        *[F.round(fracs[k], 6).alias(k) for k in GOPHER_REP_THRESHOLDS],
+        *[rules[f"rule_{k}"].alias(f"rule_{k}") for k in GOPHER_REP_THRESHOLDS],
+        keep.alias("keep"),
+    )
+
+
 # -------------------------------------------------------------- splitting
 
 
