@@ -1214,6 +1214,19 @@ _HTML_FIXTURE_EXPR = (
     " || (doc_id % 7) || '</li></ul>' ELSE '' END"
     " || CASE WHEN doc_id % 4 = 1 THEN '<script>tracker(' || doc_id"
     " || ')</script>' ELSE '' END"
+    # r9 adversarial stripes: a literal '>' inside quoted attribute values
+    # (the hardened tag patterns must keep the tag whole), an <article>
+    # element that a name-unanchored anchor regex would swallow whole,
+    # anchors hiding in comments/scripts (must NOT count as links), and a
+    # </pre> that a boundary-less '/p' block-break rule would newline.
+    " || CASE WHEN doc_id % 5 = 2 THEN '<a href=\"/q?a>b\" title=\"x>y\">deep '"
+    " || doc_id || '</a> <img title=''1 > 0''>' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 3 THEN"
+    " '<article><p>Article prose stands alone.</p></article>'"
+    " || '<!-- <a href=\"/ghost\">ghost link</a> -->' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 4 THEN"
+    " '<script>document.write(\"<a href=/y>sneaky</a>\")</script>'"
+    " || '<pre>code ' || doc_id || '</pre>' ELSE '' END"
     " || '<!-- build ' || doc_id || ' <b>bold</b> -->'"
     " || '<footer>&copy; 2024 &amp; &quot;fin&quot;</footer></body></html>'"
 )
@@ -1241,19 +1254,41 @@ def q_html_extract(spark, sf_dir):
     )
 
 
+# The r9 hardened tag patterns restated for the oracle (operators/html.py
+# keeps its own copies — drift between the two flips the text hash). The
+# quoted-attribute body contains both quote kinds, so the SQL literal is
+# built by _rq() (single quotes doubled) rather than hand-transcribed.
+_H_ATTRS = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*"
+_H_SCRIPT = f"(?is)<script(?:\\s{_H_ATTRS})?>.*?</script>"
+_H_STYLE = f"(?is)<style(?:\\s{_H_ATTRS})?>.*?</style>"
+_H_BREAK = f"(?i)<(?:br|/p|/li|/h[1-6]|/div|/tr|/title)(?:[\\s/]{_H_ATTRS})?>"
+_H_TAG = f"(?s)<{_H_ATTRS}>"
+_H_ANCHOR = f"(?is)<a(?:\\s{_H_ATTRS})?>.*?</a>"
+_H_OPEN_TAG = f"(?s)<[A-Za-z]{_H_ATTRS}>"
+
+
+def _rq(pat: str) -> str:
+    """Regex pattern → SQL string literal (single quotes doubled)."""
+    return "'" + pat.replace("'", "''") + "'"
+
+
+def _html_nonprose_sql(e: str) -> str:
+    """operators/html.remove_nonprose restated: script/style/comment
+    bodies removed — the shared first pass for BOTH the prose kernel and
+    the anchor features (commented-out/scripted anchors are not links)."""
+    out = f"regexp_replace({e}, {_rq(_H_SCRIPT)}, '', 'g')"
+    out = f"regexp_replace({out}, {_rq(_H_STYLE)}, '', 'g')"
+    return f"regexp_replace({out}, '(?s)<!--.*?-->', '', 'g')"
+
+
 def _html_strip_sql(e: str) -> str:
     """operators/html.strip_html restated for DuckDB, step for step and in
     the same order (script/style/comment bodies first, block breaks →
     newline before generic tags vanish, entities after no tag can be
     re-formed with ``&amp;`` last, whitespace collapse last)."""
-    out = f"regexp_replace({e}, '(?is)<script[^>]*>.*?</script>', '', 'g')"
-    out = f"regexp_replace({out}, '(?is)<style[^>]*>.*?</style>', '', 'g')"
-    out = f"regexp_replace({out}, '(?s)<!--.*?-->', '', 'g')"
-    out = (
-        f"regexp_replace({out}, "
-        f"'(?i)<(?:br|/p|/li|/h[1-6]|/div|/tr|/title)[^>]*>', chr(10), 'g')"
-    )
-    out = f"regexp_replace({out}, '(?s)<[^>]*>', ' ', 'g')"
+    out = _html_nonprose_sql(e)
+    out = f"regexp_replace({out}, {_rq(_H_BREAK)}, chr(10), 'g')"
+    out = f"regexp_replace({out}, {_rq(_H_TAG)}, ' ', 'g')"
     out = f"replace({out}, '&lt;', '<')"
     out = f"replace({out}, '&gt;', '>')"
     out = f'replace({out}, \'&quot;\', \'"\')'
@@ -1266,16 +1301,21 @@ def _html_strip_sql(e: str) -> str:
     return f"trim({out}, ' ' || chr(10))"
 
 
-_HTML_ANCHOR_SQL = "'(?is)<a[^>]*>.*?</a>'"
+_HTML_ANCHOR_SQL = _rq(_H_ANCHOR)
 _HTML_EXTRACT_SQL = f"""
 WITH pages AS (SELECT doc_id, {_HTML_FIXTURE_EXPR} AS html FROM documents),
-s AS (SELECT doc_id, html, {_html_strip_sql('html')} AS text FROM pages)
+p AS (SELECT doc_id, html, {_html_nonprose_sql('html')} AS prose_html
+      FROM pages),
+s AS (SELECT doc_id, html, prose_html,
+      {_html_strip_sql('prose_html')} AS text FROM p)
 SELECT doc_id, text,
-  CAST(len(regexp_extract_all(html, '(?s)<[A-Za-z][^>]*>')) AS INT) AS n_tags,
-  CAST(len(regexp_extract_all(html, {_HTML_ANCHOR_SQL})) AS INT) AS n_links,
+  CAST(len(regexp_extract_all(html, {_rq(_H_OPEN_TAG)})) AS INT) AS n_tags,
+  CAST(len(regexp_extract_all(prose_html, {_HTML_ANCHOR_SQL})) AS INT)
+    AS n_links,
   round(CASE WHEN len(text) > 0 THEN
-    coalesce(list_sum(list_transform(regexp_extract_all(html, {_HTML_ANCHOR_SQL}),
-      a -> len({_html_strip_sql('a')}))), 0) * 1.0 / len(text)
+    least(coalesce(list_sum(list_transform(
+      regexp_extract_all(prose_html, {_HTML_ANCHOR_SQL}),
+      a -> len({_html_strip_sql('a')}))), 0) * 1.0 / len(text), 1.0)
     ELSE 0.0 END, 6) AS link_text_frac,
   round(CASE WHEN len(html) > 0 THEN 1.0 - len(text) * 1.0 / len(html)
     ELSE 0.0 END, 6) AS markup_frac
@@ -1518,7 +1558,10 @@ _GOPHER_REP_SQL = _gopher_rep_sql()
 # C4 rule, so each rule's threshold crosses the hash independently.
 _C4_FIXTURE_EXPR = (
     "CASE doc_id % 5"
-    " WHEN 1 THEN repeat('tiny line.' || chr(10), 8) || text"
+    # stripe 1 brackets the paper's 5-word line minimum: 2- and 4-word
+    # lines drop, the 5-word line survives.
+    " WHEN 1 THEN repeat('tiny line.' || chr(10) || 'Four words sit here.'"
+    " || chr(10) || 'Exactly five words sit here.' || chr(10), 4) || text"
     " WHEN 2 THEN repeat('Please enable javascript to view this page today.'"
     " || chr(10), 6) || text"
     " WHEN 3 THEN repeat('A good long sentence is written right here today.'"
@@ -1552,7 +1595,7 @@ k AS (SELECT doc_id, text, lines,
     (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!' OR rtrim(l) LIKE '%?'
       OR rtrim(l) LIKE '%"')
     AND (CASE WHEN trim(l) = '' THEN 0
-         ELSE len(string_split_regex(trim(l), '\s+')) END) >= 3
+         ELSE len(string_split_regex(trim(l), '\s+')) END) >= 5
     AND NOT contains(lower(l), 'javascript')
     AND NOT contains(lower(l), 'terms of use')
     AND NOT contains(lower(l), 'privacy policy')
@@ -1568,7 +1611,7 @@ SELECT doc_id,
   CAST(len(kept) AS INT) AS n_kept_lines,
   CAST(len(regexp_extract_all(clean_text, '[.!?"]+')) AS INT) AS n_sentences,
   bad_doc AS bad_doc_marker,
-  len(regexp_extract_all(clean_text, '[.!?"]+')) >= 5 AND NOT bad_doc AS keep
+  len(regexp_extract_all(clean_text, '[.!?"]+')) >= 3 AND NOT bad_doc AS keep
 FROM c
 """
 

@@ -69,13 +69,14 @@ _C4_TERMINALS = [".", "!", "?", '"']
 def c4_filters(
     docs: DataFrame,
     text_col: str = "text",
-    min_words_per_line: int = 3,
-    min_sentences: int = 5,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
 ) -> DataFrame:
     """C4-style cleaning (Raffel et al. 2020, §2.2): per-LINE keep rules —
     ends in terminal punctuation (``.!?"``), has ≥ ``min_words_per_line``
-    whitespace words, carries no policy/JavaScript boilerplate phrase —
-    then per-DOC verdicts: ≥ ``min_sentences`` sentences survive (counted
+    whitespace words (paper default 5), carries no policy/JavaScript
+    boilerplate phrase — then per-DOC verdicts: ≥ ``min_sentences``
+    sentences survive (paper default 3, counted
     as terminal-punctuation runs in the kept text) and the raw text has no
     bad-document marker (``lorem ipsum``, ``{``).
 

@@ -11,13 +11,17 @@ density, link-text fraction, markup fraction; link-farm pages score
 high on the latter two).
 
 Profile (honest limits, like the codec modules): tags are matched with
-``<[^>]*>``, so a literal ``>`` inside a quoted attribute value ends the
-tag early; CDATA sections and conditional comments are treated as plain
+a quoted-attribute-aware pattern ``<(?:[^>"']|"[^"]*"|'[^']*')*>``, so a
+literal ``>`` inside a quoted attribute value (onclick handlers,
+data-URIs, ``href="x?a>b"``) stays inside the tag; an UNTERMINATED
+quote inside a tag is the remaining limit (the ``<`` then never matches
+and the fragment survives as text — fail-open, never over-deletes).
+CDATA sections and conditional comments are treated as plain
 comments/tags. That covers the overwhelming majority of crawl HTML and
 keeps every pattern meaning the same thing in Java regex (Spark) and
-RE2 (DuckDB): character classes + lazy quantifiers + inline ``(?is)``
-only — no backrefs, no lookaround, so the oracle replays the extraction
-byte-for-byte.
+RE2 (DuckDB): character classes + alternation + lazy quantifiers +
+inline ``(?is)`` only — no backrefs, no lookaround, so the oracle
+replays the extraction byte-for-byte.
 
 All pure DataFrame expressions — no Python in the row path; the whole
 extraction is one generated projection that codegen fuses with the scan
@@ -30,15 +34,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Dialect-portable patterns (Java regex == RE2 semantics for all of these).
-SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
-STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
+# _ATTRS is the quoted-attribute-aware tag body: plain chars, or a full
+# double-/single-quoted attribute value (which may contain ``>``).
+_ATTRS = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*"
+SCRIPT_RE = rf"(?is)<script(?:\s{_ATTRS})?>.*?</script>"
+STYLE_RE = rf"(?is)<style(?:\s{_ATTRS})?>.*?</style>"
 COMMENT_RE = r"(?s)<!--.*?-->"
 # Closing block elements and <br> become newlines so prose keeps its
 # line structure (what line-level dedup and the Gopher line rules need).
-BLOCK_BREAK_RE = r"(?i)<(?:br|/p|/li|/h[1-6]|/div|/tr|/title)[^>]*>"
-TAG_RE = r"(?s)<[^>]*>"
-ANCHOR_RE = r"(?is)<a[^>]*>.*?</a>"
-OPEN_TAG_RE = r"(?s)<[A-Za-z][^>]*>"
+# The tag NAME is boundary-anchored (immediately ``>``, or whitespace/``/``
+# then attributes): ``/p`` must not swallow ``</pre>``, ``/li`` not
+# ``</link>``, ``br`` not ``<broken>``.
+BLOCK_BREAK_RE = rf"(?i)<(?:br|/p|/li|/h[1-6]|/div|/tr|/title)(?:[\s/]{_ATTRS})?>"
+TAG_RE = rf"(?s)<{_ATTRS}>"
+# Anchor tag name is boundary-anchored too: ``<a>`` or ``<a␣attrs…>``,
+# never ``<article>``/``<abbr>``/``<aside>``/``<audio>``.
+ANCHOR_RE = rf"(?is)<a(?:\s{_ATTRS})?>.*?</a>"
+OPEN_TAG_RE = rf"(?s)<[A-Za-z]{_ATTRS}>"
 
 # Minimal entity set; ``&amp;`` is decoded LAST so ``&amp;lt;`` yields the
 # literal text ``&lt;`` (single-pass decode, never a double decode).
@@ -58,6 +70,15 @@ def _decode_entities(col: Column) -> Column:
     return col
 
 
+def remove_nonprose(html: Column) -> Column:
+    """Script/style bodies and comments removed — the shared first pass:
+    both the prose kernel AND the anchor-feature extraction run on this
+    (anchors hiding in commented-out or scripted markup are not links)."""
+    out = F.regexp_replace(html, SCRIPT_RE, "")
+    out = F.regexp_replace(out, STYLE_RE, "")
+    return F.regexp_replace(out, COMMENT_RE, "")
+
+
 def strip_html(html: Column) -> Column:
     """Markup → prose, as a single fused column expression.
 
@@ -66,9 +87,7 @@ def strip_html(html: Column) -> Column:
     become newlines before generic tags vanish, entities decode after
     no tag can be re-formed, and whitespace collapses last (horizontal
     runs → one space, blank-line runs → one newline)."""
-    out = F.regexp_replace(html, SCRIPT_RE, "")
-    out = F.regexp_replace(out, STYLE_RE, "")
-    out = F.regexp_replace(out, COMMENT_RE, "")
+    out = remove_nonprose(html)
     out = F.regexp_replace(out, BLOCK_BREAK_RE, "\n")
     out = F.regexp_replace(out, TAG_RE, " ")
     out = _decode_entities(out)
@@ -84,11 +103,16 @@ def extract_html(
     """(id, text, n_tags, n_links, link_text_frac, markup_frac): WET-style
     extracted prose plus the markup-shape quality features.
 
-    - ``n_tags``: opening-tag count (markup density numerator),
-    - ``n_links``: anchor count,
+    - ``n_tags``: opening-tag count over the RAW markup (markup density
+      numerator — a tag hiding in a comment is still markup),
+    - ``n_links``: anchor count over the PROSE-BEARING markup (script/
+      style/comment bodies removed first — a commented-out or scripted
+      anchor contributes no visible link),
     - ``link_text_frac``: extracted chars that sit inside ``<a>…</a>``
-      over all extracted chars — the classic link-farm / nav-boilerplate
-      signal (RefinedWeb drops pages dominated by anchor text),
+      over all extracted chars, clamped to 1.0 — the classic link-farm /
+      nav-boilerplate signal (RefinedWeb drops pages dominated by anchor
+      text). Clamped because nested/odd markup can make the re-stripped
+      span sum exceed the whole-page extraction length.
     - ``markup_frac``: 1 − extracted/raw length — how much of the page
       is markup rather than prose.
 
@@ -96,8 +120,9 @@ def extract_html(
     fold over the anchor spans (each span re-stripped with the same
     kernel), not an explode — zero shuffles."""
     html = F.col(html_col)
+    prose_html = remove_nonprose(html)
     text = strip_html(html)
-    anchors = F.regexp_extract_all(html, F.lit(ANCHOR_RE), 0)
+    anchors = F.regexp_extract_all(prose_html, F.lit(ANCHOR_RE), 0)
     link_chars = F.aggregate(
         anchors, F.lit(0), lambda acc, s: acc + F.length(strip_html(s))
     )
@@ -110,9 +135,9 @@ def extract_html(
             "n_tags"
         ),
         F.size(anchors).alias("n_links"),
-        F.when(n_text > 0, link_chars / n_text).otherwise(0.0).alias(
-            "link_text_frac"
-        ),
+        F.when(n_text > 0, F.least(link_chars / n_text, F.lit(1.0)))
+        .otherwise(0.0)
+        .alias("link_text_frac"),
         F.when(n_html > 0, 1.0 - n_text / n_html).otherwise(0.0).alias(
             "markup_frac"
         ),

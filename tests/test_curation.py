@@ -501,7 +501,7 @@ class TestC4Filters:
         prose = "This is a fine sentence with many words today.\n" * 6
         rows = [
             (1, prose.rstrip("\n")),                       # clean: keep
-            (2, "tiny line.\n" * 8 + "no terminal here"),  # <3 words/line
+            (2, "tiny line.\n" * 8 + "no terminal here"),  # <5 words/line
             (3, "Please enable javascript to view it now.\n" * 6),
             (4, prose + "lorem ipsum dolor"),              # doc marker
             (5, "var f = function() {\n" + prose),         # brace marker

@@ -58,3 +58,67 @@ def test_entity_decode_single_pass(spark):
     df = spark.createDataFrame([("x &amp;lt; y",)], "html string")
     out = df.select(strip_html(F.col("html")).alias("t")).collect()[0]["t"]
     assert out == "x &lt; y"
+
+
+# --------------------------- r9 hardening: quoted '>' + name boundaries
+
+
+def test_quoted_gt_stays_inside_tag(spark):
+    # a literal '>' inside a quoted attribute value must not end the tag
+    h = (
+        '<a href="/q?a>b" title="x>y">deep</a> '
+        "<img title='1 > 0'> plain tail."
+    )
+    df = spark.createDataFrame([(1, h)], "doc_id long, html string")
+    row = extract_html(df).collect()[0]
+    assert row["text"] == "deep plain tail."
+    assert row["n_links"] == 1
+    # anchor text "deep" = 4 chars of the 16 extracted
+    assert row["link_text_frac"] == pytest.approx(4 / 16)
+
+
+def test_anchor_name_boundary(spark):
+    # <article>/<abbr>/<aside> must NOT open an anchor span: an
+    # unanchored '<a[^>]*>' would run from <article> to the next </a>
+    # and swallow the whole body as link text.
+    h = (
+        "<article><p>Long article prose sits here.</p></article>"
+        '<a href="/x">tiny link</a>'
+    )
+    df = spark.createDataFrame([(1, h)], "doc_id long, html string")
+    row = extract_html(df).collect()[0]
+    assert row["n_links"] == 1
+    assert row["link_text_frac"] < 0.5  # only "tiny link", not the article
+
+
+def test_hidden_anchors_not_links(spark):
+    # anchors inside comments or script bodies are not visible links
+    h = (
+        '<!-- <a href="/ghost">ghost</a> -->'
+        '<script>document.write("<a href=/y>sneaky</a>")</script>'
+        "<p>Real prose here.</p>"
+    )
+    df = spark.createDataFrame([(1, h)], "doc_id long, html string")
+    row = extract_html(df).collect()[0]
+    assert row["n_links"] == 0
+    assert row["link_text_frac"] == 0.0
+    assert row["text"] == "Real prose here."
+
+
+def test_block_break_name_boundary(spark):
+    # </pre> must not match the '/p' block-break rule (no newline), and
+    # </link> must not match '/li'
+    h = "<pre>code</pre> tail<link rel='x'></link>end."
+    df = spark.createDataFrame([(h,)], "html string")
+    out = df.select(strip_html(F.col("html")).alias("t")).collect()[0]["t"]
+    assert "\n" not in out
+    assert out == "code tail end."
+
+
+def test_link_text_frac_clamped(spark):
+    # nested anchors can make span sums exceed the page extraction; the
+    # fraction is clamped to 1.0
+    h = '<a href="/o"><a href="/i">word</a></a>'
+    df = spark.createDataFrame([(1, h)], "doc_id long, html string")
+    row = extract_html(df).collect()[0]
+    assert row["link_text_frac"] <= 1.0
