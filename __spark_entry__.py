@@ -1451,15 +1451,19 @@ def q_gopher_repetition(spark, sf_dir):
     return gopher_repetition(fx)
 
 
-def _gopher_rep_sql() -> str:
+def _gopher_rep_sql(src: str | None = None) -> str:
     """DuckDB restatement of gopher_repetition: the Spark folds become
     unnest + GROUP BY sub-aggregations (beyond-first occurrence sums;
     top gram via ORDER BY cnt DESC, gram ASC — the folds' strict->
-    tie-break), left-joined back per doc."""
+    tie-break), left-joined back per doc. ``src`` is the SQL producing
+    the (doc_id, text) input rows — the stripe fixture by default; the
+    composed crawl oracle passes its C4 ``clean_text`` stage instead."""
     from bigdata_lab02_spark.operators.curation import GOPHER_REP_THRESHOLDS
 
+    if src is None:
+        src = f"SELECT doc_id, {_GOPHER_REP_FIXTURE_EXPR} AS text FROM documents"
     ctes = [
-        f"fx AS (SELECT doc_id, {_GOPHER_REP_FIXTURE_EXPR} AS text FROM documents)",
+        f"fx AS ({src})",
         r"""t AS (SELECT doc_id,
   string_split(text, chr(10)) AS lines,
   string_split(text, chr(10) || chr(10)) AS paras,
@@ -1613,6 +1617,142 @@ SELECT doc_id,
   bad_doc AS bad_doc_marker,
   len(regexp_extract_all(clean_text, '[.!?"]+')) >= 3 AND NOT bad_doc AS keep
 FROM c
+"""
+
+
+def q_crawl_curation_pipeline(spark, sf_dir):
+    """The COMPOSED crawl-curation chain (operators.crawl.crawl_curation):
+    synthetic markup fixture → html_extract → c4_filters (over the
+    EXTRACTED text) → gopher_rules → gopher_repetition (both over the C4
+    ``clean_text``) → one keep conjunction — all as a single zero-shuffle
+    projection. Each stage is separately gated elsewhere; THIS gate proves
+    the handoffs: html's block-break newlines feed C4's line split, C4's
+    kept lines feed Gopher's word/line splits, and stage interactions
+    (style-stripping removes the ``{`` bad-doc marker and ``#`` symbol
+    chars a broken extractor would leak) land in the verdicts."""
+    from bigdata_lab02_spark.operators.crawl import crawl_curation
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", F.expr(_HTML_FIXTURE_EXPR).alias("html"))
+    out = crawl_curation(pages)
+    return out.select(
+        "doc_id",
+        "n_tags",
+        "n_links",
+        F.round("link_text_frac", 6).alias("link_text_frac"),
+        F.round("markup_frac", 6).alias("markup_frac"),
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        "bad_doc_marker",
+        "c4_keep",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_ratio", 6).alias("symbol_ratio"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        "n_stop_hits",
+        "quality_keep",
+        "dup_line_frac",
+        "top_2gram_char_frac",
+        "rep_keep",
+        "clean_text",
+        "keep",
+    )
+
+
+# The composed oracle restates the WHOLE chain: html strip (shared
+# helpers above), C4 line rules over the extracted text, Gopher quality
+# math over the C4 clean_text, and the generated repetition SQL re-rooted
+# at the same clean_text stage (nested WITH referencing the outer cfv
+# CTE — DuckDB scopes outer CTEs into subqueries).
+_CRAWL_SQL = rf"""
+WITH pages AS (SELECT doc_id, {_HTML_FIXTURE_EXPR} AS html FROM documents),
+hp AS (SELECT doc_id, html, {_html_nonprose_sql('html')} AS prose_html
+       FROM pages),
+hs AS (SELECT doc_id, html, prose_html,
+       {_html_strip_sql('prose_html')} AS text FROM hp),
+hf AS (SELECT doc_id, text,
+  CAST(len(regexp_extract_all(html, {_rq(_H_OPEN_TAG)})) AS INT) AS n_tags,
+  CAST(len(regexp_extract_all(prose_html, {_HTML_ANCHOR_SQL})) AS INT)
+    AS n_links,
+  CASE WHEN len(text) > 0 THEN
+    least(coalesce(list_sum(list_transform(
+      regexp_extract_all(prose_html, {_HTML_ANCHOR_SQL}),
+      a -> len({_html_strip_sql('a')}))), 0) * 1.0 / len(text), 1.0)
+    ELSE 0.0 END AS link_text_frac,
+  CASE WHEN len(html) > 0 THEN 1.0 - len(text) * 1.0 / len(html)
+    ELSE 0.0 END AS markup_frac
+  FROM hs),
+ct AS (SELECT *, string_split(text, chr(10)) AS lines FROM hf),
+ck AS (SELECT *, list_filter(lines, l ->
+    (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!' OR rtrim(l) LIKE '%?'
+      OR rtrim(l) LIKE '%"')
+    AND (CASE WHEN trim(l) = '' THEN 0
+         ELSE len(string_split_regex(trim(l), '\s+')) END) >= 5
+    AND NOT contains(lower(l), 'javascript')
+    AND NOT contains(lower(l), 'terms of use')
+    AND NOT contains(lower(l), 'privacy policy')
+    AND NOT contains(lower(l), 'cookie policy')) AS kept
+  FROM ct),
+cc AS (SELECT *, coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+  contains(lower(text), 'lorem ipsum') OR contains(text, '{{') AS bad_doc
+  FROM ck),
+cfv AS (SELECT doc_id, n_tags, n_links, link_text_frac, markup_frac,
+  CAST(len(lines) AS INT) AS n_lines,
+  CAST(len(kept) AS INT) AS n_kept_lines,
+  CAST(len(regexp_extract_all(clean_text, '[.!?"]+')) AS INT) AS n_sentences,
+  bad_doc AS bad_doc_marker,
+  len(regexp_extract_all(clean_text, '[.!?"]+')) >= 3 AND NOT bad_doc
+    AS c4_keep,
+  clean_text
+  FROM cc),
+gt AS (SELECT doc_id, clean_text,
+  string_split_regex(trim(clean_text), '\s+') AS words,
+  string_split(clean_text, chr(10)) AS glines FROM cfv),
+gm AS (SELECT doc_id,
+  CASE WHEN trim(clean_text) = '' THEN 0 ELSE len(words) END AS n_words,
+  len(glines) AS n_glines,
+  CASE WHEN trim(clean_text) = '' THEN 0.0
+    ELSE list_sum(list_transform(words, w -> len(w))) * 1.0 / len(words)
+    END AS mwl,
+  len(clean_text) - len(replace(clean_text, '#', '')) AS n_hash,
+  len(regexp_extract_all(clean_text, '\.\.\.')) AS n_ell,
+  len(list_filter(glines, l -> substr(ltrim(l), 1, 1) IN ('-','*','•','‣')))
+    AS n_bullet,
+  len(list_filter(glines, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'))
+    AS n_ellline,
+  len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+  len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+    {_GOPHER_STOP_SQL})) AS n_stop
+  FROM gt),
+gq AS (SELECT doc_id, n_words, mwl,
+  CASE WHEN n_words = 0 THEN 0.0 ELSE (n_hash + n_ell) * 1.0 / n_words END
+    AS sym,
+  CASE WHEN n_glines = 0 THEN 0.0 ELSE n_bullet * 1.0 / n_glines END AS bullf,
+  CASE WHEN n_glines = 0 THEN 0.0 ELSE n_ellline * 1.0 / n_glines END AS ellf,
+  CASE WHEN n_words = 0 THEN 0.0 ELSE n_alpha * 1.0 / n_words END AS alphaf,
+  n_stop FROM gm),
+gv AS (SELECT doc_id, n_words, mwl, sym, alphaf, n_stop,
+  (n_words >= 50 AND n_words <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+    AND sym <= 0.1 AND bullf < 0.9 AND ellf < 0.3 AND alphaf >= 0.8
+    AND n_stop >= 2 AS quality_keep
+  FROM gq),
+rep AS (SELECT doc_id, dup_line_frac, top_2gram_char_frac, keep AS rep_keep
+  FROM ({_gopher_rep_sql('SELECT doc_id, clean_text AS text FROM cfv')}))
+SELECT c.doc_id, c.n_tags, c.n_links,
+  round(c.link_text_frac, 6) AS link_text_frac,
+  round(c.markup_frac, 6) AS markup_frac,
+  c.n_lines, c.n_kept_lines, c.n_sentences, c.bad_doc_marker, c.c4_keep,
+  CAST(g.n_words AS INT) AS n_words,
+  round(g.mwl, 6) AS mean_word_len,
+  round(g.sym, 6) AS symbol_ratio,
+  round(g.alphaf, 6) AS alpha_word_frac,
+  CAST(g.n_stop AS INT) AS n_stop_hits,
+  g.quality_keep,
+  r.dup_line_frac, r.top_2gram_char_frac, r.rep_keep,
+  c.clean_text,
+  c.c4_keep AND g.quality_keep AND r.rep_keep AS keep
+FROM cfv c JOIN gv g USING (doc_id) JOIN rep r USING (doc_id)
 """
 
 
@@ -4285,7 +4425,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "selection_pipeline": q_selection_pipeline,
     "jpeg_decode": q_jpeg_decode,
-    "resize_mixed": q_resize_mixed,
+    # crawl_curation_pipeline rotated INTO the window in r9 (VERDICT r8
+    # item 2), taking resize_mixed's slot: the composed html→C4→Gopher
+    # chain is the product the r8 pieces exist for.
+    "crawl_curation_pipeline": q_crawl_curation_pipeline,
     "language_id": q_language_id,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "textstats": q_textstats,
@@ -4355,6 +4498,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # c4_filters (r8): line-level C4 cleaning + doc verdicts over the
     # stripe fixture — oracle-gated here every pytest run.
     "c4_filters": q_c4_filters,
+    # resize_mixed rotated OUT in r9 to give its window slot to
+    # crawl_curation_pipeline (VERDICT r8 item 2): its codec decode paths
+    # stay driver-gated through jpeg_decode + png_edges +
+    # multimodal_mixed, and the full dispatch-resize output stays
+    # oracle-verified here every pytest run.
+    "resize_mixed": q_resize_mixed,
+    # gopher_repetition (r9): the repetition half of the Gopher rules
+    # over its stripe fixture — the composed crawl gate exercises it
+    # end-to-end in-window; the full 13-fraction output is oracle-gated
+    # here every pytest run.
+    "gopher_repetition": q_gopher_repetition,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -4366,7 +4520,7 @@ ROTATED_OUT: set[str] = {
     "scrub_pii", "token_budget", "kmeans_recluster",
     "stratified_sample", "range_join", "wav_edges", "dedup_incremental",
     "ivf_topk_persisted", "stream_dedup_cands", "html_extract",
-    "gopher_rules", "c4_filters",
+    "gopher_rules", "c4_filters", "resize_mixed", "gopher_repetition",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -4377,7 +4531,7 @@ DRIVER_ROW_CAP = 50
 # only demands driver rows for the first-50 window when the latest
 # CORRECTNESS file is from this round or later (an older file was produced
 # under a different ordering). Bump whenever the ordering changes.
-ORDERING_SINCE = 8
+ORDERING_SINCE = 9
 
 # Queries with no SQL-expressible oracle — the driver records a weaker
 # rows-only check. (Empty since round 2: the streaming replay is gated
@@ -4455,9 +4609,17 @@ _R8_NEW = {
     "gopher_rules",
     "c4_filters",
 }
+# Round-9 registrations: the composed crawl-curation gate (VERDICT r8
+# item 2) and the repetition half of the Gopher rules (written in r8,
+# first registered r9).
+_R9_NEW = {
+    "crawl_curation_pipeline",
+    "gopher_repetition",
+}
 REGISTERED_SINCE: dict[str, int] = {
     name: (
-        8 if name in _R8_NEW
+        9 if name in _R9_NEW
+        else 8 if name in _R8_NEW
         else 7 if name in _R7_NEW
         else 6 if name in _R6_NEW
         else 5 if name in _R5_NEW
@@ -4543,6 +4705,8 @@ _ORACLES: dict[str, str] = {
     "html_extract": _HTML_EXTRACT_SQL,
     "gopher_rules": _GOPHER_SQL,
     "c4_filters": _C4_SQL,
+    "crawl_curation_pipeline": _CRAWL_SQL,
+    "gopher_repetition": _GOPHER_REP_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,
     "semantic_dedup_pipeline": _SEMANTIC_PIPE_SQL,
     "dsir_importance": _DSIR_SQL,

@@ -1,0 +1,100 @@
+"""Composed crawl-curation pipeline: raw HTML → training-ready verdicts.
+
+The production shape of the text-curation tier (cf. C4, Raffel et al.
+2020; Gopher, Rae et al. 2021 App. A; RefinedWeb, Penedo et al. 2023):
+
+    crawl pages
+      → ``extract_html``     (WET-style markup → prose + link features)
+      → ``c4_filters``       (line-level cleaning over the EXTRACTED text)
+      → ``gopher_rules``     (quality verdicts over the C4-cleaned text)
+      → ``gopher_repetition``(repetition verdicts over the same)
+      → one ``keep`` conjunction.
+
+Each stage is individually oracle-gated; this module gates the
+COMPOSITION — html's extracted ``text`` (block breaks → newlines) feeds
+C4's line split, and C4's ``clean_text`` feeds Gopher's word/line splits.
+Stage interactions are real: e.g. ``<style>`` bodies carry ``{`` which is
+a C4 bad-document marker, so a broken style-strip would veto every page.
+
+Scale design: every stage is a generated projection (no explode, no
+shuffle), and the stages chain through column ``passthrough`` rather
+than re-joining on doc_id — the WHOLE pipeline is ONE fused map over the
+crawl, zero exchanges at any corpus size (plan-asserted in
+tests/test_crawl.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_lab02_spark.operators.curation import (
+    c4_filters,
+    gopher_repetition,
+)
+from bigdata_lab02_spark.operators.html import extract_html
+from bigdata_lab02_spark.operators.textstats import gopher_rules
+
+# Per-stage feature columns carried through the chain (the composed gate
+# hashes one representative set from every stage).
+_HTML_FEATURES = ["n_tags", "n_links", "link_text_frac", "markup_frac"]
+_C4_FEATURES = ["n_lines", "n_kept_lines", "n_sentences", "bad_doc_marker"]
+_GOPHER_FEATURES = [
+    "n_words",
+    "mean_word_len",
+    "symbol_ratio",
+    "alpha_word_frac",
+    "n_stop_hits",
+]
+
+
+def crawl_curation(
+    pages: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    min_words: int = 50,
+) -> DataFrame:
+    """The full crawl → curation chain as one zero-shuffle projection.
+
+    Returns per page: the html features, the C4 counters and ``c4_keep``,
+    the Gopher quality features and ``quality_keep``, two representative
+    repetition fractions and ``rep_keep``, the surviving ``clean_text``,
+    and ``keep`` = c4 ∧ quality ∧ repetition."""
+    ext = extract_html(pages, html_col=html_col, id_col=id_col)
+    c4 = c4_filters(
+        ext,
+        min_words_per_line=min_words_per_line,
+        min_sentences=min_sentences,
+        passthrough=_HTML_FEATURES,
+    ).withColumnRenamed("keep", "c4_keep")
+    quality = gopher_rules(
+        c4, text_col="clean_text", min_words=min_words
+    ).withColumnRenamed("keep", "quality_keep")
+    rep = gopher_repetition(
+        quality,
+        text_col="clean_text",
+        passthrough=(
+            _HTML_FEATURES
+            + _C4_FEATURES
+            + ["c4_keep", "clean_text"]
+            + _GOPHER_FEATURES
+            + ["quality_keep"]
+        ),
+    ).withColumnRenamed("keep", "rep_keep")
+    return rep.select(
+        "doc_id",
+        *_HTML_FEATURES,
+        *_C4_FEATURES,
+        "c4_keep",
+        *_GOPHER_FEATURES,
+        "quality_keep",
+        "dup_line_frac",
+        "top_2gram_char_frac",
+        "rep_keep",
+        "clean_text",
+        (F.col("c4_keep") & F.col("quality_keep") & F.col("rep_keep")).alias(
+            "keep"
+        ),
+    )

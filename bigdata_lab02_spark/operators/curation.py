@@ -71,6 +71,7 @@ def c4_filters(
     text_col: str = "text",
     min_words_per_line: int = 5,
     min_sentences: int = 3,
+    passthrough: "tuple[str, ...] | list[str]" = (),
 ) -> DataFrame:
     """C4-style cleaning (Raffel et al. 2020, §2.2): per-LINE keep rules —
     ends in terminal punctuation (``.!?"``), has ≥ ``min_words_per_line``
@@ -81,7 +82,10 @@ def c4_filters(
     bad-document marker (``lorem ipsum``, ``{``).
 
     Returns ``clean_text`` (kept lines rejoined), the line/sentence
-    counters, and ``keep``. Everything is ONE generated projection over
+    counters, and ``keep``; ``passthrough`` names input columns carried
+    into the output unchanged so pipeline compositions stay single-
+    projection (no re-join on doc_id). Everything is ONE generated
+    projection over
     two split arrays — no explode, no shuffle, fused with the scan; the
     100 TB shape is a pure map."""
     text = F.col(text_col)
@@ -111,6 +115,7 @@ def c4_filters(
         bad_doc = bad_doc | lower.contains(m)
     return docs.select(
         "doc_id",
+        *passthrough,
         clean_text.alias("clean_text"),
         F.size(lines).alias("n_lines"),
         F.size(kept).alias("n_kept_lines"),
@@ -262,7 +267,11 @@ def _word_grams(words: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def gopher_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def gopher_repetition(
+    docs: DataFrame,
+    text_col: str = "text",
+    passthrough: "tuple[str, ...] | list[str]" = (),
+) -> DataFrame:
     """Gopher repetition verdicts (Rae et al. 2021, App. A1.1) — the
     line/paragraph/n-gram half that ``repetition_stats`` doesn't cover:
 
@@ -289,6 +298,7 @@ def gopher_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
     words_raw = F.split(F.trim(text), r"\s+")
     stage = docs.select(
         "doc_id",
+        *passthrough,
         F.split(text, "\n").alias("_lines"),
         F.split(text, "\n\n").alias("_paras"),
         F.when(F.trim(text) == "", F.array().cast("array<string>"))
@@ -334,6 +344,7 @@ def gopher_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
         keep = keep & r
     return stage.select(
         "doc_id",
+        *passthrough,
         *[F.round(fracs[k], 6).alias(k) for k in GOPHER_REP_THRESHOLDS],
         *[rules[f"rule_{k}"].alias(f"rule_{k}") for k in GOPHER_REP_THRESHOLDS],
         keep.alias("keep"),
