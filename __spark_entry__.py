@@ -3572,7 +3572,10 @@ def q_stream_dedup_cands(spark, sf_dir):
     quarter arrives as a documents FILE STREAM and every micro-batch
     emits its LSH candidate pairs against the static precomputed corpus
     band table — a stateless append-mode pipeline (per-row signatures,
-    stream-static broadcast band join; no watermark, no state store —
+    stream-static equi-join on band_hash with the corpus side NOT
+    broadcast — at 100 TB the band table is corpus-sized, so the default
+    plan shuffles only the micro-batch shard rows against a
+    band_hash-bucketed corpus layout; no watermark, no state store —
     streaming/docs.py). The replay materializes to a memory sink and a
     BATCH-side distinct collapses cross-band multiplicity; the oracle
     recomputes the candidate set from first principles, so the per-row

@@ -99,26 +99,38 @@ def dedup_candidates_stream(
     doc_stream: DataFrame,
     corpus_bands: DataFrame,
     id_col: str = "doc_id",
+    broadcast_corpus: bool = False,
     **band_kwargs,
 ) -> DataFrame:
     """Streaming LSH candidate pairs (id_new, id_old) of the incoming
     shard against the static corpus band table — a stream-static
-    broadcast join on the single ``band_hash`` key; the static side is
+    equi-join on the single ``band_hash`` key; the static side is
     re-planned per micro-batch, so a refreshed corpus table is picked
-    up without restarting the query. Append-mode, stateless."""
+    up without restarting the query. Append-mode, stateless.
+
+    Scale design: the corpus band table is O(bands × corpus docs) — at
+    100 TB it cannot be rebuilt into a broadcast every micro-batch, so
+    the DEFAULT is a plain equi-join with no hint: a corpus persisted
+    with ``write_bucketed(..., ['band_hash'])`` (the same layout the
+    batch twin ``minhash_dedup_incremental`` probes) plans with NO
+    exchange on the corpus side — each batch shuffles only its own
+    (micro-batch-sized) shard rows (plan-asserted in
+    tests/test_bucketing.py). Spark's own
+    ``autoBroadcastJoinThreshold`` still size-gates genuinely small
+    corpora into a broadcast automatically; pass
+    ``broadcast_corpus=True`` only to force the hint when corpus
+    statistics are missing and the table is known-small."""
     new_bands = minhash_band_stream(
         doc_stream, id_col=id_col, **band_kwargs
     ).withColumnsRenamed({id_col: "id_new"})
+    corpus = corpus_bands.withColumnsRenamed({id_col: "id_old"}).select(
+        "id_old", "band_hash"
+    )
+    if broadcast_corpus:
+        corpus = F.broadcast(corpus)
     return (
         new_bands.select("id_new", "band_hash")
-        .join(
-            F.broadcast(
-                corpus_bands.withColumnsRenamed({id_col: "id_old"}).select(
-                    "id_old", "band_hash"
-                )
-            ),
-            "band_hash",
-        )
+        .join(corpus, "band_hash")
         .where(F.col("id_new") != F.col("id_old"))
         .select("id_new", "id_old")
     )
