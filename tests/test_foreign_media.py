@@ -171,4 +171,24 @@ def test_jpeg_fixture_profiles_documented():
         "imageio_prog.jpg": ("prog", [(2, 2), (1, 1), (1, 1)]),
         "imageio_gray.jpg": ("base", [(1, 1)]),
         "imageio_q70.jpg": ("base", [(2, 2), (1, 1), (1, 1)]),
+        "imageio_exif.jpg": ("base", [(2, 2), (1, 1), (1, 1)]),
     }
+
+
+def test_exif_fixture_carries_real_metadata_segments():
+    """imageio_exif.jpg (r9) is the committed base image with APP1/EXIF
+    and an APP13 Photoshop IRB spliced after SOI — the most common
+    real-crawl JPEG shape. Pin that both segments are really present and
+    real-shaped (EXIF TIFF header; 8BIM block), so the green decode in
+    the parametrized test above proves the marker-SKIP path on
+    metadata-laden streams, not an accidentally-clean file."""
+    data = (FIX / "imageio_exif.jpg").read_bytes()
+    assert data[:2] == b"\xff\xd8"
+    assert data[2:4] == b"\xff\xe1"  # APP1 first, camera-style
+    assert data[6:12] == b"Exif\x00\x00"
+    assert data[12:16] == b"II*\x00"  # little-endian TIFF header
+    assert b"\xff\xed" in data and b"Photoshop 3.0\x00" in data
+    assert b"8BIM" in data
+    # and it is byte-identical to the base after the spliced segments
+    base = (FIX / "imageio_base.jpg").read_bytes()
+    assert data.endswith(base[2:])

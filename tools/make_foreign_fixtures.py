@@ -295,11 +295,82 @@ def make_jpegs():
     }
 
 
+# -------------------------------------------- EXIF/APPn splicing (r9)
+# The most common real-crawl JPEG shape is a photo carrying APP1/EXIF
+# (and often an APP13 Photoshop IRB) ahead of SOF. The synthetic streams
+# exercised the marker-skip path only with empty APPn shells; these
+# segments are real-shaped payloads built per the public specs (EXIF 2.3
+# §4.5 TIFF structure; marker framing ITU-T T.81 §B.1.1.3).
+
+
+def exif_app1() -> bytes:
+    """APP1 segment: ``Exif\\x00\\x00`` + little-endian TIFF header + a
+    0th IFD with Make/Model/Orientation/DateTime (string values in the
+    post-IFD data area, offset-addressed — the layout every camera
+    writes)."""
+
+    def entry(tag: int, typ: int, count: int, value: bytes) -> bytes:
+        return struct.pack("<HHI", tag, typ, count) + value
+
+    make = b"PyFixture\x00"
+    model = b"SynthCam 1\x00"
+    dt = b"2024:01:02 03:04:05\x00"
+    # header(8) + count(2) + 4 entries * 12 + next-IFD(4) = 62
+    data_off = 62
+    entries = [
+        entry(0x010F, 2, len(make), struct.pack("<I", data_off)),
+        entry(0x0110, 2, len(model), struct.pack("<I", data_off + len(make))),
+        entry(0x0112, 3, 1, struct.pack("<HH", 1, 0)),
+        entry(
+            0x0132, 2, len(dt),
+            struct.pack("<I", data_off + len(make) + len(model)),
+        ),
+    ]
+    tiff = (
+        b"II*\x00" + struct.pack("<I", 8)
+        + struct.pack("<H", len(entries)) + b"".join(entries)
+        + struct.pack("<I", 0) + make + model + dt
+    )
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def app13_irb() -> bytes:
+    """APP13 Photoshop IRB: ``Photoshop 3.0\\x00`` + one 8BIM resource
+    block (0x0404 IPTC) — photo-editor provenance baggage crawl JPEGs
+    routinely carry."""
+    caption = b"synthetic fixture"
+    irb = (
+        b"8BIM" + struct.pack(">H", 0x0404) + b"\x00\x00"
+        + struct.pack(">I", len(caption)) + caption
+    )
+    if len(caption) % 2:
+        irb += b"\x00"
+    payload = b"Photoshop 3.0\x00" + irb
+    return b"\xff\xed" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def make_exif_jpeg():
+    """Splice APP1/EXIF + APP13 directly after SOI of the committed
+    ``imageio_base.jpg`` (cameras put EXIF first, before any JFIF APP0).
+    Pixels are untouched, so the smooth_rgb spec carries over; the
+    decoder must skip both segments to reach the tables and SOF."""
+    base = (OUT / "imageio_base.jpg").read_bytes()
+    assert base[:2] == b"\xff\xd8", "imageio_base.jpg missing — run make_jpegs first"
+    (OUT / "imageio_exif.jpg").write_bytes(
+        base[:2] + exif_app1() + app13_irb() + base[2:]
+    )
+    return {
+        "imageio_exif.jpg": {"kind": "smooth_rgb", "w": 24, "h": 16, "tol": 4.0}
+    }
+
+
 def main():
     OUT.mkdir(parents=True, exist_ok=True)
     manifest = {}
     manifest.update(make_pngs())
     manifest.update(make_jpegs())
+    manifest.update(make_exif_jpeg())
     (OUT / "manifest.json").write_text(json.dumps(manifest, indent=2) + "\n")
     for name in sorted(manifest):
         print(f"{name}: {(OUT / name).stat().st_size} bytes")
