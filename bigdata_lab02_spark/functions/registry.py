@@ -40,3 +40,208 @@ def register_sql_functions(spark: SparkSession) -> None:
     """
     _ = spark
     return None
+
+
+# --------------------------------------------------------------------------
+# SQL statement builders for the r8 operator families (r9, VERDICT r8
+# item 6): the DataFrame operators in operators/html.py, curation.py,
+# textstats.py and temporal.py re-expressed as plain Spark SQL over a
+# named view — same expressions, same Catalyst plans, so a SQL-only
+# client reaches the full curation surface. Parity with the DataFrame
+# API is asserted in tests/test_sql_surface.py.
+
+
+def sql_str(s: str) -> str:
+    """Python string → Spark SQL string literal under the default parser
+    (escaped string literals: backslashes and quotes need escaping —
+    the regex patterns below are full of both)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def remove_nonprose_sql(expr: str) -> str:
+    """SQL twin of operators.html.remove_nonprose over ``expr``."""
+    from bigdata_lab02_spark.operators import html as hx
+
+    out = f"regexp_replace({expr}, {sql_str(hx.SCRIPT_RE)}, '')"
+    out = f"regexp_replace({out}, {sql_str(hx.STYLE_RE)}, '')"
+    return f"regexp_replace({out}, {sql_str(hx.COMMENT_RE)}, '')"
+
+
+def strip_html_sql(expr: str) -> str:
+    """SQL twin of operators.html.strip_html over ``expr`` — same steps
+    in the same order (the patterns are the very module constants the
+    DataFrame kernel compiles, so the two surfaces cannot drift)."""
+    from bigdata_lab02_spark.operators import html as hx
+
+    out = remove_nonprose_sql(expr)
+    out = f"regexp_replace({out}, {sql_str(hx.BLOCK_BREAK_RE)}, '\\n')"
+    out = f"regexp_replace({out}, {sql_str(hx.TAG_RE)}, ' ')"
+    for ent, ch in hx._ENTITIES:
+        out = f"replace({out}, {sql_str(ent)}, {sql_str(ch)})"
+    out = f"regexp_replace({out}, '[ \\\\t]+', ' ')"
+    out = f"regexp_replace({out}, ' ?\\\\n ?', '\\n')"
+    out = f"regexp_replace({out}, '\\\\n+', '\\n')"
+    return f"btrim({out}, ' \\n')"
+
+
+def html_extract_sql(
+    view: str, html_col: str = "html", id_col: str = "doc_id"
+) -> str:
+    """Full SELECT statement: operators.html.extract_html over ``view``."""
+    from bigdata_lab02_spark.operators import html as hx
+
+    prose = remove_nonprose_sql(html_col)
+    text = strip_html_sql(html_col)
+    anchors = f"regexp_extract_all({prose}, {sql_str(hx.ANCHOR_RE)}, 0)"
+    link_chars = (
+        f"aggregate({anchors}, 0, (acc, s) -> acc + length({strip_html_sql('s')}))"
+    )
+    return f"""SELECT {id_col},
+  {text} AS text,
+  size(regexp_extract_all({html_col}, {sql_str(hx.OPEN_TAG_RE)}, 0)) AS n_tags,
+  size({anchors}) AS n_links,
+  CASE WHEN length({text}) > 0
+    THEN least({link_chars} / length({text}), 1.0d)
+    ELSE 0.0d END AS link_text_frac,
+  CASE WHEN length({html_col}) > 0
+    THEN 1.0d - length({text}) / length({html_col})
+    ELSE 0.0d END AS markup_frac
+FROM {view}"""
+
+
+def c4_filters_sql(
+    view: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> str:
+    """Full SELECT statement: operators.curation.c4_filters over ``view``."""
+    from bigdata_lab02_spark.operators.curation import (
+        C4_BAD_DOC_MARKERS,
+        C4_BAD_LINE_PHRASES,
+        _C4_TERMINALS,
+    )
+
+    ends = " OR ".join(
+        f"endswith(rtrim(l), {sql_str(p)})" for p in _C4_TERMINALS
+    )
+    phrases = " AND ".join(
+        f"NOT contains(lower(l), {sql_str(p)})" for p in C4_BAD_LINE_PHRASES
+    )
+    nw = (
+        "CASE WHEN trim(l) = '' THEN 0 "
+        "ELSE size(split(trim(l), '\\\\s+')) END"
+    )
+    bad = " OR ".join(
+        f"contains(lower({text_col}), {sql_str(m)})" for m in C4_BAD_DOC_MARKERS
+    )
+    return f"""WITH lined AS (
+  SELECT {id_col}, {text_col}, split({text_col}, '\\n') AS lines FROM {view}),
+kept AS (
+  SELECT *, filter(lines, l -> ({ends})
+    AND {nw} >= {min_words_per_line}
+    AND {phrases}) AS kept_lines
+  FROM lined),
+joined AS (
+  SELECT *, array_join(kept_lines, '\\n') AS clean_text,
+    ({bad}) AS bad_doc
+  FROM kept)
+SELECT {id_col}, clean_text,
+  size(lines) AS n_lines,
+  size(kept_lines) AS n_kept_lines,
+  size(regexp_extract_all(clean_text, '[.!?"]+', 0)) AS n_sentences,
+  bad_doc AS bad_doc_marker,
+  size(regexp_extract_all(clean_text, '[.!?"]+', 0)) >= {min_sentences}
+    AND NOT bad_doc AS keep
+FROM joined"""
+
+
+def gopher_rules_sql(
+    view: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> str:
+    """Full SELECT statement: operators.textstats.gopher_rules over
+    ``view`` (features + rule booleans + keep, same thresholds)."""
+    from bigdata_lab02_spark.operators.textstats import (
+        GOPHER_STOPWORDS,
+        _BULLETS,
+    )
+
+    stops = ", ".join(sql_str(w) for w in GOPHER_STOPWORDS)
+    bullets = ", ".join(sql_str(b) for b in _BULLETS)
+    return f"""WITH t AS (
+  SELECT {id_col}, {text_col} AS text,
+    split(trim({text_col}), '\\\\s+') AS words,
+    split({text_col}, '\\n') AS lines
+  FROM {view}),
+m AS (
+  SELECT {id_col}, text, words, lines,
+    CASE WHEN trim(text) = '' THEN 0 ELSE size(words) END AS n_words,
+    size(lines) AS n_lines,
+    aggregate(words, 0, (a, w) -> a + length(w)) AS word_chars,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    size(regexp_extract_all(text, '\\\\.\\\\.\\\\.', 0)) AS n_ell,
+    size(filter(lines, l -> substring(ltrim(l), 1, 1) IN ({bullets})))
+      AS n_bullet,
+    size(filter(lines, l -> endswith(rtrim(l), '...')
+      OR endswith(rtrim(l), '…'))) AS n_ellline,
+    size(filter(words, w -> w rlike '[A-Za-z]')) AS n_alpha,
+    size(array_intersect(array_distinct(transform(words, w -> lower(w))),
+      array({stops}))) AS n_stop_hits
+  FROM t),
+r AS (
+  SELECT {id_col}, n_words,
+    CASE WHEN n_words = 0 THEN 0.0d ELSE word_chars / n_words END
+      AS mean_word_len,
+    CASE WHEN n_words = 0 THEN 0.0d ELSE (n_hash + n_ell) / n_words END
+      AS symbol_ratio,
+    CASE WHEN n_lines = 0 THEN 0.0d ELSE n_bullet / n_lines END
+      AS bullet_line_frac,
+    CASE WHEN n_lines = 0 THEN 0.0d ELSE n_ellline / n_lines END
+      AS ellipsis_line_frac,
+    CASE WHEN n_words = 0 THEN 0.0d ELSE n_alpha / n_words END
+      AS alpha_word_frac,
+    n_stop_hits
+  FROM m)
+SELECT *,
+  n_words >= {min_words} AND n_words <= {max_words} AS rule_word_count,
+  mean_word_len >= 3.0d AND mean_word_len <= 10.0d AS rule_mean_word_len,
+  symbol_ratio <= 0.1d AS rule_symbol_ratio,
+  bullet_line_frac < 0.9d AS rule_bullet_lines,
+  ellipsis_line_frac < 0.3d AS rule_ellipsis_lines,
+  alpha_word_frac >= 0.8d AS rule_alpha_words,
+  n_stop_hits >= 2 AS rule_stopwords,
+  (n_words >= {min_words} AND n_words <= {max_words})
+    AND (mean_word_len >= 3.0d AND mean_word_len <= 10.0d)
+    AND symbol_ratio <= 0.1d AND bullet_line_frac < 0.9d
+    AND ellipsis_line_frac < 0.3d AND alpha_word_frac >= 0.8d
+    AND n_stop_hits >= 2 AS keep
+FROM r"""
+
+
+def range_join_sql(
+    points_view: str,
+    intervals_view: str,
+    ts_col: str = "ts",
+    lo_col: str = "t_lo",
+    hi_col: str = "t_hi",
+    bin_seconds: int = 3600,
+) -> str:
+    """Full SELECT statement: operators.temporal.range_join over two
+    views — the same binned equi-join composition (never a
+    BroadcastNestedLoop theta-join)."""
+    b = bin_seconds
+    return f"""WITH p AS (
+  SELECT *, floor(unix_timestamp({ts_col}) / {b}) AS __bin
+  FROM {points_view}),
+i AS (
+  SELECT *, explode(sequence(floor(unix_timestamp({lo_col}) / {b}),
+    floor(unix_timestamp({hi_col}) / {b}))) AS __bin
+  FROM {intervals_view})
+SELECT p.* EXCEPT (__bin), i.* EXCEPT (__bin)
+FROM p JOIN i USING (__bin)
+WHERE p.{ts_col} >= i.{lo_col} AND p.{ts_col} < i.{hi_col}"""

@@ -63,3 +63,99 @@ def test_tfidf_pipeline_in_pure_sql(spark, tiny_corpus):
     a = sorted(map(tuple, sql_result.collect()))
     b = sorted(map(tuple, df_result.collect()))
     assert a == b
+
+
+# ------------------------- r9: SQL surface for the r8 operator families
+
+
+def test_html_extract_in_pure_sql(spark):
+    """registry.html_extract_sql over a view equals extract_html —
+    including the r9 adversarial shapes (quoted '>', <article>, hidden
+    anchors)."""
+    from bigdata_lab02_spark.functions.registry import html_extract_sql
+    from bigdata_lab02_spark.operators.html import extract_html
+
+    rows = [
+        (1, '<p>Hello &amp; bye</p><a href="/x">link</a>'),
+        (2, '<a href="/q?a>b" title="x>y">deep</a> tail.'),
+        (3, "<article><p>Prose here.</p></article><a>tiny</a>"),
+        (4, '<!-- <a href="/ghost">ghost</a> --><script>var a=1;</script>ok'),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    df.createOrReplaceTempView("pages_v")
+    a = sorted(map(tuple, spark.sql(html_extract_sql("pages_v")).collect()))
+    b = sorted(map(tuple, extract_html(df).collect()))
+    assert a == b
+
+
+def test_c4_filters_in_pure_sql(spark):
+    from bigdata_lab02_spark.functions.registry import c4_filters_sql
+    from bigdata_lab02_spark.operators.curation import c4_filters
+
+    rows = [
+        (1, "This is a fine sentence with many words today.\n" * 4),
+        (2, "tiny line.\nFour words sit here.\nExactly five words sit here."),
+        (3, "Please enable javascript to view this page today.\nlorem ipsum"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("c4_docs_v")
+    a = sorted(map(tuple, spark.sql(c4_filters_sql("c4_docs_v")).collect()))
+    b = sorted(map(tuple, c4_filters(df).collect()))
+    assert a == b
+
+
+def test_gopher_rules_in_pure_sql(spark):
+    from bigdata_lab02_spark.functions.registry import gopher_rules_sql
+    from bigdata_lab02_spark.operators.textstats import gopher_rules
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 8),
+        (2, "# " * 30 + "words to have and the be of it"),
+        (3, "- bullet\n- bullet\nplain line with the words to be had"),
+        (4, "teaser line ends this way...\n" * 3 + "the rest is to be fine"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("gopher_docs_v")
+    cols = [
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "n_stop_hits", "rule_word_count", "rule_mean_word_len",
+        "rule_symbol_ratio", "rule_bullet_lines", "rule_ellipsis_lines",
+        "rule_alpha_words", "rule_stopwords", "keep",
+    ]
+    a = sorted(
+        map(tuple, spark.sql(gopher_rules_sql("gopher_docs_v")).select(*cols).collect())
+    )
+    b = sorted(map(tuple, gopher_rules(df).select(*cols).collect()))
+    assert a == b
+
+
+def test_range_join_in_pure_sql(spark):
+    from bigdata_lab02_spark.functions.registry import range_join_sql
+    from bigdata_lab02_spark.operators.temporal import range_join
+    from tests.conftest import TESTDATA
+
+    ev = spark.read.parquet(f"{TESTDATA}/sf0.001/events.parquet").select(
+        "event_id", "ts", "value"
+    )
+    iv = (
+        ev.where(F.col("event_id") % 17 == 0)
+        .select(
+            F.col("event_id").alias("interval_id"),
+            F.col("ts").alias("t_lo"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("t_hi"),
+        )
+    )
+    ev.createOrReplaceTempView("rj_points_v")
+    iv.createOrReplaceTempView("rj_intervals_v")
+    sql = range_join_sql(
+        "rj_points_v", "rj_intervals_v", bin_seconds=3600
+    )
+    a = sorted(map(tuple, spark.sql(sql).collect()))
+    b = sorted(
+        map(tuple, range_join(ev, iv, bin_seconds=3600).collect())
+    )
+    assert a == b and a

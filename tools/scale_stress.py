@@ -187,6 +187,84 @@ def main() -> None:
         finally:
             shutil.rmtree(dm, ignore_errors=True)
 
+    # r9 (VERDICT r8 item 5): persisted-layout growth series. The claim
+    # behind dedup_incremental / ivf_topk_persisted is that the corpus-
+    # sized cost is paid ONCE at layout-build time, while the per-shard /
+    # per-probe cost tracks the shard and its collisions (resp. the
+    # probed-list volume), not the corpus. Measured directly: shard and
+    # query set FIXED at sf0.1 size, corpus grown 1x/4x/16x (duplicate-
+    # saturated), build and probe walls timed separately.
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from bigdata_lab02_spark.operators import dedup as dd  # noqa: E402
+    from bigdata_lab02_spark.operators import similarity as sim  # noqa: E402
+
+    def noop(df) -> float:
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    shard = spark.read.parquet(f"{SRC}/documents.parquet").where(
+        F.col("doc_id") % 4 == 0
+    )
+    fixed_queries = spark.read.parquet(f"{SRC}/embeddings.parquet").where(
+        F.col("vec_id") < 10
+    )
+    growth: dict = {"mults": [1, 4, 16], "incremental": {}, "ivf": {}}
+    payload["persisted_growth"] = growth
+    for m in growth["mults"]:
+        dm = tempfile.mkdtemp(prefix=f"grow{m}_")
+        try:
+            make_scaled(dm, mult=m)
+            docs_m = spark.read.parquet(f"{dm}/documents.parquet")
+            # replica id shifts are ≡ 0 mod 4, so the corpus filter keeps
+            # exactly the replicas of the non-shard quarters — the shard
+            # never collides with copies of itself
+            corpus = docs_m.where(F.col("doc_id") % 4 != 0)
+            t0 = time.time()
+            dd.persist_corpus_bands(
+                corpus, f"bands_grow_{m}", num_hashes=8, shingle_n=3, bands=4
+            )
+            build_w = time.time() - t0
+            probe_w = noop(
+                dd.minhash_dedup_incremental(
+                    shard, corpus, spark.table(f"bands_grow_{m}"),
+                    num_hashes=8, shingle_n=3, bands=4, threshold=0.5,
+                )
+            )
+            growth["incremental"][str(m)] = {
+                "build": round(build_w, 2), "probe": round(probe_w, 2),
+            }
+            print(f"dedup_incremental @{m}x corpus: build {build_w:.2f}s, "
+                  f"fixed-shard probe {probe_w:.2f}s")
+
+            emb_m = spark.read.parquet(f"{dm}/embeddings.parquet")
+            # replica vec_ids are >= 10^7, so the centroid set is the
+            # same 10 base vectors at every mult
+            cents = emb_m.where(
+                (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)
+            ).select(
+                (F.col("vec_id") / 50).cast("int").alias("cluster_id"),
+                F.col("embedding").alias("centroid"),
+            )
+            path = f"{dm}/ivf_lists"
+            t0 = time.time()
+            sim.persist_ivf_lists(emb_m, cents, path)
+            build_w = time.time() - t0
+            probe_w = noop(
+                sim.ivf_topk_persisted(
+                    spark, path, fixed_queries, cents, k=5, nprobe=3
+                )
+            )
+            growth["ivf"][str(m)] = {
+                "build": round(build_w, 2), "probe": round(probe_w, 2),
+            }
+            print(f"ivf_topk_persisted @{m}x corpus: build {build_w:.2f}s, "
+                  f"fixed-query probe {probe_w:.2f}s")
+            persist()
+        finally:
+            shutil.rmtree(dm, ignore_errors=True)
+
     print(f"-> {out} (picked up by tools/scaling_audit.py)")
 
 
