@@ -52,6 +52,18 @@ def read_jsonl(spark, path: str, schema) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def bucketed_table_name(name: str) -> str:
+    """Resolve the ``name@version`` convention to a Spark table
+    identifier (``corpus@v3`` → ``corpus__v3`` — identifiers cannot
+    carry ``@``). Plain names pass through unchanged."""
+    return name.replace("@", "__")
+
+
+def read_bucketed(spark, name: str) -> DataFrame:
+    """Read a ``write_bucketed`` table back, honoring ``name@version``."""
+    return spark.table(bucketed_table_name(name))
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
@@ -65,8 +77,20 @@ def write_bucketed(
     WITHOUT an exchange — the co-location replaces the shuffle. This is the
     batch-layout lever for repeated large-to-large joins at 100 TB
     (fact-to-fact joins on orderkey, doc-to-doc self-joins on shingle
-    buckets). Verified at the plan level in tests/test_bucketing.py."""
+    buckets). Verified at the plan level in tests/test_bucketing.py.
+
+    **Overwrite semantics**: an existing table of the same resolved name
+    is DROPPED and its warehouse directory removed before the write —
+    right for this sandbox's fresh-metastore runs, but destructive. A
+    production curation pipeline should version its layouts instead of
+    overwriting the live one: pass ``table_name`` as ``name@version``
+    (``corpus_bands@v3``), which resolves to the identifier
+    ``corpus_bands__v3`` — each corpus snapshot gets its own table, an
+    in-flight rebuild never clobbers the layout readers are probing, and
+    cutover is just pointing readers at the new version
+    (``read_bucketed(spark, 'corpus_bands@v4')``)."""
     spark = df.sparkSession
+    table_name = bucketed_table_name(table_name)
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     # a previous session's managed-table directory outlives the (fresh)
     # metastore; an orphan location fails saveAsTable with

@@ -191,3 +191,24 @@ def test_stream_dedup_corpus_not_broadcast(spark):
         }
     )
     assert got == want and got
+
+
+def test_versioned_bucketed_layouts(spark):
+    """The name@version convention (r9): two corpus snapshots coexist as
+    separate tables — writing v2 does not clobber v1, both read back by
+    their versioned names, and each keeps the bucketed layout."""
+    from bigdata_lab02_spark.sources.sinks import read_bucketed
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    v1 = docs.select(F.md5("text").alias("digest"), "doc_id")
+    v2 = v1.where(F.col("doc_id") % 2 == 0)
+    write_bucketed(v1, "vers_corpus@v1", ["digest"], 8)
+    write_bucketed(v2, "vers_corpus@v2", ["digest"], 8)
+    r1 = read_bucketed(spark, "vers_corpus@v1")
+    r2 = read_bucketed(spark, "vers_corpus@v2")
+    assert r1.count() == docs.count()
+    assert r2.count() == v2.count() < r1.count()
+    # v1 survived the v2 write, and the groupBy over either version
+    # still plans exchange-free (layout intact)
+    agg = r1.groupBy("digest").agg(F.count("*").alias("n"))
+    assert plan_report(agg).n_exchanges == 0
