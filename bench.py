@@ -113,6 +113,10 @@ EXTRA = [
     "range_join",
     "dedup_incremental",
     "ivf_topk_persisted",
+    # r9: the composed crawl-curation chain (in-window; the heaviest
+    # single projection in the engine) and the repetition-rule gate
+    "crawl_curation_pipeline",
+    "gopher_repetition",
 ]
 STREAMING_LAST = [
     "stream_hourly",
