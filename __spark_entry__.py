@@ -1281,6 +1281,18 @@ def _html_nonprose_sql(e: str) -> str:
     return f"regexp_replace({out}, '(?s)<!--.*?-->', '', 'g')"
 
 
+# The named-entity decode restated (r9 extended set; &amp; stays LAST —
+# single-pass decode, so &amp;lt; yields the literal text &lt;).
+_H_ENTITIES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ("&#34;", '"'), ("&apos;", "'"), ("&nbsp;", " "), ("&mdash;", "—"),
+    ("&ndash;", "–"), ("&hellip;", "…"), ("&lsquo;", "‘"),
+    ("&rsquo;", "’"), ("&ldquo;", "“"), ("&rdquo;", "”"), ("&copy;", "©"),
+    ("&reg;", "®"), ("&trade;", "™"), ("&deg;", "°"), ("&middot;", "·"),
+    ("&amp;", "&"),
+]
+
+
 def _html_strip_sql(e: str) -> str:
     """operators/html.strip_html restated for DuckDB, step for step and in
     the same order (script/style/comment bodies first, block breaks →
@@ -1289,12 +1301,8 @@ def _html_strip_sql(e: str) -> str:
     out = _html_nonprose_sql(e)
     out = f"regexp_replace({out}, {_rq(_H_BREAK)}, chr(10), 'g')"
     out = f"regexp_replace({out}, {_rq(_H_TAG)}, ' ', 'g')"
-    out = f"replace({out}, '&lt;', '<')"
-    out = f"replace({out}, '&gt;', '>')"
-    out = f'replace({out}, \'&quot;\', \'"\')'
-    out = f"replace({out}, '&#39;', '''')"
-    out = f"replace({out}, '&nbsp;', ' ')"
-    out = f"replace({out}, '&amp;', '&')"
+    for ent, ch in _H_ENTITIES:
+        out = f"replace({out}, {_rq(ent)}, {_rq(ch)})"
     out = f"regexp_replace({out}, '[ \\t]+', ' ', 'g')"
     out = f"regexp_replace({out}, ' ?\\n ?', chr(10), 'g')"
     out = f"regexp_replace({out}, '\\n+', chr(10), 'g')"

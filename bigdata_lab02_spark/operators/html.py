@@ -52,14 +52,33 @@ TAG_RE = rf"(?s)<{_ATTRS}>"
 ANCHOR_RE = rf"(?is)<a(?:\s{_ATTRS})?>.*?</a>"
 OPEN_TAG_RE = rf"(?s)<[A-Za-z]{_ATTRS}>"
 
-# Minimal entity set; ``&amp;`` is decoded LAST so ``&amp;lt;`` yields the
-# literal text ``&lt;`` (single-pass decode, never a double decode).
+# Named-entity set (r9: extended beyond the structural six to the
+# typographic/symbol names common in crawl prose); ``&amp;`` is decoded
+# LAST so ``&amp;lt;`` yields the literal text ``&lt;`` (single-pass
+# decode, never a double decode). Numeric references other than
+# ``&#39;``/``&#34;`` are left as-is — an honest, documented limit (a
+# general ``&#NNN;`` decode needs per-match code-point arithmetic, which
+# would break the pure replace-chain form both engines replay).
 _ENTITIES = [
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
+    ("&#34;", '"'),
+    ("&apos;", "'"),
     ("&nbsp;", " "),
+    ("&mdash;", "—"),
+    ("&ndash;", "–"),
+    ("&hellip;", "…"),
+    ("&lsquo;", "‘"),
+    ("&rsquo;", "’"),
+    ("&ldquo;", "“"),
+    ("&rdquo;", "”"),
+    ("&copy;", "©"),
+    ("&reg;", "®"),
+    ("&trade;", "™"),
+    ("&deg;", "°"),
+    ("&middot;", "·"),
     ("&amp;", "&"),
 ]
 

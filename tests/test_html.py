@@ -115,6 +115,15 @@ def test_block_break_name_boundary(spark):
     assert out == "code tail end."
 
 
+def test_extended_entity_decode(spark):
+    # r9: typographic/symbol names decode; &amp; still last (no double
+    # decode); unknown names and numeric refs pass through untouched
+    h = "A&mdash;B &hellip; &copy;2024 &rsquo;q&rsquo; &amp;copy; &#160; &bogus;"
+    df = spark.createDataFrame([(h,)], "html string")
+    out = df.select(strip_html(F.col("html")).alias("t")).collect()[0]["t"]
+    assert out == "A—B … ©2024 ’q’ &copy; &#160; &bogus;"
+
+
 def test_link_text_frac_clamped(spark):
     # nested anchors can make span sums exceed the page extraction; the
     # fraction is clamped to 1.0
