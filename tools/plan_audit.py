@@ -63,6 +63,8 @@ AUDIT = [
     "wav_edges",
     "dedup_incremental",
     "ivf_topk_persisted",
+    "html_extract",
+    "crawl_curation_pipeline",
 ]
 
 COMMENT = {
@@ -109,6 +111,8 @@ COMMENT = {
     "wav_edges": "Zero exchanges: WAV bytes generated, decoded (8/16/24-bit PCM) and reduced to integer stream stats inside one Arrow-batched mapInPandas chain.",
     "dedup_incremental": "New shard's bands join the precomputed corpus band table on the single band_hash key (bucketed layout joins co-located — only the shard side shuffles); exact-Jaccard verify shingles candidate-matched docs only via leftsemi pruning.",
     "ivf_topk_persisted": "Corpus lists read from the hive layout with list_id PartitionFilters (directory pruning to the probed lists); probes broadcast; the only data-sized exchange is the per-query top-k.",
+    "html_extract": "Zero exchanges: the whole strip kernel + markup features are ONE generated projection fused with the scan.",
+    "crawl_curation_pipeline": "Zero exchanges END-TO-END: html strip -> C4 line rules -> Gopher quality + 13 repetition folds chain through column passthrough (no re-join on doc_id) — the whole crawl->verdict pipeline is one fused map over the corpus.",
 }
 
 
