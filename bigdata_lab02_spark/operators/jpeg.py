@@ -33,10 +33,14 @@ y4m.py) and the format a real 100 TB crawl actually leads with.
   into RGB). Streams must end in EOI — a cut at a scan boundary is an
   honest failure, never a partial image.
 
-Scope limits: sampling layouts 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 / grayscale; no
-arithmetic coding / hierarchical / 12-bit modes. Anything outside the
-profile raises ``JpegError``, which the pipeline maps to
-``decode_ok=False`` (the honest-failure path).
+Scope limits: sampling layouts 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 / grayscale;
+12-bit sample precision decodes in EXTENDED SEQUENTIAL form (SOF1, r9:
+level shift 2048, DC categories to 15, AC to 14, Pq=1 16-bit quant
+tables; pixels reduced ``>> 4`` to the engine's 8-bit surface — the PNG
+16-bit discipline); no arithmetic coding / hierarchical / lossless /
+12-bit-progressive modes. Anything outside the profile raises
+``JpegError``, which the pipeline maps to ``decode_ok=False`` (the
+honest-failure path).
 
 Rounding discipline (the oracle contract): every float→int step —
 forward/inverse color conversion, quantization, pixel reconstruction —
@@ -91,6 +95,12 @@ DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 DC_LUM_VALS = list(range(12))
 DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
 DC_CHROM_VALS = list(range(12))
+# 12-bit-precision DC table: categories reach 15 (T.81 Table F.1 at
+# P=12), so the Annex K shape is extended with one code per extra
+# length — still a valid canonical prefix code (each deeper length
+# doubles the space and consumes one slot).
+DC12_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0]
+DC12_VALS = list(range(16))
 
 # Custom AC table (valid canonical code, carried in DHT): EOB0 gets a
 # 2-bit code; the 161 baseline (run,size) symbols plus the 14 progressive
@@ -575,6 +585,13 @@ def _dqt_body(tid: int, table: np.ndarray) -> bytes:
     return bytes([tid]) + bytes(int(table[r, c]) for r, c in _ZIGZAG)
 
 
+def _dqt_body16(tid: int, table: np.ndarray) -> bytes:
+    """Pq=1 (16-bit entry) DQT body — what 12-bit streams usually carry."""
+    return bytes([0x10 | tid]) + b"".join(
+        struct.pack(">H", int(table[r, c])) for r, c in _ZIGZAG
+    )
+
+
 def _dht_body(cls_id: int, bits: list[int], vals: list[int]) -> bytes:
     return bytes([cls_id]) + bytes(bits) + bytes(vals)
 
@@ -819,6 +836,79 @@ def encode_jpeg(
     return out + b"\xff\xd9"  # EOI
 
 
+def encode_jpeg12_gray(
+    width: int,
+    height: int,
+    samples,
+    quant16: bool = False,
+) -> bytes:
+    """12-bit grayscale EXTENDED-SEQUENTIAL (SOF1) encoder (r9) — the
+    medical/scientific-imaging profile, and the fixture source for the
+    decoder's 12-bit path. ``samples`` is ``width*height`` ints in
+    0..4095, row-major. Level shift is 2048 (T.81 F.1.1.3 at P=12) and
+    the DC Huffman table carries all 16 categories (``DC12_BITS``).
+    ``quant16=True`` writes the quant table as a Pq=1 (16-bit-entry)
+    DQT — same values, exercising the decoder's wide-table parse, the
+    layout most real 12-bit writers emit.
+
+    Smooth content only by design: the Annex-K-shaped AC table tops out
+    at magnitude category 10, so a quantized AC coefficient needing
+    more raises ``JpegError`` instead of emitting an undecodable symbol
+    (with ``QUANT_LUM`` this admits all slowly-varying 12-bit content;
+    hard 12-bit edges would need a custom AC table)."""
+    arr = np.asarray(list(samples), dtype=np.int64)
+    if arr.size != width * height:
+        raise JpegError(
+            f"sample buffer is {arr.size} values, want {width * height}"
+        )
+    if width <= 0 or height <= 0:
+        raise JpegError("dimensions must be positive")
+    if arr.min() < 0 or arr.max() > 4095:
+        raise JpegError("12-bit samples must be in 0..4095")
+    plane = arr.reshape(height, width).astype(np.float64)
+    pw, ph = 8 * (-(-width // 8)), 8 * (-(-height // 8))
+    if (pw, ph) != (width, height):
+        plane = np.pad(
+            plane, ((0, ph - height), (0, pw - width)), mode="edge"
+        )
+    dc = _canonical_codes(DC12_BITS, DC12_VALS)
+    ac = _canonical_codes(AC_BITS, AC_VALS)
+    w = _BitWriter()
+    pred = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = _dct2(block - 2048.0)
+            zz = [int(v) for v in
+                  (_rnd(coef / QUANT_LUM)[r, c] for r, c in _ZIGZAG)]
+            for v in zz[1:]:
+                if v and _category(v) > 10:
+                    raise JpegError(
+                        "AC magnitude exceeds the Annex-K table "
+                        "(content too sharp for this 12-bit profile)"
+                    )
+            pred = _emit_full_block(w, zz, pred, dc, ac)
+    entropy = w.flush()
+    jfif = (
+        b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 1, 1)
+        + b"\x00\x00"
+    )
+    sof = bytes([12]) + struct.pack(">HH", height, width) + bytes([1])
+    sof += bytes([1, 0x11, 0])
+    dqt = _dqt_body16(0, QUANT_LUM) if quant16 else _dqt_body(0, QUANT_LUM)
+    return (
+        b"\xff\xd8"
+        + _seg(0xE0, jfif)
+        + _seg(0xDB, dqt)
+        + _seg(0xC1, sof)  # SOF1: extended sequential
+        + _seg(0xC4, _dht_body(0x00, DC12_BITS, DC12_VALS))
+        + _seg(0xC4, _dht_body(0x10, AC_BITS, AC_VALS))
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
 # ----------------------------------------------------------- decoder
 
 
@@ -870,6 +960,7 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
     comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, quant id)
     restart_interval = 0
     progressive = False
+    precision = 8  # sample precision from SOF (8, or 12 for SOF1)
     n_scans = 0
     coefs: list[np.ndarray] = []  # per comp: (nby, nbx, 64) int64 zigzag
     # per comp, per zigzag index: Al of the last scan that touched it
@@ -881,7 +972,8 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
 
     def decode_full_block(br, zz, dc_table, ac_table, state, comp):
         size = _decode_symbol(br, dc_table)
-        if size > 11:  # T.81 baseline DC category range
+        # T.81 DC category range: 11 at 8-bit, 15 at 12-bit precision
+        if size > (11 if precision == 8 else 15):
             raise JpegError("DC category out of range")
         diff = _extend(br.bits(size), size) if size else 0
         state.preds[comp] += diff
@@ -898,8 +990,9 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                 continue
             run, size = sym >> 4, sym & 0x0F
             i += run
-            if i > 63 or size == 0 or size > 10:
-                raise JpegError("AC run/size out of baseline range")
+            # AC magnitude category range: 10 at 8-bit, 14 at 12-bit
+            if i > 63 or size == 0 or size > (10 if precision == 8 else 14):
+                raise JpegError("AC run/size out of range")
             zz[i] = _extend(br.bits(size), size)
             i += 1
 
@@ -1132,15 +1225,20 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
             b = 0
             while b < len(body):
                 pq, tq = body[b] >> 4, body[b] & 0x0F
-                if pq != 0:
-                    raise JpegError("16-bit quant tables unsupported")
-                if b + 65 > len(body):
+                if pq not in (0, 1):  # Pq=1: 16-bit entries (12-bit streams)
+                    raise JpegError(f"bad DQT precision {pq}")
+                n = 64 * (pq + 1)
+                if b + 1 + n > len(body):
                     raise JpegError("short DQT")
+                if pq == 0:
+                    vals = body[b + 1 : b + 65]
+                else:
+                    vals = struct.unpack_from(">64H", body, b + 1)
                 t = np.zeros((8, 8), dtype=np.int32)
                 for i, (r, c) in enumerate(_ZIGZAG):
-                    t[r, c] = body[b + 1 + i]
+                    t[r, c] = vals[i]
                 quants[tq] = t
-                b += 65
+                b += 1 + n
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             b = 0
             while b < len(body):
@@ -1157,12 +1255,25 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                     (code, length): sym for sym, (code, length) in codes.items()
                 }
                 b += 17 + nvals
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2 progressive
             if comps:
                 raise JpegError("multiple SOF segments")
             progressive = marker == 0xC2
-            if len(body) < 6 or body[0] != 8:
-                raise JpegError("only 8-bit precision supported")
+            if len(body) < 6:
+                raise JpegError("short SOF")
+            # 12-bit sample precision is legal only in extended
+            # sequential here (T.81 allows 12-bit SOF2 too; that profile
+            # stays an honest failure — the progressive machinery is
+            # gated at 8-bit)
+            if body[0] == 12 and marker == 0xC1:
+                precision = 12
+            elif body[0] == 8:
+                precision = 8
+            else:
+                raise JpegError(
+                    f"precision {body[0]} unsupported for SOF{marker - 0xC0}"
+                )
             height, width = struct.unpack_from(">HH", body, 1)
             ncomp = body[5]
             if ncomp not in (1, 3):
@@ -1213,7 +1324,7 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                     np.zeros((n_mcuy * cv, n_mcux * ch, 64), dtype=np.int64)
                 )
                 band_al.append([-1] * 64)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError("unsupported SOF type")
         elif marker == 0xDD:  # DRI
@@ -1246,6 +1357,8 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
         np.zeros((8 * n_mcuy * cv, 8 * n_mcux * ch), dtype=np.int32)
         for _, ch, cv, _ in comps
     ]
+    mid = float(1 << (precision - 1))  # level shift: 128 (8-bit) / 2048
+    maxv = (1 << precision) - 1
     for idx, (_, ch, cv, tq) in enumerate(comps):
         quant = quants[tq]
         for by, row in enumerate(coefs[idx]):
@@ -1253,8 +1366,14 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                 coef = np.zeros((8, 8), dtype=np.float64)
                 for i, (r, c) in enumerate(_ZIGZAG):
                     coef[r, c] = zz[i] * quant[r, c]
-                block = np.clip(_rnd(_idct2(coef) + 128.0), 0, 255)
+                block = np.clip(_rnd(_idct2(coef) + mid), 0, maxv)
                 planes[idx][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    if precision == 12:
+        # high-nibble reduction to the engine's 8-bit pixel surface —
+        # the same discipline as PNG 16-bit samples (v >> 8 there);
+        # chroma stays centered (2048 >> 4 == 128) so the color
+        # conversion below is unchanged
+        planes = [p >> 4 for p in planes]
     # upsample subsampled components to full resolution (pixel replication)
     full = []
     for plane, (_, ch, cv, _) in zip(planes, comps):

@@ -790,3 +790,80 @@ class Test440:
         comps = [(body[6 + c * 3 + 1] >> 4, body[6 + c * 3 + 1] & 15)
                  for c in range(body[5])]
         assert comps == [(1, 2), (1, 1), (1, 1)]
+
+
+class Test12Bit:
+    """r9: 12-bit extended-sequential (SOF1) — level shift 2048, DC
+    categories to 15, Pq=1 quant tables, >>4 reduction to the 8-bit
+    pixel surface (the PNG-16-bit discipline)."""
+
+    def test_constant_image_exact(self):
+        w, h = 20, 12
+        data = J.encode_jpeg12_gray(w, h, [3000] * (w * h))
+        gw, gh, ch, rgb = J.decode_jpeg(data)
+        assert (gw, gh, ch) == (w, h, 3)
+        a = np.frombuffer(rgb, np.uint8)
+        assert set(a.tolist()) == {3000 >> 4}
+
+    @pytest.mark.parametrize("quant16", [False, True])
+    def test_gradient_within_one_level(self, quant16):
+        # smooth 12-bit ramp spanning most of the range; after the >>4
+        # reduction a correct decode sits within 1 intensity level
+        w, h = 24, 16
+        vals = [min(4095, 100 + x * 11 + y * 13)
+                for y in range(h) for x in range(w)]
+        data = J.encode_jpeg12_gray(w, h, vals, quant16=quant16)
+        gw, gh, _, rgb = J.decode_jpeg(data)
+        got = np.frombuffer(rgb, np.uint8).reshape(gh, gw, 3)[..., 0]
+        want = np.array(vals).reshape(h, w) >> 4
+        assert np.abs(got.astype(int) - want).max() <= 1
+
+    def test_uses_high_dc_categories(self):
+        # alternating extreme blocks force DC diffs beyond the 8-bit
+        # category ceiling (11) — the 16-category table must carry them
+        w, h = 32, 8
+        vals = []
+        for y in range(h):
+            for x in range(w):
+                vals.append(40 if (x // 8) % 2 == 0 else 4060)
+        data = J.encode_jpeg12_gray(w, h, vals)
+        gw, gh, _, rgb = J.decode_jpeg(data)
+        got = np.frombuffer(rgb, np.uint8).reshape(gh, gw, 3)[..., 0]
+        # block interiors recover the plateau values
+        assert abs(int(got[4, 4]) - (40 >> 4)) <= 2
+        assert abs(int(got[4, 12]) - (4060 >> 4)) <= 2
+
+    def test_sof_marker_and_quant_precision_pinned(self):
+        data = J.encode_jpeg12_gray(8, 8, [1234] * 64, quant16=True)
+        assert b"\xff\xc1" in data and b"\xff\xc0" not in data
+        i = data.find(b"\xff\xdb")
+        assert data[i + 4] == 0x10  # Pq=1, Tq=0
+        i = data.find(b"\xff\xc1")
+        assert data[i + 4] == 12  # sample precision
+
+    def test_12bit_baseline_and_progressive_rejected(self):
+        data = bytearray(J.encode_jpeg12_gray(8, 8, [99] * 64))
+        i = data.find(b"\xff\xc1")
+        for bad_sof in (0xC0, 0xC2):
+            mut = bytearray(data)
+            mut[i + 1] = bad_sof
+            with pytest.raises(J.JpegError, match="precision 12"):
+                J.decode_jpeg(bytes(mut))
+
+    def test_out_of_range_samples_rejected(self):
+        with pytest.raises(J.JpegError, match="0..4095"):
+            J.encode_jpeg12_gray(2, 2, [0, 1, 2, 4096])
+
+    def test_byte_flip_never_hangs_or_miscounts(self):
+        # fuzz discipline of the other codecs: every single-byte flip
+        # either decodes to the right shape or raises J.JpegError
+        data = J.encode_jpeg12_gray(16, 8, [200 + 17 * i for i in range(128)])
+        rng = np.random.default_rng(7)
+        for pos in rng.choice(len(data), size=60, replace=False):
+            mut = bytearray(data)
+            mut[pos] ^= 0x5A
+            try:
+                gw, gh, ch, rgb = J.decode_jpeg(bytes(mut))
+                assert len(rgb) == gw * gh * ch
+            except J.JpegError:
+                pass
