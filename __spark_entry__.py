@@ -1219,6 +1219,8 @@ _HTML_FIXTURE_EXPR = (
     # element that a name-unanchored anchor regex would swallow whole,
     # anchors hiding in comments/scripts (must NOT count as links), and a
     # </pre> that a boundary-less '/p' block-break rule would newline.
+    " || CASE WHEN doc_id % 5 = 1 THEN '<![CDATA[ raw < markup & '"
+    " || doc_id || ' ]]>' ELSE '' END"
     " || CASE WHEN doc_id % 5 = 2 THEN '<a href=\"/q?a>b\" title=\"x>y\">deep '"
     " || doc_id || '</a> <img title=''1 > 0''>' ELSE '' END"
     " || CASE WHEN doc_id % 5 = 3 THEN"
@@ -1272,13 +1274,18 @@ def _rq(pat: str) -> str:
     return "'" + pat.replace("'", "''") + "'"
 
 
+_H_CDATA = r"(?s)<!\[CDATA\[.*?\]\]>"
+
+
 def _html_nonprose_sql(e: str) -> str:
     """operators/html.remove_nonprose restated: script/style/comment
-    bodies removed — the shared first pass for BOTH the prose kernel and
-    the anchor features (commented-out/scripted anchors are not links)."""
+    bodies and CDATA sections removed — the shared first pass for BOTH
+    the prose kernel and the anchor features (commented-out/scripted
+    anchors are not links)."""
     out = f"regexp_replace({e}, {_rq(_H_SCRIPT)}, '', 'g')"
     out = f"regexp_replace({out}, {_rq(_H_STYLE)}, '', 'g')"
-    return f"regexp_replace({out}, '(?s)<!--.*?-->', '', 'g')"
+    out = f"regexp_replace({out}, '(?s)<!--.*?-->', '', 'g')"
+    return f"regexp_replace({out}, {_rq(_H_CDATA)}, '', 'g')"
 
 
 # The named-entity decode restated (r9 extended set; &amp; stays LAST —

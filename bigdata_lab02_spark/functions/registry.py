@@ -64,7 +64,8 @@ def remove_nonprose_sql(expr: str) -> str:
 
     out = f"regexp_replace({expr}, {sql_str(hx.SCRIPT_RE)}, '')"
     out = f"regexp_replace({out}, {sql_str(hx.STYLE_RE)}, '')"
-    return f"regexp_replace({out}, {sql_str(hx.COMMENT_RE)}, '')"
+    out = f"regexp_replace({out}, {sql_str(hx.COMMENT_RE)}, '')"
+    return f"regexp_replace({out}, {sql_str(hx.CDATA_RE)}, '')"
 
 
 def strip_html_sql(expr: str) -> str:

@@ -40,6 +40,13 @@ _ATTRS = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*"
 SCRIPT_RE = rf"(?is)<script(?:\s{_ATTRS})?>.*?</script>"
 STYLE_RE = rf"(?is)<style(?:\s{_ATTRS})?>.*?</style>"
 COMMENT_RE = r"(?s)<!--.*?-->"
+# CDATA sections are removed whole (r9). Unwrapping would be wrong at
+# the regex tier: CDATA exists precisely to carry raw '<'/'&', so the
+# unwrapped content would immediately be re-eaten by the tag strip. In
+# HTML5 crawl pages CDATA appears almost only inside script/SVG blocks;
+# dropping it loses no prose while keeping the kernel a pure
+# replace/strip chain both engines replay.
+CDATA_RE = r"(?s)<!\[CDATA\[.*?\]\]>"
 # Closing block elements and <br> become newlines so prose keeps its
 # line structure (what line-level dedup and the Gopher line rules need).
 # The tag NAME is boundary-anchored (immediately ``>``, or whitespace/``/``
@@ -95,7 +102,8 @@ def remove_nonprose(html: Column) -> Column:
     (anchors hiding in commented-out or scripted markup are not links)."""
     out = F.regexp_replace(html, SCRIPT_RE, "")
     out = F.regexp_replace(out, STYLE_RE, "")
-    return F.regexp_replace(out, COMMENT_RE, "")
+    out = F.regexp_replace(out, COMMENT_RE, "")
+    return F.regexp_replace(out, CDATA_RE, "")
 
 
 def strip_html(html: Column) -> Column:

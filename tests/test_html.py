@@ -124,6 +124,17 @@ def test_extended_entity_decode(spark):
     assert out == "A—B … ©2024 ’q’ &copy; &#160; &bogus;"
 
 
+def test_cdata_removed_whole(spark):
+    # r9: CDATA sections drop entirely — unwrapping would feed raw '<'
+    # back into the tag strip (documented limit); anchors inside CDATA
+    # are not links
+    h = '<p>before</p><![CDATA[ x < y <a href="/c">ghost</a> ]]>after.'
+    df = spark.createDataFrame([(1, h)], "doc_id long, html string")
+    row = extract_html(df).collect()[0]
+    assert row["text"] == "before\nafter."
+    assert row["n_links"] == 0
+
+
 def test_link_text_frac_clamped(spark):
     # nested anchors can make span sums exceed the page extraction; the
     # fraction is clamped to 1.0
