@@ -101,3 +101,23 @@ def test_zero_exchanges_whole_chain(spark):
     df = spark.createDataFrame([(1, _GOOD)], "doc_id long, html string")
     r = plan_report(crawl_curation(df))
     assert r.n_exchanges == 0, r.raw
+
+
+def test_crawl_curation_runs_on_a_stream(spark, tmp_path):
+    """The whole composed chain is a stateless projection, so it runs
+    UNCHANGED on a file stream (append mode, no watermark, no state
+    store) and the replay equals the batch result — the 100 TB
+    continuous-ingest shape of the curation tier."""
+    from bigdata_lab02_spark.streaming import run_stream_to_memory
+
+    rows = [(1, _GOOD), (2, _REPEAT), (3, _FARM)]
+    batch = spark.createDataFrame(rows, "doc_id long, html string")
+    src = str(tmp_path / "pages_stream")
+    batch.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, html string").parquet(src)
+    out = run_stream_to_memory(
+        spark, crawl_curation(stream), "t_crawl_stream", mode="append"
+    )
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, crawl_curation(batch).collect()))
+    assert got == want and len(got) == 3
