@@ -909,6 +909,97 @@ def encode_jpeg12_gray(
     )
 
 
+# ------------------------------------------------- header-only metadata
+
+
+def _exif_orientation(body: bytes) -> int | None:
+    """Orientation (tag 0x0112, values 1..8) from an APP1/EXIF payload —
+    a bounded walk of the 0th TIFF IFD (EXIF 2.3 §4.6.4; TIFF 6.0 §2).
+    Any malformed structure returns None, never raises."""
+    if len(body) < 14 or body[:6] != b"Exif\x00\x00":
+        return None
+    t = body[6:]
+    if t[:2] == b"II":
+        fmt = "<"
+    elif t[:2] == b"MM":
+        fmt = ">"
+    else:
+        return None
+    try:
+        (magic,) = struct.unpack_from(fmt + "H", t, 2)
+        if magic != 42:
+            return None
+        (off,) = struct.unpack_from(fmt + "I", t, 4)
+        (n,) = struct.unpack_from(fmt + "H", t, off)
+        for i in range(min(n, 512)):  # bound attacker-controlled counts
+            tag, typ, cnt = struct.unpack_from(fmt + "HHI", t, off + 2 + i * 12)
+            if tag == 0x0112 and typ == 3 and cnt >= 1:
+                (val,) = struct.unpack_from(fmt + "H", t, off + 2 + i * 12 + 8)
+                return val if 1 <= val <= 8 else None
+    except struct.error:
+        return None
+    return None
+
+
+def jpeg_metadata(data: bytes) -> dict:
+    """Header-only metadata scan — NO entropy decode: dims / precision /
+    scan type from SOFn, the APPn markers present, and the EXIF
+    orientation parsed out of APP1 (r9). This is the cheap routing pass
+    a curation pipeline runs BEFORE paying decode cost (drop tiny
+    images, flag rotated ones, split progressive from baseline) — at
+    100 TB the header scan touches a few KB per file vs the full
+    coefficient decode.
+
+    Returns ``{width, height, ncomp, precision, progressive, sof,
+    app_markers, has_exif, exif_orientation}``. Raises ``JpegError``
+    only for streams with no usable SOI/SOF header (the same
+    honest-failure taxonomy as ``decode_jpeg``); a malformed EXIF body
+    degrades to ``exif_orientation=None``."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise JpegError("bad SOI")
+    pos = 2
+    meta: dict = {
+        "width": None, "height": None, "ncomp": None, "precision": None,
+        "progressive": None, "sof": None, "app_markers": [],
+        "has_exif": False, "exif_orientation": None,
+    }
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise JpegError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise JpegError("truncated segment")
+        pos += 2 + seglen
+        if 0xE0 <= marker <= 0xEF:
+            meta["app_markers"].append(marker - 0xE0)
+            if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+                meta["has_exif"] = True
+                meta["exif_orientation"] = _exif_orientation(body)
+        elif marker in range(0xC0, 0xD0) and marker not in (0xC4, 0xC8, 0xCC):
+            if len(body) < 6:
+                raise JpegError("short SOF")
+            meta.update(
+                precision=body[0],
+                height=struct.unpack_from(">H", body, 1)[0],
+                width=struct.unpack_from(">H", body, 3)[0],
+                ncomp=body[5],
+                sof=marker - 0xC0,
+                progressive=marker in (0xC2, 0xC6, 0xCA, 0xCE),
+            )
+        elif marker == 0xDA:
+            break  # entropy data follows — the header scan is done
+    if meta["width"] is None:
+        raise JpegError("missing SOF")
+    return meta
+
+
 # ----------------------------------------------------------- decoder
 
 

@@ -867,3 +867,63 @@ class Test12Bit:
                 assert len(rgb) == gw * gh * ch
             except J.JpegError:
                 pass
+
+
+class TestHeaderMetadata:
+    """r9: header-only metadata scan (no entropy decode) + EXIF
+    orientation parse."""
+
+    def test_committed_exif_fixture(self):
+        from pathlib import Path
+
+        fix = Path(__file__).resolve().parent / "fixtures" / "foreign"
+        m = J.jpeg_metadata((fix / "imageio_exif.jpg").read_bytes())
+        assert (m["width"], m["height"], m["ncomp"]) == (24, 16, 3)
+        assert m["has_exif"] is True and m["exif_orientation"] == 1
+        # APP1/EXIF + APP13 spliced before the base image's JFIF APP0
+        assert m["app_markers"][:3] == [1, 13, 0]
+        base = J.jpeg_metadata((fix / "imageio_base.jpg").read_bytes())
+        assert base["has_exif"] is False
+        assert base["exif_orientation"] is None
+
+    def test_sof_fields(self):
+        img = _block_image(
+            16, 16, {(0, 0): 10, (1, 0): 60, (0, 1): 110, (1, 1): 160}
+        )
+        prog = J.jpeg_metadata(
+            J.encode_jpeg(16, 16, img.tobytes(), progressive=True)
+        )
+        assert prog["progressive"] is True and prog["sof"] == 2
+        twelve = J.jpeg_metadata(J.encode_jpeg12_gray(8, 8, [50] * 64))
+        assert twelve["precision"] == 12 and twelve["sof"] == 1
+        assert twelve["ncomp"] == 1 and twelve["progressive"] is False
+
+    def test_big_endian_tiff(self):
+        import struct as st
+
+        # MM-endian TIFF with orientation 6 (90° CW rotation flag)
+        ifd = (
+            st.pack(">H", 1)
+            + st.pack(">HHI", 0x0112, 3, 1) + st.pack(">HH", 6, 0)
+            + st.pack(">I", 0)
+        )
+        tiff = b"MM" + st.pack(">H", 42) + st.pack(">I", 8) + ifd
+        payload = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + st.pack(">H", len(payload) + 2) + payload
+        base = J.encode_jpeg12_gray(8, 8, [50] * 64)
+        data = base[:2] + app1 + base[2:]
+        m = J.jpeg_metadata(data)
+        assert m["has_exif"] is True and m["exif_orientation"] == 6
+
+    def test_malformed_exif_degrades_to_none(self):
+        import struct as st
+
+        payload = b"Exif\x00\x00" + b"XX" + b"\x00" * 8  # bad byte order
+        app1 = b"\xff\xe1" + st.pack(">H", len(payload) + 2) + payload
+        base = J.encode_jpeg12_gray(8, 8, [50] * 64)
+        m = J.jpeg_metadata(base[:2] + app1 + base[2:])
+        assert m["has_exif"] is True and m["exif_orientation"] is None
+
+    def test_no_sof_raises(self):
+        with pytest.raises(J.JpegError, match="missing SOF"):
+            J.jpeg_metadata(b"\xff\xd8\xff\xd9\x00\x00")
