@@ -938,3 +938,72 @@ def sample_frames(video: DataFrame, every_n_frames: int = 30) -> DataFrame:
         "media_id long, frame_idx int, width int, height int, "
         "y_sum long, u_sum long, v_sum long, decode_ok boolean",
     )
+
+
+def extract_media_metadata(media: DataFrame) -> DataFrame:
+    """Header-only media routing pass (r9): format sniff + JPEG header
+    metadata (dims, precision, baseline/progressive, APPn inventory,
+    EXIF orientation) WITHOUT entropy decode — the pass a 100 TB
+    curation pipeline runs first, so routing/filtering decisions (drop
+    tiny images, flag rotated/progressive/12-bit ones) never pay full
+    decode cost. PNG headers expose dims from IHDR the same cheap way.
+
+    Arrow-batched mapInPandas over the payload column; unparseable
+    headers yield ``meta_ok=false`` with null fields (the honest-failure
+    taxonomy shared with the decoders)."""
+    from bigdata_lab02_spark.operators.jpeg import JpegError, jpeg_metadata
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as st
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "format": [], "width": [], "height": [],
+                "precision": [], "progressive": [], "n_app_segments": [],
+                "has_exif": [], "exif_orientation": [], "meta_ok": [],
+            }
+
+            def row(fmt=None, w=None, h=None, prec=None, prog=None,
+                    napp=None, exif=None, orient=None, ok=False):
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["precision"].append(prec)
+                out["progressive"].append(prog)
+                out["n_app_segments"].append(napp)
+                out["has_exif"].append(exif)
+                out["exif_orientation"].append(orient)
+                out["meta_ok"].append(ok)
+
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(int(mid))
+                data = bytes(b) if b is not None else b""
+                fmt = sniff_image_format(data)
+                if fmt == "jpeg":
+                    try:
+                        m = jpeg_metadata(data)
+                        row("jpeg", m["width"], m["height"],
+                            m["precision"], m["progressive"],
+                            len(m["app_markers"]), m["has_exif"],
+                            m["exif_orientation"], True)
+                    except JpegError:
+                        row(fmt="jpeg")
+                elif fmt == "png":
+                    # IHDR is always the first chunk (RFC 2083 §4.1.1):
+                    # dims at fixed offsets, bit depth at 24
+                    if len(data) >= 26 and data[12:16] == b"IHDR":
+                        w, h = st.unpack_from(">II", data, 16)
+                        row("png", w, h, data[24], False, 0, False,
+                            None, True)
+                    else:
+                        row(fmt="png")
+                else:
+                    row()
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op,
+        "media_id long, format string, width long, height long, "
+        "precision int, progressive boolean, n_app_segments int, "
+        "has_exif boolean, exif_orientation int, meta_ok boolean",
+    )

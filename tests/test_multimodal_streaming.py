@@ -551,3 +551,58 @@ class TestStreamingDedupCandidates:
             .collect()
         }
         assert got == want and got
+
+
+class TestMediaMetadata:
+    """r9: header-only routing pass — no entropy decode."""
+
+    def test_mixed_corpus_metadata(self, spark):
+        from bigdata_lab02_spark.operators.multimodal import (
+            extract_media_metadata,
+            synthetic_jpeg,
+            synthetic_media_mixed,
+        )
+
+        rows = {
+            r["media_id"]: r
+            for r in extract_media_metadata(synthetic_jpeg(spark, 12)).collect()
+        }
+        assert rows and all(r["format"] == "jpeg" for r in rows.values())
+        oks = [r for r in rows.values() if r["meta_ok"]]
+        assert oks and all(
+            r["precision"] == 8 and r["has_exif"] is False for r in oks
+        )
+        # mixed PNG corpus: dims come straight from IHDR
+        mixed = {
+            r["media_id"]: r
+            for r in extract_media_metadata(
+                synthetic_media_mixed(spark, 12)
+            ).collect()
+        }
+        # the header pass reports what the header SAYS (a corrupt stripe
+        # may carry legal IHDR fields) — routing, not validation
+        ok_png = [r for r in mixed.values() if r["format"] == "png" and r["meta_ok"]]
+        assert ok_png and all(
+            r["width"] is not None and r["height"] is not None for r in ok_png
+        )
+
+    def test_exif_and_degenerate_payloads(self, spark):
+        from pathlib import Path
+
+        from bigdata_lab02_spark.operators.multimodal import (
+            extract_media_metadata,
+        )
+
+        fix = Path(__file__).resolve().parent / "fixtures" / "foreign"
+        exif = (fix / "imageio_exif.jpg").read_bytes()
+        df = spark.createDataFrame(
+            [(1, bytearray(exif)), (2, bytearray(b"\xff\xd8\xff\xd9")),
+             (3, bytearray(b"not an image"))],
+            "media_id long, payload binary",
+        )
+        rows = {r["media_id"]: r for r in extract_media_metadata(df).collect()}
+        assert rows[1]["has_exif"] is True
+        assert rows[1]["exif_orientation"] == 1
+        assert rows[1]["n_app_segments"] >= 3
+        assert rows[2]["format"] == "jpeg" and rows[2]["meta_ok"] is False
+        assert rows[3]["format"] is None and rows[3]["meta_ok"] is False
