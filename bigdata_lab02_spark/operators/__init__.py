@@ -17,6 +17,9 @@
 - ``skew``       — salted joins/aggregations for hot keys
 - ``merge``      — snapshot merge/upsert
 - ``temporal``   — binned range (interval-containment) join
+- ``html``       — WET-style HTML → text extraction + markup features
+- ``crawl``      — composed crawl-curation pipeline (html → C4 →
+                   Gopher quality + repetition) as one projection
 - ``multimodal`` — binary-column plumbing with REAL vendored codecs
                    (png/jpeg/wav/y4m) — byte-level decode on executors
 """
