@@ -37,10 +37,13 @@ Scope limits: sampling layouts 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 / grayscale;
 12-bit sample precision decodes in EXTENDED SEQUENTIAL form (SOF1, r9:
 level shift 2048, DC categories to 15, AC to 14, Pq=1 16-bit quant
 tables; pixels reduced ``>> 4`` to the engine's 8-bit surface — the PNG
-16-bit discipline); no arithmetic coding / hierarchical / lossless /
-12-bit-progressive modes. Anything outside the profile raises
-``JpegError``, which the pipeline maps to ``decode_ok=False`` (the
-honest-failure path).
+16-bit discipline); ARITHMETIC entropy coding decodes in sequential
+form (SOF9, r9: the full T.81 Annex D adaptive binary decoder with the
+Table D.3 state machine, DAC conditioning, restart resets — validated
+against system-libjpeg-encoded foreign fixtures); no hierarchical /
+lossless / progressive-arithmetic modes. Anything outside the profile
+raises ``JpegError``, which the pipeline maps to ``decode_ok=False``
+(the honest-failure path).
 
 Rounding discipline (the oracle contract): every float→int step —
 forward/inverse color conversion, quantization, pixel reconstruction —
@@ -909,6 +912,256 @@ def encode_jpeg12_gray(
     )
 
 
+# ---------------------------------------- arithmetic entropy coding (r9)
+
+# T.81 Table D.3 — the Qe probability-estimation state machine:
+# (Qe, next state after MPS, next state after LPS, MPS-switch flag).
+# Values are the spec's; the extraction script in
+# tools/make_foreign_fixtures.py cross-checks this table against the
+# system libjpeg's packed jpeg_aritab at fixture-build time, so a
+# transcription error here cannot survive. Index 113 is the
+# non-adapting "fixed 0.5" state used for AC coefficient signs
+# (F.1.4.4.2.1).
+_ARITH_STATES = [
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1), (0x5A1D, 113, 113, 0),
+]
+
+
+def _find_next_marker(data: bytes, pos: int) -> int:
+    """Position of the next real marker's 0xFF at/after ``pos``,
+    skipping stuffed FF00 pairs and FF fill bytes (B.1.1.2)."""
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+        elif data[pos + 1] == 0x00:
+            pos += 2
+        elif data[pos + 1] == 0xFF:
+            pos += 1
+        else:
+            return pos
+    raise JpegError("entropy data ends without a marker")
+
+
+class _ArithDecoder:
+    """T.81 Annex D binary arithmetic decoder (software conventions,
+    Figures D.15-D.20) in the classic lazy-renormalization formulation:
+    ``c`` accumulates whole bytes as they are consumed and ``ct`` tracks
+    the pending shift, so the MPS subinterval is aligned with
+    ``(a - qe) << ct`` at compare time; initialization falls out of
+    starting at ``ct = -16`` (the first two renormalization fetches
+    load the register and set A to 0x10000).
+
+    Statistics bins are single bytes: bit 7 = current MPS sense, bits
+    0-6 = the _ARITH_STATES index. 0xFF handling per D.1.6: FF00 is a
+    stuffed data byte; reaching a real marker is LEGAL mid-scan in
+    arithmetic coding — the position is latched and zero bytes are
+    supplied so the tail symbols decode from padding."""
+
+    __slots__ = ("data", "pos", "c", "a", "ct", "marker_pos")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.c = 0
+        self.a = 0
+        self.ct = -16
+        self.marker_pos = -1
+
+    def _next_byte(self) -> int:
+        if self.marker_pos >= 0:
+            return 0
+        d, p = self.data, self.pos
+        if p >= len(d):
+            raise JpegError("arithmetic scan truncated")
+        b = d[p]
+        if b != 0xFF:
+            self.pos = p + 1
+            return b
+        q = p + 1
+        while q < len(d) and d[q] == 0xFF:
+            q += 1
+        if q >= len(d):
+            raise JpegError("arithmetic scan truncated at 0xFF")
+        if d[q] == 0x00:
+            self.pos = q + 1
+            return 0xFF
+        self.marker_pos = p
+        return 0
+
+    def decode(self, stats: bytearray, i: int) -> int:
+        # renormalization + byte feed (D.2.6; doubles as INITDEC)
+        a, ct, c = self.a, self.ct, self.c
+        while a < 0x8000:
+            ct -= 1
+            if ct < 0:
+                c = (c << 8) | self._next_byte()
+                ct += 8
+                if ct < 0:
+                    ct += 1
+                    if ct == 0:
+                        a = 0x8000
+            a <<= 1
+        sv = stats[i]
+        qe, nmps, nlps, sw = _ARITH_STATES[sv & 0x7F]
+        a -= qe
+        mps_span = a << ct
+        if c >= mps_span:
+            # LPS subinterval (conditional exchange per D.2.3)
+            c -= mps_span
+            if a < qe:
+                stats[i] = (sv & 0x80) ^ nmps  # exchanged: decoded MPS
+            else:
+                stats[i] = (sv & 0x80) ^ nlps ^ (sw << 7)
+                sv ^= 0x80                     # decoded LPS
+            a = qe
+        elif a < 0x8000:
+            # MPS subinterval, renormalization due -> state update
+            if a < qe:
+                stats[i] = (sv & 0x80) ^ nlps ^ (sw << 7)
+                sv ^= 0x80                     # exchanged: decoded LPS
+            else:
+                stats[i] = (sv & 0x80) ^ nmps  # decoded MPS
+        self.a, self.ct, self.c = a, ct, c
+        return sv >> 7
+
+
+class _ArithSeqState:
+    """Per-scan statistics for sequential DCT arithmetic decoding
+    (F.2.4): one 49-bin DC area per DC table, one 245-bin AC area per
+    AC table, the fixed sign bin, and per-component DC conditioning
+    (context class + predictor). Reset whole at scan start and at every
+    restart marker (F.2.1.3.1)."""
+
+    def __init__(self, order, ncomp: int) -> None:
+        self.dc = {dc_t: bytearray(64) for _, dc_t, _ in order}
+        self.ac = {ac_t: bytearray(256) for _, _, ac_t in order}
+        self.fixed = bytearray([113])
+        self.dc_ctx = [0] * ncomp
+        self.last_dc = [0] * ncomp
+
+
+def _arith_decode_block(
+    dec: _ArithDecoder,
+    zz,
+    state: _ArithSeqState,
+    comp: int,
+    dc_t: int,
+    ac_t: int,
+    dc_l: int,
+    dc_u: int,
+    kx: int,
+) -> None:
+    """One 8x8 block, sequential DCT arithmetic decode (T.81 F.2.4.1
+    DC / F.2.4.2 AC; decision trees of Figures F.21-F.24). Writes the
+    zigzag coefficient list ``zz`` in place.
+
+    Bin layout (Table F.4): DC — 20 context bins (5 conditioning
+    classes x [zero?, sign, small-pos, small-neg]), X1.. magnitude
+    tree at 20, matching mantissa bins at +14. AC — 3 bins per
+    coefficient index k ([EOB?, significant?, magnitude>1?]), then the
+    shared magnitude trees at 189 (k <= Kx) / 217 (k > Kx), mantissa
+    at +14; signs use the fixed bin."""
+    dcst = state.dc[dc_t]
+    ctx = state.dc_ctx[comp]
+    if dec.decode(dcst, ctx) == 0:
+        state.dc_ctx[comp] = 0
+    else:
+        sign = dec.decode(dcst, ctx + 1)
+        st = ctx + 2 + sign
+        m = dec.decode(dcst, st)
+        if m:
+            st = 20
+            while dec.decode(dcst, st):
+                m <<= 1
+                if m == 0x8000:
+                    raise JpegError("arithmetic DC magnitude overflow")
+                st += 1
+        # conditioning class for the NEXT block of this component
+        # (F.1.4.4.1.2; L/U from the DAC segment, defaults 0/1)
+        if m < (1 << dc_l) >> 1:
+            state.dc_ctx[comp] = 0
+        elif m > (1 << dc_u) >> 1:
+            state.dc_ctx[comp] = 12 + sign * 4
+        else:
+            state.dc_ctx[comp] = 4 + sign * 4
+        v = m
+        st += 14
+        while m := m >> 1:
+            if dec.decode(dcst, st):
+                v |= m
+        v += 1
+        state.last_dc[comp] += -v if sign else v
+    zz[0] = state.last_dc[comp]
+
+    acst = state.ac[ac_t]
+    k = 1
+    while k <= 63:
+        st = 3 * (k - 1)
+        if dec.decode(acst, st):
+            break  # end of block
+        while dec.decode(acst, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > 63:
+                raise JpegError("arithmetic AC index overflow")
+        sign = dec.decode(state.fixed, 0)
+        st += 2
+        m = dec.decode(acst, st)
+        if m and dec.decode(acst, st):
+            m <<= 1
+            st = 189 if k <= kx else 217
+            while dec.decode(acst, st):
+                m <<= 1
+                if m == 0x8000:
+                    raise JpegError("arithmetic AC magnitude overflow")
+                st += 1
+        v = m
+        st += 14
+        while m := m >> 1:
+            if dec.decode(acst, st):
+                v |= m
+        v += 1
+        zz[k] = -v if sign else v
+        k += 1
+
+
 # ------------------------------------------------- header-only metadata
 
 
@@ -1051,7 +1304,10 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
     comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, quant id)
     restart_interval = 0
     progressive = False
-    precision = 8  # sample precision from SOF (8, or 12 for SOF1)
+    arith = False  # SOF9: extended sequential, arithmetic entropy coding
+    dc_cond: dict[int, tuple[int, int]] = {}  # DAC: DC table id -> (L, U)
+    ac_cond: dict[int, int] = {}  # DAC: AC table id -> Kx
+    precision = 8  # sample precision from SOF (8, or 12 for SOF1/SOF9)
     n_scans = 0
     coefs: list[np.ndarray] = []  # per comp: (nby, nbx, 64) int64 zigzag
     # per comp, per zigzag index: Al of the last scan that touched it
@@ -1208,12 +1464,14 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
         if ns != len(comps) and ns != 1:
             raise JpegError("scan must cover all components or exactly one")
         # table presence (refinement DC scans read raw bits, no table;
-        # baseline scans need both DC and AC tables)
-        for idx, dc_t, ac_t in order:
-            if ss == 0 and ah == 0 and (0x00 | dc_t) not in huffs:
-                raise JpegError("missing huffman table")
-            if (ss > 0 or not progressive) and (0x10 | ac_t) not in huffs:
-                raise JpegError("missing huffman table")
+        # baseline scans need both DC and AC tables; arithmetic scans
+        # need none — DAC conditioning has spec defaults)
+        if not arith:
+            for idx, dc_t, ac_t in order:
+                if ss == 0 and ah == 0 and (0x00 | dc_t) not in huffs:
+                    raise JpegError("missing huffman table")
+                if (ss > 0 or not progressive) and (0x10 | ac_t) not in huffs:
+                    raise JpegError("missing huffman table")
         # successive-approximation chain per touched coefficient
         for idx, _, _ in order:
             lo, hi = (0, 0) if ss == 0 else (ss, se)
@@ -1226,6 +1484,60 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                     if prev == -1 or prev != ah:
                         raise JpegError("refinement does not follow its band")
                 band_al[idx][k] = al
+
+        if arith:
+            # sequential DCT arithmetic scan (F.2.4): interleaved MCU
+            # walk with per-scan statistics; restart markers reset the
+            # decoder, the statistics areas and the DC conditioning
+            # (F.2.1.3.1). Non-interleaved multi-component layouts are
+            # legal in the spec but unexercised by real encoders — an
+            # honest failure.
+            if ns != len(comps):
+                raise JpegError(
+                    "non-interleaved arithmetic scan unsupported"
+                )
+            dec = _ArithDecoder(data, entropy_start)
+            astate = _ArithSeqState(order, len(comps))
+            a_rst = 0
+            a_unit = 0
+            for my in range(n_mcuy):
+                for mx in range(n_mcux):
+                    if (
+                        restart_interval
+                        and a_unit
+                        and a_unit % restart_interval == 0
+                    ):
+                        p = dec.marker_pos
+                        if p < 0:
+                            p = _find_next_marker(data, dec.pos)
+                        m = data[p + 1]
+                        if not 0xD0 <= m <= 0xD7:
+                            raise JpegError(
+                                f"expected RSTn, found 0xFF{m:02X}"
+                            )
+                        if m != 0xD0 + a_rst % 8:
+                            raise JpegError(
+                                f"out-of-sequence restart marker "
+                                f"RST{m - 0xD0} (expected RST{a_rst % 8})"
+                            )
+                        dec = _ArithDecoder(data, p + 2)
+                        astate = _ArithSeqState(order, len(comps))
+                        a_rst += 1
+                    a_unit += 1
+                    for idx, dc_t, ac_t in order:
+                        _, ch, cv, _ = comps[idx]
+                        dc_l, dc_u = dc_cond.get(dc_t, (0, 1))
+                        kx = ac_cond.get(ac_t, 5)
+                        for vy in range(cv):
+                            for vx in range(ch):
+                                _arith_decode_block(
+                                    dec,
+                                    coefs[idx][my * cv + vy][mx * ch + vx],
+                                    astate, idx, dc_t, ac_t,
+                                    dc_l, dc_u, kx,
+                                )
+            p = dec.marker_pos
+            return p if p >= 0 else _find_next_marker(data, dec.pos)
 
         br = _BitReader(data, entropy_start)
         state = _ScanState(len(comps))
@@ -1346,18 +1658,20 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                     (code, length): sym for sym, (code, length) in codes.items()
                 }
                 b += 17 + nvals
-        elif marker in (0xC0, 0xC1, 0xC2):
-            # SOF0 baseline / SOF1 extended sequential / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0 baseline / SOF1 extended sequential / SOF2
+            # progressive / SOF9 extended sequential ARITHMETIC (r9)
             if comps:
                 raise JpegError("multiple SOF segments")
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             if len(body) < 6:
                 raise JpegError("short SOF")
             # 12-bit sample precision is legal only in extended
-            # sequential here (T.81 allows 12-bit SOF2 too; that profile
-            # stays an honest failure — the progressive machinery is
-            # gated at 8-bit)
-            if body[0] == 12 and marker == 0xC1:
+            # sequential here (T.81 allows 12-bit SOF2/SOF10 too; those
+            # profiles stay honest failures — the progressive machinery
+            # is gated at 8-bit)
+            if body[0] == 12 and marker in (0xC1, 0xC9):
                 precision = 12
             elif body[0] == 8:
                 precision = 8
@@ -1415,9 +1729,28 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                     np.zeros((n_mcuy * cv, n_mcux * ch, 64), dtype=np.int64)
                 )
                 band_al.append([-1] * 64)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError("unsupported SOF type")
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
+            b = 0
+            while b + 2 <= len(body):
+                tc, tb = body[b] >> 4, body[b] & 0x0F
+                cs = body[b + 1]
+                if tc == 0:
+                    low, up = cs & 0x0F, cs >> 4
+                    if low > up:
+                        raise JpegError("bad DAC DC conditioning bounds")
+                    dc_cond[tb] = (low, up)
+                elif tc == 1:
+                    if not 1 <= cs <= 63:
+                        raise JpegError("bad DAC Kx")
+                    ac_cond[tb] = cs
+                else:
+                    raise JpegError(f"bad DAC table class {tc}")
+                b += 2
+            if b != len(body):
+                raise JpegError("short DAC")
         elif marker == 0xDD:  # DRI
             if len(body) != 2:
                 raise JpegError("bad DRI length")

@@ -154,13 +154,14 @@ def test_jpeg_fixture_profiles_documented():
                 i += 2
                 continue
             (ln,) = struct.unpack_from(">H", data, i + 2)
-            if m in (0xC0, 0xC2):
+            if m in (0xC0, 0xC2, 0xC9):
                 body = data[i + 4:i + 2 + ln]
                 comps = [
                     (body[6 + c * 3 + 1] >> 4, body[6 + c * 3 + 1] & 15)
                     for c in range(body[5])
                 ]
-                return ("prog" if m == 0xC2 else "base"), comps
+                kind = {0xC0: "base", 0xC2: "prog", 0xC9: "arith"}[m]
+                return kind, comps
             i += 2 + ln
         raise AssertionError("no SOF")
 
@@ -172,7 +173,18 @@ def test_jpeg_fixture_profiles_documented():
         "imageio_gray.jpg": ("base", [(1, 1)]),
         "imageio_q70.jpg": ("base", [(2, 2), (1, 1), (1, 1)]),
         "imageio_exif.jpg": ("base", [(2, 2), (1, 1), (1, 1)]),
+        # r9: SOF9 arithmetic set from the system libjpeg — the Annex D
+        # reference-implementation family; DAC conditioning present
+        "libjpeg_arith_gray.jpg": ("arith", [(1, 1)]),
+        "libjpeg_arith_rgb444.jpg": ("arith", [(1, 1), (1, 1), (1, 1)]),
+        "libjpeg_arith_rgb420.jpg": ("arith", [(2, 2), (1, 1), (1, 1)]),
+        # rst is 4:4:4 so its 6 MCUs really carry RST0+RST1 markers
+        "libjpeg_arith_rst.jpg": ("arith", [(1, 1), (1, 1), (1, 1)]),
+        "libjpeg_huff_base.jpg": ("base", [(1, 1), (1, 1), (1, 1)]),
     }
+    for n, (kind, _) in got.items():
+        data = (FIX / n).read_bytes()
+        assert (b"\xff\xcc" in data) == (kind == "arith"), n  # DAC
 
 
 def test_exif_fixture_carries_real_metadata_segments():

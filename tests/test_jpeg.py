@@ -927,3 +927,62 @@ class TestHeaderMetadata:
     def test_no_sof_raises(self):
         with pytest.raises(J.JpegError, match="missing SOF"):
             J.jpeg_metadata(b"\xff\xd8\xff\xd9\x00\x00")
+
+
+class TestArithmetic:
+    """r9: SOF9 sequential arithmetic decoding (T.81 Annex D / F.2.4),
+    validated against SYSTEM-libjpeg-encoded foreign fixtures in
+    test_foreign_media.py; here the failure taxonomy."""
+
+    FIX = __import__("pathlib").Path(__file__).resolve().parent / "fixtures" / "foreign"
+
+    def test_truncation_is_honest(self):
+        data = (self.FIX / "libjpeg_arith_rgb420.jpg").read_bytes()
+        # cut inside the entropy data (before EOI)
+        with pytest.raises(J.JpegError):
+            J.decode_jpeg(data[: len(data) - 8])
+
+    def test_restart_markers_consumed_in_sequence(self):
+        data = bytearray((self.FIX / "libjpeg_arith_rst.jpg").read_bytes())
+        # find the first RSTn and break its sequence number
+        for i in range(2, len(data) - 1):
+            if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+                data[i + 1] = 0xD0 + ((data[i + 1] - 0xD0 + 3) % 8)
+                break
+        else:
+            raise AssertionError("no RSTn found")
+        with pytest.raises(J.JpegError, match="restart"):
+            J.decode_jpeg(bytes(data))
+
+    def test_byte_flip_never_hangs_or_miscounts(self):
+        # arithmetic streams adapt their statistics from the data, so a
+        # flipped byte can decode to ANY coefficients — the contract is
+        # shape-or-JpegError, never a hang or a wrong-size buffer
+        data = (self.FIX / "libjpeg_arith_rgb444.jpg").read_bytes()
+        rng = np.random.default_rng(11)
+        for pos in rng.choice(len(data), size=80, replace=False):
+            mut = bytearray(data)
+            mut[pos] ^= 0x3C
+            try:
+                gw, gh, ch, rgb = J.decode_jpeg(bytes(mut))
+                assert len(rgb) == gw * gh * ch
+            except J.JpegError:
+                pass
+
+    def test_bad_dac_rejected(self):
+        data = bytearray((self.FIX / "libjpeg_arith_gray.jpg").read_bytes())
+        i = data.find(b"\xff\xcc")
+        assert i >= 0
+        # DC conditioning with L > U
+        data[i + 5] = 0x0F  # (Tc=0,Tb=0) value: U=0, L=15
+        with pytest.raises(J.JpegError, match="DAC"):
+            J.decode_jpeg(bytes(data))
+
+    def test_marker_tail_padding_decodes(self):
+        # hitting EOI mid-renormalization is legal: the tail symbols
+        # decode from supplied zero bytes — every fixture exercises
+        # this, pin it explicitly on the smallest one
+        gw, gh, ch, rgb = J.decode_jpeg(
+            (self.FIX / "libjpeg_arith_gray.jpg").read_bytes()
+        )
+        assert (gw, gh, ch) == (24, 16, 3) and len(rgb) == 24 * 16 * 3

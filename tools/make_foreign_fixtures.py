@@ -295,6 +295,118 @@ def make_jpegs():
     }
 
 
+# ------------------------------------ libjpeg arithmetic fixtures (r9)
+
+_ARITH_C = r"""
+#include <stdio.h>
+#include <jpeglib.h>
+
+static void write_jpeg(const char *path, int w, int h, int gray,
+                       int arith, int restart, int sub444,
+                       unsigned char *pix) {
+    struct jpeg_compress_struct c;
+    struct jpeg_error_mgr err;
+    c.err = jpeg_std_error(&err);
+    jpeg_create_compress(&c);
+    FILE *f = fopen(path, "wb");
+    jpeg_stdio_dest(&c, f);
+    c.image_width = w; c.image_height = h;
+    c.input_components = gray ? 1 : 3;
+    c.in_color_space = gray ? JCS_GRAYSCALE : JCS_RGB;
+    jpeg_set_defaults(&c);
+    jpeg_set_quality(&c, 95, TRUE);
+    c.arith_code = arith ? TRUE : FALSE;
+    c.restart_interval = restart;
+    if (!gray && sub444) {
+        c.comp_info[0].h_samp_factor = 1;
+        c.comp_info[0].v_samp_factor = 1;
+    }
+    jpeg_start_compress(&c, TRUE);
+    int stride = w * (gray ? 1 : 3);
+    while (c.next_scanline < c.image_height) {
+        JSAMPROW row = pix + c.next_scanline * stride;
+        jpeg_write_scanlines(&c, &row, 1);
+    }
+    jpeg_finish_compress(&c);
+    jpeg_destroy_compress(&c);
+    fclose(f);
+}
+
+int main(int argc, char **argv) {
+    const char *dir = argv[1];
+    int w = 24, h = 16;
+    static unsigned char rgb[24 * 16 * 3], gray[24 * 16];
+    for (int y = 0; y < h; y++)
+        for (int x = 0; x < w; x++) {
+            int i = (y * w + x) * 3;
+            int r = 40 + x * 4; if (r > 255) r = 255;
+            int g = 60 + y * 5; if (g > 255) g = 255;
+            rgb[i] = r; rgb[i + 1] = g; rgb[i + 2] = 96;
+            int v = 30 + x * 3 + y * 2; if (v > 255) v = 255;
+            gray[y * w + x] = v;
+        }
+    char p[512];
+    snprintf(p, 512, "%s/libjpeg_arith_gray.jpg", dir);
+    write_jpeg(p, w, h, 1, 1, 0, 0, gray);
+    snprintf(p, 512, "%s/libjpeg_arith_rgb444.jpg", dir);
+    write_jpeg(p, w, h, 0, 1, 0, 1, rgb);
+    snprintf(p, 512, "%s/libjpeg_arith_rgb420.jpg", dir);
+    write_jpeg(p, w, h, 0, 1, 0, 0, rgb);
+    /* 4:4:4 -> 6 MCUs at 24x16, restart_interval 2 -> RST0+RST1
+       really appear in the stream (4:2:0 would have only 2 MCUs
+       and emit none) */
+    snprintf(p, 512, "%s/libjpeg_arith_rst.jpg", dir);
+    write_jpeg(p, w, h, 0, 1, 2, 1, rgb);
+    snprintf(p, 512, "%s/libjpeg_huff_base.jpg", dir);
+    write_jpeg(p, w, h, 0, 0, 0, 1, rgb);
+    return 0;
+}
+"""
+
+
+def check_aritab() -> None:
+    """Cross-check operators/jpeg._ARITH_STATES (T.81 Table D.3) against
+    the system libjpeg's packed jpeg_aritab — a transcription error in
+    the probability-estimation table cannot survive fixture rebuilds."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bigdata_lab02_spark.operators.jpeg import _ARITH_STATES
+
+    j = C.CDLL("libjpeg.so.62")
+    tab = C.cast(j.jpeg_aritab, C.POINTER(C.c_int64))
+    for i in range(114):
+        v = tab[i]
+        row = ((v >> 16) & 0xFFFF, (v >> 8) & 0xFF, v & 0x7F, (v >> 7) & 1)
+        assert _ARITH_STATES[i] == row, (i, _ARITH_STATES[i], row)
+    print("aritab: 114/114 rows match the system libjpeg")
+
+
+def make_arith_jpegs():
+    """SOF9 arithmetic-coded fixtures (and one more foreign Huffman
+    baseline) from the SYSTEM libjpeg via a tiny compiled C driver —
+    the ITU-T T.81 Annex D reference implementation family, sharing no
+    code with our decoder. Same smooth pixel formulas as the imageio
+    set, so the existing tolerance checks apply."""
+    check_aritab()
+    with tempfile.TemporaryDirectory() as td:
+        src = Path(td) / "make_arith.c"
+        src.write_text(_ARITH_C)
+        exe = Path(td) / "make_arith"
+        subprocess.run(
+            ["gcc", "-O2", "-o", str(exe), str(src), "-ljpeg"], check=True
+        )
+        subprocess.run([str(exe), str(OUT)], check=True)
+    spec = {"kind": "smooth_rgb", "w": 24, "h": 16, "tol": 4.0}
+    return {
+        "libjpeg_arith_gray.jpg": {**spec, "kind": "smooth_gray"},
+        "libjpeg_arith_rgb444.jpg": dict(spec),
+        "libjpeg_arith_rgb420.jpg": {**spec, "tol": 6.0},
+        "libjpeg_arith_rst.jpg": {**spec, "tol": 6.0},
+        "libjpeg_huff_base.jpg": dict(spec),
+    }
+
+
 # -------------------------------------------- EXIF/APPn splicing (r9)
 # The most common real-crawl JPEG shape is a photo carrying APP1/EXIF
 # (and often an APP13 Photoshop IRB) ahead of SOF. The synthetic streams
@@ -371,6 +483,7 @@ def main():
     manifest.update(make_pngs())
     manifest.update(make_jpegs())
     manifest.update(make_exif_jpeg())
+    manifest.update(make_arith_jpegs())
     (OUT / "manifest.json").write_text(json.dumps(manifest, indent=2) + "\n")
     for name in sorted(manifest):
         print(f"{name}: {(OUT / name).stat().st_size} bytes")
