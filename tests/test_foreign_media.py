@@ -181,6 +181,8 @@ def test_jpeg_fixture_profiles_documented():
         # rst is 4:4:4 so its 6 MCUs really carry RST0+RST1 markers
         "libjpeg_arith_rst.jpg": ("arith", [(1, 1), (1, 1), (1, 1)]),
         "libjpeg_huff_base.jpg": ("base", [(1, 1), (1, 1), (1, 1)]),
+        # restart after EVERY MCU — the RST7→RST0 wrap occurs in-stream
+        "libjpeg_arith_rst_wrap.jpg": ("arith", [(1, 1), (1, 1), (1, 1)]),
     }
     for n, (kind, _) in got.items():
         data = (FIX / n).read_bytes()

@@ -359,6 +359,21 @@ int main(int argc, char **argv) {
     write_jpeg(p, w, h, 0, 1, 2, 1, rgb);
     snprintf(p, 512, "%s/libjpeg_huff_base.jpg", dir);
     write_jpeg(p, w, h, 0, 0, 0, 1, rgb);
+    /* restart after EVERY MCU on a 5x3-MCU image: 14 markers, the
+       RST7 -> RST0 wrap really occurs in the stream */
+    {
+        int w2 = 40, h2 = 24;
+        static unsigned char rgb2[40 * 24 * 3];
+        for (int y = 0; y < h2; y++)
+            for (int x = 0; x < w2; x++) {
+                int i = (y * w2 + x) * 3;
+                int r = 40 + x * 4; if (r > 255) r = 255;
+                int g = 60 + y * 5; if (g > 255) g = 255;
+                rgb2[i] = r; rgb2[i + 1] = g; rgb2[i + 2] = 96;
+            }
+        snprintf(p, 512, "%s/libjpeg_arith_rst_wrap.jpg", dir);
+        write_jpeg(p, w2, h2, 0, 1, 1, 1, rgb2);
+    }
     return 0;
 }
 """
@@ -404,6 +419,7 @@ def make_arith_jpegs():
         "libjpeg_arith_rgb420.jpg": {**spec, "tol": 6.0},
         "libjpeg_arith_rst.jpg": {**spec, "tol": 6.0},
         "libjpeg_huff_base.jpg": dict(spec),
+        "libjpeg_arith_rst_wrap.jpg": {**spec, "w": 40, "h": 24},
     }
 
 
