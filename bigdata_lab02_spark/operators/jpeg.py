@@ -1266,7 +1266,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     (partial edge MCUs decode whole and crop to the SOF dims), restart
     intervals (DRI honored; each RSTn must appear exactly at its
     MCU/block boundary with the expected 0xD0+n index and resets the
-    scan's predictors), SOF0 and SOF2 multi-scan progressive.
+    scan's predictors), SOF0 baseline, SOF2 multi-scan progressive,
+    SOF1 extended sequential incl. 12-bit precision, and SOF9
+    arithmetic-coded sequential (r9).
     Raises ``JpegError`` for ANYTHING else — malformed
     segment bodies included: parser slips (IndexError / struct.error /
     bare ValueError on attacker-shaped bytes) are converted so the
