@@ -3317,6 +3317,56 @@ _JPEG_DECODE_SQL = _jpeg_decode_sql(_MM_N)
 _RESIZE_N = 32  # per-format corpus size for the resize gate
 
 
+def q_media_metadata(spark, sf_dir):
+    """Header-only media routing pass gated end-to-end (r9): the
+    synthetic_jpeg corpus (all 16 stripes — 4:4:4/4:2:0/4:2:2/gray,
+    baseline/progressive, DRI chains, plus the corrupt stripes) through
+    extract_media_metadata. The oracle restates the stripe map's
+    EXPECTED headers from the generator formulas — dims per family,
+    component count, progressive flag — so a header mis-parse anywhere
+    flips rows. Deliberate semantics pinned by the RSTn-tamper corrupt
+    stripes (7/15): they damage only ENTROPY data, so the routing pass
+    still reports their headers (meta_ok=true) — metadata succeeds
+    exactly where full decode honestly fails, which is the point of
+    routing before decode. The TRUNCATION stripes (3/11) are excluded:
+    a 60% cut of a tiny synthetic stream can land inside the header
+    segments themselves, so their metadata outcome is not cleanly
+    restatable (their honest decode failure is gated in jpeg_decode).
+    (sf_dir unused: media is generated.)"""
+    from bigdata_lab02_spark.operators.multimodal import (
+        extract_media_metadata,
+        synthetic_jpeg,
+    )
+
+    media = synthetic_jpeg(spark, 64).where(
+        ~(F.col("media_id") % 16).isin(3, 11)
+    )
+    return extract_media_metadata(media)
+
+
+_MEDIA_META_SQL = """
+WITH ids AS (SELECT unnest(range(64)) AS media_id),
+s AS (SELECT media_id, media_id % 16 AS s, media_id % 3 AS m3,
+             media_id % 2 AS m2 FROM ids
+      WHERE media_id % 16 NOT IN (3, 11))
+SELECT media_id, 'jpeg' AS format,
+  CAST(CASE WHEN s IN (1, 5, 9, 13, 14) THEN 16 * (1 + m3)
+       WHEN s = 2 THEN 8 * (2 + m3) + 6
+       ELSE 8 * (2 + m3) END AS BIGINT) AS width,
+  CAST(CASE WHEN s IN (1, 5, 9, 13, 14) THEN 16
+       WHEN s = 2 THEN 8 * (2 + m2) + 4
+       ELSE 8 * (2 + m2) END AS BIGINT) AS height,
+  CAST(CASE WHEN s IN (6, 12) THEN 1 ELSE 3 END AS INT) AS ncomp,
+  CAST(8 AS INT) AS precision,
+  s IN (8, 9, 10, 11, 12, 14, 15) AS progressive,
+  CAST(1 AS INT) AS n_app_segments,
+  FALSE AS has_exif,
+  CAST(NULL AS INT) AS exif_orientation,
+  TRUE AS meta_ok
+FROM s
+"""
+
+
 def q_resize_mixed(spark, sf_dir):
     """Format-dispatched image RESIZE gated END-TO-END (VERDICT r6 item
     7): a format-MIXED media column — 32 formula-pixel PNGs (gray/RGB/
@@ -4522,6 +4572,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multimodal_mixed, and the full dispatch-resize output stays
     # oracle-verified here every pytest run.
     "resize_mixed": q_resize_mixed,
+    # media_metadata (r9): the header-only routing pass over the full
+    # jpeg stripe corpus — oracle restates the generator's expected
+    # headers; registered into the overflow, oracle-gated every pytest
+    # run.
+    "media_metadata": q_media_metadata,
     # gopher_repetition (r9): the repetition half of the Gopher rules
     # over its stripe fixture — the composed crawl gate exercises it
     # end-to-end in-window; the full 13-fraction output is oracle-gated
@@ -4539,6 +4594,7 @@ ROTATED_OUT: set[str] = {
     "stratified_sample", "range_join", "wav_edges", "dedup_incremental",
     "ivf_topk_persisted", "stream_dedup_cands", "html_extract",
     "gopher_rules", "c4_filters", "resize_mixed", "gopher_repetition",
+    "media_metadata",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -4633,6 +4689,7 @@ _R8_NEW = {
 _R9_NEW = {
     "crawl_curation_pipeline",
     "gopher_repetition",
+    "media_metadata",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -4725,6 +4782,7 @@ _ORACLES: dict[str, str] = {
     "c4_filters": _C4_SQL,
     "crawl_curation_pipeline": _CRAWL_SQL,
     "gopher_repetition": _GOPHER_REP_SQL,
+    "media_metadata": _MEDIA_META_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,
     "semantic_dedup_pipeline": _SEMANTIC_PIPE_SQL,
     "dsir_importance": _DSIR_SQL,

@@ -959,15 +959,18 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {
                 "media_id": [], "format": [], "width": [], "height": [],
-                "precision": [], "progressive": [], "n_app_segments": [],
-                "has_exif": [], "exif_orientation": [], "meta_ok": [],
+                "ncomp": [], "precision": [], "progressive": [],
+                "n_app_segments": [], "has_exif": [],
+                "exif_orientation": [], "meta_ok": [],
             }
 
-            def row(fmt=None, w=None, h=None, prec=None, prog=None,
-                    napp=None, exif=None, orient=None, ok=False):
+            def row(fmt=None, w=None, h=None, nc=None, prec=None,
+                    prog=None, napp=None, exif=None, orient=None,
+                    ok=False):
                 out["format"].append(fmt)
                 out["width"].append(w)
                 out["height"].append(h)
+                out["ncomp"].append(nc)
                 out["precision"].append(prec)
                 out["progressive"].append(prog)
                 out["n_app_segments"].append(napp)
@@ -982,7 +985,7 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
                 if fmt == "jpeg":
                     try:
                         m = jpeg_metadata(data)
-                        row("jpeg", m["width"], m["height"],
+                        row("jpeg", m["width"], m["height"], m["ncomp"],
                             m["precision"], m["progressive"],
                             len(m["app_markers"]), m["has_exif"],
                             m["exif_orientation"], True)
@@ -993,7 +996,9 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
                     # dims at fixed offsets, bit depth at 24
                     if len(data) >= 26 and data[12:16] == b"IHDR":
                         w, h = st.unpack_from(">II", data, 16)
-                        row("png", w, h, data[24], False, 0, False,
+                        # channel count from the IHDR color type
+                        nc = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(data[25])
+                        row("png", w, h, nc, data[24], False, 0, False,
                             None, True)
                     else:
                         row(fmt="png")
@@ -1004,6 +1009,7 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
     return media.mapInPandas(
         op,
         "media_id long, format string, width long, height long, "
-        "precision int, progressive boolean, n_app_segments int, "
-        "has_exif boolean, exif_orientation int, meta_ok boolean",
+        "ncomp int, precision int, progressive boolean, "
+        "n_app_segments int, has_exif boolean, exif_orientation int, "
+        "meta_ok boolean",
     )
