@@ -37,13 +37,15 @@ Scope limits: sampling layouts 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 / grayscale;
 12-bit sample precision decodes in EXTENDED SEQUENTIAL form (SOF1, r9:
 level shift 2048, DC categories to 15, AC to 14, Pq=1 16-bit quant
 tables; pixels reduced ``>> 4`` to the engine's 8-bit surface — the PNG
-16-bit discipline); ARITHMETIC entropy coding decodes in sequential
-form (SOF9, r9: the full T.81 Annex D adaptive binary decoder with the
-Table D.3 state machine, DAC conditioning, restart resets — validated
-against system-libjpeg-encoded foreign fixtures); no hierarchical /
-lossless / progressive-arithmetic modes. Anything outside the profile
-raises ``JpegError``, which the pipeline maps to ``decode_ok=False``
-(the honest-failure path).
+16-bit discipline); ARITHMETIC entropy coding decodes in BOTH
+sequential (SOF9) and progressive (SOF10) form (r9: the full T.81
+Annex D adaptive binary decoder with the Table D.3 state machine, DAC
+conditioning, restart resets, and the G.2 progressive models — DC
+first/refine, AC first, and the zero-history-walk AC refinement — all
+validated against system-libjpeg-encoded foreign fixtures); no
+hierarchical / lossless modes. Anything outside the profile raises
+``JpegError``, which the pipeline maps to ``decode_ok=False`` (the
+honest-failure path).
 
 Rounding discipline (the oracle contract): every float→int step —
 forward/inverse color conversion, quantization, pixel reconstruction —
@@ -1077,27 +1079,21 @@ class _ArithSeqState:
         self.last_dc = [0] * ncomp
 
 
-def _arith_decode_block(
+def _arith_dc_first(
     dec: _ArithDecoder,
     zz,
     state: _ArithSeqState,
     comp: int,
     dc_t: int,
-    ac_t: int,
     dc_l: int,
     dc_u: int,
-    kx: int,
+    al: int,
 ) -> None:
-    """One 8x8 block, sequential DCT arithmetic decode (T.81 F.2.4.1
-    DC / F.2.4.2 AC; decision trees of Figures F.21-F.24). Writes the
-    zigzag coefficient list ``zz`` in place.
-
-    Bin layout (Table F.4): DC — 20 context bins (5 conditioning
-    classes x [zero?, sign, small-pos, small-neg]), X1.. magnitude
-    tree at 20, matching mantissa bins at +14. AC — 3 bins per
-    coefficient index k ([EOB?, significant?, magnitude>1?]), then the
-    shared magnitude trees at 189 (k <= Kx) / 217 (k > Kx), mantissa
-    at +14; signs use the fixed bin."""
+    """DC coefficient decode (T.81 F.2.4.1; Figures F.21/F.23/F.24):
+    the diff model over the previous-diff conditioning class. Serves
+    both the sequential full scan (al=0) and the progressive DC-first
+    pass — the predictor accumulates UNSHIFTED diffs and the stored
+    coefficient carries the ``<< Al`` point transform."""
     dcst = state.dc[dc_t]
     ctx = state.dc_ctx[comp]
     if dec.decode(dcst, ctx) == 0:
@@ -1107,7 +1103,7 @@ def _arith_decode_block(
         st = ctx + 2 + sign
         m = dec.decode(dcst, st)
         if m:
-            st = 20
+            st = 20  # Table F.4: X1
             while dec.decode(dcst, st):
                 m <<= 1
                 if m == 0x8000:
@@ -1122,31 +1118,54 @@ def _arith_decode_block(
         else:
             state.dc_ctx[comp] = 4 + sign * 4
         v = m
-        st += 14
+        st += 14  # Table F.4: the shared mantissa bin
         while m := m >> 1:
             if dec.decode(dcst, st):
                 v |= m
         v += 1
         state.last_dc[comp] += -v if sign else v
-    zz[0] = state.last_dc[comp]
+    zz[0] = state.last_dc[comp] << al
 
+
+def _arith_dc_refine(dec: _ArithDecoder, zz, state: _ArithSeqState,
+                     al: int) -> None:
+    """Progressive DC refinement (G.2.2): one fixed-bin decision per
+    block supplies the next lower DC bit."""
+    if dec.decode(state.fixed, 0):
+        zz[0] |= 1 << al
+
+
+def _arith_ac_first(
+    dec: _ArithDecoder,
+    zz,
+    state: _ArithSeqState,
+    ac_t: int,
+    ss: int,
+    se: int,
+    al: int,
+    kx: int,
+) -> None:
+    """AC band decode (T.81 F.2.4.2): per-index [EOB?, significant?,
+    magnitude] bins, signs on the fixed bin, shared magnitude trees
+    split at Kx. Serves the sequential full scan (ss=1, se=63, al=0)
+    and the progressive AC-first pass (``<< Al`` on the way out)."""
     acst = state.ac[ac_t]
-    k = 1
-    while k <= 63:
+    k = ss
+    while k <= se:
         st = 3 * (k - 1)
         if dec.decode(acst, st):
             break  # end of block
         while dec.decode(acst, st + 1) == 0:
             st += 3
             k += 1
-            if k > 63:
+            if k > se:
                 raise JpegError("arithmetic AC index overflow")
         sign = dec.decode(state.fixed, 0)
         st += 2
         m = dec.decode(acst, st)
         if m and dec.decode(acst, st):
             m <<= 1
-            st = 189 if k <= kx else 217
+            st = 189 if k <= kx else 217  # Table F.4 low/high split
             while dec.decode(acst, st):
                 m <<= 1
                 if m == 0x8000:
@@ -1158,8 +1177,65 @@ def _arith_decode_block(
             if dec.decode(acst, st):
                 v |= m
         v += 1
-        zz[k] = -v if sign else v
+        zz[k] = (-v if sign else v) << al
         k += 1
+
+
+def _arith_ac_refine(
+    dec: _ArithDecoder,
+    zz,
+    state: _ArithSeqState,
+    ac_t: int,
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """Progressive AC refinement (G.2.3): walk the band — previously
+    nonzero coefficients take a correction bit on their per-index
+    bin+2, newly significant ones are signalled on bin+1 with a
+    fixed-bin sign, and past the previous stage's last nonzero index
+    an EOB decision on the bin itself ends the block."""
+    acst = state.ac[ac_t]
+    p1 = 1 << al
+    m1 = -p1
+    kex = se
+    while kex > 0 and zz[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex and dec.decode(acst, st):
+            break
+        while True:
+            if zz[k]:
+                if dec.decode(acst, st + 2):
+                    zz[k] += m1 if zz[k] < 0 else p1
+                break
+            if dec.decode(acst, st + 1):
+                zz[k] = m1 if dec.decode(state.fixed, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise JpegError("arithmetic AC refinement overran band")
+        k += 1
+
+
+def _arith_decode_block(
+    dec: _ArithDecoder,
+    zz,
+    state: _ArithSeqState,
+    comp: int,
+    dc_t: int,
+    ac_t: int,
+    dc_l: int,
+    dc_u: int,
+    kx: int,
+) -> None:
+    """One 8x8 block, SEQUENTIAL DCT arithmetic decode — the DC diff
+    model plus the full 1..63 AC band at Al=0 (T.81 F.2.4.1-2)."""
+    _arith_dc_first(dec, zz, state, comp, dc_t, dc_l, dc_u, 0)
+    _arith_ac_first(dec, zz, state, ac_t, 1, 63, 0, kx)
 
 
 # ------------------------------------------------- header-only metadata
@@ -1267,8 +1343,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     intervals (DRI honored; each RSTn must appear exactly at its
     MCU/block boundary with the expected 0xD0+n index and resets the
     scan's predictors), SOF0 baseline, SOF2 multi-scan progressive,
-    SOF1 extended sequential incl. 12-bit precision, and SOF9
-    arithmetic-coded sequential (r9).
+    SOF1 extended sequential incl. 12-bit precision, and SOF9/SOF10
+    arithmetic-coded sequential AND progressive (r9).
     Raises ``JpegError`` for ANYTHING else — malformed
     segment bodies included: parser slips (IndexError / struct.error /
     bare ValueError on attacker-shaped bytes) are converted so the
@@ -1488,56 +1564,94 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                 band_al[idx][k] = al
 
         if arith:
-            # sequential DCT arithmetic scan (F.2.4): interleaved MCU
-            # walk with per-scan statistics; restart markers reset the
-            # decoder, the statistics areas and the DC conditioning
-            # (F.2.1.3.1). Non-interleaved multi-component layouts are
-            # legal in the spec but unexercised by real encoders — an
-            # honest failure.
-            if ns != len(comps):
+            # arithmetic DCT scans (F.2.4 sequential; G.2 progressive):
+            # per-scan statistics; restart markers reset the decoder,
+            # the statistics areas and the DC conditioning (F.2.1.3.1).
+            # Non-interleaved multi-component DC layouts are legal in
+            # the spec but unexercised by real encoders — an honest
+            # failure.
+            if ss == 0 and ns != len(comps):
                 raise JpegError(
-                    "non-interleaved arithmetic scan unsupported"
+                    "non-interleaved arithmetic DC scan unsupported"
                 )
             dec = _ArithDecoder(data, entropy_start)
             astate = _ArithSeqState(order, len(comps))
             a_rst = 0
             a_unit = 0
-            for my in range(n_mcuy):
-                for mx in range(n_mcux):
-                    if (
-                        restart_interval
-                        and a_unit
-                        and a_unit % restart_interval == 0
-                    ):
-                        p = dec.marker_pos
-                        if p < 0:
-                            p = _find_next_marker(data, dec.pos)
-                        m = data[p + 1]
-                        if not 0xD0 <= m <= 0xD7:
-                            raise JpegError(
-                                f"expected RSTn, found 0xFF{m:02X}"
+
+            def arith_maybe_restart():
+                nonlocal dec, astate, a_rst
+                if not (
+                    restart_interval
+                    and a_unit
+                    and a_unit % restart_interval == 0
+                ):
+                    return
+                p = dec.marker_pos
+                if p < 0:
+                    p = _find_next_marker(data, dec.pos)
+                m = data[p + 1]
+                if not 0xD0 <= m <= 0xD7:
+                    raise JpegError(f"expected RSTn, found 0xFF{m:02X}")
+                if m != 0xD0 + a_rst % 8:
+                    raise JpegError(
+                        f"out-of-sequence restart marker "
+                        f"RST{m - 0xD0} (expected RST{a_rst % 8})"
+                    )
+                dec = _ArithDecoder(data, p + 2)
+                astate = _ArithSeqState(order, len(comps))
+                a_rst += 1
+
+            if ss == 0:
+                # interleaved MCU walk: sequential full scan, or the
+                # progressive DC first/refine passes
+                for my in range(n_mcuy):
+                    for mx in range(n_mcux):
+                        arith_maybe_restart()
+                        a_unit += 1
+                        for idx, dc_t, ac_t in order:
+                            _, ch, cv, _ = comps[idx]
+                            dc_l, dc_u = dc_cond.get(dc_t, (0, 1))
+                            kx = ac_cond.get(ac_t, 5)
+                            for vy in range(cv):
+                                for vx in range(ch):
+                                    zz = coefs[idx][my * cv + vy][
+                                        mx * ch + vx
+                                    ]
+                                    if not progressive:
+                                        _arith_decode_block(
+                                            dec, zz, astate, idx,
+                                            dc_t, ac_t, dc_l, dc_u, kx,
+                                        )
+                                    elif ah == 0:
+                                        _arith_dc_first(
+                                            dec, zz, astate, idx,
+                                            dc_t, dc_l, dc_u, al,
+                                        )
+                                    else:
+                                        _arith_dc_refine(
+                                            dec, zz, astate, al
+                                        )
+            else:
+                # progressive AC scan: single component, TRUE-extent
+                # block raster (T.81 A.2.2), restart counts BLOCKS
+                idx, dc_t, ac_t = order[0]
+                _, c_h, c_v, _ = comps[idx]
+                kx = ac_cond.get(ac_t, 5)
+                nbx = -(-(-(-width * c_h // hmax)) // 8)
+                nby = -(-(-(-height * c_v // vmax)) // 8)
+                for row in coefs[idx][:nby]:
+                    for zz in row[:nbx]:
+                        arith_maybe_restart()
+                        a_unit += 1
+                        if ah == 0:
+                            _arith_ac_first(
+                                dec, zz, astate, ac_t, ss, se, al, kx
                             )
-                        if m != 0xD0 + a_rst % 8:
-                            raise JpegError(
-                                f"out-of-sequence restart marker "
-                                f"RST{m - 0xD0} (expected RST{a_rst % 8})"
+                        else:
+                            _arith_ac_refine(
+                                dec, zz, astate, ac_t, ss, se, al
                             )
-                        dec = _ArithDecoder(data, p + 2)
-                        astate = _ArithSeqState(order, len(comps))
-                        a_rst += 1
-                    a_unit += 1
-                    for idx, dc_t, ac_t in order:
-                        _, ch, cv, _ = comps[idx]
-                        dc_l, dc_u = dc_cond.get(dc_t, (0, 1))
-                        kx = ac_cond.get(ac_t, 5)
-                        for vy in range(cv):
-                            for vx in range(ch):
-                                _arith_decode_block(
-                                    dec,
-                                    coefs[idx][my * cv + vy][mx * ch + vx],
-                                    astate, idx, dc_t, ac_t,
-                                    dc_l, dc_u, kx,
-                                )
             p = dec.marker_pos
             return p if p >= 0 else _find_next_marker(data, dec.pos)
 
@@ -1660,13 +1774,14 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                     (code, length): sym for sym, (code, length) in codes.items()
                 }
                 b += 17 + nvals
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0 baseline / SOF1 extended sequential / SOF2
-            # progressive / SOF9 extended sequential ARITHMETIC (r9)
+            # progressive / SOF9 sequential ARITHMETIC / SOF10
+            # progressive ARITHMETIC (r9)
             if comps:
                 raise JpegError("multiple SOF segments")
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             if len(body) < 6:
                 raise JpegError("short SOF")
             # 12-bit sample precision is legal only in extended
@@ -1731,7 +1846,7 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                     np.zeros((n_mcuy * cv, n_mcux * ch, 64), dtype=np.int64)
                 )
                 band_al.append([-1] * 64)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError("unsupported SOF type")
         elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)

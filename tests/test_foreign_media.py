@@ -154,13 +154,14 @@ def test_jpeg_fixture_profiles_documented():
                 i += 2
                 continue
             (ln,) = struct.unpack_from(">H", data, i + 2)
-            if m in (0xC0, 0xC2, 0xC9):
+            if m in (0xC0, 0xC2, 0xC9, 0xCA):
                 body = data[i + 4:i + 2 + ln]
                 comps = [
                     (body[6 + c * 3 + 1] >> 4, body[6 + c * 3 + 1] & 15)
                     for c in range(body[5])
                 ]
-                kind = {0xC0: "base", 0xC2: "prog", 0xC9: "arith"}[m]
+                kind = {0xC0: "base", 0xC2: "prog", 0xC9: "arith",
+                        0xCA: "arithprog"}[m]
                 return kind, comps
             i += 2 + ln
         raise AssertionError("no SOF")
@@ -183,10 +184,16 @@ def test_jpeg_fixture_profiles_documented():
         "libjpeg_huff_base.jpg": ("base", [(1, 1), (1, 1), (1, 1)]),
         # restart after EVERY MCU — the RST7→RST0 wrap occurs in-stream
         "libjpeg_arith_rst_wrap.jpg": ("arith", [(1, 1), (1, 1), (1, 1)]),
+        # r9: SOF10 progressive arithmetic — the full simple-progression
+        # scan script under the adaptive entropy coder
+        "libjpeg_arith_prog_gray.jpg": ("arithprog", [(1, 1)]),
+        "libjpeg_arith_prog_444.jpg": ("arithprog", [(1, 1), (1, 1), (1, 1)]),
+        "libjpeg_arith_prog_420.jpg": ("arithprog", [(2, 2), (1, 1), (1, 1)]),
+        "libjpeg_arith_prog_rst.jpg": ("arithprog", [(1, 1), (1, 1), (1, 1)]),
     }
     for n, (kind, _) in got.items():
         data = (FIX / n).read_bytes()
-        assert (b"\xff\xcc" in data) == (kind == "arith"), n  # DAC
+        assert (b"\xff\xcc" in data) == kind.startswith("arith"), n  # DAC
 
 
 def test_exif_fixture_carries_real_metadata_segments():

@@ -986,3 +986,24 @@ class TestArithmetic:
             (self.FIX / "libjpeg_arith_gray.jpg").read_bytes()
         )
         assert (gw, gh, ch) == (24, 16, 3) and len(rgb) == 24 * 16 * 3
+
+    def test_progressive_arith_byte_flip(self):
+        data = (self.FIX / "libjpeg_arith_prog_420.jpg").read_bytes()
+        rng = np.random.default_rng(13)
+        for pos in rng.choice(len(data), size=60, replace=False):
+            mut = bytearray(data)
+            mut[pos] ^= 0xA5
+            try:
+                gw, gh, ch, rgb = J.decode_jpeg(bytes(mut))
+                assert len(rgb) == gw * gh * ch
+            except J.JpegError:
+                pass
+
+    def test_progressive_arith_equals_sequential_arith(self):
+        # progressive is a reordering of the same quantized
+        # coefficients under the same entropy coder family — libjpeg
+        # encodes both from identical pixels, so decodes must agree
+        # bit-for-bit
+        a = J.decode_jpeg((self.FIX / "libjpeg_arith_rgb444.jpg").read_bytes())
+        b = J.decode_jpeg((self.FIX / "libjpeg_arith_prog_444.jpg").read_bytes())
+        assert a == b

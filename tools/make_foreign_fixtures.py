@@ -302,7 +302,7 @@ _ARITH_C = r"""
 #include <jpeglib.h>
 
 static void write_jpeg(const char *path, int w, int h, int gray,
-                       int arith, int restart, int sub444,
+                       int arith, int restart, int sub444, int prog,
                        unsigned char *pix) {
     struct jpeg_compress_struct c;
     struct jpeg_error_mgr err;
@@ -316,6 +316,7 @@ static void write_jpeg(const char *path, int w, int h, int gray,
     jpeg_set_defaults(&c);
     jpeg_set_quality(&c, 95, TRUE);
     c.arith_code = arith ? TRUE : FALSE;
+    if (prog) jpeg_simple_progression(&c);
     c.restart_interval = restart;
     if (!gray && sub444) {
         c.comp_info[0].h_samp_factor = 1;
@@ -347,18 +348,28 @@ int main(int argc, char **argv) {
         }
     char p[512];
     snprintf(p, 512, "%s/libjpeg_arith_gray.jpg", dir);
-    write_jpeg(p, w, h, 1, 1, 0, 0, gray);
+    write_jpeg(p, w, h, 1, 1, 0, 0, 0, gray);
     snprintf(p, 512, "%s/libjpeg_arith_rgb444.jpg", dir);
-    write_jpeg(p, w, h, 0, 1, 0, 1, rgb);
+    write_jpeg(p, w, h, 0, 1, 0, 1, 0, rgb);
     snprintf(p, 512, "%s/libjpeg_arith_rgb420.jpg", dir);
-    write_jpeg(p, w, h, 0, 1, 0, 0, rgb);
+    write_jpeg(p, w, h, 0, 1, 0, 0, 0, rgb);
     /* 4:4:4 -> 6 MCUs at 24x16, restart_interval 2 -> RST0+RST1
        really appear in the stream (4:2:0 would have only 2 MCUs
        and emit none) */
     snprintf(p, 512, "%s/libjpeg_arith_rst.jpg", dir);
-    write_jpeg(p, w, h, 0, 1, 2, 1, rgb);
+    write_jpeg(p, w, h, 0, 1, 2, 1, 0, rgb);
     snprintf(p, 512, "%s/libjpeg_huff_base.jpg", dir);
-    write_jpeg(p, w, h, 0, 0, 0, 1, rgb);
+    write_jpeg(p, w, h, 0, 0, 0, 1, 0, rgb);
+    /* PROGRESSIVE arithmetic (SOF10): the full simple-progression
+       scan script under the adaptive entropy coder */
+    snprintf(p, 512, "%s/libjpeg_arith_prog_gray.jpg", dir);
+    write_jpeg(p, w, h, 1, 1, 0, 0, 1, gray);
+    snprintf(p, 512, "%s/libjpeg_arith_prog_444.jpg", dir);
+    write_jpeg(p, w, h, 0, 1, 0, 1, 1, rgb);
+    snprintf(p, 512, "%s/libjpeg_arith_prog_420.jpg", dir);
+    write_jpeg(p, w, h, 0, 1, 0, 0, 1, rgb);
+    snprintf(p, 512, "%s/libjpeg_arith_prog_rst.jpg", dir);
+    write_jpeg(p, w, h, 0, 1, 2, 1, 1, rgb);
     /* restart after EVERY MCU on a 5x3-MCU image: 14 markers, the
        RST7 -> RST0 wrap really occurs in the stream */
     {
@@ -372,7 +383,7 @@ int main(int argc, char **argv) {
                 rgb2[i] = r; rgb2[i + 1] = g; rgb2[i + 2] = 96;
             }
         snprintf(p, 512, "%s/libjpeg_arith_rst_wrap.jpg", dir);
-        write_jpeg(p, w2, h2, 0, 1, 1, 1, rgb2);
+        write_jpeg(p, w2, h2, 0, 1, 1, 1, 0, rgb2);
     }
     return 0;
 }
@@ -420,6 +431,10 @@ def make_arith_jpegs():
         "libjpeg_arith_rst.jpg": {**spec, "tol": 6.0},
         "libjpeg_huff_base.jpg": dict(spec),
         "libjpeg_arith_rst_wrap.jpg": {**spec, "w": 40, "h": 24},
+        "libjpeg_arith_prog_gray.jpg": {**spec, "kind": "smooth_gray"},
+        "libjpeg_arith_prog_444.jpg": dict(spec),
+        "libjpeg_arith_prog_420.jpg": {**spec, "tol": 6.0},
+        "libjpeg_arith_prog_rst.jpg": dict(spec),
     }
 
 
