@@ -1771,6 +1771,102 @@ FROM cfv c JOIN gv g USING (doc_id) JOIN rep r USING (doc_id)
 """
 
 
+def q_bpe_pipeline(spark, sf_dir):
+    """Corpus-trained BPE end-to-end (operators.bpe, r9): learn 10
+    merges from the documents table (adjacent-pair counts over the
+    distinct-word vocabulary, deterministic count-DESC-then-
+    lexicographic argmax, one driver row per iteration), then tokenize
+    every document with the learned table (k chained literal replaces,
+    zero-shuffle). Gate rows carry BOTH halves — ('merge', rank,
+    left|right, pair_count) and ('doc', doc_id, md5(token stream),
+    n_tokens) — so a drifting pair count, tie-break, merge-application
+    order, or word-boundary leak flips the hash. The oracle replays
+    TRAINING exactly: 10 unrolled iterations of split → pair-count →
+    argmax → literal replace over the same delimited-string
+    representation (two-space symbol separators, three-space word
+    boundaries no merge pattern can cross)."""
+    from bigdata_lab02_spark.operators import bpe as bp
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bp.train_bpe(docs, num_merges=10)
+    mrows = [
+        (i + 1, f"{left}|{right}", int(n))
+        for i, (left, right, n) in enumerate(merges)
+    ]
+    mdf = spark.createDataFrame(mrows, "k long, s string, n long").select(
+        F.lit("merge").alias("section"), "k", "s", "n"
+    )
+    stats = bp.bpe_token_stats(docs, merges).select(
+        F.lit("doc").alias("section"),
+        F.col("doc_id").alias("k"),
+        F.col("tokens_md5").alias("s"),
+        F.col("n_tokens").cast("long").alias("n"),
+    )
+    return mdf.unionByName(stats)
+
+
+def _bpe_sql(k: int = 10) -> str:
+    """DuckDB replay of train_bpe + bpe_token_stats: k unrolled
+    iterations, each one pair-count → argmax (count DESC, pair ASC) →
+    literal replace, over the same delimited-string representation the
+    Spark operator compiles."""
+    ctes = [
+        r"""bwc AS MATERIALIZED (
+  SELECT word, count(*) AS cnt FROM (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+    FROM documents)
+  WHERE word != '' GROUP BY word)""",
+        r"""bw0 AS MATERIALIZED (SELECT word, cnt,
+  ' ' || regexp_replace(word, '(.)', '\1  ', 'g') || '</w> ' AS sym
+  FROM bwc)""",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(rf"""bg{i} AS MATERIALIZED (
+  SELECT pr, sum(cnt) AS n FROM (
+    SELECT cnt, unnest(list_transform(
+      generate_series(1, len(s) - 1),
+      j -> s[j] || chr(9) || s[j + 1])) AS pr
+    FROM (SELECT cnt, string_split(trim(sym), '  ') AS s FROM bw{i - 1}))
+  GROUP BY pr)""")
+        ctes.append(rf"""bm{i} AS MATERIALIZED (
+  SELECT string_split(pr, chr(9))[1] AS l,
+         string_split(pr, chr(9))[2] AS r, n
+  FROM bg{i}
+  ORDER BY n DESC, string_split(pr, chr(9))[1] ASC,
+           string_split(pr, chr(9))[2] ASC
+  LIMIT 1)""")
+        ctes.append(rf"""bw{i} AS MATERIALIZED (
+  SELECT word, cnt,
+    replace(sym, ' ' || m.l || '  ' || m.r || ' ',
+            ' ' || m.l || m.r || ' ') AS sym
+  FROM bw{i - 1}, bm{i} m)""")
+    ctes.append(r"""bd0 AS MATERIALIZED (SELECT doc_id,
+  ' ' || regexp_replace(regexp_replace(
+      regexp_replace(trim(text), '\s+', ' ', 'g'),
+      '([^ ])', '\1  ', 'g'), '   ', '  </w>   ', 'g') || '</w> ' AS sym
+  FROM documents)""")
+    for i in range(1, k + 1):
+        ctes.append(rf"""bd{i} AS MATERIALIZED (
+  SELECT doc_id, replace(sym, ' ' || m.l || '  ' || m.r || ' ',
+                         ' ' || m.l || m.r || ' ') AS sym
+  FROM bd{i - 1}, bm{i} m)""")
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT 'merge' AS section, CAST({i} AS BIGINT) AS k, "
+        f"l || '|' || r AS s, CAST(n AS BIGINT) AS n FROM bm{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + merge_rows + "\nUNION ALL\n"
+        + rf"""SELECT 'doc' AS section, doc_id AS k,
+  md5(array_to_string(string_split_regex(trim(sym), '  +'), ' ')) AS s,
+  CAST(len(string_split_regex(trim(sym), '  +')) AS BIGINT) AS n
+FROM bd{k}"""
+    )
+
+
+_BPE_SQL = _bpe_sql(10)
+
+
 def q_token_budget(spark, sf_dir):
     """Per-source token budgeting: admit docs (in deterministic hashed
     order) while the source's running whitespace-token total stays within
@@ -4572,6 +4668,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multimodal_mixed, and the full dispatch-resize output stays
     # oracle-verified here every pytest run.
     "resize_mixed": q_resize_mixed,
+    # bpe_pipeline (r9): corpus-trained BPE merges + tokenization —
+    # the oracle replays training exactly (10 unrolled iterations);
+    # registered into the overflow, oracle-gated every pytest run.
+    "bpe_pipeline": q_bpe_pipeline,
     # media_metadata (r9): the header-only routing pass over the full
     # jpeg stripe corpus — oracle restates the generator's expected
     # headers; registered into the overflow, oracle-gated every pytest
@@ -4594,7 +4694,7 @@ ROTATED_OUT: set[str] = {
     "stratified_sample", "range_join", "wav_edges", "dedup_incremental",
     "ivf_topk_persisted", "stream_dedup_cands", "html_extract",
     "gopher_rules", "c4_filters", "resize_mixed", "gopher_repetition",
-    "media_metadata",
+    "media_metadata", "bpe_pipeline",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -4690,6 +4790,7 @@ _R9_NEW = {
     "crawl_curation_pipeline",
     "gopher_repetition",
     "media_metadata",
+    "bpe_pipeline",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -4783,6 +4884,7 @@ _ORACLES: dict[str, str] = {
     "crawl_curation_pipeline": _CRAWL_SQL,
     "gopher_repetition": _GOPHER_REP_SQL,
     "media_metadata": _MEDIA_META_SQL,
+    "bpe_pipeline": _BPE_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,
     "semantic_dedup_pipeline": _SEMANTIC_PIPE_SQL,
     "dsir_importance": _DSIR_SQL,

@@ -121,6 +121,8 @@ EXTRA = [
     # sf0.1), not engine signal — the same folds run inside the
     # composed gate at ~2.6 s over realistic text.
     "crawl_curation_pipeline",
+    # r9: corpus-trained BPE (10-merge train loop + tokenize)
+    "bpe_pipeline",
 ]
 STREAMING_LAST = [
     "stream_hourly",

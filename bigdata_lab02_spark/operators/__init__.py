@@ -18,6 +18,7 @@
 - ``merge``      — snapshot merge/upsert
 - ``temporal``   — binned range (interval-containment) join
 - ``html``       — WET-style HTML → text extraction + markup features
+- ``bpe``        — corpus-trained byte-pair encoding (train + tokenize)
 - ``crawl``      — composed crawl-curation pipeline (html → C4 →
                    Gopher quality + repetition) as one projection
 - ``multimodal`` — binary-column plumbing with REAL vendored codecs

@@ -1,0 +1,104 @@
+"""operators/bpe: corpus-trained BPE merges + tokenization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_lab02_spark.operators import bpe
+
+
+def _toy(spark):
+    # the canonical Sennrich 2016 toy corpus
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    return spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+
+def test_sennrich_toy_merges(spark):
+    merges = bpe.train_bpe(_toy(spark), num_merges=5)
+    assert merges == [
+        ("e", "s", 9),
+        ("es", "t", 9),
+        ("est", "</w>", 9),
+        ("l", "o", 7),
+        ("lo", "w", 7),
+    ]
+
+
+def test_tie_break_is_lexicographic(spark):
+    # after 5 merges, newest = n e w est</w>: pairs (n,e)/(e,w)/(w,est</w>)
+    # all count 6 — the deterministic winner is the lexicographically
+    # smallest pair
+    merges = bpe.train_bpe(_toy(spark), num_merges=6)
+    assert merges[5] == ("e", "w", 6)
+
+
+def test_tokenization_matches_hand_count(spark):
+    df = _toy(spark)
+    merges = bpe.train_bpe(df, num_merges=6)
+    row = bpe.bpe_token_stats(df, merges).collect()[0]
+    # low -> [low,</w>]x5 =10; lower -> [low,e,r,</w>]x2 =8;
+    # newest -> [n,ew,est</w>]x6 =18; widest -> [w,i,d,est</w>]x3 =12
+    assert row["n_tokens"] == 48
+
+
+def test_merges_never_cross_word_boundaries(spark):
+    # "ab ba" repeated: every candidate pair lives INSIDE a word. A
+    # cross-boundary merge would pair a word-final symbol (ending in
+    # </w>) with the NEXT word's first symbol — i.e. a LEFT side ending
+    # in the marker. (</w> on the RIGHT is legitimate: word-final
+    # merges like (a, </w>) are standard BPE.)
+    df = spark.createDataFrame([(1, "ab ba " * 10)], "doc_id long, text string")
+    merges = bpe.train_bpe(df, num_merges=4)
+    assert merges == [
+        ("a", "</w>", 10),   # ties at 10 break lexicographically
+        ("a", "b", 10),
+        ("ab", "</w>", 10),
+        ("b", "a</w>", 10),
+    ]
+    for left, _, _ in merges:
+        assert not left.endswith("</w>")  # nothing merged ACROSS words
+
+
+def test_repeated_symbol_greedy_left(spark):
+    # "aaa": (a,a) appears twice overlapping; greedy left-to-right
+    # merges positions 1-2 leaving the third alone: [aa, a, </w>]
+    df = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    merges = bpe.train_bpe(df, num_merges=1)
+    assert merges[0][:2] == ("a", "a")
+    row = bpe.bpe_token_stats(df, merges).collect()[0]
+    assert row["n_tokens"] == 3
+
+
+def test_determinism_across_runs(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = bpe.train_bpe(docs, num_merges=8)
+    b = bpe.train_bpe(docs, num_merges=8)
+    assert a == b and len(a) == 8
+    sa = sorted(map(tuple, bpe.bpe_token_stats(docs, a).collect()))
+    sb = sorted(map(tuple, bpe.bpe_token_stats(docs, b).collect()))
+    assert sa == sb
+
+
+def test_tokenization_zero_shuffle(spark):
+    from bigdata_lab02_spark.plans import plan_report
+
+    df = _toy(spark)
+    merges = bpe.train_bpe(df, num_merges=4)
+    r = plan_report(bpe.bpe_token_stats(df, merges))
+    assert r.n_exchanges == 0, r.raw
+
+
+def test_more_merges_never_increase_tokens(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m12 = bpe.train_bpe(docs, num_merges=12)
+    short = (
+        bpe.bpe_token_stats(docs, m12[:4])
+        .agg(F.sum("n_tokens"))
+        .collect()[0][0]
+    )
+    full = (
+        bpe.bpe_token_stats(docs, m12)
+        .agg(F.sum("n_tokens"))
+        .collect()[0][0]
+    )
+    assert full < short
