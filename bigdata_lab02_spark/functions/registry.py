@@ -246,3 +246,28 @@ i AS (
 SELECT p.* EXCEPT (__bin), i.* EXCEPT (__bin)
 FROM p JOIN i USING (__bin)
 WHERE p.{ts_col} >= i.{lo_col} AND p.{ts_col} < i.{hi_col}"""
+
+
+def bpe_tokenize_sql(
+    view: str,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Full SELECT statement: operators.bpe.bpe_token_stats over
+    ``view`` under a learned merge table (the ``train_bpe`` output) —
+    the k merges compile to k chained literal replaces, same plan as
+    the DataFrame builder."""
+    sym = (
+        f"concat(' ', regexp_replace(regexp_replace(regexp_replace("
+        f"trim({text_col}), '\\\\s+', ' '), '([^ ])', '$1  '), "
+        f"'   ', '  </w>   '), '</w> ')"
+    )
+    for left, right, _ in merges:
+        pat = sql_str(f" {left}  {right} ")
+        rep = sql_str(f" {left}{right} ")
+        sym = f"replace({sym}, {pat}, {rep})"
+    return f"""SELECT {id_col},
+  size(split(trim({sym}), '  +')) AS n_tokens,
+  md5(array_join(split(trim({sym}), '  +'), ' ')) AS tokens_md5
+FROM {view}"""

@@ -159,3 +159,18 @@ def test_range_join_in_pure_sql(spark):
         map(tuple, range_join(ev, iv, bin_seconds=3600).collect())
     )
     assert a == b and a
+
+
+def test_bpe_tokenize_in_pure_sql(spark):
+    from bigdata_lab02_spark.functions.registry import bpe_tokenize_sql
+    from bigdata_lab02_spark.operators import bpe
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame(
+        [(1, text), (2, "the low bar"), (3, "")], "doc_id long, text string"
+    )
+    merges = bpe.train_bpe(df, num_merges=6)
+    df.createOrReplaceTempView("bpe_docs_v")
+    a = sorted(map(tuple, spark.sql(bpe_tokenize_sql("bpe_docs_v", merges)).collect()))
+    b = sorted(map(tuple, bpe.bpe_token_stats(df, merges).collect()))
+    assert a == b
