@@ -65,6 +65,7 @@ AUDIT = [
     "ivf_topk_persisted",
     "html_extract",
     "crawl_curation_pipeline",
+    "bpe_pipeline",
 ]
 
 COMMENT = {
@@ -113,6 +114,7 @@ COMMENT = {
     "ivf_topk_persisted": "Corpus lists read from the hive layout with list_id PartitionFilters (directory pruning to the probed lists); probes broadcast; the only data-sized exchange is the per-query top-k.",
     "html_extract": "Zero exchanges: the whole strip kernel + markup features are ONE generated projection fused with the scan.",
     "crawl_curation_pipeline": "Zero exchanges END-TO-END: html strip -> C4 line rules -> Gopher quality + 13 repetition folds chain through column passthrough (no re-join on doc_id) — the whole crawl->verdict pipeline is one fused map over the corpus.",
+    "bpe_pipeline": "The audited plan is the POST-TRAINING shape: tokenization is k chained literal replaces fused into one zero-shuffle projection (the merge table unions in as a literal local relation). Training itself is a driver loop over the vocabulary-sized word-count table — one pair-count shuffle per merge, one argmax row to the driver per iteration.",
 }
 
 
