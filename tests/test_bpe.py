@@ -102,3 +102,35 @@ def test_more_merges_never_increase_tokens(spark):
         .collect()[0][0]
     )
     assert full < short
+
+
+def test_tokenization_is_lossless(spark):
+    """BPE is a segmentation, never a rewrite: stripping the </w>
+    markers and concatenating the tokens must reproduce the
+    whitespace-normalized text exactly, at every merge depth."""
+    from bigdata_lab02_spark.operators.bpe import (
+        apply_merges,
+        text_symbols,
+        train_bpe,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "aaa aa a  aaa"),
+        (3, "punct, here! and?  spaced   out"),
+        (4, "unicode ¡café über déjà-vu"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(df, num_merges=12)
+    sym = apply_merges(text_symbols(F.col("text")), merges)
+    toks = F.split(F.trim(sym), "  +")
+    rebuilt = F.replace(
+        F.array_join(toks, ""), F.lit("</w>"), F.lit(" ")
+    )
+    out = df.select(
+        "doc_id",
+        F.rtrim(rebuilt).alias("rebuilt"),
+        F.regexp_replace(F.trim(F.col("text")), r"\s+", " ").alias("want"),
+    ).collect()
+    for r in out:
+        assert r["rebuilt"] == r["want"], r
