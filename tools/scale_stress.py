@@ -55,6 +55,14 @@ FAMILY = [
     # r8: persisted IVF — probe-pruned scan; growth tracks probed-list
     # volume, not corpus size (layout rebuilt per run inside the gate)
     "ivf_topk_persisted",
+    # r9: the composed crawl chain is a pure map — its growth should be
+    # ~the data growth with zero shuffle amplification
+    "crawl_curation_pipeline",
+    # r9: BPE — the conditional-scale term is the VOCABULARY (pair-count
+    # shuffle per merge); the near-dup replica corpus grows the vocab
+    # only by the per-copy suffix tokens, so growth should be far below
+    # the data growth
+    "bpe_pipeline",
 ]
 # Round-6 extension (VERDICT r5 item 6): one more doubling pair on the two
 # families with the highest 4× growth, to separate pair-count growth
