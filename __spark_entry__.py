@@ -1322,7 +1322,7 @@ WITH pages AS (SELECT doc_id, {_HTML_FIXTURE_EXPR} AS html FROM documents),
 p AS (SELECT doc_id, html, {_html_nonprose_sql('html')} AS prose_html
       FROM pages),
 s AS (SELECT doc_id, html, prose_html,
-      {_html_strip_sql('prose_html')} AS text FROM p)
+      {_html_strip_sql('html')} AS text FROM p)
 SELECT doc_id, text,
   CAST(len(regexp_extract_all(html, {_rq(_H_OPEN_TAG)})) AS INT) AS n_tags,
   CAST(len(regexp_extract_all(prose_html, {_HTML_ANCHOR_SQL})) AS INT)
@@ -1685,7 +1685,7 @@ WITH pages AS (SELECT doc_id, {_HTML_FIXTURE_EXPR} AS html FROM documents),
 hp AS (SELECT doc_id, html, {_html_nonprose_sql('html')} AS prose_html
        FROM pages),
 hs AS (SELECT doc_id, html, prose_html,
-       {_html_strip_sql('prose_html')} AS text FROM hp),
+       {_html_strip_sql('html')} AS text FROM hp),
 hf AS (SELECT doc_id, text,
   CAST(len(regexp_extract_all(html, {_rq(_H_OPEN_TAG)})) AS INT) AS n_tags,
   CAST(len(regexp_extract_all(prose_html, {_HTML_ANCHOR_SQL})) AS INT)
@@ -1841,14 +1841,16 @@ def _bpe_sql(k: int = 10) -> str:
             ' ' || m.l || m.r || ' ') AS sym
   FROM bw{i - 1}, bm{i} m)""")
     ctes.append(r"""bd0 AS MATERIALIZED (SELECT doc_id,
+  trim(text) = '' AS is_empty,
   ' ' || regexp_replace(regexp_replace(
       regexp_replace(trim(text), '\s+', ' ', 'g'),
       '([^ ])', '\1  ', 'g'), '   ', '  </w>   ', 'g') || '</w> ' AS sym
   FROM documents)""")
     for i in range(1, k + 1):
         ctes.append(rf"""bd{i} AS MATERIALIZED (
-  SELECT doc_id, replace(sym, ' ' || m.l || '  ' || m.r || ' ',
-                         ' ' || m.l || m.r || ' ') AS sym
+  SELECT doc_id, is_empty,
+         replace(sym, ' ' || m.l || '  ' || m.r || ' ',
+                 ' ' || m.l || m.r || ' ') AS sym
   FROM bd{i - 1}, bm{i} m)""")
     merge_rows = "\nUNION ALL\n".join(
         f"SELECT 'merge' AS section, CAST({i} AS BIGINT) AS k, "
@@ -1858,8 +1860,11 @@ def _bpe_sql(k: int = 10) -> str:
     return (
         "WITH " + ",\n".join(ctes) + "\n" + merge_rows + "\nUNION ALL\n"
         + rf"""SELECT 'doc' AS section, doc_id AS k,
-  md5(array_to_string(string_split_regex(trim(sym), '  +'), ' ')) AS s,
-  CAST(len(string_split_regex(trim(sym), '  +')) AS BIGINT) AS n
+  md5(CASE WHEN is_empty THEN ''
+      ELSE array_to_string(string_split_regex(trim(sym), '  +'), ' ')
+      END) AS s,
+  CAST(CASE WHEN is_empty THEN 0
+       ELSE len(string_split_regex(trim(sym), '  +')) END AS BIGINT) AS n
 FROM bd{k}"""
     )
 

@@ -267,7 +267,10 @@ def bpe_tokenize_sql(
         pat = sql_str(f" {left}  {right} ")
         rep = sql_str(f" {left}{right} ")
         sym = f"replace({sym}, {pat}, {rep})"
+    empty = f"trim({text_col}) = ''"
     return f"""SELECT {id_col},
-  size(split(trim({sym}), '  +')) AS n_tokens,
-  md5(array_join(split(trim({sym}), '  +'), ' ')) AS tokens_md5
+  CASE WHEN {empty} THEN 0
+    ELSE size(split(trim({sym}), '  +')) END AS n_tokens,
+  md5(CASE WHEN {empty} THEN ''
+    ELSE array_join(split(trim({sym}), '  +'), ' ') END) AS tokens_md5
 FROM {view}"""

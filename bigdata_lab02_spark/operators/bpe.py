@@ -137,13 +137,17 @@ def bpe_token_stats(
 ) -> DataFrame:
     """(id, n_tokens, tokens_md5): per-document BPE token count and an
     md5 over the space-joined token sequence (the engine-portable
-    verification currency) under the learned merge table. Zero-shuffle:
-    the whole tokenization is one generated projection."""
+    verification currency) under the learned merge table. Empty /
+    whitespace-only documents count ZERO tokens (not a stray ``</w>``).
+    Zero-shuffle: the whole tokenization is one generated projection."""
+    empty = F.trim(F.col(text_col)) == ""
     sym = apply_merges(text_symbols(F.col(text_col)), merges)
     # symbols contain no spaces, separators are 2-3 spaces
     toks = F.split(F.trim(sym), "  +")
     return docs.select(
         id_col,
-        F.size(toks).alias("n_tokens"),
-        F.md5(F.array_join(toks, " ")).alias("tokens_md5"),
+        F.when(empty, F.lit(0)).otherwise(F.size(toks)).alias("n_tokens"),
+        F.md5(
+            F.when(empty, F.lit("")).otherwise(F.array_join(toks, " "))
+        ).alias("tokens_md5"),
     )

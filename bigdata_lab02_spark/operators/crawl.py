@@ -61,8 +61,17 @@ def crawl_curation(
     Returns per page: the html features, the C4 counters and ``c4_keep``,
     the Gopher quality features and ``quality_keep``, two representative
     repetition fractions and ``rep_keep``, the surviving ``clean_text``,
-    and ``keep`` = c4 ∧ quality ∧ repetition."""
-    ext = extract_html(pages, html_col=html_col, id_col=id_col)
+    and ``keep`` = c4 ∧ quality ∧ repetition. A non-default ``id_col``
+    is carried through by renaming to the stage operators' ``doc_id``
+    internally and back on the way out."""
+    if id_col != "doc_id":
+        if "doc_id" in pages.columns:
+            raise ValueError(
+                "pages already has a doc_id column; drop or rename it "
+                f"before using id_col={id_col!r}"
+            )
+        pages = pages.withColumnRenamed(id_col, "doc_id")
+    ext = extract_html(pages, html_col=html_col, id_col="doc_id")
     c4 = c4_filters(
         ext,
         min_words_per_line=min_words_per_line,
@@ -83,7 +92,7 @@ def crawl_curation(
             + ["quality_keep"]
         ),
     ).withColumnRenamed("keep", "rep_keep")
-    return rep.select(
+    out = rep.select(
         "doc_id",
         *_HTML_FEATURES,
         *_C4_FEATURES,
@@ -98,3 +107,6 @@ def crawl_curation(
             "keep"
         ),
     )
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out

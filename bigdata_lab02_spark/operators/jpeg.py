@@ -883,9 +883,8 @@ def encode_jpeg12_gray(
     for by in range(ph // 8):
         for bx in range(pw // 8):
             block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            coef = _dct2(block - 2048.0)
-            zz = [int(v) for v in
-                  (_rnd(coef / QUANT_LUM)[r, c] for r, c in _ZIGZAG)]
+            q = _rnd(_dct2(block - 2048.0) / QUANT_LUM)
+            zz = [int(q[r, c]) for r, c in _ZIGZAG]
             for v in zz[1:]:
                 if v and _category(v) > 10:
                     raise JpegError(

@@ -55,8 +55,21 @@ def read_jsonl(spark, path: str, schema) -> DataFrame:
 def bucketed_table_name(name: str) -> str:
     """Resolve the ``name@version`` convention to a Spark table
     identifier (``corpus@v3`` → ``corpus__v3`` — identifiers cannot
-    carry ``@``). Plain names pass through unchanged."""
-    return name.replace("@", "__")
+    carry ``@``). ``__`` is RESERVED as the resolved separator: a plain
+    name containing it (or a malformed versioned name) is rejected so
+    two distinct user-visible names can never resolve to — and silently
+    clobber — the same table."""
+    if "@" in name:
+        base, sep, version = name.partition("@")
+        if not base or not version or "@" in version or "__" in name:
+            raise ValueError(f"malformed versioned table name {name!r}")
+        return f"{base}__{version}"
+    if "__" in name:
+        raise ValueError(
+            f"table name {name!r} contains the reserved '__' separator; "
+            "use the name@version convention instead"
+        )
+    return name
 
 
 def read_bucketed(spark, name: str) -> DataFrame:

@@ -134,3 +134,14 @@ def test_tokenization_is_lossless(spark):
     ).collect()
     for r in out:
         assert r["rebuilt"] == r["want"], r
+
+
+def test_empty_doc_counts_zero_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "word")], "doc_id long, text string"
+    )
+    merges = bpe.train_bpe(df, num_merges=1)
+    rows = {r["doc_id"]: r for r in bpe.bpe_token_stats(df, merges).collect()}
+    assert rows[1]["n_tokens"] == 0 and rows[2]["n_tokens"] == 0
+    assert rows[1]["tokens_md5"] == rows[2]["tokens_md5"]
+    assert rows[3]["n_tokens"] >= 1

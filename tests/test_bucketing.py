@@ -212,3 +212,17 @@ def test_versioned_bucketed_layouts(spark):
     # still plans exchange-free (layout intact)
     agg = r1.groupBy("digest").agg(F.count("*").alias("n"))
     assert plan_report(agg).n_exchanges == 0
+
+
+def test_versioned_name_resolution_guards(spark):
+    """Distinct user-visible names can never resolve to the same table:
+    '__' is reserved for the resolved separator."""
+    from bigdata_lab02_spark.sources.sinks import bucketed_table_name
+
+    assert bucketed_table_name("corpus@v3") == "corpus__v3"
+    assert bucketed_table_name("plain_name") == "plain_name"
+    with pytest.raises(ValueError, match="reserved"):
+        bucketed_table_name("corpus__v3")  # would collide with corpus@v3
+    for bad in ("@v1", "corpus@", "a@b@c", "cor__pus@v1"):
+        with pytest.raises(ValueError):
+            bucketed_table_name(bad)

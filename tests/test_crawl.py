@@ -121,3 +121,17 @@ def test_crawl_curation_runs_on_a_stream(spark, tmp_path):
     got = sorted(map(tuple, out.collect()))
     want = sorted(map(tuple, crawl_curation(batch).collect()))
     assert got == want and len(got) == 3
+
+
+def test_custom_id_column(spark):
+    # id_col is threaded through the whole chain by internal rename
+    df = spark.createDataFrame([(7, _GOOD)], "page_id long, html string")
+    out = crawl_curation(df, id_col="page_id").collect()[0]
+    assert out["page_id"] == 7 and out["keep"] is True
+    import pytest as _pt
+
+    clash = spark.createDataFrame(
+        [(7, 1, _GOOD)], "page_id long, doc_id long, html string"
+    )
+    with _pt.raises(ValueError, match="doc_id"):
+        crawl_curation(clash, id_col="page_id")
