@@ -1219,8 +1219,15 @@ _HTML_FIXTURE_EXPR = (
     # element that a name-unanchored anchor regex would swallow whole,
     # anchors hiding in comments/scripts (must NOT count as links), and a
     # </pre> that a boundary-less '/p' block-break rule would newline.
+    # the CDATA stripe also carries CONCATENATION-FORMED markup: removing
+    # the <style> block forms a <script> tag that did not exist when the
+    # script pass ran — nonprose removal is NOT idempotent here, so this
+    # stripe pins that both engines apply it exactly once (the r9
+    # self-review drift: text must come from ONE pass over the raw html)
     " || CASE WHEN doc_id % 5 = 1 THEN '<![CDATA[ raw < markup & '"
-    " || doc_id || ' ]]>' ELSE '' END"
+    " || doc_id || ' ]]><scr<style>.q' || doc_id"
+    " || ' { left: 0 }</style>ipt>var t = ' || doc_id || ';</script>'"
+    " ELSE '' END"
     " || CASE WHEN doc_id % 5 = 2 THEN '<a href=\"/q?a>b\" title=\"x>y\">deep '"
     " || doc_id || '</a> <img title=''1 > 0''>' ELSE '' END"
     " || CASE WHEN doc_id % 5 = 3 THEN"
