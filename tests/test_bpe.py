@@ -145,3 +145,14 @@ def test_empty_doc_counts_zero_tokens(spark):
     assert rows[1]["n_tokens"] == 0 and rows[2]["n_tokens"] == 0
     assert rows[1]["tokens_md5"] == rows[2]["tokens_md5"]
     assert rows[3]["n_tokens"] >= 1
+
+
+def test_pandas_path_equals_expression_path(spark):
+    """The Arrow-batched scale path (production merge tables) matches
+    the replace-chain expression path bit-for-bit — same rank-order,
+    left-to-right merge semantics."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = bpe.train_bpe(docs, num_merges=12)
+    a = sorted(map(tuple, bpe.bpe_token_stats(docs, merges).collect()))
+    b = sorted(map(tuple, bpe.bpe_tokenize_pandas(docs, merges).collect()))
+    assert a == b and len(a) == docs.count()
