@@ -69,9 +69,23 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a cast to TIMESTAMP is semantically a no-op). Normalize every
     generation to TimestampType here so downstream code sees ONE type.
     Truncation to micros matches DuckDB's TIMESTAMP_NS → TIMESTAMP handling,
-    so the oracle agrees either way."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    so the oracle agrees either way.
+
+    The legacy nanosAsLong conf is SCOPED to this read (r10, VERDICT r9
+    item 7): set, read (schema conversion happens at reader-resolution
+    time, so the relation is pinned before we leave), then restored in
+    a finally — gate wiring must not silently flip global read behavior
+    for whatever shared session the driver hands us."""
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
     dt = ev.schema["ts"].dataType
     if isinstance(dt, LongType):
         ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -239,10 +253,15 @@ def q_p10_tfidf(spark, sf_dir):
 
 
 def q_p12_ctfidf(spark, sf_dir):
-    """P12: mean tfidf per (lang-category, term) over docs containing it."""
+    """P12: mean tfidf per (lang-category, term) over docs containing it.
+
+    The doc-side dimension joins UN-hinted (r10, VERDICT r9 item 1): it
+    has one row per document, so a forced broadcast is an OOM at 100 TB;
+    the engine/AQE broadcasts it while it actually fits and shuffles on
+    doc_id when it doesn't (plan-asserted in test_plans)."""
     docs = _t(spark, sf_dir, "documents")
     tfidf = mx.tfidf_matrix(_coo(docs))
-    j = tfidf.join(F.broadcast(docs.select("doc_id", "lang")), "doc_id")
+    j = tfidf.join(docs.select("doc_id", "lang"), "doc_id")
     return (
         j.groupBy(F.col("lang").alias("category"), "term_id")
         .agg(F.round(F.avg("tfidf"), 6).alias("ctfidf"))
@@ -250,10 +269,11 @@ def q_p12_ctfidf(spark, sf_dir):
 
 
 def q_p13_category_top5(spark, sf_dir):
-    """P13: top-5 terms per category by ctfidf (deterministic tiebreak)."""
+    """P13: top-5 terms per category by ctfidf (deterministic tiebreak).
+    Doc-side join un-hinted like q_p12_ctfidf (VERDICT r9 item 1)."""
     docs = _t(spark, sf_dir, "documents")
     tfidf = mx.tfidf_matrix(_coo(docs))
-    j = tfidf.join(F.broadcast(docs.select("doc_id", "lang")), "doc_id")
+    j = tfidf.join(docs.select("doc_id", "lang"), "doc_id")
     ct = j.groupBy(F.col("lang").alias("category"), "term_id").agg(
         F.avg("tfidf").alias("ctfidf")
     )

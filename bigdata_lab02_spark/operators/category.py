@@ -6,9 +6,13 @@ doc-name prefix before the first '.'), take the MEAN tfidf over the docs
 that contain the term (quirk Q5 — divisor is #docs-containing-term, not
 category size), then keep the top-5 terms per category.
 
-Spark expression: two broadcast joins (dictionaries are small dims) + one
-``groupBy(category, term).avg`` + a ranking window. The big side shuffles
-once, on (category, term).
+Spark expression: the TERM dictionary joins broadcast (vocabulary-sized,
+sublinear in the corpus); the DOC dictionary joins un-hinted (one row PER
+DOCUMENT — at 100 TB that is billions of rows, so forcing a broadcast
+build is an OOM by construction; the engine/AQE size-gates it instead,
+broadcasting while it fits and falling back to a shuffle join on doc_id
+when it doesn't). The big side then shuffles once, on (category, term).
+The reference's DistributedCache precedent covers the term dict only.
 """
 
 from __future__ import annotations
@@ -24,6 +28,7 @@ def category_tfidf(
     doc_dict: DataFrame,
     term_dict: DataFrame | None = None,
     category_col: str | None = None,
+    broadcast_docs: bool = False,
 ) -> DataFrame:
     """P12: mean tfidf per (category, term) over docs containing the term.
 
@@ -31,8 +36,16 @@ def category_tfidf(
     (task1_5_1.java:125-126) unless the doc dictionary carries an explicit
     ``category_col``. ``term_dict`` (optional) decodes term ids to names,
     as the reference does for its final output.
+
+    ``broadcast_docs`` (default False) leaves the doc-dictionary join
+    strategy to the engine: the doc side is O(n_docs), so a hard broadcast
+    hint dies at scale (the r9 weak finding). AQE /
+    ``autoBroadcastJoinThreshold`` still broadcasts it whenever it is
+    actually small; pass True only when the caller KNOWS the doc dim is
+    bounded (e.g. a fixed evaluation set).
     """
-    joined = tfidf.join(F.broadcast(doc_dict), "doc_id")
+    doc_side = F.broadcast(doc_dict) if broadcast_docs else doc_dict
+    joined = tfidf.join(doc_side, "doc_id")
     cat = (
         F.col(category_col)
         if category_col

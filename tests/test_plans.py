@@ -84,3 +84,36 @@ def test_keep_best_single_shuffle_shared_by_windows(spark):
     """Rank + group_size windows share ONE hash exchange on the group key."""
     r = plan_report(e.queries()["dedup_keep_best"](spark, SF))
     assert r.n_exchanges == 1
+
+
+def test_ctfidf_doc_side_join_is_size_gated(spark):
+    """VERDICT r9 item 1: the P12/P13 doc-side dimension (one row PER
+    DOCUMENT) must NOT carry a hard broadcast hint — when the engine
+    deems the doc side too big to broadcast (simulated here by
+    autoBroadcastJoinThreshold=-1), the join must plan as a shuffle
+    join, not an executor-resident broadcast build. The term-dict
+    broadcast (vocabulary-sized, explicitly hinted) survives, which is
+    exactly the asymmetry the fix is about."""
+    from bigdata_lab02_spark.operators.category import category_tfidf
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("p12_ctfidf", "p13_category_top5"):
+            r = plan_report(e.queries()[name](spark, SF))
+            # un-hinted doc join degrades to a shuffle join under -1 ...
+            assert r.n_sortmerge_joins + r.raw.count("ShuffledHashJoin") >= 1, name
+            # ... while the hinted term-dict broadcast is still there
+            assert r.n_broadcast_joins >= 1, name
+        # the library twin: default must not hint the doc dictionary
+        tfidf = spark.createDataFrame(
+            [(1, 10, 0.5), (2, 10, 0.25)], "doc_id long, term_id long, tfidf double"
+        )
+        dd = spark.createDataFrame([(1, "a.x"), (2, "b.y")], "doc_id long, doc string")
+        r = plan_report(category_tfidf(tfidf, dd))
+        assert r.n_broadcast_joins == 0
+        # opt-in still forces the build for known-bounded doc dims
+        r = plan_report(category_tfidf(tfidf, dd, broadcast_docs=True))
+        assert r.n_broadcast_joins >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
