@@ -1256,6 +1256,14 @@ _HTML_FIXTURE_EXPR = (
     " || CASE WHEN doc_id % 5 = 4 THEN"
     " '<script>document.write(\"<a href=/y>sneaky</a>\")</script>'"
     " || '<pre>code ' || doc_id || '</pre>' ELSE '' END"
+    # r10 numeric-character-reference stripe (VERDICT r9 item 6): the
+    # CMS-escaping forms — curly quotes/dashes/ellipsis as decimal refs,
+    # &#160; nbsp, &#38;quot; which must yield the LITERAL text &quot;
+    # (named entities decode before the numeric-amp, and nothing
+    # re-decodes the output — the single-pass pin for the numeric tier).
+    " || CASE WHEN doc_id % 6 = 2 THEN '<p>It&#8217;s a test &#8211; dash,'"
+    " || ' em&#8212;dash, ellipsis&#8230; &#160;quote &#8220;' || doc_id"
+    " || '&#8221; &#169; and literal &#38;quot; stays.</p>' ELSE '' END"
     " || '<!-- build ' || doc_id || ' <b>bold</b> -->'"
     " || '<footer>&copy; 2024 &amp; &quot;fin&quot;</footer></body></html>'"
 )
@@ -1315,15 +1323,21 @@ def _html_nonprose_sql(e: str) -> str:
     return f"regexp_replace({out}, {_rq(_H_CDATA)}, '', 'g')"
 
 
-# The named-entity decode restated (r9 extended set; &amp; stays LAST —
-# single-pass decode, so &amp;lt; yields the literal text &lt;).
+# The named-entity decode restated (r9 extended set; r10: plus the
+# decimal numeric references — &amp; stays LAST with its numeric twin
+# &#38; after it — single-pass decode, so &amp;lt; yields the literal
+# text &lt; and &#38;quot; yields the literal text &quot;).
 _H_ENTITIES = [
     ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
     ("&#34;", '"'), ("&apos;", "'"), ("&nbsp;", " "), ("&mdash;", "—"),
     ("&ndash;", "–"), ("&hellip;", "…"), ("&lsquo;", "‘"),
     ("&rsquo;", "’"), ("&ldquo;", "“"), ("&rdquo;", "”"), ("&copy;", "©"),
     ("&reg;", "®"), ("&trade;", "™"), ("&deg;", "°"), ("&middot;", "·"),
-    ("&amp;", "&"),
+    ("&#160;", " "), ("&#8211;", "–"), ("&#8212;", "—"), ("&#8216;", "‘"),
+    ("&#8217;", "’"), ("&#8220;", "“"), ("&#8221;", "”"), ("&#8230;", "…"),
+    ("&#169;", "©"), ("&#174;", "®"), ("&#8482;", "™"), ("&#176;", "°"),
+    ("&#183;", "·"),
+    ("&amp;", "&"), ("&#38;", "&"),
 ]
 
 

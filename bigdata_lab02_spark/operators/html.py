@@ -60,12 +60,20 @@ ANCHOR_RE = rf"(?is)<a(?:\s{_ATTRS})?>.*?</a>"
 OPEN_TAG_RE = rf"(?s)<[A-Za-z]{_ATTRS}>"
 
 # Named-entity set (r9: extended beyond the structural six to the
-# typographic/symbol names common in crawl prose); ``&amp;`` is decoded
-# LAST so ``&amp;lt;`` yields the literal text ``&lt;`` (single-pass
-# decode, never a double decode). Numeric references other than
-# ``&#39;``/``&#34;`` are left as-is — an honest, documented limit (a
-# general ``&#NNN;`` decode needs per-match code-point arithmetic, which
-# would break the pure replace-chain form both engines replay).
+# typographic/symbol names common in crawl prose; r10: plus the top
+# NUMERIC character references CMS escaping emits — the decimal forms of
+# the same typographic set, e.g. ``&#8217;`` for the right single quote,
+# which WordPress-era escaping scatters through real crawl text).
+# ``&amp;`` is decoded LAST so ``&amp;lt;`` yields the literal text
+# ``&lt;`` (single-pass decode, never a double decode), and its numeric
+# twin ``&#38;`` decodes after it for the same reason. The one
+# irreducible replace-chain limit: two entities both producing ``&``
+# cannot BOTH be single-pass against each other (``&amp;#38;``
+# double-decodes) — ``decode_entities_pandas`` below is the
+# full-generality Arrow twin without that limit. GENERAL ``&#NNN;`` /
+# ``&#xHH;`` beyond this finite list stays out of the expression tier
+# (per-match code-point arithmetic would break the pure replace-chain
+# form both engines replay); the twin covers it.
 _ENTITIES = [
     ("&lt;", "<"),
     ("&gt;", ">"),
@@ -86,7 +94,22 @@ _ENTITIES = [
     ("&trade;", "™"),
     ("&deg;", "°"),
     ("&middot;", "·"),
+    # r10 numeric forms (decimal — what CMS escaping actually emits)
+    ("&#160;", " "),     # nbsp
+    ("&#8211;", "–"),
+    ("&#8212;", "—"),
+    ("&#8216;", "‘"),
+    ("&#8217;", "’"),
+    ("&#8220;", "“"),
+    ("&#8221;", "”"),
+    ("&#8230;", "…"),
+    ("&#169;", "©"),
+    ("&#174;", "®"),
+    ("&#8482;", "™"),
+    ("&#176;", "°"),
+    ("&#183;", "·"),
     ("&amp;", "&"),
+    ("&#38;", "&"),
 ]
 
 
@@ -94,6 +117,52 @@ def _decode_entities(col: Column) -> Column:
     for ent, ch in _ENTITIES:
         col = F.replace(col, F.lit(ent), F.lit(ch))
     return col
+
+
+def decode_entities_pandas(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Full-generality character-reference decode — the Arrow-batched
+    twin of ``_decode_entities`` (the BPE twin pattern: expression tier
+    for the oracle-gated bounded set, Python only where expressions
+    genuinely can't carry the semantics). Handles EVERY ``&#NNN;`` /
+    ``&#xHH;`` numeric reference (per-match code-point arithmetic) and
+    the complete HTML5 named-entity table via the stdlib
+    ``html.unescape`` — truly single-pass, so it also decodes
+    pathological inputs like ``&amp;#38;`` once (to ``&#38;``), where
+    any finite replace chain must double-decode one of the two
+    ``&``-producing forms. On the bounded ``_ENTITIES`` set the two
+    tiers agree byte-for-byte (equivalence-tested in tests/test_html.py);
+    beyond it the twin is strictly more complete (that asymmetry is the
+    point). One engine convention is applied on top of the stdlib
+    decode: U+00A0 normalizes to a plain space, matching the expression
+    tier's ``&nbsp;``/``&#160;`` → " " mapping (downstream whitespace
+    collapse and word splits treat only ASCII space as a separator).
+    Zero-shuffle: one ``mapInPandas`` projection."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def op(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import html as _html
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    text_col: [
+                        _html.unescape(t).replace("\u00a0", " ")
+                        if t is not None
+                        else None
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col, text_col).mapInPandas(
+        op, f"{id_col} {id_type}, {text_col} string"
+    )
 
 
 def remove_nonprose(html: Column) -> Column:

@@ -147,6 +147,55 @@ def test_empty_doc_counts_zero_tokens(spark):
     assert rows[3]["n_tokens"] >= 1
 
 
+def test_local_training_equals_distributed(spark):
+    """train_bpe_local (one distributed word-count aggregation + driver-
+    memory merge loop, the production-merge-count path, VERDICT r9 item
+    2) returns the IDENTICAL merge table — same pair counts, same
+    count-DESC/(left,right)-ASC tie-breaks, same greedy left-to-right
+    in-word application — on the Sennrich toy, the overlap corpus, and
+    the real sf0.001 documents table."""
+    toy = _toy(spark)
+    assert bpe.train_bpe_local(toy, num_merges=6) == bpe.train_bpe(
+        toy, num_merges=6
+    )
+    overlap = spark.createDataFrame(
+        [(1, "aaa aa a ab ba " * 3)], "doc_id long, text string"
+    )
+    assert bpe.train_bpe_local(overlap, num_merges=6) == bpe.train_bpe(
+        overlap, num_merges=6
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert bpe.train_bpe_local(docs, num_merges=16) == bpe.train_bpe(
+        docs, num_merges=16
+    )
+
+
+def test_local_training_top_v_prunes_tail(spark):
+    """top_v bounds driver memory by dropping tail words from the vote;
+    with top_v >= vocab it is exact."""
+    toy = _toy(spark)
+    vocab = 4  # low lower newest widest
+    assert bpe.train_bpe_local(toy, num_merges=5, top_v=vocab) == bpe.train_bpe(
+        toy, num_merges=5
+    )
+    # pruning to the 2 most frequent words (newest x6, low x5) drops
+    # lower/widest: the first merges still come from est</w> but counts
+    # now exclude widest's contribution
+    pruned = bpe.train_bpe_local(toy, num_merges=1, top_v=2)
+    assert pruned == [("e", "s", 6)]
+
+
+def test_local_training_raises_when_exhausted(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    # only merges available: (a,</w>) and (b,</w>) — 2 total
+    with _pytest.raises(ValueError, match="exhausted"):
+        bpe.train_bpe_local(df, num_merges=5)
+    with _pytest.raises(ValueError, match="exhausted"):
+        bpe.train_bpe(df, num_merges=5)
+
+
 def test_pandas_path_equals_expression_path(spark):
     """The Arrow-batched scale path (production merge tables) matches
     the replace-chain expression path bit-for-bit — same rank-order,

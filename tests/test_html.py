@@ -117,11 +117,52 @@ def test_block_break_name_boundary(spark):
 
 def test_extended_entity_decode(spark):
     # r9: typographic/symbol names decode; &amp; still last (no double
-    # decode); unknown names and numeric refs pass through untouched
-    h = "A&mdash;B &hellip; &copy;2024 &rsquo;q&rsquo; &amp;copy; &#160; &bogus;"
+    # decode); unknown names and out-of-list numeric refs pass through
+    # untouched (r10: &#160; moved INTO the list — see the numeric test)
+    h = "A&mdash;B &hellip; &copy;2024 &rsquo;q&rsquo; &amp;copy; &#9999; &bogus;"
     df = spark.createDataFrame([(h,)], "html string")
     out = df.select(strip_html(F.col("html")).alias("t")).collect()[0]["t"]
-    assert out == "A—B … ©2024 ’q’ &copy; &#160; &bogus;"
+    assert out == "A—B … ©2024 ’q’ &copy; &#9999; &bogus;"
+
+
+def test_numeric_entity_decode(spark):
+    # r10 (VERDICT r9 item 6): the common CMS decimal references decode;
+    # &#38; (numeric amp) decodes LAST so &#38;quot; yields the literal
+    # text &quot; — single-pass semantics extend to the numeric tier
+    h = (
+        "It&#8217;s &#8211; em&#8212;dash&#8230; a&#160;b "
+        "&#8220;q&#8221; &#169; &#38;quot; &#38; fin"
+    )
+    df = spark.createDataFrame([(h,)], "html string")
+    out = df.select(strip_html(F.col("html")).alias("t")).collect()[0]["t"]
+    assert out == "It’s – em—dash… a b “q” © &quot; & fin"
+
+
+def test_pandas_entity_twin_matches_and_generalizes(spark):
+    # the Arrow twin agrees byte-for-byte with the expression tier on the
+    # bounded entity set, and ALSO decodes what the replace chain
+    # honestly leaves alone (general numeric/hex refs, long-tail names)
+    from bigdata_lab02_spark.operators.html import (
+        _ENTITIES,
+        decode_entities_pandas,
+        _decode_entities,
+    )
+
+    bounded = " ".join(ent for ent, _ in _ENTITIES if ent != "&#38;")
+    rows = [(1, bounded), (2, "plain text"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = df.select(
+        "doc_id", _decode_entities(F.col("text")).alias("text")
+    )
+    a = {r["doc_id"]: r["text"] for r in expr.collect()}
+    b = {r["doc_id"]: r["text"] for r in decode_entities_pandas(df).collect()}
+    assert a == b
+    # strictly-more-complete cases
+    g = spark.createDataFrame(
+        [(1, "&#8364;uro &#x2019;hex&#X2026; &eacute;")], "doc_id long, text string"
+    )
+    out = decode_entities_pandas(g).collect()[0]["text"]
+    assert out == "€uro ’hex… é"
 
 
 def test_cdata_removed_whole(spark):
