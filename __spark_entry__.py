@@ -3474,15 +3474,32 @@ def q_media_metadata(spark, sf_dir):
     a 60% cut of a tiny synthetic stream can land inside the header
     segments themselves, so their metadata outcome is not cleanly
     restatable (their honest decode failure is gated in jpeg_decode).
+
+    r10 (VERDICT r9 item 4): the ``media_id % 4 == 0`` stripe (one row
+    in each of the baseline/DRI/progressive/gray families) gets a REAL
+    APP1/EXIF segment spliced after SOI with orientation
+    ``media_id // 4 % 8 + 1`` — so ``has_exif=TRUE``,
+    ``exif_orientation`` 1-8, and ``n_app_segments=2`` rows now
+    hash-compare against the oracle's restated headers (previously EXIF
+    was exercised only by the local foreign-fixture pytest).
     (sf_dir unused: media is generated.)"""
     from bigdata_lab02_spark.operators.multimodal import (
         extract_media_metadata,
+        splice_exif,
         synthetic_jpeg,
     )
 
     media = synthetic_jpeg(spark, 64).where(
         ~(F.col("media_id") % 16).isin(3, 11)
     )
+    media = media.withColumn(
+        "exif_orientation_in",
+        F.when(
+            F.col("media_id") % 4 == 0,
+            (F.expr("media_id div 4") % 8 + 1).cast("int"),
+        ),
+    )
+    media = splice_exif(media).drop("exif_orientation_in")
     return extract_media_metadata(media)
 
 
@@ -3501,9 +3518,11 @@ SELECT media_id, 'jpeg' AS format,
   CAST(CASE WHEN s IN (6, 12) THEN 1 ELSE 3 END AS INT) AS ncomp,
   CAST(8 AS INT) AS precision,
   s IN (8, 9, 10, 11, 12, 14, 15) AS progressive,
-  CAST(1 AS INT) AS n_app_segments,
-  FALSE AS has_exif,
-  CAST(NULL AS INT) AS exif_orientation,
+  CAST(CASE WHEN media_id % 4 = 0 THEN 2 ELSE 1 END AS INT)
+    AS n_app_segments,
+  media_id % 4 = 0 AS has_exif,
+  CAST(CASE WHEN media_id % 4 = 0 THEN media_id // 4 % 8 + 1 END AS INT)
+    AS exif_orientation,
   TRUE AS meta_ok
 FROM s
 """

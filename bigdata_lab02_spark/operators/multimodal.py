@@ -940,6 +940,79 @@ def sample_frames(video: DataFrame, every_n_frames: int = 30) -> DataFrame:
     )
 
 
+def exif_app1_segment(orientation: int) -> bytes:
+    """APP1/EXIF segment bytes: ``Exif\\x00\\x00`` + little-endian TIFF
+    header + a 0th IFD with Make/Model/Orientation/DateTime (string
+    values offset-addressed in the post-IFD data area — the layout every
+    camera writes; EXIF 2.3 §4.5, marker framing ITU-T T.81 §B.1.1.3).
+    Same real-shaped payload as the foreign-fixture builder
+    (tools/make_foreign_fixtures.exif_app1), parameterized on the
+    orientation tag (0x0112, SHORT, valid 1-8) so a deterministic
+    per-row orientation can cross the oracle gate."""
+    import struct as st
+
+    if not 1 <= orientation <= 8:
+        raise ValueError(f"EXIF orientation must be 1-8, got {orientation}")
+
+    def entry(tag: int, typ: int, count: int, value: bytes) -> bytes:
+        return st.pack("<HHI", tag, typ, count) + value
+
+    make = b"PyFixture\x00"
+    model = b"SynthCam 1\x00"
+    dt = b"2024:01:02 03:04:05\x00"
+    # header(8) + count(2) + 4 entries * 12 + next-IFD(4) = 62
+    data_off = 62
+    entries = [
+        entry(0x010F, 2, len(make), st.pack("<I", data_off)),
+        entry(0x0110, 2, len(model), st.pack("<I", data_off + len(make))),
+        entry(0x0112, 3, 1, st.pack("<HH", orientation, 0)),
+        entry(
+            0x0132, 2, len(dt),
+            st.pack("<I", data_off + len(make) + len(model)),
+        ),
+    ]
+    tiff = (
+        b"II*\x00" + st.pack("<I", 8)
+        + st.pack("<H", len(entries)) + b"".join(entries)
+        + st.pack("<I", 0) + make + model + dt
+    )
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + st.pack(">H", len(payload) + 2) + payload
+
+
+def splice_exif(
+    media: DataFrame,
+    orientation_col: str = "exif_orientation_in",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Splice an APP1/EXIF segment (``exif_app1_segment``) directly after
+    SOI of each JPEG payload whose ``orientation_col`` is non-null —
+    where cameras put EXIF, BEFORE any JFIF APP0. Null-orientation rows
+    pass through byte-identical. Entropy data is untouched, so decode
+    results are unchanged; only the header-routing metadata (APPn count,
+    has_exif, orientation) moves — which is exactly what the
+    media_metadata oracle gate pins (r10, VERDICT r9 item 4). Schema-
+    preserving zero-shuffle ``mapInPandas`` projection."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            newp = []
+            for b, o in zip(pdf[payload_col], pdf[orientation_col]):
+                if b is None or o is None or pd.isna(o):
+                    newp.append(b)
+                    continue
+                bb = bytes(b)
+                if bb[:2] != b"\xff\xd8":
+                    newp.append(b)  # not a JPEG: pass through
+                    continue
+                newp.append(bb[:2] + exif_app1_segment(int(o)) + bb[2:])
+            pdf = pdf.copy()
+            pdf[payload_col] = newp
+            yield pdf
+
+    return media.mapInPandas(op, media.schema)
+
+
 def extract_media_metadata(media: DataFrame) -> DataFrame:
     """Header-only media routing pass (r9): format sniff + JPEG header
     metadata (dims, precision, baseline/progressive, APPn inventory,
