@@ -1676,23 +1676,191 @@ FROM c
 """
 
 
+# ------------------------------------------------- URL/domain tier (r10)
+
+# Deterministic URL fixture (VERDICT r9 item 3): every variant selector
+# keys on k = doc_id % mod so distinct docs collide onto the SAME
+# normalized URL (the recrawl-dedup case), while the scheme's CASE
+# (upper vs lower) keys on doc parity so raw-distinct inputs normalize
+# together. Stripes: default ports matching the scheme (stripped) vs
+# :8080 (kept), userinfo, tracking params in all three positions,
+# fragments, %7E escapes, multi-label public suffixes (co.uk/ac.uk),
+# blocklisted domains, an ftp:// scheme stripe and a not-a-URL stripe.
+def _url_fixture_expr(mod: int) -> str:
+    k = f"(doc_id % {mod})"
+    url = (
+        f"CASE WHEN doc_id % 2 = 0 THEN CASE WHEN {k} % 3 = 0 THEN 'HTTP://'"
+        f" ELSE 'HTTPS://' END ELSE CASE WHEN {k} % 3 = 0 THEN 'http://'"
+        f" ELSE 'https://' END END"
+        f" || CASE WHEN {k} % 5 = 4 THEN 'crawler:pw@' ELSE '' END"
+        f" || CASE {k} % 7"
+        f" WHEN 0 THEN 'WWW.Example.COM' ||"
+        f" CASE WHEN {k} % 3 = 0 THEN ':80' ELSE ':443' END"
+        f" WHEN 1 THEN 'news.bbc.co.uk'"
+        f" WHEN 2 THEN 'spam.tracker.net'"
+        f" WHEN 3 THEN 'blog.example.org:8080'"
+        f" WHEN 4 THEN 'ads.badsite.org'"
+        f" WHEN 5 THEN 'archive.example.ac.uk'"
+        f" ELSE 'mirror' || ({k} % 2) || '.example.io' END"
+        f" || '/p%7Eath/' || ({k} % 17)"
+        f" || CASE {k} % 4"
+        f" WHEN 1 THEN '?utm_source=feed&q=' || ({k} % 6) || '&utm_medium=rss'"
+        f" WHEN 2 THEN '?utm_campaign=x'"
+        f" WHEN 3 THEN '?q=' || ({k} % 6) ELSE '' END"
+        f" || CASE WHEN {k} % 6 = 5 THEN '#frag' ELSE '' END"
+    )
+    return (
+        f"CASE WHEN {k} % 13 = 12 THEN 'ftp://files.example.com/pub/' || {k}"
+        f" WHEN {k} % 13 = 11 THEN 'page without a url ' || {k}"
+        f" ELSE {url} END"
+    )
+
+
+_URL_FIXTURE_EXPR = _url_fixture_expr(60)
+# The composed crawl gate's URL fixture: same stripes, lower duplicate
+# pressure (mod 360) so most pages survive into the downstream stages.
+_CRAWL_URL_FIXTURE_EXPR = _url_fixture_expr(360)
+
+# Public-suffix-style fixture (a real deployment loads the PSL — same
+# shape, ~10k rows, still dim-sized) and a registered-domain blocklist.
+_URL_SUFFIXES = [
+    "com", "net", "org", "io", "edu", "gov", "uk",
+    "co.uk", "ac.uk", "org.uk", "com.au", "co.jp",
+]
+_URL_BLOCKLIST = ["tracker.net", "badsite.org"]
+
+
+def _url_dims(spark):
+    sfx = spark.createDataFrame([(s,) for s in _URL_SUFFIXES], "suffix string")
+    blk = spark.createDataFrame([(d,) for d in _URL_BLOCKLIST], "domain string")
+    return sfx, blk
+
+
+def q_url_filters(spark, sf_dir):
+    """The URL/domain tier gated end-to-end (operators.url, VERDICT r9
+    item 3): normalization (scheme/host lowercase, userinfo drop,
+    default-port strip, fragment strip, tracking-param removal in all
+    three positions, unreserved percent-decode, empty path → /),
+    public-suffix registered-domain extraction (longest match: co.uk
+    beats uk), blocklist flagging, and URL-level recrawl dedup
+    (keep-lowest-doc_id per normalized URL). Every column crosses the
+    hash; the oracle restates the whole kernel step for step."""
+    from bigdata_lab02_spark.operators.url import url_filters
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", F.expr(_URL_FIXTURE_EXPR).alias("url"))
+    sfx, blk = _url_dims(spark)
+    return url_filters(pages, sfx, blk)
+
+
+_URL_TRACK = "(?:utm_[a-z0-9]+|fbclid|gclid|msclkid|mc_eid)"
+_URL_SFX_VALUES = ", ".join(f"('{s}')" for s in _URL_SUFFIXES)
+_URL_BLK_VALUES = ", ".join(f"('{d}')" for d in _URL_BLOCKLIST)
+
+
+def _url_tier_sql(fixture_expr: str) -> str:
+    """operators/url restated for DuckDB, step for step: the CTE chain
+    ends in ``uw`` with every tier column (url, scheme, host, norm_url,
+    registered_domain, blocked, is_dup, url_keep) per doc_id — reused
+    verbatim by the composed crawl oracle."""
+    return rf"""
+ufx AS (SELECT doc_id, {fixture_expr} AS url FROM documents),
+usfx(suffix) AS (SELECT * FROM (VALUES {_URL_SFX_VALUES})),
+ublk(domain) AS (SELECT * FROM (VALUES {_URL_BLK_VALUES})),
+up AS (SELECT doc_id, url,
+  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS after_sch
+  FROM ufx),
+uh AS (SELECT *, regexp_replace(
+    lower(regexp_extract(after_sch, '^([^/?#]*)', 1)),
+    '^[^/?#@]*@', '') AS hostport,
+  regexp_replace(after_sch, '^[^/?#]*', '') AS rest0 FROM up),
+uh2 AS (SELECT *,
+  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+       ELSE hostport END AS hostp,
+  regexp_replace(hostport, ':[0-9]+$', '') AS host FROM uh),
+ur AS (SELECT *,
+  replace(replace(replace(replace(replace(replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(rest0, '#.*$', ''),
+          '&{_URL_TRACK}=[^&]*', '', 'g'),
+        '\?{_URL_TRACK}=[^&]*&', '?'),
+      '\?{_URL_TRACK}=[^&]*$', ''),
+    '%7E', '~'), '%7e', '~'), '%2D', '-'), '%2d', '-'),
+    '%5F', '_'), '%5f', '_') AS rest1
+  FROM uh2),
+ur2 AS (SELECT *, CASE WHEN rest1 = '' THEN '/'
+  WHEN rest1 LIKE '?%' THEN '/' || rest1 ELSE rest1 END AS rest FROM ur),
+un AS (SELECT *, CASE WHEN scheme <> '' AND hostp <> ''
+  THEN scheme || '://' || hostp || rest END AS norm_url FROM ur2),
+ud AS (SELECT *, string_split(host, '.') AS labels,
+  len(string_split(host, '.')) AS nl FROM un),
+uc AS (SELECT *,
+  CASE WHEN nl >= 2 THEN array_to_string(labels[nl:nl], '.') END AS cand1,
+  CASE WHEN nl >= 3 THEN array_to_string(labels[nl-1:nl], '.') END AS cand2,
+  CASE WHEN nl >= 4 THEN array_to_string(labels[nl-2:nl], '.') END AS cand3
+  FROM ud),
+uj AS (SELECT uc.*, s1.suffix AS m1, s2.suffix AS m2, s3.suffix AS m3
+  FROM uc LEFT JOIN usfx s1 ON uc.cand1 = s1.suffix
+          LEFT JOIN usfx s2 ON uc.cand2 = s2.suffix
+          LEFT JOIN usfx s3 ON uc.cand3 = s3.suffix),
+ug AS (SELECT *,
+  CASE WHEN m3 IS NOT NULL THEN array_to_string(labels[nl-3:nl], '.')
+       WHEN m2 IS NOT NULL THEN array_to_string(labels[nl-2:nl], '.')
+       WHEN m1 IS NOT NULL THEN array_to_string(labels[nl-1:nl], '.')
+  END AS registered_domain FROM uj),
+ub AS (SELECT ug.*, bl.domain IS NOT NULL AS blocked
+  FROM ug LEFT JOIN ublk bl ON ug.registered_domain = bl.domain),
+urn AS (SELECT *, CASE WHEN norm_url IS NOT NULL THEN
+    row_number() OVER (PARTITION BY norm_url ORDER BY doc_id) > 1
+  ELSE FALSE END AS is_dup FROM ub),
+uw AS (SELECT *, scheme IN ('http', 'https') AND host <> '' AND NOT blocked
+    AND NOT is_dup AS url_keep FROM urn)"""
+
+
+_URL_SQL = f"""
+WITH {_url_tier_sql(_URL_FIXTURE_EXPR)}
+SELECT doc_id, url, scheme, host, norm_url, registered_domain,
+  blocked, is_dup, url_keep
+FROM uw
+"""
+
+
+
 def q_crawl_curation_pipeline(spark, sf_dir):
     """The COMPOSED crawl-curation chain (operators.crawl.crawl_curation):
-    synthetic markup fixture → html_extract → c4_filters (over the
-    EXTRACTED text) → gopher_rules → gopher_repetition (both over the C4
-    ``clean_text``) → one keep conjunction — all as a single zero-shuffle
-    projection. Each stage is separately gated elsewhere; THIS gate proves
-    the handoffs: html's block-break newlines feed C4's line split, C4's
-    kept lines feed Gopher's word/line splits, and stage interactions
-    (style-stripping removes the ``{`` bad-doc marker and ``#`` symbol
-    chars a broken extractor would leak) land in the verdicts."""
+    URL tier (r10: normalize → registered domain → blocklist → recrawl
+    dedup, FILTERING pages before any byte of HTML is parsed — the
+    production order) → html_extract → c4_filters (over the EXTRACTED
+    text) → gopher_rules → gopher_repetition (both over the C4
+    ``clean_text``) → one keep conjunction. Everything after the URL
+    tier's single norm_url shuffle is one fused projection. Each stage
+    is separately gated elsewhere; THIS gate proves the handoffs: the
+    URL survivors (and their norm_url/registered_domain passthrough)
+    feed the HTML stage, html's block-break newlines feed C4's line
+    split, C4's kept lines feed Gopher's word/line splits, and stage
+    interactions (style-stripping removes the ``{`` bad-doc marker and
+    ``#`` symbol chars a broken extractor would leak) land in the
+    verdicts. The URL fixture here uses mod 360 (vs the url_filters
+    gate's 60) so duplicate pressure is visible but most rows survive
+    into the downstream stages."""
     from bigdata_lab02_spark.operators.crawl import crawl_curation
 
     docs = _t(spark, sf_dir, "documents")
-    pages = docs.select("doc_id", F.expr(_HTML_FIXTURE_EXPR).alias("html"))
-    out = crawl_curation(pages)
+    pages = docs.select(
+        "doc_id",
+        F.expr(_CRAWL_URL_FIXTURE_EXPR).alias("url"),
+        F.expr(_HTML_FIXTURE_EXPR).alias("html"),
+    )
+    sfx, blk = _url_dims(spark)
+    out = crawl_curation(pages, url_col="url", suffixes=sfx, blocklist=blk)
     return out.select(
         "doc_id",
+        "norm_url",
+        "registered_domain",
         "n_tags",
         "n_links",
         F.round("link_text_frac", 6).alias("link_text_frac"),
@@ -1716,13 +1884,17 @@ def q_crawl_curation_pipeline(spark, sf_dir):
     )
 
 
-# The composed oracle restates the WHOLE chain: html strip (shared
+# The composed oracle restates the WHOLE chain: the URL tier (r10 —
+# shared CTE chain from _url_tier_sql, ending in uw; pages are FILTERED
+# to the url_keep survivors before any html work), html strip (shared
 # helpers above), C4 line rules over the extracted text, Gopher quality
 # math over the C4 clean_text, and the generated repetition SQL re-rooted
 # at the same clean_text stage (nested WITH referencing the outer cfv
 # CTE — DuckDB scopes outer CTEs into subqueries).
 _CRAWL_SQL = rf"""
-WITH pages AS (SELECT doc_id, {_HTML_FIXTURE_EXPR} AS html FROM documents),
+WITH {_url_tier_sql(_CRAWL_URL_FIXTURE_EXPR)},
+pages AS (SELECT doc_id, {_HTML_FIXTURE_EXPR} AS html
+          FROM documents JOIN uw USING (doc_id) WHERE uw.url_keep),
 hp AS (SELECT doc_id, html, {_html_nonprose_sql('html')} AS prose_html
        FROM pages),
 hs AS (SELECT doc_id, html, prose_html,
@@ -1795,7 +1967,7 @@ gv AS (SELECT doc_id, n_words, mwl, sym, alphaf, n_stop,
   FROM gq),
 rep AS (SELECT doc_id, dup_line_frac, top_2gram_char_frac, keep AS rep_keep
   FROM ({_gopher_rep_sql('SELECT doc_id, clean_text AS text FROM cfv')}))
-SELECT c.doc_id, c.n_tags, c.n_links,
+SELECT c.doc_id, u.norm_url, u.registered_domain, c.n_tags, c.n_links,
   round(c.link_text_frac, 6) AS link_text_frac,
   round(c.markup_frac, 6) AS markup_frac,
   c.n_lines, c.n_kept_lines, c.n_sentences, c.bad_doc_marker, c.c4_keep,
@@ -1809,6 +1981,7 @@ SELECT c.doc_id, c.n_tags, c.n_links,
   c.clean_text,
   c.c4_keep AND g.quality_keep AND r.rep_keep AS keep
 FROM cfv c JOIN gv g USING (doc_id) JOIN rep r USING (doc_id)
+  JOIN uw u ON u.doc_id = c.doc_id
 """
 
 
@@ -4659,7 +4832,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # chain is the product the r8 pieces exist for.
     "crawl_curation_pipeline": q_crawl_curation_pipeline,
     "language_id": q_language_id,
-    "embedding_dup_pairs": q_embedding_dup_pairs,
+    # url_filters rotated INTO the window in r10 (VERDICT r9 item 3),
+    # taking embedding_dup_pairs' slot: the URL tier is the first stage
+    # a real crawl-curation user runs; embedding_dup_pairs' brute-force
+    # cosine kernel keeps a driver row through ann_recall (which embeds
+    # the exact brute-force baseline) and moves to the oracle-verified
+    # overflow.
+    "url_filters": q_url_filters,
     "textstats": q_textstats,
     "asof_join": q_asof_join,
     "ivf_topk": q_ivf_topk,
@@ -4747,6 +4926,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # end-to-end in-window; the full 13-fraction output is oracle-gated
     # here every pytest run.
     "gopher_repetition": q_gopher_repetition,
+    # embedding_dup_pairs rotated OUT in r10 to give its window slot to
+    # url_filters (VERDICT r9 item 3): its brute-force cosine pair
+    # kernel stays driver-gated through ann_recall's exact baseline and
+    # the full near-pair output stays oracle-verified here every pytest
+    # run.
+    "embedding_dup_pairs": q_embedding_dup_pairs,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -4759,7 +4944,7 @@ ROTATED_OUT: set[str] = {
     "stratified_sample", "range_join", "wav_edges", "dedup_incremental",
     "ivf_topk_persisted", "stream_dedup_cands", "html_extract",
     "gopher_rules", "c4_filters", "resize_mixed", "gopher_repetition",
-    "media_metadata", "bpe_pipeline",
+    "media_metadata", "bpe_pipeline", "embedding_dup_pairs",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -4770,7 +4955,7 @@ DRIVER_ROW_CAP = 50
 # only demands driver rows for the first-50 window when the latest
 # CORRECTNESS file is from this round or later (an older file was produced
 # under a different ordering). Bump whenever the ordering changes.
-ORDERING_SINCE = 9
+ORDERING_SINCE = 10
 
 # Queries with no SQL-expressible oracle — the driver records a weaker
 # rows-only check. (Empty since round 2: the streaming replay is gated
@@ -4857,9 +5042,16 @@ _R9_NEW = {
     "media_metadata",
     "bpe_pipeline",
 }
+# Round-10 registrations: the URL/domain filtering tier (VERDICT r9
+# item 3) — normalization + registered-domain + blocklist + recrawl
+# dedup, rotated into the window at embedding_dup_pairs' slot.
+_R10_NEW = {
+    "url_filters",
+}
 REGISTERED_SINCE: dict[str, int] = {
     name: (
-        9 if name in _R9_NEW
+        10 if name in _R10_NEW
+        else 9 if name in _R9_NEW
         else 8 if name in _R8_NEW
         else 7 if name in _R7_NEW
         else 6 if name in _R6_NEW
@@ -4949,6 +5141,7 @@ _ORACLES: dict[str, str] = {
     "crawl_curation_pipeline": _CRAWL_SQL,
     "gopher_repetition": _GOPHER_REP_SQL,
     "media_metadata": _MEDIA_META_SQL,
+    "url_filters": _URL_SQL,
     "bpe_pipeline": _BPE_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,
     "semantic_dedup_pipeline": _SEMANTIC_PIPE_SQL,

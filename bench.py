@@ -123,6 +123,10 @@ EXTRA = [
     "crawl_curation_pipeline",
     # r9: corpus-trained BPE (10-merge train loop + tokenize)
     "bpe_pipeline",
+    # r10: the URL/domain tier (normalize + registered-domain +
+    # blocklist + recrawl dedup); the composed crawl gate above now also
+    # runs it as its first stage
+    "url_filters",
 ]
 STREAMING_LAST = [
     "stream_hourly",

@@ -55,6 +55,9 @@ def crawl_curation(
     min_words_per_line: int = 5,
     min_sentences: int = 3,
     min_words: int = 50,
+    url_col: str | None = None,
+    suffixes: DataFrame | None = None,
+    blocklist: DataFrame | None = None,
 ) -> DataFrame:
     """The full crawl → curation chain as one zero-shuffle projection.
 
@@ -63,7 +66,18 @@ def crawl_curation(
     repetition fractions and ``rep_keep``, the surviving ``clean_text``,
     and ``keep`` = c4 ∧ quality ∧ repetition. A non-default ``id_col``
     is carried through by renaming to the stage operators' ``doc_id``
-    internally and back on the way out."""
+    internally and back on the way out.
+
+    ``url_col`` (r10, VERDICT r9 item 3) prepends the URL/domain tier
+    (``operators.url.url_filters`` with ``suffixes`` and optional
+    ``blocklist``) AHEAD of the HTML stage — the production order:
+    normalization, blocklist, and recrawl dedup are the cheapest,
+    highest-yield filters, so pages failing them never pay for HTML
+    extraction or anything after it. Rows are FILTERED to the
+    ``url_keep`` survivors and ``norm_url``/``registered_domain`` ride
+    the chain as passthrough columns. This stage adds the tier's one
+    exchange (the norm_url dedup shuffle) before the otherwise fused
+    projection; without ``url_col`` the chain stays zero-exchange."""
     if id_col != "doc_id":
         if "doc_id" in pages.columns:
             raise ValueError(
@@ -71,12 +85,32 @@ def crawl_curation(
                 f"before using id_col={id_col!r}"
             )
         pages = pages.withColumnRenamed(id_col, "doc_id")
-    ext = extract_html(pages, html_col=html_col, id_col="doc_id")
+    url_features: list[str] = []
+    if url_col is not None:
+        if suffixes is None:
+            raise ValueError("url_col requires a suffixes DataFrame")
+        from bigdata_lab02_spark.operators.url import url_filters
+
+        uf = url_filters(
+            pages,
+            suffixes,
+            blocklist,
+            url_col=url_col,
+            id_col="doc_id",
+            passthrough=[html_col],
+        )
+        url_features = ["norm_url", "registered_domain"]
+        pages = uf.where(F.col("url_keep")).select(
+            "doc_id", html_col, *url_features
+        )
+    ext = extract_html(
+        pages, html_col=html_col, id_col="doc_id", passthrough=url_features
+    )
     c4 = c4_filters(
         ext,
         min_words_per_line=min_words_per_line,
         min_sentences=min_sentences,
-        passthrough=_HTML_FEATURES,
+        passthrough=url_features + _HTML_FEATURES,
     ).withColumnRenamed("keep", "c4_keep")
     quality = gopher_rules(
         c4, text_col="clean_text", min_words=min_words
@@ -85,7 +119,8 @@ def crawl_curation(
         quality,
         text_col="clean_text",
         passthrough=(
-            _HTML_FEATURES
+            url_features
+            + _HTML_FEATURES
             + _C4_FEATURES
             + ["c4_keep", "clean_text"]
             + _GOPHER_FEATURES
@@ -94,6 +129,7 @@ def crawl_curation(
     ).withColumnRenamed("keep", "rep_keep")
     out = rep.select(
         "doc_id",
+        *url_features,
         *_HTML_FEATURES,
         *_C4_FEATURES,
         "c4_keep",

@@ -194,10 +194,16 @@ def strip_html(html: Column) -> Column:
 
 
 def extract_html(
-    docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
-    """(id, text, n_tags, n_links, link_text_frac, markup_frac): WET-style
-    extracted prose plus the markup-shape quality features.
+    """(id, [passthrough...], text, n_tags, n_links, link_text_frac,
+    markup_frac): WET-style extracted prose plus the markup-shape
+    quality features. ``passthrough`` columns are carried through
+    unchanged (the r10 URL tier threads norm_url/registered_domain this
+    way — column passthrough, never a re-join, keeps the chain fused).
 
     - ``n_tags``: opening-tag count over the RAW markup (markup density
       numerator — a tag hiding in a comment is still markup),
@@ -226,6 +232,7 @@ def extract_html(
     n_html = F.length(html)
     return docs.select(
         id_col,
+        *(passthrough or []),
         text.alias("text"),
         F.size(F.regexp_extract_all(html, F.lit(OPEN_TAG_RE), 0)).alias(
             "n_tags"

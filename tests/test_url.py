@@ -1,0 +1,171 @@
+"""operators/url: the URL/domain filtering tier (r10, VERDICT r9 item 3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_lab02_spark.operators.url import (
+    hostname_of,
+    normalize_url,
+    url_filters,
+    with_registered_domain,
+)
+
+
+def _norm(spark, url):
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(normalize_url(F.col("url")).alias("n")).collect()[0]["n"]
+
+
+def _sfx(spark):
+    return spark.createDataFrame(
+        [(s,) for s in ["com", "net", "org", "io", "uk", "co.uk", "ac.uk"]],
+        "suffix string",
+    )
+
+
+def test_normalize_case_port_userinfo_fragment(spark):
+    assert (
+        _norm(spark, "HTTP://User:pw@WWW.Example.COM:80/Path/X?q=1#frag")
+        == "http://www.example.com/Path/X?q=1"
+    )
+    # path/query case is PRESERVED (only scheme/host lowercase)
+    assert _norm(spark, "https://A.B.COM/CaseY?Q=Z") == "https://a.b.com/CaseY?Q=Z"
+    # non-default port kept; default port of the OTHER scheme kept
+    assert _norm(spark, "https://x.com:8080/a") == "https://x.com:8080/a"
+    assert _norm(spark, "https://x.com:80/a") == "https://x.com:80/a"
+    assert _norm(spark, "http://x.com:443/a") == "http://x.com:443/a"
+
+
+def test_normalize_tracking_params_all_positions(spark):
+    # leading (followed by kept param), middle, trailing, lone
+    assert (
+        _norm(spark, "http://x.com/a?utm_source=s&q=1&utm_medium=m")
+        == "http://x.com/a?q=1"
+    )
+    assert _norm(spark, "http://x.com/a?utm_campaign=c") == "http://x.com/a"
+    assert (
+        _norm(spark, "http://x.com/a?q=1&fbclid=abc&r=2")
+        == "http://x.com/a?q=1&r=2"
+    )
+
+
+def test_normalize_empty_path_and_percent(spark):
+    assert _norm(spark, "http://x.com") == "http://x.com/"
+    assert _norm(spark, "http://x.com?q=1") == "http://x.com/?q=1"
+    assert _norm(spark, "http://x.com/%7Euser/f%5Fa%2Db") == (
+        "http://x.com/~user/f_a-b"
+    )
+    # reserved escapes are NOT decoded (only RFC 3986 unreserved)
+    assert _norm(spark, "http://x.com/a%2Fb") == "http://x.com/a%2Fb"
+
+
+def test_normalize_unparseable_is_null(spark):
+    assert _norm(spark, "not a url") is None
+    assert _norm(spark, "mailto:a@b.com") is None  # no ://
+    # ftp parses (scheme filter happens in url_filters, not here)
+    assert _norm(spark, "FTP://Files.X.COM/a") == "ftp://files.x.com/a"
+
+
+def test_registered_domain_longest_suffix_wins(spark):
+    rows = [
+        (1, "news.bbc.co.uk"),     # co.uk beats uk
+        (2, "www.example.com"),
+        (3, "example.com"),
+        (4, "com"),                # bare suffix: no registered domain
+        (5, "deep.sub.archive.example.ac.uk"),
+        (6, "host.internal"),      # no matching suffix
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    out = {
+        r["doc_id"]: r["registered_domain"]
+        for r in with_registered_domain(df, _sfx(spark)).collect()
+    }
+    assert out == {
+        1: "bbc.co.uk",
+        2: "example.com",
+        3: "example.com",
+        4: None,
+        5: "example.ac.uk",
+        6: None,
+        7: None,
+    }
+
+
+def test_url_filters_blocklist_and_dedup(spark):
+    rows = [
+        (1, "HTTP://www.Example.com:80/a"),
+        (2, "http://www.example.com/a"),      # dup of 1 after normalize
+        (3, "https://spam.tracker.net/x"),    # blocked domain
+        (4, "ftp://files.example.com/a"),     # wrong scheme
+        (5, "garbage"),                       # unparseable
+        (6, "https://ok.example.org/b"),
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, url string")
+    blk = spark.createDataFrame([("tracker.net",)], "domain string")
+    out = {
+        r["doc_id"]: r
+        for r in url_filters(pages, _sfx(spark), blk).collect()
+    }
+    assert out[1]["url_keep"] and not out[1]["is_dup"]
+    assert out[2]["is_dup"] and not out[2]["url_keep"]
+    assert out[1]["norm_url"] == out[2]["norm_url"]
+    assert out[3]["blocked"] and not out[3]["url_keep"]
+    assert not out[4]["url_keep"] and out[4]["scheme"] == "ftp"
+    assert out[5]["norm_url"] is None and not out[5]["url_keep"]
+    assert not out[5]["is_dup"]  # unparseable rows are never "dups"
+    assert out[6]["url_keep"]
+
+
+def test_url_tier_plan_single_shuffle_broadcast_dims(spark):
+    """Scale shape: the suffix (3×) and blocklist joins broadcast (they
+    are bounded dims); the ONLY shuffle in the tier is the norm_url
+    dedup window. No sort-merge join anywhere."""
+    from bigdata_lab02_spark.plans import plan_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pages = docs.select(
+        "doc_id", F.concat(F.lit("http://h"), F.col("doc_id") % 50,
+                           F.lit(".example.com/p")).alias("url")
+    )
+    blk = spark.createDataFrame([("tracker.net",)], "domain string")
+    r = plan_report(url_filters(pages, _sfx(spark), blk))
+    assert r.n_sortmerge_joins == 0, r.raw
+    assert r.n_broadcast_joins >= 4  # 3 suffix candidates + blocklist
+    assert r.n_exchanges == 1, r.raw  # the norm_url dedup window only
+
+
+def test_crawl_with_url_tier_filters_first_single_exchange(spark):
+    """Composed: URL rejects (blocked/dup/non-http) never reach the HTML
+    stage; survivors carry norm_url/registered_domain through the whole
+    chain; the plan has exactly the URL tier's one exchange (the rest of
+    the chain stays fused)."""
+    from bigdata_lab02_spark.operators.crawl import crawl_curation
+    from bigdata_lab02_spark.plans import plan_report
+
+    from tests.test_crawl import _GOOD as good_html
+    rows = [
+        (1, "http://a.example.com/x", good_html),
+        (2, "HTTP://A.Example.COM:80/x", good_html),   # dup of 1
+        (3, "https://spam.tracker.net/y", good_html),  # blocked
+        (4, "https://b.example.org/z", good_html),
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    blk = spark.createDataFrame([("tracker.net",)], "domain string")
+    out = crawl_curation(pages, url_col="url", suffixes=_sfx(spark), blocklist=blk)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 4}  # 2 deduped, 3 blocked — before HTML ran
+    assert got[1]["norm_url"] == "http://a.example.com/x"
+    assert got[1]["registered_domain"] == "example.com"
+    assert got[4]["keep"]  # downstream verdicts still computed
+    # plan asserted on a fresh build: after collect(), the executed AQE
+    # final plan can carry extra runtime nodes that aren't plan shape
+    fresh = crawl_curation(
+        pages, url_col="url", suffixes=_sfx(spark), blocklist=blk
+    )
+    r = plan_report(fresh)
+    assert r.n_exchanges == 1, r.raw
+    # without the URL tier the chain is still the zero-exchange projection
+    r0 = plan_report(crawl_curation(pages.select("doc_id", "html")))
+    assert r0.n_exchanges == 0, r0.raw
