@@ -3676,6 +3676,50 @@ def q_media_metadata(spark, sf_dir):
     return extract_media_metadata(media)
 
 
+def q_jpeg_lossless(spark, sf_dir):
+    """SOF3 Annex-H LOSSLESS decode gated end-to-end (r10): the
+    synthetic lossless corpus (all seven predictors × grayscale / RGB /
+    point-transform+restart / 16-bit stripes, per-PIXEL formula images
+    with non-8-aligned dims) through the full decode → exact per-channel
+    pixel sums. Because the process is lossless, the decoded image IS
+    the generator formula — the oracle restates the sums in closed form,
+    so ANY defect in the predictive reconstruction (predictor selection,
+    default/Ra/Rb initial conditions, modulo-2^16 arithmetic, point
+    transform, restart resets, 16-bit reduction) flips a row hash.
+    (sf_dir unused: media is generated.)"""
+    from bigdata_lab02_spark.operators.multimodal import (
+        extract_jpeg_stats,
+        synthetic_jpeg_lossless,
+    )
+
+    return extract_jpeg_stats(synthetic_jpeg_lossless(spark, 56))
+
+
+_JPEG_LOSSLESS_SQL = """
+WITH ids AS (SELECT unnest(range(56)) AS media_id),
+dims AS (SELECT media_id, 8 + media_id % 5 AS w, 6 + media_id % 3 AS h,
+                media_id % 4 AS kind FROM ids),
+px AS (SELECT media_id, w, h, kind, x.range AS x, y.range AS y
+       FROM dims, range(12) x, range(8) y
+       WHERE x.range < w AND y.range < h),
+v AS (SELECT media_id, w, h, kind,
+  (media_id * 31 + x * 7 + y * 13) % 256 AS fr,
+  (media_id * 17 + x * 11 + y * 3) % 256 AS fg,
+  (media_id * 29 + x * 5 + y * 19) % 256 AS fb,
+  ((media_id * 131 + x * 17 + y * 29) % 65536) // 256 AS f16
+  FROM px)
+SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  CAST(sum(CASE kind WHEN 1 THEN fr WHEN 2 THEN fr // 2 * 2
+           WHEN 3 THEN f16 ELSE fr END) AS BIGINT) AS sum_r,
+  CAST(sum(CASE kind WHEN 1 THEN fg WHEN 2 THEN fr // 2 * 2
+           WHEN 3 THEN f16 ELSE fr END) AS BIGINT) AS sum_g,
+  CAST(sum(CASE kind WHEN 1 THEN fb WHEN 2 THEN fr // 2 * 2
+           WHEN 3 THEN f16 ELSE fr END) AS BIGINT) AS sum_b,
+  TRUE AS decode_ok
+FROM v GROUP BY media_id, w, h, kind
+"""
+
+
 _MEDIA_META_SQL = """
 WITH ids AS (SELECT unnest(range(64)) AS media_id),
 s AS (SELECT media_id, media_id % 16 AS s, media_id % 3 AS m3,
@@ -4932,6 +4976,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the full near-pair output stays oracle-verified here every pytest
     # run.
     "embedding_dup_pairs": q_embedding_dup_pairs,
+    # jpeg_lossless (r10): SOF3 Annex-H predictive decode over the
+    # seven-predictor formula corpus — lossless means decoded == the
+    # generator formula, so the oracle is the closed form itself;
+    # registered into the overflow, oracle-gated every pytest run.
+    "jpeg_lossless": q_jpeg_lossless,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -4945,6 +4994,7 @@ ROTATED_OUT: set[str] = {
     "ivf_topk_persisted", "stream_dedup_cands", "html_extract",
     "gopher_rules", "c4_filters", "resize_mixed", "gopher_repetition",
     "media_metadata", "bpe_pipeline", "embedding_dup_pairs",
+    "jpeg_lossless",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -5047,6 +5097,7 @@ _R9_NEW = {
 # dedup, rotated into the window at embedding_dup_pairs' slot.
 _R10_NEW = {
     "url_filters",
+    "jpeg_lossless",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -5142,6 +5193,7 @@ _ORACLES: dict[str, str] = {
     "gopher_repetition": _GOPHER_REP_SQL,
     "media_metadata": _MEDIA_META_SQL,
     "url_filters": _URL_SQL,
+    "jpeg_lossless": _JPEG_LOSSLESS_SQL,
     "bpe_pipeline": _BPE_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,
     "semantic_dedup_pipeline": _SEMANTIC_PIPE_SQL,

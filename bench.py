@@ -127,6 +127,8 @@ EXTRA = [
     # blocklist + recrawl dedup); the composed crawl gate above now also
     # runs it as its first stage
     "url_filters",
+    # r10: SOF3 Annex-H lossless decode (seven predictors, formula corpus)
+    "jpeg_lossless",
 ]
 STREAMING_LAST = [
     "stream_hourly",

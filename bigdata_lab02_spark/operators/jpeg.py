@@ -42,8 +42,14 @@ sequential (SOF9) and progressive (SOF10) form (r9: the full T.81
 Annex D adaptive binary decoder with the Table D.3 state machine, DAC
 conditioning, restart resets, and the G.2 progressive models — DC
 first/refine, AC first, and the zero-history-walk AC refinement — all
-validated against system-libjpeg-encoded foreign fixtures); no
-hierarchical / lossless modes. Anything outside the profile raises
+validated against system-libjpeg-encoded foreign fixtures); LOSSLESS
+decodes in its Huffman form (SOF3, r10: the T.81 Annex H predictive
+process — all seven predictors, point transform, modulo-2^16
+reconstruction, precision 2..16 reduced to the 8-bit surface,
+row-boundary restart intervals as real lossless/DNG writers emit; one
+interleaved scan; 3-component lossless is RGB — no JFIF YCbCr contract
+exists for it). Hierarchical / differential modes (SOF5-7/11/13-15)
+stay honest failures. Anything outside the profile raises
 ``JpegError``, which the pipeline maps to ``decode_ok=False`` (the
 honest-failure path).
 
@@ -913,6 +919,141 @@ def encode_jpeg12_gray(
     )
 
 
+# ------------------------------------------- lossless (SOF3, Annex H, r10)
+
+# DC-class Huffman table carrying ALL 17 lossless difference categories
+# (SSSS 0..16; 16 is the special diff=32768 symbol, T.81 H.1.2.2).
+# Kraft sum 1/4 + 5/8 + (2^-4 + ... + 2^-14) < 1 — valid canonical code.
+DCLL_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0]
+DCLL_VALS = list(range(17))
+
+
+def _lossless_predict(
+    arr: np.ndarray, x: int, y: int, pred: int, default: int, base_row: int
+) -> int:
+    """T.81 H.1.2.1 prediction: the first sample of the first line (of
+    the scan or of a restart interval — ``base_row``) predicts from the
+    default 2^(P-Pt-1); the rest of that line uses Ra; the first column
+    of other lines uses Rb; everywhere else the selected predictor 1-7
+    applies (divisions by 2 are arithmetic right shifts per the spec
+    note)."""
+    if y == base_row:
+        return default if x == 0 else int(arr[y, x - 1])
+    if x == 0:
+        return int(arr[y - 1, 0])
+    ra = int(arr[y, x - 1])
+    rb = int(arr[y - 1, x])
+    rc = int(arr[y - 1, x - 1])
+    if pred == 1:
+        return ra
+    if pred == 2:
+        return rb
+    if pred == 3:
+        return rc
+    if pred == 4:
+        return ra + rb - rc
+    if pred == 5:
+        return ra + ((rb - rc) >> 1)
+    if pred == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # pred == 7
+
+
+def encode_jpeg_lossless(
+    width: int,
+    height: int,
+    samples,
+    ncomp: int = 1,
+    precision: int = 8,
+    predictor: int = 1,
+    point_transform: int = 0,
+    restart_rows: int = 0,
+) -> bytes:
+    """LOSSLESS JPEG encoder (SOF3, T.81 Annex H) — the
+    medical/raw-photo (DNG) profile and the fixture source for the
+    decoder's lossless path. ``samples`` is ``width*height*ncomp``
+    ints, row-major, components interleaved; decode reproduces the
+    point-transformed samples EXACTLY (that exactness is what the
+    oracle gate pins). 1 component (grayscale) or 3 (carried as-is —
+    lossless streams have no JFIF YCbCr contract; 3-component means
+    RGB here, matching what real RGB lossless writers emit).
+
+    ``predictor`` selects H.1 predictor 1-7 (Ss in the scan header);
+    ``point_transform`` (Al) drops low bits before prediction;
+    ``restart_rows`` > 0 emits one RSTn every that-many sample ROWS
+    (DRI is counted in MCUs = samples; real lossless writers restart at
+    row boundaries — DNG readers assume it — and the decoder scopes to
+    that)."""
+    if precision not in (8, 16):
+        raise JpegError("lossless encoder supports precision 8 or 16")
+    if not 1 <= predictor <= 7:
+        raise JpegError("predictor must be 1..7")
+    if not 0 <= point_transform < precision:
+        raise JpegError("point transform must be in 0..precision-1")
+    if ncomp not in (1, 3):
+        raise JpegError(f"{ncomp} components unsupported")
+    if width <= 0 or height <= 0:
+        raise JpegError("dimensions must be positive")
+    arr = np.asarray(list(samples), dtype=np.int64)
+    if arr.size != width * height * ncomp:
+        raise JpegError(
+            f"sample buffer is {arr.size} values, want "
+            f"{width * height * ncomp}"
+        )
+    maxv = (1 << precision) - 1
+    if arr.min() < 0 or arr.max() > maxv:
+        raise JpegError(f"{precision}-bit samples must be in 0..{maxv}")
+    planes = [
+        (arr.reshape(height, width, ncomp)[:, :, c] >> point_transform)
+        .astype(np.int32)
+        for c in range(ncomp)
+    ]
+    default = 1 << (precision - point_transform - 1)
+    dc = _canonical_codes(DCLL_BITS, DCLL_VALS)
+    w = _BitWriter()
+    ri_mcus = restart_rows * width if restart_rows else 0
+    base_row = 0
+    rst = 0
+    for y in range(height):
+        if restart_rows and y and y % restart_rows == 0:
+            w.emit_marker(0xD0 + rst % 8)
+            rst += 1
+            base_row = y
+        for x in range(width):
+            for plane in planes:
+                px = _lossless_predict(
+                    plane, x, y, predictor, default, base_row
+                )
+                diff = (int(plane[y, x]) - px) & 0xFFFF
+                if diff == 32768:
+                    code, length = dc[16]
+                    w.write(code, length)
+                    continue
+                sdiff = diff - 65536 if diff > 32767 else diff
+                cat = _category(sdiff)
+                code, length = dc[cat]
+                w.write(code, length)
+                if cat:
+                    v = sdiff + (1 << cat) - 1 if sdiff < 0 else sdiff
+                    w.write(v, cat)
+    entropy = w.flush()
+    sof = bytes([precision]) + struct.pack(">HH", height, width)
+    sof += bytes([ncomp])
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0])  # Tq ignored in lossless
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([predictor, 0, point_transform])
+    out = b"\xff\xd8" + _seg(0xC4, _dht_body(0x00, DCLL_BITS, DCLL_VALS))
+    out += _seg(0xC3, sof)
+    if ri_mcus:
+        if ri_mcus > 0xFFFF:
+            raise JpegError("restart interval exceeds the DRI field")
+        out += _seg(0xDD, struct.pack(">H", ri_mcus))
+    return out + _seg(0xDA, sos) + entropy + b"\xff\xd9"
+
+
 # ---------------------------------------- arithmetic entropy coding (r9)
 
 # T.81 Table D.3 — the Qe probability-estimation state machine:
@@ -1347,8 +1488,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     intervals (DRI honored; each RSTn must appear exactly at its
     MCU/block boundary with the expected 0xD0+n index and resets the
     scan's predictors), SOF0 baseline, SOF2 multi-scan progressive,
-    SOF1 extended sequential incl. 12-bit precision, and SOF9/SOF10
-    arithmetic-coded sequential AND progressive (r9).
+    SOF1 extended sequential incl. 12-bit precision, SOF9/SOF10
+    arithmetic-coded sequential AND progressive (r9), and SOF3
+    Annex-H predictive LOSSLESS (r10 — exact reconstruction by
+    definition; see the module scope note).
     Raises ``JpegError`` for ANYTHING else — malformed
     segment bodies included: parser slips (IndexError / struct.error /
     bare ValueError on attacker-shaped bytes) are converted so the
@@ -1387,6 +1530,9 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
     restart_interval = 0
     progressive = False
     arith = False  # SOF9: extended sequential, arithmetic entropy coding
+    lossless = False  # SOF3: Annex H predictive lossless (r10)
+    samples: list[np.ndarray] = []  # lossless: per comp (h, w) int32
+    ll_point_transform = 0
     dc_cond: dict[int, tuple[int, int]] = {}  # DAC: DC table id -> (L, U)
     ac_cond: dict[int, int] = {}  # DAC: AC table id -> Kx
     precision = 8  # sample precision from SOF (8, or 12 for SOF1/SOF9)
@@ -1507,11 +1653,83 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                 k += 1
             state.eobrun -= 1
 
+    def decode_lossless_scan(body: bytes, entropy_start: int) -> int:
+        """Annex H predictive scan: per sample, a DC-class Huffman
+        category + extend bits give the difference from the H.1
+        prediction; reconstruction is modulo 2^16. Scope (honest
+        failures outside it): one interleaved scan covering all
+        components, restart intervals at sample-ROW multiples (what
+        real lossless writers — DNG readers assume it — emit; a restart
+        resets prediction to start-of-scan conditions for the rows that
+        follow)."""
+        nonlocal ll_point_transform
+        ns = body[0] if body else -1
+        if ns < 1 or len(body) != 1 + 2 * ns + 3:
+            raise JpegError("bad SOS header")
+        sel = []
+        for c in range(ns):
+            cs, tabs = body[1 + c * 2 : 3 + c * 2]
+            sel.append((cs, tabs >> 4))
+        ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+        ah, al = ahal >> 4, ahal & 0x0F
+        if not 1 <= ss <= 7:
+            raise JpegError("lossless predictor (Ss) must be 1..7")
+        if se != 0 or ah != 0:
+            raise JpegError("bad lossless scan header")
+        if al >= precision:
+            raise JpegError("point transform out of range")
+        if ns != len(comps):
+            raise JpegError(
+                "non-interleaved lossless scan unsupported"
+            )
+        order = []
+        for cs, dc_t in sel:
+            idx = next((i for i, c in enumerate(comps) if c[0] == cs), None)
+            if idx is None:
+                raise JpegError(f"scan selector {cs} not declared in SOF")
+            if (0x00 | dc_t) not in huffs:
+                raise JpegError("missing huffman table")
+            order.append((idx, dc_t))
+        if len({i for i, _ in order}) != ns:
+            raise JpegError("duplicate component in scan")
+        if restart_interval and restart_interval % width != 0:
+            raise JpegError(
+                "lossless restart interval must be a row multiple"
+            )
+        restart_rows = restart_interval // width if restart_interval else 0
+        ll_point_transform = al
+        default = 1 << (precision - al - 1)
+        br = _BitReader(data, entropy_start)
+        base_row = 0
+        rst = 0
+        for y in range(height):
+            if restart_rows and y and y % restart_rows == 0:
+                br.restart(rst % 8)
+                rst += 1
+                base_row = y
+            for x in range(width):
+                for idx, dc_t in order:
+                    plane = samples[idx]
+                    cat = _decode_symbol(br, huffs[0x00 | dc_t])
+                    if cat > 16:
+                        raise JpegError("lossless category out of range")
+                    if cat == 16:  # the special diff=32768 symbol
+                        diff = 32768
+                    elif cat:
+                        diff = _extend(br.bits(cat), cat)
+                    else:
+                        diff = 0
+                    px = _lossless_predict(plane, x, y, ss, default, base_row)
+                    plane[y, x] = (px + diff) & 0xFFFF
+        return br.pos
+
     def decode_scan(body: bytes, entropy_start: int) -> int:
         """Decode one scan's entropy data into ``coefs``; returns the
         position just past it (at the next marker)."""
         if not comps:
             raise JpegError("SOS before SOF")
+        if lossless:
+            return decode_lossless_scan(body, entropy_start)
         ns = body[0] if body else -1
         if ns < 1 or len(body) != 1 + 2 * ns + 3:
             raise JpegError("bad SOS header")
@@ -1778,21 +1996,30 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                     (code, length): sym for sym, (code, length) in codes.items()
                 }
                 b += 17 + nvals
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             # SOF0 baseline / SOF1 extended sequential / SOF2
-            # progressive / SOF9 sequential ARITHMETIC / SOF10
-            # progressive ARITHMETIC (r9)
+            # progressive / SOF3 LOSSLESS (Annex H, r10) / SOF9
+            # sequential ARITHMETIC / SOF10 progressive ARITHMETIC (r9)
             if comps:
                 raise JpegError("multiple SOF segments")
             progressive = marker in (0xC2, 0xCA)
             arith = marker in (0xC9, 0xCA)
+            lossless = marker == 0xC3
             if len(body) < 6:
                 raise JpegError("short SOF")
             # 12-bit sample precision is legal only in extended
             # sequential here (T.81 allows 12-bit SOF2/SOF10 too; those
             # profiles stay honest failures — the progressive machinery
-            # is gated at 8-bit)
-            if body[0] == 12 and marker in (0xC1, 0xC9):
+            # is gated at 8-bit). Lossless allows the full 2..16 range
+            # (Annex H); >8-bit decodes reduce to the engine's 8-bit
+            # pixel surface like the 12-bit DCT path below.
+            if lossless:
+                if not 2 <= body[0] <= 16:
+                    raise JpegError(
+                        f"precision {body[0]} out of the lossless range"
+                    )
+                precision = body[0]
+            elif body[0] == 12 and marker in (0xC1, 0xC9):
                 precision = 12
             elif body[0] == 8:
                 precision = 8
@@ -1821,6 +2048,9 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                 ((1, 2), (1, 1), (1, 1)),
             ):
                 raise JpegError(f"sampling layout {sampling} unsupported")
+            if lossless and (sampling not in (((1, 1),),
+                                              ((1, 1), (1, 1), (1, 1)))):
+                raise JpegError("lossless requires 1x1 sampling")
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             # 1<<23 pixels (~3.9k x 2.2k): header dims are
@@ -1845,13 +2075,23 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
             # instead of decoding them honestly)
             n_mcux = -(-width // (8 * hmax))
             n_mcuy = -(-height // (8 * vmax))
-            for _, ch, cv, _ in comps:
-                coefs.append(
-                    np.zeros((n_mcuy * cv, n_mcux * ch, 64), dtype=np.int64)
-                )
-                band_al.append([-1] * 64)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+            if lossless:
+                # one int32 sample plane per component — no block grid,
+                # no padding (lossless has no MCU geometry beyond the
+                # sample)
+                for _ in comps:
+                    samples.append(np.zeros((height, width), dtype=np.int32))
+            else:
+                for _, ch, cv, _ in comps:
+                    coefs.append(
+                        np.zeros(
+                            (n_mcuy * cv, n_mcux * ch, 64), dtype=np.int64
+                        )
+                    )
+                    band_al.append([-1] * 64)
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
+            # hierarchical and differential modes stay honest failures
             raise JpegError("unsupported SOF type")
         elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
             b = 0
@@ -1889,6 +2129,27 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
         # without this, a stream cut exactly at a scan boundary would
         # "decode" a partial image — truncation must be an honest failure
         raise JpegError("missing EOI")
+    if lossless:
+        # reconstruction (Annex H): decoded values shift back by the
+        # point transform, clip to the sample range, and — like the
+        # 12-bit DCT path — reduce to the engine's 8-bit pixel surface
+        # by dropping low bits. 3-component lossless is carried as RGB
+        # directly: lossless streams have no JFIF YCbCr contract, and
+        # real RGB lossless writers emit RGB (a YCbCr convert here
+        # would also break the exact-roundtrip property the oracle
+        # gate pins).
+        maxv = (1 << precision) - 1
+        planes = [
+            np.clip(s.astype(np.int64) << ll_point_transform, 0, maxv)
+            for s in samples
+        ]
+        if precision > 8:
+            planes = [p >> (precision - 8) for p in planes]
+        if len(planes) == 1:
+            rgb = np.repeat(planes[0][..., None], 3, axis=-1).astype(np.uint8)
+        else:
+            rgb = np.stack(planes, axis=-1).astype(np.uint8)
+        return width, height, 3, rgb.tobytes()
     for idx in range(len(comps)):
         if band_al[idx][0] == -1:
             raise JpegError("component missing its DC scan")

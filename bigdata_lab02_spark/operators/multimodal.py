@@ -679,6 +679,72 @@ def synthetic_jpeg(spark, n: int = 64) -> DataFrame:
     )
 
 
+def synthetic_jpeg_lossless(spark, n: int = 56) -> DataFrame:
+    """Deterministic media table of REAL SOF3 lossless JPEG payloads
+    (operators.jpeg.encode_jpeg_lossless, r10), cycling the Annex-H
+    profile: predictor ``media_id % 7 + 1`` (all seven), and on
+    ``media_id % 4``: 0 = 8-bit grayscale; 1 = 8-bit RGB (3 components,
+    carried as RGB — lossless has no JFIF YCbCr contract); 2 = 8-bit
+    grayscale with point transform 1 AND row-boundary restarts every 2
+    rows; 3 = 16-bit grayscale (decode reduces ``>> 8``). Pixels are
+    per-PIXEL formulas (not per-block — lossless has no block grid), so
+    the decoded image equals the formula EXACTLY (that is the point of
+    lossless) and the oracle restates the sums in closed form. Dims
+    ``(8 + id%5) × (6 + id%3)`` — deliberately not 8-aligned."""
+    enc = _jpeg.encode_jpeg_lossless
+
+    def mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {"media_id": [], "payload": [], "mime": []}
+            for mid in pdf["id"]:
+                mid = int(mid)
+                w, h = 8 + mid % 5, 6 + mid % 3
+                pred = mid % 7 + 1
+                kind = mid % 4
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                if kind == 1:
+                    r = (mid * 31 + x * 7 + y * 13) % 256
+                    g = (mid * 17 + x * 11 + y * 3) % 256
+                    b = (mid * 29 + x * 5 + y * 19) % 256
+                    img = np.stack(
+                        [np.broadcast_to(p, (h, w)) for p in (r, g, b)],
+                        axis=-1,
+                    )
+                    payload = enc(
+                        w, h, img.flatten().tolist(), ncomp=3, predictor=pred
+                    )
+                else:
+                    if kind == 3:
+                        gray = (mid * 131 + x * 17 + y * 29) % 65536
+                        gray = np.broadcast_to(gray, (h, w))
+                        payload = enc(
+                            w, h, gray.flatten().tolist(), ncomp=1,
+                            precision=16, predictor=pred,
+                        )
+                    else:
+                        gray = np.broadcast_to(
+                            (mid * 31 + x * 7 + y * 13) % 256, (h, w)
+                        )
+                        payload = enc(
+                            w, h, gray.flatten().tolist(), ncomp=1,
+                            predictor=pred,
+                            point_transform=1 if kind == 2 else 0,
+                            restart_rows=2 if kind == 2 else 0,
+                        )
+                rows["media_id"].append(mid)
+                rows["payload"].append(payload)
+                rows["mime"].append("image/jpeg")
+            yield pd.DataFrame(rows)
+
+    n_parts = max(1, min(n // 8, spark.sparkContext.defaultParallelism))
+    return spark.range(n, numPartitions=n_parts).mapInPandas(
+        mk, "media_id long, payload binary, mime string"
+    )
+
+
 def extract_jpeg_stats(media: DataFrame) -> DataFrame:
     """Byte-level baseline-JPEG decode → exact integer per-channel pixel
     sums via Arrow-batched mapInPandas. Undecodable payloads yield

@@ -1007,3 +1007,120 @@ class TestArithmetic:
         a = J.decode_jpeg((self.FIX / "libjpeg_arith_rgb444.jpg").read_bytes())
         b = J.decode_jpeg((self.FIX / "libjpeg_arith_prog_444.jpg").read_bytes())
         assert a == b
+
+
+class TestLossless:
+    """SOF3 Annex-H predictive lossless (r10)."""
+
+    def test_roundtrip_all_predictors_exact(self):
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+        for pred in range(1, 8):
+            data = J.encode_jpeg_lossless(
+                13, 9, img.flatten().tolist(), ncomp=3, predictor=pred
+            )
+            w, h, c, rgb = J.decode_jpeg(data)
+            out = np.frombuffer(rgb, dtype=np.uint8).reshape(9, 13, 3)
+            assert (w, h, c) == (13, 9, 3)
+            assert (out == img).all(), f"predictor {pred}"
+
+    def test_gray_restart_rows_exact(self):
+        rng = np.random.default_rng(11)
+        g = rng.integers(0, 256, size=(10, 7), dtype=np.uint8)
+        data = J.encode_jpeg_lossless(
+            7, 10, g.flatten().tolist(), ncomp=1, predictor=4, restart_rows=3
+        )
+        assert b"\xff\xd0" in data  # restarts really emitted
+        _, _, _, rgb = J.decode_jpeg(data)
+        out = np.frombuffer(rgb, dtype=np.uint8).reshape(10, 7, 3)
+        assert (out[:, :, 0] == g).all() and (out[:, :, 2] == g).all()
+
+    def test_point_transform_drops_low_bits(self):
+        g = np.arange(70, dtype=np.uint8).reshape(10, 7)
+        data = J.encode_jpeg_lossless(
+            7, 10, g.flatten().tolist(), ncomp=1, predictor=2,
+            point_transform=2,
+        )
+        _, _, _, rgb = J.decode_jpeg(data)
+        out = np.frombuffer(rgb, dtype=np.uint8).reshape(10, 7, 3)[:, :, 0]
+        assert (out == (g >> 2) << 2).all()
+
+    def test_16bit_reduces_to_8bit_surface(self):
+        rng = np.random.default_rng(3)
+        g16 = rng.integers(0, 65536, size=(6, 5)).astype(np.int64)
+        data = J.encode_jpeg_lossless(
+            5, 6, g16.flatten().tolist(), ncomp=1, precision=16, predictor=7
+        )
+        _, _, _, rgb = J.decode_jpeg(data)
+        out = np.frombuffer(rgb, dtype=np.uint8).reshape(6, 5, 3)[:, :, 0]
+        assert (out == (g16 >> 8)).all()
+
+    def test_hand_built_bitstream_decodes_per_spec(self):
+        """Decode semantics pinned INDEPENDENTLY of the encoder: a 2x2
+        grayscale stream hand-assembled bit by bit (H.1: default
+        prediction 2^(P-1)=128 for the first sample, Ra along the first
+        line, Rb in the first column; SSSS category + EXTEND bits).
+        Samples [[100,102],[97,97]], predictor 1:
+          (0,0) diff -28  -> cat5 code '110'  + bits '00011'
+          (0,1) diff  +2  -> cat2 code '011'  + bits '10'
+          (1,0) diff  -3 (vs Rb=100) -> cat2 '011' + bits '00'
+          (1,1) diff   0  -> cat0 code '00'
+        = 1100 0011 0111 0011 0000 + 1-pad -> C3 73 0F."""
+        sof = bytes([8]) + np.uint16(2).newbyteorder(">").tobytes() * 2
+        sof += bytes([1, 1, 0x11, 0])
+        sos = bytes([1, 1, 0x00, 1, 0, 0])
+        data = (
+            b"\xff\xd8"
+            + J._seg(0xC4, J._dht_body(0x00, J.DCLL_BITS, J.DCLL_VALS))
+            + J._seg(0xC3, sof)
+            + J._seg(0xDA, sos)
+            + bytes([0b11000011, 0b01110011, 0b00001111])
+            + b"\xff\xd9"
+        )
+        w, h, _, rgb = J.decode_jpeg(data)
+        out = np.frombuffer(rgb, dtype=np.uint8).reshape(2, 2, 3)[:, :, 0]
+        assert (w, h) == (2, 2)
+        assert out.tolist() == [[100, 102], [97, 97]]
+
+    def test_predictor_arithmetic_hand_values(self):
+        """The seven H.1 predictor formulas on hand-computed neighbor
+        values, including the arithmetic-shift (floor) semantics of the
+        /2 predictors on negative differences."""
+        arr = np.array([[10, 20], [30, 0]], dtype=np.int32)
+        got = [
+            J._lossless_predict(arr, 1, 1, p, 128, 0) for p in range(1, 8)
+        ]
+        assert got == [30, 20, 10, 40, 35, 30, 25]
+        arr2 = np.array([[9, 3], [5, 0]], dtype=np.int32)
+        # pred5: Ra + (Rb-Rc)>>1 = 5 + (3-9)>>1 = 5 + (-3) = 2
+        assert J._lossless_predict(arr2, 1, 1, 5, 128, 0) == 2
+        # first line -> Ra regardless of selection; first sample -> default
+        assert J._lossless_predict(arr, 1, 0, 7, 128, 0) == 10
+        assert J._lossless_predict(arr, 0, 0, 7, 128, 0) == 128
+        # first column of later lines -> Rb
+        assert J._lossless_predict(arr, 0, 1, 7, 128, 0) == 10
+
+    def test_honest_failures(self):
+        g = list(range(64))
+        data = J.encode_jpeg_lossless(8, 8, g, ncomp=1, predictor=1)
+        # truncated entropy / missing EOI
+        with pytest.raises(J.JpegError):
+            J.decode_jpeg(data[:-4])
+        # a DRI that is not a row multiple must be rejected at scan time
+        bad = data.replace(b"\xff\xda", J._seg(0xDD, b"\x00\x05") + b"\xff\xda")
+        with pytest.raises(J.JpegError, match="row multiple"):
+            J.decode_jpeg(bad)
+        # encoder-side guards
+        with pytest.raises(J.JpegError):
+            J.encode_jpeg_lossless(8, 8, g, predictor=0)
+        with pytest.raises(J.JpegError):
+            J.encode_jpeg_lossless(8, 8, g, point_transform=8)
+        with pytest.raises(J.JpegError):
+            J.encode_jpeg_lossless(8, 8, [300] * 64)
+
+    def test_metadata_reports_sof3(self):
+        data = J.encode_jpeg_lossless(5, 4, list(range(20)), ncomp=1)
+        m = J.jpeg_metadata(data)
+        assert (m["width"], m["height"], m["ncomp"]) == (5, 4, 1)
+        assert m["sof"] == 3 and m["progressive"] is False
+        assert m["precision"] == 8
