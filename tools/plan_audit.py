@@ -66,6 +66,7 @@ AUDIT = [
     "html_extract",
     "crawl_curation_pipeline",
     "bpe_pipeline",
+    "url_filters",
 ]
 
 COMMENT = {
@@ -113,7 +114,8 @@ COMMENT = {
     "dedup_incremental": "New shard's bands join the precomputed corpus band table on the single band_hash key (bucketed layout joins co-located — only the shard side shuffles); exact-Jaccard verify shingles candidate-matched docs only via leftsemi pruning.",
     "ivf_topk_persisted": "Corpus lists read from the hive layout with list_id PartitionFilters (directory pruning to the probed lists); probes broadcast; the only data-sized exchange is the per-query top-k.",
     "html_extract": "Zero exchanges: the whole strip kernel + markup features are ONE generated projection fused with the scan.",
-    "crawl_curation_pipeline": "Zero exchanges END-TO-END: html strip -> C4 line rules -> Gopher quality + 13 repetition folds chain through column passthrough (no re-join on doc_id) — the whole crawl->verdict pipeline is one fused map over the corpus.",
+    "crawl_curation_pipeline": "ONE exchange END-TO-END (r10: the URL tier's norm_url dedup window — the unavoidable recrawl-dedup shuffle; suffix/blocklist dims broadcast): URL survivors -> html strip -> C4 line rules -> Gopher quality + 13 repetition folds chain through column passthrough (no re-join on doc_id) — everything after the URL tier is one fused map over the corpus.",
+    "url_filters": "Normalization is a pure projection fused with the scan; the suffix candidates are THREE broadcast left joins (PSL-sized dim, corpus-independent) and the blocklist one more; the ONLY shuffle is the norm_url dedup window — the global recrawl group-by no URL dedup can avoid.",
     "bpe_pipeline": "The audited plan is the POST-TRAINING shape: tokenization is k chained literal replaces fused into one zero-shuffle projection (the merge table unions in as a literal local relation). Training itself is a driver loop over the vocabulary-sized word-count table — one pair-count shuffle per merge, one argmax row to the driver per iteration.",
 }
 
