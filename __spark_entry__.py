@@ -1701,7 +1701,8 @@ def _url_fixture_expr(mod: int) -> str:
         f" WHEN 3 THEN 'blog.example.org:8080'"
         f" WHEN 4 THEN 'ads.badsite.org'"
         f" WHEN 5 THEN 'archive.example.ac.uk'"
-        f" ELSE 'mirror' || ({k} % 2) || '.example.io' END"
+        f" ELSE CASE WHEN {k} % 14 = 6 THEN '198.51.100.' || ({k} % 200)"
+        f" ELSE 'mirror' || ({k} % 2) || '.example.io' END END"
         f" || '/p%7Eath/' || ({k} % 17)"
         f" || CASE {k} % 4"
         f" WHEN 1 THEN '?utm_source=feed&q=' || ({k} % 6) || '&utm_medium=rss'"
@@ -1795,7 +1796,9 @@ ur AS (SELECT *,
 ur2 AS (SELECT *, CASE WHEN rest1 = '' THEN '/'
   WHEN rest1 LIKE '?%' THEN '/' || rest1 ELSE rest1 END AS rest FROM ur),
 un AS (SELECT *, CASE WHEN scheme <> '' AND hostp <> ''
-  THEN scheme || '://' || hostp || rest END AS norm_url FROM ur2),
+  THEN scheme || '://' || hostp || rest END AS norm_url,
+  regexp_matches(host, '^[0-9]{{1,3}}(\.[0-9]{{1,3}}){{3}}$')
+    AS host_is_ip FROM ur2),
 ud AS (SELECT *, string_split(host, '.') AS labels,
   len(string_split(host, '.')) AS nl FROM un),
 uc AS (SELECT *,
@@ -1823,8 +1826,8 @@ uw AS (SELECT *, scheme IN ('http', 'https') AND host <> '' AND NOT blocked
 
 _URL_SQL = f"""
 WITH {_url_tier_sql(_URL_FIXTURE_EXPR)}
-SELECT doc_id, url, scheme, host, norm_url, registered_domain,
-  blocked, is_dup, url_keep
+SELECT doc_id, url, scheme, host, host_is_ip, norm_url,
+  registered_domain, blocked, is_dup, url_keep
 FROM uw
 """
 

@@ -167,26 +167,39 @@ def url_filters(
     url_col: str = "url",
     id_col: str = "doc_id",
     passthrough: list[str] | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """The composed URL tier: per input row returns ``norm_url``,
-    ``scheme``, ``host``, ``registered_domain``, ``blocked``,
-    ``is_dup``, and ``url_keep`` (http/https, parseable host, not
-    blocklisted, not a duplicate fetch of an earlier row's URL).
+    ``scheme``, ``host``, ``host_is_ip``, ``registered_domain``,
+    ``blocked``, ``is_dup``, and ``url_keep`` (http/https, parseable
+    host, not blocklisted, not a duplicate fetch of an earlier row's
+    URL).
 
     - ``blocklist``: one ``domain`` string column of registered domains;
       matching rows are flagged (broadcast left join — the blocklist is
       bounded by the number of listed domains, never by corpus size).
+    - ``host_is_ip``: IPv4-literal hosts — they have no registered
+      domain by construction (flagged so a policy tier can treat them
+      separately; many curation pipelines drop them outright).
     - dedup: keep-lowest-``id_col`` survivor per ``norm_url`` — the
       tier's single shuffle, keyed by the normalized URL. Unparseable
       rows (NULL ``norm_url``) are never marked dups; they fail
-      ``url_keep`` on the scheme/host predicate instead."""
+      ``url_keep`` on the scheme/host predicate instead.
+    - ``dedup=False`` drops the dedup window (``is_dup`` becomes
+      constant False): every remaining stage is a stateless projection
+      plus broadcast joins, so the tier runs UNCHANGED on a stream
+      (tested) — the continuous-ingest shape. Streaming URL dedup is a
+      stateful operator (watermarked ``dropDuplicates``); run it as its
+      own stage downstream when the ingest needs it."""
     scheme, hostport, rest = url_parts(F.col(url_col))
+    host = F.regexp_replace(hostport, r":[0-9]+$", "")
     out = pages.select(
         id_col,
         *(passthrough or []),
         F.col(url_col).alias("url"),
         scheme.alias("scheme"),
-        F.regexp_replace(hostport, r":[0-9]+$", "").alias("host"),
+        host.alias("host"),
+        host.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$").alias("host_is_ip"),
         normalize_url(F.col(url_col)).alias("norm_url"),
     )
     out = with_registered_domain(out, suffixes)
@@ -201,13 +214,16 @@ def url_filters(
         ).drop("__blocked_domain")
     else:
         out = out.withColumn("blocked", F.lit(False))
-    w = Window.partitionBy("norm_url").orderBy(F.col(id_col))
-    out = out.withColumn(
-        "is_dup",
-        F.when(
-            F.col("norm_url").isNotNull(), F.row_number().over(w) > 1
-        ).otherwise(F.lit(False)),
-    )
+    if dedup:
+        w = Window.partitionBy("norm_url").orderBy(F.col(id_col))
+        out = out.withColumn(
+            "is_dup",
+            F.when(
+                F.col("norm_url").isNotNull(), F.row_number().over(w) > 1
+            ).otherwise(F.lit(False)),
+        )
+    else:
+        out = out.withColumn("is_dup", F.lit(False))
     return out.withColumn(
         "url_keep",
         F.col("scheme").isin("http", "https")

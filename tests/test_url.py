@@ -169,3 +169,49 @@ def test_crawl_with_url_tier_filters_first_single_exchange(spark):
     # without the URL tier the chain is still the zero-exchange projection
     r0 = plan_report(crawl_curation(pages.select("doc_id", "html")))
     assert r0.n_exchanges == 0, r0.raw
+
+
+def test_host_is_ip_flag(spark):
+    rows = [
+        (1, "http://198.51.100.7/a"),
+        (2, "http://198.51.100.7:8080/a"),
+        (3, "http://host.example.com/a"),
+        (4, "http://1.2.3.4.5/a"),   # five octets: a (weird) name, not IPv4
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in url_filters(pages, _sfx(spark)).collect()}
+    assert out[1]["host_is_ip"] and out[2]["host_is_ip"]
+    assert out[1]["registered_domain"] is None
+    assert not out[3]["host_is_ip"] and not out[4]["host_is_ip"]
+    assert out[1]["url_keep"]  # flagged, not dropped — policy decides
+
+
+def test_url_tier_runs_on_a_stream_without_dedup(spark, tmp_path):
+    """With dedup=False every stage is a stateless projection plus
+    broadcast joins, so the tier runs UNCHANGED on a file stream and
+    the replay equals the batch result — the continuous-ingest shape.
+    (Streaming URL dedup is a separate stateful stage by design.)"""
+    from bigdata_lab02_spark.streaming import run_stream_to_memory
+
+    rows = [
+        (1, "HTTP://www.Example.com:80/a?utm_source=x&q=1"),
+        (2, "https://spam.tracker.net/x"),
+        (3, "garbage"),
+        (4, "https://ok.example.org/b#frag"),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, url string")
+    blk = spark.createDataFrame([("tracker.net",)], "domain string")
+    src = str(tmp_path / "url_stream")
+    batch.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, url string").parquet(src)
+    out = run_stream_to_memory(
+        spark,
+        url_filters(stream, _sfx(spark), blk, dedup=False),
+        "t_url_stream",
+        mode="append",
+    )
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(
+        map(tuple, url_filters(batch, _sfx(spark), blk, dedup=False).collect())
+    )
+    assert got == want and len(got) == 4
