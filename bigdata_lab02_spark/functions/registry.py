@@ -224,6 +224,103 @@ SELECT *,
 FROM r"""
 
 
+def url_filters_sql(
+    view: str,
+    suffixes,
+    blocklist=(),
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> str:
+    """Full SELECT statement: operators.url.url_filters over ``view`` —
+    the r10 URL/domain tier on the SQL surface. ``suffixes`` and
+    ``blocklist`` are literal string lists here (the SQL surface's dims
+    compile to IN-lists — right for a SQL-only client's bounded lists;
+    the DataFrame builder joins real dim tables instead). Same
+    expressions, same single norm_url window shuffle; parity with the
+    DataFrame API is asserted in tests/test_sql_surface.py."""
+    from bigdata_lab02_spark.operators import url as ux
+
+    sfx_list = ", ".join(sql_str(s) for s in suffixes)
+    scheme_re = sql_str(ux.SCHEME_RE)
+    scheme = f"lower(regexp_extract({url_col}, {scheme_re}, 1))"
+    after = f"regexp_replace({url_col}, {scheme_re}, '')"
+    hostport = (
+        f"regexp_replace(lower(regexp_extract({after}, '^([^/?#]*)', 1)),"
+        f" '^[^/?#@]*@', '')"
+    )
+    hostp = (
+        f"CASE WHEN {scheme} = 'http'"
+        f" THEN regexp_replace({hostport}, ':80$', '')"
+        f" WHEN {scheme} = 'https'"
+        f" THEN regexp_replace({hostport}, ':443$', '')"
+        f" ELSE {hostport} END"
+    )
+    host = f"regexp_replace({hostport}, ':[0-9]+$', '')"
+    track = ux.TRACKING_PARAMS_RE.replace("\\", "\\\\")
+    rest = f"regexp_replace({after}, '^[^/?#]*', '')"
+    rest = f"regexp_replace({rest}, '#.*$', '')"
+    rest = f"regexp_replace({rest}, '&{track}=[^&]*', '')"
+    rest = f"regexp_replace({rest}, '\\\\?{track}=[^&]*&', '?')"
+    rest = f"regexp_replace({rest}, '\\\\?{track}=[^&]*$', '')"
+    for pe, ch in ux.PERCENT_UNRESERVED:
+        rest = f"replace({rest}, '{pe}', '{ch}')"
+    rest = f"CASE WHEN {rest} = '' THEN '/' ELSE {rest} END"
+    # a second CASE would re-expand the huge expression; nesting keeps
+    # the leading-'?' fixup on the already-built string
+    rest_fix = (
+        "CASE WHEN startswith(rest0, '?') THEN concat('/', rest0)"
+        " ELSE rest0 END"
+    )
+
+    def cand(k: int) -> str:
+        return (
+            f"CASE WHEN size(labels) >= {k + 1} THEN"
+            f" array_join(slice(labels, size(labels) - {k - 1}, {k}), '.')"
+            f" END"
+        )
+
+    def reg_take(k: int) -> str:
+        return f"array_join(slice(labels, size(labels) - {k}, {k + 1}), '.')"
+
+    registered = (
+        f"CASE WHEN {cand(3)} IN ({sfx_list}) THEN {reg_take(3)}"
+        f" WHEN {cand(2)} IN ({sfx_list}) THEN {reg_take(2)}"
+        f" WHEN {cand(1)} IN ({sfx_list}) THEN {reg_take(1)}"
+        f" END"
+    )
+    if blocklist:
+        blk_list = ", ".join(sql_str(d) for d in blocklist)
+        blocked = f"coalesce(registered_domain IN ({blk_list}), false)"
+    else:
+        blocked = "false"
+    return f"""WITH u0 AS (
+  SELECT {id_col}, {url_col} AS url, {scheme} AS scheme, {host} AS host,
+    {hostp} AS hostp, {rest} AS rest0
+  FROM {view}),
+u1 AS (
+  SELECT {id_col}, url, scheme, host,
+    host RLIKE '^[0-9]{{1,3}}(\\\\.[0-9]{{1,3}}){{3}}$' AS host_is_ip,
+    CASE WHEN scheme <> '' AND hostp <> ''
+      THEN concat(scheme, '://', hostp, {rest_fix}) END AS norm_url,
+    split(host, '\\\\.') AS labels
+  FROM u0),
+u2 AS (
+  SELECT {id_col}, url, scheme, host, host_is_ip, norm_url,
+    {registered} AS registered_domain
+  FROM u1),
+u3 AS (
+  SELECT *, {blocked} AS blocked,
+    CASE WHEN norm_url IS NOT NULL THEN
+      row_number() OVER (PARTITION BY norm_url ORDER BY {id_col}) > 1
+    ELSE false END AS is_dup
+  FROM u2)
+SELECT {id_col}, url, scheme, host, host_is_ip, norm_url,
+  registered_domain, blocked, is_dup,
+  scheme IN ('http', 'https') AND host <> '' AND NOT blocked
+    AND NOT is_dup AS url_keep
+FROM u3"""
+
+
 def range_join_sql(
     points_view: str,
     intervals_view: str,

@@ -174,3 +174,31 @@ def test_bpe_tokenize_in_pure_sql(spark):
     a = sorted(map(tuple, spark.sql(bpe_tokenize_sql("bpe_docs_v", merges)).collect()))
     b = sorted(map(tuple, bpe.bpe_token_stats(df, merges).collect()))
     assert a == b
+
+
+def test_url_filters_in_pure_sql(spark):
+    """r10: the URL tier reachable as one SQL statement — parity with
+    the DataFrame builder on every column, including the dedup window."""
+    from bigdata_lab02_spark.functions.registry import url_filters_sql
+    from bigdata_lab02_spark.operators.url import url_filters
+
+    rows = [
+        (1, "HTTP://User:pw@WWW.Example.COM:80/p%7E?utm_source=x&q=1#f"),
+        (2, "http://www.example.com/p~?q=1"),
+        (3, "https://spam.tracker.net:443/x"),
+        (4, "https://news.bbc.co.uk"),
+        (5, "ftp://files.example.org/a"),
+        (6, "just text"),
+        (7, "http://198.51.100.9:8080/ip"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    df.createOrReplaceTempView("v_urls")
+    sfx = ["com", "net", "org", "io", "uk", "co.uk", "ac.uk"]
+    blk = ["tracker.net"]
+    got = sorted(
+        map(tuple, spark.sql(url_filters_sql("v_urls", sfx, blk)).collect())
+    )
+    sfx_df = spark.createDataFrame([(s,) for s in sfx], "suffix string")
+    blk_df = spark.createDataFrame([(d,) for d in blk], "domain string")
+    want = sorted(map(tuple, url_filters(df, sfx_df, blk_df).collect()))
+    assert got == want and len(got) == 7
