@@ -1988,6 +1988,121 @@ FROM cfv c JOIN gv g USING (doc_id) JOIN rep r USING (doc_id)
 """
 
 
+# --------------------------------------------------- WARC ingest (r10)
+
+# Deterministic WARC fixture pieces, shared by the Spark generator and
+# the oracle's restatement. Stripes on doc_id % 5: 0 = request+response
+# pair in ONE payload (the multi-record walk), 1 = 404 response, 2 =
+# non-html content-type (application/pdf — the routing case), 3 =
+# revisit record (no HTTP block), 4 = request-only. Bodies include the
+# documents text (multi-byte chars), so the Content-Length framing is
+# octet-exact or the parse slices the wrong bytes and every hash flips.
+_WARC_URI = "'http://w' || (doc_id % 40) || '.example.com/p/' || doc_id"
+_WARC_DATE = "'2024-01-02T03:04:05Z'"
+_WARC_HTML_BODY = "'<html><body><p>' || text || '</p></body></html>'"
+_WARC_404_BODY = "'<html>not found ' || doc_id || '</html>'"
+_WARC_PDF_BODY = "'%PDF-1.4 synthetic ' || doc_id"
+
+
+def q_warc_ingest(spark, sf_dir):
+    """WARC ingest gated end-to-end (sources.warc, r10): deterministic
+    WARC/1.0 bytes are GENERATED per document (CRLF headers,
+    octet-exact Content-Length over multi-byte text bodies, a
+    request+response two-record payload stripe, 404 / non-html /
+    revisit / request-only stripes), then parsed by the REAL record
+    walker + HTTP splitter. The oracle restates the expected extraction
+    from the fixture pieces directly — so a drifting header parse,
+    length slice, record-separator walk, or body passthrough flips the
+    row hashes. (Real-file .warc/.warc.gz reads and the composition
+    into the URL + crawl tiers are integration-tested in
+    tests/test_warc.py.)"""
+    from bigdata_lab02_spark.sources.warc import warc_records
+
+    crlf = "chr(13) || chr(10)"
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.selectExpr(
+        "doc_id",
+        f"doc_id % 5 AS s",
+        f"{_WARC_URI} AS uri",
+        f"""CASE doc_id % 5
+          WHEN 0 THEN 'HTTP/1.1 200 X' || {crlf} || 'Content-Type: text/html'
+            || {crlf} || {crlf} || {_WARC_HTML_BODY}
+          WHEN 1 THEN 'HTTP/1.1 404 X' || {crlf} || 'Content-Type: text/html'
+            || {crlf} || {crlf} || {_WARC_404_BODY}
+          WHEN 2 THEN 'HTTP/1.1 200 X' || {crlf}
+            || 'Content-Type: application/pdf' || {crlf} || {crlf}
+            || {_WARC_PDF_BODY}
+          WHEN 3 THEN ''
+          ELSE 'GET /p/' || doc_id || ' HTTP/1.1' || {crlf} || {crlf}
+        END AS block""",
+        f"""CASE doc_id % 5 WHEN 3 THEN 'revisit' WHEN 4 THEN 'request'
+          ELSE 'response' END AS wtype""",
+        f"'GET /p/' || doc_id || ' HTTP/1.1' || {crlf} || {crlf} AS reqblock",
+    )
+
+    def rec(wtype: str, uri: str, block: str) -> str:
+        return (
+            f"'WARC/1.0' || {crlf} || 'WARC-Type: ' || {wtype} || {crlf}"
+            f" || 'WARC-Date: ' || {_WARC_DATE} || {crlf}"
+            f" || 'WARC-Target-URI: ' || {uri} || {crlf}"
+            f" || 'Content-Length: ' || octet_length({block}) || {crlf}"
+            f" || {crlf} || {block} || {crlf} || {crlf}"
+        )
+
+    payload = staged.selectExpr(
+        "doc_id",
+        f"""CAST(CASE WHEN s = 0
+          THEN {rec("'request'", 'uri', 'reqblock')} || {rec('wtype', 'uri', 'block')}
+          ELSE {rec('wtype', 'uri', 'block')}
+        END AS BINARY) AS content""",
+    )
+    out = warc_records(payload, payload_col="content", id_col="doc_id")
+    return out.select(
+        "doc_id",
+        "record_idx",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "http_status",
+        "http_content_type",
+        F.md5(F.col("body")).alias("body_md5"),
+        F.length(F.col("body")).cast("int").alias("body_bytes"),
+        "parse_ok",
+    )
+
+
+_WARC_SQL = f"""
+WITH s AS (SELECT doc_id, doc_id % 5 AS s, {_WARC_URI} AS uri,
+  {_WARC_HTML_BODY} AS html_body, {_WARC_404_BODY} AS nf_body,
+  {_WARC_PDF_BODY} AS pdf_body FROM documents),
+resp AS (
+  SELECT doc_id,
+    CAST(CASE WHEN s = 0 THEN 1 ELSE 0 END AS INT) AS record_idx,
+    CASE s WHEN 3 THEN 'revisit' WHEN 4 THEN 'request'
+      ELSE 'response' END AS warc_type,
+    uri AS target_uri, {_WARC_DATE} AS warc_date,
+    CAST(CASE s WHEN 0 THEN 200 WHEN 1 THEN 404 WHEN 2 THEN 200
+      END AS INT) AS http_status,
+    CASE s WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/html'
+      WHEN 2 THEN 'application/pdf' END AS http_content_type,
+    CASE s WHEN 0 THEN md5(html_body) WHEN 1 THEN md5(nf_body)
+      WHEN 2 THEN md5(pdf_body) END AS body_md5,
+    CAST(CASE s WHEN 0 THEN strlen(html_body) WHEN 1 THEN strlen(nf_body)
+      WHEN 2 THEN strlen(pdf_body) END AS INT) AS body_bytes,
+    TRUE AS parse_ok
+  FROM s),
+reqs AS (
+  SELECT doc_id, CAST(0 AS INT) AS record_idx, 'request' AS warc_type,
+    uri AS target_uri, {_WARC_DATE} AS warc_date,
+    CAST(NULL AS INT) AS http_status,
+    CAST(NULL AS VARCHAR) AS http_content_type,
+    CAST(NULL AS VARCHAR) AS body_md5, CAST(NULL AS INT) AS body_bytes,
+    TRUE AS parse_ok
+  FROM s WHERE s = 0)
+SELECT * FROM resp UNION ALL SELECT * FROM reqs
+"""
+
+
 def q_bpe_pipeline(spark, sf_dir):
     """Corpus-trained BPE end-to-end (operators.bpe, r9): learn 10
     merges from the documents table (adjacent-pair counts over the
@@ -4984,6 +5099,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # generator formula, so the oracle is the closed form itself;
     # registered into the overflow, oracle-gated every pytest run.
     "jpeg_lossless": q_jpeg_lossless,
+    # warc_ingest (r10): the WARC record walk + HTTP split over
+    # generated octet-exact framed bytes — the CommonCrawl ingest seam
+    # ahead of the URL tier; registered into the overflow, oracle-gated
+    # every pytest run (real .warc/.warc.gz files + the composition
+    # into url_filters/crawl_curation are integration-tested).
+    "warc_ingest": q_warc_ingest,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -4997,7 +5118,7 @@ ROTATED_OUT: set[str] = {
     "ivf_topk_persisted", "stream_dedup_cands", "html_extract",
     "gopher_rules", "c4_filters", "resize_mixed", "gopher_repetition",
     "media_metadata", "bpe_pipeline", "embedding_dup_pairs",
-    "jpeg_lossless",
+    "jpeg_lossless", "warc_ingest",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -5101,6 +5222,7 @@ _R9_NEW = {
 _R10_NEW = {
     "url_filters",
     "jpeg_lossless",
+    "warc_ingest",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -5197,6 +5319,7 @@ _ORACLES: dict[str, str] = {
     "media_metadata": _MEDIA_META_SQL,
     "url_filters": _URL_SQL,
     "jpeg_lossless": _JPEG_LOSSLESS_SQL,
+    "warc_ingest": _WARC_SQL,
     "bpe_pipeline": _BPE_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,
     "semantic_dedup_pipeline": _SEMANTIC_PIPE_SQL,

@@ -129,6 +129,8 @@ EXTRA = [
     "url_filters",
     # r10: SOF3 Annex-H lossless decode (seven predictors, formula corpus)
     "jpeg_lossless",
+    # r10: WARC record walk + HTTP split over generated framed bytes
+    "warc_ingest",
 ]
 STREAMING_LAST = [
     "stream_hourly",
