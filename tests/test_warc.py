@@ -144,3 +144,52 @@ def test_read_warc_files_to_crawl_curation(spark, tmp_path):
     }
     for r in got.values():
         assert r["keep"]  # _GOOD passes the downstream verdicts
+
+
+def test_warc_stream_to_url_tier(spark, tmp_path):
+    """Continuous-ingest shape: a binaryFile STREAM of WARC files →
+    record split (mapInPandas is stream-compatible) → stateless URL
+    tier (dedup=False) — replay equals batch. Streaming URL dedup is a
+    separate stateful stage by design (url.py docstring)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_lab02_spark.operators.url import url_filters
+    from bigdata_lab02_spark.streaming import run_stream_to_memory
+
+    recs = [
+        _rec("response", uri="HTTP://A.Example.COM:80/x", body=b"<p>a</p>"),
+        _rec("response", uri="https://spam.tracker.net/y", body=b"<p>b</p>"),
+        _rec("request", uri="http://a.example.com/x",
+             body=b"GET /x HTTP/1.1\r\n\r\n"),
+    ]
+    src = tmp_path / "warc_stream"
+    src.mkdir()
+    (src / "a.warc").write_bytes(b"".join(recs))
+    sfx = spark.createDataFrame(
+        [(s,) for s in ["com", "net"]], "suffix string"
+    )
+    blk = spark.createDataFrame([("tracker.net",)], "domain string")
+
+    def chain(files):
+        resp = warc_records(files, payload_col="content", id_col="path")
+        resp = resp.where(
+            F.col("parse_ok") & (F.col("warc_type") == "response")
+        ).select(
+            F.col("record_idx").alias("rec_id"),
+            F.col("target_uri").alias("url"),
+        )
+        return url_filters(resp, sfx, blk, id_col="rec_id", dedup=False)
+
+    stream_files = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, "
+                "content binary")
+        .load(str(src))
+    )
+    out = run_stream_to_memory(
+        spark, chain(stream_files), "t_warc_stream", mode="append"
+    )
+    batch_files = spark.read.format("binaryFile").load(str(src))
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, chain(batch_files).collect()))
+    assert got == want and len(got) == 2
