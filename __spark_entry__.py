@@ -1722,6 +1722,10 @@ _URL_FIXTURE_EXPR = _url_fixture_expr(60)
 # pressure (mod 360) so most pages survive into the downstream stages.
 _CRAWL_URL_FIXTURE_EXPR = _url_fixture_expr(360)
 
+# textstats.language_id_stopword's tokenizer restated over the C4
+# clean_text (the P1 tokenizer, same as _TOKS but rooted at clean_text).
+_LID_TOKS = _TOKS.replace("lower(text)", "lower(clean_text)")
+
 # Public-suffix-style fixture (a real deployment loads the PSL — same
 # shape, ~10k rows, still dim-sized) and a registered-domain blocklist.
 _URL_SUFFIXES = [
@@ -1849,7 +1853,13 @@ def q_crawl_curation_pipeline(spark, sf_dir):
     ``#`` symbol chars a broken extractor would leak) land in the
     verdicts. The URL fixture here uses mod 360 (vs the url_filters
     gate's 60) so duplicate pressure is visible but most rows survive
-    into the downstream stages."""
+    into the downstream stages.
+
+    r10 also enables the LID stage (``lid=True`` — the cheap stopword
+    prefilter as one more zero-shuffle projection over ``clean_text``;
+    the CCNet/RefinedWeb stage order) with ``keep_langs`` en/de/fr, so
+    es- and und-classified pages fail ``lang_keep`` and the final
+    ``keep`` — the language-selection handoff is in the hashes."""
     from bigdata_lab02_spark.operators.crawl import crawl_curation
 
     docs = _t(spark, sf_dir, "documents")
@@ -1859,7 +1869,10 @@ def q_crawl_curation_pipeline(spark, sf_dir):
         F.expr(_HTML_FIXTURE_EXPR).alias("html"),
     )
     sfx, blk = _url_dims(spark)
-    out = crawl_curation(pages, url_col="url", suffixes=sfx, blocklist=blk)
+    out = crawl_curation(
+        pages, url_col="url", suffixes=sfx, blocklist=blk,
+        lid=True, keep_langs=["en", "de", "fr"],
+    )
     return out.select(
         "doc_id",
         "norm_url",
@@ -1882,6 +1895,8 @@ def q_crawl_curation_pipeline(spark, sf_dir):
         "dup_line_frac",
         "top_2gram_char_frac",
         "rep_keep",
+        "pred_lang",
+        "lang_keep",
         "clean_text",
         "keep",
     )
@@ -1969,7 +1984,29 @@ gv AS (SELECT doc_id, n_words, mwl, sym, alphaf, n_stop,
     AND n_stop >= 2 AS quality_keep
   FROM gq),
 rep AS (SELECT doc_id, dup_line_frac, top_2gram_char_frac, keep AS rep_keep
-  FROM ({_gopher_rep_sql('SELECT doc_id, clean_text AS text FROM cfv')}))
+  FROM ({_gopher_rep_sql('SELECT doc_id, clean_text AS text FROM cfv')})),
+lid1 AS (SELECT doc_id, {_LID_TOKS} AS ltoks FROM cfv),
+lid2 AS (SELECT doc_id,
+  CASE WHEN len(ltoks) = 0 THEN 0.0 ELSE len(list_filter(ltoks,
+    t -> t IN ('the','and','of','to','is'))) * 1.0 / len(ltoks) END AS s_en,
+  CASE WHEN len(ltoks) = 0 THEN 0.0 ELSE len(list_filter(ltoks,
+    t -> t IN ('el','la','de','que','los'))) * 1.0 / len(ltoks) END AS s_es,
+  CASE WHEN len(ltoks) = 0 THEN 0.0 ELSE len(list_filter(ltoks,
+    t -> t IN ('le','la','et','les','des'))) * 1.0 / len(ltoks) END AS s_fr,
+  CASE WHEN len(ltoks) = 0 THEN 0.0 ELSE len(list_filter(ltoks,
+    t -> t IN ('der','die','und','das','ist'))) * 1.0 / len(ltoks) END AS s_de
+  FROM lid1),
+lidv AS (SELECT doc_id, CASE
+    WHEN s_en = greatest(s_en, s_es, s_fr, s_de)
+      AND greatest(s_en, s_es, s_fr, s_de) > 0 THEN 'en'
+    WHEN s_es = greatest(s_en, s_es, s_fr, s_de)
+      AND greatest(s_en, s_es, s_fr, s_de) > 0 THEN 'es'
+    WHEN s_fr = greatest(s_en, s_es, s_fr, s_de)
+      AND greatest(s_en, s_es, s_fr, s_de) > 0 THEN 'fr'
+    WHEN s_de = greatest(s_en, s_es, s_fr, s_de)
+      AND greatest(s_en, s_es, s_fr, s_de) > 0 THEN 'de'
+    ELSE 'und' END AS pred_lang
+  FROM lid2)
 SELECT c.doc_id, u.norm_url, u.registered_domain, c.n_tags, c.n_links,
   round(c.link_text_frac, 6) AS link_text_frac,
   round(c.markup_frac, 6) AS markup_frac,
@@ -1981,10 +2018,13 @@ SELECT c.doc_id, u.norm_url, u.registered_domain, c.n_tags, c.n_links,
   CAST(g.n_stop AS INT) AS n_stop_hits,
   g.quality_keep,
   r.dup_line_frac, r.top_2gram_char_frac, r.rep_keep,
+  l.pred_lang, l.pred_lang IN ('en', 'de', 'fr') AS lang_keep,
   c.clean_text,
-  c.c4_keep AND g.quality_keep AND r.rep_keep AS keep
+  c.c4_keep AND g.quality_keep AND r.rep_keep
+    AND l.pred_lang IN ('en', 'de', 'fr') AS keep
 FROM cfv c JOIN gv g USING (doc_id) JOIN rep r USING (doc_id)
   JOIN uw u ON u.doc_id = c.doc_id
+  JOIN lidv l ON l.doc_id = c.doc_id
 """
 
 

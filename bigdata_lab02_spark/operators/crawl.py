@@ -58,6 +58,8 @@ def crawl_curation(
     url_col: str | None = None,
     suffixes: DataFrame | None = None,
     blocklist: DataFrame | None = None,
+    lid: bool = False,
+    keep_langs: list[str] | None = None,
 ) -> DataFrame:
     """The full crawl → curation chain as one zero-shuffle projection.
 
@@ -77,7 +79,18 @@ def crawl_curation(
     ``url_keep`` survivors and ``norm_url``/``registered_domain`` ride
     the chain as passthrough columns. This stage adds the tier's one
     exchange (the norm_url dedup shuffle) before the otherwise fused
-    projection; without ``url_col`` the chain stays zero-exchange."""
+    projection; without ``url_col`` the chain stays zero-exchange.
+
+    ``lid=True`` (r10) runs the CHEAP stopword language prefilter
+    (``textstats.language_id_stopword`` — a pure projection, so the
+    chain's plan shape is unchanged) over the C4 ``clean_text`` and
+    emits ``pred_lang`` + ``lang_keep``; with ``keep_langs`` given,
+    ``lang_keep = pred_lang ∈ keep_langs`` joins the final ``keep``
+    conjunction (the CCNet/RefinedWeb stage order: extract → clean →
+    language-select → quality). The real trigram NB classifier
+    (``textstats.language_id``) stays the second-stage operator for
+    the docs the prefilter can't call — at 100 TB you run the
+    projection first and the model join only on the residue."""
     if id_col != "doc_id":
         if "doc_id" in pages.columns:
             raise ValueError(
@@ -127,6 +140,22 @@ def crawl_curation(
             + ["quality_keep"]
         ),
     ).withColumnRenamed("keep", "rep_keep")
+    lid_cols: list[str] = []
+    keep_expr = F.col("c4_keep") & F.col("quality_keep") & F.col("rep_keep")
+    if lid:
+        from bigdata_lab02_spark.operators.textstats import (
+            language_id_stopword,
+        )
+
+        rep = language_id_stopword(rep, text_col="clean_text")
+        lang_keep = (
+            F.col("pred_lang").isin(keep_langs)
+            if keep_langs is not None
+            else F.lit(True)
+        )
+        rep = rep.withColumn("lang_keep", lang_keep)
+        lid_cols = ["pred_lang", "lang_keep"]
+        keep_expr = keep_expr & F.col("lang_keep")
     out = rep.select(
         "doc_id",
         *url_features,
@@ -138,10 +167,9 @@ def crawl_curation(
         "dup_line_frac",
         "top_2gram_char_frac",
         "rep_keep",
+        *lid_cols,
         "clean_text",
-        (F.col("c4_keep") & F.col("quality_keep") & F.col("rep_keep")).alias(
-            "keep"
-        ),
+        keep_expr.alias("keep"),
     )
     if id_col != "doc_id":
         out = out.withColumnRenamed("doc_id", id_col)

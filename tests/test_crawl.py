@@ -135,3 +135,26 @@ def test_custom_id_column(spark):
     )
     with _pt.raises(ValueError, match="doc_id"):
         crawl_curation(clash, id_col="page_id")
+
+
+def test_lid_stage_composes_zero_shuffle(spark):
+    """r10: lid=True adds the stopword language prefilter as one more
+    projection — plan still zero-exchange, pred_lang/lang_keep emitted,
+    and keep_langs joins the final conjunction."""
+    from bigdata_lab02_spark.plans import plan_report
+
+    es_body = (
+        "<p>"
+        + "el barco la casa de que los ninos corren y el dia es claro. " * 12
+        + "</p>"
+    )
+    rows = [(1, _GOOD), (2, f"<html><body>{es_body}</body></html>")]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = crawl_curation(df, lid=True, keep_langs=["en"])
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["pred_lang"] == "en" and got[1]["lang_keep"]
+    assert got[1]["keep"]
+    assert got[2]["pred_lang"] == "es" and not got[2]["lang_keep"]
+    assert not got[2]["keep"]
+    r = plan_report(crawl_curation(df, lid=True, keep_langs=["en"]))
+    assert r.n_exchanges == 0, r.raw
