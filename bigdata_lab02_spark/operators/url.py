@@ -160,6 +160,50 @@ def with_registered_domain(
     return out.drop(*drop)
 
 
+def idna_ascii_hosts_pandas(
+    df: DataFrame, host_col: str = "host", out_col: str = "host_idna"
+) -> DataFrame:
+    """IDNA ToASCII canonicalization — the Arrow-batched twin for the
+    expression tier's documented non-ASCII limit (the BPE/entity twin
+    pattern). A recrawl of ``münchen.example`` and of its punycode form
+    ``xn--mnchen-3ya.example`` is the SAME site; URL dedup that keys on
+    the raw host misses it. This twin adds ``out_col`` = the per-label
+    ToASCII form (stdlib ``encodings.idna``, RFC 3490), so keying the
+    dedup on it unifies both spellings. Already-ASCII hosts pass
+    through byte-identical; labels ToASCII rejects (empty, over 63
+    octets, bad code points) leave the ORIGINAL host in place —
+    fail-open, the html.py discipline: canonicalization must never
+    invent a new key for a host it can't encode. Zero-shuffle: one
+    ``mapInPandas`` projection appended to the input columns."""
+    from typing import Iterator
+
+    cols = list(df.columns)
+    if out_col in cols:
+        raise ValueError(f"column {out_col!r} already exists")
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def to_ascii(host) -> str | None:
+        if host is None:
+            return None
+        try:
+            return ".".join(
+                lbl.encode("idna").decode("ascii") if lbl else lbl
+                for lbl in str(host).split(".")
+            )
+        except UnicodeError:
+            return str(host)
+
+    def op(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [to_ascii(h) for h in pdf[host_col]]
+            yield pdf
+
+    return df.mapInPandas(op, f"{schema}, {out_col} string")
+
+
 def url_filters(
     pages: DataFrame,
     suffixes: DataFrame,

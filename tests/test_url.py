@@ -215,3 +215,31 @@ def test_url_tier_runs_on_a_stream_without_dedup(spark, tmp_path):
         map(tuple, url_filters(batch, _sfx(spark), blk, dedup=False).collect())
     )
     assert got == want and len(got) == 4
+
+
+def test_idna_ascii_hosts_twin(spark):
+    """Unicode and punycode spellings of the same host canonicalize to
+    one ASCII key; ASCII hosts pass through; unencodable labels
+    fail-open to the original."""
+    from bigdata_lab02_spark.operators.url import idna_ascii_hosts_pandas
+
+    rows = [
+        (1, "münchen.example"),
+        (2, "xn--mnchen-3ya.example"),
+        (3, "www.example.com"),
+        (4, "bücher.ünïcode.co.uk"),
+        (5, None),
+        (6, "a" * 80 + ".example"),  # label over 63 octets: fail-open
+        (7, "trailing.dot."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    out = {
+        r["doc_id"]: r["host_idna"]
+        for r in idna_ascii_hosts_pandas(df).collect()
+    }
+    assert out[1] == out[2] == "xn--mnchen-3ya.example"
+    assert out[3] == "www.example.com"
+    assert out[4].startswith("xn--") and ".co.uk" in out[4]
+    assert out[5] is None
+    assert out[6] == "a" * 80 + ".example"
+    assert out[7] == "trailing.dot."
