@@ -235,3 +235,61 @@ def test_wav_roundtrip_any_depth(bits, data):
     samples = [lo, hi] + samples
     sr = data.draw(st.sampled_from([8000, 16000, 44100]))
     assert decode_wav(encode_wav(samples, sr, bits=bits)) == (sr, 1, samples)
+
+
+# --------------------------------------------------- URL tier (r10)
+
+_url_host_label = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd"), max_codepoint=0x7A),
+    min_size=1,
+    max_size=6,
+)
+_url_path_seg = st.text(
+    alphabet="abcXYZ019._~%7E-",
+    min_size=0,
+    max_size=8,
+)
+_urls = st.builds(
+    lambda scheme, user, labels, port, segs, q, frag: (
+        scheme
+        + (user + "@" if user else "")
+        + ".".join(labels)
+        + port
+        + ("/" + "/".join(segs) if segs else "")
+        + q
+        + frag
+    ),
+    scheme=st.sampled_from(
+        ["http://", "HTTP://", "https://", "HTTPS://", "ftp://", ""]
+    ),
+    user=st.sampled_from(["", "u:p"]),
+    labels=st.lists(_url_host_label, min_size=1, max_size=4),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    segs=st.lists(_url_path_seg, min_size=0, max_size=3),
+    q=st.sampled_from(
+        ["", "?q=1", "?utm_source=x", "?utm_source=x&q=1",
+         "?q=1&utm_medium=m&r=2", "?UTM_SOURCE=keepcase"]
+    ),
+    frag=st.sampled_from(["", "#f", "#a?b=1"]),
+)
+
+
+@settings(**_SETTINGS)
+@given(urls=st.lists(_urls, min_size=1, max_size=25))
+def test_url_normalization_idempotent(spark, urls):
+    """normalize(normalize(u)) == normalize(u): the classic URL
+    canonicalization property — a normalized URL must be a fixed point
+    (otherwise dedup keys depend on HOW MANY times a pipeline stage ran).
+    Checked over generated scheme/userinfo/port/percent/tracking/fragment
+    combinations, including unparseable inputs (fixed at NULL)."""
+    from bigdata_lab02_spark.operators.url import normalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(
+        F.col("url"), normalize_url(F.col("url")).alias("n1")
+    )
+    both = once.select(
+        "url", "n1", normalize_url(F.col("n1")).alias("n2")
+    ).collect()
+    for r in both:
+        assert r["n2"] == r["n1"], (r["url"], r["n1"], r["n2"])
