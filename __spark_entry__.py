@@ -3878,6 +3878,98 @@ FROM v GROUP BY media_id, w, h, kind
 """
 
 
+def q_jpeg_cmyk(spark, sf_dir):
+    """4-component CMYK/YCCK decode gated end-to-end (r10): the
+    synthetic print-profile corpus (CMYK 4:4:4 with and WITHOUT APP14,
+    YCCK 4:4:4, YCCK 4:2:0 with full-rate K) through the full decode →
+    exact per-channel pixel sums. Block-constant channels keep the
+    lossy path DC-only, so the oracle restates the whole chain in
+    closed form: per-channel quant roundtrip (lum table for ink/Y/K,
+    chroma for Cb/Cr), the JFIF inverse for YCCK, and the documented
+    Adobe-inverted ink conversion channel·K/255 — a drifting APP14
+    parse, table assignment, K-rate handling, or conversion constant
+    flips rows. (sf_dir unused: media is generated.)"""
+    from bigdata_lab02_spark.operators.multimodal import (
+        extract_jpeg_stats,
+        synthetic_jpeg_cmyk,
+    )
+
+    return extract_jpeg_stats(synthetic_jpeg_cmyk(spark, 48))
+
+
+def _q16(e: str) -> str:
+    return (
+        f"least(255, greatest(0, CAST(floor(CAST(floor(8*(({e})-128)/16.0"
+        f" + (0.5 + 1e-9)) AS BIGINT) * 16 / 8.0 + 128 + (0.5 + 1e-9))"
+        f" AS BIGINT)))"
+    )
+
+
+def _q17(e: str) -> str:
+    return (
+        f"least(255, greatest(0, CAST(floor(CAST(floor(8*(({e})-128)/17.0"
+        f" + (0.5 + 1e-9)) AS BIGINT) * 17 / 8.0 + 128 + (0.5 + 1e-9))"
+        f" AS BIGINT)))"
+    )
+
+
+def _cl255(e: str) -> str:
+    return (
+        f"least(255, greatest(0, CAST(floor(({e}) + (0.5 + 1e-9))"
+        f" AS BIGINT)))"
+    )
+
+
+_JPEG_CMYK_SQL = f"""
+WITH ids AS (SELECT unnest(range(48)) AS media_id),
+dims AS (SELECT media_id, media_id % 4 AS kind,
+  CASE WHEN media_id % 4 = 3 THEN 16 * (1 + media_id % 3)
+       ELSE 8 * (2 + media_id % 3) END AS w,
+  CASE WHEN media_id % 4 = 3 THEN 16
+       ELSE 8 * (2 + media_id % 2) END AS h
+  FROM ids),
+blk AS (
+  SELECT media_id, kind, w, h,
+    CASE WHEN kind = 3 THEN 256 ELSE 64 END AS npix,
+    bx.range AS bx, by.range AS by
+  FROM dims, range(6) bx, range(3) by
+  WHERE (kind = 3 AND bx.range < w // 16 AND by.range < 1)
+     OR (kind <> 3 AND bx.range < w // 8 AND by.range < h // 8)),
+c AS (SELECT media_id, kind, w, h, npix,
+  (media_id * 31 + bx * 7 + by * 13) % 256 AS c0,
+  (media_id * 17 + bx * 11 + by * 3) % 256 AS c1,
+  (media_id * 29 + bx * 5 + by * 19) % 256 AS c2,
+  (media_id * 23 + bx * 3 + by * 17) % 256 AS c3
+  FROM blk),
+d AS (SELECT media_id, kind, w, h, npix,
+  {_q16('c0')} AS d0,
+  CASE WHEN kind IN (2, 3) THEN {_q17('c1')} ELSE {_q16('c1')} END AS d1,
+  CASE WHEN kind IN (2, 3) THEN {_q17('c2')} ELSE {_q16('c2')} END AS d2,
+  {_q16('c3')} AS d3
+  FROM c),
+base AS (SELECT media_id, kind, w, h, npix, d3,
+  CASE WHEN kind IN (2, 3)
+    THEN {_cl255('d0 + 1.402*(d2-128)')} ELSE d0 END AS b0,
+  CASE WHEN kind IN (2, 3)
+    THEN {_cl255('d0 - 0.344136*(d1-128) - 0.714136*(d2-128)')}
+    ELSE d1 END AS b1,
+  CASE WHEN kind IN (2, 3)
+    THEN {_cl255('d0 + 1.772*(d1-128)')} ELSE d2 END AS b2
+  FROM d),
+px AS (SELECT media_id, w, h, npix,
+  {_cl255('b0 * d3 / 255.0')} AS r1,
+  {_cl255('b1 * d3 / 255.0')} AS g1,
+  {_cl255('b2 * d3 / 255.0')} AS b1x
+  FROM base)
+SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  CAST(sum(r1 * npix) AS BIGINT) AS sum_r,
+  CAST(sum(g1 * npix) AS BIGINT) AS sum_g,
+  CAST(sum(b1x * npix) AS BIGINT) AS sum_b,
+  TRUE AS decode_ok
+FROM px GROUP BY media_id, w, h
+"""
+
+
 _MEDIA_META_SQL = """
 WITH ids AS (SELECT unnest(range(64)) AS media_id),
 s AS (SELECT media_id, media_id % 16 AS s, media_id % 3 AS m3,
@@ -5139,6 +5231,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # generator formula, so the oracle is the closed form itself;
     # registered into the overflow, oracle-gated every pytest run.
     "jpeg_lossless": q_jpeg_lossless,
+    # jpeg_cmyk (r10): 4-component CMYK/YCCK decode over the print-
+    # profile corpus (APP14 transform routing, per-channel table
+    # assignment, full-rate K at 4:2:0, documented ink conversion) —
+    # closed-form oracle; registered into the overflow, oracle-gated
+    # every pytest run.
+    "jpeg_cmyk": q_jpeg_cmyk,
     # warc_ingest (r10): the WARC record walk + HTTP split over
     # generated octet-exact framed bytes — the CommonCrawl ingest seam
     # ahead of the URL tier; registered into the overflow, oracle-gated
@@ -5158,7 +5256,7 @@ ROTATED_OUT: set[str] = {
     "ivf_topk_persisted", "stream_dedup_cands", "html_extract",
     "gopher_rules", "c4_filters", "resize_mixed", "gopher_repetition",
     "media_metadata", "bpe_pipeline", "embedding_dup_pairs",
-    "jpeg_lossless", "warc_ingest",
+    "jpeg_lossless", "warc_ingest", "jpeg_cmyk",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -5263,6 +5361,7 @@ _R10_NEW = {
     "url_filters",
     "jpeg_lossless",
     "warc_ingest",
+    "jpeg_cmyk",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -5360,6 +5459,7 @@ _ORACLES: dict[str, str] = {
     "url_filters": _URL_SQL,
     "jpeg_lossless": _JPEG_LOSSLESS_SQL,
     "warc_ingest": _WARC_SQL,
+    "jpeg_cmyk": _JPEG_CMYK_SQL,
     "bpe_pipeline": _BPE_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,
     "semantic_dedup_pipeline": _SEMANTIC_PIPE_SQL,

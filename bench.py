@@ -131,6 +131,8 @@ EXTRA = [
     "jpeg_lossless",
     # r10: WARC record walk + HTTP split over generated framed bytes
     "warc_ingest",
+    # r10: 4-component CMYK/YCCK decode (print-derived profile)
+    "jpeg_cmyk",
 ]
 STREAMING_LAST = [
     "stream_hourly",

@@ -33,7 +33,10 @@ y4m.py) and the format a real 100 TB crawl actually leads with.
   into RGB). Streams must end in EOI — a cut at a scan boundary is an
   honest failure, never a partial image.
 
-Scope limits: sampling layouts 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 / grayscale;
+Scope limits: sampling layouts 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 / grayscale,
+plus 4-COMPONENT CMYK/YCCK (r10: APP14 Adobe transform routing, CMYK
+4:4:4 and YCCK 4:2:0 with full-rate K, the documented Adobe-inverted
+ink conversion channel·K/255 — the print-derived profile crawls carry);
 12-bit sample precision decodes in EXTENDED SEQUENTIAL form (SOF1, r9:
 level shift 2048, DC categories to 15, AC to 14, Pq=1 16-bit quant
 tables; pixels reduced ``>> 4`` to the engine's 8-bit surface — the PNG
@@ -919,6 +922,120 @@ def encode_jpeg12_gray(
     )
 
 
+def encode_jpeg_cmyk(
+    width: int,
+    height: int,
+    stored: bytes,
+    transform: int = 0,
+    subsampling: str = "444",
+    app14: bool = True,
+) -> bytes:
+    """4-component baseline encoder (r10) — the print-derived
+    CMYK/YCCK profile and the fixture source for the decoder's 4-comp
+    path. ``stored`` is ``width*height*4`` bytes of STORED-domain
+    samples (the Adobe-inverted convention the decoder documents:
+    255 = no ink), interleaved row-major. ``transform``: 0 writes the
+    channels as (inverted) CMYK; 2 marks them YCCK (the first three
+    are a YCbCr triple; ``subsampling='420'`` then downsamples Cb/Cr
+    while Y and K keep full rate — the Adobe layout). ``app14=False``
+    omits the Adobe segment (a 4-comp stream with no APP14 defaults to
+    the CMYK reading, which the tests pin)."""
+    if transform not in (0, 2):
+        raise JpegError("transform must be 0 (CMYK) or 2 (YCCK)")
+    if subsampling not in ("444", "420"):
+        raise JpegError("CMYK subsampling must be 444 or 420")
+    if subsampling == "420" and transform != 2:
+        raise JpegError("4:2:0 is the YCCK layout (chroma subsampled)")
+    if width <= 0 or height <= 0:
+        raise JpegError("dimensions must be positive")
+    if len(stored) != width * height * 4:
+        raise JpegError(
+            f"pixel buffer is {len(stored)} bytes, want {width * height * 4}"
+        )
+    hv = (
+        [(2, 2), (1, 1), (1, 1), (2, 2)]
+        if subsampling == "420"
+        else [(1, 1)] * 4
+    )
+    hmax = max(h for h, _ in hv)
+    vmax = max(v for _, v in hv)
+    img = np.frombuffer(stored, dtype=np.uint8).reshape(height, width, 4)
+    pw = 8 * hmax * (-(-width // (8 * hmax)))
+    ph = 8 * vmax * (-(-height // (8 * vmax)))
+    if (pw, ph) != (width, height):
+        img = np.pad(
+            img, ((0, ph - height), (0, pw - width), (0, 0)), mode="edge"
+        )
+    planes = [img[..., c].astype(np.int32) for c in range(4)]
+    if subsampling == "420":
+        planes[1] = _downsample2(planes[1])
+        planes[2] = _downsample2(planes[2])
+    # YCCK: Y and K quantize like luminance, Cb/Cr like chrominance;
+    # plain CMYK uses the luminance table for every ink channel
+    if transform == 2:
+        quants = [QUANT_LUM, QUANT_CHROM, QUANT_CHROM, QUANT_LUM]
+        tabsel = [0, 1, 1, 0]
+    else:
+        quants = [QUANT_LUM] * 4
+        tabsel = [0, 0, 0, 0]
+    dc_lum = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    dc_chrom = _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)
+    ac = _canonical_codes(AC_BITS, AC_VALS)
+    dcs = [dc_lum if t == 0 else dc_chrom for t in tabsel]
+    coefs = []
+    for comp, (ch, cv) in enumerate(hv):
+        plane = planes[comp]
+        plane_h, plane_w = plane.shape
+        coefs.append(
+            [
+                [
+                    _quantize_block(
+                        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                        quants[comp],
+                    )
+                    for bx in range(plane_w // 8)
+                ]
+                for by in range(plane_h // 8)
+            ]
+        )
+    w = _BitWriter()
+    preds = [0] * 4
+    for my in range(ph // (8 * vmax)):
+        for mx in range(pw // (8 * hmax)):
+            for comp, (ch, cv) in enumerate(hv):
+                for vy in range(cv):
+                    for vx in range(ch):
+                        preds[comp] = _emit_full_block(
+                            w, coefs[comp][my * cv + vy][mx * ch + vx],
+                            preds[comp], dcs[comp], ac,
+                        )
+    entropy = w.flush()
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([4])
+    for c, ((ch, cv), t) in enumerate(zip(hv, tabsel)):
+        sof += bytes([c + 1, (ch << 4) | cv, t])
+    sos = bytes([4])
+    for c, t in enumerate(tabsel):
+        sos += bytes([c + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out = b"\xff\xd8"
+    if app14:
+        out += _seg(
+            0xEE,
+            b"Adobe" + struct.pack(">H", 100) + b"\x00\x00\x00\x00"
+            + bytes([transform]),
+        )
+    out += _seg(0xDB, _dqt_body(0, QUANT_LUM))
+    if transform == 2:
+        out += _seg(0xDB, _dqt_body(1, QUANT_CHROM))
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, _dht_body(0x00, DC_LUM_BITS, DC_LUM_VALS))
+    out += _seg(0xC4, _dht_body(0x10, AC_BITS, AC_VALS))
+    if transform == 2:
+        out += _seg(0xC4, _dht_body(0x01, DC_CHROM_BITS, DC_CHROM_VALS))
+        out += _seg(0xC4, _dht_body(0x11, AC_BITS, AC_VALS))
+    return out + _seg(0xDA, sos) + entropy + b"\xff\xd9"
+
+
 # ------------------------------------------- lossless (SOF3, Annex H, r10)
 
 # DC-class Huffman table carrying ALL 17 lossless difference categories
@@ -1533,6 +1650,7 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
     lossless = False  # SOF3: Annex H predictive lossless (r10)
     samples: list[np.ndarray] = []  # lossless: per comp (h, w) int32
     ll_point_transform = 0
+    adobe_transform: int | None = None  # APP14 color-transform flag (r10)
     dc_cond: dict[int, tuple[int, int]] = {}  # DAC: DC table id -> (L, U)
     ac_cond: dict[int, int] = {}  # DAC: AC table id -> Kx
     precision = 8  # sample precision from SOF (8, or 12 for SOF1/SOF9)
@@ -2029,8 +2147,13 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                 )
             height, width = struct.unpack_from(">HH", body, 1)
             ncomp = body[5]
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise JpegError(f"{ncomp} components unsupported")
+            if ncomp == 4 and (arith or lossless):
+                # the DCT-Huffman CMYK/YCCK profile is what print-derived
+                # crawl JPEGs actually are; 4-comp arith/lossless stays
+                # an honest failure until a real workload needs it
+                raise JpegError("4-component arith/lossless unsupported")
             for c in range(ncomp):
                 cid, hvb, tq = body[6 + c * 3 : 9 + c * 3]
                 ch, cv = hvb >> 4, hvb & 0x0F
@@ -2046,6 +2169,10 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                 ((2, 2), (1, 1), (1, 1)),
                 ((2, 1), (1, 1), (1, 1)),
                 ((1, 2), (1, 1), (1, 1)),
+                # 4-component (r10): CMYK 4:4:4, and Adobe-style YCCK
+                # 4:2:0 where K carries detail at the Y rate
+                ((1, 1), (1, 1), (1, 1), (1, 1)),
+                ((2, 2), (1, 1), (1, 1), (2, 2)),
             ):
                 raise JpegError(f"sampling layout {sampling} unsupported")
             if lossless and (sampling not in (((1, 1),),
@@ -2116,6 +2243,13 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
             if len(body) != 2:
                 raise JpegError("bad DRI length")
             (restart_interval,) = struct.unpack(">H", body)
+        elif marker == 0xEE and body[:5] == b"Adobe":
+            # APP14 Adobe segment: the color-transform flag that tells a
+            # 4-component stream apart (0 = CMYK stored directly,
+            # 2 = YCCK); Adobe's tech note 5116 layout — 'Adobe',
+            # version(2), flags0(2), flags1(2), transform(1)
+            if len(body) >= 12:
+                adobe_transform = body[11]
         elif marker == 0xDA:  # SOS — entropy data follows
             if not progressive and n_scans:
                 raise JpegError("multiple scans in a baseline stream")
@@ -2191,6 +2325,23 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
     full = [plane[:height, :width] for plane in full]  # crop edge padding
     if len(full) == 1:  # grayscale: Y replicated into RGB
         rgb = np.repeat(full[0][..., None], 3, axis=-1).astype(np.uint8)
+        return width, height, 3, rgb.tobytes()
+    if len(full) == 4:
+        # CMYK/YCCK (r10). Convention (documented because the ecosystem
+        # genuinely disagrees at the margins; this is the common
+        # libjpeg/PIL reading of Adobe streams): stored samples are
+        # Adobe-INVERTED ink values, i.e. 255 = no ink, so channel·K/255
+        # IS the additive light. APP14 transform 2 (YCCK) converts the
+        # first three channels through the JFIF inverse first; transform
+        # 0 / absent APP14 treats them as (inverted) C, M, Y directly.
+        d = np.stack(full, axis=-1).astype(np.float64)
+        k = d[..., 3:4]
+        base = (
+            ycbcr_to_rgb(d[..., :3]).astype(np.float64)
+            if adobe_transform == 2
+            else d[..., :3]
+        )
+        rgb = np.clip(_rnd(base * k / 255.0), 0, 255).astype(np.uint8)
         return width, height, 3, rgb.tobytes()
     ycc = np.stack(full, axis=-1)
     rgb = ycbcr_to_rgb(ycc).astype(np.uint8)

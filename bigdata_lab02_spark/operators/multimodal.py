@@ -745,6 +745,69 @@ def synthetic_jpeg_lossless(spark, n: int = 56) -> DataFrame:
     )
 
 
+def synthetic_jpeg_cmyk(spark, n: int = 48) -> DataFrame:
+    """Deterministic media table of REAL 4-component JPEG payloads
+    (operators.jpeg.encode_jpeg_cmyk, r10) — the print-derived profile
+    crawls actually contain. Stripes on ``media_id % 4``: 0 = CMYK
+    4:4:4 with APP14 transform 0; 1 = the SAME stream with NO APP14
+    (the decoder's documented default-to-CMYK reading); 2 = YCCK 4:4:4
+    (transform 2); 3 = YCCK 4:2:0 (Y and K full-rate, Cb/Cr
+    subsampled — the Adobe layout), per-16×16-MCU constants. Block
+    constants per channel keep the lossy decode DC-only, so the oracle
+    restates the exact pixel sums in closed form (quant roundtrip per
+    channel + the documented ink/YCCK → RGB conversion)."""
+    enc = _jpeg.encode_jpeg_cmyk
+
+    def consts4(mid: int, bx: int, by: int) -> tuple[int, int, int, int]:
+        return (
+            (mid * 31 + bx * 7 + by * 13) % 256,
+            (mid * 17 + bx * 11 + by * 3) % 256,
+            (mid * 29 + bx * 5 + by * 19) % 256,
+            (mid * 23 + bx * 3 + by * 17) % 256,
+        )
+
+    def mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {"media_id": [], "payload": [], "mime": []}
+            for mid in pdf["id"]:
+                mid = int(mid)
+                s = mid % 4
+                if s == 3:  # YCCK 4:2:0 — constants per MCU
+                    w, h = 16 * (1 + mid % 3), 16
+                    img = np.zeros((h, w, 4), dtype=np.uint8)
+                    for mbx in range(w // 16):
+                        img[:, mbx * 16 : mbx * 16 + 16] = consts4(
+                            mid, mbx, 0
+                        )
+                    payload = enc(
+                        w, h, img.tobytes(), transform=2, subsampling="420"
+                    )
+                else:
+                    w, h = 8 * (2 + mid % 3), 8 * (2 + mid % 2)
+                    img = np.zeros((h, w, 4), dtype=np.uint8)
+                    for by in range(h // 8):
+                        for bx in range(w // 8):
+                            img[
+                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                            ] = consts4(mid, bx, by)
+                    payload = enc(
+                        w, h, img.tobytes(),
+                        transform=2 if s == 2 else 0,
+                        app14=s != 1,
+                    )
+                rows["media_id"].append(mid)
+                rows["payload"].append(payload)
+                rows["mime"].append("image/jpeg")
+            yield pd.DataFrame(rows)
+
+    n_parts = max(1, min(n // 8, spark.sparkContext.defaultParallelism))
+    return spark.range(n, numPartitions=n_parts).mapInPandas(
+        mk, "media_id long, payload binary, mime string"
+    )
+
+
 def extract_jpeg_stats(media: DataFrame) -> DataFrame:
     """Byte-level baseline-JPEG decode → exact integer per-channel pixel
     sums via Arrow-batched mapInPandas. Undecodable payloads yield

@@ -1124,3 +1124,93 @@ class TestLossless:
         assert (m["width"], m["height"], m["ncomp"]) == (5, 4, 1)
         assert m["sof"] == 3 and m["progressive"] is False
         assert m["precision"] == 8
+
+
+class TestCmyk:
+    """4-component CMYK/YCCK (r10) — the print-derived crawl profile."""
+
+    def _img(self, w, h, consts):
+        img = np.zeros((h, w, 4), dtype=np.uint8)
+        for (bx, by), c in consts.items():
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = c
+        return img
+
+    @staticmethod
+    def _q(v, qq):
+        import math
+
+        def rnd(x):
+            return math.floor(x + 0.5 + 1e-9)
+
+        return min(255, max(0, rnd(rnd(8 * (v - 128) / qq) * qq / 8.0 + 128)))
+
+    def test_cmyk_closed_form_and_app14_default(self):
+        import math
+
+        def rnd(x):
+            return math.floor(x + 0.5 + 1e-9)
+
+        consts = {(0, 0): (40, 200, 90, 250), (1, 0): (53, 193, 121, 235)}
+        img = self._img(16, 8, consts)
+        data = J.encode_jpeg_cmyk(16, 8, img.tobytes(), transform=0)
+        _, _, _, rgb = J.decode_jpeg(data)
+        out = np.frombuffer(rgb, dtype=np.uint8).reshape(8, 16, 3)
+        for (bx, _), c in consts.items():
+            d = [self._q(v, 16) for v in c]
+            want = [
+                min(255, max(0, rnd(d[i] * d[3] / 255.0))) for i in range(3)
+            ]
+            assert out[0, bx * 8].tolist() == want
+        # a 4-comp stream with NO APP14 defaults to the CMYK reading
+        bare = J.encode_jpeg_cmyk(16, 8, img.tobytes(), transform=0,
+                                  app14=False)
+        assert J.decode_jpeg(bare)[3] == rgb
+
+    def test_ycck_closed_form(self):
+        import math
+
+        def rnd(x):
+            return math.floor(x + 0.5 + 1e-9)
+
+        consts = {(0, 0): (120, 60, 180, 230)}
+        img = self._img(8, 8, consts)
+        data = J.encode_jpeg_cmyk(8, 8, img.tobytes(), transform=2)
+        _, _, _, rgb = J.decode_jpeg(data)
+        out = np.frombuffer(rgb, dtype=np.uint8).reshape(8, 8, 3)
+        c = consts[(0, 0)]
+        dy, dcb = self._q(c[0], 16), self._q(c[1], 17)
+        dcr, dk = self._q(c[2], 17), self._q(c[3], 16)
+        base = [
+            min(255, max(0, rnd(dy + 1.402 * (dcr - 128)))),
+            min(255, max(0, rnd(dy - 0.344136 * (dcb - 128)
+                                - 0.714136 * (dcr - 128)))),
+            min(255, max(0, rnd(dy + 1.772 * (dcb - 128)))),
+        ]
+        want = [min(255, max(0, rnd(v * dk / 255.0))) for v in base]
+        assert out[0, 0].tolist() == want
+
+    def test_ycck_420_constant_mcu(self):
+        img = np.zeros((16, 32, 4), dtype=np.uint8)
+        img[:, :16] = (120, 60, 180, 230)
+        img[:, 16:] = (90, 140, 70, 200)
+        data = J.encode_jpeg_cmyk(
+            32, 16, img.tobytes(), transform=2, subsampling="420"
+        )
+        _, _, _, rgb = J.decode_jpeg(data)
+        out = np.frombuffer(rgb, dtype=np.uint8).reshape(16, 32, 3)
+        # constants per MCU survive the subsampled roundtrip
+        assert (out[:, :16] == out[0, 0]).all()
+        assert (out[:, 16:] == out[0, 16]).all()
+        assert out[0, 0].tolist() != out[0, 16].tolist()
+        m = J.jpeg_metadata(data)
+        assert m["ncomp"] == 4 and m["progressive"] is False
+
+    def test_honest_failures(self):
+        img = np.zeros((8, 8, 4), dtype=np.uint8)
+        with pytest.raises(J.JpegError):
+            J.encode_jpeg_cmyk(8, 8, img.tobytes(), transform=1)
+        with pytest.raises(J.JpegError):  # 4:2:0 is the YCCK layout
+            J.encode_jpeg_cmyk(8, 8, img.tobytes(), transform=0,
+                               subsampling="420")
+        with pytest.raises(J.JpegError):
+            J.encode_jpeg_cmyk(8, 8, img.tobytes()[:-1])
