@@ -202,6 +202,101 @@ def warc_records(
     )
 
 
+def sniff_charset(body: bytes, content_type: str | None) -> str | None:
+    """Charset for an HTML body, by the precedence real crawls need:
+    BOM, then the HTTP ``Content-Type`` charset parameter, then an HTML
+    ``<meta charset=...>`` / ``http-equiv`` declaration in the first
+    1024 bytes (the HTML5 prescan window). Returns a codec NAME python
+    knows, or None when nothing is declared."""
+    import codecs
+    import re
+
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"
+
+    def known(name: str) -> str | None:
+        try:
+            codecs.lookup(name)
+            return name
+        except LookupError:
+            return None
+
+    if content_type:
+        m = re.search(r"charset\s*=\s*\"?([A-Za-z0-9_.:-]+)", content_type)
+        if m:
+            got = known(m.group(1))
+            if got:
+                return got
+    head = body[:1024]
+    m = re.search(
+        rb"<meta[^>]+charset\s*=\s*[\"']?\s*([A-Za-z0-9_.:-]+)",
+        head,
+        re.IGNORECASE,
+    )
+    if m:
+        return known(m.group(1).decode("latin-1"))
+    return None
+
+
+def decode_bodies(
+    records: DataFrame,
+    body_col: str = "body",
+    content_type_col: str = "http_content_type",
+    text_col: str = "text",
+) -> DataFrame:
+    """Charset-aware body → text decode (r10): real crawls are NOT all
+    UTF-8 — latin-1/windows-1252 long tails, GBK/Shift-JIS regions —
+    and a blind ``cast(body AS STRING)`` mojibakes every one of them.
+    Per row: ``sniff_charset`` precedence (BOM → HTTP header → HTML
+    meta prescan), strict decode under the declared charset, fallback
+    to strict UTF-8, final fallback latin-1 (total — never fails, and
+    an HONEST record of what happened rides along). Appends ``text``,
+    ``charset`` (codec actually used), and ``charset_ok`` (False only
+    when every declared/UTF-8 decode failed and latin-1 caught it).
+    NULL bodies pass through with NULL text. Arrow-batched
+    ``mapInPandas`` — the codec-tier discipline; zero shuffles."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in records.schema.fields
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts, charsets, oks = [], [], []
+            for body, ctype in zip(pdf[body_col], pdf[content_type_col]):
+                if body is None:
+                    texts.append(None)
+                    charsets.append(None)
+                    oks.append(None)
+                    continue
+                data = bytes(body)
+                declared = sniff_charset(data, ctype)
+                for cs, honest in (
+                    (declared, True),
+                    ("utf-8", True),
+                    ("latin-1", False),
+                ):
+                    if cs is None:
+                        continue
+                    try:
+                        texts.append(data.decode(cs))
+                        charsets.append(cs)
+                        oks.append(honest)
+                        break
+                    except UnicodeDecodeError:
+                        continue
+            pdf = pdf.copy()
+            pdf[text_col] = texts
+            pdf["charset"] = charsets
+            pdf["charset_ok"] = oks
+            yield pdf
+
+    return records.mapInPandas(
+        op, f"{schema}, {text_col} string, charset string, charset_ok boolean"
+    )
+
+
 def read_warc(spark, path: str) -> DataFrame:
     """Distributed WARC read: ``binaryFile`` scan (one task per file —
     archive writers size files so this is the right parallel grain)

@@ -193,3 +193,76 @@ def test_warc_stream_to_url_tier(spark, tmp_path):
     got = sorted(map(tuple, out.collect()))
     want = sorted(map(tuple, chain(batch_files).collect()))
     assert got == want and len(got) == 2
+
+
+def test_sniff_charset_precedence():
+    from bigdata_lab02_spark.sources.warc import sniff_charset
+
+    # BOM beats everything
+    assert sniff_charset(b"\xef\xbb\xbfx", "text/html; charset=latin-1") == (
+        "utf-8-sig"
+    )
+    # HTTP header beats meta
+    body = b'<meta charset="gbk"><p>x</p>'
+    assert sniff_charset(body, 'text/html; charset="shift_jis"') == "shift_jis"
+    # meta prescan (both forms), only within the first 1024 bytes
+    assert sniff_charset(body, "text/html") == "gbk"
+    meta2 = b'<meta http-equiv="Content-Type" content="text/html; charset=windows-1252">'
+    assert sniff_charset(meta2, None) == "windows-1252"
+    late = b" " * 2000 + body
+    assert sniff_charset(late, None) is None
+    # unknown names are ignored, not errors
+    assert sniff_charset(b"<meta charset=klingon>", None) is None
+
+
+def test_decode_bodies_charsets_and_fallbacks(spark):
+    from bigdata_lab02_spark.sources.warc import decode_bodies
+
+    cafe_latin1 = "café crème".encode("latin-1")
+    zh_gbk = "中文页面".encode("gbk")
+    utf8 = "plain café utf8".encode("utf-8")
+    # declared charset is WRONG (utf-8 claim over latin-1 bytes) and the
+    # bytes are invalid UTF-8 -> honest latin-1 catch-all, charset_ok False
+    lying = b"caf\xe9 broken"
+    rows = [
+        (1, cafe_latin1, "text/html; charset=latin-1"),
+        (2, zh_gbk, "text/html; charset=GBK"),
+        (3, utf8, "text/html"),
+        (4, lying, "text/html; charset=utf-8"),
+        (5, None, "text/html"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, body binary, http_content_type string"
+    )
+    out = {r["doc_id"]: r for r in decode_bodies(df).collect()}
+    assert out[1]["text"] == "café crème" and out[1]["charset_ok"]
+    assert out[1]["charset"] == "latin-1"
+    assert out[2]["text"] == "中文页面"
+    assert out[3]["text"] == "plain café utf8" and out[3]["charset"] == "utf-8"
+    assert out[4]["charset"] == "latin-1" and out[4]["charset_ok"] is False
+    assert "café" in out[4]["text"]  # latin-1 reading of 0xE9
+    assert out[5]["text"] is None and out[5]["charset_ok"] is None
+
+
+def test_warc_nonutf8_page_through_decode_bodies(spark, tmp_path):
+    """End-to-end: a latin-1 page in a real WARC file decodes to the
+    right text through the charset-aware path (a blind utf-8 cast would
+    mojibake or null it)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_lab02_spark.sources.warc import decode_bodies
+
+    html = "<html><body><p>café crème</p></body></html>"
+    rec = _rec(
+        "response",
+        uri="http://a.example.com/latin",
+        body=html.encode("latin-1"),
+        ctype="text/html; charset=ISO-8859-1",
+    )
+    (tmp_path / "l.warc").write_bytes(rec)
+    recs = read_warc(spark, str(tmp_path / "l.warc"))
+    out = decode_bodies(
+        recs.where(F.col("warc_type") == "response")
+    ).collect()[0]
+    assert out["charset"].lower() == "iso-8859-1" and out["charset_ok"]
+    assert "café crème" in out["text"]
