@@ -233,8 +233,9 @@ def url_filters(
       constant False): every remaining stage is a stateless projection
       plus broadcast joins, so the tier runs UNCHANGED on a stream
       (tested) — the continuous-ingest shape. Streaming URL dedup is a
-      stateful operator (watermarked ``dropDuplicates``); run it as its
-      own stage downstream when the ingest needs it."""
+      stateful operator: ``streaming.docs.url_dedup_stream`` composes
+      this tier with ``dropDuplicatesWithinWatermark`` on ``norm_url``
+      (bounded state — the horizon is the honest recrawl semantics)."""
     scheme, hostport, rest = url_parts(F.col(url_col))
     host = F.regexp_replace(hostport, r":[0-9]+$", "")
     out = pages.select(

@@ -95,6 +95,47 @@ def minhash_band_stream(
     return banded.select(id_col, "band.band_id", "band.band_hash")
 
 
+def url_dedup_stream(
+    page_stream: DataFrame,
+    suffixes: DataFrame,
+    blocklist: DataFrame | None = None,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """The URL tier's STREAMING face (r10): the stateless stages
+    (normalize → registered domain → blocklist — pure projections plus
+    broadcast dims, ``operators.url.url_filters(dedup=False)``) run
+    per micro-batch, the rejects drop immediately, and recrawl dedup
+    becomes the one stateful stage: ``dropDuplicatesWithinWatermark``
+    keyed by ``norm_url`` — the first fetch of a URL inside the
+    watermark horizon survives, refetches are dropped, and the key
+    state is EVICTED once the watermark passes (a plain
+    ``dropDuplicates`` would keep every URL forever — unbounded state
+    at crawl scale; recrawls of the same URL arrive hours apart, so a
+    horizon is the honest semantics anyway: dedup-within-window, with
+    the PERSISTED batch layout handling cross-window recrawls the way
+    ``minhash_dedup_incremental`` does for content). Output: the
+    surviving pages with the tier's columns, append-mode."""
+    from bigdata_lab02_spark.operators.url import url_filters
+
+    uf = url_filters(
+        page_stream,
+        suffixes,
+        blocklist,
+        url_col=url_col,
+        id_col=id_col,
+        passthrough=[ts_col, *(passthrough or [])],
+        dedup=False,
+    )
+    kept = uf.where(F.col("url_keep"))
+    return kept.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["norm_url"]
+    )
+
+
 def dedup_candidates_stream(
     doc_stream: DataFrame,
     corpus_bands: DataFrame,

@@ -243,3 +243,48 @@ def test_idna_ascii_hosts_twin(spark):
     assert out[5] is None
     assert out[6] == "a" * 80 + ".example"
     assert out[7] == "trailing.dot."
+
+
+def test_url_dedup_stream_watermarked(spark, tmp_path):
+    """The streaming URL tier end-to-end: stateless stages drop
+    rejects per micro-batch; dropDuplicatesWithinWatermark on norm_url
+    keeps the FIRST fetch and drops refetches inside the horizon,
+    with key state evicted by the watermark (bounded at crawl scale)."""
+    from datetime import datetime
+
+    from bigdata_lab02_spark.streaming import run_stream_to_memory
+    from bigdata_lab02_spark.streaming.docs import url_dedup_stream
+
+    t = lambda m: datetime(2024, 1, 1, 12, m, 0)
+    rows = [
+        (1, t(0), "HTTP://A.Example.COM:80/x"),
+        (2, t(1), "http://a.example.com/x"),        # refetch -> dropped
+        (3, t(2), "https://spam.tracker.net/y"),    # blocked -> dropped
+        (4, t(3), "https://b.example.org/z#frag"),
+        (5, t(4), "https://b.example.org/z"),       # refetch -> dropped
+        (6, t(5), "not a url"),                     # unparseable -> dropped
+    ]
+    batch = spark.createDataFrame(
+        rows, "doc_id long, ts timestamp, url string"
+    )
+    src = str(tmp_path / "url_dedup_stream")
+    batch.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, url string"
+    ).parquet(src)
+    sfx = _sfx(spark)
+    blk = spark.createDataFrame([("tracker.net",)], "domain string")
+    out = run_stream_to_memory(
+        spark,
+        url_dedup_stream(stream, sfx, blk),
+        "t_url_dedup_stream",
+        mode="append",
+    )
+    got = sorted(
+        (r["doc_id"], r["norm_url"], r["registered_domain"])
+        for r in out.collect()
+    )
+    assert got == [
+        (1, "http://a.example.com/x", "example.com"),
+        (4, "https://b.example.org/z", "example.org"),
+    ]
