@@ -34,9 +34,11 @@ y4m.py) and the format a real 100 TB crawl actually leads with.
   honest failure, never a partial image.
 
 Scope limits: sampling layouts 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 / grayscale,
-plus 4-COMPONENT CMYK/YCCK (r10: APP14 Adobe transform routing, CMYK
-4:4:4 and YCCK 4:2:0 with full-rate K, the documented Adobe-inverted
-ink conversion channel·K/255 — the print-derived profile crawls carry);
+plus 4-COMPONENT CMYK/YCCK in BASELINE form (r10: APP14 Adobe
+transform routing, CMYK 4:4:4 and YCCK 4:2:0 with full-rate K, the
+documented Adobe-inverted ink conversion channel·K/255 — the
+print-derived profile crawls carry; 4-comp progressive/arith/lossless
+stays an honest failure, no fixture validates it);
 12-bit sample precision decodes in EXTENDED SEQUENTIAL form (SOF1, r9:
 level shift 2048, DC categories to 15, AC to 14, Pq=1 16-bit quant
 tables; pixels reduced ``>> 4`` to the engine's 8-bit surface — the PNG
@@ -2149,11 +2151,17 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
             ncomp = body[5]
             if ncomp not in (1, 3, 4):
                 raise JpegError(f"{ncomp} components unsupported")
-            if ncomp == 4 and (arith or lossless):
-                # the DCT-Huffman CMYK/YCCK profile is what print-derived
-                # crawl JPEGs actually are; 4-comp arith/lossless stays
-                # an honest failure until a real workload needs it
-                raise JpegError("4-component arith/lossless unsupported")
+            if ncomp == 4 and (arith or lossless or progressive):
+                # BASELINE DCT-Huffman CMYK/YCCK is what print-derived
+                # crawl JPEGs overwhelmingly are; 4-comp progressive/
+                # arith/lossless stays an honest failure — the scan
+                # machinery is component-generic and would probably
+                # decode progressive CMYK, but no fixture validates it
+                # and an unvalidated accept is worse than an honest
+                # decode_ok=false
+                raise JpegError(
+                    "4-component progressive/arith/lossless unsupported"
+                )
             for c in range(ncomp):
                 cid, hvb, tq = body[6 + c * 3 : 9 + c * 3]
                 ch, cv = hvb >> 4, hvb & 0x0F

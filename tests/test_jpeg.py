@@ -1214,3 +1214,13 @@ class TestCmyk:
                                subsampling="420")
         with pytest.raises(J.JpegError):
             J.encode_jpeg_cmyk(8, 8, img.tobytes()[:-1])
+
+    def test_progressive_4comp_honest_failure(self):
+        """4-comp progressive is accepted by no fixture path — it must
+        be an honest failure, not an unvalidated accept."""
+        img = np.zeros((8, 8, 4), dtype=np.uint8)
+        data = bytearray(J.encode_jpeg_cmyk(8, 8, img.tobytes()))
+        i = data.find(b"\xff\xc0")
+        data[i + 1] = 0xC2  # flip SOF0 -> SOF2
+        with pytest.raises(J.JpegError, match="4-component"):
+            J.decode_jpeg(bytes(data))
