@@ -34,11 +34,12 @@ y4m.py) and the format a real 100 TB crawl actually leads with.
   honest failure, never a partial image.
 
 Scope limits: sampling layouts 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 / grayscale,
-plus 4-COMPONENT CMYK/YCCK in BASELINE form (r10: APP14 Adobe
-transform routing, CMYK 4:4:4 and YCCK 4:2:0 with full-rate K, the
-documented Adobe-inverted ink conversion channel·K/255 — the
-print-derived profile crawls carry; 4-comp progressive/arith/lossless
-stays an honest failure, no fixture validates it);
+plus 4-COMPONENT CMYK/YCCK in baseline AND progressive form (r10:
+APP14 Adobe transform routing, CMYK 4:4:4 and YCCK 4:2:0 with
+full-rate K, the documented Adobe-inverted ink conversion
+channel·K/255 — the print-derived profile crawls carry; progressive
+validated bit-identical to baseline; 4-comp arith/lossless stays an
+honest failure);
 12-bit sample precision decodes in EXTENDED SEQUENTIAL form (SOF1, r9:
 level shift 2048, DC categories to 15, AC to 14, Pq=1 16-bit quant
 tables; pixels reduced ``>> 4`` to the engine's 8-bit surface — the PNG
@@ -931,6 +932,7 @@ def encode_jpeg_cmyk(
     transform: int = 0,
     subsampling: str = "444",
     app14: bool = True,
+    progressive: bool = False,
 ) -> bytes:
     """4-component baseline encoder (r10) — the print-derived
     CMYK/YCCK profile and the fixture source for the decoder's 4-comp
@@ -941,7 +943,12 @@ def encode_jpeg_cmyk(
     are a YCbCr triple; ``subsampling='420'`` then downsamples Cb/Cr
     while Y and K keep full rate — the Adobe layout). ``app14=False``
     omits the Adobe segment (a 4-comp stream with no APP14 defaults to
-    the CMYK reading, which the tests pin)."""
+    the CMYK reading, which the tests pin). ``progressive=True`` emits
+    SOF2 with the same 6-phase scan script as ``encode_jpeg`` over the
+    IDENTICAL quantized coefficients — decode must be bit-for-bit the
+    baseline decode, which is how the 4-comp progressive decode path
+    is validated (the same reordering-not-re-encoding discipline the
+    3-component progressive path established)."""
     if transform not in (0, 2):
         raise JpegError("transform must be 0 (CMYK) or 2 (YCCK)")
     if subsampling not in ("444", "420"):
@@ -1000,25 +1007,71 @@ def encode_jpeg_cmyk(
                 for by in range(plane_h // 8)
             ]
         )
-    w = _BitWriter()
-    preds = [0] * 4
-    for my in range(ph // (8 * vmax)):
-        for mx in range(pw // (8 * hmax)):
-            for comp, (ch, cv) in enumerate(hv):
-                for vy in range(cv):
-                    for vx in range(ch):
-                        preds[comp] = _emit_full_block(
-                            w, coefs[comp][my * cv + vy][mx * ch + vx],
-                            preds[comp], dcs[comp], ac,
+    n_mcux = pw // (8 * hmax)
+    n_mcuy = ph // (8 * vmax)
+
+    def mcu_blocks():
+        for my in range(n_mcuy):
+            for mx in range(n_mcux):
+                yield my * n_mcux + mx, [
+                    (comp, my * cv + vy, mx * ch + vx)
+                    for comp, (ch, cv) in enumerate(hv)
+                    for vy in range(cv)
+                    for vx in range(ch)
+                ]
+
+    def sos_body(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            t = tabsel[cid - 1]
+            body += bytes([cid, (t << 4) | t])
+        return body + bytes([ss, se, (ah << 4) | al])
+
+    scans: list[tuple[bytes, bytes]] = []
+    if not progressive:
+        w = _BitWriter()
+        preds = [0] * 4
+        for _, blocks in mcu_blocks():
+            for comp, by, bx in blocks:
+                preds[comp] = _emit_full_block(
+                    w, coefs[comp][by][bx], preds[comp], dcs[comp], ac
+                )
+        scans.append((sos_body([1, 2, 3, 4], 0, 63, 0, 0), w.flush()))
+    else:
+        all_ids = [1, 2, 3, 4]
+        scans.append(
+            (sos_body(all_ids, 0, 0, 0, 1),
+             _emit_dc_first(coefs, mcu_blocks, dcs, 1, 0))
+        )
+        scans.append(
+            (sos_body(all_ids, 0, 0, 1, 0),
+             _emit_dc_refine(coefs, mcu_blocks, 0, 0))
+        )
+
+        def comp_grid(comp):
+            ch, cv = hv[comp]
+            return (
+                -(-(-(-width * ch // hmax)) // 8),
+                -(-(-(-height * cv // vmax)) // 8),
+            )
+
+        for ah in (0, 1):  # first passes at Al=1, then refinements to 0
+            for ss, se in ((1, 5), (6, 63)):
+                for comp in range(4):
+                    nbx_c, nby_c = comp_grid(comp)
+                    emit = _emit_ac_refine if ah else _emit_ac_first
+                    scans.append(
+                        (
+                            sos_body([comp + 1], ss, se, ah, 1 - ah),
+                            emit(
+                                coefs[comp], ac, ss, se, 1 - ah, 0,
+                                nbx=nbx_c, nby=nby_c,
+                            ),
                         )
-    entropy = w.flush()
+                    )
     sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([4])
     for c, ((ch, cv), t) in enumerate(zip(hv, tabsel)):
         sof += bytes([c + 1, (ch << 4) | cv, t])
-    sos = bytes([4])
-    for c, t in enumerate(tabsel):
-        sos += bytes([c + 1, (t << 4) | t])
-    sos += bytes([0, 63, 0])
     out = b"\xff\xd8"
     if app14:
         out += _seg(
@@ -1029,13 +1082,15 @@ def encode_jpeg_cmyk(
     out += _seg(0xDB, _dqt_body(0, QUANT_LUM))
     if transform == 2:
         out += _seg(0xDB, _dqt_body(1, QUANT_CHROM))
-    out += _seg(0xC0, sof)
+    out += _seg(0xC2 if progressive else 0xC0, sof)
     out += _seg(0xC4, _dht_body(0x00, DC_LUM_BITS, DC_LUM_VALS))
     out += _seg(0xC4, _dht_body(0x10, AC_BITS, AC_VALS))
     if transform == 2:
         out += _seg(0xC4, _dht_body(0x01, DC_CHROM_BITS, DC_CHROM_VALS))
         out += _seg(0xC4, _dht_body(0x11, AC_BITS, AC_VALS))
-    return out + _seg(0xDA, sos) + entropy + b"\xff\xd9"
+    for body, entropy in scans:
+        out += _seg(0xDA, body) + entropy
+    return out + b"\xff\xd9"
 
 
 # ------------------------------------------- lossless (SOF3, Annex H, r10)
@@ -2151,17 +2206,13 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
             ncomp = body[5]
             if ncomp not in (1, 3, 4):
                 raise JpegError(f"{ncomp} components unsupported")
-            if ncomp == 4 and (arith or lossless or progressive):
-                # BASELINE DCT-Huffman CMYK/YCCK is what print-derived
-                # crawl JPEGs overwhelmingly are; 4-comp progressive/
-                # arith/lossless stays an honest failure — the scan
-                # machinery is component-generic and would probably
-                # decode progressive CMYK, but no fixture validates it
-                # and an unvalidated accept is worse than an honest
-                # decode_ok=false
-                raise JpegError(
-                    "4-component progressive/arith/lossless unsupported"
-                )
+            if ncomp == 4 and (arith or lossless):
+                # DCT-Huffman CMYK/YCCK (baseline AND progressive — the
+                # progressive path is validated by the bit-identical-to-
+                # baseline discipline, same as 3-comp) is what print-
+                # derived crawl JPEGs are; 4-comp arith/lossless stays
+                # an honest failure until a fixture validates it
+                raise JpegError("4-component arith/lossless unsupported")
             for c in range(ncomp):
                 cid, hvb, tq = body[6 + c * 3 : 9 + c * 3]
                 ch, cv = hvb >> 4, hvb & 0x0F

@@ -792,10 +792,15 @@ def synthetic_jpeg_cmyk(spark, n: int = 48) -> DataFrame:
                             img[
                                 by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
                             ] = consts4(mid, bx, by)
+                    # half the YCCK 4:4:4 stripe encodes PROGRESSIVE
+                    # (mid % 8 == 6): same quantized coefficients, so
+                    # the oracle's closed form is unchanged — the gate
+                    # then pins progressive-CMYK decode cross-engine
                     payload = enc(
                         w, h, img.tobytes(),
                         transform=2 if s == 2 else 0,
                         app14=s != 1,
+                        progressive=mid % 8 == 6,
                     )
                 rows["media_id"].append(mid)
                 rows["payload"].append(payload)

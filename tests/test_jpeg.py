@@ -1215,12 +1215,30 @@ class TestCmyk:
         with pytest.raises(J.JpegError):
             J.encode_jpeg_cmyk(8, 8, img.tobytes()[:-1])
 
-    def test_progressive_4comp_honest_failure(self):
-        """4-comp progressive is accepted by no fixture path — it must
-        be an honest failure, not an unvalidated accept."""
-        img = np.zeros((8, 8, 4), dtype=np.uint8)
-        data = bytearray(J.encode_jpeg_cmyk(8, 8, img.tobytes()))
-        i = data.find(b"\xff\xc0")
-        data[i + 1] = 0xC2  # flip SOF0 -> SOF2
-        with pytest.raises(J.JpegError, match="4-component"):
-            J.decode_jpeg(bytes(data))
+    def test_progressive_4comp_bit_identical_to_baseline(self):
+        """Progressive CMYK/YCCK (Adobe saves these) is validated by
+        the same discipline as 3-comp: the 6-phase scan script reorders
+        the IDENTICAL quantized coefficients, so the progressive decode
+        must be bit-for-bit the baseline decode."""
+        rng = np.random.default_rng(5)
+        for transform, sub, (w, h) in (
+            (0, "444", (24, 16)),
+            (2, "444", (16, 8)),
+            (2, "420", (32, 16)),
+        ):
+            img = np.zeros((h, w, 4), dtype=np.uint8)
+            step = 16 if sub == "420" else 8
+            for by in range(h // step):
+                for bx in range(w // step):
+                    img[by*step:(by+1)*step, bx*step:(bx+1)*step] = (
+                        rng.integers(0, 256, size=4)
+                    )
+            base = J.encode_jpeg_cmyk(
+                w, h, img.tobytes(), transform=transform, subsampling=sub
+            )
+            prog = J.encode_jpeg_cmyk(
+                w, h, img.tobytes(), transform=transform, subsampling=sub,
+                progressive=True,
+            )
+            assert J.jpeg_metadata(prog)["progressive"] is True
+            assert J.decode_jpeg(prog) == J.decode_jpeg(base), (transform, sub)
