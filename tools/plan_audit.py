@@ -67,6 +67,9 @@ AUDIT = [
     "crawl_curation_pipeline",
     "bpe_pipeline",
     "url_filters",
+    "warc_ingest",
+    "jpeg_lossless",
+    "jpeg_cmyk",
 ]
 
 COMMENT = {
@@ -116,6 +119,9 @@ COMMENT = {
     "html_extract": "Zero exchanges: the whole strip kernel + markup features are ONE generated projection fused with the scan.",
     "crawl_curation_pipeline": "ONE exchange END-TO-END (r10: the URL tier's norm_url dedup window — the unavoidable recrawl-dedup shuffle; suffix/blocklist dims broadcast): URL survivors -> html strip -> C4 line rules -> Gopher quality + 13 repetition folds chain through column passthrough (no re-join on doc_id) — everything after the URL tier is one fused map over the corpus.",
     "url_filters": "Normalization is a pure projection fused with the scan; the suffix candidates are THREE broadcast left joins (PSL-sized dim, corpus-independent) and the blocklist one more; the ONLY shuffle is the norm_url dedup window — the global recrawl group-by no URL dedup can avoid.",
+    "warc_ingest": "Record walk + HTTP split is one Arrow-batched projection over the payload column — zero exchanges; at archive scale the binaryFile scan gives one task per WARC file, the grain the writers size for.",
+    "jpeg_lossless": "Generate -> decode -> per-payload stats: chained mapInPandas projections, zero exchanges — per-row decode cost, no shuffle at any corpus size.",
+    "jpeg_cmyk": "Same shape as jpeg_lossless: the whole 4-component decode pipeline is fused per-row work, zero exchanges.",
     "bpe_pipeline": "The audited plan is the POST-TRAINING shape: tokenization is k chained literal replaces fused into one zero-shuffle projection (the merge table unions in as a literal local relation). Training itself is a driver loop over the vocabulary-sized word-count table — one pair-count shuffle per merge, one argmax row to the driver per iteration.",
 }
 
