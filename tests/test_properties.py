@@ -293,3 +293,43 @@ def test_url_normalization_idempotent(spark, urls):
     ).collect()
     for r in both:
         assert r["n2"] == r["n1"], (r["url"], r["n1"], r["n2"])
+
+
+_SFX_LIST = ["com", "net", "org", "io", "uk", "co.uk", "ac.uk", "org.uk"]
+_dom_label = st.sampled_from(["a", "bb", "news", "co", "ac", "org", "x9"])
+_hosts = st.builds(
+    lambda labels, sfx: ".".join(labels + ([sfx] if sfx else [])),
+    labels=st.lists(_dom_label, min_size=0, max_size=4),
+    sfx=st.sampled_from(_SFX_LIST + [""]),
+)
+
+
+def _ref_registered(host: str) -> str | None:
+    """Independent longest-match reference (plain python)."""
+    labels = host.split(".")
+    for k in (3, 2, 1):
+        if len(labels) >= k + 1 and ".".join(labels[-k:]) in _SFX_LIST:
+            return ".".join(labels[-(k + 1):])
+    return None
+
+
+@settings(**_SETTINGS)
+@given(hosts=st.lists(_hosts, min_size=1, max_size=30))
+def test_registered_domain_matches_reference(spark, hosts):
+    """The 3-broadcast-join longest-suffix extraction agrees with an
+    independent python longest-match on generated hosts — including the
+    adversarial shapes where prepended labels EXTEND a short suffix into
+    a longer listed one ('co' + 'uk' -> co.uk must beat uk), bare
+    suffixes, and unlisted tails."""
+    from bigdata_lab02_spark.operators.url import with_registered_domain
+
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "doc_id long, host string"
+    )
+    sfx = spark.createDataFrame([(s,) for s in _SFX_LIST], "suffix string")
+    got = {
+        r["doc_id"]: r["registered_domain"]
+        for r in with_registered_domain(df, sfx).collect()
+    }
+    for i, h in enumerate(hosts):
+        assert got[i] == _ref_registered(h), (h, got[i])
