@@ -212,6 +212,7 @@ def url_filters(
     id_col: str = "doc_id",
     passthrough: list[str] | None = None,
     dedup: bool = True,
+    keep: str = "first",
 ) -> DataFrame:
     """The composed URL tier: per input row returns ``norm_url``,
     ``scheme``, ``host``, ``host_is_ip``, ``registered_domain``,
@@ -225,10 +226,14 @@ def url_filters(
     - ``host_is_ip``: IPv4-literal hosts — they have no registered
       domain by construction (flagged so a policy tier can treat them
       separately; many curation pipelines drop them outright).
-    - dedup: keep-lowest-``id_col`` survivor per ``norm_url`` — the
-      tier's single shuffle, keyed by the normalized URL. Unparseable
-      rows (NULL ``norm_url``) are never marked dups; they fail
-      ``url_keep`` on the scheme/host predicate instead.
+    - dedup: one survivor per ``norm_url`` — the tier's single shuffle,
+      keyed by the normalized URL. ``keep="first"`` (default, the
+      oracle-gated semantics) keeps the lowest ``id_col``;
+      ``keep="last"`` keeps the highest — the freshest-fetch policy
+      when ids are fetch-ordered, which is what a recrawl pipeline
+      usually wants. Unparseable rows (NULL ``norm_url``) are never
+      marked dups; they fail ``url_keep`` on the scheme/host predicate
+      instead.
     - ``dedup=False`` drops the dedup window (``is_dup`` becomes
       constant False): every remaining stage is a stateless projection
       plus broadcast joins, so the tier runs UNCHANGED on a stream
@@ -259,8 +264,11 @@ def url_filters(
         ).drop("__blocked_domain")
     else:
         out = out.withColumn("blocked", F.lit(False))
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
     if dedup:
-        w = Window.partitionBy("norm_url").orderBy(F.col(id_col))
+        order = F.col(id_col) if keep == "first" else F.col(id_col).desc()
+        w = Window.partitionBy("norm_url").orderBy(order)
         out = out.withColumn(
             "is_dup",
             F.when(

@@ -288,3 +288,24 @@ def test_url_dedup_stream_watermarked(spark, tmp_path):
         (1, "http://a.example.com/x", "example.com"),
         (4, "https://b.example.org/z", "example.org"),
     ]
+
+
+def test_dedup_keep_last_freshest_fetch(spark):
+    """keep='last' flips the survivor to the highest id — the
+    freshest-fetch recrawl policy when ids are fetch-ordered."""
+    rows = [
+        (1, "http://a.example.com/x"),
+        (2, "HTTP://A.Example.COM:80/x"),
+        (3, "https://b.example.org/y"),
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r["doc_id"]: r
+        for r in url_filters(pages, _sfx(spark), keep="last").collect()
+    }
+    assert out[2]["url_keep"] and out[1]["is_dup"]
+    assert out[3]["url_keep"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="keep"):
+        url_filters(pages, _sfx(spark), keep="newest")
