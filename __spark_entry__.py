@@ -1687,13 +1687,18 @@ FROM c
 # fragments, %7E escapes, multi-label public suffixes (co.uk/ac.uk),
 # blocklisted domains, an ftp:// scheme stripe and a not-a-URL stripe.
 def _url_fixture_expr(mod: int) -> str:
+    """r11 widens the host stripes from %7 to %11 (VERDICT r10 item 3):
+    new PSL-shaped cases — a ``*.ck`` wildcard host, the ``!www.ck``
+    exception host (and a subdomain of it, where wildcard and exception
+    rules BOTH match and the exception must prevail), and a host under
+    the 4-label suffix ``pvt.k12.ma.us``."""
     k = f"(doc_id % {mod})"
     url = (
         f"CASE WHEN doc_id % 2 = 0 THEN CASE WHEN {k} % 3 = 0 THEN 'HTTP://'"
         f" ELSE 'HTTPS://' END ELSE CASE WHEN {k} % 3 = 0 THEN 'http://'"
         f" ELSE 'https://' END END"
         f" || CASE WHEN {k} % 5 = 4 THEN 'crawler:pw@' ELSE '' END"
-        f" || CASE {k} % 7"
+        f" || CASE {k} % 11"
         f" WHEN 0 THEN 'WWW.Example.COM' ||"
         f" CASE WHEN {k} % 3 = 0 THEN ':80' ELSE ':443' END"
         f" WHEN 1 THEN 'news.bbc.co.uk'"
@@ -1701,7 +1706,11 @@ def _url_fixture_expr(mod: int) -> str:
         f" WHEN 3 THEN 'blog.example.org:8080'"
         f" WHEN 4 THEN 'ads.badsite.org'"
         f" WHEN 5 THEN 'archive.example.ac.uk'"
-        f" ELSE CASE WHEN {k} % 14 = 6 THEN '198.51.100.' || ({k} % 200)"
+        f" WHEN 6 THEN 'shop' || ({k} % 3) || '.trader.ck'"
+        f" WHEN 7 THEN 'www.ck'"
+        f" WHEN 8 THEN 'sub' || ({k} % 2) || '.www.ck'"
+        f" WHEN 9 THEN 'lib' || ({k} % 2) || '.pvt.k12.ma.us'"
+        f" ELSE CASE WHEN {k} % 22 = 10 THEN '198.51.100.' || ({k} % 200)"
         f" ELSE 'mirror' || ({k} % 2) || '.example.io' END END"
         f" || '/p%7Eath/' || ({k} % 17)"
         f" || CASE {k} % 4"
@@ -1717,6 +1726,13 @@ def _url_fixture_expr(mod: int) -> str:
     )
 
 
+# Explicit recrawl fetch time for the url_filters gate (r11, VERDICT
+# r10 item 6): DELIBERATELY disagrees with doc_id order (a decreasing
+# affine map mod 97), so the ts-ordered survivor policy is exercised
+# against ids that would pick a different row.
+_URL_FIXTURE_TS = "CAST((doc_id * 7) % 97 AS INT)"
+
+
 _URL_FIXTURE_EXPR = _url_fixture_expr(60)
 # The composed crawl gate's URL fixture: same stripes, lower duplicate
 # pressure (mod 360) so most pages survive into the downstream stages.
@@ -1728,9 +1744,14 @@ _LID_TOKS = _TOKS.replace("lower(text)", "lower(clean_text)")
 
 # Public-suffix-style fixture (a real deployment loads the PSL — same
 # shape, ~10k rows, still dim-sized) and a registered-domain blocklist.
+# r11 (VERDICT r10 item 3): PSL-shaped realism — the ``us`` chain up to
+# the real 4-label entry ``pvt.k12.ma.us``, the real wildcard ``*.ck``,
+# and its real exception ``!www.ck``.
 _URL_SUFFIXES = [
     "com", "net", "org", "io", "edu", "gov", "uk",
     "co.uk", "ac.uk", "org.uk", "com.au", "co.jp",
+    "us", "ma.us", "k12.ma.us", "pvt.k12.ma.us",
+    "*.ck", "!www.ck",
 ]
 _URL_BLOCKLIST = ["tracker.net", "badsite.org"]
 
@@ -1744,18 +1765,26 @@ def _url_dims(spark):
 def q_url_filters(spark, sf_dir):
     """The URL/domain tier gated end-to-end (operators.url, VERDICT r9
     item 3): normalization (scheme/host lowercase, userinfo drop,
-    default-port strip, fragment strip, tracking-param removal in all
-    three positions, unreserved percent-decode, empty path → /),
-    public-suffix registered-domain extraction (longest match: co.uk
-    beats uk), blocklist flagging, and URL-level recrawl dedup
-    (keep-lowest-doc_id per normalized URL). Every column crosses the
-    hash; the oracle restates the whole kernel step for step."""
+    anchored default-port strip, fragment strip, query-scoped
+    tracking-param removal, unreserved percent-decode, empty path → /),
+    REAL-PSL registered-domain extraction (longest rule prevails;
+    ``*.ck`` wildcard and ``!www.ck`` exception stripes; the 4-label
+    ``pvt.k12.ma.us`` suffix — r11, VERDICT r10 item 3), blocklist
+    flagging, and URL-level recrawl dedup under the EXPLICIT
+    freshest-fetch policy (r11, VERDICT r10 item 6): ``keep="last"``
+    ordered by a ``fetch_ts`` that deliberately disagrees with doc_id
+    order, tie-broken by doc_id. Every column crosses the hash; the
+    oracle restates the whole kernel step for step."""
     from bigdata_lab02_spark.operators.url import url_filters
 
     docs = _t(spark, sf_dir, "documents")
-    pages = docs.select("doc_id", F.expr(_URL_FIXTURE_EXPR).alias("url"))
+    pages = docs.select(
+        "doc_id",
+        F.expr(_URL_FIXTURE_EXPR).alias("url"),
+        F.expr(_URL_FIXTURE_TS).alias("fetch_ts"),
+    )
     sfx, blk = _url_dims(spark)
-    return url_filters(pages, sfx, blk)
+    return url_filters(pages, sfx, blk, keep="last", ts_col="fetch_ts")
 
 
 _URL_TRACK = "(?:utm_[a-z0-9]+|fbclid|gclid|msclkid|mc_eid)"
@@ -1763,16 +1792,69 @@ _URL_SFX_VALUES = ", ".join(f"('{s}')" for s in _URL_SUFFIXES)
 _URL_BLK_VALUES = ", ".join(f"('{d}')" for d in _URL_BLOCKLIST)
 
 
-def _url_tier_sql(fixture_expr: str) -> str:
+def _url_tier_sql(fixture_expr: str, ts_expr: str | None = None) -> str:
     """operators/url restated for DuckDB, step for step: the CTE chain
     ends in ``uw`` with every tier column (url, scheme, host, norm_url,
     registered_domain, blocked, is_dup, url_keep) per doc_id — reused
-    verbatim by the composed crawl oracle."""
+    verbatim by the composed crawl oracle. ``ts_expr`` (the url_filters
+    gate) adds a ``fetch_ts`` column and flips the dedup survivor to
+    the freshest fetch (``keep="last"`` by ts, tie-broken by doc_id);
+    without it the order is the default keep-first-by-id (the crawl
+    gate). r11: query-scoped tracking removal with '^'-anchored
+    leading/lone patterns (engine-agnostic single-vs-global), anchored
+    default-port strip, and real-PSL registered-domain extraction
+    (per-(length, kind) rule slices; wildcard/exception precedence)."""
+    ts_sel = f", {ts_expr} AS fetch_ts" if ts_expr else ""
+    dedup_order = "fetch_ts DESC, doc_id DESC" if ts_expr else "doc_id"
+    max_k = 4
+    # per-(length, kind) rule-slice joins against the suffix dim
+    cands = ",\n".join(
+        f"  CASE WHEN nl >= {k} THEN"
+        f" array_to_string(labels[nl-{k - 1}:nl], '.') END AS cand{k}"
+        for k in range(1, max_k + 1)
+    )
+    joins = []
+    for k in range(1, max_k + 1):
+        joins.append(
+            f"LEFT JOIN (SELECT suffix AS x{k} FROM usfx WHERE suffix NOT"
+            f" LIKE '!%' AND suffix NOT LIKE '*.%' AND"
+            f" len(string_split(suffix, '.')) = {k}) sx{k}"
+            f" ON uc.cand{k} = sx{k}.x{k}"
+        )
+        if k + 1 <= max_k:
+            joins.append(
+                f"LEFT JOIN (SELECT substr(suffix, 3) AS w{k} FROM usfx"
+                f" WHERE suffix LIKE '*.%' AND"
+                f" len(string_split(substr(suffix, 3), '.')) = {k}) sw{k}"
+                f" ON uc.cand{k} = sw{k}.w{k}"
+            )
+        joins.append(
+            f"LEFT JOIN (SELECT substr(suffix, 2) AS e{k} FROM usfx"
+            f" WHERE suffix LIKE '!%' AND"
+            f" len(string_split(substr(suffix, 2), '.')) = {k}) se{k}"
+            f" ON uc.cand{k} = se{k}.e{k}"
+        )
+    join_sql = "\n  ".join(joins)
+    eff_terms = ", ".join(
+        [
+            f"CASE WHEN x{k} IS NOT NULL THEN {k} ELSE 0 END"
+            for k in range(1, max_k + 1)
+        ]
+        + [
+            f"CASE WHEN w{k} IS NOT NULL AND nl >= {k + 1} THEN {k + 1}"
+            f" ELSE 0 END"
+            for k in range(1, max_k)
+        ]
+    )
+    exc_branches = " ".join(
+        f"WHEN e{k} IS NOT NULL THEN cand{k}"
+        for k in range(max_k, 0, -1)
+    )
     return rf"""
-ufx AS (SELECT doc_id, {fixture_expr} AS url FROM documents),
+ufx AS (SELECT doc_id, {fixture_expr} AS url{ts_sel} FROM documents),
 usfx(suffix) AS (SELECT * FROM (VALUES {_URL_SFX_VALUES})),
 ublk(domain) AS (SELECT * FROM (VALUES {_URL_BLK_VALUES})),
-up AS (SELECT doc_id, url,
+up AS (SELECT ufx.*,
   lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
   regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS after_sch
   FROM ufx),
@@ -1781,22 +1863,26 @@ uh AS (SELECT *, regexp_replace(
     '^[^/?#@]*@', '') AS hostport,
   regexp_replace(after_sch, '^[^/?#]*', '') AS rest0 FROM up),
 uh2 AS (SELECT *,
-  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
-       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, '^([^:]+):80$', '\1')
+       WHEN scheme = 'https'
+         THEN regexp_replace(hostport, '^([^:]+):443$', '\1')
        ELSE hostport END AS hostp,
   regexp_replace(hostport, ':[0-9]+$', '') AS host FROM uh),
+uq AS (SELECT *, regexp_replace(rest0, '#.*$', '') AS restf FROM uh2),
+uq2 AS (SELECT *, regexp_replace(restf, '\?.*$', '') AS upath,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(regexp_extract(restf, '(\?.*)$', 1),
+        '&{_URL_TRACK}=[^&]*', '', 'g'),
+      '^\?{_URL_TRACK}=[^&]*&', '?'),
+    '^\?{_URL_TRACK}=[^&]*$', '') AS uquery
+  FROM uq),
 ur AS (SELECT *,
   replace(replace(replace(replace(replace(replace(
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(rest0, '#.*$', ''),
-          '&{_URL_TRACK}=[^&]*', '', 'g'),
-        '\?{_URL_TRACK}=[^&]*&', '?'),
-      '\?{_URL_TRACK}=[^&]*$', ''),
+    upath || uquery,
     '%7E', '~'), '%7e', '~'), '%2D', '-'), '%2d', '-'),
     '%5F', '_'), '%5f', '_') AS rest1
-  FROM uh2),
+  FROM uq2),
 ur2 AS (SELECT *, CASE WHEN rest1 = '' THEN '/'
   WHEN rest1 LIKE '?%' THEN '/' || rest1 ELSE rest1 END AS rest FROM ur),
 un AS (SELECT *, CASE WHEN scheme <> '' AND hostp <> ''
@@ -1806,31 +1892,29 @@ un AS (SELECT *, CASE WHEN scheme <> '' AND hostp <> ''
 ud AS (SELECT *, string_split(host, '.') AS labels,
   len(string_split(host, '.')) AS nl FROM un),
 uc AS (SELECT *,
-  CASE WHEN nl >= 2 THEN array_to_string(labels[nl:nl], '.') END AS cand1,
-  CASE WHEN nl >= 3 THEN array_to_string(labels[nl-1:nl], '.') END AS cand2,
-  CASE WHEN nl >= 4 THEN array_to_string(labels[nl-2:nl], '.') END AS cand3
+{cands}
   FROM ud),
-uj AS (SELECT uc.*, s1.suffix AS m1, s2.suffix AS m2, s3.suffix AS m3
-  FROM uc LEFT JOIN usfx s1 ON uc.cand1 = s1.suffix
-          LEFT JOIN usfx s2 ON uc.cand2 = s2.suffix
-          LEFT JOIN usfx s3 ON uc.cand3 = s3.suffix),
+uj AS (SELECT * FROM uc
+  {join_sql}),
 ug AS (SELECT *,
-  CASE WHEN m3 IS NOT NULL THEN array_to_string(labels[nl-3:nl], '.')
-       WHEN m2 IS NOT NULL THEN array_to_string(labels[nl-2:nl], '.')
-       WHEN m1 IS NOT NULL THEN array_to_string(labels[nl-1:nl], '.')
+  CASE {exc_branches}
+       WHEN greatest({eff_terms}) > 0
+         AND nl >= greatest({eff_terms}) + 1
+       THEN array_to_string(
+         labels[nl - greatest({eff_terms}):nl], '.')
   END AS registered_domain FROM uj),
 ub AS (SELECT ug.*, bl.domain IS NOT NULL AS blocked
   FROM ug LEFT JOIN ublk bl ON ug.registered_domain = bl.domain),
 urn AS (SELECT *, CASE WHEN norm_url IS NOT NULL THEN
-    row_number() OVER (PARTITION BY norm_url ORDER BY doc_id) > 1
+    row_number() OVER (PARTITION BY norm_url ORDER BY {dedup_order}) > 1
   ELSE FALSE END AS is_dup FROM ub),
 uw AS (SELECT *, scheme IN ('http', 'https') AND host <> '' AND NOT blocked
     AND NOT is_dup AS url_keep FROM urn)"""
 
 
 _URL_SQL = f"""
-WITH {_url_tier_sql(_URL_FIXTURE_EXPR)}
-SELECT doc_id, url, scheme, host, host_is_ip, norm_url,
+WITH {_url_tier_sql(_URL_FIXTURE_EXPR, ts_expr=_URL_FIXTURE_TS)}
+SELECT doc_id, fetch_ts, url, scheme, host, host_is_ip, norm_url,
   registered_domain, blocked, is_dup, url_keep
 FROM uw
 """

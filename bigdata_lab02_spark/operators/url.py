@@ -10,20 +10,29 @@ them. This module is that tier, Spark-first:
 
 - ``normalize_url`` — pure expression kernel (RFC 3986 §6 syntax-based
   normalization subset): scheme/host lowercased, userinfo dropped,
-  default port stripped (``:80`` http / ``:443`` https), fragment
-  stripped, tracking query parameters removed (``utm_*``, ``fbclid``,
-  ``gclid``, ``msclkid``, ``mc_eid``), empty path → ``/``, and a finite
-  percent-decode of the unreserved escapes ``%7E``/``%2D``/``%5F``
-  (RFC 3986 §2.3 says decoding unreserved characters never changes the
-  resource; the general %XX decode needs per-match hex arithmetic and
-  stays out of the expression tier — the honest-limit discipline of
-  operators/html.py). Every pattern is Java-regex == RE2 portable, so
-  the DuckDB oracle replays the kernel byte-for-byte.
-- ``registered_domain`` — public-suffix-style extraction: the host's
-  longest suffix present in a suffix table (depth ≤ 3 labels, covering
-  ``com`` through ``ac.uk``-shaped entries) plus ONE label. Expressed
-  as three broadcast left joins against the (bounded, PSL-sized) suffix
-  dim — no explode, no shuffle.
+  default port stripped (``:80`` http / ``:443`` https — anchored to a
+  well-formed single-port authority so normalization is a true fixed
+  point), fragment stripped, tracking query parameters removed
+  (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``, ``mc_eid`` — applied
+  to the QUERY component only, never to a literal ``&utm_...`` inside
+  a path segment), empty path → ``/``, and a finite percent-decode of
+  the unreserved escapes ``%7E``/``%2D``/``%5F`` (RFC 3986 §2.3 says
+  decoding unreserved characters never changes the resource; the
+  general %XX decode needs per-match hex arithmetic and stays out of
+  the expression tier — the honest-limit discipline of
+  operators/html.py; ``normalize_url_full_pandas`` below is the
+  Arrow-batched twin that finishes the job). Every pattern is
+  Java-regex == RE2 portable, so the DuckDB oracle replays the kernel
+  byte-for-byte.
+- ``registered_domain`` — public-suffix extraction with the REAL PSL
+  rule semantics (publicsuffix.org/list: longest matching rule
+  prevails; ``*.`` wildcard rules match any label in the starred
+  position; ``!`` exception rules beat wildcards and make the matched
+  labels themselves the registrable domain), depth ≤ ``max_suffix_labels``
+  (default 4 — the real list carries 4-label entries like
+  ``pvt.k12.ma.us``). Expressed as per-(length, kind) broadcast left
+  joins against filtered slices of the (bounded, PSL-sized) suffix
+  dim — no explode, no shuffle, no dim-side aggregation.
 - ``url_filters`` — the composed tier: normalize → domain → blocklist
   anti-join (broadcast; a blocklist is domain-count-sized, independent
   of corpus size — unlike the r9 doc-side dimension this dim does NOT
@@ -68,20 +77,35 @@ def url_parts(url: Column) -> tuple[Column, Column, Column]:
 
 
 def _strip_default_port(scheme: Column, hostport: Column) -> Column:
+    # The pattern is anchored to a well-formed single-port authority
+    # (host has no ':' of its own), so normalization is a true FIXED
+    # POINT even on pathological 'h:80:80' inputs — those simply don't
+    # match and pass through unchanged on every pass.
     return (
-        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
-        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        F.when(
+            scheme == "http", F.regexp_replace(hostport, r"^([^:]+):80$", "$1")
+        )
+        .when(
+            scheme == "https",
+            F.regexp_replace(hostport, r"^([^:]+):443$", "$1"),
+        )
         .otherwise(hostport)
     )
 
 
 def _normalize_rest(rest: Column) -> Column:
-    """Fragment off, tracking params out (mid-list, then leading-
-    followed, then lone), unreserved escapes decoded, empty path → /."""
+    """Fragment off, tracking params out of the QUERY component only
+    (split at the first '?', so a literal '&utm_...' inside a path
+    segment is never touched; the leading/lone patterns are '^'-anchored
+    so single- vs global-replacement engines agree on every input),
+    unreserved escapes decoded, empty path → /."""
     rest = F.regexp_replace(rest, r"#.*$", "")
-    rest = F.regexp_replace(rest, rf"&{TRACKING_PARAMS_RE}=[^&]*", "")
-    rest = F.regexp_replace(rest, rf"\?{TRACKING_PARAMS_RE}=[^&]*&", "?")
-    rest = F.regexp_replace(rest, rf"\?{TRACKING_PARAMS_RE}=[^&]*$", "")
+    path = F.regexp_replace(rest, r"\?.*$", "")
+    query = F.regexp_extract(rest, r"(\?.*)$", 1)
+    query = F.regexp_replace(query, rf"&{TRACKING_PARAMS_RE}=[^&]*", "")
+    query = F.regexp_replace(query, rf"^\?{TRACKING_PARAMS_RE}=[^&]*&", "?")
+    query = F.regexp_replace(query, rf"^\?{TRACKING_PARAMS_RE}=[^&]*$", "")
+    rest = F.concat(path, query)
     for pe, ch in PERCENT_UNRESERVED:
         rest = F.replace(rest, F.lit(pe), F.lit(ch))
     rest = F.when(rest == "", F.lit("/")).otherwise(rest)
@@ -113,50 +137,106 @@ def with_registered_domain(
     suffixes: DataFrame,
     host_col: str = "host",
     out_col: str = "registered_domain",
-    max_suffix_labels: int = 3,
+    max_suffix_labels: int = 4,
 ) -> DataFrame:
-    """Adds ``out_col``: the public-suffix-style registered domain of
-    ``host_col`` — the LONGEST suffix in ``suffixes`` (one ``suffix``
-    string column, e.g. ``com`` / ``co.uk`` / ``ac.uk``) plus one label.
-    NULL when no suffix matches or the host IS a bare suffix.
+    """Adds ``out_col``: the registered (registrable) domain of
+    ``host_col`` under the REAL public-suffix-list rule semantics
+    (publicsuffix.org/list — the algorithm every browser ships):
 
-    Plan shape: ``max_suffix_labels`` broadcast left joins against the
-    suffix dim (PSL-sized — ~10k rows for the real list — bounded and
-    corpus-independent, so the broadcast is the right call here); the
-    candidate last-k-label strings are plain column expressions, no
-    explode, so the big side never shuffles."""
+    - plain rules (``com``, ``co.uk``, ``pvt.k12.ma.us``) match hosts
+      ending in the rule's labels;
+    - wildcard rules (``*.ck``) match with ``*`` standing for exactly
+      one label (so ``*.ck`` is a 2-label rule matching ``shop.ck``);
+    - exception rules (``!www.ck``) beat every other match and make the
+      matched labels THEMSELVES the registrable domain;
+    - among non-exception matches the LONGEST rule prevails, and the
+      registrable domain is the prevailing suffix plus one label — NULL
+      when the host IS the prevailing suffix (e.g. host ``co.uk`` with
+      rule ``co.uk`` has no registrable domain, even if ``uk`` is also
+      listed — the prevailing rule is the longest MATCH, full stop).
+
+    Plan shape: one broadcast left join per (rule length, rule kind)
+    against a filtered slice of the suffix dim (PSL-sized — ~10k rows
+    for the real list — bounded and corpus-independent, so broadcasting
+    is the right call); the candidate last-k-label strings are plain
+    column expressions, no explode and no dim-side aggregation, so the
+    big side never shuffles and the tier plan stays exchange-free."""
     labels = F.split(F.col(host_col), r"\.")
     n = F.size(labels)
     out = df.withColumn("__labels", labels).withColumn("__nl", n)
-    matched: list[Column] = []
+    nl = F.col("__nl")
+    # dims are unique by contract (the PSL and blocklists are sets); the
+    # per-kind slices are pure filters — no .distinct()/.groupBy(), which
+    # would put a dim-sized exchange in front of every broadcast build
+    sfx = suffixes.select("suffix")
+    n_rule_labels = F.size(F.split(F.col("suffix"), r"\."))
+    is_exc = F.col("suffix").startswith("!")
+    is_wild = F.col("suffix").startswith("*.")
+
+    def _cand(k: int) -> Column:
+        return F.when(
+            nl >= k,
+            F.array_join(F.slice(F.col("__labels"), nl - k + 1, k), "."),
+        )
+
+    drop = ["__labels", "__nl"]
+    exact_m: dict[int, Column] = {}
+    wild_m: dict[int, Column] = {}
+    exc_m: dict[int, Column] = {}
     for k in range(1, max_suffix_labels + 1):
-        cand = F.when(
-            F.col("__nl") >= k + 1,
-            F.array_join(F.slice(F.col("__labels"), F.col("__nl") - k + 1, k), "."),
+        out = out.withColumn(f"__cand{k}", _cand(k))
+        drop.append(f"__cand{k}")
+        # plain rules of k labels
+        dim = F.broadcast(
+            sfx.where(~is_exc & ~is_wild & (n_rule_labels == k)).select(
+                F.col("suffix").alias(f"__x{k}")
+            )
         )
-        # dims are unique by contract (the PSL and blocklists are sets);
-        # no .distinct() here — it would put a dim-sized exchange in
-        # front of every broadcast build
-        dim = F.broadcast(suffixes.select(F.col("suffix").alias(f"__sfx{k}")))
-        out = out.withColumn(f"__cand{k}", cand).join(
-            dim, F.col(f"__cand{k}") == F.col(f"__sfx{k}"), "left"
+        out = out.join(dim, F.col(f"__cand{k}") == F.col(f"__x{k}"), "left")
+        exact_m[k] = F.col(f"__x{k}").isNotNull()
+        drop.append(f"__x{k}")
+        # wildcard rules *.REM where REM has k labels (rule length k+1):
+        # the starred label must exist, so the match needs nl >= k+1
+        if k + 1 <= max_suffix_labels:
+            dimw = F.broadcast(
+                sfx.where(is_wild & (n_rule_labels == k + 1)).select(
+                    F.expr("substring(suffix, 3)").alias(f"__w{k}")
+                )
+            )
+            out = out.join(
+                dimw, F.col(f"__cand{k}") == F.col(f"__w{k}"), "left"
+            )
+            wild_m[k] = F.col(f"__w{k}").isNotNull() & (nl >= k + 1)
+            drop.append(f"__w{k}")
+        # exception rules !DOM where DOM has k labels
+        dime = F.broadcast(
+            sfx.where(is_exc & (n_rule_labels == k)).select(
+                F.expr("substring(suffix, 2)").alias(f"__e{k}")
+            )
         )
-        matched.append(F.col(f"__sfx{k}"))
-    reg = None
-    for k in range(max_suffix_labels, 0, -1):  # longest suffix wins
-        take = F.array_join(
-            F.slice(F.col("__labels"), F.col("__nl") - k, k + 1), "."
-        )
-        reg = (
-            F.when(matched[k - 1].isNotNull(), take)
-            if reg is None
-            else reg.when(matched[k - 1].isNotNull(), take)
-        )
+        out = out.join(dime, F.col(f"__cand{k}") == F.col(f"__e{k}"), "left")
+        exc_m[k] = F.col(f"__e{k}").isNotNull()
+        drop.append(f"__e{k}")
+    # effective prevailing-suffix length among non-exception matches:
+    # a plain k-label match contributes k; a wildcard *.REM match (REM
+    # of k labels) contributes k+1 (the starred label is part of the
+    # suffix)
+    contribs: list[Column] = [F.lit(0)]
+    for k, m in exact_m.items():
+        contribs.append(F.when(m, F.lit(k)).otherwise(F.lit(0)))
+    for k, m in wild_m.items():
+        contribs.append(F.when(m, F.lit(k + 1)).otherwise(F.lit(0)))
+    eff = F.greatest(*contribs) if len(contribs) > 1 else contribs[0]
+    reg = F.when(
+        (eff > 0) & (nl >= eff + 1),
+        F.array_join(F.slice(F.col("__labels"), nl - eff, eff + 1), "."),
+    )
+    # exception rules prevail over everything: the matched labels are
+    # the registrable domain (wrapping ascending leaves the LONGEST
+    # exception as the outermost — checked-first — branch)
+    for k in range(1, max_suffix_labels + 1):
+        reg = F.when(exc_m[k], F.col(f"__cand{k}")).otherwise(reg)
     out = out.withColumn(out_col, reg)
-    drop = ["__labels", "__nl"] + [
-        c for k in range(1, max_suffix_labels + 1)
-        for c in (f"__cand{k}", f"__sfx{k}")
-    ]
     return out.drop(*drop)
 
 
@@ -213,6 +293,8 @@ def url_filters(
     passthrough: list[str] | None = None,
     dedup: bool = True,
     keep: str = "first",
+    ts_col: str | None = None,
+    max_suffix_labels: int = 4,
 ) -> DataFrame:
     """The composed URL tier: per input row returns ``norm_url``,
     ``scheme``, ``host``, ``host_is_ip``, ``registered_domain``,
@@ -227,13 +309,16 @@ def url_filters(
       domain by construction (flagged so a policy tier can treat them
       separately; many curation pipelines drop them outright).
     - dedup: one survivor per ``norm_url`` — the tier's single shuffle,
-      keyed by the normalized URL. ``keep="first"`` (default, the
-      oracle-gated semantics) keeps the lowest ``id_col``;
-      ``keep="last"`` keeps the highest — the freshest-fetch policy
-      when ids are fetch-ordered, which is what a recrawl pipeline
-      usually wants. Unparseable rows (NULL ``norm_url``) are never
-      marked dups; they fail ``url_keep`` on the scheme/host predicate
-      instead.
+      keyed by the normalized URL. ``keep="first"`` (default) keeps the
+      earliest row; ``keep="last"`` keeps the latest — the
+      freshest-fetch recrawl policy. "Earliest/latest" is by ``ts_col``
+      when given (the EXPLICIT fetch-time policy, tie-broken by
+      ``id_col`` for determinism — r11, VERDICT r10 item 6) and by
+      ``id_col`` alone otherwise (the conventional policy, which is
+      only the fetch order if ids are fetch-ordered). A given
+      ``ts_col`` is carried into the output. Unparseable rows (NULL
+      ``norm_url``) are never marked dups; they fail ``url_keep`` on
+      the scheme/host predicate instead.
     - ``dedup=False`` drops the dedup window (``is_dup`` becomes
       constant False): every remaining stage is a stateless projection
       plus broadcast joins, so the tier runs UNCHANGED on a stream
@@ -245,6 +330,7 @@ def url_filters(
     host = F.regexp_replace(hostport, r":[0-9]+$", "")
     out = pages.select(
         id_col,
+        *([ts_col] if ts_col else []),
         *(passthrough or []),
         F.col(url_col).alias("url"),
         scheme.alias("scheme"),
@@ -252,7 +338,9 @@ def url_filters(
         host.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$").alias("host_is_ip"),
         normalize_url(F.col(url_col)).alias("norm_url"),
     )
-    out = with_registered_domain(out, suffixes)
+    out = with_registered_domain(
+        out, suffixes, max_suffix_labels=max_suffix_labels
+    )
     if blocklist is not None:
         dim = F.broadcast(
             blocklist.select(F.col("domain").alias("__blocked_domain"))
@@ -267,8 +355,9 @@ def url_filters(
     if keep not in ("first", "last"):
         raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
     if dedup:
-        order = F.col(id_col) if keep == "first" else F.col(id_col).desc()
-        w = Window.partitionBy("norm_url").orderBy(order)
+        keys = ([F.col(ts_col)] if ts_col else []) + [F.col(id_col)]
+        order = [c if keep == "first" else c.desc() for c in keys]
+        w = Window.partitionBy("norm_url").orderBy(*order)
         out = out.withColumn(
             "is_dup",
             F.when(
@@ -284,3 +373,115 @@ def url_filters(
         & ~F.col("blocked")
         & ~F.col("is_dup"),
     )
+
+
+# ------------------------------------------------------------------
+# Full percent-decode twin (r11, VERDICT r10 item 2): the expression
+# tier decodes only the three unreserved escapes it can spell as finite
+# replaces; this Arrow-batched twin finishes RFC 3986 §6.2.2.2 + §2.1
+# for the dedup key — the IDNA-twin pattern (expression tier stays the
+# oracle surface; the twin is equivalence- and property-tested).
+
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_HEX = frozenset("0123456789abcdefABCDEF")
+
+
+def percent_decode_full(s: str) -> str:
+    """One URL string → its percent-normalized form:
+
+    - ``%XX`` escapes of RFC 3986 UNRESERVED characters decode
+      (``%41`` → ``A``, ``%7e`` → ``~``) — §2.3: never changes the
+      resource;
+    - runs of escapes that form a valid multi-byte UTF-8 sequence
+      decode to their character (``%C3%BC`` → ``ü``) — the recrawl
+      variants IRI-vs-URI spellings produce;
+    - everything else stays ENCODED with uppercase hex digits
+      (``%2f`` → ``%2F``, §6.2.2.1) — decoding a reserved character
+      (``%2F`` → ``/``, ``%25`` → ``%``) WOULD change the resource,
+      so it never happens, which also makes the function idempotent
+      (no new ``%`` or decodable escape is ever introduced).
+
+    Pure function (tested directly + via hypothesis); the Spark face
+    is ``normalize_url_full_pandas``."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c != "%" or i + 2 >= n or s[i + 1] not in _HEX or s[i + 2] not in _HEX:
+            out.append(c)
+            i += 1
+            continue
+        # collect the maximal run of %XX escapes
+        run = bytearray()
+        j = i
+        while (
+            j + 2 < n
+            and s[j] == "%"
+            and s[j + 1] in _HEX
+            and s[j + 2] in _HEX
+        ):
+            run.append(int(s[j + 1 : j + 3], 16))
+            j += 3
+        # walk the byte run: unreserved ASCII decodes; a valid UTF-8
+        # multi-byte sequence decodes; anything else re-encodes upper
+        p, m = 0, len(run)
+        while p < m:
+            b = run[p]
+            ch = chr(b)
+            if ch in _UNRESERVED:
+                out.append(ch)
+                p += 1
+                continue
+            seq_len = (
+                2 if 0xC2 <= b <= 0xDF
+                else 3 if 0xE0 <= b <= 0xEF
+                else 4 if 0xF0 <= b <= 0xF4
+                else 0
+            )
+            if seq_len and p + seq_len <= m:
+                try:
+                    decoded = run[p : p + seq_len].decode("utf-8")
+                except UnicodeDecodeError:
+                    decoded = None
+                if decoded is not None:
+                    out.append(decoded)
+                    p += seq_len
+                    continue
+            out.append(f"%{b:02X}")
+            p += 1
+        i = j
+    return "".join(out)
+
+
+def normalize_url_full_pandas(
+    df: DataFrame, url_col: str = "norm_url", out_col: str = "norm_url_full"
+) -> DataFrame:
+    """Appends ``out_col`` = ``percent_decode_full(url_col)`` — the
+    FULL-percent-decode dedup key. Keying recrawl dedup on it unifies
+    ``/a%62c`` with ``/abc`` and ``/caf%C3%A9`` with ``/café``, which
+    the finite expression tier documents as out of reach. NULL inputs
+    pass through NULL. Zero-shuffle: one Arrow-batched ``mapInPandas``
+    projection appended to the input columns (the IDNA-twin shape,
+    ``idna_ascii_hosts_pandas`` above)."""
+    from typing import Iterator
+
+    import pandas as pd  # noqa: F811 — local for the pickled closure
+
+    if out_col in df.columns:
+        raise ValueError(f"column {out_col!r} already exists")
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    dec = percent_decode_full
+
+    def op(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                dec(u) if u is not None else None for u in pdf[url_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(op, f"{schema}, {out_col} string")

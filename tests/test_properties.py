@@ -295,32 +295,68 @@ def test_url_normalization_idempotent(spark, urls):
         assert r["n2"] == r["n1"], (r["url"], r["n1"], r["n2"])
 
 
-_SFX_LIST = ["com", "net", "org", "io", "uk", "co.uk", "ac.uk", "org.uk"]
-_dom_label = st.sampled_from(["a", "bb", "news", "co", "ac", "org", "x9"])
+_SFX_LIST = [
+    "com", "net", "org", "io", "uk", "co.uk", "ac.uk", "org.uk",
+    "us", "ma.us", "k12.ma.us", "pvt.k12.ma.us",   # depth-4 chain
+    "*.ck", "!www.ck", "*.news",                    # wildcard + exception
+]
+_dom_label = st.sampled_from(
+    ["a", "bb", "news", "co", "ac", "org", "x9", "ck", "www", "k12", "ma"]
+)
 _hosts = st.builds(
     lambda labels, sfx: ".".join(labels + ([sfx] if sfx else [])),
-    labels=st.lists(_dom_label, min_size=0, max_size=4),
-    sfx=st.sampled_from(_SFX_LIST + [""]),
+    labels=st.lists(_dom_label, min_size=0, max_size=5),
+    sfx=st.sampled_from(
+        [s for s in _SFX_LIST if not s.startswith(("*.", "!"))]
+        + ["ck", "www.ck", "x.ck", "pvt.k12.ma.us", ""]
+    ),
 )
 
 
 def _ref_registered(host: str) -> str | None:
-    """Independent longest-match reference (plain python)."""
+    """Independent PSL reference (plain python, publicsuffix.org
+    algorithm): collect ALL matching rules ('*' matches exactly one
+    label; '!' rules match their literal labels); an exception match
+    makes its own labels the registrable domain; otherwise the longest
+    match prevails and registrable = prevailing suffix + one label
+    (None when the host IS the prevailing suffix)."""
     labels = host.split(".")
-    for k in (3, 2, 1):
-        if len(labels) >= k + 1 and ".".join(labels[-k:]) in _SFX_LIST:
-            return ".".join(labels[-(k + 1):])
+    n = len(labels)
+    exc: list[int] = []
+    eff = 0
+    for rule in _SFX_LIST:
+        if rule.startswith("!"):
+            rl = rule[1:].split(".")
+            if n >= len(rl) and labels[-len(rl):] == rl:
+                exc.append(len(rl))
+            continue
+        rl = rule.split(".")
+        k = len(rl)
+        if n < k:
+            continue
+        tail = labels[-k:]
+        if all(a == "*" or a == b for a, b in zip(rl, tail)):
+            eff = max(eff, k)
+    if exc:
+        k = max(exc)
+        return ".".join(labels[-k:])
+    if eff and n >= eff + 1:
+        return ".".join(labels[-(eff + 1):])
     return None
 
 
 @settings(**_SETTINGS)
 @given(hosts=st.lists(_hosts, min_size=1, max_size=30))
 def test_registered_domain_matches_reference(spark, hosts):
-    """The 3-broadcast-join longest-suffix extraction agrees with an
-    independent python longest-match on generated hosts — including the
-    adversarial shapes where prepended labels EXTEND a short suffix into
-    a longer listed one ('co' + 'uk' -> co.uk must beat uk), bare
-    suffixes, and unlisted tails."""
+    """The per-(length, kind) broadcast-join PSL extraction agrees with
+    an independent python implementation of the publicsuffix.org
+    algorithm on generated hosts — including the adversarial shapes:
+    prepended labels EXTENDING a short suffix into a longer listed one
+    ('co' + 'uk' -> co.uk must beat uk), hosts that ARE a listed
+    multi-label suffix (no registrable domain, even when a shorter rule
+    also matches), wildcard-matched hosts, exception hosts and their
+    subdomains (exception must beat the wildcard), 4-label suffixes,
+    bare suffixes, and unlisted tails."""
     from bigdata_lab02_spark.operators.url import with_registered_domain
 
     df = spark.createDataFrame(
@@ -333,3 +369,32 @@ def test_registered_domain_matches_reference(spark, hosts):
     }
     for i, h in enumerate(hosts):
         assert got[i] == _ref_registered(h), (h, got[i])
+
+
+_pct_strings = st.text(
+    alphabet="ab/?&=%417EfFcC3A9.~_- é中",
+    min_size=0,
+    max_size=24,
+)
+
+
+@settings(**_SETTINGS)
+@given(ss=st.lists(_pct_strings, min_size=1, max_size=50))
+def test_percent_decode_full_idempotent_and_conservative(ss):
+    """percent_decode_full is a fixed point (dedup keys must not depend
+    on how many times the stage ran) and never decodes a reserved
+    escape: any %XX left in the output has uppercase hex and decodes to
+    a non-unreserved, non-UTF-8-lead byte."""
+    import re
+
+    from bigdata_lab02_spark.operators.url import (
+        _UNRESERVED,
+        percent_decode_full,
+    )
+
+    for s in ss:
+        once = percent_decode_full(s)
+        assert percent_decode_full(once) == once, (s, once)
+        for hx in re.findall(r"%([0-9A-Fa-f]{2})", once):
+            assert hx.upper() == hx, (s, once)
+            assert chr(int(hx, 16)) not in _UNRESERVED, (s, once)
