@@ -2128,20 +2128,13 @@ _WARC_404_BODY = "'<html>not found ' || doc_id || '</html>'"
 _WARC_PDF_BODY = "'%PDF-1.4 synthetic ' || doc_id"
 
 
-def q_warc_ingest(spark, sf_dir):
-    """WARC ingest gated end-to-end (sources.warc, r10): deterministic
-    WARC/1.0 bytes are GENERATED per document (CRLF headers,
-    octet-exact Content-Length over multi-byte text bodies, a
-    request+response two-record payload stripe, 404 / non-html /
-    revisit / request-only stripes), then parsed by the REAL record
-    walker + HTTP splitter. The oracle restates the expected extraction
-    from the fixture pieces directly — so a drifting header parse,
-    length slice, record-separator walk, or body passthrough flips the
-    row hashes. (Real-file .warc/.warc.gz reads and the composition
-    into the URL + crawl tiers are integration-tested in
-    tests/test_warc.py.)"""
-    from bigdata_lab02_spark.sources.warc import warc_records
-
+def _warc_fixture_payloads(spark, sf_dir):
+    """The deterministic WARC fixture as a (doc_id, content) frame —
+    shared by the ingest and revisit gates. r11: every record carries a
+    deterministic ``WARC-Record-ID`` (``<urn:test:DOC:IDX>``), and the
+    revisit stripe (s=3) carries ``WARC-Refers-To`` naming the response
+    record of payload doc_id-3 (which is the s=0 request+response
+    stripe, so the referenced record exists and has idx 1)."""
     crlf = "chr(13) || chr(10)"
     docs = _t(spark, sf_dir, "documents")
     staged = docs.selectExpr(
@@ -2164,27 +2157,57 @@ def q_warc_ingest(spark, sf_dir):
         f"'GET /p/' || doc_id || ' HTTP/1.1' || {crlf} || {crlf} AS reqblock",
     )
 
-    def rec(wtype: str, uri: str, block: str) -> str:
+    def rec(wtype: str, uri: str, block: str, idx: str,
+            refers: str | None = None) -> str:
+        ref = (
+            f" || 'WARC-Refers-To: ' || {refers} || {crlf}" if refers else ""
+        )
         return (
             f"'WARC/1.0' || {crlf} || 'WARC-Type: ' || {wtype} || {crlf}"
+            f" || 'WARC-Record-ID: <urn:test:' || doc_id || ':' || {idx}"
+            f" || '>' || {crlf}"
+            f"{ref}"
             f" || 'WARC-Date: ' || {_WARC_DATE} || {crlf}"
             f" || 'WARC-Target-URI: ' || {uri} || {crlf}"
             f" || 'Content-Length: ' || octet_length({block}) || {crlf}"
             f" || {crlf} || {block} || {crlf} || {crlf}"
         )
 
-    payload = staged.selectExpr(
+    refers_expr = "'<urn:test:' || (doc_id - 3) || ':1>'"
+    return staged.selectExpr(
         "doc_id",
         f"""CAST(CASE WHEN s = 0
-          THEN {rec("'request'", 'uri', 'reqblock')} || {rec('wtype', 'uri', 'block')}
-          ELSE {rec('wtype', 'uri', 'block')}
+          THEN {rec("'request'", 'uri', 'reqblock', '0')}
+            || {rec('wtype', 'uri', 'block', '1')}
+          WHEN s = 3 THEN {rec('wtype', 'uri', 'block', '0', refers_expr)}
+          ELSE {rec('wtype', 'uri', 'block', '0')}
         END AS BINARY) AS content""",
     )
+
+
+def q_warc_ingest(spark, sf_dir):
+    """WARC ingest gated end-to-end (sources.warc, r10): deterministic
+    WARC/1.0 bytes are GENERATED per document (CRLF headers,
+    octet-exact Content-Length over multi-byte text bodies, a
+    request+response two-record payload stripe, 404 / non-html /
+    revisit / request-only stripes), then parsed by the REAL record
+    walker + HTTP splitter. r11 adds the WARC-Record-ID / WARC-Refers-To
+    columns to the hashed surface. The oracle restates the expected
+    extraction from the fixture pieces directly — so a drifting header
+    parse, length slice, record-separator walk, or body passthrough
+    flips the row hashes. (Real-file .warc/.warc.gz reads and the
+    composition into the URL + crawl tiers are integration-tested in
+    tests/test_warc.py.)"""
+    from bigdata_lab02_spark.sources.warc import warc_records
+
+    payload = _warc_fixture_payloads(spark, sf_dir)
     out = warc_records(payload, payload_col="content", id_col="doc_id")
     return out.select(
         "doc_id",
         "record_idx",
         "warc_type",
+        "record_id",
+        "refers_to",
         "target_uri",
         "warc_date",
         "http_status",
@@ -2195,15 +2218,57 @@ def q_warc_ingest(spark, sf_dir):
     )
 
 
-_WARC_SQL = f"""
-WITH s AS (SELECT doc_id, doc_id % 5 AS s, {_WARC_URI} AS uri,
+def q_warc_revisits(spark, sf_dir):
+    """WARC revisit resolution gated end-to-end (r11, VERDICT r10
+    item 7): the fixture's revisit stripe (s=3, empty body, a
+    WARC-Refers-To naming payload doc_id-3's response record) through
+    ``resolve_revisits`` — the WARC-Refers-To → WARC-Record-ID
+    equi-join that CommonCrawl-style dedup pipelines need before the
+    text tiers run. Resolved revisits take the ORIGINAL's
+    body/status/content-type (the oracle recomputes them from the
+    referenced document's text in closed form); every other record
+    passes through unchanged with ``resolved``=false and NULL
+    ``resolved_from``."""
+    from bigdata_lab02_spark.sources.warc import (
+        resolve_revisits,
+        warc_records,
+    )
+
+    payload = _warc_fixture_payloads(spark, sf_dir)
+    recs = warc_records(payload, payload_col="content", id_col="doc_id")
+    out = resolve_revisits(recs)
+    return out.select(
+        "doc_id",
+        "record_idx",
+        "warc_type",
+        "record_id",
+        "refers_to",
+        "resolved",
+        "resolved_from",
+        "http_status",
+        "http_content_type",
+        F.md5(F.col("body")).alias("body_md5"),
+        F.length(F.col("body")).cast("int").alias("body_bytes"),
+        "parse_ok",
+    )
+
+
+# Shared expected-record CTE chain for the WARC gates: one row per
+# fixture record with ids, refers_to, HTTP fields, and body hashes —
+# `wall` ends with every warc_records output column restated.
+_WARC_ROWS_SQL = f"""
+ws AS (SELECT doc_id, doc_id % 5 AS s, {_WARC_URI} AS uri,
   {_WARC_HTML_BODY} AS html_body, {_WARC_404_BODY} AS nf_body,
   {_WARC_PDF_BODY} AS pdf_body FROM documents),
-resp AS (
+wresp AS (
   SELECT doc_id,
     CAST(CASE WHEN s = 0 THEN 1 ELSE 0 END AS INT) AS record_idx,
     CASE s WHEN 3 THEN 'revisit' WHEN 4 THEN 'request'
       ELSE 'response' END AS warc_type,
+    '<urn:test:' || doc_id || ':' ||
+      (CASE WHEN s = 0 THEN 1 ELSE 0 END) || '>' AS record_id,
+    CASE WHEN s = 3 THEN '<urn:test:' || (doc_id - 3) || ':1>'
+      END AS refers_to,
     uri AS target_uri, {_WARC_DATE} AS warc_date,
     CAST(CASE s WHEN 0 THEN 200 WHEN 1 THEN 404 WHEN 2 THEN 200
       END AS INT) AS http_status,
@@ -2214,16 +2279,48 @@ resp AS (
     CAST(CASE s WHEN 0 THEN strlen(html_body) WHEN 1 THEN strlen(nf_body)
       WHEN 2 THEN strlen(pdf_body) END AS INT) AS body_bytes,
     TRUE AS parse_ok
-  FROM s),
-reqs AS (
+  FROM ws),
+wreqs AS (
   SELECT doc_id, CAST(0 AS INT) AS record_idx, 'request' AS warc_type,
+    '<urn:test:' || doc_id || ':0>' AS record_id,
+    CAST(NULL AS VARCHAR) AS refers_to,
     uri AS target_uri, {_WARC_DATE} AS warc_date,
     CAST(NULL AS INT) AS http_status,
     CAST(NULL AS VARCHAR) AS http_content_type,
     CAST(NULL AS VARCHAR) AS body_md5, CAST(NULL AS INT) AS body_bytes,
     TRUE AS parse_ok
-  FROM s WHERE s = 0)
-SELECT * FROM resp UNION ALL SELECT * FROM reqs
+  FROM ws WHERE s = 0),
+wall AS (SELECT * FROM wresp UNION ALL SELECT * FROM wreqs)
+"""
+
+_WARC_SQL = f"""
+WITH {_WARC_ROWS_SQL}
+SELECT * FROM wall
+"""
+
+# Revisit resolution (r11): s=3 rows take the referenced original's
+# status/content-type/body (recomputed in closed form from the
+# referenced document's text); everything else passes through with
+# resolved=false. doc_id-3 of an s=3 row is the s=0 stripe, so the
+# reference always exists in the fixture.
+_WARC_REVISITS_SQL = f"""
+WITH {_WARC_ROWS_SQL}
+SELECT w.doc_id, w.record_idx, w.warc_type, w.record_id, w.refers_to,
+  (w.warc_type = 'revisit') AS resolved,
+  CASE WHEN w.warc_type = 'revisit' THEN w.refers_to END AS resolved_from,
+  CASE WHEN w.warc_type = 'revisit' THEN 200
+    ELSE w.http_status END AS http_status,
+  CASE WHEN w.warc_type = 'revisit' THEN 'text/html'
+    ELSE w.http_content_type END AS http_content_type,
+  CASE WHEN w.warc_type = 'revisit' THEN
+    md5('<html><body><p>' || d2.text || '</p></body></html>')
+    ELSE w.body_md5 END AS body_md5,
+  CAST(CASE WHEN w.warc_type = 'revisit' THEN
+    strlen('<html><body><p>' || d2.text || '</p></body></html>')
+    ELSE w.body_bytes END AS INT) AS body_bytes,
+  w.parse_ok
+FROM wall w LEFT JOIN documents d2 ON d2.doc_id = w.doc_id - 3
+  AND w.warc_type = 'revisit'
 """
 
 
@@ -5327,6 +5424,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # every pytest run (real .warc/.warc.gz files + the composition
     # into url_filters/crawl_curation are integration-tested).
     "warc_ingest": q_warc_ingest,
+    # warc_revisits (r11, VERDICT r10 item 7): WARC-Refers-To →
+    # WARC-Record-ID revisit resolution over the same fixture — the
+    # equi-join CommonCrawl dedup pipelines need; registered into the
+    # overflow, oracle-gated every pytest run.
+    "warc_revisits": q_warc_revisits,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -5341,6 +5443,7 @@ ROTATED_OUT: set[str] = {
     "gopher_rules", "c4_filters", "resize_mixed", "gopher_repetition",
     "media_metadata", "bpe_pipeline", "embedding_dup_pairs",
     "jpeg_lossless", "warc_ingest", "jpeg_cmyk",
+    "warc_revisits",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -5447,9 +5550,14 @@ _R10_NEW = {
     "warc_ingest",
     "jpeg_cmyk",
 }
+# Round-11 registrations: WARC revisit resolution (VERDICT r10 item 7).
+_R11_NEW = {
+    "warc_revisits",
+}
 REGISTERED_SINCE: dict[str, int] = {
     name: (
-        10 if name in _R10_NEW
+        11 if name in _R11_NEW
+        else 10 if name in _R10_NEW
         else 9 if name in _R9_NEW
         else 8 if name in _R8_NEW
         else 7 if name in _R7_NEW
@@ -5543,6 +5651,7 @@ _ORACLES: dict[str, str] = {
     "url_filters": _URL_SQL,
     "jpeg_lossless": _JPEG_LOSSLESS_SQL,
     "warc_ingest": _WARC_SQL,
+    "warc_revisits": _WARC_REVISITS_SQL,
     "jpeg_cmyk": _JPEG_CMYK_SQL,
     "bpe_pipeline": _BPE_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,
