@@ -1792,7 +1792,9 @@ _URL_SFX_VALUES = ", ".join(f"('{s}')" for s in _URL_SUFFIXES)
 _URL_BLK_VALUES = ", ".join(f"('{d}')" for d in _URL_BLOCKLIST)
 
 
-def _url_tier_sql(fixture_expr: str, ts_expr: str | None = None) -> str:
+def _url_tier_sql(
+    fixture_expr: str, ts_expr: str | None = None, src: str = "documents"
+) -> str:
     """operators/url restated for DuckDB, step for step: the CTE chain
     ends in ``uw`` with every tier column (url, scheme, host, norm_url,
     registered_domain, blocked, is_dup, url_keep) per doc_id — reused
@@ -1851,7 +1853,7 @@ def _url_tier_sql(fixture_expr: str, ts_expr: str | None = None) -> str:
         for k in range(max_k, 0, -1)
     )
     return rf"""
-ufx AS (SELECT doc_id, {fixture_expr} AS url{ts_sel} FROM documents),
+ufx AS (SELECT doc_id, {fixture_expr} AS url{ts_sel} FROM {src}),
 usfx(suffix) AS (SELECT * FROM (VALUES {_URL_SFX_VALUES})),
 ublk(domain) AS (SELECT * FROM (VALUES {_URL_BLK_VALUES})),
 up AS (SELECT ufx.*,
@@ -1993,10 +1995,22 @@ def q_crawl_curation_pipeline(spark, sf_dir):
 # math over the C4 clean_text, and the generated repetition SQL re-rooted
 # at the same clean_text stage (nested WITH referencing the outer cfv
 # CTE — DuckDB scopes outer CTEs into subqueries).
-_CRAWL_SQL = rf"""
-WITH {_url_tier_sql(_CRAWL_URL_FIXTURE_EXPR)},
+def _crawl_chain_sql(
+    url_fixture: str,
+    src: str = "documents",
+    extra_select: str = "",
+    pre_ctes: str = "",
+) -> str:
+    """The composed crawl oracle as a builder (r11): the same
+    URL-tier → html → C4 → Gopher → repetition → LID chain, rooted at
+    ``src`` (``pre_ctes`` may define it) so the WARC→URL→crawl gate
+    can restate the chain over the WARC response SURVIVORS instead of
+    all documents. ``extra_select`` injects extra output columns
+    right after doc_id (the warc gate adds the decode charset)."""
+    return rf"""
+WITH {pre_ctes}{_url_tier_sql(url_fixture, src=src)},
 pages AS (SELECT doc_id, {_HTML_FIXTURE_EXPR} AS html
-          FROM documents JOIN uw USING (doc_id) WHERE uw.url_keep),
+          FROM {src} JOIN uw USING (doc_id) WHERE uw.url_keep),
 hp AS (SELECT doc_id, html, {_html_nonprose_sql('html')} AS prose_html
        FROM pages),
 hs AS (SELECT doc_id, html, prose_html,
@@ -2091,7 +2105,7 @@ lidv AS (SELECT doc_id, CASE
       AND greatest(s_en, s_es, s_fr, s_de) > 0 THEN 'de'
     ELSE 'und' END AS pred_lang
   FROM lid2)
-SELECT c.doc_id, u.norm_url, u.registered_domain, c.n_tags, c.n_links,
+SELECT c.doc_id,{extra_select} u.norm_url, u.registered_domain, c.n_tags, c.n_links,
   round(c.link_text_frac, 6) AS link_text_frac,
   round(c.markup_frac, 6) AS markup_frac,
   c.n_lines, c.n_kept_lines, c.n_sentences, c.bad_doc_marker, c.c4_keep,
@@ -2110,6 +2124,9 @@ FROM cfv c JOIN gv g USING (doc_id) JOIN rep r USING (doc_id)
   JOIN uw u ON u.doc_id = c.doc_id
   JOIN lidv l ON l.doc_id = c.doc_id
 """
+
+
+_CRAWL_SQL = _crawl_chain_sql(_CRAWL_URL_FIXTURE_EXPR)
 
 
 # --------------------------------------------------- WARC ingest (r10)
@@ -2322,6 +2339,125 @@ SELECT w.doc_id, w.record_idx, w.warc_type, w.record_id, w.refers_to,
 FROM wall w LEFT JOIN documents d2 ON d2.doc_id = w.doc_id - 3
   AND w.warc_type = 'revisit'
 """
+
+
+def q_warc_crawl_pipeline(spark, sf_dir):
+    """The FULL CommonCrawl-shaped path under one oracle (r11, VERDICT
+    r10 item 5): deterministic WARC bytes per document (response
+    stripes on doc_id % 7 — 404s, application/pdf, a
+    ``charset=UTF-8`` Content-Type parameter, plain text/html) →
+    ``warc_records`` framing → response/status/content-type routing →
+    ``decode_bodies`` charset-aware text decode → the URL tier
+    (normalize → PSL domain → blocklist → recrawl dedup over the
+    SURVIVORS — the dedup window is computed on what the routing kept,
+    which is why the oracle roots the tier at the survivor set) →
+    html → C4 → Gopher → repetition → LID. Every stage is separately
+    gated; THIS gate proves the warc-side handoffs: the decoded body
+    must be byte-identical to the fixture html (framing slices pay in
+    every downstream hash), the WARC-Target-URI feeds the URL tier
+    verbatim, and the decode ``charset`` (header-derived ``UTF-8`` on
+    the %7=2 stripe vs fallback ``utf-8``) rides through the whole
+    chain into the hashed output."""
+    from bigdata_lab02_spark.operators.crawl import crawl_curation
+    from bigdata_lab02_spark.sources.warc import decode_bodies, warc_records
+
+    crlf = "chr(13) || chr(10)"
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.selectExpr(
+        "doc_id",
+        f"{_CRAWL_URL_FIXTURE_EXPR} AS uri",
+        f"{_HTML_FIXTURE_EXPR} AS html",
+        "doc_id % 7 AS s7",
+    ).selectExpr(
+        "doc_id",
+        "uri",
+        f"""CASE s7
+          WHEN 0 THEN 'HTTP/1.1 404 X' || {crlf}
+            || 'Content-Type: text/html' || {crlf} || {crlf} || html
+          WHEN 1 THEN 'HTTP/1.1 200 X' || {crlf}
+            || 'Content-Type: application/pdf' || {crlf} || {crlf}
+            || '%PDF-1.4 synthetic ' || doc_id
+          WHEN 2 THEN 'HTTP/1.1 200 X' || {crlf}
+            || 'Content-Type: text/html; charset=UTF-8' || {crlf} || {crlf}
+            || html
+          ELSE 'HTTP/1.1 200 X' || {crlf}
+            || 'Content-Type: text/html' || {crlf} || {crlf} || html
+        END AS block""",
+    )
+    payload = staged.selectExpr(
+        "doc_id",
+        f"""CAST('WARC/1.0' || {crlf} || 'WARC-Type: response' || {crlf}
+          || 'WARC-Record-ID: <urn:test:' || doc_id || ':0>' || {crlf}
+          || 'WARC-Date: ' || {_WARC_DATE} || {crlf}
+          || 'WARC-Target-URI: ' || uri || {crlf}
+          || 'Content-Length: ' || octet_length(block) || {crlf}
+          || {crlf} || block || {crlf} || {crlf} AS BINARY) AS content""",
+    )
+    recs = warc_records(payload, payload_col="content", id_col="doc_id")
+    resp = recs.where(
+        (F.col("warc_type") == "response")
+        & F.col("parse_ok")
+        & (F.col("http_status") == 200)
+        & F.col("http_content_type").startswith("text/html")
+    )
+    pages = decode_bodies(resp).select(
+        "doc_id",
+        F.col("target_uri").alias("url"),
+        F.col("text").alias("html"),
+        "charset",
+    )
+    sfx, blk = _url_dims(spark)
+    out = crawl_curation(
+        pages, url_col="url", suffixes=sfx, blocklist=blk,
+        lid=True, keep_langs=["en", "de", "fr"], passthrough=["charset"],
+    )
+    return out.select(
+        "doc_id",
+        "charset",
+        "norm_url",
+        "registered_domain",
+        "n_tags",
+        "n_links",
+        F.round("link_text_frac", 6).alias("link_text_frac"),
+        F.round("markup_frac", 6).alias("markup_frac"),
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        "bad_doc_marker",
+        "c4_keep",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_ratio", 6).alias("symbol_ratio"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        "n_stop_hits",
+        "quality_keep",
+        "dup_line_frac",
+        "top_2gram_char_frac",
+        "rep_keep",
+        "pred_lang",
+        "lang_keep",
+        "clean_text",
+        "keep",
+    )
+
+
+# The composed warc→url→crawl oracle: the WARC framing round-trip is
+# identity on the fixture html (the warc gates pin that), so the chain
+# restates as the crawl oracle rooted at the response SURVIVOR set
+# (doc_id % 7 routing: 0 = 404, 1 = pdf — both dropped before the URL
+# tier, which changes the recrawl-dedup window vs the plain crawl gate)
+# plus the closed-form decode charset.
+_WARC_CRAWL_SQL = _crawl_chain_sql(
+    _CRAWL_URL_FIXTURE_EXPR,
+    src="wdocs",
+    extra_select=(
+        " CASE WHEN c.doc_id % 7 = 2 THEN 'UTF-8'"
+        " ELSE 'utf-8' END AS charset,"
+    ),
+    pre_ctes=(
+        "wdocs AS (SELECT * FROM documents WHERE doc_id % 7 NOT IN (0, 1)),\n"
+    ),
+)
 
 
 def q_bpe_pipeline(spark, sf_dir):
@@ -5429,6 +5565,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # equi-join CommonCrawl dedup pipelines need; registered into the
     # overflow, oracle-gated every pytest run.
     "warc_revisits": q_warc_revisits,
+    # warc_crawl_pipeline (r11, VERDICT r10 item 5): the full
+    # CommonCrawl-shaped composition — WARC framing → HTTP routing →
+    # charset decode → URL tier → crawl curation — under ONE oracle;
+    # registered into the overflow, oracle-gated every pytest run.
+    "warc_crawl_pipeline": q_warc_crawl_pipeline,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -5443,7 +5584,7 @@ ROTATED_OUT: set[str] = {
     "gopher_rules", "c4_filters", "resize_mixed", "gopher_repetition",
     "media_metadata", "bpe_pipeline", "embedding_dup_pairs",
     "jpeg_lossless", "warc_ingest", "jpeg_cmyk",
-    "warc_revisits",
+    "warc_revisits", "warc_crawl_pipeline",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -5553,6 +5694,7 @@ _R10_NEW = {
 # Round-11 registrations: WARC revisit resolution (VERDICT r10 item 7).
 _R11_NEW = {
     "warc_revisits",
+    "warc_crawl_pipeline",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -5652,6 +5794,7 @@ _ORACLES: dict[str, str] = {
     "jpeg_lossless": _JPEG_LOSSLESS_SQL,
     "warc_ingest": _WARC_SQL,
     "warc_revisits": _WARC_REVISITS_SQL,
+    "warc_crawl_pipeline": _WARC_CRAWL_SQL,
     "jpeg_cmyk": _JPEG_CMYK_SQL,
     "bpe_pipeline": _BPE_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,

@@ -60,6 +60,7 @@ def crawl_curation(
     blocklist: DataFrame | None = None,
     lid: bool = False,
     keep_langs: list[str] | None = None,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """The full crawl → curation chain as one zero-shuffle projection.
 
@@ -90,7 +91,11 @@ def crawl_curation(
     language-select → quality). The real trigram NB classifier
     (``textstats.language_id``) stays the second-stage operator for
     the docs the prefilter can't call — at 100 TB you run the
-    projection first and the model join only on the residue."""
+    projection first and the model join only on the residue.
+
+    ``passthrough`` (r11) threads extra input columns through every
+    stage into the output (right after ``doc_id``) — e.g. the WARC
+    decode's ``charset`` in the warc→url→crawl composition."""
     if id_col != "doc_id":
         if "doc_id" in pages.columns:
             raise ValueError(
@@ -98,6 +103,7 @@ def crawl_curation(
                 f"before using id_col={id_col!r}"
             )
         pages = pages.withColumnRenamed(id_col, "doc_id")
+    extra = list(passthrough or [])
     url_features: list[str] = []
     if url_col is not None:
         if suffixes is None:
@@ -110,20 +116,21 @@ def crawl_curation(
             blocklist,
             url_col=url_col,
             id_col="doc_id",
-            passthrough=[html_col],
+            passthrough=[html_col, *extra],
         )
         url_features = ["norm_url", "registered_domain"]
         pages = uf.where(F.col("url_keep")).select(
-            "doc_id", html_col, *url_features
+            "doc_id", html_col, *extra, *url_features
         )
     ext = extract_html(
-        pages, html_col=html_col, id_col="doc_id", passthrough=url_features
+        pages, html_col=html_col, id_col="doc_id",
+        passthrough=extra + url_features,
     )
     c4 = c4_filters(
         ext,
         min_words_per_line=min_words_per_line,
         min_sentences=min_sentences,
-        passthrough=url_features + _HTML_FEATURES,
+        passthrough=extra + url_features + _HTML_FEATURES,
     ).withColumnRenamed("keep", "c4_keep")
     quality = gopher_rules(
         c4, text_col="clean_text", min_words=min_words
@@ -132,7 +139,8 @@ def crawl_curation(
         quality,
         text_col="clean_text",
         passthrough=(
-            url_features
+            extra
+            + url_features
             + _HTML_FEATURES
             + _C4_FEATURES
             + ["c4_keep", "clean_text"]
@@ -158,6 +166,7 @@ def crawl_curation(
         keep_expr = keep_expr & F.col("lang_keep")
     out = rep.select(
         "doc_id",
+        *extra,
         *url_features,
         *_HTML_FEATURES,
         *_C4_FEATURES,
