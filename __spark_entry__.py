@@ -4151,6 +4151,187 @@ def q_media_metadata(spark, sf_dir):
     return extract_media_metadata(media)
 
 
+# Orientation assignment for the exif_orientation gate: decorrelated
+# from the %16 stripe family so every family sees several tags, with a
+# NO-EXIF stripe (media_id % 4 == 3) pinning the default-to-1 path.
+_EXIF_O_EXPR = "((media_id % 8) + (media_id div 8)) % 8 + 1"
+
+
+def q_exif_orientation(spark, sf_dir):
+    """EXIF orientation APPLIED in the pixel tier, gated end-to-end
+    (r11, VERDICT r10 item 4): the synthetic_jpeg corpus (minus the two
+    truncation stripes, whose header survival isn't cleanly restatable
+    — the media_metadata precedent) gets a real APP1 segment spliced
+    with orientation cycling all 8 tags (no-EXIF stripe %4==3 defaults
+    to 1), then apply_orientation decodes, transposes/flips, and emits
+    dims + total + FIRST-ROW/FIRST-COLUMN per-channel sums. Totals are
+    orientation-invariant; the (row0, col0) pair maps to a DISTINCT
+    input edge per tag (top/bottom row, left/right column), so the
+    oracle restates each edge sum from the block-constant closed form
+    and any wrong/missing transform flips the hashes — including the
+    width/height swap on tags 5-8. RST-tampered stripes (7/15) pin the
+    honest split: the header-scanned orientation is still reported
+    while the entropy decode fails (decode_ok=false, NULL stats).
+    (sf_dir unused: media is generated.)"""
+    from bigdata_lab02_spark.operators.multimodal import (
+        apply_orientation,
+        splice_exif,
+        synthetic_jpeg,
+    )
+
+    media = synthetic_jpeg(spark, 64).where(
+        ~(F.col("media_id") % 16).isin(3, 11)
+    )
+    media = media.withColumn(
+        "exif_orientation_in",
+        F.when(
+            F.col("media_id") % 4 != 3, F.expr(_EXIF_O_EXPR)
+        ).cast("int"),
+    )
+    media = splice_exif(media).drop("exif_orientation_in")
+    return apply_orientation(media).drop("payload", "channels")
+
+
+def _exif_orient_sql() -> str:
+    """Closed-form oracle for q_exif_orientation: per-block decoded
+    constants (the jpeg_decode quant roundtrip, via the shared
+    _q16/_q17/_cl255 helpers) × per-block edge extents → the four input
+    edge sums per channel; the orientation then picks which edge lands
+    in row 0 / column 0 of the output (and whether dims swap)."""
+    y1 = _q16(_cl255("0.299*r + 0.587*g + 0.114*b"))
+    cb1 = _q17(_cl255("128 - 0.168736*r - 0.331264*g + 0.5*b"))
+    cr1 = _q17(_cl255("128 + 0.5*r - 0.418688*g - 0.081312*b"))
+    consts = (
+        "(i.media_id * 31 + bx.range * 7 + by.range * 13) % 256 AS r,\n"
+        "    (i.media_id * 17 + bx.range * 11 + by.range * 3) % 256 AS g,\n"
+        "    (i.media_id * 29 + bx.range * 5 + by.range * 19) % 256 AS b"
+    )
+    consts420 = (
+        "(i.media_id * 31 + bx.range * 7) % 256 AS r,\n"
+        "    (i.media_id * 17 + bx.range * 11) % 256 AS g,\n"
+        "    (i.media_id * 29 + bx.range * 5) % 256 AS b"
+    )
+    edge_aggs = ",\n  ".join(
+        f"""CAST(sum(CASE WHEN by = 0 THEN {c}1 * ext_x ELSE 0 END) AS BIGINT)
+    AS top_{c},
+  CAST(sum(CASE WHEN by = nby - 1 THEN {c}1 * ext_x ELSE 0 END) AS BIGINT)
+    AS bot_{c},
+  CAST(sum(CASE WHEN bx = 0 THEN {c}1 * ext_y ELSE 0 END) AS BIGINT)
+    AS left_{c},
+  CAST(sum(CASE WHEN bx = nbx - 1 THEN {c}1 * ext_y ELSE 0 END) AS BIGINT)
+    AS right_{c},
+  CAST(sum({c}1 * ext_x * ext_y) AS BIGINT) AS sum_{c}"""
+        for c in ("r", "g", "b")
+    )
+    pick = ",\n  ".join(
+        f"""CASE WHEN o IN (1, 2) THEN top_{c} WHEN o IN (3, 4) THEN bot_{c}
+       WHEN o IN (5, 6) THEN left_{c} ELSE right_{c} END AS row0_sum_{c},
+  CASE WHEN o IN (1, 4) THEN left_{c} WHEN o IN (2, 3) THEN right_{c}
+       WHEN o IN (5, 8) THEN top_{c} ELSE bot_{c} END AS col0_sum_{c}"""
+        for c in ("r", "g", "b")
+    )
+    return f"""
+WITH ids AS (
+  SELECT range AS media_id,
+    CASE WHEN range % 4 = 3 THEN 1
+      ELSE ((range % 8) + (range // 8)) % 8 + 1 END AS o
+  FROM range(64) WHERE range % 16 NOT IN (3, 11)),
+blk AS (
+  -- 4:4:4 full blocks (8-grid)
+  SELECT i.media_id, CAST(8 * (2 + i.media_id % 3) AS INT) AS w,
+    CAST(8 * (2 + i.media_id % 2) AS INT) AS h,
+    bx.range AS bx, by.range AS by,
+    2 + i.media_id % 3 AS nbx, 2 + i.media_id % 2 AS nby,
+    8 AS ext_x, 8 AS ext_y, FALSE AS is_gray,
+    {consts}
+  FROM ids i, range(4) bx, range(3) by
+  WHERE i.media_id % 16 IN (0, 4, 8, 10)
+    AND bx.range < 2 + i.media_id % 3 AND by.range < 2 + i.media_id % 2
+  UNION ALL
+  -- non-MCU-multiple 4:4:4 (partial edge blocks)
+  SELECT i.media_id, CAST(8 * (2 + i.media_id % 3) + 6 AS INT) AS w,
+    CAST(8 * (2 + i.media_id % 2) + 4 AS INT) AS h,
+    bx.range AS bx, by.range AS by,
+    3 + i.media_id % 3 AS nbx, 3 + i.media_id % 2 AS nby,
+    CAST(least(8, 8 * (2 + i.media_id % 3) + 6 - bx.range * 8) AS INT)
+      AS ext_x,
+    CAST(least(8, 8 * (2 + i.media_id % 2) + 4 - by.range * 8) AS INT)
+      AS ext_y,
+    FALSE AS is_gray,
+    {consts}
+  FROM ids i, range(5) bx, range(4) by
+  WHERE i.media_id % 16 = 2
+    AND bx.range < 3 + i.media_id % 3 AND by.range < 3 + i.media_id % 2
+  UNION ALL
+  -- 4:2:0 (16-grid, one MCU row)
+  SELECT i.media_id, CAST(16 * (1 + i.media_id % 3) AS INT) AS w,
+    CAST(16 AS INT) AS h,
+    bx.range AS bx, by.range AS by,
+    1 + i.media_id % 3 AS nbx, 1 AS nby,
+    16 AS ext_x, 16 AS ext_y, FALSE AS is_gray,
+    {consts420}
+  FROM ids i, range(3) bx, range(1) by
+  WHERE i.media_id % 16 IN (1, 5, 9, 14) AND bx.range < 1 + i.media_id % 3
+  UNION ALL
+  -- 4:2:2 (16x8 MCUs, two MCU rows)
+  SELECT i.media_id, CAST(16 * (1 + i.media_id % 3) AS INT) AS w,
+    CAST(16 AS INT) AS h,
+    bx.range AS bx, by.range AS by,
+    1 + i.media_id % 3 AS nbx, 2 AS nby,
+    16 AS ext_x, 8 AS ext_y, FALSE AS is_gray,
+    {consts}
+  FROM ids i, range(3) bx, range(2) by
+  WHERE i.media_id % 16 = 13 AND bx.range < 1 + i.media_id % 3
+  UNION ALL
+  -- grayscale (8-grid; decode replicates Y into RGB)
+  SELECT i.media_id, CAST(8 * (2 + i.media_id % 3) AS INT) AS w,
+    CAST(8 * (2 + i.media_id % 2) AS INT) AS h,
+    bx.range AS bx, by.range AS by,
+    2 + i.media_id % 3 AS nbx, 2 + i.media_id % 2 AS nby,
+    8 AS ext_x, 8 AS ext_y, TRUE AS is_gray,
+    {consts}
+  FROM ids i, range(4) bx, range(3) by
+  WHERE i.media_id % 16 IN (6, 12)
+    AND bx.range < 2 + i.media_id % 3 AND by.range < 2 + i.media_id % 2),
+ycc AS (
+  SELECT media_id, w, h, bx, by, nbx, nby, ext_x, ext_y, is_gray,
+    {y1} AS y1, {cb1} AS cb1, {cr1} AS cr1
+  FROM blk),
+dec AS (
+  SELECT media_id, w, h, bx, by, nbx, nby, ext_x, ext_y,
+    CASE WHEN is_gray THEN y1
+      ELSE {_cl255("y1 + 1.402*(cr1-128)")} END AS r1,
+    CASE WHEN is_gray THEN y1
+      ELSE {_cl255("y1 - 0.344136*(cb1-128) - 0.714136*(cr1-128)")}
+      END AS g1,
+    CASE WHEN is_gray THEN y1
+      ELSE {_cl255("y1 + 1.772*(cb1-128)")} END AS b1
+  FROM ycc),
+edges AS (
+  SELECT media_id, w, h,
+  {edge_aggs}
+  FROM dec GROUP BY media_id, w, h)
+SELECT e.media_id, CAST(i.o AS INT) AS orientation,
+  CAST(CASE WHEN i.o >= 5 THEN e.h ELSE e.w END AS INT) AS width,
+  CAST(CASE WHEN i.o >= 5 THEN e.w ELSE e.h END AS INT) AS height,
+  sum_r, sum_g, sum_b,
+  {pick},
+  TRUE AS decode_ok
+FROM edges e JOIN (SELECT media_id, o FROM ids) i USING (media_id)
+UNION ALL
+SELECT media_id, CAST(o AS INT) AS orientation,
+  CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+  CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
+  CAST(NULL AS BIGINT) AS sum_b,
+  CAST(NULL AS BIGINT) AS row0_sum_r, CAST(NULL AS BIGINT) AS row0_sum_g,
+  CAST(NULL AS BIGINT) AS row0_sum_b,
+  CAST(NULL AS BIGINT) AS col0_sum_r, CAST(NULL AS BIGINT) AS col0_sum_g,
+  CAST(NULL AS BIGINT) AS col0_sum_b,
+  FALSE AS decode_ok
+FROM ids WHERE media_id % 16 IN (7, 15)
+"""
+
+
 def q_jpeg_lossless(spark, sf_dir):
     """SOF3 Annex-H LOSSLESS decode gated end-to-end (r10): the
     synthetic lossless corpus (all seven predictors × grayscale / RGB /
@@ -4285,6 +4466,11 @@ SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
   TRUE AS decode_ok
 FROM px GROUP BY media_id, w, h
 """
+
+
+# evaluated here: _exif_orient_sql composes the _q16/_q17/_cl255
+# helpers defined just above
+_EXIF_ORIENT_SQL = _exif_orient_sql()
 
 
 _MEDIA_META_SQL = """
@@ -5570,6 +5756,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # charset decode → URL tier → crawl curation — under ONE oracle;
     # registered into the overflow, oracle-gated every pytest run.
     "warc_crawl_pipeline": q_warc_crawl_pipeline,
+    # exif_orientation (r11, VERDICT r10 item 4): the orientation tag
+    # APPLIED in the pixel tier, pinned by per-tag edge sums the oracle
+    # restates in closed form; registered into the overflow,
+    # oracle-gated every pytest run.
+    "exif_orientation": q_exif_orientation,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -5584,7 +5775,7 @@ ROTATED_OUT: set[str] = {
     "gopher_rules", "c4_filters", "resize_mixed", "gopher_repetition",
     "media_metadata", "bpe_pipeline", "embedding_dup_pairs",
     "jpeg_lossless", "warc_ingest", "jpeg_cmyk",
-    "warc_revisits", "warc_crawl_pipeline",
+    "warc_revisits", "warc_crawl_pipeline", "exif_orientation",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -5695,6 +5886,7 @@ _R10_NEW = {
 _R11_NEW = {
     "warc_revisits",
     "warc_crawl_pipeline",
+    "exif_orientation",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -5795,6 +5987,7 @@ _ORACLES: dict[str, str] = {
     "warc_ingest": _WARC_SQL,
     "warc_revisits": _WARC_REVISITS_SQL,
     "warc_crawl_pipeline": _WARC_CRAWL_SQL,
+    "exif_orientation": _EXIF_ORIENT_SQL,
     "jpeg_cmyk": _JPEG_CMYK_SQL,
     "bpe_pipeline": _BPE_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,

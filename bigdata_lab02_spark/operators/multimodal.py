@@ -523,6 +523,123 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
     )
 
 
+def _orient_np(a, o: int):
+    """EXIF orientation tag 274 → the numpy view that displays upright
+    (TIFF 6.0 / EXIF 2.3 §4.6.4): 1 identity, 2 mirror-horizontal,
+    3 rotate-180, 4 mirror-vertical, 5 transpose, 6 rotate-90-CW,
+    7 transverse, 8 rotate-90-CCW. 5-8 swap width/height."""
+    if o == 2:
+        return a[:, ::-1]
+    if o == 3:
+        return a[::-1, ::-1]
+    if o == 4:
+        return a[::-1]
+    if o == 5:
+        return a.transpose(1, 0, 2)
+    if o == 6:
+        return a.transpose(1, 0, 2)[:, ::-1]
+    if o == 7:
+        return a.transpose(1, 0, 2)[::-1, ::-1]
+    if o == 8:
+        return a.transpose(1, 0, 2)[::-1]
+    return a
+
+
+def apply_orientation(media: DataFrame) -> DataFrame:
+    """Apply the EXIF orientation in the PIXEL tier (r11, VERDICT r10
+    item 4): a real image pipeline normalizes orientation BEFORE
+    resize/embedding — a quarter of phone-camera crawl images carry
+    tag ≠ 1, and embedding a sideways image is embedding a different
+    image. Per payload: header-scan the orientation (JPEG APP1;
+    defaults to 1 when absent/invalid — the EXIF default; PNG carries
+    none), full decode (format-dispatched), transpose/flip per
+    ``_orient_np``, re-encode PNG (LOSSLESS — same contract as
+    ``resize_images``; a JPEG re-encode would re-quantize).
+
+    Returns (media_id, payload, orientation, width, height, channels,
+    sum_r/g/b, row0_sum_r/g/b, col0_sum_r/g/b, decode_ok). The
+    first-row/first-column per-channel sums are the orientation
+    VERIFICATION stats: total intensity is orientation-INVARIANT, so a
+    pipeline asserting only totals cannot see a wrong transform — the
+    (row0, col0) pair maps to a distinct input edge for each of the 8
+    tags, which is what the oracle gate pins. ``orientation`` is always
+    the tag the stage applied (or would apply — it is still reported
+    when the decode honestly fails, since the header parse is
+    independent of entropy corruption). Channels beyond the third are
+    ignored by the stats; single-channel images replicate into r/g/b.
+
+    Scale shape: one Arrow-batched mapInPandas over the payload column
+    — bytes never cross a shuffle; the header scan costs nothing extra
+    since the decode reads the same segments."""
+    from bigdata_lab02_spark.operators.jpeg import JpegError, jpeg_metadata
+
+    dec = _decode_any_image
+    enc = _png.encode_png
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ct_by_ch = {1: 0, 2: 4, 3: 2, 4: 6}
+        for pdf in batches:
+            out = {
+                "media_id": [], "payload": [], "orientation": [],
+                "width": [], "height": [], "channels": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+                "row0_sum_r": [], "row0_sum_g": [], "row0_sum_b": [],
+                "col0_sum_r": [], "col0_sum_g": [], "col0_sum_b": [],
+                "decode_ok": [],
+            }
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(b) if b is not None else b""
+                o = 1
+                if sniff_image_format(data) == "jpeg":
+                    try:
+                        m = jpeg_metadata(data)
+                        tag = m["exif_orientation"]
+                        if tag is not None and 1 <= tag <= 8:
+                            o = int(tag)
+                    except JpegError:
+                        pass
+                out["media_id"].append(int(mid))
+                out["orientation"].append(o)
+                try:
+                    w, h, ch, px, _ = dec(data)
+                except (_png.PngError, _jpeg.JpegError, TypeError):
+                    for k in ("payload", "width", "height", "channels",
+                              "sum_r", "sum_g", "sum_b",
+                              "row0_sum_r", "row0_sum_g", "row0_sum_b",
+                              "col0_sum_r", "col0_sum_g", "col0_sum_b"):
+                        out[k].append(None)
+                    out["decode_ok"].append(False)
+                    continue
+                a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+                t = np.ascontiguousarray(_orient_np(a, o))
+                oh, ow = t.shape[0], t.shape[1]
+                out["payload"].append(
+                    enc(ow, oh, t.tobytes(), color_type=ct_by_ch[ch])
+                )
+                out["width"].append(ow)
+                out["height"].append(oh)
+                out["channels"].append(ch)
+                t64 = t.astype(np.int64)
+                for tag, c in (("r", 0), ("g", 1), ("b", 2)):
+                    cc = min(c, ch - 1)
+                    out[f"sum_{tag}"].append(int(t64[:, :, cc].sum()))
+                    out[f"row0_sum_{tag}"].append(int(t64[0, :, cc].sum()))
+                    out[f"col0_sum_{tag}"].append(int(t64[:, 0, cc].sum()))
+                out["decode_ok"].append(True)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op,
+        "media_id long, payload binary, orientation int, width int, "
+        "height int, channels int, sum_r bigint, sum_g bigint, "
+        "sum_b bigint, row0_sum_r bigint, row0_sum_g bigint, "
+        "row0_sum_b bigint, col0_sum_r bigint, col0_sum_g bigint, "
+        "col0_sum_b bigint, decode_ok boolean",
+    )
+
+
 def synthetic_tiny_png(
     spark, n: int = 4, start_id: int = 900, width: int = 1, height: int = 1
 ) -> DataFrame:

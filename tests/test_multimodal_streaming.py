@@ -606,3 +606,104 @@ class TestMediaMetadata:
         assert rows[1]["n_app_segments"] >= 3
         assert rows[2]["format"] == "jpeg" and rows[2]["meta_ok"] is False
         assert rows[3]["format"] is None and rows[3]["meta_ok"] is False
+
+
+def test_orient_np_against_brute_force():
+    """r11: the 8 EXIF orientation views vs an independent per-pixel
+    reference (output[y][x] looked up by the TIFF 6.0 / EXIF 2.3
+    display mapping) on an asymmetric image."""
+    import numpy as np
+
+    from bigdata_lab02_spark.operators.multimodal import _orient_np
+
+    h, w = 3, 5
+    a = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+
+    def ref(o):
+        if o in (1, 2, 3, 4):
+            out = np.zeros((h, w, 3), np.uint8)
+        else:
+            out = np.zeros((w, h, 3), np.uint8)
+        for y in range(h):
+            for x in range(w):
+                src = a[y, x]
+                if o == 1:
+                    out[y, x] = src
+                elif o == 2:
+                    out[y, w - 1 - x] = src
+                elif o == 3:
+                    out[h - 1 - y, w - 1 - x] = src
+                elif o == 4:
+                    out[h - 1 - y, x] = src
+                elif o == 5:   # transpose
+                    out[x, y] = src
+                elif o == 6:   # rotate 90 CW: top row <- left column
+                    out[x, h - 1 - y] = src
+                elif o == 7:   # transverse
+                    out[w - 1 - x, h - 1 - y] = src
+                elif o == 8:   # rotate 90 CCW
+                    out[w - 1 - x, y] = src
+        return out
+
+    for o in range(1, 9):
+        got = np.ascontiguousarray(_orient_np(a, o))
+        assert np.array_equal(got, ref(o)), o
+
+
+def test_apply_orientation_end_to_end(spark):
+    """apply_orientation on real JPEG payloads with spliced EXIF: dims
+    swap on tags 5-8, totals are invariant, the row0/col0 sums move to
+    the mapped edges, the re-encoded PNG holds the TRANSFORMED pixels,
+    no-EXIF payloads default to tag 1, and corrupt payloads keep the
+    header-scanned orientation with decode_ok=false."""
+    from pyspark.sql import functions as F
+
+    from bigdata_lab02_spark.operators.multimodal import (
+        apply_orientation,
+        splice_exif,
+        synthetic_jpeg,
+    )
+    from bigdata_lab02_spark.operators.png import decode_png
+
+    media = synthetic_jpeg(spark, 16).where(
+        F.col("media_id").isin(0, 1, 7)  # 4:4:4, 4:2:0, RST-corrupt
+    )
+    media = media.withColumn(
+        "exif_orientation_in",
+        F.when(F.col("media_id") == 0, 6)        # rotate 90 CW
+        .when(F.col("media_id") == 7, 3),        # corrupt + tag
+    )
+    oriented = {
+        r["media_id"]: r
+        for r in apply_orientation(
+            splice_exif(media).drop("exif_orientation_in")
+        ).collect()
+    }
+    base = {
+        r["media_id"]: r
+        for r in apply_orientation(
+            media.drop("exif_orientation_in")
+        ).collect()
+    }
+    # tag 6 swaps dims, keeps totals, moves edges: row0 of the rotated
+    # image is the input's left column, col0 its bottom row
+    b0, o0 = base[0], oriented[0]
+    assert o0["orientation"] == 6 and b0["orientation"] == 1
+    assert (o0["width"], o0["height"]) == (b0["height"], b0["width"])
+    assert o0["sum_r"] == b0["sum_r"] and o0["sum_b"] == b0["sum_b"]
+    assert o0["row0_sum_r"] == b0["col0_sum_r"]
+    # the payload really holds the transformed pixels (PNG round trip)
+    w, h, ch, px = decode_png(bytes(o0["payload"]))
+    import numpy as np
+
+    t = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+    assert int(t[0, :, 0].sum()) == o0["row0_sum_r"]
+    assert int(t[:, 0, 2].sum()) == o0["col0_sum_b"]
+    # no EXIF -> default 1, identity
+    assert base[1]["orientation"] == 1
+    assert oriented[1]["orientation"] == 1
+    assert oriented[1]["row0_sum_r"] == base[1]["row0_sum_r"]
+    # corrupt: header-scanned tag reported, decode honestly fails
+    assert oriented[7]["orientation"] == 3
+    assert not oriented[7]["decode_ok"]
+    assert oriented[7]["sum_r"] is None and oriented[7]["width"] is None
