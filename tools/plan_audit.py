@@ -118,7 +118,7 @@ COMMENT = {
     "ivf_topk_persisted": "Corpus lists read from the hive layout with list_id PartitionFilters (directory pruning to the probed lists); probes broadcast; the only data-sized exchange is the per-query top-k.",
     "html_extract": "Zero exchanges: the whole strip kernel + markup features are ONE generated projection fused with the scan.",
     "crawl_curation_pipeline": "ONE exchange END-TO-END (r10: the URL tier's norm_url dedup window — the unavoidable recrawl-dedup shuffle; suffix/blocklist dims broadcast): URL survivors -> html strip -> C4 line rules -> Gopher quality + 13 repetition folds chain through column passthrough (no re-join on doc_id) — everything after the URL tier is one fused map over the corpus.",
-    "url_filters": "Normalization is a pure projection fused with the scan; the suffix candidates are THREE broadcast left joins (PSL-sized dim, corpus-independent) and the blocklist one more; the ONLY shuffle is the norm_url dedup window — the global recrawl group-by no URL dedup can avoid.",
+    "url_filters": "Normalization is a pure projection fused with the scan; the PSL lookup is one broadcast left join per (rule length, kind) slice of the suffix dim (11 at depth 4 with wildcard/exception rules — each a filtered PSL-sized build, corpus-independent) plus the blocklist; the ONLY shuffle is the norm_url dedup window — the global recrawl group-by no URL dedup can avoid.",
     "warc_ingest": "Record walk + HTTP split is one Arrow-batched projection over the payload column — zero exchanges; at archive scale the binaryFile scan gives one task per WARC file, the grain the writers size for.",
     "jpeg_lossless": "Generate -> decode -> per-payload stats: chained mapInPandas projections, zero exchanges — per-row decode cost, no shuffle at any corpus size.",
     "jpeg_cmyk": "Same shape as jpeg_lossless: the whole 4-component decode pipeline is fused per-row work, zero exchanges.",
