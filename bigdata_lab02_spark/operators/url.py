@@ -48,6 +48,8 @@ filter first), and the whole tier is oracle-gated in
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -295,6 +297,7 @@ def url_filters(
     keep: str = "first",
     ts_col: str | None = None,
     max_suffix_labels: int = 4,
+    canonical: bool = False,
 ) -> DataFrame:
     """The composed URL tier: per input row returns ``norm_url``,
     ``scheme``, ``host``, ``host_is_ip``, ``registered_domain``,
@@ -325,7 +328,16 @@ def url_filters(
       (tested) — the continuous-ingest shape. Streaming URL dedup is a
       stateful operator: ``streaming.docs.url_dedup_stream`` composes
       this tier with ``dropDuplicatesWithinWatermark`` on ``norm_url``
-      (bounded state — the horizon is the honest recrawl semantics)."""
+      (bounded state — the horizon is the honest recrawl semantics).
+    - ``canonical=True`` (r11) keys the dedup on ``canon_url`` — the
+      fused-twin canonical key (IDNA host + full percent-decode over
+      the expression tier's ``norm_url``), so recrawl variants the
+      finite expression tier documents as out of reach
+      (``%41``-escapes, UTF-8 percent sequences, unicode-vs-punycode
+      hosts) collapse to ONE survivor. One extra zero-shuffle Arrow
+      projection before the same single dedup exchange; ``canon_url``
+      rides into the output. The expression tier stays the
+      oracle-gated surface (default False)."""
     scheme, hostport, rest = url_parts(F.col(url_col))
     host = F.regexp_replace(hostport, r":[0-9]+$", "")
     out = pages.select(
@@ -338,6 +350,8 @@ def url_filters(
         host.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$").alias("host_is_ip"),
         normalize_url(F.col(url_col)).alias("norm_url"),
     )
+    if canonical:
+        out = with_canonical_url(out)
     out = with_registered_domain(
         out, suffixes, max_suffix_labels=max_suffix_labels
     )
@@ -355,13 +369,14 @@ def url_filters(
     if keep not in ("first", "last"):
         raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
     if dedup:
+        key = "canon_url" if canonical else "norm_url"
         keys = ([F.col(ts_col)] if ts_col else []) + [F.col(id_col)]
         order = [c if keep == "first" else c.desc() for c in keys]
-        w = Window.partitionBy("norm_url").orderBy(*order)
+        w = Window.partitionBy(key).orderBy(*order)
         out = out.withColumn(
             "is_dup",
             F.when(
-                F.col("norm_url").isNotNull(), F.row_number().over(w) > 1
+                F.col(key).isNotNull(), F.row_number().over(w) > 1
             ).otherwise(F.lit(False)),
         )
     else:
@@ -482,6 +497,59 @@ def normalize_url_full_pandas(
             pdf[out_col] = [
                 dec(u) if u is not None else None for u in pdf[url_col]
             ]
+            yield pdf
+
+    return df.mapInPandas(op, f"{schema}, {out_col} string")
+
+
+def canonical_url(url: str) -> str | None:
+    """Driver/executor-side canonical DEDUP KEY for an
+    already-normalized URL (the ``normalize_url`` output): IDNA-ToASCII
+    the host (RFC 3490 — ``münchen.example`` and
+    ``xn--mnchen-3ya.example`` become one key) and full
+    percent-normalize the path/query (``percent_decode_full``). Pure
+    function; the Spark face is ``with_canonical_url``. None in, None
+    out; fail-open per label (the IDNA-twin contract: canonicalization
+    must never invent a new key for a host it can't encode)."""
+    if url is None:
+        return None
+    m = re.match(r"^([a-z][a-z0-9+.\-]*://)([^/?#]*)(.*)$", url)
+    if not m:
+        return percent_decode_full(url)
+    scheme, hostport, rest = m.groups()
+    host, colon, port = hostport.partition(":")
+    try:
+        host = ".".join(
+            lbl.encode("idna").decode("ascii") if lbl else lbl
+            for lbl in host.split(".")
+        )
+    except UnicodeError:
+        pass
+    return scheme + host + colon + port + percent_decode_full(rest)
+
+
+def with_canonical_url(
+    df: DataFrame, url_col: str = "norm_url", out_col: str = "canon_url"
+) -> DataFrame:
+    """Appends ``out_col`` = ``canonical_url(url_col)`` — the FUSED
+    twin (IDNA host + full percent-decode in ONE Arrow pass, instead of
+    chaining ``idna_ascii_hosts_pandas`` and
+    ``normalize_url_full_pandas`` as two). Zero-shuffle projection."""
+    from typing import Iterator
+
+    import pandas as pd  # noqa: F811 — local for the pickled closure
+
+    if out_col in df.columns:
+        raise ValueError(f"column {out_col!r} already exists")
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    canon = canonical_url
+
+    def op(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [canon(u) for u in pdf[url_col]]
             yield pdf
 
     return df.mapInPandas(op, f"{schema}, {out_col} string")

@@ -104,6 +104,7 @@ def url_dedup_stream(
     ts_col: str = "ts",
     watermark: str = "10 minutes",
     passthrough: list[str] | None = None,
+    canonical: bool = False,
 ) -> DataFrame:
     """The URL tier's STREAMING face (r10): the stateless stages
     (normalize → registered domain → blocklist — pure projections plus
@@ -118,7 +119,11 @@ def url_dedup_stream(
     horizon is the honest semantics anyway: dedup-within-window, with
     the PERSISTED batch layout handling cross-window recrawls the way
     ``minhash_dedup_incremental`` does for content). Output: the
-    surviving pages with the tier's columns, append-mode."""
+    surviving pages with the tier's columns, append-mode.
+    ``canonical=True`` (r11) keys the stateful dedup on the fused-twin
+    ``canon_url`` instead (IDNA host + full percent-decode — the
+    variants the expression key can't unify); the twin is a stateless
+    Arrow projection, so the stream plan shape is unchanged."""
     from bigdata_lab02_spark.operators.url import url_filters
 
     uf = url_filters(
@@ -129,10 +134,12 @@ def url_dedup_stream(
         id_col=id_col,
         passthrough=[ts_col, *(passthrough or [])],
         dedup=False,
+        canonical=canonical,
     )
     kept = uf.where(F.col("url_keep"))
+    key = "canon_url" if canonical else "norm_url"
     return kept.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        ["norm_url"]
+        [key]
     )
 
 

@@ -461,3 +461,77 @@ def test_percent_decode_full_twin(spark):
     }
     assert out[1] == out[2] == "http://x.com/café?q=1"
     assert out[3] == "http://x.com/a%2Fb"
+
+
+def test_canonical_url_dedup(spark):
+    """r11: canonical=True keys recrawl dedup on the fused-twin key
+    (IDNA host + full percent-decode), collapsing the variants the
+    expression tier documents as out of reach — punycode-vs-unicode
+    hosts and %XX spellings — to ONE survivor."""
+    from bigdata_lab02_spark.operators.url import canonical_url
+
+    assert (
+        canonical_url("http://münchen.example/caf%C3%A9?q=%31")
+        == "http://xn--mnchen-3ya.example/café?q=1"
+    )
+    assert canonical_url(None) is None
+    assert canonical_url("http://x.com/a%2fb") == "http://x.com/a%2Fb"
+
+    rows = [
+        (1, "http://münchen.example/caf%C3%A9"),
+        (2, "http://xn--mnchen-3ya.example/café"),   # same resource
+        (3, "http://a.example.com/x%2dy"),
+        (4, "http://a.example.com/x-y"),             # same resource
+        (5, "https://b.example.org/z"),
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r["doc_id"]: r
+        for r in url_filters(pages, _sfx(spark), canonical=True).collect()
+    }
+    assert out[1]["canon_url"] == out[2]["canon_url"]
+    assert out[1]["url_keep"] and out[2]["is_dup"]
+    # %2d decodes in the EXPRESSION tier already; canonical agrees
+    assert out[3]["canon_url"] == out[4]["canon_url"]
+    assert out[3]["url_keep"] and out[4]["is_dup"]
+    assert out[5]["url_keep"]
+    # default stays the oracle-gated expression-tier behavior
+    plain = {
+        r["doc_id"]: r for r in url_filters(pages, _sfx(spark)).collect()
+    }
+    assert not plain[2]["is_dup"]  # punycode variant NOT collapsed
+    assert "canon_url" not in plain[1].asDict()
+
+
+def test_url_dedup_stream_canonical(spark, tmp_path):
+    """Streaming canonical dedup: punycode and unicode spellings of the
+    same host collapse within the watermark horizon — the stateless
+    twin composes into the stateful stage unchanged."""
+    from datetime import datetime
+
+    from bigdata_lab02_spark.streaming import run_stream_to_memory
+    from bigdata_lab02_spark.streaming.docs import url_dedup_stream
+
+    t = lambda m: datetime(2024, 1, 1, 12, m, 0)
+    rows = [
+        (1, t(0), "http://münchen.example/caf%C3%A9"),
+        (2, t(1), "http://xn--mnchen-3ya.example/café"),  # refetch
+        (3, t(2), "https://b.example.org/z"),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, ts timestamp, url string")
+    src = str(tmp_path / "url_canon_stream")
+    batch.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, url string"
+    ).parquet(src)
+    out = run_stream_to_memory(
+        spark,
+        url_dedup_stream(stream, _sfx(spark), canonical=True),
+        "t_url_canon_stream",
+        mode="append",
+    )
+    got = sorted((r["doc_id"], r["canon_url"]) for r in out.collect())
+    assert got == [
+        (1, "http://xn--mnchen-3ya.example/café"),
+        (3, "https://b.example.org/z"),
+    ]
