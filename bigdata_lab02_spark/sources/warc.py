@@ -22,6 +22,11 @@ archive bytes to that column. This module is that seam, Spark-first:
   (``.warc.gz`` is a stream of gzip MEMBERS, one per record — a plain
   single-shot decompress would stop after the first).
 
+r11 adds the WRITE side (``encode_warc_record`` / ``warc_shards``):
+curated survivor sets re-shard into ``.warc`` / ``.warc.gz`` payloads
+that round-trip through the reader byte-exact — the archival/feed
+path a curation pipeline needs once it has chosen what to keep.
+
 The record walk and HTTP split are oracle-gated (``warc_ingest``): the
 gate generates deterministic WARC bytes whose framing (CRLF headers,
 octet-exact Content-Length over multi-byte text) the DuckDB oracle
@@ -485,4 +490,124 @@ def read_warc(
     return warc_records(
         files, payload_col="content", id_col="path",
         max_batch_bytes=max_batch_bytes,
+    )
+
+
+# ------------------------------------------------------------------
+# Write side (r11): the engine can now RE-SHARD a curated crawl back
+# into the format it arrived in — dedup/curation pipelines that feed a
+# downstream WARC consumer (or archive their survivor set) need the
+# encoder, not just the reader.
+
+def encode_warc_record(headers: dict[str, str], block: bytes) -> bytes:
+    """One WARC/1.0 record: version line, named headers (verbatim,
+    caller-ordered), octet-exact ``Content-Length``, the block, and the
+    two-CRLF record separator — the framing ``iter_warc_records``
+    walks. ``Content-Length`` is always computed here; a caller-passed
+    value is ignored (a wrong length would desync every record after
+    it)."""
+    out = bytearray(b"WARC/1.0\r\n")
+    for name, value in headers.items():
+        if name.lower() == "content-length":
+            continue
+        out += f"{name}: {value}\r\n".encode("latin-1")
+    out += f"Content-Length: {len(block)}\r\n\r\n".encode("ascii")
+    out += block
+    out += b"\r\n\r\n"
+    return bytes(out)
+
+
+def encode_response_record(
+    uri: str,
+    body: bytes,
+    status: int = 200,
+    content_type: str = "text/html",
+    date: str = "2024-01-01T00:00:00Z",
+    record_id: str | None = None,
+) -> bytes:
+    """A ``response`` record with a minimal HTTP envelope — the shape
+    ``parse_http_response`` splits back apart (roundtrip-tested)."""
+    http = (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {content_type}\r\n\r\n"
+    ).encode("latin-1") + body
+    headers = {
+        "WARC-Type": "response",
+        "WARC-Date": date,
+        "WARC-Target-URI": uri,
+    }
+    if record_id:
+        headers["WARC-Record-ID"] = record_id
+    return encode_warc_record(headers, http)
+
+
+def warc_shards(
+    records: DataFrame,
+    shard_col: str = "shard",
+    uri_col: str = "target_uri",
+    body_col: str = "body",
+    status_col: str | None = "http_status",
+    content_type_col: str | None = "http_content_type",
+    date_col: str | None = "warc_date",
+    record_id_col: str | None = "record_id",
+    gzip_members: bool = True,
+) -> DataFrame:
+    """Assemble response records into WARC shard payloads — one row
+    ``(shard, content, n_records)`` per ``shard_col`` group, records
+    ordered by URI for determinism. ``gzip_members=True`` emits the
+    ``.warc.gz`` layout (one gzip MEMBER per record — the layout
+    ``_gunzip_members`` de-members, and the one real tools require for
+    record-level random access).
+
+    Scale shape: ONE shuffle (the group-by on the shard key — shard
+    assembly is a global regroup at any scale), then a pure
+    applyInPandas assembly per shard. One task holds ONE shard, so the
+    caller's shard assignment IS the memory contract — size shards the
+    way archive writers do (~1 GB target; at most low-GB so the single
+    payload cell stays within Arrow's binary limits). The inverse of
+    ``read_warc``: shards written to files and re-read through
+    ``warc_records`` reproduce the records (roundtrip-tested)."""
+    import gzip as _gz
+
+    cols = records.columns
+    for c in (shard_col, uri_col, body_col):
+        if c not in cols:
+            raise ValueError(f"records is missing column {c!r}")
+
+    def get(row, col, default):
+        if col is None or col not in cols:
+            return default
+        v = row[col]
+        return default if v is None else v
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(uri_col, kind="mergesort")
+        out = bytearray()
+        n = 0
+        for _, row in pdf.iterrows():
+            body = row[body_col]
+            if body is None:
+                continue
+            rec = encode_response_record(
+                str(row[uri_col]),
+                bytes(body),
+                status=int(get(row, status_col, 200)),
+                content_type=str(get(row, content_type_col, "text/html")),
+                date=str(get(row, date_col, "2024-01-01T00:00:00Z")),
+                record_id=(
+                    str(row[record_id_col])
+                    if record_id_col and record_id_col in cols
+                    and row[record_id_col] is not None
+                    else None
+                ),
+            )
+            out += _gz.compress(rec) if gzip_members else rec
+            n += 1
+        return pd.DataFrame(
+            {"shard": [pdf[shard_col].iloc[0]], "content": [bytes(out)],
+             "n_records": [n]}
+        )
+
+    shard_type = records.schema[shard_col].dataType.simpleString()
+    return records.groupBy(shard_col).applyInPandas(
+        assemble, f"shard {shard_type}, content binary, n_records int"
     )

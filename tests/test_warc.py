@@ -389,3 +389,41 @@ def test_resolve_revisits_join(spark):
     assert got[1]["http_status"] == 200
     assert got[1]["http_content_type"] == "text/html"
     assert not got[2]["resolved"] and got[2]["body"] is None  # dangling
+
+
+def test_warc_shards_roundtrip(spark, tmp_path):
+    """r11 write side: curated records → warc_shards (gzip members and
+    plain) → real files → read_warc reproduces every record byte-exact
+    — the re-shard/archival path is the true inverse of ingest."""
+    from bigdata_lab02_spark.sources.warc import warc_shards
+
+    rows = [
+        (i % 3, f"http://h{i}.example.com/p", f"body {i} café".encode(),
+         200, "text/html", "2024-02-03T04:05:06Z", f"<urn:test:{i}>")
+        for i in range(12)
+    ]
+    recs = spark.createDataFrame(
+        rows,
+        "shard int, target_uri string, body binary, http_status int, "
+        "http_content_type string, warc_date string, record_id string",
+    )
+    for gz, ext in ((True, "warc.gz"), (False, "warc")):
+        shards = warc_shards(recs, gzip_members=gz).collect()
+        assert sorted(s["shard"] for s in shards) == [0, 1, 2]
+        assert all(s["n_records"] == 4 for s in shards)
+        d = tmp_path / f"out_{ext}"
+        d.mkdir()
+        for s in shards:
+            (d / f"shard-{s['shard']}.{ext}").write_bytes(bytes(s["content"]))
+        back = read_warc(spark, str(d)).collect()
+        got = sorted(
+            (r["target_uri"], bytes(r["body"]), r["http_status"],
+             r["http_content_type"], r["warc_date"], r["record_id"],
+             r["parse_ok"])
+            for r in back
+        )
+        want = sorted(
+            (u, b, st, ct, dt, rid, True)
+            for _, u, b, st, ct, dt, rid in rows
+        )
+        assert got == want
