@@ -707,3 +707,32 @@ def test_apply_orientation_end_to_end(spark):
     assert oriented[7]["orientation"] == 3
     assert not oriented[7]["decode_ok"]
     assert oriented[7]["sum_r"] is None and oriented[7]["width"] is None
+
+
+def test_orientation_then_resize_composition(spark):
+    """The production image-tier order: normalize orientation FIRST,
+    then resize — apply_orientation's lossless PNG payload feeds
+    resize_images' format dispatch, and the resized dims reflect the
+    post-transform (swapped) geometry."""
+    from pyspark.sql import functions as F
+
+    from bigdata_lab02_spark.operators.multimodal import (
+        apply_orientation,
+        resize_images,
+        splice_exif,
+        synthetic_jpeg,
+    )
+
+    # media_id 16 is the 4:4:4 stripe at 24x16 — non-square, so the
+    # tag-6 width/height swap is visible through the whole chain
+    media = synthetic_jpeg(spark, 32).where(F.col("media_id") == 16)
+    media = media.withColumn("exif_orientation_in", F.lit(6))  # 90° CW
+    upright = apply_orientation(
+        splice_exif(media).drop("exif_orientation_in")
+    ).select("media_id", "payload", "width", "height")
+    base = upright.collect()[0]
+    assert (base["width"], base["height"]) == (16, 24)  # swapped 24x16
+    resized = resize_images(upright, factor=2).collect()[0]
+    assert resized["decode_ok"] and resized["src_format"] == "png"
+    assert (resized["width"], resized["height"]) == (8, 12)
+    assert resized["payload"] is not None
