@@ -63,6 +63,17 @@ FAMILY = [
     # only by the per-copy suffix tokens, so growth should be far below
     # the data growth
     "bpe_pipeline",
+    # r11: the URL tier — one dedup shuffle plus broadcast PSL probes;
+    # growth should be ~the data growth (the 4x replica corpus also 4x's
+    # the duplicate pressure per norm_url, which the window absorbs)
+    "url_filters",
+    # r11: the full WARC->URL->crawl composition — per-row framing +
+    # charset decode ahead of the pure-map crawl chain; growth should
+    # track data with zero shuffle amplification beyond the URL dedup
+    "warc_crawl_pipeline",
+    # r11: revisit resolution — one record-id equi-join; both sides grow
+    # with the data, so growth should be ~the data growth
+    "warc_revisits",
 ]
 # Round-6 extension (VERDICT r5 item 6): one more doubling pair on the two
 # families with the highest 4× growth, to separate pair-count growth
