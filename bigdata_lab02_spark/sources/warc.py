@@ -573,32 +573,37 @@ def warc_shards(
         if c not in cols:
             raise ValueError(f"records is missing column {c!r}")
 
-    def get(row, col, default):
-        if col is None or col not in cols:
-            return default
-        v = row[col]
-        return default if v is None else v
+    def col_or(pdf, col, default):
+        if col is not None and col in cols:
+            return [default if v is None else v for v in pdf[col]]
+        return [default] * len(pdf)
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(uri_col, kind="mergesort")
         out = bytearray()
         n = 0
-        for _, row in pdf.iterrows():
-            body = row[body_col]
+        rid_col = (
+            pdf[record_id_col]
+            if record_id_col and record_id_col in cols
+            else [None] * len(pdf)
+        )
+        for uri, body, status, ctype, date, rid in zip(
+            pdf[uri_col],
+            pdf[body_col],
+            col_or(pdf, status_col, 200),
+            col_or(pdf, content_type_col, "text/html"),
+            col_or(pdf, date_col, "2024-01-01T00:00:00Z"),
+            rid_col,
+        ):
             if body is None:
                 continue
             rec = encode_response_record(
-                str(row[uri_col]),
+                str(uri),
                 bytes(body),
-                status=int(get(row, status_col, 200)),
-                content_type=str(get(row, content_type_col, "text/html")),
-                date=str(get(row, date_col, "2024-01-01T00:00:00Z")),
-                record_id=(
-                    str(row[record_id_col])
-                    if record_id_col and record_id_col in cols
-                    and row[record_id_col] is not None
-                    else None
-                ),
+                status=int(status),
+                content_type=str(ctype),
+                date=str(date),
+                record_id=str(rid) if rid is not None else None,
             )
             out += _gz.compress(rec) if gzip_members else rec
             n += 1
