@@ -4335,9 +4335,9 @@ FROM ids WHERE media_id % 16 IN (7, 15)
 def q_jpeg_lossless(spark, sf_dir):
     """SOF3 Annex-H LOSSLESS decode gated end-to-end (r10): the
     synthetic lossless corpus (all seven predictors × grayscale / RGB /
-    point-transform+restart / 16-bit stripes, per-PIXEL formula images
-    with non-8-aligned dims) through the full decode → exact per-channel
-    pixel sums. Because the process is lossless, the decoded image IS
+    point-transform+restart / 16-bit / 4-comp CMYK (r11) stripes,
+    per-PIXEL formula images with non-8-aligned dims) through the full
+    decode → exact per-channel pixel sums. Because the process is lossless, the decoded image IS
     the generator formula — the oracle restates the sums in closed form,
     so ANY defect in the predictive reconstruction (predictor selection,
     default/Ra/Rb initial conditions, modulo-2^16 arithmetic, point
@@ -4354,7 +4354,7 @@ def q_jpeg_lossless(spark, sf_dir):
 _JPEG_LOSSLESS_SQL = """
 WITH ids AS (SELECT unnest(range(56)) AS media_id),
 dims AS (SELECT media_id, 8 + media_id % 5 AS w, 6 + media_id % 3 AS h,
-                media_id % 4 AS kind FROM ids),
+                media_id % 5 AS kind FROM ids),
 px AS (SELECT media_id, w, h, kind, x.range AS x, y.range AS y
        FROM dims, range(12) x, range(8) y
        WHERE x.range < w AND y.range < h),
@@ -4362,15 +4362,22 @@ v AS (SELECT media_id, w, h, kind,
   (media_id * 31 + x * 7 + y * 13) % 256 AS fr,
   (media_id * 17 + x * 11 + y * 3) % 256 AS fg,
   (media_id * 29 + x * 5 + y * 19) % 256 AS fb,
+  (media_id * 23 + x * 3 + y * 17) % 256 AS fk,
   ((media_id * 131 + x * 17 + y * 29) % 65536) // 256 AS f16
   FROM px)
 SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
   CAST(sum(CASE kind WHEN 1 THEN fr WHEN 2 THEN fr // 2 * 2
-           WHEN 3 THEN f16 ELSE fr END) AS BIGINT) AS sum_r,
+           WHEN 3 THEN f16
+           WHEN 4 THEN least(255, greatest(0, CAST(floor((fr * fk / 255.0) + (0.5 + 1e-9)) AS BIGINT)))
+           ELSE fr END) AS BIGINT) AS sum_r,
   CAST(sum(CASE kind WHEN 1 THEN fg WHEN 2 THEN fr // 2 * 2
-           WHEN 3 THEN f16 ELSE fr END) AS BIGINT) AS sum_g,
+           WHEN 3 THEN f16
+           WHEN 4 THEN least(255, greatest(0, CAST(floor((fg * fk / 255.0) + (0.5 + 1e-9)) AS BIGINT)))
+           ELSE fr END) AS BIGINT) AS sum_g,
   CAST(sum(CASE kind WHEN 1 THEN fb WHEN 2 THEN fr // 2 * 2
-           WHEN 3 THEN f16 ELSE fr END) AS BIGINT) AS sum_b,
+           WHEN 3 THEN f16
+           WHEN 4 THEN least(255, greatest(0, CAST(floor((fb * fk / 255.0) + (0.5 + 1e-9)) AS BIGINT)))
+           ELSE fr END) AS BIGINT) AS sum_b,
   TRUE AS decode_ok
 FROM v GROUP BY media_id, w, h, kind
 """

@@ -38,8 +38,8 @@ plus 4-COMPONENT CMYK/YCCK in baseline AND progressive form (r10:
 APP14 Adobe transform routing, CMYK 4:4:4 and YCCK 4:2:0 with
 full-rate K, the documented Adobe-inverted ink conversion
 channel·K/255 — the print-derived profile crawls carry; progressive
-validated bit-identical to baseline; 4-comp arith/lossless stays an
-honest failure);
+validated bit-identical to baseline; r11 adds the LOSSLESS CMYK face;
+4-comp arithmetic stays an honest failure);
 12-bit sample precision decodes in EXTENDED SEQUENTIAL form (SOF1, r9:
 level shift 2048, DC categories to 15, AC to 14, Pq=1 16-bit quant
 tables; pixels reduced ``>> 4`` to the engine's 8-bit surface — the PNG
@@ -54,8 +54,11 @@ process — all seven predictors, point transform, modulo-2^16
 reconstruction, precision 2..16 reduced to the 8-bit surface,
 row-boundary restart intervals as real lossless/DNG writers emit; one
 interleaved scan; 3-component lossless is RGB — no JFIF YCbCr contract
-exists for it). Hierarchical / differential modes (SOF5-7/11/13-15)
-stay honest failures. Anything outside the profile raises
+exists for it; r11: 4-component lossless decodes as Adobe-inverted
+CMYK through the same documented channel·K/255 conversion — lossless
+YCCK does not exist and claims of it fail honestly). Hierarchical /
+differential modes (SOF5-7/11/13-15) and 4-component ARITHMETIC stay
+honest failures. Anything outside the profile raises
 ``JpegError``, which the pipeline maps to ``decode_ok=False`` (the
 honest-failure path).
 
@@ -1148,9 +1151,12 @@ def encode_jpeg_lossless(
     decoder's lossless path. ``samples`` is ``width*height*ncomp``
     ints, row-major, components interleaved; decode reproduces the
     point-transformed samples EXACTLY (that exactness is what the
-    oracle gate pins). 1 component (grayscale) or 3 (carried as-is —
+    oracle gate pins). 1 component (grayscale), 3 (carried as-is —
     lossless streams have no JFIF YCbCr contract; 3-component means
-    RGB here, matching what real RGB lossless writers emit).
+    RGB here, matching what real RGB lossless writers emit), or 4
+    (r11: Adobe-inverted CMYK ink values, the lossless face of the
+    print-derived profile — the decoder applies the same documented
+    channel·K/255 conversion as the DCT CMYK path).
 
     ``predictor`` selects H.1 predictor 1-7 (Ss in the scan header);
     ``point_transform`` (Al) drops low bits before prediction;
@@ -1164,7 +1170,7 @@ def encode_jpeg_lossless(
         raise JpegError("predictor must be 1..7")
     if not 0 <= point_transform < precision:
         raise JpegError("point transform must be in 0..precision-1")
-    if ncomp not in (1, 3):
+    if ncomp not in (1, 3, 4):
         raise JpegError(f"{ncomp} components unsupported")
     if width <= 0 or height <= 0:
         raise JpegError("dimensions must be positive")
@@ -2206,13 +2212,12 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
             ncomp = body[5]
             if ncomp not in (1, 3, 4):
                 raise JpegError(f"{ncomp} components unsupported")
-            if ncomp == 4 and (arith or lossless):
-                # DCT-Huffman CMYK/YCCK (baseline AND progressive — the
-                # progressive path is validated by the bit-identical-to-
-                # baseline discipline, same as 3-comp) is what print-
-                # derived crawl JPEGs are; 4-comp arith/lossless stays
-                # an honest failure until a fixture validates it
-                raise JpegError("4-component arith/lossless unsupported")
+            if ncomp == 4 and arith:
+                # DCT-Huffman CMYK/YCCK (baseline AND progressive) and —
+                # r11 — LOSSLESS CMYK decode; 4-comp ARITHMETIC stays an
+                # honest failure until a fixture source exists (no
+                # in-container encoder can produce one)
+                raise JpegError("4-component arithmetic unsupported")
             for c in range(ncomp):
                 cid, hvb, tq = body[6 + c * 3 : 9 + c * 3]
                 ch, cv = hvb >> 4, hvb & 0x0F
@@ -2234,8 +2239,11 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                 ((2, 2), (1, 1), (1, 1), (2, 2)),
             ):
                 raise JpegError(f"sampling layout {sampling} unsupported")
-            if lossless and (sampling not in (((1, 1),),
-                                              ((1, 1), (1, 1), (1, 1)))):
+            if lossless and (sampling not in (
+                ((1, 1),),
+                ((1, 1), (1, 1), (1, 1)),
+                ((1, 1), (1, 1), (1, 1), (1, 1)),
+            )):
                 raise JpegError("lossless requires 1x1 sampling")
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
@@ -2340,6 +2348,19 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
             planes = [p >> (precision - 8) for p in planes]
         if len(planes) == 1:
             rgb = np.repeat(planes[0][..., None], 3, axis=-1).astype(np.uint8)
+        elif len(planes) == 4:
+            # r11: lossless CMYK — same documented Adobe-inverted ink
+            # convention as the DCT 4-comp path (255 = no ink, so
+            # channel·K/255 IS the additive light). YCCK has no lossless
+            # form (the Adobe transform is defined over the DCT JFIF
+            # space), so a lossless stream claiming transform 2 is an
+            # honest failure, not a guess.
+            if adobe_transform == 2:
+                raise JpegError("lossless YCCK unsupported")
+            d = np.stack(planes, axis=-1).astype(np.float64)
+            rgb = np.clip(
+                _rnd(d[..., :3] * d[..., 3:4] / 255.0), 0, 255
+            ).astype(np.uint8)
         else:
             rgb = np.stack(planes, axis=-1).astype(np.uint8)
         return width, height, 3, rgb.tobytes()

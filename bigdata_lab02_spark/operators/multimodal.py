@@ -800,12 +800,15 @@ def synthetic_jpeg_lossless(spark, n: int = 56) -> DataFrame:
     """Deterministic media table of REAL SOF3 lossless JPEG payloads
     (operators.jpeg.encode_jpeg_lossless, r10), cycling the Annex-H
     profile: predictor ``media_id % 7 + 1`` (all seven), and on
-    ``media_id % 4``: 0 = 8-bit grayscale; 1 = 8-bit RGB (3 components,
+    ``media_id % 5``: 0 = 8-bit grayscale; 1 = 8-bit RGB (3 components,
     carried as RGB — lossless has no JFIF YCbCr contract); 2 = 8-bit
     grayscale with point transform 1 AND row-boundary restarts every 2
-    rows; 3 = 16-bit grayscale (decode reduces ``>> 8``). Pixels are
-    per-PIXEL formulas (not per-block — lossless has no block grid), so
-    the decoded image equals the formula EXACTLY (that is the point of
+    rows; 3 = 16-bit grayscale (decode reduces ``>> 8``); 4 = 4-comp
+    CMYK (r11 — Adobe-inverted ink values; decode applies the
+    documented channel·K/255 conversion, so the oracle's closed form
+    is the formula THROUGH that conversion). Pixels are per-PIXEL
+    formulas (not per-block — lossless has no block grid), so the
+    decoded image equals the formula EXACTLY (that is the point of
     lossless) and the oracle restates the sums in closed form. Dims
     ``(8 + id%5) × (6 + id%3)`` — deliberately not 8-aligned."""
     enc = _jpeg.encode_jpeg_lossless
@@ -819,19 +822,23 @@ def synthetic_jpeg_lossless(spark, n: int = 56) -> DataFrame:
                 mid = int(mid)
                 w, h = 8 + mid % 5, 6 + mid % 3
                 pred = mid % 7 + 1
-                kind = mid % 4
+                kind = mid % 5
                 x = np.arange(w)[None, :]
                 y = np.arange(h)[:, None]
-                if kind == 1:
+                if kind in (1, 4):
                     r = (mid * 31 + x * 7 + y * 13) % 256
                     g = (mid * 17 + x * 11 + y * 3) % 256
                     b = (mid * 29 + x * 5 + y * 19) % 256
+                    chans = [r, g, b]
+                    if kind == 4:
+                        chans.append((mid * 23 + x * 3 + y * 17) % 256)
                     img = np.stack(
-                        [np.broadcast_to(p, (h, w)) for p in (r, g, b)],
+                        [np.broadcast_to(p, (h, w)) for p in chans],
                         axis=-1,
                     )
                     payload = enc(
-                        w, h, img.flatten().tolist(), ncomp=3, predictor=pred
+                        w, h, img.flatten().tolist(), ncomp=len(chans),
+                        predictor=pred,
                     )
                 else:
                     if kind == 3:

@@ -1242,3 +1242,43 @@ class TestCmyk:
             )
             assert J.jpeg_metadata(prog)["progressive"] is True
             assert J.decode_jpeg(prog) == J.decode_jpeg(base), (transform, sub)
+
+
+def test_lossless_cmyk_roundtrip_all_predictors():
+    """r11: 4-component lossless decodes through the documented
+    Adobe-inverted channel·K/255 conversion, exactly, for every Annex-H
+    predictor; a lossless stream claiming the YCCK transform fails
+    honestly (the Adobe transform is defined over the DCT JFIF space —
+    there is no lossless YCCK)."""
+    import numpy as np
+    import pytest
+
+    from bigdata_lab02_spark.operators.jpeg import (
+        JpegError,
+        _rnd,
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    w, h = 9, 7
+    quads = [
+        ((31 * i) % 256, (17 * i) % 256, (29 * i) % 256, (23 * i) % 256)
+        for i in range(w * h)
+    ]
+    samples = [v for q in quads for v in q]
+    s = np.array(quads, dtype=np.float64).reshape(h, w, 4)
+    want = np.clip(_rnd(s[..., :3] * s[..., 3:4] / 255.0), 0, 255).astype(
+        np.uint8
+    )
+    for pred in range(1, 8):
+        payload = encode_jpeg_lossless(w, h, samples, ncomp=4, predictor=pred)
+        dw, dh, ch, px = decode_jpeg(payload)
+        assert (dw, dh, ch) == (w, h, 3)
+        got = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+        assert np.array_equal(got, want), pred
+
+    payload = encode_jpeg_lossless(w, h, samples, ncomp=4, predictor=1)
+    body = b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 2])  # transform 2 = YCCK
+    app14 = b"\xff\xee" + (len(body) + 2).to_bytes(2, "big") + body
+    with pytest.raises(JpegError, match="lossless YCCK"):
+        decode_jpeg(payload[:2] + app14 + payload[2:])
