@@ -4383,6 +4383,56 @@ FROM v GROUP BY media_id, w, h, kind
 """
 
 
+def q_jpeg_hierarchical(spark, sf_dir):
+    """Hierarchical JPEG (T.81 Annex J) gated end-to-end (r11): the
+    synthetic pyramid corpus (constant images, odd dims, 2- and 3-level
+    stripes, a truncation stripe) through the full decode → exact
+    per-channel pixel sums. Constant frames keep the whole pyramid
+    DC-only, so the refinement chain — baseline quant roundtrip, then
+    per level a no-level-shift differential quant roundtrip added to
+    the expanded reference under the clamp — is restated by the oracle
+    in closed form; any drift in the DHP/EXP walk, the differential DC
+    zero-prediction convention, the reference add, or the final-dims
+    validation flips rows. (sf_dir unused: media is generated.)"""
+    from bigdata_lab02_spark.operators.multimodal import (
+        extract_jpeg_stats,
+        synthetic_jpeg_hierarchical,
+    )
+
+    return extract_jpeg_stats(synthetic_jpeg_hierarchical(spark, 40))
+
+
+# Closed form for q_jpeg_hierarchical: r = Q(c) (the gray baseline
+# quant roundtrip, level-shifted), then per extra level
+# r = clip(r + QD(c - r)) where QD is the same DC quant roundtrip
+# WITHOUT the level shift (differential frames omit it). Constant
+# frames make the whole pyramid DC-only, so this IS the decode.
+_JPEG_HIER_SQL = """
+WITH ids AS (SELECT unnest(range(40)) AS media_id),
+s AS (SELECT media_id, 15 + media_id % 6 AS w, 11 + media_id % 4 AS h,
+  (media_id * 37 + 11) % 256 AS c,
+  CASE WHEN media_id % 3 = 0 THEN 3 ELSE 2 END AS levels,
+  media_id % 8 = 7 AS corrupt FROM ids),
+h1 AS (SELECT *, least(255, greatest(0, CAST(floor((CAST(floor((8*((c)-128)/16.0) + (0.5 + 1e-9)) AS BIGINT) * 16 / 8.0 + 128) + (0.5 + 1e-9)) AS BIGINT))) AS r FROM s),
+h2 AS (SELECT *, least(255, greatest(0, r + CAST(floor((CAST(floor((8*(c - r)/16.0) + (0.5 + 1e-9)) AS BIGINT) * 16 / 8.0) + (0.5 + 1e-9)) AS BIGINT))) AS rr FROM h1),
+h3 AS (SELECT *, least(255, greatest(0, rr + CAST(floor((CAST(floor((8*(c - rr)/16.0) + (0.5 + 1e-9)) AS BIGINT) * 16 / 8.0) + (0.5 + 1e-9)) AS BIGINT))) AS rrr
+       FROM h2),
+hf AS (SELECT media_id, w, h, corrupt,
+  CASE WHEN levels = 3 THEN rrr ELSE rr END AS v FROM h3)
+SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  CAST(w * h * v AS BIGINT) AS sum_r,
+  CAST(w * h * v AS BIGINT) AS sum_g,
+  CAST(w * h * v AS BIGINT) AS sum_b,
+  TRUE AS decode_ok
+FROM hf WHERE NOT corrupt
+UNION ALL
+SELECT media_id, CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+  CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
+  CAST(NULL AS BIGINT) AS sum_b, FALSE AS decode_ok
+FROM hf WHERE corrupt
+"""
+
+
 def q_jpeg_cmyk(spark, sf_dir):
     """4-component CMYK/YCCK decode gated end-to-end (r10): the
     synthetic print-profile corpus (CMYK 4:4:4 with and WITHOUT APP14,
@@ -5768,6 +5818,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # restates in closed form; registered into the overflow,
     # oracle-gated every pytest run.
     "exif_orientation": q_exif_orientation,
+    # jpeg_hierarchical (r11): the last T.81 coding process — Annex J
+    # pyramids (DHP/EXP/SOF5 differential frames) under a closed-form
+    # refinement-chain oracle; registered into the overflow,
+    # oracle-gated every pytest run.
+    "jpeg_hierarchical": q_jpeg_hierarchical,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -5783,6 +5838,7 @@ ROTATED_OUT: set[str] = {
     "media_metadata", "bpe_pipeline", "embedding_dup_pairs",
     "jpeg_lossless", "warc_ingest", "jpeg_cmyk",
     "warc_revisits", "warc_crawl_pipeline", "exif_orientation",
+    "jpeg_hierarchical",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -5894,6 +5950,7 @@ _R11_NEW = {
     "warc_revisits",
     "warc_crawl_pipeline",
     "exif_orientation",
+    "jpeg_hierarchical",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -5995,6 +6052,7 @@ _ORACLES: dict[str, str] = {
     "warc_revisits": _WARC_REVISITS_SQL,
     "warc_crawl_pipeline": _WARC_CRAWL_SQL,
     "exif_orientation": _EXIF_ORIENT_SQL,
+    "jpeg_hierarchical": _JPEG_HIER_SQL,
     "jpeg_cmyk": _JPEG_CMYK_SQL,
     "bpe_pipeline": _BPE_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,

@@ -56,9 +56,13 @@ row-boundary restart intervals as real lossless/DNG writers emit; one
 interleaved scan; 3-component lossless is RGB — no JFIF YCbCr contract
 exists for it; r11: 4-component lossless decodes as Adobe-inverted
 CMYK through the same documented channel·K/255 conversion — lossless
-YCCK does not exist and claims of it fail honestly). Hierarchical /
-differential modes (SOF5-7/11/13-15) and 4-component ARITHMETIC stay
-honest failures. Anything outside the profile raises
+YCCK does not exist and claims of it fail honestly). HIERARCHICAL
+(Annex J, r11) decodes in its documented grayscale profile — DHP,
+baseline first frame, EXP midpoint expansion, SOF5 differential frames
+with zero DC prediction and no level shift, clamp-added to the
+reference (see the hierarchical section note); progressive /
+arithmetic / lossless differential frames (SOF6-7/13-15) and
+4-component ARITHMETIC stay honest failures. Anything outside the profile raises
 ``JpegError``, which the pipeline maps to ``decode_ok=False`` (the
 honest-failure path).
 
@@ -1657,6 +1661,48 @@ def jpeg_metadata(data: bytes) -> dict:
 # ----------------------------------------------------------- decoder
 
 
+def _parse_dqt(body: bytes, quants: dict) -> None:
+    """DQT segment body → quant tables (possibly several per segment);
+    shared by the single-frame and hierarchical decode loops."""
+    b = 0
+    while b < len(body):
+        pq, tq = body[b] >> 4, body[b] & 0x0F
+        if pq not in (0, 1):  # Pq=1: 16-bit entries (12-bit streams)
+            raise JpegError(f"bad DQT precision {pq}")
+        n = 64 * (pq + 1)
+        if b + 1 + n > len(body):
+            raise JpegError("short DQT")
+        if pq == 0:
+            vals = body[b + 1 : b + 65]
+        else:
+            vals = struct.unpack_from(">64H", body, b + 1)
+        t = np.zeros((8, 8), dtype=np.int32)
+        for i, (r, c) in enumerate(_ZIGZAG):
+            t[r, c] = vals[i]
+        quants[tq] = t
+        b += 1 + n
+
+
+def _parse_dht(body: bytes, huffs: dict) -> None:
+    """DHT segment body → decode tables keyed (code, length) → symbol;
+    shared by the single-frame and hierarchical decode loops."""
+    b = 0
+    while b < len(body):
+        if b + 17 > len(body):
+            raise JpegError("short DHT")
+        tc_th = body[b]
+        bits = list(body[b + 1 : b + 17])
+        nvals = sum(bits)
+        vals = list(body[b + 17 : b + 17 + nvals])
+        if len(vals) != nvals:
+            raise JpegError("short DHT values")
+        codes = _canonical_codes(bits, vals)
+        huffs[tc_th] = {
+            (code, length): sym for sym, (code, length) in codes.items()
+        }
+        b += 17 + nvals
+
+
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline or progressive JPEG →
     ``(width, height, 3, rgb_bytes)``. General within the profile:
@@ -2144,39 +2190,9 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
             raise JpegError("truncated segment")
         pos += 2 + seglen
         if marker == 0xDB:  # DQT (possibly several tables per segment)
-            b = 0
-            while b < len(body):
-                pq, tq = body[b] >> 4, body[b] & 0x0F
-                if pq not in (0, 1):  # Pq=1: 16-bit entries (12-bit streams)
-                    raise JpegError(f"bad DQT precision {pq}")
-                n = 64 * (pq + 1)
-                if b + 1 + n > len(body):
-                    raise JpegError("short DQT")
-                if pq == 0:
-                    vals = body[b + 1 : b + 65]
-                else:
-                    vals = struct.unpack_from(">64H", body, b + 1)
-                t = np.zeros((8, 8), dtype=np.int32)
-                for i, (r, c) in enumerate(_ZIGZAG):
-                    t[r, c] = vals[i]
-                quants[tq] = t
-                b += 1 + n
+            _parse_dqt(body, quants)
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
-            b = 0
-            while b < len(body):
-                if b + 17 > len(body):
-                    raise JpegError("short DHT")
-                tc_th = body[b]
-                bits = list(body[b + 1 : b + 17])
-                nvals = sum(bits)
-                vals = list(body[b + 17 : b + 17 + nvals])
-                if len(vals) != nvals:
-                    raise JpegError("short DHT values")
-                codes = _canonical_codes(bits, vals)
-                huffs[tc_th] = {
-                    (code, length): sym for sym, (code, length) in codes.items()
-                }
-                b += 17 + nvals
+            _parse_dht(body, huffs)
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             # SOF0 baseline / SOF1 extended sequential / SOF2
             # progressive / SOF3 LOSSLESS (Annex H, r10) / SOF9
@@ -2283,10 +2299,14 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
                         )
                     )
                     band_al.append([-1] * 64)
+        elif marker == 0xDE:  # DHP — hierarchical stream (Annex J, r11)
+            return _decode_hierarchical(data)
         elif marker in (0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            # hierarchical and differential modes stay honest failures
-            raise JpegError("unsupported SOF type")
+            # a differential frame is only legal after a DHP (handled
+            # above); outside one it is an honest failure, as are the
+            # arithmetic/lossless differential forms everywhere
+            raise JpegError("differential frame outside a hierarchical stream")
         elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
             b = 0
             while b + 2 <= len(body):
@@ -2440,3 +2460,304 @@ def jpeg_stats(data: bytes) -> dict:
         "sum_g": int(a[:, 1].sum()),
         "sum_b": int(a[:, 2].sum()),
     }
+
+
+# --------------------------------------- hierarchical (Annex J, r11)
+# The last T.81 coding process this codec covers. Profile (documented
+# precisely BECAUSE no mainstream encoder emits hierarchical streams to
+# interoperate with — libjpeg never implemented it; conventions here are
+# cited to the spec and pinned by the oracle gate + roundtrip tests):
+# grayscale, 8-bit, a baseline (SOF0) first frame followed by
+# differential sequential (SOF5) frames, EXP expansion of the reference
+# by a factor of 2 per flagged axis, no restart intervals inside frames.
+# Reference expansion interpolates horizontally THEN vertically with the
+# J.1.1.2 midpoint filter (output even samples copy the input, odd
+# samples are (a + b + 1) >> 1 with the trailing edge replicated), then
+# crops to the next frame's SOF dims. Differential frames code the DC
+# coefficient with ZERO prediction (F.1.1.5.1: the DC prediction is
+# zero in differential frames), reconstruct with NO level shift, and
+# the decoded difference adds to the reference under a [0, 255] clamp
+# (J.1.1.4). Everything outside this profile raises JpegError — the
+# honest-failure contract.
+
+
+def _upsample2_1d(plane: np.ndarray, axis: int) -> np.ndarray:
+    """Double one axis with the J.1.1.2 midpoint filter: even output
+    samples copy the input; odd samples are (a + b + 1) >> 1 of the
+    neighbors, edge replicated."""
+    a = np.swapaxes(plane, 0, axis)
+    n = a.shape[0]
+    out = np.empty((2 * n,) + a.shape[1:], dtype=np.int64)
+    out[0::2] = a
+    nxt = np.concatenate([a[1:], a[-1:]], axis=0)
+    out[1::2] = (a + nxt + 1) >> 1
+    return np.swapaxes(out, 0, axis)
+
+
+def _hier_upsample(
+    ref: np.ndarray, eh: int, ev: int, out_w: int, out_h: int
+) -> np.ndarray:
+    """Expand the reference per the EXP flags (2× per flagged axis,
+    horizontal pass first — the codec's documented order, mirrored by
+    the oracle) and crop to the next frame's dims."""
+    up = ref.astype(np.int64)
+    if eh:
+        up = _upsample2_1d(up, 1)
+    if ev:
+        up = _upsample2_1d(up, 0)
+    if out_h > up.shape[0] or out_w > up.shape[1]:
+        raise JpegError("frame dims exceed the expanded reference")
+    return up[:out_h, :out_w]
+
+
+def _pad_to_grid(plane: np.ndarray) -> np.ndarray:
+    """Edge-replicate to the 8×8 block grid (the same padding rule the
+    main encoder uses for partial edge MCUs)."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    out = np.empty((ph, pw), dtype=plane.dtype)
+    out[:h, :w] = plane
+    out[h:, :w] = plane[h - 1 : h, :]
+    out[:, w:] = out[:, w - 1 : w]
+    return out
+
+
+def encode_jpeg_hierarchical(
+    width: int, height: int, gray, levels: int = 2
+) -> bytes:
+    """Hierarchical JPEG encoder (T.81 Annex J) over the profile above:
+    ``gray`` is ``width*height`` ints 0..255; the pyramid is built by
+    ceil-halving ``levels - 1`` times (2×2 mean downsample, the
+    encoder's non-normative choice), the smallest image is coded as a
+    plain baseline grayscale frame, and each larger level is coded as a
+    SOF5 differential frame against the DECODED-and-expanded previous
+    level — so the stream refines toward the input the way Annex J
+    intends, and the final decode error is bounded by the LAST frame's
+    quantization alone."""
+    if levels < 2:
+        raise JpegError("hierarchical streams need at least 2 levels")
+    if width <= 0 or height <= 0:
+        raise JpegError("dimensions must be positive")
+    arr = np.asarray(list(gray), dtype=np.int64)
+    if arr.size != width * height:
+        raise JpegError(
+            f"sample buffer is {arr.size} values, want {width * height}"
+        )
+    if arr.min() < 0 or arr.max() > 255:
+        raise JpegError("8-bit samples must be in 0..255")
+    dims = [(width, height)]
+    for _ in range(levels - 1):
+        w0, h0 = dims[0]
+        dims.insert(0, (-(-w0 // 2), -(-h0 // 2)))
+    imgs = [arr.reshape(height, width)]
+    for _ in range(levels - 1):
+        src = imgs[0]
+        h0, w0 = src.shape
+        if h0 % 2 or w0 % 2:  # edge-replicate to even before the mean
+            src = np.pad(
+                src, ((0, h0 % 2), (0, w0 % 2)), mode="edge"
+            )
+        imgs.insert(0, _downsample2(src).astype(np.int64))
+    w1, h1 = dims[0]
+    rgb = np.repeat(
+        imgs[0].astype(np.uint8)[..., None], 3, axis=-1
+    ).tobytes()
+    frame1 = encode_jpeg(w1, h1, rgb, subsampling="gray")
+    ref = (
+        np.frombuffer(decode_jpeg(frame1)[3], dtype=np.uint8)
+        .reshape(h1, w1, 3)[:, :, 0]
+        .astype(np.int64)
+    )
+    dhp = bytes([8]) + struct.pack(">HH", height, width)
+    dhp += bytes([1, 1, 0x11, 0])
+    out = bytearray(b"\xff\xd8" + _seg(0xDE, dhp))
+    out += frame1[2:-2]  # frame 1's tables + SOF0 + scan, sans SOI/EOI
+    dc = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac = _canonical_codes(AC_BITS, AC_VALS)
+    for lvl in range(1, levels):
+        wl, hl = dims[lvl]
+        wp, hp = dims[lvl - 1]
+        eh, ev = int(wl > wp), int(hl > hp)
+        if eh or ev:
+            out += _seg(0xDF, bytes([(eh << 4) | ev]))
+        up = _hier_upsample(ref, eh, ev, wl, hl)
+        diff = _pad_to_grid(imgs[lvl] - up)
+        nby, nbx = diff.shape[0] // 8, diff.shape[1] // 8
+        w_ = _BitWriter()
+        dplane = np.zeros_like(diff)
+        for by in range(nby):
+            for bx in range(nbx):
+                block = diff[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                # differential DCT: NO level shift; DC coded with zero
+                # prediction (the pred argument stays 0 every block)
+                q = _rnd(_dct2(block.astype(np.float64)) / QUANT_LUM)
+                zz = [int(q[r, c]) for r, c in _ZIGZAG]
+                _emit_full_block(w_, zz, 0, dc, ac)
+                deq = np.zeros((8, 8), dtype=np.float64)
+                for i, (r, c) in enumerate(_ZIGZAG):
+                    deq[r, c] = zz[i] * QUANT_LUM[r, c]
+                dplane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _rnd(
+                    _idct2(deq)
+                )
+        sof = bytes([8]) + struct.pack(">HH", hl, wl) + bytes([1, 1, 0x11, 0])
+        sos = bytes([1, 1, 0x00, 0, 63, 0])
+        out += _seg(0xC5, sof) + _seg(0xDA, sos) + w_.flush()
+        ref = np.clip(up + dplane[:hl, :wl], 0, 255)
+    return bytes(out) + b"\xff\xd9"
+
+
+def _decode_hierarchical(data: bytes) -> tuple[int, int, int, bytes]:
+    """Annex J hierarchical decode over the documented profile (see the
+    section comment): DHP declares the final dims; a baseline grayscale
+    first frame seeds the reference; each SOF5 differential frame —
+    optionally preceded by EXP — adds its no-level-shift IDCT output to
+    the (expanded) reference under the [0, 255] clamp. The final
+    reference must land exactly on the DHP dims."""
+    pos = 2
+    quants: dict[int, np.ndarray] = {}
+    huffs: dict[int, dict] = {}
+    ref: np.ndarray | None = None
+    full: tuple[int, int] | None = None
+    pending_exp: tuple[int, int] | None = None
+    frame: tuple[bool, int, int, int, int, int] | None = None
+    saw_eoi = False
+
+    def parse_frame_body(body: bytes) -> tuple[int, int, int]:
+        if len(body) < 9:
+            raise JpegError("short hierarchical frame header")
+        if body[0] != 8:
+            raise JpegError("hierarchical profile is 8-bit")
+        h, w = struct.unpack_from(">HH", body, 1)
+        if body[5] != 1:
+            raise JpegError("hierarchical profile is grayscale")
+        _, hv, tq = body[6:9]
+        if hv != 0x11:
+            raise JpegError("hierarchical profile is 1x1 sampled")
+        if w <= 0 or h <= 0 or w * h > (1 << 23):
+            raise JpegError("unsupported dimensions")
+        return w, h, tq
+
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise JpegError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            saw_eoi = True
+            break
+        if pos + 4 > len(data):
+            raise JpegError("truncated segment")
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise JpegError("truncated segment")
+        pos += 2 + seglen
+        if marker == 0xDB:
+            _parse_dqt(body, quants)
+        elif marker == 0xC4:
+            _parse_dht(body, huffs)
+        elif marker == 0xDE:  # DHP
+            if full is not None:
+                raise JpegError("duplicate DHP")
+            w, h, _ = parse_frame_body(body)
+            full = (w, h)
+        elif marker == 0xDF:  # EXP
+            if len(body) != 1:
+                raise JpegError("bad EXP length")
+            eh, ev = body[0] >> 4, body[0] & 0x0F
+            if (eh, ev) not in ((1, 0), (0, 1), (1, 1)):
+                raise JpegError("EXP must expand by 1 per axis")
+            if ref is None:
+                raise JpegError("EXP before the first frame")
+            pending_exp = (eh, ev)
+        elif marker in (0xC0, 0xC5):
+            if full is None:
+                raise JpegError("hierarchical frame before DHP")
+            differential = marker == 0xC5
+            if differential and ref is None:
+                raise JpegError("differential frame without a reference")
+            if not differential and ref is not None:
+                raise JpegError("second non-differential frame")
+            w, h, tq = parse_frame_body(body)
+            frame = (differential, w, h, tq)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError("frame type outside the hierarchical profile")
+        elif marker == 0xDD:
+            (ri,) = struct.unpack(">H", body)
+            if ri:
+                raise JpegError(
+                    "restart intervals outside the hierarchical profile"
+                )
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JpegError("scan without a frame")
+            differential, w, h, tq = frame
+            if len(body) != 6 or body[0] != 1:
+                raise JpegError("hierarchical scans cover one component")
+            dc_t = huffs.get(body[2] >> 4)
+            ac_t = huffs.get(0x10 | (body[2] & 0x0F))
+            if (
+                body[3] != 0 or body[4] != 63 or body[5] != 0
+                or dc_t is None or ac_t is None or tq not in quants
+            ):
+                raise JpegError("bad hierarchical scan header/tables")
+            quant = quants[tq]
+            nbx, nby = -(-w // 8), -(-h // 8)
+            plane = np.zeros((nby * 8, nbx * 8), dtype=np.int64)
+            br = _BitReader(data, pos)
+            pred = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    zz = [0] * 64
+                    size = _decode_symbol(br, dc_t)
+                    if size > 11:
+                        raise JpegError("DC category out of range")
+                    val = _extend(br.bits(size), size) if size else 0
+                    if differential:
+                        zz[0] = val  # F.1.1.5.1: zero DC prediction
+                    else:
+                        pred += val
+                        zz[0] = pred
+                    i = 1
+                    while i < 64:
+                        sym = _decode_symbol(br, ac_t)
+                        if sym == 0x00:
+                            break
+                        if sym == 0xF0:
+                            i += 16
+                            if i > 63:
+                                raise JpegError("ZRL past block end")
+                            continue
+                        run, sz = sym >> 4, sym & 0x0F
+                        i += run
+                        if i > 63 or sz == 0 or sz > 10:
+                            raise JpegError("AC run/size out of range")
+                        zz[i] = _extend(br.bits(sz), sz)
+                        i += 1
+                    coef = np.zeros((8, 8), dtype=np.float64)
+                    for i, (r, c) in enumerate(_ZIGZAG):
+                        coef[r, c] = zz[i] * quant[r, c]
+                    blk = _rnd(_idct2(coef))
+                    if not differential:
+                        blk = np.clip(blk + 128, 0, 255)
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+            pos = br.pos
+            if differential:
+                eh, ev = pending_exp if pending_exp else (0, 0)
+                up = _hier_upsample(ref, eh, ev, w, h)
+                ref = np.clip(up + plane[:h, :w], 0, 255)
+            else:
+                ref = plane[:h, :w]
+            pending_exp = None
+            frame = None
+        # other segments (APPn, COM) are skipped
+
+    if not saw_eoi:
+        raise JpegError("missing EOI")
+    if ref is None or full is None:
+        raise JpegError("hierarchical stream without frames")
+    if (ref.shape[1], ref.shape[0]) != full:
+        raise JpegError("final frame does not reach the DHP dims")
+    w, h = full
+    rgb = np.repeat(ref.astype(np.uint8)[..., None], 3, axis=-1)
+    return w, h, 3, rgb.tobytes()

@@ -869,6 +869,44 @@ def synthetic_jpeg_lossless(spark, n: int = 56) -> DataFrame:
     )
 
 
+def synthetic_jpeg_hierarchical(spark, n: int = 40) -> DataFrame:
+    """Deterministic media table of REAL hierarchical JPEG payloads
+    (operators.jpeg.encode_jpeg_hierarchical, r11 — T.81 Annex J: DHP,
+    a baseline grayscale first frame, EXP expansion, SOF5 differential
+    frames): per row a CONSTANT image of value ``(id*37 + 11) % 256``
+    at ``(15 + id%6) × (11 + id%4)`` (odd dims exercise the
+    expand-and-crop path), ``levels = 3`` when ``id % 3 == 0`` else 2
+    (two EXPs vs one). Constant images keep every frame DC-only, so
+    the decoded value follows the closed-form refinement chain
+    ``r ← clip(r + QD(c − r))`` from ``r = Q(c)``, which the oracle
+    restates exactly — a drifting DHP/EXP parse, differential DC
+    convention, reference add, or clamp flips rows. ``id % 8 == 7``
+    rows are truncated to 60% (no EOI can survive the cut, so the
+    decode is an honest failure)."""
+    enc = _jpeg.encode_jpeg_hierarchical
+
+    def mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "payload": [], "mime": []}
+            for mid in pdf["id"]:
+                mid = int(mid)
+                w, h = 15 + mid % 6, 11 + mid % 4
+                c = (mid * 37 + 11) % 256
+                levels = 3 if mid % 3 == 0 else 2
+                payload = enc(w, h, [c] * (w * h), levels=levels)
+                if mid % 8 == 7:
+                    payload = payload[: int(len(payload) * 0.6)]
+                rows["media_id"].append(mid)
+                rows["payload"].append(payload)
+                rows["mime"].append("image/jpeg")
+            yield pd.DataFrame(rows)
+
+    n_parts = max(1, min(n // 8, spark.sparkContext.defaultParallelism))
+    return spark.range(n, numPartitions=n_parts).mapInPandas(
+        mk, "media_id long, payload binary, mime string"
+    )
+
+
 def synthetic_jpeg_cmyk(spark, n: int = 48) -> DataFrame:
     """Deterministic media table of REAL 4-component JPEG payloads
     (operators.jpeg.encode_jpeg_cmyk, r10) — the print-derived profile

@@ -1282,3 +1282,133 @@ def test_lossless_cmyk_roundtrip_all_predictors():
     app14 = b"\xff\xee" + (len(body) + 2).to_bytes(2, "big") + body
     with pytest.raises(JpegError, match="lossless YCCK"):
         decode_jpeg(payload[:2] + app14 + payload[2:])
+
+
+def test_hierarchical_upsample_filter_reference():
+    """r11: the J.1.1.2 midpoint expansion vs an independent per-pixel
+    reference (even samples copy; odd are (a+b+1)>>1, edge replicated;
+    horizontal pass first — the codec's documented order)."""
+    import numpy as np
+
+    from bigdata_lab02_spark.operators.jpeg import _hier_upsample
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, size=(5, 7)).astype(np.int64)
+
+    def up1d(v):
+        out = []
+        for i, x in enumerate(v):
+            out.append(int(x))
+            nxt = v[i + 1] if i + 1 < len(v) else v[-1]
+            out.append((int(x) + int(nxt) + 1) >> 1)
+        return out
+
+    horiz = np.array([up1d(row) for row in a])
+    ref = np.array([up1d(col) for col in horiz.T]).T
+    got = _hier_upsample(a, 1, 1, 14, 10)
+    assert np.array_equal(got, ref[:10, :14])
+    # single-axis expansion
+    got_h = _hier_upsample(a, 1, 0, 13, 5)
+    assert np.array_equal(got_h, horiz[:, :13])
+
+
+def test_hierarchical_roundtrip_and_refinement():
+    """Constant images decode EXACTLY through 2- and 3-level pyramids
+    (the refinement chain converges onto the input); on arbitrary
+    images the hierarchical result is strictly better than the
+    first-frame-upsampled approximation it refines."""
+    import numpy as np
+
+    from bigdata_lab02_spark.operators.jpeg import (
+        _downsample2,
+        _hier_upsample,
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_hierarchical,
+    )
+
+    import math
+
+    def rnd(x):
+        return math.floor(x + 0.5 + 1e-9)
+
+    def chain(c, levels):
+        # the closed-form refinement the oracle gate restates: baseline
+        # quant roundtrip, then per level a no-level-shift differential
+        # roundtrip added under the clamp — the decode's exact value
+        r = min(255, max(0, rnd(rnd(8 * (c - 128) / 16.0) * 16 / 8.0 + 128)))
+        for _ in range(levels - 1):
+            r = min(255, max(0, r + rnd(rnd(8 * (c - r) / 16.0) * 16 / 8.0)))
+        return r
+
+    for w, h, c, levels in ((15, 11, 200, 2), (16, 12, 77, 3), (9, 9, 0, 2)):
+        p = encode_jpeg_hierarchical(w, h, [c] * (w * h), levels=levels)
+        dw, dh, ch, px = decode_jpeg(p)
+        a = np.frombuffer(px, dtype=np.uint8).reshape(dh, dw, 3)
+        assert (dw, dh, ch) == (w, h, 3)
+        assert len(np.unique(a)) == 1, (c, levels)
+        got = int(a[0, 0, 0])
+        assert got == chain(c, levels), (c, levels, got)
+        assert abs(got - c) <= 2  # the chain's fixed point is c ± quant
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(24, 32), dtype=np.int64)
+    p = encode_jpeg_hierarchical(32, 24, img.flatten().tolist(), levels=2)
+    got = (
+        np.frombuffer(decode_jpeg(p)[3], dtype=np.uint8)
+        .reshape(24, 32, 3)[:, :, 0]
+        .astype(np.int64)
+    )
+    # the frame-1-only approximation the differential frame refines
+    small = _downsample2(np.pad(img, ((0, 0), (0, 0)), mode="edge"))
+    rgb = np.repeat(small.astype(np.uint8)[..., None], 3, -1).tobytes()
+    f1 = encode_jpeg(16, 12, rgb, subsampling="gray")
+    ref = (
+        np.frombuffer(decode_jpeg(f1)[3], dtype=np.uint8)
+        .reshape(12, 16, 3)[:, :, 0]
+        .astype(np.int64)
+    )
+    base = _hier_upsample(ref, 1, 1, 32, 24)
+    assert np.abs(got - img).mean() < np.abs(base - img).mean()
+
+
+def test_hierarchical_profile_honest_failures():
+    """Everything outside the documented Annex-J profile raises: a
+    differential frame outside a hierarchical stream, EXP before any
+    frame, a second non-differential frame, restart intervals, and a
+    stream whose last frame never reaches the DHP dims."""
+    import pytest
+
+    from bigdata_lab02_spark.operators.jpeg import (
+        JpegError,
+        decode_jpeg,
+        encode_jpeg_hierarchical,
+    )
+
+    p = encode_jpeg_hierarchical(15, 11, [9] * 165, levels=2)
+
+    def seg_at(data, marker):
+        i = data.index(bytes([0xFF, marker]))
+        ln = int.from_bytes(data[i + 2 : i + 4], "big")
+        return i, i + 2 + ln
+
+    # SOF5 outside a hierarchical stream (strip the DHP)
+    i, j = seg_at(p, 0xDE)
+    with pytest.raises(JpegError, match="hierarchical"):
+        decode_jpeg(p[:i] + p[j:])
+    # EXP before the first frame
+    i, _ = seg_at(p, 0xC0)
+    with pytest.raises(JpegError, match="EXP before"):
+        decode_jpeg(p[:i] + b"\xff\xdf\x00\x03\x11" + p[i:])
+    # a second non-differential frame: flip SOF5 -> SOF0
+    i, _ = seg_at(p, 0xC5)
+    with pytest.raises(JpegError, match="second non-differential"):
+        decode_jpeg(p[:i] + b"\xff\xc0" + p[i + 2:])
+    # restart interval inside the profile
+    i, _ = seg_at(p, 0xC5)
+    with pytest.raises(JpegError, match="restart"):
+        decode_jpeg(p[:i] + b"\xff\xdd\x00\x04\x00\x02" + p[i:])
+    # final dims never reach the DHP dims (drop the differential frame)
+    i, _ = seg_at(p, 0xDF)
+    with pytest.raises(JpegError, match="DHP dims|missing EOI"):
+        decode_jpeg(p[:i] + b"\xff\xd9")
