@@ -133,6 +133,13 @@ EXTRA = [
     "warc_ingest",
     # r10: 4-component CMYK/YCCK decode (print-derived profile)
     "jpeg_cmyk",
+    # r11: the full WARC->URL->crawl composition (framing + charset
+    # decode ahead of the crawl chain), revisit resolution, applied
+    # EXIF orientation, and Annex-J hierarchical pyramids
+    "warc_crawl_pipeline",
+    "warc_revisits",
+    "exif_orientation",
+    "jpeg_hierarchical",
 ]
 STREAMING_LAST = [
     "stream_hourly",
