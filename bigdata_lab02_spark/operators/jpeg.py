@@ -2668,6 +2668,8 @@ def _decode_hierarchical(data: bytes) -> tuple[int, int, int, bytes]:
                 raise JpegError("EXP must expand by 1 per axis")
             if ref is None:
                 raise JpegError("EXP before the first frame")
+            if pending_exp is not None:
+                raise JpegError("EXP without an intervening frame")
             pending_exp = (eh, ev)
         elif marker in (0xC0, 0xC5):
             if full is None:
@@ -2744,6 +2746,10 @@ def _decode_hierarchical(data: bytes) -> tuple[int, int, int, bytes]:
             pos = br.pos
             if differential:
                 eh, ev = pending_exp if pending_exp else (0, 0)
+                if not (eh or ev) and (ref.shape[1], ref.shape[0]) != (w, h):
+                    # without an EXP a differential frame must match the
+                    # reference exactly — Annex J frames never shrink
+                    raise JpegError("differential frame dims mismatch")
                 up = _hier_upsample(ref, eh, ev, w, h)
                 ref = np.clip(up + plane[:h, :w], 0, 255)
             else:
