@@ -398,3 +398,54 @@ def test_percent_decode_full_idempotent_and_conservative(ss):
         for hx in re.findall(r"%([0-9A-Fa-f]{2})", once):
             assert hx.upper() == hx, (s, once)
             assert chr(int(hx, 16)) not in _UNRESERVED, (s, once)
+
+
+_warc_uri = st.text(alphabet="abcXYZ019./:-_%", min_size=1, max_size=30)
+_warc_body = st.binary(max_size=200)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    recs=st.lists(
+        st.tuples(_warc_uri, _warc_body, st.integers(100, 599)),
+        min_size=1,
+        max_size=8,
+    ),
+    gz=st.booleans(),
+)
+def test_warc_encode_decode_roundtrip_property(recs, gz):
+    """r11 write side as a PROPERTY: arbitrary records through
+    encode_response_record (optionally as gzip members) walk back out
+    of iter_warc_records + parse_http_response byte-exact — the length
+    framing survives any body bytes, including bodies that contain
+    CRLF-CRLF separators and WARC version lines."""
+    import gzip as _gz
+
+    from bigdata_lab02_spark.sources.warc import (
+        encode_response_record,
+        iter_warc_records,
+        parse_http_response,
+    )
+
+    # one adversarial body per run: a byte-exact fake record inside a
+    # body must NOT desync the walk (length framing, not separators)
+    recs = recs + [
+        ("http://adv.example.com/x",
+         encode_response_record("http://fake.example.com/", b"inner"),
+         200),
+    ]
+    encoded = [
+        encode_response_record(u, b, status=s) for u, b, s in recs
+    ]
+    payload = (
+        b"".join(_gz.compress(r) for r in encoded)
+        if gz
+        else b"".join(encoded)
+    )
+    got = list(iter_warc_records(payload))
+    assert len(got) == len(recs)
+    for (u, b, s), (hdrs, block) in zip(recs, got):
+        assert hdrs["warc-type"] == "response"
+        assert hdrs["warc-target-uri"] == u.strip()
+        status, _, body = parse_http_response(block)
+        assert status == s and body == b
