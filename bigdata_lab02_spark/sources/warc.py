@@ -616,3 +616,42 @@ def warc_shards(
     return records.groupBy(shard_col).applyInPandas(
         assemble, f"shard {shard_type}, content binary, n_records int"
     )
+
+
+def write_warc(
+    records: DataFrame,
+    path: str,
+    shard_col: str = "shard",
+    gzip_members: bool = True,
+    **shard_kwargs,
+) -> None:
+    """Materialize ``warc_shards`` as real archive FILES — one
+    ``part-<shard>.warc[.gz]`` per shard under ``path``. Spark has no
+    raw-binary file writer (binaryFile is read-only), so this is the
+    one deliberate ``foreachPartition`` escape hatch in the engine:
+    each task writes its own shards, nothing funnels through the
+    driver, and the write is idempotent per shard (same shard → same
+    bytes → same file name). ``path`` must be visible to every
+    executor (shared/distributed filesystem on a real cluster; any
+    local dir on local mode). Files round-trip through ``read_warc``
+    byte-exact (tested)."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    ext = "warc.gz" if gzip_members else "warc"
+    shards = warc_shards(
+        records, shard_col=shard_col, gzip_members=gzip_members,
+        **shard_kwargs,
+    )
+
+    def save(rows) -> None:
+        import os as _os
+
+        for r in rows:
+            name = _os.path.join(path, f"part-{r['shard']}.{ext}")
+            tmp = name + ".inprogress"
+            with open(tmp, "wb") as f:
+                f.write(bytes(r["content"]))
+            _os.replace(tmp, name)  # atomic publish, crash-safe
+
+    shards.foreachPartition(save)

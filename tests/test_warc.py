@@ -427,3 +427,29 @@ def test_warc_shards_roundtrip(spark, tmp_path):
             for _, u, b, st, ct, dt, rid in rows
         )
         assert got == want
+
+
+def test_write_warc_files_roundtrip(spark, tmp_path):
+    """write_warc materializes one real archive file per shard from the
+    executors; read_warc reproduces every record byte-exact."""
+    from bigdata_lab02_spark.sources.warc import write_warc
+
+    rows = [
+        (i % 2, f"http://w{i}.example.com/p", f"page {i}".encode(),
+         200, "text/html", "2024-02-03T04:05:06Z", f"<urn:test:w{i}>")
+        for i in range(8)
+    ]
+    recs = spark.createDataFrame(
+        rows,
+        "shard int, target_uri string, body binary, http_status int, "
+        "http_content_type string, warc_date string, record_id string",
+    )
+    out = str(tmp_path / "archive")
+    write_warc(recs, out)
+    import os
+
+    assert sorted(os.listdir(out)) == ["part-0.warc.gz", "part-1.warc.gz"]
+    back = read_warc(spark, out).collect()
+    got = sorted((r["target_uri"], bytes(r["body"])) for r in back)
+    assert got == sorted((u, b) for _, u, b, *_ in rows)
+    assert all(r["parse_ok"] for r in back)
