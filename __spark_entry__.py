@@ -537,6 +537,61 @@ WHERE n_shared * 1.0 / (sa.sz + sb.sz - n_shared) >= 0.5
 """
 
 
+_LINES_FIXTURE_EXPR = (
+    "'Subscribe to our newsletter ' || (doc_id % 5) || chr(10)"
+    " || replace(text, chr(10), ' ') || chr(10)"
+    " || 'shared ' || CASE doc_id % 4 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'"
+    " WHEN 2 THEN 'gamma' ELSE 'delta' END || ' block'"
+    " || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'septennial bonus line'"
+    " ELSE '' END || chr(10)"
+)
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Cross-document LINE dedup gated end-to-end (dedup.dedup_lines,
+    r11 — the CCNet boilerplate stage): the fixture gives every page a
+    newsletter banner whose trailing digits differ (the NORMALIZED key
+    — lowercase, digits stripped, whitespace collapsed — must unify
+    them), a real content line (the document text, which the corpus
+    DOES duplicate across some docs — the oracle recomputes that dedup
+    for real), a four-way shared block line, a once-per-seven bonus
+    line, and a trailing empty line (below min_chars: never a dup).
+    The oracle restates the normalization, the distinct-doc counting,
+    and the ordered reassembly; n_lines/n_removed/text all cross the
+    hash."""
+    from bigdata_lab02_spark.operators.dedup import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id", F.expr(_LINES_FIXTURE_EXPR).alias("text")
+    )
+    return dedup_lines(pages)
+
+
+# The oracle recomputes the content-line dedup over the real corpus
+# (documents.text IS duplicated across docs by construction — the
+# exact-dedup gates rely on it), and restates the fixture lines'
+# verdicts: banner/shared/bonus lines always dup, empty line never.
+_DEDUP_LINES_SQL = r"""
+WITH lx AS (SELECT doc_id,
+  replace(text, chr(10), ' ') AS content FROM documents),
+k AS (SELECT doc_id, content,
+  trim(regexp_replace(regexp_replace(lower(trim(content)),
+    '[0-9]+', '', 'g'), '\s+', ' ', 'g')) AS key FROM lx),
+c AS (SELECT key, count(DISTINCT doc_id) AS ndocs FROM k
+      WHERE len(key) >= 1 GROUP BY key),
+v AS (SELECT k.doc_id, k.content,
+  coalesce(c.ndocs, 1) >= 2 AND len(k.key) >= 1 AS content_dup
+  FROM k LEFT JOIN c USING (key))
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 7 = 0 THEN 5 ELSE 4 END AS INT) AS n_lines,
+  CAST((CASE WHEN doc_id % 7 = 0 THEN 3 ELSE 2 END)
+    + (CASE WHEN content_dup THEN 1 ELSE 0 END) AS INT) AS n_removed,
+  CASE WHEN content_dup THEN '' ELSE content || chr(10) END AS text
+FROM v
+"""
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash(8) + LSH(4 bands × 2 rows) candidates, Jaccard-verified
     at >= 0.5. Portable md5-hex min-hashing (oracle reproduces exactly)."""
@@ -5823,6 +5878,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # refinement-chain oracle; registered into the overflow,
     # oracle-gated every pytest run.
     "jpeg_hierarchical": q_jpeg_hierarchical,
+    # dedup_lines (r11): cross-document line/paragraph dedup — the
+    # CCNet boilerplate stage, the seventh dedup family; registered
+    # into the overflow, oracle-gated every pytest run.
+    "dedup_lines": q_dedup_lines,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -5838,7 +5897,7 @@ ROTATED_OUT: set[str] = {
     "media_metadata", "bpe_pipeline", "embedding_dup_pairs",
     "jpeg_lossless", "warc_ingest", "jpeg_cmyk",
     "warc_revisits", "warc_crawl_pipeline", "exif_orientation",
-    "jpeg_hierarchical",
+    "jpeg_hierarchical", "dedup_lines",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -5951,6 +6010,7 @@ _R11_NEW = {
     "warc_crawl_pipeline",
     "exif_orientation",
     "jpeg_hierarchical",
+    "dedup_lines",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -6053,6 +6113,7 @@ _ORACLES: dict[str, str] = {
     "warc_crawl_pipeline": _WARC_CRAWL_SQL,
     "exif_orientation": _EXIF_ORIENT_SQL,
     "jpeg_hierarchical": _JPEG_HIER_SQL,
+    "dedup_lines": _DEDUP_LINES_SQL,
     "jpeg_cmyk": _JPEG_CMYK_SQL,
     "bpe_pipeline": _BPE_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,

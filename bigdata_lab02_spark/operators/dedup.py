@@ -792,3 +792,77 @@ def dedup_spans(
             .alias("n_removed"),
         )
     )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    normalize: bool = True,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Cross-document LINE (paragraph) dedup — the CCNet first stage
+    (Wenzek et al. 2020 §3.1: boilerplate lines — nav, cookie banners,
+    copyright footers — repeat across a crawl's pages; dropping every
+    line that occurs in ≥ ``min_docs`` documents removes them without
+    touching unique prose). The seventh dedup family: coarser than
+    ``dedup_spans`` (whole newline-delimited lines, not token windows)
+    and upstream of it in a CCNet-shaped pipeline.
+
+    ``normalize=True`` keys lines on a documented subset of CCNet's
+    normalization — lowercase, trimmed, digit runs removed, whitespace
+    collapsed — so "Visitor count 123" and "visitor count 99" are the
+    same boilerplate. Keys shorter than ``min_chars`` after
+    normalization (blank or all-digit lines) are never counted as
+    duplicates. Per doc returns the surviving ``text`` (original lines,
+    original order), ``n_lines``, and ``n_removed``.
+
+    Scale shape (nothing all-pairs, the dedup_spans discipline): one
+    posexplode to (doc, pos, line); the corpus-wide count shuffles
+    md5 DIGESTS of the normalized key, not line text; one distinct-doc
+    count, one equi-join back on the digest, one per-doc ordered
+    reassembly — three keyed exchanges, all linear in data."""
+    lines = F.split(F.col(text_col), "\n")
+    exploded = docs.select(
+        id_col, F.posexplode(lines).alias("__pos", "__line")
+    )
+    key = F.trim(F.lower(F.col("__line")))
+    if normalize:
+        key = F.regexp_replace(key, "[0-9]+", "")
+        key = F.trim(F.regexp_replace(key, r"\s+", " "))
+    exploded = exploded.withColumn(
+        "__key",
+        F.when(F.length(key) >= min_chars, F.md5(key)),
+    )
+    counts = (
+        exploded.where(F.col("__key").isNotNull())
+        .groupBy("__key")
+        .agg(F.countDistinct(id_col).alias("__ndocs"))
+        .where(F.col("__ndocs") >= min_docs)
+        .select("__key", F.lit(True).alias("__dup"))
+    )
+    marked = exploded.join(counts, "__key", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_lines"),
+            F.sum(
+                F.when(F.col("__dup"), 1).otherwise(0)
+            ).cast("int").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.coalesce(F.col("__dup"), F.lit(False)),
+                                F.struct(F.col("__pos"), F.col("__line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias(text_col),
+        )
+    )

@@ -655,3 +655,36 @@ class TestPersistedIvf:
         assert m and "list_id" in m.group(1), r.raw
         pf = re.findall(r"PushedFilters: \[([^\]]*)\]", r.raw)
         assert not any("list_id" in x for x in pf), r.raw
+
+
+def test_dedup_lines_ccnet_boilerplate(spark):
+    """r11: cross-document line dedup — exact boilerplate, digit-variant
+    boilerplate (normalized key), per-doc unique lines, below-min_chars
+    lines, and ordered reassembly with original line text."""
+    from bigdata_lab02_spark.operators.dedup import dedup_lines
+
+    rows = [
+        (1, "Subscribe now\nUnique prose one.\nVisitor count 123\n42"),
+        (2, "Subscribe now\nDifferent unique text.\nVisitor count 99\n17"),
+        (3, "All alone here.\nVisitor count 5"),
+        (4, "Unique prose one.\nnothing shared otherwise"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    # exact + digit-normalized boilerplate removed everywhere
+    # doc 1: banner + visitor-count + cross-doc 'Unique prose one.'
+    # all removed; the digits-only '42' is never a dup key
+    assert out[1]["text"] == "42"
+    # doc 2's content line is genuinely unique -> survives in order
+    assert out[2]["text"] == "Different unique text.\n17"
+    assert out[3]["text"] == "All alone here."
+    # 'Unique prose one.' occurs in docs 1 and 4 -> removed from both
+    assert out[4]["text"] == "nothing shared otherwise"
+    assert out[1]["n_lines"] == 4 and out[1]["n_removed"] == 3
+    assert out[3]["n_removed"] == 1   # its Visitor-count line
+    # min_docs above the corpus max: nothing removed, text verbatim
+    untouched = {
+        r["doc_id"]: r for r in dedup_lines(df, min_docs=9).collect()
+    }
+    assert untouched[1]["text"] == rows[0][1]
+    assert untouched[1]["n_removed"] == 0
