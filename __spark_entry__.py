@@ -1978,6 +1978,40 @@ FROM uw
 
 
 
+def q_url_domain_cap(spark, sf_dir):
+    """Per-domain quota gated end-to-end (url.domain_cap, r11 — the
+    RefinedWeb anti-domination stage): the URL-tier survivors, capped
+    at 3 documents per registered domain (fetch-ts ordering carried
+    over from the tier's keep="last" policy would invert ranks, so this
+    gate pins the DEFAULT keep="first"-by-id ordering), with NULL
+    domains (IP literals, unlisted suffixes) quota'd per HOST via the
+    fallback key. domain_rank and domain_keep cross the hash; the
+    oracle restates the window over the same survivor set."""
+    from bigdata_lab02_spark.operators.url import domain_cap, url_filters
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", F.expr(_URL_FIXTURE_EXPR).alias("url"))
+    sfx, blk = _url_dims(spark)
+    uf = url_filters(pages, sfx, blk).where(F.col("url_keep"))
+    out = domain_cap(uf, 3)
+    return out.select(
+        "doc_id", "host", "registered_domain", "domain_rank", "domain_keep"
+    )
+
+
+_URL_DOMAIN_CAP_SQL = f"""
+WITH {_url_tier_sql(_URL_FIXTURE_EXPR)},
+surv AS (SELECT doc_id, host, registered_domain FROM uw WHERE url_keep),
+rk AS (SELECT *, row_number() OVER (
+    PARTITION BY coalesce(registered_domain, 'host:' || host)
+    ORDER BY doc_id) AS domain_rank FROM surv)
+SELECT doc_id, host, registered_domain,
+  CAST(domain_rank AS INT) AS domain_rank,
+  domain_rank <= 3 AS domain_keep
+FROM rk
+"""
+
+
 def q_crawl_curation_pipeline(spark, sf_dir):
     """The COMPOSED crawl-curation chain (operators.crawl.crawl_curation):
     URL tier (r10: normalize → registered domain → blocklist → recrawl
@@ -5882,6 +5916,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CCNet boilerplate stage, the seventh dedup family; registered
     # into the overflow, oracle-gated every pytest run.
     "dedup_lines": q_dedup_lines,
+    # url_domain_cap (r11): the RefinedWeb per-domain quota over the
+    # URL-tier survivors; registered into the overflow, oracle-gated
+    # every pytest run.
+    "url_domain_cap": q_url_domain_cap,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -5897,7 +5935,7 @@ ROTATED_OUT: set[str] = {
     "media_metadata", "bpe_pipeline", "embedding_dup_pairs",
     "jpeg_lossless", "warc_ingest", "jpeg_cmyk",
     "warc_revisits", "warc_crawl_pipeline", "exif_orientation",
-    "jpeg_hierarchical", "dedup_lines",
+    "jpeg_hierarchical", "dedup_lines", "url_domain_cap",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -6011,6 +6049,7 @@ _R11_NEW = {
     "exif_orientation",
     "jpeg_hierarchical",
     "dedup_lines",
+    "url_domain_cap",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -6114,6 +6153,7 @@ _ORACLES: dict[str, str] = {
     "exif_orientation": _EXIF_ORIENT_SQL,
     "jpeg_hierarchical": _JPEG_HIER_SQL,
     "dedup_lines": _DEDUP_LINES_SQL,
+    "url_domain_cap": _URL_DOMAIN_CAP_SQL,
     "jpeg_cmyk": _JPEG_CMYK_SQL,
     "bpe_pipeline": _BPE_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,

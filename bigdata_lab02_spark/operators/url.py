@@ -553,3 +553,58 @@ def with_canonical_url(
             yield pdf
 
     return df.mapInPandas(op, f"{schema}, {out_col} string")
+
+
+def domain_cap(
+    pages: DataFrame,
+    max_per_domain: int,
+    domain_col: str = "registered_domain",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    keep: str = "first",
+    fallback_col: str | None = "host",
+) -> DataFrame:
+    """Per-registered-domain document QUOTA — the anti-domination stage
+    RefinedWeb/FineWeb-style pipelines run after URL dedup (a handful
+    of template-heavy sites otherwise contribute a huge share of a
+    crawl; capping per registrable domain bounds any single publisher's
+    weight in the training mix). Appends ``domain_rank`` (1-based
+    position within the domain, ordered like ``url_filters``' survivor
+    policy: by ``ts_col`` when given then ``id_col``, ascending for
+    ``keep="first"`` / descending for ``"last"``) and ``domain_keep``
+    (rank ≤ ``max_per_domain``).
+
+    Rows with a NULL ``domain_col`` group by ``fallback_col`` instead
+    (per-host quotas for IP-literal and unlisted-suffix hosts); with
+    ``fallback_col=None`` they are EXEMPT (rank NULL, keep TRUE) — a
+    quota needs a grouping basis, and inventing one is worse than
+    passing the policy decision downstream.
+
+    Scale shape: ONE hash shuffle keyed by the domain — the unavoidable
+    exchange (a per-domain quota is a global group-by at any scale);
+    skew-wise the partition key is exactly the quantity being capped,
+    and rank windows stream within each partition."""
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
+    if max_per_domain < 1:
+        raise ValueError("max_per_domain must be >= 1")
+    dom = F.col(domain_col)
+    if fallback_col is not None:
+        key = F.coalesce(
+            dom, F.concat(F.lit("host:"), F.col(fallback_col))
+        )
+    else:
+        key = dom
+    order = ([F.col(ts_col)] if ts_col else []) + [F.col(id_col)]
+    if keep == "last":
+        order = [c.desc() for c in order]
+    w = Window.partitionBy(key).orderBy(*order)
+    rank = F.when(key.isNotNull(), F.row_number().over(w))
+    out = pages.withColumn("domain_rank", rank.cast("int"))
+    return out.withColumn(
+        "domain_keep",
+        F.when(
+            F.col("domain_rank").isNotNull(),
+            F.col("domain_rank") <= max_per_domain,
+        ).otherwise(F.lit(True)),
+    )

@@ -535,3 +535,43 @@ def test_url_dedup_stream_canonical(spark, tmp_path):
         (1, "http://xn--mnchen-3ya.example/café"),
         (3, "https://b.example.org/z"),
     ]
+
+
+def test_domain_cap_quota_and_fallback(spark):
+    """r11: per-registered-domain quota — ranks follow the survivor
+    ordering, NULL domains quota per HOST via the fallback key (or are
+    exempt with fallback_col=None), and the plan is the one domain
+    shuffle."""
+    from bigdata_lab02_spark.operators.url import domain_cap
+    from bigdata_lab02_spark.plans import plan_report
+
+    rows = [
+        (1, "example.com", "a.example.com"),
+        (2, "example.com", "b.example.com"),
+        (3, "example.com", "c.example.com"),
+        (4, None, "198.51.100.7"),
+        (5, None, "198.51.100.7"),
+        (6, None, "203.0.113.9"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, registered_domain string, host string"
+    )
+    out = {r["doc_id"]: r for r in domain_cap(df, 2).collect()}
+    assert [out[i]["domain_rank"] for i in (1, 2, 3)] == [1, 2, 3]
+    assert out[1]["domain_keep"] and out[2]["domain_keep"]
+    assert not out[3]["domain_keep"]
+    # NULL domains: per-host fallback quota
+    assert out[4]["domain_rank"] == 1 and out[5]["domain_rank"] == 2
+    assert out[6]["domain_rank"] == 1
+    # keep='last': freshest ids win the quota
+    last = {r["doc_id"]: r for r in domain_cap(df, 2, keep="last").collect()}
+    assert not last[1]["domain_keep"] and last[3]["domain_keep"]
+    # exempt mode: no grouping basis -> rank NULL, keep TRUE
+    exempt = {
+        r["doc_id"]: r
+        for r in domain_cap(df, 1, fallback_col=None).collect()
+    }
+    assert exempt[4]["domain_rank"] is None and exempt[4]["domain_keep"]
+    assert not exempt[2]["domain_keep"]  # real domains still capped
+    r = plan_report(domain_cap(df, 2))
+    assert r.n_exchanges == 1, r.raw
