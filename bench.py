@@ -140,6 +140,9 @@ EXTRA = [
     "warc_revisits",
     "exif_orientation",
     "jpeg_hierarchical",
+    # r11: CCNet cross-document line dedup + the per-domain quota
+    "dedup_lines",
+    "url_domain_cap",
 ]
 STREAMING_LAST = [
     "stream_hourly",
