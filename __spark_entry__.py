@@ -5171,8 +5171,13 @@ def q_lm_perplexity(spark, sf_dir):
     )
 
 
-_LM_PPL_SQL = f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+def _lm_ppl_sql(src: str = "documents") -> str:
+    """The CCNet perplexity oracle as a builder (r11): rooted at any
+    (doc_id, text) relation so the composed ccnet gate can restate the
+    chain over the line-DEDUPED text (training the LM after dedup is
+    the published order)."""
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM {src}),
 occ AS (
   SELECT doc_id,
     ('0x' || substr(md5(w1), 1, 15))::BIGINT % 512 AS b1,
@@ -5206,6 +5211,9 @@ SELECT doc_id, n_bigrams, nll, round(exp(nll), 6) AS ppl,
        ELSE 'tail' END AS ppl_bucket
 FROM ppl0 CROSS JOIN cuts
 """
+
+
+_LM_PPL_SQL = _lm_ppl_sql()
 
 
 def q_dsir_select(spark, sf_dir):
@@ -5384,6 +5392,60 @@ cum AS (
   FROM sel)
 SELECT doc_id, is_target, score, sel_key, n_tokens, cum_tokens
 FROM cum WHERE cum_tokens <= 8000 OR cum_tokens = n_tokens
+"""
+
+
+def q_ccnet_pipeline(spark, sf_dir):
+    """The CCNet chain COMPOSED in its published order and gated under
+    one oracle (curation.ccnet_pipeline, r11): cross-document line
+    dedup over the boilerplate fixture → stopword LID over the DEDUPED
+    text → corpus-LM perplexity terciles trained on the deduped corpus
+    → keep = lang ∈ {{en,de,fr}} ∧ bucket ∈ {{head,middle}}. The
+    handoffs are the point: the LM's bigram counts and the tercile
+    cutoffs both shift if the dedup stage leaks boilerplate, and the
+    LID runs on what dedup kept — every stage's columns cross the
+    hash."""
+    from bigdata_lab02_spark.operators.curation import ccnet_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id", F.expr(_LINES_FIXTURE_EXPR).alias("text")
+    )
+    return ccnet_pipeline(pages, keep_langs=["en", "de", "fr"])
+
+
+_CCNET_SQL = f"""
+WITH dl AS (SELECT * FROM ({_DEDUP_LINES_SQL})),
+clid1 AS (SELECT doc_id, {_TOKS} AS ltoks FROM dl),
+clid2 AS (SELECT doc_id,
+  CASE WHEN len(ltoks) = 0 THEN 0.0 ELSE len(list_filter(ltoks,
+    t -> t IN ('the','and','of','to','is'))) * 1.0 / len(ltoks) END AS s_en,
+  CASE WHEN len(ltoks) = 0 THEN 0.0 ELSE len(list_filter(ltoks,
+    t -> t IN ('el','la','de','que','los'))) * 1.0 / len(ltoks) END AS s_es,
+  CASE WHEN len(ltoks) = 0 THEN 0.0 ELSE len(list_filter(ltoks,
+    t -> t IN ('le','la','et','les','des'))) * 1.0 / len(ltoks) END AS s_fr,
+  CASE WHEN len(ltoks) = 0 THEN 0.0 ELSE len(list_filter(ltoks,
+    t -> t IN ('der','die','und','das','ist'))) * 1.0 / len(ltoks) END AS s_de
+  FROM clid1),
+clidv AS (SELECT doc_id, CASE
+    WHEN s_en = greatest(s_en, s_es, s_fr, s_de)
+      AND greatest(s_en, s_es, s_fr, s_de) > 0 THEN 'en'
+    WHEN s_es = greatest(s_en, s_es, s_fr, s_de)
+      AND greatest(s_en, s_es, s_fr, s_de) > 0 THEN 'es'
+    WHEN s_fr = greatest(s_en, s_es, s_fr, s_de)
+      AND greatest(s_en, s_es, s_fr, s_de) > 0 THEN 'fr'
+    WHEN s_de = greatest(s_en, s_es, s_fr, s_de)
+      AND greatest(s_en, s_es, s_fr, s_de) > 0 THEN 'de'
+    ELSE 'und' END AS pred_lang
+  FROM clid2),
+cppl AS (SELECT * FROM ({_lm_ppl_sql('dl')}))
+SELECT d.doc_id, d.n_lines, d.n_removed,
+  l.pred_lang, l.pred_lang IN ('en', 'de', 'fr') AS lang_keep,
+  p.n_bigrams, p.nll, p.ppl, p.ppl_bucket,
+  d.text,
+  l.pred_lang IN ('en', 'de', 'fr')
+    AND p.ppl_bucket IN ('head', 'middle') AS keep
+FROM dl d JOIN clidv l USING (doc_id) JOIN cppl p USING (doc_id)
 """
 
 
@@ -5920,6 +5982,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # URL-tier survivors; registered into the overflow, oracle-gated
     # every pytest run.
     "url_domain_cap": q_url_domain_cap,
+    # ccnet_pipeline (r11): the CCNet chain composed in its published
+    # order (line dedup -> LID -> perplexity terciles over the DEDUPED
+    # corpus); registered into the overflow, oracle-gated every pytest
+    # run.
+    "ccnet_pipeline": q_ccnet_pipeline,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -5936,6 +6003,7 @@ ROTATED_OUT: set[str] = {
     "jpeg_lossless", "warc_ingest", "jpeg_cmyk",
     "warc_revisits", "warc_crawl_pipeline", "exif_orientation",
     "jpeg_hierarchical", "dedup_lines", "url_domain_cap",
+    "ccnet_pipeline",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -6050,6 +6118,7 @@ _R11_NEW = {
     "jpeg_hierarchical",
     "dedup_lines",
     "url_domain_cap",
+    "ccnet_pipeline",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -6154,6 +6223,7 @@ _ORACLES: dict[str, str] = {
     "jpeg_hierarchical": _JPEG_HIER_SQL,
     "dedup_lines": _DEDUP_LINES_SQL,
     "url_domain_cap": _URL_DOMAIN_CAP_SQL,
+    "ccnet_pipeline": _CCNET_SQL,
     "jpeg_cmyk": _JPEG_CMYK_SQL,
     "bpe_pipeline": _BPE_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,

@@ -140,9 +140,11 @@ EXTRA = [
     "warc_revisits",
     "exif_orientation",
     "jpeg_hierarchical",
-    # r11: CCNet cross-document line dedup + the per-domain quota
+    # r11: CCNet cross-document line dedup, the per-domain quota, and
+    # the composed CCNet chain (dedup -> LID -> perplexity terciles)
     "dedup_lines",
     "url_domain_cap",
+    "ccnet_pipeline",
 ]
 STREAMING_LAST = [
     "stream_hourly",

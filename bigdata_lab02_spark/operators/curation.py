@@ -952,3 +952,73 @@ def lm_perplexity(
         )
         .drop("__c1", "__c2")
     )
+
+
+def ccnet_pipeline(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    keep_langs: list[str] | None = None,
+    keep_buckets: tuple[str, ...] = ("head", "middle"),
+    n_buckets: int = 512,
+    approx_cutoffs: bool = False,
+) -> DataFrame:
+    """The CCNet curation chain (Wenzek et al. 2020) COMPOSED in its
+    published order: cross-document LINE dedup (§3.1 — boilerplate out
+    first) → language identification (the stopword prefilter face;
+    §4.2) → corpus-LM perplexity terciles over the DEDUPED text (§4.3
+    — training the LM after dedup is the point: repeated boilerplate
+    would otherwise dominate the bigram counts and rank template pages
+    as "fluent") → ``keep`` = language ∧ perplexity bucket (CCNet
+    ships head+middle by default).
+
+    Returns per doc: the deduped ``text``, ``n_lines``/``n_removed``
+    from the dedup stage, ``pred_lang``/``lang_keep``,
+    ``n_bigrams``/``nll``/``ppl``/``ppl_bucket``, and ``keep``.
+
+    Scale shape: the dedup stage's three keyed exchanges, the LID
+    projection (zero-shuffle), the perplexity stage's word-count-shaped
+    shuffles, and ONE id-keyed join recombining the score columns with
+    the deduped rows — everything linear and keyed, nothing all-pairs;
+    ``approx_cutoffs=True`` is the bounded-memory tercile mode at
+    production corpus sizes."""
+    from bigdata_lab02_spark.operators.dedup import dedup_lines
+    from bigdata_lab02_spark.operators.textstats import (
+        language_id_stopword,
+    )
+
+    dl = dedup_lines(
+        docs, text_col=text_col, id_col=id_col, min_docs=min_docs
+    )
+    lid = language_id_stopword(dl, text_col=text_col)
+    lang_keep = (
+        F.col("pred_lang").isin(list(keep_langs))
+        if keep_langs is not None
+        else F.lit(True)
+    )
+    lid = lid.withColumn("lang_keep", lang_keep)
+    ppl = lm_perplexity(
+        dl.select(id_col, text_col),
+        n_buckets=n_buckets,
+        text_col=text_col,
+        id_col=id_col,
+        split_quantiles=(1 / 3, 2 / 3),
+        approx_cutoffs=approx_cutoffs,
+    )
+    out = lid.join(ppl, id_col)
+    return out.select(
+        id_col,
+        "n_lines",
+        "n_removed",
+        "pred_lang",
+        "lang_keep",
+        "n_bigrams",
+        "nll",
+        "ppl",
+        "ppl_bucket",
+        F.col(text_col),
+        (
+            F.col("lang_keep") & F.col("ppl_bucket").isin(list(keep_buckets))
+        ).alias("keep"),
+    )

@@ -550,3 +550,35 @@ class TestC4Filters:
                                    "doc_id long, text string")
         r = plan_report(cur.c4_filters(df))
         assert r.n_exchanges == 0, r.raw
+
+
+def test_ccnet_pipeline_composition(spark):
+    """r11: the CCNet chain in published order — boilerplate lines are
+    gone BEFORE the LM trains (a leaked banner would rank template
+    pages as fluent), LID runs on the deduped text, and keep combines
+    language with the perplexity tercile."""
+    from bigdata_lab02_spark.operators.curation import ccnet_pipeline
+
+    banner = "Subscribe to the newsletter"
+    words = ["alpha", "bravo", "carol", "delta", "echo", "foxtrot"]
+    rows = [
+        (i, f"{banner}\nthe quick brown {words[i]} and the lazy dog of it "
+            f"is to and the of to is\n{banner}")
+        for i in range(6)
+    ] + [
+        (6, f"{banner}\nel perro de la casa que los gatos el la de que los"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           ccnet_pipeline(df, keep_langs=["en"]).collect()}
+    for i in range(6):
+        assert banner not in out[i]["text"]       # dedup ran first
+        assert out[i]["n_removed"] == 2
+        assert out[i]["pred_lang"] == "en" and out[i]["lang_keep"]
+    assert out[6]["pred_lang"] == "es" and not out[6]["lang_keep"]
+    assert not out[6]["keep"]                      # language veto
+    assert {out[i]["ppl_bucket"] for i in range(7)} <= {
+        "head", "middle", "tail"
+    }
+    kept = [i for i in range(6) if out[i]["keep"]]
+    assert kept  # en docs in head/middle survive
