@@ -74,6 +74,16 @@ FAMILY = [
     # r11: revisit resolution — one record-id equi-join; both sides grow
     # with the data, so growth should be ~the data growth
     "warc_revisits",
+    # r11: cross-document line dedup — the near-dup replica corpus is
+    # its adversarial case (every replica's lines collide), so growth
+    # tracks duplicate-line volume
+    "dedup_lines",
+    # r11: the composed CCNet chain (line dedup + LM training over the
+    # deduped corpus) — word-count-shaped shuffles, growth ~data
+    "ccnet_pipeline",
+    # r11: per-domain quota — one domain-keyed window; the replica
+    # corpus multiplies per-domain membership, the capped output doesn't
+    "url_domain_cap",
 ]
 # Round-6 extension (VERDICT r5 item 6): one more doubling pair on the two
 # families with the highest 4× growth, to separate pair-count growth
