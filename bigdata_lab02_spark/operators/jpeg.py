@@ -1615,6 +1615,7 @@ def jpeg_metadata(data: bytes) -> dict:
         "width": None, "height": None, "ncomp": None, "precision": None,
         "progressive": None, "sof": None, "app_markers": [],
         "has_exif": False, "exif_orientation": None,
+        "hierarchical": False,
     }
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -1640,20 +1641,42 @@ def jpeg_metadata(data: bytes) -> dict:
             if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
                 meta["has_exif"] = True
                 meta["exif_orientation"] = _exif_orientation(body)
-        elif marker in range(0xC0, 0xD0) and marker not in (0xC4, 0xC8, 0xCC):
+        elif marker == 0xDE:
+            # DHP (hierarchical, r11): declares the stream's TRUE dims —
+            # the first frame's SOF carries only the smallest pyramid
+            # level, which would misroute size filters
             if len(body) < 6:
-                raise JpegError("short SOF")
+                raise JpegError("short DHP")
             meta.update(
                 precision=body[0],
                 height=struct.unpack_from(">H", body, 1)[0],
                 width=struct.unpack_from(">H", body, 3)[0],
                 ncomp=body[5],
-                sof=marker - 0xC0,
-                progressive=marker in (0xC2, 0xC6, 0xCA, 0xCE),
+                hierarchical=True,
             )
+        elif marker in range(0xC0, 0xD0) and marker not in (0xC4, 0xC8, 0xCC):
+            if len(body) < 6:
+                raise JpegError("short SOF")
+            if meta["hierarchical"]:
+                # dims/ncomp/precision came from the DHP; take the scan
+                # type from the FIRST frame only
+                if meta["sof"] is None:
+                    meta.update(
+                        sof=marker - 0xC0,
+                        progressive=marker in (0xC2, 0xC6, 0xCA, 0xCE),
+                    )
+            else:
+                meta.update(
+                    precision=body[0],
+                    height=struct.unpack_from(">H", body, 1)[0],
+                    width=struct.unpack_from(">H", body, 3)[0],
+                    ncomp=body[5],
+                    sof=marker - 0xC0,
+                    progressive=marker in (0xC2, 0xC6, 0xCA, 0xCE),
+                )
         elif marker == 0xDA:
             break  # entropy data follows — the header scan is done
-    if meta["width"] is None:
+    if meta["width"] is None or meta["sof"] is None:
         raise JpegError("missing SOF")
     return meta
 

@@ -1412,3 +1412,19 @@ def test_hierarchical_profile_honest_failures():
     i, _ = seg_at(p, 0xDF)
     with pytest.raises(JpegError, match="DHP dims|missing EOI"):
         decode_jpeg(p[:i] + b"\xff\xd9")
+
+
+def test_metadata_reports_dhp_dims_for_hierarchical():
+    """r11: the header routing pass reports a hierarchical stream's
+    DHP (true) dims, not the smallest pyramid frame's — a size filter
+    routing on frame-1 dims would drop full-size images."""
+    from bigdata_lab02_spark.operators.jpeg import (
+        encode_jpeg_hierarchical,
+        jpeg_metadata,
+    )
+
+    p = encode_jpeg_hierarchical(33, 24, [7] * (33 * 24), levels=3)
+    m = jpeg_metadata(p)
+    assert (m["width"], m["height"]) == (33, 24)   # not ceil-halved
+    assert m["hierarchical"] and m["ncomp"] == 1
+    assert m["sof"] == 0 and m["progressive"] is False
