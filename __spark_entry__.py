@@ -2012,6 +2012,43 @@ FROM rk
 """
 
 
+def q_url_domain_cap_bounded(spark, sf_dir):
+    """The SKEW-BOUNDED per-domain quota (url.domain_cap bounded=True,
+    r12 — VERDICT r11 item 1): same URL-tier survivors and cap as
+    url_domain_cap, through the two-phase path — per-input-partition
+    pre-rank on (spark_partition_id, domain), exact window only over
+    the ≤ cap·partitions candidate set. domain_keep must be EXACT for
+    every row and domain_rank exact for every kept row; dropped rows
+    are NULL-ranked by contract (their beyond-cap rank is the skewed
+    sort the mode exists to avoid). The oracle restates the exact
+    window with the rank NULLed past the cap — a pre-rank phase that
+    loses a true survivor (or a candidate window that miscounts)
+    flips rows."""
+    from bigdata_lab02_spark.operators.url import domain_cap, url_filters
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", F.expr(_URL_FIXTURE_EXPR).alias("url"))
+    sfx, blk = _url_dims(spark)
+    uf = url_filters(pages, sfx, blk).where(F.col("url_keep"))
+    out = domain_cap(uf, 3, bounded=True)
+    return out.select(
+        "doc_id", "host", "registered_domain", "domain_rank", "domain_keep"
+    )
+
+
+_URL_DOMAIN_CAP_BOUNDED_SQL = f"""
+WITH {_url_tier_sql(_URL_FIXTURE_EXPR)},
+surv AS (SELECT doc_id, host, registered_domain FROM uw WHERE url_keep),
+rk AS (SELECT *, row_number() OVER (
+    PARTITION BY coalesce(registered_domain, 'host:' || host)
+    ORDER BY doc_id) AS domain_rank FROM surv)
+SELECT doc_id, host, registered_domain,
+  CASE WHEN domain_rank <= 3 THEN CAST(domain_rank AS INT) END AS domain_rank,
+  domain_rank <= 3 AS domain_keep
+FROM rk
+"""
+
+
 def q_crawl_curation_pipeline(spark, sf_dir):
     """The COMPOSED crawl-curation chain (operators.crawl.crawl_curation):
     URL tier (r10: normalize → registered domain → blocklist → recrawl
@@ -5171,45 +5208,55 @@ def q_lm_perplexity(spark, sf_dir):
     )
 
 
-def _lm_ppl_sql(src: str = "documents") -> str:
+def _lm_ppl_sql(src: str = "documents", lang: str | None = None) -> str:
     """The CCNet perplexity oracle as a builder (r11): rooted at any
     (doc_id, text) relation so the composed ccnet gate can restate the
     chain over the line-DEDUPED text (training the LM after dedup is
-    the published order)."""
+    the published order). ``lang`` (r12) names a column of ``src``:
+    the bigram/context counts, the smoothed weights, AND the tercile
+    cutoffs then all group per language — the Wenzek 2020 §4.3
+    per-language-LM shape the Spark ``lm_perplexity(lang_col=…)``
+    computes."""
+    lsel = f", {lang} AS __lang" if lang else ""
+    lcol = ", __lang" if lang else ""
+    lkey = "__lang, " if lang else ""
+    cut_group = " GROUP BY __lang" if lang else ""
+    cut_join = "JOIN cuts USING (__lang)" if lang else "CROSS JOIN cuts"
     return f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM {src}),
+WITH t AS (SELECT doc_id{lsel}, {_TOKS} AS toks FROM {src}),
 occ AS (
-  SELECT doc_id,
+  SELECT doc_id{lcol},
     ('0x' || substr(md5(w1), 1, 15))::BIGINT % 512 AS b1,
     ('0x' || substr(md5(w2), 1, 15))::BIGINT % 512 AS b2
-  FROM (SELECT doc_id,
+  FROM (SELECT doc_id{lcol},
           unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
           unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
         FROM t WHERE len(toks) >= 2)),
-big AS (SELECT b1, b2, count(*) AS c12 FROM occ GROUP BY 1, 2),
-ctx AS (SELECT b1, count(*) AS c1 FROM occ GROUP BY 1),
-w AS (SELECT b1, b2,
+big AS (SELECT {lkey}b1, b2, count(*) AS c12 FROM occ GROUP BY {lkey}b1, b2),
+ctx AS (SELECT {lkey}b1, count(*) AS c1 FROM occ GROUP BY {lkey}b1),
+w AS (SELECT {lkey}b1, b2,
         CAST(round(ln((c12 + 1.0) / (c1 + 512.0)) * 1000000.0) AS BIGINT) AS lw6
-      FROM big JOIN ctx USING (b1)),
+      FROM big JOIN ctx USING ({lkey}b1)),
 sc AS (SELECT occ.doc_id, count(*) AS nb,
          round(-sum(w.lw6) / (count(*) * 1000000.0), 6) AS nll
-       FROM occ JOIN w USING (b1, b2) GROUP BY occ.doc_id),
+       FROM occ JOIN w USING ({lkey}b1, b2) GROUP BY occ.doc_id),
 ppl0 AS (
-  SELECT t.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
+  SELECT t.doc_id{lcol}, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
     COALESCE(sc.nll, 0.0) AS nll
   FROM t LEFT JOIN sc USING (doc_id)),
 cuts AS (
   -- quantile over the INTEGER micro-unit nll: both engines interpolate
   -- over identical exactly-representable integers, so a 1-ulp float
   -- divergence near an x.5 boundary cannot flip a bucket
-  SELECT CAST(round(quantile_cont(CAST(round(nll * 1000000.0) AS BIGINT), 1.0/3.0)) AS BIGINT) AS c1,
-         CAST(round(quantile_cont(CAST(round(nll * 1000000.0) AS BIGINT), 2.0/3.0)) AS BIGINT) AS c2
-  FROM ppl0)
+  SELECT {lkey}
+    CAST(round(quantile_cont(CAST(round(nll * 1000000.0) AS BIGINT), 1.0/3.0)) AS BIGINT) AS c1,
+    CAST(round(quantile_cont(CAST(round(nll * 1000000.0) AS BIGINT), 2.0/3.0)) AS BIGINT) AS c2
+  FROM ppl0{cut_group})
 SELECT doc_id, n_bigrams, nll, round(exp(nll), 6) AS ppl,
   CASE WHEN CAST(round(nll * 1000000.0) AS BIGINT) <= c1 THEN 'head'
        WHEN CAST(round(nll * 1000000.0) AS BIGINT) <= c2 THEN 'middle'
        ELSE 'tail' END AS ppl_bucket
-FROM ppl0 CROSS JOIN cuts
+FROM ppl0 {cut_join}
 """
 
 
@@ -5414,7 +5461,19 @@ def q_ccnet_pipeline(spark, sf_dir):
     return ccnet_pipeline(pages, keep_langs=["en", "de", "fr"])
 
 
-_CCNET_SQL = f"""
+def _ccnet_sql(per_lang: bool = False) -> str:
+    """The composed CCNet oracle as a builder (r12): the per-language
+    variant re-roots the SAME perplexity chain at the (deduped text ×
+    LID verdict) join and keys every LM table and cutoff by
+    ``pred_lang`` — one flag, zero duplicated SQL to drift."""
+    dlang = (
+        "dlang AS (SELECT dl.doc_id, dl.text, clidv.pred_lang"
+        " FROM dl JOIN clidv USING (doc_id)),\n"
+        if per_lang
+        else ""
+    )
+    ppl = _lm_ppl_sql("dlang", lang="pred_lang") if per_lang else _lm_ppl_sql("dl")
+    return f"""
 WITH dl AS (SELECT * FROM ({_DEDUP_LINES_SQL})),
 clid1 AS (SELECT doc_id, {_TOKS} AS ltoks FROM dl),
 clid2 AS (SELECT doc_id,
@@ -5438,7 +5497,7 @@ clidv AS (SELECT doc_id, CASE
       AND greatest(s_en, s_es, s_fr, s_de) > 0 THEN 'de'
     ELSE 'und' END AS pred_lang
   FROM clid2),
-cppl AS (SELECT * FROM ({_lm_ppl_sql('dl')}))
+{dlang}cppl AS (SELECT * FROM ({ppl}))
 SELECT d.doc_id, d.n_lines, d.n_removed,
   l.pred_lang, l.pred_lang IN ('en', 'de', 'fr') AS lang_keep,
   p.n_bigrams, p.nll, p.ppl, p.ppl_bucket,
@@ -5447,6 +5506,31 @@ SELECT d.doc_id, d.n_lines, d.n_removed,
     AND p.ppl_bucket IN ('head', 'middle') AS keep
 FROM dl d JOIN clidv l USING (doc_id) JOIN cppl p USING (doc_id)
 """
+
+
+_CCNET_SQL = _ccnet_sql()
+_CCNET_PERLANG_SQL = _ccnet_sql(per_lang=True)
+
+
+def q_ccnet_perlang(spark, sf_dir):
+    """The CCNet chain with PER-LANGUAGE perplexity models (r12,
+    VERDICT r11 item 7 — Wenzek 2020 §4.3 trains one LM per language):
+    same fixture and stage order as ccnet_pipeline, but the bigram LM
+    tables and the tercile cutoffs key by the LID verdict, so a page
+    is ranked against its own language's fluency distribution. The
+    fixture's language stripes share boilerplate-free content shapes,
+    so the same deduped text lands in different buckets than under the
+    single corpus LM — the oracle restates the per-language training
+    end to end."""
+    from bigdata_lab02_spark.operators.curation import ccnet_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id", F.expr(_LINES_FIXTURE_EXPR).alias("text")
+    )
+    return ccnet_pipeline(
+        pages, keep_langs=["en", "de", "fr"], per_language=True
+    )
 
 
 def q_contamination(spark, sf_dir):
@@ -5793,7 +5877,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_scalable": q_kmeans_scalable,
     "stream_hourly": q_stream_hourly,
     "stream_dedup": q_stream_dedup,
-    "stream_user_totals": q_stream_user_totals,
+    # ccnet_pipeline rotated INTO the window in r12 (VERDICT r11 item 8),
+    # taking stream_user_totals' slot: the composed CCNet chain is the
+    # round's flagship curation product; stream_user_totals' running-
+    # aggregate kernel is a strict subset of stream_sessions' stateful
+    # superset (both replay the same events through update-mode state)
+    # and stays oracle-verified in the overflow.
+    "ccnet_pipeline": q_ccnet_pipeline,
     "stream_sessions": q_stream_sessions,
     "audio_decode": q_audio_decode,
     "chunk_docs": q_chunk_docs,
@@ -5982,11 +6072,23 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # URL-tier survivors; registered into the overflow, oracle-gated
     # every pytest run.
     "url_domain_cap": q_url_domain_cap,
-    # ccnet_pipeline (r11): the CCNet chain composed in its published
-    # order (line dedup -> LID -> perplexity terciles over the DEDUPED
-    # corpus); registered into the overflow, oracle-gated every pytest
-    # run.
-    "ccnet_pipeline": q_ccnet_pipeline,
+    # stream_user_totals rotated OUT in r12 to give its window slot to
+    # ccnet_pipeline (VERDICT r11 item 8): its update-mode running
+    # aggregate is a strict kernel subset of the in-window
+    # stream_sessions (stateful applyInPandasWithState superset over
+    # the same events replay) and stays oracle-verified here every
+    # pytest run.
+    "stream_user_totals": q_stream_user_totals,
+    # url_domain_cap_bounded (r12, VERDICT r11 item 1): the two-phase
+    # skew-bounded quota — per-input-partition pre-rank, exact window
+    # over the candidate set only, NULL rank past the cap by contract;
+    # oracle-gated every pytest run against the exact window restated
+    # with the same NULL-past-cap contract.
+    "url_domain_cap_bounded": q_url_domain_cap_bounded,
+    # ccnet_perlang (r12, VERDICT r11 item 7): the CCNet chain with one
+    # LM + one set of tercile cutoffs PER predicted language (Wenzek
+    # 2020 §4.3's published shape); oracle-gated every pytest run.
+    "ccnet_perlang": q_ccnet_perlang,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -6003,7 +6105,7 @@ ROTATED_OUT: set[str] = {
     "jpeg_lossless", "warc_ingest", "jpeg_cmyk",
     "warc_revisits", "warc_crawl_pipeline", "exif_orientation",
     "jpeg_hierarchical", "dedup_lines", "url_domain_cap",
-    "ccnet_pipeline",
+    "stream_user_totals", "url_domain_cap_bounded", "ccnet_perlang",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -6014,7 +6116,8 @@ DRIVER_ROW_CAP = 50
 # only demands driver rows for the first-50 window when the latest
 # CORRECTNESS file is from this round or later (an older file was produced
 # under a different ordering). Bump whenever the ordering changes.
-ORDERING_SINCE = 10
+# r12: ccnet_pipeline rotated into the window at stream_user_totals' slot.
+ORDERING_SINCE = 12
 
 # Queries with no SQL-expressible oracle — the driver records a weaker
 # rows-only check. (Empty since round 2: the streaming replay is gated
@@ -6120,9 +6223,16 @@ _R11_NEW = {
     "url_domain_cap",
     "ccnet_pipeline",
 }
+# Round-12 registrations: the skew-bounded two-phase domain quota
+# (VERDICT r11 item 1) and the rest of the r12 surface.
+_R12_NEW = {
+    "url_domain_cap_bounded",
+    "ccnet_perlang",
+}
 REGISTERED_SINCE: dict[str, int] = {
     name: (
-        11 if name in _R11_NEW
+        12 if name in _R12_NEW
+        else 11 if name in _R11_NEW
         else 10 if name in _R10_NEW
         else 9 if name in _R9_NEW
         else 8 if name in _R8_NEW
@@ -6223,7 +6333,9 @@ _ORACLES: dict[str, str] = {
     "jpeg_hierarchical": _JPEG_HIER_SQL,
     "dedup_lines": _DEDUP_LINES_SQL,
     "url_domain_cap": _URL_DOMAIN_CAP_SQL,
+    "url_domain_cap_bounded": _URL_DOMAIN_CAP_BOUNDED_SQL,
     "ccnet_pipeline": _CCNET_SQL,
+    "ccnet_perlang": _CCNET_PERLANG_SQL,
     "jpeg_cmyk": _JPEG_CMYK_SQL,
     "bpe_pipeline": _BPE_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,

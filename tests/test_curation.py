@@ -394,6 +394,41 @@ class TestLmPerplexity:
         fluent_buckets = {r["ppl_bucket"] for r in out if r["doc_id"] < 8}
         assert len(fluent_buckets) == 1
 
+    def test_per_language_models_rank_same_text_differently(self, spark):
+        """r12 (VERDICT r11 item 7, Wenzek 2020 §4.3): with lang_col the
+        LM tables key per language — the SAME probe text scores
+        differently under the en- vs de-trained model (its bigrams are
+        common in one training population, unseen in the other), while
+        the single corpus LM scores the two probe copies identically.
+        Tercile cutoffs are per language too: each language's docs
+        split over their own distribution."""
+        rows = [(i, "en", "the cat sat on the mat and slept") for i in range(12)]
+        rows += [(100 + i, "de", "der hund lief durch den wald heute")
+                 for i in range(12)]
+        # probe: the en population's phrase, one copy per language label
+        rows += [(900, "en", "the cat sat on the mat"),
+                 (901, "de", "the cat sat on the mat")]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        per = {
+            r["doc_id"]: r
+            for r in cur.lm_perplexity(
+                docs, lang_col="lang", split_quantiles=(1 / 3, 2 / 3)
+            ).collect()
+        }
+        assert per[900]["lang"] == "en" and per[901]["lang"] == "de"
+        # en model has seen these bigrams; de model has not
+        assert per[900]["nll"] < per[901]["nll"]
+        # the single corpus LM cannot tell the copies apart
+        glob = {
+            r["doc_id"]: r["nll"]
+            for r in cur.lm_perplexity(docs.select("doc_id", "text")).collect()
+        }
+        assert glob[900] == glob[901]
+        # per-language cutoffs: every language has its own head docs
+        for lang in ("en", "de"):
+            buckets = {r["ppl_bucket"] for r in per.values() if r["lang"] == lang}
+            assert "head" in buckets, (lang, buckets)
+
     def test_approx_cutoffs_agree_at_gate_scale(self, spark):
         """VERDICT r6 item 1: the percentile_approx scale path must be a
         real code path that AGREES with the exact gate form. At gate

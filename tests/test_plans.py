@@ -86,6 +86,20 @@ def test_keep_best_single_shuffle_shared_by_windows(spark):
     assert r.n_exchanges == 1
 
 
+def test_ccnet_dedup_subtree_pinned_once(spark):
+    """r12 (VERDICT r11 item 3): ccnet_pipeline's LID, LM and recombine
+    branches all consume the dedup_lines result — without pinning, the
+    compiled plan inlined the three-exchange dedup subtree into every
+    consumer (measured: 16 posexplode copies, 30 exchanges, zero
+    compile-time ReuseExchange). The localCheckpoint runs dedup ONCE;
+    the consuming plan must contain no copy of its distinctive nodes."""
+    r = plan_report(e.queries()["ccnet_pipeline"](spark, SF))
+    assert r.raw.count("posexplode") == 0, "dedup subtree re-inlined"
+    assert r.raw.count("__ndocs") == 0, "dedup count aggregate re-inlined"
+    # the remaining work: LID projection + LM shuffles + recombine join
+    assert r.n_exchanges <= 8, r.raw
+
+
 def test_ctfidf_doc_side_join_is_size_gated(spark):
     """VERDICT r9 item 1: the P12/P13 doc-side dimension (one row PER
     DOCUMENT) must NOT carry a hard broadcast hint — when the engine

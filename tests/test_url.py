@@ -575,3 +575,61 @@ def test_domain_cap_quota_and_fallback(spark):
     assert not exempt[2]["domain_keep"]  # real domains still capped
     r = plan_report(domain_cap(df, 2))
     assert r.n_exchanges == 1, r.raw
+
+
+def test_domain_cap_bounded_matches_exact(spark):
+    """r12 (VERDICT r11 item 1): the two-phase skew-bounded quota must
+    agree with the exact window on domain_keep for EVERY row and on
+    domain_rank for every kept row (dropped rows are NULL-ranked by
+    contract), across keep/ts/fallback policies, on a multi-partition
+    hot-domain corpus where pre-rank survivors straddle partitions."""
+    import random
+
+    from bigdata_lab02_spark.operators.url import domain_cap
+
+    random.seed(7)
+    doms = ["hot.com"] * 9 + ["a.com", "b.org", None]
+    rows = [
+        (i, doms[i % len(doms)], f"h{i % 13}.x", random.randint(0, 50))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, registered_domain string, host string, fetch_ts long"
+    ).repartition(8)
+    for kw in ({}, {"ts_col": "fetch_ts", "keep": "last"}, {"fallback_col": None}):
+        ex = {
+            r["doc_id"]: (r["domain_rank"], r["domain_keep"])
+            for r in domain_cap(df, 3, **kw).collect()
+        }
+        bd = {
+            r["doc_id"]: (r["domain_rank"], r["domain_keep"])
+            for r in domain_cap(df, 3, bounded=True, **kw).collect()
+        }
+        assert set(ex) == set(bd)
+        for k, (er, ek) in ex.items():
+            br, bk = bd[k]
+            assert ek == bk, (kw, k, ex[k], bd[k])
+            if ek and er is not None:
+                assert er == br, (kw, k, ex[k], bd[k])
+            if not ek:
+                assert br is None, (kw, k, bd[k])
+
+
+def test_domain_cap_bounded_prerank_exchange_reused(spark):
+    """The bounded mode's phase-1 exchange keys on (input partition id,
+    domain) — never on the skewed domain alone — and feeds both the
+    candidate and the dropped branch through ONE runtime-reused
+    exchange (AQE ReuseExchange), so the pre-rank subtree executes
+    once."""
+    from bigdata_lab02_spark.operators.url import domain_cap
+
+    rows = [(i, "hot.com" if i % 10 else "a.com", "h.x") for i in range(2000)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, registered_domain string, host string"
+    ).repartition(8)
+    out = domain_cap(df, 3, bounded=True)
+    out.collect()
+    ep = out._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "ReusedExchange" in ep, ep
+    # phase-1 partitioning includes __pid: the hot domain spreads
+    assert "__pid" in ep
