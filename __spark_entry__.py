@@ -2396,6 +2396,68 @@ def q_warc_revisits(spark, sf_dir):
     )
 
 
+def q_warc_cdx(spark, sf_dir):
+    """CDX-style index of WRITTEN archives gated in closed form (r12,
+    VERDICT r11 item 5): curated records (uri / utf-8 body / status /
+    content-type / date / record-id, with a NULL-body skip stripe)
+    shard 4 ways and assemble through the REAL ``warc_shards`` pass
+    with ``with_index=True``; the gate hashes the emitted
+    (shard, uri, record_id, offset, length, digest) rows. With
+    uncompressed members every record's encoded length is pure
+    arithmetic over the envelope (version line + 4 named headers +
+    octet-exact Content-Length whose DIGIT COUNT feeds back into the
+    length + HTTP head + body + separators), so the oracle restates
+    offsets as a cumulative window over the same uri ordering —
+    a drifting header, separator, sort order, or skip rule moves
+    every offset after it. The gzip layout's offsets are seek-read
+    roundtrip-tested in tests/test_warc.py."""
+    from bigdata_lab02_spark.sources.warc import warc_cdx
+
+    docs = _t(spark, sf_dir, "documents")
+    recs = docs.select(
+        (F.col("doc_id") % 4).cast("int").alias("shard"),
+        F.concat(
+            F.lit("https://ex"), F.col("doc_id"), F.lit(".example/p")
+        ).alias("target_uri"),
+        F.when(
+            F.col("doc_id") % 17 != 0, F.encode(F.col("text"), "UTF-8")
+        ).alias("body"),
+        F.lit(200).alias("http_status"),
+        F.lit("text/html; charset=utf-8").alias("http_content_type"),
+        F.lit("2024-03-04T05:06:07Z").alias("warc_date"),
+        F.concat(
+            F.lit("<urn:uuid:"), F.col("doc_id"), F.lit(">")
+        ).alias("record_id"),
+    )
+    return warc_cdx(recs, gzip_members=False)
+
+
+# Record length in the uncompressed layout, from encode_response_record
+# (sources/warc.py): fixed framing 125 = version line 10 + "WARC-Type:
+# response" 21 + date header 33 (20-char date) + URI/ID header framing
+# 19+18 - their value lengths + Content-Length framing 20 + trailing 4;
+# clen = HTTP head 32 + len('200') + len(content-type)=24 + body.
+_WARC_CDX_SQL = """
+WITH r AS (
+  SELECT CAST(doc_id % 4 AS INT) AS shard,
+    'https://ex' || doc_id || '.example/p' AS uri,
+    '<urn:uuid:' || doc_id || '>' AS record_id,
+    strlen(text) AS blen,
+    md5(text) AS digest
+  FROM documents WHERE doc_id % 17 <> 0),
+l AS (SELECT *, 59 + blen AS clen FROM r),
+l2 AS (SELECT *,
+  125 + strlen(uri) + strlen(record_id)
+      + length(CAST(clen AS VARCHAR)) + clen AS rec_len FROM l)
+SELECT shard, uri, record_id,
+  CAST(COALESCE(sum(rec_len) OVER (PARTITION BY shard ORDER BY uri
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS "offset",
+  CAST(rec_len AS BIGINT) AS length, digest
+FROM l2
+"""
+
+
 # Shared expected-record CTE chain for the WARC gates: one row per
 # fixture record with ids, refers_to, HTTP fields, and body hashes —
 # `wall` ends with every warc_records output column restated.
@@ -4656,6 +4718,93 @@ FROM px GROUP BY media_id, w, h
 _EXIF_ORIENT_SQL = _exif_orient_sql()
 
 
+def q_image_dedup(spark, sf_dir):
+    """Perceptual image dedup gated end-to-end (r12, VERDICT r11 item
+    4 — the LAION-style stage): the deterministic dHash corpus
+    (4×4-block grayscale PNGs whose block values WALK ±10 so every
+    difference-hash comparison is the generator's closed-form bit
+    pattern; seed groups of four with exact-dup / Hamming-2 /
+    Hamming-5 variants, plus a truncated-PNG corrupt stripe) →
+    ``image_dhash`` (decode + orientation-normalize + 64-bit block-sum
+    dHash) → the 16-bit-pigeonhole Hamming join at threshold 3 →
+    per-image near-dup degree. Hashes, dims, honest decode failures
+    and the pair structure all cross the hash; the oracle restates the
+    bit pattern, every hash, and the all-pairs Hamming filter without
+    decoding a byte. (sf_dir unused: media is generated.)"""
+    from bigdata_lab02_spark.operators.dedup import simhash_dup_pairs
+    from bigdata_lab02_spark.operators.multimodal import (
+        image_dhash,
+        synthetic_dhash_images,
+    )
+
+    media = synthetic_dhash_images(spark, 32)
+    hashes = image_dhash(media)
+    pairs = simhash_dup_pairs(
+        hashes, id_col="media_id", max_hamming=3, hash_col="dhash"
+    )
+    deg = (
+        pairs.select(F.col("id_a").alias("media_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("media_id")))
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_dups"))
+    )
+    return hashes.join(deg, "media_id", "left").select(
+        "media_id",
+        "dhash",
+        "width",
+        "height",
+        "orientation",
+        "decode_ok",
+        F.coalesce("n_dups", F.lit(0)).cast("int").alias("n_dups"),
+    )
+
+
+_IMAGE_DEDUP_SQL = """
+WITH grid AS (
+  SELECT m.range AS media_id, m.range // 4 AS seed, m.range % 4 AS variant,
+         r.range AS r, c.range AS c
+  FROM range(32) m, range(8) r, range(8) c),
+bits AS (
+  SELECT media_id, r, c,
+    CASE WHEN r = 7 AND c = 7 THEN 0
+         ELSE xor(((seed * 37 + r * 11 + c * 7) % 3) % 2,
+                  CASE WHEN (variant = 1 AND ((r = 0 AND c = 0)
+                                              OR (r = 3 AND c = 4)))
+                         OR (variant = 2 AND c = 2 AND r BETWEEN 1 AND 5)
+                       THEN 1 ELSE 0 END)
+    END AS b
+  FROM grid),
+hashes AS (
+  SELECT media_id,
+    CAST(sum(CASE WHEN b = 1
+                  THEN (1::BIGINT << CAST(r * 8 + c AS INT))
+                  ELSE 0 END) AS BIGINT) AS dhash
+  FROM bits GROUP BY media_id),
+pairs AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b
+  FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+deg AS (
+  SELECT media_id, count(*) AS n_dups FROM (
+    SELECT id_a AS media_id FROM pairs
+    UNION ALL SELECT id_b FROM pairs)
+  GROUP BY media_id),
+allm AS (
+  SELECT range AS media_id, TRUE AS decode_ok FROM range(32)
+  UNION ALL SELECT 32 + range, FALSE FROM range(2))
+SELECT am.media_id,
+  CASE WHEN am.decode_ok THEN h.dhash END AS dhash,
+  CASE WHEN am.decode_ok THEN 36 END AS width,
+  CASE WHEN am.decode_ok THEN 32 END AS height,
+  CAST(1 AS INT) AS orientation,
+  am.decode_ok,
+  CAST(COALESCE(deg.n_dups, 0) AS INT) AS n_dups
+FROM allm am
+LEFT JOIN hashes h USING (media_id)
+LEFT JOIN deg USING (media_id)
+"""
+
+
 _MEDIA_META_SQL = """
 WITH ids AS (SELECT unnest(range(64)) AS media_id),
 s AS (SELECT media_id, media_id % 16 AS s, media_id % 3 AS m3,
@@ -6089,6 +6238,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # LM + one set of tercile cutoffs PER predicted language (Wenzek
     # 2020 §4.3's published shape); oracle-gated every pytest run.
     "ccnet_perlang": q_ccnet_perlang,
+    # image_dedup (r12, VERDICT r11 item 4): perceptual image dedup —
+    # decode → orientation-normalize → 64-bit block-sum dHash →
+    # pigeonhole Hamming pairs → per-image dup degree, under a
+    # closed-form oracle; oracle-gated every pytest run.
+    "image_dedup": q_image_dedup,
+    # warc_cdx (r12, VERDICT r11 item 5): the CDX record index emitted
+    # by the shard-assembly pass — closed-form offset/length/digest
+    # oracle over the uncompressed layout; gzip offsets seek-read
+    # roundtrip-tested; oracle-gated every pytest run.
+    "warc_cdx": q_warc_cdx,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -6106,6 +6265,7 @@ ROTATED_OUT: set[str] = {
     "warc_revisits", "warc_crawl_pipeline", "exif_orientation",
     "jpeg_hierarchical", "dedup_lines", "url_domain_cap",
     "stream_user_totals", "url_domain_cap_bounded", "ccnet_perlang",
+    "image_dedup", "warc_cdx",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -6228,6 +6388,8 @@ _R11_NEW = {
 _R12_NEW = {
     "url_domain_cap_bounded",
     "ccnet_perlang",
+    "image_dedup",
+    "warc_cdx",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -6336,6 +6498,8 @@ _ORACLES: dict[str, str] = {
     "url_domain_cap_bounded": _URL_DOMAIN_CAP_BOUNDED_SQL,
     "ccnet_pipeline": _CCNET_SQL,
     "ccnet_perlang": _CCNET_PERLANG_SQL,
+    "image_dedup": _IMAGE_DEDUP_SQL,
+    "warc_cdx": _WARC_CDX_SQL,
     "jpeg_cmyk": _JPEG_CMYK_SQL,
     "bpe_pipeline": _BPE_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,

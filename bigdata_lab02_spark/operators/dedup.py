@@ -456,11 +456,18 @@ def simhash(
 
 
 def simhash_dup_pairs(
-    simhashes: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    simhashes: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    hash_col: str = "simhash",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks
-    (pigeonhole: distance ≤ 3 ⇒ at least one of 4 chunks equal), so the
-    join is on chunk equality — subquadratic, no full cross join."""
+    """Near-dup pairs by Hamming distance over a 64-bit-or-less sketch
+    column, blocked on 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at
+    least one of 4 chunks equal), so the join is on chunk equality —
+    subquadratic, no full cross join. ``hash_col`` (r12) names the
+    sketch: the same kernel serves SimHash text sketches and the
+    perceptual image dHash (``multimodal.image_dhash``); NULL sketches
+    (undecodable images) never enter the join."""
     # One explode + ONE equi-join keyed by (chunk_idx, chunk) — not four
     # union'd self-join branches, which re-evaluate the sketch subtree once
     # per branch per side. Identical candidate set (a pair collides on some
@@ -469,15 +476,15 @@ def simhash_dup_pairs(
         *[
             F.struct(
                 F.lit(i).alias("i"),
-                F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                F.shiftrightunsigned(F.col(hash_col), 16 * i)
                 .bitwiseAND(F.lit(0xFFFF))
                 .alias("c"),
             )
             for i in range(4)
         ]
     )
-    ch = simhashes.select(
-        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("x")
+    ch = simhashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col), F.col(hash_col).alias("simhash"), F.explode(chunks).alias("x")
     ).select(
         F.col(id_col),
         F.col("simhash"),

@@ -640,6 +640,176 @@ def apply_orientation(media: DataFrame) -> DataFrame:
     )
 
 
+def _dhash_np(a, grid: int = 8) -> int | None:
+    """64-bit difference hash (dHash) over BLOCK SUMS — the LAION-style
+    perceptual image fingerprint: reduce the (already orientation-
+    normalized) image to a (grid)×(grid+1) grid of integer block sums,
+    then bit (r, c) = sum[r][c] > sum[r][c+1] for c in 0..grid-1 (the
+    horizontal gradient sign). Comparing SUMS of equal-size blocks is
+    comparing box-filter means without ever dividing — the whole hash
+    is exact integer math, which is what lets an oracle restate it in
+    closed form from a generator formula. Channel reduction is the
+    per-pixel channel SUM (again exact; a weighted luma would add a
+    rounding contract without changing what near-dup detection needs).
+    Images smaller than the grid (no full block) hash to None."""
+    import numpy as np
+
+    h, w = a.shape[0], a.shape[1]
+    bw, bh = w // (grid + 1), h // grid
+    if bw < 1 or bh < 1:
+        return None
+    g = a[: bh * grid, : bw * (grid + 1)].astype(np.int64)
+    if g.ndim == 3:
+        g = g.sum(axis=2)
+    s = g.reshape(grid, bh, grid + 1, bw).sum(axis=(1, 3))
+    bits = s[:, :-1] > s[:, 1:]
+    v = 0
+    for r in range(grid):
+        for c in range(grid):
+            if bits[r, c]:
+                v |= 1 << (r * grid + c)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def image_dhash(
+    media: DataFrame,
+    orient: bool = True,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual image fingerprints (r12, VERDICT r11 item 4): decode
+    (format-dispatched on magic bytes), normalize EXIF orientation
+    (``orient=True`` — the ``apply_orientation`` kernel inline: a
+    camera image stored sideways-with-tag and the same image stored
+    upright MUST collide, or image dedup misses exactly the rotated
+    re-posts it exists for), then the 64-bit block-sum dHash. Returns
+    ``(id, dhash, width, height, orientation, decode_ok)`` — width/
+    height are post-orientation; undecodable payloads are
+    ``decode_ok=false`` with NULL hash (the honest-failure taxonomy);
+    too-small-to-hash images decode fine but carry a NULL hash.
+
+    Feed the result to ``dedup.simhash_dup_pairs(hash_col="dhash",
+    id_col=...)`` — the 16-bit pigeonhole Hamming join (distance ≤ 3 ⇒
+    some chunk equal) gives subquadratic near-dup pairs, and
+    ``dedup.connected_components`` turns pairs into dedup groups.
+
+    Scale shape: one zero-shuffle Arrow-batched ``mapInPandas`` —
+    payload bytes never cross an exchange; only 8-byte hashes reach
+    the dedup join."""
+    from bigdata_lab02_spark.operators.jpeg import JpegError, jpeg_metadata
+
+    dec = _decode_any_image
+    id_type = media.schema[id_col].dataType.simpleString()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                id_col: [], "dhash": [], "width": [], "height": [],
+                "orientation": [], "decode_ok": [],
+            }
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(b) if b is not None else b""
+                o = 1
+                if orient and sniff_image_format(data) == "jpeg":
+                    try:
+                        tag = jpeg_metadata(data)["exif_orientation"]
+                        if tag is not None and 1 <= tag <= 8:
+                            o = int(tag)
+                    except JpegError:
+                        pass
+                out[id_col].append(mid)
+                out["orientation"].append(o)
+                try:
+                    w, h, ch, px, _ = dec(data)
+                except (_png.PngError, _jpeg.JpegError, TypeError):
+                    out["dhash"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["decode_ok"].append(False)
+                    continue
+                a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+                if orient:
+                    a = _orient_np(a, o)
+                out["dhash"].append(_dhash_np(a))
+                out["width"].append(a.shape[1])
+                out["height"].append(a.shape[0])
+                out["decode_ok"].append(True)
+            pdf_out = pd.DataFrame(out)
+            # NULLs from corrupt rows would otherwise coerce the column
+            # to float64, whose 53-bit mantissa silently rounds 64-bit
+            # hashes — nullable Int64 keeps them exact through Arrow
+            pdf_out["dhash"] = pd.array(out["dhash"], dtype="Int64")
+            yield pdf_out
+
+    return media.select(id_col, payload_col).mapInPandas(
+        op,
+        f"{id_col} {id_type}, dhash long, width int, height int, "
+        "orientation int, decode_ok boolean",
+    )
+
+
+def _dhash_fixture_bit(seed: int, variant: int, r: int, c: int) -> int:
+    """The generator's comparison-outcome pattern, bit (r, c) of the
+    dHash — shared by the fixture builder, the unit tests, and
+    (restated in SQL) the oracle gate. Variants within a seed group:
+    0/3 identical (exact hash dup), 1 flips 2 bits (near dup, Hamming
+    2), 2 flips 5 (past the ≤3 threshold). Bit 63 (r=c=7) is pinned 0
+    so fixture hashes stay non-negative — the SQL restatement then
+    never touches BIGINT sign arithmetic."""
+    if r == 7 and c == 7:
+        return 0
+    base = ((seed * 37 + r * 11 + c * 7) % 3) % 2
+    flip = 0
+    if variant == 1 and (r, c) in ((0, 0), (3, 4)):
+        flip = 1
+    if variant == 2 and c == 2 and 1 <= r <= 5:
+        flip = 1
+    return base ^ flip
+
+
+def synthetic_dhash_images(spark, n: int = 32) -> DataFrame:
+    """Deterministic perceptual-dedup corpus: 36×32 grayscale PNGs in
+    groups of four (seed = id//4, variant = id%4) whose 4×4-block
+    values WALK ±10 from 128 along each block row so every dHash
+    comparison outcome is exactly ``_dhash_fixture_bit`` — the hash is
+    closed-form without decoding anything. Variants 0 and 3 are exact
+    hash dups, variant 1 is Hamming-2 from them, variant 2 is
+    Hamming-5 (excluded at threshold 3). ids n and n+1 append a
+    truncated-PNG stripe (decode_ok=false, NULL hash)."""
+    enc = _png.encode_png
+    bit = _dhash_fixture_bit
+
+    def mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "payload": []}
+            for i in pdf["id"]:
+                mid = int(i)
+                if mid >= n:  # corrupt stripe
+                    rows["media_id"].append(mid)
+                    rows["payload"].append(b"\x89PNG\r\n\x1a\n\x00\x00")
+                    continue
+                seed, variant = mid // 4, mid % 4
+                v = [[128] * 9 for _ in range(8)]
+                for r in range(8):
+                    for c in range(8):
+                        step = -10 if bit(seed, variant, r, c) else 10
+                        v[r][c + 1] = v[r][c] + step
+                px = bytes(
+                    v[y // 4][x // 4] for y in range(32) for x in range(36)
+                )
+                rows["media_id"].append(mid)
+                rows["payload"].append(enc(36, 32, px, color_type=0))
+            yield pd.DataFrame(rows)
+
+    return spark.range(n + 2, numPartitions=1).mapInPandas(
+        mk, "media_id long, payload binary"
+    )
+
+
 def synthetic_tiny_png(
     spark, n: int = 4, start_id: int = 900, width: int = 1, height: int = 1
 ) -> DataFrame:

@@ -736,3 +736,88 @@ def test_orientation_then_resize_composition(spark):
     assert resized["decode_ok"] and resized["src_format"] == "png"
     assert (resized["width"], resized["height"]) == (8, 12)
     assert resized["payload"] is not None
+
+
+def test_image_dhash_fixture_closed_form(spark):
+    """r12: image_dhash over the deterministic dHash corpus must equal
+    the generator's bit pattern exactly; within each seed group
+    variants 0/3 collide at Hamming 0, variant 1 sits at Hamming 2,
+    variant 2 at Hamming ≥ 4 from every groupmate; the corrupt stripe
+    is decode_ok=false with a NULL hash."""
+    from bigdata_lab02_spark.operators.multimodal import (
+        _dhash_fixture_bit,
+        image_dhash,
+        synthetic_dhash_images,
+    )
+
+    out = {
+        r["media_id"]: r
+        for r in image_dhash(synthetic_dhash_images(spark, 16)).collect()
+    }
+    assert len(out) == 18
+    for mid in range(16):
+        expect = 0
+        for r in range(8):
+            for c in range(8):
+                if _dhash_fixture_bit(mid // 4, mid % 4, r, c):
+                    expect |= 1 << (r * 8 + c)
+        row = out[mid]
+        assert row["dhash"] == expect, mid
+        assert (row["width"], row["height"]) == (36, 32)
+        assert row["decode_ok"] and row["orientation"] == 1
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    for seed in range(4):
+        h = [out[seed * 4 + v]["dhash"] for v in range(4)]
+        assert h[0] == h[3]
+        assert ham(h[0], h[1]) == 2
+        assert ham(h[0], h[2]) == 5 and ham(h[1], h[2]) == 7
+    for mid in (16, 17):
+        assert not out[mid]["decode_ok"] and out[mid]["dhash"] is None
+
+
+def test_image_dhash_rotated_copies_collide(spark):
+    """r12 (VERDICT r11 item 4's composition): an image stored
+    sideways-with-EXIF-tag (the camera layout) and the same image
+    stored upright must produce the SAME dHash once the kernel
+    orientation-normalizes — block-constant grayscale JPEGs make the
+    decode exact, so collision is equality, not approximation. With
+    orient=False the sideways copy hashes differently (the miss
+    orientation normalization exists to prevent)."""
+    import numpy as np
+
+    from bigdata_lab02_spark.operators.jpeg import encode_jpeg
+    from bigdata_lab02_spark.operators.multimodal import (
+        _dhash_fixture_bit,
+        _orient_np,
+        exif_app1_segment,
+        image_dhash,
+    )
+
+    # base: 72x64 gray, 8x8-constant blocks walking the fixture pattern
+    v = np.zeros((8, 9), dtype=np.int64)
+    v[:, 0] = 128
+    for r in range(8):
+        for c in range(8):
+            v[r, c + 1] = v[r, c] + (-10 if _dhash_fixture_bit(0, 0, r, c) else 10)
+    base = np.repeat(np.repeat(v.astype(np.uint8), 8, axis=0), 8, axis=1)
+    base3 = np.stack([base] * 3, axis=2)  # r=g=b -> exact gray luma
+    base_jpeg = encode_jpeg(72, 64, base3.tobytes(), subsampling="gray")
+    # sideways copy for tag 6: stored pixels s with _orient_np(s, 6) == base
+    stored = np.ascontiguousarray(base3[:, ::-1].transpose(1, 0, 2))
+    assert np.array_equal(_orient_np(stored, 6), base3)
+    side_jpeg = encode_jpeg(64, 72, stored.tobytes(), subsampling="gray")
+    side_jpeg = side_jpeg[:2] + exif_app1_segment(6) + side_jpeg[2:]
+    media = spark.createDataFrame(
+        [(0, bytearray(base_jpeg)), (1, bytearray(side_jpeg))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in image_dhash(media).collect()}
+    assert out[0]["decode_ok"] and out[1]["decode_ok"]
+    assert out[1]["orientation"] == 6
+    assert (out[1]["width"], out[1]["height"]) == (72, 64)  # post-orient
+    assert out[0]["dhash"] == out[1]["dhash"]  # rotated copies collide
+    raw = {
+        r["media_id"]: r["dhash"]
+        for r in image_dhash(media, orient=False).collect()
+    }
+    assert raw[0] != raw[1]  # without normalization they would not
