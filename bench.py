@@ -145,6 +145,14 @@ EXTRA = [
     "dedup_lines",
     "url_domain_cap",
     "ccnet_pipeline",
+    # r12: the skew-bounded two-phase quota (same fixture as
+    # url_domain_cap — the delta IS the two-phase plan), per-language
+    # CCNet perplexity, perceptual image dedup (dHash + pigeonhole
+    # Hamming pairs), and the CDX index emitted by WARC shard assembly
+    "url_domain_cap_bounded",
+    "ccnet_perlang",
+    "image_dedup",
+    "warc_cdx",
 ]
 STREAMING_LAST = [
     "stream_hourly",

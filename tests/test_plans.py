@@ -100,6 +100,17 @@ def test_ccnet_dedup_subtree_pinned_once(spark):
     assert r.n_exchanges <= 8, r.raw
 
 
+def test_warc_crawl_pipeline_single_exchange(spark):
+    """r12 (VERDICT r11 item 2): the full WARC→URL→crawl composition
+    must keep exactly ONE exchange — the URL tier's norm_url recrawl-
+    dedup window. Framing, HTTP split, charset decode, html strip, C4,
+    Gopher and LID are all zero-shuffle projections around it; a
+    second exchange means a stage stopped fusing."""
+    r = plan_report(e.queries()["warc_crawl_pipeline"](spark, SF))
+    assert r.n_exchanges == 1, r.raw
+    assert r.n_sortmerge_joins == 0
+
+
 def test_ctfidf_doc_side_join_is_size_gated(spark):
     """VERDICT r9 item 1: the P12/P13 doc-side dimension (one row PER
     DOCUMENT) must NOT carry a hard broadcast hint — when the engine

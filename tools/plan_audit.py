@@ -70,6 +70,19 @@ AUDIT = [
     "warc_ingest",
     "jpeg_lossless",
     "jpeg_cmyk",
+    # r11 gates (VERDICT r11 item 2)
+    "dedup_lines",
+    "url_domain_cap",
+    "ccnet_pipeline",
+    "warc_crawl_pipeline",
+    "warc_revisits",
+    "exif_orientation",
+    "jpeg_hierarchical",
+    # r12 gates
+    "url_domain_cap_bounded",
+    "ccnet_perlang",
+    "image_dedup",
+    "warc_cdx",
 ]
 
 COMMENT = {
@@ -123,6 +136,17 @@ COMMENT = {
     "jpeg_lossless": "Generate -> decode -> per-payload stats: chained mapInPandas projections, zero exchanges — per-row decode cost, no shuffle at any corpus size.",
     "jpeg_cmyk": "Same shape as jpeg_lossless: the whole 4-component decode pipeline is fused per-row work, zero exchanges.",
     "bpe_pipeline": "The audited plan is the POST-TRAINING shape: tokenization is k chained literal replaces fused into one zero-shuffle projection (the merge table unions in as a literal local relation). Training itself is a driver loop over the vocabulary-sized word-count table — one pair-count shuffle per merge, one argmax row to the driver per iteration.",
+    "dedup_lines": "Three keyed exchanges, all linear: the corpus-wide line count shuffles md5 DIGESTS of the normalized key (never line text), one distinct-doc count, one digest equi-join back, one per-doc ordered reassembly bounded by doc size — nothing all-pairs.",
+    "url_domain_cap": "URL tier (broadcast PSL slices + the one norm_url dedup exchange) then ONE domain-keyed exchange with a streaming rank window. EXACT mode — the oracle surface: the partition key is definitionally max-skew (the mega-domains being capped sort in one task); the production mode is bounded=True below.",
+    "url_domain_cap_bounded": "The r12 two-phase quota: phase 1 pre-ranks on (spark_partition_id, domain) — the hot domain spreads across every input partition, so no task sorts more than a partition's share; phase 2 runs the exact window only over the ≤ cap·partitions candidates. The compile-time plan triplicates the input subtree across the kept/dropped/exempt union branches; at runtime AQE ReuseExchange dedupes both shared exchanges (pre-rank + the URL tier's dedup window — asserted in tests/test_url.py), so the heavy work executes once. Adversarial 90%-one-domain receipt in SCALING.md.",
+    "ccnet_pipeline": "The dedup_lines result is PINNED once (localCheckpoint — the r12 fix: the compiled plan otherwise inlined the 3-exchange dedup subtree into every consumer, measured 16 posexplode copies with zero ReuseExchange); downstream is the zero-shuffle LID projection, the word-count-shaped LM shuffles, the ≤1-row tercile-cutoff broadcast, and ONE id-keyed recombine join. Receipt asserted in tests/test_plans.py.",
+    "ccnet_perlang": "Same pinned-dedup shape as ccnet_pipeline with every LM table and the tercile cutoffs keyed by pred_lang: the context table stays ≤ n_langs·B rows (broadcast), the cutoffs become an ≤ n_langs-row broadcast join instead of a one-row crossJoin — no new data-sized exchange.",
+    "warc_crawl_pipeline": "ONE exchange end-to-end (asserted in tests/test_plans.py): WARC framing + HTTP split + charset decode are Arrow-batched zero-shuffle projections feeding the URL tier's single norm_url dedup window; everything after (html strip, C4, Gopher, LID) chains through column passthrough.",
+    "warc_revisits": "Zero exchanges + one broadcast hash join: the revisit side (Refers-To keys) builds, the record stream probes on WARC-Record-ID. At archive scale the build side is the revisit subset — CommonCrawl revisit rates keep it far under the record count.",
+    "exif_orientation": "Zero exchanges: EXIF header scan, full decode, transpose/flip and PNG re-encode all happen inside one Arrow-batched mapInPandas — pixels never cross a shuffle.",
+    "jpeg_hierarchical": "Zero exchanges: the Annex-J pyramid decode (DHP dims, EXP upsampling, SOF5 differential refinement) is per-payload work fused into the generate→decode mapInPandas chain.",
+    "image_dedup": "dHash tier is a zero-shuffle mapInPandas (decode + orientation-normalize + 64-bit block-sum hash — only 8-byte hashes leave it); the pair join is keyed by 16-bit pigeonhole chunk equality (subquadratic, the simhash kernel with hash_col='dhash'); the dup-degree aggregate is one hash-keyed exchange.",
+    "warc_cdx": "ONE shuffle — the shard-key group-by that shard assembly is at any scale; the CDX index rows are emitted by the SAME applyInPandas pass that assembles the content (no second walk to drift), then explode to a table. The per-shard memory contract is enforced by max_shard_bytes.",
 }
 
 

@@ -84,6 +84,15 @@ FAMILY = [
     # r11: per-domain quota — one domain-keyed window; the replica
     # corpus multiplies per-domain membership, the capped output doesn't
     "url_domain_cap",
+    # r12: the skew-bounded two-phase quota over the same fixture — its
+    # growth must match url_domain_cap's (same semantics, bounded plan)
+    "url_domain_cap_bounded",
+    # r12: per-language CCNet — the LM shuffles gain the language key,
+    # growth should track ccnet_pipeline's
+    "ccnet_perlang",
+    # r12: CDX index emission — same one shard-key shuffle as the WARC
+    # write side; growth ~data
+    "warc_cdx",
 ]
 # Round-6 extension (VERDICT r5 item 6): one more doubling pair on the two
 # families with the highest 4× growth, to separate pair-count growth
@@ -200,6 +209,41 @@ def main() -> None:
         persist()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+    # r12 (VERDICT r11 item 1): ADVERSARIAL single-domain quota stress.
+    # The domain_cap weak label was about skew, which the near-dup
+    # replica corpus does not create (its domains stay balanced) — so
+    # this phase synthesizes the operator's own worst case directly:
+    # 90% of a 5M-row page set in ONE registered domain. Exact mode
+    # funnels the 4.5M hot-domain rows into one sort task (31 of 32
+    # cores idle); bounded mode pre-ranks per input partition, so no
+    # task ever sorts more than a partition's share.
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from bigdata_lab02_spark.operators.url import domain_cap  # noqa: E402
+
+    n_adv = 5_000_000
+    pages = spark.range(n_adv, numPartitions=32).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 != 0, F.lit("mega.example"))
+        .otherwise(
+            F.concat(F.lit("site"), F.col("id") % 1000, F.lit(".example"))
+        )
+        .alias("registered_domain"),
+        F.concat(
+            F.lit("h"), F.col("id") % 64, F.lit(".mega.example")
+        ).alias("host"),
+    )
+    adv: dict = {"rows": n_adv, "hot_fraction": 0.9, "cap": 100}
+    for label, kw in (("exact", {}), ("bounded", {"bounded": True})):
+        t0 = time.time()
+        domain_cap(pages, 100, **kw).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        adv[label] = round(time.time() - t0, 2)
+        print(f"domain_cap[{label}] @5M 90%-one-domain: {adv[label]:.2f}s")
+    payload["domain_cap_adversarial"] = adv
+    persist()
 
     payload["doubling"] = {"mults": [4] + DOUBLING_MULTS, "walls": walls}
     persist()
