@@ -2049,6 +2049,123 @@ FROM rk
 """
 
 
+# robots.txt fixture per registered domain (three templates keyed by
+# length(domain) % 3, all features pinned): a non-applicable specific
+# group + prefix rule + '*'-wildcard Allow + '$'-anchored Disallow +
+# comment (t0); empty-pattern no-op + equal-length Allow/Disallow tie +
+# unknown directive (t1); a non-applicable leading group + leading-'*'
+# wildcard + '$' anchor (t2).
+_ROBOTS_FIXTURE_EXPR = (
+    "CASE length(registered_domain) % 3"
+    " WHEN 0 THEN 'User-agent: frobber' || chr(10) || 'Disallow: /'"
+    " || chr(10) || '' || chr(10) || 'User-agent: *' || chr(10)"
+    " || 'Disallow: /p~ath/1' || chr(10) || 'Allow: /p~ath/1?q=*'"
+    " || chr(10) || '# note' || chr(10) || 'Disallow: /p~ath/3$'"
+    " WHEN 1 THEN 'User-agent: *' || chr(10) || 'Disallow:' || chr(10)"
+    " || 'Disallow: /p~ath/5' || chr(10) || 'Allow: /p~ath/5'"
+    " || chr(10) || 'Crawl-delay: 7'"
+    " ELSE 'User-agent: OtherBot' || chr(10) || 'Allow: /' || chr(10)"
+    " || 'User-agent: *' || chr(10) || 'Disallow: *?q=4' || chr(10)"
+    " || 'Disallow: /p~ath/7$'"
+    " END"
+)
+
+
+def q_url_robots(spark, sf_dir):
+    """robots.txt politeness gated end-to-end (url.robots_rules +
+    robots_filter, r12 — RFC 9309): per-domain robots texts (generated
+    from three templates over the URL tier's registered domains) parse
+    into applicable rule arrays — contiguous User-agent lines forming
+    groups, non-applicable groups dropped, comments/unknown
+    directives/empty patterns ignored — and the tier's survivors get
+    the RFC match decision: longest matching pattern wins, Allow beats
+    Disallow on a length tie, '*' matches any run, trailing '$'
+    anchors, no match (or no robots) → allow. The matched rule and the
+    decision cross the hash for every surviving page; the oracle
+    replays the parse, the chained-escape regex compilation and the
+    longest-match window step for step."""
+    from bigdata_lab02_spark.operators.url import robots_filter, url_filters
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", F.expr(_URL_FIXTURE_EXPR).alias("url"))
+    sfx, blk = _url_dims(spark)
+    uf = url_filters(pages, sfx, blk).where(
+        F.col("url_keep") & F.col("registered_domain").isNotNull()
+    )
+    robots = (
+        uf.select("registered_domain")
+        .distinct()
+        .withColumn("robots_txt", F.expr(_ROBOTS_FIXTURE_EXPR))
+    )
+    out = robots_filter(uf, robots)
+    return out.select(
+        "doc_id", "norm_url", "registered_domain", "robots_rule",
+        "robots_allow",
+    )
+
+
+def _robots_sql_escape(col: str) -> str:
+    """The operator's chained regex-metacharacter escape restated —
+    SAME list, SAME order (backslash first, '*' excluded) — as nested
+    DuckDB replace calls; no dialect backrefs anywhere."""
+    metas = ["\\", ".", "+", "?", "(", ")", "[", "]", "{", "}", "|", "^", "$"]
+    expr = col
+    for ch in metas:
+        expr = f"replace({expr}, '{ch}', '\\{ch}')"
+    return expr
+
+
+_URL_ROBOTS_SQL = f"""
+WITH {_url_tier_sql(_URL_FIXTURE_EXPR)},
+surv AS (SELECT doc_id, norm_url, registered_domain FROM uw
+         WHERE url_keep AND registered_domain IS NOT NULL),
+rob AS (SELECT DISTINCT registered_domain, {_ROBOTS_FIXTURE_EXPR} AS txt
+        FROM surv),
+rlx AS (SELECT registered_domain AS domain,
+  string_split(txt, chr(10)) AS ls FROM rob),
+rln AS (SELECT domain, CAST(generate_subscripts(ls, 1) AS INT) AS pos,
+  unnest(ls) AS line FROM rlx),
+rdv AS (SELECT domain, pos,
+  lower(regexp_extract(trim(regexp_replace(line, '#.*$', '')),
+    '^([A-Za-z-]+)\\s*:', 1)) AS dir,
+  trim(regexp_extract(trim(regexp_replace(line, '#.*$', '')),
+    '^[A-Za-z-]+\\s*:(.*)$', 1)) AS val
+  FROM rln),
+rfl AS (SELECT *, dir = 'user-agent' AS is_ua,
+  dir IN ('allow', 'disallow') AS is_rule FROM rdv),
+rpv AS (SELECT *, coalesce(lag(is_ua)
+    OVER (PARTITION BY domain ORDER BY pos), FALSE) AS prev_ua FROM rfl),
+rgr AS (SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua
+  THEN 1 ELSE 0 END) OVER (PARTITION BY domain ORDER BY pos
+    ROWS UNBOUNDED PRECEDING) AS grp FROM rpv),
+rap AS (SELECT *, max(CASE WHEN is_ua AND val = '*' THEN 1 ELSE 0 END)
+  OVER (PARTITION BY domain, grp) AS grp_star FROM rgr),
+rrl AS (SELECT domain, val, dir = 'allow' AS allow,
+  CAST(length(val) AS INT) AS rule_len,
+  val LIKE '%$' AS anchored,
+  CASE WHEN val LIKE '%$' THEN substr(val, 1, length(val) - 1)
+       ELSE val END AS core
+  FROM rap WHERE is_rule AND grp_star = 1 AND grp > 0 AND length(val) > 0),
+rre AS (SELECT domain, val, allow, rule_len,
+  '^' || replace({_robots_sql_escape('core')}, '*', '.*')
+      || CASE WHEN anchored THEN '$' ELSE '' END AS re
+  FROM rrl),
+pm AS (SELECT doc_id, norm_url, registered_domain,
+  regexp_replace(norm_url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/]*', '')
+    AS path FROM surv),
+mt AS (SELECT pm.doc_id, pm.norm_url, pm.registered_domain,
+  r.val, r.allow, r.rule_len
+  FROM pm LEFT JOIN rre r ON pm.registered_domain = r.domain
+    AND regexp_matches(pm.path, r.re)),
+rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+  ORDER BY rule_len DESC NULLS LAST, allow DESC NULLS LAST,
+           val DESC NULLS LAST) AS rn FROM mt)
+SELECT doc_id, norm_url, registered_domain,
+  val AS robots_rule, coalesce(allow, TRUE) AS robots_allow
+FROM rk WHERE rn = 1
+"""
+
+
 def q_crawl_curation_pipeline(spark, sf_dir):
     """The COMPOSED crawl-curation chain (operators.crawl.crawl_curation):
     URL tier (r10: normalize → registered domain → blocklist → recrawl
@@ -5154,6 +5271,75 @@ WHERE n.doc_id % 4 = 0 AND o.doc_id % 4 != 0
 """
 
 
+def q_stream_image_cands(spark, sf_dir):
+    """STREAMING perceptual image dedup candidates (r12): the non-base
+    variants of the dHash corpus arrive as a media FILE STREAM; every
+    micro-batch decodes, orientation-normalizes and dHashes its
+    payloads (the stateless Arrow projection runs unchanged on a
+    stream) and emits pigeonhole candidate pairs against the STATIC
+    base-variant hash table, Hamming-verified per row — the image twin
+    of stream_dedup_cands: new crawl shards collide with the curated
+    image corpus without re-decoding it. Corrupt payloads (NULL hash)
+    drop before the join. The replay materializes to a memory sink; a
+    batch-side distinct collapses cross-chunk multiplicity; the oracle
+    recomputes every hash from the generator's closed-form bit pattern
+    and takes the cross set at Hamming ≤ 3. (sf_dir unused: media is
+    generated.)"""
+    import tempfile
+
+    from bigdata_lab02_spark.operators.multimodal import (
+        image_dhash,
+        synthetic_dhash_images,
+    )
+    from bigdata_lab02_spark.streaming import run_stream_to_memory
+    from bigdata_lab02_spark.streaming.docs import (
+        image_dedup_candidates_stream,
+    )
+
+    media = synthetic_dhash_images(spark, 32)
+    d = tempfile.mkdtemp(prefix="media_replay_")
+    media.where(F.col("media_id") % 4 != 0).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(d)
+    corpus = image_dhash(media.where(F.col("media_id") % 4 == 0))
+    stream = spark.readStream.schema("media_id long, payload binary").parquet(d)
+    cands = image_dedup_candidates_stream(stream, corpus)
+    out = run_stream_to_memory(
+        spark, cands, "stream_image_cands_sink", mode="append"
+    )
+    return out.distinct()
+
+
+_STREAM_IMAGE_CANDS_SQL = """
+WITH grid AS (
+  SELECT m.range AS media_id, m.range // 4 AS seed, m.range % 4 AS variant,
+         r.range AS r, c.range AS c
+  FROM range(32) m, range(8) r, range(8) c),
+bits AS (
+  SELECT media_id, r, c,
+    CASE WHEN r = 7 AND c = 7 THEN 0
+         ELSE xor(((seed * 37 + r * 11 + c * 7) % 3) % 2,
+                  CASE WHEN (variant = 1 AND ((r = 0 AND c = 0)
+                                              OR (r = 3 AND c = 4)))
+                         OR (variant = 2 AND c = 2 AND r BETWEEN 1 AND 5)
+                       THEN 1 ELSE 0 END)
+    END AS b
+  FROM grid),
+hashes AS (
+  SELECT media_id,
+    CAST(sum(CASE WHEN b = 1
+                  THEN (1::BIGINT << CAST(r * 8 + c AS INT))
+                  ELSE 0 END) AS BIGINT) AS dhash
+  FROM bits GROUP BY media_id)
+SELECT DISTINCT n.media_id AS id_new, o.media_id AS id_old,
+  CAST(bit_count(xor(n.dhash, o.dhash)) AS INT) AS hamming
+FROM hashes n JOIN hashes o
+  ON n.media_id <> o.media_id
+WHERE n.media_id % 4 <> 0 AND o.media_id % 4 = 0
+  AND bit_count(xor(n.dhash, o.dhash)) <= 3
+"""
+
+
 def q_chunk_docs(spark, sf_dir):
     """Sliding-window context chunking (curation.chunk_documents): 64-token
     chunks every 48 tokens (16 overlap) over normalized document tokens;
@@ -6248,6 +6434,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle over the uncompressed layout; gzip offsets seek-read
     # roundtrip-tested; oracle-gated every pytest run.
     "warc_cdx": q_warc_cdx,
+    # stream_image_cands (r12): the streaming face of perceptual image
+    # dedup — per-micro-batch dHash + pigeonhole candidates against a
+    # static corpus hash table, stateless append-mode; oracle-gated
+    # every pytest run.
+    "stream_image_cands": q_stream_image_cands,
+    # url_robots (r12): robots.txt politeness for the URL tier —
+    # RFC 9309 group parsing + longest-match Allow/Disallow with '*'
+    # and '$' patterns, applied as a broadcast rule-array dim with a
+    # per-row HOF decision (corpus never shuffles); oracle-gated every
+    # pytest run.
+    "url_robots": q_url_robots,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -6265,7 +6462,7 @@ ROTATED_OUT: set[str] = {
     "warc_revisits", "warc_crawl_pipeline", "exif_orientation",
     "jpeg_hierarchical", "dedup_lines", "url_domain_cap",
     "stream_user_totals", "url_domain_cap_bounded", "ccnet_perlang",
-    "image_dedup", "warc_cdx",
+    "image_dedup", "warc_cdx", "stream_image_cands", "url_robots",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -6390,6 +6587,8 @@ _R12_NEW = {
     "ccnet_perlang",
     "image_dedup",
     "warc_cdx",
+    "stream_image_cands",
+    "url_robots",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -6500,6 +6699,8 @@ _ORACLES: dict[str, str] = {
     "ccnet_perlang": _CCNET_PERLANG_SQL,
     "image_dedup": _IMAGE_DEDUP_SQL,
     "warc_cdx": _WARC_CDX_SQL,
+    "stream_image_cands": _STREAM_IMAGE_CANDS_SQL,
+    "url_robots": _URL_ROBOTS_SQL,
     "jpeg_cmyk": _JPEG_CMYK_SQL,
     "bpe_pipeline": _BPE_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,

@@ -153,6 +153,9 @@ EXTRA = [
     "ccnet_perlang",
     "image_dedup",
     "warc_cdx",
+    # r12: robots.txt politeness over the URL-tier survivors (RFC 9309
+    # longest-match; broadcast rule-array dim + per-row HOF decision)
+    "url_robots",
 ]
 STREAMING_LAST = [
     "stream_hourly",
@@ -160,6 +163,9 @@ STREAMING_LAST = [
     "stream_pairs",
     # r8: the stateless incremental-dedup candidate replay
     "stream_dedup_cands",
+    # r12: the perceptual-image candidate replay (dHash + pigeonhole
+    # against the static corpus hash table)
+    "stream_image_cands",
 ]
 
 # Consolidated out of the registry in round 5; resolved via their kept

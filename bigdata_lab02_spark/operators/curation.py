@@ -1042,8 +1042,12 @@ def ccnet_pipeline(
     if per_language:
         # Wenzek 2020's actual shape (r12, VERDICT r11 item 7): one LM
         # and one set of tercile cutoffs PER predicted language — the
-        # LM source is the LID output (a zero-shuffle projection over
-        # the pinned dedup result), keyed by pred_lang.
+        # LM source is the LID output, keyed by pred_lang. Pin it like
+        # the dedup stage: the LM's count tables and the recombine all
+        # consume it, and the ~90-lookup stopword-LID projection would
+        # otherwise re-evaluate under every branch (measured 2.7× the
+        # single-LM wall before the pin).
+        lid = lid.localCheckpoint()
         ppl = lm_perplexity(
             lid.select(id_col, text_col, "pred_lang"),
             n_buckets=n_buckets,

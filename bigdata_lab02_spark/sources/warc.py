@@ -691,6 +691,114 @@ def warc_cdx(
     )
 
 
+def fetch_cdx_records(
+    index: DataFrame,
+    archive_dir: str,
+    gzip_members: bool = True,
+    file_col: str = "file",
+) -> DataFrame:
+    """The CONSUMER side of the CDX index (r12): given index rows
+    ``(file, uri, record_id, offset, length, digest, …)`` and the
+    directory the archives were written to, seek-read each record
+    WITHOUT scanning the archives — the random-access workflow the
+    index exists for (re-fetch a dedup survivor set, serve individual
+    pages, audit a sample). Per record: open the shard file, seek
+    ``offset``, read ``length`` bytes, gunzip the single member (gz
+    layout), re-frame via ``iter_warc_records``, split the HTTP
+    envelope, and verify the body against ``digest`` (``digest_ok`` —
+    a corrupted or rewritten archive is detected, not silently
+    served). ``fetch_ok=false`` rows carry the failure honestly (file
+    missing, short read, bad framing) with NULL payload fields.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` over the INDEX
+    (small — ~100 bytes/record vs the archive's kilobytes); rows are
+    fetched grouped-by-file within each batch so a task opens each
+    shard file once, and archive bytes never cross a shuffle.
+    ``archive_dir`` must be visible to every executor — the same
+    contract as ``write_warc``."""
+    import hashlib as _hl
+    import os as _os
+
+    cols = index.columns
+    for c in (file_col, "offset", "length"):
+        if c not in cols:
+            raise ValueError(f"index is missing column {c!r}")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip as _gz
+
+        for pdf in batches:
+            pdf = pdf.sort_values([file_col, "offset"], kind="mergesort")
+            out = {
+                "file": [], "uri": [], "record_id": [], "offset": [],
+                "http_status": [], "http_content_type": [], "body": [],
+                "digest_ok": [], "fetch_ok": [],
+            }
+            handle = None
+            handle_name = None
+            try:
+                for row in pdf.itertuples(index=False):
+                    fname = getattr(row, file_col)
+                    off = int(row.offset)
+                    ln = int(row.length)
+                    want_digest = getattr(row, "digest", None)
+                    out["file"].append(fname)
+                    out["offset"].append(off)
+                    out["uri"].append(getattr(row, "uri", None))
+                    out["record_id"].append(getattr(row, "record_id", None))
+                    try:
+                        if handle_name != fname:
+                            if handle is not None:
+                                handle.close()
+                            handle = open(
+                                _os.path.join(archive_dir, str(fname)), "rb"
+                            )
+                            handle_name = fname
+                        handle.seek(off)
+                        member = handle.read(ln)
+                        if len(member) != ln:
+                            raise WarcError("short read at index offset")
+                        rec = (
+                            _gz.decompress(member) if gzip_members else member
+                        )
+                        recs = list(iter_warc_records(rec))
+                        if len(recs) != 1:
+                            raise WarcError(
+                                f"index span framed {len(recs)} records"
+                            )
+                        hdrs, block = recs[0]
+                        status, hh, body = parse_http_response(block)
+                        ctype = hh.get("content-type")
+                        out["http_status"].append(status)
+                        out["http_content_type"].append(ctype)
+                        out["body"].append(body)
+                        out["digest_ok"].append(
+                            _hl.md5(body).hexdigest() == want_digest
+                            if want_digest is not None
+                            else None
+                        )
+                        out["fetch_ok"].append(True)
+                    except (OSError, WarcError, ValueError):
+                        out["http_status"].append(None)
+                        out["http_content_type"].append(None)
+                        out["body"].append(None)
+                        out["digest_ok"].append(None)
+                        out["fetch_ok"].append(False)
+            finally:
+                if handle is not None:
+                    handle.close()
+            yield pd.DataFrame(out)
+
+    sel = [c for c in (file_col, "uri", "record_id", "offset", "length",
+                       "digest") if c in cols]
+    return index.select(*sel).mapInPandas(
+        op,
+        "file string, uri string, record_id string, offset bigint, "
+        "http_status int, http_content_type string, body binary, "
+        "digest_ok boolean, fetch_ok boolean",
+    )
+
+
 def write_warc(
     records: DataFrame,
     path: str,

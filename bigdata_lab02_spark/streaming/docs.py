@@ -143,6 +143,76 @@ def url_dedup_stream(
     )
 
 
+def image_dedup_candidates_stream(
+    media_stream: DataFrame,
+    corpus_hashes: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    orient: bool = True,
+    broadcast_corpus: bool = False,
+) -> DataFrame:
+    """Streaming PERCEPTUAL image dedup candidates (r12): incoming
+    media payloads dHash per micro-batch (``image_dhash`` — a
+    stateless Arrow projection, so it runs unchanged on a stream),
+    then candidate pairs ``(id_new, id_old, hamming)`` against a
+    static corpus hash table via the same 16-bit pigeonhole the batch
+    pair join uses (Hamming ≤ 3 ⇒ some chunk equal), with the exact
+    Hamming verify as a per-row expression. Append-mode, stateless —
+    the streaming twin of ``dedup_candidates_stream`` for the image
+    tier: new crawl shards collide against the already-curated image
+    corpus without re-decoding it.
+
+    Scale design mirrors the text face: the corpus hash table is one
+    8-byte hash per image (tiny relative to payloads) but still
+    corpus-sized — the default is a plain stream-static equi-join on
+    the (chunk_idx, chunk) key (each micro-batch shuffles only its own
+    rows against a bucketed corpus layout); ``broadcast_corpus=True``
+    is the known-small opt-in. Undecodable payloads (NULL hash) drop
+    before the join. Cross-chunk multiplicity is left to the consumer
+    (batch-side distinct), exactly like the band stream."""
+    from bigdata_lab02_spark.operators.multimodal import image_dhash
+
+    def chunked(df: DataFrame, idc: str, hc: str) -> DataFrame:
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.shiftrightunsigned(F.col(hc), 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("c"),
+                )
+                for i in range(4)
+            ]
+        )
+        return df.select(idc, hc, F.explode(arr).alias("x")).select(
+            idc, hc, F.col("x.i").alias("i"), F.col("x.c").alias("c")
+        )
+
+    new = (
+        image_dhash(media_stream, orient=orient, id_col=id_col)
+        .where(F.col("dhash").isNotNull())
+        .select(F.col(id_col).alias("id_new"), F.col("dhash").alias("h_new"))
+    )
+    corpus = (
+        corpus_hashes.where(F.col("dhash").isNotNull())
+        .select(F.col(id_col).alias("id_old"), F.col("dhash").alias("h_old"))
+    )
+    oc = chunked(corpus, "id_old", "h_old")
+    if broadcast_corpus:
+        oc = F.broadcast(oc)
+    return (
+        chunked(new, "id_new", "h_new")
+        .join(oc, ["i", "c"])
+        .where(F.col("id_new") != F.col("id_old"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("h_new").bitwiseXOR(F.col("h_old"))).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_new", "id_old", "hamming")
+    )
+
+
 def dedup_candidates_stream(
     doc_stream: DataFrame,
     corpus_bands: DataFrame,

@@ -577,6 +577,73 @@ def test_domain_cap_quota_and_fallback(spark):
     assert r.n_exchanges == 1, r.raw
 
 
+def test_robots_rules_and_filter_rfc9309(spark):
+    """r12: robots.txt parse + longest-match decision — contiguous UA
+    groups, non-applicable groups dropped, comments/unknown
+    directives/empty patterns ignored, '$' anchors, leading-'*'
+    wildcard, Allow-beats-Disallow on a length tie, specific-agent
+    groups overriding the '*' group, and default-allow for domains
+    with no robots row."""
+    from bigdata_lab02_spark.operators.url import robots_filter
+    from bigdata_lab02_spark.plans import plan_report
+
+    robots = spark.createDataFrame(
+        [
+            ("example.com",
+             "User-agent: frobber\nDisallow: /\n\nUser-agent: *\n"
+             "Disallow: /priv\nAllow: /priv/ok$\n# c\nDisallow: /exact$\n"
+             "Disallow:\nCrawl-delay: 5\n"),
+            ("tie.org",
+             "User-agent: OtherBot\nUser-agent: *\nDisallow: /p\n"
+             "Allow: /p\nDisallow: *?q=4\n"),
+            ("spec.net",
+             "User-agent: mybot\nDisallow: /only-mybot\n"
+             "User-agent: *\nDisallow: /star\n"),
+        ],
+        "registered_domain string, robots_txt string",
+    )
+    pages = spark.createDataFrame(
+        [
+            (1, "https://example.com/priv/x", "example.com"),
+            (2, "https://example.com/priv/ok", "example.com"),
+            (3, "https://example.com/exact", "example.com"),
+            (4, "https://example.com/exact2", "example.com"),
+            (6, "https://tie.org/p/z", "tie.org"),
+            (7, "https://tie.org/x?q=4", "tie.org"),
+            (8, "https://spec.net/star", "spec.net"),
+            (9, "https://spec.net/only-mybot", "spec.net"),
+            (10, "https://norobots.io/a", "norobots.io"),
+        ],
+        "doc_id long, norm_url string, registered_domain string",
+    )
+    out = {r["doc_id"]: r for r in robots_filter(pages, robots).collect()}
+    assert not out[1]["robots_allow"]  # prefix disallow
+    assert out[2]["robots_allow"]      # longer '$'-anchored allow wins
+    assert out[2]["robots_rule"] == "/priv/ok$"
+    assert not out[3]["robots_allow"]  # '$' anchor hits the exact path
+    assert out[4]["robots_allow"] and out[4]["robots_rule"] is None
+    assert out[6]["robots_allow"]      # equal-length tie -> allow
+    assert not out[7]["robots_allow"]  # leading-'*' wildcard
+    assert out[7]["robots_rule"] == "*?q=4"
+    assert not out[8]["robots_allow"]  # '*' group applies
+    assert out[9]["robots_allow"]      # mybot-only rule ignored for '*'
+    assert out[10]["robots_allow"]     # no robots row -> default allow
+    # specific agent: its group REPLACES the '*' group (RFC 9309)
+    spec = {
+        r["doc_id"]: r
+        for r in robots_filter(pages, robots, agent="MyBot").collect()
+    }
+    assert spec[8]["robots_allow"]          # '*' group ignored for mybot
+    assert not spec[9]["robots_allow"]      # its own rule applies
+    # scale shape: the rules dim broadcasts into the pages side and the
+    # decision is a per-row array expression; the only exchanges in the
+    # plan belong to the dim-sized parse (windows + collect_list over
+    # the robots rows), never the corpus
+    r = plan_report(robots_filter(pages, robots))
+    assert r.n_broadcast_joins >= 1, r.raw
+    assert r.n_sortmerge_joins == 0, r.raw
+
+
 def test_domain_cap_bounded_matches_exact(spark):
     """r12 (VERDICT r11 item 1): the two-phase skew-bounded quota must
     agree with the exact window on domain_keep for EVERY row and on

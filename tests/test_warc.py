@@ -517,6 +517,59 @@ def test_warc_cdx_index_seek_read_roundtrip(spark, tmp_path):
             pos += ln
 
 
+def test_fetch_cdx_records_random_access(spark, tmp_path):
+    """r12: the distributed CDX consumer — fetch_cdx_records seek-reads
+    every indexed record from the written archives, verifies the body
+    digest, and reports honest failures for records the index points
+    past (simulated by tampering one archive)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_lab02_spark.sources.warc import (
+        fetch_cdx_records,
+        write_warc,
+    )
+
+    rows = [
+        (i % 2, f"http://f{i:02d}.example.com/p", f"payload {i} é".encode(),
+         200, "text/html", "2024-02-03T04:05:06Z", f"<urn:test:f{i}>")
+        for i in range(10)
+    ]
+    recs = spark.createDataFrame(
+        rows,
+        "shard int, target_uri string, body binary, http_status int, "
+        "http_content_type string, warc_date string, record_id string",
+    )
+    out = str(tmp_path / "archive")
+    idx_path = str(tmp_path / "cdx")
+    write_warc(recs, out, index_path=idx_path)
+    idx = spark.read.parquet(idx_path)
+    got = {
+        r["uri"]: r
+        for r in fetch_cdx_records(idx, out).collect()
+    }
+    bodies = {u: b for _, u, b, *_ in rows}
+    assert set(got) == set(bodies)
+    for u, r in got.items():
+        assert r["fetch_ok"] and r["digest_ok"], u
+        assert bytes(r["body"]) == bodies[u]
+        assert r["http_status"] == 200
+        assert r["http_content_type"] == "text/html"
+    # tamper: truncate one shard — its fetches fail honestly, digest
+    # verification catches any record whose span still gunzips
+    import os
+
+    victim = sorted(os.listdir(out))[0]
+    p = os.path.join(out, victim)
+    data = open(p, "rb").read()
+    open(p, "wb").write(data[: len(data) // 2])
+    after = fetch_cdx_records(idx, out).collect()
+    bad = [r for r in after if r["file"] == victim]
+    good = [r for r in after if r["file"] != victim]
+    assert all(r["fetch_ok"] and r["digest_ok"] for r in good)
+    assert any(not r["fetch_ok"] for r in bad)
+    assert all((not r["fetch_ok"]) or r["digest_ok"] for r in bad)
+
+
 def test_warc_shards_size_guard_fails_loud(spark):
     """r12 (VERDICT r11 item 6): a shard whose assembled content would
     exceed max_shard_bytes must raise a WarcError naming the shard —

@@ -83,6 +83,7 @@ AUDIT = [
     "ccnet_perlang",
     "image_dedup",
     "warc_cdx",
+    "url_robots",
 ]
 
 COMMENT = {
@@ -147,6 +148,7 @@ COMMENT = {
     "jpeg_hierarchical": "Zero exchanges: the Annex-J pyramid decode (DHP dims, EXP upsampling, SOF5 differential refinement) is per-payload work fused into the generate→decode mapInPandas chain.",
     "image_dedup": "dHash tier is a zero-shuffle mapInPandas (decode + orientation-normalize + 64-bit block-sum hash — only 8-byte hashes leave it); the pair join is keyed by 16-bit pigeonhole chunk equality (subquadratic, the simhash kernel with hash_col='dhash'); the dup-degree aggregate is one hash-keyed exchange.",
     "warc_cdx": "ONE shuffle — the shard-key group-by that shard assembly is at any scale; the CDX index rows are emitted by the SAME applyInPandas pass that assembles the content (no second walk to drift), then explode to a table. The per-shard memory contract is enforced by max_shard_bytes.",
+    "url_robots": "The robots parse (line explode, group windows, collect_list to rule arrays) runs entirely on the ROBOTS DIM — one row per domain, bounded like the blocklist; the parsed rule-array dim then BROADCASTS and the RFC longest-match decision is a per-row filter/array_max expression, so the corpus gains zero exchanges beyond the URL tier's own dedup window — the PSL-join discipline applied to politeness.",
 }
 
 

@@ -93,6 +93,9 @@ FAMILY = [
     # r12: CDX index emission — same one shard-key shuffle as the WARC
     # write side; growth ~data
     "warc_cdx",
+    # r12: robots politeness — broadcast rule-array dim + per-row HOF
+    # over the URL-tier survivors; growth should track url_filters'
+    "url_robots",
 ]
 # Round-6 extension (VERDICT r5 item 6): one more doubling pair on the two
 # families with the highest 4× growth, to separate pair-count growth
