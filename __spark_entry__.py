@@ -822,6 +822,108 @@ SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM ranked WHERE rn <=
 """
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN gated END-TO-END (similarity.pq_*, r12
+    — Jégou 2011: the compression step beyond int8: 64 floats → 8
+    one-byte codes, 32×): codebook TRAINING (per-subspace k-means,
+    deterministic lowest-id init + one exact Lloyd step — the
+    kmeans-gate replayed-training convention), corpus encoding (argmin
+    per subspace), and ADC top-5 for the first 10 vectors as queries
+    (per-query distance table, per-row m-lookup sum). EVERY distance is
+    an exact BIGINT over micro-unit components, so training, codes and
+    the ADC ranking are all reproduced bit-for-bit by the oracle —
+    tie-breaks pinned (smallest code / smallest neighbor id)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.pq_topk(
+        emb, emb.where(F.col("vec_id") < 10), dim=64, m=8, ksub=16, k=5
+    )
+    return out
+
+
+# Shared PQ oracle chain: training (init + one exact Lloyd step),
+# encoding, per-query subspace distance tables, ADC sums — ends at
+# `adc` (query_id, neighbor_id, adc_d2). Both PQ gates select from it.
+_PQ_CHAIN_SQL = """emu AS (SELECT vec_id,
+    list_transform(embedding::DOUBLE[],
+      x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+  FROM embeddings),
+dims AS (SELECT vec_id, CAST(generate_subscripts(v, 1) - 1 AS INT) AS j,
+    unnest(v) AS x FROM emu),
+sdims AS (SELECT vec_id, j // 8 AS s, j % 8 AS jj, x FROM dims),
+init AS (SELECT s, CAST(vec_id AS INT) AS code, jj, x AS c
+         FROM sdims WHERE vec_id < 16),
+ad AS (SELECT p.vec_id, p.s, i.code, sum((p.x - i.c) * (p.x - i.c)) AS d2
+       FROM sdims p JOIN init i ON p.s = i.s AND p.jj = i.jj
+       GROUP BY p.vec_id, p.s, i.code),
+ark AS (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+          ORDER BY d2, code) AS rn FROM ad),
+asg AS (SELECT vec_id, s, code FROM ark WHERE rn = 1),
+upd AS (SELECT a.s, a.code, p.jj, CAST(round(avg(p.x)) AS BIGINT) AS c
+        FROM asg a JOIN sdims p ON p.vec_id = a.vec_id AND p.s = a.s
+        GROUP BY a.s, a.code, p.jj),
+cb AS (SELECT i.s, i.code, i.jj, coalesce(u.c, i.c) AS c
+       FROM init i LEFT JOIN upd u
+         ON i.s = u.s AND i.code = u.code AND i.jj = u.jj),
+enc0 AS (SELECT p.vec_id, p.s, c.code, sum((p.x - c.c) * (p.x - c.c)) AS d2
+         FROM sdims p JOIN cb c ON p.s = c.s AND p.jj = c.jj
+         GROUP BY p.vec_id, p.s, c.code),
+enck AS (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+           ORDER BY d2, code) AS rn FROM enc0),
+codes AS (SELECT vec_id, s, code FROM enck WHERE rn = 1),
+qd AS (SELECT q.vec_id AS query_id, c.s, c.code,
+         sum((q.x - c.c) * (q.x - c.c)) AS d2
+       FROM sdims q JOIN cb c ON q.s = c.s AND q.jj = c.jj
+       WHERE q.vec_id < 10
+       GROUP BY q.vec_id, c.s, c.code),
+adc AS (SELECT qd.query_id, co.vec_id AS neighbor_id,
+          CAST(sum(qd.d2) AS BIGINT) AS adc_d2
+        FROM codes co JOIN qd ON co.s = qd.s AND co.code = qd.code
+        WHERE co.vec_id <> qd.query_id
+        GROUP BY qd.query_id, co.vec_id)"""
+
+_PQ_TOPK_SQL = f"""
+WITH {_PQ_CHAIN_SQL},
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         ORDER BY adc_d2, neighbor_id) AS rank FROM adc)
+SELECT query_id, neighbor_id, adc_d2, CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= 5
+"""
+
+
+def q_pq_rerank(spark, sf_dir):
+    """PQ with exact re-ranking gated end-to-end (similarity.
+    pq_topk_rerank, r12 — the §V search pattern PQ deployments run):
+    the ADC stage shortlists 50 candidates per query from the m-byte
+    codes, then the EXACT integer micro-unit distance re-ranks only
+    those 50 — full-precision math touches shortlist ≪ n vectors.
+    The oracle replays the whole chain (training, codes, ADC
+    shortlist, exact re-rank window); shortlist membership, exact
+    distances and final ranks all cross the hash."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.pq_topk_rerank(
+        emb, emb.where(F.col("vec_id") < 10),
+        dim=64, m=8, ksub=16, k=5, shortlist=50,
+    )
+
+
+_PQ_RERANK_SQL = f"""
+WITH {_PQ_CHAIN_SQL},
+srk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc_d2, neighbor_id) AS srank FROM adc),
+short AS (SELECT query_id, neighbor_id FROM srk WHERE srank <= 50),
+ex AS (SELECT s.query_id, s.neighbor_id,
+         CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+       FROM short s
+       JOIN dims a ON a.vec_id = s.query_id
+       JOIN dims b ON b.vec_id = s.neighbor_id AND b.j = a.j
+       GROUP BY s.query_id, s.neighbor_id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         ORDER BY d2, neighbor_id) AS rank FROM ex)
+SELECT query_id, neighbor_id, d2, CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= 5
+"""
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     """Hyperplane-LSH near-dup pairs — the SCALE path the brute-force
     embedding_near_pairs baseline approximates: vectors meet only inside a
@@ -6445,6 +6547,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # per-row HOF decision (corpus never shuffles); oracle-gated every
     # pytest run.
     "url_robots": q_url_robots,
+    # pq_topk (r12): product-quantization ANN — per-subspace k-means
+    # codebooks (replayed training), m-byte codes, ADC top-k; exact
+    # integer micro-unit distances end-to-end; oracle-gated every
+    # pytest run.
+    "pq_topk": q_pq_topk,
+    # pq_rerank (r12): the deployed PQ search pattern — ADC shortlist
+    # from the m-byte codes, exact re-rank over the shortlist only;
+    # oracle-gated every pytest run.
+    "pq_rerank": q_pq_rerank,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -6463,6 +6574,7 @@ ROTATED_OUT: set[str] = {
     "jpeg_hierarchical", "dedup_lines", "url_domain_cap",
     "stream_user_totals", "url_domain_cap_bounded", "ccnet_perlang",
     "image_dedup", "warc_cdx", "stream_image_cands", "url_robots",
+    "pq_topk", "pq_rerank",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -6589,6 +6701,8 @@ _R12_NEW = {
     "warc_cdx",
     "stream_image_cands",
     "url_robots",
+    "pq_topk",
+    "pq_rerank",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -6701,6 +6815,8 @@ _ORACLES: dict[str, str] = {
     "warc_cdx": _WARC_CDX_SQL,
     "stream_image_cands": _STREAM_IMAGE_CANDS_SQL,
     "url_robots": _URL_ROBOTS_SQL,
+    "pq_topk": _PQ_TOPK_SQL,
+    "pq_rerank": _PQ_RERANK_SQL,
     "jpeg_cmyk": _JPEG_CMYK_SQL,
     "bpe_pipeline": _BPE_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,

@@ -156,6 +156,11 @@ EXTRA = [
     # r12: robots.txt politeness over the URL-tier survivors (RFC 9309
     # longest-match; broadcast rule-array dim + per-row HOF decision)
     "url_robots",
+    # r12: product-quantization ANN (trained codebooks + m-byte codes +
+    # ADC top-k — the 32x compression tier beyond int8) and the deployed
+    # shortlist+exact-re-rank pattern
+    "pq_topk",
+    "pq_rerank",
 ]
 STREAMING_LAST = [
     "stream_hourly",

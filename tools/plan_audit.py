@@ -84,6 +84,8 @@ AUDIT = [
     "image_dedup",
     "warc_cdx",
     "url_robots",
+    "pq_topk",
+    "pq_rerank",
 ]
 
 COMMENT = {
@@ -149,6 +151,8 @@ COMMENT = {
     "image_dedup": "dHash tier is a zero-shuffle mapInPandas (decode + orientation-normalize + 64-bit block-sum hash — only 8-byte hashes leave it); the pair join is keyed by 16-bit pigeonhole chunk equality (subquadratic, the simhash kernel with hash_col='dhash'); the dup-degree aggregate is one hash-keyed exchange.",
     "warc_cdx": "ONE shuffle — the shard-key group-by that shard assembly is at any scale; the CDX index rows are emitted by the SAME applyInPandas pass that assembles the content (no second walk to drift), then explode to a table. The per-shard memory contract is enforced by max_shard_bytes.",
     "url_robots": "The robots parse (line explode, group windows, collect_list to rule arrays) runs entirely on the ROBOTS DIM — one row per domain, bounded like the blocklist; the parsed rule-array dim then BROADCASTS and the RFC longest-match decision is a per-row filter/array_max expression, so the corpus gains zero exchanges beyond the URL tier's own dedup window — the PSL-join discipline applied to politeness.",
+    "pq_topk": "Training: the m·ksub codebook broadcasts into the per-(row, subspace) argmin window and the mean update is a map-side-combined (s, code, dim) aggregate. Query time: the per-query distance tables (queries·m·ksub rows) broadcast; the corpus carries only its m-byte codes into a per-row zip_with table-lookup sum — the corpus never shuffles before the per-query top-k window, the cosine_topk plan with 32× smaller rows in flight.",
+    "pq_rerank": "ADC stage as pq_topk; the exact re-rank then joins only the queries·shortlist CANDIDATE ids back to their vectors — full-precision math is candidate-sized, never corpus-sized, which is the §V deployment shape (and the join a persisted id-keyed vector layout serves at 100 TB).",
 }
 
 

@@ -96,6 +96,10 @@ FAMILY = [
     # r12: robots politeness — broadcast rule-array dim + per-row HOF
     # over the URL-tier survivors; growth should track url_filters'
     "url_robots",
+    # r12: PQ ANN — training/encoding grow with the corpus, the ADC
+    # probe with corpus×queries codes; the re-rank stays candidate-sized
+    "pq_topk",
+    "pq_rerank",
 ]
 # Round-6 extension (VERDICT r5 item 6): one more doubling pair on the two
 # families with the highest 4× growth, to separate pair-count growth
