@@ -798,8 +798,10 @@ def pq_codebooks(
                 ).alias("newc")
             )
         )
+        # upd is ≤ m·ksub rows — broadcast, never sort-merge a dim-dim
+        # join
         cb = (
-            cb.join(upd, ["s", "code"], "left")
+            cb.join(F.broadcast(upd), ["s", "code"], "left")
             .select(
                 "s",
                 "code",
@@ -858,10 +860,14 @@ def pq_topk(
     shuffles before the per-query top-k window, exactly the
     cosine_topk plan with 32× smaller rows in flight."""
     query_id_col = query_id_col or id_col
+    # training is corpus-sized and BOTH the encoder and the query
+    # tables consume its m·ksub-row result — pin it once (the model-
+    # state pattern: the kmeans loop collects its centroids for the
+    # same reason) instead of inlining the training subtree twice
     cb = pq_codebooks(
         corpus, dim, m=m, ksub=ksub, iters=iters,
         id_col=id_col, vec_col=vec_col,
-    )
+    ).localCheckpoint()
     codes = pq_encode(corpus, cb, dim, m=m, id_col=id_col, vec_col=vec_col)
     qsubs = _pq_subvectors(queries, dim, m, query_id_col, vec_col)
     qtab = (
