@@ -4978,8 +4978,9 @@ def q_image_dedup(spark, sf_dir):
     )
 
 
-_IMAGE_DEDUP_SQL = """
-WITH grid AS (
+# Shared closed-form dHash chain for the image-dedup gates: the
+# generator's bit pattern → every fixture hash, no decoding anywhere.
+_DHASH_CHAIN_SQL = """grid AS (
   SELECT m.range AS media_id, m.range // 4 AS seed, m.range % 4 AS variant,
          r.range AS r, c.range AS c
   FROM range(32) m, range(8) r, range(8) c),
@@ -4998,7 +4999,10 @@ hashes AS (
     CAST(sum(CASE WHEN b = 1
                   THEN (1::BIGINT << CAST(r * 8 + c AS INT))
                   ELSE 0 END) AS BIGINT) AS dhash
-  FROM bits GROUP BY media_id),
+  FROM bits GROUP BY media_id)"""
+
+_IMAGE_DEDUP_SQL = f"""
+WITH {_DHASH_CHAIN_SQL},
 pairs AS (
   SELECT a.media_id AS id_a, b.media_id AS id_b
   FROM hashes a JOIN hashes b ON a.media_id < b.media_id
@@ -5021,6 +5025,71 @@ SELECT am.media_id,
 FROM allm am
 LEFT JOIN hashes h USING (media_id)
 LEFT JOIN deg USING (media_id)
+"""
+
+
+def q_image_dedup_clusters(spark, sf_dir):
+    """Perceptual image dedup TO SURVIVORS (r12 — the end product the
+    pair tier feeds): dHash corpus → pigeonhole Hamming pairs →
+    alternating-star connected components → one survivor per
+    transitive near-dup group (cluster id = smallest member,
+    keep = id holder — the dedup_clusters contract on the image tier).
+    Exact-dup and Hamming-2 variants collapse into one group (and,
+    where seed patterns repeat mod 3, ACROSS seed groups — a genuinely
+    transitive case: members collide pairwise through shared
+    neighbors); Hamming-5 variants and corrupt payloads are
+    singletons. The oracle recomputes the closed-form hashes, the
+    all-pairs threshold and the transitive closure (recursive CTE).
+    (sf_dir unused: media is generated.)"""
+    from bigdata_lab02_spark.operators.dedup import (
+        dedup_clusters,
+        simhash_dup_pairs,
+    )
+    from bigdata_lab02_spark.operators.multimodal import (
+        image_dhash,
+        synthetic_dhash_images,
+    )
+
+    media = synthetic_dhash_images(spark, 32)
+    hashes = image_dhash(media)
+    pairs = simhash_dup_pairs(
+        hashes, id_col="media_id", max_hamming=3, hash_col="dhash"
+    ).select("id_a", "id_b")
+    out = dedup_clusters(
+        hashes.select("media_id"), pairs, id_col="media_id"
+    )
+    return hashes.select("media_id", "dhash", "decode_ok").join(
+        out, "media_id"
+    )
+
+
+_IMAGE_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_DHASH_CHAIN_SQL},
+p0 AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b
+  FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM p0
+  UNION
+  SELECT id_b, id_a FROM p0),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+allm AS (
+  SELECT range AS media_id, TRUE AS decode_ok FROM range(32)
+  UNION ALL SELECT 32 + range, FALSE FROM range(2))
+SELECT am.media_id,
+  CASE WHEN am.decode_ok THEN h.dhash END AS dhash,
+  am.decode_ok,
+  CAST(COALESCE(cc.cluster_id, am.media_id) AS BIGINT) AS cluster_id,
+  am.media_id = COALESCE(cc.cluster_id, am.media_id) AS keep
+FROM allm am
+LEFT JOIN hashes h USING (media_id)
+LEFT JOIN cc ON cc.node = am.media_id
 """
 
 
@@ -5412,27 +5481,8 @@ def q_stream_image_cands(spark, sf_dir):
     return out.distinct()
 
 
-_STREAM_IMAGE_CANDS_SQL = """
-WITH grid AS (
-  SELECT m.range AS media_id, m.range // 4 AS seed, m.range % 4 AS variant,
-         r.range AS r, c.range AS c
-  FROM range(32) m, range(8) r, range(8) c),
-bits AS (
-  SELECT media_id, r, c,
-    CASE WHEN r = 7 AND c = 7 THEN 0
-         ELSE xor(((seed * 37 + r * 11 + c * 7) % 3) % 2,
-                  CASE WHEN (variant = 1 AND ((r = 0 AND c = 0)
-                                              OR (r = 3 AND c = 4)))
-                         OR (variant = 2 AND c = 2 AND r BETWEEN 1 AND 5)
-                       THEN 1 ELSE 0 END)
-    END AS b
-  FROM grid),
-hashes AS (
-  SELECT media_id,
-    CAST(sum(CASE WHEN b = 1
-                  THEN (1::BIGINT << CAST(r * 8 + c AS INT))
-                  ELSE 0 END) AS BIGINT) AS dhash
-  FROM bits GROUP BY media_id)
+_STREAM_IMAGE_CANDS_SQL = f"""
+WITH {_DHASH_CHAIN_SQL}
 SELECT DISTINCT n.media_id AS id_new, o.media_id AS id_old,
   CAST(bit_count(xor(n.dhash, o.dhash)) AS INT) AS hamming
 FROM hashes n JOIN hashes o
@@ -6556,6 +6606,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # from the m-byte codes, exact re-rank over the shortlist only;
     # oracle-gated every pytest run.
     "pq_rerank": q_pq_rerank,
+    # image_dedup_clusters (r12): the image-dedup end product — pairs →
+    # connected components → one survivor per transitive near-dup
+    # group; oracle-gated (recursive-CTE closure) every pytest run.
+    "image_dedup_clusters": q_image_dedup_clusters,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -6574,7 +6628,7 @@ ROTATED_OUT: set[str] = {
     "jpeg_hierarchical", "dedup_lines", "url_domain_cap",
     "stream_user_totals", "url_domain_cap_bounded", "ccnet_perlang",
     "image_dedup", "warc_cdx", "stream_image_cands", "url_robots",
-    "pq_topk", "pq_rerank",
+    "pq_topk", "pq_rerank", "image_dedup_clusters",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -6703,6 +6757,7 @@ _R12_NEW = {
     "url_robots",
     "pq_topk",
     "pq_rerank",
+    "image_dedup_clusters",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -6817,6 +6872,7 @@ _ORACLES: dict[str, str] = {
     "url_robots": _URL_ROBOTS_SQL,
     "pq_topk": _PQ_TOPK_SQL,
     "pq_rerank": _PQ_RERANK_SQL,
+    "image_dedup_clusters": _IMAGE_CLUSTERS_SQL,
     "jpeg_cmyk": _JPEG_CMYK_SQL,
     "bpe_pipeline": _BPE_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,

@@ -161,6 +161,9 @@ EXTRA = [
     # shortlist+exact-re-rank pattern
     "pq_topk",
     "pq_rerank",
+    # r12: image dedup to SURVIVORS (pairs -> connected components ->
+    # keep flags)
+    "image_dedup_clusters",
 ]
 STREAMING_LAST = [
     "stream_hourly",

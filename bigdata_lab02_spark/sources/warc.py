@@ -767,6 +767,14 @@ def fetch_cdx_records(
                                 f"index span framed {len(recs)} records"
                             )
                         hdrs, block = recs[0]
+                        want_uri = getattr(row, "uri", None)
+                        if (
+                            want_uri is not None
+                            and hdrs.get("warc-target-uri") != want_uri
+                        ):
+                            # index points at a DIFFERENT record than it
+                            # claims — a rewritten archive; honest failure
+                            raise WarcError("index/record URI mismatch")
                         status, hh, body = parse_http_response(block)
                         ctype = hh.get("content-type")
                         out["http_status"].append(status)

@@ -101,6 +101,8 @@ FAMILY = [
     "pq_topk",
     "pq_rerank",
 ]
+# (image_dedup_clusters is generated-fixture-sized — corpus-independent,
+# so it has no 4x row, like the other media-fixture gates)
 # Round-6 extension (VERDICT r5 item 6): one more doubling pair on the two
 # families with the highest 4× growth, to separate pair-count growth
 # (linear in duplicate volume) from super-linear onset before it bites.
