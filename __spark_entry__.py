@@ -4957,7 +4957,14 @@ def q_image_dedup(spark, sf_dir):
     )
 
     media = synthetic_dhash_images(spark, 32)
-    hashes = image_dhash(media)
+    # PIN the dHash table before fan-out (r13, VERDICT r12 item 1): the
+    # pair self-join (both sides), the degree stage and the final join
+    # all consume it, and without the pin the compiled plan inlined the
+    # decode+hash MapInPandas subtree FIVE times (PLANS.md r12 receipt,
+    # Range nodes 1/4/12/25/33). The pinned frame is tiny — id + 8-byte
+    # hash + dims; the decode runs once. Same idiom as the ccnet dedup
+    # pin (curation.py) — plan receipt asserted in tests/test_plans.py.
+    hashes = image_dhash(media).localCheckpoint()
     pairs = simhash_dup_pairs(
         hashes, id_col="media_id", max_hamming=3, hash_col="dhash"
     )
@@ -5051,7 +5058,10 @@ def q_image_dedup_clusters(spark, sf_dir):
     )
 
     media = synthetic_dhash_images(spark, 32)
-    hashes = image_dhash(media)
+    # PIN before fan-out (r13, VERDICT r12 item 1) — pair join, CC
+    # seed set, and the final recombine all read the hash table; the
+    # decode subtree must execute once, not per consumer.
+    hashes = image_dhash(media).localCheckpoint()
     pairs = simhash_dup_pairs(
         hashes, id_col="media_id", max_hamming=3, hash_col="dhash"
     ).select("id_a", "id_b")
@@ -5472,7 +5482,12 @@ def q_stream_image_cands(spark, sf_dir):
     media.where(F.col("media_id") % 4 != 0).coalesce(2).write.mode(
         "overwrite"
     ).parquet(d)
-    corpus = image_dhash(media.where(F.col("media_id") % 4 == 0))
+    # PIN the static corpus hash table (r13, VERDICT r12 item 1): the
+    # stream-static join re-plans the static side EVERY micro-batch —
+    # unpinned, that re-decoded the whole corpus per batch, exactly
+    # what the operator's contract ("without re-decoding it") promises
+    # not to do. localCheckpoint materializes the 8-byte hashes once.
+    corpus = image_dhash(media.where(F.col("media_id") % 4 == 0)).localCheckpoint()
     stream = spark.readStream.schema("media_id long, payload binary").parquet(d)
     cands = image_dedup_candidates_stream(stream, corpus)
     out = run_stream_to_memory(

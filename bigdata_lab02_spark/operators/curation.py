@@ -961,8 +961,20 @@ def lm_perplexity(
             F.round(F.percentile(nll_mu, F.lit(q))).cast("long").alias(a)
         )
     if lang_col:
+        # null-safe left join (r13, ADVICE r12): groupBy keeps NULL-lang
+        # rows as their own cutoff group, but a plain inner equi-join
+        # would then silently DROP them (NULL ≠ NULL in join keys) —
+        # breaking the "for every input document" contract that the
+        # split_quantiles=None path honors. eqNullSafe matches the NULL
+        # group to its own cutoffs; left keeps the row-preserving
+        # contract regardless. (ccnet's pred_lang falls back to 'und',
+        # so the composed gates never exercised the hole.)
         cuts = out.groupBy(lang_col).agg(cut(q1, "__c1"), cut(q2, "__c2"))
-        withc = out.join(F.broadcast(cuts), lang_col)
+        withc = out.join(
+            F.broadcast(cuts.withColumnRenamed(lang_col, "__lc")),
+            F.col(lang_col).eqNullSafe(F.col("__lc")),
+            "left",
+        ).drop("__lc")
     else:
         cuts = out.agg(cut(q1, "__c1"), cut(q2, "__c2"))
         withc = out.crossJoin(F.broadcast(cuts))

@@ -471,7 +471,13 @@ def simhash_dup_pairs(
     # One explode + ONE equi-join keyed by (chunk_idx, chunk) — not four
     # union'd self-join branches, which re-evaluate the sketch subtree once
     # per branch per side. Identical candidate set (a pair collides on some
-    # chunk either way); the sketches are computed exactly once.
+    # chunk either way); the sketch column is read once per join side WITHIN
+    # this function. The self-join still plans the input subtree on BOTH
+    # sides, and gate-level consumers typically read `simhashes` again for
+    # the final recombine — callers fanning out an EXPENSIVE upstream (image
+    # decode, LSH banding) must pin it first (localCheckpoint), or the
+    # compiled plan inlines that subtree once per consumer (r12 image-gate
+    # receipt: 5 decode chains).
     chunks = F.array(
         *[
             F.struct(

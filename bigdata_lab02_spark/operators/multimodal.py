@@ -697,7 +697,12 @@ def image_dhash(
 
     Scale shape: one zero-shuffle Arrow-batched ``mapInPandas`` —
     payload bytes never cross an exchange; only 8-byte hashes reach
-    the dedup join."""
+    the dedup join. The decode is the expensive stage: callers that
+    fan the result out to MULTIPLE consumers (a pair self-join + a
+    degree/CC stage + a recombine — the dedup-gate shape) MUST pin it
+    first (``.localCheckpoint()``; production: write to parquet
+    between phases), or the compiled plan inlines the decode subtree
+    once per consumer (r12 receipt: 5× re-decode)."""
     from bigdata_lab02_spark.operators.jpeg import JpegError, jpeg_metadata
 
     dec = _decode_any_image

@@ -776,9 +776,24 @@ def pq_codebooks(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     subs = _pq_subvectors(corpus, dim, m, id_col, vec_col)
-    cb = (
-        subs.where(F.col(id_col) < ksub)
-        .select("s", F.col(id_col).cast("int").alias("code"), F.col("sv").alias("cent"))
+    # init literally as documented: codebook c = the subvector of the
+    # corpus row with the c-th SMALLEST id — a bounded top-ksub over
+    # ascending id (TakeOrderedAndProject, never a corpus sort), NOT
+    # `id < ksub` (r13, ADVICE r12: offset/sparse/string id domains
+    # made the filter form silently partial/empty, and pq_topk's
+    # positional element_at(darr, code+1) then misaligned). Codes are
+    # dense 0..ksub-1 for ANY id domain; identical to the old behavior
+    # when ids are exactly 0..n-1 (the oracle fixture), so the replayed
+    # oracles are unchanged. The ≤ksub-row seed dim broadcasts.
+    seed = (
+        corpus.select(id_col).orderBy(F.asc(id_col)).limit(ksub)
+        .withColumn(
+            "code",
+            (F.row_number().over(Window.orderBy(F.asc(id_col))) - 1).cast("int"),
+        )
+    )
+    cb = subs.join(F.broadcast(seed), id_col).select(
+        "s", "code", F.col("sv").alias("cent")
     )
     for _ in range(iters):
         assigned = _pq_argmin(subs, cb, id_col)

@@ -721,6 +721,11 @@ def robots_filter(
     path = F.regexp_replace(
         F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*", ""
     )
+    # a URL with no path component ("https://example.com") strips to ""
+    # — RFC 9309 §2.2.2 and real crawlers match the absent path as "/"
+    # (else even "Disallow: /" would let the ROOT page through); r13,
+    # ADVICE r12
+    path = F.when(path == "", F.lit("/")).otherwise(path)
     joined = joined.withColumn("__path", path)
     # array_max over the matching rules: struct field order makes the
     # comparison (rule_len, allow, path) — longest wins, Allow beats
@@ -751,6 +756,7 @@ def domain_cap(
     keep: str = "first",
     fallback_col: str | None = "host",
     bounded: bool = False,
+    salt_parts: int = 64,
 ) -> DataFrame:
     """Per-registered-domain document QUOTA — the anti-domination stage
     RefinedWeb/FineWeb-style pipelines run after URL dedup (a handful
@@ -778,22 +784,31 @@ def domain_cap(
     a straggler/spill at 10⁸-rows-per-hot-domain corpus sizes.
 
     ``bounded=True`` (the 100 TB form): two-phase quota. Phase 1
-    pre-ranks per INPUT partition — the window keys on
-    ``(spark_partition_id, domain)``, so the exchange spreads a hot
-    domain across as many groups as there are input partitions and no
-    task ever sorts more than one input partition's share of it. A row
-    whose GLOBAL rank ≤ cap has per-partition rank ≤ cap (its global
-    predecessors are a superset of its in-partition predecessors), so
-    the ≤ cap·n_partitions pre-rank survivors contain every true
-    survivor. Phase 2 runs the exact window only over that bounded
-    candidate set. Candidate-set rank ≤ cap ⟺ global rank ≤ cap
-    (a non-candidate predecessor implies ≥ cap candidate predecessors
-    from its own partition), and for kept rows the candidate-set rank
-    EQUALS the global rank — so ``domain_keep`` is exact in both modes
-    and ``domain_rank`` agrees on every kept row. The one contract
-    difference: dropped rows report ``domain_rank`` NULL in bounded
-    mode (their beyond-cap rank is the quantity whose computation is
-    the skew bomb; equivalence is property-tested in test_url.py)."""
+    pre-ranks per SALT group — the window keys on ``(salt, domain)``
+    with ``salt = xxhash64(order keys) mod salt_parts``, so the
+    exchange spreads a hot domain across ``salt_parts`` groups and no
+    task ever sorts more than ~1/salt_parts of it. The salt is a
+    DETERMINISTIC function of the row (r13, ADVICE r12: the r12 form
+    salted by ``spark_partition_id()``, whose value depends on runtime
+    partition assignment — the kept and dropped branches both derive
+    from the pre-rank frame, and without guaranteed exchange reuse a
+    recomputation could assign a row to different groups per branch,
+    landing it in both or neither; a hash salt recomputes identically
+    every time, AND spreads the hot domain even when the input arrives
+    in one partition). A row whose GLOBAL rank ≤ cap has in-group rank
+    ≤ cap (its global predecessors are a superset of its in-group
+    predecessors — true for ANY partition of the domain's rows into
+    groups), so the ≤ cap·salt_parts pre-rank survivors contain every
+    true survivor. Phase 2 runs the exact window only over that
+    bounded candidate set. Candidate-set rank ≤ cap ⟺ global rank ≤
+    cap (a non-candidate predecessor implies ≥ cap candidate
+    predecessors from its own salt group), and for kept rows the
+    candidate-set rank EQUALS the global rank — so ``domain_keep`` is
+    exact in both modes and ``domain_rank`` agrees on every kept row.
+    The one contract difference: dropped rows report ``domain_rank``
+    NULL in bounded mode (their beyond-cap rank is the quantity whose
+    computation is the skew bomb; equivalence is property-tested in
+    test_url.py)."""
     if keep not in ("first", "last"):
         raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
     if max_per_domain < 1:
@@ -826,14 +841,16 @@ def domain_cap(
         F.lit(None).cast("int").alias("domain_rank"),
         F.lit(True).alias("domain_keep"),
     )
-    # __pid is materialized BEFORE the (pid, key) exchange, so the
-    # window groups are (input partition × domain) — bounded by the
-    # input partition size however hot the domain is.
+    # deterministic salt over the ORDER keys (not spark_partition_id —
+    # see docstring): recomputation of the pre-rank frame under either
+    # union branch assigns every row the same group, whatever the
+    # runtime partitioning did
+    salt_cols = ([F.col(ts_col)] if ts_col else []) + [F.col(id_col)]
     pre = (
         keyed.where(F.col("__dkey").isNotNull())
-        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__salt", F.pmod(F.xxhash64(*salt_cols), F.lit(salt_parts)))
     )
-    wpre = Window.partitionBy("__pid", "__dkey").orderBy(*order)
+    wpre = Window.partitionBy("__salt", "__dkey").orderBy(*order)
     pre = pre.withColumn("__prerank", F.row_number().over(wpre))
     wex = Window.partitionBy("__dkey").orderBy(*order)
     ranked = (

@@ -100,6 +100,59 @@ def test_ccnet_dedup_subtree_pinned_once(spark):
     assert r.n_exchanges <= 8, r.raw
 
 
+def test_image_dedup_decode_subtree_pinned_once(spark):
+    """r13 (VERDICT r12 item 1): the image gates fan the image_dhash
+    result out to multiple consumers (pair self-join both sides,
+    degree/CC, recombine) — unpinned, the r12 compiled plans inlined
+    the decode+hash MapInPandas subtree FIVE times (PLANS.md r12
+    receipt). With the localCheckpoint pin the decode executes once;
+    the consuming plan must contain ZERO MapInPandas nodes (it reads
+    the materialized 8-byte hash table) and no synthetic-image
+    generator leaves."""
+    for name in ("image_dedup", "image_dedup_clusters"):
+        r = plan_report(e.queries()[name](spark, SF))
+        assert r.n_map_in_pandas == 0, (name, r.raw)
+        assert "Scan ExistingRDD" in r.raw, (name, r.raw)
+        # the generator Range leaf must not appear N times either
+        assert r.repeated_scans == 0, (name, r.raw)
+
+
+def test_repeated_scans_counter_detects_reinlining(spark):
+    """The plan_report.repeated_scans counter (VERDICT r12 item 2) must
+    actually fire on the re-inlining class it exists for: an unpinned
+    frame consumed by both sides of a self-join plans its leaf twice."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    twice = docs.alias("a").join(
+        docs.alias("b"), F.col("a.doc_id") == F.col("b.doc_id")
+    )
+    assert plan_report(twice).repeated_scans >= 1
+    once = docs.localCheckpoint()
+    pinned = once.alias("a").join(
+        once.alias("b"), F.col("a.doc_id") == F.col("b.doc_id")
+    )
+    # pinned leaves are ExistingRDD scans — excluded by design
+    assert plan_report(pinned).repeated_scans == 0
+
+
+def test_composed_pipelines_repeated_scans_bounded(spark):
+    """Structural guard over the composed gates: the number of repeated
+    source leaves in each compiled plan must not exceed what the gate's
+    documented shape expects (0 for the pinned pipelines; the bounded
+    domain-cap's kept/dropped/exempt union triplicates its input by
+    design, deduped at runtime by AQE reuse and made safe by the
+    deterministic salt)."""
+    expected = {
+        "ccnet_pipeline": 0,
+        "image_dedup": 0,
+        "image_dedup_clusters": 0,
+        "warc_crawl_pipeline": 0,
+        "crawl_curation_pipeline": 0,
+    }
+    for name, cap in expected.items():
+        r = plan_report(e.queries()[name](spark, SF))
+        assert r.repeated_scans <= cap, (name, r.repeated_scans, r.raw)
+
+
 def test_warc_crawl_pipeline_single_exchange(spark):
     """r12 (VERDICT r11 item 2): the full WARC→URL→crawl composition
     must keep exactly ONE exchange — the URL tier's norm_url recrawl-

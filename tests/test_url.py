@@ -683,11 +683,13 @@ def test_domain_cap_bounded_matches_exact(spark):
 
 
 def test_domain_cap_bounded_prerank_exchange_reused(spark):
-    """The bounded mode's phase-1 exchange keys on (input partition id,
-    domain) — never on the skewed domain alone — and feeds both the
-    candidate and the dropped branch through ONE runtime-reused
-    exchange (AQE ReuseExchange), so the pre-rank subtree executes
-    once."""
+    """The bounded mode's phase-1 exchange keys on (salt, domain) —
+    never on the skewed domain alone — and feeds both the candidate
+    and the dropped branch through ONE runtime-reused exchange (AQE
+    ReuseExchange), so the pre-rank subtree executes once. The salt is
+    a DETERMINISTIC hash of the order keys (r13, ADVICE r12), so even
+    WITHOUT reuse a recomputation assigns every row the same group —
+    the exactly-one-branch contract no longer rides on AQE."""
     from bigdata_lab02_spark.operators.url import domain_cap
 
     rows = [(i, "hot.com" if i % 10 else "a.com", "h.x") for i in range(2000)]
@@ -698,5 +700,26 @@ def test_domain_cap_bounded_prerank_exchange_reused(spark):
     out.collect()
     ep = out._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "ReusedExchange" in ep, ep
-    # phase-1 partitioning includes __pid: the hot domain spreads
-    assert "__pid" in ep
+    # phase-1 partitioning includes the salt: the hot domain spreads
+    assert "__salt" in ep
+
+
+def test_domain_cap_bounded_deterministic_salt_single_partition(spark):
+    """The r12 spark_partition_id salt degraded to ONE group when the
+    input arrived in a single partition (no spreading) and could split
+    rows inconsistently across the kept/dropped branches if the
+    exchange were recomputed; the hash salt spreads regardless of
+    input partitioning and every row lands in exactly one branch."""
+    from bigdata_lab02_spark.operators.url import domain_cap
+
+    rows = [(i, "hot.com", "h.x") for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, registered_domain string, host string"
+    ).coalesce(1)
+    got = domain_cap(df, 3, bounded=True).collect()
+    assert sorted(r["doc_id"] for r in got) == list(range(500))
+    kept = {r["doc_id"] for r in got if r["domain_keep"]}
+    assert kept == {0, 1, 2}
+    assert all(
+        r["domain_rank"] == r["doc_id"] + 1 for r in got if r["domain_keep"]
+    )

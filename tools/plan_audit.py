@@ -142,19 +142,19 @@ COMMENT = {
     "bpe_pipeline": "The audited plan is the POST-TRAINING shape: tokenization is k chained literal replaces fused into one zero-shuffle projection (the merge table unions in as a literal local relation). Training itself is a driver loop over the vocabulary-sized word-count table — one pair-count shuffle per merge, one argmax row to the driver per iteration.",
     "dedup_lines": "Three keyed exchanges, all linear: the corpus-wide line count shuffles md5 DIGESTS of the normalized key (never line text), one distinct-doc count, one digest equi-join back, one per-doc ordered reassembly bounded by doc size — nothing all-pairs.",
     "url_domain_cap": "URL tier (broadcast PSL slices + the one norm_url dedup exchange) then ONE domain-keyed exchange with a streaming rank window. EXACT mode — the oracle surface: the partition key is definitionally max-skew (the mega-domains being capped sort in one task); the production mode is bounded=True below.",
-    "url_domain_cap_bounded": "The r12 two-phase quota: phase 1 pre-ranks on (spark_partition_id, domain) — the hot domain spreads across every input partition, so no task sorts more than a partition's share; phase 2 runs the exact window only over the ≤ cap·partitions candidates. The compile-time plan triplicates the input subtree across the kept/dropped/exempt union branches; at runtime AQE ReuseExchange dedupes both shared exchanges (pre-rank + the URL tier's dedup window — asserted in tests/test_url.py), so the heavy work executes once. Adversarial 90%-one-domain receipt in SCALING.md.",
+    "url_domain_cap_bounded": "The two-phase quota: phase 1 pre-ranks on (salt, domain) with salt = xxhash64(order keys) mod salt_parts (r13: deterministic — the r12 spark_partition_id salt could split a row inconsistently across the kept/dropped branches if the exchange were recomputed, and gave no spreading on few-partition inputs) — the hot domain spreads across salt_parts groups, so no task sorts more than ~1/salt_parts of it; phase 2 runs the exact window only over the ≤ cap·salt_parts candidates. The compile-time plan triplicates the input subtree across the kept/dropped/exempt union branches (repeated_scans counts it); at runtime AQE ReuseExchange dedupes both shared exchanges (pre-rank + the URL tier's dedup window — asserted in tests/test_url.py), and with the deterministic salt correctness no longer depends on that reuse. Adversarial 90%-one-domain receipt in SCALING.md.",
     "ccnet_pipeline": "The dedup_lines result is PINNED once (localCheckpoint — the r12 fix: the compiled plan otherwise inlined the 3-exchange dedup subtree into every consumer, measured 16 posexplode copies with zero ReuseExchange); downstream is the zero-shuffle LID projection, the word-count-shaped LM shuffles, the ≤1-row tercile-cutoff broadcast, and ONE id-keyed recombine join. Receipt asserted in tests/test_plans.py.",
     "ccnet_perlang": "Same pinned-dedup shape as ccnet_pipeline with every LM table and the tercile cutoffs keyed by pred_lang: the context table stays ≤ n_langs·B rows (broadcast), the cutoffs become an ≤ n_langs-row broadcast join instead of a one-row crossJoin — no new data-sized exchange.",
     "warc_crawl_pipeline": "ONE exchange end-to-end (asserted in tests/test_plans.py): WARC framing + HTTP split + charset decode are Arrow-batched zero-shuffle projections feeding the URL tier's single norm_url dedup window; everything after (html strip, C4, Gopher, LID) chains through column passthrough.",
     "warc_revisits": "Zero exchanges + one broadcast hash join: the revisit side (Refers-To keys) builds, the record stream probes on WARC-Record-ID. At archive scale the build side is the revisit subset — CommonCrawl revisit rates keep it far under the record count.",
     "exif_orientation": "Zero exchanges: EXIF header scan, full decode, transpose/flip and PNG re-encode all happen inside one Arrow-batched mapInPandas — pixels never cross a shuffle.",
     "jpeg_hierarchical": "Zero exchanges: the Annex-J pyramid decode (DHP dims, EXP upsampling, SOF5 differential refinement) is per-payload work fused into the generate→decode mapInPandas chain.",
-    "image_dedup": "dHash tier is a zero-shuffle mapInPandas (decode + orientation-normalize + 64-bit block-sum hash — only 8-byte hashes leave it); the pair join is keyed by 16-bit pigeonhole chunk equality (subquadratic, the simhash kernel with hash_col='dhash'); the dup-degree aggregate is one hash-keyed exchange.",
+    "image_dedup": "dHash tier is a zero-shuffle mapInPandas (decode + orientation-normalize + 64-bit block-sum hash — only 8-byte hashes leave it), PINNED once (localCheckpoint, r13: the r12 plan re-inlined the decode subtree into all five consumers — pair join both sides, degree, recombine); the consuming plan scans the materialized 8-byte hash table (zero MapInPandas nodes — receipt in tests/test_plans.py); the pair join is keyed by 16-bit pigeonhole chunk equality (subquadratic, the simhash kernel with hash_col='dhash'); the dup-degree aggregate is one hash-keyed exchange.",
     "warc_cdx": "ONE shuffle — the shard-key group-by that shard assembly is at any scale; the CDX index rows are emitted by the SAME applyInPandas pass that assembles the content (no second walk to drift), then explode to a table. The per-shard memory contract is enforced by max_shard_bytes.",
     "url_robots": "The robots parse (line explode, group windows, collect_list to rule arrays) runs entirely on the ROBOTS DIM — one row per domain, bounded like the blocklist; the parsed rule-array dim then BROADCASTS and the RFC longest-match decision is a per-row filter/array_max expression, so the corpus gains zero exchanges beyond the URL tier's own dedup window — the PSL-join discipline applied to politeness.",
     "pq_topk": "Training: the m·ksub codebook broadcasts into the per-(row, subspace) argmin window and the mean update is a map-side-combined (s, code, dim) aggregate. Query time: the per-query distance tables (queries·m·ksub rows) broadcast; the corpus carries only its m-byte codes into a per-row zip_with table-lookup sum — the corpus never shuffles before the per-query top-k window, the cosine_topk plan with 32× smaller rows in flight.",
     "pq_rerank": "ADC stage as pq_topk; the exact re-rank then joins only the queries·shortlist CANDIDATE ids back to their vectors — full-precision math is candidate-sized, never corpus-sized, which is the §V deployment shape (and the join a persisted id-keyed vector layout serves at 100 TB).",
-    "image_dedup_clusters": "dHash tier zero-shuffle; pair join pigeonhole-keyed; the alternating-star CC loop is the dedup_clusters kernel — each round two node-keyed groupBy/join passes over a shrinking edge set, localCheckpoint per round, O(log n) rounds on adversarial chains; the audited plan is the post-fixpoint star-forest join back onto the id set.",
+    "image_dedup_clusters": "dHash tier zero-shuffle and PINNED once before fan-out (r13 — decode executes once; zero MapInPandas in the consuming plan, receipt in tests/test_plans.py); pair join pigeonhole-keyed; the alternating-star CC loop is the dedup_clusters kernel — each round two node-keyed groupBy/join passes over a shrinking edge set, localCheckpoint per round, O(log n) rounds on adversarial chains; the audited plan is the post-fixpoint star-forest join back onto the id set.",
 }
 
 
@@ -176,6 +176,7 @@ def main() -> None:
             f"exchanges={r.n_exchanges}, broadcast_joins={r.n_broadcast_joins}, "
             f"sortmerge_joins={r.n_sortmerge_joins}, "
             f"take_ordered={r.has_take_ordered}, "
+            f"repeated_scans={r.repeated_scans}, "
             f"pushed_filters={[p for p in r.pushed_filters if p]}"
         )
         out += [
