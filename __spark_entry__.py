@@ -924,6 +924,104 @@ FROM rk WHERE rank <= 5
 """
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF×PQ — the COMPOSED ANN index production deployments run
+    (similarity.ivfpq_topk, r13, VERDICT r12 item 3; Jégou 2011 §V /
+    the FAISS IndexIVFPQ layout with by_residual=false): IVF prunes
+    WHICH rows a query touches (coarse-assign the corpus to 10
+    inverted lists by exact integer micro-unit L2, probe the 3 nearest
+    lists), PQ shrinks WHAT each touched row costs (m-byte codes, ADC
+    table lookups), a 50-candidate shortlist re-ranks EXACT — all
+    three stages in one chain, each of which exists standalone
+    (ivf_topk / pq_topk / pq_rerank). QUALITY is pinned in the same
+    gate, the ann_recall convention: each returned neighbor carries
+    ``hit`` = membership in the exact brute-force L2 top-5, so the
+    recall number itself crosses the hash (≈0.5 on the near-random
+    synthetic embeddings — bounded by the coarse pruning; floor
+    asserted in tests). Every distance is exact BIGINT micro-unit
+    math with pinned tie-breaks, so training, assignment, probes, ADC,
+    the re-rank AND the baseline are reproduced bit-for-bit by the
+    oracle. The persisted-layout twin (persist_ivfpq_lists +
+    ivfpq_topk_persisted: hive list_id directories holding m-byte
+    codes, directory-pruned probes) is equivalence-tested against this
+    exact in-memory path in tests/test_dedup_similarity.py —
+    persistence must be invisible, the ivf_topk_persisted convention."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)).select(
+        (F.col("vec_id") / 50).cast("int").alias("cluster_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    out = sim.ivfpq_topk(
+        emb, queries, cents, dim=64, m=8, ksub=16, k=5, nprobe=3,
+        shortlist=50,
+    )
+    # the baseline side is queries·k rows — bounded by the probe
+    # contract, so the hit join is a hinted broadcast, never an SMJ
+    ex5 = F.broadcast(
+        sim.exact_l2_topk(emb, queries, k=5).select(
+            "query_id", "neighbor_id", F.lit(True).alias("hit")
+        )
+    )
+    return out.join(ex5, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "neighbor_id",
+        "d2",
+        "rank",
+        F.coalesce("hit", F.lit(False)).alias("hit"),
+    )
+
+
+_IVFPQ_SQL = f"""
+WITH {_PQ_CHAIN_SQL},
+cdims AS (SELECT CAST(vec_id / 50 AS INT) AS cid, j, x AS c
+          FROM dims WHERE vec_id % 50 = 0 AND vec_id < 500),
+cd AS (SELECT d.vec_id, c.cid, sum((d.x - c.c) * (d.x - c.c)) AS d2
+       FROM dims d JOIN cdims c ON c.j = d.j
+       GROUP BY d.vec_id, c.cid),
+lists AS (SELECT vec_id, cid AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM cd) WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cid AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM cd WHERE vec_id < 10) WHERE rn <= 3),
+iadc AS (SELECT p.query_id, co.vec_id AS neighbor_id,
+           CAST(sum(qd.d2) AS BIGINT) AS adc_d2
+         FROM probes p
+         JOIN lists l ON l.list_id = p.list_id
+         JOIN codes co ON co.vec_id = l.vec_id
+         JOIN qd ON qd.query_id = p.query_id
+                AND qd.s = co.s AND qd.code = co.code
+         WHERE co.vec_id <> p.query_id
+         GROUP BY p.query_id, co.vec_id),
+srk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc_d2, neighbor_id) AS srank FROM iadc),
+short AS (SELECT query_id, neighbor_id FROM srk WHERE srank <= 50),
+iex AS (SELECT s.query_id, s.neighbor_id,
+         CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+       FROM short s
+       JOIN dims a ON a.vec_id = s.query_id
+       JOIN dims b ON b.vec_id = s.neighbor_id AND b.j = a.j
+       GROUP BY s.query_id, s.neighbor_id),
+irk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         ORDER BY d2, neighbor_id) AS rank FROM iex),
+exall AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+            CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+          FROM dims a JOIN dims b ON b.j = a.j AND b.vec_id <> a.vec_id
+          WHERE a.vec_id < 10
+          GROUP BY a.vec_id, b.vec_id),
+ebest AS (SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY d2, neighbor_id) AS rn
+    FROM exall) WHERE rn <= 5)
+SELECT r.query_id, r.neighbor_id, r.d2, CAST(r.rank AS INT) AS rank,
+  (e.neighbor_id IS NOT NULL) AS hit
+FROM irk r LEFT JOIN ebest e
+  ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+WHERE r.rank <= 5
+"""
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     """Hyperplane-LSH near-dup pairs — the SCALE path the brute-force
     embedding_near_pairs baseline approximates: vectors meet only inside a
@@ -6418,7 +6516,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash_pairs": q_simhash_pairs,
+    # image_dedup_clusters rotated INTO the window in r13 (VERDICT r12
+    # item 4), taking dedup_simhash_pairs' slot: the image-dedup end
+    # product (decode → dHash → pigeonhole Hamming pairs → connected
+    # components → survivors) is the r12 flagship, and its chain
+    # exercises the SAME 16-bit pigeonhole kernel dedup_simhash_pairs
+    # gates (simhash_dup_pairs with hash_col="dhash") plus the CC
+    # kernel the in-window dedup_clusters gates — so the text-sketch
+    # pair gate moves to the oracle-verified overflow with full
+    # coverage retained in-window.
+    "image_dedup_clusters": q_image_dedup_clusters,
     "dedup_clusters": q_dedup_clusters,
     "dedup_spans": q_dedup_spans,
     "repetition_stats": q_repetition_stats,
@@ -6621,10 +6728,19 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # from the m-byte codes, exact re-rank over the shortlist only;
     # oracle-gated every pytest run.
     "pq_rerank": q_pq_rerank,
-    # image_dedup_clusters (r12): the image-dedup end product — pairs →
-    # connected components → one survivor per transitive near-dup
-    # group; oracle-gated (recursive-CTE closure) every pytest run.
-    "image_dedup_clusters": q_image_dedup_clusters,
+    # dedup_simhash_pairs rotated OUT in r13 to give its window slot to
+    # image_dedup_clusters (VERDICT r12 item 4): its pigeonhole Hamming
+    # join kernel is the SAME simhash_dup_pairs code path the in-window
+    # image gates drive (hash_col="dhash"), and the 60-bit text-sketch
+    # construction stays oracle-verified here every pytest run.
+    "dedup_simhash_pairs": q_simhash_pairs,
+    # ivfpq_topk (r13, VERDICT r12 item 3): the composed IVF×PQ index —
+    # coarse lists prune which rows a query touches, PQ codes shrink
+    # what each row costs, exact re-rank restores precision; per-row
+    # `hit` vs the exact L2 top-5 pins the recall number in the hash;
+    # persisted-layout equivalence in tests; oracle-gated every pytest
+    # run.
+    "ivfpq_topk": q_ivfpq_topk,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -6643,7 +6759,7 @@ ROTATED_OUT: set[str] = {
     "jpeg_hierarchical", "dedup_lines", "url_domain_cap",
     "stream_user_totals", "url_domain_cap_bounded", "ccnet_perlang",
     "image_dedup", "warc_cdx", "stream_image_cands", "url_robots",
-    "pq_topk", "pq_rerank", "image_dedup_clusters",
+    "pq_topk", "pq_rerank", "dedup_simhash_pairs", "ivfpq_topk",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -6655,7 +6771,9 @@ DRIVER_ROW_CAP = 50
 # CORRECTNESS file is from this round or later (an older file was produced
 # under a different ordering). Bump whenever the ordering changes.
 # r12: ccnet_pipeline rotated into the window at stream_user_totals' slot.
-ORDERING_SINCE = 12
+# r13: image_dedup_clusters rotated into the window at
+# dedup_simhash_pairs' slot (VERDICT r12 item 4).
+ORDERING_SINCE = 13
 
 # Queries with no SQL-expressible oracle — the driver records a weaker
 # rows-only check. (Empty since round 2: the streaming replay is gated
@@ -6774,9 +6892,15 @@ _R12_NEW = {
     "pq_rerank",
     "image_dedup_clusters",
 }
+# Round-13 registrations: the composed IVF×PQ ANN index (VERDICT r12
+# item 3).
+_R13_NEW = {
+    "ivfpq_topk",
+}
 REGISTERED_SINCE: dict[str, int] = {
     name: (
-        12 if name in _R12_NEW
+        13 if name in _R13_NEW
+        else 12 if name in _R12_NEW
         else 11 if name in _R11_NEW
         else 10 if name in _R10_NEW
         else 9 if name in _R9_NEW
@@ -6887,6 +7011,7 @@ _ORACLES: dict[str, str] = {
     "url_robots": _URL_ROBOTS_SQL,
     "pq_topk": _PQ_TOPK_SQL,
     "pq_rerank": _PQ_RERANK_SQL,
+    "ivfpq_topk": _IVFPQ_SQL,
     "image_dedup_clusters": _IMAGE_CLUSTERS_SQL,
     "jpeg_cmyk": _JPEG_CMYK_SQL,
     "bpe_pipeline": _BPE_SQL,

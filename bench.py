@@ -164,6 +164,9 @@ EXTRA = [
     # r12: image dedup to SURVIVORS (pairs -> connected components ->
     # keep flags)
     "image_dedup_clusters",
+    # r13: the composed IVF x PQ index (coarse-list pruning + m-byte ADC
+    # + exact re-rank, per-row hit vs the exact L2 top-5)
+    "ivfpq_topk",
 ]
 STREAMING_LAST = [
     "stream_hourly",

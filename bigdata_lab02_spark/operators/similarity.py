@@ -848,6 +848,58 @@ def pq_encode(
     )
 
 
+def _pq_query_tables(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int,
+    query_id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, dt): the per-query ADC distance table — dt[s][code+1]
+    = exact micro-unit² distance from the query's subvector s to
+    codebook entry ``code``. queries·m·ksub values total; broadcast by
+    every consumer."""
+    qsubs = _pq_subvectors(queries, dim, m, query_id_col, vec_col)
+    return (
+        qsubs.join(F.broadcast(codebooks), "s")
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            "s",
+            "code",
+            _sq_dist_mu(F.col("sv"), F.col("cent")).alias("d2"),
+        )
+        .groupBy("query_id", "s")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("code"), F.col("d2")))),
+                lambda p: p["d2"],
+            ).alias("darr")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("darr")))),
+                lambda p: p["darr"],
+            ).alias("dt")
+        )
+    )
+
+
+def _adc_col() -> Column:
+    """Σ_s dt[s][codes[s]+1] — the m-lookup ADC distance of a coded row
+    against one query's distance table (columns ``codes`` and ``dt``)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("dt"),
+            lambda c, arr: F.element_at(arr, c + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -884,44 +936,12 @@ def pq_topk(
         id_col=id_col, vec_col=vec_col,
     ).localCheckpoint()
     codes = pq_encode(corpus, cb, dim, m=m, id_col=id_col, vec_col=vec_col)
-    qsubs = _pq_subvectors(queries, dim, m, query_id_col, vec_col)
-    qtab = (
-        qsubs.join(F.broadcast(cb), "s")
-        .select(
-            F.col(query_id_col).alias("query_id"),
-            "s",
-            "code",
-            _sq_dist_mu(F.col("sv"), F.col("cent")).alias("d2"),
-        )
-        .groupBy("query_id", "s")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("code"), F.col("d2")))),
-                lambda p: p["d2"],
-            ).alias("darr")
-        )
-        .groupBy("query_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("darr")))),
-                lambda p: p["darr"],
-            ).alias("dt")
-        )
-    )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("dt"),
-            lambda c, arr: F.element_at(arr, c + 1),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    qtab = _pq_query_tables(queries, cb, dim, m, query_id_col, vec_col)
     scored = (
         codes.withColumnRenamed(id_col, "neighbor_id")
         .crossJoin(F.broadcast(qtab))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", adc.alias("adc_d2"))
+        .select("query_id", "neighbor_id", _adc_col().alias("adc_d2"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_d2"), F.asc("neighbor_id")
@@ -965,6 +985,24 @@ def pq_topk_rerank(
         corpus, queries, dim, m=m, ksub=ksub, k=shortlist, iters=iters,
         id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
     ).select("query_id", "neighbor_id")
+    return _pq_exact_rerank(
+        cand, corpus, queries, k, id_col, vec_col, query_id_col
+    )
+
+
+def _pq_exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Exact re-rank of an ADC shortlist: join the (query_id,
+    neighbor_id) candidates back to their full-precision vectors and
+    rank by exact micro-unit² distance — candidate-sized work, the one
+    stage of a PQ pipeline that touches real vectors at query time."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _mu_array(F.col(vec_col)).alias("cv"),
@@ -990,6 +1028,351 @@ def pq_topk_rerank(
             "query_id", "neighbor_id", "d2",
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+def exact_l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact brute-force top-k by integer micro-unit² L2 — the
+    PQ/IVFPQ tiers' correctness baseline (``cosine_topk``'s twin in
+    the L2 currency): corpus streams, queries broadcast, per-query
+    rank window; ties → smallest neighbor id, self-matches excluded.
+    Returns (query_id, neighbor_id, d2, rank)."""
+    query_id_col = query_id_col or id_col
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _mu_array(F.col(vec_col)).alias("cv"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _mu_array(F.col(vec_col)).alias("qv"),
+    )
+    ex = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _sq_dist_mu(F.col("cv"), F.col("qv")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return (
+        ex.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "d2",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _ivfpq_cent_array(
+    centroids: DataFrame, centroid_id_col: str, centroid_vec_col: str
+) -> DataFrame:
+    """ONE-row DataFrame with the cid-sorted array<struct(cid, cmv)> of
+    MICRO-UNIT centroid vectors — the `_ivf_cent_array` shape carried
+    in the PQ tier's exact integer currency."""
+    cents = centroids.select(
+        F.col(centroid_id_col).alias("cid"),
+        _mu_array(F.col(centroid_vec_col)).alias("cmv"),
+    )
+    return cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cmv"))).alias("__cents")
+    )
+
+
+def _ivfpq_top_lists(
+    vecs_mu: DataFrame, cent_arr: DataFrame, n: int, id_col: str,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """(id, list_id [, mv]): each micro-unit vector mapped to its ``n``
+    nearest coarse lists by EXACT integer micro-unit² L2 (tie → lowest
+    cid) — per-row array expressions over the broadcast one-row
+    centroid array, no window, no data-sized shuffle (the
+    `_ivf_top_lists` plan with the PQ metric, so coarse assignment,
+    ADC and the exact re-rank all rank on ONE integer distance)."""
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            _sq_dist_mu(F.col("mv"), c["cmv"]).alias("d2"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    if n == 1:
+        # O(nlist) argmin fold, (d2 ASC, cid ASC) — the corpus pass
+        best = F.aggregate(
+            F.slice(scored, 2, F.greatest(F.size(scored) - 1, F.lit(0))),
+            F.element_at(scored, 1),
+            lambda acc, x: F.when(
+                (x["d2"] < acc["d2"])
+                | ((x["d2"] == acc["d2"]) & (x["cid"] < acc["cid"])),
+                x,
+            ).otherwise(acc),
+        )
+        top = F.when(F.size(scored) > 0, F.array(best)).otherwise(
+            F.slice(scored, 1, 0)
+        )
+    else:
+        # struct field order (d2, cid) makes the default array_sort
+        # exactly the (d2 ASC, cid ASC) rule — no custom comparator
+        top = F.slice(F.array_sort(scored), 1, n)
+    extra = ["mv"] if keep_vec else []
+    return (
+        vecs_mu.crossJoin(F.broadcast(cent_arr))
+        .select(F.col(id_col), F.explode(top).alias("__e"), *extra)
+        .select(F.col(id_col), F.col("__e.cid").alias("list_id"), *extra)
+    )
+
+
+def ivfpq_corpus_lists(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cluster_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """The IVF×PQ index rows: (id, list_id, codes) — every corpus
+    vector coarse-assigned to its nearest inverted list (exact integer
+    L2, tie → lowest cid) AND compressed to its m PQ codes in ONE pass:
+    the list assignment is a per-row array fold (zero shuffle), carried
+    through the encode aggregation as a grouping column, so the build
+    costs exactly `pq_encode`'s exchanges ((id, s) argmin window + the
+    per-id collect) and never an extra id-keyed join. This is the
+    once-per-corpus-version artifact (Jégou 2011 §V / the FAISS
+    IndexIVFPQ layout with by_residual=false: ONE global codebook over
+    raw vectors rather than per-list residual codebooks — the variant
+    that lets the persisted layout share codebooks across lists)."""
+    cent_arr = _ivfpq_cent_array(centroids, centroid_id_col, centroid_vec_col)
+    mu = corpus.select(F.col(id_col), _mu_array(F.col(vec_col)).alias("mv"))
+    assigned = _ivfpq_top_lists(mu, cent_arr, 1, id_col, keep_vec=True)
+    d = dim // m
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(F.col("mv"), s * d + 1, d).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    staged = assigned.select(
+        F.col(id_col), "list_id", F.explode(subs).alias("x")
+    ).select(
+        id_col, "list_id", F.col("x.s").alias("s"), F.col("x.sv").alias("sv")
+    )
+    scored = staged.join(F.broadcast(codebooks), "s").select(
+        id_col,
+        "list_id",
+        "s",
+        "code",
+        _sq_dist_mu(F.col("sv"), F.col("cent")).alias("d2"),
+    )
+    w = Window.partitionBy(id_col, "s").orderBy(F.asc("d2"), F.asc("code"))
+    best = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return best.groupBy(id_col, "list_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("code")))),
+            lambda p: p["code"],
+        ).alias("codes")
+    )
+
+
+def persist_ivfpq_lists(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    path: str,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cluster_id",
+    centroid_vec_col: str = "centroid",
+) -> None:
+    """Build the IVF×PQ index ONCE and persist parquet PARTITIONED BY
+    list_id — the deployed 100 TB ANN artifact: each later probe is a
+    directory-pruned scan of only the probed lists, and each list row
+    is m BYTES of codes instead of dim floats (the persisted-IVF layout
+    with PQ's 32× row shrink on top). ``codebooks`` must be persisted
+    alongside (m·ksub rows — trivially small)."""
+    ivfpq_corpus_lists(
+        corpus, centroids, codebooks, dim, m=m, id_col=id_col,
+        vec_col=vec_col, centroid_id_col=centroid_id_col,
+        centroid_vec_col=centroid_vec_col,
+    ).write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def _ivfpq_adc_topk(
+    lists: DataFrame,
+    probes: DataFrame,
+    qtab: DataFrame,
+    k: int,
+    shortlist: int | None,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared IVFPQ query core: ADC over the probed lists' codes, then
+    (optionally) the exact re-rank of the shortlist. ``lists`` carries
+    (neighbor_id, list_id, codes); ``probes`` (query_id, list_id);
+    ``qtab`` the per-query distance tables. The probe side (queries ×
+    nprobe rows, each with one m·ksub table) broadcasts into the list
+    join — the coded corpus never shuffles; the only data-sized
+    exchange is the per-query top-k window over probed candidates."""
+    probe_tabs = probes.join(qtab, "query_id")
+    scored = (
+        lists.join(F.broadcast(probe_tabs), "list_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _adc_col().alias("adc_d2"))
+    )
+    n_short = shortlist or k
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("neighbor_id")
+    )
+    adc_top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n_short)
+        .select(
+            "query_id", "neighbor_id", "adc_d2",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+    if shortlist is None:
+        return adc_top
+    return _pq_exact_rerank(
+        adc_top.select("query_id", "neighbor_id"),
+        corpus, queries, k, id_col, vec_col, query_id_col,
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist: int | None = None,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cluster_id",
+    centroid_vec_col: str = "centroid",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF×PQ — the composed index production ANN actually deploys
+    (Jégou 2011 §V, VERDICT r12 item 3: IVF prunes WHICH rows each
+    query touches, PQ shrinks WHAT each touched row costs — either
+    alone leaves a 100 TB bottleneck): corpus vectors coarse-assign to
+    inverted lists AND compress to m-byte codes in one build pass; a
+    query probes only its ``nprobe`` nearest lists, scores candidates
+    by ADC table lookups over the codes, and (``shortlist=N``) exact
+    re-ranks the N best — full-precision math touches shortlist ≪
+    corpus vectors. Deterministic end to end: coarse assignment, PQ
+    training (replayed lowest-id init + ``iters`` exact Lloyd steps),
+    codes, ADC sums and the re-rank are all exact BIGINT micro-unit
+    math with pinned tie-breaks (lowest cid / code / neighbor_id).
+
+    Returns (query_id, neighbor_id, adc_d2, rank) without a shortlist,
+    (query_id, neighbor_id, d2, rank) with one.
+
+    Scale shape: the codebook trains once and pins (localCheckpoint —
+    the encoder and the query tables both consume it); the coded
+    corpus never shuffles before the per-query top-k (probes + tables
+    broadcast); the re-rank is candidate-sized. Against a persisted
+    layout (``persist_ivfpq_lists`` + ``ivfpq_topk_persisted``) the
+    probed-list scan is directory-pruned on top."""
+    query_id_col = query_id_col or id_col
+    cb = pq_codebooks(
+        corpus, dim, m=m, ksub=ksub, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    ).localCheckpoint()
+    lists = ivfpq_corpus_lists(
+        corpus, centroids, cb, dim, m=m, id_col=id_col, vec_col=vec_col,
+        centroid_id_col=centroid_id_col, centroid_vec_col=centroid_vec_col,
+    ).withColumnRenamed(id_col, "neighbor_id")
+    cent_arr = _ivfpq_cent_array(centroids, centroid_id_col, centroid_vec_col)
+    qmu = queries.select(
+        F.col(query_id_col), _mu_array(F.col(vec_col)).alias("mv")
+    )
+    probes = _ivfpq_top_lists(
+        qmu, cent_arr, nprobe, query_id_col
+    ).withColumnRenamed(query_id_col, "query_id")
+    qtab = _pq_query_tables(queries, cb, dim, m, query_id_col, vec_col)
+    return _ivfpq_adc_topk(
+        lists, probes, qtab, k, shortlist, corpus, queries,
+        id_col, vec_col, query_id_col,
+    )
+
+
+def ivfpq_topk_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist: int | None = None,
+    rerank_corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cluster_id",
+    centroid_vec_col: str = "centroid",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF×PQ over a ``persist_ivfpq_lists`` layout: queries pick their
+    ``nprobe`` lists, the DISTINCT probed list ids come to the driver
+    (≤ |queries|·nprobe values — the kmeans model-state pattern), and
+    the coded-corpus scan is filtered ``list_id IN (...)`` so hive
+    partition pruning reads ONLY the probed list directories — each of
+    whose rows is m bytes of codes. ``codebooks`` and ``centroids``
+    must be the tables the layout was built with; ``rerank_corpus``
+    (the id-keyed full-precision vector table) is required when
+    ``shortlist`` is set. Results are identical to ``ivfpq_topk`` over
+    the same inputs — persistence must be invisible
+    (equivalence-tested, the ivf_topk_persisted convention)."""
+    if shortlist is not None and rerank_corpus is None:
+        raise ValueError("shortlist re-rank needs rerank_corpus")
+    query_id_col = query_id_col or id_col
+    cent_arr = _ivfpq_cent_array(centroids, centroid_id_col, centroid_vec_col)
+    qmu = queries.select(
+        F.col(query_id_col), _mu_array(F.col(vec_col)).alias("mv")
+    )
+    probes = _ivfpq_top_lists(
+        qmu, cent_arr, nprobe, query_id_col
+    ).withColumnRenamed(query_id_col, "query_id")
+    probe_ids = sorted(
+        r["list_id"] for r in probes.select("list_id").distinct().collect()
+    )
+    lists = (
+        spark.read.parquet(path)
+        .where(F.col("list_id").isin(probe_ids))
+        .withColumnsRenamed({id_col: "neighbor_id"})
+    )
+    qtab = _pq_query_tables(queries, codebooks, dim, m, query_id_col, vec_col)
+    return _ivfpq_adc_topk(
+        lists, probes, qtab, k, shortlist, rerank_corpus, queries,
+        id_col, vec_col, query_id_col,
     )
 
 

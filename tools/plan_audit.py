@@ -87,6 +87,8 @@ AUDIT = [
     "pq_topk",
     "pq_rerank",
     "image_dedup_clusters",
+    # r13 gates
+    "ivfpq_topk",
 ]
 
 COMMENT = {
@@ -154,6 +156,7 @@ COMMENT = {
     "url_robots": "The robots parse (line explode, group windows, collect_list to rule arrays) runs entirely on the ROBOTS DIM — one row per domain, bounded like the blocklist; the parsed rule-array dim then BROADCASTS and the RFC longest-match decision is a per-row filter/array_max expression, so the corpus gains zero exchanges beyond the URL tier's own dedup window — the PSL-join discipline applied to politeness.",
     "pq_topk": "Training: the m·ksub codebook broadcasts into the per-(row, subspace) argmin window and the mean update is a map-side-combined (s, code, dim) aggregate. Query time: the per-query distance tables (queries·m·ksub rows) broadcast; the corpus carries only its m-byte codes into a per-row zip_with table-lookup sum — the corpus never shuffles before the per-query top-k window, the cosine_topk plan with 32× smaller rows in flight.",
     "pq_rerank": "ADC stage as pq_topk; the exact re-rank then joins only the queries·shortlist CANDIDATE ids back to their vectors — full-precision math is candidate-sized, never corpus-sized, which is the §V deployment shape (and the join a persisted id-keyed vector layout serves at 100 TB).",
+    "ivfpq_topk": "The composed IVF×PQ index: the codebook trains once and pins (localCheckpoint); coarse assignment is a per-row integer-L2 argmin fold over the broadcast one-row centroid array, carried THROUGH the encode aggregation as a grouping column (one build pass — exactly pq_encode's exchanges, no extra id join); probes + per-query ADC tables broadcast into the coded-list join, so the m-byte-code corpus never shuffles before the per-query top-shortlist window; the exact re-rank joins candidate ids only (candidate-sized full-precision math); the exact-baseline `hit` join adds one broadcast of the queries-sized exact top-5. Against the persisted layout the probed-list scan is directory-pruned (PartitionFilters on list_id — asserted in tests).",
     "image_dedup_clusters": "dHash tier zero-shuffle and PINNED once before fan-out (r13 — decode executes once; zero MapInPandas in the consuming plan, receipt in tests/test_plans.py); pair join pigeonhole-keyed; the alternating-star CC loop is the dedup_clusters kernel — each round two node-keyed groupBy/join passes over a shrinking edge set, localCheckpoint per round, O(log n) rounds on adversarial chains; the audited plan is the post-fixpoint star-forest join back onto the id set.",
 }
 
