@@ -5201,6 +5201,74 @@ LEFT JOIN cc ON cc.node = am.media_id
 """
 
 
+def q_audio_dedup(spark, sf_dir):
+    """Perceptual AUDIO dedup gated end-to-end (r13, VERDICT r12 item
+    5 — the modality triangle's third face): the deterministic
+    fingerprint corpus (72 constant-amplitude PCM blocks per clip whose
+    amplitudes WALK ±100 so every block-ENERGY comparison is the
+    generator's closed-form bit pattern — the SAME ``_dhash_fixture_
+    bit`` pattern the image gates pin, so the oracle chain is shared
+    verbatim; variant 3 is an amplitude-DOUBLED re-level of variant 0:
+    different bytes, same print, the collision the energy-comparison
+    fingerprint exists for; plus a truncated-RIFF corrupt stripe) →
+    ``audio_fingerprint`` (WAV decode + 64-bit block-energy
+    differential print) → the 16-bit-pigeonhole Hamming join at
+    threshold 3 → per-clip near-dup degree. The fingerprint table is
+    PINNED before fan-out (the r13 image-gate lesson applied from
+    birth). (sf_dir unused: media is generated.)"""
+    from bigdata_lab02_spark.operators.dedup import simhash_dup_pairs
+    from bigdata_lab02_spark.operators.multimodal import (
+        audio_fingerprint,
+        synthetic_fp_audio,
+    )
+
+    media = synthetic_fp_audio(spark, 32)
+    fps = audio_fingerprint(media).localCheckpoint()
+    pairs = simhash_dup_pairs(
+        fps, id_col="media_id", max_hamming=3, hash_col="afp"
+    )
+    deg = (
+        pairs.select(F.col("id_a").alias("media_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("media_id")))
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_dups"))
+    )
+    return fps.join(deg, "media_id", "left").select(
+        "media_id",
+        "afp",
+        "sample_rate",
+        "n_samples",
+        "decode_ok",
+        F.coalesce("n_dups", F.lit(0)).cast("int").alias("n_dups"),
+    )
+
+
+_AUDIO_DEDUP_SQL = f"""
+WITH {_DHASH_CHAIN_SQL},
+pairs AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b
+  FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+deg AS (
+  SELECT media_id, count(*) AS n_dups FROM (
+    SELECT id_a AS media_id FROM pairs
+    UNION ALL SELECT id_b FROM pairs)
+  GROUP BY media_id),
+allm AS (
+  SELECT range AS media_id, TRUE AS decode_ok FROM range(32)
+  UNION ALL SELECT 32 + range, FALSE FROM range(2))
+SELECT am.media_id,
+  CASE WHEN am.decode_ok THEN h.dhash END AS afp,
+  CASE WHEN am.decode_ok THEN 8000 END AS sample_rate,
+  CASE WHEN am.decode_ok THEN 1152 END AS n_samples,
+  am.decode_ok,
+  CAST(COALESCE(deg.n_dups, 0) AS INT) AS n_dups
+FROM allm am
+LEFT JOIN hashes h USING (media_id)
+LEFT JOIN deg USING (media_id)
+"""
+
+
 _MEDIA_META_SQL = """
 WITH ids AS (SELECT unnest(range(64)) AS media_id),
 s AS (SELECT media_id, media_id % 16 AS s, media_id % 3 AS m3,
@@ -6741,6 +6809,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # persisted-layout equivalence in tests; oracle-gated every pytest
     # run.
     "ivfpq_topk": q_ivfpq_topk,
+    # audio_dedup (r13, VERDICT r12 item 5): perceptual audio dedup —
+    # WAV decode → 64-bit block-energy differential fingerprint
+    # (amplitude-invariant: a re-levelled copy collides) → pigeonhole
+    # Hamming pairs → per-clip dup degree, fingerprint table pinned
+    # before fan-out; oracle-gated every pytest run.
+    "audio_dedup": q_audio_dedup,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -6760,6 +6834,7 @@ ROTATED_OUT: set[str] = {
     "stream_user_totals", "url_domain_cap_bounded", "ccnet_perlang",
     "image_dedup", "warc_cdx", "stream_image_cands", "url_robots",
     "pq_topk", "pq_rerank", "dedup_simhash_pairs", "ivfpq_topk",
+    "audio_dedup",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -6896,6 +6971,7 @@ _R12_NEW = {
 # item 3).
 _R13_NEW = {
     "ivfpq_topk",
+    "audio_dedup",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -7012,6 +7088,7 @@ _ORACLES: dict[str, str] = {
     "pq_topk": _PQ_TOPK_SQL,
     "pq_rerank": _PQ_RERANK_SQL,
     "ivfpq_topk": _IVFPQ_SQL,
+    "audio_dedup": _AUDIO_DEDUP_SQL,
     "image_dedup_clusters": _IMAGE_CLUSTERS_SQL,
     "jpeg_cmyk": _JPEG_CMYK_SQL,
     "bpe_pipeline": _BPE_SQL,

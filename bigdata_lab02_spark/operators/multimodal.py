@@ -1315,6 +1315,145 @@ def extract_audio_stats(audio: DataFrame) -> DataFrame:
     )
 
 
+def _afp_np(samples, grid: int = 8) -> int | None:
+    """64-bit block-ENERGY differential fingerprint of a PCM stream —
+    the audio analog of ``_dhash_np`` (LAION-Audio-style block/spectral
+    fingerprints run exactly this comparison stage): split the stream
+    into grid·(grid+1) equal blocks, energy E_j = Σ s² (exact int64),
+    bit (r, c) = E[r·(grid+1)+c] > E[r·(grid+1)+c+1]. Comparing
+    energies makes the print AMPLITUDE-INVARIANT (a gain g scales every
+    E by g², preserving every comparison — re-levelled re-uploads of
+    the same clip collide; property-tested), and per-row resets bound
+    error drift like the image grid. Streams shorter than one sample
+    per block return None (nothing to compare)."""
+    import numpy as np
+
+    nb = grid * (grid + 1)
+    n = len(samples)
+    if n < nb:
+        return None
+    a = np.asarray(samples, dtype=np.int64)
+    bounds = [(j * n) // nb for j in range(nb + 1)]
+    e = np.array(
+        [int((a[bounds[j]:bounds[j + 1]] ** 2).sum()) for j in range(nb)],
+        dtype=object,  # python ints: 24-bit samples² × long blocks never wrap
+    ).reshape(grid, grid + 1)
+    v = 0
+    for r in range(grid):
+        for c in range(grid):
+            if e[r, c] > e[r, c + 1]:
+                v |= 1 << (r * grid + c)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def audio_fingerprint(
+    audio: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual AUDIO fingerprints (r13, VERDICT r12 item 5 — the
+    modality triangle's third face: text ✓ image ✓ audio): decode the
+    WAV payload (8/16/24-bit integer PCM, ``wav.decode_wav``) and
+    reduce the stream to the 64-bit block-energy differential print
+    (``_afp_np``). Returns ``(id, afp, sample_rate, n_samples,
+    decode_ok)`` — undecodable payloads are ``decode_ok=false`` with
+    NULL print (the honest-failure taxonomy); too-short streams decode
+    fine but carry a NULL print.
+
+    Feed the result to ``dedup.simhash_dup_pairs(hash_col="afp")`` —
+    the same 16-bit pigeonhole Hamming join the image tier uses — and
+    ``dedup.dedup_clusters`` for survivors. Scale shape: one
+    zero-shuffle Arrow-batched ``mapInPandas``; PCM bytes never cross
+    an exchange, only 8-byte prints reach the dedup join. Same pin
+    contract as ``image_dhash``: callers fanning the result out to
+    multiple consumers must ``localCheckpoint()`` it first or the
+    decode subtree re-executes per consumer."""
+    dec = _wav.decode_wav
+    err = _wav.WavError
+    id_type = audio.schema[id_col].dataType.simpleString()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                id_col: [], "afp": [], "sample_rate": [],
+                "n_samples": [], "decode_ok": [],
+            }
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                out[id_col].append(mid)
+                try:
+                    sr, _ch, samples = dec(bytes(b) if b is not None else b"")
+                except (err, TypeError):
+                    out["afp"].append(None)
+                    out["sample_rate"].append(None)
+                    out["n_samples"].append(None)
+                    out["decode_ok"].append(False)
+                    continue
+                out["afp"].append(_afp_np(samples))
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(len(samples))
+                out["decode_ok"].append(True)
+            pdf_out = pd.DataFrame(out)
+            # Int64 keeps 64-bit prints exact when NULLs share the batch
+            # (the image_dhash float64-coercion lesson)
+            pdf_out["afp"] = pd.array(out["afp"], dtype="Int64")
+            pdf_out["sample_rate"] = pd.array(out["sample_rate"], dtype="Int32")
+            pdf_out["n_samples"] = pd.array(out["n_samples"], dtype="Int32")
+            yield pdf_out
+
+    return audio.select(id_col, payload_col).mapInPandas(
+        op,
+        f"{id_col} {id_type}, afp long, sample_rate int, "
+        "n_samples int, decode_ok boolean",
+    )
+
+
+def synthetic_fp_audio(spark, n: int = 32, gain: int = 1) -> DataFrame:
+    """Deterministic audio-dedup corpus — the ``synthetic_dhash_images``
+    playbook on WAV: 16-bit mono clips in groups of four (seed = id//4,
+    variant = id%4) built from 72 constant-amplitude blocks of 16
+    samples (alternating ±A) whose amplitudes WALK ±100 from 1000 along
+    each 9-block row, stepping DOWN exactly when ``_dhash_fixture_bit``
+    is 1 — so every block-energy comparison is the generator's
+    closed-form bit pattern and the fingerprint needs no decoding to
+    predict. Variants 0/3 share the bit pattern but variant 3 is an
+    amplitude-DOUBLED re-level of variant 0 (different bytes, different
+    energies, SAME print — the collision the fingerprint exists for,
+    the audio analog of the rotated-image test); variant 1 is Hamming-2
+    from them, variant 2 Hamming-5. ids n and n+1 append a truncated
+    stripe (decode_ok=false)."""
+    enc = _wav.encode_wav
+    bit = _dhash_fixture_bit
+    sr = AUDIO_SAMPLE_RATE
+
+    def mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "payload": []}
+            for i in pdf["id"]:
+                mid = int(i)
+                if mid >= n:  # corrupt stripe
+                    rows["media_id"].append(mid)
+                    rows["payload"].append(b"RIFF\x10\x00\x00\x00WAVE")
+                    continue
+                seed, variant = mid // 4, mid % 4
+                g = (2 if variant == 3 else 1) * gain
+                samples: list[int] = []
+                for r in range(8):
+                    amp = 1000
+                    for c in range(9):
+                        samples += [amp * g, -amp * g] * 8
+                        if c < 8:
+                            amp += -100 if bit(seed, variant, r, c) else 100
+                rows["media_id"].append(mid)
+                rows["payload"].append(enc(samples, sr))
+            yield pd.DataFrame(rows)
+
+    return spark.range(n + 2, numPartitions=1).mapInPandas(
+        mk, "media_id long, payload binary"
+    )
+
+
 def _video_planes(
     media_id: int, frame: int, luma: int, chroma: int
 ) -> bytes:

@@ -821,3 +821,79 @@ def test_image_dhash_rotated_copies_collide(spark):
         for r in image_dhash(media, orient=False).collect()
     }
     assert raw[0] != raw[1]  # without normalization they would not
+
+
+def test_audio_fingerprint_fixture_closed_form(spark):
+    """r13: audio_fingerprint over the deterministic fingerprint corpus
+    must equal the generator's bit pattern exactly (the SAME
+    _dhash_fixture_bit pattern the image fixture pins — the oracle
+    chain is shared); within each seed group variants 0/3 collide at
+    Hamming 0 (variant 3 is an amplitude-DOUBLED re-level, so the
+    collision is invariance, not byte equality), variant 1 sits at
+    Hamming 2, variant 2 past the threshold; the corrupt stripe is
+    decode_ok=false with a NULL print."""
+    from bigdata_lab02_spark.operators.multimodal import (
+        _dhash_fixture_bit,
+        audio_fingerprint,
+        synthetic_fp_audio,
+    )
+
+    out = {
+        r["media_id"]: r
+        for r in audio_fingerprint(synthetic_fp_audio(spark, 16)).collect()
+    }
+    assert len(out) == 18
+    for mid in range(16):
+        expect = 0
+        for r in range(8):
+            for c in range(8):
+                if _dhash_fixture_bit(mid // 4, mid % 4, r, c):
+                    expect |= 1 << (r * 8 + c)
+        row = out[mid]
+        assert row["afp"] == expect, mid
+        assert row["decode_ok"] and row["sample_rate"] == 8000
+        assert row["n_samples"] == 72 * 16
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    for seed in range(4):
+        h = [out[seed * 4 + v]["afp"] for v in range(4)]
+        assert h[0] == h[3]
+        assert ham(h[0], h[1]) == 2
+        assert ham(h[0], h[2]) == 5 and ham(h[1], h[2]) == 7
+    for mid in (16, 17):
+        assert not out[mid]["decode_ok"] and out[mid]["afp"] is None
+
+
+def test_audio_fingerprint_amplitude_scaled_copies_collide(spark):
+    """r13 (the audio analog of the rotated-image collision test): the
+    SAME clip re-levelled — every sample scaled by a gain, including a
+    LOSSY integer halving — must produce the SAME block-energy print
+    (energies scale by g², every comparison is preserved), while a
+    genuinely different clip does not collide. Also pins the honest
+    NULL for streams too short to fingerprint."""
+    from bigdata_lab02_spark.operators.multimodal import (
+        _afp_np,
+        audio_fingerprint,
+    )
+    from bigdata_lab02_spark.operators.wav import encode_wav
+
+    # a non-fixture clip: deterministic mix, 72 blocks x 20 samples
+    base = [((i * 2654435761 + 7919) % 4001) - 2000 for i in range(1440)]
+    doubled = [s * 2 for s in base]
+    halved = [s // 2 for s in base]  # lossy integer re-level
+    other = [((i * 48271 + 11) % 4001) - 2000 for i in range(1440)]
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(encode_wav(base))),
+            (1, bytearray(encode_wav(doubled))),
+            (2, bytearray(encode_wav(halved))),
+            (3, bytearray(encode_wav(other))),
+            (4, bytearray(encode_wav(base[:50]))),  # < 72 blocks
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in audio_fingerprint(media).collect()}
+    assert out[0]["afp"] == _afp_np(base)  # kernel == driver twin
+    assert out[1]["afp"] == out[0]["afp"]  # exact gain
+    assert out[2]["afp"] == out[0]["afp"]  # lossy halving survives
+    assert out[3]["afp"] != out[0]["afp"]  # different content differs
+    assert out[4]["decode_ok"] and out[4]["afp"] is None  # too short
