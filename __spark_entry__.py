@@ -5466,6 +5466,95 @@ SELECT media_id, CAST(NULL AS INT) AS frame_idx, CAST(NULL AS INT) AS width,
 FROM dims WHERE corrupt"""
 
 
+def q_video_dedup(spark, sf_dir):
+    """Per-VIDEO near-dup gated end-to-end (r13, VERDICT r12 item 6 —
+    the standard video-dedup stage): the deterministic Y4M corpus
+    (groups of four: base / TRIMMED copy (frames 1..8) / RE-ENCODED
+    copy (per-pixel dither that shifts every 2×2 block sum equally, so
+    every frame dHash survives while all bytes differ) / distinct
+    footage, plus corrupt payloads) → ``video_frame_hashes`` (container
+    walk + per-frame luma dHash) → ``set_dup_pairs`` over each video's
+    frame-hash SET: MinHash-LSH candidates (8 hashes, 4 bands) + exact
+    Jaccard verify at 0.5. Re-encoded copies land at Jaccard 1.0,
+    trimmed at 0.8, distinct footage (incl. the fixture's engineered
+    single-frame mod-97 collisions) is filtered by the verify. The
+    oracle replays frame hashes from the closed-form bit pattern, the
+    md5 MinHash, the banding, the candidate join and the Jaccard
+    arithmetic without decoding a byte. The frame-hash table is PINNED
+    before the signature/verify fan-out. (sf_dir unused: media is
+    generated.)"""
+    from bigdata_lab02_spark.operators.dedup import set_dup_pairs
+    from bigdata_lab02_spark.operators.multimodal import (
+        synthetic_dup_videos,
+        video_frame_hashes,
+    )
+
+    media = synthetic_dup_videos(spark, 16)
+    fh = video_frame_hashes(media).localCheckpoint()
+    return set_dup_pairs(
+        fh.where(F.col("decode_ok")),
+        id_col="media_id",
+        item_col="fhash",
+        num_hashes=8,
+        bands=4,
+        threshold=0.5,
+    )
+
+
+_VIDEO_DEDUP_SQL = """
+WITH vids AS (
+  SELECT m.range AS media_id, m.range // 4 AS seed, m.range % 4 AS variant
+  FROM range(16) m),
+vframes AS (
+  SELECT media_id,
+    CASE WHEN variant = 3 THEN 800 ELSE 0 END + seed * 10 + f.range AS fseed
+  FROM vids, range(10) f
+  WHERE variant <> 1 OR f.range BETWEEN 1 AND 8),
+fbits AS (
+  SELECT media_id, fseed, r.range AS r, c.range AS c,
+    CASE WHEN r.range = 7 AND c.range = 7 THEN 0
+         ELSE ((fseed * 48271 + r.range * 191 + c.range * 31) % 97) % 2
+    END AS b
+  FROM vframes, range(8) r, range(8) c),
+fhashes AS (
+  SELECT media_id, fseed,
+    CAST(sum(CASE WHEN b = 1
+                  THEN (1::BIGINT << CAST(r * 8 + c AS INT))
+                  ELSE 0 END) AS BIGINT) AS fhash
+  FROM fbits GROUP BY media_id, fseed),
+sets AS (SELECT DISTINCT media_id, fhash FROM fhashes),
+mh AS (
+  SELECT media_id, i.range AS i,
+    min(md5(i.range::VARCHAR || '|' || fhash::VARCHAR)) AS h
+  FROM sets, range(8) i GROUP BY media_id, i.range),
+sig AS (SELECT media_id, list(h ORDER BY i) AS sig FROM mh GROUP BY media_id),
+bands AS (
+  SELECT media_id, b.range AS band_id,
+    b.range::VARCHAR || '|' || sig[2 * b.range + 1] || '|' ||
+      sig[2 * b.range + 2] AS bh
+  FROM sig, range(4) b),
+cands AS (
+  SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b
+  FROM bands a JOIN bands b2
+    ON a.band_id = b2.band_id AND a.bh = b2.bh
+   AND a.media_id < b2.media_id),
+sizes AS (SELECT media_id, count(*) AS sz FROM sets GROUP BY media_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cands c
+  JOIN sets sa ON sa.media_id = c.id_a
+  JOIN sets sb ON sb.media_id = c.id_b AND sb.fhash = sa.fhash
+  GROUP BY c.id_a, c.id_b)
+SELECT i.id_a, i.id_b, CAST(i.n_common AS BIGINT) AS n_common,
+  CAST(za.sz + zb.sz - i.n_common AS BIGINT) AS n_union,
+  round(i.n_common / (za.sz + zb.sz - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.media_id = i.id_a
+JOIN sizes zb ON zb.media_id = i.id_b
+WHERE round(i.n_common / (za.sz + zb.sz - i.n_common), 6) >= 0.5
+"""
+
+
 def q_audio_decode(spark, sf_dir):
     """Audio path gated END-TO-END like multimodal_decode: synthetic_audio
     encodes a real mono 16-bit PCM WAV per row (vendored RIFF codec,
@@ -6815,6 +6904,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Hamming pairs → per-clip dup degree, fingerprint table pinned
     # before fan-out; oracle-gated every pytest run.
     "audio_dedup": q_audio_dedup,
+    # video_dedup (r13, VERDICT r12 item 6): per-video near-dup —
+    # per-frame luma dHash → MinHash-LSH over the frame-hash SET →
+    # exact Jaccard verify; trimmed and re-encoded copies collide,
+    # distinct footage doesn't; oracle-gated every pytest run.
+    "video_dedup": q_video_dedup,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -6834,7 +6928,7 @@ ROTATED_OUT: set[str] = {
     "stream_user_totals", "url_domain_cap_bounded", "ccnet_perlang",
     "image_dedup", "warc_cdx", "stream_image_cands", "url_robots",
     "pq_topk", "pq_rerank", "dedup_simhash_pairs", "ivfpq_topk",
-    "audio_dedup",
+    "audio_dedup", "video_dedup",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -6972,6 +7066,7 @@ _R12_NEW = {
 _R13_NEW = {
     "ivfpq_topk",
     "audio_dedup",
+    "video_dedup",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -7089,6 +7184,7 @@ _ORACLES: dict[str, str] = {
     "pq_rerank": _PQ_RERANK_SQL,
     "ivfpq_topk": _IVFPQ_SQL,
     "audio_dedup": _AUDIO_DEDUP_SQL,
+    "video_dedup": _VIDEO_DEDUP_SQL,
     "image_dedup_clusters": _IMAGE_CLUSTERS_SQL,
     "jpeg_cmyk": _JPEG_CMYK_SQL,
     "bpe_pipeline": _BPE_SQL,

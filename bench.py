@@ -170,6 +170,9 @@ EXTRA = [
     # r13: perceptual audio dedup (WAV decode -> block-energy print ->
     # pigeonhole Hamming pairs; amplitude-invariant)
     "audio_dedup",
+    # r13: per-video near-dup (per-frame luma dHash -> MinHash-LSH over
+    # the frame-hash set -> exact Jaccard verify)
+    "video_dedup",
 ]
 STREAMING_LAST = [
     "stream_hourly",

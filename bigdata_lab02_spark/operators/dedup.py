@@ -231,6 +231,114 @@ def minhash_dedup_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
+def set_minhash_signatures(
+    items: DataFrame,
+    id_col: str = "doc_id",
+    item_col: str = "item",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """MinHash signatures over an ALREADY-EXPLODED (id, item) table —
+    the ``minhash_signatures`` kernel for records that ARE sets rather
+    than text (a video's frame-hash set, an n-gram set, a citation
+    list): signature[i] = min over the record's distinct items of
+    md5(i || '|' || item). NULL items are ignored; records whose items
+    are all NULL produce no signature (nothing to hash). Same portable
+    hex-string-min currency as the text kernel, so the band table and
+    every downstream join are shared code."""
+    ex = (
+        items.select(
+            F.col(id_col), F.col(item_col).cast("string").alias("sh")
+        )
+        .where(F.col("sh").isNotNull())
+        .distinct()
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        ex.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias(
+                "signature"
+            ),
+        )
+    )
+
+
+def set_dup_pairs(
+    items: DataFrame,
+    id_col: str = "doc_id",
+    item_col: str = "item",
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate SET pairs: MinHash-LSH candidates over the item
+    sets, verified with EXACT Jaccard → (id_a, id_b, n_common, n_union,
+    jaccard ≥ threshold, jaccard rounded 6 dp). The set face of
+    ``minhash_dedup_pairs`` (r13, built for per-video frame-hash-set
+    dedup — the standard video near-dup stage: a trimmed or re-encoded
+    copy keeps most of its frame hashes, so its set Jaccard stays high
+    while byte identity is long gone).
+
+    Scale shape: items explode once and feed both the signature
+    aggregation and the verify joins; candidates come only from shared
+    LSH bands (subquadratic); intersections are counted via a
+    pair-constrained equi-join on the item (candidate-sized, no per-row
+    set arrays); sizes join back keyed by id. Nothing all-pairs."""
+    ex = (
+        items.select(
+            F.col(id_col), F.col(item_col).cast("string").alias("sh")
+        )
+        .where(F.col("sh").isNotNull())
+        .distinct()
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = (
+        ex.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias(
+                "signature"
+            ),
+        )
+    )
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("sz"))
+    inter = (
+        cands.join(ex.withColumnsRenamed({id_col: "id_a"}), "id_a")
+        .join(ex.withColumnsRenamed({id_col: "id_b"}), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "sz": "sz_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+            .cast("long")
+            .alias("n_union"),
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
 def persist_corpus_bands(
     corpus: DataFrame,
     table_name: str,

@@ -1454,6 +1454,164 @@ def synthetic_fp_audio(spark, n: int = 32, gain: int = 1) -> DataFrame:
     )
 
 
+def video_frame_hashes(
+    videos: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-frame perceptual hashes of Y4M videos (r13, VERDICT r12 item
+    6 — the standard video near-dup stage): decode the container
+    (``y4m.video_info`` strict walk), dHash the LUMA plane of every
+    frame (the image kernel ``_dhash_np`` — chroma subsampling and
+    color drift from a re-encode don't touch it). Returns one row per
+    frame ``(id, frame_idx, fhash, n_frames, decode_ok)``;
+    undecodable payloads yield ONE row with NULL frame fields and
+    ``decode_ok=false`` (honest-failure taxonomy, and the row keeps
+    every input id visible downstream); frames too small to hash carry
+    NULL fhash.
+
+    The frame-hash SET is the video's signature: feed the result to
+    ``dedup.set_dup_pairs(item_col="fhash")`` — MinHash-LSH over the
+    set, exact Jaccard verify — so trimmed and re-encoded copies
+    collide while distinct footage doesn't. Scale shape: one
+    zero-shuffle Arrow ``mapInPandas``; video bytes never cross an
+    exchange, only (id, 8-byte hash) rows leave it. Same pin contract
+    as ``image_dhash`` when fanned out to multiple consumers."""
+    from bigdata_lab02_spark.operators import y4m as _y4m
+
+    id_type = videos.schema[id_col].dataType.simpleString()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                id_col: [], "frame_idx": [], "fhash": [],
+                "n_frames": [], "decode_ok": [],
+            }
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(b) if b is not None else b""
+                try:
+                    info = _y4m.video_info(data)
+                except _y4m.Y4mError:
+                    out[id_col].append(mid)
+                    out["frame_idx"].append(None)
+                    out["fhash"].append(None)
+                    out["n_frames"].append(None)
+                    out["decode_ok"].append(False)
+                    continue
+                w, h = info["width"], info["height"]
+                lb = info["luma_bytes"]
+                for i, fr in _y4m.iter_frames(data):
+                    a = np.frombuffer(fr[:lb], dtype=np.uint8).reshape(h, w)
+                    out[id_col].append(mid)
+                    out["frame_idx"].append(i)
+                    out["fhash"].append(_dhash_np(a))
+                    out["n_frames"].append(info["n_frames"])
+                    out["decode_ok"].append(True)
+            pdf_out = pd.DataFrame(out)
+            pdf_out["fhash"] = pd.array(out["fhash"], dtype="Int64")
+            pdf_out["frame_idx"] = pd.array(out["frame_idx"], dtype="Int32")
+            pdf_out["n_frames"] = pd.array(out["n_frames"], dtype="Int32")
+            yield pdf_out
+
+    return videos.select(id_col, payload_col).mapInPandas(
+        op,
+        f"{id_col} {id_type}, frame_idx int, fhash long, "
+        "n_frames int, decode_ok boolean",
+    )
+
+
+def _vhash_fixture_bit(fseed: int, r: int, c: int) -> int:
+    """Per-FRAME comparison-outcome pattern, bit (r, c) of a frame's
+    luma dHash — the video fixture's closed form (shared by the
+    generator, the unit tests and the SQL oracle). Distinct fseeds give
+    distinct 64-bit patterns within any window of 97 consecutive fseeds
+    (the mix is linear mod the prime 97). Bit 63 pinned 0 so hashes
+    stay non-negative (the _dhash_fixture_bit convention — SQL never
+    touches BIGINT sign arithmetic)."""
+    if r == 7 and c == 7:
+        return 0
+    return ((fseed * 48271 + r * 191 + c * 31) % 97) % 2
+
+
+def synthetic_dup_videos(spark, n: int = 16) -> DataFrame:
+    """Deterministic video-dedup corpus: 18×16 C420 Y4M clips in groups
+    of four (seed = id//4, variant = id%4). Frame f of the base variant
+    carries the closed-form luma pattern of ``fseed = seed·10 + f``
+    (2×2-pixel blocks walking ±10 from 128 so the frame dHash IS
+    ``_vhash_fixture_bit``); chroma planes are constant 128.
+
+    - variant 0: the base — 10 frames (fseeds seed·10 … seed·10+9);
+    - variant 1: a TRIMMED copy — frames 1..8 of the base (frame-hash
+      set an 8-of-10 subset → Jaccard 0.8);
+    - variant 2: a RE-ENCODED copy — same 10 frames with a +(x+y+f)%2
+      per-pixel dither, which adds exactly +2 to every 2×2 block sum,
+      so every dHash comparison (and hence the frame-hash SET) is
+      unchanged while the bytes all differ — the collision the
+      set-signature exists for;
+    - variant 3: DISTINCT footage — fseeds 800 + seed·10 + f (disjoint
+      pattern range; any residual mod-97 single-frame collisions stay
+      far below the Jaccard threshold and are replayed identically by
+      the oracle).
+
+    ids n and n+1 append a corrupt stripe (bad magic / truncated frame
+    → decode_ok=false)."""
+    from bigdata_lab02_spark.operators.y4m import encode_y4m
+
+    bit = _vhash_fixture_bit
+
+    def luma(fseed: int, dither_f: int | None) -> bytes:
+        v = [[128] * 9 for _ in range(8)]
+        for r in range(8):
+            for c in range(8):
+                step = -10 if bit(fseed, r, c) else 10
+                v[r][c + 1] = v[r][c] + step
+        px = bytearray()
+        for y in range(16):
+            for x in range(18):
+                p = v[y // 2][x // 2]
+                if dither_f is not None:
+                    p += (x + y + dither_f) % 2
+                px.append(p)
+        return bytes(px)
+
+    def mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chroma = bytes([128]) * (9 * 8)
+        for pdf in batches:
+            rows = {"media_id": [], "payload": []}
+            for i in pdf["id"]:
+                mid = int(i)
+                if mid == n:
+                    rows["media_id"].append(mid)
+                    rows["payload"].append(b"NOTY4M anything")
+                    continue
+                if mid == n + 1:  # valid header, truncated first frame
+                    rows["media_id"].append(mid)
+                    rows["payload"].append(
+                        b"YUV4MPEG2 W18 H16 F25:1 C420\nFRAME\n\x00\x01"
+                    )
+                    continue
+                seed, variant = mid // 4, mid % 4
+                if variant == 1:
+                    fr = range(1, 9)
+                else:
+                    fr = range(10)
+                base = 800 if variant == 3 else 0
+                frames = [
+                    luma(base + seed * 10 + f,
+                         f if variant == 2 else None) + chroma * 2
+                    for f in fr
+                ]
+                rows["media_id"].append(mid)
+                rows["payload"].append(encode_y4m(18, 16, frames))
+            yield pd.DataFrame(rows)
+
+    return spark.range(n + 2, numPartitions=1).mapInPandas(
+        mk, "media_id long, payload binary"
+    )
+
+
 def _video_planes(
     media_id: int, frame: int, luma: int, chroma: int
 ) -> bytes:

@@ -897,3 +897,69 @@ def test_audio_fingerprint_amplitude_scaled_copies_collide(spark):
     assert out[2]["afp"] == out[0]["afp"]  # lossy halving survives
     assert out[3]["afp"] != out[0]["afp"]  # different content differs
     assert out[4]["decode_ok"] and out[4]["afp"] is None  # too short
+
+
+def test_video_frame_hashes_and_dup_fixture(spark):
+    """r13: per-frame luma dHashes over the video-dedup corpus must
+    equal the generator's closed-form bit pattern; the trimmed copy's
+    hash set is an 8-of-10 subset of the base, the re-encoded (dithered)
+    copy's set is IDENTICAL despite every byte differing, distinct
+    footage shares at most the engineered single mod-97 frame; corrupt
+    payloads surface as one decode_ok=false row."""
+    from bigdata_lab02_spark.operators.multimodal import (
+        _vhash_fixture_bit,
+        synthetic_dup_videos,
+        video_frame_hashes,
+    )
+
+    rows = video_frame_hashes(synthetic_dup_videos(spark, 8)).collect()
+    byid = {}
+    for r in rows:
+        byid.setdefault(r["media_id"], []).append(r)
+
+    def expect(fseed):
+        v = 0
+        for r in range(8):
+            for c in range(8):
+                if _vhash_fixture_bit(fseed, r, c):
+                    v |= 1 << (r * 8 + c)
+        return v
+
+    for seed in range(2):
+        base = byid[seed * 4]
+        assert sorted(r["frame_idx"] for r in base) == list(range(10))
+        assert all(r["n_frames"] == 10 and r["decode_ok"] for r in base)
+        for r in base:
+            assert r["fhash"] == expect(seed * 10 + r["frame_idx"])
+        s0 = {r["fhash"] for r in base}
+        s1 = {r["fhash"] for r in byid[seed * 4 + 1]}
+        s2 = {r["fhash"] for r in byid[seed * 4 + 2]}
+        s3 = {r["fhash"] for r in byid[seed * 4 + 3]}
+        assert s1 < s0 and len(s1) == 8          # trimmed subset
+        assert s2 == s0                           # re-encode collides
+        assert len(s3 & s0) <= 1                  # distinct footage
+    for mid in (8, 9):
+        (row,) = byid[mid]
+        assert not row["decode_ok"] and row["fhash"] is None
+
+
+def test_set_dup_pairs_exact_jaccard(spark):
+    """r13: the generic set-similarity kernel — LSH candidates verified
+    with exact Jaccard; counts/union/rounded-jaccard contract, NULL
+    items ignored, duplicates within a record collapse (set
+    semantics)."""
+    from bigdata_lab02_spark.operators.dedup import set_dup_pairs
+
+    rows = [
+        (1, x) for x in ["a", "b", "c", "d", "a"]  # dup item collapses
+    ] + [
+        (2, x) for x in ["a", "b", "c", None]      # NULL ignored
+    ] + [
+        (3, x) for x in ["x", "y", "z", "w"]
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, item string")
+    out = {(r["id_a"], r["id_b"]): r for r in set_dup_pairs(df).collect()}
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    assert r["n_common"] == 3 and r["n_union"] == 4
+    assert r["jaccard"] == 0.75
