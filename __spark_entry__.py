@@ -6020,6 +6020,81 @@ FROM ppl0 {cut_join}
 _LM_PPL_SQL = _lm_ppl_sql()
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Trained model-based quality classifier gated END-TO-END (r13,
+    VERDICT r12 item 7 — the fourth standard selection family after
+    rules/importance/perplexity; DCLM, Li et al. 2024, selects with a
+    fastText-style linear scorer trained reference-vs-crawl):
+    ``quality_classifier_train`` fits a hashed-bucket Naive-Bayes
+    scorer in one aggregation pass — labels are a DETERMINISTIC content
+    rule (docs whose normalized tokens contain the marker 'spark' play
+    the reference corpus, 385/115 at sf0.01) — and
+    ``quality_classifier_score`` ranks every doc by the exact BIGINT
+    micro-unit score (prior + Σ bucket weights, the lm_perplexity
+    integer discipline, so the oracle REPLAYS TRAINING exactly: counts,
+    smoothed log-ratio weights, prior, scores, keep decisions). The
+    output joins each doc's CCNet perplexity tercile so the gate itself
+    exhibits where the trained scorer and the fluency LM DISAGREE (a
+    spammy-but-fluent / rare-but-on-distribution split no single family
+    catches — why DCLM runs a classifier on top of perplexity;
+    disagreement asserted in tests). The B+1-row model is pinned
+    (localCheckpoint) before its two scorer consumers."""
+    from bigdata_lab02_spark.functions.text import tokens_column
+    from bigdata_lab02_spark.operators.curation import (
+        lm_perplexity,
+        quality_classifier_score,
+        quality_classifier_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    positive = F.array_contains(tokens_column(F.col("text")), "spark")
+    model = quality_classifier_train(
+        docs, positive, n_buckets=512
+    ).localCheckpoint()
+    scored = quality_classifier_score(docs, model, n_buckets=512)
+    ppl = lm_perplexity(docs, n_buckets=512, split_quantiles=(1 / 3, 2 / 3))
+    return scored.join(
+        ppl.select("doc_id", "ppl_bucket"), "doc_id"
+    ).select("doc_id", "n_toks", "score_mu", "quality_keep", "ppl_bucket")
+
+
+_QUALITY_CLS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+lab AS (SELECT doc_id, toks, list_contains(toks, 'spark') AS pos FROM t),
+occ AS (SELECT pos,
+          ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512 AS bucket
+        FROM (SELECT pos, unnest(toks) AS tok FROM lab)),
+cnt AS (SELECT bucket, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+               sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+        FROM occ GROUP BY bucket),
+tot AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS tp,
+               sum(CASE WHEN pos THEN 0 ELSE 1 END) AS tn FROM occ),
+wt AS (SELECT b.range AS bucket,
+         CAST(round((ln((COALESCE(cnt.cp, 0) + 1.0) / (tot.tp + 512.0))
+                   - ln((COALESCE(cnt.cn, 0) + 1.0) / (tot.tn + 512.0)))
+              * 1000000.0) AS BIGINT) AS w_mu
+       FROM range(512) b LEFT JOIN cnt ON cnt.bucket = b.range
+       CROSS JOIN tot),
+nd AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+              sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn FROM lab),
+prior AS (SELECT CAST(round(ln(np * 1.0 / nn) * 1000000.0) AS BIGINT) AS p
+          FROM nd),
+docc AS (SELECT doc_id,
+           ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512 AS bucket
+         FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
+sc AS (SELECT doc_id, sum(wt.w_mu) AS s
+       FROM docc JOIN wt USING (bucket) GROUP BY doc_id),
+cls AS (SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_toks,
+          CAST(COALESCE(sc.s, 0) + prior.p AS BIGINT) AS score_mu,
+          (COALESCE(sc.s, 0) + prior.p) > 0 AS quality_keep
+        FROM t LEFT JOIN sc USING (doc_id) CROSS JOIN prior),
+ppl AS (SELECT doc_id, ppl_bucket FROM ({_lm_ppl_sql()}))
+SELECT cls.doc_id, cls.n_toks, cls.score_mu, cls.quality_keep,
+       ppl.ppl_bucket
+FROM cls JOIN ppl USING (doc_id)
+"""
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR selection END-TO-END (curation.dsir_select, Xie et al. 2023
     §2.3): importance scores (same target convention as dsir_importance:
@@ -6909,6 +6984,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # exact Jaccard verify; trimmed and re-encoded copies collide,
     # distinct footage doesn't; oracle-gated every pytest run.
     "video_dedup": q_video_dedup,
+    # quality_classifier (r13, VERDICT r12 item 7): trained model-based
+    # quality scorer (DCLM's selection family) — hashed-bucket NB
+    # trained in one pass on a deterministic content-rule label, exact
+    # integer scoring, perplexity-tercile join exhibiting where the
+    # two families disagree; the oracle replays training exactly;
+    # oracle-gated every pytest run.
+    "quality_classifier": q_quality_classifier,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -6928,7 +7010,7 @@ ROTATED_OUT: set[str] = {
     "stream_user_totals", "url_domain_cap_bounded", "ccnet_perlang",
     "image_dedup", "warc_cdx", "stream_image_cands", "url_robots",
     "pq_topk", "pq_rerank", "dedup_simhash_pairs", "ivfpq_topk",
-    "audio_dedup", "video_dedup",
+    "audio_dedup", "video_dedup", "quality_classifier",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -7067,6 +7149,7 @@ _R13_NEW = {
     "ivfpq_topk",
     "audio_dedup",
     "video_dedup",
+    "quality_classifier",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -7185,6 +7268,7 @@ _ORACLES: dict[str, str] = {
     "ivfpq_topk": _IVFPQ_SQL,
     "audio_dedup": _AUDIO_DEDUP_SQL,
     "video_dedup": _VIDEO_DEDUP_SQL,
+    "quality_classifier": _QUALITY_CLS_SQL,
     "image_dedup_clusters": _IMAGE_CLUSTERS_SQL,
     "jpeg_cmyk": _JPEG_CMYK_SQL,
     "bpe_pipeline": _BPE_SQL,

@@ -173,6 +173,9 @@ EXTRA = [
     # r13: per-video near-dup (per-frame luma dHash -> MinHash-LSH over
     # the frame-hash set -> exact Jaccard verify)
     "video_dedup",
+    # r13: trained model-based quality classifier (DCLM family: one-pass
+    # hashed-bucket NB, exact integer scoring, perplexity-tercile join)
+    "quality_classifier",
 ]
 STREAMING_LAST = [
     "stream_hourly",

@@ -1094,3 +1094,147 @@ def ccnet_pipeline(
             F.col("lang_keep") & F.col("ppl_bucket").isin(list(keep_buckets))
         ).alias("keep"),
     )
+
+
+def quality_classifier_train(
+    docs: DataFrame,
+    positive: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Model-based quality classifier TRAINING — the fourth standard
+    selection family after rules (Gopher/C4), importance (DSIR) and
+    perplexity (CCNet): DCLM (Li et al. 2024, "DataComp-LM") selects
+    with a fastText-style linear scorer trained reference-vs-crawl.
+    This is that family's exactly-replayable member: multinomial Naive
+    Bayes over HASHED token buckets — per-bucket add-α log-likelihood
+    ratios, closed-form in ONE aggregation pass (no SGD, so no
+    iteration-order dependence; the linear decision surface is the
+    same shape fastText learns over its hashed n-grams).
+
+    ``positive`` labels the training rows (a boolean Column over
+    ``docs`` — in the DCLM setup, membership in the reference corpus).
+    Returns the model as ``(bucket, w_mu)``: exactly ``n_buckets``
+    token rows (absent buckets carry the smoothing-only weight, so
+    scoring needs no missing-key fallback) plus bucket −1 holding the
+    class prior ``round(1e6·ln(N⁺/N⁻))`` over DOC counts. Every weight
+    is an INTEGER micro-unit — the lm_perplexity discipline:
+    ``w_b = round(1e6·(ln((c⁺_b+α)/(C⁺+αB)) − ln((c⁻_b+α)/(C⁻+αB))))``.
+    A single-class corpus yields a NULL prior (scores go NULL —
+    honest, not silently one-sided).
+
+    Scale shape: one token explode → (bucket) count with conditional
+    sums (map-side combined, ≤ B rows cross the shuffle) → a broadcast
+    of the 1-row totals; the model is B+1 rows — broadcast by the
+    scorer. Nothing all-pairs, nothing iterative."""
+    from bigdata_lab02_spark.functions.text import tokens_column
+
+    spark = docs.sparkSession
+    toks = tokens_column(F.col(text_col))
+    base = docs.select(positive.alias("__pos"), toks.alias("toks"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        % n_buckets
+    )
+    occ = base.select("__pos", F.explode("toks").alias("tok")).select(
+        "__pos", bucket.alias("bucket")
+    )
+    pos1 = F.when(F.col("__pos"), 1).otherwise(0)
+    neg1 = F.when(F.col("__pos"), 0).otherwise(1)
+    cnt = occ.groupBy("bucket").agg(
+        F.sum(pos1).alias("cp"), F.sum(neg1).alias("cn")
+    )
+    tot = occ.agg(F.sum(pos1).alias("tp"), F.sum(neg1).alias("tn"))
+    b = float(n_buckets)
+    allb = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    weights = (
+        allb.join(cnt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce("cp", F.lit(0)) + alpha)
+                        / (F.col("tp") + alpha * b)
+                    )
+                    - F.log(
+                        (F.coalesce("cn", F.lit(0)) + alpha)
+                        / (F.col("tn") + alpha * b)
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("w_mu"),
+        )
+    )
+    nd = base.agg(F.sum(pos1).alias("np"), F.sum(neg1).alias("nn"))
+    prior = nd.select(
+        F.lit(-1).cast("long").alias("bucket"),
+        F.when(
+            (F.col("np") > 0) & (F.col("nn") > 0),
+            F.round(F.log(F.col("np") / F.col("nn")) * 1e6).cast("long"),
+        ).alias("w_mu"),
+    )
+    return weights.unionByName(prior)
+
+
+def quality_classifier_score(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    threshold_mu: int = 0,
+) -> DataFrame:
+    """Score every document with a ``quality_classifier_train`` model:
+    ``score_mu = prior + Σ_tokens w_bucket(token)`` — an exact BIGINT
+    sum of integer micro-unit weights, so ranking and the keep decision
+    are engine-portable. Returns ``(id, n_toks, score_mu,
+    quality_keep)`` for EVERY input doc; token-less docs score the
+    prior alone; ``quality_keep = score_mu > threshold_mu`` (0 = the
+    NB decision boundary; calibrate the threshold on a held-out stripe
+    the way DCLM sweeps its top-p%).
+
+    Scale shape: explode → broadcast model join (B rows) → one
+    doc-keyed sum; compose the keep flag with the other selection
+    stages (the filter is one fused projection once scores exist)."""
+    from bigdata_lab02_spark.functions.text import tokens_column
+
+    toks = tokens_column(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("toks"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        % n_buckets
+    )
+    occ = base.select(F.col(id_col), F.explode("toks").alias("tok")).select(
+        F.col(id_col), bucket.alias("bucket")
+    )
+    w = model.where(F.col("bucket") >= 0)
+    prior = model.where(F.col("bucket") == -1).select(
+        F.col("w_mu").alias("__prior")
+    )
+    s = (
+        occ.join(F.broadcast(w), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("w_mu").alias("__s"))
+    )
+    return (
+        base.select(F.col(id_col), F.size("toks").alias("n_toks"))
+        .join(s, id_col, "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            F.col(id_col),
+            F.col("n_toks").cast("int").alias("n_toks"),
+            (F.coalesce("__s", F.lit(0)) + F.col("__prior"))
+            .cast("long")
+            .alias("score_mu"),
+            (
+                F.coalesce("__s", F.lit(0)) + F.col("__prior")
+                > F.lit(threshold_mu)
+            ).alias("quality_keep"),
+        )
+    )

@@ -617,3 +617,104 @@ def test_ccnet_pipeline_composition(spark):
     }
     kept = [i for i in range(6) if out[i]["keep"]]
     assert kept  # en docs in head/middle survive
+
+
+class TestQualityClassifier:
+    """r13 trained model-based quality scorer (the DCLM selection
+    family): one-pass hashed-bucket NB, exact integer scoring."""
+
+    def test_learns_content_rule_and_model_shape(self, spark):
+        from bigdata_lab02_spark.functions.text import tokens_column
+        from bigdata_lab02_spark.operators.curation import (
+            quality_classifier_score,
+            quality_classifier_train,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        positive = F.array_contains(tokens_column(F.col("text")), "spark")
+        model = quality_classifier_train(docs, positive).localCheckpoint()
+        rows = model.collect()
+        assert len(rows) == 513  # 512 buckets + the prior row
+        assert sum(1 for r in rows if r["bucket"] == -1) == 1
+        assert all(r["w_mu"] is not None for r in rows)
+        scored = quality_classifier_score(docs, model)
+        got = {r["doc_id"]: r for r in scored.collect()}
+        labels = {
+            r["doc_id"]: r["pos"]
+            for r in docs.select("doc_id", positive.alias("pos")).collect()
+        }
+        assert set(got) == set(labels)  # every doc scored
+        # the scorer must RANK its own training rule apart: positives
+        # carry the marker bucket's large positive weight, so the
+        # top-|positives| docs by score are almost all positive — the
+        # top-p% calibration DCLM actually sweeps (the raw NB boundary
+        # at 0 is prior-dominated on a 77/23 split and predicts the
+        # majority class; ranking is the classifier's real product)
+        n_pos = sum(labels.values())
+        ranked = sorted(
+            got.values(), key=lambda r: (-r["score_mu"], r["doc_id"])
+        )
+        top = ranked[:n_pos]
+        prec = sum(1 for r in top if labels[r["doc_id"]]) / n_pos
+        assert prec >= 0.95, prec
+        # and every positive outranks the typical negative by the
+        # marker weight's order of magnitude
+        pos_mean = sum(
+            got[d]["score_mu"] for d in labels if labels[d]
+        ) / n_pos
+        neg_mean = sum(
+            got[d]["score_mu"] for d in labels if not labels[d]
+        ) / (len(labels) - n_pos)
+        assert pos_mean - neg_mean > 1_000_000, (pos_mean, neg_mean)
+
+    def test_classifier_and_perplexity_disagree_somewhere(self, spark):
+        """The reason DCLM runs a classifier ON TOP of perplexity: the
+        two families rank differently — the gate must exhibit at least
+        one doc the classifier keeps that the fluency LM put in its
+        tail tercile, or vice versa."""
+        import __spark_entry__ as e
+
+        rows = e.queries()["quality_classifier"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert len(rows) == 500  # every doc scored AND bucketed
+        dis = [
+            r for r in rows
+            if (r["quality_keep"] and r["ppl_bucket"] == "tail")
+            or (not r["quality_keep"] and r["ppl_bucket"] == "head")
+        ]
+        assert dis, "classifier and perplexity never disagreed"
+
+    def test_single_class_corpus_is_honest_null(self, spark):
+        from bigdata_lab02_spark.operators.curation import (
+            quality_classifier_score,
+            quality_classifier_train,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+        )
+        model = quality_classifier_train(docs, F.lit(True))
+        scored = quality_classifier_score(docs, model).collect()
+        # no negative class -> NULL prior -> NULL scores, never a silent 0
+        assert all(r["score_mu"] is None for r in scored)
+
+    def test_tokenless_doc_scores_the_prior(self, spark):
+        from bigdata_lab02_spark.operators.curation import (
+            quality_classifier_score,
+            quality_classifier_train,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "good words here"), (2, "junk junk"), (3, "   ")],
+            "doc_id long, text string",
+        )
+        model = quality_classifier_train(docs, F.col("doc_id") == 1)
+        prior = {r["bucket"]: r["w_mu"] for r in model.collect()}[-1]
+        got = {
+            r["doc_id"]: r
+            for r in quality_classifier_score(docs, model).collect()
+        }
+        assert got[3]["n_toks"] == 0 and got[3]["score_mu"] == prior
