@@ -6058,8 +6058,12 @@ def q_quality_classifier(spark, sf_dir):
     ).select("doc_id", "n_toks", "score_mu", "quality_keep", "ppl_bucket")
 
 
-_QUALITY_CLS_SQL = f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+# Shared classifier oracle chain: deterministic content-rule labels →
+# one-pass NB training (counts, smoothed integer log-ratio weights,
+# prior) → exact integer scoring of every doc; ends at `cls`
+# (doc_id, n_toks, score_mu, quality_keep). Both classifier gates
+# select from it.
+_QCLS_CHAIN_SQL = f"""t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 lab AS (SELECT doc_id, toks, list_contains(toks, 'spark') AS pos FROM t),
 occ AS (SELECT pos,
           ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512 AS bucket
@@ -6087,11 +6091,59 @@ sc AS (SELECT doc_id, sum(wt.w_mu) AS s
 cls AS (SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_toks,
           CAST(COALESCE(sc.s, 0) + prior.p AS BIGINT) AS score_mu,
           (COALESCE(sc.s, 0) + prior.p) > 0 AS quality_keep
-        FROM t LEFT JOIN sc USING (doc_id) CROSS JOIN prior),
+        FROM t LEFT JOIN sc USING (doc_id) CROSS JOIN prior)"""
+
+_QUALITY_CLS_SQL = f"""
+WITH {_QCLS_CHAIN_SQL},
 ppl AS (SELECT doc_id, ppl_bucket FROM ({_lm_ppl_sql()}))
 SELECT cls.doc_id, cls.n_toks, cls.score_mu, cls.quality_keep,
        ppl.ppl_bucket
 FROM cls JOIN ppl USING (doc_id)
+"""
+
+
+def q_quality_select(spark, sf_dir):
+    """The DCLM selection step COMPOSED end-to-end (r13 — train the
+    quality classifier, then keep the best docs under a token budget,
+    Li et al. 2024 §4.4's top-p% expressed in the budget form every
+    pretraining mix uses): ``quality_classifier_train`` (one-pass NB
+    on the deterministic content-rule label) → ``quality_select`` —
+    every doc scored with the exact integer micro-unit score, admitted
+    in (score DESC, doc_id ASC) order until 10,000 whitespace tokens
+    are spent (globally-first doc always admitted; the dsir_select /
+    token_budget_sample admission kernel, shared code). The global
+    prefix sum runs DISTRIBUTED (range-repartition + per-partition
+    offsets); the oracle states it as a plain global window, which is
+    semantically identical — and replays training, scoring, ordering
+    and the budget cut exactly."""
+    from bigdata_lab02_spark.functions.text import tokens_column
+    from bigdata_lab02_spark.operators.curation import (
+        quality_classifier_train,
+        quality_select,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    positive = F.array_contains(tokens_column(F.col("text")), "spark")
+    model = quality_classifier_train(
+        docs, positive, n_buckets=512
+    ).localCheckpoint()
+    return quality_select(docs, model, token_budget=10_000, n_buckets=512)
+
+
+_QUALITY_SELECT_SQL = rf"""
+WITH {_QCLS_CHAIN_SQL},
+tok AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+  FROM documents),
+sel AS (SELECT cls.doc_id, cls.score_mu, tok.n_tokens
+        FROM cls JOIN tok USING (doc_id)),
+cum AS (
+  SELECT *, CAST(sum(n_tokens) OVER (ORDER BY score_mu DESC, doc_id ASC
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM sel)
+SELECT doc_id, score_mu, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens <= 10000 OR cum_tokens = n_tokens
 """
 
 
@@ -6991,6 +7043,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # two families disagree; the oracle replays training exactly;
     # oracle-gated every pytest run.
     "quality_classifier": q_quality_classifier,
+    # quality_select (r13): the DCLM selection composition — classifier
+    # training + exact-integer scoring + budgeted top-score admission
+    # (the shared dsir_select prefix kernel); oracle replays training,
+    # ordering and the budget cut; oracle-gated every pytest run.
+    "quality_select": q_quality_select,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -7010,7 +7067,7 @@ ROTATED_OUT: set[str] = {
     "stream_user_totals", "url_domain_cap_bounded", "ccnet_perlang",
     "image_dedup", "warc_cdx", "stream_image_cands", "url_robots",
     "pq_topk", "pq_rerank", "dedup_simhash_pairs", "ivfpq_topk",
-    "audio_dedup", "video_dedup", "quality_classifier",
+    "audio_dedup", "video_dedup", "quality_classifier", "quality_select",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -7150,6 +7207,7 @@ _R13_NEW = {
     "audio_dedup",
     "video_dedup",
     "quality_classifier",
+    "quality_select",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -7269,6 +7327,7 @@ _ORACLES: dict[str, str] = {
     "audio_dedup": _AUDIO_DEDUP_SQL,
     "video_dedup": _VIDEO_DEDUP_SQL,
     "quality_classifier": _QUALITY_CLS_SQL,
+    "quality_select": _QUALITY_SELECT_SQL,
     "image_dedup_clusters": _IMAGE_CLUSTERS_SQL,
     "jpeg_cmyk": _JPEG_CMYK_SQL,
     "bpe_pipeline": _BPE_SQL,

@@ -176,6 +176,9 @@ EXTRA = [
     # r13: trained model-based quality classifier (DCLM family: one-pass
     # hashed-bucket NB, exact integer scoring, perplexity-tercile join)
     "quality_classifier",
+    # r13: the DCLM selection composition (classifier score -> budgeted
+    # top-score admission via the shared distributed-prefix kernel)
+    "quality_select",
 ]
 STREAMING_LAST = [
     "stream_hourly",

@@ -786,11 +786,30 @@ def dsir_select(
     keyed = scores.join(
         docs.select(F.col(id_col), n_tokens.alias("n_tokens")), id_col
     ).select(id_col, "is_target", "score", key.alias("sel_key"), "n_tokens")
+    return _budget_admit(keyed, token_budget, id_col, "sel_key", num_partitions)
 
+
+def _budget_admit(
+    keyed: DataFrame,
+    token_budget: int,
+    id_col: str,
+    key_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """TOTAL-ORDER budgeted admission (the dsir_select kernel, r13
+    shared with quality_select): rows sorted by (key DESC, id ASC) are
+    admitted until the global ``token_budget`` of ``n_tokens`` is
+    spent; the globally-first row is always admitted even if it alone
+    exceeds the budget. DISTRIBUTED global prefix sum:
+    range-repartition on the order, per-partition token sums → running
+    partition offsets (a ≤num_partitions-row driver visit, the
+    model-state seam), per-partition window adds each row's offset.
+    ``localCheckpoint`` pins the partitioning so the offset pass and
+    the output pass see identical placement. Appends ``cum_tokens``."""
     spark = keyed.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
     rp = (
-        keyed.repartitionByRange(nparts, F.desc("sel_key"), F.asc(id_col))
+        keyed.repartitionByRange(nparts, F.desc(key_col), F.asc(id_col))
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint()
     )
@@ -802,7 +821,7 @@ def dsir_select(
     off_df = spark.createDataFrame(offsets, "__pid int, __off long")
     w = (
         Window.partitionBy("__pid")
-        .orderBy(F.desc("sel_key"), F.asc(id_col))
+        .orderBy(F.desc(key_col), F.asc(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = (
@@ -1237,4 +1256,40 @@ def quality_classifier_score(
                 > F.lit(threshold_mu)
             ).alias("quality_keep"),
         )
+    )
+
+
+def quality_select(
+    docs: DataFrame,
+    model: DataFrame,
+    token_budget: int,
+    n_buckets: int = 512,
+    num_partitions: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DCLM's actual selection step (Li et al. 2024 §4.4: score every
+    document with the trained quality classifier, keep the TOP-p% —
+    here expressed as the token-budget form every pretraining mix uses):
+    ``quality_classifier_score`` ranks by the exact integer micro-unit
+    score, then the shared ``_budget_admit`` kernel admits docs in
+    (score DESC, id ASC) order until ``token_budget`` whitespace tokens
+    are spent (globally-first doc always admitted — the
+    token_budget_sample rule). Ranking — not the raw NB boundary — is
+    the classifier's product: the decision threshold falls out of the
+    budget, exactly DCLM's top-p% sweep.
+
+    Returns (id, score_mu, n_tokens, cum_tokens) for the admitted
+    subset. Scale shape: the scorer's broadcast-model pass + ONE
+    range-repartition for the distributed global prefix — no
+    one-partition global window, no driver-side data."""
+    scored = quality_classifier_score(
+        docs, model, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    )
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    keyed = scored.join(
+        docs.select(F.col(id_col), n_tokens.alias("n_tokens")), id_col
+    ).select(id_col, "score_mu", "n_tokens")
+    return _budget_admit(
+        keyed, token_budget, id_col, "score_mu", num_partitions
     )

@@ -718,3 +718,55 @@ class TestQualityClassifier:
             for r in quality_classifier_score(docs, model).collect()
         }
         assert got[3]["n_toks"] == 0 and got[3]["score_mu"] == prior
+
+
+def test_quality_select_budget_and_order(spark):
+    """r13: the DCLM selection composition — docs admitted in
+    (score DESC, id ASC) order until the token budget; the admitted
+    set is a prefix of the score ordering; budget respected except the
+    always-admit-first rule; distributed prefix == a global window."""
+    from bigdata_lab02_spark.functions.text import tokens_column
+    from bigdata_lab02_spark.operators.curation import (
+        quality_classifier_score,
+        quality_classifier_train,
+        quality_select,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    positive = F.array_contains(tokens_column(F.col("text")), "spark")
+    model = quality_classifier_train(docs, positive).localCheckpoint()
+    budget = 4_000
+    got = quality_select(docs, model, token_budget=budget).collect()
+    assert got
+    total = sum(r["n_tokens"] for r in got)
+    assert total <= budget  # (first doc is far under the budget here)
+    # replay the admission driver-side from the full score table
+    scored = {
+        r["doc_id"]: r["score_mu"]
+        for r in quality_classifier_score(docs, model).collect()
+    }
+    ntok = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n"),
+        ).collect()
+    }
+    order = sorted(scored, key=lambda d: (-scored[d], d))
+    want, acc = set(), 0
+    for d in order:
+        if acc + ntok[d] > budget and want:
+            break
+        want.add(d)
+        acc += ntok[d]
+    assert {r["doc_id"] for r in got} == want
+    # cum_tokens is the exact global prefix in that order
+    cums = {r["doc_id"]: r["cum_tokens"] for r in got}
+    acc = 0
+    for d in order:
+        if d not in want:
+            break
+        acc += ntok[d]
+        assert cums[d] == acc

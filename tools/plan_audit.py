@@ -92,6 +92,7 @@ AUDIT = [
     "audio_dedup",
     "video_dedup",
     "quality_classifier",
+    "quality_select",
 ]
 
 COMMENT = {
@@ -162,6 +163,7 @@ COMMENT = {
     "ivfpq_topk": "The composed IVF×PQ index: the codebook trains once and pins (localCheckpoint); coarse assignment is a per-row integer-L2 argmin fold over the broadcast one-row centroid array, carried THROUGH the encode aggregation as a grouping column (one build pass — exactly pq_encode's exchanges, no extra id join); probes + per-query ADC tables broadcast into the coded-list join, so the m-byte-code corpus never shuffles before the per-query top-shortlist window; the exact re-rank joins candidate ids only (candidate-sized full-precision math); the exact-baseline `hit` join adds one broadcast of the queries-sized exact top-5. Against the persisted layout the probed-list scan is directory-pruned (PartitionFilters on list_id — asserted in tests).",
     "audio_dedup": "The image_dedup shape on the audio tier: WAV decode + block-energy differential print is one zero-shuffle Arrow mapInPandas (PCM bytes never cross an exchange; only 8-byte prints leave it), PINNED before fan-out from birth (the r13 image-gate lesson); the pair join is the same 16-bit pigeonhole kernel (hash_col='afp'); the dup-degree aggregate is one hash-keyed exchange.",
     "quality_classifier": "Training is ONE aggregation pass: token explode → per-bucket conditional counts (map-side combined, ≤ B rows cross the shuffle) → a 1-row totals broadcast → the B+1-row model, pinned (localCheckpoint) before its two scorer consumers; scoring is explode → broadcast model join → one doc-keyed sum; the perplexity join reuses the lm_perplexity word-count shuffle discipline. No SGD, no iteration, nothing all-pairs — the exactly-replayable member of the linear-scorer family.",
+    "quality_select": "The classifier scorer's broadcast-model pass feeds the shared dsir_select admission kernel: ONE range-repartition on (score DESC, id ASC) pinned by localCheckpoint, per-partition token sums to the driver (≤ num_partitions rows — model-state-sized), per-partition prefix window + offset — never a one-partition global window. The audited plan is the post-checkpoint admission shape.",
     "video_dedup": "Container walk + per-frame luma dHash is one zero-shuffle Arrow mapInPandas (video bytes never cross an exchange; only (id, 8-byte hash) rows leave it), PINNED before the set-dedup fan-out; the frame-hash set then rides the minhash kernel — items explode once into the signature aggregation, candidates come only from shared LSH bands (subquadratic self-join on the band hash), and the exact-Jaccard verify is a pair-constrained equi-join on the item — candidate-sized, never all-pairs.",
     "image_dedup_clusters": "dHash tier zero-shuffle and PINNED once before fan-out (r13 — decode executes once; zero MapInPandas in the consuming plan, receipt in tests/test_plans.py); pair join pigeonhole-keyed; the alternating-star CC loop is the dedup_clusters kernel — each round two node-keyed groupBy/join passes over a shrinking edge set, localCheckpoint per round, O(log n) rounds on adversarial chains; the audited plan is the post-fixpoint star-forest join back onto the id set.",
 }

@@ -100,9 +100,22 @@ FAMILY = [
     # probe with corpus×queries codes; the re-rank stays candidate-sized
     "pq_topk",
     "pq_rerank",
+    # r13: the composed IVF×PQ index — training + coarse assignment +
+    # encoding grow with the corpus; the probe side is list-pruned, so
+    # growth should track pq_topk's (the build stages) with the ADC
+    # stage SUB-linear (only probed lists scanned)
+    "ivfpq_topk",
+    # r13: trained quality classifier — one training aggregation + a
+    # broadcast-scored pass + the lm_perplexity join; word-count-shaped
+    # shuffles, growth ~data (the ccnet shape)
+    "quality_classifier",
+    # r13: the budgeted selection on top — adds one range-repartition
+    # for the distributed prefix; growth ~data (the dsir_select shape)
+    "quality_select",
 ]
-# (image_dedup_clusters is generated-fixture-sized — corpus-independent,
-# so it has no 4x row, like the other media-fixture gates)
+# (image_dedup_clusters, audio_dedup and video_dedup are generated-
+# fixture-sized — corpus-independent, so no 4x rows, like the other
+# media-fixture gates)
 # Round-6 extension (VERDICT r5 item 6): one more doubling pair on the two
 # families with the highest 4× growth, to separate pair-count growth
 # (linear in duplicate volume) from super-linear onset before it bites.
