@@ -5762,6 +5762,53 @@ WHERE n.media_id % 4 <> 0 AND o.media_id % 4 = 0
 """
 
 
+def q_stream_audio_cands(spark, sf_dir):
+    """STREAMING perceptual audio dedup candidates (r13 — the audio
+    face of stream_image_cands, completing the streaming modality
+    matrix): the non-base variants of the fingerprint corpus arrive as
+    a WAV FILE STREAM; every micro-batch decodes and block-energy-
+    fingerprints its payloads (stateless Arrow projection) and emits
+    pigeonhole candidate pairs against the STATIC base-variant print
+    table (pinned — decoded once, the r13 contract), Hamming-verified
+    per row. The amplitude-doubled variant-3 clips collide with their
+    base at Hamming 0 — the re-levelled-re-upload case the print
+    exists for. Corrupt payloads (NULL print) drop before the join.
+    The oracle is the SAME closed-form bit-pattern chain as the image
+    twin (the fixtures share the generator pattern); replay
+    materializes to a memory sink with a batch-side distinct. (sf_dir
+    unused: media is generated.)"""
+    import tempfile
+
+    from bigdata_lab02_spark.operators.multimodal import (
+        audio_fingerprint,
+        synthetic_fp_audio,
+    )
+    from bigdata_lab02_spark.streaming import run_stream_to_memory
+    from bigdata_lab02_spark.streaming.docs import (
+        audio_dedup_candidates_stream,
+    )
+
+    media = synthetic_fp_audio(spark, 32)
+    d = tempfile.mkdtemp(prefix="audio_replay_")
+    media.where(F.col("media_id") % 4 != 0).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(d)
+    corpus = audio_fingerprint(
+        media.where(F.col("media_id") % 4 == 0)
+    ).localCheckpoint()
+    stream = spark.readStream.schema("media_id long, payload binary").parquet(d)
+    cands = audio_dedup_candidates_stream(stream, corpus)
+    out = run_stream_to_memory(
+        spark, cands, "stream_audio_cands_sink", mode="append"
+    )
+    return out.distinct()
+
+
+# identical closed form to the image twin: the audio fixture walks the
+# SAME generator bit pattern, so the candidate set is the same relation
+_STREAM_AUDIO_CANDS_SQL = _STREAM_IMAGE_CANDS_SQL
+
+
 def q_chunk_docs(spark, sf_dir):
     """Sliding-window context chunking (curation.chunk_documents): 64-token
     chunks every 48 tokens (16 overlap) over normalized document tokens;
@@ -7048,6 +7095,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (the shared dsir_select prefix kernel); oracle replays training,
     # ordering and the budget cut; oracle-gated every pytest run.
     "quality_select": q_quality_select,
+    # stream_audio_cands (r13): the streaming face of perceptual audio
+    # dedup — per-micro-batch block-energy prints vs the pinned static
+    # corpus print table, stateless append-mode (the image twin's
+    # shared pigeonhole core); oracle-gated every pytest run.
+    "stream_audio_cands": q_stream_audio_cands,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -7068,6 +7120,7 @@ ROTATED_OUT: set[str] = {
     "image_dedup", "warc_cdx", "stream_image_cands", "url_robots",
     "pq_topk", "pq_rerank", "dedup_simhash_pairs", "ivfpq_topk",
     "audio_dedup", "video_dedup", "quality_classifier", "quality_select",
+    "stream_audio_cands",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -7208,6 +7261,7 @@ _R13_NEW = {
     "video_dedup",
     "quality_classifier",
     "quality_select",
+    "stream_audio_cands",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -7328,6 +7382,7 @@ _ORACLES: dict[str, str] = {
     "video_dedup": _VIDEO_DEDUP_SQL,
     "quality_classifier": _QUALITY_CLS_SQL,
     "quality_select": _QUALITY_SELECT_SQL,
+    "stream_audio_cands": _STREAM_AUDIO_CANDS_SQL,
     "image_dedup_clusters": _IMAGE_CLUSTERS_SQL,
     "jpeg_cmyk": _JPEG_CMYK_SQL,
     "bpe_pipeline": _BPE_SQL,

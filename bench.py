@@ -189,6 +189,9 @@ STREAMING_LAST = [
     # r12: the perceptual-image candidate replay (dHash + pigeonhole
     # against the static corpus hash table)
     "stream_image_cands",
+    # r13: the perceptual-audio candidate replay (block-energy prints
+    # vs the pinned static corpus print table; shared pigeonhole core)
+    "stream_audio_cands",
 ]
 
 # Consolidated out of the registry in round 5; resolved via their kept

@@ -172,6 +172,62 @@ def image_dedup_candidates_stream(
     (batch-side distinct), exactly like the band stream."""
     from bigdata_lab02_spark.operators.multimodal import image_dhash
 
+    return hash_dedup_candidates_stream(
+        image_dhash(media_stream, orient=orient, id_col=id_col),
+        corpus_hashes,
+        id_col=id_col,
+        hash_col="dhash",
+        max_hamming=max_hamming,
+        broadcast_corpus=broadcast_corpus,
+    )
+
+
+def audio_dedup_candidates_stream(
+    media_stream: DataFrame,
+    corpus_fps: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    broadcast_corpus: bool = False,
+) -> DataFrame:
+    """Streaming perceptual AUDIO dedup candidates (r13): incoming WAV
+    payloads fingerprint per micro-batch (``audio_fingerprint`` — a
+    stateless Arrow projection, so it runs unchanged on a stream), then
+    pigeonhole candidate pairs against a static corpus print table —
+    the audio face of ``image_dedup_candidates_stream``, completing
+    the streaming modality matrix (text bands ✓ image dHash ✓ audio
+    block-energy print ✓). Amplitude-invariance carries over: a
+    re-levelled re-upload of a curated clip collides. Same contracts:
+    append-mode stateless, NULL prints (undecodable/too-short) drop
+    before the join, multiplicity to the consumer, the static side
+    should be pinned/persisted by the caller."""
+    from bigdata_lab02_spark.operators.multimodal import audio_fingerprint
+
+    return hash_dedup_candidates_stream(
+        audio_fingerprint(media_stream, id_col=id_col),
+        corpus_fps,
+        id_col=id_col,
+        hash_col="afp",
+        max_hamming=max_hamming,
+        broadcast_corpus=broadcast_corpus,
+    )
+
+
+def hash_dedup_candidates_stream(
+    new_hashes: DataFrame,
+    corpus_hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+    broadcast_corpus: bool = False,
+) -> DataFrame:
+    """The shared 64-bit-sketch stream-static candidate core (r13,
+    factored from the image face so every fingerprint modality reuses
+    it): 16-bit pigeonhole chunks on both sides (Hamming ≤ 3 ⇒ some
+    chunk equal), equi-join on (chunk_idx, chunk), exact per-row
+    Hamming verify. ``new_hashes`` may be a streaming frame (the
+    projection is stateless); ``corpus_hashes`` is the static side.
+    Returns (id_new, id_old, hamming ≤ max_hamming)."""
+
     def chunked(df: DataFrame, idc: str, hc: str) -> DataFrame:
         arr = F.array(
             *[
@@ -189,13 +245,12 @@ def image_dedup_candidates_stream(
         )
 
     new = (
-        image_dhash(media_stream, orient=orient, id_col=id_col)
-        .where(F.col("dhash").isNotNull())
-        .select(F.col(id_col).alias("id_new"), F.col("dhash").alias("h_new"))
+        new_hashes.where(F.col(hash_col).isNotNull())
+        .select(F.col(id_col).alias("id_new"), F.col(hash_col).alias("h_new"))
     )
     corpus = (
-        corpus_hashes.where(F.col("dhash").isNotNull())
-        .select(F.col(id_col).alias("id_old"), F.col("dhash").alias("h_old"))
+        corpus_hashes.where(F.col(hash_col).isNotNull())
+        .select(F.col(id_col).alias("id_old"), F.col(hash_col).alias("h_old"))
     )
     oc = chunked(corpus, "id_old", "h_old")
     if broadcast_corpus:
