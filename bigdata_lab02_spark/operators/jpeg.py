@@ -39,7 +39,8 @@ APP14 Adobe transform routing, CMYK 4:4:4 and YCCK 4:2:0 with
 full-rate K, the documented Adobe-inverted ink conversion
 channel·K/255 — the print-derived profile crawls carry; progressive
 validated bit-identical to baseline; r11 adds the LOSSLESS CMYK face;
-4-comp arithmetic stays an honest failure);
+r13 adds the ARITHMETIC face — SOF9/SOF10 with 4 components, validated
+against system-libjpeg JCS_CMYK foreign fixtures);
 12-bit sample precision decodes in EXTENDED SEQUENTIAL form (SOF1, r9:
 level shift 2048, DC categories to 15, AC to 14, Pq=1 16-bit quant
 tables; pixels reduced ``>> 4`` to the engine's 8-bit surface — the PNG
@@ -62,7 +63,8 @@ baseline first frame, EXP midpoint expansion, SOF5 differential frames
 with zero DC prediction and no level shift, clamp-added to the
 reference (see the hierarchical section note); progressive /
 arithmetic / lossless differential frames (SOF6-7/13-15) and
-4-component ARITHMETIC stay honest failures. Anything outside the profile raises
+arithmetic LOSSLESS (SOF11 — no real-world encoder emits it, so no
+foreign validation source exists) stay honest failures. Anything outside the profile raises
 ``JpegError``, which the pipeline maps to ``decode_ok=False`` (the
 honest-failure path).
 
@@ -2251,12 +2253,14 @@ def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
             ncomp = body[5]
             if ncomp not in (1, 3, 4):
                 raise JpegError(f"{ncomp} components unsupported")
-            if ncomp == 4 and arith:
-                # DCT-Huffman CMYK/YCCK (baseline AND progressive) and —
-                # r11 — LOSSLESS CMYK decode; 4-comp ARITHMETIC stays an
-                # honest failure until a fixture source exists (no
-                # in-container encoder can produce one)
-                raise JpegError("4-component arithmetic unsupported")
+            # 4-component ARITHMETIC decodes since r13: the Annex D
+            # scan machinery is component-generic (per-scan statistics
+            # sized by the scan order) and the CMYK/YCCK conversion is
+            # shared with the Huffman path — the r9 gate existed only
+            # because no fixture source was believed to exist, but the
+            # system libjpeg DOES emit JCS_CMYK arithmetic streams
+            # (validated against libjpeg_arith_cmyk / _prog_cmyk
+            # foreign fixtures in tests/test_foreign_media.py)
             for c in range(ncomp):
                 cid, hvb, tq = body[6 + c * 3 : 9 + c * 3]
                 ch, cv = hvb >> 4, hvb & 0x0F

@@ -79,6 +79,21 @@ def smooth_gray(w, h):
     return bytes(min(255, 30 + x * 3 + y * 2) for y in range(h) for x in range(w))
 
 
+def smooth_cmyk_rgb(w, h):
+    """Expected RGB of the r13 CMYK arithmetic fixtures: the generator's
+    smooth ink formula pushed through the decoder's documented
+    channel·K/255 conversion (APP14 transform 0)."""
+    out = bytearray()
+    for y in range(h):
+        for x in range(w):
+            c, m, yy = min(255, 40 + x * 4), min(255, 60 + y * 5), 96
+            k = 255 - (x + y)
+            out += bytes(
+                int(v * k / 255.0 + 0.5 + 1e-9) for v in (c, m, yy)
+            )
+    return bytes(out)
+
+
 def _expected_png(spec):
     w, h = spec["w"], spec["h"]
     kind = spec["kind"]
@@ -122,6 +137,8 @@ def test_foreign_jpeg_decodes_within_tolerance(name):
     assert (gw, gh, gch) == (w, h, 3)  # grayscale replicates Y into RGB
     if spec["kind"] == "smooth_rgb":
         want = smooth_rgb(w, h)
+    elif spec["kind"] == "smooth_cmyk":
+        want = smooth_cmyk_rgb(w, h)
     else:
         g = smooth_gray(w, h)
         want = bytes(v for v in g for _ in range(3))
@@ -190,6 +207,14 @@ def test_jpeg_fixture_profiles_documented():
         "libjpeg_arith_prog_444.jpg": ("arithprog", [(1, 1), (1, 1), (1, 1)]),
         "libjpeg_arith_prog_420.jpg": ("arithprog", [(2, 2), (1, 1), (1, 1)]),
         "libjpeg_arith_prog_rst.jpg": ("arithprog", [(1, 1), (1, 1), (1, 1)]),
+        # r13: 4-component CMYK under the arithmetic coder — the last
+        # DCT honest-failure stripe, closed with real libjpeg streams
+        "libjpeg_arith_cmyk.jpg": (
+            "arith", [(1, 1), (1, 1), (1, 1), (1, 1)]
+        ),
+        "libjpeg_arith_prog_cmyk.jpg": (
+            "arithprog", [(1, 1), (1, 1), (1, 1), (1, 1)]
+        ),
     }
     for n, (kind, _) in got.items():
         data = (FIX / n).read_bytes()

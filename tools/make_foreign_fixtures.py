@@ -333,6 +333,35 @@ static void write_jpeg(const char *path, int w, int h, int gray,
     fclose(f);
 }
 
+static void write_cmyk(const char *path, int w, int h, int arith,
+                       int prog, unsigned char *pix) {
+    /* r13: 4-component CMYK under the arithmetic coder — libjpeg
+       emits SOF9/SOF10 with 4 components and the Adobe APP14 marker
+       (transform 0), the print-derived profile our decoder routes
+       through the channel*K/255 ink conversion */
+    struct jpeg_compress_struct c;
+    struct jpeg_error_mgr err;
+    c.err = jpeg_std_error(&err);
+    jpeg_create_compress(&c);
+    FILE *f = fopen(path, "wb");
+    jpeg_stdio_dest(&c, f);
+    c.image_width = w; c.image_height = h;
+    c.input_components = 4;
+    c.in_color_space = JCS_CMYK;
+    jpeg_set_defaults(&c);
+    jpeg_set_quality(&c, 95, TRUE);
+    c.arith_code = arith ? TRUE : FALSE;
+    if (prog) jpeg_simple_progression(&c);
+    jpeg_start_compress(&c, TRUE);
+    while (c.next_scanline < c.image_height) {
+        JSAMPROW row = pix + c.next_scanline * w * 4;
+        jpeg_write_scanlines(&c, &row, 1);
+    }
+    jpeg_finish_compress(&c);
+    jpeg_destroy_compress(&c);
+    fclose(f);
+}
+
 int main(int argc, char **argv) {
     const char *dir = argv[1];
     int w = 24, h = 16;
@@ -385,6 +414,23 @@ int main(int argc, char **argv) {
         snprintf(p, 512, "%s/libjpeg_arith_rst_wrap.jpg", dir);
         write_jpeg(p, w2, h2, 0, 1, 1, 1, 0, rgb2);
     }
+    /* r13: 4-component CMYK arithmetic, sequential + progressive —
+       smooth ink formulas so the tolerance checks apply */
+    {
+        static unsigned char cmyk[24 * 16 * 4];
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++) {
+                int i = (y * w + x) * 4;
+                int cc = 40 + x * 4; if (cc > 255) cc = 255;
+                int mm = 60 + y * 5; if (mm > 255) mm = 255;
+                cmyk[i] = cc; cmyk[i + 1] = mm; cmyk[i + 2] = 96;
+                cmyk[i + 3] = 255 - (x + y);
+            }
+        snprintf(p, 512, "%s/libjpeg_arith_cmyk.jpg", dir);
+        write_cmyk(p, w, h, 1, 0, cmyk);
+        snprintf(p, 512, "%s/libjpeg_arith_prog_cmyk.jpg", dir);
+        write_cmyk(p, w, h, 1, 1, cmyk);
+    }
     return 0;
 }
 """
@@ -435,6 +481,12 @@ def make_arith_jpegs():
         "libjpeg_arith_prog_444.jpg": dict(spec),
         "libjpeg_arith_prog_420.jpg": {**spec, "tol": 6.0},
         "libjpeg_arith_prog_rst.jpg": dict(spec),
+        # r13: 4-component CMYK under the arithmetic coder (APP14
+        # transform 0; our decoder's channel*K/255 ink conversion) —
+        # the stripe the r9 gate left as an honest failure on the
+        # belief no in-container encoder existed; libjpeg disagrees
+        "libjpeg_arith_cmyk.jpg": {**spec, "kind": "smooth_cmyk"},
+        "libjpeg_arith_prog_cmyk.jpg": {**spec, "kind": "smooth_cmyk"},
     }
 
 
