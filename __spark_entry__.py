@@ -972,9 +972,11 @@ def q_ivfpq_topk(spark, sf_dir):
     )
 
 
-_IVFPQ_SQL = f"""
-WITH {_PQ_CHAIN_SQL},
-cdims AS (SELECT CAST(vec_id / 50 AS INT) AS cid, j, x AS c
+# Shared IVFPQ oracle fragments (r13): the coarse tier (needs `dims`)
+# and the shortlist/re-rank/exact-baseline tail (needs `iadc` + `dims`)
+# — the global-codebook and residual gates differ only in the training/
+# encoding/table CTEs between them.
+_IVFPQ_COARSE_SQL = """cdims AS (SELECT CAST(vec_id / 50 AS INT) AS cid, j, x AS c
           FROM dims WHERE vec_id % 50 = 0 AND vec_id < 500),
 cd AS (SELECT d.vec_id, c.cid, sum((d.x - c.c) * (d.x - c.c)) AS d2
        FROM dims d JOIN cdims c ON c.j = d.j
@@ -984,17 +986,9 @@ lists AS (SELECT vec_id, cid AS list_id FROM (
     FROM cd) WHERE rn = 1),
 probes AS (SELECT vec_id AS query_id, cid AS list_id FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-    FROM cd WHERE vec_id < 10) WHERE rn <= 3),
-iadc AS (SELECT p.query_id, co.vec_id AS neighbor_id,
-           CAST(sum(qd.d2) AS BIGINT) AS adc_d2
-         FROM probes p
-         JOIN lists l ON l.list_id = p.list_id
-         JOIN codes co ON co.vec_id = l.vec_id
-         JOIN qd ON qd.query_id = p.query_id
-                AND qd.s = co.s AND qd.code = co.code
-         WHERE co.vec_id <> p.query_id
-         GROUP BY p.query_id, co.vec_id),
-srk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+    FROM cd WHERE vec_id < 10) WHERE rn <= 3)"""
+
+_IVFPQ_TAIL_SQL = """srk AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY adc_d2, neighbor_id) AS srank FROM iadc),
 short AS (SELECT query_id, neighbor_id FROM srk WHERE srank <= 50),
 iex AS (SELECT s.query_id, s.neighbor_id,
@@ -1018,7 +1012,113 @@ SELECT r.query_id, r.neighbor_id, r.d2, CAST(r.rank AS INT) AS rank,
   (e.neighbor_id IS NOT NULL) AS hit
 FROM irk r LEFT JOIN ebest e
   ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
-WHERE r.rank <= 5
+WHERE r.rank <= 5"""
+
+_IVFPQ_SQL = f"""
+WITH {_PQ_CHAIN_SQL},
+{_IVFPQ_COARSE_SQL},
+iadc AS (SELECT p.query_id, co.vec_id AS neighbor_id,
+           CAST(sum(qd.d2) AS BIGINT) AS adc_d2
+         FROM probes p
+         JOIN lists l ON l.list_id = p.list_id
+         JOIN codes co ON co.vec_id = l.vec_id
+         JOIN qd ON qd.query_id = p.query_id
+                AND qd.s = co.s AND qd.code = co.code
+         WHERE co.vec_id <> p.query_id
+         GROUP BY p.query_id, co.vec_id),
+{_IVFPQ_TAIL_SQL}
+"""
+
+
+def q_ivfpq_residual_topk(spark, sf_dir):
+    """IVF×PQ with RESIDUAL encoding gated end-to-end (r13 — Jégou
+    2011's deployed IVFADC form, ``ivfpq_topk(by_residual=True)``):
+    the PQ codebooks train on, and the m-byte codes quantize, each
+    vector's exact integer residual from its assigned coarse centroid;
+    the per-query ADC tables become per-(query, probed list) tables
+    over the query's residual from that list's centroid. Residual
+    spread within a list is far smaller than raw-vector spread, so the
+    same code budget buys finer cells — the property pinned on a
+    clustered corpus in tests (ADC recall 0.64 residual vs 0.42
+    global); THIS gate pins exactness on the standard embeddings
+    fixture: training over residuals, codes, the list-specific tables,
+    ADC sums, the exact re-rank and the per-row `hit` vs the exact L2
+    top-5 are all integer micro-unit math the oracle replays
+    bit-for-bit. The residual-layout persisted twin is
+    equivalence-tested (persistence must be invisible)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)).select(
+        (F.col("vec_id") / 50).cast("int").alias("cluster_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    out = sim.ivfpq_topk(
+        emb, queries, cents, dim=64, m=8, ksub=16, k=5, nprobe=3,
+        shortlist=50, by_residual=True,
+    )
+    ex5 = F.broadcast(
+        sim.exact_l2_topk(emb, queries, k=5).select(
+            "query_id", "neighbor_id", F.lit(True).alias("hit")
+        )
+    )
+    return out.join(ex5, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "neighbor_id",
+        "d2",
+        "rank",
+        F.coalesce("hit", F.lit(False)).alias("hit"),
+    )
+
+
+_IVFPQ_RESID_SQL = f"""
+WITH emu AS (SELECT vec_id,
+    list_transform(embedding::DOUBLE[],
+      x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+  FROM embeddings),
+dims AS (SELECT vec_id, CAST(generate_subscripts(v, 1) - 1 AS INT) AS j,
+    unnest(v) AS x FROM emu),
+{_IVFPQ_COARSE_SQL},
+rdims AS (SELECT d.vec_id, l.list_id, d.j, d.x - c.c AS x
+          FROM dims d JOIN lists l USING (vec_id)
+          JOIN cdims c ON c.cid = l.list_id AND c.j = d.j),
+rsd AS (SELECT vec_id, list_id, j // 8 AS s, j % 8 AS jj, x FROM rdims),
+init AS (SELECT s, CAST(vec_id AS INT) AS code, jj, x AS c
+         FROM rsd WHERE vec_id < 16),
+ad AS (SELECT p.vec_id, p.s, i.code, sum((p.x - i.c) * (p.x - i.c)) AS d2
+       FROM rsd p JOIN init i ON p.s = i.s AND p.jj = i.jj
+       GROUP BY p.vec_id, p.s, i.code),
+ark AS (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+          ORDER BY d2, code) AS rn FROM ad),
+asg AS (SELECT vec_id, s, code FROM ark WHERE rn = 1),
+upd AS (SELECT a.s, a.code, p.jj, CAST(round(avg(p.x)) AS BIGINT) AS c
+        FROM asg a JOIN rsd p ON p.vec_id = a.vec_id AND p.s = a.s
+        GROUP BY a.s, a.code, p.jj),
+cb AS (SELECT i.s, i.code, i.jj, coalesce(u.c, i.c) AS c
+       FROM init i LEFT JOIN upd u
+         ON i.s = u.s AND i.code = u.code AND i.jj = u.jj),
+enc0 AS (SELECT p.vec_id, p.s, c.code, sum((p.x - c.c) * (p.x - c.c)) AS d2
+         FROM rsd p JOIN cb c ON p.s = c.s AND p.jj = c.jj
+         GROUP BY p.vec_id, p.s, c.code),
+enck AS (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+           ORDER BY d2, code) AS rn FROM enc0),
+codes AS (SELECT vec_id, s, code FROM enck WHERE rn = 1),
+qrd AS (SELECT q.vec_id AS query_id, p.list_id, q.j, q.x - c.c AS x
+        FROM dims q JOIN probes p ON p.query_id = q.vec_id
+        JOIN cdims c ON c.cid = p.list_id AND c.j = q.j),
+qsd AS (SELECT query_id, list_id, j // 8 AS s, j % 8 AS jj, x FROM qrd),
+qd AS (SELECT query_id, list_id, c.s, c.code,
+         sum((qsd.x - c.c) * (qsd.x - c.c)) AS d2
+       FROM qsd JOIN cb c ON c.s = qsd.s AND c.jj = qsd.jj
+       GROUP BY query_id, list_id, c.s, c.code),
+iadc AS (SELECT qd.query_id, co.vec_id AS neighbor_id,
+           CAST(sum(qd.d2) AS BIGINT) AS adc_d2
+         FROM lists l
+         JOIN codes co ON co.vec_id = l.vec_id
+         JOIN qd ON qd.list_id = l.list_id
+                AND qd.s = co.s AND qd.code = co.code
+         WHERE co.vec_id <> qd.query_id
+         GROUP BY qd.query_id, co.vec_id),
+{_IVFPQ_TAIL_SQL}
 """
 
 
@@ -7100,6 +7200,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # corpus print table, stateless append-mode (the image twin's
     # shared pigeonhole core); oracle-gated every pytest run.
     "stream_audio_cands": q_stream_audio_cands,
+    # ivfpq_residual_topk (r13): IVF×PQ with residual encoding — the
+    # deployed IVFADC form; codebooks/codes over exact integer
+    # residuals, per-(query, list) ADC tables, same re-rank + hit
+    # surface; residual-vs-global recall gap pinned on a clustered
+    # corpus in tests; oracle-gated every pytest run.
+    "ivfpq_residual_topk": q_ivfpq_residual_topk,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -7120,7 +7226,7 @@ ROTATED_OUT: set[str] = {
     "image_dedup", "warc_cdx", "stream_image_cands", "url_robots",
     "pq_topk", "pq_rerank", "dedup_simhash_pairs", "ivfpq_topk",
     "audio_dedup", "video_dedup", "quality_classifier", "quality_select",
-    "stream_audio_cands",
+    "stream_audio_cands", "ivfpq_residual_topk",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -7262,6 +7368,7 @@ _R13_NEW = {
     "quality_classifier",
     "quality_select",
     "stream_audio_cands",
+    "ivfpq_residual_topk",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -7383,6 +7490,7 @@ _ORACLES: dict[str, str] = {
     "quality_classifier": _QUALITY_CLS_SQL,
     "quality_select": _QUALITY_SELECT_SQL,
     "stream_audio_cands": _STREAM_AUDIO_CANDS_SQL,
+    "ivfpq_residual_topk": _IVFPQ_RESID_SQL,
     "image_dedup_clusters": _IMAGE_CLUSTERS_SQL,
     "jpeg_cmyk": _JPEG_CMYK_SQL,
     "bpe_pipeline": _BPE_SQL,

@@ -167,6 +167,9 @@ EXTRA = [
     # r13: the composed IVF x PQ index (coarse-list pruning + m-byte ADC
     # + exact re-rank, per-row hit vs the exact L2 top-5)
     "ivfpq_topk",
+    # r13: the residual-encoded form (IVFADC: codes quantize residuals,
+    # per-(query, list) ADC tables)
+    "ivfpq_residual_topk",
     # r13: perceptual audio dedup (WAV decode -> block-energy print ->
     # pigeonhole Hamming pairs; amplitude-invariant)
     "audio_dedup",

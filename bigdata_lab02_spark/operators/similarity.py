@@ -706,23 +706,40 @@ def _sq_dist_mu(a: Column, b: Column) -> Column:
     )
 
 
-def _pq_subvectors(
-    vectors: DataFrame, dim: int, m: int, id_col: str, vec_col: str
-) -> DataFrame:
-    """(id, s, sv): the m subvectors (micro-unit longs) of every row."""
+def _pq_split_mu(mu: Column, dim: int, m: int) -> Column:
+    """array<struct(s, sv)>: the m subvector slices of an ALREADY
+    micro-unit long array — the shared splitter, so float vectors and
+    integer residuals (r13 ``by_residual``) take the same path with ONE
+    rounding step each."""
     d = dim // m
-    v = _mu_array(F.col(vec_col))
-    subs = F.array(
+    return F.array(
         *[
             F.struct(
-                F.lit(s).alias("s"), F.slice(v, s * d + 1, d).alias("sv")
+                F.lit(s).alias("s"), F.slice(mu, s * d + 1, d).alias("sv")
             )
             for s in range(m)
         ]
     )
+
+
+def _pq_subvectors(
+    vectors: DataFrame, dim: int, m: int, id_col: str, vec_col: str,
+    pre_scaled: bool = False, extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id[, extra…], s, sv): the m subvectors (micro-unit longs) of
+    every row. ``pre_scaled=True`` reads ``vec_col`` as micro-unit
+    longs verbatim (residual vectors — already exact integers; a second
+    ``_mu_array`` pass would round twice); ``extra_cols`` carry
+    passthrough columns (e.g. the residual's list_id) through the
+    explode."""
+    v = F.col(vec_col) if pre_scaled else _mu_array(F.col(vec_col))
     return vectors.select(
-        F.col(id_col), F.explode(subs).alias("x")
-    ).select(id_col, F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
+        F.col(id_col), *extra_cols,
+        F.explode(_pq_split_mu(v, dim, m)).alias("x"),
+    ).select(
+        id_col, *extra_cols,
+        F.col("x.s").alias("s"), F.col("x.sv").alias("sv"),
+    )
 
 
 def _pq_argmin(
@@ -753,6 +770,7 @@ def pq_codebooks(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pre_scaled: bool = False,
 ) -> DataFrame:
     """Product-quantization codebooks (Jégou, Douze, Schmid 2011,
     "Product Quantization for Nearest Neighbor Search" §II): split
@@ -772,10 +790,16 @@ def pq_codebooks(
     Returns (s, code, cent array<long micro-units>). Scale shape: the
     codebook is m·ksub rows (broadcast); each iteration is one argmin
     window keyed by (row, subspace) and one (s, code, dim) mean
-    aggregation — map-side combined, nothing all-pairs."""
+    aggregation — map-side combined, nothing all-pairs.
+
+    ``pre_scaled=True`` (r13) reads ``vec_col`` as micro-unit LONG
+    arrays verbatim — the residual-training path of ``by_residual``
+    IVF×PQ, whose inputs are already exact integers."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    subs = _pq_subvectors(corpus, dim, m, id_col, vec_col)
+    subs = _pq_subvectors(
+        corpus, dim, m, id_col, vec_col, pre_scaled=pre_scaled
+    )
     # init literally as documented: codebook c = the subvector of the
     # corpus row with the c-th SMALLEST id — a bounded top-ksub over
     # ascending id (TakeOrderedAndProject, never a corpus sort), NOT
@@ -1131,6 +1155,35 @@ def _ivfpq_top_lists(
     )
 
 
+def _ivfpq_residuals(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_id_col: str,
+    centroid_vec_col: str,
+) -> DataFrame:
+    """(id, list_id, rv): every corpus vector's EXACT integer residual
+    from its assigned coarse centroid (micro-unit subtraction — no new
+    rounding step). The r13 ``by_residual`` substrate: Jégou 2011's
+    deployed IVFADC quantizes residuals, whose spread within a list is
+    far smaller than the raw vectors', so the same m·ksub code budget
+    buys finer cells. Per-row array math + one broadcast centroid-dim
+    join — zero data-sized exchanges."""
+    cent_arr = _ivfpq_cent_array(centroids, centroid_id_col, centroid_vec_col)
+    mu = corpus.select(F.col(id_col), _mu_array(F.col(vec_col)).alias("mv"))
+    assigned = _ivfpq_top_lists(mu, cent_arr, 1, id_col, keep_vec=True)
+    cdim = centroids.select(
+        F.col(centroid_id_col).alias("list_id"),
+        _mu_array(F.col(centroid_vec_col)).alias("__cmv"),
+    )
+    return assigned.join(F.broadcast(cdim), "list_id").select(
+        F.col(id_col),
+        "list_id",
+        F.zip_with("mv", "__cmv", lambda a, b: a - b).alias("rv"),
+    )
+
+
 def ivfpq_corpus_lists(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -1141,6 +1194,7 @@ def ivfpq_corpus_lists(
     vec_col: str = "embedding",
     centroid_id_col: str = "cluster_id",
     centroid_vec_col: str = "centroid",
+    by_residual: bool = False,
 ) -> DataFrame:
     """The IVF×PQ index rows: (id, list_id, codes) — every corpus
     vector coarse-assigned to its nearest inverted list (exact integer
@@ -1152,20 +1206,29 @@ def ivfpq_corpus_lists(
     once-per-corpus-version artifact (Jégou 2011 §V / the FAISS
     IndexIVFPQ layout with by_residual=false: ONE global codebook over
     raw vectors rather than per-list residual codebooks — the variant
-    that lets the persisted layout share codebooks across lists)."""
-    cent_arr = _ivfpq_cent_array(centroids, centroid_id_col, centroid_vec_col)
-    mu = corpus.select(F.col(id_col), _mu_array(F.col(vec_col)).alias("mv"))
-    assigned = _ivfpq_top_lists(mu, cent_arr, 1, id_col, keep_vec=True)
-    d = dim // m
-    subs = F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("s"),
-                F.slice(F.col("mv"), s * d + 1, d).alias("sv"),
-            )
-            for s in range(m)
-        ]
-    )
+    that lets the persisted layout share codebooks across lists).
+
+    ``by_residual=True`` (r13, Jégou's deployed IVFADC): the codes
+    quantize the RESIDUAL from the assigned coarse centroid instead of
+    the raw vector — ``codebooks`` must then be residual-trained
+    (``pq_codebooks(_ivfpq_residuals(…), pre_scaled=True)``, which
+    ``ivfpq_topk(by_residual=True)`` does); same one-pass build, the
+    residual subtraction is per-row math over a broadcast centroid
+    dim."""
+    if by_residual:
+        assigned = _ivfpq_residuals(
+            corpus, centroids, id_col, vec_col,
+            centroid_id_col, centroid_vec_col,
+        ).withColumnRenamed("rv", "mv")
+    else:
+        cent_arr = _ivfpq_cent_array(
+            centroids, centroid_id_col, centroid_vec_col
+        )
+        mu = corpus.select(
+            F.col(id_col), _mu_array(F.col(vec_col)).alias("mv")
+        )
+        assigned = _ivfpq_top_lists(mu, cent_arr, 1, id_col, keep_vec=True)
+    subs = _pq_split_mu(F.col("mv"), dim, m)
     staged = assigned.select(
         F.col(id_col), "list_id", F.explode(subs).alias("x")
     ).select(
@@ -1201,24 +1264,91 @@ def persist_ivfpq_lists(
     vec_col: str = "embedding",
     centroid_id_col: str = "cluster_id",
     centroid_vec_col: str = "centroid",
+    by_residual: bool = False,
 ) -> None:
     """Build the IVF×PQ index ONCE and persist parquet PARTITIONED BY
     list_id — the deployed 100 TB ANN artifact: each later probe is a
     directory-pruned scan of only the probed lists, and each list row
     is m BYTES of codes instead of dim floats (the persisted-IVF layout
     with PQ's 32× row shrink on top). ``codebooks`` must be persisted
-    alongside (m·ksub rows — trivially small)."""
+    alongside (m·ksub rows — trivially small); a ``by_residual`` layout
+    must be probed with ``by_residual=True`` (the codes are meaningless
+    without the centroid subtraction)."""
     ivfpq_corpus_lists(
         corpus, centroids, codebooks, dim, m=m, id_col=id_col,
         vec_col=vec_col, centroid_id_col=centroid_id_col,
-        centroid_vec_col=centroid_vec_col,
+        centroid_vec_col=centroid_vec_col, by_residual=by_residual,
     ).write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def _pq_query_tables_residual(
+    queries: DataFrame,
+    probes: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int,
+    query_id_col: str,
+    vec_col: str,
+    centroid_id_col: str,
+    centroid_vec_col: str,
+) -> DataFrame:
+    """(query_id, list_id, dt): per-(query, probed list) ADC distance
+    tables over the QUERY RESIDUAL from that list's centroid — the
+    ``by_residual`` twin of ``_pq_query_tables`` (a residual code means
+    nothing except relative to its list's centroid, so the table is
+    list-specific). queries·nprobe·m·ksub values total — still probe-
+    contract-sized, still broadcast by the ADC join."""
+    qmu = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _mu_array(F.col(vec_col)).alias("mv"),
+    )
+    cdim = centroids.select(
+        F.col(centroid_id_col).alias("list_id"),
+        _mu_array(F.col(centroid_vec_col)).alias("__cmv"),
+    )
+    qres = (
+        probes.join(qmu, "query_id")
+        .join(F.broadcast(cdim), "list_id")
+        .select(
+            "query_id",
+            "list_id",
+            F.zip_with("mv", "__cmv", lambda a, b: a - b).alias("rv"),
+        )
+    )
+    ex = qres.select(
+        "query_id", "list_id",
+        F.explode(_pq_split_mu(F.col("rv"), dim, m)).alias("x"),
+    ).select(
+        "query_id", "list_id",
+        F.col("x.s").alias("s"), F.col("x.sv").alias("sv"),
+    )
+    return (
+        ex.join(F.broadcast(codebooks), "s")
+        .select(
+            "query_id", "list_id", "s", "code",
+            _sq_dist_mu(F.col("sv"), F.col("cent")).alias("d2"),
+        )
+        .groupBy("query_id", "list_id", "s")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("code"), F.col("d2")))),
+                lambda p: p["d2"],
+            ).alias("darr")
+        )
+        .groupBy("query_id", "list_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("darr")))),
+                lambda p: p["darr"],
+            ).alias("dt")
+        )
+    )
 
 
 def _ivfpq_adc_topk(
     lists: DataFrame,
-    probes: DataFrame,
-    qtab: DataFrame,
+    probe_tabs: DataFrame,
     k: int,
     shortlist: int | None,
     corpus: DataFrame,
@@ -1229,12 +1359,12 @@ def _ivfpq_adc_topk(
 ) -> DataFrame:
     """Shared IVFPQ query core: ADC over the probed lists' codes, then
     (optionally) the exact re-rank of the shortlist. ``lists`` carries
-    (neighbor_id, list_id, codes); ``probes`` (query_id, list_id);
-    ``qtab`` the per-query distance tables. The probe side (queries ×
-    nprobe rows, each with one m·ksub table) broadcasts into the list
-    join — the coded corpus never shuffles; the only data-sized
-    exchange is the per-query top-k window over probed candidates."""
-    probe_tabs = probes.join(qtab, "query_id")
+    (neighbor_id, list_id, codes); ``probe_tabs`` (query_id, list_id,
+    dt) — global tables replicated per probe, or the per-(query, list)
+    residual tables. The probe side (queries × nprobe rows, each with
+    one m·ksub table) broadcasts into the list join — the coded corpus
+    never shuffles; the only data-sized exchange is the per-query
+    top-k window over probed candidates."""
     scored = (
         lists.join(F.broadcast(probe_tabs), "list_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -1276,6 +1406,7 @@ def ivfpq_topk(
     centroid_id_col: str = "cluster_id",
     centroid_vec_col: str = "centroid",
     query_id_col: str | None = None,
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVF×PQ — the composed index production ANN actually deploys
     (Jégou 2011 §V, VERDICT r12 item 3: IVF prunes WHICH rows each
@@ -1298,15 +1429,36 @@ def ivfpq_topk(
     corpus never shuffles before the per-query top-k (probes + tables
     broadcast); the re-rank is candidate-sized. Against a persisted
     layout (``persist_ivfpq_lists`` + ``ivfpq_topk_persisted``) the
-    probed-list scan is directory-pruned on top."""
+    probed-list scan is directory-pruned on top.
+
+    ``by_residual=True`` (r13 — Jégou's deployed IVFADC form): the PQ
+    codebooks train on, and the codes quantize, each vector's RESIDUAL
+    from its assigned coarse centroid; the per-query distance tables
+    become per-(query, probed list) tables over the query's residual
+    from that list's centroid. Residual spread within a list is far
+    smaller than raw-vector spread, so the same m·ksub budget buys
+    finer cells — on a clustered corpus the ADC ranking is measurably
+    closer to exact (test-pinned); same exchanges, the tables stay
+    probe-contract-sized."""
     query_id_col = query_id_col or id_col
-    cb = pq_codebooks(
-        corpus, dim, m=m, ksub=ksub, iters=iters,
-        id_col=id_col, vec_col=vec_col,
-    ).localCheckpoint()
+    if by_residual:
+        res = _ivfpq_residuals(
+            corpus, centroids, id_col, vec_col,
+            centroid_id_col, centroid_vec_col,
+        )
+        cb = pq_codebooks(
+            res, dim, m=m, ksub=ksub, iters=iters,
+            id_col=id_col, vec_col="rv", pre_scaled=True,
+        ).localCheckpoint()
+    else:
+        cb = pq_codebooks(
+            corpus, dim, m=m, ksub=ksub, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        ).localCheckpoint()
     lists = ivfpq_corpus_lists(
         corpus, centroids, cb, dim, m=m, id_col=id_col, vec_col=vec_col,
         centroid_id_col=centroid_id_col, centroid_vec_col=centroid_vec_col,
+        by_residual=by_residual,
     ).withColumnRenamed(id_col, "neighbor_id")
     cent_arr = _ivfpq_cent_array(centroids, centroid_id_col, centroid_vec_col)
     qmu = queries.select(
@@ -1315,9 +1467,16 @@ def ivfpq_topk(
     probes = _ivfpq_top_lists(
         qmu, cent_arr, nprobe, query_id_col
     ).withColumnRenamed(query_id_col, "query_id")
-    qtab = _pq_query_tables(queries, cb, dim, m, query_id_col, vec_col)
+    if by_residual:
+        probe_tabs = _pq_query_tables_residual(
+            queries, probes, centroids, cb, dim, m, query_id_col,
+            vec_col, centroid_id_col, centroid_vec_col,
+        )
+    else:
+        qtab = _pq_query_tables(queries, cb, dim, m, query_id_col, vec_col)
+        probe_tabs = probes.join(qtab, "query_id")
     return _ivfpq_adc_topk(
-        lists, probes, qtab, k, shortlist, corpus, queries,
+        lists, probe_tabs, k, shortlist, corpus, queries,
         id_col, vec_col, query_id_col,
     )
 
@@ -1339,6 +1498,7 @@ def ivfpq_topk_persisted(
     centroid_id_col: str = "cluster_id",
     centroid_vec_col: str = "centroid",
     query_id_col: str | None = None,
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVF×PQ over a ``persist_ivfpq_lists`` layout: queries pick their
     ``nprobe`` lists, the DISTINCT probed list ids come to the driver
@@ -1369,9 +1529,18 @@ def ivfpq_topk_persisted(
         .where(F.col("list_id").isin(probe_ids))
         .withColumnsRenamed({id_col: "neighbor_id"})
     )
-    qtab = _pq_query_tables(queries, codebooks, dim, m, query_id_col, vec_col)
+    if by_residual:
+        probe_tabs = _pq_query_tables_residual(
+            queries, probes, centroids, codebooks, dim, m, query_id_col,
+            vec_col, centroid_id_col, centroid_vec_col,
+        )
+    else:
+        qtab = _pq_query_tables(
+            queries, codebooks, dim, m, query_id_col, vec_col
+        )
+        probe_tabs = probes.join(qtab, "query_id")
     return _ivfpq_adc_topk(
-        lists, probes, qtab, k, shortlist, rerank_corpus, queries,
+        lists, probe_tabs, k, shortlist, rerank_corpus, queries,
         id_col, vec_col, query_id_col,
     )
 

@@ -105,6 +105,9 @@ FAMILY = [
     # growth should track pq_topk's (the build stages) with the ADC
     # stage SUB-linear (only probed lists scanned)
     "ivfpq_topk",
+    # r13: the residual form — adds the broadcast-dim residual
+    # subtraction to train/encode/probe; growth should track ivfpq's
+    "ivfpq_residual_topk",
     # r13: trained quality classifier — one training aggregation + a
     # broadcast-scored pass + the lm_perplexity join; word-count-shaped
     # shuffles, growth ~data (the ccnet shape)
