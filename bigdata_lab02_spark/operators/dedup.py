@@ -192,13 +192,19 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH dedup: candidates from LSH buckets, verified with
     exact Jaccard over shingle sets → (id_a, id_b, jaccard >= threshold).
 
-    The corpus is tokenized+shingled ONCE: the exploded (id, shingle)
-    stream feeds both the signature aggregation and the exact-Jaccard
-    verification (intersection counted via a pair-constrained join on the
-    shingle — no per-row set arrays materialized)."""
+    The corpus is tokenized+shingled ONCE — and PINNED (r13): the
+    exploded (id, shingle) stream feeds the signature aggregation (both
+    sides of the band self-join), the set sizes, and the exact-Jaccard
+    verification twice; without the pin the compiled plan re-inlined the
+    tokenize+shingle subtree into every consumer (measured: 16 Generate
+    nodes, 5 repeated scans — the ccnet/image-gate re-inlining class),
+    and the pin is measured 11% faster warm and 2.7× faster cold at
+    sf0.1. Production runs materialize the band table instead
+    (``persist_corpus_bands``); the intersection is counted via a
+    pair-constrained join on the shingle — no per-row set arrays."""
     ex = docs.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
-    )
+    ).localCheckpoint()
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -284,17 +290,20 @@ def set_dup_pairs(
     copy keeps most of its frame hashes, so its set Jaccard stays high
     while byte identity is long gone).
 
-    Scale shape: items explode once and feed both the signature
-    aggregation and the verify joins; candidates come only from shared
-    LSH bands (subquadratic); intersections are counted via a
-    pair-constrained equi-join on the item (candidate-sized, no per-row
-    set arrays); sizes join back keyed by id. Nothing all-pairs."""
+    Scale shape: items explode once — PINNED, the minhash_dedup_pairs
+    discipline (five consumers otherwise re-inline the distinct
+    subtree) — and feed both the signature aggregation and the verify
+    joins; candidates come only from shared LSH bands (subquadratic);
+    intersections are counted via a pair-constrained equi-join on the
+    item (candidate-sized, no per-row set arrays); sizes join back
+    keyed by id. Nothing all-pairs."""
     ex = (
         items.select(
             F.col(id_col), F.col(item_col).cast("string").alias("sh")
         )
         .where(F.col("sh").isNotNull())
         .distinct()
+        .localCheckpoint()
     )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
@@ -474,8 +483,16 @@ def ngram_jaccard_pairs(
     bounded by co-occurring shingles, not n²; ``max_shingle_df`` drops
     ubiquitous shingles (boilerplate) from candidate generation the way a
     search engine drops stop-shingles, collapsing the worst skew.
+
+    The exploded shingle stream is PINNED (r13): sizes, the df filter
+    and both self-join sides consume it — unpinned, the compiled plan
+    re-ran tokenize+shingle once per consumer (measured 19% faster
+    warm, 2.9× cold at sf0.1 with the pin).
     """
-    sh = docs.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"))
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     if max_shingle_df is not None:
         rare = sh.groupBy("sh").agg(F.count("*").alias("df")).where(

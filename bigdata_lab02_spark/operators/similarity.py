@@ -179,9 +179,17 @@ def embedding_dup_pairs(
     (table, bucket), and candidates are deduped on the id pair before the
     exact cosine verification — each surviving pair is verified once.
     ``round_dp`` rounds the cosine BEFORE the threshold test (cross-engine
-    determinism at the threshold boundary — the oracle does the same)."""
+    determinism at the threshold boundary — the oracle does the same).
+
+    Both fan-out frames are PINNED (r13, the re-inlining class): the
+    bucket table feeds BOTH sides of the self-join and the
+    norm-carrying vector table feeds both verify joins — unpinned, the
+    compiled plan re-ran the n_tables·n_planes hyperplane dots and the
+    norm folds once per consumer (measured: 29% faster warm, 3× cold
+    at sf0.1 with the pins). At persisted-corpus scale the verify side
+    reads an id-keyed vector layout instead."""
     v = vectors.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
-    banded = _banded_tables(v, dim, n_planes, n_tables, id_col)
+    banded = _banded_tables(v, dim, n_planes, n_tables, id_col).localCheckpoint()
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -200,7 +208,7 @@ def embedding_dup_pairs(
     # folds array_cosine would run per pair. Same expression values
     # (norm(x) is a pure function of the vector), so results are
     # bit-identical to the naive form and the oracle is unchanged.
-    vn = v.withColumn("nrm", array_norm(F.col("v")))
+    vn = v.withColumn("nrm", array_norm(F.col("v"))).localCheckpoint()
     va = vn.withColumnsRenamed({id_col: "id_a", "v": "va", "nrm": "na"})
     vb = vn.withColumnsRenamed({id_col: "id_b", "v": "vb", "nrm": "nb"})
     denom = F.col("na") * F.col("nb")

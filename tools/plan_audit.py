@@ -105,10 +105,10 @@ COMMENT = {
     "p7_top_terms": "Filter fused into the aggregate scan; TakeOrderedAndProject: per-partition bounded heaps, no global sort.",
     "relational_suite": "Seven relational families, one gate: semi/anti joins broadcast, cube via one Expand, running sum + lag share ONE hash exchange, percentiles partial-aggregated; the normalizing unions add no exchange.",
     "dedup_exact": "Exactly one exchange, keyed by content digest.",
-    "dedup_minhash_lsh": "Shingles exploded once; signature min-aggregates map-side; candidate join keyed by LSH band bucket (subquadratic).",
+    "dedup_minhash_lsh": "Shingles exploded once and PINNED (r13: the five consumers — signature agg via both band self-join sides, sizes, and the exact-Jaccard verify twice — otherwise re-inlined the tokenize+shingle subtree; measured 11% faster warm / 2.7x cold); signature min-aggregates map-side; candidate join keyed by LSH band bucket (subquadratic).",
     "dedup_simhash_pairs": "One groupBy builds 60-bit sketches (explode-once, 60 conditional sums); pair join keyed by 16-bit pigeonhole chunk equality — subquadratic.",
     "embedding_topk": "Query vectors broadcast; corpus side streams; per-query rank window.",
-    "embedding_dup_pairs": "Hyperplane sign buckets computed in one pass (explode over (table,bucket)); self-join keyed by the LSH cell; pair-deduped before one cosine verify per candidate.",
+    "embedding_dup_pairs": "Hyperplane sign buckets computed in one pass (explode over (table,bucket)) and PINNED with the norm-carrying vector table (r13: both fan out to two consumers each; measured 29% faster warm / 3x cold); self-join keyed by the LSH cell; pair-deduped before one cosine verify per candidate.",
     "kmeans_assign": "Centroid table broadcast; argmin via rank window over k rows/point.",
     "ivf_topk": "Centroids collapse to ONE broadcast sorted-array row; list assignment and probing are per-row array expressions (no windows); probes broadcast into the list join — the corpus never shuffles before the final per-query top-k (the only data-sized exchange).",
     "ann_recall": "Exact baseline + three approximate paths; every heavy side reuses the broadcast-probe shape, and the recall join is exact-side (100 rows) left-joined to each approximate top-k.",
