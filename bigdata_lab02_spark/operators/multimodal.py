@@ -1334,9 +1334,27 @@ def _afp_np(samples, grid: int = 8) -> int | None:
         return None
     a = np.asarray(samples, dtype=np.int64)
     bounds = [(j * n) // nb for j in range(nb + 1)]
+    # int64 energy sums are exact while max_block_len · max_sample² <
+    # 2⁶³; past that (≥ ~2¹⁷ samples per block at 24-bit depth — hours
+    # of audio in one clip) fall back to Python-int accumulation in
+    # bounded chunks so the comparison bits NEVER wrap silently
+    peak = int(np.abs(a).max()) if n else 0
+    blk = max(bounds[j + 1] - bounds[j] for j in range(nb))
+    if peak and blk > (1 << 63) // (peak * peak):
+        def energy(lo: int, hi: int) -> int:
+            tot = 0
+            step = max(1, (1 << 62) // (peak * peak))
+            for s in range(lo, hi, step):
+                seg = a[s:min(s + step, hi)]
+                tot += int((seg * seg).sum())
+            return tot
+    else:
+        def energy(lo: int, hi: int) -> int:
+            seg = a[lo:hi]
+            return int((seg * seg).sum())
     e = np.array(
-        [int((a[bounds[j]:bounds[j + 1]] ** 2).sum()) for j in range(nb)],
-        dtype=object,  # python ints: 24-bit samples² × long blocks never wrap
+        [energy(bounds[j], bounds[j + 1]) for j in range(nb)],
+        dtype=object,  # python ints from here on — comparisons exact
     ).reshape(grid, grid + 1)
     v = 0
     for r in range(grid):

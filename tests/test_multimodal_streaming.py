@@ -963,3 +963,34 @@ def test_set_dup_pairs_exact_jaccard(spark):
     r = out[(1, 2)]
     assert r["n_common"] == 3 and r["n_union"] == 4
     assert r["jaccard"] == 0.75
+
+
+def test_audio_fingerprint_energy_sums_never_wrap():
+    """r13 hardening: block energies of hours-long 24-bit clips exceed
+    int64 (peak² · block_len > 2⁶³) — a naive numpy int64 sum WRAPS and
+    flips comparison bits silently (verified: the wrapped energy of a
+    louder block compares BELOW a quieter one). The kernel's guarded
+    Python-int path keeps every comparison exact."""
+    import numpy as np
+
+    from bigdata_lab02_spark.operators.multimodal import _afp_np
+
+    peak, quiet = 8388607, 8388607 - 2_000_000
+    blk = 140_000  # peak²·blk ≈ 9.9e18 > 2⁶³ — the wrap regime
+    # 72 blocks alternating loud/quiet along each 9-block row: the true
+    # comparisons alternate; a wrapped loud-block energy goes NEGATIVE
+    # and would invert every loud-vs-quiet bit
+    rows = []
+    for r in range(8):
+        for c in range(9):
+            v = peak if (c % 2 == 0) else quiet
+            rows.append(np.full(blk, v, dtype=np.int64))
+    samples = np.concatenate(rows)
+    fp = _afp_np(samples)
+    expect = 0
+    for r in range(8):
+        for c in range(8):
+            # loud > quiet at even c (E[c] > E[c+1]); quiet < loud at odd
+            if c % 2 == 0:
+                expect |= 1 << (r * 8 + c)
+    assert fp == expect
