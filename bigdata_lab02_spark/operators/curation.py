@@ -1152,7 +1152,12 @@ def quality_classifier_train(
 
     spark = docs.sparkSession
     toks = tokens_column(F.col(text_col))
-    base = docs.select(positive.alias("__pos"), toks.alias("toks"))
+    # a NULL label is UNLABELED, not negative — drop it from training
+    # (boolean `otherwise` branches would otherwise silently fold NULL
+    # into the negative class); scoring still covers every doc
+    base = docs.select(positive.alias("__pos"), toks.alias("toks")).where(
+        F.col("__pos").isNotNull()
+    )
     bucket = (
         F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
         % n_buckets

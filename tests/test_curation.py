@@ -770,3 +770,43 @@ def test_quality_select_budget_and_order(spark):
             break
         acc += ntok[d]
         assert cums[d] == acc
+
+
+def test_quality_classifier_null_labels_are_unlabeled(spark):
+    """r13 hardening: a NULL `positive` label means UNLABELED — the row
+    must not train (a boolean otherwise-branch would silently fold it
+    into the negative class and shift every weight), while scoring
+    still covers it."""
+    from bigdata_lab02_spark.operators.curation import (
+        quality_classifier_score,
+        quality_classifier_train,
+    )
+
+    labeled = spark.createDataFrame(
+        [(1, "alpha beta", True), (2, "gamma delta", False)],
+        "doc_id long, text string, lab boolean",
+    )
+    with_null = spark.createDataFrame(
+        [
+            (1, "alpha beta", True),
+            (2, "gamma delta", False),
+            (3, "epsilon zeta", None),
+        ],
+        "doc_id long, text string, lab boolean",
+    )
+    m1 = {
+        (r["bucket"]): r["w_mu"]
+        for r in quality_classifier_train(labeled, F.col("lab")).collect()
+    }
+    m2 = {
+        (r["bucket"]): r["w_mu"]
+        for r in quality_classifier_train(with_null, F.col("lab")).collect()
+    }
+    assert m1 == m2  # the unlabeled row changed nothing
+    # and the unlabeled doc still gets a score from the trained model
+    model = quality_classifier_train(with_null, F.col("lab"))
+    got = {
+        r["doc_id"]: r["score_mu"]
+        for r in quality_classifier_score(with_null, model).collect()
+    }
+    assert set(got) == {1, 2, 3} and got[3] is not None
