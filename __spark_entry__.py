@@ -5369,6 +5369,113 @@ LEFT JOIN deg USING (media_id)
 """
 
 
+def q_media_dedup_pipeline(spark, sf_dir):
+    """Cross-MODALITY media dedup COMPOSED end-to-end (r13 — the media
+    twin of crawl_curation_pipeline): ONE mixed binary corpus (the
+    image dHash fixture ∪ the audio fingerprint fixture at ids+100 —
+    both walk the SAME closed-form bit pattern, so an image and a clip
+    carry IDENTICAL 64-bit sketches: the adversarial case modality
+    routing exists for) → magic-byte routing (PNG vs RIFF on the
+    payload prefix — corrupt members keep their modality's magic and
+    fail honestly inside their decoder) → per-modality perceptual
+    hashes (image_dhash / audio_fingerprint, each PINNED before
+    fan-out) → per-modality pigeonhole Hamming pairs (identical
+    sketches across modalities MUST NOT pair — asserted in tests) →
+    ONE connected-components pass over the pair union (id spaces
+    disjoint ⇒ clusters never mix) → per-item
+    (modality, h64, decode_ok, cluster_id, keep). The oracle restates
+    the shared bit pattern once, derives both modality hash tables
+    from it, and replays the modality-keyed pairing and the transitive
+    closure. (sf_dir unused: media is generated.)"""
+    from bigdata_lab02_spark.operators.dedup import (
+        dedup_clusters,
+        simhash_dup_pairs,
+    )
+    from bigdata_lab02_spark.operators.multimodal import (
+        audio_fingerprint,
+        image_dhash,
+        synthetic_dhash_images,
+        synthetic_fp_audio,
+    )
+
+    imgs = synthetic_dhash_images(spark, 32)
+    auds = synthetic_fp_audio(spark, 32).select(
+        (F.col("media_id") + 100).alias("media_id"), "payload"
+    )
+    media = imgs.unionByName(auds)
+    magic = F.hex(F.substring(F.col("payload"), 1, 4))
+    routed = media.withColumn(
+        "modality",
+        F.when(magic == "89504E47", F.lit("image"))
+        .when(magic == "52494646", F.lit("audio"))
+        .otherwise(F.lit("unknown")),
+    )
+    ih = image_dhash(
+        routed.where(F.col("modality") == "image")
+    ).localCheckpoint()
+    ah = audio_fingerprint(
+        routed.where(F.col("modality") == "audio")
+    ).localCheckpoint()
+    hashes = ih.select(
+        "media_id", F.lit("image").alias("modality"),
+        F.col("dhash").alias("h64"), "decode_ok",
+    ).unionByName(
+        ah.select(
+            "media_id", F.lit("audio").alias("modality"),
+            F.col("afp").alias("h64"), "decode_ok",
+        )
+    )
+    pairs = simhash_dup_pairs(
+        ih, id_col="media_id", max_hamming=3, hash_col="dhash"
+    ).select("id_a", "id_b").unionByName(
+        simhash_dup_pairs(
+            ah, id_col="media_id", max_hamming=3, hash_col="afp"
+        ).select("id_a", "id_b")
+    )
+    cc = dedup_clusters(hashes.select("media_id"), pairs, id_col="media_id")
+    return hashes.join(cc, "media_id").select(
+        "media_id", "modality", "h64", "decode_ok", "cluster_id", "keep"
+    )
+
+
+_MEDIA_PIPE_SQL = f"""
+WITH RECURSIVE {_DHASH_CHAIN_SQL},
+allh AS (
+  SELECT media_id, 'image' AS modality, dhash AS h64 FROM hashes
+  UNION ALL
+  SELECT media_id + 100, 'audio', dhash FROM hashes),
+alld AS (
+  SELECT range AS media_id, 'image' AS modality, TRUE AS decode_ok
+  FROM range(32)
+  UNION ALL SELECT 32 + range, 'image', FALSE FROM range(2)
+  UNION ALL SELECT 100 + range, 'audio', TRUE FROM range(32)
+  UNION ALL SELECT 132 + range, 'audio', FALSE FROM range(2)),
+p0 AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b
+  FROM allh a JOIN allh b
+    ON a.modality = b.modality AND a.media_id < b.media_id
+  WHERE bit_count(xor(a.h64, b.h64)) <= 3),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM p0
+  UNION
+  SELECT id_b, id_a FROM p0),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT d.media_id, d.modality,
+  CASE WHEN d.decode_ok THEN h.h64 END AS h64,
+  d.decode_ok,
+  CAST(COALESCE(cc.cluster_id, d.media_id) AS BIGINT) AS cluster_id,
+  d.media_id = COALESCE(cc.cluster_id, d.media_id) AS keep
+FROM alld d
+LEFT JOIN allh h ON h.media_id = d.media_id AND h.modality = d.modality
+LEFT JOIN cc ON cc.node = d.media_id
+"""
+
+
 _MEDIA_META_SQL = """
 WITH ids AS (SELECT unnest(range(64)) AS media_id),
 s AS (SELECT media_id, media_id % 16 AS s, media_id % 3 AS m3,
@@ -7206,6 +7313,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # surface; residual-vs-global recall gap pinned on a clustered
     # corpus in tests; oracle-gated every pytest run.
     "ivfpq_residual_topk": q_ivfpq_residual_topk,
+    # media_dedup_pipeline (r13): the cross-modality composition —
+    # magic-byte routing over one mixed binary corpus, per-modality
+    # perceptual hashes (pinned), modality-keyed pigeonhole pairs
+    # (identical cross-modality sketches must not pair), one CC pass to
+    # survivors; oracle-gated every pytest run.
+    "media_dedup_pipeline": q_media_dedup_pipeline,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -7226,7 +7339,7 @@ ROTATED_OUT: set[str] = {
     "image_dedup", "warc_cdx", "stream_image_cands", "url_robots",
     "pq_topk", "pq_rerank", "dedup_simhash_pairs", "ivfpq_topk",
     "audio_dedup", "video_dedup", "quality_classifier", "quality_select",
-    "stream_audio_cands", "ivfpq_residual_topk",
+    "stream_audio_cands", "ivfpq_residual_topk", "media_dedup_pipeline",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -7369,6 +7482,7 @@ _R13_NEW = {
     "quality_select",
     "stream_audio_cands",
     "ivfpq_residual_topk",
+    "media_dedup_pipeline",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -7491,6 +7605,7 @@ _ORACLES: dict[str, str] = {
     "quality_select": _QUALITY_SELECT_SQL,
     "stream_audio_cands": _STREAM_AUDIO_CANDS_SQL,
     "ivfpq_residual_topk": _IVFPQ_RESID_SQL,
+    "media_dedup_pipeline": _MEDIA_PIPE_SQL,
     "image_dedup_clusters": _IMAGE_CLUSTERS_SQL,
     "jpeg_cmyk": _JPEG_CMYK_SQL,
     "bpe_pipeline": _BPE_SQL,

@@ -170,6 +170,9 @@ EXTRA = [
     # r13: the residual-encoded form (IVFADC: codes quantize residuals,
     # per-(query, list) ADC tables)
     "ivfpq_residual_topk",
+    # r13: the cross-modality media dedup composition (magic routing ->
+    # per-modality hashes -> modality-keyed pairs -> one CC pass)
+    "media_dedup_pipeline",
     # r13: perceptual audio dedup (WAV decode -> block-energy print ->
     # pigeonhole Hamming pairs; amplitude-invariant)
     "audio_dedup",

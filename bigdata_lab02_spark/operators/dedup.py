@@ -250,7 +250,10 @@ def set_minhash_signatures(
     md5(i || '|' || item). NULL items are ignored; records whose items
     are all NULL produce no signature (nothing to hash). Same portable
     hex-string-min currency as the text kernel, so the band table and
-    every downstream join are shared code."""
+    every downstream join are shared code. Items are hashed through
+    their STRING form — use string/integer item columns (floats
+    stringify with engine-specific formatting, which would break a
+    cross-engine oracle over the signatures)."""
     ex = (
         items.select(
             F.col(id_col), F.col(item_col).cast("string").alias("sh")

@@ -1375,7 +1375,10 @@ def audio_fingerprint(
     modality triangle's third face: text ✓ image ✓ audio): decode the
     WAV payload (8/16/24-bit integer PCM, ``wav.decode_wav``) and
     reduce the stream to the 64-bit block-energy differential print
-    (``_afp_np``). Returns ``(id, afp, sample_rate, n_samples,
+    (``_afp_np``; multi-channel audio prints over the INTERLEAVED
+    stream — block energies sum the channels, so a stereo clip and its
+    own mono downmix do not generally collide; compare like with
+    like). Returns ``(id, afp, sample_rate, n_samples,
     decode_ok)`` — undecodable payloads are ``decode_ok=false`` with
     NULL print (the honest-failure taxonomy); too-short streams decode
     fine but carry a NULL print.

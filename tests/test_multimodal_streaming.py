@@ -994,3 +994,35 @@ def test_audio_fingerprint_energy_sums_never_wrap():
             if c % 2 == 0:
                 expect |= 1 << (r * 8 + c)
     assert fp == expect
+
+
+def test_media_pipeline_routes_identical_sketches_apart(spark):
+    """r13: the mixed-media gate's fixtures share the SAME closed-form
+    bit pattern, so image k and audio 100+k carry IDENTICAL 64-bit
+    sketches — the pipeline's modality routing must keep them apart:
+    hashes collide ACROSS modalities in the value space, yet every
+    emitted cluster is single-modality and every near-dup group matches
+    the per-modality gates' structure."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["media_dedup_pipeline"](spark, None).collect()
+    assert len(rows) == 68
+    byid = {r["media_id"]: r for r in rows}
+    # the adversarial premise holds: identical sketches across modality
+    for k in range(32):
+        assert byid[k]["h64"] == byid[100 + k]["h64"]
+        assert byid[k]["modality"] == "image"
+        assert byid[100 + k]["modality"] == "audio"
+    # ...yet no cluster mixes modalities
+    mods = {}
+    for r in rows:
+        mods.setdefault(r["cluster_id"], set()).add(r["modality"])
+    assert all(len(m) == 1 for m in mods.values())
+    # and the audio side clusters exactly like the image side, shifted
+    for k in range(32):
+        assert byid[100 + k]["cluster_id"] == byid[k]["cluster_id"] + 100
+        assert byid[100 + k]["keep"] == byid[k]["keep"]
+    # corrupt members of both modalities surface honestly
+    for mid in (32, 33, 132, 133):
+        assert not byid[mid]["decode_ok"] and byid[mid]["h64"] is None
+        assert byid[mid]["keep"]  # singleton survivor

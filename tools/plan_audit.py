@@ -94,6 +94,7 @@ AUDIT = [
     "video_dedup",
     "quality_classifier",
     "quality_select",
+    "media_dedup_pipeline",
 ]
 
 COMMENT = {
@@ -163,6 +164,7 @@ COMMENT = {
     "pq_rerank": "ADC stage as pq_topk; the exact re-rank then joins only the queries·shortlist CANDIDATE ids back to their vectors — full-precision math is candidate-sized, never corpus-sized, which is the §V deployment shape (and the join a persisted id-keyed vector layout serves at 100 TB).",
     "ivfpq_topk": "The composed IVF×PQ index: the codebook trains once and pins (localCheckpoint); coarse assignment is a per-row integer-L2 argmin fold over the broadcast one-row centroid array, carried THROUGH the encode aggregation as a grouping column (one build pass — exactly pq_encode's exchanges, no extra id join); probes + per-query ADC tables broadcast into the coded-list join, so the m-byte-code corpus never shuffles before the per-query top-shortlist window; the exact re-rank joins candidate ids only (candidate-sized full-precision math); the exact-baseline `hit` join adds one broadcast of the queries-sized exact top-5. Against the persisted layout the probed-list scan is directory-pruned (PartitionFilters on list_id — asserted in tests).",
     "ivfpq_residual_topk": "ivfpq_topk's shape with residual encoding (IVFADC): the residual derivation is per-row array math over a broadcast centroid dim (zero new exchanges), the codebook trains on residual subvectors and pins, and the ADC tables become per-(query, probed list) — still queries·nprobe·m·ksub values, still broadcast; the coded corpus still never shuffles before the per-query top-shortlist window.",
+    "media_dedup_pipeline": "The media twin of crawl_curation_pipeline: magic-byte routing is a per-row projection over the payload prefix; each modality's decode+hash is one zero-shuffle Arrow mapInPandas PINNED before fan-out (the decode runs once per modality); pairs are modality-keyed pigeonhole joins (identical cross-modality sketches never meet); one alternating-star CC pass over the pair union (disjoint id spaces keep clusters single-modality); the audited plan is the post-fixpoint recombine over two pinned hash tables.",
     "audio_dedup": "The image_dedup shape on the audio tier: WAV decode + block-energy differential print is one zero-shuffle Arrow mapInPandas (PCM bytes never cross an exchange; only 8-byte prints leave it), PINNED before fan-out from birth (the r13 image-gate lesson); the pair join is the same 16-bit pigeonhole kernel (hash_col='afp'); the dup-degree aggregate is one hash-keyed exchange.",
     "quality_classifier": "Training is ONE aggregation pass: token explode → per-bucket conditional counts (map-side combined, ≤ B rows cross the shuffle) → a 1-row totals broadcast → the B+1-row model, pinned (localCheckpoint) before its two scorer consumers; scoring is explode → broadcast model join → one doc-keyed sum; the perplexity join reuses the lm_perplexity word-count shuffle discipline. No SGD, no iteration, nothing all-pairs — the exactly-replayable member of the linear-scorer family.",
     "quality_select": "The classifier scorer's broadcast-model pass feeds the shared dsir_select admission kernel: ONE range-repartition on (score DESC, id ASC) pinned by localCheckpoint, per-partition token sums to the driver (≤ num_partitions rows — model-state-sized), per-partition prefix window + offset — never a one-partition global window. The audited plan is the post-checkpoint admission shape.",
