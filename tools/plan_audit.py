@@ -107,12 +107,12 @@ COMMENT = {
     "relational_suite": "Seven relational families, one gate: semi/anti joins broadcast, cube via one Expand, running sum + lag share ONE hash exchange, percentiles partial-aggregated; the normalizing unions add no exchange.",
     "dedup_exact": "Exactly one exchange, keyed by content digest.",
     "dedup_minhash_lsh": "Shingles exploded once and PINNED (r13: the five consumers — signature agg via both band self-join sides, sizes, and the exact-Jaccard verify twice — otherwise re-inlined the tokenize+shingle subtree; measured 11% faster warm / 2.7x cold); signature min-aggregates map-side; candidate join keyed by LSH band bucket (subquadratic).",
-    "dedup_simhash_pairs": "One groupBy builds 60-bit sketches (explode-once, 60 conditional sums); pair join keyed by 16-bit pigeonhole chunk equality — subquadratic.",
+    "dedup_simhash_pairs": "One groupBy builds 60-bit sketches (explode-once, 60 conditional sums); pair join keyed by 16-bit pigeonhole chunk equality — subquadratic. repeated_scans receipt: the sketch subtree feeds both self-join sides through ONE structurally identical exchange that AQE reuses at runtime (the text sketch is one groupBy, not a decode — unlike the image/audio tiers there is no expensive upstream to pin).",
     "embedding_topk": "Query vectors broadcast; corpus side streams; per-query rank window.",
     "embedding_dup_pairs": "Hyperplane sign buckets computed in one pass (explode over (table,bucket)) and PINNED with the norm-carrying vector table (r13: both fan out to two consumers each; measured 29% faster warm / 3x cold); self-join keyed by the LSH cell; pair-deduped before one cosine verify per candidate.",
     "kmeans_assign": "Centroid table broadcast; argmin via rank window over k rows/point.",
     "ivf_topk": "Centroids collapse to ONE broadcast sorted-array row; list assignment and probing are per-row array expressions (no windows); probes broadcast into the list join — the corpus never shuffles before the final per-query top-k (the only data-sized exchange).",
-    "ann_recall": "Exact baseline + three approximate paths; every heavy side reuses the broadcast-probe shape, and the recall join is exact-side (100 rows) left-joined to each approximate top-k.",
+    "ann_recall": "Exact baseline + three approximate paths; every heavy side reuses the broadcast-probe shape, and the recall join is exact-side (100 rows) left-joined to each approximate top-k. repeated_scans receipt: the four paths each re-read the 2-column embeddings parquet — pruned leaf scans, not recompute (the expensive exact baseline is localCheckpoint-pinned and runs once).",
     "asof_join": "Union + carry-forward last window keyed by the NATURAL join key — one shuffle, parallelism scales with distinct customers.",
     "quantized_topk": "int8 codes + integer dot products: same broadcast-probe shape as embedding_topk with 4× fewer bytes in flight.",
     "scrub_pii": "Pure regexp projection fused with the scan — zero exchanges.",
@@ -125,22 +125,22 @@ COMMENT = {
     "skew_salted_join": "Dim replicated per salt (fact never replicated); hot fact keys spread across salt_buckets tasks.",
     "jpeg_decode": "Zero exchanges: JPEG bytes are generated, entropy-decoded (huffman + IDCT) and reduced to channel sums inside one Arrow-batched mapInPandas chain - binary never crosses a shuffle.",
     "resize_mixed": "Format-mixed payloads (PNG formula / JPEG block-constant / tiny) union, then ONE Arrow-batched mapInPandas sniffs magic bytes and routes per payload — decode, box-filter resize and PNG re-encode all happen before any exchange; binary never crosses a shuffle.",
-    "language_id": "Trigram occurrences explode once; the <=L*B-row NB model broadcasts into the only data-sized join; per-language sums PIVOT into one row per doc (language list = an L-row driver visit, the kmeans model-state pattern) so scoring never inflates to (doc,lang) rows and the argmax is a per-row expression chain, not a rank window; the doc-keyed aggregate pair meets in one co-partitioned sort-merge join.",
+    "language_id": "Trigram occurrences explode once; the <=L*B-row NB model broadcasts into the only data-sized join; per-language sums PIVOT into one row per doc (language list = an L-row driver visit, the kmeans model-state pattern) so scoring never inflates to (doc,lang) rows and the argmax is a per-row expression chain, not a rank window; the doc-keyed aggregate pair meets in one co-partitioned sort-merge join. repeated_scans receipt: the trigram explode feeds the model counts and the scoring side — the <=L*B model side collapses to a broadcast, and AQE reuses the shared exchange at runtime (the lm_perplexity A/B generalizes: eager pins of word-count-shaped streams are slower warm).",
     "multimodal_mixed": "Zero exchanges: payload bytes are generated, decoded and featurized inside one Arrow-batched mapInPandas chain — binary never crosses a shuffle.",
     "png_edges": "Same zero-exchange mapInPandas shape as multimodal_mixed over the r8 profile-edge corpus (16-bit samples, tRNS color keys, truncated-corrupt stripe).",
     "video_frames": "Zero exchanges: Y4M parse + per-frame plane sums explode row-per-video to row-per-frame INSIDE the kernel, so frame rows exist only after the bytes are gone.",
     "semantic_dedup_pipeline": "Sampled k-means fit assigns via a broadcast (cluster,dim,val) join + per-cluster mean each iteration (cost independent of k at plan-compile time; k x dim model to the driver); then centroids broadcast for the corpus assignment; the pair join is keyed by cluster_id (hash exchange), so pair fan-out is bounded by cluster size — never global n².",
     "dsir_importance": "One bigram explode feeds both count models; the <=256-row weight table broadcasts back; the only data-sized exchange is the per-doc score aggregation.",
     "dsir_select": "Scores + seeded Gumbel key, then a DISTRIBUTED global prefix: range-repartition on the key, per-partition offsets (driver sees <=num_partitions rows), per-partition window — no one-partition global window.",
-    "dedup_spans": "Stride-1 windows hashed to md5 digests; distinct-doc count map-side-combined on the digest; covered positions explode only from duplicated windows; anti-join on (doc,pos); one ordered groupBy rebuild — nothing all-pairs.",
-    "lm_perplexity": "Bigram explode feeds both count tables; <=B-row context table broadcasts; the bigram-weight join is a plain equi-join with map-side-combined counts (word-count shuffle discipline).",
+    "dedup_spans": "Stride-1 windows hashed to md5 digests; distinct-doc count map-side-combined on the digest; covered positions explode only from duplicated windows; anti-join on (doc,pos); one ordered groupBy rebuild — nothing all-pairs. repeated_scans receipt (r13): the window/base frames fan out but AQE reuse dedupes them at runtime — pinning was A/B'd and is SLOWER warm (1.48 vs 0.74 s min-of-2 at sf0.1), so the plan stays unpinned.",
+    "lm_perplexity": "Bigram explode feeds both count tables; <=B-row context table broadcasts; the bigram-weight join is a plain equi-join with map-side-combined counts (word-count shuffle discipline). repeated_scans receipt (r13): the occ explode is consumed by big/ctx/scoring — A/B'd at sf0.1, AQE ReuseExchange already dedupes it at runtime and an eager pin is SLOWER warm (2.22 vs 1.03 s), so it stays unpinned.",
     "sketch_profile": "Both sketches are map-side-combined aggregates (<=depth*width / 2^p rows cross the shuffle); point queries broadcast the register table onto the distinct-item stream.",
     "merge_upsert": "Delta keys broadcast into a LEFT ANTI join — the base snapshot never shuffles; unmatched-update inserts ride the same union.",
     "stratified_sample": "Quota mode: ONE exchange on the group key (hash-rank window). The fraction mode is a zero-exchange pure filter — plan-asserted in tests/test_curation.py.",
     "range_join": "Interval containment WITHOUT a nested loop: intervals explode into time bins, points map to one bin, plain equi-join on the bin key + exact predicate — candidate set bounded by intervals-per-bin, never |points|x|intervals|.",
     "wav_edges": "Zero exchanges: WAV bytes generated, decoded (8/16/24-bit PCM) and reduced to integer stream stats inside one Arrow-batched mapInPandas chain.",
-    "dedup_incremental": "New shard's bands join the precomputed corpus band table on the single band_hash key (bucketed layout joins co-located — only the shard side shuffles); exact-Jaccard verify shingles candidate-matched docs only via leftsemi pruning.",
-    "ivf_topk_persisted": "Corpus lists read from the hive layout with list_id PartitionFilters (directory pruning to the probed lists); probes broadcast; the only data-sized exchange is the per-query top-k.",
+    "dedup_incremental": "New shard's bands join the precomputed corpus band table on the single band_hash key (bucketed layout joins co-located — only the shard side shuffles); exact-Jaccard verify shingles candidate-matched docs only via leftsemi pruning. repeated_scans receipt (r13): the candidate set and both text sides are consumed by the id-prune/size/intersection tiers — compile-time duplicates that AQE ReuseExchange dedupes at runtime; a localCheckpoint pin was A/B'd and is SLOWER warm (3.62 vs 3.42 s min-of-2 at sf0.1; 2.4x faster cold only), so the plan stays unpinned — in production the corpus sides are persisted layouts and the repeats are leaf re-reads.",
+    "ivf_topk_persisted": "Corpus lists read from the hive layout with list_id PartitionFilters (directory pruning to the probed lists); probes broadcast; the only data-sized exchange is the per-query top-k. repeated_scans receipt: the probe-side embeddings parquet is read once per consumer (probe build + id collect) — pruned 2-column leaf scans of the query subset.",
     "html_extract": "Zero exchanges: the whole strip kernel + markup features are ONE generated projection fused with the scan.",
     "crawl_curation_pipeline": "ONE exchange END-TO-END (r10: the URL tier's norm_url dedup window — the unavoidable recrawl-dedup shuffle; suffix/blocklist dims broadcast): URL survivors -> html strip -> C4 line rules -> Gopher quality + 13 repetition folds chain through column passthrough (no re-join on doc_id) — everything after the URL tier is one fused map over the corpus.",
     "url_filters": "Normalization is a pure projection fused with the scan; the PSL lookup is one broadcast left join per (rule length, kind) slice of the suffix dim (11 at depth 4 with wildcard/exception rules — each a filtered PSL-sized build, corpus-independent) plus the blocklist; the ONLY shuffle is the norm_url dedup window — the global recrawl group-by no URL dedup can avoid.",
@@ -161,12 +161,12 @@ COMMENT = {
     "warc_cdx": "ONE shuffle — the shard-key group-by that shard assembly is at any scale; the CDX index rows are emitted by the SAME applyInPandas pass that assembles the content (no second walk to drift), then explode to a table. The per-shard memory contract is enforced by max_shard_bytes.",
     "url_robots": "The robots parse (line explode, group windows, collect_list to rule arrays) runs entirely on the ROBOTS DIM — one row per domain, bounded like the blocklist; the parsed rule-array dim then BROADCASTS and the RFC longest-match decision is a per-row filter/array_max expression, so the corpus gains zero exchanges beyond the URL tier's own dedup window — the PSL-join discipline applied to politeness.",
     "pq_topk": "Training: the m·ksub codebook broadcasts into the per-(row, subspace) argmin window and the mean update is a map-side-combined (s, code, dim) aggregate. Query time: the per-query distance tables (queries·m·ksub rows) broadcast; the corpus carries only its m-byte codes into a per-row zip_with table-lookup sum — the corpus never shuffles before the per-query top-k window, the cosine_topk plan with 32× smaller rows in flight.",
-    "pq_rerank": "ADC stage as pq_topk; the exact re-rank then joins only the queries·shortlist CANDIDATE ids back to their vectors — full-precision math is candidate-sized, never corpus-sized, which is the §V deployment shape (and the join a persisted id-keyed vector layout serves at 100 TB).",
-    "ivfpq_topk": "The composed IVF×PQ index: the codebook trains once and pins (localCheckpoint); coarse assignment is a per-row integer-L2 argmin fold over the broadcast one-row centroid array, carried THROUGH the encode aggregation as a grouping column (one build pass — exactly pq_encode's exchanges, no extra id join); probes + per-query ADC tables broadcast into the coded-list join, so the m-byte-code corpus never shuffles before the per-query top-shortlist window; the exact re-rank joins candidate ids only (candidate-sized full-precision math); the exact-baseline `hit` join adds one broadcast of the queries-sized exact top-5. Against the persisted layout the probed-list scan is directory-pruned (PartitionFilters on list_id — asserted in tests).",
-    "ivfpq_residual_topk": "ivfpq_topk's shape with residual encoding (IVFADC): the residual derivation is per-row array math over a broadcast centroid dim (zero new exchanges), the codebook trains on residual subvectors and pins, and the ADC tables become per-(query, probed list) — still queries·nprobe·m·ksub values, still broadcast; the coded corpus still never shuffles before the per-query top-shortlist window.",
+    "pq_rerank": "ADC stage as pq_topk; the exact re-rank then joins only the queries·shortlist CANDIDATE ids back to their vectors — full-precision math is candidate-sized, never corpus-sized, which is the §V deployment shape (and the join a persisted id-keyed vector layout serves at 100 TB). repeated_scans receipt: the re-rank re-reads the 2-column embeddings parquet for the vector join — a pruned leaf scan, the read a persisted id-keyed layout serves at scale.",
+    "ivfpq_topk": "The composed IVF×PQ index: the codebook trains once and pins (localCheckpoint); coarse assignment is a per-row integer-L2 argmin fold over the broadcast one-row centroid array, carried THROUGH the encode aggregation as a grouping column (one build pass — exactly pq_encode's exchanges, no extra id join); probes + per-query ADC tables broadcast into the coded-list join, so the m-byte-code corpus never shuffles before the per-query top-shortlist window; the exact re-rank joins candidate ids only (candidate-sized full-precision math); the exact-baseline `hit` join adds one broadcast of the queries-sized exact top-5. Against the persisted layout the probed-list scan is directory-pruned (PartitionFilters on list_id — asserted in tests). repeated_scans receipt: build/probe/re-rank/baseline each re-read the 2-column embeddings parquet — pruned leaf scans, not recompute (the expensive training subtree is the pinned codebook); at scale the re-rank reads an id-keyed persisted vector layout.",
+    "ivfpq_residual_topk": "ivfpq_topk's shape with residual encoding (IVFADC): the residual derivation is per-row array math over a broadcast centroid dim (zero new exchanges), the codebook trains on residual subvectors and pins, and the ADC tables become per-(query, probed list) — still queries·nprobe·m·ksub values, still broadcast; the coded corpus still never shuffles before the per-query top-shortlist window. repeated_scans receipt: same pruned embeddings-parquet leaf re-reads as ivfpq_topk plus the residual derivation under train and encode — each a scan + broadcast join + array subtraction, no data-sized exchange.",
     "media_dedup_pipeline": "The media twin of crawl_curation_pipeline: magic-byte routing is a per-row projection over the payload prefix; each modality's decode+hash is one zero-shuffle Arrow mapInPandas PINNED before fan-out (the decode runs once per modality); pairs are modality-keyed pigeonhole joins (identical cross-modality sketches never meet); one alternating-star CC pass over the pair union (disjoint id spaces keep clusters single-modality); the audited plan is the post-fixpoint recombine over two pinned hash tables.",
     "audio_dedup": "The image_dedup shape on the audio tier: WAV decode + block-energy differential print is one zero-shuffle Arrow mapInPandas (PCM bytes never cross an exchange; only 8-byte prints leave it), PINNED before fan-out from birth (the r13 image-gate lesson); the pair join is the same 16-bit pigeonhole kernel (hash_col='afp'); the dup-degree aggregate is one hash-keyed exchange.",
-    "quality_classifier": "Training is ONE aggregation pass: token explode → per-bucket conditional counts (map-side combined, ≤ B rows cross the shuffle) → a 1-row totals broadcast → the B+1-row model, pinned (localCheckpoint) before its two scorer consumers; scoring is explode → broadcast model join → one doc-keyed sum; the perplexity join reuses the lm_perplexity word-count shuffle discipline. No SGD, no iteration, nothing all-pairs — the exactly-replayable member of the linear-scorer family.",
+    "quality_classifier": "Training is ONE aggregation pass: token explode → per-bucket conditional counts (map-side combined, ≤ B rows cross the shuffle) → a 1-row totals broadcast → the B+1-row model, pinned (localCheckpoint) before its two scorer consumers; scoring is explode → broadcast model join → one doc-keyed sum; the perplexity join reuses the lm_perplexity word-count shuffle discipline. No SGD, no iteration, nothing all-pairs — the exactly-replayable member of the linear-scorer family. repeated_scans receipt: training, scoring and the perplexity chain each re-read the 2-column documents parquet — pruned leaf scans (a production run trains on a materialized stage); the final scored⋈perplexity SMJ is doc-keyed on two corpus-sized sides — the correct join at scale, deliberately not broadcast-hinted.",
     "quality_select": "The classifier scorer's broadcast-model pass feeds the shared dsir_select admission kernel: ONE range-repartition on (score DESC, id ASC) pinned by localCheckpoint, per-partition token sums to the driver (≤ num_partitions rows — model-state-sized), per-partition prefix window + offset — never a one-partition global window. The audited plan is the post-checkpoint admission shape.",
     "video_dedup": "Container walk + per-frame luma dHash is one zero-shuffle Arrow mapInPandas (video bytes never cross an exchange; only (id, 8-byte hash) rows leave it), PINNED before the set-dedup fan-out; the frame-hash set then rides the minhash kernel — items explode once into the signature aggregation, candidates come only from shared LSH bands (subquadratic self-join on the band hash), and the exact-Jaccard verify is a pair-constrained equi-join on the item — candidate-sized, never all-pairs.",
     "image_dedup_clusters": "dHash tier zero-shuffle and PINNED once before fan-out (r13 — decode executes once; zero MapInPandas in the consuming plan, receipt in tests/test_plans.py); pair join pigeonhole-keyed; the alternating-star CC loop is the dedup_clusters kernel — each round two node-keyed groupBy/join passes over a shrinking edge set, localCheckpoint per round, O(log n) rounds on adversarial chains; the audited plan is the post-fixpoint star-forest join back onto the id set.",
