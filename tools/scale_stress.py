@@ -116,9 +116,9 @@ FAMILY = [
     # for the distributed prefix; growth ~data (the dsir_select shape)
     "quality_select",
 ]
-# (image_dedup_clusters, audio_dedup and video_dedup are generated-
-# fixture-sized — corpus-independent, so no 4x rows, like the other
-# media-fixture gates)
+# (image_dedup_clusters, audio_dedup, video_dedup and
+# media_dedup_pipeline are generated-fixture-sized — corpus-independent,
+# so no 4x rows, like the other media-fixture gates)
 # Round-6 extension (VERDICT r5 item 6): one more doubling pair on the two
 # families with the highest 4× growth, to separate pair-count growth
 # (linear in duplicate volume) from super-linear onset before it bites.
