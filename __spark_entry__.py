@@ -6955,6 +6955,84 @@ GROUP BY o.o_orderpriority
 """
 
 
+# ---------------------------------------- BM25 retrieval (r13)
+
+# Fixed query workload for the retrieval gate: human-sized queries over
+# the documents vocabulary, mixing high-df terms (table, value), mid-df
+# terms and one absent term (strategy) so idf, length normalization and
+# partial matches all land in the result.
+_BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "hash join strategy"),
+    (1, "window agg stream"),
+    (2, "fast scan filter"),
+    (3, "customer order query"),
+    (4, "slow merge sort"),
+    (5, "spark table"),
+]
+_BM25_K1_MU = 1_200_000  # k1 = 1.2 in micro-units
+_BM25_B_MU = 750_000     # b = 0.75 in micro-units
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 per query over the documents corpus
+    (operators/retrieval.py, r13): the QUERY side of the reference
+    lab's index-build arc — postings cut to the broadcast query
+    vocabulary BEFORE the (doc, term) aggregation, Lucene-form idf,
+    and the whole score fixed in exact integer micro-units (the
+    lm_perplexity discipline) so both engines rank identical BIGINTs.
+    Returns (query_id, doc_id, score_mu, n_terms, rank)."""
+    from bigdata_lab02_spark.operators import retrieval as rt
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, text string"
+    )
+    return rt.bm25_topk(docs, queries, k=10, k1=1.2, b=0.75)
+
+
+_BM25_QT = _TOKS.replace("lower(text)", "lower(qtext)")
+_BM25_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+_BM25_SQL = f"""
+WITH q(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qt AS (SELECT DISTINCT query_id, unnest({_BM25_QT}) AS term FROM q),
+toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+g AS (SELECT count(*) AS n,
+             (1000000 * sum(dl)) // count(*) AS avgdl_mu FROM dl),
+m AS (SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+dfc AS (SELECT term, count(*) AS df FROM m GROUP BY term),
+idf AS (SELECT term, CAST(round(1000000 * ln(1 +
+          ((SELECT n FROM g) - df + 0.5) / (df + 0.5))) AS BIGINT)
+          AS idf_mu FROM dfc),
+s1 AS (SELECT m.doc_id, m.term, m.tf,
+         (1000000000000 * d.dl) // (SELECT avgdl_mu FROM g) AS lr_mu
+       FROM m JOIN dl d USING (doc_id)),
+s2 AS (SELECT doc_id, term, tf,
+         1000000 - {_BM25_B_MU} + ({_BM25_B_MU} * lr_mu) // 1000000
+           AS norm_mu FROM s1),
+s3 AS (SELECT doc_id, term, tf,
+         1000000 * tf + ({_BM25_K1_MU} * norm_mu) // 1000000 AS den_mu
+       FROM s2),
+s4 AS (SELECT doc_id, term,
+         (tf * {_BM25_K1_MU + 1_000_000} * 1000000) // den_mu AS tfp_mu
+       FROM s3),
+contrib AS (SELECT s.doc_id, s.term,
+              (i.idf_mu * s.tfp_mu) // 1000000 AS contrib
+            FROM s4 s JOIN idf i USING (term)),
+pq AS (SELECT qt.query_id, c.doc_id,
+         CAST(sum(c.contrib) AS BIGINT) AS score_mu,
+         CAST(count(*) AS BIGINT) AS n_terms
+       FROM contrib c JOIN qt USING (term) GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score_mu DESC, doc_id ASC) AS rank
+      FROM pq)
+SELECT CAST(query_id AS INT) AS query_id, doc_id, score_mu, n_terms,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
+"""
+
+
 # Mirrors _media_dims(mid, 1024): side = int(sqrt(1024/3)) = 18.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ================= driver window (first DRIVER_ROW_CAP=50 entries) ====
@@ -7319,6 +7397,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (identical cross-modality sketches must not pair), one CC pass to
     # survivors; oracle-gated every pytest run.
     "media_dedup_pipeline": q_media_dedup_pipeline,
+    # bm25_topk (r13): inverted-index retrieval — the query side of the
+    # reference lab's TF-IDF build arc; Lucene-form BM25 in exact
+    # integer micro-units, postings cut to the broadcast query
+    # vocabulary before any heavy exchange; oracle-gated every pytest
+    # run.
+    "bm25_topk": q_bm25_topk,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -7340,6 +7424,7 @@ ROTATED_OUT: set[str] = {
     "pq_topk", "pq_rerank", "dedup_simhash_pairs", "ivfpq_topk",
     "audio_dedup", "video_dedup", "quality_classifier", "quality_select",
     "stream_audio_cands", "ivfpq_residual_topk", "media_dedup_pipeline",
+    "bm25_topk",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -7483,6 +7568,7 @@ _R13_NEW = {
     "stream_audio_cands",
     "ivfpq_residual_topk",
     "media_dedup_pipeline",
+    "bm25_topk",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -7625,6 +7711,7 @@ _ORACLES: dict[str, str] = {
     "skew_salted_join": _SKEW_JOIN_SQL,
     "curation_pipeline": _CURATION_E2E_SQL,
     "interchange_roundtrip": _INTERCHANGE_RT_SQL,
+    "bm25_topk": _BM25_SQL,
 }
 
 

@@ -1,0 +1,209 @@
+"""Inverted-index retrieval: BM25 scoring and top-k search (r13).
+
+The reference lab's whole arc (BigDataLab02 task 1: token counts ->
+term dictionary -> doc-term matrix -> TF-IDF) is the BUILD side of a
+search index; this module adds the QUERY side a user of that pipeline
+reaches for next — Okapi BM25 ranking (Robertson & Spärck Jones;
+the `idf = ln(1 + (N - df + 0.5)/(df + 0.5))` always-positive form is
+Lucene's, public in the Lucene similarity docs/source) over the same
+tokenizer the rest of the engine uses (`functions.text.tokens_column`).
+Retrieval over the corpus is also a curation primitive: benchmark
+decontamination and targeted quality audits are "run these queries,
+inspect the top-k" jobs at web scale.
+
+Cross-engine exactness: BM25 is real-valued, and the house rule is
+that gates compare INTEGER results (the lm_perplexity / DSIR /
+quality_classifier micro-unit discipline, curation.py). The contract
+here fixes every step in integer micro-units:
+
+  avgdl_mu = (1e6 * SD)  div N          -- SD = corpus token count
+  lr_mu    = (1e12 * dl) div avgdl_mu   -- micro-units of dl/avgdl
+  norm_mu  = 1e6 - b_mu + (b_mu * lr_mu) div 1e6
+  den_mu   = 1e6 * tf + (k1_mu * norm_mu) div 1e6
+  tfp_mu   = (tf * (k1_mu + 1e6) * 1e6) div den_mu
+  idf_mu   = round(1e6 * ln(1 + (N - df + 0.5)/(df + 0.5)))
+  contrib  = (idf_mu * tfp_mu) div 1e6
+  score_mu = sum(contrib) over the query's DISTINCT matched terms
+
+All quantities are non-negative, so `div` (truncate) and floor agree
+and DuckDB's `//` replays every step bit-for-bit; the single `ln` is
+quantized at 1e-6 exactly like the LM/NB weights. int64 headroom: the
+widest product is tf * (k1_mu + 1e6) * 1e6 ~ tf * 2.2e12 — safe while
+a single document stays under ~4e6 occurrences of one term; the
+operator range-checks df/N rather than trusting it.
+
+Scale shape (the part that must survive 100 TB): document length and
+df are the only corpus-wide aggregations — dl is ONE doc_id-keyed
+exchange with map-side combine, and df is computed AFTER the postings
+stream is cut down to query terms (the distinct query vocabulary
+broadcasts as an IN-set filter on the un-shuffled token stream), so
+the expensive (doc_id, term) aggregation and everything downstream run
+over matched rows only, never the full vocabulary. N and SD are one
+bounded scalar collect (two longs). The final per-query ranking is a
+window over score rows, which are at most |queries| x |matched docs|.
+
+Reference parity: extends `operators/matrix.py` (P8-P10 TF-IDF,
+reference Task_1_5/Task_1_6 MapReduce drivers) with the query-time
+ranking those outputs exist to serve.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_column
+
+_MU = 1_000_000
+
+
+def doc_lengths(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, dl): per-document token count under the engine tokenizer.
+
+    `F.size` on the token array is a zero-shuffle projection; the
+    groupBy exists only when callers feed pre-exploded tokens, so here
+    the exchange count is zero — dl never touches a shuffle until a
+    consumer joins it."""
+    return docs.select(
+        F.col(id_col),
+        F.size(tokens_column(F.col(text_col))).alias("dl"),
+    )
+
+
+def query_terms(
+    queries: DataFrame, id_col: str = "query_id", text_col: str = "text"
+) -> DataFrame:
+    """(query_id, term): DISTINCT normalized terms per query — short
+    queries score each term once (the standard BM25 bag-of-distinct
+    form for query-side weights of 1)."""
+    return (
+        queries.select(
+            F.col(id_col),
+            F.explode(tokens_column(F.col(text_col))).alias("term"),
+        )
+        .distinct()
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents per query under integer micro-unit BM25.
+
+    Returns (query_id, doc_id, score_mu, n_terms, rank): `score_mu`
+    is the exact integer micro-unit BM25 sum defined in the module
+    docstring, `n_terms` the count of distinct query terms the doc
+    matched, `rank` 1..k by (score_mu DESC, doc_id ASC) — the
+    deterministic id tiebreak every ranking surface in this repo uses.
+    Queries with no matching document simply return no rows (honest:
+    an empty result, not a fabricated zero row).
+
+    Plan: the query vocabulary (bounded — queries are human-sized) is
+    collected once and pushed as an IN-set filter on the raw token
+    stream, so the (doc_id, term) aggregation, df counts, dl join and
+    scoring all run over matched postings only. The corpus-wide work
+    is the one dl exchange; everything heavier is candidate-sized.
+    """
+    k1_mu = int(round(k1 * _MU))
+    b_mu = int(round(b * _MU))
+    if not (0 < k1_mu and 0 <= b_mu <= _MU):
+        raise ValueError(f"k1={k1}, b={b} out of range (k1>0, 0<=b<=1)")
+
+    qt = query_terms(queries, query_id_col, query_text_col)
+    # bounded: the distinct query vocabulary (human-entered queries)
+    vocab = [r["term"] for r in qt.select("term").distinct().collect()]
+    if not vocab:
+        raise ValueError("queries tokenize to an empty vocabulary")
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens_column(F.col(text_col))).alias("term"),
+    )
+    dl = docs.select(
+        F.col(id_col), F.size(tokens_column(F.col(text_col))).alias("dl")
+    )
+    # two bounded scalars: corpus doc count and token count
+    n_docs, sum_dl = dl.agg(
+        F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
+    ).first()
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avgdl_mu = (_MU * int(sum_dl)) // int(n_docs)
+    if avgdl_mu <= 0:
+        raise ValueError("corpus tokenizes to zero tokens")
+
+    # matched postings only: IN-set filter BEFORE the (doc, term) agg
+    matched = (
+        toks.where(F.col("term").isin(vocab))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # df over query terms only (matched is already one row per (doc,term))
+    df_tbl = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_tbl.select(
+        "term",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * _MU
+        )
+        .cast("long")
+        .alias("idf_mu"),
+    )
+
+    lr_mu = F.expr(f"({_MU * _MU} * dl) div {avgdl_mu}")
+    norm_mu = F.lit(_MU) - F.lit(b_mu) + F.expr(
+        f"({b_mu} * lr_mu) div {_MU}"
+    )
+    scored = (
+        matched.join(dl, id_col)
+        .withColumn("lr_mu", lr_mu.cast("long"))
+        .withColumn("norm_mu", norm_mu.cast("long"))
+        .withColumn(
+            "den_mu",
+            F.expr(f"{_MU} * tf + ({k1_mu} * norm_mu) div {_MU}"),
+        )
+        .withColumn(
+            "tfp_mu",
+            F.expr(f"(tf * {k1_mu + _MU} * {_MU}) div den_mu"),
+        )
+        .join(F.broadcast(idf), "term")
+        .withColumn("contrib", F.expr(f"(idf_mu * tfp_mu) div {_MU}"))
+    )
+    per_query = (
+        scored.join(F.broadcast(qt), "term")
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.sum("contrib").alias("score_mu"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score_mu"), F.asc(id_col)
+    )
+    return (
+        per_query.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.col("score_mu").cast("long").alias("score_mu"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

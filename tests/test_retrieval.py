@@ -1,0 +1,140 @@
+"""BM25 retrieval (operators/retrieval.py): hand-computed micro-unit
+scores on a tiny corpus, ranking properties, and contract edges."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from bigdata_lab02_spark.operators import retrieval as rt
+
+MU = 1_000_000
+
+
+def _mk(spark, rows, schema="doc_id long, text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _bm25_mu(tf, dl, n_docs, sum_dl, df, k1_mu=1_200_000, b_mu=750_000):
+    """Pure-python replay of the module's integer contract."""
+    avgdl_mu = (MU * sum_dl) // n_docs
+    lr_mu = (MU * MU * dl) // avgdl_mu
+    norm_mu = MU - b_mu + (b_mu * lr_mu) // MU
+    den_mu = MU * tf + (k1_mu * norm_mu) // MU
+    tfp_mu = (tf * (k1_mu + MU) * MU) // den_mu
+    idf_mu = round(MU * math.log(1 + (n_docs - df + 0.5) / (df + 0.5)))
+    return (idf_mu * tfp_mu) // MU
+
+
+def test_hand_computed_scores(spark):
+    # 3 docs: "cat" in doc 1 (tf=2) and doc 2 (tf=1); "dog" only doc 3.
+    docs = _mk(
+        spark,
+        [
+            (1, "cat cat fish"),
+            (2, "cat bird bird bird"),
+            (3, "dog fish"),
+        ],
+    )
+    queries = _mk(spark, [(0, "cat")], "query_id int, text string")
+    out = rt.bm25_topk(docs, queries, k=10).collect()
+    got = {(r.query_id, r.doc_id): r.score_mu for r in out}
+    # corpus stats: N=3, SD = 3+4+2 = 9
+    exp1 = _bm25_mu(tf=2, dl=3, n_docs=3, sum_dl=9, df=2)
+    exp2 = _bm25_mu(tf=1, dl=4, n_docs=3, sum_dl=9, df=2)
+    assert got == {(0, 1): exp1, (0, 2): exp2}
+    ranks = {(r.query_id, r.doc_id): r.rank for r in out}
+    assert ranks[(0, 1)] == 1 and ranks[(0, 2)] == 2
+
+
+def test_multi_term_sum_and_n_terms(spark):
+    docs = _mk(spark, [(1, "cat dog"), (2, "cat cat cat")])
+    queries = _mk(spark, [(7, "cat dog")], "query_id int, text string")
+    out = {r.doc_id: r for r in rt.bm25_topk(docs, queries, k=5).collect()}
+    assert out[1].n_terms == 2 and out[2].n_terms == 1
+    exp_doc1 = _bm25_mu(1, 2, 2, 5, 2) + _bm25_mu(1, 2, 2, 5, 1)
+    assert out[1].score_mu == exp_doc1
+
+
+def test_rare_term_outranks_common_at_equal_tf(spark):
+    # "rare" df=1, "common" df=4: same tf/dl -> rare-matching doc wins.
+    docs = _mk(
+        spark,
+        [
+            (1, "rare pad pad"),
+            (2, "common pad pad"),
+            (3, "common x y"),
+            (4, "common a b"),
+            (5, "common c d"),
+        ],
+    )
+    queries = _mk(
+        spark, [(0, "rare"), (1, "common")], "query_id int, text string"
+    )
+    out = rt.bm25_topk(docs, queries, k=1).collect()
+    top = {r.query_id: r for r in out}
+    assert top[0].doc_id == 1
+    assert top[0].score_mu > top[1].score_mu
+
+
+def test_absent_term_contributes_nothing(spark):
+    docs = _mk(spark, [(1, "cat dog"), (2, "cat")])
+    q_one = _mk(spark, [(0, "cat")], "query_id int, text string")
+    q_two = _mk(
+        spark, [(0, "cat zzzabsent")], "query_id int, text string"
+    )
+    one = {r.doc_id: r.score_mu for r in rt.bm25_topk(docs, q_one).collect()}
+    two = {r.doc_id: r.score_mu for r in rt.bm25_topk(docs, q_two).collect()}
+    assert one == two
+
+
+def test_no_match_returns_no_rows(spark):
+    docs = _mk(spark, [(1, "cat dog")])
+    queries = _mk(
+        spark,
+        [(0, "zzz qqq"), (1, "cat")],
+        "query_id int, text string",
+    )
+    out = rt.bm25_topk(docs, queries).collect()
+    assert {r.query_id for r in out} == {1}
+
+
+def test_tiebreak_is_doc_id_ascending(spark):
+    # identical docs -> identical scores; rank must follow doc_id.
+    docs = _mk(spark, [(9, "cat x"), (4, "cat x"), (7, "cat x")])
+    queries = _mk(spark, [(0, "cat")], "query_id int, text string")
+    out = sorted(rt.bm25_topk(docs, queries).collect(), key=lambda r: r.rank)
+    assert [r.doc_id for r in out] == [4, 7, 9]
+    assert len({r.score_mu for r in out}) == 1
+
+
+def test_k_caps_results(spark):
+    docs = _mk(spark, [(i, f"cat w{i}") for i in range(20)])
+    queries = _mk(spark, [(0, "cat")], "query_id int, text string")
+    assert rt.bm25_topk(docs, queries, k=5).count() == 5
+
+
+def test_empty_query_vocabulary_raises(spark):
+    docs = _mk(spark, [(1, "cat")])
+    queries = _mk(spark, [(0, "!!")], "query_id int, text string")
+    with pytest.raises(ValueError, match="empty vocabulary"):
+        rt.bm25_topk(docs, queries)
+
+
+def test_bad_params_raise(spark):
+    docs = _mk(spark, [(1, "cat")])
+    queries = _mk(spark, [(0, "cat")], "query_id int, text string")
+    with pytest.raises(ValueError, match="out of range"):
+        rt.bm25_topk(docs, queries, b=1.5)
+
+
+def test_doc_lengths_and_query_terms(spark):
+    docs = _mk(spark, [(1, "Cat, the DOG!"), (2, "")])
+    dl = {r[0]: r.dl for r in rt.doc_lengths(docs).collect()}
+    assert dl == {1: 3, 2: 0}
+    queries = _mk(
+        spark, [(0, "cat CAT cat dog")], "query_id int, text string"
+    )
+    qt = rt.query_terms(queries).collect()
+    assert sorted((r.query_id, r.term) for r in qt) == [(0, "cat"), (0, "dog")]
