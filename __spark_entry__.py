@@ -7033,6 +7033,133 @@ FROM r WHERE rank <= 10
 """
 
 
+# ------------------------------------ link-graph PageRank (r13)
+
+# Closed-form link fixture: every page's host and every anchor's target
+# are modular functions of doc_id, so the oracle restates the EDGE LIST
+# without parsing a byte of HTML (the image/audio fixture convention)
+# while the Spark side runs the real chain — remove_nonprose → anchor
+# regex → href extraction (double-quoted / single-quoted / unquoted
+# forms all present) → RFC-subset resolution → PSL registered domains →
+# self-loop drop → weighted edges. Stripes: absolute hrefs (1/5 of
+# which are self-loops), protocol-relative in single quotes,
+# root-relative (always a self-loop — must vanish), mailto (dropped by
+# rule), unquoted hrefs to a dangling domain (example.net never links
+# out), a commented-out anchor to evil.com (must never be extracted),
+# and a quoted '>' inside an href value.
+_PR_URL_EXPR = (
+    "'https://s' || (doc_id % 7) || '.site' || (doc_id % 5)"
+    " || '.com/p/' || doc_id"
+)
+_PR_HTML_EXPR = (
+    "'<p><a href=\"https://www.site' || ((doc_id*2+1) % 5)"
+    " || '.com/x' || (doc_id % 11) || '\">t</a>'"
+    " || CASE WHEN doc_id % 3 = 0 THEN"
+    " '<a href=''//cdn.site' || ((doc_id*3+2) % 5) || '.com/c''>c</a>'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 1 THEN"
+    " '<a href=\"mailto:u@x.org\">m</a>' ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 2 THEN"
+    " '<a href=\"/p/' || (doc_id % 9) || '\">s</a>' ELSE '' END"
+    " || CASE WHEN doc_id % 8 = 3 THEN"
+    " '<a href=https://sink' || (doc_id % 2)"
+    " || '.example.net/z>k</a>' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN"
+    " '<!-- <a href=\"https://evil.com/h\">h</a> -->' ELSE '' END"
+    " || CASE WHEN doc_id % 10 = 7 THEN"
+    " '<a href=\"https://q.site' || ((doc_id+1) % 5)"
+    " || '.com/x?a>b\">q</a>' ELSE '' END"
+    " || '</p>'"
+)
+_PR_ITERS = 5
+
+
+def q_link_pagerank(spark, sf_dir):
+    """Link-graph domain centrality end-to-end (operators/graph.py +
+    html.extract_links, r13): pages → href extraction under the
+    hardened anchor patterns → RFC-subset resolution → registered-
+    domain graph (real PSL machinery, self-loops dropped) → 5 rounds
+    of exact integer micro-unit PageRank with dangling-mass
+    redistribution. The oracle restates the edge list in closed form
+    from the fixture formulas and unrolls the five iterations.
+    Returns (domain, rank_mu)."""
+    from bigdata_lab02_spark.operators.graph import (
+        domain_link_graph,
+        pagerank,
+    )
+    from bigdata_lab02_spark.operators.html import extract_links
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.expr(_PR_URL_EXPR).alias("url"),
+        F.expr(_PR_HTML_EXPR).alias("html"),
+    )
+    links = extract_links(pages)
+    sfx, _ = _url_dims(spark)
+    edges = domain_link_graph(links, sfx)
+    return pagerank(edges, iters=_PR_ITERS).select(
+        F.col("node").alias("domain"),
+        F.col("rank_mu").cast("long").alias("rank_mu"),
+    )
+
+
+def _pagerank_sql(iters: int) -> str:
+    total = 10**12
+    it_ctes = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        it_ctes.append(f"""
+c{i} AS (SELECT e.dst_dom AS node,
+           sum((r.rank_mu * e.w) // o.wout) AS in_mu
+         FROM pr_edges e
+         JOIN r{p} r ON e.src_dom = r.node
+         JOIN pr_outw o ON e.src_dom = o.node
+         GROUP BY 1),
+d{i} AS (SELECT COALESCE(sum(r.rank_mu), 0) AS dang
+         FROM r{p} r LEFT JOIN pr_outw o USING (node)
+         WHERE o.node IS NULL),
+r{i} AS (SELECT n.node,
+           (15 * ({total} // (SELECT n FROM pr_n))) // 100
+           + (85 * (COALESCE(c.in_mu, 0)
+                    + (SELECT dang FROM d{i})
+                      // (SELECT n FROM pr_n))) // 100 AS rank_mu
+         FROM pr_nodes n LEFT JOIN c{i} c USING (node))""")
+    return f"""
+WITH raw_links(src_dom, dst_dom) AS (
+  SELECT 'site' || (doc_id % 5) || '.com',
+         'site' || ((doc_id*2+1) % 5) || '.com' FROM documents
+  UNION ALL
+  SELECT 'site' || (doc_id % 5) || '.com',
+         'site' || ((doc_id*3+2) % 5) || '.com'
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'site' || (doc_id % 5) || '.com', 'example.net'
+  FROM documents WHERE doc_id % 8 = 3
+  UNION ALL
+  SELECT 'site' || (doc_id % 5) || '.com',
+         'site' || ((doc_id+1) % 5) || '.com'
+  FROM documents WHERE doc_id % 10 = 7),
+pr_edges AS (
+  SELECT src_dom, dst_dom, count(*) AS w FROM raw_links
+  WHERE src_dom != dst_dom GROUP BY 1, 2),
+pr_nodes AS (
+  SELECT DISTINCT src_dom AS node FROM pr_edges
+  UNION SELECT DISTINCT dst_dom FROM pr_edges),
+pr_n AS (SELECT count(*) AS n FROM pr_nodes),
+pr_outw AS (
+  SELECT src_dom AS node, sum(w) AS wout FROM pr_edges GROUP BY 1),
+r0 AS (SELECT node, {total} // (SELECT n FROM pr_n) AS rank_mu
+       FROM pr_nodes),
+{",".join(it_ctes)}
+SELECT node AS domain, CAST(rank_mu AS BIGINT) AS rank_mu
+FROM r{iters}
+"""
+
+
+_PAGERANK_SQL = _pagerank_sql(_PR_ITERS)
+
+
 # Mirrors _media_dims(mid, 1024): side = int(sqrt(1024/3)) = 18.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ================= driver window (first DRIVER_ROW_CAP=50 entries) ====
@@ -7403,6 +7530,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # vocabulary before any heavy exchange; oracle-gated every pytest
     # run.
     "bm25_topk": q_bm25_topk,
+    # link_pagerank (r13): link-graph domain centrality — href
+    # extraction from crawl HTML, registered-domain graph, exact
+    # integer micro-unit PageRank with dangling redistribution; the
+    # quality prior real curation joins in next to the content rules;
+    # oracle-gated every pytest run.
+    "link_pagerank": q_link_pagerank,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -7424,7 +7557,7 @@ ROTATED_OUT: set[str] = {
     "pq_topk", "pq_rerank", "dedup_simhash_pairs", "ivfpq_topk",
     "audio_dedup", "video_dedup", "quality_classifier", "quality_select",
     "stream_audio_cands", "ivfpq_residual_topk", "media_dedup_pipeline",
-    "bm25_topk",
+    "bm25_topk", "link_pagerank",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -7569,6 +7702,7 @@ _R13_NEW = {
     "ivfpq_residual_topk",
     "media_dedup_pipeline",
     "bm25_topk",
+    "link_pagerank",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -7712,6 +7846,7 @@ _ORACLES: dict[str, str] = {
     "curation_pipeline": _CURATION_E2E_SQL,
     "interchange_roundtrip": _INTERCHANGE_RT_SQL,
     "bm25_topk": _BM25_SQL,
+    "link_pagerank": _PAGERANK_SQL,
 }
 
 

@@ -185,6 +185,12 @@ EXTRA = [
     # r13: the DCLM selection composition (classifier score -> budgeted
     # top-score admission via the shared distributed-prefix kernel)
     "quality_select",
+    # r13: BM25 top-k retrieval (integer micro-unit scoring; postings
+    # cut to the broadcast query vocabulary before any heavy exchange)
+    "bm25_topk",
+    # r13: link-graph domain PageRank (href extraction -> PSL domain
+    # graph -> 5 exact integer power-iteration rounds)
+    "link_pagerank",
 ]
 STREAMING_LAST = [
     "stream_hourly",

@@ -245,3 +245,100 @@ def extract_html(
             "markup_frac"
         ),
     )
+
+
+# ---------------------------------------------- link extraction (r13)
+
+# Anchor OPEN tag (the href carrier), same hardened attribute body as
+# ANCHOR_RE: a quoted '>' stays inside the tag.
+ANCHOR_OPEN_RE = rf"(?is)<a\s{_ATTRS}>"
+# href value forms, tried in order: double-quoted, single-quoted,
+# unquoted (up to the first whitespace / '>' / quote — a URL with a
+# literal space is invalid anyway). Case-insensitive attribute name;
+# the lookbehind rejects 'data-href='/'xhref=' ('-' is a non-word
+# char, so a plain \b WOULD match between 'data-' and 'href').
+_HREF_DQ = r"""(?i)(?<![\w-])href\s*=\s*"([^"]*)\""""
+_HREF_SQ = r"(?i)(?<![\w-])href\s*=\s*'([^']*)'"
+_HREF_UQ = r"""(?i)(?<![\w-])href\s*=\s*([^\s>"']+)"""
+# RFC 3986 scheme prefix — present means the href is absolute.
+_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
+
+
+def _href_of(tag: Column) -> Column:
+    """href attribute value of one anchor-open-tag string ('' when the
+    anchor carries none)."""
+    dq = F.regexp_extract(tag, _HREF_DQ, 1)
+    sq = F.regexp_extract(tag, _HREF_SQ, 1)
+    uq = F.regexp_extract(tag, _HREF_UQ, 1)
+    return F.when(dq != "", dq).when(sq != "", sq).otherwise(uq)
+
+
+def extract_links(
+    docs: DataFrame,
+    base_url_col: str = "url",
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, base url, href, link_url): one row per href-bearing
+    anchor in the prose-bearing markup — the crawl frontier /
+    link-graph source (the base url column passes through so the
+    output is directly a (source url, target url) pair table).
+
+    Anchors are taken from the script/style/comment/CDATA-stripped
+    markup (``remove_nonprose`` — a link inside commented-out or
+    scripted markup is not a link, the same rule ``n_links`` uses).
+    ``href`` is the raw attribute value; ``link_url`` is the resolved
+    absolute target under the documented subset of RFC 3986 §5 that
+    covers crawl link graphs:
+
+    - absolute ``http://``/``https://`` hrefs pass through;
+    - protocol-relative ``//host/path`` takes the base URL's scheme;
+    - root-relative ``/path`` takes the base URL's ``scheme://host``;
+    - everything else is NULL — other schemes (``mailto:``,
+      ``javascript:``, ``ftp:``, ``data:``), bare fragments, empty
+      hrefs, and RELATIVE paths (full dot-segment base-path merging is
+      out of scope; absolute + root-relative dominate real link
+      graphs, and a NULL is an honest "not followed", not a bad URL);
+    - any fragment is stripped from the resolved target (RFC 3986 §3.5
+      — the fragment never reaches the server).
+
+    One projection + one explode — no shuffle, no UDF; downstream
+    graph building does the keyed work. Base URLs that don't parse as
+    ``scheme://host...`` resolve only absolute hrefs (relative forms
+    need a base and get NULL)."""
+    from .url import hostname_of, url_parts
+
+    base = F.col(base_url_col)
+    scheme, _, _ = url_parts(base)
+    host = hostname_of(base)
+    tags = F.regexp_extract_all(
+        remove_nonprose(F.col(html_col)), F.lit(ANCHOR_OPEN_RE), 0
+    )
+    out = docs.select(
+        id_col,
+        base_url_col,
+        F.lower(scheme).alias("__scheme"),
+        host.alias("__host"),
+        F.explode(F.transform(tags, _href_of)).alias("href"),
+    ).where(F.col("href") != "")
+    href = F.col("href")
+    has_base = (F.col("__scheme") != "") & (F.col("__host") != "")
+    resolved = (
+        F.when(
+            F.regexp_like(href, F.lit(r"(?i)^https?://")), href
+        )
+        .when(
+            href.startswith("//") & has_base,
+            F.concat(F.col("__scheme"), F.lit(":"), href),
+        )
+        .when(
+            href.startswith("/") & ~href.startswith("//") & has_base,
+            F.concat(
+                F.col("__scheme"), F.lit("://"), F.col("__host"), href
+            ),
+        )
+    )
+    resolved = F.regexp_replace(resolved, r"#.*$", "")
+    return out.select(
+        id_col, base_url_col, "href", resolved.alias("link_url")
+    )

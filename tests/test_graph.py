@@ -1,0 +1,203 @@
+"""Link extraction (html.extract_links), domain graph construction and
+integer micro-unit PageRank (operators/graph.py): pure-python contract
+replays, hand graphs, and resolution edge cases."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_lab02_spark.operators.graph import domain_link_graph, pagerank
+from bigdata_lab02_spark.operators.html import extract_links
+
+TOTAL = 10**12
+
+
+def _pr_replay(edges, iters, d=85, total=TOTAL):
+    """The module's integer contract, replayed in pure python."""
+    nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    n = len(nodes)
+    share = total // n
+    base = ((100 - d) * share) // 100
+    wout: dict = {}
+    for s, _, w in edges:
+        wout[s] = wout.get(s, 0) + w
+    r = {v: share for v in nodes}
+    for _ in range(iters):
+        inm = {v: 0 for v in nodes}
+        for s, t, w in edges:
+            inm[t] += (r[s] * w) // wout[s]
+        dang = sum(r[v] for v in nodes if v not in wout)
+        ds = dang // n
+        r = {v: base + (d * (inm[v] + ds)) // 100 for v in nodes}
+    return r
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(
+        edges, "src_domain string, dst_domain string, weight long"
+    )
+
+
+def test_pagerank_matches_replay_exactly(spark):
+    # triangle + a dangling sink: every contract branch exercised
+    edges = [
+        ("a.com", "b.com", 2),
+        ("b.com", "c.com", 1),
+        ("c.com", "a.com", 1),
+        ("a.com", "sink.net", 1),
+    ]
+    got = {
+        r.node: r.rank_mu
+        for r in pagerank(_edges_df(spark, edges), iters=4).collect()
+    }
+    assert got == _pr_replay(edges, iters=4)
+
+
+def test_pagerank_hub_outranks_spokes(spark):
+    # hub spreads its mass back over ALL spokes (a single return edge
+    # would make that one spoke accumulate hub's whole rank and win)
+    edges = [(f"s{i}.com", "hub.com", 1) for i in range(6)] + [
+        ("hub.com", f"s{i}.com", 1) for i in range(6)
+    ]
+    got = {
+        r.node: r.rank_mu
+        for r in pagerank(_edges_df(spark, edges), iters=6).collect()
+    }
+    assert got["hub.com"] == max(got.values())
+    assert got == _pr_replay(edges, iters=6)
+
+
+def test_pagerank_mass_is_conserved_up_to_truncation(spark):
+    edges = [
+        ("a.com", "b.com", 3),
+        ("b.com", "a.com", 1),
+        ("b.com", "c.com", 1),
+    ]
+    iters = 5
+    got = pagerank(_edges_df(spark, edges), iters=iters).collect()
+    total = sum(r.rank_mu for r in got)
+    # each div truncates < 1 unit per (edge + node + dangling) per round
+    dust = iters * (len(edges) + 3 + 2) * 2
+    assert TOTAL - dust <= total <= TOTAL
+
+
+def test_pagerank_tol_early_stop_equals_one_round(spark):
+    edges = [("a.com", "b.com", 1), ("b.com", "a.com", 1)]
+    # symmetric 2-cycle: ranks never move after round 1 -> a huge tol
+    # stops after the first round, equal to the fixed-1-iter run
+    got = {
+        r.node: r.rank_mu
+        for r in pagerank(
+            _edges_df(spark, edges), iters=50, tol_mu=TOTAL
+        ).collect()
+    }
+    assert got == _pr_replay(edges, iters=1)
+
+
+def test_pagerank_contract_errors(spark):
+    e = _edges_df(spark, [("a.com", "b.com", 1)])
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(e, iters=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(e, damping_pct=101)
+    empty = _edges_df(spark, []).where("weight > 0")
+    with pytest.raises(ValueError, match="empty graph"):
+        pagerank(empty)
+
+
+def test_domain_link_graph_weights_and_self_loops(spark):
+    sfx = spark.createDataFrame([("com",), ("net",)], "suffix string")
+    links = spark.createDataFrame(
+        [
+            # two links a->b (weight 2), one b->a
+            ("https://www.a.com/1", "https://x.b.com/p"),
+            ("https://www.a.com/2", "https://y.b.com/q"),
+            ("https://b.com/3", "https://a.com/r"),
+            # intra-domain: dropped by default
+            ("https://www.a.com/4", "https://cdn.a.com/s"),
+            # endpoint with no registrable domain: dropped
+            ("https://www.a.com/5", "https://com/t"),
+        ],
+        "url string, link_url string",
+    )
+    got = {
+        (r.src_domain, r.dst_domain): r.weight
+        for r in domain_link_graph(links, sfx).collect()
+    }
+    assert got == {("a.com", "b.com"): 2, ("b.com", "a.com"): 1}
+    kept = domain_link_graph(links, sfx, keep_self_loops=True).collect()
+    assert {
+        (r.src_domain, r.dst_domain): r.weight for r in kept
+    } == {("a.com", "b.com"): 2, ("b.com", "a.com"): 1, ("a.com", "a.com"): 1}
+
+
+def _links(spark, url, html):
+    df = spark.createDataFrame(
+        [(1, url, html)], "doc_id long, url string, html string"
+    )
+    return [
+        (r.href, r.link_url) for r in extract_links(df).collect()
+    ]
+
+
+BASE = "https://www.ex.com/dir/page?x=1"
+
+
+def test_extract_links_resolution_rules(spark):
+    html = (
+        '<p><a href="https://abs.com/a#frag">abs</a>'
+        "<a href='//pr.com/b'>proto-rel</a>"
+        '<a href="/root/c">root-rel</a>'
+        '<a href="rel/d">relative</a>'
+        '<a href="mailto:x@y.z">mail</a>'
+        '<a href="javascript:void(0)">js</a>'
+        '<a href="#sec">frag</a>'
+        '<a href="">empty</a>'
+        "<a>bare</a></p>"
+    )
+    got = _links(spark, BASE, html)
+    assert got == [
+        ("https://abs.com/a#frag", "https://abs.com/a"),
+        ("//pr.com/b", "https://pr.com/b"),
+        ("/root/c", "https://www.ex.com/root/c"),
+        ("rel/d", None),
+        ("mailto:x@y.z", None),
+        ("javascript:void(0)", None),
+        ("#sec", None),
+    ]
+
+
+def test_extract_links_hardened_attribute_forms(spark):
+    html = (
+        '<a class="x" href="https://q.com/x?a>b&c=1">quoted-gt</a>'
+        "<a href=https://u.com/u rel=nofollow>unquoted</a>"
+        '<a HREF="https://up.com/U">caps-attr</a>'
+        '<a data-href="https://no.com/n">not-href</a>'
+    )
+    got = _links(spark, BASE, html)
+    assert got == [
+        ("https://q.com/x?a>b&c=1", "https://q.com/x?a>b&c=1"),
+        ("https://u.com/u", "https://u.com/u"),
+        ("https://up.com/U", "https://up.com/U"),
+    ]
+
+
+def test_extract_links_ignores_nonprose_markup(spark):
+    html = (
+        '<!-- <a href="https://evil.com/x">hidden</a> -->'
+        '<script>document.write(\'<a href="https://js.com/y">j</a>\')'
+        "</script>"
+        '<a href="https://ok.com/z">visible</a>'
+    )
+    got = _links(spark, BASE, html)
+    assert got == [("https://ok.com/z", "https://ok.com/z")]
+
+
+def test_extract_links_without_parseable_base(spark):
+    html = '<a href="https://abs.com/a">x</a><a href="/rel">y</a>'
+    got = _links(spark, "not a url", html)
+    # absolute still resolves; root-relative has no base -> NULL
+    assert got == [
+        ("https://abs.com/a", "https://abs.com/a"),
+        ("/rel", None),
+    ]
