@@ -6955,6 +6955,62 @@ GROUP BY o.o_orderpriority
 """
 
 
+# ------------------------------------- mixture sampling (r13)
+
+# Mixture spec for the gate: binding quotas on five real sources,
+# a zero-weight source (explicit exclusion), and a weight on a source
+# absent from the data (changes the weight sum, contributes no rows).
+_MIX_WEIGHTS = [
+    ("src0", 6), ("src1", 3), ("src2", 1), ("src3", 0),
+    ("src5", 2), ("src7", 1), ("srcX", 5),
+]
+_MIX_BUDGET = 3000
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Source-weighted mixture under a global token budget
+    (curation.mixture_sample, r13): per-group quota = exact integer
+    share of the budget, md5-draw ordering within each group, group-
+    global prefix-sum admission via the range-partitioned kernel (a
+    mega-source spreads across partitions — never a one-task window).
+    Returns admitted (doc_id, source, n_tokens, cum_tokens, quota)."""
+    from bigdata_lab02_spark.operators.curation import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs, dict(_MIX_WEIGHTS), _MIX_BUDGET, group_col="source"
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("quota").cast("long").alias("quota"),
+    )
+
+
+_MIX_W_VALUES = ", ".join(f"('{g}', {w})" for g, w in _MIX_WEIGHTS)
+_MIX_SQL = f"""
+WITH wts(source, w) AS (VALUES {_MIX_W_VALUES}),
+q AS (SELECT source,
+        ({_MIX_BUDGET} * w) // (SELECT sum(w) FROM wts) AS quota
+      FROM wts),
+keyed AS (
+  SELECT d.doc_id, d.source, len({_TOKS}) AS n_tokens, q.quota,
+         md5('' || '|' || d.doc_id) AS k
+  FROM documents d JOIN q USING (source)),
+cum AS (
+  SELECT *, sum(n_tokens) OVER (
+    PARTITION BY source ORDER BY k, doc_id) AS cum_tokens
+  FROM keyed)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(quota AS BIGINT) AS quota
+FROM cum
+WHERE cum_tokens <= quota OR (cum_tokens = n_tokens AND quota > 0)
+"""
+
+
 # ---------------------------------------- BM25 retrieval (r13)
 
 # Fixed query workload for the retrieval gate: human-sized queries over
@@ -7536,6 +7592,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # quality prior real curation joins in next to the content rules;
     # oracle-gated every pytest run.
     "link_pagerank": q_link_pagerank,
+    # mixture_sample (r13): source-weighted token-budget mixture — the
+    # data-mixing stage of training-data assembly; exact integer
+    # quotas, md5 draw order, group-aware distributed prefix-sum
+    # admission; oracle-gated every pytest run.
+    "mixture_sample": q_mixture_sample,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -7557,7 +7618,7 @@ ROTATED_OUT: set[str] = {
     "pq_topk", "pq_rerank", "dedup_simhash_pairs", "ivfpq_topk",
     "audio_dedup", "video_dedup", "quality_classifier", "quality_select",
     "stream_audio_cands", "ivfpq_residual_topk", "media_dedup_pipeline",
-    "bm25_topk", "link_pagerank",
+    "bm25_topk", "link_pagerank", "mixture_sample",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -7703,6 +7764,7 @@ _R13_NEW = {
     "media_dedup_pipeline",
     "bm25_topk",
     "link_pagerank",
+    "mixture_sample",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -7847,6 +7909,7 @@ _ORACLES: dict[str, str] = {
     "interchange_roundtrip": _INTERCHANGE_RT_SQL,
     "bm25_topk": _BM25_SQL,
     "link_pagerank": _PAGERANK_SQL,
+    "mixture_sample": _MIX_SQL,
 }
 
 

@@ -191,6 +191,9 @@ EXTRA = [
     # r13: link-graph domain PageRank (href extraction -> PSL domain
     # graph -> 5 exact integer power-iteration rounds)
     "link_pagerank",
+    # r13: source-weighted token-budget mixture (data mixing; group-
+    # aware distributed prefix-sum admission)
+    "mixture_sample",
 ]
 STREAMING_LAST = [
     "stream_hourly",

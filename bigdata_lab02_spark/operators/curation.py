@@ -1298,3 +1298,120 @@ def quality_select(
     return _budget_admit(
         keyed, token_budget, id_col, "score_mu", num_partitions
     )
+
+
+# ----------------------------------------------- mixture sampling (r13)
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, int],
+    token_budget: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Source-weighted mixture under a global token budget — the "data
+    mixing" stage of training-data assembly (The Pile, Gao et al. 2021,
+    publishes exactly this shape: per-source weights times a global
+    token target; DoReMi, Xie et al. 2023, learns the weights but
+    SPENDS them the same way). Deterministic, exactly replayable:
+
+    - per-group quota  = (token_budget * w_g) div sum(w)  — exact
+      integers; groups absent from ``weights`` get quota 0 and are
+      dropped (an explicit mixture is a whitelist);
+    - within a group, docs are ordered by the portable md5 draw key
+      ``md5(salt|id)`` (the ``hash_split`` idiom — change ``salt`` for
+      an independent re-draw) and admitted while the group's running
+      token sum stays within its quota; the group's FIRST doc is
+      admitted even if it alone exceeds the quota, provided the quota
+      is positive (the `_budget_admit` make-progress rule, per group).
+
+    Scale shape — the part that must survive a 90%-one-source corpus:
+    this does NOT window over the group key (a hot source would funnel
+    into one sort task — the failure mode the bounded domain quota
+    exists for). It reuses `_budget_admit`'s distributed prefix-sum
+    discipline with GROUP-AWARE offsets: range-repartition on
+    (group, draw key, id) spreads a mega-group across many range
+    partitions; per-(partition, group) token totals come back as ONE
+    bounded driver visit (≤ partitions × |weights| rows — the
+    model-state seam), running offsets are computed per group and
+    broadcast back, and each partition adds its offset to a LOCAL
+    prefix window. `localCheckpoint` pins the partitioning so the
+    offset pass and the output pass see identical placement (the
+    ADVICE-r12 materialization rule).
+
+    Returns admitted rows: (id, group, n_tokens, cum_tokens, quota).
+    ``cum_tokens`` is the group-global running sum at the row,
+    ``quota`` the group's token quota — both cross a gate hash.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one group")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    wsum = sum(weights.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive total")
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    spark = docs.sparkSession
+    quota_rows = [
+        (g, (token_budget * w) // wsum) for g, w in sorted(weights.items())
+    ]
+    quotas = F.broadcast(
+        spark.createDataFrame(
+            quota_rows, f"{group_col} string, quota long"
+        )
+    )
+    key = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col)))
+    keyed = docs.join(quotas, group_col).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(tokens_column(F.col(text_col))).alias("n_tokens"),
+        "quota",
+        key.alias("__key"),
+    )
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    rp = (
+        keyed.repartitionByRange(
+            nparts, F.asc(group_col), F.asc("__key"), F.asc(id_col)
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    # bounded driver visit: one row per (partition, group) present
+    part_tot = (
+        rp.groupBy("__pid", group_col)
+        .agg(F.sum("n_tokens").alias("pt"))
+        .collect()
+    )
+    offsets, acc = [], {}
+    for r in sorted(part_tot, key=lambda r: (r[group_col], r["__pid"])):
+        g = r[group_col]
+        offsets.append((r["__pid"], g, acc.get(g, 0)))
+        acc[g] = acc.get(g, 0) + r["pt"]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            offsets, f"__pid int, {group_col} string, __off long"
+        )
+    )
+    w = (
+        Window.partitionBy("__pid", group_col)
+        .orderBy(F.asc("__key"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        rp.join(off_df, ["__pid", group_col])
+        .withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w) + F.col("__off")
+        )
+    )
+    return cum.where(
+        (F.col("cum_tokens") <= F.col("quota"))
+        | (
+            (F.col("cum_tokens") == F.col("n_tokens"))
+            & (F.col("quota") > 0)
+        )
+    ).select(id_col, group_col, "n_tokens", "cum_tokens", "quota")

@@ -144,7 +144,18 @@ def bm25_topk(
     if avgdl_mu <= 0:
         raise ValueError("corpus tokenizes to zero tokens")
 
-    # matched postings only: IN-set filter BEFORE the (doc, term) agg
+    # matched postings only: IN-set filter BEFORE the (doc, term) agg.
+    # repeated_scans receipt: TWO consumers (df/idf and the scoring
+    # join) compile the matched subtree twice, but both sides reach it
+    # through ONE structurally identical (doc_id, term) exchange that
+    # AQE reuses at runtime (the dedup_simhash_pairs receipt) —
+    # measured at sf0.1: pinning is a wash (3.00 s pinned vs 2.94 s
+    # unpinned warm), so per the measure-first rule it stays unpinned
+    # and the library keeps lazy semantics. The doc-length frame is
+    # deliberately a SECOND columnar scan: deriving dl from the
+    # exploded token stream would put a corpus-wide token exchange (or
+    # a corpus-sized checkpoint) where a cheap no-explode projection
+    # scan suffices.
     matched = (
         toks.where(F.col("term").isin(vocab))
         .groupBy(id_col, "term")

@@ -810,3 +810,118 @@ def test_quality_classifier_null_labels_are_unlabeled(spark):
         for r in quality_classifier_score(with_null, model).collect()
     }
     assert set(got) == {1, 2, 3} and got[3] is not None
+
+
+# ----------------------------------------------- mixture sampling (r13)
+
+
+class TestMixtureSample:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+
+    def _replay(self, rows, weights, budget, salt=""):
+        """Pure-python replay of the mixture contract."""
+        import hashlib
+
+        wsum = sum(weights.values())
+        quota = {g: (budget * w) // wsum for g, w in weights.items()}
+        out = {}
+        by_group: dict = {}
+        for i, g, t in rows:
+            if g in quota:
+                k = hashlib.md5(f"{salt}|{i}".encode()).hexdigest()
+                by_group.setdefault(g, []).append((k, i, len(t.split())))
+        for g, docs in by_group.items():
+            cum = 0
+            for k, i, n in sorted(docs):
+                cum += n
+                if cum <= quota[g] or (cum == n and quota[g] > 0):
+                    out[i] = (g, n, cum, quota[g])
+        return out
+
+    def test_matches_replay_exactly(self, spark):
+        from bigdata_lab02_spark.operators.curation import mixture_sample
+
+        rows = [
+            (i, f"s{i % 3}", " ".join(f"w{j}" for j in range(3 + i % 5)))
+            for i in range(30)
+        ]
+        weights = {"s0": 3, "s1": 1, "s2": 0, "sX": 2}
+        got = {
+            r.doc_id: (r.source, r.n_tokens, r.cum_tokens, r.quota)
+            for r in mixture_sample(
+                self._docs(spark, rows), weights, 40
+            ).collect()
+        }
+        assert got == self._replay(rows, weights, 40)
+        # zero-weight group contributes nothing
+        assert all(g != "s2" for g, _, _, _ in got.values())
+
+    def test_first_doc_admitted_over_tiny_quota(self, spark):
+        from bigdata_lab02_spark.operators.curation import mixture_sample
+
+        rows = [(1, "a", "one two three four five"), (2, "a", "x y z")]
+        # quota = 2 tokens < every doc: exactly ONE doc (the first by
+        # draw order) is admitted by the make-progress rule
+        got = mixture_sample(
+            self._docs(spark, rows), {"a": 1}, 2
+        ).collect()
+        assert len(got) == 1 and got[0].cum_tokens == got[0].n_tokens
+
+    def test_partition_count_does_not_change_selection(self, spark):
+        from bigdata_lab02_spark.operators.curation import mixture_sample
+
+        rows = [
+            (i, "hot" if i % 10 else "cold", f"t{i} u{i} v{i}")
+            for i in range(80)
+        ]
+        w = {"hot": 3, "cold": 1}
+        a = {
+            r.doc_id: r.cum_tokens
+            for r in mixture_sample(
+                self._docs(spark, rows), w, 100, num_partitions=2
+            ).collect()
+        }
+        b = {
+            r.doc_id: r.cum_tokens
+            for r in mixture_sample(
+                self._docs(spark, rows), w, 100, num_partitions=16
+            ).collect()
+        }
+        assert a == b
+
+    def test_salt_changes_the_draw(self, spark):
+        from bigdata_lab02_spark.operators.curation import mixture_sample
+
+        rows = [(i, "a", "alpha beta gamma") for i in range(40)]
+        base = {
+            r.doc_id
+            for r in mixture_sample(
+                self._docs(spark, rows), {"a": 1}, 30
+            ).collect()
+        }
+        redraw = {
+            r.doc_id
+            for r in mixture_sample(
+                self._docs(spark, rows), {"a": 1}, 30, salt="r2"
+            ).collect()
+        }
+        assert base != redraw  # independent draw
+        assert len(base) == len(redraw)  # same token budget -> same count
+
+    def test_contract_errors(self, spark):
+        import pytest as _pt
+
+        from bigdata_lab02_spark.operators.curation import mixture_sample
+
+        d = self._docs(spark, [(1, "a", "x")])
+        with _pt.raises(ValueError, match="at least one"):
+            mixture_sample(d, {}, 10)
+        with _pt.raises(ValueError, match="non-negative"):
+            mixture_sample(d, {"a": -1}, 10)
+        with _pt.raises(ValueError, match="positive total"):
+            mixture_sample(d, {"a": 0}, 10)
+        with _pt.raises(ValueError, match="token_budget"):
+            mixture_sample(d, {"a": 1}, 0)

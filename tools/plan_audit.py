@@ -97,6 +97,7 @@ AUDIT = [
     "media_dedup_pipeline",
     "bm25_topk",
     "link_pagerank",
+    "mixture_sample",
 ]
 
 COMMENT = {
@@ -166,8 +167,9 @@ COMMENT = {
     "pq_rerank": "ADC stage as pq_topk; the exact re-rank then joins only the queries·shortlist CANDIDATE ids back to their vectors — full-precision math is candidate-sized, never corpus-sized, which is the §V deployment shape (and the join a persisted id-keyed vector layout serves at 100 TB). repeated_scans receipt: the re-rank re-reads the 2-column embeddings parquet for the vector join — a pruned leaf scan, the read a persisted id-keyed layout serves at scale.",
     "ivfpq_topk": "The composed IVF×PQ index: the codebook trains once and pins (localCheckpoint); coarse assignment is a per-row integer-L2 argmin fold over the broadcast one-row centroid array, carried THROUGH the encode aggregation as a grouping column (one build pass — exactly pq_encode's exchanges, no extra id join); probes + per-query ADC tables broadcast into the coded-list join, so the m-byte-code corpus never shuffles before the per-query top-shortlist window; the exact re-rank joins candidate ids only (candidate-sized full-precision math); the exact-baseline `hit` join adds one broadcast of the queries-sized exact top-5. Against the persisted layout the probed-list scan is directory-pruned (PartitionFilters on list_id — asserted in tests). repeated_scans receipt: build/probe/re-rank/baseline each re-read the 2-column embeddings parquet — pruned leaf scans, not recompute (the expensive training subtree is the pinned codebook); at scale the re-rank reads an id-keyed persisted vector layout.",
     "ivfpq_residual_topk": "ivfpq_topk's shape with residual encoding (IVFADC): the residual derivation is per-row array math over a broadcast centroid dim (zero new exchanges), the codebook trains on residual subvectors and pins, and the ADC tables become per-(query, probed list) — still queries·nprobe·m·ksub values, still broadcast; the coded corpus still never shuffles before the per-query top-shortlist window. repeated_scans receipt: same pruned embeddings-parquet leaf re-reads as ivfpq_topk plus the residual derivation under train and encode — each a scan + broadcast join + array subtraction, no data-sized exchange.",
-    "bm25_topk": "The bounded query vocabulary is an IN-set filter pushed onto the raw token projection, so the (doc, term) aggregation, df counts and scoring run over matched postings only; the corpus-wide work is ONE doc_id-keyed doc-length exchange; idf (query-term-count-sized) and the query-term table broadcast onto the matched postings; the per-query ranking window partitions by query_id over score rows (|queries| x matched docs), never the corpus.",
+    "bm25_topk": "The bounded query vocabulary is an IN-set filter pushed onto the raw token projection, so the (doc, term) aggregation, df counts and scoring run over matched postings only; idf (query-term-count-sized) and the query-term table broadcast onto the matched postings; the per-query ranking window partitions by query_id over score rows (|queries| x matched docs), never the corpus. repeated_scans receipt: the matched-postings subtree compiles into both its consumers (df/idf and scoring) but they meet through ONE structurally identical (doc_id, term) exchange AQE reuses at runtime (measured at sf0.1: pinning is a wash, 3.00 vs 2.94 s warm — stays unpinned per the measure-first rule); the doc-length frame is a deliberate second NO-EXPLODE projection scan — deriving dl from the exploded stream would cost a corpus-wide token exchange.",
     "link_pagerank": "The audited plan is the FINAL power-iteration round rooted at checkpointed scans (the kmeans driver-loop discipline): the edges x out-weight join is pinned ONCE before the loop and each round's rank frame is pinned, so lineage stays O(1) across rounds; each round = one src-keyed join exchange + one dst-keyed aggregation + one node-set left join; the dangling mass is a single-row driver scalar per round, and link extraction + the PSL domain mapping run upstream of the pinned edge table (zero exchanges beyond the edge groupBy).",
+    "mixture_sample": "The data-mixing admission reuses _budget_admit's distributed prefix-sum discipline with GROUP-AWARE offsets: range-repartition on (group, draw-key, id) spreads a mega-source across many partitions (never a one-task group window); per-(partition, group) totals are ONE bounded driver visit; offsets broadcast back onto a LOCAL per-partition window. The quota dim (|weights| rows) broadcasts; the audited plan is the post-checkpoint admission shape rooted at the pinned range partitioning.",
     "media_dedup_pipeline": "The media twin of crawl_curation_pipeline: magic-byte routing is a per-row projection over the payload prefix; each modality's decode+hash is one zero-shuffle Arrow mapInPandas PINNED before fan-out (the decode runs once per modality); pairs are modality-keyed pigeonhole joins (identical cross-modality sketches never meet); one alternating-star CC pass over the pair union (disjoint id spaces keep clusters single-modality); the audited plan is the post-fixpoint recombine over two pinned hash tables.",
     "audio_dedup": "The image_dedup shape on the audio tier: WAV decode + block-energy differential print is one zero-shuffle Arrow mapInPandas (PCM bytes never cross an exchange; only 8-byte prints leave it), PINNED before fan-out from birth (the r13 image-gate lesson); the pair join is the same 16-bit pigeonhole kernel (hash_col='afp'); the dup-degree aggregate is one hash-keyed exchange.",
     "quality_classifier": "Training is ONE aggregation pass: token explode → per-bucket conditional counts (map-side combined, ≤ B rows cross the shuffle) → a 1-row totals broadcast → the B+1-row model, pinned (localCheckpoint) before its two scorer consumers; scoring is explode → broadcast model join → one doc-keyed sum; the perplexity join reuses the lm_perplexity word-count shuffle discipline. No SGD, no iteration, nothing all-pairs — the exactly-replayable member of the linear-scorer family. repeated_scans receipt: training, scoring and the perplexity chain each re-read the 2-column documents parquet — pruned leaf scans (a production run trains on a materialized stage); the final scored⋈perplexity SMJ is doc-keyed on two corpus-sized sides — the correct join at scale, deliberately not broadcast-hinted.",
