@@ -7160,7 +7160,10 @@ def q_link_pagerank(spark, sf_dir):
     )
 
 
-def _pagerank_sql(iters: int) -> str:
+def _pagerank_ctes(iters: int) -> str:
+    """The closed-form edge list + unrolled power-iteration CTE chain
+    (shared by the link_pagerank and rank_select oracles); the final
+    rank vector is CTE ``r{iters}`` (node, rank_mu)."""
     total = 10**12
     it_ctes = []
     for i in range(1, iters + 1):
@@ -7181,8 +7184,7 @@ r{i} AS (SELECT n.node,
                     + (SELECT dang FROM d{i})
                       // (SELECT n FROM pr_n))) // 100 AS rank_mu
          FROM pr_nodes n LEFT JOIN c{i} c USING (node))""")
-    return f"""
-WITH raw_links(src_dom, dst_dom) AS (
+    return f"""raw_links(src_dom, dst_dom) AS (
   SELECT 'site' || (doc_id % 5) || '.com',
          'site' || ((doc_id*2+1) % 5) || '.com' FROM documents
   UNION ALL
@@ -7207,13 +7209,73 @@ pr_outw AS (
   SELECT src_dom AS node, sum(w) AS wout FROM pr_edges GROUP BY 1),
 r0 AS (SELECT node, {total} // (SELECT n FROM pr_n) AS rank_mu
        FROM pr_nodes),
-{",".join(it_ctes)}
+{",".join(it_ctes)}"""
+
+
+_PAGERANK_SQL = f"""
+WITH {_pagerank_ctes(_PR_ITERS)}
 SELECT node AS domain, CAST(rank_mu AS BIGINT) AS rank_mu
-FROM r{iters}
+FROM r{_PR_ITERS}
 """
 
+_RANK_SELECT_BUDGET = 4000
 
-_PAGERANK_SQL = _pagerank_sql(_PR_ITERS)
+
+def q_rank_select(spark, sf_dir):
+    """Centrality-prioritized selection (graph.rank_prioritized_select,
+    r13): the full chain — href extraction → domain graph → 5 PageRank
+    rounds → each page joined to its domain's rank → global
+    token-budget admission ordered by (rank_mu DESC, doc_id ASC) via
+    the shared budgeted-selection kernel. Pages from well-linked
+    domains fill the budget first. Returns admitted
+    (doc_id, domain, rank_mu, n_tokens, cum_tokens)."""
+    from bigdata_lab02_spark.operators.graph import (
+        domain_link_graph,
+        pagerank,
+        rank_prioritized_select,
+    )
+    from bigdata_lab02_spark.operators.html import extract_links
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.expr(_PR_URL_EXPR).alias("url"),
+        F.expr(_PR_HTML_EXPR).alias("html"),
+        "text",
+    )
+    sfx, _ = _url_dims(spark)
+    ranks = pagerank(
+        domain_link_graph(extract_links(pages.drop("text")), sfx),
+        iters=_PR_ITERS,
+    )
+    return rank_prioritized_select(
+        pages.select("doc_id", "url", "text"),
+        ranks,
+        sfx,
+        _RANK_SELECT_BUDGET,
+    )
+
+
+_RANK_SELECT_SQL = f"""
+WITH {_pagerank_ctes(_PR_ITERS)},
+pages AS (
+  SELECT doc_id, 'site' || (doc_id % 5) || '.com' AS domain,
+         len({_TOKS}) AS n_tokens
+  FROM documents),
+ranked AS (
+  SELECT p.doc_id, p.domain,
+         COALESCE(r.rank_mu, 0) AS rank_mu, p.n_tokens
+  FROM pages p LEFT JOIN r{_PR_ITERS} r ON p.domain = r.node),
+cum AS (
+  SELECT *, sum(n_tokens) OVER (
+    ORDER BY rank_mu DESC, doc_id ASC) AS cum_tokens
+  FROM ranked)
+SELECT doc_id, domain, CAST(rank_mu AS BIGINT) AS rank_mu,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum
+WHERE cum_tokens <= {_RANK_SELECT_BUDGET} OR cum_tokens = n_tokens
+"""
 
 
 # Mirrors _media_dims(mid, 1024): side = int(sqrt(1024/3)) = 18.
@@ -7597,6 +7659,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # quotas, md5 draw order, group-aware distributed prefix-sum
     # admission; oracle-gated every pytest run.
     "mixture_sample": q_mixture_sample,
+    # rank_select (r13): centrality-prioritized selection — the
+    # composed chain that makes the PageRank prior load-bearing (href
+    # extraction -> domain graph -> power iteration -> rank join ->
+    # budgeted admission via the shared kernel); oracle-gated every
+    # pytest run.
+    "rank_select": q_rank_select,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -7618,7 +7686,7 @@ ROTATED_OUT: set[str] = {
     "pq_topk", "pq_rerank", "dedup_simhash_pairs", "ivfpq_topk",
     "audio_dedup", "video_dedup", "quality_classifier", "quality_select",
     "stream_audio_cands", "ivfpq_residual_topk", "media_dedup_pipeline",
-    "bm25_topk", "link_pagerank", "mixture_sample",
+    "bm25_topk", "link_pagerank", "mixture_sample", "rank_select",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -7765,6 +7833,7 @@ _R13_NEW = {
     "bm25_topk",
     "link_pagerank",
     "mixture_sample",
+    "rank_select",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -7910,6 +7979,7 @@ _ORACLES: dict[str, str] = {
     "bm25_topk": _BM25_SQL,
     "link_pagerank": _PAGERANK_SQL,
     "mixture_sample": _MIX_SQL,
+    "rank_select": _RANK_SELECT_SQL,
 }
 
 

@@ -194,6 +194,9 @@ EXTRA = [
     # r13: source-weighted token-budget mixture (data mixing; group-
     # aware distributed prefix-sum admission)
     "mixture_sample",
+    # r13: centrality-prioritized selection (the composed link-graph ->
+    # PageRank -> budgeted-admission chain)
+    "rank_select",
 ]
 STREAMING_LAST = [
     "stream_hourly",

@@ -197,3 +197,62 @@ def pagerank(
         else:
             r = r_new
     return r
+
+
+def rank_prioritized_select(
+    pages: DataFrame,
+    ranks: DataFrame,
+    suffixes: DataFrame,
+    token_budget: int,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Centrality-prioritized selection: admit pages under a global
+    token budget in order of their registered domain's PageRank — the
+    composition a CommonCrawl-style pipeline runs once it HAS a domain
+    rank (pages from well-linked domains fill the budget first; the
+    content filters upstream decide admissibility, this stage decides
+    priority). Page domains come from the same PSL machinery as the
+    graph; pages whose domain has no rank (not in the graph) rank 0 —
+    still admissible, last in line, never silently dropped.
+
+    Selection is the shared `_budget_admit` kernel keyed by rank_mu
+    (ties broken by ascending id, the repo-wide rule): one range
+    repartition + bounded driver visit + local prefix windows — a
+    hot rank value never funnels into one sort task.
+
+    Returns admitted (id, domain, rank_mu, n_tokens, cum_tokens)."""
+    from ..functions.text import tokens_column
+    from .curation import _budget_admit
+
+    host = hostname_of(F.col(url_col))
+    keyed = with_registered_domain(
+        pages.select(
+            F.col(id_col),
+            host.alias("__host"),
+            F.size(tokens_column(F.col(text_col))).alias("n_tokens"),
+        ),
+        suffixes,
+        host_col="__host",
+        out_col="domain",
+    ).join(
+        F.broadcast(ranks.withColumnRenamed("node", "domain")),
+        "domain",
+        "left",
+    ).select(
+        id_col,
+        "domain",
+        F.coalesce(F.col("rank_mu"), F.lit(0)).cast("long").alias("rank_mu"),
+        "n_tokens",
+    )
+    return _budget_admit(
+        keyed, token_budget, id_col, "rank_mu", num_partitions
+    ).select(
+        id_col,
+        "domain",
+        "rank_mu",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )

@@ -201,3 +201,36 @@ def test_extract_links_without_parseable_base(spark):
         ("https://abs.com/a", "https://abs.com/a"),
         ("/rel", None),
     ]
+
+
+def test_rank_prioritized_select(spark):
+    from bigdata_lab02_spark.operators.graph import rank_prioritized_select
+
+    sfx = spark.createDataFrame([("com",), ("net",)], "suffix string")
+    ranks = spark.createDataFrame(
+        [("top.com", 900), ("mid.com", 500)], "node string, rank_mu long"
+    )
+    pages = spark.createDataFrame(
+        [
+            (1, "https://www.top.com/a", "one two three"),       # 3 tok
+            (2, "https://x.mid.com/b", "one two three four"),    # 4 tok
+            (3, "https://y.top.com/c", "one two"),                # 2 tok
+            (4, "https://unranked.net/d", "one two three"),       # 3 tok
+        ],
+        "doc_id long, url string, text string",
+    )
+    got = sorted(
+        rank_prioritized_select(pages, ranks, sfx, 7).collect(),
+        key=lambda r: r.cum_tokens,
+    )
+    # order: top.com docs (1 then 3 by id), then mid.com, then rank 0;
+    # budget 7 admits doc 1 (cum 3) and doc 3 (cum 5); doc 2 (cum 9)
+    # and doc 4 are cut
+    assert [(r.doc_id, r.rank_mu, r.cum_tokens) for r in got] == [
+        (1, 900, 3),
+        (3, 900, 5),
+    ]
+    # unranked domain is rank 0, admissible under a bigger budget
+    big = {r.doc_id: r.rank_mu for r in
+           rank_prioritized_select(pages, ranks, sfx, 100).collect()}
+    assert big[4] == 0 and len(big) == 4

@@ -115,6 +115,18 @@ FAMILY = [
     # r13: the budgeted selection on top — adds one range-repartition
     # for the distributed prefix; growth ~data (the dsir_select shape)
     "quality_select",
+    # r13: BM25 retrieval — the doc-length exchange and the matched-
+    # postings aggregation grow with the corpus; the scored/ranked side
+    # stays |queries| x matched docs; growth ~data
+    "bm25_topk",
+    # r13: link-graph PageRank — the href explode and the edge groupBy
+    # grow with the corpus; the iteration rounds work on the DOMAIN
+    # graph (bounded by the fixture's domain alphabet), so growth
+    # should be dominated by the extraction+graph-build stages
+    "link_pagerank",
+    # r13: mixture sampling — one range-repartition + a bounded driver
+    # visit; growth ~data (the dsir_select shape, keyed per group)
+    "mixture_sample",
 ]
 # (image_dedup_clusters, audio_dedup, video_dedup and
 # media_dedup_pipeline are generated-fixture-sized — corpus-independent,
