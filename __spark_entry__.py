@@ -7046,6 +7046,31 @@ def q_bm25_topk(spark, sf_dir):
     return rt.bm25_topk(docs, queries, k=10, k1=1.2, b=0.75)
 
 
+def q_bm25_persisted(spark, sf_dir):
+    """The persisted inverted-index workflow gated end-to-end (r13):
+    postings built ONCE and written hive-partitioned by term bucket
+    (persist_bm25_index), then queried with partition-pruned scans —
+    the query vocabulary's buckets come from the driver-side md5 twin
+    and prune the postings directories (the persist_ivf_lists
+    convention for text). Same queries and parameters as bm25_topk,
+    and the SAME oracle: persistence must be invisible in the results.
+    The layout lands in a fresh temp dir per call (left for the OS tmp
+    reaper — the gate contract has no teardown hook)."""
+    import tempfile
+
+    from bigdata_lab02_spark.operators import retrieval as rt
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_index_gate_") + "/index"
+    rt.persist_bm25_index(docs, path, n_buckets=64)
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, text string"
+    )
+    return rt.bm25_topk_persisted(
+        spark, path, queries, k=10, k1=1.2, b=0.75, n_buckets=64
+    )
+
+
 _BM25_QT = _TOKS.replace("lower(text)", "lower(qtext)")
 _BM25_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
 _BM25_SQL = f"""
@@ -7665,6 +7690,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # budgeted admission via the shared kernel); oracle-gated every
     # pytest run.
     "rank_select": q_rank_select,
+    # bm25_persisted (r13): the persisted inverted-index layout probed
+    # with term-bucket-pruned scans; same oracle as bm25_topk —
+    # persistence must be invisible; oracle-gated every pytest run.
+    "bm25_persisted": q_bm25_persisted,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -7687,6 +7716,7 @@ ROTATED_OUT: set[str] = {
     "audio_dedup", "video_dedup", "quality_classifier", "quality_select",
     "stream_audio_cands", "ivfpq_residual_topk", "media_dedup_pipeline",
     "bm25_topk", "link_pagerank", "mixture_sample", "rank_select",
+    "bm25_persisted",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -7834,6 +7864,7 @@ _R13_NEW = {
     "link_pagerank",
     "mixture_sample",
     "rank_select",
+    "bm25_persisted",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -7980,6 +8011,7 @@ _ORACLES: dict[str, str] = {
     "link_pagerank": _PAGERANK_SQL,
     "mixture_sample": _MIX_SQL,
     "rank_select": _RANK_SELECT_SQL,
+    "bm25_persisted": _BM25_SQL,
 }
 
 

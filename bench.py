@@ -197,6 +197,9 @@ EXTRA = [
     # r13: centrality-prioritized selection (the composed link-graph ->
     # PageRank -> budgeted-admission chain)
     "rank_select",
+    # r13: the persisted inverted-index workflow (build + bucket-pruned
+    # query; the persist_ivf_lists convention for text)
+    "bm25_persisted",
 ]
 STREAMING_LAST = [
     "stream_hourly",

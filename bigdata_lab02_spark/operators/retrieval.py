@@ -161,6 +161,27 @@ def bm25_topk(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return _bm25_score(
+        matched, dl, int(n_docs), avgdl_mu, qt, k, k1_mu, b_mu,
+        id_col, query_id_col,
+    )
+
+
+def _bm25_score(
+    matched: DataFrame,
+    dl: DataFrame,
+    n_docs: int,
+    avgdl_mu: int,
+    qt: DataFrame,
+    k: int,
+    k1_mu: int,
+    b_mu: int,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """The shared micro-unit scoring + ranking chain over matched
+    postings (inline and persisted faces both end here); see the
+    module docstring for the step-by-step contract."""
     # df over query terms only (matched is already one row per (doc,term))
     df_tbl = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = df_tbl.select(
@@ -217,4 +238,118 @@ def bm25_topk(
             F.col("n_terms").cast("long").alias("n_terms"),
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the layout's term-bucket expression: first
+    15 hex digits of md5(term) mod n_buckets — the repo's portable
+    md5 idiom, computable identically in Python, Spark and DuckDB."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % n_buckets
+
+
+def _term_bucket_col(term: Column, n_buckets: int) -> Column:
+    return (
+        F.conv(F.substring(F.md5(term), 1, 15), 16, 10).cast("long")
+        % n_buckets
+    ).cast("int")
+
+
+def persist_bm25_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Build the inverted index ONCE and persist it hive-partitioned by
+    TERM BUCKET (md5(term) mod n_buckets) — companion of
+    ``bm25_topk_persisted``, the ``persist_ivf_lists`` convention for
+    text: at 100 TB the tokenize+explode+aggregate over the whole
+    corpus is the dominant repeated cost, and the bucket layout turns
+    each later query into a directory-pruned scan of only the buckets
+    the query's terms hash into (~|query vocabulary|/n_buckets of the
+    postings). Partitioning by raw term would mean one directory per
+    vocabulary entry (millions) — the bucket is the bounded middle.
+
+    Layout under ``path``: ``postings/`` (term_bucket=*/...: doc_id,
+    term, tf), ``doclen/`` (doc_id, dl), ``stats/`` (one row: n_docs,
+    sum_dl — the scalars every later query needs without a corpus
+    pass)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens_column(F.col(text_col))).alias("term"),
+    )
+    postings = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("term_bucket", _term_bucket_col(F.col("term"), n_buckets))
+    )
+    postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        f"{path}/postings"
+    )
+    dl = docs.select(
+        F.col(id_col), F.size(tokens_column(F.col(text_col))).alias("dl")
+    )
+    dl.write.mode("overwrite").parquet(f"{path}/doclen")
+    dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k over a ``persist_bm25_index`` layout: the query
+    vocabulary's term buckets come from the driver-side md5 twin
+    (bounded — one int per distinct query term) and filter the
+    postings scan with ``term_bucket IN (...)`` so hive partition
+    pruning reads ONLY those bucket directories; the residual
+    ``term IN`` filter cuts the bucket's other terms at the scan.
+    Results are identical to ``bm25_topk`` over the same corpus
+    (equivalence-tested; the gate shares the inline oracle —
+    persistence must be invisible). ``n_buckets`` must match the
+    layout's."""
+    k1_mu = int(round(k1 * _MU))
+    b_mu = int(round(b * _MU))
+    if not (0 < k1_mu and 0 <= b_mu <= _MU):
+        raise ValueError(f"k1={k1}, b={b} out of range (k1>0, 0<=b<=1)")
+    qt = query_terms(queries, query_id_col, query_text_col)
+    vocab = [r["term"] for r in qt.select("term").distinct().collect()]
+    if not vocab:
+        raise ValueError("queries tokenize to an empty vocabulary")
+    buckets = sorted({_term_bucket_py(t, n_buckets) for t in vocab})
+
+    n_docs, sum_dl = (
+        spark.read.parquet(f"{path}/stats")
+        .select("n_docs", "sum_dl")
+        .first()
+    )
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avgdl_mu = (_MU * int(sum_dl)) // int(n_docs)
+    if avgdl_mu <= 0:
+        raise ValueError("corpus tokenizes to zero tokens")
+    matched = (
+        spark.read.parquet(f"{path}/postings")
+        .where(F.col("term_bucket").isin(buckets))
+        .where(F.col("term").isin(vocab))
+        .select(id_col, "term", "tf")
+    )
+    dl = spark.read.parquet(f"{path}/doclen")
+    return _bm25_score(
+        matched, dl, int(n_docs), avgdl_mu, qt, k, k1_mu, b_mu,
+        id_col, query_id_col,
     )

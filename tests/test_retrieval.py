@@ -138,3 +138,57 @@ def test_doc_lengths_and_query_terms(spark):
     )
     qt = rt.query_terms(queries).collect()
     assert sorted((r.query_id, r.term) for r in qt) == [(0, "cat"), (0, "dog")]
+
+
+# --------------------------------------- persisted index (r13)
+
+
+def test_persisted_equals_inline(spark, tmp_path):
+    docs = _mk(
+        spark,
+        [(i, f"cat w{i % 7} dog" if i % 2 else f"cat w{i % 7}") for i in range(40)],
+    )
+    queries = _mk(
+        spark, [(0, "cat dog"), (1, "w3")], "query_id int, text string"
+    )
+    path = str(tmp_path / "idx")
+    rt.persist_bm25_index(docs, path, n_buckets=8)
+    inline = sorted(
+        tuple(r) for r in rt.bm25_topk(docs, queries, k=10).collect()
+    )
+    persisted = sorted(
+        tuple(r)
+        for r in rt.bm25_topk_persisted(
+            spark, path, queries, k=10, n_buckets=8
+        ).collect()
+    )
+    assert inline == persisted and len(inline) > 0
+
+
+def test_persisted_scan_is_partition_pruned(spark, tmp_path):
+    docs = _mk(spark, [(i, f"t{i % 30} filler") for i in range(60)])
+    queries = _mk(spark, [(0, "t3")], "query_id int, text string")
+    path = str(tmp_path / "idx")
+    rt.persist_bm25_index(docs, path, n_buckets=16)
+    out = rt.bm25_topk_persisted(spark, path, queries, n_buckets=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the postings scan must carry the bucket partition filter so hive
+    # pruning reads only the query terms' directories
+    assert "PartitionFilters" in plan and "term_bucket" in plan
+    b = rt._term_bucket_py("t3", 16)
+    assert f"term_bucket#" in plan or str(b) in plan
+    assert out.count() > 0
+
+
+def test_term_bucket_twins_agree(spark):
+    from pyspark.sql import functions as F
+
+    terms = [f"tok{i}" for i in range(50)] + ["café", "naïve", ""]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {
+        r.term: r.b
+        for r in df.select(
+            "term", rt._term_bucket_col(F.col("term"), 64).alias("b")
+        ).collect()
+    }
+    assert got == {t: rt._term_bucket_py(t, 64) for t in terms}
