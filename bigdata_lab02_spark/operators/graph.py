@@ -139,6 +139,17 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         raise ValueError("empty graph")
+    # loud guard (the warc shard-guard convention): the per-edge product
+    # rank_mu * w must stay in int64 with rank_mu <= total_mu; a single
+    # overweight edge would silently wrap the contribution sums
+    max_w = e.agg(F.max("w")).first()[0] or 0
+    w_cap = (2**63 - 1) // total_mu
+    if max_w > w_cap:
+        raise ValueError(
+            f"edge weight {max_w} exceeds the int64-safe cap {w_cap} "
+            f"for total_mu={total_mu}; weigh edges as link counts or "
+            f"pre-scale the weights"
+        )
     share = total_mu // n
     base_mu = ((100 - damping_pct) * share) // 100
     outw = e.groupBy("src").agg(F.sum("w").alias("wout"))

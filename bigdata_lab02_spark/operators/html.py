@@ -278,11 +278,21 @@ def extract_links(
     base_url_col: str = "url",
     html_col: str = "html",
     id_col: str = "doc_id",
+    with_text: bool = False,
 ) -> DataFrame:
     """(id, base url, href, link_url): one row per href-bearing
     anchor in the prose-bearing markup — the crawl frontier /
     link-graph source (the base url column passes through so the
     output is directly a (source url, target url) pair table).
+
+    ``with_text=True`` appends ``anchor_text``: the anchor's visible
+    inner text (the full ``strip_html`` kernel over the span — nested
+    tags stripped, entities decoded, whitespace collapsed). Anchor
+    text paired with the resolved target is the classic
+    weak-supervision corpus for retrieval training (anchor → page).
+    In this mode only CLOSED anchors (``<a …>…</a>``) yield rows —
+    an unterminated anchor has no delimitable text; the default mode
+    keeps every href-bearing OPEN tag.
 
     Anchors are taken from the script/style/comment/CDATA-stripped
     markup (``remove_nonprose`` — a link inside commented-out or
@@ -311,16 +321,39 @@ def extract_links(
     base = F.col(base_url_col)
     scheme, _, _ = url_parts(base)
     host = hostname_of(base)
-    tags = F.regexp_extract_all(
-        remove_nonprose(F.col(html_col)), F.lit(ANCHOR_OPEN_RE), 0
-    )
+    prose = remove_nonprose(F.col(html_col))
+    text_cols = []
+    if with_text:
+        spans = F.regexp_extract_all(prose, F.lit(ANCHOR_RE), 0)
+        # href comes from the span's OPEN tag only (anchored at ^), so
+        # literal 'href=' inside the anchor's TEXT can never shadow it
+        open_tag = rf"(?is)^<a(?:\s{_ATTRS})?>"
+        pairs = F.transform(
+            spans,
+            lambda s: F.struct(
+                _href_of(F.regexp_extract(s, open_tag, 0)).alias("href"),
+                strip_html(s).alias("anchor_text"),
+            ),
+        )
+        exploded = F.explode(pairs).alias("__a")
+        href_col = F.col("__a.href").alias("href")
+        text_cols = [F.col("__a.anchor_text").alias("anchor_text")]
+    else:
+        tags = F.regexp_extract_all(prose, F.lit(ANCHOR_OPEN_RE), 0)
+        exploded = F.explode(F.transform(tags, _href_of)).alias("href")
+        href_col = F.col("href")
     out = docs.select(
         id_col,
         base_url_col,
         F.lower(scheme).alias("__scheme"),
         host.alias("__host"),
-        F.explode(F.transform(tags, _href_of)).alias("href"),
-    ).where(F.col("href") != "")
+        exploded,
+    )
+    if with_text:
+        out = out.select(
+            id_col, base_url_col, "__scheme", "__host", href_col, *text_cols
+        )
+    out = out.where(F.col("href") != "")
     href = F.col("href")
     has_base = (F.col("__scheme") != "") & (F.col("__host") != "")
     resolved = (
@@ -340,5 +373,9 @@ def extract_links(
     )
     resolved = F.regexp_replace(resolved, r"#.*$", "")
     return out.select(
-        id_col, base_url_col, "href", resolved.alias("link_url")
+        id_col,
+        base_url_col,
+        "href",
+        resolved.alias("link_url"),
+        *(["anchor_text"] if with_text else []),
     )

@@ -234,3 +234,36 @@ def test_rank_prioritized_select(spark):
     big = {r.doc_id: r.rank_mu for r in
            rank_prioritized_select(pages, ranks, sfx, 100).collect()}
     assert big[4] == 0 and len(big) == 4
+
+
+def test_pagerank_overweight_edge_fails_loud(spark):
+    cap = (2**63 - 1) // 10**12
+    e = _edges_df(spark, [("a.com", "b.com", cap + 1)])
+    with pytest.raises(ValueError, match="int64-safe cap"):
+        pagerank(e)
+
+
+def test_extract_links_with_anchor_text(spark):
+    html = (
+        '<a href="https://a.com/x">Read <b>more&amp;more</b> here</a>'
+        '<a href="/y">  spaced   text </a>'
+        '<a href="https://c.com/z">literal href="fake" inside</a>'
+        '<a href="https://open.com/u">unterminated anchor'
+    )
+    df = spark.createDataFrame(
+        [(1, BASE, html)], "doc_id long, url string, html string"
+    )
+    got = [
+        (r.link_url, r.anchor_text)
+        for r in extract_links(df, with_text=True).collect()
+    ]
+    # closed anchors only; nested tags stripped, entities decoded,
+    # whitespace collapsed; text-side 'href=' never shadows the real one
+    assert got == [
+        ("https://a.com/x", "Read more&more here"),
+        ("https://www.ex.com/y", "spaced text"),
+        ("https://c.com/z", 'literal href="fake" inside'),
+    ]
+    # default mode still sees the unterminated anchor's open tag
+    default = {r.link_url for r in extract_links(df).collect()}
+    assert "https://open.com/u" in default
