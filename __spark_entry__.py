@@ -7071,6 +7071,28 @@ def q_bm25_persisted(spark, sf_dir):
     )
 
 
+def q_bm25_incremental(spark, sf_dir):
+    """The incremental-index workflow gated end-to-end (r13, the
+    dedup_incremental convention for the index side): the layout is
+    built from the even-id half of the corpus, then the odd-id half
+    arrives as a crawl increment and update_bm25_index absorbs it —
+    postings/doclen append, stats add exactly. Queried with the same
+    workload and the SAME oracle as bm25_topk over the FULL corpus:
+    the increment must be invisible vs a full rebuild."""
+    import tempfile
+
+    from bigdata_lab02_spark.operators import retrieval as rt
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_inc_gate_") + "/index"
+    rt.persist_bm25_index(docs.where(F.col("doc_id") % 2 == 0), path)
+    rt.update_bm25_index(docs.where(F.col("doc_id") % 2 == 1), path)
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, text string"
+    )
+    return rt.bm25_topk_persisted(spark, path, queries, k=10)
+
+
 _BM25_QT = _TOKS.replace("lower(text)", "lower(qtext)")
 _BM25_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
 _BM25_SQL = f"""
@@ -7694,6 +7716,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # with term-bucket-pruned scans; same oracle as bm25_topk —
     # persistence must be invisible; oracle-gated every pytest run.
     "bm25_persisted": q_bm25_persisted,
+    # bm25_incremental (r13): crawl-increment absorption into the
+    # persisted index (append postings/doclen, exact stats add); same
+    # oracle as bm25_topk over the full corpus — the increment must be
+    # invisible vs a rebuild; oracle-gated every pytest run.
+    "bm25_incremental": q_bm25_incremental,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -7716,7 +7743,7 @@ ROTATED_OUT: set[str] = {
     "audio_dedup", "video_dedup", "quality_classifier", "quality_select",
     "stream_audio_cands", "ivfpq_residual_topk", "media_dedup_pipeline",
     "bm25_topk", "link_pagerank", "mixture_sample", "rank_select",
-    "bm25_persisted",
+    "bm25_persisted", "bm25_incremental",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -7865,6 +7892,7 @@ _R13_NEW = {
     "mixture_sample",
     "rank_select",
     "bm25_persisted",
+    "bm25_incremental",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -8012,6 +8040,7 @@ _ORACLES: dict[str, str] = {
     "mixture_sample": _MIX_SQL,
     "rank_select": _RANK_SELECT_SQL,
     "bm25_persisted": _BM25_SQL,
+    "bm25_incremental": _BM25_SQL,
 }
 
 

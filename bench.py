@@ -198,8 +198,10 @@ EXTRA = [
     # PageRank -> budgeted-admission chain)
     "rank_select",
     # r13: the persisted inverted-index workflow (build + bucket-pruned
-    # query; the persist_ivf_lists convention for text)
+    # query; the persist_ivf_lists convention for text) and the
+    # crawl-increment update (append + exact stats add)
     "bm25_persisted",
+    "bm25_incremental",
 ]
 STREAMING_LAST = [
     "stream_hourly",

@@ -353,3 +353,58 @@ def bm25_topk_persisted(
         matched, dl, int(n_docs), avgdl_mu, qt, k, k1_mu, b_mu,
         id_col, query_id_col,
     )
+
+
+def update_bm25_index(
+    new_docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append a new shard to a ``persist_bm25_index`` layout — the
+    repeated-curation workflow (the ``dedup_incremental`` convention
+    for the index side): the corpus grows by a crawl increment and the
+    index absorbs it without re-tokenizing what's already indexed.
+
+    The shard's postings and doc lengths APPEND (same bucket layout,
+    so query-time pruning is unchanged); the one-row stats table
+    becomes old + shard — an exact integer add, so a later query sees
+    exactly the stats a full rebuild would produce (equivalence-tested:
+    build(A) + update(B) == build(A ∪ B) query-for-query).
+
+    Contract: shard ids must be DISJOINT from the indexed corpus — a
+    re-ingested id would double-count its postings. That is the same
+    append-only contract the WARC/CDX side documents; validating it
+    would scan the full index and defeat the increment. Not
+    transactional: a reader racing the update can see the new postings
+    before the new stats — version the layout path for concurrent
+    readers (the ``name@version`` convention in sinks.write_bucketed).
+    ``n_buckets`` must match the layout's."""
+    spark = new_docs.sparkSession
+    toks = new_docs.select(
+        F.col(id_col),
+        F.explode(tokens_column(F.col(text_col))).alias("term"),
+    )
+    postings = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("term_bucket", _term_bucket_col(F.col("term"), n_buckets))
+    )
+    postings.write.mode("append").partitionBy("term_bucket").parquet(
+        f"{path}/postings"
+    )
+    dl = new_docs.select(
+        F.col(id_col), F.size(tokens_column(F.col(text_col))).alias("dl")
+    )
+    dl.write.mode("append").parquet(f"{path}/doclen")
+    old_n, old_sd = (
+        spark.read.parquet(f"{path}/stats").select("n_docs", "sum_dl").first()
+    )
+    add_n, add_sd = dl.agg(
+        F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
+    ).first()
+    spark.createDataFrame(
+        [(int(old_n) + int(add_n), int(old_sd) + int(add_sd))],
+        "n_docs long, sum_dl long",
+    ).write.mode("overwrite").parquet(f"{path}/stats")

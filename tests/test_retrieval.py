@@ -192,3 +192,33 @@ def test_term_bucket_twins_agree(spark):
         ).collect()
     }
     assert got == {t: rt._term_bucket_py(t, 64) for t in terms}
+
+
+def test_incremental_update_equals_full_rebuild(spark, tmp_path):
+    rows = [
+        (i, f"cat w{i % 9} dog" if i % 3 else f"cat w{i % 9}")
+        for i in range(50)
+    ]
+    a = _mk(spark, [r for r in rows if r[0] % 2 == 0])
+    b = _mk(spark, [r for r in rows if r[0] % 2 == 1])
+    full = _mk(spark, rows)
+    queries = _mk(
+        spark, [(0, "cat dog"), (1, "w4")], "query_id int, text string"
+    )
+    inc_path, full_path = str(tmp_path / "inc"), str(tmp_path / "full")
+    rt.persist_bm25_index(a, inc_path, n_buckets=8)
+    rt.update_bm25_index(b, inc_path, n_buckets=8)
+    rt.persist_bm25_index(full, full_path, n_buckets=8)
+    inc = sorted(
+        tuple(r)
+        for r in rt.bm25_topk_persisted(
+            spark, inc_path, queries, k=20, n_buckets=8
+        ).collect()
+    )
+    reb = sorted(
+        tuple(r)
+        for r in rt.bm25_topk_persisted(
+            spark, full_path, queries, k=20, n_buckets=8
+        ).collect()
+    )
+    assert inc == reb and len(inc) > 0
