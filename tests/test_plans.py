@@ -195,3 +195,31 @@ def test_ctfidf_doc_side_join_is_size_gated(spark):
         assert r.n_broadcast_joins >= 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bm25_persisted_scan_shapes(spark):
+    """r13: the persisted-index query must carry the term_bucket
+    partition filter (hive pruning reads only the query vocabulary's
+    bucket directories) and never sort-merge — idf and the query-term
+    table broadcast onto matched postings."""
+    r = plan_report(e.queries()["bm25_persisted"](spark, SF))
+    assert "term_bucket" in r.raw and "PartitionFilters" in r.raw
+    assert r.n_sortmerge_joins == 0
+
+
+def test_link_pagerank_final_round_rooted_at_checkpoints(spark):
+    """r13: the audited pagerank plan is the final round over pinned
+    frames (the kmeans driver-loop discipline) — no parquet re-scan,
+    no repeated leaves, lineage O(1) across rounds."""
+    r = plan_report(e.queries()["link_pagerank"](spark, SF))
+    assert r.repeated_scans == 0
+    assert "Scan parquet" not in r.raw  # rooted at checkpointed RDDs
+
+
+def test_mixture_sample_post_checkpoint_shape(spark):
+    """r13: the admission output is a local window over the PINNED
+    range placement plus one broadcast offset join — no further
+    corpus exchange after the checkpoint, no sort-merge."""
+    r = plan_report(e.queries()["mixture_sample"](spark, SF))
+    assert r.n_sortmerge_joins == 0
+    assert r.repeated_scans == 0
