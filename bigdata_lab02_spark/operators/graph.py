@@ -172,7 +172,13 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_mu"))
         )
-        # bounded scalar: the dangling mass this round (one row)
+        # bounded scalar: the dangling mass this round (one row — the
+        # kmeans model-state seam). A/B'd against folding this into the
+        # round's plan as a broadcast one-row cross join: the broadcast
+        # variant measured SLOWER at sf0.1 (17-25 s vs 13.6-14.3 s for
+        # the 5-round gate — the per-round broadcast build costs more
+        # than the driver visit it replaces), so per the measure-first
+        # rule the explicit collect stays.
         dang = (
             dang_nodes.join(r, "node")
             .agg(F.coalesce(F.sum("rank_mu"), F.lit(0)))
