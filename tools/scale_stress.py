@@ -282,6 +282,76 @@ def main() -> None:
     payload["domain_cap_adversarial"] = adv
     persist()
 
+    # r13: ADVERSARIAL single-source mixture stress. mixture_sample's
+    # admission claims a mega-source never funnels into one sort task
+    # (range-repartition on (group, key, id) + group-aware offsets);
+    # this phase proves it against the naive per-group-window twin on
+    # the same 90%-one-source page set. Both sides tokenize the same
+    # text and apply the identical quota contract, so the delta is
+    # purely the admission plan.
+    from pyspark.sql import Window  # noqa: E402
+
+    from bigdata_lab02_spark.functions.text import tokens_column  # noqa: E402
+    from bigdata_lab02_spark.operators.curation import (  # noqa: E402
+        mixture_sample,
+    )
+
+    # single-token text isolates the ADMISSION plan (both sides pay the
+    # same trivial tokenize; the delta is purely where the hot group
+    # sorts); 4x the domain_cap row count because the window twin's
+    # single-task sort needs volume to dominate
+    n_mix = 20_000_000
+    docs_adv = spark.range(n_mix, numPartitions=32).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 != 0, F.lit("mega"))
+        .otherwise(F.concat(F.lit("s"), F.col("id") % 1000))
+        .alias("source"),
+        F.lit("tok").alias("text"),
+    )
+    mweights = {"mega": 9, "s1": 1}
+    mbudget = 2_000_000  # binds mid-mega: quota 1.8M of 18M hot tokens
+    madv: dict = {
+        "rows": n_mix, "hot_fraction": 0.9, "budget": mbudget,
+    }
+    t0 = time.time()
+    kernel_out = mixture_sample(docs_adv, mweights, mbudget)
+    kernel_n = kernel_out.count()
+    madv["kernel"] = round(time.time() - t0, 2)
+    print(f"mixture_sample[kernel] @5M 90%-one-source: "
+          f"{madv['kernel']:.2f}s ({kernel_n} rows)")
+    # naive twin: the same contract as ONE window per group — the hot
+    # group's 4.5M rows sort in a single task
+    wsum = sum(mweights.values())
+    qdf = spark.createDataFrame(
+        [(g, (mbudget * wt) // wsum) for g, wt in sorted(mweights.items())],
+        "source string, quota long",
+    )
+    keyed = docs_adv.join(F.broadcast(qdf), "source").select(
+        "doc_id",
+        "source",
+        F.size(tokens_column(F.col("text"))).alias("n_tokens"),
+        "quota",
+        F.md5(F.concat_ws("|", F.lit(""), F.col("doc_id"))).alias("k"),
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = keyed.withColumn("cum", F.sum("n_tokens").over(win)).where(
+        (F.col("cum") <= F.col("quota"))
+        | ((F.col("cum") == F.col("n_tokens")) & (F.col("quota") > 0))
+    )
+    t0 = time.time()
+    naive_n = naive.count()
+    madv["naive_window"] = round(time.time() - t0, 2)
+    madv["rows_match"] = bool(kernel_n == naive_n)
+    print(f"mixture_sample[naive-window] @5M 90%-one-source: "
+          f"{madv['naive_window']:.2f}s ({naive_n} rows, "
+          f"match={madv['rows_match']})")
+    payload["mixture_adversarial"] = madv
+    persist()
+
     payload["doubling"] = {"mults": [4] + DOUBLING_MULTS, "walls": walls}
     persist()
     for m in DOUBLING_MULTS:
