@@ -7434,7 +7434,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # pair gate moves to the oracle-verified overflow with full
     # coverage retained in-window.
     "image_dedup_clusters": q_image_dedup_clusters,
-    "dedup_clusters": q_dedup_clusters,
+    # dedup_clusters rotated OUT in r13 (second r13 rotation, same
+    # argument shape as the simhash one above): its alternating-star
+    # connected-components kernel is the SAME dedup_clusters function
+    # the in-window image_dedup_clusters gate calls directly for its
+    # survivor pass, so CC coverage stays in-window; the text-pair
+    # composition moves to the oracle-verified overflow. Its slot goes
+    # to bm25_topk — the r13-continuation flagship (the query side of
+    # the reference's TF-IDF index arc, integer micro-unit BM25).
+    "bm25_topk": q_bm25_topk,
     "dedup_spans": q_dedup_spans,
     "repetition_stats": q_repetition_stats,
     "selection_pipeline": q_selection_pipeline,
@@ -7689,12 +7697,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (identical cross-modality sketches must not pair), one CC pass to
     # survivors; oracle-gated every pytest run.
     "media_dedup_pipeline": q_media_dedup_pipeline,
-    # bm25_topk (r13): inverted-index retrieval — the query side of the
-    # reference lab's TF-IDF build arc; Lucene-form BM25 in exact
-    # integer micro-units, postings cut to the broadcast query
-    # vocabulary before any heavy exchange; oracle-gated every pytest
+    # dedup_clusters rotated OUT in r13 (see the window comment at its
+    # old slot): the CC kernel stays driver-covered through
+    # image_dedup_clusters, which calls the same function; the text
+    # MinHash-pair composition is oracle-verified here every pytest
     # run.
-    "bm25_topk": q_bm25_topk,
+    "dedup_clusters": q_dedup_clusters,
     # link_pagerank (r13): link-graph domain centrality — href
     # extraction from crawl HTML, registered-domain graph, exact
     # integer micro-unit PageRank with dangling redistribution; the
@@ -7742,7 +7750,7 @@ ROTATED_OUT: set[str] = {
     "pq_topk", "pq_rerank", "dedup_simhash_pairs", "ivfpq_topk",
     "audio_dedup", "video_dedup", "quality_classifier", "quality_select",
     "stream_audio_cands", "ivfpq_residual_topk", "media_dedup_pipeline",
-    "bm25_topk", "link_pagerank", "mixture_sample", "rank_select",
+    "dedup_clusters", "link_pagerank", "mixture_sample", "rank_select",
     "bm25_persisted", "bm25_incremental",
 }
 
