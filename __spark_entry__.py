@@ -7265,6 +7265,56 @@ SELECT node AS domain, CAST(rank_mu AS BIGINT) AS rank_mu
 FROM r{_PR_ITERS}
 """
 
+def q_anchor_texts(spark, sf_dir):
+    """Per-target anchor-text corpus (graph.anchor_text_table, r13):
+    the link fixture's anchors extracted WITH their visible text
+    (closed anchors only — all fixture anchors close), aggregated per
+    resolved target: anchor count, distinct source count, and the
+    sorted '|'-joined distinct text set. mailto anchors extract but
+    resolve NULL and are dropped; the commented-out anchor never
+    extracts. The oracle restates the (target, text) rows in closed
+    form from the fixture formulas and groups them in SQL."""
+    from bigdata_lab02_spark.operators.graph import anchor_text_table
+    from bigdata_lab02_spark.operators.html import extract_links
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.expr(_PR_URL_EXPR).alias("url"),
+        F.expr(_PR_HTML_EXPR).alias("html"),
+    )
+    return anchor_text_table(extract_links(pages, with_text=True))
+
+
+_ANCHOR_TEXTS_SQL = """
+WITH al(doc_id, link_url, t) AS (
+  SELECT doc_id,
+         'https://www.site' || ((doc_id*2+1) % 5) || '.com/x'
+           || (doc_id % 11), 't'
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         'https://cdn.site' || ((doc_id*3+2) % 5) || '.com/c', 'c'
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id,
+         'https://s' || (doc_id % 7) || '.site' || (doc_id % 5)
+           || '.com/p/' || (doc_id % 9), 's'
+  FROM documents WHERE doc_id % 6 = 2
+  UNION ALL
+  SELECT doc_id, 'https://sink' || (doc_id % 2) || '.example.net/z', 'k'
+  FROM documents WHERE doc_id % 8 = 3
+  UNION ALL
+  SELECT doc_id,
+         'https://q.site' || ((doc_id+1) % 5) || '.com/x?a>b', 'q'
+  FROM documents WHERE doc_id % 10 = 7)
+SELECT link_url, CAST(count(*) AS BIGINT) AS n_anchors,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_sources,
+       string_agg(DISTINCT t, '|' ORDER BY t) AS texts
+FROM al GROUP BY link_url
+"""
+
+
 _RANK_SELECT_BUDGET = 4000
 
 
@@ -7729,6 +7779,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle as bm25_topk over the full corpus — the increment must be
     # invisible vs a rebuild; oracle-gated every pytest run.
     "bm25_incremental": q_bm25_incremental,
+    # anchor_texts (r13): the per-target anchor-text corpus — the
+    # aggregation behind anchor-based weak supervision; closed-form
+    # oracle over the link fixture; oracle-gated every pytest run.
+    "anchor_texts": q_anchor_texts,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -7751,7 +7805,7 @@ ROTATED_OUT: set[str] = {
     "audio_dedup", "video_dedup", "quality_classifier", "quality_select",
     "stream_audio_cands", "ivfpq_residual_topk", "media_dedup_pipeline",
     "dedup_clusters", "link_pagerank", "mixture_sample", "rank_select",
-    "bm25_persisted", "bm25_incremental",
+    "bm25_persisted", "bm25_incremental", "anchor_texts",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -7901,6 +7955,7 @@ _R13_NEW = {
     "rank_select",
     "bm25_persisted",
     "bm25_incremental",
+    "anchor_texts",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -8049,6 +8104,7 @@ _ORACLES: dict[str, str] = {
     "rank_select": _RANK_SELECT_SQL,
     "bm25_persisted": _BM25_SQL,
     "bm25_incremental": _BM25_SQL,
+    "anchor_texts": _ANCHOR_TEXTS_SQL,
 }
 
 

@@ -202,6 +202,9 @@ EXTRA = [
     # crawl-increment update (append + exact stats add)
     "bm25_persisted",
     "bm25_incremental",
+    # r13: the per-target anchor-text corpus (anchor-based weak
+    # supervision aggregation over extracted links)
+    "anchor_texts",
 ]
 STREAMING_LAST = [
     "stream_hourly",

@@ -273,3 +273,48 @@ def rank_prioritized_select(
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
     )
+
+
+def anchor_text_table(
+    links: DataFrame,
+    dst_url_col: str = "link_url",
+    text_col: str = "anchor_text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-target anchor-text corpus over an
+    ``extract_links(with_text=True)`` table — the aggregation behind
+    anchor-based weak supervision (every page's incoming link texts
+    collected as queries that "point at" it; the MS MARCO / anchor-
+    pretraining data shape).
+
+    Returns one row per resolved target:
+    (link_url, n_anchors, n_sources, texts) — ``n_anchors`` counts
+    every href-bearing anchor (empty-text anchors included: an image
+    link still endorses the target), ``n_sources`` the distinct source
+    documents, and ``texts`` the DISTINCT non-empty anchor texts,
+    sorted and '|'-joined (deterministic, hash-comparable — the
+    engine's portable set representation). Unresolved targets (NULL
+    link_url) are dropped — no target to attribute the text to.
+
+    One groupBy exchange on the target url; at corpus scale that key
+    is the natural shard (popular targets are exactly the rows worth
+    having, and the DISTINCT-text set bounds hot-row width by text
+    variety, not in-degree)."""
+    return (
+        links.where(F.col(dst_url_col).isNotNull())
+        .groupBy(F.col(dst_url_col).alias("link_url"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_anchors"),
+            F.count_distinct(F.col(id_col)).cast("long").alias(
+                "n_sources"
+            ),
+            F.array_join(
+                F.array_sort(
+                    F.collect_set(
+                        F.when(F.col(text_col) != "", F.col(text_col))
+                    )
+                ),
+                "|",
+            ).alias("texts"),
+        )
+    )

@@ -267,3 +267,31 @@ def test_extract_links_with_anchor_text(spark):
     # default mode still sees the unterminated anchor's open tag
     default = {r.link_url for r in extract_links(df).collect()}
     assert "https://open.com/u" in default
+
+
+def test_anchor_text_table(spark):
+    from bigdata_lab02_spark.operators.graph import anchor_text_table
+
+    links = spark.createDataFrame(
+        [
+            # two sources, three anchors onto one target (doc 1 twice:
+            # n_anchors=3 > n_sources=2); duplicate text collapses
+            (1, "https://a.com/1", "/x", "https://t.com/p", "read this"),
+            (1, "https://a.com/1", "/y", "https://t.com/p", "click"),
+            (2, "https://b.com/2", "/z", "https://t.com/p", "click"),
+            # empty text counts as an anchor but not as a text
+            (3, "https://c.com/3", "/i", "https://img.com/q", ""),
+            # unresolved target: dropped entirely
+            (4, "https://d.com/4", "rel", None, "nope"),
+        ],
+        "doc_id long, url string, href string, link_url string,"
+        " anchor_text string",
+    )
+    got = {
+        r.link_url: (r.n_anchors, r.n_sources, r.texts)
+        for r in anchor_text_table(links).collect()
+    }
+    assert got == {
+        "https://t.com/p": (3, 2, "click|read this"),
+        "https://img.com/q": (1, 1, ""),
+    }

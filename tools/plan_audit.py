@@ -100,6 +100,7 @@ AUDIT = [
     "mixture_sample",
     "bm25_persisted",
     "bm25_incremental",
+    "anchor_texts",
 ]
 
 COMMENT = {
@@ -172,6 +173,7 @@ COMMENT = {
     "bm25_topk": "The bounded query vocabulary is an IN-set filter pushed onto the raw token projection, so the (doc, term) aggregation, df counts and scoring run over matched postings only; idf (query-term-count-sized) and the query-term table broadcast onto the matched postings; the per-query ranking window partitions by query_id over score rows (|queries| x matched docs), never the corpus. repeated_scans receipt: the matched-postings subtree compiles into both its consumers (df/idf and scoring) but they meet through ONE structurally identical (doc_id, term) exchange AQE reuses at runtime (measured at sf0.1: pinning is a wash, 3.00 vs 2.94 s warm — stays unpinned per the measure-first rule); the doc-length frame is a deliberate second NO-EXPLODE projection scan — deriving dl from the exploded stream would cost a corpus-wide token exchange.",
     "link_pagerank": "The audited plan is the FINAL power-iteration round rooted at checkpointed scans (the kmeans driver-loop discipline): the edges x out-weight join is pinned ONCE before the loop and each round's rank frame is pinned, so lineage stays O(1) across rounds; each round = one src-keyed join exchange + one dst-keyed aggregation + one node-set left join; the dangling mass is a single-row driver scalar per round, and link extraction + the PSL domain mapping run upstream of the pinned edge table (zero exchanges beyond the edge groupBy).",
     "bm25_persisted": "The persisted-index query plan: the postings scan carries PartitionFilters on term_bucket (hive pruning reads only the query vocabulary's bucket directories — asserted in tests/test_retrieval.py) plus the residual term IN pushed filter; doc lengths and the one-row stats table are plain parquet reads — NO corpus tokenize at query time, which is the layout's whole point; downstream is the shared micro-unit scoring chain (broadcast idf + query terms, per-query window).",
+    "anchor_texts": "One groupBy exchange on the resolved target url over the zero-shuffle extraction projection (anchor regex + href + strip_html all fuse with the scan); collect_set bounds hot-target width by text VARIETY, not in-degree.",
     "bm25_incremental": "Same query plan as bm25_persisted (the layout is identical after the increment lands): term_bucket PartitionFilters + residual term IN at the postings scan, no corpus tokenize at query time; the increment itself is an append write + a one-row exact stats add, so nothing in the query path changes shape.",
     "mixture_sample": "The data-mixing admission reuses _budget_admit's distributed prefix-sum discipline with GROUP-AWARE offsets: range-repartition on (group, draw-key, id) spreads a mega-source across many partitions (never a one-task group window); per-(partition, group) totals are ONE bounded driver visit; offsets broadcast back onto a LOCAL per-partition window. The quota dim (|weights| rows) broadcasts; the audited plan is the post-checkpoint admission shape rooted at the pinned range partitioning.",
     "media_dedup_pipeline": "The media twin of crawl_curation_pipeline: magic-byte routing is a per-row projection over the payload prefix; each modality's decode+hash is one zero-shuffle Arrow mapInPandas PINNED before fan-out (the decode runs once per modality); pairs are modality-keyed pigeonhole joins (identical cross-modality sketches never meet); one alternating-star CC pass over the pair union (disjoint id spaces keep clusters single-modality); the audited plan is the post-fixpoint recombine over two pinned hash tables.",
