@@ -449,3 +449,66 @@ def test_warc_encode_decode_roundtrip_property(recs, gz):
         assert hdrs["warc-target-uri"] == u.strip()
         status, _, body = parse_http_response(block)
         assert status == s and body == b
+
+
+# ---------------------------------------------- BM25 contract (r13)
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(words, min_size=1, max_size=6).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    qwords=st.lists(words, min_size=1, max_size=3),
+)
+def test_bm25_matches_pure_python_replay(spark, docs, qwords):
+    """Every (query, doc) score the Spark operator emits must equal the
+    pure-python replay of the module's integer micro-unit contract —
+    on arbitrary corpora and queries, including no-match cases."""
+    from bigdata_lab02_spark.operators import retrieval as rt
+
+    MU = 1_000_000
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    qdf = spark.createDataFrame(
+        [(0, " ".join(qwords))], "query_id int, text string"
+    )
+
+    def toks(t):
+        return [w.lower() for w in t.split() if w.strip()]
+
+    try:
+        out = rt.bm25_topk(df, qdf, k=100).collect()
+    except ValueError:
+        # empty query vocabulary — contract error, nothing to compare
+        assert not [w for w in toks(" ".join(qwords))]
+        return
+    # replay
+    dls = {i: len(toks(t)) for i, t in enumerate(docs)}
+    n, sd = len(docs), sum(dls.values())
+    if sd == 0:
+        assert out == []
+        return
+    avgdl_mu = (MU * sd) // n
+    qset = sorted(set(toks(" ".join(qwords))))
+    tf = {}
+    for i, t in enumerate(docs):
+        for w in toks(t):
+            if w in qset:
+                tf[(i, w)] = tf.get((i, w), 0) + 1
+    dfc = {}
+    for (_, w) in tf:
+        dfc[w] = dfc.get(w, 0) + 1
+    exp = {}
+    for (i, w), f in tf.items():
+        lr = (MU * MU * dls[i]) // avgdl_mu
+        norm = MU - 750_000 + (750_000 * lr) // MU
+        den = MU * f + (1_200_000 * norm) // MU
+        tfp = (f * (1_200_000 + MU) * MU) // den
+        idf = round(MU * math.log(1 + (n - dfc[w] + 0.5) / (dfc[w] + 0.5)))
+        exp[i] = exp.get(i, 0) + (idf * tfp) // MU
+    got = {r.doc_id: r.score_mu for r in out}
+    assert got == exp
