@@ -7149,7 +7149,9 @@ FROM r WHERE rank <= 10
 # root-relative (always a self-loop — must vanish), mailto (dropped by
 # rule), unquoted hrefs to a dangling domain (example.net never links
 # out), a commented-out anchor to evil.com (must never be extracted),
-# and a quoted '>' inside an href value.
+# a quoted '>' inside an href value, and an onclick handler whose
+# value embeds location.href='…evil…' BEFORE the real href (the r13
+# ADVICE shadowing case — extraction must take the real attribute).
 _PR_URL_EXPR = (
     "'https://s' || (doc_id % 7) || '.site' || (doc_id % 5)"
     " || '.com/p/' || doc_id"
@@ -7170,7 +7172,8 @@ _PR_HTML_EXPR = (
     " || CASE WHEN doc_id % 5 = 0 THEN"
     " '<!-- <a href=\"https://evil.com/h\">h</a> -->' ELSE '' END"
     " || CASE WHEN doc_id % 10 = 7 THEN"
-    " '<a href=\"https://q.site' || ((doc_id+1) % 5)"
+    " '<a onclick=\"location.href=''https://evil.com/oc''\""
+    " href=\"https://q.site' || ((doc_id+1) % 5)"
     " || '.com/x?a>b\">q</a>' ELSE '' END"
     " || '</p>'"
 )

@@ -255,7 +255,13 @@ def rank_prioritized_select(
         host_col="__host",
         out_col="domain",
     ).join(
-        F.broadcast(ranks.withColumnRenamed("node", "domain")),
+        # no broadcast hint (r14, ADVICE): at CommonCrawl scale the
+        # rank vector is tens of millions of registered domains —
+        # force-broadcasting it risks driver/executor OOM. Let the
+        # planner choose: below autoBroadcastJoinThreshold it still
+        # broadcasts; above it the join degrades to a shuffle on the
+        # domain key, which is the correct shape, not a failure.
+        ranks.withColumnRenamed("node", "domain"),
         "domain",
         "left",
     ).select(

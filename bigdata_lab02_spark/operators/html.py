@@ -256,17 +256,29 @@ ANCHOR_OPEN_RE = rf"(?is)<a\s{_ATTRS}>"
 # unquoted (up to the first whitespace / '>' / quote — a URL with a
 # literal space is invalid anyway). Case-insensitive attribute name;
 # the lookbehind rejects 'data-href='/'xhref=' ('-' is a non-word
-# char, so a plain \b WOULD match between 'data-' and 'href').
-_HREF_DQ = r"""(?i)(?<![\w-])href\s*=\s*"([^"]*)\""""
-_HREF_SQ = r"(?i)(?<![\w-])href\s*=\s*'([^']*)'"
-_HREF_UQ = r"""(?i)(?<![\w-])href\s*=\s*([^\s>"']+)"""
+# char, so a plain \b WOULD match between 'data-' and 'href') and
+# '.href' ('location.href=…' inside an unquoted event-handler value).
+# Each pattern is anchored at the tag start behind a lazy prefix that
+# consumes quoted attribute VALUES atomically ("…" / '…' whole or not
+# at all — [^>"'] can't touch a quote char), so the href match can
+# never land inside another attribute's value: in
+# <a onclick="location.href='x'" href='real'> the onclick value is one
+# opaque atom and only the real href is visible to the scan.
+_HREF_PREFIX = (
+    r"""(?:"[^"]*"|'[^']*'|[^>"'])*?(?<![\w.-])href\s*=\s*"""
+)
+_HREF_DQ = rf'(?is)^{_HREF_PREFIX}"([^"]*)"'
+_HREF_SQ = rf"(?is)^{_HREF_PREFIX}'([^']*)'"
+_HREF_UQ = rf"""(?is)^{_HREF_PREFIX}([^\s>"']+)"""
 # RFC 3986 scheme prefix — present means the href is absolute.
 _SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
 
 
 def _href_of(tag: Column) -> Column:
     """href attribute value of one anchor-open-tag string ('' when the
-    anchor carries none)."""
+    anchor carries none). The input must be the FULL open tag starting
+    at its '<' — the patterns are ^-anchored so the quote-atom prefix
+    walk gets correct quote context from the first byte."""
     dq = F.regexp_extract(tag, _HREF_DQ, 1)
     sq = F.regexp_extract(tag, _HREF_SQ, 1)
     uq = F.regexp_extract(tag, _HREF_UQ, 1)

@@ -27,10 +27,16 @@ here fixes every step in integer micro-units:
 
 All quantities are non-negative, so `div` (truncate) and floor agree
 and DuckDB's `//` replays every step bit-for-bit; the single `ln` is
-quantized at 1e-6 exactly like the LM/NB weights. int64 headroom: the
-widest product is tf * (k1_mu + 1e6) * 1e6 ~ tf * 2.2e12 — safe while
-a single document stays under ~4e6 occurrences of one term; the
-operator range-checks df/N rather than trusting it.
+quantized at 1e-6 exactly like the LM/NB weights. int64 headroom: two
+inputs can push a product past 2^63-1 — dl (lr_mu's 1e12*dl, ~9.2M
+tokens, plus the downstream b_mu*lr_mu / k1_mu*norm_mu products when
+the corpus avgdl is tiny) and tf (tf*(k1_mu+1e6)*1e6, ~4.2e6
+occurrences of one term at k1=1.2). `_bm25_score` computes both caps
+driver-side from the known constants and enforces them inside the
+scoring expressions with `raise_error` (rides the scan, zero extra
+passes) — a violating document fails the job loudly with the
+offending value rather than wrapping (ANSI off) or throwing an
+opaque ArithmeticException (ANSI on); see the r14 guard block.
 
 Scale shape (the part that must survive 100 TB): document length and
 df are the only corpus-wide aggregations — dl is ONE doc_id-keyed
@@ -181,7 +187,38 @@ def _bm25_score(
 ) -> DataFrame:
     """The shared micro-unit scoring + ranking chain over matched
     postings (inline and persisted faces both end here); see the
-    module docstring for the step-by-step contract."""
+    module docstring for the step-by-step contract.
+
+    int64 guards (r14, ADVICE): the two inputs that can push a product
+    past 2^63-1 are dl (lr_mu = 1e12*dl, plus the downstream
+    b_mu*lr_mu and k1_mu*norm_mu products) and tf
+    (tf*(k1_mu+1e6)*1e6). Both caps are computed driver-side from the
+    known constants (avgdl_mu, b_mu, k1_mu) and enforced INSIDE the
+    scoring expressions via raise_error, so the check rides the same
+    scan — no extra pass, and a violating row fails the job loudly
+    with the offending value instead of an opaque ANSI-mode
+    ArithmeticException (or, with ANSI off, a silently negative
+    score that would diverge from the DuckDB oracle, which errors)."""
+    i64 = (1 << 63) - 1
+    # dl cap: 1e12*dl fits; and via lr_mu(dl) = (1e12*dl) div avgdl_mu,
+    # b_mu*lr_mu and k1_mu*norm_mu (norm_mu = 1e6-b_mu+(b_mu*lr_mu)
+    # div 1e6) fit. For b_mu=0 lr_mu never amplifies downstream.
+    dl_caps = [i64 // (_MU * _MU)]
+    if b_mu > 0:
+        lr_cap = min(i64 // b_mu, ((i64 // k1_mu - _MU) * _MU) // b_mu)
+        dl_caps.append(max((lr_cap * avgdl_mu) // (_MU * _MU), 0))
+    dl_cap = min(dl_caps)
+    tf_cap = i64 // ((k1_mu + _MU) * _MU)
+    dl_ok = (
+        f"(CASE WHEN dl <= {dl_cap} THEN dl ELSE CAST(raise_error("
+        f"concat('bm25: dl=', dl, ' exceeds the int64-safe cap "
+        f"{dl_cap}')) AS BIGINT) END)"
+    )
+    tf_ok = (
+        f"(CASE WHEN tf <= {tf_cap} THEN tf ELSE CAST(raise_error("
+        f"concat('bm25: tf=', tf, ' exceeds the int64-safe cap "
+        f"{tf_cap}')) AS BIGINT) END)"
+    )
     # df over query terms only (matched is already one row per (doc,term))
     df_tbl = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = df_tbl.select(
@@ -198,7 +235,7 @@ def _bm25_score(
         .alias("idf_mu"),
     )
 
-    lr_mu = F.expr(f"({_MU * _MU} * dl) div {avgdl_mu}")
+    lr_mu = F.expr(f"({_MU * _MU} * {dl_ok}) div {avgdl_mu}")
     norm_mu = F.lit(_MU) - F.lit(b_mu) + F.expr(
         f"({b_mu} * lr_mu) div {_MU}"
     )
@@ -208,11 +245,11 @@ def _bm25_score(
         .withColumn("norm_mu", norm_mu.cast("long"))
         .withColumn(
             "den_mu",
-            F.expr(f"{_MU} * tf + ({k1_mu} * norm_mu) div {_MU}"),
+            F.expr(f"{_MU} * {tf_ok} + ({k1_mu} * norm_mu) div {_MU}"),
         )
         .withColumn(
             "tfp_mu",
-            F.expr(f"(tf * {k1_mu + _MU} * {_MU}) div den_mu"),
+            F.expr(f"({tf_ok} * {k1_mu + _MU} * {_MU}) div den_mu"),
         )
         .join(F.broadcast(idf), "term")
         .withColumn("contrib", F.expr(f"(idf_mu * tfp_mu) div {_MU}"))
@@ -298,6 +335,73 @@ def persist_bm25_index(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
     ).write.mode("overwrite").parquet(f"{path}/stats")
+    _write_journal(docs.sparkSession, path, "committed")
+
+
+def _write_journal(spark, path: str, state: str) -> None:
+    """One-row commit journal for the index layout — 'pending' is
+    written before any mutating job of an update, 'committed' after
+    the stats flip, so a crash or task-retry storm anywhere in
+    between leaves a journal that says so (or a half-written journal
+    dir, which reads as the same thing). Spark-native one-row parquet
+    overwrite: FS-agnostic, no private JVM filesystem APIs."""
+    spark.createDataFrame([(state,)], "state string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/journal")
+
+
+def check_bm25_index(spark, path: str, deep: bool = False) -> dict:
+    """Consistency probe for a ``persist_bm25_index`` layout.
+
+    Cheap check (always): the commit journal must read back exactly
+    one 'committed' row — a crashed ``update_bm25_index`` leaves
+    'pending' (or an unreadable journal dir), and an index in that
+    state has postings/doclen rows the stats table does not count, so
+    every later query is silently skewed. Deep check (``deep=True``,
+    one columnar pass over doclen): count/sum of doclen must equal
+    the stats row — catches corruption the journal can't see (manual
+    layout edits, a lost stats file).
+
+    Raises ValueError with the failing invariant; returns
+    ``{"journal": "committed", "n_docs": ..., "sum_dl": ...}`` on
+    success. Recovery from a failed update is REBUILD
+    (``persist_bm25_index`` over the full corpus): re-running the
+    update is unsafe — its appends may have landed, and appending
+    twice double-counts the shard."""
+    try:
+        jrows = spark.read.parquet(f"{path}/journal").collect()
+    except Exception as exc:
+        raise ValueError(
+            f"bm25 index at {path}: journal unreadable ({exc}) — "
+            "crashed update or pre-journal layout; rebuild"
+        ) from None
+    if len(jrows) != 1 or jrows[0]["state"] != "committed":
+        states = [r["state"] for r in jrows]
+        raise ValueError(
+            f"bm25 index at {path}: journal says {states!r}, not "
+            "['committed'] — an update crashed mid-flight; rebuild "
+            "(re-running the update would double-append)"
+        )
+    n_docs, sum_dl = (
+        spark.read.parquet(f"{path}/stats").select("n_docs", "sum_dl").first()
+    )
+    if deep:
+        got_n, got_sd = (
+            spark.read.parquet(f"{path}/doclen")
+            .agg(F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0)))
+            .first()
+        )
+        if (int(got_n), int(got_sd)) != (int(n_docs), int(sum_dl)):
+            raise ValueError(
+                f"bm25 index at {path}: doclen has {got_n} docs / "
+                f"{got_sd} tokens but stats says {n_docs} / {sum_dl} "
+                "— layout corrupted; rebuild"
+            )
+    return {
+        "journal": "committed",
+        "n_docs": int(n_docs),
+        "sum_dl": int(sum_dl),
+    }
 
 
 def bm25_topk_persisted(
@@ -377,11 +481,19 @@ def update_bm25_index(
     re-ingested id would double-count its postings. That is the same
     append-only contract the WARC/CDX side documents; validating it
     would scan the full index and defeat the increment. Not
-    transactional: a reader racing the update can see the new postings
-    before the new stats — version the layout path for concurrent
-    readers (the ``name@version`` convention in sinks.write_bucketed).
-    ``n_buckets`` must match the layout's."""
+    transactional for CONCURRENT READERS: a reader racing the update
+    can see the new postings before the new stats — version the
+    layout path for that (the ``name@version`` convention in
+    sinks.write_bucketed). Crash/retry safety (r14, ADVICE): the
+    update journals 'pending' before its first mutating job and
+    'committed' only after the stats flip, so a crash between the
+    appends and the stats overwrite is DETECTED by
+    ``check_bm25_index`` instead of permanently skewing df against
+    n_docs with no trace. A failed update means REBUILD — re-running
+    it would double-append the shard. ``n_buckets`` must match the
+    layout's."""
     spark = new_docs.sparkSession
+    _write_journal(spark, path, "pending")
     toks = new_docs.select(
         F.col(id_col),
         F.explode(tokens_column(F.col(text_col))).alias("term"),
@@ -408,3 +520,4 @@ def update_bm25_index(
         [(int(old_n) + int(add_n), int(old_sd) + int(add_sd))],
         "n_docs long, sum_dl long",
     ).write.mode("overwrite").parquet(f"{path}/stats")
+    _write_journal(spark, path, "committed")

@@ -182,6 +182,29 @@ def test_extract_links_hardened_attribute_forms(spark):
     ]
 
 
+def test_extract_links_attribute_value_shadowing(spark):
+    # r13 ADVICE: an earlier attribute VALUE containing an href
+    # assignment must not shadow the real attribute — the quote-atom
+    # prefix walk keeps the scan outside quoted values, and the
+    # '.'-rejecting lookbehind kills unquoted location.href.
+    html = (
+        "<a onclick=\"location.href='https://evil.com/a'\""
+        ' href="https://real.com/a">dq-in-sq</a>'
+        "<a onclick='location.href=\"https://evil.com/b\"'"
+        " href='https://real.com/b'>sq-in-dq</a>"
+        '<a onclick=location.href=https://evil.com/c'
+        ' href="https://real.com/c">unq-handler</a>'
+        "<a onclick=\"location.href='https://evil.com/d'\">no-href</a>"
+        '<a title="href=https://evil.com/e">title-decoy</a>'
+    )
+    got = _links(spark, BASE, html)
+    assert got == [
+        ("https://real.com/a", "https://real.com/a"),
+        ("https://real.com/b", "https://real.com/b"),
+        ("https://real.com/c", "https://real.com/c"),
+    ]
+
+
 def test_extract_links_ignores_nonprose_markup(spark):
     html = (
         '<!-- <a href="https://evil.com/x">hidden</a> -->'

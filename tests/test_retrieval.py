@@ -129,6 +129,31 @@ def test_bad_params_raise(spark):
         rt.bm25_topk(docs, queries, b=1.5)
 
 
+def test_int64_guards_raise_loudly(spark):
+    # r14 ADVICE guard: dl / tf values that would overflow the int64
+    # micro-unit products must fail the job with a self-describing
+    # error, not wrap or throw an opaque ArithmeticException. Feed
+    # _bm25_score synthetic frames directly (a real 9.2M-token doc is
+    # too slow for a unit test).
+    qt = _mk(spark, [(0, "cat")], "query_id int, term string")
+    big_dl = _mk(spark, [(1, (1 << 63) // (MU * MU) + 1)],
+                 "doc_id long, dl long")
+    matched = _mk(spark, [(1, "cat", 3)], "doc_id long, term string, tf long")
+    with pytest.raises(Exception, match="int64-safe cap"):
+        rt._bm25_score(
+            matched, big_dl, 1, MU, qt, 10, 1_200_000, 750_000,
+            "doc_id", "query_id",
+        ).collect()
+    ok_dl = _mk(spark, [(1, 5)], "doc_id long, dl long")
+    big_tf = _mk(spark, [(1, "cat", (1 << 62))],
+                 "doc_id long, term string, tf long")
+    with pytest.raises(Exception, match="int64-safe cap"):
+        rt._bm25_score(
+            big_tf, ok_dl, 1, MU, qt, 10, 1_200_000, 750_000,
+            "doc_id", "query_id",
+        ).collect()
+
+
 def test_doc_lengths_and_query_terms(spark):
     docs = _mk(spark, [(1, "Cat, the DOG!"), (2, "")])
     dl = {r[0]: r.dl for r in rt.doc_lengths(docs).collect()}
@@ -192,6 +217,38 @@ def test_term_bucket_twins_agree(spark):
         ).collect()
     }
     assert got == {t: rt._term_bucket_py(t, 64) for t in terms}
+
+
+def test_index_journal_and_consistency_probe(spark, tmp_path):
+    # r14 ADVICE: a crash between the postings/doclen appends and the
+    # stats overwrite must be detectable, not silently skew df vs
+    # n_docs forever.
+    path = str(tmp_path / "idx")
+    docs = _mk(spark, [(1, "cat dog"), (2, "cat")])
+    rt.persist_bm25_index(docs, path, n_buckets=4)
+    got = rt.check_bm25_index(spark, path, deep=True)
+    assert got == {"journal": "committed", "n_docs": 2, "sum_dl": 3}
+
+    rt.update_bm25_index(_mk(spark, [(3, "dog emu")]), path, n_buckets=4)
+    got = rt.check_bm25_index(spark, path, deep=True)
+    assert got == {"journal": "committed", "n_docs": 3, "sum_dl": 5}
+
+    # simulate the crash window: journal left 'pending'
+    rt._write_journal(spark, path, "pending")
+    with pytest.raises(ValueError, match="crashed mid-flight"):
+        rt.check_bm25_index(spark, path)
+    rt._write_journal(spark, path, "committed")
+
+    # deep probe catches a stats/doclen skew the journal can't see
+    spark.createDataFrame([(99, 5)], "n_docs long, sum_dl long").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/stats")
+    with pytest.raises(ValueError, match="layout corrupted"):
+        rt.check_bm25_index(spark, path, deep=True)
+
+    # pre-journal / missing-journal layout reads as "rebuild"
+    with pytest.raises(ValueError, match="journal unreadable"):
+        rt.check_bm25_index(spark, str(tmp_path / "nope"))
 
 
 def test_incremental_update_equals_full_rebuild(spark, tmp_path):

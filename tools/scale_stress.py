@@ -317,10 +317,11 @@ def main() -> None:
     kernel_out = mixture_sample(docs_adv, mweights, mbudget)
     kernel_n = kernel_out.count()
     madv["kernel"] = round(time.time() - t0, 2)
-    print(f"mixture_sample[kernel] @5M 90%-one-source: "
+    mlabel = f"@{n_mix // 1_000_000}M"
+    print(f"mixture_sample[kernel] {mlabel} 90%-one-source: "
           f"{madv['kernel']:.2f}s ({kernel_n} rows)")
     # naive twin: the same contract as ONE window per group — the hot
-    # group's 4.5M rows sort in a single task
+    # group's rows (90% of n_mix = 18M) sort in a single task
     wsum = sum(mweights.values())
     qdf = spark.createDataFrame(
         [(g, (mbudget * wt) // wsum) for g, wt in sorted(mweights.items())],
@@ -346,7 +347,7 @@ def main() -> None:
     naive_n = naive.count()
     madv["naive_window"] = round(time.time() - t0, 2)
     madv["rows_match"] = bool(kernel_n == naive_n)
-    print(f"mixture_sample[naive-window] @5M 90%-one-source: "
+    print(f"mixture_sample[naive-window] {mlabel} 90%-one-source: "
           f"{madv['naive_window']:.2f}s ({naive_n} rows, "
           f"match={madv['rows_match']})")
     payload["mixture_adversarial"] = madv
