@@ -736,6 +736,29 @@ def q_dedup_clusters(spark, sf_dir):
     return dd.dedup_clusters(docs, pairs)
 
 
+def q_dedup_clusters_incremental(spark, sf_dir):
+    """Incremental dup-cluster maintenance (dedup.update_components,
+    r14, VERDICT r13 item 2): the corpus splits doc_id < 400 = indexed
+    base, rest = crawl increment. Base pairs -> batch alternating-star
+    CC once; then the increment's pairs (shard-shard AND shard-base)
+    are absorbed through the label-level quotient graph — CC runs only
+    over increment-sized edges and the corpus label table is streamed,
+    never shuffled. The oracle is the FULL-REBUILD transitive closure
+    over the union pair set (_DEDUP_CLUSTERS_SQL verbatim), so a green
+    row IS the increment-equals-rebuild theorem checked end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(docs, threshold=0.5)
+    cut = 400
+    base_pairs = pairs.where(
+        (F.col("id_a") < cut) & (F.col("id_b") < cut)
+    )
+    inc_pairs = pairs.where(
+        (F.col("id_a") >= cut) | (F.col("id_b") >= cut)
+    )
+    base_labels = dd.connected_components(base_pairs)
+    return dd.dedup_clusters_incremental(docs, base_labels, inc_pairs)
+
+
 _DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE pairs AS ({_MINHASH_SQL}),
 edges AS (
@@ -6061,6 +6084,26 @@ def q_semantic_dedup_pipeline(spark, sf_dir):
     )
 
 
+def q_embed_semantic_dedup(spark, sf_dir):
+    """Corpus-in → dedup-decisions-out (operators/embed.py, r14,
+    VERDICT r13 item 1): the engine DERIVES its embeddings from its
+    own text — hashed char-trigram projection into 64 md5 buckets,
+    L2-normalized integer micro-units (embed.embed_featurize) — then
+    runs the full SemDeDup pipeline over them (sampled k-means fit,
+    2 Lloyd iterations, cluster-blocked cosine ≥ 0.9 keep-lowest).
+    Until r14 the vector tier consumed only the exogenous embeddings
+    table; this gate closes the featurize seam end-to-end. The oracle
+    restates the featurizer (trigram → bucket counts → dense list →
+    micro-unit normalize) and reuses the SemDeDup pipeline SQL
+    verbatim via _sem_pipe_sql."""
+    from bigdata_lab02_spark.operators.embed import embed_semantic_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return embed_semantic_dedup(
+        docs, dim=64, threshold=0.9, sample_mod=4, max_iter=2, round_dp=6
+    )
+
+
 def _sem_pipe_iter_sql(cent_in: str, it: int) -> str:
     """One unrolled Lloyd iteration (Euclidean assign + mean update with
     empty-cluster pass-through), mirroring kmeans_dense_centroids."""
@@ -6082,8 +6125,14 @@ c{it} AS MATERIALIZED (
   USING (cluster))"""
 
 
-_SEMANTIC_PIPE_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+def _sem_pipe_sql(e_cte: str, threshold: float, id_name: str = "vec_id") -> str:
+    """The full SemDeDup pipeline SQL (sampled k-means fit, 2 unrolled
+    Lloyd iterations, cluster-blocked cosine dedup) over ANY vector
+    source CTE ``e(vec_id, v DOUBLE[])`` — shared verbatim by the
+    embeddings-table gate and the r14 text-featurized gate, so the
+    pipeline contract is stated once."""
+    return f"""
+WITH {e_cte},
 kk AS (SELECT GREATEST(2, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k FROM e),
 s AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),
 c0 AS MATERIALIZED (
@@ -6110,10 +6159,42 @@ dup AS (
   SELECT DISTINCT b.vec_id AS dup_id
   FROM m a JOIN m b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
   WHERE CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
-        ELSE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) END >= 0.45)
-SELECT m.vec_id, m.cluster_id, (d.dup_id IS NULL) AS keep
+        ELSE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) END >= {threshold})
+SELECT m.vec_id AS {id_name}, m.cluster_id, (d.dup_id IS NULL) AS keep
 FROM m LEFT JOIN dup d ON m.vec_id = d.dup_id
 """
+
+
+_SEMANTIC_PIPE_SQL = _sem_pipe_sql(
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)", 0.45
+)
+
+# Featurizer restatement (embed.embed_featurize, dim=64): trigram →
+# md5 bucket → per-doc dense count list → integer micro-unit L2
+# normalize. Zero-trigram docs keep an honest zero vector (the CROSS
+# JOIN spine covers every doc, matched or not).
+_EMBED_DIM = 64
+_EMBED_E_CTE = f"""etri AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(tri), 1, 15))::BIGINT % {_EMBED_DIM} AS b
+  FROM (SELECT doc_id, unnest(list_transform(range(1, len(text) - 1),
+            k -> substr(text, k, 3))) AS tri
+        FROM documents WHERE len(text) >= 3)),
+ecnt AS (SELECT doc_id, b, count(*)::DOUBLE AS c FROM etri GROUP BY 1, 2),
+edense AS (
+  SELECT d.doc_id, dims.range AS b, COALESCE(t.c, 0.0) AS c
+  FROM documents d CROSS JOIN range({_EMBED_DIM}) dims
+  LEFT JOIN ecnt t ON t.doc_id = d.doc_id AND t.b = dims.range),
+ecvec AS (SELECT doc_id, list(c ORDER BY b) AS cv FROM edense GROUP BY doc_id),
+e AS (
+  SELECT doc_id AS vec_id,
+    CASE WHEN sqrt(list_dot_product(cv, cv)) > 0
+         THEN list_transform(cv, x -> CAST(round(1000000.0 * x /
+              sqrt(list_dot_product(cv, cv))) AS BIGINT)::DOUBLE)
+         ELSE cv END AS v
+  FROM ecvec)"""
+
+_EMBED_SEMANTIC_SQL = _sem_pipe_sql(_EMBED_E_CTE, 0.9, id_name="doc_id")
 
 
 def q_dsir_importance(spark, sf_dir):
@@ -7458,7 +7539,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_pipeline": q_kmeans_pipeline,
     "multimodal_mixed": q_multimodal_mixed,
     "video_frames": q_video_frames,
-    "semantic_dedup_pipeline": q_semantic_dedup_pipeline,
+    # embed_semantic_dedup rotated INTO the window in r14 (VERDICT r13
+    # item 1), taking semantic_dedup_pipeline's slot: it is a strict
+    # SUPERSET (the same sampled-fit + cluster-blocked dedup pipeline,
+    # fed by the new text featurizer instead of the exogenous
+    # embeddings table); the embeddings-table face stays
+    # oracle-verified in the overflow.
+    "embed_semantic_dedup": q_embed_semantic_dedup,
     "dsir_importance": q_dsir_importance,
     "dsir_select": q_dsir_select,
     "lm_perplexity": q_lm_perplexity,
@@ -7486,7 +7573,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # kernel the in-window dedup_clusters gates — so the text-sketch
     # pair gate moves to the oracle-verified overflow with full
     # coverage retained in-window.
-    "image_dedup_clusters": q_image_dedup_clusters,
+    # dedup_clusters_incremental rotated INTO the window in r14
+    # (VERDICT r13 item 2), taking image_dedup_clusters' slot: the
+    # quotient-graph increment is the new first-class CC surface and
+    # its oracle is the full-rebuild closure (increment == rebuild,
+    # checked per driver run); image_dedup_clusters keeps the
+    # large-star/small-star kernel oracle-verified in the overflow.
+    "dedup_clusters_incremental": q_dedup_clusters_incremental,
     # dedup_clusters rotated OUT in r13 (second r13 rotation, same
     # argument shape as the simhash one above): its alternating-star
     # connected-components kernel is the SAME dedup_clusters function
@@ -7786,6 +7879,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # aggregation behind anchor-based weak supervision; closed-form
     # oracle over the link fixture; oracle-gated every pytest run.
     "anchor_texts": q_anchor_texts,
+    # semantic_dedup_pipeline rotated OUT in r14: its full chain is a
+    # strict sub-shape of the in-window embed_semantic_dedup (same
+    # _sem_pipe_sql oracle body, embeddings-table source);
+    # oracle-gated every pytest run.
+    "semantic_dedup_pipeline": q_semantic_dedup_pipeline,
+    # image_dedup_clusters rotated OUT in r14: the alternating-star CC
+    # kernel it gates is exercised in-window by
+    # dedup_clusters_incremental (which runs it on base AND quotient
+    # edges); oracle-gated every pytest run.
+    "image_dedup_clusters": q_image_dedup_clusters,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -7809,6 +7912,7 @@ ROTATED_OUT: set[str] = {
     "stream_audio_cands", "ivfpq_residual_topk", "media_dedup_pipeline",
     "dedup_clusters", "link_pagerank", "mixture_sample", "rank_select",
     "bm25_persisted", "bm25_incremental", "anchor_texts",
+    "semantic_dedup_pipeline", "image_dedup_clusters",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -7822,7 +7926,10 @@ DRIVER_ROW_CAP = 50
 # r12: ccnet_pipeline rotated into the window at stream_user_totals' slot.
 # r13: image_dedup_clusters rotated into the window at
 # dedup_simhash_pairs' slot (VERDICT r12 item 4).
-ORDERING_SINCE = 13
+# r14: embed_semantic_dedup into the window at semantic_dedup_pipeline's
+# slot (VERDICT r13 item 1); dedup_clusters_incremental at
+# image_dedup_clusters' slot (VERDICT r13 item 2).
+ORDERING_SINCE = 14
 
 # Queries with no SQL-expressible oracle — the driver records a weaker
 # rows-only check. (Empty since round 2: the streaming replay is gated
@@ -7960,9 +8067,16 @@ _R13_NEW = {
     "bm25_incremental",
     "anchor_texts",
 }
+# Round-14 registrations: the text->embedding featurizer composition
+# (VERDICT r13 item 1) and the r14 surface.
+_R14_NEW = {
+    "embed_semantic_dedup",
+    "dedup_clusters_incremental",
+}
 REGISTERED_SINCE: dict[str, int] = {
     name: (
-        13 if name in _R13_NEW
+        14 if name in _R14_NEW
+        else 13 if name in _R13_NEW
         else 12 if name in _R12_NEW
         else 11 if name in _R11_NEW
         else 10 if name in _R10_NEW
@@ -8020,6 +8134,7 @@ _ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "dedup_clusters_incremental": _DEDUP_CLUSTERS_SQL,
     "dedup_spans": _DEDUP_SPANS_SQL,
     "scrub_pii": _SCRUB_SQL,
     "repetition_stats": _REPETITION_SQL,
@@ -8087,6 +8202,7 @@ _ORACLES: dict[str, str] = {
     "bpe_pipeline": _BPE_SQL,
     "video_frames": _VIDEO_FRAMES_SQL,
     "semantic_dedup_pipeline": _SEMANTIC_PIPE_SQL,
+    "embed_semantic_dedup": _EMBED_SEMANTIC_SQL,
     "dsir_importance": _DSIR_SQL,
     "dsir_select": _DSIR_SELECT_SQL,
     "lm_perplexity": _LM_PPL_SQL,

@@ -267,6 +267,69 @@ class TestConnectedComponents:
         }
 
 
+class TestUpdateComponents:
+    """r14 incremental CC maintenance: increment-then-query must equal
+    a full rebuild over the union pair set, for every increment shape —
+    merges of old components, fresh nodes, links from fresh to old, and
+    no-op duplicates."""
+
+    def _parity(self, spark, base, inc):
+        bdf = spark.createDataFrame(base, ["id_a", "id_b"])
+        idf = spark.createDataFrame(inc, "id_a BIGINT, id_b BIGINT")
+        lab0 = dd.connected_components(bdf)
+        got = {
+            (r.node, r.component)
+            for r in dd.update_components(lab0, idf).collect()
+        }
+        want = {
+            (r.node, r.component)
+            for r in dd.connected_components(bdf.unionByName(idf)).collect()
+        }
+        assert got == want, (sorted(got), sorted(want))
+
+    def test_all_increment_shapes(self, spark):
+        base = [(1, 2), (2, 3), (10, 11), (20, 21)]
+        inc = [
+            (3, 10),    # merges two old components
+            (30, 31),   # entirely fresh component
+            (32, 21),   # fresh node linking into an old component
+            (2, 1),     # duplicate of an existing relation (no-op)
+            (11, 10),   # reversed duplicate (no-op)
+        ]
+        self._parity(spark, base, inc)
+
+    def test_chain_through_increment(self, spark):
+        # increment bridges old comps through a fresh middle node:
+        # label-level quotient must chase the transitive merge
+        base = [(1, 2), (10, 11), (20, 21)]
+        inc = [(2, 100), (100, 10), (11, 20)]
+        self._parity(spark, base, inc)
+
+    def test_empty_increment_is_identity(self, spark):
+        bdf = spark.createDataFrame([(1, 2), (5, 6)], ["id_a", "id_b"])
+        idf = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+        lab0 = dd.connected_components(bdf)
+        got = {
+            (r.node, r.component)
+            for r in dd.update_components(lab0, idf).collect()
+        }
+        assert got == {(r.node, r.component) for r in lab0.collect()}
+
+    def test_clusters_incremental_face(self, spark):
+        docs = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 10, 11, 50)], ["doc_id"]
+        )
+        base = spark.createDataFrame([(1, 2), (10, 11)], ["id_a", "id_b"])
+        inc = spark.createDataFrame([(2, 3), (3, 10)], ["id_a", "id_b"])
+        lab0 = dd.connected_components(base)
+        out = dd.dedup_clusters_incremental(docs, lab0, inc).collect()
+        m = {r.doc_id: (r.cluster_id, r.keep) for r in out}
+        assert m == {
+            1: (1, True), 2: (1, False), 3: (1, False),
+            10: (1, False), 11: (1, False), 50: (50, True),
+        }
+
+
 # ------------------------------------------------------------ quantization
 
 
