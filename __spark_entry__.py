@@ -7399,6 +7399,155 @@ FROM al GROUP BY link_url
 """
 
 
+# Image-caption fixture (r14, VERDICT r13 item 3): every page carries
+# an <img> whose src/alt are modular functions of doc_id over a
+# 34-id media space (32 decodable + 2 corrupt, matching
+# synthetic_dhash_images(32)), so the oracle restates the reference
+# list without parsing HTML while the Spark side runs the real
+# extraction. Stripes: double-quoted src+alt (every page),
+# single-quoted protocol-relative src with an &amp; entity in the alt
+# (1/3), a data: URI that must resolve to NULL (1/4), a commented-out
+# img to evil.com that must never be extracted (1/5), an UNQUOTED
+# alt-less media src (1/6 - counted in n_refs, absent from captions),
+# and an onclick handler embedding this.src='...evil...' BEFORE the
+# real src with a quoted '>' in the alt (1/10 - the
+# attribute-shadowing case).
+_IMGCAP_M = 34
+_IMGCAP_URL_EXPR = (
+    "'https://s' || (doc_id % 7) || '.host' || (doc_id % 5)"
+    " || '.com/p/' || doc_id"
+)
+_IMGCAP_HTML_EXPR = (
+    "'<p><img src=\"https://img.shared.com/m/' || (doc_id % 34)"
+    " || '.png\" alt=\"img ' || (doc_id % 34) || ' pic\">'"
+    " || CASE WHEN doc_id % 3 = 0 THEN"
+    " '<img src=''//img.shared.com/m/' || ((doc_id*2+5) % 34)"
+    " || '.png'' alt=''photo &amp; ' || ((doc_id*2+5) % 34) || '''>'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 1 THEN"
+    " '<img src=\"data:image/png;base64,AA\" alt=\"inline\">'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN"
+    " '<!-- <img src=\"https://evil.com/e.png\" alt=\"ghost\"> -->'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 2 THEN"
+    " '<img src=https://img.shared.com/m/' || ((doc_id*5+1) % 34)"
+    " || '.png>' ELSE '' END"
+    " || CASE WHEN doc_id % 10 = 7 THEN"
+    " '<img onclick=\"this.src=''https://evil.com/oc.png''\""
+    " src=\"https://img.shared.com/m/' || ((doc_id+9) % 34)"
+    " || '.png\" alt=\"deep > alt\">' ELSE '' END"
+    " || '</p>'"
+)
+
+
+def q_image_captions(spark, sf_dir):
+    """Image-text pairing end-to-end (html.extract_images +
+    graph.image_caption_table + the dHash dedup tier, r14, VERDICT r13
+    item 3): crawl pages -> <img src/alt> extraction under the
+    quote-context-safe attribute walk -> RFC-subset resolution ->
+    per-image caption corpus (distinct sorted alt texts) -> joined to
+    the MEDIA-DEDUP SURVIVOR table (dHash -> pigeonhole Hamming pairs
+    -> alternating-star CC), so each surviving image carries its
+    crawl-harvested captions — the paired training data a VLM pipeline
+    wants, not just decoded pixels. The oracle restates the closed-form
+    reference list, the caption aggregation, the fixture hashes and the
+    transitive closure without parsing a byte of HTML or PNG."""
+    from bigdata_lab02_spark.operators.dedup import (
+        dedup_clusters,
+        simhash_dup_pairs,
+    )
+    from bigdata_lab02_spark.operators.graph import image_caption_table
+    from bigdata_lab02_spark.operators.html import extract_images
+    from bigdata_lab02_spark.operators.multimodal import (
+        image_dhash,
+        synthetic_dhash_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.expr(_IMGCAP_URL_EXPR).alias("url"),
+        F.expr(_IMGCAP_HTML_EXPR).alias("html"),
+    )
+    caps = image_caption_table(extract_images(pages))
+    mid = F.regexp_extract(
+        F.col("image_url"), r"^https://img\.shared\.com/m/(\d+)\.png$", 1
+    )
+    mcaps = caps.withColumn(
+        "media_id", F.when(mid != "", mid.cast("long"))
+    ).where(F.col("media_id").isNotNull())
+    media = synthetic_dhash_images(spark, 32)
+    # PIN before fan-out — the r13 image-tier idiom: pair join, CC and
+    # the final recombine all read the hash table; decode runs once.
+    hashes = image_dhash(media).localCheckpoint()
+    pairs = simhash_dup_pairs(
+        hashes, id_col="media_id", max_hamming=3, hash_col="dhash"
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(
+        hashes.select("media_id"), pairs, id_col="media_id"
+    )
+    return clusters.join(
+        mcaps.select("media_id", "n_refs", "n_sources", "captions"),
+        "media_id",
+        "left",
+    ).select(
+        "media_id",
+        "cluster_id",
+        "keep",
+        F.coalesce(F.col("n_refs"), F.lit(0)).cast("long").alias("n_refs"),
+        F.coalesce(F.col("n_sources"), F.lit(0))
+        .cast("long")
+        .alias("n_sources"),
+        F.coalesce(F.col("captions"), F.lit("")).alias("captions"),
+    )
+
+
+_IMAGE_CAPTIONS_SQL = f"""
+WITH RECURSIVE {_DHASH_CHAIN_SQL},
+p0 AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b
+  FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM p0
+  UNION
+  SELECT id_b, id_a FROM p0),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+allm AS (SELECT range AS media_id FROM range({_IMGCAP_M})),
+refs(doc_id, mid, alt) AS (
+  SELECT doc_id, doc_id % 34, 'img ' || (doc_id % 34) || ' pic'
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*2+5) % 34, 'photo & ' || ((doc_id*2+5) % 34)
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, (doc_id*5+1) % 34, '' FROM documents WHERE doc_id % 6 = 2
+  UNION ALL
+  SELECT doc_id, (doc_id+9) % 34, 'deep > alt'
+  FROM documents WHERE doc_id % 10 = 7),
+caps AS (
+  SELECT mid, count(*) AS n_refs, count(DISTINCT doc_id) AS n_sources,
+    COALESCE(string_agg(DISTINCT CASE WHEN alt != '' THEN alt END, '|'
+      ORDER BY CASE WHEN alt != '' THEN alt END), '') AS captions
+  FROM refs GROUP BY mid)
+SELECT am.media_id,
+  CAST(COALESCE(cc.cluster_id, am.media_id) AS BIGINT) AS cluster_id,
+  am.media_id = COALESCE(cc.cluster_id, am.media_id) AS keep,
+  CAST(COALESCE(c.n_refs, 0) AS BIGINT) AS n_refs,
+  CAST(COALESCE(c.n_sources, 0) AS BIGINT) AS n_sources,
+  COALESCE(c.captions, '') AS captions
+FROM allm am
+LEFT JOIN cc ON cc.node = am.media_id
+LEFT JOIN caps c ON c.mid = am.media_id
+"""
+
+
 _RANK_SELECT_BUDGET = 4000
 
 
@@ -7889,6 +8038,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup_clusters_incremental (which runs it on base AND quotient
     # edges); oracle-gated every pytest run.
     "image_dedup_clusters": q_image_dedup_clusters,
+    # image_captions (r14): img src/alt extraction -> caption corpus ->
+    # joined to the dHash media-dedup survivors (VERDICT r13 item 3);
+    # closed-form fixture oracle; oracle-gated every pytest run.
+    "image_captions": q_image_captions,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -7913,6 +8066,7 @@ ROTATED_OUT: set[str] = {
     "dedup_clusters", "link_pagerank", "mixture_sample", "rank_select",
     "bm25_persisted", "bm25_incremental", "anchor_texts",
     "semantic_dedup_pipeline", "image_dedup_clusters",
+    "image_captions",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -8072,6 +8226,7 @@ _R13_NEW = {
 _R14_NEW = {
     "embed_semantic_dedup",
     "dedup_clusters_incremental",
+    "image_captions",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -8135,6 +8290,7 @@ _ORACLES: dict[str, str] = {
     "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_clusters_incremental": _DEDUP_CLUSTERS_SQL,
+    "image_captions": _IMAGE_CAPTIONS_SQL,
     "dedup_spans": _DEDUP_SPANS_SQL,
     "scrub_pii": _SCRUB_SQL,
     "repetition_stats": _REPETITION_SQL,

