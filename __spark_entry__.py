@@ -7548,6 +7548,123 @@ LEFT JOIN caps c ON c.mid = am.media_id
 """
 
 
+_SKETCH_Q_MU = [100000, 250000, 500000, 750000, 900000, 990000, 1000000]
+
+
+def q_sketch_quantiles(spark, sf_dir):
+    """Mergeable deterministic quantile registers (sketch.py, r14,
+    VERDICT r13 item 6 — the profiling sketch family's third member
+    next to CMS/HLL): whitespace token counts per document (the
+    textstats counter — the composition a length-distribution profile
+    actually runs) -> md5-bucketed evenly-spaced-order-statistic
+    registers (the Munro-Paterson/MRL deterministic line; KLL/t-digest
+    are randomized and cannot replay in a SQL oracle) -> decile
+    estimates. BOTH faces are gated in one row set: est_direct from
+    one register build over the corpus, est_merged from two
+    half-corpus register builds merged by weighted re-decimation — so
+    the mergeability contract (merge-then-estimate stays within the
+    doubled rank-error bound and replays exactly) crosses the hash
+    alongside the arithmetic."""
+    from bigdata_lab02_spark.operators.sketch import (
+        merge_quantile_registers,
+        quantile_estimate,
+        quantile_registers,
+    )
+    from bigdata_lab02_spark.operators.textstats import (
+        whitespace_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vals = docs.select(
+        F.col("doc_id").alias("id"),
+        whitespace_token_count(F.col("text")).cast("long").alias("value"),
+    )
+    direct = quantile_registers(vals, n_buckets=16, k=32)
+    a = quantile_registers(
+        vals.where(F.col("id") % 2 == 0), n_buckets=16, k=32
+    )
+    b = quantile_registers(
+        vals.where(F.col("id") % 2 == 1), n_buckets=16, k=32
+    )
+    merged = merge_quantile_registers(a, b, k=32)
+    qs = [q / 1_000_000 for q in _SKETCH_Q_MU]
+    d = quantile_estimate(direct, qs).withColumnRenamed(
+        "est", "est_direct"
+    )
+    m = quantile_estimate(merged, qs).withColumnRenamed(
+        "est", "est_merged"
+    )
+    return d.join(m, "q_mu").orderBy("q_mu")
+
+
+_SKETCH_Q_SQL = f"""
+WITH vals AS (
+  SELECT doc_id AS id,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+      AS value,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16
+      AS bucket
+  FROM documents),
+rk AS (
+  SELECT bucket, id, value,
+    row_number() OVER (PARTITION BY bucket ORDER BY value, id) AS r,
+    count(*) OVER (PARTITION BY bucket) AS n_b
+  FROM vals),
+kn AS (SELECT bucket, r, value FROM rk
+       WHERE (r*32)//n_b > ((r-1)*32)//n_b),
+reg AS (
+  SELECT bucket, r,
+    r - COALESCE(lag(r) OVER (PARTITION BY bucket ORDER BY r), 0) AS mass,
+    value
+  FROM kn),
+rk2 AS (
+  SELECT id % 2 AS src, bucket, id, value,
+    row_number() OVER (PARTITION BY id % 2, bucket
+                       ORDER BY value, id) AS r,
+    count(*) OVER (PARTITION BY id % 2, bucket) AS n_b
+  FROM vals),
+kn2 AS (SELECT src, bucket, r, value FROM rk2
+        WHERE (r*32)//n_b > ((r-1)*32)//n_b),
+reg2 AS (
+  SELECT src, bucket, r,
+    r - COALESCE(lag(r) OVER (PARTITION BY src, bucket ORDER BY r), 0)
+      AS mass,
+    value
+  FROM kn2),
+mg AS (
+  SELECT bucket, value, mass,
+    sum(mass) OVER (PARTITION BY bucket ORDER BY value, src, r) AS cum,
+    sum(mass) OVER (PARTITION BY bucket) AS m_b
+  FROM reg2),
+mkn AS (SELECT bucket, cum, value FROM mg
+        WHERE (cum*32)//m_b > ((cum-mass)*32)//m_b),
+mreg AS (
+  SELECT bucket, cum AS r,
+    cum - COALESCE(lag(cum) OVER (PARTITION BY bucket ORDER BY cum), 0)
+      AS mass,
+    value
+  FROM mkn),
+qs(q_mu) AS (VALUES {", ".join(f"({q})" for q in _SKETCH_Q_MU)}),
+dcum AS (SELECT bucket, r, value,
+           sum(mass) OVER (ORDER BY value, bucket, r) AS cum FROM reg),
+dn AS (SELECT max(cum) AS n FROM dcum),
+dest AS (
+  SELECT q.q_mu, min(c.value) AS est_direct
+  FROM qs q, dcum c, dn
+  WHERE c.cum * 1000000 >= q.q_mu * dn.n GROUP BY q.q_mu),
+mcum AS (SELECT bucket, r, value,
+           sum(mass) OVER (ORDER BY value, bucket, r) AS cum FROM mreg),
+mn AS (SELECT max(cum) AS n FROM mcum),
+mest AS (
+  SELECT q.q_mu, min(c.value) AS est_merged
+  FROM qs q, mcum c, mn
+  WHERE c.cum * 1000000 >= q.q_mu * mn.n GROUP BY q.q_mu)
+SELECT CAST(d.q_mu AS BIGINT) AS q_mu, d.est_direct, m.est_merged
+FROM dest d JOIN mest m USING (q_mu) ORDER BY q_mu
+"""
+
+
 _RANK_SELECT_BUDGET = 4000
 
 
@@ -8042,6 +8159,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # joined to the dHash media-dedup survivors (VERDICT r13 item 3);
     # closed-form fixture oracle; oracle-gated every pytest run.
     "image_captions": q_image_captions,
+    # sketch_quantiles (r14): mergeable deterministic quantile registers
+    # (MRL-line, md5-bucketed) over the textstats token counter —
+    # direct AND merged-halves estimates in one gated row set (VERDICT
+    # r13 item 6); oracle-gated every pytest run.
+    "sketch_quantiles": q_sketch_quantiles,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -8066,7 +8188,7 @@ ROTATED_OUT: set[str] = {
     "dedup_clusters", "link_pagerank", "mixture_sample", "rank_select",
     "bm25_persisted", "bm25_incremental", "anchor_texts",
     "semantic_dedup_pipeline", "image_dedup_clusters",
-    "image_captions",
+    "image_captions", "sketch_quantiles",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -8226,7 +8348,7 @@ _R13_NEW = {
 _R14_NEW = {
     "embed_semantic_dedup",
     "dedup_clusters_incremental",
-    "image_captions",
+    "image_captions",    "sketch_quantiles",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -8291,6 +8413,7 @@ _ORACLES: dict[str, str] = {
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_clusters_incremental": _DEDUP_CLUSTERS_SQL,
     "image_captions": _IMAGE_CAPTIONS_SQL,
+    "sketch_quantiles": _SKETCH_Q_SQL,
     "dedup_spans": _DEDUP_SPANS_SQL,
     "scrub_pii": _SCRUB_SQL,
     "repetition_stats": _REPETITION_SQL,

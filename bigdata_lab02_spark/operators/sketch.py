@@ -231,3 +231,143 @@ def hll_distinct(
         used.cast("long").alias("n_used_buckets"),
         F.round(est, round_dp).alias("estimate"),
     )
+
+
+# ---------------------------------------------------- quantile registers
+
+
+def quantile_registers(
+    items: DataFrame,
+    value_col: str = "value",
+    id_col: str = "id",
+    n_buckets: int = 32,
+    k: int = 64,
+) -> DataFrame:
+    """Mergeable deterministic quantile registers (r14, VERDICT r13
+    item 6) — the third profiling sketch next to CMS/HLL: length and
+    score DISTRIBUTIONS at 100 TB without a global sort.
+
+    Design: the Munro–Paterson / MRL line of deterministic quantile
+    summaries (evenly spaced order statistics per shard, merged by
+    weighted re-decimation) rather than KLL/t-digest — those two are
+    RANDOMIZED (KLL's compaction coin, t-digest's merge-order
+    dependence), and the house rule is that every register must replay
+    bit-for-bit in a SQL oracle. Shards are EXPLICIT md5 buckets of
+    the id (never physical partitions — partitioning is not a
+    deterministic quantity), so the register table is a pure function
+    of the data.
+
+    Per bucket b = md5(id) mod ``n_buckets``: rank rows by
+    (value, id) — a total order, so ties are deterministic — and keep
+    the ``k`` evenly spaced knots r_i = the ranks where
+    floor(r·k/n_b) increments (all rows when n_b ≤ k). Each knot
+    carries ``mass`` = r_i − r_{i−1}: the EXACT count of rows it
+    stands for (masses sum to n_b — nothing is approximated except
+    which value represents an interval).
+
+    Rank-error bound: a knot misstates the rank of the rows it covers
+    by < its mass ≤ ceil(n_b/k), so an estimate's total rank error is
+    < Σ_b n_b/k = N/k — ε = 1/k of the corpus, independent of bucket
+    count (buckets exist for parallelism and mergeability, not
+    accuracy). One exchange keyed by bucket (register-table-sized
+    output, ≤ n_buckets·k rows); the rank window runs inside each
+    bucket's shard.
+
+    Returns (bucket, r, mass, value)."""
+    if k <= 0 or n_buckets <= 0:
+        raise ValueError(f"k={k}, n_buckets={n_buckets} must be positive")
+    from pyspark.sql import Window
+
+    b = (_h60(F.col(id_col).cast("string")) % n_buckets).alias("bucket")
+    w = Window.partitionBy("bucket").orderBy(value_col, id_col)
+    wb = Window.partitionBy("bucket")
+    ranked = (
+        items.select(b, F.col(value_col), F.col(id_col))
+        .withColumn("r", F.row_number().over(w).cast("long"))
+        .withColumn("n_b", F.count(F.lit(1)).over(wb).cast("long"))
+    )
+    # exact integer division (div), never double '/': floor(double)
+    # can disagree with integer division at representability edges,
+    # and the oracle replays this with DuckDB's exact '//'
+    knots = ranked.where(
+        F.expr(f"(r * {k}) div n_b > ((r - 1) * {k}) div n_b")
+    )
+    wk = Window.partitionBy("bucket").orderBy("r")
+    return knots.select(
+        "bucket",
+        "r",
+        (F.col("r") - F.coalesce(F.lag("r").over(wk), F.lit(0)))
+        .cast("long")
+        .alias("mass"),
+        F.col(value_col).cast("long").alias("value"),
+    )
+
+
+def merge_quantile_registers(
+    a: DataFrame, b: DataFrame, k: int = 64
+) -> DataFrame:
+    """Merge two register tables over the same bucket space: per
+    bucket, the union of knots (ordered by value with a deterministic
+    source/rank tiebreak) is re-decimated to ``k`` knots at the
+    cumulative-mass steps where floor(cum·k/m_b) increments — the MRL
+    merge. Masses stay exact counts (they sum to the merged bucket
+    total); each merge adds ≤ 1/k to the rank-error bound (standard
+    for deterministic summaries). Register-table-sized work only."""
+    from pyspark.sql import Window
+
+    u = a.withColumn("src", F.lit(0)).unionByName(
+        b.withColumn("src", F.lit(1))
+    )
+    w = Window.partitionBy("bucket").orderBy("value", "src", "r")
+    wb = Window.partitionBy("bucket")
+    c = u.withColumn("cum", F.sum("mass").over(w).cast("long")).withColumn(
+        "m_b", F.sum("mass").over(wb).cast("long")
+    )
+    knots = c.where(
+        F.expr(f"(cum * {k}) div m_b > ((cum - mass) * {k}) div m_b")
+    )
+    wk = Window.partitionBy("bucket").orderBy("cum")
+    return knots.select(
+        "bucket",
+        F.col("cum").alias("r"),
+        (F.col("cum") - F.coalesce(F.lag("cum").over(wk), F.lit(0)))
+        .cast("long")
+        .alias("mass"),
+        "value",
+    )
+
+
+def quantile_estimate(
+    registers: DataFrame, qs: list[float]
+) -> DataFrame:
+    """Quantile estimates from a register table: order every knot by
+    (value, bucket, r) — total and deterministic — take the running
+    mass, and for each q report the first knot value whose cumulative
+    mass reaches ceil(q·N). Register-table-sized sort (≤ buckets·k
+    rows), one bounded pass; q is keyed in integer micro-units
+    (``q_mu``) so the output is hash-comparable across engines.
+
+    Returns (q_mu, est) sorted by q_mu."""
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"qs must be in (0, 1], got {qs}")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("value", "bucket", "r")
+    cum = registers.select(
+        "bucket", "r", "mass", "value",
+        F.sum("mass").over(w).cast("long").alias("cum"),
+    )
+    n_total = F.max("cum").over(Window.partitionBy())
+    qdf = registers.sparkSession.createDataFrame(
+        [(int(round(q * 1_000_000)),) for q in sorted(qs)], "q_mu long"
+    )
+    return (
+        cum.withColumn("n", n_total)
+        .crossJoin(F.broadcast(qdf))
+        .where(
+            F.col("cum") * 1_000_000 >= F.col("q_mu") * F.col("n")
+        )
+        .groupBy("q_mu")
+        .agg(F.min("value").alias("est"))
+        .orderBy("q_mu")
+    )

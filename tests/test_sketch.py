@@ -102,3 +102,92 @@ class TestHyperLogLog:
         est = sk.hll_distinct(items, p=9).collect()[0]
         assert est["estimate"] == 0.0
         assert est["n_used_buckets"] == 0
+
+
+# ------------------------------------------------- quantile registers
+
+
+class TestQuantileRegisters:
+    def _vals(self, spark, pairs):
+        return spark.createDataFrame(pairs, "id long, value long")
+
+    def test_masses_are_exact_counts(self, spark):
+        df = self._vals(spark, [(i, (i * 37) % 500) for i in range(3000)])
+        regs = sk.quantile_registers(df, n_buckets=8, k=16)
+        assert regs.agg(F.sum("mass")).first()[0] == 3000
+        # per bucket too: masses partition the bucket's rows exactly
+        per = {r.bucket: r.s for r in
+               regs.groupBy("bucket").agg(F.sum("mass").alias("s")).collect()}
+        from pyspark.sql.functions import conv, substring, md5, col
+        true = {r.bucket: r.c for r in df.select(
+            (conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+             .cast("long") % 8).alias("bucket")
+        ).groupBy("bucket").agg(F.count("*").alias("c")).collect()}
+        assert per == true
+
+    def test_rank_error_within_bound(self, spark):
+        k = 32
+        vals = [(i, (i * i * 131) % 100000) for i in range(8000)]
+        df = self._vals(spark, vals)
+        regs = sk.quantile_registers(df, n_buckets=8, k=k)
+        qs = [0.1, 0.5, 0.9, 0.99, 1.0]
+        est = {r.q_mu: r.est for r in
+               sk.quantile_estimate(regs, qs).collect()}
+        svals = sorted(v for _, v in vals)
+        n = len(svals)
+        import bisect
+        for q in qs:
+            e = est[int(round(q * 1e6))]
+            lo = bisect.bisect_left(svals, e)
+            hi = bisect.bisect_right(svals, e)
+            err = min(abs(q * n - lo), abs(q * n - hi))
+            assert err <= n / k + 1, (q, e, err, n / k)
+
+    def test_merge_equals_rebuild_bound_and_mass(self, spark):
+        k = 32
+        vals = [(i, (i * 7919) % 1000) for i in range(4000)]
+        df = self._vals(spark, vals)
+        a = sk.quantile_registers(
+            df.where(F.col("id") % 2 == 0), n_buckets=8, k=k)
+        b = sk.quantile_registers(
+            df.where(F.col("id") % 2 == 1), n_buckets=8, k=k)
+        m = sk.merge_quantile_registers(a, b, k=k)
+        assert m.agg(F.sum("mass")).first()[0] == 4000
+        est = {r.q_mu: r.est for r in
+               sk.quantile_estimate(m, [0.5, 0.9]).collect()}
+        svals = sorted(v for _, v in vals)
+        n = len(svals)
+        import bisect
+        for q in (0.5, 0.9):
+            e = est[int(q * 1e6)]
+            lo = bisect.bisect_left(svals, e)
+            hi = bisect.bisect_right(svals, e)
+            err = min(abs(q * n - lo), abs(q * n - hi))
+            assert err <= 2 * n / k + 1, (q, e, err)  # one merge: 2/k
+
+    def test_small_buckets_keep_every_row(self, spark):
+        # n_b <= k: the registers ARE the data; estimates are exact
+        df = self._vals(spark, [(i, i * 10) for i in range(20)])
+        regs = sk.quantile_registers(df, n_buckets=4, k=64)
+        assert regs.count() == 20
+        assert {r.mass for r in regs.collect()} == {1}
+        est = {r.q_mu: r.est for r in
+               sk.quantile_estimate(regs, [0.5, 1.0]).collect()}
+        assert est[1000000] == 190      # max
+        assert est[500000] == 90        # exact median (rank 10 of 20)
+
+    def test_deterministic_across_runs(self, spark):
+        df = self._vals(spark, [(i, (i * 13) % 97) for i in range(500)])
+        r1 = sorted(map(tuple, sk.quantile_registers(df, n_buckets=8, k=8)
+                        .collect()))
+        r2 = sorted(map(tuple, sk.quantile_registers(
+            df.repartition(13), n_buckets=8, k=8).collect()))
+        assert r1 == r2  # registers are a pure function of the data
+
+    def test_validation(self, spark):
+        df = self._vals(spark, [(1, 1)])
+        with pytest.raises(ValueError, match="positive"):
+            sk.quantile_registers(df, n_buckets=0)
+        regs = sk.quantile_registers(df)
+        with pytest.raises(ValueError, match="qs must be"):
+            sk.quantile_estimate(regs, [0.0, 0.5])
