@@ -7804,7 +7804,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interchange_roundtrip": q_interchange_roundtrip,
     "kmeans_pipeline": q_kmeans_pipeline,
     "multimodal_mixed": q_multimodal_mixed,
-    "video_frames": q_video_frames,
+    # media_dedup_pipeline rotated INTO the window in r14, taking
+    # video_frames' slot: the r14 family-coverage matrix test caught
+    # that rotating image_dedup_clusters out left the media-dedup
+    # family with NO driver row — the composed pipeline (magic-byte
+    # routing + dHash + audio fingerprint + pigeonhole pairs + CC) is
+    # the family's strongest member. video_frames' Y4M decode stays
+    # covered in-window by multimodal_mixed and oracle-verified in the
+    # overflow.
+    "media_dedup_pipeline": q_media_dedup_pipeline,
     # embed_semantic_dedup rotated INTO the window in r14 (VERDICT r13
     # item 1), taking semantic_dedup_pipeline's slot: it is a strict
     # SUPERSET (the same sampled-fit + cluster-blocked dedup pipeline,
@@ -8108,7 +8116,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # perceptual hashes (pinned), modality-keyed pigeonhole pairs
     # (identical cross-modality sketches must not pair), one CC pass to
     # survivors; oracle-gated every pytest run.
-    "media_dedup_pipeline": q_media_dedup_pipeline,
+    # video_frames rotated OUT in r14 (media_dedup_pipeline took its
+    # slot): Y4M decode is exercised in-window by multimodal_mixed;
+    # oracle-gated every pytest run.
+    "video_frames": q_video_frames,
     # dedup_clusters rotated OUT in r13 (see the window comment at its
     # old slot): the CC kernel stays driver-covered through
     # image_dedup_clusters, which calls the same function; the text
@@ -8184,7 +8195,7 @@ ROTATED_OUT: set[str] = {
     "image_dedup", "warc_cdx", "stream_image_cands", "url_robots",
     "pq_topk", "pq_rerank", "dedup_simhash_pairs", "ivfpq_topk",
     "audio_dedup", "video_dedup", "quality_classifier", "quality_select",
-    "stream_audio_cands", "ivfpq_residual_topk", "media_dedup_pipeline",
+    "stream_audio_cands", "ivfpq_residual_topk", "video_frames",
     "dedup_clusters", "link_pagerank", "mixture_sample", "rank_select",
     "bm25_persisted", "bm25_incremental", "anchor_texts",
     "semantic_dedup_pipeline", "image_dedup_clusters",

@@ -407,7 +407,18 @@ def minhash_dedup_incremental(
     equivalence-tested in tests/test_dedup_similarity.py. ``corpus``
     must carry the same text the bands were computed from; drift between
     them surfaces as candidate pairs whose verified Jaccard disagrees,
-    never silently."""
+    never silently.
+
+    Pin receipts (r14, VERDICT r13 item 5 — the largest repeated_scans
+    residual in PLANS.md, 13 leaf re-scans): the candidate pair table
+    is consumed THREE times (both semi-join id sets + the intersection
+    join) and each consumer recompiled the full LSH subtree; the
+    candidate-matched shingle tables are each consumed twice (size agg
+    + intersection). Pinning both (the r13 dedup-tier pin-sweep shape)
+    measured at sf0.1: first-rep 17.56 s → 5.07 s (3.5× — the driver
+    measures first-rep), warm min-of-2 5.32 s → 4.77 s. Both pinned
+    frames are bounded: ``cand`` is the increment's collision pair
+    set, and the shingle tables cover candidate-MATCHED docs only."""
     rows_per_band = num_hashes // bands
     new_sigs = minhash_signatures(
         new_docs, text_col, id_col, num_hashes, shingle_n
@@ -429,6 +440,7 @@ def minhash_dedup_incremental(
         .where(F.col("id_new") != F.col("id_old"))
         .select("id_new", "id_old")
         .distinct()
+        .localCheckpoint()  # 3 consumers; see pin receipts above
     )
     # exact verification over candidate-matched docs only
     new_ids = cand.select(F.col("id_new").alias(id_col)).distinct()
@@ -439,6 +451,7 @@ def minhash_dedup_incremental(
             F.col(id_col).alias("id_new"),
             F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
         )
+        .localCheckpoint()  # 2 consumers; see pin receipts above
     )
     old_ex = (
         corpus.join(old_ids, id_col, "leftsemi")
@@ -446,6 +459,7 @@ def minhash_dedup_incremental(
             F.col(id_col).alias("id_old"),
             F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
         )
+        .localCheckpoint()  # 2 consumers; see pin receipts above
     )
     sz_new = new_ex.groupBy("id_new").agg(F.count("*").alias("sz_new"))
     sz_old = old_ex.groupBy("id_old").agg(F.count("*").alias("sz_old"))

@@ -94,3 +94,137 @@ def test_each_query_runs_smoke(spark):
     for name, fn in entrymod.queries().items():
         df = fn(spark, SF)
         df.limit(5).collect()
+
+
+# ------------------------------------------- family coverage matrix (r14)
+
+# VERDICT r13 item 8: the overflow now outnumbers the 50-row window, so
+# a rotation could silently orphan an operator FAMILY (leave it with no
+# in-window driver row at all). This matrix assigns EVERY registry
+# entry to exactly one family; each family must either keep >= 1 entry
+# inside the driver window or be explicitly declared overflow-only.
+# A new gate that is not assigned here fails loudly — assign it when
+# registering it.
+FAMILY_GATES: dict[str, set[str]] = {
+    "reference-text-matrix": {
+        "p5_doc_term_matrix", "p7_top_terms", "p10_tfidf", "p12_ctfidf",
+        "p13_category_top5",
+    },
+    "kmeans": {
+        "kmeans_fit", "kmeans_scalable", "kmeans_pipeline",
+        "kmeans_assign", "kmeans_update", "kmeans_recluster",
+    },
+    "streaming": {
+        "stream_hourly", "stream_dedup", "stream_sessions",
+        "stream_enrich", "stream_pairs", "stream_dedup_cands",
+        "stream_user_totals", "stream_image_cands", "stream_audio_cands",
+    },
+    "relational": {
+        "relational_suite", "pricing_summary", "revenue_by_nation",
+        "asof_join", "skew_salted_join", "merge_upsert", "range_join",
+        "stratified_sample",
+    },
+    "interchange-sinks": {"interchange_roundtrip"},
+    "text-dedup": {
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_spans", "dedup_keep_best", "dedup_lines",
+        "dedup_incremental", "dedup_simhash_pairs",
+    },
+    "dup-clustering": {
+        "dedup_clusters", "dedup_clusters_incremental",
+        "image_dedup_clusters",
+    },
+    "embedding-ann": {
+        "ann_recall", "ivf_topk", "ivf_topk_persisted",
+        "embedding_dup_pairs", "quantized_topk", "pq_topk", "pq_rerank",
+        "ivfpq_topk", "ivfpq_residual_topk",
+    },
+    "semantic-dedup-featurize": {
+        "embed_semantic_dedup", "semantic_dedup_pipeline",
+    },
+    "retrieval": {"bm25_topk", "bm25_persisted", "bm25_incremental"},
+    "curation-filters": {
+        "curation_pipeline", "repetition_stats", "lm_perplexity",
+        "ccnet_pipeline", "ccnet_perlang", "scrub_pii", "gopher_rules",
+        "c4_filters", "gopher_repetition", "quality_classifier",
+        "quality_select", "contamination",
+    },
+    "selection-sampling": {
+        "dsir_importance", "dsir_select", "selection_pipeline",
+        "token_budget", "mixture_sample",
+    },
+    "textstats-langid": {"textstats", "language_id"},
+    "sketches": {"sketch_profile", "sketch_quantiles"},
+    "multimodal-codecs": {
+        "multimodal_mixed", "jpeg_decode", "png_edges", "audio_decode",
+        "video_frames", "wav_edges", "resize_mixed", "media_metadata",
+        "jpeg_lossless", "jpeg_cmyk", "exif_orientation",
+        "jpeg_hierarchical",
+    },
+    "media-dedup": {
+        "image_dedup", "audio_dedup", "video_dedup",
+        "media_dedup_pipeline", "image_captions",
+    },
+    "html-crawl": {"crawl_curation_pipeline", "html_extract"},
+    "url-tier": {
+        "url_filters", "url_domain_cap", "url_domain_cap_bounded",
+        "url_robots",
+    },
+    "chunk-pack": {"chunk_docs", "pack_sequences"},
+    "bpe": {"bpe_pipeline"},
+    "warc": {
+        "warc_ingest", "warc_revisits", "warc_crawl_pipeline", "warc_cdx",
+    },
+    "link-graph": {
+        "link_pagerank", "rank_select", "anchor_texts",
+    },
+}
+
+# Families with no in-window row TODAY, by explicit decision (each gate
+# is oracle-verified in the overflow every pytest run; the in-window
+# composition below names the window gate that exercises the family's
+# kernel where one exists).
+OVERFLOW_ONLY_FAMILIES = {
+    "bpe",         # r10 decision: training regime boundary documented
+    "warc",        # r11/r12: ingest feeds crawl_curation (in-window)
+    "link-graph",  # r13: extraction kernel shared with crawl fixtures;
+                   # graph oracles are the heaviest SQL in the registry
+}
+
+
+def test_family_matrix_is_total():
+    names = set(entrymod.queries())
+    assigned: set[str] = set()
+    for fam, gates in FAMILY_GATES.items():
+        dup = assigned & gates
+        assert not dup, f"gates in two families: {sorted(dup)}"
+        assigned |= gates
+    unknown = assigned - names
+    assert not unknown, f"matrix names unknown gates: {sorted(unknown)}"
+    unassigned = names - assigned
+    assert not unassigned, (
+        f"registry gates not assigned to any family: {sorted(unassigned)} "
+        "— add them to FAMILY_GATES when registering"
+    )
+
+
+def test_every_family_keeps_a_driver_row():
+    window = set(list(entrymod.queries())[: entrymod.DRIVER_ROW_CAP])
+    orphans = {
+        fam: sorted(gates)
+        for fam, gates in FAMILY_GATES.items()
+        if fam not in OVERFLOW_ONLY_FAMILIES and not (gates & window)
+    }
+    assert not orphans, (
+        f"families rotated entirely out of the driver window: {orphans} "
+        "— rotate one member back in or declare the family overflow-only "
+        "with a reason"
+    )
+    # and the declared overflow-only set must stay honest: if a family
+    # gains a window row, remove the declaration
+    stale = {
+        fam
+        for fam in OVERFLOW_ONLY_FAMILIES
+        if FAMILY_GATES[fam] & window
+    }
+    assert not stale, f"overflow-only families now have window rows: {stale}"

@@ -134,7 +134,12 @@ FAMILY = [
 # Round-6 extension (VERDICT r5 item 6): one more doubling pair on the two
 # families with the highest 4× growth, to separate pair-count growth
 # (linear in duplicate volume) from super-linear onset before it bites.
-DOUBLING = ["dedup_minhash_lsh", "dedup_clusters"]
+# r14 (VERDICT r13 item 7): link_pagerank joins the doubling series —
+# its fixture domain alphabet is FIXED (6 nodes), so the series
+# isolates the extraction + edge-groupBy stages' data growth from the
+# O(iters) bounded-graph iteration rounds: healthy = wall tracks data
+# once extraction dominates, iteration term stays flat.
+DOUBLING = ["dedup_minhash_lsh", "dedup_clusters", "link_pagerank"]
 DOUBLING_MULTS = [8, 16]
 
 
@@ -442,9 +447,135 @@ def main() -> None:
             }
             print(f"ivf_topk_persisted @{m}x corpus: build {build_w:.2f}s, "
                   f"fixed-query probe {probe_w:.2f}s")
+
+            # r14 (VERDICT r13 item 7): BM25 term-bucket index — the
+            # text twin of the IVF rows: build pays the corpus-sized
+            # tokenize+aggregate once; the probe is a partition-pruned
+            # scan of the query vocabulary's buckets, so probe growth
+            # tracks matched-postings volume, not the corpus.
+            from bigdata_lab02_spark.operators import (  # noqa: E402
+                retrieval as rt,
+            )
+
+            bm_q = spark.createDataFrame(
+                entrymod._BM25_QUERIES, "query_id int, text string"
+            )
+            bpath = f"{dm}/bm25_index"
+            t0 = time.time()
+            rt.persist_bm25_index(docs_m, bpath, n_buckets=64)
+            build_w = time.time() - t0
+            probe_w = noop(
+                rt.bm25_topk_persisted(
+                    spark, bpath, bm_q, k=10, n_buckets=64
+                )
+            )
+            growth.setdefault("bm25", {})[str(m)] = {
+                "build": round(build_w, 2), "probe": round(probe_w, 2),
+            }
+            print(f"bm25_persisted @{m}x corpus: build {build_w:.2f}s, "
+                  f"fixed-query probe {probe_w:.2f}s")
             persist()
         finally:
             shutil.rmtree(dm, ignore_errors=True)
+
+    # r14 (VERDICT r13 item 7): media_dedup_pipeline doubling. The media
+    # fixture is corpus-independent, so the series scales the GENERATOR
+    # count instead: n media per modality at 32 / 128 / 512 (1x/4x/16x).
+    # Audio ids offset by 10^6 (the gate's +100 would collide past
+    # n=100). Healthy = wall tracks n + true-pair volume (the fixture's
+    # dup groups are size-4 per seed, so true pairs grow LINEARLY in n —
+    # unlike the saturated-corpus doubling above).
+    from bigdata_lab02_spark.operators.dedup import (  # noqa: E402
+        dedup_clusters,
+        simhash_dup_pairs,
+    )
+    from bigdata_lab02_spark.operators.multimodal import (  # noqa: E402
+        audio_fingerprint,
+        image_dhash,
+        synthetic_dhash_images,
+        synthetic_fp_audio,
+    )
+
+    med: dict = {}
+    payload["media_doubling"] = {"ns": [32, 128, 512], "walls": med}
+    for n in [32, 128, 512]:
+        t0 = time.time()
+        imgs = synthetic_dhash_images(spark, n)
+        auds = synthetic_fp_audio(spark, n).select(
+            (F.col("media_id") + 10**6).alias("media_id"), "payload"
+        )
+        media_n = imgs.unionByName(auds)
+        magic = F.hex(F.substring(F.col("payload"), 1, 4))
+        routed = media_n.withColumn(
+            "modality",
+            F.when(magic == "89504E47", F.lit("image"))
+            .when(magic == "52494646", F.lit("audio"))
+            .otherwise(F.lit("unknown")),
+        )
+        ih = image_dhash(
+            routed.where(F.col("modality") == "image")
+        ).localCheckpoint()
+        ah = audio_fingerprint(
+            routed.where(F.col("modality") == "audio")
+        ).localCheckpoint()
+        hashes_n = ih.select(
+            "media_id", F.col("dhash").alias("h64"), "decode_ok"
+        ).unionByName(
+            ah.select("media_id", F.col("afp").alias("h64"), "decode_ok")
+        )
+        pairs_n = simhash_dup_pairs(
+            ih, id_col="media_id", max_hamming=3, hash_col="dhash"
+        ).select("id_a", "id_b").unionByName(
+            simhash_dup_pairs(
+                ah, id_col="media_id", max_hamming=3, hash_col="afp"
+            ).select("id_a", "id_b")
+        )
+        cc = dedup_clusters(
+            hashes_n.select("media_id"), pairs_n, id_col="media_id"
+        )
+        noop(hashes_n.join(cc, "media_id"))
+        med[str(n)] = round(time.time() - t0, 2)
+        print(f"media_dedup_pipeline @n={n}/modality: {med[str(n)]:.2f}s")
+        persist()
+
+    # r14 (VERDICT r13 item 2): incremental CC — the claim is
+    # "increment cost ∝ shard, not corpus": the label table streams
+    # against broadcast increment-sized frames, while a full rebuild
+    # re-runs alternating-star CC over the whole pair set. Label table
+    # grown 1x/4x/16x (star components of 100), increment FIXED at 5k
+    # random bridge pairs; both paths timed.
+    from bigdata_lab02_spark.operators.dedup import (  # noqa: E402
+        connected_components,
+        update_components,
+    )
+
+    ccg: dict = {}
+    payload["cc_increment_growth"] = {"mults": [1, 4, 16], "walls": ccg}
+    cc_base = 1_000_000
+    for m in [1, 4, 16]:
+        n = cc_base * m
+        lab = spark.range(n, numPartitions=32).select(
+            F.col("id").alias("node"),
+            (F.col("id") - (F.col("id") % 100)).alias("component"),
+        )
+        base_pairs = lab.select(
+            F.col("node").alias("id_a"), F.col("component").alias("id_b")
+        ).where(F.col("id_a") != F.col("id_b"))
+        inc = spark.range(5000, numPartitions=4).select(
+            (F.col("id") * 37 % n).alias("id_a"),
+            ((F.col("id") * 91 + 13) % n).alias("id_b"),
+        )
+        t0 = time.time()
+        noop(update_components(lab, inc))
+        upd_w = time.time() - t0
+        t0 = time.time()
+        noop(connected_components(base_pairs.unionByName(inc)))
+        reb_w = time.time() - t0
+        ccg[str(m)] = {"increment": round(upd_w, 2),
+                       "rebuild": round(reb_w, 2)}
+        print(f"cc_increment @{m}x labels ({n} nodes): "
+              f"increment {upd_w:.2f}s vs rebuild {reb_w:.2f}s")
+        persist()
 
     print(f"-> {out} (picked up by tools/scaling_audit.py)")
 
