@@ -127,6 +127,18 @@ FAMILY = [
     # r13: mixture sampling — one range-repartition + a bounded driver
     # visit; growth ~data (the dsir_select shape, keyed per group)
     "mixture_sample",
+    # r14: derived-embedding SemDeDup — featurize is map-shaped (+ one
+    # (doc,bucket) exchange); the CONDITIONAL term is the per-cluster
+    # pair fan-out over near-dup replicas, the semantic_dedup_pipeline
+    # shape with k~sqrt(n) growing with the corpus
+    "embed_semantic_dedup",
+    # r14: incremental CC — base CC + quotient absorb; on the replica
+    # corpus the increment's collision set grows with duplication, the
+    # dedup_incremental shape
+    "dedup_clusters_incremental",
+    # r14: quantile registers — two bucket-keyed windows + a register-
+    # table-sized estimate; growth ~data with bounded outputs
+    "sketch_quantiles",
 ]
 # (image_dedup_clusters, audio_dedup, video_dedup and
 # media_dedup_pipeline are generated-fixture-sized — corpus-independent,
