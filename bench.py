@@ -205,6 +205,18 @@ EXTRA = [
     # r13: the per-target anchor-text corpus (anchor-based weak
     # supervision aggregation over extracted links)
     "anchor_texts",
+    # r14: corpus-derived-embedding SemDeDup (hashed-trigram featurize
+    # -> sampled k-means fit -> cluster-blocked near-dup pass)
+    "embed_semantic_dedup",
+    # r14: incremental dup-cluster maintenance (label-level quotient CC
+    # absorb; oracle = full rebuild)
+    "dedup_clusters_incremental",
+    # r14: image-alt caption corpus joined to the dHash media-dedup
+    # survivors (the VLM image-text pair table)
+    "image_captions",
+    # r14: mergeable deterministic quantile registers (direct + merged-
+    # halves estimates in one gate)
+    "sketch_quantiles",
 ]
 STREAMING_LAST = [
     "stream_hourly",

@@ -688,7 +688,21 @@ def connected_components(
 
     Returns (node, component) for every node that appears in ``pairs``;
     component = the smallest node id in the component (deterministic).
-    """
+
+    r14 hardening: every checkpointed frame is re-projected through
+    fresh column aliases before the next star round. Spark 4.1's
+    analyzer can fail with ``NoSuchElementException: key not found:
+    u#N`` when a checkpointed LogicalRDD's raw attributes appear in
+    both legs of the round's self-union/self-join (surfaced by the r14
+    million-edge scaling receipt; independent of AQE — reproduced with
+    it off). The re-projection is a zero-cost alias pass that gives
+    each round's plan its own attribute ids."""
+
+    def _fresh(df: DataFrame) -> DataFrame:
+        return df.select(
+            [F.col(c).alias(f"__{c}") for c in df.columns]
+        ).toDF(*df.columns)
+
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -737,10 +751,10 @@ def connected_components(
         ).first()
         return (row["n"], row["h"])
 
-    e = edges.localCheckpoint()
+    e = _fresh(edges.localCheckpoint())
     fp = _fingerprint(e)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = _fresh(_small_star(_large_star(e)).localCheckpoint())
         nfp = _fingerprint(e)
         if nfp == fp:
             break

@@ -101,9 +101,18 @@ AUDIT = [
     "bm25_persisted",
     "bm25_incremental",
     "anchor_texts",
+    # r14 gates
+    "embed_semantic_dedup",
+    "dedup_clusters_incremental",
+    "image_captions",
+    "sketch_quantiles",
 ]
 
 COMMENT = {
+    "embed_semantic_dedup": "Featurize: one (doc,bucket) exchange with map-side combine + one doc-keyed map aggregation + the doc-spine left join; then the SemDeDup pipeline shape — sampled fit over a broadcast centroid array (per-row argmin fold, corpus never shuffles for assignment), cluster-blocked pair join keyed by cluster_id.",
+    "dedup_clusters_incremental": "Base CC runs the alternating-star rounds (localCheckpoint per round, fresh-alias re-projection — the r14 analyzer-bug hardening); the quotient absorb streams the label table twice against BROADCAST increment-sized frames (touched lookup + remap) — the corpus labels never shuffle.",
+    "image_captions": "Extraction + alt cleanup is one fused projection; caption corpus is one groupBy on image_url; the dHash survivor side pins the decode once (localCheckpoint) before the pair/CC/recombine fan-out; final join keyed by media_id (34 rows).",
+    "sketch_quantiles": "Two bucket-keyed rank windows (direct + per-half) feed register-table-sized frames (<= buckets*k rows); merge and estimates are windows over those registers — the corpus is touched twice (direct + halves), each one scan + one bucket exchange.",
     "p5_doc_term_matrix": "Dictionary broadcast; counts pre-aggregated before the dict join so the dictionary derives from the (doc,term) aggregate; the duplicated aggregate subtree is deduped at runtime by exchange reuse when AQE plans both sides identically.",
     "p10_tfidf": "TF window reuses the doc_id exchange; IDF (term-level, small) broadcasts back onto TF.",
     "p13_category_top5": "One exchange on (category, term); ranking window within partitions.",
@@ -145,7 +154,7 @@ COMMENT = {
     "stratified_sample": "Quota mode: ONE exchange on the group key (hash-rank window). The fraction mode is a zero-exchange pure filter — plan-asserted in tests/test_curation.py.",
     "range_join": "Interval containment WITHOUT a nested loop: intervals explode into time bins, points map to one bin, plain equi-join on the bin key + exact predicate — candidate set bounded by intervals-per-bin, never |points|x|intervals|.",
     "wav_edges": "Zero exchanges: WAV bytes generated, decoded (8/16/24-bit PCM) and reduced to integer stream stats inside one Arrow-batched mapInPandas chain.",
-    "dedup_incremental": "New shard's bands join the precomputed corpus band table on the single band_hash key (bucketed layout joins co-located — only the shard side shuffles); exact-Jaccard verify shingles candidate-matched docs only via leftsemi pruning. repeated_scans receipt (r13): the candidate set and both text sides are consumed by the id-prune/size/intersection tiers — compile-time duplicates that AQE ReuseExchange dedupes at runtime; a localCheckpoint pin was A/B'd and is SLOWER warm (3.62 vs 3.42 s min-of-2 at sf0.1; 2.4x faster cold only), so the plan stays unpinned — in production the corpus sides are persisted layouts and the repeats are leaf re-reads.",
+    "dedup_incremental": "New shard's bands join the precomputed corpus band table on the single band_hash key (bucketed layout joins co-located — only the shard side shuffles); exact-Jaccard verify shingles candidate-matched docs only via leftsemi pruning. pin receipts (r14, superseding the r13 wash): the candidate pair table (3 consumers) and the candidate-matched shingle tables (2 each) are localCheckpoint-pinned inside the operator — the r13 A/B pinned a DIFFERENT subtree (the whole verify chain); pinning these increment-bounded frames measured first-rep 17.56->5.07 s and warm 5.32->4.77 s at sf0.1, so the pins ship and repeated_scans drops to 0.",
     "ivf_topk_persisted": "Corpus lists read from the hive layout with list_id PartitionFilters (directory pruning to the probed lists); probes broadcast; the only data-sized exchange is the per-query top-k. repeated_scans receipt: the probe-side embeddings parquet is read once per consumer (probe build + id collect) — pruned 2-column leaf scans of the query subset.",
     "html_extract": "Zero exchanges: the whole strip kernel + markup features are ONE generated projection fused with the scan.",
     "crawl_curation_pipeline": "ONE exchange END-TO-END (r10: the URL tier's norm_url dedup window — the unavoidable recrawl-dedup shuffle; suffix/blocklist dims broadcast): URL survivors -> html strip -> C4 line rules -> Gopher quality + 13 repetition folds chain through column passthrough (no re-join on doc_id) — everything after the URL tier is one fused map over the corpus.",
