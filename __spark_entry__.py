@@ -7665,6 +7665,66 @@ FROM dest d JOIN mest m USING (q_mu) ORDER BY q_mu
 """
 
 
+def q_semantic_dedup_incremental(spark, sf_dir):
+    """Incremental SEMANTIC dedup (similarity.semantic_dedup_incremental,
+    r14 — the vector tier's increment face, completing the matrix with
+    minhash/bm25/CC increments): vec_id < 400 = the indexed corpus
+    (batch semantic_dedup under the FIXED coarse quantizer — the
+    ann_recall centroid rule, vec_id % 50 == 0 & < 500), the rest = a
+    crawl shard absorbed against the index's assignment table without
+    recomputing old x old pairs. Output = old decisions ∪ shard
+    decisions; the oracle is the FULL REBUILD over the union under the
+    same fixed centroids, so a green row IS increment == rebuild."""
+    from bigdata_lab02_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.where(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)
+    ).select(
+        (F.col("vec_id") / 50).cast("int").alias("cluster_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    old = emb.where(F.col("vec_id") < 400)
+    new = emb.where(F.col("vec_id") >= 400)
+    base = semantic_dedup(old, cents, threshold=0.45)
+    indexed = base.select("vec_id", "cluster_id").join(old, "vec_id")
+    inc = semantic_dedup_incremental(new, cents, indexed, threshold=0.45)
+    return base.unionByName(inc)
+
+
+_SEMANTIC_INC_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+c AS (SELECT CAST(vec_id / 50 AS INT) AS cid, v AS cv,
+        sqrt(list_dot_product(v, v)) AS cn
+      FROM e WHERE vec_id % 50 = 0 AND vec_id < 500),
+cos AS (
+  SELECT n.vec_id, c.cid,
+    CASE WHEN n.nrm = 0 OR c.cn = 0 THEN 0.0
+         ELSE round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) END
+      AS cos_c
+  FROM n CROSS JOIN c),
+asg AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_c DESC, cid ASC) AS rn
+    FROM cos) WHERE rn = 1),
+m AS (SELECT a.vec_id, a.cluster_id, nn.v, nn.nrm
+      FROM asg a JOIN n nn USING (vec_id)),
+dup AS (
+  SELECT DISTINCT b.vec_id AS dup_id
+  FROM m a JOIN m b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+        ELSE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) END
+        >= 0.45)
+SELECT m.vec_id, m.cluster_id, (d.dup_id IS NULL) AS keep
+FROM m LEFT JOIN dup d ON m.vec_id = d.dup_id
+"""
+
+
 _RANK_SELECT_BUDGET = 4000
 
 
@@ -8175,6 +8235,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # direct AND merged-halves estimates in one gated row set (VERDICT
     # r13 item 6); oracle-gated every pytest run.
     "sketch_quantiles": q_sketch_quantiles,
+    # semantic_dedup_incremental (r14): the vector tier's increment face
+    # — shard absorbed against the fixed quantizer + assignment table;
+    # oracle = full rebuild (increment == rebuild); oracle-gated every
+    # pytest run.
+    "semantic_dedup_incremental": q_semantic_dedup_incremental,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -8200,6 +8265,7 @@ ROTATED_OUT: set[str] = {
     "bm25_persisted", "bm25_incremental", "anchor_texts",
     "semantic_dedup_pipeline", "image_dedup_clusters",
     "image_captions", "sketch_quantiles",
+    "semantic_dedup_incremental",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -8359,7 +8425,9 @@ _R13_NEW = {
 _R14_NEW = {
     "embed_semantic_dedup",
     "dedup_clusters_incremental",
-    "image_captions",    "sketch_quantiles",
+    "image_captions",
+    "sketch_quantiles",
+    "semantic_dedup_incremental",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -8425,6 +8493,7 @@ _ORACLES: dict[str, str] = {
     "dedup_clusters_incremental": _DEDUP_CLUSTERS_SQL,
     "image_captions": _IMAGE_CAPTIONS_SQL,
     "sketch_quantiles": _SKETCH_Q_SQL,
+    "semantic_dedup_incremental": _SEMANTIC_INC_SQL,
     "dedup_spans": _DEDUP_SPANS_SQL,
     "scrub_pii": _SCRUB_SQL,
     "repetition_stats": _REPETITION_SQL,

@@ -216,7 +216,9 @@ EXTRA = [
     "image_captions",
     # r14: mergeable deterministic quantile registers (direct + merged-
     # halves estimates in one gate)
-    "sketch_quantiles",
+    "sketch_quantiles",    # r14: the vector tier's increment face (shard vs fixed quantizer +
+    # assignment table; old x old never recomputes)
+    "semantic_dedup_incremental",
 ]
 STREAMING_LAST = [
     "stream_hourly",

@@ -503,6 +503,61 @@ def ivf_topk_persisted(
     return _ivf_rank_topk(lists, probes, k)
 
 
+def _semantic_assign(
+    c: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    cid_type: str,
+    round_dp: int,
+) -> DataFrame:
+    """Nearest-centroid cosine assignment over prepared frames
+    ``c = (id, v, nrm)`` and ``cents = (cid, cvec, cvn)`` — factored
+    out of ``semantic_dedup`` in r14 so the incremental face assigns a
+    shard with bit-identical semantics.
+
+    Assignment replanned round 6 (the ivf_topk shape): the centroid
+    table collapses to ONE broadcast cid-sorted array row and argmax is
+    a per-row fold — no row_number window, so the corpus never shuffles
+    for assignment (previously the query's biggest exchange: corpus × k
+    rows keyed by id). Strictly-greater keeps the earliest cid over the
+    cid-sorted array, and the cosine is rounded at round_dp BEFORE the
+    comparison — both exactly the window formulation's tie semantics,
+    so oracle parity is unchanged. Per-row code is constant-size in k
+    (the fold is over an array column, never k unrolled expressions —
+    the r4 codegen-cliff lesson)."""
+    cent_arr = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cvec", "cvn"))).alias(
+            "__cents"
+        )
+    )
+
+    def _best(acc, cnt):
+        denom = F.col("nrm") * cnt["cvn"]
+        cosv = F.round(
+            F.when(denom == 0.0, F.lit(0.0)).otherwise(
+                array_dot(F.col("v"), cnt["cvec"]) / denom
+            ),
+            round_dp,
+        )
+        return F.when(
+            cosv > acc["cos"],
+            F.struct(cosv.alias("cos"), cnt["cid"].alias("cid")),
+        ).otherwise(acc)
+
+    best = F.aggregate(
+        F.col("__cents"),
+        F.struct(
+            F.lit(-2.0).alias("cos"), F.lit(None).cast(cid_type).alias("cid")
+        ),
+        _best,
+    )
+    return (
+        c.crossJoin(F.broadcast(cent_arr))
+        .select(F.col(id_col), best["cid"].alias("cluster_id"), "v", "nrm")
+        .where(F.col("cluster_id").isNotNull())  # empty-centroid guard
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -550,47 +605,7 @@ def semantic_dedup(
     # then silently drop every row
     cid_type = cents.schema["cid"].dataType.simpleString()
 
-    # Assignment replanned round 6 (the ivf_topk shape): the centroid
-    # table collapses to ONE broadcast cid-sorted array row and argmax is
-    # a per-row fold — no row_number window, so the corpus never shuffles
-    # for assignment (previously the query's biggest exchange: corpus × k
-    # rows keyed by id). Strictly-greater keeps the earliest cid over the
-    # cid-sorted array, and the cosine is rounded at round_dp BEFORE the
-    # comparison — both exactly the window formulation's tie semantics,
-    # so oracle parity is unchanged. Per-row code is constant-size in k
-    # (the fold is over an array column, never k unrolled expressions —
-    # the r4 codegen-cliff lesson).
-    cent_arr = cents.agg(
-        F.array_sort(F.collect_list(F.struct("cid", "cvec", "cvn"))).alias(
-            "__cents"
-        )
-    )
-
-    def _best(acc, cnt):
-        denom = F.col("nrm") * cnt["cvn"]
-        cosv = F.round(
-            F.when(denom == 0.0, F.lit(0.0)).otherwise(
-                array_dot(F.col("v"), cnt["cvec"]) / denom
-            ),
-            round_dp,
-        )
-        return F.when(
-            cosv > acc["cos"],
-            F.struct(cosv.alias("cos"), cnt["cid"].alias("cid")),
-        ).otherwise(acc)
-
-    best = F.aggregate(
-        F.col("__cents"),
-        F.struct(
-            F.lit(-2.0).alias("cos"), F.lit(None).cast(cid_type).alias("cid")
-        ),
-        _best,
-    )
-    members = (
-        c.crossJoin(F.broadcast(cent_arr))
-        .select(F.col(id_col), best["cid"].alias("cluster_id"), "v", "nrm")
-        .where(F.col("cluster_id").isNotNull())  # empty-centroid guard
-    )
+    members = _semantic_assign(c, cents, id_col, cid_type, round_dp)
     a, b = members.alias("a"), members.alias("b")
     pair_denom = F.col("a.nrm") * F.col("b.nrm")
     cos_ab = F.round(
@@ -616,6 +631,96 @@ def semantic_dedup(
         .select(
             F.col(id_col),
             "cluster_id",
+            F.col("dup_id").isNull().alias("keep"),
+        )
+    )
+
+
+def semantic_dedup_incremental(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    indexed: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cluster_id",
+    centroid_vec_col: str = "centroid",
+    cluster_col: str = "cluster_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Absorb a vector shard into an existing SemDeDup result WITHOUT
+    recomputing old×old pairs (r14 — the increment face of the vector
+    tier, completing the matrix: minhash_dedup_incremental for
+    shingles, update_bm25_index for postings, update_components for
+    clusters, and now the semantic path).
+
+    ``indexed`` is the previously processed ASSIGNMENT table —
+    (id, cluster, vector) for EVERY prior row, kept AND dropped: the
+    batch rule marks a vector dup if ANY lower-id cluster-mate is
+    within ``threshold``, so dropped members still suppress later
+    near-copies and the comparison set must include them (comparing
+    survivors only would resurrect a near-dup of a dropped member —
+    not rebuild-equivalent). ``centroids`` is the FIXED coarse
+    quantizer the index was built with (the persist_ivf_lists
+    contract: an increment never re-trains the quantizer).
+
+    Contract: shard ids must all be GREATER than every indexed id —
+    append-only crawl ids. Under that order a new row can never flip
+    an old row's keep flag (dup rule looks only at LOWER ids), so
+    returning decisions for the SHARD ONLY and unioning with the old
+    table reproduces the full-rebuild output bit-for-bit
+    (oracle-gated). Validating the order would scan the index; like
+    the minhash/WARC increments it is a documented contract, and
+    violations surface as increment≠rebuild in the gate, never
+    silently.
+
+    Scale shape: the shard assigns against the broadcast centroid
+    array (zero shuffle); the pair join touches (shard × cluster-mates)
+    rows only — old×old never recomputes; the indexed table streams
+    into the join keyed by its cluster (the natural layout key).
+
+    Returns (id, cluster, keep) for the shard rows only."""
+    c = new_vectors.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", array_norm(F.col("v")))
+    cents = centroids.select(
+        F.col(centroid_id_col).alias("cid"),
+        as_double_array(F.col(centroid_vec_col)).alias("cvec"),
+    ).withColumn("cvn", array_norm(F.col("cvec")))
+    cid_type = cents.schema["cid"].dataType.simpleString()
+    new_members = _semantic_assign(c, cents, id_col, cid_type, round_dp)
+    old_members = indexed.select(
+        F.col(id_col),
+        F.col(cluster_col).alias("cluster_id"),
+        as_double_array(F.col(vec_col)).alias("v"),
+    ).withColumn("nrm", array_norm(F.col("v")))
+    # lower-id comparison set: every old member + lower-id shard rows
+    a = old_members.unionByName(new_members).alias("a")
+    b = new_members.alias("b")
+    pair_denom = F.col("a.nrm") * F.col("b.nrm")
+    cos_ab = F.round(
+        F.when(pair_denom == 0.0, F.lit(0.0)).otherwise(
+            array_dot(F.col("a.v"), F.col("b.v")) / pair_denom
+        ),
+        round_dp,
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(cos_ab >= threshold)
+        .select(F.col(f"b.{id_col}").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        new_members.join(
+            dups, new_members[id_col] == dups["dup_id"], "left"
+        )
+        .select(
+            F.col(id_col),
+            F.col("cluster_id").alias(cluster_col),
             F.col("dup_id").isNull().alias("keep"),
         )
     )

@@ -1018,3 +1018,95 @@ def test_pq_topk_recall_and_compression(spark):
     }
     agree = sum(top1[qid] == exact1[qid] for qid in exact1)
     assert agree >= 7, (top1, exact1)
+
+
+class TestSemanticDedupIncremental:
+    """r14 vector-tier increment: shard absorbed against the fixed
+    quantizer + assignment table must equal a full rebuild — including
+    the dropped-member suppression case (a new near-copy of a DROPPED
+    old member must still be dropped)."""
+
+    def _cents(self, spark):
+        return spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+            "cluster_id int, centroid array<float>",
+        )
+
+    def test_increment_equals_rebuild(self, spark):
+        old = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0, 0.0]),     # cluster 0 survivor
+                (1, [0.99, 0.14, 0.0]),   # near-dup of 0 -> DROPPED
+                (2, [0.0, 1.0, 0.0]),     # cluster 1 survivor
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        new = spark.createDataFrame(
+            [
+                (10, [0.99, 0.13, 0.0]),  # near 0 AND near dropped 1
+                (11, [0.0, 0.98, 0.2]),   # near 2
+                (12, [0.1, 0.0, 0.99]),   # assigned somewhere, unique
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        cents = self._cents(spark)
+        base = sim.semantic_dedup(old, cents, threshold=0.9)
+        indexed = base.select("vec_id", "cluster_id").join(old, "vec_id")
+        inc = sim.semantic_dedup_incremental(
+            new, cents, indexed, threshold=0.9
+        )
+        got = {
+            (r.vec_id, r.cluster_id, r.keep)
+            for r in base.unionByName(inc).collect()
+        }
+        full = {
+            (r.vec_id, r.cluster_id, r.keep)
+            for r in sim.semantic_dedup(
+                old.unionByName(new), cents, threshold=0.9
+            ).collect()
+        }
+        assert got == full
+        by_id = {v: k for v, _, k in got}
+        assert by_id[1] is False and by_id[10] is False  # dropped-member
+        assert by_id[11] is False and by_id[12] is True
+
+    def test_dropped_member_still_suppresses(self, spark):
+        # the reason `indexed` must carry dropped rows: 20 is near the
+        # DROPPED 1 but farther from the survivor 0 — rebuild drops it,
+        # and so must the increment
+        old = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.436, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        new = spark.createDataFrame(
+            [(20, [0.9, 0.44, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        cents = self._cents(spark)
+        base = sim.semantic_dedup(old, cents, threshold=0.95)
+        indexed = base.select("vec_id", "cluster_id").join(old, "vec_id")
+        inc = sim.semantic_dedup_incremental(
+            new, cents, indexed, threshold=0.95
+        )
+        (row,) = inc.collect()
+        full = {
+            r.vec_id: r.keep
+            for r in sim.semantic_dedup(
+                old.unionByName(new), cents, threshold=0.95
+            ).collect()
+        }
+        assert row.keep == full[20] == False  # noqa: E712
+
+    def test_empty_shard(self, spark):
+        old = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        new = spark.createDataFrame(
+            [], "vec_id long, embedding array<float>"
+        )
+        cents = self._cents(spark)
+        base = sim.semantic_dedup(old, cents, threshold=0.9)
+        indexed = base.select("vec_id", "cluster_id").join(old, "vec_id")
+        assert sim.semantic_dedup_incremental(
+            new, cents, indexed, threshold=0.9
+        ).count() == 0

@@ -105,10 +105,11 @@ AUDIT = [
     "embed_semantic_dedup",
     "dedup_clusters_incremental",
     "image_captions",
-    "sketch_quantiles",
+    "sketch_quantiles",    "semantic_dedup_incremental",
 ]
 
 COMMENT = {
+    "semantic_dedup_incremental": "Shard assigns against the broadcast centroid array (zero shuffle); the pair join touches (shard x cluster-mates) rows only — old x old pairs never recompute; the indexed assignment table streams into the cluster-keyed join.",
     "embed_semantic_dedup": "Featurize: one (doc,bucket) exchange with map-side combine + one doc-keyed map aggregation + the doc-spine left join; then the SemDeDup pipeline shape — sampled fit over a broadcast centroid array (per-row argmin fold, corpus never shuffles for assignment), cluster-blocked pair join keyed by cluster_id.",
     "dedup_clusters_incremental": "Base CC runs the alternating-star rounds (localCheckpoint per round, fresh-alias re-projection — the r14 analyzer-bug hardening); the quotient absorb streams the label table twice against BROADCAST increment-sized frames (touched lookup + remap) — the corpus labels never shuffle.",
     "image_captions": "Extraction + alt cleanup is one fused projection; caption corpus is one groupBy on image_url; the dHash survivor side pins the decode once (localCheckpoint) before the pair/CC/recombine fan-out; final join keyed by media_id (34 rows).",

@@ -138,7 +138,10 @@ FAMILY = [
     "dedup_clusters_incremental",
     # r14: quantile registers — two bucket-keyed windows + a register-
     # table-sized estimate; growth ~data with bounded outputs
-    "sketch_quantiles",
+    "sketch_quantiles",    # r14: semantic increment — shard x cluster-mates pair term over the
+    # replica corpus (the adversarial case: every shard vector collides
+    # with ~mult replicas of its cluster-mates)
+    "semantic_dedup_incremental",
 ]
 # (image_dedup_clusters, audio_dedup, video_dedup and
 # media_dedup_pipeline are generated-fixture-sized — corpus-independent,
