@@ -6174,25 +6174,39 @@ _SEMANTIC_PIPE_SQL = _sem_pipe_sql(
 # normalize. Zero-trigram docs keep an honest zero vector (the CROSS
 # JOIN spine covers every doc, matched or not).
 _EMBED_DIM = 64
-_EMBED_E_CTE = f"""etri AS (
-  SELECT doc_id,
+
+
+def _embed_cte(src: str, id_col: str, text_col: str, p: str) -> str:
+    """The embed_featurize restatement (trigram → md5 bucket → dense
+    count list → integer micro-unit L2 normalize) over any
+    (id, text) source, CTE names prefixed with ``p`` — shared by the
+    embed_semantic_dedup oracle (documents) and the r14 hybrid oracle
+    (documents + the query VALUES list). Final CTE: ``{p}vec(id, v)``."""
+    return f"""{p}tri AS (
+  SELECT {id_col} AS id,
     ('0x' || substr(md5(tri), 1, 15))::BIGINT % {_EMBED_DIM} AS b
-  FROM (SELECT doc_id, unnest(list_transform(range(1, len(text) - 1),
-            k -> substr(text, k, 3))) AS tri
-        FROM documents WHERE len(text) >= 3)),
-ecnt AS (SELECT doc_id, b, count(*)::DOUBLE AS c FROM etri GROUP BY 1, 2),
-edense AS (
-  SELECT d.doc_id, dims.range AS b, COALESCE(t.c, 0.0) AS c
-  FROM documents d CROSS JOIN range({_EMBED_DIM}) dims
-  LEFT JOIN ecnt t ON t.doc_id = d.doc_id AND t.b = dims.range),
-ecvec AS (SELECT doc_id, list(c ORDER BY b) AS cv FROM edense GROUP BY doc_id),
-e AS (
-  SELECT doc_id AS vec_id,
+  FROM (SELECT {id_col}, unnest(list_transform(range(1, len({text_col}) - 1),
+            k -> substr({text_col}, k, 3))) AS tri
+        FROM {src} WHERE len({text_col}) >= 3)),
+{p}cnt AS (SELECT id, b, count(*)::DOUBLE AS c FROM {p}tri GROUP BY 1, 2),
+{p}dense AS (
+  SELECT s.{id_col} AS id, dims.range AS b, COALESCE(t.c, 0.0) AS c
+  FROM {src} s CROSS JOIN range({_EMBED_DIM}) dims
+  LEFT JOIN {p}cnt t ON t.id = s.{id_col} AND t.b = dims.range),
+{p}cvec AS (SELECT id, list(c ORDER BY b) AS cv FROM {p}dense GROUP BY id),
+{p}vec AS (
+  SELECT id,
     CASE WHEN sqrt(list_dot_product(cv, cv)) > 0
          THEN list_transform(cv, x -> CAST(round(1000000.0 * x /
               sqrt(list_dot_product(cv, cv))) AS BIGINT)::DOUBLE)
          ELSE cv END AS v
-  FROM ecvec)"""
+  FROM {p}cvec)"""
+
+
+_EMBED_E_CTE = (
+    _embed_cte("documents", "doc_id", "text", "e")
+    + ",\ne AS (SELECT id AS vec_id, v FROM evec)"
+)
 
 _EMBED_SEMANTIC_SQL = _sem_pipe_sql(_EMBED_E_CTE, 0.9, id_name="doc_id")
 
@@ -7176,7 +7190,11 @@ def q_bm25_incremental(spark, sf_dir):
 
 _BM25_QT = _TOKS.replace("lower(text)", "lower(qtext)")
 _BM25_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
-_BM25_SQL = f"""
+def _bm25_sql(k: int) -> str:
+    """The full integer micro-unit BM25 chain at top-``k`` — shared by
+    the three bm25 gates (k=10) and embedded as the lexical leg of the
+    r14 hybrid-retrieval oracle (k=20)."""
+    return f"""
 WITH q(query_id, qtext) AS (VALUES {_BM25_VALUES}),
 qt AS (SELECT DISTINCT query_id, unnest({_BM25_QT}) AS term FROM q),
 toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
@@ -7213,8 +7231,11 @@ r AS (SELECT *, row_number() OVER (
       FROM pq)
 SELECT CAST(query_id AS INT) AS query_id, doc_id, score_mu, n_terms,
        CAST(rank AS INT) AS rank
-FROM r WHERE rank <= 10
+FROM r WHERE rank <= {k}
 """
+
+
+_BM25_SQL = _bm25_sql(10)
 
 
 # ------------------------------------ link-graph PageRank (r13)
@@ -7722,6 +7743,89 @@ dup AS (
         >= 0.45)
 SELECT m.vec_id, m.cluster_id, (d.dup_id IS NULL) AS keep
 FROM m LEFT JOIN dup d ON m.vec_id = d.dup_id
+"""
+
+
+def q_hybrid_retrieval(spark, sf_dir):
+    """Hybrid lexical+semantic retrieval (retrieval.rrf_fuse, r14):
+    BM25 top-20 (the lexical leg, integer micro-unit scoring) and
+    derived-embedding cosine top-20 (the semantic leg — the r14
+    featurizer, so BOTH legs run from raw corpus text; query vectors
+    come through the same hashed-trigram projection) fused by exact
+    integer reciprocal-rank fusion (Cormack 2009, k=60): rrf_mu =
+    sum of 1e6 div (60 + rank) over the legs, ranked by (rrf_mu DESC,
+    doc_id ASC), top-10. n_lists marks retriever disagreement — the
+    hard-negative-mining signal. The oracle embeds the full BM25 chain
+    at k=20, the featurize restatement over documents AND the query
+    VALUES list, the cosine ranking, and the integer fusion, all in
+    one statement."""
+    from bigdata_lab02_spark.operators import retrieval as rt
+    from bigdata_lab02_spark.operators.embed import embed_featurize
+    from bigdata_lab02_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, text string"
+    )
+    lex = rt.bm25_topk(docs, queries, k=20).select(
+        "query_id", "doc_id", "rank"
+    )
+    fv = embed_featurize(docs, dim=64)
+    qv = embed_featurize(queries, dim=64, id_col="query_id")
+    # shift query ids out of the doc-id space for the cosine call:
+    # cosine_topk excludes neighbor_id == query_id (self-match rule),
+    # and the fixture's query ids 0..5 collide with real doc ids
+    sem_raw = cosine_topk(
+        fv.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        qv.select(
+            (F.col("query_id") + 1_000_000).cast("long").alias("vec_id"),
+            "embedding",
+        ),
+        k=20,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    sem = (
+        sem_raw.withColumn("rank", F.row_number().over(w))
+        .select(
+            (F.col("query_id") - 1_000_000).cast("int").alias("query_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            "rank",
+        )
+    )
+    return rt.rrf_fuse([lex, sem], k=10)
+
+
+_HYBRID_SQL = f"""
+WITH q(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+lex AS (SELECT query_id, doc_id, rank FROM ({_bm25_sql(20)})),
+{_embed_cte("documents", "doc_id", "text", "hd")},
+{_embed_cte("q", "query_id", "qtext", "hq")},
+sem_cos AS (
+  SELECT qv.id AS query_id, dv.id AS doc_id,
+    CASE WHEN sqrt(list_dot_product(qv.v, qv.v)) = 0
+           OR sqrt(list_dot_product(dv.v, dv.v)) = 0 THEN 0.0
+         ELSE list_dot_product(qv.v, dv.v)
+              / (sqrt(list_dot_product(qv.v, qv.v))
+                 * sqrt(list_dot_product(dv.v, dv.v))) END AS cosine
+  FROM hqvec qv CROSS JOIN hdvec dv),
+sem AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, doc_id ASC) AS rank
+    FROM sem_cos) WHERE rank <= 20),
+fused AS (
+  SELECT query_id, doc_id,
+    CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_mu,
+    CAST(count(*) AS BIGINT) AS n_lists
+  FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+  GROUP BY 1, 2),
+rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         ORDER BY rrf_mu DESC, doc_id ASC) AS rank FROM fused)
+SELECT CAST(query_id AS INT) AS query_id, doc_id, rrf_mu, n_lists,
+       CAST(rank AS INT) AS rank
+FROM rr WHERE rank <= 10
 """
 
 
@@ -8240,6 +8344,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle = full rebuild (increment == rebuild); oracle-gated every
     # pytest run.
     "semantic_dedup_incremental": q_semantic_dedup_incremental,
+    # hybrid_retrieval (r14): BM25 + derived-embedding cosine fused by
+    # exact integer RRF — both legs from raw corpus text; oracle-gated
+    # every pytest run.
+    "hybrid_retrieval": q_hybrid_retrieval,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -8265,7 +8373,7 @@ ROTATED_OUT: set[str] = {
     "bm25_persisted", "bm25_incremental", "anchor_texts",
     "semantic_dedup_pipeline", "image_dedup_clusters",
     "image_captions", "sketch_quantiles",
-    "semantic_dedup_incremental",
+    "semantic_dedup_incremental", "hybrid_retrieval",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -8428,6 +8536,7 @@ _R14_NEW = {
     "image_captions",
     "sketch_quantiles",
     "semantic_dedup_incremental",
+    "hybrid_retrieval",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -8494,6 +8603,7 @@ _ORACLES: dict[str, str] = {
     "image_captions": _IMAGE_CAPTIONS_SQL,
     "sketch_quantiles": _SKETCH_Q_SQL,
     "semantic_dedup_incremental": _SEMANTIC_INC_SQL,
+    "hybrid_retrieval": _HYBRID_SQL,
     "dedup_spans": _DEDUP_SPANS_SQL,
     "scrub_pii": _SCRUB_SQL,
     "repetition_stats": _REPETITION_SQL,

@@ -218,7 +218,9 @@ EXTRA = [
     # halves estimates in one gate)
     "sketch_quantiles",    # r14: the vector tier's increment face (shard vs fixed quantizer +
     # assignment table; old x old never recomputes)
-    "semantic_dedup_incremental",
+    "semantic_dedup_incremental",    # r14: hybrid lexical+semantic retrieval (BM25 + derived-embedding
+    # cosine fused by exact integer RRF)
+    "hybrid_retrieval",
 ]
 STREAMING_LAST = [
     "stream_hourly",

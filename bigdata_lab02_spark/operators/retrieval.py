@@ -521,3 +521,66 @@ def update_bm25_index(
         "n_docs long, sum_dl long",
     ).write.mode("overwrite").parquet(f"{path}/stats")
     _write_journal(spark, path, "committed")
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    k: int = 10,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    over any number of per-query ranked lists — the standard hybrid-
+    retrieval combiner (lexical BM25 ∪ semantic ANN is the canonical
+    pair; at training-data scale it is the hard-negative-mining query:
+    documents that one retriever ranks high and the other misses).
+
+    Exact integer contract (the house micro-unit discipline):
+
+      contrib_mu = 1e6 div (k_rrf + rank)   per (list, query, doc)
+      rrf_mu     = Σ contrib_mu             over the lists
+      rank       = row_number by (rrf_mu DESC, id ASC)
+
+    k_rrf=60 is the paper's constant. All inputs are top-k lists
+    (|queries|·k rows each), so the union, the (query, doc) aggregation
+    and the final window are candidate-sized — nothing here touches
+    the corpus; the upstream retrievers already did the heavy work.
+
+    Returns (query_id, id, rrf_mu, n_lists, rank) rows with
+    rank ≤ ``k``; ``n_lists`` counts how many input lists surfaced the
+    document (1 = found by only one retriever — the disagreement set
+    hard-negative mining feeds on)."""
+    if not ranked_lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    if k_rrf < 0:
+        raise ValueError(f"k_rrf must be non-negative, got {k_rrf}")
+    parts = [
+        df.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.expr(f"{_MU} div ({k_rrf} + {rank_col})")
+            .cast("long")
+            .alias("__contrib"),
+        )
+        for df in ranked_lists
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(query_id_col, id_col).agg(
+        F.sum("__contrib").cast("long").alias("rrf_mu"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("rrf_mu"), F.asc(id_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, "rrf_mu", "n_lists",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

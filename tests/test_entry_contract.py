@@ -143,7 +143,10 @@ FAMILY_GATES: dict[str, set[str]] = {
         "embed_semantic_dedup", "semantic_dedup_pipeline",
         "semantic_dedup_incremental",
     },
-    "retrieval": {"bm25_topk", "bm25_persisted", "bm25_incremental"},
+    "retrieval": {
+        "bm25_topk", "bm25_persisted", "bm25_incremental",
+        "hybrid_retrieval",
+    },
     "curation-filters": {
         "curation_pipeline", "repetition_stats", "lm_perplexity",
         "ccnet_pipeline", "ccnet_perlang", "scrub_pii", "gopher_rules",

@@ -279,3 +279,32 @@ def test_incremental_update_equals_full_rebuild(spark, tmp_path):
         ).collect()
     )
     assert inc == reb and len(inc) > 0
+
+
+def test_rrf_fuse_integer_contract(spark):
+    # hand-computed: k_rrf=60 -> rank 1 contributes 1e6//61=16393,
+    # rank 2 -> 16129, rank 3 -> 15873
+    lex = _mk(spark, [(0, 7, 1), (0, 8, 2)],
+              "query_id int, doc_id long, rank int")
+    sem = _mk(spark, [(0, 8, 1), (0, 9, 2), (0, 7, 3)],
+              "query_id int, doc_id long, rank int")
+    out = {r.doc_id: (r.rrf_mu, r.n_lists, r.rank)
+           for r in rt.rrf_fuse([lex, sem], k=10).collect()}
+    assert out[8] == (16129 + 16393, 2, 1)   # lex rank 2 + sem rank 1
+    assert out[7] == (16393 + 15873, 2, 2)   # lex rank 1 + sem rank 3
+    assert out[9] == (16129, 1, 3)           # semantic-only, rank 2
+
+
+def test_rrf_fuse_tiebreak_and_k(spark):
+    lex = _mk(spark, [(0, 5, 1), (0, 3, 1)],  # impossible dup rank, but
+              "query_id int, doc_id long, rank int")  # fusion is robust
+    out = rt.rrf_fuse([lex], k=1).collect()
+    assert len(out) == 1 and out[0].doc_id == 3  # id tiebreak ascending
+
+
+def test_rrf_fuse_validation(spark):
+    with pytest.raises(ValueError, match="at least one"):
+        rt.rrf_fuse([])
+    lex = _mk(spark, [(0, 1, 1)], "query_id int, doc_id long, rank int")
+    with pytest.raises(ValueError, match="non-negative"):
+        rt.rrf_fuse([lex], k_rrf=-1)

@@ -141,7 +141,9 @@ FAMILY = [
     "sketch_quantiles",    # r14: semantic increment — shard x cluster-mates pair term over the
     # replica corpus (the adversarial case: every shard vector collides
     # with ~mult replicas of its cluster-mates)
-    "semantic_dedup_incremental",
+    "semantic_dedup_incremental",    # r14: hybrid retrieval — BM25's matched-postings shape + the
+    # featurize exchange + candidate-sized fusion; growth ~data
+    "hybrid_retrieval",
 ]
 # (image_dedup_clusters, audio_dedup, video_dedup and
 # media_dedup_pipeline are generated-fixture-sized — corpus-independent,
