@@ -7774,11 +7774,25 @@ def q_hybrid_retrieval(spark, sf_dir):
     qv = embed_featurize(queries, dim=64, id_col="query_id")
     # shift query ids out of the doc-id space for the cosine call:
     # cosine_topk excludes neighbor_id == query_id (self-match rule),
-    # and the fixture's query ids 0..5 collide with real doc ids
+    # and the fixture's query ids 0..5 collide with real doc ids.
+    # The shift must exceed every doc_id or a shifted query id aliases
+    # a real doc and that doc silently vanishes from the semantic leg
+    # — so a raise_error guard rides the doc scan (no extra action):
+    # any doc_id >= shift fails the job loudly instead.
+    shift = 1 << 40
+    doc_ok = F.when(F.col("doc_id") < F.lit(shift), F.col("doc_id")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("hybrid_retrieval: doc_id="),
+                F.col("doc_id").cast("string"),
+                F.lit(f" >= query-id shift {shift}; raise the shift"),
+            )
+        ).cast("long")
+    )
     sem_raw = cosine_topk(
-        fv.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        fv.select(doc_ok.alias("vec_id"), "embedding"),
         qv.select(
-            (F.col("query_id") + 1_000_000).cast("long").alias("vec_id"),
+            (F.col("query_id") + shift).cast("long").alias("vec_id"),
             "embedding",
         ),
         k=20,
@@ -7789,7 +7803,7 @@ def q_hybrid_retrieval(spark, sf_dir):
     sem = (
         sem_raw.withColumn("rank", F.row_number().over(w))
         .select(
-            (F.col("query_id") - 1_000_000).cast("int").alias("query_id"),
+            (F.col("query_id") - shift).cast("int").alias("query_id"),
             F.col("neighbor_id").alias("doc_id"),
             "rank",
         )

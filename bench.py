@@ -216,9 +216,11 @@ EXTRA = [
     "image_captions",
     # r14: mergeable deterministic quantile registers (direct + merged-
     # halves estimates in one gate)
-    "sketch_quantiles",    # r14: the vector tier's increment face (shard vs fixed quantizer +
+    "sketch_quantiles",
+    # r14: the vector tier's increment face (shard vs fixed quantizer +
     # assignment table; old x old never recomputes)
-    "semantic_dedup_incremental",    # r14: hybrid lexical+semantic retrieval (BM25 + derived-embedding
+    "semantic_dedup_incremental",
+    # r14: hybrid lexical+semantic retrieval (BM25 + derived-embedding
     # cosine fused by exact integer RRF)
     "hybrid_retrieval",
 ]

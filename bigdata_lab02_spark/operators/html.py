@@ -263,7 +263,12 @@ ANCHOR_OPEN_RE = rf"(?is)<a\s{_ATTRS}>"
 # at all — [^>"'] can't touch a quote char), so the href match can
 # never land inside another attribute's value: in
 # <a onclick="location.href='x'" href='real'> the onclick value is one
-# opaque atom and only the real href is visible to the scan.
+# opaque atom and only the real href is visible to the scan. Known
+# cost of atomicity on malformed markup: a stray UNMATCHED quote
+# earlier in the tag (<a title=it's href="x">) opens a quote atom that
+# never closes, so the prefix can't reach the attribute and extraction
+# returns '' — a small recall loss on broken real-crawl tags, traded
+# deliberately for never reading a shadowed value as real.
 def _attr_res(name: str) -> tuple[str, str, str]:
     """The (double-quoted, single-quoted, unquoted) value patterns for
     one attribute ``name`` under the quote-atom prefix walk above."""

@@ -314,7 +314,15 @@ def persist_bm25_index(
     Layout under ``path``: ``postings/`` (term_bucket=*/...: doc_id,
     term, tf), ``doclen/`` (doc_id, dl), ``stats/`` (one row: n_docs,
     sum_dl — the scalars every later query needs without a corpus
-    pass)."""
+    pass).
+
+    Journals 'pending' BEFORE the first overwrite (mirroring
+    ``update_bm25_index``): a rebuild over an existing layout that
+    crashes mid-way would otherwise leave the PRIOR build's
+    'committed' journal in place, making the mixed layout look
+    committed to ``check_bm25_index`` — the rebuild recovery path
+    must itself be crash-detectable."""
+    _write_journal(docs.sparkSession, path, "pending")
     toks = docs.select(
         F.col(id_col),
         F.explode(tokens_column(F.col(text_col))).alias("term"),

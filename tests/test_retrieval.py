@@ -251,6 +251,46 @@ def test_index_journal_and_consistency_probe(spark, tmp_path):
         rt.check_bm25_index(spark, str(tmp_path / "nope"))
 
 
+def test_rebuild_over_existing_layout_journals_pending_first(
+    spark, tmp_path, monkeypatch
+):
+    # r15 ADVICE: a REBUILD over an existing committed layout must flip
+    # the journal to 'pending' before its first overwrite — otherwise a
+    # crash mid-rebuild leaves the PRIOR build's 'committed' journal
+    # over a mixed layout and the documented recovery path (rebuild) is
+    # itself undetectable when it crashes.
+    path = str(tmp_path / "idx")
+    docs = _mk(spark, [(1, "cat dog"), (2, "cat")])
+    rt.persist_bm25_index(docs, path, n_buckets=4)
+    assert rt.check_bm25_index(spark, path)["journal"] == "committed"
+
+    # crash the rebuild right after its first mutating write (postings).
+    # Patch the RUNTIME class (pyspark.sql.DataFrame is an ABC in
+    # Spark 4; the classic subclass overrides .write).
+    df_cls = type(docs)
+    real_write = df_cls.write.fget
+
+    class _Boom(Exception):
+        pass
+
+    calls = {"n": 0}
+
+    def crashing_write(self):
+        calls["n"] += 1
+        if calls["n"] >= 2:  # journal write is call 1; postings is 2
+            raise _Boom()
+        return real_write(self)
+
+    monkeypatch.setattr(df_cls, "write", property(crashing_write))
+    with pytest.raises(_Boom):
+        rt.persist_bm25_index(_mk(spark, [(9, "emu")]), path, n_buckets=4)
+    monkeypatch.undo()
+
+    # the half-rebuilt layout must now read as crashed, not committed
+    with pytest.raises(ValueError, match="crashed mid-flight"):
+        rt.check_bm25_index(spark, path)
+
+
 def test_incremental_update_equals_full_rebuild(spark, tmp_path):
     rows = [
         (i, f"cat w{i % 9} dog" if i % 3 else f"cat w{i % 9}")

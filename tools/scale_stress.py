@@ -138,10 +138,12 @@ FAMILY = [
     "dedup_clusters_incremental",
     # r14: quantile registers — two bucket-keyed windows + a register-
     # table-sized estimate; growth ~data with bounded outputs
-    "sketch_quantiles",    # r14: semantic increment — shard x cluster-mates pair term over the
+    "sketch_quantiles",
+    # r14: semantic increment — shard x cluster-mates pair term over the
     # replica corpus (the adversarial case: every shard vector collides
     # with ~mult replicas of its cluster-mates)
-    "semantic_dedup_incremental",    # r14: hybrid retrieval — BM25's matched-postings shape + the
+    "semantic_dedup_incremental",
+    # r14: hybrid retrieval — BM25's matched-postings shape + the
     # featurize exchange + candidate-sized fusion; growth ~data
     "hybrid_retrieval",
 ]
