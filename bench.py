@@ -223,6 +223,12 @@ EXTRA = [
     # r14: hybrid lexical+semantic retrieval (BM25 + derived-embedding
     # cosine fused by exact integer RRF)
     "hybrid_retrieval",
+    # r15: the capstone — WARC ingest -> URL tier -> exact + MinHash
+    # dedup -> NB quality -> mixture -> packing under one oracle
+    "pretrain_corpus_pipeline",
+    # r15: the deployed hybrid shape — persisted BM25 index + persisted
+    # IVF lists, both legs pruned, fused by integer RRF
+    "hybrid_retrieval_persisted",
 ]
 STREAMING_LAST = [
     "stream_hourly",

@@ -23,4 +23,7 @@
                    Gopher quality + repetition) as one projection
 - ``multimodal`` — binary-column plumbing with REAL vendored codecs
                    (png/jpeg/wav/y4m) — byte-level decode on executors
+- ``pretrain``   — the capstone composition: URL tier → exact +
+                   MinHash dedup → quality classifier → mixture →
+                   packing, decoded pages in, training packs out
 """

@@ -669,10 +669,12 @@ def semantic_dedup_incremental(
     an old row's keep flag (dup rule looks only at LOWER ids), so
     returning decisions for the SHARD ONLY and unioning with the old
     table reproduces the full-rebuild output bit-for-bit
-    (oracle-gated). Validating the order would scan the index; like
-    the minhash/WARC increments it is a documented contract, and
-    violations surface as increment≠rebuild in the gate, never
-    silently.
+    (oracle-gated). Validating the order here would scan the index, so
+    at this layer it is a documented contract (violations surface as
+    increment≠rebuild in the gate); the persisted layout
+    (``update_semantic_assignments``, r15) keeps the indexed max_id in
+    a one-row stats table and enforces the order LOUDLY before every
+    append.
 
     Scale shape: the shard assigns against the broadcast centroid
     array (zero shuffle); the pair join touches (shard × cluster-mates)
@@ -724,6 +726,160 @@ def semantic_dedup_incremental(
             F.col("dup_id").isNull().alias("keep"),
         )
     )
+
+
+def persist_semantic_assignments(
+    indexed: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a SemDeDup ASSIGNMENT table (the ``indexed`` input of
+    ``semantic_dedup_incremental``: id, cluster, vector for EVERY
+    processed row, kept and dropped) as the increment-able layout —
+    the ``persist_bm25_index`` convention for the vector tier (r15,
+    VERDICT r14 item 6).
+
+    Layout under ``path``: ``assignments/`` hive-partitioned by
+    cluster (the pair join's key, so an increment's cluster-mates scan
+    is directory-pruned), ``stats/`` (ONE row: max_id, n_rows — the
+    loud append-only guard reads this instead of scanning the index),
+    ``journal/`` ('pending' before the first overwrite, 'committed'
+    after the stats flip — crash anywhere between is detectable)."""
+    from .retrieval import _write_journal
+
+    spark = indexed.sparkSession
+    _write_journal(spark, path, "pending")
+    rows = indexed.select(
+        F.col(id_col),
+        F.col(cluster_col),
+        as_double_array(F.col(vec_col)).alias("v"),
+    )
+    rows.write.mode("overwrite").partitionBy(cluster_col).parquet(
+        f"{path}/assignments"
+    )
+    rows.agg(
+        F.max(id_col).cast("long").alias("max_id"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+    _write_journal(spark, path, "committed")
+
+
+def update_semantic_assignments(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cluster_id",
+    centroid_vec_col: str = "centroid",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Absorb a vector shard into a PERSISTED assignment layout — the
+    deployed shape of ``semantic_dedup_incremental``, with that
+    function's documented append-only contract made LOUD (r15, VERDICT
+    r14 item 6): the layout's one-row stats table carries the indexed
+    ``max_id``, and the update validates the shard against it BEFORE
+    touching the layout — any shard id ≤ max_id fails with the
+    violation spelled out, instead of surfacing later as
+    increment≠rebuild in an oracle.
+
+    Order of operations mirrors ``update_bm25_index``: journal
+    'pending' before the first mutating write, append the shard's
+    (id, cluster, vector) rows to ``assignments/``, overwrite
+    ``stats/`` with the new max_id/n_rows, then journal 'committed' —
+    a crash in between leaves a journal that says so
+    (``check_semantic_assignments``).
+
+    Returns the shard's (id, cluster, keep) decisions — union with the
+    previously returned decisions to reproduce the full rebuild."""
+    from .retrieval import _write_journal
+
+    spark = new_vectors.sparkSession
+    st = check_semantic_assignments(spark, path)
+    max_id = st["max_id"]
+    # Loud append-only guard, BEFORE any mutating write: one
+    # column-pruned shard pass (whose max/count the stats flip needs
+    # anyway) — a violation fails here with the layout still
+    # 'committed', never as a half-appended index.
+    probe = new_vectors.agg(
+        F.min(id_col).alias("lo"),
+        F.max(id_col).cast("long").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if probe["n"] > 0 and probe["lo"] <= max_id:
+        raise ValueError(
+            f"semantic index at {path}: shard {id_col}={probe['lo']} <= "
+            f"indexed max_id {max_id} — the append-only contract is "
+            "violated (a new row can never flip an old keep flag, so "
+            "out-of-order ids cannot be absorbed); rebuild with "
+            "persist_semantic_assignments instead"
+        )
+    shard = new_vectors.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
+    )
+    indexed = spark.read.parquet(f"{path}/assignments").select(
+        id_col, "cluster_id", "v"
+    )
+    out = semantic_dedup_incremental(
+        shard,
+        centroids,
+        indexed,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col="v",
+        centroid_id_col=centroid_id_col,
+        centroid_vec_col=centroid_vec_col,
+        round_dp=round_dp,
+    )
+    _write_journal(spark, path, "pending")
+    shard.join(out.select(id_col, "cluster_id"), id_col).select(
+        id_col, "cluster_id", "v"
+    ).write.mode("append").partitionBy("cluster_id").parquet(
+        f"{path}/assignments"
+    )
+    new_max = max(probe["hi"], max_id) if probe["n"] > 0 else max_id
+    spark.createDataFrame(
+        [(new_max, st["n_rows"] + probe["n"])], "max_id long, n_rows long"
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+    _write_journal(spark, path, "committed")
+    return out
+
+
+def check_semantic_assignments(spark, path: str) -> dict:
+    """Consistency probe for the persisted assignment layout — the
+    ``check_bm25_index`` convention: raises unless the journal holds
+    exactly one 'committed' row (a crashed update leaves 'pending');
+    returns ``{"journal": "committed", "max_id": ..., "n_rows": ...}``
+    from the one-row stats table."""
+    try:
+        jrows = spark.read.parquet(f"{path}/journal").collect()
+    except Exception as exc:
+        raise ValueError(
+            f"semantic index at {path}: journal unreadable ({exc}); "
+            "treat the layout as unbuilt and rebuild"
+        ) from None
+    if len(jrows) != 1 or jrows[0]["state"] != "committed":
+        raise ValueError(
+            f"semantic index at {path}: journal reads "
+            f"{[r['state'] for r in jrows]} != ['committed'] — an "
+            "update crashed mid-flight; rebuild "
+            "(persist_semantic_assignments) before querying or "
+            "appending"
+        )
+    srow = spark.read.parquet(f"{path}/stats").collect()
+    if len(srow) != 1:
+        raise ValueError(
+            f"semantic index at {path}: stats table has {len(srow)} "
+            "rows, want 1 — layout corrupted; rebuild"
+        )
+    return {
+        "journal": "committed",
+        "max_id": srow[0]["max_id"],
+        "n_rows": srow[0]["n_rows"],
+    }
 
 
 def semantic_dedup_pipeline(

@@ -1110,3 +1110,56 @@ class TestSemanticDedupIncremental:
         assert sim.semantic_dedup_incremental(
             new, cents, indexed, threshold=0.9
         ).count() == 0
+
+    def test_persisted_layout_guard_and_equivalence(self, spark, tmp_path):
+        # r15 (VERDICT r14 item 6): the persisted assignment layout
+        # makes the append-only contract LOUD — an out-of-order shard
+        # raises instead of silently diverging from a rebuild.
+        path = str(tmp_path / "semidx")
+        old = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0, 0.0]),
+                (1, [0.99, 0.14, 0.0]),   # dropped near-dup of 0
+                (2, [0.0, 1.0, 0.0]),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        new = spark.createDataFrame(
+            [(10, [0.99, 0.13, 0.0]), (11, [0.0, 0.98, 0.2])],
+            "vec_id long, embedding array<float>",
+        )
+        cents = self._cents(spark)
+        base = sim.semantic_dedup(old, cents, threshold=0.9)
+        indexed = base.select("vec_id", "cluster_id").join(old, "vec_id")
+        sim.persist_semantic_assignments(indexed, path)
+        st = sim.check_semantic_assignments(spark, path)
+        assert st == {"journal": "committed", "max_id": 2, "n_rows": 3}
+
+        inc = sim.update_semantic_assignments(
+            new, cents, path, threshold=0.9
+        )
+        got = {
+            (r.vec_id, r.cluster_id, r.keep)
+            for r in base.unionByName(inc).collect()
+        }
+        full = {
+            (r.vec_id, r.cluster_id, r.keep)
+            for r in sim.semantic_dedup(
+                old.unionByName(new), cents, threshold=0.9
+            ).collect()
+        }
+        assert got == full
+        st = sim.check_semantic_assignments(spark, path)
+        assert st == {"journal": "committed", "max_id": 11, "n_rows": 5}
+
+        # out-of-order shard: id 5 <= indexed max_id 11 -> loud failure
+        stale = spark.createDataFrame(
+            [(5, [0.5, 0.5, 0.0])], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(Exception, match="append-only"):
+            sim.update_semantic_assignments(
+                stale, cents, path, threshold=0.9
+            ).collect()
+        # the failed update never journalled 'pending' (the guard fires
+        # during the pre-append read) — layout still committed
+        assert sim.check_semantic_assignments(spark, path)["n_rows"] == 5

@@ -145,7 +145,7 @@ FAMILY_GATES: dict[str, set[str]] = {
     },
     "retrieval": {
         "bm25_topk", "bm25_persisted", "bm25_incremental",
-        "hybrid_retrieval",
+        "hybrid_retrieval", "hybrid_retrieval_persisted",
     },
     "curation-filters": {
         "curation_pipeline", "repetition_stats", "lm_perplexity",
@@ -175,6 +175,7 @@ FAMILY_GATES: dict[str, set[str]] = {
         "url_robots",
     },
     "chunk-pack": {"chunk_docs", "pack_sequences"},
+    "pretrain-capstone": {"pretrain_corpus_pipeline"},
     "bpe": {"bpe_pipeline"},
     "warc": {
         "warc_ingest", "warc_revisits", "warc_crawl_pipeline", "warc_cdx",

@@ -1,0 +1,109 @@
+"""Capstone composition (operators/pretrain.py): stage-by-stage
+hand-checkable behavior on a tiny page set — URL-tier filtering, exact
+dedup survivor choice, the per-pair higher-id near-dup drop rule, the
+classifier trained on the survivor set, quota binding, and packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_lab02_spark.functions.text import tokens_column
+from bigdata_lab02_spark.operators.pretrain import pretrain_corpus
+
+# A long shared body so near-dup variants clear the 0.5 Jaccard bar.
+_BASE = (
+    "shared very long body where almost every shingle is common "
+    "across the pair of near duplicate documents in this family"
+)
+_GOOD = "good spark doc with plenty of words about joins and scans"
+_OK = "plain spark text row counting words and tokens for packing"
+
+
+def _pages(spark):
+    rows = [
+        # src a: a good doc, an exact dup of it (higher id loses), and
+        # a near-dup pair (the higher id of the verified pair drops).
+        (1, "http://site-a.com/p1", _GOOD, "a"),
+        (4, "http://site-a.com/p4", _GOOD, "a"),            # exact dup of 1
+        (2, "http://site-a.com/p2", _BASE + " tail one", "a"),
+        (3, "http://site-a.com/p3", _BASE + " tail two", "a"),  # near-dup of 2
+        # src b: a negative-class doc (no 'spark'), a positive doc, a
+        # recrawl duplicate URL (dropped by the tier), and a blocked host.
+        (5, "http://site-b.com/p5", "junk junk junk junk junk junk", "b"),
+        (6, "http://site-b.com/p6", _OK, "b"),
+        (7, "http://site-a.com/p1", _OK + " recrawl", "b"),  # dup norm_url
+        (8, "http://bad.com/p8", _OK + " blocked", "b"),
+        # src c: weighted zero — whitelist exclusion.
+        (9, "http://site-c.com/p9", _OK + " excluded", "c"),
+        # ftp scheme fails the tier.
+        (10, "ftp://site-a.com/p10", _OK + " ftp", "a"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, url string, text string, source string"
+    )
+
+
+def _dims(spark):
+    sfx = spark.createDataFrame([("com",)], "suffix string")
+    blk = spark.createDataFrame([("bad.com",)], "domain string")
+    return sfx, blk
+
+
+def _run(spark, weights, budget, pack_budget=8):
+    sfx, blk = _dims(spark)
+    return pretrain_corpus(
+        _pages(spark),
+        sfx,
+        weights=weights,
+        token_budget=budget,
+        positive=F.array_contains(tokens_column(F.col("text")), "spark"),
+        blocklist=blk,
+        pack_budget=pack_budget,
+    )
+
+
+def test_stage_composition(spark):
+    out = _run(spark, {"a": 1, "b": 1, "c": 0}, budget=200)
+    rows = {r.doc_id: r for r in out.collect()}
+    # tier drops: 7 (recrawl dup URL), 8 (blocked), 10 (ftp)
+    # exact dedup drops: 4 (same digest as 1, higher id)
+    # minhash drops: 3 (near-dup of 2, higher id)
+    # classifier drops: 5 (no 'spark' — all its tokens are
+    # negative-only, score < 0) and 2 (the surviving near-dup body has
+    # no 'spark' either)
+    # mixture drops: 9 (source c weighted 0)
+    assert set(rows) == {1, 6}
+    assert rows[1].source == "a" and rows[6].source == "b"
+    assert rows[1].registered_domain == "site-a.com"
+    # quota = 200 * 1 // 2 per source; both docs fit
+    assert rows[1].quota == 100 and rows[6].quota == 100
+    assert rows[1].n_tokens == 11 and rows[1].cum_tokens == 11
+    assert rows[1].score_mu > 0 and rows[6].score_mu > 0
+
+
+def test_near_dup_rule_is_per_pair_higher_id(spark):
+    # the 2-3 verified near-dup pair: the HIGHER id (3) must never
+    # survive, whatever later stages do with 2.
+    full = _run(spark, {"a": 1, "b": 1}, budget=1000)
+    ids = {r.doc_id for r in full.collect()}
+    assert 3 not in ids
+
+
+def test_quota_binds_and_packing_walks_id_order(spark):
+    # tiny budget: quota a = 30 // 2 = 15 tokens — doc 1 (11 tokens)
+    # admitted, the family survivor (if quality-kept) would not fit;
+    # src b gets doc 6 (10 tokens) via first-doc make-progress.
+    out = _run(spark, {"a": 1, "b": 1}, budget=30, pack_budget=4)
+    rows = sorted(out.collect(), key=lambda r: r.doc_id)
+    assert [r.doc_id for r in rows] == [1, 6]
+    assert all(r.cum_tokens <= r.quota or r.cum_tokens == r.n_tokens
+               for r in rows)
+    # packing: pack_id = floor(tokens-before / 4) within each source
+    assert rows[0].pack_id == 0 and rows[1].pack_id == 0
+    # larger budget: two docs in src b pack consecutively in id order
+    big = _run(spark, {"b": 1}, budget=1000, pack_budget=4)
+    brows = sorted(big.collect(), key=lambda r: r.doc_id)
+    cum = 0
+    for r in brows:
+        assert r.pack_id == cum // 4
+        cum += r.n_tokens

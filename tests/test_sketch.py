@@ -191,3 +191,46 @@ class TestQuantileRegisters:
         regs = sk.quantile_registers(df)
         with pytest.raises(ValueError, match="qs must be"):
             sk.quantile_estimate(regs, [0.0, 0.5])
+        with pytest.raises(ValueError, match="fanout"):
+            sk.quantile_registers_twolevel(df, fanout=0)
+
+    def test_twolevel_bucket_space_and_mass(self, spark):
+        # r15 scale seam: the two-level build must keep the DIRECT
+        # scheme's bucket space (sub mod n_buckets == md5 mod n_buckets)
+        # and partition every bucket's rows exactly.
+        df = self._vals(spark, [(i, (i * 37) % 500) for i in range(3000)])
+        direct = sk.quantile_registers(df, n_buckets=8, k=16)
+        two = sk.quantile_registers_twolevel(df, n_buckets=8, k=16, fanout=4)
+        d_mass = {r.bucket: r.s for r in direct.groupBy("bucket")
+                  .agg(F.sum("mass").alias("s")).collect()}
+        t_mass = {r.bucket: r.s for r in two.groupBy("bucket")
+                  .agg(F.sum("mass").alias("s")).collect()}
+        assert d_mass == t_mass
+        assert two.agg(F.sum("mass")).first()[0] == 3000
+
+    def test_twolevel_rank_error_within_2k_bound(self, spark):
+        k = 32
+        vals = [(i, (i * i * 131) % 100000) for i in range(8000)]
+        df = self._vals(spark, vals)
+        regs = sk.quantile_registers_twolevel(
+            df, n_buckets=8, k=k, fanout=8)
+        qs = [0.1, 0.5, 0.9, 1.0]
+        est = {r.q_mu: r.est for r in
+               sk.quantile_estimate(regs, qs).collect()}
+        svals = sorted(v for _, v in vals)
+        n = len(svals)
+        import bisect
+        for q in qs:
+            e = est[int(round(q * 1e6))]
+            lo = bisect.bisect_left(svals, e)
+            hi = bisect.bisect_right(svals, e)
+            err = min(abs(q * n - lo), abs(q * n - hi))
+            assert err <= 2 * n / k + 1, (q, e, err)  # two levels: 2/k
+
+    def test_twolevel_deterministic(self, spark):
+        df = self._vals(spark, [(i, (i * 13) % 97) for i in range(500)])
+        r1 = sorted(map(tuple, sk.quantile_registers_twolevel(
+            df, n_buckets=8, k=8, fanout=4).collect()))
+        r2 = sorted(map(tuple, sk.quantile_registers_twolevel(
+            df.repartition(13), n_buckets=8, k=8, fanout=4).collect()))
+        assert r1 == r2

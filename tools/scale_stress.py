@@ -146,6 +146,13 @@ FAMILY = [
     # r14: hybrid retrieval — BM25's matched-postings shape + the
     # featurize exchange + candidate-sized fusion; growth ~data
     "hybrid_retrieval",
+    # r15: the capstone — every tier's scale shape in one chain; the
+    # URL-tier recrawl dedup bounds the survivor set, so downstream
+    # stages see duplication pressure, not row growth
+    "pretrain_corpus_pipeline",
+    # r15: persisted hybrid — both index builds grow ~data; the query
+    # side is pruned-scan + candidate-sized fusion
+    "hybrid_retrieval_persisted",
 ]
 # (image_dedup_clusters, audio_dedup, video_dedup and
 # media_dedup_pipeline are generated-fixture-sized — corpus-independent,
