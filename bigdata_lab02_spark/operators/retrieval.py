@@ -352,10 +352,19 @@ def _write_journal(spark, path: str, state: str) -> None:
     the stats flip, so a crash or task-retry storm anywhere in
     between leaves a journal that says so (or a half-written journal
     dir, which reads as the same thing). Spark-native one-row parquet
-    overwrite: FS-agnostic, no private JVM filesystem APIs."""
-    spark.createDataFrame([(state,)], "state string").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/journal")
+    overwrite: FS-agnostic, no private JVM filesystem APIs.
+
+    Built JVM-side (range(1) + lit), NEVER from a Python local list:
+    a ``createDataFrame([...])`` one-row write runs the job over a
+    Python-RDD-backed plan and pays a Python-worker round-trip per
+    write — measured ~4.5 s vs 0.2 s for the JVM plan (r15 A/B,
+    BENCHNOTES), which was the entire r14 bm25 bench regression
+    (2 journal writes per persist, 4 per persist+update)."""
+    if state not in ("pending", "committed"):
+        raise ValueError(f"journal state must be pending/committed: {state}")
+    spark.range(1).select(F.lit(state).alias("state")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/journal")
 
 
 def check_bm25_index(spark, path: str, deep: bool = False) -> dict:

@@ -840,10 +840,14 @@ def update_semantic_assignments(
     ).write.mode("append").partitionBy("cluster_id").parquet(
         f"{path}/assignments"
     )
+    # JVM-side one-row frame (the _write_journal lesson, r15): a
+    # Python-local-list frame pays a ~4.5 s Python-worker round-trip
+    # per write.
     new_max = max(probe["hi"], max_id) if probe["n"] > 0 else max_id
-    spark.createDataFrame(
-        [(new_max, st["n_rows"] + probe["n"])], "max_id long, n_rows long"
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+    spark.range(1).select(
+        F.lit(new_max).cast("long").alias("max_id"),
+        F.lit(st["n_rows"] + probe["n"]).cast("long").alias("n_rows"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
     _write_journal(spark, path, "committed")
     return out
 
