@@ -79,6 +79,7 @@ def pretrain_corpus(
     bands: int = 4,
     n_buckets: int = 512,
     salt: str = "",
+    pin: bool = True,
 ) -> DataFrame:
     """Assemble a packed training corpus from decoded pages.
 
@@ -123,6 +124,16 @@ def pretrain_corpus(
         .where("__rn = 1")
         .drop("__rn")
     )
+    if pin:
+        # The exact-dedup survivor set feeds EVERY later tier (both
+        # minhash pair sides, classifier train AND score, mixture,
+        # packing, the final joins) — unpinned, the compiled plan
+        # re-derives the whole ingest→URL-tier→dedup subtree (with its
+        # Arrow decode) once per consumer (the expensive-decode
+        # fan-out seam, SCALING.md r13). localCheckpoint materializes
+        # it once; a production run writes this tier boundary to
+        # parquet instead. A/B receipt in BENCHNOTES (r15).
+        ex = ex.localCheckpoint()
 
     # --- MinHash near-dup: drop the higher id of each verified pair -
     pairs = minhash_dedup_pairs(
