@@ -6414,8 +6414,19 @@ def q_quality_classifier(spark, sf_dir):
 # select from it; the r15 capstone re-roots it (``src``) at its dedup
 # survivors — train and score must see the corpus the earlier tiers
 # kept, which is exactly what re-rooting pins.
-def _qcls_chain_sql(src: str = "documents") -> str:
+def _qcls_chain_sql(src: str = "documents", score_src: str | None = None) -> str:
+    """``src`` is the TRAINING corpus; ``score_src`` (r15, the
+    increment gate) scores a different table with the frozen model —
+    None scores the training corpus itself (byte-identical to the
+    pre-r15 constant)."""
+    ts = (
+        f"ts AS (SELECT doc_id, {_TOKS} AS toks FROM {score_src}),\n"
+        if score_src
+        else ""
+    )
+    tscore = "ts" if score_src else "t"
     return f"""t AS (SELECT doc_id, {_TOKS} AS toks FROM {src}),
+{ts}
 lab AS (SELECT doc_id, toks, list_contains(toks, 'spark') AS pos FROM t),
 occ AS (SELECT pos,
           ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512 AS bucket
@@ -6437,13 +6448,13 @@ prior AS (SELECT CAST(round(ln(np * 1.0 / nn) * 1000000.0) AS BIGINT) AS p
           FROM nd),
 docc AS (SELECT doc_id,
            ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512 AS bucket
-         FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
+         FROM (SELECT doc_id, unnest(toks) AS tok FROM {tscore})),
 sc AS (SELECT doc_id, sum(wt.w_mu) AS s
        FROM docc JOIN wt USING (bucket) GROUP BY doc_id),
-cls AS (SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_toks,
+cls AS (SELECT {tscore}.doc_id, CAST(len({tscore}.toks) AS INT) AS n_toks,
           CAST(COALESCE(sc.s, 0) + prior.p AS BIGINT) AS score_mu,
           (COALESCE(sc.s, 0) + prior.p) > 0 AS quality_keep
-        FROM t LEFT JOIN sc USING (doc_id) CROSS JOIN prior)"""
+        FROM {tscore} LEFT JOIN sc USING (doc_id) CROSS JOIN prior)"""
 
 
 _QCLS_CHAIN_SQL = _qcls_chain_sql()
@@ -8035,6 +8046,92 @@ WHERE cum_tokens <= {_RANK_SELECT_BUDGET} OR cum_tokens = n_tokens
 """
 
 
+def q_pretrain_increment_pipeline(spark, sf_dir):
+    """The DAILY-SHARD face of the capstone (r15 —
+    operators.pretrain.pretrain_shard_increment): the even-id half of
+    the corpus is the BASE crawl, processed once into its persisted
+    artifacts (survivor norm_urls, content digests, the exact-survivor
+    corpus + its LSH band table, the trained NB model); the odd-id
+    half arrives as a shard and is absorbed against those artifacts
+    with zero base-side recompute — URL tier + anti-join vs indexed
+    URLs, within-shard exact dedup + indexed-digest flag, within-shard
+    MinHash pairs + banded shard-vs-corpus candidates
+    (minhash_dedup_incremental), frozen-model scoring. Flags
+    (dup_of_index, near_dup, quality_keep, keep) are returned per
+    shard survivor rather than applied, the audit-table shape. The
+    oracle recomputes BOTH sides from first principles (base tier →
+    digests/bands/model; shard tier → anti-joins → both pair sets →
+    scores), so any drift between the increment path and a from-
+    scratch restatement flips the hash. Mixture/packing stay out of
+    the shard job by design — admission is a global decision re-run
+    over the merged corpus (the capstone gate), not per shard."""
+    from bigdata_lab02_spark.functions.text import tokens_column
+    from bigdata_lab02_spark.operators import dedup as dd_
+    from bigdata_lab02_spark.operators.curation import (
+        quality_classifier_train,
+    )
+    from bigdata_lab02_spark.operators.pretrain import (
+        pretrain_shard_increment,
+    )
+    from bigdata_lab02_spark.operators.url import url_filters
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        "source",
+        F.expr(_CRAWL_URL_FIXTURE_EXPR).alias("url"),
+        F.expr(_PRETRAIN_BODY_EXPR).alias("text"),
+    )
+    base_pages = pages.where("doc_id % 2 = 0")
+    shard_pages = pages.where("doc_id % 2 = 1")
+    sfx, blk = _url_dims(spark)
+
+    # --- the base pass (persisted between shards in production) -----
+    base_tier = url_filters(
+        base_pages, sfx, blocklist=blk, passthrough=["source", "text"]
+    )
+    base_surv = base_tier.where("url_keep").select(
+        "doc_id", "source", "text", "norm_url"
+    ).localCheckpoint()  # the base artifacts fan out 5 ways
+    indexed_urls = base_surv.select("norm_url")
+    indexed_digests = base_surv.select(
+        F.md5("text").alias("digest")
+    ).distinct()
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    corpus = (
+        base_surv.withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .select("doc_id", "source", "text")
+        .localCheckpoint()
+    )
+    corpus_bands = dd_.minhash_band_table(
+        dd_.minhash_signatures(corpus, num_hashes=8, shingle_n=3),
+        bands=4,
+        rows_per_band=2,
+    )
+    base_drops = dd_.minhash_dedup_pairs(
+        corpus.select("doc_id", "text"), threshold=0.5
+    ).select(F.col("id_b").alias("doc_id"))
+    base_nd = corpus.join(base_drops, "doc_id", "left_anti")
+    model = quality_classifier_train(
+        base_nd,
+        F.array_contains(tokens_column(F.col("text")), "spark"),
+        n_buckets=512,
+    ).localCheckpoint()
+
+    # --- the shard job -----------------------------------------------
+    return pretrain_shard_increment(
+        shard_pages,
+        sfx,
+        indexed_urls,
+        indexed_digests,
+        corpus.select("doc_id", "text"),
+        corpus_bands,
+        model,
+        blocklist=blk,
+    )
+
+
 # ----------------------- pretraining-corpus capstone (r15)
 
 # WARC body fixture for the capstone: documents.text rides through the
@@ -8222,6 +8319,88 @@ SELECT doc_id, source, charset, registered_domain,
   CAST(quota AS BIGINT) AS quota,
   CAST(floor((pcm - n_tokens) / {_PRETRAIN_PACK}.0) AS INT) AS pack_id
 FROM ppk
+"""
+
+
+# The daily-shard oracle: base (even ids) and shard (odd ids) both
+# restated from first principles — each gets its own URL-tier subquery
+# (nested WITH, the ccnet-oracle pattern, because the tier builder's
+# CTE names are fixed), the base side derives digests/bands/model, the
+# shard side anti-joins, pairs within and across, and scores with the
+# base-trained chain (_qcls_chain_sql train=bnd, score=sex).
+_PRETRAIN_INC_SQL = f"""
+WITH pall AS (SELECT doc_id, source, {_PRETRAIN_BODY_EXPR} AS text
+              FROM documents),
+buw AS (SELECT * FROM (
+  WITH bdocs AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+  {_url_tier_sql(_CRAWL_URL_FIXTURE_EXPR, src="bdocs")}
+  SELECT doc_id, norm_url, registered_domain, url_keep FROM uw)),
+suw AS (SELECT * FROM (
+  WITH sdocs AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+  {_url_tier_sql(_CRAWL_URL_FIXTURE_EXPR, src="sdocs")}
+  SELECT doc_id, norm_url, registered_domain, url_keep FROM uw)),
+bsurv AS (SELECT u.doc_id, p.source, p.text, u.norm_url
+  FROM buw u JOIN pall p USING (doc_id) WHERE u.url_keep),
+bex AS (SELECT doc_id, source, text FROM (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM bsurv) WHERE rn = 1),
+btk AS (SELECT doc_id, {_TOKS} AS toks FROM bex),
+bsh AS (SELECT doc_id, {_SHINGLES} AS s FROM btk),
+bexp AS (SELECT doc_id, unnest(s) AS shingle FROM bsh),
+bmh AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS h
+        FROM bexp, (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
+bsig AS (SELECT doc_id, list(h ORDER BY seed) AS sig FROM bmh GROUP BY doc_id),
+bbnd AS (SELECT doc_id, b, sig[2 * b + 1] || '|' || sig[2 * b + 2] AS bh
+         FROM bsig, (SELECT unnest(range(4)) AS b)),
+bcand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+          FROM bbnd a JOIN bbnd c
+          ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id),
+bdrop AS (SELECT DISTINCT id_b FROM bcand
+  JOIN bsh sa ON sa.doc_id = id_a JOIN bsh sb ON sb.doc_id = id_b
+  WHERE len(list_intersect(sa.s, sb.s)) * 1.0
+        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5),
+bnd AS (SELECT bex.* FROM bex LEFT JOIN bdrop ON bex.doc_id = bdrop.id_b
+        WHERE bdrop.id_b IS NULL),
+ssurv AS (SELECT u.doc_id, p.source, u.registered_domain, p.text
+  FROM suw u JOIN pall p USING (doc_id)
+  WHERE u.url_keep
+    AND u.norm_url NOT IN (SELECT norm_url FROM bsurv)),
+sex AS (SELECT doc_id, source, registered_domain, text FROM (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM ssurv) WHERE rn = 1),
+stk AS (SELECT doc_id, {_TOKS} AS toks FROM sex),
+ssh AS (SELECT doc_id, {_SHINGLES} AS s FROM stk),
+sexp AS (SELECT doc_id, unnest(s) AS shingle FROM ssh),
+smh AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS h
+        FROM sexp, (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
+ssig AS (SELECT doc_id, list(h ORDER BY seed) AS sig FROM smh GROUP BY doc_id),
+sbnd AS (SELECT doc_id, b, sig[2 * b + 1] || '|' || sig[2 * b + 2] AS bh
+         FROM ssig, (SELECT unnest(range(4)) AS b)),
+swcand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM sbnd a JOIN sbnd c
+           ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id),
+swdrop AS (SELECT DISTINCT id_b FROM swcand
+  JOIN ssh sa ON sa.doc_id = id_a JOIN ssh sb ON sb.doc_id = id_b
+  WHERE len(list_intersect(sa.s, sb.s)) * 1.0
+        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5),
+xcand AS (SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+          FROM sbnd n JOIN bbnd o ON n.b = o.b AND n.bh = o.bh),
+xdrop AS (SELECT DISTINCT id_new FROM xcand
+  JOIN ssh sn ON sn.doc_id = id_new JOIN bsh so ON so.doc_id = id_old
+  WHERE len(list_intersect(sn.s, so.s)) * 1.0
+        / (len(sn.s) + len(so.s) - len(list_intersect(sn.s, so.s))) >= 0.5),
+snear AS (SELECT id_b AS doc_id FROM swdrop
+          UNION SELECT id_new FROM xdrop),
+{_qcls_chain_sql(src="bnd", score_src="sex")}
+SELECT sex.doc_id, sex.source, sex.registered_domain,
+  (md5(sex.text) IN (SELECT md5(text) FROM bsurv)) AS dup_of_index,
+  (sn.doc_id IS NOT NULL) AS near_dup,
+  cls.score_mu, cls.quality_keep,
+  (NOT md5(sex.text) IN (SELECT md5(text) FROM bsurv))
+    AND sn.doc_id IS NULL AND cls.quality_keep AS keep
+FROM sex
+LEFT JOIN snear sn ON sn.doc_id = sex.doc_id
+JOIN cls ON cls.doc_id = sex.doc_id
 """
 
 
@@ -8702,6 +8881,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # persisted lists; the oracle replays the probe pruning exactly;
     # oracle-gated every pytest run.
     "hybrid_retrieval_persisted": q_hybrid_retrieval_persisted,
+    # pretrain_increment_pipeline (r15): the daily-shard face of the
+    # capstone — a shard absorbed against the base crawl's persisted
+    # artifacts (indexed URLs/digests, band table, frozen NB model)
+    # with zero base-side recompute; the oracle recomputes both sides
+    # from first principles; oracle-gated every pytest run.
+    "pretrain_increment_pipeline": q_pretrain_increment_pipeline,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -8729,6 +8914,7 @@ ROTATED_OUT: set[str] = {
     "image_captions", "sketch_quantiles",
     "semantic_dedup_incremental", "hybrid_retrieval",
     "pack_sequences", "hybrid_retrieval_persisted",
+    "pretrain_increment_pipeline",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -8900,6 +9086,7 @@ _R14_NEW = {
 _R15_NEW = {
     "pretrain_corpus_pipeline",
     "hybrid_retrieval_persisted",
+    "pretrain_increment_pipeline",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -8970,6 +9157,7 @@ _ORACLES: dict[str, str] = {
     "hybrid_retrieval": _HYBRID_SQL,
     "pretrain_corpus_pipeline": _PRETRAIN_E2E_SQL,
     "hybrid_retrieval_persisted": _HYBRID_PERSISTED_SQL,
+    "pretrain_increment_pipeline": _PRETRAIN_INC_SQL,
     "dedup_spans": _DEDUP_SPANS_SQL,
     "scrub_pii": _SCRUB_SQL,
     "repetition_stats": _REPETITION_SQL,

@@ -229,6 +229,9 @@ EXTRA = [
     # r15: the deployed hybrid shape — persisted BM25 index + persisted
     # IVF lists, both legs pruned, fused by integer RRF
     "hybrid_retrieval_persisted",
+    # r15: the daily-shard face of the capstone — shard absorbed
+    # against the base crawl's persisted artifacts, zero base recompute
+    "pretrain_increment_pipeline",
 ]
 STREAMING_LAST = [
     "stream_hourly",

@@ -56,7 +56,7 @@ from .curation import (
     quality_classifier_score,
     quality_classifier_train,
 )
-from .dedup import minhash_dedup_pairs
+from .dedup import minhash_dedup_incremental, minhash_dedup_pairs
 from .url import url_filters
 
 
@@ -189,4 +189,152 @@ def pretrain_corpus(
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
         F.col("quota").cast("long").alias("quota"),
         F.col("pack_id").cast("int").alias("pack_id"),
+    )
+
+
+def pretrain_shard_increment(
+    new_pages: DataFrame,
+    suffixes: DataFrame,
+    indexed_urls: DataFrame,
+    indexed_digests: DataFrame,
+    corpus: DataFrame,
+    corpus_bands: DataFrame,
+    model: DataFrame,
+    blocklist: DataFrame | None = None,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    passthrough: list[str] | None = None,
+    minhash_threshold: float = 0.5,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    bands: int = 4,
+    n_buckets: int = 512,
+) -> DataFrame:
+    """The daily-shard face of ``pretrain_corpus`` (r15): absorb a
+    crawl shard against the BASE corpus's persisted artifacts without
+    recomputing any base-side work — the per-tier increment operators
+    (minhash band table, digest index, frozen classifier) composed the
+    way the daily job actually runs them.
+
+    Base artifacts (each the output of one base-corpus pass, persisted
+    between shards in production):
+
+    - ``indexed_urls``    — one ``norm_url`` column: every URL the
+      base crawl already fetched (a shard page re-crawling one is
+      dropped before any content work, same as the tier's in-crawl
+      recrawl rule);
+    - ``indexed_digests`` — one ``digest`` column (md5 of text): every
+      content digest the base kept after ITS url tier — a shard page
+      duplicating indexed content is an exact dup;
+    - ``corpus`` / ``corpus_bands`` — the base exact-dedup survivors
+      (kept AND near-dup-dropped: dropped members still suppress later
+      near-copies, the semantic-assignment-table rule) and their
+      persisted LSH band table (``minhash_band_table``) — the corpus
+      side of the candidate join never re-shingles;
+    - ``model``           — the base-trained NB quality model,
+      FROZEN: a shard never re-trains the classifier (the
+      persist_ivf_lists fixed-quantizer contract, classifier form).
+
+    Shard chain: URL tier (within-shard recrawl dedup) → anti-join vs
+    ``indexed_urls`` → within-shard exact dedup (first fetch per
+    digest) → flags: ``dup_of_index`` (digest already indexed),
+    ``near_dup`` (a verified ≥threshold pair with a LOWER shard id OR
+    any verified pair into the corpus — old-beats-new by contract),
+    ``quality_keep`` (frozen-model score > 0); ``keep`` is their
+    conjunction. Flags are returned rather than applied so the shard
+    writer can route drops to their tier's audit table.
+
+    Scale shape: the anti-joins are keyed exchanges against index-
+    sized tables; the cross-candidate join touches only band-hash
+    collisions against the PRE-BANDED corpus; scoring broadcasts the
+    B+1-row model. Nothing base-sized is recomputed; cost ∝ shard
+    (+ candidate sets).
+
+    Returns one row per within-shard exact-dedup survivor:
+    ``(id, group, *passthrough, registered_domain, dup_of_index,
+    near_dup, score_mu, quality_keep, keep)``."""
+    extra = list(passthrough or [])
+
+    # --- URL tier over the shard, then drop already-fetched URLs ----
+    tier = url_filters(
+        new_pages,
+        suffixes,
+        blocklist=blocklist,
+        url_col=url_col,
+        id_col=id_col,
+        passthrough=[group_col, text_col, *extra],
+    )
+    surv = tier.where("url_keep").join(
+        indexed_urls.select("norm_url"), "norm_url", "left_anti"
+    ).select(id_col, group_col, text_col, "registered_domain", *extra)
+
+    # --- within-shard exact dedup + indexed-digest flag --------------
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    ex = (
+        surv.withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .drop("__rn")
+        .withColumn("__digest", F.md5(F.col(text_col)))
+    )
+    ex = ex.join(
+        indexed_digests.select(
+            F.col("digest").alias("__digest"), F.lit(True).alias("dup_of_index")
+        ),
+        "__digest",
+        "left",
+    ).drop("__digest").withColumn(
+        "dup_of_index", F.coalesce(F.col("dup_of_index"), F.lit(False))
+    ).localCheckpoint()
+
+    # --- near-dup: within-shard pairs + shard-vs-corpus candidates ---
+    within = minhash_dedup_pairs(
+        ex.select(id_col, text_col),
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        bands=bands,
+        threshold=minhash_threshold,
+    ).select(F.col("id_b").alias(id_col))
+    cross = minhash_dedup_incremental(
+        ex.select(id_col, text_col),
+        corpus,
+        corpus_bands,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        bands=bands,
+        threshold=minhash_threshold,
+    ).select(F.col("id_new").alias(id_col))
+    near = within.unionByName(cross).distinct().withColumn(
+        "near_dup", F.lit(True)
+    )
+
+    # --- frozen-model quality scoring --------------------------------
+    scored = quality_classifier_score(
+        ex, model, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    ).select(id_col, "score_mu", "quality_keep")
+
+    out = (
+        ex.join(near, id_col, "left")
+        .withColumn("near_dup", F.coalesce(F.col("near_dup"), F.lit(False)))
+        .join(scored, id_col)
+    )
+    return out.select(
+        id_col,
+        group_col,
+        *extra,
+        "registered_domain",
+        "dup_of_index",
+        "near_dup",
+        F.col("score_mu").cast("long").alias("score_mu"),
+        "quality_keep",
+        (
+            ~F.col("dup_of_index")
+            & ~F.col("near_dup")
+            & F.col("quality_keep")
+        ).alias("keep"),
     )

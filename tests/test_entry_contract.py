@@ -175,7 +175,9 @@ FAMILY_GATES: dict[str, set[str]] = {
         "url_robots",
     },
     "chunk-pack": {"chunk_docs", "pack_sequences"},
-    "pretrain-capstone": {"pretrain_corpus_pipeline"},
+    "pretrain-capstone": {
+        "pretrain_corpus_pipeline", "pretrain_increment_pipeline",
+    },
     "bpe": {"bpe_pipeline"},
     "warc": {
         "warc_ingest", "warc_revisits", "warc_crawl_pipeline", "warc_cdx",

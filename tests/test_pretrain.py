@@ -107,3 +107,70 @@ def test_quota_binds_and_packing_walks_id_order(spark):
     for r in brows:
         assert r.pack_id == cum // 4
         cum += r.n_tokens
+
+
+def test_shard_increment_flags(spark):
+    # Daily-shard face: base = docs 1,2,5,6 processed into artifacts;
+    # shard rows get per-tier flags against them.
+    from bigdata_lab02_spark.operators import dedup as dd
+    from bigdata_lab02_spark.operators.curation import (
+        quality_classifier_train,
+    )
+    from bigdata_lab02_spark.operators.pretrain import (
+        pretrain_shard_increment,
+    )
+    from bigdata_lab02_spark.operators.url import url_filters
+
+    sfx, blk = _dims(spark)
+    base = _pages(spark).where("doc_id IN (1, 2, 5, 6)")
+    tier = url_filters(base, sfx, blocklist=blk,
+                       passthrough=["source", "text"])
+    bsurv = tier.where("url_keep").select(
+        "doc_id", "source", "text", "norm_url")
+    indexed_urls = bsurv.select("norm_url")
+    indexed_digests = bsurv.select(F.md5("text").alias("digest")).distinct()
+    corpus = bsurv.select("doc_id", "text")
+    bands = dd.minhash_band_table(
+        dd.minhash_signatures(corpus, num_hashes=8, shingle_n=3),
+        bands=4, rows_per_band=2)
+    model = quality_classifier_train(
+        corpus,
+        F.array_contains(tokens_column(F.col("text")), "spark"),
+        n_buckets=512,
+    ).localCheckpoint()
+
+    shard = spark.createDataFrame(
+        [
+            # exact copy of base doc 1 -> dup_of_index (and a 1.0-
+            # jaccard corpus near-dup)
+            (11, "http://site-a.com/s11", _GOOD, "a"),
+            # recrawl of base url p1 -> dropped before content work
+            (12, "http://site-a.com/p1", _OK + " recrawl", "b"),
+            # near-dup of base doc 2 (tail differs) -> near_dup
+            (13, "http://site-a.com/s13", _BASE + " tail two", "a"),
+            # genuinely new, positive-class -> keep (no shingle overlap
+            # with any base doc — an _OK-prefixed text would share 8 of
+            # 11 shingles with base doc 6 and near-dup at 0.73)
+            (14, "http://site-b.com/s14",
+             "entirely novel spark payload describing filters and maps",
+             "b"),
+            # within-shard exact dup of 13 -> dropped (13 survives)
+            (15, "http://site-a.com/s15", _BASE + " tail two", "a"),
+            # new but negative-class -> quality_keep False
+            (16, "http://site-b.com/s16",
+             "junk junk junk junk junk junk fresh", "b"),
+        ],
+        "doc_id long, url string, text string, source string",
+    )
+    out = pretrain_shard_increment(
+        shard, sfx, indexed_urls, indexed_digests, corpus, bands, model,
+        blocklist=blk,
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {11, 13, 14, 16}   # 12 recrawl, 15 shard-dup
+    assert rows[11].dup_of_index and not rows[11].keep
+    assert not rows[13].dup_of_index and rows[13].near_dup
+    assert not rows[13].keep
+    assert rows[14].keep and rows[14].quality_keep
+    assert not rows[14].dup_of_index and not rows[14].near_dup
+    assert not rows[16].quality_keep and not rows[16].keep

@@ -153,6 +153,9 @@ FAMILY = [
     # r15: persisted hybrid — both index builds grow ~data; the query
     # side is pruned-scan + candidate-sized fusion
     "hybrid_retrieval_persisted",
+    # r15: the shard increment — the replica corpus saturates every
+    # anti-join and candidate tier (the adversarial dedup case)
+    "pretrain_increment_pipeline",
 ]
 # (image_dedup_clusters, audio_dedup, video_dedup and
 # media_dedup_pipeline are generated-fixture-sized — corpus-independent,
