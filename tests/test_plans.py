@@ -223,3 +223,32 @@ def test_mixture_sample_post_checkpoint_shape(spark):
     r = plan_report(e.queries()["mixture_sample"](spark, SF))
     assert r.n_sortmerge_joins == 0
     assert r.repeated_scans == 0
+
+
+def test_pretrain_capstone_ingest_pinned_once(spark):
+    """r15: the capstone's exact-dedup survivor tier is pinned before
+    the 5-way fan-out (minhash pair sides, classifier train+score,
+    mixture, packing) — the WARC decode + URL tier subtree must never
+    re-derive per consumer (repeated_scans=0; was 9 unpinned, 2.5x
+    A/B in BENCHNOTES)."""
+    r = plan_report(e.queries()["pretrain_corpus_pipeline"](spark, SF))
+    assert r.repeated_scans == 0
+
+
+def test_hybrid_persisted_both_legs_pruned(spark):
+    """r15: the deployed hybrid must keep BOTH index prunings — the
+    postings scan carries the term_bucket partition filter AND a
+    pushed term IN(...) residual; the IVF list scan carries the
+    list_id partition filter."""
+    r = plan_report(e.queries()["hybrid_retrieval_persisted"](spark, SF))
+    assert "term_bucket" in r.raw and "PartitionFilters" in r.raw
+    assert "list_id" in r.raw
+    assert any("In(term" in p for p in r.pushed_filters if p)
+
+
+def test_pretrain_increment_base_artifacts_pinned(spark):
+    """r15: the shard job's plan must be shard-rooted — the base
+    artifacts (survivor set, corpus, band table inputs, model) are
+    pinned, so nothing base-sized re-derives per shard consumer."""
+    r = plan_report(e.queries()["pretrain_increment_pipeline"](spark, SF))
+    assert r.repeated_scans == 0
