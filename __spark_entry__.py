@@ -7703,6 +7703,45 @@ FROM dest d JOIN mest m USING (q_mu) ORDER BY q_mu
 """
 
 
+def q_semantic_index_persisted(spark, sf_dir):
+    """The PERSISTED-LAYOUT face of the vector-tier increment (r15 —
+    similarity.persist/update_semantic_assignments, VERDICT r14 item
+    6): the indexed corpus's assignment table is written
+    hive-partitioned by cluster with a one-row max-id stats table and
+    a pending/committed journal (the persist_bm25_index convention),
+    then the shard absorbs THROUGH the layout — the update validates
+    the append-only contract against the stats row BEFORE any
+    mutating write, appends the shard's assignments, and flips the
+    stats. Same fixture, parameters, and oracle as
+    semantic_dedup_incremental: persistence, the guard, and the
+    journal protocol must all be invisible in the results. The layout
+    lands in a fresh temp dir per call (the bm25_persisted gate
+    contract — no teardown hook)."""
+    import tempfile
+
+    from bigdata_lab02_spark.operators.similarity import (
+        persist_semantic_assignments,
+        semantic_dedup,
+        update_semantic_assignments,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.where(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)
+    ).select(
+        (F.col("vec_id") / 50).cast("int").alias("cluster_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    old = emb.where(F.col("vec_id") < 400)
+    new = emb.where(F.col("vec_id") >= 400)
+    base = semantic_dedup(old, cents, threshold=0.45)
+    indexed = base.select("vec_id", "cluster_id").join(old, "vec_id")
+    path = tempfile.mkdtemp(prefix="semidx_gate_") + "/index"
+    persist_semantic_assignments(indexed, path)
+    inc = update_semantic_assignments(new, cents, path, threshold=0.45)
+    return base.unionByName(inc)
+
+
 def q_semantic_dedup_incremental(spark, sf_dir):
     """Incremental SEMANTIC dedup (similarity.semantic_dedup_incremental,
     r14 — the vector tier's increment face, completing the matrix with
@@ -8887,6 +8926,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # with zero base-side recompute; the oracle recomputes both sides
     # from first principles; oracle-gated every pytest run.
     "pretrain_increment_pipeline": q_pretrain_increment_pipeline,
+    # semantic_index_persisted (r15, VERDICT r14 item 6): the
+    # persisted assignment layout (cluster-partitioned + stats row +
+    # journal) absorbed through — same oracle as
+    # semantic_dedup_incremental, persistence/guard invisible;
+    # oracle-gated every pytest run.
+    "semantic_index_persisted": q_semantic_index_persisted,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -8914,7 +8959,7 @@ ROTATED_OUT: set[str] = {
     "image_captions", "sketch_quantiles",
     "semantic_dedup_incremental", "hybrid_retrieval",
     "pack_sequences", "hybrid_retrieval_persisted",
-    "pretrain_increment_pipeline",
+    "pretrain_increment_pipeline", "semantic_index_persisted",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -9087,6 +9132,7 @@ _R15_NEW = {
     "pretrain_corpus_pipeline",
     "hybrid_retrieval_persisted",
     "pretrain_increment_pipeline",
+    "semantic_index_persisted",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -9154,6 +9200,7 @@ _ORACLES: dict[str, str] = {
     "image_captions": _IMAGE_CAPTIONS_SQL,
     "sketch_quantiles": _SKETCH_Q_SQL,
     "semantic_dedup_incremental": _SEMANTIC_INC_SQL,
+    "semantic_index_persisted": _SEMANTIC_INC_SQL,
     "hybrid_retrieval": _HYBRID_SQL,
     "pretrain_corpus_pipeline": _PRETRAIN_E2E_SQL,
     "hybrid_retrieval_persisted": _HYBRID_PERSISTED_SQL,

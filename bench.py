@@ -232,6 +232,9 @@ EXTRA = [
     # r15: the daily-shard face of the capstone — shard absorbed
     # against the base crawl's persisted artifacts, zero base recompute
     "pretrain_increment_pipeline",
+    # r15: the vector tier's persisted-layout face (stats-row guard +
+    # journal; same oracle as semantic_dedup_incremental)
+    "semantic_index_persisted",
 ]
 STREAMING_LAST = [
     "stream_hourly",

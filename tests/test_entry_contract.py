@@ -141,7 +141,7 @@ FAMILY_GATES: dict[str, set[str]] = {
     },
     "semantic-dedup-featurize": {
         "embed_semantic_dedup", "semantic_dedup_pipeline",
-        "semantic_dedup_incremental",
+        "semantic_dedup_incremental", "semantic_index_persisted",
     },
     "retrieval": {
         "bm25_topk", "bm25_persisted", "bm25_incremental",

@@ -156,6 +156,10 @@ FAMILY = [
     # r15: the shard increment — the replica corpus saturates every
     # anti-join and candidate tier (the adversarial dedup case)
     "pretrain_increment_pipeline",
+    # r15: the vector tier's persisted-layout face — embeddings-table
+    # sized (the corpus replica does not grow it), like the other
+    # semantic gates it still rides the 4x row for the fixed overhead
+    "semantic_index_persisted",
 ]
 # (image_dedup_clusters, audio_dedup, video_dedup and
 # media_dedup_pipeline are generated-fixture-sized — corpus-independent,
