@@ -746,23 +746,38 @@ def persist_semantic_assignments(
     is directory-pruned), ``stats/`` (ONE row: max_id, n_rows — the
     loud append-only guard reads this instead of scanning the index),
     ``journal/`` ('pending' before the first overwrite, 'committed'
-    after the stats flip — crash anywhere between is detectable)."""
+    after the stats flip — crash anywhere between is detectable).
+
+    The on-disk schema is FIXED (``persist_bm25_index`` convention):
+    the id column keeps the caller's ``id_col`` name (``update`` must
+    be called with the same one), the cluster and vector columns are
+    always written as ``cluster_id`` / ``v`` regardless of the input
+    names, so a layout persisted with non-default ``cluster_col`` /
+    ``vec_col`` stays updatable.  Stats are computed from a READ-BACK
+    of the written assignments — never from a second pass over the
+    (possibly non-deterministic) input — so the guard's max_id always
+    describes what was actually written; an empty input persists
+    ``max_id = -1`` rather than NULL."""
     from .retrieval import _write_journal
 
     spark = indexed.sparkSession
     _write_journal(spark, path, "pending")
     rows = indexed.select(
         F.col(id_col),
-        F.col(cluster_col),
+        F.col(cluster_col).alias("cluster_id"),
         as_double_array(F.col(vec_col)).alias("v"),
     )
-    rows.write.mode("overwrite").partitionBy(cluster_col).parquet(
+    rows.write.mode("overwrite").partitionBy("cluster_id").parquet(
         f"{path}/assignments"
     )
-    rows.agg(
-        F.max(id_col).cast("long").alias("max_id"),
+    # Explicit schema: an empty input writes no data files, and the
+    # read-back must still produce the (0, -1) stats row.
+    spark.read.schema(rows.schema).parquet(f"{path}/assignments").agg(
+        F.coalesce(F.max(id_col).cast("long"), F.lit(-1)).alias(
+            "max_id"
+        ),
         F.count(F.lit(1)).alias("n_rows"),
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
     _write_journal(spark, path, "committed")
 
 
@@ -799,7 +814,10 @@ def update_semantic_assignments(
 
     spark = new_vectors.sparkSession
     st = check_semantic_assignments(spark, path)
-    max_id = st["max_id"]
+    # Layouts persisted before the empty-input fix can carry a NULL
+    # max_id (F.max over zero rows); normalize to the "no indexed
+    # rows" sentinel so the guard compares int-to-int.
+    max_id = -1 if st["max_id"] is None else st["max_id"]
     # Loud append-only guard, BEFORE any mutating write: one
     # column-pruned shard pass (whose max/count the stats flip needs
     # anyway) — a violation fails here with the layout still
@@ -820,9 +838,28 @@ def update_semantic_assignments(
     shard = new_vectors.select(
         F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
     )
-    indexed = spark.read.parquet(f"{path}/assignments").select(
-        id_col, "cluster_id", "v"
-    )
+    if st["n_rows"] == 0:
+        # Empty layout (no data files to infer from): build the empty
+        # indexed frame from the shard/centroid schemas instead.
+        from pyspark.sql.types import StructField, StructType
+
+        indexed = spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    shard.schema[id_col],
+                    StructField(
+                        "cluster_id",
+                        centroids.schema[centroid_id_col].dataType,
+                    ),
+                    shard.schema["v"],
+                ]
+            ),
+        )
+    else:
+        indexed = spark.read.parquet(f"{path}/assignments").select(
+            id_col, "cluster_id", "v"
+        )
     out = semantic_dedup_incremental(
         shard,
         centroids,
@@ -834,6 +871,12 @@ def update_semantic_assignments(
         centroid_vec_col=centroid_vec_col,
         round_dp=round_dp,
     )
+    # Pin the decisions BEFORE mutating the layout their plan reads:
+    # `out` is consumed twice anyway (the append join below + the
+    # caller's action), and without the pin the caller's action would
+    # recompute the whole incremental dedup against a file-index
+    # snapshot of assignments/ that the append just changed.
+    out = out.localCheckpoint(eager=True)
     _write_journal(spark, path, "pending")
     shard.join(out.select(id_col, "cluster_id"), id_col).select(
         id_col, "cluster_id", "v"

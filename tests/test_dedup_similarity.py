@@ -1163,3 +1163,54 @@ class TestSemanticDedupIncremental:
         # the failed update never journalled 'pending' (the guard fires
         # during the pre-append read) — layout still committed
         assert sim.check_semantic_assignments(spark, path)["n_rows"] == 5
+
+    def test_persisted_layout_nondefault_columns(self, spark, tmp_path):
+        # r16 (ADVICE): a layout persisted with non-default
+        # cluster_col/vec_col is canonicalized on disk (cluster_id/v),
+        # so update works regardless of the input column names.
+        path = str(tmp_path / "semidx_cols")
+        old = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0, 0.0]),
+                (1, [0.99, 0.14, 0.0]),
+                (2, [0.0, 1.0, 0.0]),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        cents = self._cents(spark)
+        base = sim.semantic_dedup(old, cents, threshold=0.9)
+        indexed = (
+            base.select("vec_id", "cluster_id")
+            .join(old, "vec_id")
+            .withColumnRenamed("cluster_id", "grp")
+            .withColumnRenamed("embedding", "emb")
+        )
+        sim.persist_semantic_assignments(
+            indexed, path, cluster_col="grp", vec_col="emb"
+        )
+        new = spark.createDataFrame(
+            [(10, [0.99, 0.13, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        inc = sim.update_semantic_assignments(new, cents, path, threshold=0.9)
+        assert {r.vec_id for r in inc.collect()} == {10}
+        assert sim.check_semantic_assignments(spark, path)["n_rows"] == 4
+
+    def test_persisted_layout_empty_input(self, spark, tmp_path):
+        # r16 (ADVICE): an empty persist writes max_id = -1 (not NULL),
+        # and the first real shard absorbs cleanly through the guard.
+        path = str(tmp_path / "semidx_empty")
+        empty = spark.createDataFrame(
+            [], "vec_id long, cluster_id long, embedding array<float>"
+        )
+        sim.persist_semantic_assignments(empty, path)
+        st = sim.check_semantic_assignments(spark, path)
+        assert st == {"journal": "committed", "max_id": -1, "n_rows": 0}
+        cents = self._cents(spark)
+        new = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        inc = sim.update_semantic_assignments(new, cents, path, threshold=0.9)
+        assert [(r.vec_id, r.keep) for r in inc.collect()] == [(0, True)]
+        st = sim.check_semantic_assignments(spark, path)
+        assert st == {"journal": "committed", "max_id": 0, "n_rows": 1}
