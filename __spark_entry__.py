@@ -8171,6 +8171,55 @@ def q_pretrain_increment_pipeline(spark, sf_dir):
     )
 
 
+def q_pretrain_artifacts_persisted(spark, sf_dir):
+    """The PERSISTED-LAYOUT face of the daily-shard capstone (r16 —
+    operators.pretrain.persist/update_pretrain_artifacts, VERDICT r15
+    item 1): the base crawl's increment artifacts (fetched norm_urls,
+    content digests, the exact-survivor corpus + its LSH band table,
+    the frozen NB model) are written ONCE as the journaled on-disk
+    layout — urls/digests hive-partitioned by md5 bucket, bands by
+    band_id, one-row stats carrying max_id + the frozen policy
+    scalars, pending/committed journal — and the shard absorbs
+    THROUGH the layout: the update validates old-beats-new against
+    the stats row BEFORE any mutating write, appends the shard's
+    urls/digests/corpus/band rows, and flips the stats. Same fixture
+    and oracle as pretrain_increment_pipeline: the layout, the guard,
+    and the journal protocol must all be invisible in the decisions.
+    The layout lands in a fresh temp dir per call (the bm25_persisted
+    gate contract — no teardown hook)."""
+    import tempfile
+
+    from bigdata_lab02_spark.functions.text import tokens_column
+    from bigdata_lab02_spark.operators.pretrain import (
+        persist_pretrain_artifacts,
+        update_pretrain_artifacts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        "source",
+        F.expr(_CRAWL_URL_FIXTURE_EXPR).alias("url"),
+        F.expr(_PRETRAIN_BODY_EXPR).alias("text"),
+    )
+    # Range split (NOT even/odd): the layout's old-beats-new guard
+    # rejects interleaved ids by contract. Threshold = half of max id,
+    # derived identically by the oracle's scalar subquery.
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    base_pages = pages.where(F.col("doc_id") * 2 <= max_id)
+    shard_pages = pages.where(F.col("doc_id") * 2 > max_id)
+    sfx, blk = _url_dims(spark)
+    path = tempfile.mkdtemp(prefix="pretrain_art_gate_") + "/layout"
+    persist_pretrain_artifacts(
+        base_pages,
+        sfx,
+        F.array_contains(tokens_column(F.col("text")), "spark"),
+        path,
+        blocklist=blk,
+    )
+    return update_pretrain_artifacts(shard_pages, sfx, path, blocklist=blk)
+
+
 # ----------------------- pretraining-corpus capstone (r15)
 
 # WARC body fixture for the capstone: documents.text rides through the
@@ -8361,21 +8410,25 @@ FROM ppk
 """
 
 
-# The daily-shard oracle: base (even ids) and shard (odd ids) both
-# restated from first principles — each gets its own URL-tier subquery
-# (nested WITH, the ccnet-oracle pattern, because the tier builder's
-# CTE names are fixed), the base side derives digests/bands/model, the
-# shard side anti-joins, pairs within and across, and scores with the
-# base-trained chain (_qcls_chain_sql train=bnd, score=sex).
-_PRETRAIN_INC_SQL = f"""
+# The daily-shard oracle, parameterized by the base/shard split
+# predicates: both sides restated from first principles — each gets
+# its own URL-tier subquery (nested WITH, the ccnet-oracle pattern,
+# because the tier builder's CTE names are fixed), the base side
+# derives digests/bands/model, the shard side anti-joins, pairs within
+# and across, and scores with the base-trained chain (_qcls_chain_sql
+# train=bnd, score=sex). The increment gate splits even/odd (maximal
+# interleave stress); the persisted-layout gate splits by id RANGE
+# (its loud old-beats-new guard rejects interleaved ids by contract).
+def _pretrain_inc_sql(base_pred: str, shard_pred: str) -> str:
+    return f"""
 WITH pall AS (SELECT doc_id, source, {_PRETRAIN_BODY_EXPR} AS text
               FROM documents),
 buw AS (SELECT * FROM (
-  WITH bdocs AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+  WITH bdocs AS (SELECT * FROM documents WHERE {base_pred}),
   {_url_tier_sql(_CRAWL_URL_FIXTURE_EXPR, src="bdocs")}
   SELECT doc_id, norm_url, registered_domain, url_keep FROM uw)),
 suw AS (SELECT * FROM (
-  WITH sdocs AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+  WITH sdocs AS (SELECT * FROM documents WHERE {shard_pred}),
   {_url_tier_sql(_CRAWL_URL_FIXTURE_EXPR, src="sdocs")}
   SELECT doc_id, norm_url, registered_domain, url_keep FROM uw)),
 bsurv AS (SELECT u.doc_id, p.source, p.text, u.norm_url
@@ -8441,6 +8494,15 @@ FROM sex
 LEFT JOIN snear sn ON sn.doc_id = sex.doc_id
 JOIN cls ON cls.doc_id = sex.doc_id
 """
+
+
+_PRETRAIN_INC_SQL = _pretrain_inc_sql("doc_id % 2 = 0", "doc_id % 2 = 1")
+# Range split for the persisted-artifact gate: SF-invariant threshold
+# (half of max doc_id, scalar-derived identically on both engines).
+_PRETRAIN_ART_SQL = _pretrain_inc_sql(
+    "doc_id * 2 <= (SELECT max(doc_id) FROM documents)",
+    "doc_id * 2 > (SELECT max(doc_id) FROM documents)",
+)
 
 
 # Mirrors _media_dims(mid, 1024): side = int(sqrt(1024/3)) = 18.
@@ -8932,6 +8994,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # semantic_dedup_incremental, persistence/guard invisible;
     # oracle-gated every pytest run.
     "semantic_index_persisted": q_semantic_index_persisted,
+    # pretrain_artifacts_persisted (r16, VERDICT r15 item 1): the
+    # journaled on-disk layout for the capstone's base artifacts
+    # (urls/digests/corpus/bands + frozen model + stats + journal)
+    # absorbed through — same oracle as pretrain_increment_pipeline,
+    # layout/guard/journal invisible; oracle-gated every pytest run.
+    "pretrain_artifacts_persisted": q_pretrain_artifacts_persisted,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -8960,6 +9028,7 @@ ROTATED_OUT: set[str] = {
     "semantic_dedup_incremental", "hybrid_retrieval",
     "pack_sequences", "hybrid_retrieval_persisted",
     "pretrain_increment_pipeline", "semantic_index_persisted",
+    "pretrain_artifacts_persisted",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -9134,9 +9203,15 @@ _R15_NEW = {
     "pretrain_increment_pipeline",
     "semantic_index_persisted",
 }
+# Round-16 registrations: the journaled on-disk layout for the
+# capstone's base artifacts (VERDICT r15 item 1).
+_R16_NEW = {
+    "pretrain_artifacts_persisted",
+}
 REGISTERED_SINCE: dict[str, int] = {
     name: (
-        15 if name in _R15_NEW
+        16 if name in _R16_NEW
+        else 15 if name in _R15_NEW
         else 14 if name in _R14_NEW
         else 13 if name in _R13_NEW
         else 12 if name in _R12_NEW
@@ -9205,6 +9280,7 @@ _ORACLES: dict[str, str] = {
     "pretrain_corpus_pipeline": _PRETRAIN_E2E_SQL,
     "hybrid_retrieval_persisted": _HYBRID_PERSISTED_SQL,
     "pretrain_increment_pipeline": _PRETRAIN_INC_SQL,
+    "pretrain_artifacts_persisted": _PRETRAIN_ART_SQL,
     "dedup_spans": _DEDUP_SPANS_SQL,
     "scrub_pii": _SCRUB_SQL,
     "repetition_stats": _REPETITION_SQL,

@@ -235,6 +235,9 @@ EXTRA = [
     # r15: the vector tier's persisted-layout face (stats-row guard +
     # journal; same oracle as semantic_dedup_incremental)
     "semantic_index_persisted",
+    # r16: the capstone's persisted-artifact layout face — base
+    # artifacts journaled on disk, the shard absorbed through them
+    "pretrain_artifacts_persisted",
 ]
 STREAMING_LAST = [
     "stream_hourly",

@@ -255,8 +255,60 @@ def pretrain_shard_increment(
     Returns one row per within-shard exact-dedup survivor:
     ``(id, group, *passthrough, registered_domain, dup_of_index,
     near_dup, score_mu, quality_keep, keep)``."""
-    extra = list(passthrough or [])
+    _, _, out = _shard_chain(
+        new_pages,
+        suffixes,
+        indexed_urls,
+        indexed_digests,
+        corpus,
+        corpus_bands,
+        model,
+        blocklist=blocklist,
+        url_col=url_col,
+        text_col=text_col,
+        id_col=id_col,
+        group_col=group_col,
+        extra=list(passthrough or []),
+        minhash_threshold=minhash_threshold,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        bands=bands,
+        n_buckets=n_buckets,
+    )
+    return out
 
+
+def _shard_chain(
+    new_pages: DataFrame,
+    suffixes: DataFrame,
+    indexed_urls: DataFrame,
+    indexed_digests: DataFrame,
+    corpus: DataFrame,
+    corpus_bands: DataFrame,
+    model: DataFrame,
+    blocklist: DataFrame | None,
+    url_col: str,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    extra: list[str],
+    minhash_threshold: float,
+    num_hashes: int,
+    shingle_n: int,
+    bands: int,
+    n_buckets: int,
+    pin_surv: bool = False,
+):
+    """The shard-absorb chain shared by ``pretrain_shard_increment``
+    (decisions only) and ``update_pretrain_artifacts`` (decisions PLUS
+    the intermediates whose rows grow the persisted layout): returns
+    ``(surv, ex, out)`` where ``surv`` still carries ``norm_url`` (the
+    shard's newly fetched URLs — including within-shard exact-dup
+    copies, whose URLs were fetched too) and ``ex`` carries ``digest``
+    + ``dup_of_index`` (the new-digest rows are the ones a merged
+    rebuild's exact tier would keep). ``pin_surv`` localCheckpoints
+    ``surv`` when a second consumer (the URL append) would otherwise
+    re-derive the URL tier."""
     # --- URL tier over the shard, then drop already-fetched URLs ----
     tier = url_filters(
         new_pages,
@@ -268,7 +320,11 @@ def pretrain_shard_increment(
     )
     surv = tier.where("url_keep").join(
         indexed_urls.select("norm_url"), "norm_url", "left_anti"
-    ).select(id_col, group_col, text_col, "registered_domain", *extra)
+    ).select(
+        id_col, group_col, text_col, "registered_domain", "norm_url", *extra
+    )
+    if pin_surv:
+        surv = surv.localCheckpoint()
 
     # --- within-shard exact dedup + indexed-digest flag --------------
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
@@ -276,15 +332,15 @@ def pretrain_shard_increment(
         surv.withColumn("__rn", F.row_number().over(w))
         .where("__rn = 1")
         .drop("__rn")
-        .withColumn("__digest", F.md5(F.col(text_col)))
+        .withColumn("digest", F.md5(F.col(text_col)))
     )
     ex = ex.join(
         indexed_digests.select(
-            F.col("digest").alias("__digest"), F.lit(True).alias("dup_of_index")
+            "digest", F.lit(True).alias("dup_of_index")
         ),
-        "__digest",
+        "digest",
         "left",
-    ).drop("__digest").withColumn(
+    ).withColumn(
         "dup_of_index", F.coalesce(F.col("dup_of_index"), F.lit(False))
     ).localCheckpoint()
 
@@ -322,8 +378,7 @@ def pretrain_shard_increment(
         ex.join(near, id_col, "left")
         .withColumn("near_dup", F.coalesce(F.col("near_dup"), F.lit(False)))
         .join(scored, id_col)
-    )
-    return out.select(
+    ).select(
         id_col,
         group_col,
         *extra,
@@ -338,3 +393,455 @@ def pretrain_shard_increment(
             & F.col("quality_keep")
         ).alias("keep"),
     )
+    return surv, ex, out
+
+
+def _md5_bucket(col: Column, n_buckets: int) -> Column:
+    """Engine-portable hash bucket (the retrieval term_bucket formula):
+    first 15 hex chars of md5 → mod n_buckets. DuckDB restates it
+    verbatim, so oracles can reproduce the bucket assignment."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+        % n_buckets
+    ).cast("int")
+
+
+def persist_pretrain_artifacts(
+    base_pages: DataFrame,
+    suffixes: DataFrame,
+    positive: Column,
+    path: str,
+    blocklist: DataFrame | None = None,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    passthrough: list[str] | None = None,
+    minhash_threshold: float = 0.5,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    bands: int = 4,
+    n_buckets: int = 512,
+    url_buckets: int = 64,
+    digest_buckets: int = 64,
+) -> None:
+    """Build the base corpus's increment artifacts ONCE and persist
+    them as the journaled on-disk layout ``update_pretrain_artifacts``
+    absorbs daily shards through — the ``persist_bm25_index`` /
+    ``persist_semantic_assignments`` convention applied to the
+    capstone's artifact set (r16, VERDICT r15 item 1; the reference
+    analog is its HDFS interchange files between chained jobs,
+    task1_1.java:187-192).
+
+    Layout under ``path``:
+
+    - ``urls/``    — one ``norm_url`` per URL the base crawl fetched
+      (the URL tier's survivors), hive-partitioned by
+      ``url_bucket = md5(norm_url) mod url_buckets`` — bounded
+      directory count, append-friendly, and bucket-wise joinable;
+    - ``digests/`` — one ``digest`` (md5 of text) per distinct content
+      the base kept past its URL tier, partitioned by
+      ``digest_bucket`` the same way;
+    - ``corpus/``  — the exact-dedup survivors ``(id, group, text)``
+      (kept AND near-dup-dropped: dropped members still suppress later
+      near-copies — the semantic-assignment-table rule);
+    - ``bands/``   — the corpus's LSH band table, partitioned by
+      ``band_id`` so per-band maintenance jobs are directory-pruned
+      (the shard candidate join itself keys on ``band_hash``, which
+      bakes the band index in);
+    - ``model/``   — the NB quality model trained on the near-dup
+      survivors, FROZEN for every later shard (the
+      persist_ivf_lists fixed-quantizer contract, classifier form);
+    - ``stats/``   — ONE row: ``max_id`` (over the base pages — the
+      loud old-beats-new guard reads this instead of scanning the
+      layout), row counts per artifact, and the FROZEN policy scalars
+      (num_hashes/shingle_n/bands/n_buckets/bucket counts/threshold) —
+      an update re-reads policy from here, so two shards can never be
+      absorbed under silently different banding;
+    - ``journal/`` — 'pending' before the first overwrite, 'committed'
+      after the stats flip (crash anywhere between is detectable by
+      ``check_pretrain_artifacts``).
+
+    ``positive`` labels the classifier's reference class, evaluated on
+    the near-dup survivors (exactly what ``pretrain_corpus`` trains
+    on); ``passthrough`` columns ride to that frame for ``positive``
+    to reference, but are NOT persisted.
+
+    Counts and ``max_id`` in stats come from READ-BACKS of the written
+    artifacts (plus the one input-side page aggregate the guard
+    needs), never from a second pass over a possibly-non-deterministic
+    input."""
+    from .dedup import (
+        minhash_band_table,
+        minhash_dedup_pairs,
+        minhash_signatures,
+    )
+    from .retrieval import _write_journal
+
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
+    extra = list(passthrough or [])
+    spark = base_pages.sparkSession
+    _write_journal(spark, path, "pending")
+
+    # --- URL tier: survivors carry norm_url for the fetched-URL set -
+    tier = url_filters(
+        base_pages,
+        suffixes,
+        blocklist=blocklist,
+        url_col=url_col,
+        id_col=id_col,
+        passthrough=[group_col, text_col, *extra],
+    )
+    surv = tier.where("url_keep").select(
+        id_col, group_col, text_col, "norm_url", *extra
+    ).localCheckpoint()  # fans out: urls, digests, corpus (3 writes)
+
+    urls = surv.select("norm_url").withColumn(
+        "url_bucket", _md5_bucket(F.col("norm_url"), url_buckets)
+    )
+    urls.write.mode("overwrite").partitionBy("url_bucket").parquet(
+        f"{path}/urls"
+    )
+    digests = (
+        surv.select(F.md5(F.col(text_col)).alias("digest"))
+        .distinct()
+        .withColumn("digest_bucket", _md5_bucket(F.col("digest"), digest_buckets))
+    )
+    digests.write.mode("overwrite").partitionBy("digest_bucket").parquet(
+        f"{path}/digests"
+    )
+
+    # --- exact-dedup survivors = the corpus artifact -----------------
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    ex = (
+        surv.withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .select(id_col, group_col, text_col, *extra)
+    )
+    ex.write.mode("overwrite").parquet(f"{path}/corpus")
+    # Downstream tiers read the corpus BACK from the layout (the tier
+    # boundary a production run would write anyway): bands, pairs and
+    # the trained model describe exactly what was written.
+    ex_rb = spark.read.schema(ex.schema).parquet(f"{path}/corpus")
+    band_tbl = minhash_band_table(
+        minhash_signatures(
+            ex_rb.select(id_col, text_col),
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            shingle_n=shingle_n,
+        ),
+        id_col=id_col,
+        bands=bands,
+        rows_per_band=num_hashes // bands,
+    )
+    band_tbl.write.mode("overwrite").partitionBy("band_id").parquet(
+        f"{path}/bands"
+    )
+    drops = minhash_dedup_pairs(
+        ex_rb.select(id_col, text_col),
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        bands=bands,
+        threshold=minhash_threshold,
+    ).select(F.col("id_b").alias(id_col))
+    nd = ex_rb.join(drops, id_col, "left_anti")
+    model = quality_classifier_train(
+        nd, positive, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    )
+    model.write.mode("overwrite").parquet(f"{path}/model")
+
+    # --- one-row stats: counts from read-backs, policy frozen --------
+    stats = (
+        base_pages.agg(
+            F.coalesce(F.max(id_col).cast("long"), F.lit(-1)).alias("max_id")
+        )
+        .crossJoin(ex_rb.agg(F.count(F.lit(1)).alias("n_corpus")))
+        .crossJoin(
+            spark.read.schema(urls.schema)
+            .parquet(f"{path}/urls")
+            .agg(F.count(F.lit(1)).alias("n_urls"))
+        )
+        .crossJoin(
+            spark.read.schema(digests.schema)
+            .parquet(f"{path}/digests")
+            .agg(F.count(F.lit(1)).alias("n_digests"))
+        )
+        .crossJoin(
+            spark.read.schema(band_tbl.schema)
+            .parquet(f"{path}/bands")
+            .agg(F.count(F.lit(1)).alias("n_bands"))
+        )
+        .select(
+            "max_id",
+            "n_corpus",
+            "n_urls",
+            "n_digests",
+            "n_bands",
+            F.lit(minhash_threshold).cast("double").alias("threshold"),
+            F.lit(num_hashes).cast("int").alias("num_hashes"),
+            F.lit(shingle_n).cast("int").alias("shingle_n"),
+            F.lit(bands).cast("int").alias("bands"),
+            F.lit(n_buckets).cast("int").alias("n_buckets"),
+            F.lit(url_buckets).cast("int").alias("url_buckets"),
+            F.lit(digest_buckets).cast("int").alias("digest_buckets"),
+        )
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    _write_journal(spark, path, "committed")
+
+
+def check_pretrain_artifacts(spark, path: str, deep: bool = False) -> dict:
+    """Consistency probe for a ``persist_pretrain_artifacts`` layout —
+    the ``check_bm25_index`` convention: the journal must read back
+    exactly one 'committed' row (a crashed update leaves 'pending' or
+    an unreadable journal dir), and the stats table exactly one row.
+    ``deep=True`` recounts urls/digests/corpus and compares with the
+    stats row — catches corruption the journal can't see. Returns the
+    stats row as a dict. Recovery from a failed update is REBUILD:
+    re-running an update would double-append its shard."""
+    try:
+        jrows = spark.read.parquet(f"{path}/journal").collect()
+    except Exception as exc:
+        raise ValueError(
+            f"pretrain artifacts at {path}: journal unreadable ({exc}); "
+            "treat the layout as unbuilt and rebuild"
+        ) from None
+    if len(jrows) != 1 or jrows[0]["state"] != "committed":
+        raise ValueError(
+            f"pretrain artifacts at {path}: journal reads "
+            f"{[r['state'] for r in jrows]} != ['committed'] — an update "
+            "crashed mid-flight; rebuild (persist_pretrain_artifacts) "
+            "before absorbing another shard"
+        )
+    srows = spark.read.parquet(f"{path}/stats").collect()
+    if len(srows) != 1:
+        raise ValueError(
+            f"pretrain artifacts at {path}: stats table has "
+            f"{len(srows)} rows, want 1 — layout corrupted; rebuild"
+        )
+    st = srows[0].asDict()
+    st["journal"] = "committed"
+    if deep:
+        for name, key in (
+            ("urls", "n_urls"),
+            ("digests", "n_digests"),
+            ("corpus", "n_corpus"),
+        ):
+            try:
+                got = spark.read.parquet(f"{path}/{name}").count()
+            except Exception:
+                # a zero-row partitioned write leaves no data files to
+                # infer from — consistent iff stats also says zero
+                got = 0
+            if got != st[key]:
+                raise ValueError(
+                    f"pretrain artifacts at {path}: {name}/ has {got} "
+                    f"rows but stats says {st[key]} — layout corrupted; "
+                    "rebuild"
+                )
+    return st
+
+
+def update_pretrain_artifacts(
+    new_pages: DataFrame,
+    suffixes: DataFrame,
+    path: str,
+    blocklist: DataFrame | None = None,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """Absorb a crawl shard THROUGH a persisted artifact layout — the
+    deployed face of ``pretrain_shard_increment`` (r16, VERDICT r15
+    item 1): read the artifacts back from ``path``, run the shard
+    chain, return the per-survivor decision flags, and grow the layout
+    so the NEXT shard sees this one's URLs, digests, corpus rows and
+    band rows. Policy scalars (banding, threshold, model buckets) come
+    from the layout's stats row — never from the caller — so every
+    shard is absorbed under the exact policy the base was built with;
+    the NB model stays FROZEN by contract.
+
+    Loud old-beats-new guard BEFORE any mutating write: shard ids must
+    all exceed the layout's ``max_id`` (ids order fetch time — the
+    within-shard first-fetch rule and the oracle's restatement both
+    assume it), else the update raises with the layout still
+    'committed'.
+
+    Appends (each shard-sized — nothing base-sized is recomputed or
+    rewritten): ``urls/`` gains the shard's newly fetched norm_urls
+    (including within-shard exact-dup copies — their URLs were
+    fetched); ``digests/`` and ``corpus/``+``bands/`` gain the rows a
+    merged-rebuild's exact tier would keep (``dup_of_index = false``
+    survivors, near-dup-dropped included). The journal flips
+    pending→committed around the appends + stats overwrite, so
+    ``build(A); update(B)`` replays ``build(A ∪ B)``'s artifacts
+    table-for-table (equivalence-tested), and a crash in between is
+    detected.
+
+    Returns the shard's decision frame — identical to
+    ``pretrain_shard_increment`` over the same artifacts (the gate
+    shares its oracle: the layout must be invisible in results)."""
+    from .dedup import minhash_band_table, minhash_signatures
+    from .retrieval import _write_journal
+
+    spark = new_pages.sparkSession
+    st = check_pretrain_artifacts(spark, path)
+    probe = new_pages.agg(
+        F.min(id_col).alias("lo"),
+        F.max(id_col).cast("long").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    max_id = -1 if st["max_id"] is None else st["max_id"]
+    if probe["n"] > 0 and probe["lo"] <= max_id:
+        raise ValueError(
+            f"pretrain artifacts at {path}: shard {id_col}={probe['lo']} "
+            f"<= indexed max_id {max_id} — the old-beats-new contract is "
+            "violated (ids order fetch time; an out-of-order shard would "
+            "flip first-fetch decisions a rebuild already made); rebuild "
+            "with persist_pretrain_artifacts instead"
+        )
+
+    # --- read the artifacts back (empty artifacts need explicit
+    #     schemas: a partitioned dir written from zero rows has no
+    #     data files to infer from) ----------------------------------
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    id_field = new_pages.schema[id_col]
+    grp_field = new_pages.schema[group_col]
+
+    def _read(name: str, n: int, schema: StructType) -> DataFrame:
+        if n == 0:
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(f"{path}/{name}")
+
+    indexed_urls = _read(
+        "urls",
+        st["n_urls"],
+        StructType([StructField("norm_url", StringType())]),
+    ).select("norm_url")
+    indexed_digests = _read(
+        "digests",
+        st["n_digests"],
+        StructType([StructField("digest", StringType())]),
+    ).select("digest")
+    corpus = _read(
+        "corpus",
+        st["n_corpus"],
+        StructType([id_field, grp_field, StructField(text_col, StringType())]),
+    ).select(id_col, text_col)
+    corpus_bands = _read(
+        "bands",
+        st["n_bands"],
+        StructType(
+            [
+                id_field,
+                StructField("band_hash", StringType()),
+                StructField("band_id", IntegerType()),
+            ]
+        ),
+    ).select(id_col, "band_id", "band_hash")
+    model = spark.read.parquet(f"{path}/model")
+
+    surv, ex, out = _shard_chain(
+        new_pages,
+        suffixes,
+        indexed_urls,
+        indexed_digests,
+        corpus,
+        corpus_bands,
+        model,
+        blocklist=blocklist,
+        url_col=url_col,
+        text_col=text_col,
+        id_col=id_col,
+        group_col=group_col,
+        extra=list(passthrough or []),
+        minhash_threshold=st["threshold"],
+        num_hashes=st["num_hashes"],
+        shingle_n=st["shingle_n"],
+        bands=st["bands"],
+        n_buckets=st["n_buckets"],
+        pin_surv=True,  # consumed by ex AND the urls append
+    )
+    # Pin the decisions BEFORE mutating the layout their plan reads
+    # (urls/digests/corpus/bands parquet) — `out` is returned to the
+    # caller, whose action would otherwise recompute the whole chain
+    # against the post-append file index.
+    out = out.localCheckpoint(eager=True)
+
+    _write_journal(spark, path, "pending")
+    new_urls = surv.select("norm_url").withColumn(
+        "url_bucket", _md5_bucket(F.col("norm_url"), st["url_buckets"])
+    )
+    new_urls.write.mode("append").partitionBy("url_bucket").parquet(
+        f"{path}/urls"
+    )
+    fresh = ex.where(~F.col("dup_of_index"))  # ex is checkpointed
+    fresh.select("digest").withColumn(
+        "digest_bucket", _md5_bucket(F.col("digest"), st["digest_buckets"])
+    ).write.mode("append").partitionBy("digest_bucket").parquet(
+        f"{path}/digests"
+    )
+    fresh.select(id_col, group_col, text_col).write.mode("append").parquet(
+        f"{path}/corpus"
+    )
+    new_bands = minhash_band_table(
+        minhash_signatures(
+            fresh.select(id_col, text_col),
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=st["num_hashes"],
+            shingle_n=st["shingle_n"],
+        ),
+        id_col=id_col,
+        bands=st["bands"],
+        rows_per_band=st["num_hashes"] // st["bands"],
+    ).localCheckpoint()  # consumed twice: the append + the stats count
+    new_bands.write.mode("append").partitionBy("band_id").parquet(
+        f"{path}/bands"
+    )
+
+    # --- stats flip: old counts + shard-sized aggregates (all from
+    #     pinned frames), built JVM-side ------------------------------
+    new_max = max(probe["hi"], max_id) if probe["n"] > 0 else max_id
+    stats = (
+        surv.agg(F.count(F.lit(1)).alias("__d_urls"))
+        .crossJoin(fresh.agg(F.count(F.lit(1)).alias("__d_corpus")))
+        .crossJoin(new_bands.agg(F.count(F.lit(1)).alias("__d_bands")))
+        .select(
+            F.lit(new_max).cast("long").alias("max_id"),
+            (F.lit(st["n_corpus"]) + F.col("__d_corpus"))
+            .cast("long")
+            .alias("n_corpus"),
+            (F.lit(st["n_urls"]) + F.col("__d_urls"))
+            .cast("long")
+            .alias("n_urls"),
+            (F.lit(st["n_digests"]) + F.col("__d_corpus"))
+            .cast("long")
+            .alias("n_digests"),
+            (F.lit(st["n_bands"]) + F.col("__d_bands"))
+            .cast("long")
+            .alias("n_bands"),
+            F.lit(st["threshold"]).cast("double").alias("threshold"),
+            F.lit(st["num_hashes"]).cast("int").alias("num_hashes"),
+            F.lit(st["shingle_n"]).cast("int").alias("shingle_n"),
+            F.lit(st["bands"]).cast("int").alias("bands"),
+            F.lit(st["n_buckets"]).cast("int").alias("n_buckets"),
+            F.lit(st["url_buckets"]).cast("int").alias("url_buckets"),
+            F.lit(st["digest_buckets"]).cast("int").alias("digest_buckets"),
+        )
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    _write_journal(spark, path, "committed")
+    return out

@@ -177,6 +177,7 @@ FAMILY_GATES: dict[str, set[str]] = {
     "chunk-pack": {"chunk_docs", "pack_sequences"},
     "pretrain-capstone": {
         "pretrain_corpus_pipeline", "pretrain_increment_pipeline",
+        "pretrain_artifacts_persisted",
     },
     "bpe": {"bpe_pipeline"},
     "warc": {

@@ -174,3 +174,198 @@ def test_shard_increment_flags(spark):
     assert rows[14].keep and rows[14].quality_keep
     assert not rows[14].dup_of_index and not rows[14].near_dup
     assert not rows[16].quality_keep and not rows[16].keep
+
+
+class TestPersistedArtifacts:
+    """r16 (VERDICT r15 item 1): the journaled on-disk layout for the
+    increment face's base artifacts — build(A); update(B) must replay
+    build(A ∪ B)'s artifact tables table-for-table (model excepted:
+    frozen by contract), the decisions must match the caller-supplied-
+    DataFrame face, and the old-beats-new guard must fire BEFORE any
+    mutating write."""
+
+    _SHARD = [
+        (11, "http://site-a.com/s11", _GOOD, "a"),
+        (12, "http://site-a.com/p1", _OK + " recrawl", "b"),
+        (13, "http://site-a.com/s13", _BASE + " tail two", "a"),
+        (14, "http://site-b.com/s14",
+         "entirely novel spark payload describing filters and maps", "b"),
+        (15, "http://site-a.com/s15", _BASE + " tail two", "a"),
+        (16, "http://site-b.com/s16",
+         "junk junk junk junk junk junk fresh", "b"),
+    ]
+
+    def _shard(self, spark):
+        return spark.createDataFrame(
+            self._SHARD, "doc_id long, url string, text string, source string"
+        )
+
+    def _positive(self):
+        return F.array_contains(tokens_column(F.col("text")), "spark")
+
+    def test_roundtrip_matches_rebuild(self, spark, tmp_path):
+        from bigdata_lab02_spark.operators.pretrain import (
+            check_pretrain_artifacts,
+            persist_pretrain_artifacts,
+            update_pretrain_artifacts,
+        )
+
+        sfx, blk = _dims(spark)
+        base = _pages(spark)
+        path = str(tmp_path / "arts")
+        persist_pretrain_artifacts(
+            base, sfx, self._positive(), path, blocklist=blk
+        )
+        st = check_pretrain_artifacts(spark, path, deep=True)
+        # tier survivors: 1,2,3,4,5,6,9 (7 recrawl, 8 blocked, 10 ftp);
+        # exact dedup drops 4 (digest of 1)
+        assert st["max_id"] == 10
+        assert st["n_urls"] == 7 and st["n_digests"] == 6
+        assert st["n_corpus"] == 6
+
+        out = update_pretrain_artifacts(
+            self._shard(spark), sfx, path, blocklist=blk
+        )
+        rows = {r.doc_id: r for r in out.collect()}
+        assert set(rows) == {11, 13, 14, 16}
+        # vs the FULL base: 11 copies base 1, 13 copies base 3 (exact),
+        # 16 near-dups base 5 ("junk…" + one extra token)
+        assert rows[11].dup_of_index and not rows[11].keep
+        assert rows[13].dup_of_index and not rows[13].keep
+        assert rows[16].near_dup and not rows[16].quality_keep
+        assert rows[14].keep and not rows[14].dup_of_index
+        assert not rows[14].near_dup
+
+        # layout == rebuild over the merged crawl, table for table
+        path2 = str(tmp_path / "arts_rebuild")
+        persist_pretrain_artifacts(
+            base.unionByName(self._shard(spark)),
+            sfx,
+            self._positive(),
+            path2,
+            blocklist=blk,
+        )
+        for name, cols in (
+            ("urls", ["norm_url"]),
+            ("digests", ["digest"]),
+            ("corpus", ["doc_id", "source", "text"]),
+            ("bands", ["doc_id", "band_id", "band_hash"]),
+        ):
+            got = sorted(
+                map(tuple, spark.read.parquet(f"{path}/{name}")
+                    .select(*cols).collect())
+            )
+            want = sorted(
+                map(tuple, spark.read.parquet(f"{path2}/{name}")
+                    .select(*cols).collect())
+            )
+            assert got == want, name
+        st = check_pretrain_artifacts(spark, path, deep=True)
+        st2 = check_pretrain_artifacts(spark, path2, deep=True)
+        assert st["n_corpus"] == st2["n_corpus"] == 8   # +14,16
+        assert st["n_urls"] == st2["n_urls"] == 12      # +11,13,14,15,16
+        assert st["n_digests"] == st2["n_digests"] == 8
+        assert st["n_bands"] == st2["n_bands"]
+        assert st["max_id"] == 16
+
+    def test_decisions_match_unpersisted_face(self, spark, tmp_path):
+        # Layout invisible in results: update == pretrain_shard_increment
+        # over the equivalent caller-supplied artifacts.
+        from bigdata_lab02_spark.operators import dedup as dd
+        from bigdata_lab02_spark.operators.pretrain import (
+            persist_pretrain_artifacts,
+            pretrain_shard_increment,
+            update_pretrain_artifacts,
+        )
+        from bigdata_lab02_spark.operators.url import url_filters
+
+        sfx, blk = _dims(spark)
+        base = _pages(spark)
+        path = str(tmp_path / "arts_eq")
+        persist_pretrain_artifacts(
+            base, sfx, self._positive(), path, blocklist=blk
+        )
+        got = {
+            tuple(r)
+            for r in update_pretrain_artifacts(
+                self._shard(spark), sfx, path, blocklist=blk
+            ).collect()
+        }
+
+        tier = url_filters(base, sfx, blocklist=blk,
+                           passthrough=["source", "text"])
+        bsurv = tier.where("url_keep").select(
+            "doc_id", "source", "text", "norm_url")
+        from pyspark.sql import Window
+        w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+        corpus = (bsurv.withColumn("__rn", F.row_number().over(w))
+                  .where("__rn = 1").select("doc_id", "text"))
+        bands = dd.minhash_band_table(
+            dd.minhash_signatures(corpus, num_hashes=8, shingle_n=3),
+            bands=4, rows_per_band=2)
+        drops = dd.minhash_dedup_pairs(corpus, threshold=0.5).select(
+            F.col("id_b").alias("doc_id"))
+        nd = corpus.join(drops, "doc_id", "left_anti")
+        from bigdata_lab02_spark.operators.curation import (
+            quality_classifier_train,
+        )
+        model = quality_classifier_train(nd, self._positive(), n_buckets=512)
+        want = {
+            tuple(r)
+            for r in pretrain_shard_increment(
+                self._shard(spark), sfx,
+                bsurv.select("norm_url"),
+                bsurv.select(F.md5("text").alias("digest")).distinct(),
+                corpus, bands, model, blocklist=blk,
+            ).collect()
+        }
+        assert got == want
+
+    def test_guard_fires_before_mutation(self, spark, tmp_path):
+        from bigdata_lab02_spark.operators.pretrain import (
+            check_pretrain_artifacts,
+            persist_pretrain_artifacts,
+            update_pretrain_artifacts,
+        )
+
+        sfx, blk = _dims(spark)
+        path = str(tmp_path / "arts_guard")
+        persist_pretrain_artifacts(
+            _pages(spark), sfx, self._positive(), path, blocklist=blk
+        )
+        stale = spark.createDataFrame(
+            [(5, "http://site-z.com/z", "brand new stale text", "a")],
+            "doc_id long, url string, text string, source string",
+        )
+        import pytest
+        with pytest.raises(ValueError, match="old-beats-new"):
+            update_pretrain_artifacts(stale, sfx, path, blocklist=blk)
+        st = check_pretrain_artifacts(spark, path, deep=True)
+        assert st["journal"] == "committed" and st["n_corpus"] == 6
+
+    def test_empty_base_then_first_shard(self, spark, tmp_path):
+        from bigdata_lab02_spark.operators.pretrain import (
+            check_pretrain_artifacts,
+            persist_pretrain_artifacts,
+            update_pretrain_artifacts,
+        )
+
+        sfx, blk = _dims(spark)
+        path = str(tmp_path / "arts_empty")
+        empty = spark.createDataFrame(
+            [], "doc_id long, url string, text string, source string"
+        )
+        persist_pretrain_artifacts(
+            empty, sfx, self._positive(), path, blocklist=blk
+        )
+        st = check_pretrain_artifacts(spark, path, deep=True)
+        assert st["max_id"] == -1 and st["n_corpus"] == 0
+        out = update_pretrain_artifacts(
+            self._shard(spark), sfx, path, blocklist=blk
+        )
+        rows = {r.doc_id: r for r in out.collect()}
+        # no base: 11 is novel now, 12's URL is no longer a recrawl;
+        # 15 still loses within-shard to 13
+        assert set(rows) == {11, 12, 13, 14, 16}
+        assert not rows[11].dup_of_index
+        assert check_pretrain_artifacts(spark, path)["max_id"] == 16

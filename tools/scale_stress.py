@@ -160,6 +160,11 @@ FAMILY = [
     # sized (the corpus replica does not grow it), like the other
     # semantic gates it still rides the 4x row for the fixed overhead
     "semantic_index_persisted",
+    # r16: the capstone's persisted-artifact layout — the replica
+    # corpus saturates the URL/digest anti-joins and the band
+    # candidate tier THROUGH the on-disk layout (persist + update both
+    # in the wall)
+    "pretrain_artifacts_persisted",
 ]
 # (image_dedup_clusters, audio_dedup, video_dedup and
 # media_dedup_pipeline are generated-fixture-sized — corpus-independent,
