@@ -7703,6 +7703,71 @@ FROM dest d JOIN mest m USING (q_mu) ORDER BY q_mu
 """
 
 
+def q_sketch_quantiles_twolevel(spark, sf_dir):
+    """The 100 TB face of the quantile-register build (r16, VERDICT
+    r15 item 3 — sketch.quantile_registers_twolevel): level one builds
+    registers over n_buckets*fanout md5 SUB-shards (same md5 keying,
+    so sub mod n_buckets IS the direct scheme's bucket space), capping
+    the biggest single-task sort at ~N/(n_buckets*fanout) rows; level
+    two folds each bucket's fanout sub-registers with one MRL
+    re-decimation over register-table-sized data. The gate hashes the
+    REGISTER TABLE itself (bucket, r, mass, value) — the sketch is
+    deterministic by construction (md5 sub-shards, total-order fold),
+    so the oracle restates both levels and the table must replay
+    bit-for-bit, masses summing to each bucket's exact row count."""
+    from bigdata_lab02_spark.operators.sketch import (
+        quantile_registers_twolevel,
+    )
+    from bigdata_lab02_spark.operators.textstats import (
+        whitespace_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vals = docs.select(
+        F.col("doc_id").alias("id"),
+        whitespace_token_count(F.col("text")).cast("long").alias("value"),
+    )
+    return quantile_registers_twolevel(
+        vals, n_buckets=16, k=32, fanout=4
+    ).orderBy("bucket", "r")
+
+
+_SKETCH_Q2_SQL = """
+WITH vals AS (
+  SELECT doc_id AS id,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+      AS value,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 64
+      AS sub
+  FROM documents),
+rk AS (
+  SELECT sub, id, value,
+    row_number() OVER (PARTITION BY sub ORDER BY value, id) AS r,
+    count(*) OVER (PARTITION BY sub) AS n_b
+  FROM vals),
+kn AS (SELECT sub, r, value FROM rk
+       WHERE (r*32)//n_b > ((r-1)*32)//n_b),
+sreg AS (
+  SELECT sub, r,
+    r - COALESCE(lag(r) OVER (PARTITION BY sub ORDER BY r), 0) AS mass,
+    value
+  FROM kn),
+c AS (
+  SELECT sub % 16 AS bucket, sub, r, value, mass,
+    sum(mass) OVER (PARTITION BY sub % 16 ORDER BY value, sub, r) AS cum,
+    sum(mass) OVER (PARTITION BY sub % 16) AS m_b
+  FROM sreg),
+k2 AS (SELECT bucket, cum, mass, value FROM c
+       WHERE (cum*32)//m_b > ((cum-mass)*32)//m_b)
+SELECT CAST(bucket AS INT) AS bucket, CAST(cum AS BIGINT) AS r,
+  CAST(cum - COALESCE(lag(cum) OVER (PARTITION BY bucket ORDER BY cum), 0)
+       AS BIGINT) AS mass,
+  CAST(value AS BIGINT) AS value
+FROM k2 ORDER BY bucket, r
+"""
+
+
 def q_semantic_index_persisted(spark, sf_dir):
     """The PERSISTED-LAYOUT face of the vector-tier increment (r15 —
     similarity.persist/update_semantic_assignments, VERDICT r14 item
@@ -9000,6 +9065,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # absorbed through — same oracle as pretrain_increment_pipeline,
     # layout/guard/journal invisible; oracle-gated every pytest run.
     "pretrain_artifacts_persisted": q_pretrain_artifacts_persisted,
+    # sketch_quantiles_twolevel (r16, VERDICT r15 item 3): the two-level
+    # register build's register TABLE hashed bit-for-bit against a
+    # both-levels DuckDB restatement; oracle-gated every pytest run.
+    "sketch_quantiles_twolevel": q_sketch_quantiles_twolevel,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -9028,7 +9097,7 @@ ROTATED_OUT: set[str] = {
     "semantic_dedup_incremental", "hybrid_retrieval",
     "pack_sequences", "hybrid_retrieval_persisted",
     "pretrain_increment_pipeline", "semantic_index_persisted",
-    "pretrain_artifacts_persisted",
+    "pretrain_artifacts_persisted", "sketch_quantiles_twolevel",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -9207,6 +9276,7 @@ _R15_NEW = {
 # capstone's base artifacts (VERDICT r15 item 1).
 _R16_NEW = {
     "pretrain_artifacts_persisted",
+    "sketch_quantiles_twolevel",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -9274,6 +9344,7 @@ _ORACLES: dict[str, str] = {
     "dedup_clusters_incremental": _DEDUP_CLUSTERS_SQL,
     "image_captions": _IMAGE_CAPTIONS_SQL,
     "sketch_quantiles": _SKETCH_Q_SQL,
+    "sketch_quantiles_twolevel": _SKETCH_Q2_SQL,
     "semantic_dedup_incremental": _SEMANTIC_INC_SQL,
     "semantic_index_persisted": _SEMANTIC_INC_SQL,
     "hybrid_retrieval": _HYBRID_SQL,

@@ -238,6 +238,9 @@ EXTRA = [
     # r16: the capstone's persisted-artifact layout face — base
     # artifacts journaled on disk, the shard absorbed through them
     "pretrain_artifacts_persisted",
+    # r16: the two-level register build's register table, hashed
+    # bit-for-bit against a both-levels restatement
+    "sketch_quantiles_twolevel",
 ]
 STREAMING_LAST = [
     "stream_hourly",

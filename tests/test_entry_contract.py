@@ -158,7 +158,9 @@ FAMILY_GATES: dict[str, set[str]] = {
         "token_budget", "mixture_sample",
     },
     "textstats-langid": {"textstats", "language_id"},
-    "sketches": {"sketch_profile", "sketch_quantiles"},
+    "sketches": {
+        "sketch_profile", "sketch_quantiles", "sketch_quantiles_twolevel",
+    },
     "multimodal-codecs": {
         "multimodal_mixed", "jpeg_decode", "png_edges", "audio_decode",
         "video_frames", "wav_edges", "resize_mixed", "media_metadata",

@@ -165,6 +165,9 @@ FAMILY = [
     # candidate tier THROUGH the on-disk layout (persist + update both
     # in the wall)
     "pretrain_artifacts_persisted",
+    # r16: the two-level register build — wall should track data with
+    # the level-1 sub-shard sort dominating; level 2 is register-sized
+    "sketch_quantiles_twolevel",
 ]
 # (image_dedup_clusters, audio_dedup, video_dedup and
 # media_dedup_pipeline are generated-fixture-sized — corpus-independent,
