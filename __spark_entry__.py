@@ -8561,6 +8561,117 @@ JOIN cls ON cls.doc_id = sex.doc_id
 """
 
 
+def q_stream_pretrain_cands(spark, sf_dir):
+    """The STREAMING face of the capstone's shard absorb (r16, VERDICT
+    r15 item 6 — streaming.docs.pretrain_candidates_stream): the
+    doc_id % 4 == 0 quarter of the crawl fixture arrives as a page
+    FILE STREAM, and every micro-batch emits its per-tier duplicate
+    candidates against the base quarter's PERSISTED artifact layout
+    (persist_pretrain_artifacts — the urls/digests/bands tables read
+    back from disk are the static sides): stateless URL tier first
+    (rejects drop before content work), then kind='recrawl' (norm_url
+    already fetched), 'exact' (digest indexed), 'near' (band-hash
+    collision vs the pre-banded corpus — never re-shingled). Decisions
+    stay batch (update_pretrain_artifacts is the single writer); the
+    replay materializes to a memory sink and a batch-side distinct
+    collapses multiplicity. The oracle restates the layout content AND
+    all three candidate tiers from first principles."""
+    import tempfile
+
+    from bigdata_lab02_spark.functions.text import tokens_column
+    from bigdata_lab02_spark.operators.pretrain import (
+        persist_pretrain_artifacts,
+    )
+    from bigdata_lab02_spark.streaming import run_stream_to_memory
+    from bigdata_lab02_spark.streaming.docs import (
+        pretrain_candidates_stream,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        "source",
+        F.expr(_CRAWL_URL_FIXTURE_EXPR).alias("url"),
+        F.expr(_PRETRAIN_BODY_EXPR).alias("text"),
+    )
+    sfx, blk = _url_dims(spark)
+    path = tempfile.mkdtemp(prefix="pretrain_stream_gate_") + "/layout"
+    persist_pretrain_artifacts(
+        pages.where(F.col("doc_id") % 4 != 0),
+        sfx,
+        F.array_contains(tokens_column(F.col("text")), "spark"),
+        path,
+        blocklist=blk,
+    )
+    d = tempfile.mkdtemp(prefix="pages_replay_")
+    pages.where(F.col("doc_id") % 4 == 0).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(d)
+    stream = spark.readStream.schema(
+        "doc_id long, source string, url string, text string"
+    ).parquet(d)
+    cands = pretrain_candidates_stream(
+        stream,
+        sfx,
+        spark.read.parquet(f"{path}/urls"),
+        spark.read.parquet(f"{path}/digests"),
+        spark.read.parquet(f"{path}/bands"),
+        blocklist=blk,
+    )
+    out = run_stream_to_memory(
+        spark, cands, "stream_pretrain_cands_sink", mode="append"
+    )
+    return out.distinct()
+
+
+_STREAM_PRETRAIN_CANDS_SQL = f"""
+WITH pall AS (SELECT doc_id, {_PRETRAIN_BODY_EXPR} AS text
+              FROM documents),
+buw AS (SELECT * FROM (
+  WITH bdocs AS (SELECT * FROM documents WHERE doc_id % 4 != 0),
+  {_url_tier_sql(_CRAWL_URL_FIXTURE_EXPR, src="bdocs")}
+  SELECT doc_id, norm_url, url_keep FROM uw)),
+suw AS (SELECT * FROM (
+  WITH sdocs AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+  {_url_tier_sql(_CRAWL_URL_FIXTURE_EXPR, src="sdocs")}
+  SELECT doc_id, norm_url, scheme, host, blocked FROM uw)),
+bsurv AS (SELECT u.doc_id, p.text, u.norm_url
+  FROM buw u JOIN pall p USING (doc_id) WHERE u.url_keep),
+bex AS (SELECT doc_id, text FROM (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM bsurv) WHERE rn = 1),
+btk AS (SELECT doc_id, {_TOKS} AS toks FROM bex),
+bsh AS (SELECT doc_id, {_SHINGLES} AS s FROM btk),
+bexp AS (SELECT doc_id, unnest(s) AS shingle FROM bsh),
+bmh AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS h
+        FROM bexp, (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
+bsig AS (SELECT doc_id, list(h ORDER BY seed) AS sig FROM bmh
+         GROUP BY doc_id),
+bbnd AS (SELECT doc_id, b, sig[2 * b + 1] || '|' || sig[2 * b + 2] AS bh
+         FROM bsig, (SELECT unnest(range(4)) AS b)),
+skept AS (SELECT u.doc_id, u.norm_url, p.text
+  FROM suw u JOIN pall p USING (doc_id)
+  WHERE u.scheme IN ('http', 'https') AND u.host <> '' AND NOT u.blocked),
+stk AS (SELECT doc_id, {_TOKS} AS toks FROM skept),
+ssh AS (SELECT doc_id, {_SHINGLES} AS s FROM stk),
+sexp AS (SELECT doc_id, unnest(s) AS shingle FROM ssh),
+smh AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS h
+        FROM sexp, (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
+ssig AS (SELECT doc_id, list(h ORDER BY seed) AS sig FROM smh
+         GROUP BY doc_id),
+sbnd AS (SELECT doc_id, b, sig[2 * b + 1] || '|' || sig[2 * b + 2] AS bh
+         FROM ssig, (SELECT unnest(range(4)) AS b))
+SELECT doc_id, 'recrawl' AS kind, norm_url AS ref FROM skept
+  WHERE norm_url IN (SELECT norm_url FROM bsurv)
+UNION
+SELECT doc_id, 'exact' AS kind, md5(text) AS ref FROM skept
+  WHERE md5(text) IN (SELECT md5(text) FROM bsurv)
+UNION
+SELECT DISTINCT n.doc_id, 'near' AS kind, CAST(o.doc_id AS VARCHAR) AS ref
+  FROM sbnd n JOIN bbnd o ON n.b = o.b AND n.bh = o.bh
+"""
+
+
 _PRETRAIN_INC_SQL = _pretrain_inc_sql("doc_id % 2 = 0", "doc_id % 2 = 1")
 # Range split for the persisted-artifact gate: SF-invariant threshold
 # (half of max doc_id, scalar-derived identically on both engines).
@@ -9069,6 +9180,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # register build's register TABLE hashed bit-for-bit against a
     # both-levels DuckDB restatement; oracle-gated every pytest run.
     "sketch_quantiles_twolevel": q_sketch_quantiles_twolevel,
+    # stream_pretrain_cands (r16, VERDICT r15 item 6): the capstone's
+    # streaming face — stateless URL tier + recrawl/exact/near
+    # candidate emission against the persisted artifact layout,
+    # decisions stay batch; oracle-gated every pytest run.
+    "stream_pretrain_cands": q_stream_pretrain_cands,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -9098,6 +9214,7 @@ ROTATED_OUT: set[str] = {
     "pack_sequences", "hybrid_retrieval_persisted",
     "pretrain_increment_pipeline", "semantic_index_persisted",
     "pretrain_artifacts_persisted", "sketch_quantiles_twolevel",
+    "stream_pretrain_cands",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -9277,6 +9394,7 @@ _R15_NEW = {
 _R16_NEW = {
     "pretrain_artifacts_persisted",
     "sketch_quantiles_twolevel",
+    "stream_pretrain_cands",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -9352,6 +9470,7 @@ _ORACLES: dict[str, str] = {
     "hybrid_retrieval_persisted": _HYBRID_PERSISTED_SQL,
     "pretrain_increment_pipeline": _PRETRAIN_INC_SQL,
     "pretrain_artifacts_persisted": _PRETRAIN_ART_SQL,
+    "stream_pretrain_cands": _STREAM_PRETRAIN_CANDS_SQL,
     "dedup_spans": _DEDUP_SPANS_SQL,
     "scrub_pii": _SCRUB_SQL,
     "repetition_stats": _REPETITION_SQL,

@@ -254,6 +254,9 @@ STREAMING_LAST = [
     # r13: the perceptual-audio candidate replay (block-energy prints
     # vs the pinned static corpus print table; shared pigeonhole core)
     "stream_audio_cands",
+    # r16: the capstone's streaming face — per-tier candidate emission
+    # (recrawl/exact/near) against the persisted artifact layout
+    "stream_pretrain_cands",
 ]
 
 # Consolidated out of the registry in round 5; resolved via their kept

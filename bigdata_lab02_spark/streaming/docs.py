@@ -307,3 +307,117 @@ def dedup_candidates_stream(
         .where(F.col("id_new") != F.col("id_old"))
         .select("id_new", "id_old")
     )
+
+
+def pretrain_candidates_stream(
+    page_stream: DataFrame,
+    suffixes: DataFrame,
+    indexed_urls: DataFrame,
+    indexed_digests: DataFrame,
+    corpus_bands: DataFrame,
+    blocklist: DataFrame | None = None,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    bands: int = 4,
+    broadcast_corpus: bool = False,
+) -> DataFrame:
+    """The STREAMING face of the pretrain capstone's shard absorb
+    (r16, VERDICT r15 item 6): crawl pages arrive as a stream and
+    every micro-batch emits its per-tier duplicate CANDIDATES against
+    the static persisted base artifacts — the
+    ``dedup_candidates_stream`` contract lifted to the full artifact
+    set of ``operators.pretrain.persist_pretrain_artifacts``:
+
+    - the stateless URL-tier stages (normalize → registered domain →
+      blocklist; ``url_filters(dedup=False)``) run per micro-batch and
+      rejects drop before any content work — same ordering as the
+      batch chain;
+    - ``kind='recrawl'``: the page's ``norm_url`` already fetched
+      (stream-static join vs the layout's ``urls/``), ``ref`` = the
+      norm_url;
+    - ``kind='exact'``:   md5(text) already indexed (vs ``digests/``),
+      ``ref`` = the digest;
+    - ``kind='near'``:    LSH band-hash collision vs the PRE-BANDED
+      corpus (``bands/`` — the base is never re-shingled), ``ref`` =
+      the colliding corpus doc id as a string.
+
+    DECISIONS STAY BATCH by design: candidates are signals for the
+    batch shard job (``update_pretrain_artifacts``), which verifies
+    near-dups (exact Jaccard), applies within-shard first-fetch rules
+    (stateful — ``url_dedup_stream`` offers the watermarked streaming
+    variant), scores quality, and mutates the layout transactionally.
+    A streaming job must never mutate the journaled layout: appends
+    are the batch side's single-writer job.
+
+    Append-mode, watermark-free, state-store-free: every stage is a
+    projection or a stream-static equi-join, so each batch's cost is
+    exactly its own rows. The static sides are corpus-sized — none is
+    broadcast by default (the layout's md5-bucket/band partitioning
+    co-locates a bucketed read; ``broadcast_corpus=True`` is the
+    known-small opt-in for all three). Static frames are re-planned
+    per micro-batch, so a layout refreshed by the batch job is picked
+    up without restarting the query. Multiplicity (a page colliding in
+    two bands, or matching two tiers) is left to the consumer — the
+    batch decision join collapses it.
+
+    Returns ``(id_col, kind string, ref string)``."""
+    from bigdata_lab02_spark.operators.url import url_filters
+
+    tier = url_filters(
+        page_stream,
+        suffixes,
+        blocklist,
+        url_col=url_col,
+        id_col=id_col,
+        passthrough=[text_col],
+        dedup=False,
+    )
+    kept = tier.where(F.col("url_keep")).select(
+        id_col, "norm_url", text_col
+    )
+
+    urls = indexed_urls.select("norm_url").distinct()
+    digests = indexed_digests.select("digest").distinct()
+    corpus = corpus_bands.select(
+        F.col(id_col).alias("__id_old"), "band_hash"
+    )
+    if broadcast_corpus:
+        urls = F.broadcast(urls)
+        digests = F.broadcast(digests)
+        corpus = F.broadcast(corpus)
+
+    recrawl = kept.join(urls, "norm_url").select(
+        F.col(id_col),
+        F.lit("recrawl").alias("kind"),
+        F.col("norm_url").alias("ref"),
+    )
+    exact = (
+        kept.withColumn("__digest", F.md5(F.col(text_col)))
+        .join(digests, F.col("__digest") == F.col("digest"))
+        .select(
+            F.col(id_col),
+            F.lit("exact").alias("kind"),
+            F.col("__digest").alias("ref"),
+        )
+    )
+    near = (
+        minhash_band_stream(
+            kept,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            shingle_n=shingle_n,
+            bands=bands,
+        )
+        .join(corpus, "band_hash")
+        .where(F.col(id_col) != F.col("__id_old"))
+        .select(
+            F.col(id_col),
+            F.lit("near").alias("kind"),
+            F.col("__id_old").cast("string").alias("ref"),
+        )
+    )
+    return recrawl.unionByName(exact).unionByName(near)

@@ -118,6 +118,7 @@ FAMILY_GATES: dict[str, set[str]] = {
         "stream_hourly", "stream_dedup", "stream_sessions",
         "stream_enrich", "stream_pairs", "stream_dedup_cands",
         "stream_user_totals", "stream_image_cands", "stream_audio_cands",
+        "stream_pretrain_cands",
     },
     "relational": {
         "relational_suite", "pricing_summary", "revenue_by_nation",
