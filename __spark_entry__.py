@@ -8788,7 +8788,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity": q_lm_perplexity,
     "stream_pairs": q_stream_pairs,
     "relational_suite": q_relational_suite,
-    "merge_upsert": q_merge_upsert,
+    # pretrain_artifacts_persisted rotated INTO the window in r16 at
+    # merge_upsert's slot (VERDICT r15 item 7: the capstone family
+    # keeps two in-window rows — the e2e batch chain AND the deployed
+    # artifact layout); merge_upsert's MERGE kernel stays oracle-gated
+    # in the overflow (its semantics are also exercised by the
+    # incremental index updates).
+    "pretrain_artifacts_persisted": q_pretrain_artifacts_persisted,
     "sketch_profile": q_sketch_profile,
     "ann_recall": q_ann_recall,
     "p5_doc_term_matrix": q_p5_doc_term_matrix,
@@ -9170,12 +9176,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # semantic_dedup_incremental, persistence/guard invisible;
     # oracle-gated every pytest run.
     "semantic_index_persisted": q_semantic_index_persisted,
-    # pretrain_artifacts_persisted (r16, VERDICT r15 item 1): the
-    # journaled on-disk layout for the capstone's base artifacts
-    # (urls/digests/corpus/bands + frozen model + stats + journal)
-    # absorbed through — same oracle as pretrain_increment_pipeline,
-    # layout/guard/journal invisible; oracle-gated every pytest run.
-    "pretrain_artifacts_persisted": q_pretrain_artifacts_persisted,
+    # merge_upsert rotated OUT in r16 (pretrain_artifacts_persisted
+    # took its slot, VERDICT r15 item 7): the MERGE kernel stays
+    # oracle-gated every pytest run.
+    "merge_upsert": q_merge_upsert,
     # sketch_quantiles_twolevel (r16, VERDICT r15 item 3): the two-level
     # register build's register TABLE hashed bit-for-bit against a
     # both-levels DuckDB restatement; oracle-gated every pytest run.
@@ -9213,8 +9217,8 @@ ROTATED_OUT: set[str] = {
     "semantic_dedup_incremental", "hybrid_retrieval",
     "pack_sequences", "hybrid_retrieval_persisted",
     "pretrain_increment_pipeline", "semantic_index_persisted",
-    "pretrain_artifacts_persisted", "sketch_quantiles_twolevel",
-    "stream_pretrain_cands",
+    "sketch_quantiles_twolevel", "stream_pretrain_cands",
+    "merge_upsert",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -9233,7 +9237,9 @@ DRIVER_ROW_CAP = 50
 # image_dedup_clusters' slot (VERDICT r13 item 2).
 # r15: pretrain_corpus_pipeline (the capstone) into the window at
 # pack_sequences' slot (VERDICT r14 item 1).
-ORDERING_SINCE = 15
+# r16: pretrain_artifacts_persisted (the capstone's deployed layout)
+# into the window at merge_upsert's slot (VERDICT r15 item 7).
+ORDERING_SINCE = 16
 
 # Queries with no SQL-expressible oracle — the driver records a weaker
 # rows-only check. (Empty since round 2: the streaming replay is gated
