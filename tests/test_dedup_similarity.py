@@ -1214,3 +1214,44 @@ class TestSemanticDedupIncremental:
         assert [(r.vec_id, r.keep) for r in inc.collect()] == [(0, True)]
         st = sim.check_semantic_assignments(spark, path)
         assert st == {"journal": "committed", "max_id": 0, "n_rows": 1}
+
+
+def test_semantic_update_crash_leaves_pending(spark, tmp_path, monkeypatch):
+    # r16: the semantic layout's crash window — a failure between the
+    # assignments append and the journal flip reads as crashed.
+    old = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "cluster_id int, centroid array<float>",
+    )
+    path = str(tmp_path / "semidx_crash")
+    base = sim.semantic_dedup(old, cents, threshold=0.9)
+    indexed = base.select("vec_id", "cluster_id").join(old, "vec_id")
+    sim.persist_semantic_assignments(indexed, path)
+    assert sim.check_semantic_assignments(spark, path)["journal"] == "committed"
+
+    new = spark.createDataFrame(
+        [(7, [0.0, 0.99, 0.1])], "vec_id long, embedding array<float>"
+    )
+    df_cls = type(old)
+    real_write = df_cls.write.fget
+
+    class _Boom(Exception):
+        pass
+
+    calls = {"n": 0}
+
+    def crashing_write(self):
+        calls["n"] += 1
+        if calls["n"] >= 2:  # pending journal is call 1; append is 2
+            raise _Boom()
+        return real_write(self)
+
+    monkeypatch.setattr(df_cls, "write", property(crashing_write))
+    with pytest.raises(_Boom):
+        sim.update_semantic_assignments(new, cents, path, threshold=0.9)
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="crashed mid-flight"):
+        sim.check_semantic_assignments(spark, path)

@@ -443,3 +443,53 @@ class TestPretrainCandidatesStream:
         # every near ref is a corpus doc id, never a shard id
         near_refs = {int(r[2]) for r in rows if r[1] == "near"}
         assert near_refs <= {1, 2, 5, 6}
+
+
+def test_pretrain_update_crash_leaves_pending(spark, tmp_path, monkeypatch):
+    # r16: a crash between update's first mutating write and the
+    # journal flip must read as crashed, not committed — the
+    # bm25/semantic crash-window contract, artifact-layout form.
+    import pytest
+    from bigdata_lab02_spark.functions.text import tokens_column
+    from bigdata_lab02_spark.operators.pretrain import (
+        check_pretrain_artifacts,
+        persist_pretrain_artifacts,
+        update_pretrain_artifacts,
+    )
+
+    sfx = spark.createDataFrame([("com",)], "suffix string")
+    path = str(tmp_path / "arts_crash")
+    base = spark.createDataFrame(
+        [(1, "http://a.com/p1", "alpha beta spark", "a")],
+        "doc_id long, url string, text string, source string",
+    )
+    persist_pretrain_artifacts(
+        base, sfx,
+        F.array_contains(tokens_column(F.col("text")), "spark"), path,
+    )
+    assert check_pretrain_artifacts(spark, path)["journal"] == "committed"
+
+    shard = spark.createDataFrame(
+        [(5, "http://a.com/p5", "gamma delta spark", "a")],
+        "doc_id long, url string, text string, source string",
+    )
+    df_cls = type(base)
+    real_write = df_cls.write.fget
+
+    class _Boom(Exception):
+        pass
+
+    calls = {"n": 0}
+
+    def crashing_write(self):
+        calls["n"] += 1
+        if calls["n"] >= 2:  # pending journal is call 1; urls append is 2
+            raise _Boom()
+        return real_write(self)
+
+    monkeypatch.setattr(df_cls, "write", property(crashing_write))
+    with pytest.raises(_Boom):
+        update_pretrain_artifacts(shard, sfx, path)
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="crashed mid-flight"):
+        check_pretrain_artifacts(spark, path)
