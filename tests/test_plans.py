@@ -252,3 +252,68 @@ def test_pretrain_increment_base_artifacts_pinned(spark):
     pinned, so nothing base-sized re-derives per shard consumer."""
     r = plan_report(e.queries()["pretrain_increment_pipeline"](spark, SF))
     assert r.repeated_scans == 0
+
+
+def test_pretrain_artifacts_update_rooted_at_layout(spark, tmp_path):
+    """r16: the deployed shard absorb must read the base artifacts from
+    the LAYOUT (parquet scans of urls/digests/corpus/bands), never
+    re-derive them, and the returned decision frame is pinned
+    (localCheckpoint) — its plan re-derives nothing (scan-free)."""
+    from pyspark.sql import functions as F
+    from bigdata_lab02_spark.functions.text import tokens_column
+    from bigdata_lab02_spark.operators.pretrain import (
+        persist_pretrain_artifacts,
+        update_pretrain_artifacts,
+    )
+
+    sfx = spark.createDataFrame([("com",)], "suffix string")
+    base = spark.createDataFrame(
+        [(1, "http://a.com/p1", "alpha beta spark words", "a"),
+         (2, "http://a.com/p2", "some other body entirely", "a")],
+        "doc_id long, url string, text string, source string",
+    )
+    path = str(tmp_path / "arts_plan")
+    persist_pretrain_artifacts(
+        base, sfx,
+        F.array_contains(tokens_column(F.col("text")), "spark"), path,
+    )
+    shard = spark.createDataFrame(
+        [(5, "http://a.com/p5", "gamma delta spark fresh", "a")],
+        "doc_id long, url string, text string, source string",
+    )
+    out = update_pretrain_artifacts(shard, sfx, path)
+    r = plan_report(out)
+    # pinned decisions: the caller's action replays a checkpoint, not
+    # the chain — no parquet scan (and so no re-read of the layout the
+    # update just mutated) survives in the returned plan
+    assert "ExistingRDD" in r.raw or r.n_exchanges == 0
+    assert "parquet" not in r.raw.lower()
+
+
+def test_stream_pretrain_cands_plan_shape(spark):
+    """r16: the streaming candidate plan (batch twin — the stream runs
+    the same plan per micro-batch) must keep every join equi-keyed (no
+    cartesian/nested-loop fan-out against the corpus-sized static
+    sides — they are deliberately NOT broadcast, so shuffle/sort joins
+    are the expected shape) while the URL tier's PSL/blocklist dims
+    stay broadcast."""
+    from pyspark.sql import functions as F
+    from bigdata_lab02_spark.streaming.docs import (
+        pretrain_candidates_stream,
+    )
+
+    sfx = spark.createDataFrame([("com",)], "suffix string")
+    pages = spark.createDataFrame(
+        [(1, "http://a.com/p1", "alpha beta gamma delta", "a")],
+        "doc_id long, url string, text string, source string",
+    )
+    urls = spark.createDataFrame([("http://a.com/p1",)], "norm_url string")
+    digests = spark.createDataFrame([("d",)], "digest string")
+    bands = spark.createDataFrame(
+        [(9, 0, "0|x|y")], "doc_id long, band_id int, band_hash string"
+    )
+    out = pretrain_candidates_stream(pages, sfx, urls, digests, bands)
+    r = plan_report(out)
+    assert "CartesianProduct" not in r.raw
+    assert "BroadcastNestedLoopJoin" not in r.raw
+    assert r.n_broadcast_joins >= 1  # the tier's dims
