@@ -442,9 +442,11 @@ def persist_pretrain_artifacts(
     - ``digests/`` — one ``digest`` (md5 of text) per distinct content
       the base kept past its URL tier, partitioned by
       ``digest_bucket`` the same way;
-    - ``corpus/``  — the exact-dedup survivors ``(id, group, text)``
-      (kept AND near-dup-dropped: dropped members still suppress later
-      near-copies — the semantic-assignment-table rule);
+    - ``corpus/``  — the exact-dedup survivors ``(id, group, text,
+      *passthrough)`` (kept AND near-dup-dropped: dropped members
+      still suppress later near-copies — the semantic-assignment-table
+      rule); the schema is fixed at persist time, so updates must pass
+      the same ``passthrough``;
     - ``bands/``   — the corpus's LSH band table, partitioned by
       ``band_id`` so per-band maintenance jobs are directory-pruned
       (the shard candidate join itself keys on ``band_hash``, which
@@ -464,8 +466,8 @@ def persist_pretrain_artifacts(
 
     ``positive`` labels the classifier's reference class, evaluated on
     the near-dup survivors (exactly what ``pretrain_corpus`` trains
-    on); ``passthrough`` columns ride to that frame for ``positive``
-    to reference, but are NOT persisted.
+    on); ``passthrough`` columns ride into ``corpus/`` (auditable, and
+    available to ``positive``).
 
     Counts and ``max_id`` in stats come from READ-BACKS of the written
     artifacts (plus the one input-side page aggregate the guard
@@ -684,6 +686,11 @@ def update_pretrain_artifacts(
     table-for-table (equivalence-tested), and a crash in between is
     detected.
 
+    ``passthrough`` must name the SAME columns persist was called with
+    (the ``corpus/`` schema is fixed at persist time: id, group, text,
+    *passthrough); an update appending different columns would fork
+    the layout's schema.
+
     Returns the shard's decision frame — identical to
     ``pretrain_shard_increment`` over the same artifacts (the gate
     shares its oracle: the layout must be invisible in results)."""
@@ -735,10 +742,18 @@ def update_pretrain_artifacts(
         st["n_digests"],
         StructType([StructField("digest", StringType())]),
     ).select("digest")
+    extra = list(passthrough or [])
     corpus = _read(
         "corpus",
         st["n_corpus"],
-        StructType([id_field, grp_field, StructField(text_col, StringType())]),
+        StructType(
+            [
+                id_field,
+                grp_field,
+                StructField(text_col, StringType()),
+                *[new_pages.schema[c] for c in extra],
+            ]
+        ),
     ).select(id_col, text_col)
     corpus_bands = _read(
         "bands",
@@ -766,7 +781,7 @@ def update_pretrain_artifacts(
         text_col=text_col,
         id_col=id_col,
         group_col=group_col,
-        extra=list(passthrough or []),
+        extra=extra,
         minhash_threshold=st["threshold"],
         num_hashes=st["num_hashes"],
         shingle_n=st["shingle_n"],
@@ -793,9 +808,9 @@ def update_pretrain_artifacts(
     ).write.mode("append").partitionBy("digest_bucket").parquet(
         f"{path}/digests"
     )
-    fresh.select(id_col, group_col, text_col).write.mode("append").parquet(
-        f"{path}/corpus"
-    )
+    fresh.select(id_col, group_col, text_col, *extra).write.mode(
+        "append"
+    ).parquet(f"{path}/corpus")
     new_bands = minhash_band_table(
         minhash_signatures(
             fresh.select(id_col, text_col),

@@ -493,3 +493,36 @@ def test_pretrain_update_crash_leaves_pending(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     with pytest.raises(ValueError, match="crashed mid-flight"):
         check_pretrain_artifacts(spark, path)
+
+
+def test_persisted_artifacts_passthrough_schema(spark, tmp_path):
+    # r16: passthrough columns persist into corpus/ and updates append
+    # them with the same schema (no layout fork).
+    from bigdata_lab02_spark.functions.text import tokens_column
+    from bigdata_lab02_spark.operators.pretrain import (
+        persist_pretrain_artifacts,
+        update_pretrain_artifacts,
+    )
+
+    sfx = spark.createDataFrame([("com",)], "suffix string")
+    base = spark.createDataFrame(
+        [(1, "http://a.com/p1", "alpha beta spark", "a", "utf-8")],
+        "doc_id long, url string, text string, source string, cs string",
+    )
+    path = str(tmp_path / "arts_pt")
+    persist_pretrain_artifacts(
+        base, sfx,
+        F.array_contains(tokens_column(F.col("text")), "spark"),
+        path, passthrough=["cs"],
+    )
+    shard = spark.createDataFrame(
+        [(5, "http://a.com/p5", "gamma delta spark", "a", "latin-1")],
+        "doc_id long, url string, text string, source string, cs string",
+    )
+    out = update_pretrain_artifacts(shard, sfx, path, passthrough=["cs"])
+    assert [r.cs for r in out.collect()] == ["latin-1"]
+    corpus = spark.read.parquet(f"{path}/corpus")
+    assert sorted(corpus.columns) == ["cs", "doc_id", "source", "text"]
+    assert {(r.doc_id, r.cs) for r in corpus.collect()} == {
+        (1, "utf-8"), (5, "latin-1")
+    }
