@@ -632,6 +632,7 @@ def check_pretrain_artifacts(spark, path: str, deep: bool = False) -> dict:
             ("urls", "n_urls"),
             ("digests", "n_digests"),
             ("corpus", "n_corpus"),
+            ("bands", "n_bands"),
         ):
             try:
                 got = spark.read.parquet(f"{path}/{name}").count()

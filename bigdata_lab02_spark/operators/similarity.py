@@ -895,12 +895,15 @@ def update_semantic_assignments(
     return out
 
 
-def check_semantic_assignments(spark, path: str) -> dict:
+def check_semantic_assignments(spark, path: str, deep: bool = False) -> dict:
     """Consistency probe for the persisted assignment layout — the
     ``check_bm25_index`` convention: raises unless the journal holds
     exactly one 'committed' row (a crashed update leaves 'pending');
     returns ``{"journal": "committed", "max_id": ..., "n_rows": ...}``
-    from the one-row stats table."""
+    from the one-row stats table. ``deep=True`` recounts
+    ``assignments/`` against the stats row (one columnar pass) —
+    catches corruption the journal can't see (manual layout edits, a
+    lost stats overwrite)."""
     try:
         jrows = spark.read.parquet(f"{path}/journal").collect()
     except Exception as exc:
@@ -922,6 +925,19 @@ def check_semantic_assignments(spark, path: str) -> dict:
             f"semantic index at {path}: stats table has {len(srow)} "
             "rows, want 1 — layout corrupted; rebuild"
         )
+    if deep:
+        try:
+            got = spark.read.parquet(f"{path}/assignments").count()
+        except Exception:
+            # a zero-row partitioned write leaves no data files —
+            # consistent iff stats also says zero
+            got = 0
+        if got != srow[0]["n_rows"]:
+            raise ValueError(
+                f"semantic index at {path}: assignments/ has {got} "
+                f"rows but stats says {srow[0]['n_rows']} — layout "
+                "corrupted; rebuild"
+            )
     return {
         "journal": "committed",
         "max_id": srow[0]["max_id"],

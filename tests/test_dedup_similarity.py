@@ -1255,3 +1255,29 @@ def test_semantic_update_crash_leaves_pending(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     with pytest.raises(ValueError, match="crashed mid-flight"):
         sim.check_semantic_assignments(spark, path)
+
+
+def test_semantic_check_deep_catches_stats_skew(spark, tmp_path):
+    # r16: deep probe recounts assignments/ vs the stats row.
+    old = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "cluster_id int, centroid array<float>",
+    )
+    path = str(tmp_path / "semidx_deep")
+    base = sim.semantic_dedup(old, cents, threshold=0.9)
+    indexed = base.select("vec_id", "cluster_id").join(old, "vec_id")
+    sim.persist_semantic_assignments(indexed, path)
+    st = sim.check_semantic_assignments(spark, path, deep=True)
+    assert st["n_rows"] == 2
+    # corrupt the stats row; only the deep probe can see it
+    spark.range(1).select(
+        F.lit(99).cast("long").alias("max_id"),
+        F.lit(7).cast("long").alias("n_rows"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    sim.check_semantic_assignments(spark, path)  # journal-only: passes
+    with pytest.raises(ValueError, match="corrupted"):
+        sim.check_semantic_assignments(spark, path, deep=True)
