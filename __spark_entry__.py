@@ -8411,6 +8411,40 @@ def q_pretrain_corpus_pipeline(spark, sf_dir):
     )
 
 
+def q_pretrain_training_shards(spark, sf_dir):
+    """The capstone's LAST mile (r16 —
+    operators.pretrain.write_training_shards): the full
+    archive-bytes→packed-corpus chain, then the packed output written
+    as on-disk TRAINING SHARDS (shard_id = pack_id div 4;
+    (source, shard_id) hive partitions, one file per shard via a
+    keyed repartition, journal) with a MANIFEST computed from a
+    read-back of the written shards. The gate returns the manifest —
+    per-shard n_docs / n_packs / n_tokens / id range — and the oracle
+    re-aggregates the ENTIRE capstone restatement by (source,
+    pack div 4), so the shard assignment, the write round-trip, and
+    the manifest arithmetic must all replay exactly."""
+    import tempfile
+
+    from bigdata_lab02_spark.operators.pretrain import (
+        check_training_shards,
+        write_training_shards,
+    )
+
+    packed = q_pretrain_corpus_pipeline(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="pretrain_shards_gate_") + "/out"
+    write_training_shards(packed, path, packs_per_shard=4)
+    check_training_shards(spark, path, deep=True)
+    return spark.read.parquet(f"{path}/manifest").select(
+        "source",
+        F.col("shard_id").cast("int").alias("shard_id"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_packs").cast("long").alias("n_packs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "min_id",
+        "max_id",
+    )
+
+
 _PRETRAIN_W_VALUES = ", ".join(
     f"('{s}', {w})" for s, w in _PRETRAIN_MIX_WEIGHTS
 )
@@ -8472,6 +8506,20 @@ SELECT doc_id, source, charset, registered_domain,
   CAST(quota AS BIGINT) AS quota,
   CAST(floor((pcm - n_tokens) / {_PRETRAIN_PACK}.0) AS INT) AS pack_id
 FROM ppk
+"""
+
+
+# The shard-writer oracle (r16): re-aggregate the full capstone
+# restatement by (source, pack div packs_per_shard) — the manifest a
+# write→read-back round-trip must reproduce exactly.
+_PRETRAIN_SHARDS_SQL = f"""
+SELECT source, CAST(pack_id // 4 AS INT) AS shard_id,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(min(doc_id) AS BIGINT) AS min_id,
+  CAST(max(doc_id) AS BIGINT) AS max_id
+FROM ({_PRETRAIN_E2E_SQL}) GROUP BY source, pack_id // 4
 """
 
 
@@ -9189,6 +9237,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # candidate emission against the persisted artifact layout,
     # decisions stay batch; oracle-gated every pytest run.
     "stream_pretrain_cands": q_stream_pretrain_cands,
+    # pretrain_training_shards (r16): the capstone's last mile — packed
+    # corpus written as (source, shard_id) training shards + manifest
+    # from a read-back; oracle re-aggregates the full capstone
+    # restatement by shard; oracle-gated every pytest run.
+    "pretrain_training_shards": q_pretrain_training_shards,
 }
 
 # Explicit declaration of which queries sit past the driver's 50-row window.
@@ -9218,7 +9271,7 @@ ROTATED_OUT: set[str] = {
     "pack_sequences", "hybrid_retrieval_persisted",
     "pretrain_increment_pipeline", "semantic_index_persisted",
     "sketch_quantiles_twolevel", "stream_pretrain_cands",
-    "merge_upsert",
+    "merge_upsert", "pretrain_training_shards",
 }
 
 # The driver records correctness rows for at most this many queries,
@@ -9401,6 +9454,7 @@ _R16_NEW = {
     "pretrain_artifacts_persisted",
     "sketch_quantiles_twolevel",
     "stream_pretrain_cands",
+    "pretrain_training_shards",
 }
 REGISTERED_SINCE: dict[str, int] = {
     name: (
@@ -9477,6 +9531,7 @@ _ORACLES: dict[str, str] = {
     "pretrain_increment_pipeline": _PRETRAIN_INC_SQL,
     "pretrain_artifacts_persisted": _PRETRAIN_ART_SQL,
     "stream_pretrain_cands": _STREAM_PRETRAIN_CANDS_SQL,
+    "pretrain_training_shards": _PRETRAIN_SHARDS_SQL,
     "dedup_spans": _DEDUP_SPANS_SQL,
     "scrub_pii": _SCRUB_SQL,
     "repetition_stats": _REPETITION_SQL,

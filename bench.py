@@ -241,6 +241,9 @@ EXTRA = [
     # r16: the two-level register build's register table, hashed
     # bit-for-bit against a both-levels restatement
     "sketch_quantiles_twolevel",
+    # r16: the capstone's last mile — packed corpus written as
+    # training shards + manifest from a read-back
+    "pretrain_training_shards",
 ]
 STREAMING_LAST = [
     "stream_hourly",

@@ -861,3 +861,108 @@ def update_pretrain_artifacts(
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
     _write_journal(spark, path, "committed")
     return out
+
+
+def write_training_shards(
+    packed: DataFrame,
+    path: str,
+    packs_per_shard: int = 1024,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    pack_col: str = "pack_id",
+    tokens_col: str = "n_tokens",
+) -> None:
+    """The capstone's LAST mile (r16): write a ``pretrain_corpus``
+    output as on-disk TRAINING SHARDS with a manifest — the artifact a
+    training job actually mounts, closing the chain archive bytes →
+    curated packs → shards-on-disk.
+
+    Shard assignment is deterministic: ``shard_id = pack_id div
+    packs_per_shard`` — contiguous packs stay together (a trainer
+    streaming one shard sees whole packs in admission order), the
+    directory count is bounded by ``max_pack / packs_per_shard`` per
+    group regardless of corpus size, and the same packed frame always
+    produces the same shards (no physical-partition dependence).
+
+    Layout under ``path``: ``shards/`` hive-partitioned by
+    (group, shard_id) — the rows are REPARTITIONED on that key before
+    the write, so every shard is exactly one file written by the task
+    that owns its key (no small-file spray, and the one exchange is
+    the write's only shuffle); ``manifest/`` with one row per shard
+    (n_docs, n_packs, n_tokens, min/max id) computed from a READ-BACK
+    of the written shards — the manifest always describes what is on
+    disk; ``journal/`` ('pending' before the first overwrite,
+    'committed' after the manifest lands — ``check_training_shards``).
+
+    Reference analog: the chained jobs' materialized Output files
+    (task1_1.java:187-192) — the tier boundary written for the next
+    consumer, here with the shard/manifest contract a 100 TB training
+    run needs."""
+    from .retrieval import _write_journal
+
+    if packs_per_shard <= 0:
+        raise ValueError(f"packs_per_shard={packs_per_shard} must be positive")
+    spark = packed.sparkSession
+    _write_journal(spark, path, "pending")
+    rows = packed.withColumn(
+        "shard_id",
+        F.expr(f"{pack_col} div {packs_per_shard}").cast("int"),
+    ).repartition(group_col, "shard_id")
+    rows.write.mode("overwrite").partitionBy(group_col, "shard_id").parquet(
+        f"{path}/shards"
+    )
+    back = spark.read.schema(rows.schema).parquet(f"{path}/shards")
+    manifest = back.groupBy(group_col, "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(pack_col).alias("n_packs"),
+        F.sum(tokens_col).cast("long").alias("n_tokens"),
+        F.min(id_col).cast("long").alias("min_id"),
+        F.max(id_col).cast("long").alias("max_id"),
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}/manifest")
+    _write_journal(spark, path, "committed")
+
+
+def check_training_shards(spark, path: str, deep: bool = False) -> dict:
+    """Consistency probe for a ``write_training_shards`` layout: the
+    journal must read exactly one 'committed' row; returns the
+    manifest totals ``{"journal", "n_shards", "n_docs", "n_tokens"}``.
+    ``deep=True`` recounts the shard files against the manifest totals
+    (one columnar pass) — catches a manifest/shards skew the journal
+    can't see."""
+    try:
+        jrows = spark.read.parquet(f"{path}/journal").collect()
+    except Exception as exc:
+        raise ValueError(
+            f"training shards at {path}: journal unreadable ({exc}); "
+            "treat the layout as unbuilt and rewrite"
+        ) from None
+    if len(jrows) != 1 or jrows[0]["state"] != "committed":
+        raise ValueError(
+            f"training shards at {path}: journal reads "
+            f"{[r['state'] for r in jrows]} != ['committed'] — a write "
+            "crashed mid-flight; rewrite (write_training_shards)"
+        )
+    tot = (
+        spark.read.parquet(f"{path}/manifest")
+        .agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+        )
+        .collect()[0]
+    )
+    if deep:
+        got = spark.read.parquet(f"{path}/shards").count()
+        if got != tot["n_docs"]:
+            raise ValueError(
+                f"training shards at {path}: shards/ has {got} rows "
+                f"but the manifest sums to {tot['n_docs']} — layout "
+                "corrupted; rewrite"
+            )
+    return {
+        "journal": "committed",
+        "n_shards": tot["n_shards"],
+        "n_docs": int(tot["n_docs"]),
+        "n_tokens": int(tot["n_tokens"]),
+    }

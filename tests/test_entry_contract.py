@@ -180,7 +180,7 @@ FAMILY_GATES: dict[str, set[str]] = {
     "chunk-pack": {"chunk_docs", "pack_sequences"},
     "pretrain-capstone": {
         "pretrain_corpus_pipeline", "pretrain_increment_pipeline",
-        "pretrain_artifacts_persisted",
+        "pretrain_artifacts_persisted", "pretrain_training_shards",
     },
     "bpe": {"bpe_pipeline"},
     "warc": {

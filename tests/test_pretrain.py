@@ -526,3 +526,69 @@ def test_persisted_artifacts_passthrough_schema(spark, tmp_path):
     assert {(r.doc_id, r.cs) for r in corpus.collect()} == {
         (1, "utf-8"), (5, "latin-1")
     }
+
+
+def test_training_shards_roundtrip_and_crash_window(
+    spark, tmp_path, monkeypatch
+):
+    # r16: the shard writer's manifest must describe exactly what is
+    # on disk, shard assignment must be pack-contiguous, and a crash
+    # before the manifest lands must read as crashed.
+    import pytest
+    from bigdata_lab02_spark.operators.pretrain import (
+        check_training_shards,
+        write_training_shards,
+    )
+
+    packed = spark.createDataFrame(
+        [
+            (1, "a", 5, 0), (2, "a", 7, 0), (3, "a", 4, 1),
+            (4, "a", 9, 2), (5, "b", 3, 0), (6, "b", 6, 3),
+        ],
+        "doc_id long, source string, n_tokens long, pack_id int",
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(packed, path, packs_per_shard=2)
+    st = check_training_shards(spark, path, deep=True)
+    assert st == {
+        "journal": "committed", "n_shards": 4, "n_docs": 6,
+        "n_tokens": 34,
+    }
+    man = {
+        (r.source, r.shard_id): (r.n_docs, r.n_packs, r.n_tokens,
+                                 r.min_id, r.max_id)
+        for r in spark.read.parquet(f"{path}/manifest").collect()
+    }
+    # packs 0,1 -> shard 0; pack 2 -> shard 1; pack 3 -> shard 1
+    assert man[("a", 0)] == (3, 2, 16, 1, 3)
+    assert man[("a", 1)] == (1, 1, 9, 4, 4)
+    assert man[("b", 0)] == (1, 1, 3, 5, 5)
+    assert man[("b", 1)] == (1, 1, 6, 6, 6)
+    # shards/ rows carry the full packed columns + shard_id
+    rows = spark.read.parquet(f"{path}/shards")
+    assert set(rows.columns) == {
+        "doc_id", "source", "n_tokens", "pack_id", "shard_id"
+    }
+    assert rows.count() == 6
+
+    # crash window: fail after the shards write, before the manifest
+    df_cls = type(packed)
+    real_write = df_cls.write.fget
+
+    class _Boom(Exception):
+        pass
+
+    calls = {"n": 0}
+
+    def crashing_write(self):
+        calls["n"] += 1
+        if calls["n"] >= 3:  # journal=1, shards=2, manifest=3
+            raise _Boom()
+        return real_write(self)
+
+    monkeypatch.setattr(df_cls, "write", property(crashing_write))
+    with pytest.raises(_Boom):
+        write_training_shards(packed, str(tmp_path / "crash"), 2)
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="crashed mid-flight"):
+        check_training_shards(spark, str(tmp_path / "crash"))

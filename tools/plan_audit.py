@@ -117,6 +117,8 @@ AUDIT = [
     "pretrain_artifacts_persisted",
     # r16: the bounded-sort two-level register build
     "sketch_quantiles_twolevel",
+    # r16: the capstone's shard-writer last mile
+    "pretrain_training_shards",
 ]
 
 COMMENT = {
@@ -124,6 +126,7 @@ COMMENT = {
     "hybrid_retrieval": "Both legs are candidate-sized by construction before fusion: BM25 cuts postings to the broadcast query vocabulary, the semantic leg broadcasts the 6 query vectors over the featurized corpus; RRF is a (query, doc) aggregation + window over <= 2*|queries|*20 rows.",
     "hybrid_retrieval_persisted": "The deployed hybrid: the lexical leg's postings scan is term-bucket directory-pruned (PartitionFilters INSET), the semantic leg's list scan is list_id directory-pruned to the <= |queries|*nprobe probed lists; neither leg re-tokenizes or re-featurizes the corpus at query time; fusion is candidate-sized.",
     "pretrain_increment_pipeline": "The daily-shard job: base artifacts (survivor set, corpus, model) are pinned once and fan out; shard-side cost is anti-joins against index-sized tables + band-hash-keyed candidate joins against the PRE-BANDED corpus (never re-shingled) + one broadcast-model scoring pass — nothing base-sized recomputes per shard (repeated_scans=0).",
+    "pretrain_training_shards": "The shard writer's one shuffle is the keyed repartition on (source, shard_id) before the partitioned write — every shard is one file written by the task owning its key (no small-file spray); the manifest is one groupBy over the READ-BACK of the written shards (manifest describes what is on disk), and the gate's returned frame is a manifest-sized parquet scan.",
     "sketch_quantiles_twolevel": "The bounded-sort register build: level one's rank window partitions by n_buckets*fanout md5 sub-shards (biggest single-task sort N/(n_buckets*fanout) rows — the r14 one-task-bucket-sort seam, closed); level two's fold windows run over register-table-sized frames (<= fanout*k knots per bucket). One bucket-keyed exchange per level; output <= n_buckets*k rows.",
     "pretrain_artifacts_persisted": "The deployed daily-shard job: the shard chain is rooted at the on-disk artifact layout (urls/digests md5-bucket-partitioned, bands by band_id, frozen broadcast model) — anti-joins against index-sized parquet scans, band-hash candidates vs the persisted band table (the base is never re-shingled), one broadcast-model scoring pass; the old-beats-new guard is one column-pruned shard aggregate collected BEFORE any mutating write; appends and the stats flip are shard-sized; decisions are pinned before the appends so the caller's action never recomputes against the mutated layout.",
     "semantic_index_persisted": "The shard reads the cluster-partitioned assignment layout (the pair join's key is the directory key); the append-only guard is one column-pruned shard aggregate collected BEFORE any mutating write; journal/stats writes are JVM-side one-row frames (the r15 _write_journal lesson).",

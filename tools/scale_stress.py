@@ -168,6 +168,9 @@ FAMILY = [
     # r16: the two-level register build — wall should track data with
     # the level-1 sub-shard sort dominating; level 2 is register-sized
     "sketch_quantiles_twolevel",
+    # r16: the capstone's shard-writer last mile — the replica corpus
+    # stresses the whole chain plus the shard write + read-back
+    "pretrain_training_shards",
 ]
 # (image_dedup_clusters, audio_dedup, video_dedup and
 # media_dedup_pipeline are generated-fixture-sized — corpus-independent,
