@@ -332,9 +332,15 @@ def persist_bm25_index(
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("term_bucket", _term_bucket_col(F.col("term"), n_buckets))
     )
-    postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
-        f"{path}/postings"
-    )
+    # Cluster rows by their hive partition before the partitioned write
+    # (guide-§6 small-files rule, the write_training_shards pattern):
+    # without it every write task sprays one file into every bucket
+    # directory it holds — tasks × n_buckets tiny files whose open/list
+    # cost every later read-back and pruned query pays. One hash
+    # exchange of the postings buys one file per bucket.
+    postings.repartition("term_bucket").write.mode("overwrite").partitionBy(
+        "term_bucket"
+    ).parquet(f"{path}/postings")
     dl = docs.select(
         F.col(id_col), F.size(tokens_column(F.col(text_col))).alias("dl")
     )
@@ -520,9 +526,11 @@ def update_bm25_index(
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("term_bucket", _term_bucket_col(F.col("term"), n_buckets))
     )
-    postings.write.mode("append").partitionBy("term_bucket").parquet(
-        f"{path}/postings"
-    )
+    # Same bucket-clustered write as persist (guide-§6 small-files
+    # rule): the append would otherwise spray tasks × n_buckets files.
+    postings.repartition("term_bucket").write.mode("append").partitionBy(
+        "term_bucket"
+    ).parquet(f"{path}/postings")
     dl = new_docs.select(
         F.col(id_col), F.size(tokens_column(F.col(text_col))).alias("dl")
     )
@@ -533,10 +541,12 @@ def update_bm25_index(
     add_n, add_sd = dl.agg(
         F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
     ).first()
-    spark.createDataFrame(
-        [(int(old_n) + int(add_n), int(old_sd) + int(add_sd))],
-        "n_docs long, sum_dl long",
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+    # JVM-side one-row frame (the _write_journal lesson above) — the
+    # Python-local-list form pays a Python-worker round-trip per write.
+    spark.range(1).select(
+        F.lit(int(old_n) + int(add_n)).cast("long").alias("n_docs"),
+        F.lit(int(old_sd) + int(add_sd)).cast("long").alias("sum_dl"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
     _write_journal(spark, path, "committed")
 
 
