@@ -14,6 +14,7 @@ engine-order-independent, then cast back to double.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -55,8 +56,64 @@ _SHINGLES = (
 )
 
 
+# Only the text-kernel table gets its scan spread to the session's
+# parallelism (see _spread). Interleaved sf0.1 A/B over every table
+# family (r16, tools/r16_ab_spread.py) showed the win is specific to
+# the heavy per-row kernels rooted on documents (explode+md5 shingling,
+# trigram featurize): embed_semantic_dedup ~34→~14 s, dedup_minhash_lsh
+# 3.3→1.8 s, sketch_profile 2.8→1.6 s warm-min. Every other family
+# LOSES or washes — the round-robin exchange is pure cost when the scan
+# feeds cheap filters/aggs: running_total 0.35→0.75 s, top_customers
+# 0.43→0.77 s, relational_suite 4.1→6.2 s, events_sessions 1.6→2.8 s,
+# asof_join 0.98→1.47 s, embedding_topk 3.08→3.51 s warm-min. The size
+# floor keeps the sf0.001/sf0.01 correctness sweeps from paying 32-task
+# churn on KB-sized files.
+_SPREAD_TABLES = frozenset({"documents"})
+_SPREAD_MIN_BYTES = 256 << 10
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan spread (guide §2.5 "input skew": one
+    unsplittable file → repartition immediately after the read).
+
+    The local testdata tables are SINGLE-ROW-GROUP parquet files, so
+    every scan is one task no matter the core count — and the heavy
+    per-row kernels this engine front-loads onto the scan (tokenize /
+    shingle / trigram explodes with md5 hashing over documents)
+    run their entire pre-shuffle stage on ONE core while the other
+    cores idle (measured: embed_featurize over documents at sf0.1 is
+    4.5 s single-task vs 1.1 s spread — the explode+hash stage is the
+    wall, not the exchange that follows it). A one-row-group file
+    cannot be split by spark.sql.files.maxPartitionBytes /
+    minPartitionNum, so an explicit round-robin repartition after the
+    read is the only lever.
+
+    Scale-adaptive by construction: the target is the session's
+    defaultParallelism (local[N] ⇒ N — the driver's lower-core bench
+    run gets proportionally fewer partitions), and the repartition
+    only fires when the scan yields FEWER partitions than that — at
+    production scale the input arrives in many splits and this is a
+    no-op. Round-robin repartition of a deterministic scan is
+    retry-safe (sortBeforeRepartition, SPARK-23207) and every gate
+    result is partitioning-invariant by the repo's determinism
+    discipline (hash-checked against the DuckDB oracle)."""
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name not in _SPREAD_TABLES:
+        return df
+    try:
+        if os.path.getsize(f"{sf_dir}/{name}.parquet") < _SPREAD_MIN_BYTES:
+            return df
+    except OSError:
+        return df
+    return _spread(df)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
