@@ -132,10 +132,26 @@ def embed_semantic_dedup(
     al. 2023) — the engine derives its own vectors and then runs the
     sampled k-means fit + cluster-blocked near-dup pass over them.
     Returns (id, cluster_id, keep) for every document; see
-    ``semantic_dedup_pipeline`` for the fit/threshold semantics."""
+    ``semantic_dedup_pipeline`` for the fit/threshold semantics.
+
+    The featurize output is PINNED (localCheckpoint) before the
+    pipeline: downstream consumes the vector frame ~7 times (corpus
+    count, sample count, k-means init + cache fill, the pair join's
+    a/b sides, the keep join), and each lazy re-derivation would
+    re-run the trigram explode + md5 kernel over the raw text — the
+    most expensive stage of the whole gate. Pinning trades one
+    n×(dim+2)-value materialization (4·dim bytes/row — strictly
+    smaller than the text it summarizes) for ~6 re-executions of the
+    heavy kernel. Interleaved A/B at sf0.1 (r16, tools/r16_ab_pin.py,
+    [off, on]×3 in one session): off [32.5, 16.1, 11.7] s vs
+    on [16.8, 10.5, 9.1] s — the pin wins every pair, 1.3× warm.
+    Values are unchanged (deterministic integer embeddings; the gate
+    is hash-checked against the DuckDB oracle)."""
     from .similarity import semantic_dedup_pipeline
 
-    vecs = embed_featurize(docs, dim=dim, id_col=id_col, text_col=text_col)
+    vecs = embed_featurize(
+        docs, dim=dim, id_col=id_col, text_col=text_col
+    ).localCheckpoint()
     return semantic_dedup_pipeline(
         vecs.select(id_col, "embedding"),
         threshold=threshold,

@@ -131,3 +131,19 @@ def test_derived_dedup_agrees_with_fixture_dedup(spark):
              5: True, 6: True}
     assert got == truth
     assert want == truth
+
+
+def test_embed_semantic_dedup_featurize_pinned_once(spark):
+    """r16 optimization contract: the featurize subtree (trigram
+    explode + md5 — the gate's most expensive kernel) must be pinned
+    before the dedup pipeline consumes it ~7 times. A pinned frame's
+    leaves are ExistingRDD scans, so the compiled plan must contain NO
+    repeated parquet/source leaves (the re-inlining class
+    plan_report.repeated_scans exists for)."""
+    from bigdata_lab02_spark.plans import plan_report
+
+    import __spark_entry__ as e
+
+    out = e.queries()["embed_semantic_dedup"](spark, "/root/testdata/sf0.01")
+    r = plan_report(out)
+    assert r.repeated_scans == 0, r.raw
