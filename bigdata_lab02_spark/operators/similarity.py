@@ -1527,6 +1527,7 @@ def ivfpq_corpus_lists(
     centroid_id_col: str = "cluster_id",
     centroid_vec_col: str = "centroid",
     by_residual: bool = False,
+    residuals: DataFrame | None = None,
 ) -> DataFrame:
     """The IVF×PQ index rows: (id, list_id, codes) — every corpus
     vector coarse-assigned to its nearest inverted list (exact integer
@@ -1546,12 +1547,21 @@ def ivfpq_corpus_lists(
     (``pq_codebooks(_ivfpq_residuals(…), pre_scaled=True)``, which
     ``ivfpq_topk(by_residual=True)`` does); same one-pass build, the
     residual subtraction is per-row math over a broadcast centroid
-    dim."""
+    dim.
+
+    ``residuals`` (r16 optimization): a caller that has ALREADY
+    derived (and typically pinned) the ``_ivfpq_residuals`` frame —
+    ``ivfpq_topk(by_residual=True)`` trains its codebooks on the very
+    same frame — can pass it in so the assign + subtraction subtree is
+    not re-derived per consumer. Only read when ``by_residual`` is
+    set; same rows either way (the derivation is deterministic)."""
     if by_residual:
-        assigned = _ivfpq_residuals(
-            corpus, centroids, id_col, vec_col,
-            centroid_id_col, centroid_vec_col,
-        ).withColumnRenamed("rv", "mv")
+        if residuals is None:
+            residuals = _ivfpq_residuals(
+                corpus, centroids, id_col, vec_col,
+                centroid_id_col, centroid_vec_col,
+            )
+        assigned = residuals.withColumnRenamed("rv", "mv")
     else:
         cent_arr = _ivfpq_cent_array(
             centroids, centroid_id_col, centroid_vec_col
@@ -1773,11 +1783,19 @@ def ivfpq_topk(
     closer to exact (test-pinned); same exchanges, the tables stay
     probe-contract-sized."""
     query_id_col = query_id_col or id_col
+    res = None
     if by_residual:
+        # the residual frame feeds BOTH the codebook training and the
+        # corpus encode below — pin it once so the coarse-assign +
+        # subtraction subtree is not re-derived per consumer (r16
+        # optimization; interleaved sf0.1 A/B on the residual gate:
+        # off [21.0, 10.4, 8.9] s vs pinned [8.4, 6.6, 6.2] s, wins
+        # every pair, rows identical). The pinned rows are n×dim longs
+        # — the same order as the corpus the caller already holds.
         res = _ivfpq_residuals(
             corpus, centroids, id_col, vec_col,
             centroid_id_col, centroid_vec_col,
-        )
+        ).localCheckpoint()
         cb = pq_codebooks(
             res, dim, m=m, ksub=ksub, iters=iters,
             id_col=id_col, vec_col="rv", pre_scaled=True,
@@ -1790,7 +1808,7 @@ def ivfpq_topk(
     lists = ivfpq_corpus_lists(
         corpus, centroids, cb, dim, m=m, id_col=id_col, vec_col=vec_col,
         centroid_id_col=centroid_id_col, centroid_vec_col=centroid_vec_col,
-        by_residual=by_residual,
+        by_residual=by_residual, residuals=res,
     ).withColumnRenamed(id_col, "neighbor_id")
     cent_arr = _ivfpq_cent_array(centroids, centroid_id_col, centroid_vec_col)
     qmu = queries.select(

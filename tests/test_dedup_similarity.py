@@ -900,6 +900,34 @@ class TestIvfPq:
         )
         assert got == want and got
 
+    def test_corpus_lists_shared_residuals_match_internal(
+        self, spark, setup
+    ):
+        """r16 optimization contract: ivfpq_corpus_lists(residuals=...)
+        — the pinned-frame reuse path ivfpq_topk(by_residual=True) now
+        takes — must produce exactly the rows of the internal
+        derivation (the parameter is a plan-sharing lever, never a
+        semantic one)."""
+        emb, cents, _, _ = setup
+        res = sim._ivfpq_residuals(
+            emb, cents, "vec_id", "embedding", "cluster_id", "centroid"
+        ).localCheckpoint()
+        cb = sim.pq_codebooks(
+            res, dim=64, m=8, ksub=16, vec_col="rv", pre_scaled=True
+        ).localCheckpoint()
+
+        def rows(residuals):
+            return sorted(
+                (r["vec_id"], r["list_id"], tuple(r["codes"]))
+                for r in sim.ivfpq_corpus_lists(
+                    emb, cents, cb, dim=64, m=8, by_residual=True,
+                    residuals=residuals,
+                ).collect()
+            )
+
+        shared, internal = rows(res), rows(None)
+        assert shared == internal and shared
+
     def test_gate_recall_floor(self, spark):
         """The driver gate's per-row `hit` column (membership in the
         exact L2 top-5) must clear the IVF-pruning-bounded floor —
