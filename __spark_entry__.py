@@ -8039,18 +8039,8 @@ def q_hybrid_retrieval_persisted(spark, sf_dir):
     exact-cosine hybrid — both engines replay the same pruning.
     Query ids shift out of the doc-id space (ivf excludes
     neighbor_id == query_id, the cosine_topk self-match rule) behind
-    the same guarded 2^40 shift as q_hybrid_retrieval.
-
-    The two index BUILDS (bm25 postings, ivf lists) are independent
-    jobs over different kernels of the same corpus, so they run from a
-    2-thread pool (guide §2.6 — the second job's tasks back-fill
-    executors freed by the first job's tail instead of waiting for a
-    serial barrier). Interleaved A/B at sf0.1 (r16, 10 pairs across 3
-    sessions): overlap wins 7/10 pairs, warm-min 8.8 → 7.8 s, cold
-    pairs up to 28.6 → 9.3 s; results verified row-identical. Job
-    descriptions are thread-local, so UI labelling is unaffected."""
+    the same guarded 2^40 shift as q_hybrid_retrieval."""
     import tempfile
-    from concurrent.futures import ThreadPoolExecutor
 
     from bigdata_lab02_spark.operators import retrieval as rt
     from bigdata_lab02_spark.operators.embed import embed_featurize
@@ -8060,6 +8050,10 @@ def q_hybrid_retrieval_persisted(spark, sf_dir):
         _BM25_QUERIES, "query_id int, text string"
     )
     bpath = tempfile.mkdtemp(prefix="hybridp_bm25_") + "/index"
+    rt.persist_bm25_index(docs, bpath, n_buckets=64)
+    lex = rt.bm25_topk_persisted(
+        spark, bpath, queries, k=20, k1=1.2, b=0.75, n_buckets=64
+    ).select("query_id", "doc_id", "rank")
 
     fv = embed_featurize(docs, dim=64)
     shift = 1 << 40
@@ -8079,22 +8073,9 @@ def q_hybrid_retrieval_persisted(spark, sf_dir):
         F.col("embedding").alias("centroid"),
     )
     vpath = tempfile.mkdtemp(prefix="hybridp_ivf_") + "/lists"
-
-    def _build_bm25() -> None:
-        rt.persist_bm25_index(docs, bpath, n_buckets=64)
-
-    def _build_ivf() -> None:
-        sim.persist_ivf_lists(
-            fv.select(doc_ok.alias("vec_id"), "embedding"), cents, vpath
-        )
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        for _ in pool.map(lambda f: f(), (_build_bm25, _build_ivf)):
-            pass
-
-    lex = rt.bm25_topk_persisted(
-        spark, bpath, queries, k=20, k1=1.2, b=0.75, n_buckets=64
-    ).select("query_id", "doc_id", "rank")
+    sim.persist_ivf_lists(
+        fv.select(doc_ok.alias("vec_id"), "embedding"), cents, vpath
+    )
     qv = embed_featurize(queries, dim=64, id_col="query_id")
     sem_raw = sim.ivf_topk_persisted(
         spark,
