@@ -130,8 +130,15 @@ def main() -> None:
     for name in args:
         build = ARMS[name]
         walls: dict[str, list[float]] = {"off": [], "on": []}
-        for _ in range(reps):
-            for arm, pin in (("off", False), ("on", True)):
+        for rep in range(reps):
+            # alternate the arm ORDER per rep: on this host the first
+            # arm of a pair pays a systematic penalty (measured r16
+            # session 2 — a fixed [off, on] order over-credits "on"),
+            # so only effects that survive both orders are real
+            order = (("off", False), ("on", True))
+            if rep % 2:
+                order = tuple(reversed(order))
+            for arm, pin in order:
                 spark.sparkContext.setJobDescription(
                     f"r16_ab_pin:{name}:{arm}"
                 )

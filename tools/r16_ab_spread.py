@@ -36,8 +36,12 @@ def main() -> None:
     for name in args:
         fn = qs.get(name) or getattr(entrymod, f"q_{name}")
         walls: dict[str, list[float]] = {"off": [], "on": []}
-        for _ in range(reps):
-            for arm in ("off", "on"):
+        for rep in range(reps):
+            # alternate arm order per rep (r16 session 2: the first
+            # arm of a pair pays a systematic penalty on this host —
+            # a fixed order over-credits whichever arm runs second)
+            order = ("off", "on") if rep % 2 == 0 else ("on", "off")
+            for arm in order:
                 entrymod._spread = (lambda df: df) if arm == "off" else real_spread
                 spark.sparkContext.setJobDescription(f"r16_ab:{name}:{arm}")
                 t0 = time.time()
