@@ -394,8 +394,7 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    line = json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
@@ -420,8 +419,20 @@ def main() -> None:
                 "with its Spark wall cancels host drift out of the "
                 "ratio.",
             }
-        )
     )
+    # VERDICT r16 item 2: the r15 round-over-round comparison was lost to
+    # a driver-side truncation of this single very long line
+    # (prev_bench_ok=false). Persist the identical payload to the repo so
+    # the next round can always recover it, then print the one JSON line
+    # LAST on its own line. Additions only: the line's content, the rep
+    # policy and the common sets are unchanged.
+    try:
+        (Path(__file__).resolve().parent / "BENCH_LAST.json").write_text(
+            line + "\n"
+        )
+    except Exception:
+        pass  # read-only checkout must not break the bench contract
+    print(line)
 
 
 if __name__ == "__main__":

