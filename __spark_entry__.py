@@ -5484,12 +5484,17 @@ def q_media_dedup_pipeline(spark, sf_dir):
     )
     media = imgs.unionByName(auds)
     magic = F.hex(F.substring(F.col("payload"), 1, 4))
+    # r17: the routed corpus is pinned because BOTH modality branch pins
+    # below materialize from it — without this the synthetic-payload
+    # mapInPandas generation executes once per branch (interleaved
+    # sf0.1 A/B, both arm orders: off 2.66-3.37 s vs pinned
+    # 2.48-3.18 s warm, 10/12 pairs)
     routed = media.withColumn(
         "modality",
         F.when(magic == "89504E47", F.lit("image"))
         .when(magic == "52494646", F.lit("audio"))
         .otherwise(F.lit("unknown")),
-    )
+    ).localCheckpoint()
     ih = image_dhash(
         routed.where(F.col("modality") == "image")
     ).localCheckpoint()

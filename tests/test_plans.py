@@ -317,3 +317,31 @@ def test_stream_pretrain_cands_plan_shape(spark):
     assert "CartesianProduct" not in r.raw
     assert "BroadcastNestedLoopJoin" not in r.raw
     assert r.n_broadcast_joins >= 1  # the tier's dims
+
+
+def test_tfidf_matrix_pins_its_input(spark):
+    """r17: tfidf_matrix consumes its COO input three times (the n_docs
+    scalar, the TF window side, the IDF aggregate side), so it pins the
+    input once — the returned plan must be rooted at the pinned scan
+    with no re-derived upstream chain."""
+    from bigdata_lab02_spark.operators.matrix import tfidf_matrix
+
+    coo = spark.createDataFrame(
+        [(1, 1, 2), (1, 2, 1), (2, 1, 1)],
+        "doc_id int, term_id int, count int",
+    )
+    r = plan_report(tfidf_matrix(coo))
+    assert "Scan ExistingRDD" in r.raw  # rooted at the pin
+    assert r.repeated_scans == 0
+
+
+def test_p10_tfidf_exchange_count_bounded(spark):
+    """r17 receipt: before the tfidf_matrix pin the p10 gate compiled to
+    10 exchanges (the tokenize→aggregate→dictionary chain re-derived per
+    consumer); pinned it is 2. Bound it so the re-inlining class cannot
+    silently return."""
+    r = plan_report(e.q_p10_tfidf(spark, SF))
+    assert r.n_exchanges <= 4, (
+        f"p10_tfidf exchanges={r.n_exchanges}; the tfidf_matrix input pin "
+        "has stopped truncating the plan (was 10 unpinned, 2 pinned)"
+    )
