@@ -75,12 +75,33 @@ def shingles(text: Column, n: int = 3) -> Column:
 # ----------------------------------------------------------------- minhash
 
 
+def shingle_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The exploded ``(id, sh)`` shingle stream — the shared upstream of
+    MinHash signatures and exact-Jaccard verification (r17). Callers
+    that feed it to more than one consumer (``minhash_signatures`` AND
+    ``minhash_dedup_pairs`` over the same corpus) should pin it and
+    pass it via those functions' ``shingled=`` parameter so the
+    tokenize+shingle+md5 kernel runs once instead of once per
+    consumer."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 8,
     shingle_n: int = 3,
+    *,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(id, signature array<string>): signature[i] = min over shingles of
     md5(i || '|' || shingle). Portable across engines (hex-string min).
@@ -89,9 +110,17 @@ def minhash_signatures(
     min-aggregates. One pass over the shingle stream with map-side partial
     aggregation — the array-expression formulation (min over ``transform``
     per row) duplicates the whole tokenize+shingle tree per hash and falls
-    off the codegen cliff (measured 180 s → 4 s at sf0.1)."""
-    ex = docs.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    off the codegen cliff (measured 180 s → 4 s at sf0.1).
+
+    ``shingled`` (r17, keyword-only, INTERNAL reuse seam): the caller's
+    pre-built ``shingle_stream(docs, ...)`` — MUST be derived from the
+    same docs/text_col/shingle_n or the signatures silently describe
+    the wrong corpus; used by the pretrain layout build to share one
+    shingle pass between the band artifact and the pair verification."""
+    ex = (
+        shingled
+        if shingled is not None
+        else shingle_stream(docs, text_col, id_col, shingle_n)
     )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
@@ -188,6 +217,8 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     bands: int = 4,
     threshold: float = 0.6,
+    *,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH dedup: candidates from LSH buckets, verified with
     exact Jaccard over shingle sets → (id_a, id_b, jaccard >= threshold).
@@ -201,10 +232,19 @@ def minhash_dedup_pairs(
     and the pin is measured 11% faster warm and 2.7× faster cold at
     sf0.1. Production runs materialize the band table instead
     (``persist_corpus_bands``); the intersection is counted via a
-    pair-constrained join on the shingle — no per-row set arrays."""
-    ex = docs.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
-    ).localCheckpoint()
+    pair-constrained join on the shingle — no per-row set arrays.
+
+    ``shingled`` (r17, keyword-only, INTERNAL reuse seam — same
+    contract as ``minhash_signatures``): a caller-pinned
+    ``shingle_stream`` of the same docs; when passed, the internal
+    explode+pin is skipped so the shingle pass is shared with the
+    caller's other consumers instead of materializing a second pinned
+    copy."""
+    ex = (
+        shingled
+        if shingled is not None
+        else shingle_stream(docs, text_col, id_col, shingle_n).localCheckpoint()
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
         for i in range(num_hashes)

@@ -477,6 +477,7 @@ def persist_pretrain_artifacts(
         minhash_band_table,
         minhash_dedup_pairs,
         minhash_signatures,
+        shingle_stream,
     )
     from .retrieval import _write_journal
 
@@ -526,6 +527,19 @@ def persist_pretrain_artifacts(
     # boundary a production run would write anyway): bands, pairs and
     # the trained model describe exactly what was written.
     ex_rb = spark.read.schema(ex.schema).parquet(f"{path}/corpus")
+    # r17: ONE shingle+md5 pass over the written corpus, pinned, feeds
+    # BOTH the band artifact and the near-dup pair verification — the
+    # bands and the pairs previously each re-derived it (the pairs call
+    # even pinned its own second copy). Signatures from the shared
+    # stream are bit-identical (min over the same md5'd shingles), so
+    # the bands/ artifact and the drop set are unchanged (oracle-gated
+    # at 3 SFs; interleaved sf0.1 A/B receipt in OPTIMIZATION_r17.md).
+    shingled = shingle_stream(
+        ex_rb.select(id_col, text_col),
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+    ).localCheckpoint()
     band_tbl = minhash_band_table(
         minhash_signatures(
             ex_rb.select(id_col, text_col),
@@ -533,6 +547,7 @@ def persist_pretrain_artifacts(
             id_col=id_col,
             num_hashes=num_hashes,
             shingle_n=shingle_n,
+            shingled=shingled,
         ),
         id_col=id_col,
         bands=bands,
@@ -549,6 +564,7 @@ def persist_pretrain_artifacts(
         shingle_n=shingle_n,
         bands=bands,
         threshold=minhash_threshold,
+        shingled=shingled,
     ).select(F.col("id_b").alias(id_col))
     nd = ex_rb.join(drops, id_col, "left_anti")
     model = quality_classifier_train(

@@ -690,7 +690,16 @@ def semantic_dedup_incremental(
         as_double_array(F.col(centroid_vec_col)).alias("cvec"),
     ).withColumn("cvn", array_norm(F.col("cvec")))
     cid_type = cents.schema["cid"].dataType.simpleString()
-    new_members = _semantic_assign(c, cents, id_col, cid_type, round_dp)
+    # r17: the shard assignment feeds THREE consumers (the a-side union,
+    # the b-side of the pair join, and the final keep join), so without
+    # a pin the broadcast-fold assign re-derives per consumer. Pin once
+    # — shard-sized rows the consumers need anyway; eager, like every
+    # pin in this module (interleaved sf0.1 A/B, both arm orders:
+    # 11/14 pairs win, warm ~6%). Single-host storage trade as
+    # documented on the residual pin above.
+    new_members = _semantic_assign(
+        c, cents, id_col, cid_type, round_dp
+    ).localCheckpoint()
     old_members = indexed.select(
         F.col(id_col),
         F.col(cluster_col).alias("cluster_id"),

@@ -1309,3 +1309,51 @@ def test_semantic_check_deep_catches_stats_skew(spark, tmp_path):
     sim.check_semantic_assignments(spark, path)  # journal-only: passes
     with pytest.raises(ValueError, match="corrupted"):
         sim.check_semantic_assignments(spark, path, deep=True)
+
+
+def test_semantic_inc_shard_assignment_pinned(spark):
+    """r17: semantic_dedup_incremental's shard assignment feeds three
+    consumers (a-side union, b-side pair join, final keep join), so the
+    operator pins it once — the compiled plan must contain the pinned
+    scan and must NOT re-derive the shard-side assign fold per consumer
+    (repeated_scans was 12 unpinned, 7 pinned at sf0.01)."""
+    from bigdata_lab02_spark.plans import plan_report
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [2.0, 1.0])],
+        "cluster_id int, centroid array<double>",
+    )
+    indexed = sim.semantic_dedup(
+        vecs.where("vec_id < 4"), cents, threshold=0.9
+    ).select("vec_id", "cluster_id").join(
+        vecs.where("vec_id < 4"), "vec_id"
+    )
+    out = sim.semantic_dedup_incremental(
+        vecs.where("vec_id >= 4"), cents, indexed, threshold=0.9
+    )
+    r = plan_report(out)
+    assert "Scan ExistingRDD" in r.raw, "shard assignment no longer pinned"
+
+
+def test_minhash_shingled_reuse_seam_equivalent(spark):
+    """r17: the shingled= reuse seam (one pinned shingle_stream shared
+    by minhash_signatures and minhash_dedup_pairs, the pretrain layout
+    build's shape) must reproduce the default path bit-for-bit."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "alpha beta gamma epsilon"), (4, "wholly different text here")],
+        "doc_id long, text string",
+    )
+    shingled = dd.shingle_stream(docs).localCheckpoint()
+    sig_a = dd.minhash_signatures(docs).collect()
+    sig_b = dd.minhash_signatures(docs, shingled=shingled).collect()
+    assert sorted(map(tuple, sig_a)) == sorted(map(tuple, sig_b))
+    pairs_a = dd.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    pairs_b = dd.minhash_dedup_pairs(
+        docs, threshold=0.5, shingled=shingled
+    ).collect()
+    assert sorted(map(tuple, pairs_a)) == sorted(map(tuple, pairs_b))

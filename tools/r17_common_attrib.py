@@ -37,12 +37,15 @@ import bench  # noqa: E402
 def main() -> None:
     reps = 4
     which = "17"
+    explicit: list[str] | None = None
     for a in sys.argv[1:]:
         if a.startswith("--reps="):
             reps = int(a.split("=")[1])
         if a.startswith("--set="):
             which = a.split("=")[1]
-    names = bench.COMMON17 if which == "17" else bench.COMMON25
+        if a.startswith("--queries="):
+            explicit = a.split("=", 1)[1].split(",")
+    names = explicit or (bench.COMMON17 if which == "17" else bench.COMMON25)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="r17_common_attrib")
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
@@ -100,7 +103,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "set": which,
+                "set": ",".join(explicit) if explicit else which,
                 "reps": reps,
                 "sum_ratio_min": round(
                     sum(s_min.values()) / sum(d_min.values()), 3
