@@ -119,6 +119,13 @@ AUDIT = [
     "sketch_quantiles_twolevel",
     # r16: the capstone's shard-writer last mile
     "pretrain_training_shards",
+    # r17 (VERDICT r16 item 8): the capstone's streaming face — the
+    # audited frame is the gate's output (memory-sink distinct); the
+    # candidate plan itself is gated on the BATCH TWIN in
+    # tests/test_plans.py::test_stream_pretrain_cands_plan_shape
+    # because a replayed stream's per-micro-batch plan is not visible
+    # from the returned frame
+    "stream_pretrain_cands",
 ]
 
 COMMENT = {
@@ -126,6 +133,7 @@ COMMENT = {
     "hybrid_retrieval": "Both legs are candidate-sized by construction before fusion: BM25 cuts postings to the broadcast query vocabulary, the semantic leg broadcasts the 6 query vectors over the featurized corpus; RRF is a (query, doc) aggregation + window over <= 2*|queries|*20 rows.",
     "hybrid_retrieval_persisted": "The deployed hybrid: the lexical leg's postings scan is term-bucket directory-pruned (PartitionFilters INSET), the semantic leg's list scan is list_id directory-pruned to the <= |queries|*nprobe probed lists; neither leg re-tokenizes or re-featurizes the corpus at query time; fusion is candidate-sized.",
     "pretrain_increment_pipeline": "The daily-shard job: base artifacts (survivor set, corpus, model) are pinned once and fan out; shard-side cost is anti-joins against index-sized tables + band-hash-keyed candidate joins against the PRE-BANDED corpus (never re-shingled) + one broadcast-model scoring pass — nothing base-sized recomputes per shard (repeated_scans=0).",
+    "stream_pretrain_cands": "The streaming face of the capstone's shard absorb: the audited frame is the gate's OUTPUT (distinct over the replay's memory sink — LocalTableScan-rooted, trivially one exchange), because a bounded replay's per-micro-batch plan never appears in the returned frame. The candidate plan itself is gated on the batch twin in tests/test_plans.py (every join equi-keyed against the corpus-sized static sides — no cartesian/nested-loop; URL dims broadcast). Split-wall attribution (r17, BENCHNOTES): the gate's wall is ~55% persist_pretrain_artifacts build (the batch layout the replay probes — shares the r17 one-shingle-pass fix) + ~40% replay fixed cost (micro-batch infrastructure, the attributed streaming class) + <1 s shard write and distinct.",
     "pretrain_training_shards": "The shard writer's one shuffle is the keyed repartition on (source, shard_id) before the partitioned write — every shard is one file written by the task owning its key (no small-file spray); the manifest is one groupBy over the READ-BACK of the written shards (manifest describes what is on disk), and the gate's returned frame is a manifest-sized parquet scan.",
     "sketch_quantiles_twolevel": "The bounded-sort register build: level one's rank window partitions by n_buckets*fanout md5 sub-shards (biggest single-task sort N/(n_buckets*fanout) rows — the r14 one-task-bucket-sort seam, closed); level two's fold windows run over register-table-sized frames (<= fanout*k knots per bucket). One bucket-keyed exchange per level; output <= n_buckets*k rows.",
     "pretrain_artifacts_persisted": "The deployed daily-shard job: the shard chain is rooted at the on-disk artifact layout (urls/digests md5-bucket-partitioned, bands by band_id, frozen broadcast model) — anti-joins against index-sized parquet scans, band-hash candidates vs the persisted band table (the base is never re-shingled), one broadcast-model scoring pass; the old-beats-new guard is one column-pruned shard aggregate collected BEFORE any mutating write; appends and the stats flip are shard-sized; decisions are pinned before the appends so the caller's action never recomputes against the mutated layout.",
