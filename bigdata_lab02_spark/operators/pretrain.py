@@ -80,6 +80,7 @@ def pretrain_corpus(
     n_buckets: int = 512,
     salt: str = "",
     pin: bool = True,
+    pin_decisions: bool | None = None,
 ) -> DataFrame:
     """Assemble a packed training corpus from decoded pages.
 
@@ -101,8 +102,20 @@ def pretrain_corpus(
     pack_id)`` — admission bookkeeping (cum_tokens vs quota) and the
     classifier score ride along so downstream shard writers can audit
     every keep decision without re-running a stage.
+
+    ``pin`` eagerly materializes (localCheckpoint) the exact-dedup
+    survivor tier at CONSTRUCTION time — building the frame runs the
+    ingest chain; the pinned partitions live until the session drops
+    them (single-host lineage-truncation trade, see ADVICE r16).
+    ``pin_decisions`` (default: follows ``pin``) additionally pins the
+    two small DECISION frames — the near-dup drop ids and the
+    quality-keep ``(id, score_mu)`` list — so the pair-verification
+    and scoring subtrees run once instead of once per consumer job
+    (r17, both-order A/B receipt in BENCHNOTES §r17).
     """
     extra = list(passthrough or [])
+    if pin_decisions is None:
+        pin_decisions = pin
 
     # --- URL tier: the only stage allowed to see a raw URL ---------
     tier = url_filters(
@@ -146,6 +159,17 @@ def pretrain_corpus(
         threshold=minhash_threshold,
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if pin_decisions:
+        # The drop set is a DECISION frame (ids only, guide-§8 "decide
+        # with small rows"): every later derivation of the near-dup
+        # survivors re-runs the whole pair-verification subtree
+        # (signature agg + band self-join + Jaccard joins) — and those
+        # derivations span SEPARATE jobs (the classifier-model pin and
+        # mixture_sample's internal prefix-sum pin both run eager jobs
+        # at construction), so in-plan exchange reuse cannot cover
+        # them. Pinning the tiny id list runs the pair subtree ONCE;
+        # the anti-join below becomes pinned-scan work per consumer.
+        drops = drops.localCheckpoint()
     nd = ex.join(drops, id_col, "left_anti")
 
     # --- DCLM-style quality classifier over the survivors -----------
@@ -155,9 +179,15 @@ def pretrain_corpus(
     scored = quality_classifier_score(
         nd, model, text_col=text_col, id_col=id_col, n_buckets=n_buckets
     )
-    qk = nd.join(
-        scored.where("quality_keep").select(id_col, "score_mu"), id_col
-    )
+    keep = scored.where("quality_keep").select(id_col, "score_mu")
+    if pin_decisions:
+        # Same decision-frame rule for the keep list (id, score_mu):
+        # the scoring pass (token explode + broadcast-model join +
+        # per-doc sum) otherwise re-derives per qk consumer — mixture's
+        # construction-time pin job, the packing subtree and the final
+        # admitted joins each pay it again.
+        keep = keep.localCheckpoint()
+    qk = nd.join(keep, id_col)
 
     # --- mixture under the global token budget ----------------------
     mix = mixture_sample(

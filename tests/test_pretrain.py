@@ -89,6 +89,31 @@ def test_near_dup_rule_is_per_pair_higher_id(spark):
     assert 3 not in ids
 
 
+def test_decision_pins_change_nothing(spark):
+    """r17: the decision-frame pins (near-dup drop ids, quality-keep
+    (id, score_mu)) are a pure materialization seam — rows with
+    pin_decisions on and off must be identical, and the pinned run
+    must keep the per-pair higher-id drop and the tier drops."""
+    sfx, blk = _dims(spark)
+
+    def run(flag):
+        out = pretrain_corpus(
+            _pages(spark),
+            sfx,
+            weights={"a": 1, "b": 1},
+            token_budget=1000,
+            positive=F.array_contains(
+                tokens_column(F.col("text")), "spark"
+            ),
+            blocklist=blk,
+            pack_budget=8,
+            pin_decisions=flag,
+        )
+        return sorted(map(tuple, out.collect()))
+
+    assert run(True) == run(False)
+
+
 def test_quota_binds_and_packing_walks_id_order(spark):
     # tiny budget: quota a = 30 // 2 = 15 tokens — doc 1 (11 tokens)
     # admitted, the family survivor (if quality-kept) would not fit;

@@ -371,8 +371,43 @@ def _make_tfidf_pin_arm(gate: str):
     return arm
 
 
+# ------------------------------------------ pretrain decision-frame pins
+def _make_pretrain_decisions_arm(gate: str):
+    """off = the shipped-through-r16 shape (ex pin only; pairs/scoring
+    re-derived per consumer JOB — the model pin and mixture's internal
+    prefix-sum pin each run eager construction-time jobs AQE reuse
+    cannot span); on = additionally pin the two small decision frames
+    (near-dup drop ids, quality-keep (id, score_mu))."""
+
+    def arm(spark, sf_dir, on: bool):
+        import bigdata_lab02_spark.operators.pretrain as pt
+
+        real = pt.pretrain_corpus
+
+        def forced(*a, **k):
+            k["pin_decisions"] = on
+            return real(*a, **k)
+
+        pt.pretrain_corpus = forced
+        try:
+            fn = entrymod.queries().get(gate) or getattr(
+                entrymod, f"q_{gate}"
+            )
+            return fn(spark, sf_dir)
+        finally:
+            pt.pretrain_corpus = real
+
+    return arm
+
+
 ARMS = {
     "sem_inc_base": arm_sem_inc_base,
+    "pretrain_decisions": _make_pretrain_decisions_arm(
+        "pretrain_corpus_pipeline"
+    ),
+    "pretrain_decisions_shards": _make_pretrain_decisions_arm(
+        "pretrain_training_shards"
+    ),
     "sem_inc_members": arm_sem_inc_members,
     "pretrain_shingle_share": arm_pretrain_shingle_share,
     "tfidf_pin_kmeans_update": _make_tfidf_pin_arm("kmeans_update"),
