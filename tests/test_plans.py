@@ -233,6 +233,11 @@ def test_pretrain_capstone_ingest_pinned_once(spark):
     A/B in BENCHNOTES)."""
     r = plan_report(e.queries()["pretrain_corpus_pipeline"](spark, SF))
     assert r.repeated_scans == 0
+    # r17: the decision-frame pins (near-dup drop ids, quality-keep
+    # list) collapse the fan-out — 96 exchanges / 43 SMJs / 6 LeftAnti
+    # copies of the anti-join before, 12 / 7 / 2 after. Bound the
+    # count so a regression re-inflating the plan is caught.
+    assert r.n_exchanges <= 16, r.raw
 
 
 def test_hybrid_persisted_both_legs_pruned(spark):
